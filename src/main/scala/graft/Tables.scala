@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Table loaders + shared helpers for oracle-deterministic arithmetic.
+  *
+  * All queries read the driver-generated parquet fixtures
+  * (`/root/testdata/sf*`, see FIXTURES.md). Reads go through here so every
+  * operator gets the same scan path (plain parquet scan; Catalyst handles
+  * column pruning + predicate pushdown — verified via .explain in specs).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // The fixture events.ts is parquet TIMESTAMP(NANOS), which Spark's
+      // vectorized reader rejects. Read the raw int64 nanos
+      // (legacy.parquet.nanosAsLong) and convert to TimestampType via
+      // exact integer division — ns DIV 1000 (a double division would
+      // lose precision: epoch-ns ~1.7e18 > 2^53).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}
+
+/** Determinism helpers for DuckDB-oracle-compared queries (SURVEY.md §7
+  * "sharp edges"): float sums differ bit-wise between engines depending on
+  * accumulation order, so money-like doubles (fixtures carry 2-decimal
+  * values) are summed as exact DECIMAL and cast back to double — both
+  * engines then produce the identical IEEE-754 value.
+  */
+object Ql {
+  /** Query signature of the driver contract: (session, sfDir) => result. */
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 2-decimal exact cast; DECIMAL(12,2) keeps products within both
+    * engines' 38-digit cap even after two multiplications. */
+  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Exact sum of 2-decimal money values, surfaced as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Exact mean: decimal sum cast to double, divided by exact count —
+    * identical operand bits in both engines => identical quotient. */
+  def davg(c: Column): Column = sum(dec(c)).cast("double") / count(c)
+}

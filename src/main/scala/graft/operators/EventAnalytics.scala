@@ -1,0 +1,305 @@
+package graft.operators
+
+import graft.{Ql, Tables}
+import graft.Ql.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-parity event analytics (SURVEY.md §2.2–§2.4, milestone M1).
+  *
+  * Re-expresses every batch query of the reference's api/streaming services
+  * over the fixture `events` table (`event_id, ts, user_id, event_type,
+  * value, props`): global multi-distinct dashboard totals
+  * (`services/api-service/data_service.py:127-132`), group-by counts with
+  * in-plan percentage-of-total (fixing the reference's driver-side Python
+  * math, `data_service.py:296-303`), hourly time-series bucketing
+  * (`data_service.py:336-356`), top-k entities with distinct counts and
+  * deterministic type sets (`data_service.py:358-406`), filter banks
+  * (`streaming-service/api.py:263-276`), JSONPath payload extraction
+  * (`streaming-service/event_processor.py:73-81`), the 15-way category
+  * CASE (`event_processor.py:94-110`), quality flags (`:112-132`), ordered
+  * pagination done in-plan via row_number (`streaming-service/api.py:589-592`
+  * slices in Python), and the declared-but-unused stat surface
+  * (avg/stddev/percentile, `data_service.py:7-11`).
+  *
+  * Scale notes (100 TB): every aggregation here is a single hash-aggregate
+  * shuffle on its group key with map-side partial aggregation; top-k uses
+  * `TakeOrderedAndProject` (per-partition heaps, no global sort); the only
+  * intentionally-global window is the pagination query, which at cluster
+  * scale would be served by key-range pagination instead (documented on the
+  * query). Time filters and projected columns push down to the parquet scan.
+  */
+object EventAnalytics {
+  import Ql.{dec, dsum}
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** P11 time-window cutoff — fixed literal, never current_timestamp(),
+    * so the DuckDB oracle sees the identical predicate. */
+  private val cutoff = "2024-01-15 00:00:00"
+
+  /** P6: the reference's event-category CASE chain
+    * (`event_processor.py:94-110`), mapped onto the fixture event types. */
+  def categorize(c: Column): Column =
+    when(c === "purchase", "commerce")
+      .when(c === "signup", "account")
+      .when(c.isin("click", "view"), "engagement")
+      .when(c === "error", "system")
+      .otherwise("other")
+
+  private val categorizeSql =
+    """CASE WHEN event_type = 'purchase' THEN 'commerce'
+      |     WHEN event_type = 'signup' THEN 'account'
+      |     WHEN event_type IN ('click','view') THEN 'engagement'
+      |     WHEN event_type = 'error' THEN 'system'
+      |     ELSE 'other' END""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // A1 + P11: one-pass global multi-distinct dashboard aggregate.
+    "events_dashboard_totals" -> ((s, dir) => {
+      ev(s, dir)
+        .filter(col("ts") >= lit(cutoff).cast("timestamp"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          dsum(col("value")).as("sum_value"))
+    }),
+
+    // A2: counts by type, ordered with tie-break.
+    "events_by_type" -> ((s, dir) => {
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("event_type"))
+    }),
+
+    // P6 + A3: category mapping then counts.
+    "events_by_category" -> ((s, dir) => {
+      ev(s, dir)
+        .select(categorize(col("event_type")).as("event_category"))
+        .groupBy(col("event_category"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("event_category"))
+    }),
+
+    // A4 in-plan: percentage-of-total via window over the aggregate (the
+    // reference computes this driver-side in Python). Single shuffle for
+    // the groupBy; the window input is |distinct types| rows — tiny.
+    "events_pct_by_type" -> ((s, dir) => {
+      val counts = ev(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("pct",
+          lit(100.0) * col("n") / sum(col("n")).over(Window.partitionBy()))
+        .orderBy(desc("n"), asc("event_type"))
+    }),
+
+    // A5: hourly tumbling buckets via date_trunc (batch form; streaming
+    // analogue lives in graft.streaming). Bucket surfaced as a string so
+    // both engines hash identical values (fixture ts is ns-precision,
+    // Spark reads µs).
+    "events_hourly" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:00").as("hour"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(asc("hour"))
+    }),
+
+    // A6/A7: top-k users with distinct counts + deterministic type set
+    // (sorted, comma-joined — the reference dedups in Python, A8).
+    // Plans as partial-agg + TakeOrderedAndProject: no global sort.
+    "events_top_users" -> ((s, dir) => {
+      ev(s, dir).groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          dsum(col("value")).as("sum_value"),
+          array_join(sort_array(collect_set(col("event_type"))), ",")
+            .as("types"))
+        .orderBy(desc("n_events"), asc("user_id"))
+        .limit(10)
+    }),
+
+    // A9: distinct values for filter dropdowns.
+    "events_distinct_types" -> ((s, dir) => {
+      ev(s, dir).select(col("event_type")).distinct()
+        .orderBy(asc("event_type"))
+    }),
+
+    // O2 re-expressed in-plan: page 2 (rows 101–200) of the recency feed
+    // via row_number. NOTE single-partition window — correct here, but at
+    // cluster scale pagination is served by key-range predicates
+    // (ts < last_seen) instead of a global window.
+    "events_page" -> ((s, dir) => {
+      val w = Window.orderBy(desc("ts"), asc("event_id"))
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), row_number().over(w).as("rn"))
+        .filter(col("rn").between(101, 200))
+        .orderBy(asc("rn"))
+    }),
+
+    // O1: recent-events feed, deterministic tie-break on event_id.
+    "events_recent" -> ((s, dir) => {
+      ev(s, dir)
+        .orderBy(desc("ts"), asc("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .limit(20)
+    }),
+
+    // P10: the reference's optional equality/range filter bank, composed
+    // as conjunctive pushed-down predicates.
+    "events_filtered" -> ((s, dir) => {
+      ev(s, dir)
+        .filter(col("event_type") === "purchase" && col("value") > 100.0 &&
+          col("ts") >= lit(cutoff).cast("timestamp"))
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(asc("event_id"))
+    }),
+
+    // P1/P4: JSONPath extraction from the props payload (the reference's
+    // get_json_object over payload_json), aggregated per extracted key.
+    "events_json_extract" -> ((s, dir) => {
+      ev(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(asc("k_mod"))
+    }),
+
+    // P7/P8: data-quality flags + per-type validity counts.
+    "events_quality" -> ((s, dir) => {
+      val valid = col("event_id").isNotNull && col("user_id").isNotNull &&
+        col("ts").isNotNull
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(valid, 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("props").isNotNull && length(col("props")) > 2, 1L)
+            .otherwise(0L)).as("n_with_props"))
+        .orderBy(asc("event_type"))
+    }),
+
+    // A11: the reference's declared-but-never-called stat surface
+    // (avg/stddev/min/max/sum), made exact for the oracle: decimal sums,
+    // variance from exact moments => bit-identical doubles both engines.
+    "events_value_stats" -> ((s, dir) => {
+      val n = count(lit(1))
+      val sx = sum(dec(col("value"))).cast("double")
+      val sxx = sum(dec(col("value")) * dec(col("value"))).cast("double")
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(
+          n.as("n"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"),
+          (sx / n).as("avg_v"),
+          sqrt((sxx - sx * sx / n) / (n - lit(1))).as("stddev_v"))
+        .orderBy(asc("event_type"))
+    }),
+
+    // Sessionization (lag window): per-user session count with a 30-min
+    // inactivity gap. Window partitioned by user_id — scales out.
+    "events_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts"), asc("event_id"))
+      ev(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("new_sess")).as("n_sessions"))
+        .orderBy(asc("user_id"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "events_dashboard_totals" ->
+      s"""SELECT count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  count(DISTINCT event_type) AS n_types,
+         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         |FROM events WHERE ts >= TIMESTAMP '$cutoff'""".stripMargin,
+    "events_by_type" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
+    "events_by_category" ->
+      s"""SELECT $categorizeSql AS event_category, count(*) AS n
+         |FROM events GROUP BY 1 ORDER BY n DESC, event_category""".stripMargin,
+    "events_pct_by_type" ->
+      """SELECT event_type, n, 100.0 * n / sum(n) OVER () AS pct
+        |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+        |ORDER BY n DESC, event_type""".stripMargin,
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "events_top_users" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  count(DISTINCT event_type) AS n_types,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
+    "events_distinct_types" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "events_page" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    row_number() OVER (ORDER BY ts DESC, event_id) AS rn
+        |  FROM events) WHERE rn BETWEEN 101 AND 200 ORDER BY rn""".stripMargin,
+    "events_recent" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY ts DESC, event_id LIMIT 20""".stripMargin,
+    "events_filtered" ->
+      s"""SELECT event_id, user_id, value FROM events
+         |WHERE event_type = 'purchase' AND value > 100.0
+         |  AND ts >= TIMESTAMP '$cutoff'
+         |ORDER BY event_id""".stripMargin,
+    "events_json_extract" ->
+      """SELECT k % 10 AS k_mod, count(*) AS n, min(k) AS min_k,
+        |  max(k) AS max_k
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |      FROM events) WHERE k IS NOT NULL
+        |GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "events_quality" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CASE WHEN event_id IS NOT NULL AND user_id IS NOT NULL
+        |           AND ts IS NOT NULL THEN 1 ELSE 0 END) AS n_valid,
+        |  sum(CASE WHEN props IS NOT NULL AND length(props) > 2
+        |      THEN 1 ELSE 0 END) AS n_with_props
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_value_stats" ->
+      """SELECT event_type, count(*) AS n, min(value) AS min_v,
+        |  max(value) AS max_v,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        |    AS avg_v,
+        |  sqrt((CAST(sum(CAST(value AS DECIMAL(12,2))
+        |             * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |        - CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |          * CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |          / count(*)) / (count(*) - 1)) AS stddev_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_sessions" ->
+      """SELECT user_id, count(*) AS n_events, sum(new_sess) AS n_sessions
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_us IS NULL
+        |         OR epoch_us(ts) - prev_us > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS prev_us
+        |    FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

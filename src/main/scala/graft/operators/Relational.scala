@@ -1,0 +1,500 @@
+package graft.operators
+
+import graft.{Ql, Tables}
+import graft.Ql.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational completeness on the star schema (SURVEY.md §2.5 / §7 M2).
+  *
+  * The reference is a single-table engine — zero joins, zero set ops, zero
+  * window functions (`SURVEY.md §2.5`). This module adds the relational
+  * surface a credible analytics engine needs, exercised on the TPC-H-ish
+  * fixtures: broadcast + sort-merge equi-joins across the full star path,
+  * semi/anti joins, ranking/analytic/frame windows, rollup/cube,
+  * union/intersect/except, top-k per group, pagination, and a scalar
+  * function battery.
+  *
+  * Scale design (100 TB):
+  *  - Dimension tables (region/nation/supplier/part/customer) are
+  *    broadcast — no shuffle of the fact table for dim joins; `broadcast()`
+  *    hints are explicit where autodetection could miss (post-join sizes).
+  *  - Fact-fact joins (lineitem⋈orders) are shuffle hash/sort-merge on the
+  *    join key; at cluster scale both sides would be bucketed by orderkey
+  *    to make this co-located — semantics identical.
+  *  - Aggregations are partial (map-side combine) before the single
+  *    key-shuffle; top-k uses TakeOrderedAndProject (per-partition heaps).
+  *  - Windows are partitioned by high-cardinality keys (custkey/suppkey),
+  *    never a single global partition except the pagination demo.
+  */
+object Relational {
+  import Ql.{dec, dsum}
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact revenue term: extendedprice * (1 - discount) in DECIMAL. */
+  private def revTerm: Column =
+    dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+
+  private val revSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+
+  val queries: Map[String, Q] = Map(
+    // Flagship: full star join path lineitem⋈orders⋈customer⋈nation⋈region
+    // with broadcast dims, revenue per region/nation.
+    "star_revenue_by_nation" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(revTerm).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(asc("r_name"), asc("n_name"))
+    }),
+
+    // TPC-H Q1 shape: pricing summary report (exact decimal aggregates).
+    "q1_pricing_summary" -> ((s, dir) => {
+      val n = count(lit(1))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(revTerm).cast("double").as("sum_disc_price"),
+          sum(revTerm * (lit(1) + dec(col("l_tax")))).cast("double")
+            .as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast("double") / n).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"))).cast("double") / n).as("avg_price"),
+          (sum(dec(col("l_discount"))).cast("double") / n).as("avg_disc"),
+          n.as("count_order"))
+        .orderBy(asc("l_returnflag"), asc("l_linestatus"))
+    }),
+
+    // TPC-H Q3 shape: unshipped-orders revenue top-10.
+    "q3_shipping_priority" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(revTerm).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: local-supplier revenue per nation (6-table join,
+    // supplier co-located with customer nation).
+    "q5_local_supplier_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(sum(revTerm).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }),
+
+    // Broadcast dim join: revenue by part brand.
+    "brand_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(revTerm).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("p_brand"))
+    }),
+
+    // Semi join: customers that placed ≥1 order in 1995, counted by segment.
+    "semi_customers_active" -> ((s, dir) => {
+      val o95 = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      t(s, dir, "customer")
+        .join(o95, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(asc("c_mktsegment"))
+    }),
+
+    // Anti join: customers with no orders at all.
+    "anti_customers_inactive" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(asc("c_custkey"))
+    }),
+
+    // Ranking window: top-3 orders per customer by price.
+    "window_top_orders_per_cust" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(asc("o_custkey"), asc("rn"))
+    }),
+
+    // Frame window: per-customer running revenue (exact decimal prefix sums).
+    "window_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double")
+            .as("running_total"))
+        .orderBy(asc("o_custkey"), asc("o_orderkey"))
+    }),
+
+    // Analytic window: days since the customer's previous order (lag).
+    "window_order_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .as("gap_days"))
+        .orderBy(asc("o_custkey"), asc("o_orderkey"))
+    }),
+
+    // Rollup with grouping id.
+    "rollup_returnflag_status" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          grouping_id().as("gid"))
+        .orderBy(asc("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    }),
+
+    // Cube with grouping id.
+    "cube_status_priority" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+          grouping_id().as("gid"))
+        .orderBy(asc("gid"), asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    }),
+
+    // Set op: customers active in both 1995 and 1996 (INTERSECT).
+    "setop_retained_customers" -> ((s, dir) => {
+      def active(y: Int) = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      active(1995).intersect(active(1996)).orderBy(asc("o_custkey"))
+    }),
+
+    // Set op: customers active in 1995 but not 1996 (EXCEPT).
+    "setop_churned_customers" -> ((s, dir) => {
+      def active(y: Int) = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      active(1995).except(active(1996)).orderBy(asc("o_custkey"))
+    }),
+
+    // Set op: UNION (distinct) across both years.
+    "setop_active_either_year" -> ((s, dir) => {
+      def active(y: Int) = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      active(1995).union(active(1996)).distinct().orderBy(asc("o_custkey"))
+    }),
+
+    // Top-k per group: top-2 parts by revenue per supplier (rank window
+    // over a pre-aggregated, partition-aligned input).
+    "topk_parts_per_supplier" -> ((s, dir) => {
+      val agg = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(revTerm).cast("double").as("revenue"))
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(desc("revenue"), asc("l_partkey"))
+      agg.select(col("l_suppkey"), col("l_partkey"), col("revenue"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 2)
+        .orderBy(asc("l_suppkey"), asc("rn"))
+    }),
+
+    // Pagination page 2 (rows 51–100) of the order feed, in-plan.
+    "orders_page" -> ((s, dir) => {
+      val w = Window.orderBy(desc("o_orderdate"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn").between(51, 100))
+        .orderBy(asc("rn"))
+    }),
+
+    // Orders above the customer's exact average order value (window form
+    // of a correlated subquery — single partition-aligned window).
+    "orders_above_cust_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+      t(s, dir, "orders")
+        .withColumn("avg_tp",
+          sum(dec(col("o_totalprice"))).over(w).cast("double") /
+            count(lit(1)).over(w))
+        .filter(col("o_totalprice") > col("avg_tp"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy(asc("o_custkey"))
+    }),
+
+    // Scalar function battery: string/date/math on a pruned scan.
+    "scalar_battery" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderstatus")).as("status_u"),
+          lower(col("o_orderpriority")).as("prio_l"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+          length(col("o_orderpriority")).as("prio_len"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority"))
+            .as("status_prio"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+          floor(col("o_totalprice") / 1000).cast("long").as("price_k"),
+          (dec(col("o_totalprice")) * dec(lit(0.10))).cast("double")
+            .as("fee"))
+        .orderBy(asc("o_orderkey"))
+    }),
+
+    // Large-large sort-merge join (no broadcast): revenue by order status.
+    // At cluster scale this is the bucketed/co-partitioned join path.
+    "sortmerge_status_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").hint("merge")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(revTerm).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(asc("o_orderstatus"))
+    }),
+
+    // Small broadcast chain: customer count per region.
+    "customers_per_region" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          countDistinct(col("n_name")).as("n_nations"))
+        .orderBy(asc("r_name"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "star_revenue_by_nation" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(sum($revSql) AS DOUBLE) AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS sum_base_price,
+         |  CAST(sum($revSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum($revSql * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
+         |    AS sum_charge,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+         |    AS avg_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    / count(*) AS avg_price,
+         |  CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+         |    AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+         |  CAST(sum($revSql) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY l_orderkey, orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier_revenue" ->
+      s"""SELECT n_name, CAST(sum($revSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND s_nationkey = c_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "brand_revenue" ->
+      s"""SELECT p_brand, CAST(sum($revSql) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY revenue DESC, p_brand""".stripMargin,
+    "semi_customers_active" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "anti_customers_inactive" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "window_top_orders_per_cust" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "window_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day',
+        |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey),
+        |    o_orderdate) AS INTEGER) AS gap_days
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "rollup_returnflag_status" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin,
+    "cube_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
+    "setop_retained_customers" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin,
+    "setop_churned_customers" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin,
+    "setop_active_either_year" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |UNION
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin,
+    "topk_parts_per_supplier" ->
+      s"""SELECT * FROM (
+         |  SELECT l_suppkey, l_partkey, revenue,
+         |    row_number() OVER (PARTITION BY l_suppkey
+         |      ORDER BY revenue DESC, l_partkey) AS rn
+         |  FROM (SELECT l_suppkey, l_partkey,
+         |          CAST(sum($revSql) AS DOUBLE) AS revenue
+         |        FROM lineitem GROUP BY l_suppkey, l_partkey))
+         |WHERE rn <= 2 ORDER BY l_suppkey, rn""".stripMargin,
+    "orders_page" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn BETWEEN 51 AND 100 ORDER BY rn""".stripMargin,
+    "orders_above_cust_avg" ->
+      """SELECT o_custkey, count(*) AS n_above FROM (
+        |  SELECT o_custkey, o_totalprice,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+        |      OVER (PARTITION BY o_custkey) AS DOUBLE)
+        |      / count(*) OVER (PARTITION BY o_custkey) AS avg_tp
+        |  FROM orders)
+        |WHERE o_totalprice > avg_tp
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "scalar_battery" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderstatus) AS status_u,
+        |  lower(o_orderpriority) AS prio_l,
+        |  substring(o_orderpriority, 1, 1) AS prio_code,
+        |  length(o_orderpriority) AS prio_len,
+        |  o_orderstatus || '-' || o_orderpriority AS status_prio,
+        |  year(o_orderdate) AS y,
+        |  month(o_orderdate) AS m,
+        |  day(o_orderdate) AS d,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |       * CAST(0.10 AS DECIMAL(12,2)) AS DOUBLE) AS fee
+        |FROM orders WHERE o_orderkey < 200
+        |ORDER BY o_orderkey""".stripMargin,
+    "sortmerge_status_revenue" ->
+      s"""SELECT o_orderstatus, CAST(sum($revSql) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "customers_per_region" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |  count(DISTINCT n_name) AS n_nations
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+}

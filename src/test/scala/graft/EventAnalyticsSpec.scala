@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every event query runs and has a stable schema") {
+    EventAnalytics.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("categorize maps the reference's CASE chain, unknown -> other") {
+    val got = Seq("purchase", "signup", "click", "view", "error", "weird")
+      .toDF("event_type")
+      .select(col("event_type"),
+        EventAnalytics.categorize(col("event_type")).as("cat"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "purchase" -> "commerce", "signup" -> "account",
+      "click" -> "engagement", "view" -> "engagement",
+      "error" -> "system", "weird" -> "other"))
+  }
+
+  test("dashboard totals: distinct counts bounded by row count") {
+    val r = EventAnalytics.queries("events_dashboard_totals")(spark, sfDir)
+      .collect()(0)
+    val n = r.getAs[Long]("n_events")
+    assert(n > 0)
+    assert(r.getAs[Long]("n_users") <= n)
+    assert(r.getAs[Long]("n_types") <= 5)
+  }
+
+  test("pct_by_type sums to 100") {
+    val pcts = EventAnalytics.queries("events_pct_by_type")(spark, sfDir)
+      .select("pct").as[Double].collect()
+    assert(math.abs(pcts.sum - 100.0) < 1e-9)
+  }
+
+  test("per-type counts partition the total (property A2 vs A1)") {
+    val total = Tables.load(spark, sfDir, "events").count()
+    val byType = EventAnalytics.queries("events_by_type")(spark, sfDir)
+      .agg(sum("n")).as[Long].collect()(0)
+    assert(byType == total)
+  }
+
+  test("top_users is a prefix of the full ordered aggregation") {
+    val top = EventAnalytics.queries("events_top_users")(spark, sfDir)
+      .select("user_id").as[Long].collect()
+    assert(top.length == 10)
+    assert(top.distinct.length == 10)
+  }
+
+  test("page 2 rows 101-200 are disjoint from recent top-20") {
+    val page = EventAnalytics.queries("events_page")(spark, sfDir)
+      .select("event_id").as[Long].collect().toSet
+    val recent = EventAnalytics.queries("events_recent")(spark, sfDir)
+      .select("event_id").as[Long].collect().toSet
+    assert(page.intersect(recent).isEmpty)
+  }
+
+  test("sessions: n_sessions between 1 and n_events per user") {
+    val rows = EventAnalytics.queries("events_sessions")(spark, sfDir)
+      .select("n_events", "n_sessions").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (ne, ns) =>
+      assert(ns >= 1 && ns <= ne, s"bad session count ($ne, $ns)")
+    }
+  }
+
+  test("json extraction pulls k from props for all rows") {
+    val n = Tables.load(spark, sfDir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k").isNotNull).count()
+    assert(n == Tables.load(spark, sfDir, "events").count())
+  }
+}
