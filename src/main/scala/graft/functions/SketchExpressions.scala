@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native sketch expressions for the dedup/ANN family.
+  *
+  * Why native: the composable formulation (`transform(sequence(0,P), p ->
+  * array_min(transform(toks, t -> xxhash64(concat(p,'|',t)))))`) is
+  * evaluated INTERPRETED (higher-order functions never enter whole-stage
+  * codegen) and allocates a concat'd string per (perm × token) — at
+  * sf0.1 that single expression dominated the whole benchmark (841 of
+  * 947 s). These expressions do one fused pass per row: hash each token
+  * once, derive per-permutation values with a splitmix64 finalizer
+  * (O(1) per perm, zero allocation), and fold n-gram shingles as rolling
+  * hash chains instead of building shingle strings.
+  *
+  * All are deterministic pure functions of their input — safe for the
+  * driver's rows-only checks; they are intentionally NOT oracle-compared
+  * (hash functions are engine-specific).
+  */
+object Splitmix {
+  /** splitmix64 finalizer — full-avalanche 64-bit mixer. */
+  @inline final def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** MinHash signature over an ARRAY<STRING> of tokens.
+  * `ngram = 1` sketches the token SET (duplicate tokens cannot change a
+  * minimum, so set semantics are automatic); `ngram = k` sketches the
+  * set of k-token shingles via rolling hash chains (order-sensitive, no
+  * string building). Returns ARRAY<BIGINT> of length `perms`. */
+case class TokenMinHash(child: Expression, perms: Int, ngram: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(perms > 0 && perms <= 512, "perms must be in (0, 512]")
+  require(ngram >= 1 && ngram <= 8, "ngram must be in [1, 8]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash requires ARRAY<STRING>, got ${t.simpleString}")
+  }
+
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // 1. hash every token once
+    val base = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      base(i) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      i += 1
+    }
+    // 2. shingle hashes: rolling chain over ngram consecutive tokens
+    val m = if (ngram == 1) n else math.max(n - ngram + 1, 0)
+    val unit = if (ngram == 1) base
+    else {
+      val sh = new Array[Long](m)
+      var j = 0
+      while (j < m) {
+        var h = base(j)
+        var k = 1
+        while (k < ngram) { h = Splitmix.mix(h ^ base(j + k)); k += 1 }
+        sh(j) = h
+        j += 1
+      }
+      sh
+    }
+    // empty doc => sentinel signature of the empty hash
+    val effective = if (unit.length == 0) Array(0x27d4eb2f165667c5L) else unit
+    // 3. per-perm minima via splitmix of (unitHash ^ permSeed)
+    val sig = new Array[Long](perms)
+    var p = 0
+    while (p < perms) {
+      val seed = Splitmix.mix(p.toLong * 0x9e3779b97f4a7c15L)
+      var best = Long.MaxValue
+      var u = 0
+      while (u < effective.length) {
+        val v = Splitmix.mix(effective(u) ^ seed)
+        if (v < best) best = v
+        u += 1
+      }
+      sig(p) = best
+      p += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : TokenMinHash = copy(child = newChild)
+}
+
+/** 64-bit SimHash over an ARRAY<STRING> of tokens: one pass, 64 bit
+  * counters updated per token hash, sign fold at the end. */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash requires ARRAY<STRING>, got ${t.simpleString}")
+  }
+
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counters(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : SimHash64 = copy(child = newChild)
+}
+
+/** Random-hyperplane LSH bucket ids over ARRAY<DOUBLE>: `tables` hash
+  * tables of `bits` sign bits each; plane component (p, d) is a
+  * deterministic centered pseudo-random double from splitmix64 — no
+  * stored model, no strings. Returns ARRAY<BIGINT> of length `tables`. */
+case class HyperplaneLsh(child: Expression, tables: Int, bits: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(tables > 0 && tables <= 64 && bits > 0 && bits <= 32)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_hplsh requires ARRAY<DOUBLE>, got ${t.simpleString}")
+  }
+
+  override def prettyName: String = "graft_hplsh"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dims = v.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val plane = t * bits + b
+        var dot = 0.0
+        var d = 0
+        while (d < dims) {
+          // centered uniform in [-0.5, 0.5): high 53 bits as double
+          val r = (Splitmix.mix(plane.toLong * 0x100000001bL + d) >>> 11)
+            .toDouble / (1L << 53).toDouble - 0.5
+          dot += v.getDouble(d) * r
+          d += 1
+        }
+        if (dot > 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : HyperplaneLsh = copy(child = newChild)
+}
+
+object SketchFunctions {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an int literal")
+  }
+
+  /** Register graft_minhash / graft_simhash / graft_hplsh on a session.
+    * Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_minhash",
+      exprs => TokenMinHash(exprs(0),
+        intLit(exprs(1), "perms"), intLit(exprs(2), "ngram")), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_hplsh",
+      exprs => HyperplaneLsh(exprs(0),
+        intLit(exprs(1), "tables"), intLit(exprs(2), "bits")), "built-in")
+  }
+}

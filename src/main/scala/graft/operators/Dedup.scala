@@ -1,0 +1,254 @@
+package graft.operators
+
+import graft.{Ql, Tables}
+import graft.Ql.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines (builder brief + M4):
+  * exact (hash groupBy), n-gram/token-set Jaccard with blocking,
+  * MinHash+LSH banding, SimHash with hamming banding, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is one hash-shuffle on md5(text) — the canonical
+  *    first pass; at cluster scale the hash column would be persisted.
+  *  - The exact-Jaccard pass is quadratic and only run inside small
+  *    blocking groups (lang, source); it is the verification oracle for
+  *    the sub-quadratic sketches, not the scale path.
+  *  - MinHash+LSH is the scale path: per-doc signature (narrow, codegen'd
+  *    higher-order expressions, no UDF), explode to (band, bucket) keys,
+  *    one shuffle on bucket, self-join only within buckets — candidate
+  *    pairs ∝ true near-dups, not n².
+  *  - SimHash is the cheap fuzzy pass: one 64-bit fingerprint per doc,
+  *    4×16-bit chunk banding guarantees recall for hamming ≤ 3
+  *    (pigeonhole), verify with bit_count(xor).
+  *  - Hash-based sketches (xxhash64) are engine-specific => no DuckDB
+  *    oracle for the LSH/SimHash variants (rows-only checks); their
+  *    pair-quality is asserted against the exact-Jaccard pass in specs.
+  */
+object Dedup {
+
+  /** The documents fixture is one parquet file => one input partition;
+    * per-row sketch computation (minhash/simhash signatures) is CPU-bound
+    * interpreted expression work, so spread it across all cores first.
+    * At cluster scale the input would already arrive in many splits —
+    * this repartition is the local stand-in, and the tiny doc rows make
+    * the shuffle negligible next to the compute it parallelizes. */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  private val toks = "split(text, ' ')"
+
+  /** Distinct token set per doc (the unit for Jaccard). */
+  private val tokSet = s"array_distinct($toks)"
+
+  /** Word 3-gram shingles from a MATERIALIZED `toks` column. (Never
+    * inline the split() into the per-shingle lambda: expression
+    * interpretation re-evaluates the split on every element access,
+    * turning an O(n) pass into O(n^2) regex splits per document.) */
+  private val shinglesFromToks =
+    """CASE WHEN size(toks) < 3 THEN array(concat_ws(' ', toks))
+      |ELSE transform(sequence(0, size(toks)-3),
+      |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END"""
+      .stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: md5 grouping. One row of corpus-level stats.
+    "dedup_exact_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .selectExpr("md5(text) AS h", "doc_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"))
+    }),
+
+    // Token-set Jaccard near-dup pairs, blocked by (lang, source):
+    // the exact quadratic pass, bounded to blocks. Deterministic
+    // int-ratio score -> oracle-comparable.
+    "dedup_token_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .selectExpr("doc_id", "lang", "source", s"$tokSet AS toks")
+      val a = d.select(col("doc_id").as("a_id"), col("lang"),
+        col("source"), col("toks").as("a_toks"))
+      val b = d.select(col("doc_id").as("b_id"), col("lang"),
+        col("source"), col("toks").as("b_toks"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("a_id") < col("b_id"))
+        .selectExpr("a_id", "b_id",
+          "CAST(size(array_intersect(a_toks, b_toks)) AS DOUBLE)" +
+            " / size(array_union(a_toks, b_toks)) AS jaccard")
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
+    }),
+
+    // MinHash + LSH banding (the 100 TB path): 32-perm signature over the
+    // token SET (the same measure the exact pass verifies — sketching a
+    // different unit, e.g. shingles, silently destroys recall), 8 bands
+    // x 4 rows, bucket self-join, exact-Jaccard verify on candidates only.
+    // Signature comes from the native graft_minhash expression (one fused
+    // pass; the higher-order formulation was interpreted and 20x slower).
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      graft.functions.SketchFunctions.register(s)
+      val sig = docs(s, dir)
+        .selectExpr("doc_id", s"$tokSet AS toks")
+        .selectExpr("doc_id", "toks",
+          "graft_minhash(toks, 32, 1) AS sig")
+        .selectExpr("doc_id", "toks",
+          // 8 bands of 4 signature rows; bucket = hash of the slice
+          // (xxhash64 hashes the array natively — no string building)
+          "transform(sequence(0, 7), b -> " +
+            "xxhash64(b, slice(sig, b*4+1, 4))) AS bands")
+      // banded rows carry (doc_id, band, bucket) plus the full 8-long
+      // bands array; a pair is emitted ONLY from its first shared band
+      // (no earlier band matches), so each candidate appears exactly
+      // once — no distinct, no 8x-duplicated pair shuffle. Token arrays
+      // never travel through the pair join.
+      val banded = sig
+        .select(col("doc_id"), col("bands"), posexplode(col("bands")))
+        .withColumnRenamed("pos", "band_id")
+        .withColumnRenamed("col", "bucket")
+      val candIds = banded.as("x")
+        .join(banded.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .filter(expr("size(filter(sequence(0, x.band_id), " +
+          "i -> i < x.band_id AND x.bands[i] = y.bands[i])) = 0"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      val docToks = sig.select(col("doc_id"), col("toks"))
+      candIds
+        .join(docToks.select(col("doc_id").as("a_id"),
+          col("toks").as("a_toks")), Seq("a_id"))
+        .join(docToks.select(col("doc_id").as("b_id"),
+          col("toks").as("b_toks")), Seq("b_id"))
+        .selectExpr("a_id", "b_id",
+          "CAST(size(array_intersect(a_toks, b_toks)) AS DOUBLE)" +
+            " / size(array_union(a_toks, b_toks)) AS jaccard")
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
+    }),
+
+    // Order-sensitive variant: MinHash over word-3-gram shingles,
+    // verified against SHINGLE Jaccard (the measure the sketch
+    // approximates). Catches near-dups that share phrasing, not just
+    // vocabulary.
+    "dedup_shingle_minhash" -> ((s, dir) => {
+      graft.functions.SketchFunctions.register(s)
+      val sig = docs(s, dir)
+        .selectExpr("doc_id", s"$toks AS toks")
+        // ngram=3: the native expression folds 3-token shingles as
+        // rolling hash chains — no shingle strings are ever built for
+        // the signature; strings appear only for exact verification of
+        // the (few) candidates below.
+        .selectExpr("doc_id", "toks",
+          "graft_minhash(toks, 32, 3) AS sig")
+        .selectExpr("doc_id", "toks",
+          "transform(sequence(0, 7), b -> " +
+            "xxhash64(b, slice(sig, b*4+1, 4))) AS bands")
+      val banded = sig
+        .select(col("doc_id"), col("bands"), posexplode(col("bands")))
+        .withColumnRenamed("pos", "band_id")
+        .withColumnRenamed("col", "bucket")
+      val candIds = banded.as("x")
+        .join(banded.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .filter(expr("size(filter(sequence(0, x.band_id), " +
+          "i -> i < x.band_id AND x.bands[i] = y.bands[i])) = 0"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      // shingle strings materialized once per doc, only for verification
+      val docSh = sig.select(col("doc_id"), col("toks"))
+        .selectExpr("doc_id", s"$shinglesFromToks AS sh")
+        .selectExpr("doc_id", "array_distinct(sh) AS sh")
+      candIds
+        .join(docSh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+          Seq("a_id"))
+        .join(docSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+          Seq("b_id"))
+        .selectExpr("a_id", "b_id",
+          "CAST(size(array_intersect(a_sh, b_sh)) AS DOUBLE)" +
+            " / size(array_union(a_sh, b_sh)) AS jaccard")
+        .filter(col("jaccard") >= 0.7)
+        .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
+    }),
+
+    // SimHash near-dup: 64-bit fingerprint per doc (native one-pass
+    // graft_simhash); 4x16-bit chunk banding (recall-complete for
+    // hamming<=3), verify with bit_count(xor).
+    "dedup_simhash" -> ((s, dir) => {
+      graft.functions.SketchFunctions.register(s)
+      val fp = docs(s, dir)
+        .selectExpr("doc_id", s"graft_simhash($tokSet) AS simhash")
+      val chunked = fp
+        .select(col("doc_id"), col("simhash"),
+          posexplode(expr(
+            "transform(sequence(0, 3), c -> (simhash >> (c*16)) & 65535)")))
+        .withColumnRenamed("pos", "chunk_id")
+        .withColumnRenamed("col", "chunk")
+      chunked.as("x")
+        .join(chunked.as("y"),
+          col("x.chunk_id") === col("y.chunk_id") &&
+            col("x.chunk") === col("y.chunk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(asc("hamming"), asc("a_id"), asc("b_id"))
+    }),
+
+    // Embedding-cosine near-dup pairs (label-blocked exact pass).
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .selectExpr("vec_id", "label",
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+        .selectExpr("vec_id", "label", "v",
+          "sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x*x))" +
+            " AS nrm")
+      val a = e.select(col("vec_id").as("a_id"), col("label"),
+        col("v").as("a_v"), col("nrm").as("a_n"))
+      val b = e.select(col("vec_id").as("b_id"), col("label"),
+        col("v").as("b_v"), col("nrm").as("b_n"))
+      a.join(b, Seq("label"))
+        .filter(col("a_id") < col("b_id"))
+        .selectExpr("a_id", "b_id",
+          "aggregate(zip_with(a_v, b_v, (x, y) -> x*y), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (a_n * b_n) AS cos")
+        .filter(col("cos") >= 0.99)
+        .orderBy(desc("cos"), asc("a_id"), asc("b_id"))
+    }))
+
+  private val toksSql = "string_split(text, ' ')"
+  private val tokSetSql = s"list_distinct($toksSql)"
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact_stats" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT h) AS n_distinct,
+        |  count(*) - count(DISTINCT h) AS n_dup_docs
+        |FROM (SELECT md5(text) AS h, doc_id FROM documents)""".stripMargin,
+    "dedup_token_jaccard" ->
+      s"""SELECT a_id, b_id, jaccard FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+         |  FROM (SELECT doc_id, lang, source, $tokSetSql AS toks
+         |        FROM documents) a
+         |  JOIN (SELECT doc_id, lang, source, $tokSetSql AS toks
+         |        FROM documents) b
+         |    ON a.lang = b.lang AND a.source = b.source
+         |       AND a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.8
+         |ORDER BY jaccard DESC, a_id, b_id""".stripMargin)
+  // dedup_minhash_lsh / dedup_simhash / dedup_embedding_cosine are
+  // engine-hash / float dependent => rows-only driver check; their
+  // agreement with the exact pass is asserted in DedupSpec.
+}

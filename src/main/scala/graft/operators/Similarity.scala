@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.Tables
+import graft.Ql.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (builder brief + M4):
+  * brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane-LSH bucketed variant as the scale path.
+  *
+  * Scale design (100 TB / billions of vectors):
+  *  - Brute force: queries are broadcast (small side), candidates
+  *    streamed — one pass over the corpus, per-partition top-k heaps via
+  *    window-on-rounded-score; no shuffle of the corpus. Exact but O(n·q).
+  *  - LSH: each vector gets a b-bit signature from deterministic
+  *    pseudo-random hyperplanes (hash-derived components, no stored
+  *    model); corpus is shuffled ONCE on bucket id; probing cost is
+  *    |bucket| not n. Recall is tunable via bands; the spec measures it
+  *    against the brute-force baseline.
+  *  - All vector math is higher-order array expressions (zip_with /
+  *    aggregate) in double precision — no UDF serialization overhead.
+  */
+object Similarity {
+
+  /** Single-file fixture => single input partition; signature/norm
+    * computation is per-row CPU work, so fan out across cores first
+    * (at cluster scale the source arrives pre-split). */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  /** Normalized double vector + L2 norm, once per row. */
+  private def prepared(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("vec_id", "label", "v",
+        "sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x*x)) AS nrm")
+
+  private val dotExpr =
+    "aggregate(zip_with(q_v, c_v, (x, y) -> x*y), CAST(0 AS DOUBLE), " +
+      "(acc, x) -> acc + x)"
+
+  // Multi-table hyperplane signatures come from the native graft_hplsh
+  // expression (graft.functions.HyperplaneLsh): T tables of b sign bits,
+  // plane components derived from splitmix64 — deterministic, model-free.
+  // Banding (T tables of b bits) is what makes hyperplane LSH usable:
+  // recall = 1-(1-p^b)^T per neighbor vs p^b for one wide table.
+
+  val queries: Map[String, Q] = Map(
+    // Exact brute-force cosine top-3 neighbors for 10 query vectors.
+    "knn_bruteforce" -> ((s, dir) => {
+      val all = prepared(s, dir)
+      val q = broadcast(all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+          col("nrm").as("q_n")))
+      val c = all.select(col("vec_id").as("c_id"), col("v").as("c_v"),
+        col("nrm").as("c_n"))
+      val scored = q.join(c, col("q_id") =!= col("c_id"))
+        .selectExpr("q_id", "c_id", s"$dotExpr / (q_n * c_n) AS cos")
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_r"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cos_r"), asc("c_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(asc("q_id"), asc("rk"))
+    }),
+
+    // LSH-bucketed ANN: 8 tables x 6-bit hyperplane signatures;
+    // candidates = union over tables of same-bucket vectors, then exact
+    // cosine re-rank on the (much smaller) candidate set. The corpus is
+    // shuffled once on (table, bucket); probe cost ∝ bucket size.
+    "knn_lsh" -> ((s, dir) => {
+      graft.functions.SketchFunctions.register(s)
+      val all = prepared(s, dir)
+      val banded = all
+        .withColumn("buckets", expr("graft_hplsh(v, 8, 6)"))
+        .select(col("vec_id"), posexplode(col("buckets")))
+        .withColumnRenamed("pos", "table_id")
+        .withColumnRenamed("col", "bucket")
+      val qb = broadcast(banded.filter(col("vec_id") < 10)
+        .withColumnRenamed("vec_id", "q_id"))
+      val cand = qb.join(banded.withColumnRenamed("vec_id", "c_id"),
+          Seq("table_id", "bucket"))
+        .filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"))
+        .distinct()
+      val q = broadcast(all.select(col("vec_id").as("q_id"),
+        col("v").as("q_v"), col("nrm").as("q_n")))
+      val c = all.select(col("vec_id").as("c_id"), col("v").as("c_v"),
+        col("nrm").as("c_n"))
+      val scored = cand.join(q, Seq("q_id")).join(c, Seq("c_id"))
+        .selectExpr("q_id", "c_id", s"$dotExpr / (q_n * c_n) AS cos")
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_r"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cos_r"), asc("c_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(asc("q_id"), asc("rk"))
+    }),
+
+    // Same query through the native codegen'd Catalyst expression
+    // (graft.functions.CosineSim) instead of zip_with/aggregate — the
+    // hot-path variant; Bench compares the two.
+    "knn_bruteforce_native" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val all = prepared(s, dir)
+      val q = broadcast(all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v")))
+      val c = all.select(col("vec_id").as("c_id"), col("v").as("c_v"))
+      val scored = q.join(c, col("q_id") =!= col("c_id"))
+        .selectExpr("q_id", "c_id", "graft_cosine(q_v, c_v) AS cos")
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_r"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cos_r"), asc("c_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(asc("q_id"), asc("rk"))
+    }),
+
+    // Centroid stats per label — the IVF building block (coarse
+    // quantizer): mean vector per label + intra-label dispersion.
+    "embedding_label_stats" -> ((s, dir) => {
+      prepared(s, dir)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          avg(col("nrm")).as("avg_norm"),
+          min(col("nrm")).as("min_norm"),
+          max(col("nrm")).as("max_norm"))
+        .select(col("label"), col("n_vecs"),
+          round(col("avg_norm"), 6).as("avg_norm_r"),
+          round(col("min_norm"), 6).as("min_norm_r"),
+          round(col("max_norm"), 6).as("max_norm_r"))
+        .orderBy(asc("label"))
+    }))
+
+  // Float-accumulation-order dependent => rows-only driver checks;
+  // correctness is asserted in SimilaritySpec (LSH recall vs brute force,
+  // cosine self-similarity, symmetry).
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{Ql, Tables}
+import graft.Ql.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines (SURVEY.md §7 M4
+  * + builder brief): token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting, term counts.
+  *
+  * All operators are pure narrow transformations (no shuffle except the
+  * final aggregation) built from codegen'd `functions._` / higher-order
+  * array functions — no UDFs, so whole-stage codegen spans the scan →
+  * project → partial-agg pipeline. At 100 TB this family is scan-bound and
+  * embarrassingly parallel; aggregations (per-lang stats, term counts) do
+  * one key-shuffle with map-side combine.
+  */
+object TextAnalysis {
+
+  /** Single-file fixture => one input partition; token/array expression
+    * work is per-row CPU-bound, so fan out across cores first. */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  /** Whitespace tokens — single-space split keeps Spark and DuckDB
+    * semantics aligned (the fixture text is single-space separated). */
+  private val toks = "split(text, ' ')"
+
+  val queries: Map[String, Q] = Map(
+    // Token counting: per-language corpus statistics. The `bpe_ish`
+    // count approximates subword counts with a deterministic regex
+    // (runs of ≤4 chars), a cheap stand-in for a real BPE vocab.
+    "text_token_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .selectExpr("lang", "source", s"size($toks) AS n_toks",
+          "n_chars",
+          s"size(flatten(transform($toks, " +
+            "t -> transform(sequence(0, CAST(floor((length(t)-1)/4) AS INT)), " +
+            "i -> substring(t, CAST(i*4+1 AS INT), 4))))) AS bpe_ish")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_toks"),
+          (sum(col("n_toks")).cast("double") / count(lit(1))).as("avg_toks"),
+          sum(col("bpe_ish")).as("total_bpe_ish"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(asc("lang"))
+    }),
+
+    // Quality scoring: length / stopword / unique-token ratios combined
+    // into one score. All arithmetic is int-ratio -> double (identical
+    // bits both engines).
+    "text_quality_scores" -> ((s, dir) => {
+      docs(s, dir)
+        .filter(col("doc_id") < 100)
+        .selectExpr("doc_id", "n_chars", s"size($toks) AS n_toks",
+          s"size(filter($toks, t -> t IN ('the','a'))) AS n_stop",
+          s"size(array_distinct($toks)) AS n_uniq")
+        .selectExpr("doc_id", "n_toks",
+          "CAST(n_stop AS DOUBLE) / n_toks AS stop_ratio",
+          "CAST(n_uniq AS DOUBLE) / n_toks AS uniq_ratio",
+          "CAST(n_chars AS DOUBLE) / n_toks AS avg_tok_len")
+        .selectExpr("doc_id", "n_toks", "stop_ratio", "uniq_ratio",
+          "avg_tok_len",
+          // crude composite: long-enough, not stopword-soup, diverse
+          "(CASE WHEN n_toks >= 20 THEN 1.0 ELSE CAST(n_toks AS DOUBLE)/20 END)" +
+            " * (1.0 - stop_ratio) * uniq_ratio AS quality")
+        .orderBy(asc("doc_id"))
+    }),
+
+    // Language-ID heuristic (n-gram/stopword flavor): score = share of
+    // tokens that are English function words; classify en when above the
+    // corpus-typical threshold. Confusion counts against the labeled lang.
+    "text_lang_id" -> ((s, dir) => {
+      docs(s, dir)
+        .selectExpr("lang",
+          s"CAST(size(filter($toks, t -> t IN ('the','a'))) AS DOUBLE)" +
+            s" / size($toks) AS en_score")
+        .selectExpr("lang",
+          "CASE WHEN en_score > 0.06 THEN 'en' ELSE 'other' END AS guess")
+        .groupBy(col("lang"), col("guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc("lang"), asc("guess"))
+    }),
+
+    // Document fingerprinting: position-weighted rolling token hash
+    // (ascii of token head + length, weighted by position, mod 1e9+7) —
+    // engine-portable (no engine hash functions) and order-sensitive.
+    "doc_fingerprints" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(expr(toks)))
+        .groupBy(col("doc_id"))
+        .agg((sum((col("pos") + 1) *
+          (ascii(col("col")) + length(col("col")))) % 1000000007L)
+          .as("fingerprint"))
+        .orderBy(asc("doc_id"))
+    }),
+
+    // Tokenize/explode -> global term counts, top 20.
+    "term_counts" -> ((s, dir) => {
+      docs(s, dir)
+        .selectExpr(s"explode($toks) AS term")
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("term"))
+        .limit(20)
+    }))
+
+  private val toksSql = "string_split(text, ' ')"
+
+  val oracleSql: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""SELECT lang, count(*) AS n_docs, sum(n_toks) AS total_toks,
+         |  CAST(sum(n_toks) AS DOUBLE) / count(*) AS avg_toks,
+         |  sum(bpe_ish) AS total_bpe_ish,
+         |  sum(n_chars) AS total_chars,
+         |  count(DISTINCT source) AS n_sources
+         |FROM (
+         |  SELECT lang, source, n_chars, len($toksSql) AS n_toks,
+         |    len(flatten(list_transform($toksSql,
+         |      t -> list_transform(range(0, CAST(floor((length(t)-1)/4) AS INT)+1),
+         |        i -> substring(t, CAST(i*4+1 AS INT), 4))))) AS bpe_ish
+         |  FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality_scores" ->
+      s"""SELECT doc_id, n_toks, stop_ratio, uniq_ratio, avg_tok_len,
+         |  (CASE WHEN n_toks >= 20 THEN 1.0
+         |        ELSE CAST(n_toks AS DOUBLE)/20 END)
+         |    * (1.0 - stop_ratio) * uniq_ratio AS quality
+         |FROM (
+         |  SELECT doc_id, n_toks,
+         |    CAST(n_stop AS DOUBLE) / n_toks AS stop_ratio,
+         |    CAST(n_uniq AS DOUBLE) / n_toks AS uniq_ratio,
+         |    CAST(n_chars AS DOUBLE) / n_toks AS avg_tok_len
+         |  FROM (
+         |    SELECT doc_id, n_chars, len($toksSql) AS n_toks,
+         |      len(list_filter($toksSql, t -> t IN ('the','a'))) AS n_stop,
+         |      len(list_distinct($toksSql)) AS n_uniq
+         |    FROM documents WHERE doc_id < 100))
+         |ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""SELECT lang, guess, count(*) AS n FROM (
+         |  SELECT lang,
+         |    CASE WHEN CAST(len(list_filter($toksSql,
+         |           t -> t IN ('the','a'))) AS DOUBLE) / len($toksSql) > 0.06
+         |         THEN 'en' ELSE 'other' END AS guess
+         |  FROM documents)
+         |GROUP BY lang, guess ORDER BY lang, guess""".stripMargin,
+    "doc_fingerprints" ->
+      s"""SELECT doc_id,
+         |  sum(pos * (ascii(tok) + length(tok))) % 1000000007 AS fingerprint
+         |FROM (
+         |  SELECT doc_id, unnest($toksSql) AS tok,
+         |    generate_subscripts($toksSql, 1) AS pos
+         |  FROM documents)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "term_counts" ->
+      s"""SELECT term, count(*) AS n
+         |FROM (SELECT unnest($toksSql) AS term FROM documents)
+         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin)
+}

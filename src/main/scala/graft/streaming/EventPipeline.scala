@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Streaming ingest pipeline (SURVEY.md §2.6 / §7 M3): the reference's
+  * Kafka → parse → flatten → categorize → quality → append-sink flow
+  * (`services/streaming-service/event_processor.py:19-168`,
+  * `api.py:284-347`) as pure DataFrame→DataFrame passes that work
+  * identically on a batch frame, a MemoryStream, a file stream, or a
+  * Kafka stream — the composition is the engine surface, the source is a
+  * parameter.
+  *
+  * Extensions over the reference (explicitly absent there, SURVEY §2.6):
+  * event-time watermarking, tumbling-window counts, and
+  * at-least-once → effectively-once dedup via
+  * `dropDuplicatesWithinWatermark` (the reference re-ingests overlapping
+  * GitHub poll pages and never dedups, `producer/github/client.py:33-88`).
+  *
+  * Scale notes: the pipeline is stateless narrow ops (parse/flatten/
+  * filter) — scales with source partitions, no shuffle until the windowed
+  * aggregation, which is keyed by (window, event_type) with watermark-led
+  * state eviction. The sink partitions by processing date/hour
+  * (`api.py:228-238`) so downstream scans prune by partition.
+  */
+object EventPipeline {
+
+  /** Nested input event schema — mirror of the reference's StructType
+    * (`services/streaming-service/schema.py:38-48`). */
+  val inputSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("actor", StructType(Seq(
+      StructField("id", IntegerType, nullable = true),
+      StructField("login", StringType, nullable = true),
+      StructField("display_login", StringType, nullable = true),
+      StructField("gravatar_id", StringType, nullable = true),
+      StructField("url", StringType, nullable = true),
+      StructField("avatar_url", StringType, nullable = true))),
+      nullable = true),
+    StructField("repo", StructType(Seq(
+      StructField("id", IntegerType, nullable = true),
+      StructField("name", StringType, nullable = true),
+      StructField("url", StringType, nullable = true))), nullable = true),
+    StructField("org", StructType(Seq(
+      StructField("id", IntegerType, nullable = true),
+      StructField("login", StringType, nullable = true),
+      StructField("gravatar_id", StringType, nullable = true),
+      StructField("url", StringType, nullable = true),
+      StructField("avatar_url", StringType, nullable = true))),
+      nullable = true),
+    StructField("payload", MapType(StringType, StringType), nullable = true),
+    StructField("public", BooleanType, nullable = true),
+    StructField("created_at", StringType, nullable = true),
+    StructField("processed_at", StringType, nullable = true)))
+
+  /** Event-type → category mapping — reference's EVENT_TYPE_CATEGORIES
+    * (`services/streaming-service/schema.py:100-116`) as a when-chain
+    * (P6), default "other". */
+  def categorizeGithub(c: Column): Column =
+    when(c.isin("PushEvent", "CommitCommentEvent"), "code")
+      .when(c.isin("PullRequestEvent", "PullRequestReviewEvent",
+        "PullRequestReviewCommentEvent"), "pull_request")
+      .when(c.isin("IssuesEvent", "IssueCommentEvent"), "issue")
+      .when(c.isin("CreateEvent", "DeleteEvent"), "branch_tag")
+      .when(c.isin("ForkEvent", "WatchEvent", "StarEvent"), "social")
+      .when(c.isin("ReleaseEvent", "PublicEvent"), "release")
+      .when(c.isin("MemberEvent", "TeamAddEvent"), "membership")
+      .when(c === "GollumEvent", "wiki")
+      .otherwise("other")
+
+  /** P1: parse raw JSON (Kafka value / stream line) against the declared
+    * schema; unparseable rows are dropped (`event_processor.py:33-36`). */
+  def parse(raw: DataFrame): DataFrame =
+    raw.select(col("value").cast("string").as("raw_json"))
+      .withColumn("event", from_json(col("raw_json"), inputSchema))
+      .filter(col("event").isNotNull && col("event.id").isNotNull)
+
+  /** P2–P9: flatten to the 26-column storage row
+    * (`schema.py:57-95`, `event_processor.py:48-166`), including payload
+    * JSONPath extracts from the raw JSON (P4), quality flags (P8), and
+    * processing-time partition columns (P5). */
+  def flatten(parsed: DataFrame): DataFrame =
+    parsed.select(
+      col("event.id").as("event_id"),
+      col("event.type").as("event_type"),
+      categorizeGithub(col("event.type")).as("event_category"),
+      to_timestamp(col("event.created_at")).as("created_at"),
+      to_timestamp(col("event.processed_at")).as("processed_at"),
+      col("event.actor.id").as("actor_id"),
+      col("event.actor.login").as("actor_login"),
+      col("event.actor.avatar_url").as("actor_avatar_url"),
+      col("event.repo.id").as("repo_id"),
+      col("event.repo.name").as("repo_name"),
+      col("event.repo.url").as("repo_url"),
+      col("event.org.id").as("org_id"),
+      col("event.org.login").as("org_login"),
+      col("event.public").as("is_public"),
+      col("event.actor.id").isNotNull.as("has_actor"),
+      col("event.repo.id").isNotNull.as("has_repo"),
+      col("event.org.id").isNotNull.as("has_org"),
+      get_json_object(col("raw_json"), "$.payload.action").as("action"),
+      get_json_object(col("raw_json"), "$.payload.ref").as("ref"),
+      get_json_object(col("raw_json"), "$.payload.ref_type").as("ref_type"),
+      get_json_object(col("raw_json"), "$.payload.master_branch")
+        .as("master_branch"),
+      get_json_object(col("raw_json"), "$.payload.description")
+        .as("description"),
+      get_json_object(col("raw_json"), "$.payload.pusher_type")
+        .as("pusher_type"),
+      get_json_object(col("raw_json"), "$.payload").as("payload_json"),
+      date_format(col("event.created_at").cast("timestamp"), "yyyy-MM-dd")
+        .as("processing_date"),
+      hour(col("event.created_at").cast("timestamp"))
+        .as("processing_hour"))
+
+  /** P7: conjunctive data-quality filter (`event_processor.py:117-121`). */
+  def qualityFilter(flat: DataFrame): DataFrame =
+    flat.filter(col("event_id").isNotNull && col("event_type").isNotNull &&
+      col("created_at").isNotNull)
+
+  /** Full ingest composition — works for both batch and streaming
+    * frames. NOTE: the reference partitions by *processing* time
+    * (`event_processor.py:84-85`, an anti-pattern — every query filters
+    * created_at and prunes nothing, SURVEY §4); we derive the partition
+    * columns from event time instead so partition pruning works. */
+  def pipeline(raw: DataFrame): DataFrame =
+    qualityFilter(flatten(parse(raw)))
+
+  /** Dedup the at-least-once feed on event_id within the watermark —
+    * the dedup the reference skips (§2.6 "delivery"). */
+  def deduped(flat: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    flat.withWatermark("created_at", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming analogue of the batch hourly bucketing (A5): event-time
+    * tumbling window + watermark. */
+  def windowedCounts(flat: DataFrame,
+      watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    flat.withWatermark("created_at", watermark)
+      .groupBy(window(col("created_at"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  /** S3: append sink partitioned for pruning, with checkpointing. */
+  def parquetSink(flat: DataFrame, path: String, checkpoint: String,
+      triggerMs: Long = 2000L): DataStreamWriter[Row] =
+    flat.writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("processing_date", "processing_hour")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+}

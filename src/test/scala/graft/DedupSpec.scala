@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every dedup query runs") {
+    Dedup.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() >= 0, s"$name failed")
+    }
+  }
+
+  test("exact stats: distinct <= total") {
+    val r = Dedup.queries("dedup_exact_stats")(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("n_dup_docs") ==
+      r.getAs[Long]("n_docs") - r.getAs[Long]("n_distinct"))
+  }
+
+  test("minhash-LSH finds a superset-quality approximation of exact " +
+    "jaccard pairs (recall >= 0.9 at threshold 0.8 within blocks)") {
+    val exact = Dedup.queries("dedup_token_jaccard")(spark, sfDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.queries("dedup_minhash_lsh")(spark, sfDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // The exact pass is blocked by (lang, source); LSH is corpus-wide,
+    // so LSH may legitimately contain extra cross-block pairs. Recall is
+    // measured on the blocked exact pairs.
+    if (exact.nonEmpty) {
+      val recall = exact.count(lsh.contains).toDouble / exact.size
+      assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} pairs")
+    }
+    // precision by construction: every emitted pair passed exact verify
+    val verified = Dedup.queries("dedup_minhash_lsh")(spark, sfDir)
+      .select("jaccard").as[Double].collect()
+    assert(verified.forall(_ >= 0.8))
+  }
+
+  test("simhash: pairs are symmetric-free and hamming-bounded") {
+    val rows = Dedup.queries("dedup_simhash")(spark, sfDir)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect()
+    rows.foreach { case (a, b, h) =>
+      assert(a < b)
+      assert(h >= 0 && h <= 3)
+    }
+  }
+
+  test("embedding cosine near-dups bounded to [-1, 1+eps]") {
+    val cos = Dedup.queries("dedup_embedding_cosine")(spark, sfDir)
+      .select("cos").as[Double].collect()
+    assert(cos.forall(c => c >= 0.99 && c <= 1.0 + 1e-9))
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventPipeline
+
+class EventPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: String, typ: String = "PushEvent",
+      created: String = "2024-01-01T10:00:00Z",
+      actor: String = """{"id": 7, "login": "alice"}""",
+      payload: String = """{"action": "created", "ref": "main"}""")
+  : String =
+    s"""{"id": "$id", "type": "$typ", "actor": $actor,
+       |"repo": {"id": 1, "name": "r/x"}, "org": null,
+       |"payload": $payload, "public": true,
+       |"created_at": "$created",
+       |"processed_at": "$created"}""".stripMargin.replace("\n", " ")
+
+  test("parse drops malformed JSON, keeps valid (P1)") {
+    val raw = Seq(ev("1"), "{not json", """{"no_id": true}""")
+      .toDF("value")
+    val parsed = EventPipeline.parse(raw)
+    assert(parsed.count() == 1)
+  }
+
+  test("flatten produces the 26-column row with payload extracts (P2-P9)") {
+    val flat = EventPipeline.pipeline(Seq(ev("1")).toDF("value"))
+    val r = flat.collect()(0)
+    assert(flat.columns.length == 26)
+    assert(r.getAs[String]("event_id") == "1")
+    assert(r.getAs[String]("event_category") == "code")
+    assert(r.getAs[Int]("actor_id") == 7)
+    assert(r.getAs[String]("action") == "created")
+    assert(r.getAs[String]("ref") == "main")
+    assert(r.getAs[Boolean]("has_actor"))
+    assert(!r.getAs[Boolean]("has_org"))
+    assert(r.getAs[String]("processing_date") == "2024-01-01")
+    assert(r.getAs[Int]("processing_hour") == 10)
+  }
+
+  test("unknown event type categorizes as other (P6)") {
+    val flat = EventPipeline.pipeline(
+      Seq(ev("1", typ = "MysteryEvent")).toDF("value"))
+    assert(flat.collect()(0).getAs[String]("event_category") == "other")
+  }
+
+  test("null actor yields null actor cols and false flag (P8)") {
+    val flat = EventPipeline.pipeline(
+      Seq(ev("1", actor = "null")).toDF("value"))
+    val r = flat.collect()(0)
+    assert(r.isNullAt(r.fieldIndex("actor_id")))
+    assert(!r.getAs[Boolean]("has_actor"))
+  }
+
+  test("quality filter drops rows missing created_at (P7)") {
+    val bad =
+      """{"id": "9", "type": "PushEvent", "actor": null, "repo": null,
+        |"org": null, "payload": null, "public": true,
+        |"created_at": null, "processed_at": null}"""
+        .stripMargin.replace("\n", " ")
+    val flat = EventPipeline.pipeline(Seq(ev("1"), bad).toDF("value"))
+    assert(flat.count() == 1)
+  }
+
+  test("streaming: memory source -> pipeline -> memory sink appends") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val flat = EventPipeline.pipeline(stream.toDF().withColumnRenamed(
+      "value", "value"))
+    val q = flat.writeStream.format("memory").queryName("sink_basic")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev("a"), ev("b"), "{broken")
+      q.processAllAvailable()
+      assert(spark.table("sink_basic").count() == 2)
+      stream.addData(ev("c"))
+      q.processAllAvailable()
+      assert(spark.table("sink_basic").count() == 3)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops re-sent event ids within watermark") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val flat = EventPipeline.deduped(
+      EventPipeline.pipeline(stream.toDF()))
+    val q = flat.writeStream.format("memory").queryName("sink_dedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev("a"), ev("a"), ev("b"))
+      q.processAllAvailable()
+      stream.addData(ev("a"), ev("c"))
+      q.processAllAvailable()
+      assert(spark.table("sink_dedup").count() == 3)
+    } finally q.stop()
+  }
+
+  test("streaming windowed counts with watermark emit per-hour buckets") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val counts = EventPipeline.windowedCounts(
+      EventPipeline.pipeline(stream.toDF()))
+    val q = counts.writeStream.format("memory").queryName("sink_win")
+      .outputMode("complete").start()
+    try {
+      stream.addData(
+        ev("a", created = "2024-01-01T10:05:00Z"),
+        ev("b", created = "2024-01-01T10:55:00Z"),
+        ev("c", created = "2024-01-01T11:05:00Z"))
+      q.processAllAvailable()
+      val rows = spark.table("sink_win")
+        .select("window_start", "n").collect()
+      assert(rows.map(_.getAs[Long]("n")).sum == 3)
+      assert(rows.length == 2) // two distinct hours
+    } finally q.stop()
+  }
+
+  test("file stream end-to-end: parquet sink with partition pruning cols") {
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
+    val (inDir, outDir, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    new java.io.File(inDir).mkdirs()
+    // seed a jsonl file, then start a file-source stream over it
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inDir/batch0.txt"),
+      Seq(ev("f1"), ev("f2", created = "2024-01-01T11:30:00Z"))
+        .mkString("\n"))
+    val raw = spark.readStream.format("text").load(inDir)
+    val q = EventPipeline.parquetSink(
+      EventPipeline.pipeline(raw), outDir, ckpt).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+      assert(out.count() == 2)
+      assert(out.select("processing_hour").distinct().count() == 2)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every similarity query runs") {
+    Similarity.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() >= 0, s"$name failed")
+    }
+  }
+
+  test("brute-force knn: 3 neighbors per query, scores in [-1,1]") {
+    val rows = Similarity.queries("knn_bruteforce")(spark, sfDir)
+      .select("q_id", "rk", "cos_r").as[(Long, Int, Double)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.values.foreach { grp =>
+      assert(grp.map(_._2).sorted.toSeq == Seq(1, 2, 3))
+      assert(grp.forall(r => r._3 >= -1.0 - 1e-9 && r._3 <= 1.0 + 1e-9))
+      // ranked by decreasing score
+      val sorted = grp.sortBy(_._2).map(_._3)
+      assert(sorted.toSeq == sorted.sortBy(-_).toSeq)
+    }
+  }
+
+  test("LSH ANN returns same-bucket true matches with decent recall@3") {
+    val exact = Similarity.queries("knn_bruteforce")(spark, sfDir)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.queries("knn_lsh")(spark, sfDir)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    // 12-bit signature over 64-dim random embeddings: recall is
+    // necessarily partial; assert it's materially better than chance
+    // (3 of 500 per query ≈ 0.6%).
+    if (approx.nonEmpty) {
+      val recall = exact.count(approx.contains).toDouble / exact.size
+      assert(recall >= 0.1, s"LSH recall@3 $recall")
+    }
+  }
+
+  test("label stats cover all labels with positive norms") {
+    val rows = Similarity.queries("embedding_label_stats")(spark, sfDir)
+      .select("label", "n_vecs", "min_norm_r").as[(Int, Long, Double)]
+      .collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_._3 > 0))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every text query runs") {
+    TextAnalysis.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() >= 0, s"$name failed")
+    }
+  }
+
+  test("token stats: every language covered, totals positive") {
+    val rows = TextAnalysis.queries("text_token_stats")(spark, sfDir)
+      .select("lang", "n_docs", "total_toks").as[(String, Long, Long)]
+      .collect()
+    assert(rows.map(_._1).toSet == Set("de", "en", "es", "fr", "zh"))
+    assert(rows.forall(r => r._2 > 0 && r._3 > 0))
+    val totalDocs = rows.map(_._2).sum
+    assert(totalDocs == Tables.load(spark, sfDir, "documents").count())
+  }
+
+  test("quality scores bounded in [0, 1]") {
+    val q = TextAnalysis.queries("text_quality_scores")(spark, sfDir)
+      .select("quality").as[Double].collect()
+    assert(q.nonEmpty)
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("fingerprints: one per doc, stable across runs") {
+    val fp1 = TextAnalysis.queries("doc_fingerprints")(spark, sfDir)
+      .as[(Long, Long)].collect()
+    val fp2 = TextAnalysis.queries("doc_fingerprints")(spark, sfDir)
+      .as[(Long, Long)].collect()
+    assert(fp1.toSeq == fp2.toSeq)
+    assert(fp1.length ==
+      Tables.load(spark, sfDir, "documents").count())
+  }
+
+  test("term counts: top terms dominated by corpus vocabulary") {
+    val rows = TextAnalysis.queries("term_counts")(spark, sfDir)
+      .as[(String, Long)].collect()
+    assert(rows.length == 20)
+    // descending with tie-break
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("lang-id confusion counts partition the corpus") {
+    val n = TextAnalysis.queries("text_lang_id")(spark, sfDir)
+      .agg(sum("n")).as[Long].collect()(0)
+    assert(n == Tables.load(spark, sfDir, "documents").count())
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_cosine matches hand-computed values incl. nulls and zeros") {
+    VectorFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0)),   // identical -> 1
+      (Array(1.0, 0.0), Array(0.0, 1.0)),   // orthogonal -> 0
+      (Array(1.0, 0.0), Array(-1.0, 0.0)),  // opposite -> -1
+      (Array(3.0, 4.0), Array(3.0, 4.0)))
+      .toDF("a", "b")
+      .selectExpr("graft_cosine(a, b) AS c", "graft_dot(a, b) AS d")
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(rows(1).getDouble(0)) < 1e-12)
+    assert(math.abs(rows(2).getDouble(0) + 1.0) < 1e-12)
+    assert(math.abs(rows(3).getDouble(1) - 25.0) < 1e-12)
+    // zero vector -> null, not NaN
+    val z = Seq((Array(0.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+      .selectExpr("graft_cosine(a, b) AS c").collect()(0)
+    assert(z.isNullAt(0))
+  }
+
+  test("native expression participates in whole-stage codegen") {
+    VectorFunctions.register(spark)
+    // must be a non-local source: a local Seq is constant-folded into a
+    // LocalTableScan before any codegen happens
+    val df = Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("graft_cosine(v, v) AS c")
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen
+    // stage; note the higher-order `transform` projection is NOT fused
+    // (no `*`) while the graft_cosine projection is — which is the point
+    // of having the native expression.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_cosine")), s"plan:\n$plan")
+    val self = df.collect()
+    assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+
+  test("native knn agrees exactly with higher-order-function knn") {
+    val hof = Similarity.queries("knn_bruteforce")(spark, sfDir)
+      .select("q_id", "rk", "c_id", "cos_r")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val native = Similarity.queries("knn_bruteforce_native")(spark, sfDir)
+      .select("q_id", "rk", "c_id", "cos_r")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(hof == native)
+  }
+}
