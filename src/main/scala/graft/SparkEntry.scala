@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
+import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,12 +25,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventAnalytics.queries ++ Relational.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries
+    EventAnalytics.queries ++ Relational.queries ++ Temporal.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    EventAnalytics.oracleSql ++ Relational.oracleSql ++
-      TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql
+    EventAnalytics.oracleSql ++ Relational.oracleSql ++ Temporal.oracleSql ++
+      TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
+      Sources.oracleSql
 }

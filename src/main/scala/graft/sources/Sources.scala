@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamReader
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §2.1 S1–S7) re-expressed Spark-first.
+  *
+  * - S1 Kafka streaming source: `kafkaStream` builds the reader with the
+  *   reference's options (`streaming-service/api.py:295-302`,
+  *   `spark_config.py:10-12`). The Kafka connector jar does not ship in
+  *   this environment, so it cannot be exercised here; the file/memory
+  *   sources drive the identical downstream pipeline
+  *   (graft.streaming.EventPipeline) — the source is a parameter.
+  * - S2 binary→string projection: `kafkaValueProjection`.
+  * - S3 partitioned streaming parquet sink: EventPipeline.parquetSink.
+  * - S4/S5 batch scans + DDL: `registerViews` + `sql` give the
+  *   spark.sql surface over the fixture tables; partitioned-table DDL is
+  *   `writePartitioned` (Parquet `partitionBy`, the Iceberg-table
+  *   equivalent of `api.py:205-241` — partition pruning verified in
+  *   SourcesSpec by PartitionFilters in the scan).
+  * - S6 metadata queries: `describeTable` / count via `sql`.
+  * - S7 refresh: `refreshPath` (spark.catalog.refreshByPath) for
+  *   external-writer freshness.
+  * - Multi-format IO: csv/json/orc round-trips (`writeAs`/`readAs`) —
+  *   at 100 TB, columnar (parquet/orc) is the only sane rest format;
+  *   csv/json exist for ingest edges.
+  */
+object Sources {
+
+  // ---- streaming source builders (S1/S2) ----
+
+  /** Reference-parity Kafka reader: subscribe, latest offsets, no fail
+    * on data loss. Requires the spark-sql-kafka connector on the
+    * classpath at runtime. */
+  def kafkaStream(spark: SparkSession, bootstrap: String, topic: String)
+  : DataStreamReader =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .option("failOnDataLoss", "false")
+
+  /** S2: Kafka's binary key/value cast to string + stream metadata. */
+  def kafkaValueProjection(df: DataFrame): DataFrame =
+    df.select(col("key").cast("string").as("key"),
+      col("value").cast("string").as("value"),
+      col("topic"), col("partition"), col("offset"), col("timestamp"))
+
+  /** Text-file stream with the same downstream contract as Kafka value
+    * strings (one JSON event per line). */
+  def fileStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.format("text").load(path)
+      .withColumnRenamed("value", "value")
+
+  // ---- batch IO (S4/S5, multi-format) ----
+
+  def writeAs(df: DataFrame, format: String, path: String): Unit =
+    df.write.format(format).mode("overwrite")
+      .option("header", "true").save(path)
+
+  def readAs(spark: SparkSession, format: String, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.format(format).option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(r.schema)
+      .load(path)
+  }
+
+  /** S5: partitioned columnar table (the Parquet equivalent of the
+    * reference's PARTITIONED BY (processing_date, processing_hour)
+    * Iceberg DDL). */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** S4: register every fixture table as a temp view -> spark.sql. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    graft.Tables.names.foreach { n =>
+      graft.Tables.load(spark, dir, n).createOrReplaceTempView(n)
+    }
+
+  /** S6: schema metadata of a registered table. */
+  def describeTable(spark: SparkSession, name: String): DataFrame =
+    spark.sql(s"DESCRIBE $name")
+
+  /** S7: cross-process snapshot freshness for path-based tables. */
+  def refreshPath(spark: SparkSession, path: String): Unit =
+    spark.catalog.refreshByPath(path)
+
+  // ---- SQL surface queries (driver-checked) ----
+
+  /** Queries expressed through spark.sql over the registered views —
+    * exercising the SQL parser path of the engine (the reference's
+    * `spark.sql(...)` usage, `streaming-service/api.py:199-246,462-465`). */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_revenue_by_year" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT year(o_orderdate) AS y,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+          |      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+          |    AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY year(o_orderdate)
+          |ORDER BY y""".stripMargin)
+    }),
+    "sql_segment_priority_matrix" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT c_mktsegment, o_orderpriority, count(*) AS n
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |GROUP BY c_mktsegment, o_orderpriority
+          |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "sql_revenue_by_year" ->
+      """SELECT year(o_orderdate) AS y,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY year(o_orderdate)
+        |ORDER BY y""".stripMargin,
+    "sql_segment_priority_matrix" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment, o_orderpriority
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)
+}

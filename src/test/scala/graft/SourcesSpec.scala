@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-src").toString
+
+  test("sql surface queries run over registered views") {
+    Sources.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() > 0, s"$name empty")
+    }
+  }
+
+  test("csv / json / orc round-trips preserve data") {
+    val src = Tables.load(spark, sfDir, "nation")
+    val n = src.count()
+    Seq("csv", "json", "orc").foreach { fmt =>
+      val p = s"${tmpDir()}/nation_$fmt"
+      Sources.writeAs(src, fmt, p)
+      val back = Sources.readAs(spark, fmt, p,
+        if (fmt == "csv") Some(src.schema) else None)
+      assert(back.count() == n, s"$fmt lost rows")
+      val names = back.select("n_name").as[String].collect().sorted
+      assert(names.toSeq ==
+        src.select("n_name").as[String].collect().sorted.toSeq, s"$fmt")
+    }
+  }
+
+  test("partitioned write enables partition pruning on read") {
+    val p = s"${tmpDir()}/events_part"
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+    Sources.writePartitioned(ev, p, Seq("d"))
+    val pruned = spark.read.parquet(p).filter(col("d") === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(d"),
+      s"no partition filter in:\n$plan")
+    // pruned read returns exactly that day's rows
+    val expect = ev.filter(col("d") === "2024-01-05").count()
+    assert(pruned.count() == expect)
+  }
+
+  test("describe + refresh work on path tables") {
+    Sources.registerViews(spark, sfDir)
+    val desc = Sources.describeTable(spark, "events")
+    assert(desc.count() >= 6)
+    Sources.refreshPath(spark, s"$sfDir/events.parquet") // no-throw
+  }
+
+  test("kafka reader builder exposes the reference options shape") {
+    // connector jar absent in this env: only assert the builder wires
+    // format/options without touching a broker (no .load()).
+    val r = Sources.kafkaStream(spark, "localhost:9092", "github_events")
+    assert(r != null)
+  }
+}
