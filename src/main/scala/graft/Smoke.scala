@@ -11,11 +11,19 @@ object Smoke {
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-smoke")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // sanity-check the extension-injected functions (fresh JVM => the
+    // withExtensions path is genuinely exercised here)
+    val ext = spark.sql(
+      "SELECT graft_cosine(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c," +
+        " graft_simhash(array('a','b')) AS s").collect()(0)
+    require(math.abs(ext.getDouble(0) - 1.0) < 1e-12, "extensions broken")
+    println(s"EXTENSIONS ok cosine=${ext.getDouble(0)} simhash=${ext.getLong(1)}")
     val df = args.headOption match {
       case Some(name) =>
         SparkEntry.queries(name)(spark,

@@ -198,6 +198,9 @@ case class HyperplaneLsh(child: Expression, tables: Int, bits: Int)
 }
 
 object SketchFunctions {
+  private[functions] def intLitArg(e: Expression, what: String): Int =
+    intLit(e, what)
+
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case _ => throw new IllegalArgumentException(s"$what must be an int literal")

@@ -136,8 +136,38 @@ object Similarity {
         .orderBy(asc("label"))
     }))
 
-  // Float-accumulation-order dependent => rows-only driver checks;
-  // correctness is asserted in SimilaritySpec (LSH recall vs brute force,
-  // cosine self-similarity, symmetry).
-  val oracleSql: Map[String, String] = Map.empty
+  // Brute-force cosine IS oracle-comparable: DuckDB's list_transform/
+  // list_sum evaluate sequentially left-to-right like Spark's
+  // aggregate(), so the double accumulation is bit-identical (verified
+  // empirically at sf0.001/sf0.01). LSH variants stay rows-only
+  // (splitmix-derived buckets are engine-specific); their recall is
+  // asserted against the oracled brute force in SimilaritySpec.
+  private val knnOracle =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+      |s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    round(list_sum(list_transform(list_zip(q.v, c.v),
+      |      p -> p[1]*p[2])) / (q.nrm*c.nrm), 6) AS cos_r
+      |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |SELECT q_id, c_id, cos_r, rk FROM (
+      |  SELECT q_id, c_id, cos_r, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_r DESC, c_id) AS rk FROM s)
+      |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "knn_bruteforce" -> knnOracle,
+    "knn_bruteforce_native" -> knnOracle,
+    "embedding_label_stats" ->
+      """SELECT label, count(*) AS n_vecs,
+        |  round(avg(nrm), 6) AS avg_norm_r,
+        |  round(min(nrm), 6) AS min_norm_r,
+        |  round(max(nrm), 6) AS max_norm_r
+        |FROM (SELECT label,
+        |  sqrt(list_sum(list_transform(
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    x -> x*x))) AS nrm FROM embeddings)
+        |GROUP BY label ORDER BY label""".stripMargin)
 }

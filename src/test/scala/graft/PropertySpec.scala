@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.EventAnalytics
+
+/** Property-based invariants (SURVEY.md §5.4): ∀-style laws over
+  * ScalaCheck-generated data, sampled deterministically (fixed seeds) and
+  * asserted through ScalaTest — no scalatest-scalacheck bridge needed. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val evGen: Gen[List[(Long, Long, String, Double)]] =
+    Gen.nonEmptyListOf(for {
+      id <- Gen.choose(0L, 10000L)
+      user <- Gen.choose(0L, 20L)
+      typ <- Gen.oneOf("click", "view", "purchase", "signup", "error", "zzz")
+      v <- Gen.choose(0.0, 500.0)
+    } yield (id, user, typ, math.round(v * 100) / 100.0))
+
+  test("∀ event sets: per-type counts partition the total (A2 vs A1)") {
+    samples(evGen, 8).foreach { rows =>
+      val df = rows.toDF("event_id", "user_id", "event_type", "value")
+      val total = df.count()
+      val byType = df.groupBy("event_type").count()
+        .agg(sum("count")).as[Long].collect()(0)
+      assert(byType == total, s"partition violated for ${rows.size} rows")
+    }
+  }
+
+  test("∀ event sets: top-k is a prefix of the fully sorted aggregation") {
+    samples(evGen, 8).foreach { rows =>
+      val df = rows.toDF("event_id", "user_id", "event_type", "value")
+      val full = df.groupBy("user_id").count()
+        .orderBy(desc("count"), asc("user_id"))
+        .as[(Long, Long)].collect().toSeq
+      val k = math.min(3, full.length)
+      val topk = df.groupBy("user_id").count()
+        .orderBy(desc("count"), asc("user_id")).limit(k)
+        .as[(Long, Long)].collect().toSeq
+      assert(topk == full.take(k))
+    }
+  }
+
+  test("∀ event sets: pagination pages partition the ordered result") {
+    samples(evGen, 4).foreach { rows =>
+      val df = rows.toDF("event_id", "user_id", "event_type", "value")
+        .dropDuplicates("event_id")
+      val sorted = df.orderBy(desc("value"), asc("event_id"))
+        .select("event_id").as[Long].collect().toSeq
+      val pages = sorted.indices.grouped(5).toSeq.map { idx =>
+        df.orderBy(desc("value"), asc("event_id"))
+          .select("event_id").as[Long]
+          .offset(idx.head).limit(idx.length).collect().toSeq
+      }
+      assert(pages.flatten == sorted)
+    }
+  }
+
+  test("∀ strings: categorize is total (never null, known range)") {
+    val cats = Set("commerce", "account", "engagement", "system", "other")
+    samples(Gen.listOfN(20, Gen.alphaStr), 8).foreach { types =>
+      val out = types.toDF("event_type")
+        .select(EventAnalytics.categorize(col("event_type")).as("c"))
+        .as[String].collect()
+      assert(out.forall(cats.contains))
+    }
+  }
+
+  test("∀ token lists: minhash signature estimates Jaccard within bounds") {
+    graft.functions.SketchFunctions.register(spark)
+    val tokGen = Gen.nonEmptyListOf(Gen.oneOf(('a' to 'z').map(_.toString)))
+    samples(Gen.zip(tokGen, tokGen), 10).foreach { case (a, b) =>
+      val r = Seq((a, b)).toDF("a", "b")
+        .selectExpr(
+          "graft_minhash(a, 64, 1) AS sa",
+          "graft_minhash(b, 64, 1) AS sb",
+          "CAST(size(array_intersect(array_distinct(a), array_distinct(b)))" +
+            " AS DOUBLE) / size(array_union(a, b)) AS j")
+        .selectExpr("j",
+          "CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))" +
+            " AS DOUBLE) / 64 AS est")
+        .collect()(0)
+      // 64 perms: std err = sqrt(j(1-j)/64) <= 0.0625; allow 4 sigma
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 0.25,
+        s"j=${r.getDouble(0)} est=${r.getDouble(1)} a=$a b=$b")
+    }
+  }
+}
