@@ -230,6 +230,25 @@ object Dedup {
   private val toksSql = "string_split(text, ' ')"
   private val tokSetSql = s"list_distinct($toksSql)"
 
+  // dedup_minhash_lsh / dedup_simhash / dedup_shingle_minhash are
+  // engine-hash dependent => rows-only driver check; their agreement
+  // with the exact pass is asserted in DedupSpec.
+  // dedup_embedding_cosine IS oracle-comparable: DuckDB list lambdas
+  // accumulate left-to-right like Spark's aggregate() (bit-identical
+  // doubles, verified in SimilaritySpec's knn oracle first).
+  private val embCosOracle =
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |    sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)
+      |SELECT a_id, b_id, cos FROM (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
+      |      / (a.nrm * b.nrm) AS cos
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |WHERE cos >= 0.99 ORDER BY cos DESC, a_id, b_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT h) AS n_distinct,
@@ -247,8 +266,6 @@ object Dedup {
          |    ON a.lang = b.lang AND a.source = b.source
          |       AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.8
-         |ORDER BY jaccard DESC, a_id, b_id""".stripMargin)
-  // dedup_minhash_lsh / dedup_simhash / dedup_embedding_cosine are
-  // engine-hash / float dependent => rows-only driver check; their
-  // agreement with the exact pass is asserted in DedupSpec.
+         |ORDER BY jaccard DESC, a_id, b_id""".stripMargin,
+    "dedup_embedding_cosine" -> embCosOracle)
 }
