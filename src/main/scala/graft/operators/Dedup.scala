@@ -45,6 +45,16 @@ object Dedup {
 
   private val toks = "split(text, ' ')"
 
+  /** "Emit each pair only from its FIRST shared band" as an unrolled
+    * boolean conjunction over the fixed 8-band layout: every band before
+    * x.band_id must have differing bucket hashes. The equivalent
+    * size(filter(sequence(...))) formulation is an interpreted
+    * higher-order lambda evaluated once per raw collision pair — it was
+    * 64% of the round-1 bench; this form stays in whole-stage codegen. */
+  private val firstSharedBand = (0 until 7)
+    .map(i => s"(x.band_id <= $i OR x.bands[$i] != y.bands[$i])")
+    .mkString(" AND ")
+
   /** Distinct token set per doc (the unit for Jaccard). */
   private val tokSet = s"array_distinct($toks)"
 
@@ -119,8 +129,7 @@ object Dedup {
           col("x.band_id") === col("y.band_id") &&
             col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id"))
-        .filter(expr("size(filter(sequence(0, x.band_id), " +
-          "i -> i < x.band_id AND x.bands[i] = y.bands[i])) = 0"))
+        .filter(expr(firstSharedBand))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       val docToks = sig.select(col("doc_id"), col("toks"))
       candIds
@@ -161,8 +170,7 @@ object Dedup {
           col("x.band_id") === col("y.band_id") &&
             col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id"))
-        .filter(expr("size(filter(sequence(0, x.band_id), " +
-          "i -> i < x.band_id AND x.bands[i] = y.bands[i])) = 0"))
+        .filter(expr(firstSharedBand))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       // shingle strings materialized once per doc, only for verification
       val docSh = sig.select(col("doc_id"), col("toks"))
@@ -198,33 +206,43 @@ object Dedup {
           col("x.chunk_id") === col("y.chunk_id") &&
             col("x.chunk") === col("y.chunk") &&
             col("x.doc_id") < col("y.doc_id"))
+        // first-shared-chunk emission (same trick as the minhash bands,
+        // recomputed from the fingerprints — no chunk array to carry):
+        // replaces a 4x-duplicated pair shuffle + distinct().
+        .filter(expr((0 until 3).map(i =>
+          s"(x.chunk_id <= $i OR ((x.simhash >> ${i * 16}) & 65535) != " +
+            s"((y.simhash >> ${i * 16}) & 65535))").mkString(" AND ")))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
             .as("hamming"))
-        .distinct()
         .filter(col("hamming") <= 3)
         .orderBy(asc("hamming"), asc("a_id"), asc("b_id"))
     }),
 
-    // Embedding-cosine near-dup pairs (label-blocked exact pass).
+    // Embedding-cosine near-dup: top-5 most-similar pairs per label
+    // (label-blocked exact pass). Cosine is the native codegen'd
+    // graft_cosine expression — the zip_with/aggregate formulation is
+    // interpreted per pair. Top-N per block (not a fixed threshold) keeps
+    // the check non-vacuous at every fixture scale: the synthetic corpus
+    // maxes out around cos 0.48, so a near-1 threshold verified nothing.
     "dedup_embedding_cosine" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
       val e = emb(s, dir)
         .selectExpr("vec_id", "label",
           "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-        .selectExpr("vec_id", "label", "v",
-          "sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x*x))" +
-            " AS nrm")
       val a = e.select(col("vec_id").as("a_id"), col("label"),
-        col("v").as("a_v"), col("nrm").as("a_n"))
+        col("v").as("a_v"))
       val b = e.select(col("vec_id").as("b_id"), col("label"),
-        col("v").as("b_v"), col("nrm").as("b_n"))
+        col("v").as("b_v"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+        .orderBy(desc("cos_r"), asc("a_id"), asc("b_id"))
       a.join(b, Seq("label"))
         .filter(col("a_id") < col("b_id"))
-        .selectExpr("a_id", "b_id",
-          "aggregate(zip_with(a_v, b_v, (x, y) -> x*y), " +
-            "CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (a_n * b_n) AS cos")
-        .filter(col("cos") >= 0.99)
-        .orderBy(desc("cos"), asc("a_id"), asc("b_id"))
+        .selectExpr("label", "a_id", "b_id",
+          "round(graft_cosine(a_v, b_v), 6) AS cos_r")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .orderBy(asc("label"), asc("rk"))
     }))
 
   private val toksSql = "string_split(text, ' ')"
@@ -234,20 +252,24 @@ object Dedup {
   // engine-hash dependent => rows-only driver check; their agreement
   // with the exact pass is asserted in DedupSpec.
   // dedup_embedding_cosine IS oracle-comparable: DuckDB list lambdas
-  // accumulate left-to-right like Spark's aggregate() (bit-identical
-  // doubles, verified in SimilaritySpec's knn oracle first).
+  // accumulate left-to-right like Spark's fused native loop (proven
+  // bit-compatible via knn_bruteforce vs knn_bruteforce_native hashing
+  // the same oracle); rounded to 6 digits like the knn queries.
   private val embCosOracle =
     """WITH e AS (SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |n AS (SELECT vec_id, label, v,
-      |    sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)
-      |SELECT a_id, b_id, cos FROM (
-      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-      |    list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
-      |      / (a.nrm * b.nrm) AS cos
+      |    sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+      |p AS (SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+      |    round(list_sum(list_transform(list_zip(a.v, b.v),
+      |      q -> q[1]*q[2])) / (a.nrm * b.nrm), 6) AS cos_r
       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-      |WHERE cos >= 0.99 ORDER BY cos DESC, a_id, b_id""".stripMargin
+      |SELECT label, a_id, b_id, cos_r, rk FROM (
+      |  SELECT label, a_id, b_id, cos_r, row_number() OVER (
+      |    PARTITION BY label ORDER BY cos_r DESC, a_id, b_id) AS rk
+      |  FROM p)
+      |WHERE rk <= 5 ORDER BY label, rk""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact_stats" ->

@@ -273,10 +273,10 @@ object EventAnalytics {
         |GROUP BY 1 ORDER BY k_mod""".stripMargin,
     "events_quality" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CASE WHEN event_id IS NOT NULL AND user_id IS NOT NULL
-        |           AND ts IS NOT NULL THEN 1 ELSE 0 END) AS n_valid,
-        |  sum(CASE WHEN props IS NOT NULL AND length(props) > 2
-        |      THEN 1 ELSE 0 END) AS n_with_props
+        |  CAST(sum(CASE WHEN event_id IS NOT NULL AND user_id IS NOT NULL
+        |           AND ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN props IS NOT NULL AND length(props) > 2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_with_props
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_value_stats" ->
       """SELECT event_type, count(*) AS n, min(value) AS min_v,
@@ -290,7 +290,8 @@ object EventAnalytics {
         |          / count(*)) / (count(*) - 1)) AS stddev_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_sessions" ->
-      """SELECT user_id, count(*) AS n_events, sum(new_sess) AS n_sessions
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(new_sess) AS BIGINT) AS n_sessions
         |FROM (
         |  SELECT user_id,
         |    CASE WHEN prev_us IS NULL

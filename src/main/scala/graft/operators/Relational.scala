@@ -138,11 +138,15 @@ object Relational {
         .orderBy(asc("c_mktsegment"))
     }),
 
-    // Anti join: customers with no orders at all.
+    // Anti join: customers with no 1996 orders. Scoped to one year so the
+    // check is non-trivial at every fixture scale — "no orders ever" is
+    // vacuously empty once every customer has at least one order.
     "anti_customers_inactive" -> ((s, dir) => {
+      val o96 = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
-          "left_anti")
+        .join(o96, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_mktsegment"))
         .orderBy(asc("c_custkey"))
     }),
@@ -381,7 +385,9 @@ object Relational {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "anti_customers_inactive" ->
       """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
     "window_top_orders_per_cust" ->
       """SELECT * FROM (

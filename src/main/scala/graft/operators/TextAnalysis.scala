@@ -113,10 +113,11 @@ object TextAnalysis {
 
   val oracleSql: Map[String, String] = Map(
     "text_token_stats" ->
-      s"""SELECT lang, count(*) AS n_docs, sum(n_toks) AS total_toks,
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_toks,
          |  CAST(sum(n_toks) AS DOUBLE) / count(*) AS avg_toks,
-         |  sum(bpe_ish) AS total_bpe_ish,
-         |  sum(n_chars) AS total_chars,
+         |  CAST(sum(bpe_ish) AS BIGINT) AS total_bpe_ish,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |  count(DISTINCT source) AS n_sources
          |FROM (
          |  SELECT lang, source, n_chars, len($toksSql) AS n_toks,
@@ -151,7 +152,8 @@ object TextAnalysis {
          |GROUP BY lang, guess ORDER BY lang, guess""".stripMargin,
     "doc_fingerprints" ->
       s"""SELECT doc_id,
-         |  sum(pos * (ascii(tok) + length(tok))) % 1000000007 AS fingerprint
+         |  CAST(sum(pos * (ascii(tok) + length(tok))) % 1000000007 AS BIGINT)
+         |    AS fingerprint
          |FROM (
          |  SELECT doc_id, unnest($toksSql) AS tok,
          |    generate_subscripts($toksSql, 1) AS pos

@@ -46,9 +46,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("embedding cosine near-dups bounded to [-1, 1+eps]") {
-    val cos = Dedup.queries("dedup_embedding_cosine")(spark, sfDir)
-      .select("cos").as[Double].collect()
-    assert(cos.forall(c => c >= 0.99 && c <= 1.0 + 1e-9))
+  test("embedding cosine: non-empty, top-5 per label, valid cosines") {
+    val rows = Dedup.queries("dedup_embedding_cosine")(spark, sfDir)
+      .select("label", "cos_r", "rk").as[(String, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, c, rk) =>
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(rk >= 1 && rk <= 5)
+    }
+    // within each label the top-5 ranking is monotone in cosine
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRk = g.sortBy(_._3).map(_._2)
+      assert(byRk.zip(byRk.tail).forall { case (hi, lo) => hi >= lo })
+    }
   }
 }

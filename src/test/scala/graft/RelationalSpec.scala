@@ -31,14 +31,17 @@ class RelationalSpec extends SparkSpec {
       }
   }
 
-  test("semi + anti join partition the customer table") {
+  test("semi + anti join partition the customer table (1996 scope)") {
     val all = Tables.load(spark, sfDir, "customer").count()
-    val withOrders = Tables.load(spark, sfDir, "customer")
-      .join(Tables.load(spark, sfDir, "orders"),
-        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val o96 = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val with96 = Tables.load(spark, sfDir, "customer")
+      .join(o96, col("c_custkey") === col("o_custkey"), "left_semi").count()
     val without = Relational.queries("anti_customers_inactive")(spark, sfDir)
       .count()
-    assert(withOrders + without == all)
+    assert(with96 + without == all)
+    assert(without > 0, "anti join must verify non-empty output")
   }
 
   test("set ops: retained ∪ churned = active-1995") {

@@ -46,6 +46,22 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_bad += 1
             continue
+        # the driver's hash is typed: a DuckDB HUGEINT (sum of ints, lands
+        # as float64 in pandas) vs a Spark BIGINT mismatches even when
+        # every cell prints identically (round-1 lesson: 4 queries failed
+        # only here). Compare dtype FAMILIES — the driver tolerates
+        # int32-vs-int64 (row_number etc.) but not int-vs-float/decimal.
+        def fam(dt):
+            k = dt.kind
+            return {"i": "int", "u": "int", "f": "float",
+                    "b": "bool", "M": "ts"}.get(k, str(dt))
+        gd = [fam(got[c].dtype) for c in got.columns]
+        wd = [fam(want[c].dtype) for c in want.columns]
+        if gd != wd:
+            diff = {c: (a, b) for c, a, b in zip(got.columns, gd, wd) if a != b}
+            print(f"FAIL {name}: dtype mismatch {diff}")
+            n_bad += 1
+            continue
         bad = None
         for c in got.columns:
             for i, (a, b) in enumerate(zip(got[c], want[c])):
