@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener.{
+  QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
+
+/** Streaming progress monitoring (SURVEY §2.6). The reference polls
+  * `query.lastProgress` from an HTTP endpoint for batch counts and
+  * rows/sec (`services/streaming-service/api.py:323-338`) — a pull
+  * model that misses batches between polls. A `StreamingQueryListener`
+  * is the push equivalent: every micro-batch is observed exactly once
+  * on the listener bus, with no per-poll driver work, and it scales to
+  * any number of concurrent queries on the session.
+  */
+object Monitoring {
+
+  /** Cumulative per-query stats, updated once per micro-batch. */
+  final case class QueryStats(
+      name: String,
+      batches: Long,
+      inputRows: Long,
+      lastRowsPerSec: Double,
+      lastBatchMs: Long,
+      terminated: Boolean,
+      error: Option[String])
+
+  /** Listener accumulating [[QueryStats]] per query id. Thread-safe:
+    * the listener bus delivers events from its own thread. */
+  final class ProgressMonitor extends StreamingQueryListener {
+    private val stats = new ConcurrentHashMap[UUID, QueryStats]()
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      stats.put(e.id,
+        QueryStats(Option(e.name).getOrElse(e.id.toString),
+          0L, 0L, 0.0, 0L, terminated = false, error = None))
+
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      stats.compute(p.id, (_, prev0) => {
+        val prev = Option(prev0).getOrElse(
+          QueryStats(Option(p.name).getOrElse(p.id.toString),
+            0L, 0L, 0.0, 0L, terminated = false, error = None))
+        val batchMs = Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(0L)
+        val rps = p.processedRowsPerSecond
+        prev.copy(
+          batches = prev.batches + 1,
+          inputRows = prev.inputRows + p.numInputRows,
+          lastRowsPerSec = if (rps.isNaN) prev.lastRowsPerSec else rps,
+          lastBatchMs = batchMs)
+      })
+    }
+
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      stats.computeIfPresent(e.id, (_, prev) =>
+        prev.copy(terminated = true, error = e.exception))
+
+    /** Point-in-time view keyed by query name (id string if unnamed). */
+    def snapshot: Map[String, QueryStats] =
+      stats.values.asScala.map(s => s.name -> s).toMap
+  }
+
+  /** Attach a fresh monitor to the session's listener bus. */
+  def attach(spark: SparkSession): ProgressMonitor = {
+    val m = new ProgressMonitor
+    spark.streams.addListener(m)
+    m
+  }
+
+  def detach(spark: SparkSession, m: ProgressMonitor): Unit =
+    spark.streams.removeListener(m)
+}

@@ -117,6 +117,34 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("progress monitor captures batch counts + input rows (S-mon)") {
+    implicit val sc = spark.sqlContext
+    val mon = graft.streaming.Monitoring.attach(spark)
+    val stream = MemoryStream[String]
+    val q = EventPipeline.pipeline(stream.toDF())
+      .writeStream.format("memory").queryName("sink_mon")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev("m1"), ev("m2"))
+      q.processAllAvailable()
+      stream.addData(ev("m3"))
+      q.processAllAvailable()
+      // listener delivery is async on the bus — wait for it to catch up
+      val deadline = System.currentTimeMillis() + 30000
+      def st = mon.snapshot.get("sink_mon")
+      while (System.currentTimeMillis() < deadline &&
+          !st.exists(_.inputRows >= 3)) Thread.sleep(100)
+      val s = st.get
+      assert(s.inputRows == 3)
+      assert(s.batches >= 2)
+      assert(s.lastRowsPerSec >= 0.0)
+      assert(!s.terminated && s.error.isEmpty)
+    } finally {
+      q.stop()
+      graft.streaming.Monitoring.detach(spark, mon)
+    }
+  }
+
   test("file stream end-to-end: parquet sink with partition pruning cols") {
     implicit val sc = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
