@@ -44,5 +44,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => HyperplaneLsh(exprs(0),
         SketchFunctions.intLitArg(exprs(1), "tables"),
         SketchFunctions.intLitArg(exprs(2), "bits"))))
+    def prec(exprs: Seq[Expression]): Int =
+      if (exprs.length >= 2) SketchFunctions.intLitArg(exprs(1), "precision")
+      else Hll.DefaultPrecision
+    e.injectFunction(fn("graft_hll",
+      "graft_hll(col[, p]) - HyperLogLog distinct estimate",
+      exprs => HllCardinality(exprs.head, prec(exprs))))
+    e.injectFunction(fn("graft_hll_sketch",
+      "graft_hll_sketch(col[, p]) - persistable HLL registers",
+      exprs => HllSketchAgg(exprs.head, prec(exprs))))
+    e.injectFunction(fn("graft_hll_union",
+      "graft_hll_union(sketch[, p]) - estimate over unioned sketches",
+      exprs => HllUnionAgg(exprs.head, prec(exprs))))
   }
 }

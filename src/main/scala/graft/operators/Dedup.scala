@@ -219,6 +219,21 @@ object Dedup {
         .orderBy(asc("hamming"), asc("a_id"), asc("b_id"))
     }),
 
+    // The O(n)-output dedup path for 100 TB: instead of listing near-dup
+    // PAIRS (inherently quadratic on a self-similar corpus), assign every
+    // doc a cluster representative (min doc_id reachable through shared
+    // LSH buckets) and emit per-cluster sizes. Connected components via
+    // a fixed 3 rounds of alternating min-propagation over the
+    // doc <-> (band,bucket) bipartite graph (the Hash-to-Min idea): each
+    // round is two O(n) key-shuffles with map-side combine; near-dup
+    // clusters are bucket-cliques, so 2 rounds already converge cliques
+    // and round 3 covers short chains. Keep-rule downstream: keep the
+    // representative, drop the rest.
+    "dedup_minhash_clusters" -> ((s, dir) =>
+      minhashClusterAssignments(s, dir)
+        .groupBy(col("rep")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(desc("n_docs"), asc("rep"))),
+
     // Embedding-cosine near-dup: top-5 most-similar pairs per label
     // (label-blocked exact pass). Cosine is the native codegen'd
     // graft_cosine expression — the zip_with/aggregate formulation is
@@ -244,6 +259,29 @@ object Dedup {
         .filter(col("rk") <= 5)
         .orderBy(asc("label"), asc("rk"))
     }))
+
+  /** (doc_id, rep) cluster assignment backing `dedup_minhash_clusters`;
+    * exposed so DedupSpec can check pair-level agreement with the LSH
+    * pair query. rep only decreases and starts at doc_id, so rep <=
+    * doc_id always holds. */
+  def minhashClusterAssignments(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(s)
+    val edges = docs(s, dir)
+      .selectExpr("doc_id", s"$tokSet AS toks")
+      .selectExpr("doc_id", "graft_minhash(toks, 32, 1) AS sig")
+      .selectExpr("doc_id",
+        "explode(transform(sequence(0, 7), b -> " +
+          "xxhash64(b, slice(sig, b*4+1, 4)))) AS bkt")
+    var rep = edges.select(col("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
+    for (_ <- 0 until 3) {
+      val bucketMin = edges.join(rep, Seq("doc_id"))
+        .groupBy(col("bkt")).agg(min(col("rep")).as("bmin"))
+      rep = edges.join(bucketMin, Seq("bkt"))
+        .groupBy(col("doc_id")).agg(min(col("bmin")).as("rep"))
+    }
+    rep
+  }
 
   private val toksSql = "string_split(text, ' ')"
   private val tokSetSql = s"list_distinct($toksSql)"

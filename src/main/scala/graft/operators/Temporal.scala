@@ -100,6 +100,26 @@ object Temporal {
           percentile_approx(col("value"), lit(0.5), lit(10000))
             .as("approx_median"))
         .orderBy(asc("event_type"))
+    }),
+
+    // The mergeable-sketch rollup (graft native HLL, §2.7): build one
+    // 4 KB sketch per day, then union day-sketches into per-type distinct
+    // users WITHOUT re-reading raw data — the exact shape of a 100 TB
+    // daily rollup where only sketches are persisted. Two-level agg in
+    // one plan here to prove the merge path end-to-end; estimates are
+    // engine-specific => rows-only driver check, error bounds + exact
+    // sketch-vs-direct agreement asserted in HllSpec.
+    "events_hll_daily_rollup" -> ((s, dir) => {
+      graft.functions.HllFunctions.register(s)
+      ev(s, dir)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(expr("graft_hll_sketch(user_id)").as("day_sketch"),
+          count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(expr("graft_hll_union(day_sketch)").as("est_users"),
+          sum(col("n")).as("n_events"))
+        .orderBy(asc("event_type"))
     }))
 
   val oracleSql: Map[String, String] = Map(

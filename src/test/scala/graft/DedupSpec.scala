@@ -46,6 +46,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash clusters: cover the corpus, reps minimal, pairs agree") {
+    val assign = Dedup.minhashClusterAssignments(spark, sfDir)
+      .select("doc_id", "rep").as[(Long, Long)].collect().toMap
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(assign.size == nDocs)
+    assign.foreach { case (d, r) =>
+      assert(r <= d)
+      assert(assign.contains(r))
+    }
+    // docs the pair query says are near-dups should land in one cluster
+    val pairs = Dedup.queries("dedup_minhash_lsh")(spark, sfDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    if (pairs.nonEmpty) {
+      val agree = pairs.count { case (a, b) => assign(a) == assign(b) }
+      assert(agree.toDouble / pairs.length >= 0.9,
+        s"cluster agreement ${agree.toDouble / pairs.length}")
+    }
+    // the aggregated query partitions the corpus
+    val sizes = Dedup.queries("dedup_minhash_clusters")(spark, sfDir)
+      .select("n_docs").as[Long].collect()
+    assert(sizes.sum == nDocs)
+  }
+
   test("embedding cosine: non-empty, top-5 per label, valid cosines") {
     val rows = Dedup.queries("dedup_embedding_cosine")(spark, sfDir)
       .select("label", "cos_r", "rk").as[(String, Double, Int)].collect()

@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.{Hll, HllFunctions}
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+
+class HllSpec extends SparkSpec {
+  import spark.implicits._
+
+  HllFunctions.register(spark)
+
+  test("tiny cardinalities are exact via linear counting") {
+    val est = Seq("a", "b", "c", "a", "b").toDF("v")
+      .agg(expr("graft_hll(v)")).as[Long].collect()(0)
+    assert(est == 3L)
+  }
+
+  test("estimate within error bounds vs exact distinct (p=12 => ~1.6%)") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val both = ev.agg(
+      expr("graft_hll(user_id)").as("est"),
+      countDistinct(col("user_id")).as("exact")).collect()(0)
+    val est = both.getAs[Long]("est").toDouble
+    val exact = both.getAs[Long]("exact").toDouble
+    assert(math.abs(est - exact) / exact < 0.05,
+      s"est $est vs exact $exact")
+  }
+
+  test("precision argument: smaller sketch, looser but sane bound") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val both = ev.agg(
+      expr("graft_hll(user_id, 8)").as("est"),
+      countDistinct(col("user_id")).as("exact")).collect()(0)
+    val est = both.getAs[Long]("est").toDouble
+    val exact = both.getAs[Long]("exact").toDouble
+    // p=8 => 256 registers => ~6.5% expected, allow 3 sigma
+    assert(math.abs(est - exact) / exact < 0.2, s"est $est vs exact $exact")
+  }
+
+  test("union of per-day sketches equals the direct estimate exactly") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val direct = ev.groupBy(col("event_type"))
+      .agg(expr("graft_hll(user_id)").as("est"))
+      .select("event_type", "est").as[(String, Long)].collect().toMap
+    val rolled = Temporal.queries("events_hll_daily_rollup")(spark, sfDir)
+      .select("event_type", "est_users").as[(String, Long)].collect().toMap
+    // register max is associative/commutative: merging day-sketches must
+    // reproduce the single-pass registers bit-for-bit
+    assert(rolled == direct)
+  }
+
+  test("register-level algebra: merge is max, estimate monotone-safe") {
+    val a = new Array[Byte](1 << 12)
+    val b = new Array[Byte](1 << 12)
+    (0 until 1000).foreach(i => Hll.add(a, Splitmix(i)))
+    (500 until 1500).foreach(i => Hll.add(b, Splitmix(i)))
+    val ea = Hll.estimate(a)
+    val merged = Hll.merge(a.clone(), b)
+    val em = Hll.estimate(merged)
+    assert(em >= ea) // union can only grow
+    assert(math.abs(em - 1500.0) / 1500.0 < 0.05, s"union est $em")
+  }
+
+  private def Splitmix(i: Int): Long =
+    graft.functions.Splitmix.mix(i.toLong * 0x9e3779b97f4a7c15L)
+}
