@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => HyperplaneLsh(exprs(0),
         SketchFunctions.intLitArg(exprs(1), "tables"),
         SketchFunctions.intLitArg(exprs(2), "bits"))))
+    e.injectFunction(fn("graft_jaccard",
+      "graft_jaccard(a, b) - exact token-set Jaccard, no temp arrays",
+      exprs => JaccardSim(exprs(0), exprs(1))))
     def prec(exprs: Seq[Expression]): Int =
       if (exprs.length >= 2) SketchFunctions.intLitArg(exprs(1), "precision")
       else Hll.DefaultPrecision

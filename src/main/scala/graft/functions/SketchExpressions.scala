@@ -197,6 +197,52 @@ case class HyperplaneLsh(child: Expression, tables: Int, bits: Int)
   : HyperplaneLsh = copy(child = newChild)
 }
 
+/** Exact Jaccard similarity of two ARRAY<STRING> token sets in one
+  * pass, no intermediate arrays: the composable form
+  * `size(array_intersect(a,b)) / size(array_union(a,b))` allocates two
+  * result arrays per pair — at millions of candidate pairs that
+  * allocation dominates the dedup verify stage. Duplicate elements are
+  * collapsed (set semantics), matching array_intersect/array_union. */
+case class JaccardSim(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<STRING> arguments")
+
+  override def prettyName: String = "graft_jaccard"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val seen = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { seen.add(a.getUTF8String(i)); i += 1 }
+    val nA = seen.size
+    val inBoth = new java.util.HashSet[UTF8String]()
+    val onlyB = new java.util.HashSet[UTF8String]()
+    i = 0
+    while (i < b.numElements()) {
+      val t = b.getUTF8String(i)
+      if (seen.contains(t)) inBoth.add(t) else onlyB.add(t)
+      i += 1
+    }
+    val union = nA + onlyB.size
+    if (union == 0) java.lang.Double.valueOf(0.0)
+    else java.lang.Double.valueOf(inBoth.size.toDouble / union)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): JaccardSim = copy(newLeft, newRight)
+}
+
 object SketchFunctions {
   private[functions] def intLitArg(e: Expression, what: String): Int =
     intLit(e, what)
@@ -218,5 +264,7 @@ object SketchFunctions {
     reg.createOrReplaceTempFunction("graft_hplsh",
       exprs => HyperplaneLsh(exprs(0),
         intLit(exprs(1), "tables"), intLit(exprs(2), "bits")), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard",
+      exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -55,6 +55,46 @@ object Dedup {
     .map(i => s"(x.band_id <= $i OR x.bands[$i] != y.bands[$i])")
     .mkString(" AND ")
 
+  /** Candidate (a_id, b_id) pairs from a (doc_id, bands) signature frame:
+    * explode to (band_id, bucket), guard against mega-buckets, self-join
+    * per bucket, emit each pair from its first shared band only.
+    *
+    * The bucket cap is the straggler guard for cluster scale: a bucket of
+    * B docs emits B²/2 raw pairs, so one degenerate bucket serializes a
+    * whole stage. Docs in a capped bucket usually still pair via their 7
+    * other bands; a pair whose ONLY shared bands are capped is dropped by
+    * design — such docs sit in a mega-cluster, which is exactly what the
+    * O(n)-output `dedup_minhash_clusters` path handles. The cap is far
+    * above any test-fixture bucket (recall specs unaffected); the spec
+    * additionally exercises a tiny cap to prove the guard bites. */
+  private[graft] def lshCandidatePairs(sig: DataFrame,
+      bucketCap: Int = 10000): DataFrame = {
+    val raw = sig
+      .select(col("doc_id"), col("bands"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bucket")
+    // Cap via broadcast ANTI-join against the (tiny, usually empty)
+    // oversized-bucket list — NOT a count-over-window: the window would
+    // pre-partition banded rows by bucket, the self-join below would
+    // reuse that clustering, and the skewed mega-bucket would serialize
+    // one straggler task with AQE unable to re-split it (measured 10x
+    // slower at sf0.1). With the anti-join the self-join keeps its own
+    // shuffle and AQE's skew-join splitting stays effective.
+    val oversized = raw.groupBy(col("band_id"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > bucketCap)
+      .select(col("band_id"), col("bucket"))
+    val banded = raw.join(broadcast(oversized),
+      Seq("band_id", "bucket"), "left_anti")
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(expr(firstSharedBand))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+  }
+
   /** Distinct token set per doc (the unit for Jaccard). */
   private val tokSet = s"array_distinct($toks)"
 
@@ -83,6 +123,7 @@ object Dedup {
     // the exact quadratic pass, bounded to blocks. Deterministic
     // int-ratio score -> oracle-comparable.
     "dedup_token_jaccard" -> ((s, dir) => {
+      graft.functions.SketchFunctions.register(s)
       val d = docs(s, dir)
         .selectExpr("doc_id", "lang", "source", s"$tokSet AS toks")
       val a = d.select(col("doc_id").as("a_id"), col("lang"),
@@ -92,8 +133,7 @@ object Dedup {
       a.join(b, Seq("lang", "source"))
         .filter(col("a_id") < col("b_id"))
         .selectExpr("a_id", "b_id",
-          "CAST(size(array_intersect(a_toks, b_toks)) AS DOUBLE)" +
-            " / size(array_union(a_toks, b_toks)) AS jaccard")
+          "graft_jaccard(a_toks, b_toks) AS jaccard")
         .filter(col("jaccard") >= 0.8)
         .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
     }),
@@ -115,22 +155,10 @@ object Dedup {
           // (xxhash64 hashes the array natively — no string building)
           "transform(sequence(0, 7), b -> " +
             "xxhash64(b, slice(sig, b*4+1, 4))) AS bands")
-      // banded rows carry (doc_id, band, bucket) plus the full 8-long
-      // bands array; a pair is emitted ONLY from its first shared band
-      // (no earlier band matches), so each candidate appears exactly
-      // once — no distinct, no 8x-duplicated pair shuffle. Token arrays
-      // never travel through the pair join.
-      val banded = sig
-        .select(col("doc_id"), col("bands"), posexplode(col("bands")))
-        .withColumnRenamed("pos", "band_id")
-        .withColumnRenamed("col", "bucket")
-      val candIds = banded.as("x")
-        .join(banded.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .filter(expr(firstSharedBand))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      // Pair emission (first-shared-band, bucket-capped) is the shared
+      // lshCandidatePairs helper; token arrays never travel through the
+      // pair join — bare ids pair up, arrays re-join after.
+      val candIds = lshCandidatePairs(sig)
       val docToks = sig.select(col("doc_id"), col("toks"))
       candIds
         .join(docToks.select(col("doc_id").as("a_id"),
@@ -138,8 +166,7 @@ object Dedup {
         .join(docToks.select(col("doc_id").as("b_id"),
           col("toks").as("b_toks")), Seq("b_id"))
         .selectExpr("a_id", "b_id",
-          "CAST(size(array_intersect(a_toks, b_toks)) AS DOUBLE)" +
-            " / size(array_union(a_toks, b_toks)) AS jaccard")
+          "graft_jaccard(a_toks, b_toks) AS jaccard")
         .filter(col("jaccard") >= 0.8)
         .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
     }),
@@ -161,17 +188,7 @@ object Dedup {
         .selectExpr("doc_id", "toks",
           "transform(sequence(0, 7), b -> " +
             "xxhash64(b, slice(sig, b*4+1, 4))) AS bands")
-      val banded = sig
-        .select(col("doc_id"), col("bands"), posexplode(col("bands")))
-        .withColumnRenamed("pos", "band_id")
-        .withColumnRenamed("col", "bucket")
-      val candIds = banded.as("x")
-        .join(banded.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .filter(expr(firstSharedBand))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      val candIds = lshCandidatePairs(sig)
       // shingle strings materialized once per doc, only for verification
       val docSh = sig.select(col("doc_id"), col("toks"))
         .selectExpr("doc_id", s"$shinglesFromToks AS sh")
@@ -181,9 +198,7 @@ object Dedup {
           Seq("a_id"))
         .join(docSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
           Seq("b_id"))
-        .selectExpr("a_id", "b_id",
-          "CAST(size(array_intersect(a_sh, b_sh)) AS DOUBLE)" +
-            " / size(array_union(a_sh, b_sh)) AS jaccard")
+        .selectExpr("a_id", "b_id", "graft_jaccard(a_sh, b_sh) AS jaccard")
         .filter(col("jaccard") >= 0.7)
         .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
     }),

@@ -46,6 +46,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bucket cap drops mega-bucket pairs, keeps small-bucket pairs") {
+    def bands(d: Long, slots: (Int, Long)*): Seq[Long] = {
+      val a = Array.tabulate(8)(i => -(d * 100 + i)) // per-doc fillers
+      slots.foreach { case (i, v) => a(i) = v }
+      a.toSeq
+    }
+    // docs 1-5 collide in band 0 (mega bucket); 10+11 collide in band 1
+    val sig = ((1L to 5L).map(d => (d, bands(d, 0 -> 999L))) ++
+      Seq((10L, bands(10L, 1 -> 77L)), (11L, bands(11L, 1 -> 77L))))
+      .toDF("doc_id", "bands")
+    val uncapped = Dedup.lshCandidatePairs(sig)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 10 + 1) // C(5,2) mega pairs + the small pair
+    val capped = Dedup.lshCandidatePairs(sig, bucketCap = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((10L, 11L)))
+  }
+
   test("minhash clusters: cover the corpus, reps minimal, pairs agree") {
     val assign = Dedup.minhashClusterAssignments(spark, sfDir)
       .select("doc_id", "rep").as[(Long, Long)].collect().toMap
