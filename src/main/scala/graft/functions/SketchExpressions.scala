@@ -235,8 +235,9 @@ case class JaccardSim(left: Expression, right: Expression)
       i += 1
     }
     val union = nA + onlyB.size
-    if (union == 0) java.lang.Double.valueOf(0.0)
-    else java.lang.Double.valueOf(inBoth.size.toDouble / union)
+    // NaN (not 0.0) on empty union: bit-equivalent to the composable
+    // form's 0.0/0.0, so the SimilarityRewrite rule is a pure swap
+    java.lang.Double.valueOf(inBoth.size.toDouble / union)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -266,5 +267,6 @@ object SketchFunctions {
         intLit(exprs(1), "tables"), intLit(exprs(2), "bits")), "built-in")
     reg.createOrReplaceTempFunction("graft_jaccard",
       exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
+    VectorFunctions.attachRewrite(spark)
   }
 }

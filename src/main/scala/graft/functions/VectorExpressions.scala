@@ -138,12 +138,21 @@ object VectorFunctions {
   }
 
   /** Register `graft_cosine` / `graft_dot` for SQL + expr() use on the
-    * given session. Idempotent. */
+    * given session, and attach the similarity rewrite rule. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_cosine",
       exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    attachRewrite(spark)
   }
+
+  /** Attach the HOF→native similarity rewrite to a live session (the
+    * extensions path injects it at build time instead). */
+  private[functions] def attachRewrite(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.SimilarityRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SimilarityRewrite
 }
