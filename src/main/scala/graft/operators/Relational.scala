@@ -38,6 +38,25 @@ object Relational {
   private def revTerm: Column =
     dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
 
+  /** Skew-salted inner equi-join: scatter the skewed (big) side across
+    * `salts` sub-keys derived from a per-row column, replicate the other
+    * side once per salt, join on (key, salt). One hot key's rows then
+    * land on `salts` reducers instead of one straggler. Result set is
+    * identical to `big.join(small, key)` — only the shuffle layout
+    * changes. AQE's runtime skew-join split covers most cases; this is
+    * the static form for when the skew is known ahead (or AQE is off)
+    * and a deterministic plan is wanted. `saltFrom` should be any
+    * roughly-uniform column of the big side (a row id, a timestamp).
+    * Replication factor = |small| × salts, so keep salts modest. */
+  private[graft] def saltedEquiJoin(big: DataFrame, small: DataFrame,
+      key: String, saltFrom: String, salts: Int): DataFrame = {
+    val salted = big.withColumn("graft_salt",
+      pmod(xxhash64(col(saltFrom)), lit(salts)).cast("int"))
+    val replicated = small.withColumn("graft_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "graft_salt")).drop("graft_salt")
+  }
+
   private val revSql =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
 

@@ -72,6 +72,40 @@ object Temporal {
         .orderBy(asc("band"))
     }),
 
+    // RANGE JOIN, bucketed (the 100 TB shape): map each fact value to ONE
+    // bucket of width W, explode each interval into the buckets it
+    // overlaps (clamped to the data's observed bucket range, derived
+    // in-plan from a 1-row bounds aggregate), then EQUI-join on bucket +
+    // exact containment filter. Each (fact, interval) pair meets in
+    // exactly one bucket — the fact's — so no dedup is needed. Same
+    // result (and same oracle) as events_value_bands, but the plan is a
+    // hash join on a shuffleable key instead of BroadcastNestedLoopJoin:
+    // this is the form that survives a range dimension too large to
+    // broadcast.
+    "events_value_bands_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      val w = 50.0
+      val bands = Seq(
+        ("p0_small", 0.0, 50.0),
+        ("p1_mid", 50.0, 150.0),
+        ("p2_large", 150.0, 1e9)).toDF("band", "lo", "hi")
+      val bounds = ev(s, dir).agg(
+        floor(min(col("value")) / w).cast("long").as("b_min"),
+        floor(max(col("value")) / w).cast("long").as("b_max"))
+      val bandBuckets = bands.crossJoin(broadcast(bounds))
+        .withColumn("bucket", explode(sequence(
+          greatest(floor(col("lo") / w).cast("long"), col("b_min")),
+          least(floor(col("hi") / w).cast("long"), col("b_max")))))
+        .select(col("band"), col("lo"), col("hi"), col("bucket"))
+      ev(s, dir)
+        .withColumn("bucket", floor(col("value") / w).cast("long"))
+        .join(bandBuckets, Seq("bucket"))
+        .filter(col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(asc("band"))
+    }),
+
     // O2 done natively: Spark >= 3.4 offset/limit (no row_number window).
     "events_page_native" -> ((s, dir) => {
       ev(s, dir)
@@ -139,6 +173,15 @@ object Temporal {
         |WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
     "events_value_bands" ->
+      """SELECT band, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |JOIN (VALUES ('p0_small', 0.0, 50.0), ('p1_mid', 50.0, 150.0),
+        |             ('p2_large', 150.0, 1e9)) AS bands(band, lo, hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    // identical result contract to the nested-loop form => same oracle
+    "events_value_bands_bucketed" ->
       """SELECT band, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events

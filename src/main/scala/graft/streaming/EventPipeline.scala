@@ -147,6 +147,21 @@ object EventPipeline {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"))
 
+  /** Streaming sessionization via the built-in gap-based
+    * `session_window` (the declarative sibling of the
+    * flatMapGroupsWithState sessionizer in [[StatefulSessions]]): one
+    * row per (actor, session), state evicted by watermark. In append
+    * mode a session emits once the watermark passes its close. */
+  def sessionCounts(flat: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    flat.withWatermark("created_at", watermark)
+      .groupBy(session_window(col("created_at"), gap), col("actor_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("actor_id"), col("n_events"))
+
   /** S3: append sink partitioned for pruning, with checkpointing. */
   def parquetSink(flat: DataFrame, path: String, checkpoint: String,
       triggerMs: Long = 2000L): DataStreamWriter[Row] =

@@ -117,6 +117,44 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window groups gap-separated activity (batch + stream)") {
+    implicit val sc = spark.sqlContext
+    def actorEv(id: String, actor: Int, created: String) =
+      ev(id, created = created,
+        actor = s"""{"id": $actor, "login": "u$actor"}""")
+    val batchRows = Seq(
+      actorEv("s1", 7, "2024-01-01T10:00:00Z"),
+      actorEv("s2", 7, "2024-01-01T10:10:00Z"), // same session (gap 30m)
+      actorEv("s3", 7, "2024-01-01T11:30:00Z"), // new session
+      actorEv("s4", 8, "2024-01-01T10:05:00Z"))
+    // batch semantics: session_window works on a static frame too
+    val batch = EventPipeline.sessionCounts(
+      EventPipeline.pipeline(batchRows.toDF("value")))
+      .select("actor_id", "n_events").as[(Int, Long)].collect().sorted
+    assert(batch.toSeq == Seq((7, 1L), (7, 2L), (8, 1L)))
+    // streaming append: sessions finalize once the watermark passes
+    val stream = MemoryStream[String]
+    val q = EventPipeline.sessionCounts(
+      EventPipeline.pipeline(stream.toDF()))
+      .writeStream.format("memory").queryName("sink_sess")
+      .outputMode("append").start()
+    try {
+      stream.addData(batchRows: _*)
+      q.processAllAvailable()
+      // advance the watermark far past all sessions, twice: the batch
+      // that observes the sentinel updates the watermark at its end,
+      // the NEXT batch emits the finalized sessions
+      stream.addData(actorEv("w1", 99, "2024-01-02T00:00:00Z"))
+      q.processAllAvailable()
+      stream.addData(actorEv("w2", 99, "2024-01-03T00:00:00Z"))
+      q.processAllAvailable()
+      val emitted = spark.table("sink_sess")
+        .filter(col("actor_id").isin(7, 8))
+        .select("actor_id", "n_events").as[(Int, Long)].collect().sorted
+      assert(emitted.toSeq == Seq((7, 1L), (7, 2L), (8, 1L)))
+    } finally q.stop()
+  }
+
   test("progress monitor captures batch counts + input rows (S-mon)") {
     implicit val sc = spark.sqlContext
     val mon = graft.streaming.Monitoring.attach(spark)

@@ -31,6 +31,24 @@ class RelationalSpec extends SparkSpec {
       }
   }
 
+  test("salted equi-join: identical result set, salt in the join keys") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val plain = li.join(ord, Seq("l_orderkey"))
+      .groupBy("o_orderstatus").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Relational.saltedEquiJoin(
+      li, ord, "l_orderkey", "l_partkey", salts = 8)
+      .groupBy("o_orderstatus").count()
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+    val plan = Relational.saltedEquiJoin(
+      li, ord, "l_orderkey", "l_partkey", salts = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_salt"), plan.take(1500))
+  }
+
   test("semi + anti join partition the customer table (1996 scope)") {
     val all = Tables.load(spark, sfDir, "customer").count()
     val o96 = Tables.load(spark, sfDir, "orders")

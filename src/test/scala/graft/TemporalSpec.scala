@@ -33,6 +33,20 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("bucketed range join: same result as nested-loop, equi-join plan") {
+    val naive = Temporal.queries("events_value_bands")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val bucketed = Temporal.queries("events_value_bands_bucketed")(
+      spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(bucketed == naive)
+    // the whole point: the fact<->interval join must be an equi (hash)
+    // join on bucket, not a nested loop over the range predicate. (The
+    // 3-row bands x 1-row bounds cross join is nested-loop by design.)
+    val plan = Temporal.queries("events_value_bands_bucketed")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [bucket"), plan.take(2000))
+  }
+
   test("range join bands partition all events") {
     val n = Temporal.queries("events_value_bands")(spark, sfDir)
       .agg(sum("n")).as[Long].collect()(0)
