@@ -17,6 +17,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every consumer gets the engine's optimizer rules (notably the
+    // event-time pushdown for the derived ts column below)
+    graft.plans.GraftRules.attach(spark)
     if (name == "events") {
       // The fixture events.ts is parquet TIMESTAMP(NANOS), which Spark's
       // vectorized reader rejects. Read the raw int64 nanos

@@ -59,6 +59,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("graft_hll_union",
       "graft_hll_union(sketch[, p]) - estimate over unioned sketches",
       exprs => HllUnionAgg(exprs.head, prec(exprs))))
-    e.injectOptimizerRule(_ => graft.plans.SimilarityRewrite)
+    graft.plans.GraftRules.all.foreach(r => e.injectOptimizerRule(_ => r))
   }
 }

@@ -148,11 +148,8 @@ object VectorFunctions {
     attachRewrite(spark)
   }
 
-  /** Attach the HOF→native similarity rewrite to a live session (the
-    * extensions path injects it at build time instead). */
+  /** Attach the engine's optimizer rules to a live session (the
+    * extensions path injects them at build time instead). */
   private[functions] def attachRewrite(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations
-        .contains(graft.plans.SimilarityRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.SimilarityRewrite
+    graft.plans.GraftRules.attach(spark)
 }
