@@ -120,6 +120,50 @@ object Similarity {
         .orderBy(asc("q_id"), asc("rk"))
     }),
 
+    // IVF ANN: label cells as the coarse quantizer (a trained k-means
+    // would slot in identically — the labels stand in for cell
+    // assignments). Probe path: per-dimension mean centroid per cell
+    // (explode → (label, pos) avg → re-assemble), broadcast the ~|cells|
+    // centroids, rank cells per query by centroid cosine, search only
+    // the top-`nprobe` cells with the exact native cosine. At 100 TB the
+    // corpus is range-partitioned by cell id so a probe touches nprobe
+    // partitions, not n. Estimates deterministic but avg accumulation
+    // order is engine-specific => rows-only driver check; recall vs the
+    // exact brute force is asserted in SimilaritySpec.
+    "knn_ivf" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val nprobe = 3
+      val all = prepared(s, dir)
+      val centroids = all
+        .select(col("label"), posexplode(col("v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+          "p -> p.m) AS cent"))
+      val q = broadcast(all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v")))
+      val wCell = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cent_cos"), asc("label"))
+      val probed = q.join(broadcast(centroids))
+        .selectExpr("q_id", "q_v", "label",
+          "graft_cosine(q_v, cent) AS cent_cos")
+        .withColumn("cell_rk", row_number().over(wCell))
+        .filter(col("cell_rk") <= nprobe)
+        .select(col("q_id"), col("q_v"), col("label"))
+      val scored = probed
+        .join(all.select(col("vec_id").as("c_id"), col("label"),
+          col("v").as("c_v")), Seq("label"))
+        .filter(col("q_id") =!= col("c_id"))
+        .selectExpr("q_id", "c_id", "graft_cosine(q_v, c_v) AS cos")
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_r"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cos_r"), asc("c_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(asc("q_id"), asc("rk"))
+    }),
+
     // Centroid stats per label — the IVF building block (coarse
     // quantizer): mean vector per label + intra-label dispersion.
     "embedding_label_stats" -> ((s, dir) => {

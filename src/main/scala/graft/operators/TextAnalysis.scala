@@ -99,6 +99,32 @@ object TextAnalysis {
         .orderBy(asc("doc_id"))
     }),
 
+    // The end-to-end curation funnel a 100 TB training-data pipeline
+    // runs per shard: boilerplate-prefix dedup (keep lowest doc_id per
+    // 8-token prefix — the cheap deterministic keep-rule; the sketch
+    // family in graft.operators.Dedup handles fuzzy near-dups) composed
+    // with quality gating (length + lexical diversity), reported as a
+    // per-(lang, source) funnel: arrived → after dedup → kept. One
+    // window + one aggregation; both keyed shuffles scale out.
+    "docs_curation_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("pfx")).orderBy(asc("doc_id"))
+      docs(s, dir)
+        .selectExpr("doc_id", "lang", "source",
+          s"concat_ws(' ', slice($toks, 1, 8)) AS pfx",
+          s"size($toks) AS n_toks",
+          s"size(array_distinct($toks)) AS n_uniq")
+        .withColumn("rn", row_number().over(w))
+        .selectExpr("lang", "source", "rn = 1 AS first_copy",
+          "n_toks >= 20 AND CAST(n_uniq AS DOUBLE)/n_toks >= 0.35 AS good")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("first_copy"), 1L).otherwise(0L)).as("n_after_dedup"),
+          sum(when(col("first_copy") && col("good"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .orderBy(asc("lang"), asc("source"))
+    }),
+
     // Tokenize/explode -> global term counts, top 20.
     "term_counts" -> ((s, dir) => {
       docs(s, dir)
@@ -159,6 +185,23 @@ object TextAnalysis {
          |    generate_subscripts($toksSql, 1) AS pos
          |  FROM documents)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "docs_curation_funnel" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_after_dedup,
+         |  CAST(sum(CASE WHEN rn = 1 AND good THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept
+         |FROM (
+         |  SELECT lang, source,
+         |    row_number() OVER (PARTITION BY pfx ORDER BY doc_id) AS rn,
+         |    n_toks >= 20 AND CAST(n_uniq AS DOUBLE)/n_toks >= 0.35 AS good
+         |  FROM (
+         |    SELECT doc_id, lang, source,
+         |      concat_ws(' ', list_slice($toksSql, 1, 8)) AS pfx,
+         |      len($toksSql) AS n_toks,
+         |      len(list_distinct($toksSql)) AS n_uniq
+         |    FROM documents))
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "term_counts" ->
       s"""SELECT term, count(*) AS n
          |FROM (SELECT unnest($toksSql) AS term FROM documents)

@@ -39,6 +39,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: 3 results per query, recall measured vs brute force") {
+    val exact = Similarity.queries("knn_bruteforce")(spark, sfDir)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.queries("knn_ivf")(spark, sfDir)
+      .select("q_id", "c_id", "rk").as[(Long, Long, Int)].collect()
+    // structure: every probed query returns a full top-3
+    assert(ivf.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq ==
+      Seq(1, 2, 3)))
+    // random 64-dim embeddings spread neighbors across cells, so
+    // nprobe=3 of 10 cells bounds recall near nprobe/cells; assert
+    // materially better than chance (3 of 500 ≈ 0.6%)
+    val pairs = ivf.map(t => (t._1, t._2)).toSet
+    val recall = exact.count(pairs.contains).toDouble / exact.size
+    assert(recall >= 0.1, s"IVF recall@3 $recall")
+  }
+
   test("label stats cover all labels with positive norms") {
     val rows = Similarity.queries("embedding_label_stats")(spark, sfDir)
       .select("label", "n_vecs", "min_norm_r").as[(Int, Long, Double)]

@@ -12,6 +12,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("curation funnel: monotone, covers corpus, every stage bites") {
+    val rows = TextAnalysis.queries("docs_curation_funnel")(spark, sfDir)
+      .select("n_docs", "n_after_dedup", "n_kept")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, d, k) =>
+      assert(d <= n)
+      assert(k <= d)
+      assert(k >= 0)
+    }
+    val total = rows.map(_._1).sum
+    assert(total == Tables.load(spark, sfDir, "documents").count())
+    // corpus-level: prefix dedup and quality gating each drop something
+    assert(rows.map(_._2).sum < total)
+    assert(rows.map(_._3).sum < rows.map(_._2).sum)
+  }
+
   test("token stats: every language covered, totals positive") {
     val rows = TextAnalysis.queries("text_token_stats")(spark, sfDir)
       .select("lang", "n_docs", "total_toks").as[(String, Long, Long)]
