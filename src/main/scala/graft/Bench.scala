@@ -26,6 +26,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Defaults (256 MB / factor 5) never fire on MB-scale local
+      // partitions, leaving the LSH mega-bucket self-join as one
+      // unsplittable straggler task (bimodal 10s/26s runs). At these
+      // thresholds AQE splits it deterministically.
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "8m")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
