@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("graft_hll_union",
       "graft_hll_union(sketch[, p]) - estimate over unioned sketches",
       exprs => HllUnionAgg(exprs.head, prec(exprs))))
+    e.injectFunction(fn("graft_topk",
+      "graft_topk(col, k) - Misra-Gries heavy hitters",
+      exprs => MisraGriesTopK(exprs.head,
+        SketchFunctions.intLitArg(exprs(1), "k"))))
     graft.plans.GraftRules.all.foreach(r => e.injectOptimizerRule(_ => r))
   }
 }

@@ -238,5 +238,8 @@ object HllFunctions {
       exprs => HllSketchAgg(exprs.head, precisionOf(exprs)), "built-in")
     reg.createOrReplaceTempFunction("graft_hll_union",
       exprs => HllUnionAgg(exprs.head, precisionOf(exprs)), "built-in")
+    reg.createOrReplaceTempFunction("graft_topk",
+      exprs => MisraGriesTopK(exprs.head,
+        SketchFunctions.intLitArg(exprs(1), "k")), "built-in")
   }
 }

@@ -125,6 +125,22 @@ object TextAnalysis {
         .orderBy(asc("lang"), asc("source"))
     }),
 
+    // Heavy-hitters census via the mergeable Misra-Gries sketch
+    // (graft.functions.MisraGriesTopK): at most k counters per partial
+    // buffer — the vocabulary census a 100 TB corpus runs WITHOUT a
+    // full term GROUP BY shuffle. k=64 exceeds the fixture vocabulary,
+    // so counts are exact and deterministic => DuckDB-oracle-compared;
+    // the true sketch regime (k < distinct) is spec-checked.
+    "term_topk_sketch" -> ((s, dir) => {
+      graft.functions.HllFunctions.register(s)
+      docs(s, dir)
+        .selectExpr(s"explode($toks) AS term")
+        .agg(expr("graft_topk(term, 64)").as("tk"))
+        .selectExpr("inline(tk)")
+        .selectExpr("item AS term", "est_count")
+        .orderBy(desc("est_count"), asc("term"))
+    }),
+
     // Tokenize/explode -> global term counts, top 20.
     "term_counts" -> ((s, dir) => {
       docs(s, dir)
@@ -202,6 +218,11 @@ object TextAnalysis {
          |      len(list_distinct($toksSql)) AS n_uniq
          |    FROM documents))
          |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // exact regime (k >= |vocab|) => identical to a plain GROUP BY
+    "term_topk_sketch" ->
+      s"""SELECT term, count(*) AS est_count
+         |FROM (SELECT unnest($toksSql) AS term FROM documents)
+         |GROUP BY term ORDER BY est_count DESC, term""".stripMargin,
     "term_counts" ->
       s"""SELECT term, count(*) AS n
          |FROM (SELECT unnest($toksSql) AS term FROM documents)

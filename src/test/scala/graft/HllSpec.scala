@@ -63,4 +63,53 @@ class HllSpec extends SparkSpec {
 
   private def Splitmix(i: Int): Long =
     graft.functions.Splitmix.mix(i.toLong * 0x9e3779b97f4a7c15L)
+
+  test("topk sketch, exact regime: equals the full GROUP BY") {
+    val terms = Tables.load(spark, sfDir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS term")
+    val exact = terms.groupBy("term").count()
+      .as[(String, Long)].collect().toMap
+    val sk = terms.agg(expr("graft_topk(term, 64)").as("tk"))
+      .selectExpr("inline(tk)")
+      .as[(String, Long)].collect().toMap
+    assert(sk == exact)
+  }
+
+  test("topk sketch, true sketch regime (k=5): MG guarantees hold") {
+    val terms = Tables.load(spark, sfDir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS term")
+    val exact = terms.groupBy("term").count()
+      .as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val sk = terms.agg(expr("graft_topk(term, 5)").as("tk"))
+      .selectExpr("inline(tk)")
+      .as[(String, Long)].collect().toMap
+    assert(sk.size <= 5)
+    sk.foreach { case (t, est) =>
+      assert(est <= exact(t), s"$t overestimated")
+      assert(exact(t) - est <= n / 6 + 1, s"$t undercount beyond bound")
+    }
+    // every item above the n/(k+1) frequency bar must be present
+    exact.filter(_._2 > n / 6).keys.foreach(t =>
+      assert(sk.contains(t), s"heavy hitter $t missing"))
+  }
+
+  test("hll works as a streaming aggregate (complete mode)") {
+    implicit val sc = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val agg = stream.toDF()
+      .groupBy()
+      .agg(expr("graft_hll(value)").as("est"))
+    val q = agg.writeStream.format("memory").queryName("sink_hll")
+      .outputMode("complete").start()
+    try {
+      stream.addData("a", "b", "c", "a")
+      q.processAllAvailable()
+      stream.addData("c", "d")
+      q.processAllAvailable()
+      val est = spark.table("sink_hll").as[Long].collect()(0)
+      assert(est == 4L) // tiny range => linear counting is exact
+    } finally q.stop()
+  }
 }
