@@ -74,6 +74,18 @@ object Sources {
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed table pair for co-located joins (the cluster-scale answer
+    * to fact-fact shuffles, SURVEY §7 M2 scale note): both sides
+    * `bucketBy(n, key)` + `sortBy(key)` into managed tables; a join on
+    * the bucket key then needs NO Exchange on either side — each task
+    * merge-joins bucket i against bucket i. Requires saveAsTable (bucket
+    * metadata lives in the catalog, not the files). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** S4: register every fixture table as a temp view -> spark.sql. */
   def registerViews(spark: SparkSession, dir: String): Unit =
     graft.Tables.names.foreach { n =>

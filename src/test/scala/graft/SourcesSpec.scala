@@ -44,6 +44,30 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == expect)
   }
 
+  test("bucketed tables sort-merge join with zero shuffle exchanges") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus")
+    Sources.writeBucketed(li, "li_bucketed", "l_orderkey", 4)
+    Sources.writeBucketed(ord, "ord_bucketed", "o_orderkey", 4)
+    try {
+      // force sort-merge so the assertion targets the co-location, not
+      // a broadcast fallback
+      val j = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(1500))
+      assert(j.count() ==
+        li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("describe + refresh work on path tables") {
     Sources.registerViews(spark, sfDir)
     val desc = Sources.describeTable(spark, "events")
