@@ -71,6 +71,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("∀ token lists: graft_jaccard ≡ size(intersect)/size(union), " +
+    "bit-for-bit, incl. duplicates and empties") {
+    graft.functions.SketchFunctions.register(spark)
+    val tokGen = Gen.listOf(Gen.oneOf(('a' to 'f').map(_.toString)))
+    samples(Gen.zip(tokGen, tokGen), 20).foreach { case (a, b) =>
+      val r = Seq((a, b)).toDF("a", "b")
+        .selectExpr("graft_jaccard(a, b) AS native",
+          "CAST(size(array_intersect(a, b)) AS DOUBLE)" +
+            " / size(array_union(a, b)) AS hof")
+        .collect()(0)
+      val (n, h) = (r.getDouble(0), r.getDouble(1))
+      assert(n == h || (n.isNaN && h.isNaN), s"native=$n hof=$h a=$a b=$b")
+    }
+  }
+
+  test("∀ value streams: HLL estimate within 4-sigma of exact distinct") {
+    graft.functions.HllFunctions.register(spark)
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 5000L))
+    samples(gen, 6).foreach { vs =>
+      val df = vs.toDF("v")
+      val r = df.agg(expr("graft_hll(v)").as("est"),
+        countDistinct(col("v")).as("exact")).collect()(0)
+      val (est, exact) = (r.getAs[Long]("est").toDouble,
+        r.getAs[Long]("exact").toDouble)
+      // p=12: rel err ~1.04/sqrt(4096)=1.6%; linear counting exact at
+      // these sizes — allow a loose 7% for small-n noise
+      assert(math.abs(est - exact) / exact <= 0.07,
+        s"est=$est exact=$exact n=${vs.size}")
+    }
+  }
+
+  test("∀ item streams: MG topk never overestimates, bounded undercount") {
+    graft.functions.HllFunctions.register(spark)
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 30L))
+    samples(gen, 6).foreach { vs =>
+      val df = vs.toDF("v")
+      val exact = vs.groupBy(identity).map { case (k, g) =>
+        k -> g.size.toLong }
+      val k = 8
+      val sk = df.agg(expr(s"graft_topk(v, $k)").as("tk"))
+        .selectExpr("inline(tk)").as[(Long, Long)].collect().toMap
+      assert(sk.size <= k)
+      val n = vs.size
+      sk.foreach { case (item, est) =>
+        assert(est <= exact(item), s"overestimate on $item")
+        assert(exact(item) - est <= n / (k + 1) + 1,
+          s"undercount bound broken on $item")
+      }
+      exact.filter(_._2 > n / (k + 1)).keys.foreach(i =>
+        assert(sk.contains(i), s"heavy hitter $i missing (n=$n)"))
+    }
+  }
+
   test("∀ token lists: minhash signature estimates Jaccard within bounds") {
     graft.functions.SketchFunctions.register(spark)
     val tokGen = Gen.nonEmptyListOf(Gen.oneOf(('a' to 'z').map(_.toString)))
