@@ -250,6 +250,42 @@ object Dedup {
         .groupBy(col("rep")).agg(count(lit(1)).as("n_docs"))
         .orderBy(desc("n_docs"), asc("rep"))),
 
+    // Embedding near-dup at scale: hyperplane-LSH bucketed pairs — the
+    // vector sibling of dedup_minhash_lsh. 16 tables of 8 sign bits;
+    // pairs meet inside buckets only (cost ∝ bucket size, not n²),
+    // emitted from their first shared table, verified with the exact
+    // native cosine. Engine-hash buckets => rows-only driver check;
+    // recall vs the exact label-blocked pass asserted in DedupSpec.
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      graft.functions.SketchFunctions.register(s)
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+        .selectExpr("vec_id", "v", "graft_hplsh(v, 16, 8) AS tables")
+      val banded = e
+        .select(col("vec_id"), col("tables"), posexplode(col("tables")))
+        .withColumnRenamed("pos", "table_id")
+        .withColumnRenamed("col", "bucket")
+      val candIds = banded.as("x")
+        .join(banded.as("y"),
+          col("x.table_id") === col("y.table_id") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .filter(expr((0 until 15).map(i =>
+          s"(x.table_id <= $i OR x.tables[$i] != y.tables[$i])")
+          .mkString(" AND ")))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      val vecs = e.select(col("vec_id"), col("v"))
+      candIds
+        .join(vecs.select(col("vec_id").as("a_id"), col("v").as("a_v")),
+          Seq("a_id"))
+        .join(vecs.select(col("vec_id").as("b_id"), col("v").as("b_v")),
+          Seq("b_id"))
+        .selectExpr("a_id", "b_id",
+          "round(graft_cosine(a_v, b_v), 6) AS cos_r")
+        .filter(col("cos_r") >= 0.4)
+    }),
+
     // Embedding-cosine near-dup: top-5 most-similar pairs per label
     // (label-blocked exact pass). Cosine is the native codegen'd
     // graft_cosine expression — the zip_with/aggregate formulation is

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Dedup
+import org.apache.spark.sql.functions.col
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -85,6 +86,31 @@ class DedupSpec extends SparkSpec {
     val sizes = Dedup.queries("dedup_minhash_clusters")(spark, sfDir)
       .select("n_docs").as[Long].collect()
     assert(sizes.sum == nDocs)
+  }
+
+  test("embedding LSH dedup: verified pairs only, decent recall vs exact") {
+    graft.functions.VectorFunctions.register(spark)
+    val lsh = Dedup.queries("dedup_embedding_lsh")(spark, sfDir)
+      .select("a_id", "b_id", "cos_r").as[(Long, Long, Double)].collect()
+    // precision by construction: every emitted pair passed exact verify
+    assert(lsh.forall(_._3 >= 0.4))
+    assert(lsh.map(t => (t._1, t._2)).distinct.length == lsh.length)
+    // exact corpus-wide ground truth at the same threshold
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val exact = e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .selectExpr("a.vec_id AS a_id", "b.vec_id AS b_id",
+        "round(graft_cosine(a.v, b.v), 6) AS c")
+      .filter(col("c") >= 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    if (exact.nonEmpty) {
+      val found = lsh.map(t => (t._1, t._2)).toSet
+      val recall = exact.count(found.contains).toDouble / exact.size
+      // 8-bit tables over near-orthogonal random vectors: recall is
+      // necessarily partial; assert materially better than chance
+      assert(recall >= 0.1, s"embedding LSH recall $recall of ${exact.size}")
+    }
   }
 
   test("embedding cosine: non-empty, top-5 per label, valid cosines") {

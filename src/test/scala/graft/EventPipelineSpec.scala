@@ -183,6 +183,32 @@ class EventPipelineSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint recovery: restart resumes offsets, no reprocessing") {
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val (inDir, outDir, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    new java.io.File(inDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inDir/batch0.txt"),
+      Seq(ev("c1"), ev("c2")).mkString("\n"))
+    def start() = EventPipeline.parquetSink(
+      EventPipeline.pipeline(spark.readStream.format("text").load(inDir)),
+      outDir, ckpt).start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(outDir).count() == 2)
+    // new data arrives while the query is down
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inDir/batch1.txt"),
+      Seq(ev("c3")).mkString("\n"))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val out = spark.read.parquet(outDir)
+    // c1/c2 NOT reprocessed (append sink would have duplicated them)
+    assert(out.count() == 3)
+    assert(out.select("event_id").distinct().count() == 3)
+  }
+
   test("file stream end-to-end: parquet sink with partition pruning cols") {
     implicit val sc = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
