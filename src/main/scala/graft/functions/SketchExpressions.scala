@@ -244,6 +244,52 @@ case class JaccardSim(left: Expression, right: Expression)
       newRight: Expression): JaccardSim = copy(newLeft, newRight)
 }
 
+/** Exact Jaccard over two SORTED-ASCENDING, DISTINCT ARRAY<BIGINT>
+  * columns (token hashes): two-pointer merge, O(|a|+|b|), zero
+  * allocation per row. The verification fast path for LSH candidate
+  * pairs at scale — hashing tokens once per DOC and shuffling 8-byte
+  * longs instead of strings cuts the pair-join shuffle several-fold,
+  * and the merge needs no hash set. The sorted/distinct contract is the
+  * caller's (produce with `sort_array(array_distinct(transform(toks,
+  * t -> xxhash64(t))))`); unsorted input yields undefined results. */
+case class JaccardSortedLong(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments")
+
+  override def prettyName: String = "graft_jaccard_sorted"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    java.lang.Double.valueOf(inter.toDouble / union) // NaN on 0/0
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): JaccardSortedLong = copy(newLeft, newRight)
+}
+
 object SketchFunctions {
   private[functions] def intLitArg(e: Expression, what: String): Int =
     intLit(e, what)
@@ -267,6 +313,8 @@ object SketchFunctions {
         intLit(exprs(1), "tables"), intLit(exprs(2), "bits")), "built-in")
     reg.createOrReplaceTempFunction("graft_jaccard",
       exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard_sorted",
+      exprs => JaccardSortedLong(exprs(0), exprs(1)), "built-in")
     VectorFunctions.attachRewrite(spark)
   }
 }

@@ -157,16 +157,21 @@ object Dedup {
             "xxhash64(b, slice(sig, b*4+1, 4))) AS bands")
       // Pair emission (first-shared-band, bucket-capped) is the shared
       // lshCandidatePairs helper; token arrays never travel through the
-      // pair join — bare ids pair up, arrays re-join after.
+      // pair join — bare ids pair up, and the exact verify joins SORTED
+      // 64-BIT TOKEN HASHES (8 B/token, hashed once per doc) instead of
+      // strings: several-fold less shuffle and a zero-allocation
+      // two-pointer jaccard (graft_jaccard_sorted) per candidate.
       val candIds = lshCandidatePairs(sig)
       val docToks = sig.select(col("doc_id"), col("toks"))
+        .selectExpr("doc_id",
+          "sort_array(transform(toks, t -> xxhash64(t))) AS th")
       candIds
         .join(docToks.select(col("doc_id").as("a_id"),
-          col("toks").as("a_toks")), Seq("a_id"))
+          col("th").as("a_th")), Seq("a_id"))
         .join(docToks.select(col("doc_id").as("b_id"),
-          col("toks").as("b_toks")), Seq("b_id"))
+          col("th").as("b_th")), Seq("b_id"))
         .selectExpr("a_id", "b_id",
-          "graft_jaccard(a_toks, b_toks) AS jaccard")
+          "graft_jaccard_sorted(a_th, b_th) AS jaccard")
         .filter(col("jaccard") >= 0.8)
     // no final orderBy: the pair set is rows-only checked (no oracle)
     // and on the self-similar corpus it is ~n² rows — a global sort of
@@ -191,16 +196,19 @@ object Dedup {
           "transform(sequence(0, 7), b -> " +
             "xxhash64(b, slice(sig, b*4+1, 4))) AS bands")
       val candIds = lshCandidatePairs(sig)
-      // shingle strings materialized once per doc, only for verification
+      // shingle hashes materialized once per doc, only for verification
+      // (sorted longs — same fast verify path as the token variant)
       val docSh = sig.select(col("doc_id"), col("toks"))
         .selectExpr("doc_id", s"$shinglesFromToks AS sh")
-        .selectExpr("doc_id", "array_distinct(sh) AS sh")
+        .selectExpr("doc_id",
+          "sort_array(array_distinct(transform(sh, x -> xxhash64(x)))) AS sh")
       candIds
         .join(docSh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
           Seq("a_id"))
         .join(docSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
           Seq("b_id"))
-        .selectExpr("a_id", "b_id", "graft_jaccard(a_sh, b_sh) AS jaccard")
+        .selectExpr("a_id", "b_id",
+          "graft_jaccard_sorted(a_sh, b_sh) AS jaccard")
         .filter(col("jaccard") >= 0.7) // rows-only check: no output sort
     }),
 

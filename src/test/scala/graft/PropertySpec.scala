@@ -86,6 +86,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("∀ token lists: sorted-hash jaccard ≡ string-set jaccard") {
+    graft.functions.SketchFunctions.register(spark)
+    val tokGen = Gen.listOf(Gen.oneOf(('a' to 'h').map(_.toString)))
+    samples(Gen.zip(tokGen, tokGen), 20).foreach { case (a, b) =>
+      val r = Seq((a, b)).toDF("a", "b")
+        .selectExpr(
+          "graft_jaccard(array_distinct(a), array_distinct(b)) AS str",
+          "graft_jaccard_sorted(" +
+            "sort_array(array_distinct(transform(a, t -> xxhash64(t)))), " +
+            "sort_array(array_distinct(transform(b, t -> xxhash64(t))))) " +
+            "AS hashed")
+        .collect()(0)
+      val (s, h) = (r.getDouble(0), r.getDouble(1))
+      assert(s == h || (s.isNaN && h.isNaN), s"str=$s hashed=$h a=$a b=$b")
+    }
+  }
+
   test("∀ value streams: HLL estimate within 4-sigma of exact distinct") {
     graft.functions.HllFunctions.register(spark)
     val gen = Gen.nonEmptyListOf(Gen.choose(0L, 5000L))
