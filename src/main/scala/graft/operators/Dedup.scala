@@ -326,12 +326,17 @@ object Dedup {
     * doc_id always holds. */
   def minhashClusterAssignments(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SketchFunctions.register(s)
+    // persist the (doc_id, bkt) edge list: the fixed-point loop below
+    // references it 2x per round, and without materialization the whole
+    // unrolled plan recomputes the minhash signatures 6x. O(8n) longs —
+    // the standard iterative-graph practice (GraphX does the same).
     val edges = docs(s, dir)
       .selectExpr("doc_id", s"$tokSet AS toks")
       .selectExpr("doc_id", "graft_minhash(toks, 32, 1) AS sig")
       .selectExpr("doc_id",
         "explode(transform(sequence(0, 7), b -> " +
           "xxhash64(b, slice(sig, b*4+1, 4)))) AS bkt")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var rep = edges.select(col("doc_id")).distinct()
       .withColumn("rep", col("doc_id"))
     for (_ <- 0 until 3) {

@@ -108,6 +108,20 @@ object EventAnalytics {
         .orderBy(asc("hour"))
     }),
 
+    // A5 sliding variant: 2-hour windows advancing hourly — each event
+    // lands in exactly two windows (epoch-aligned, matching the oracle's
+    // explicit two-window unnest). Same single-shuffle aggregation shape
+    // as the tumbling form.
+    "events_sliding_hours" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:00").as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(asc("w_start"), asc("event_type"))
+    }),
+
     // A6/A7: top-k users with distinct counts + deterministic type set
     // (sorted, comma-joined — the reference dedups in Python, A8).
     // Plans as partial-agg + TakeOrderedAndProject: no global sort.
@@ -243,6 +257,15 @@ object EventAnalytics {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "events_sliding_hours" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:00') AS w_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_type, value,
+        |    unnest([date_trunc('hour', ts),
+        |            date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+        |  FROM events)
+        |GROUP BY ws, event_type ORDER BY w_start, event_type""".stripMargin,
     "events_top_users" ->
       """SELECT user_id, count(*) AS n_events,
         |  count(DISTINCT event_type) AS n_types,
