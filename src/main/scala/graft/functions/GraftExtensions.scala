@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("graft_jaccard",
       "graft_jaccard(a, b) - exact token-set Jaccard, no temp arrays",
       exprs => JaccardSim(exprs(0), exprs(1))))
+    e.injectFunction(fn("graft_jaccard_sorted",
+      "graft_jaccard_sorted(a, b) - Jaccard over sorted ARRAY<BIGINT>",
+      exprs => JaccardSortedLong(exprs(0), exprs(1))))
     def prec(exprs: Seq[Expression]): Int =
       if (exprs.length >= 2) SketchFunctions.intLitArg(exprs(1), "precision")
       else Hll.DefaultPrecision
