@@ -50,9 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("graft_jaccard_sorted",
       "graft_jaccard_sorted(a, b) - Jaccard over sorted ARRAY<BIGINT>",
       exprs => JaccardSortedLong(exprs(0), exprs(1))))
-    def prec(exprs: Seq[Expression]): Int =
-      if (exprs.length >= 2) SketchFunctions.intLitArg(exprs(1), "precision")
-      else Hll.DefaultPrecision
+    val prec = HllFunctions.precisionOf _
     e.injectFunction(fn("graft_hll",
       "graft_hll(col[, p]) - HyperLogLog distinct estimate",
       exprs => HllCardinality(exprs.head, prec(exprs))))

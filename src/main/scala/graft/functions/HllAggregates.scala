@@ -120,15 +120,14 @@ abstract class HllAggBase extends TypedImperativeAggregate[Array[Byte]]
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
 
   override def nullable: Boolean = false
-}
 
-/** `graft_hll(col, p)` → BIGINT estimated distinct count of col. */
-case class HllCardinality(child: Expression, precision: Int,
-    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends HllAggBase {
-
-  override def prettyName: String = "graft_hll"
-  override def dataType: DataType = LongType
+  /** Shared value-hashing update for the two sketch-building faces
+    * (the union face overrides with sketch-merge semantics). */
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) Hll.add(buffer, Hll.hashValue(v, child.dataType))
+    buffer
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val p = checkPrecision()
@@ -138,12 +137,15 @@ case class HllCardinality(child: Expression, precision: Int,
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName cannot hash ${child.dataType.simpleString}")
   }
+}
 
-  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
-    val v = child.eval(input)
-    if (v != null) Hll.add(buffer, Hll.hashValue(v, child.dataType))
-    buffer
-  }
+/** `graft_hll(col, p)` → BIGINT estimated distinct count of col. */
+case class HllCardinality(child: Expression, precision: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends HllAggBase {
+
+  override def prettyName: String = "graft_hll"
+  override def dataType: DataType = LongType
 
   override def eval(buffer: Array[Byte]): Any = Hll.estimate(buffer)
 
@@ -163,21 +165,6 @@ case class HllSketchAgg(child: Expression, precision: Int,
 
   override def prettyName: String = "graft_hll_sketch"
   override def dataType: DataType = BinaryType
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val p = checkPrecision()
-    if (p != TypeCheckResult.TypeCheckSuccess) p
-    else if (Hll.hashableTypes.contains(child.dataType))
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName cannot hash ${child.dataType.simpleString}")
-  }
-
-  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
-    val v = child.eval(input)
-    if (v != null) Hll.add(buffer, Hll.hashValue(v, child.dataType))
-    buffer
-  }
 
   override def eval(buffer: Array[Byte]): Any = buffer.clone()
 
@@ -208,11 +195,24 @@ case class HllUnionAgg(child: Expression, precision: Int,
     }
   }
 
+  /** Adopt the incoming sketch's size while the buffer is still pristine
+    * (all-zero): `graft_hll_union(sketch)` then works on sketches built
+    * with any precision without repeating the `p` argument; a genuine
+    * mix of precisions within one group still fails fast in Hll.merge. */
+  private def adopting(buffer: Array[Byte],
+      in: Array[Byte]): Array[Byte] =
+    if (in.length != buffer.length && buffer.forall(_ == 0)) in.clone()
+    else Hll.merge(buffer, in)
+
   override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) Hll.merge(buffer, v.asInstanceOf[Array[Byte]])
-    buffer
+    if (v == null) buffer
+    else adopting(buffer, v.asInstanceOf[Array[Byte]])
   }
+
+  override def merge(buffer: Array[Byte], input: Array[Byte]): Array[Byte] =
+    if (input.forall(_ == 0)) buffer // other side never saw a sketch
+    else adopting(buffer, input)
 
   override def eval(buffer: Array[Byte]): Any = Hll.estimate(buffer)
 
@@ -225,7 +225,7 @@ case class HllUnionAgg(child: Expression, precision: Int,
 }
 
 object HllFunctions {
-  private def precisionOf(exprs: Seq[Expression]): Int =
+  private[functions] def precisionOf(exprs: Seq[Expression]): Int =
     if (exprs.length >= 2) SketchFunctions.intLitArg(exprs(1), "precision")
     else Hll.DefaultPrecision
 

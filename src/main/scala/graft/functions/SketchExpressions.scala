@@ -219,6 +219,8 @@ case class JaccardSim(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_jaccard"
 
+  override def nullable: Boolean = true // NULL on empty union
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -235,9 +237,12 @@ case class JaccardSim(left: Expression, right: Expression)
       i += 1
     }
     val union = nA + onlyB.size
-    // NaN (not 0.0) on empty union: bit-equivalent to the composable
-    // form's 0.0/0.0, so the SimilarityRewrite rule is a pure swap
-    java.lang.Double.valueOf(inBoth.size.toDouble / union)
+    // NULL on empty union: Spark's Divide returns NULL (not IEEE NaN)
+    // on a zero divisor in non-ANSI mode, so this is what makes the
+    // SimilarityRewrite swap semantics-preserving — and NaN would sort
+    // ABOVE every real similarity under Spark's NaN-largest ordering.
+    if (union == 0) null
+    else java.lang.Double.valueOf(inBoth.size.toDouble / union)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -268,6 +273,8 @@ case class JaccardSortedLong(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_jaccard_sorted"
 
+  override def nullable: Boolean = true // NULL on empty union
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -283,7 +290,8 @@ case class JaccardSortedLong(left: Expression, right: Expression)
       else j += 1
     }
     val union = na + nb - inter
-    java.lang.Double.valueOf(inter.toDouble / union) // NaN on 0/0
+    if (union == 0) null // align with graft_jaccard / Spark Divide-by-0
+    else java.lang.Double.valueOf(inter.toDouble / union)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,

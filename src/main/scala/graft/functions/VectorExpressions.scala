@@ -82,7 +82,13 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 /** Dot product twin of [[CosineSim]] (no normalization) — for
-  * pre-normalized vector corpora where cosine == dot. */
+  * pre-normalized vector corpora where cosine == dot.
+  *
+  * NULL semantics mirror the higher-order formulation
+  * `aggregate(zip_with(a,b,*),0,+)` exactly — zip_with null-pads the
+  * shorter array and any null element poisons the sum — so the
+  * [[graft.plans.SimilarityRewrite]] swap is semantics-preserving:
+  * length mismatch or a null element yields NULL, never a number. */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
@@ -91,15 +97,22 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     java.lang.Double.valueOf(dot)
   }
 
@@ -110,12 +123,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
   }

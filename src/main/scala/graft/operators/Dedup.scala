@@ -45,47 +45,59 @@ object Dedup {
 
   private val toks = "split(text, ' ')"
 
-  /** "Emit each pair only from its FIRST shared band" as an unrolled
-    * boolean conjunction over the fixed 8-band layout: every band before
-    * x.band_id must have differing bucket hashes. The equivalent
-    * size(filter(sequence(...))) formulation is an interpreted
-    * higher-order lambda evaluated once per raw collision pair — it was
-    * 64% of the round-1 bench; this form stays in whole-stage codegen. */
-  private val firstSharedBand = (0 until 7)
-    .map(i => s"(x.band_id <= $i OR x.bands[$i] != y.bands[$i])")
-    .mkString(" AND ")
-
   /** Candidate (a_id, b_id) pairs from a (doc_id, bands) signature frame:
-    * explode to (band_id, bucket), guard against mega-buckets, self-join
-    * per bucket, emit each pair from its first shared band only.
+    * explode to (band_id, bucket), mask mega-buckets, self-join per
+    * bucket, emit each pair from its first shared SURVIVING band only.
     *
     * The bucket cap is the straggler guard for cluster scale: a bucket of
     * B docs emits B²/2 raw pairs, so one degenerate bucket serializes a
-    * whole stage. Docs in a capped bucket usually still pair via their 7
-    * other bands; a pair whose ONLY shared bands are capped is dropped by
-    * design — such docs sit in a mega-cluster, which is exactly what the
-    * O(n)-output `dedup_minhash_clusters` path handles. The cap is far
-    * above any test-fixture bucket (recall specs unaffected); the spec
-    * additionally exercises a tiny cap to prove the guard bites. */
-  private[graft] def lshCandidatePairs(sig: DataFrame,
+    * whole stage. Capped buckets are MASKED to a per-doc sentinel hash
+    * rather than dropped: sentinels never collide (no pairs, no
+    * straggler), and because the masked values go back into the bands
+    * array, the first-shared-band test sees only surviving bands — docs
+    * sharing one capped bucket still pair through their other shared
+    * bands. A pair whose ONLY shared bands are capped is dropped by
+    * design: such docs sit in a mega-cluster, which is what the
+    * O(n)-output `dedup_minhash_clusters` path handles.
+    *
+    * Implementation notes: the oversized list joins in as a BROADCAST
+    * flag — a count-over-window would pre-partition the self-join input
+    * by bucket and serialize the skewed bucket on one straggler task
+    * with AQE unable to re-split it (measured 10x slower at sf0.1). The
+    * "first shared band" test is an unrolled boolean conjunction (the
+    * size(filter(sequence(...))) formulation is an interpreted lambda
+    * per collision pair — 64% of the round-1 bench). */
+  private[graft] def lshCandidatePairs(sig: DataFrame, nBands: Int = 8,
       bucketCap: Int = 10000): DataFrame = {
     val raw = sig
-      .select(col("doc_id"), col("bands"), posexplode(col("bands")))
+      .select(col("doc_id"), posexplode(col("bands")))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bucket")
-    // Cap via broadcast ANTI-join against the (tiny, usually empty)
-    // oversized-bucket list — NOT a count-over-window: the window would
-    // pre-partition banded rows by bucket, the self-join below would
-    // reuse that clustering, and the skewed mega-bucket would serialize
-    // one straggler task with AQE unable to re-split it (measured 10x
-    // slower at sf0.1). With the anti-join the self-join keeps its own
-    // shuffle and AQE's skew-join splitting stays effective.
     val oversized = raw.groupBy(col("band_id"), col("bucket"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > bucketCap)
-      .select(col("band_id"), col("bucket"))
-    val banded = raw.join(broadcast(oversized),
-      Seq("band_id", "bucket"), "left_anti")
+      .select(col("band_id"), col("bucket"), lit(true).as("capped"))
+    val masked = raw
+      .join(broadcast(oversized), Seq("band_id", "bucket"), "left")
+      .selectExpr("doc_id", "band_id",
+        "CASE WHEN capped THEN xxhash64('graft-capped', doc_id, band_id) " +
+          "ELSE bucket END AS bucket")
+    val withBands = masked.groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(band_id, bucket)))" +
+        ", p -> p.bucket) AS bands"))
+    // Explicit numbered repartition before the self-join: its INPUT is a
+    // few MB (AQE would coalesce the post-aggregation stream to ~1
+    // partition) but its OUTPUT is the full collision-pair fan-out —
+    // sizing the stage by input serializes the explosion in one task.
+    // REPARTITION_BY_NUM is exempt from AQE coalescing.
+    val banded = withBands
+      .repartition(sig.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("bands"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bucket")
+    val firstSharedBand = (0 until nBands - 1)
+      .map(i => s"(x.band_id <= $i OR x.bands[$i] != y.bands[$i])")
+      .mkString(" AND ")
     banded.as("x")
       .join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&
@@ -270,19 +282,11 @@ object Dedup {
       val e = emb(s, dir)
         .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
         .selectExpr("vec_id", "v", "graft_hplsh(v, 16, 8) AS tables")
-      val banded = e
-        .select(col("vec_id"), col("tables"), posexplode(col("tables")))
-        .withColumnRenamed("pos", "table_id")
-        .withColumnRenamed("col", "bucket")
-      val candIds = banded.as("x")
-        .join(banded.as("y"),
-          col("x.table_id") === col("y.table_id") &&
-            col("x.bucket") === col("y.bucket") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .filter(expr((0 until 15).map(i =>
-          s"(x.table_id <= $i OR x.tables[$i] != y.tables[$i])")
-          .mkString(" AND ")))
-        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      // same banded pair machinery (and mega-bucket guard) as the token
+      // variant — table ids play the band role
+      val candIds = lshCandidatePairs(
+        e.select(col("vec_id").as("doc_id"), col("tables").as("bands")),
+        nBands = 16)
       val vecs = e.select(col("vec_id"), col("v"))
       candIds
         .join(vecs.select(col("vec_id").as("a_id"), col("v").as("a_v")),

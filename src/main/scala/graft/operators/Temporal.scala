@@ -93,9 +93,17 @@ object Temporal {
         floor(min(col("value")) / w).cast("long").as("b_min"),
         floor(max(col("value")) / w).cast("long").as("b_max"))
       val bandBuckets = bands.crossJoin(broadcast(bounds))
-        .withColumn("bucket", explode(sequence(
-          greatest(floor(col("lo") / w).cast("long"), col("b_min")),
-          least(floor(col("hi") / w).cast("long"), col("b_max")))))
+        .withColumn("lo_b",
+          greatest(floor(col("lo") / w).cast("long"), col("b_min")))
+        .withColumn("hi_b",
+          least(floor(col("hi") / w).cast("long"), col("b_max")))
+        // guard the empty range: sequence(3, 1) steps DOWNWARD by
+        // default, which would fabricate buckets for a band wholly
+        // outside the data range (correct only thanks to the exact
+        // re-filter, at the cost of join fan-out)
+        .withColumn("bucket", explode(expr(
+          "CASE WHEN lo_b <= hi_b THEN sequence(lo_b, hi_b) " +
+            "ELSE array() END")))
         .select(col("band"), col("lo"), col("hi"), col("bucket"))
       ev(s, dir)
         .withColumn("bucket", floor(col("value") / w).cast("long"))

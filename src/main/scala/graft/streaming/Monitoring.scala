@@ -33,11 +33,18 @@ object Monitoring {
     * the listener bus delivers events from its own thread. */
   final class ProgressMonitor extends StreamingQueryListener {
     private val stats = new ConcurrentHashMap[UUID, QueryStats]()
+    // start order per run id: a checkpoint restart reuses the NAME with
+    // a fresh run — snapshot must expose the latest run, not whichever
+    // map entry iterates last
+    private val startSeq = new ConcurrentHashMap[UUID, Long]()
+    private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-    override def onQueryStarted(e: QueryStartedEvent): Unit =
+    override def onQueryStarted(e: QueryStartedEvent): Unit = {
+      startSeq.put(e.id, seq.incrementAndGet())
       stats.put(e.id,
         QueryStats(Option(e.name).getOrElse(e.id.toString),
           0L, 0L, 0.0, 0L, terminated = false, error = None))
+    }
 
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       val p = e.progress
@@ -60,9 +67,14 @@ object Monitoring {
       stats.computeIfPresent(e.id, (_, prev) =>
         prev.copy(terminated = true, error = e.exception))
 
-    /** Point-in-time view keyed by query name (id string if unnamed). */
+    /** Point-in-time view keyed by query name (id string if unnamed);
+      * when a name has run more than once (checkpoint restart), the
+      * most recently started run wins. */
     def snapshot: Map[String, QueryStats] =
-      stats.values.asScala.map(s => s.name -> s).toMap
+      stats.asScala.toSeq
+        .sortBy { case (id, _) => startSeq.getOrDefault(id, 0L) }
+        .map { case (_, s) => s.name -> s }
+        .toMap // later (higher-seq) entries overwrite earlier ones
   }
 
   /** Attach a fresh monitor to the session's listener bus. */

@@ -47,22 +47,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("bucket cap drops mega-bucket pairs, keeps small-bucket pairs") {
+  test("bucket cap drops mega-bucket pairs, keeps surviving-band pairs") {
     def bands(d: Long, slots: (Int, Long)*): Seq[Long] = {
       val a = Array.tabulate(8)(i => -(d * 100 + i)) // per-doc fillers
       slots.foreach { case (i, v) => a(i) = v }
       a.toSeq
     }
-    // docs 1-5 collide in band 0 (mega bucket); 10+11 collide in band 1
-    val sig = ((1L to 5L).map(d => (d, bands(d, 0 -> 999L))) ++
-      Seq((10L, bands(10L, 1 -> 77L)), (11L, bands(11L, 1 -> 77L))))
+    // docs 1-5 collide in band 0 (mega bucket); 10+11 collide in band 1;
+    // docs 4+5 ALSO collide in band 2 (small bucket) — their pair must
+    // survive the cap through that band even though band 0 is capped
+    val sig = ((1L to 3L).map(d => (d, bands(d, 0 -> 999L))) ++
+      Seq((4L, bands(4L, 0 -> 999L, 2 -> 55L)),
+        (5L, bands(5L, 0 -> 999L, 2 -> 55L)),
+        (10L, bands(10L, 1 -> 77L)), (11L, bands(11L, 1 -> 77L))))
       .toDF("doc_id", "bands")
     val uncapped = Dedup.lshCandidatePairs(sig)
       .as[(Long, Long)].collect().toSet
     assert(uncapped.size == 10 + 1) // C(5,2) mega pairs + the small pair
     val capped = Dedup.lshCandidatePairs(sig, bucketCap = 3)
       .as[(Long, Long)].collect().toSet
-    assert(capped == Set((10L, 11L)))
+    assert(capped == Set((10L, 11L), (4L, 5L)))
   }
 
   test("minhash clusters: cover the corpus, reps minimal, pairs agree") {

@@ -49,6 +49,15 @@ class HllSpec extends SparkSpec {
     assert(rolled == direct)
   }
 
+  test("union adopts the sketch precision without repeating the p arg") {
+    val est = Seq(("a", "x"), ("a", "y"), ("b", "z"))
+      .toDF("g", "v")
+      .groupBy("g").agg(expr("graft_hll_sketch(v, 8)").as("sk"))
+      .agg(expr("graft_hll_union(sk)").as("est")) // default p=12 buffer
+      .as[Long].collect()(0)
+    assert(est == 3L)
+  }
+
   test("register-level algebra: merge is max, estimate monotone-safe") {
     val a = new Array[Byte](1 << 12)
     val b = new Array[Byte](1 << 12)

@@ -81,8 +81,12 @@ class PropertySpec extends SparkSpec {
           "CAST(size(array_intersect(a, b)) AS DOUBLE)" +
             " / size(array_union(a, b)) AS hof")
         .collect()(0)
-      val (n, h) = (r.getDouble(0), r.getDouble(1))
-      assert(n == h || (n.isNaN && h.isNaN), s"native=$n hof=$h a=$a b=$b")
+      // both empty => Divide-by-zero NULL on the HOF side; the native
+      // expression must agree (NULL, not NaN — Spark sorts NaN largest)
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch a=$a b=$b")
+      if (!r.isNullAt(0))
+        assert(r.getDouble(0) == r.getDouble(1),
+          s"native=${r.getDouble(0)} hof=${r.getDouble(1)} a=$a b=$b")
     }
   }
 
@@ -98,8 +102,10 @@ class PropertySpec extends SparkSpec {
             "sort_array(array_distinct(transform(b, t -> xxhash64(t))))) " +
             "AS hashed")
         .collect()(0)
-      val (s, h) = (r.getDouble(0), r.getDouble(1))
-      assert(s == h || (s.isNaN && h.isNaN), s"str=$s hashed=$h a=$a b=$b")
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch a=$a b=$b")
+      if (!r.isNullAt(0))
+        assert(r.getDouble(0) == r.getDouble(1),
+          s"str=${r.getDouble(0)} hashed=${r.getDouble(1)} a=$a b=$b")
     }
   }
 
