@@ -112,6 +112,26 @@ object Relational {
         .limit(10)
     }),
 
+    // TPC-H Q18 shape: join against a HAVING-filtered aggregate — large
+    // orders (total quantity above a cutoff) with their customers. The
+    // aggregate side reduces lineitem to qualifying orderkeys BEFORE the
+    // join, so only heavy orders travel through the customer join.
+    "q18_large_volume_customer" -> ((s, dir) => {
+      val heavy = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      heavy
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+    }),
+
     // TPC-H Q5 shape: local-supplier revenue per nation (6-table join,
     // supplier co-located with customer nation).
     "q5_local_supplier_revenue" -> ((s, dir) => {
@@ -378,6 +398,19 @@ object Relational {
          |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY l_orderkey, orderdate, o_orderpriority
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q18_large_volume_customer" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  o_totalprice, total_qty
+        |FROM (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING total_qty > 150.0) heavy
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q5_local_supplier_revenue" ->
       s"""SELECT n_name, CAST(sum($revSql) AS DOUBLE) AS revenue
          |FROM lineitem

@@ -125,6 +125,20 @@ object Sources {
           |FROM customer JOIN orders ON c_custkey = o_custkey
           |GROUP BY c_mktsegment, o_orderpriority
           |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)
+    }),
+    // explicit GROUPING SETS — the general form behind rollup/cube
+    // (those are covered as DataFrame ops in Relational); the grouping
+    // bit-vector disambiguates aggregated-away columns from NULL data.
+    "sql_grouping_sets" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  grouping_id(o_orderstatus, o_orderpriority) AS gid,
+          |  count(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |  (o_orderstatus), ())
+          |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -141,5 +155,14 @@ object Sources {
       """SELECT c_mktsegment, o_orderpriority, count(*) AS n
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment, o_orderpriority
-        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+    "sql_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+        |    AS gid,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
 }
