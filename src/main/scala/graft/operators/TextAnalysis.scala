@@ -125,6 +125,41 @@ object TextAnalysis {
         .orderBy(asc("lang"), asc("source"))
     }),
 
+    // Reproducible train/val/test assignment: a PORTABLE multiplicative
+    // hash (Knuth 2654435761 mod 2^32 — plain integer arithmetic, so the
+    // DuckDB oracle computes the identical value; engine hash functions
+    // like xxhash64 could never be oracle-compared) buckets every doc
+    // 80/10/10. Pure narrow projection + one keyed aggregation; at
+    // 100 TB the same expression IS the split predicate on any engine.
+    "docs_split_counts" -> ((s, dir) => {
+      docs(s, dir)
+        .selectExpr("lang",
+          "CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) % 100 AS h")
+        .selectExpr("lang",
+          "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' " +
+            "ELSE 'test' END AS split")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc("lang"), asc("split"))
+    }),
+
+    // Deterministic per-group sampling: k docs per lang in hash order —
+    // the reproducible "take a sample of every stratum" primitive
+    // (window over the portable hash; no rand(), so re-runs and engines
+    // agree bit-for-bit).
+    "docs_sample_per_lang" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(asc("h"), asc("doc_id"))
+      docs(s, dir)
+        .selectExpr("doc_id", "lang",
+          "CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(asc("lang"), asc("rk"))
+    }),
+
     // Heavy-hitters census via the mergeable Misra-Gries sketch
     // (graft.functions.MisraGriesTopK): at most k counters per partial
     // buffer — the vocabulary census a 100 TB corpus runs WITHOUT a
@@ -218,6 +253,23 @@ object TextAnalysis {
          |      len(list_distinct($toksSql)) AS n_uniq
          |    FROM documents))
          |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "docs_split_counts" ->
+      """SELECT lang,
+        |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM (SELECT lang,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) % 100 AS h
+        |  FROM documents)
+        |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "docs_sample_per_lang" ->
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |      ORDER BY h, doc_id) AS rk
+        |  FROM (SELECT lang, doc_id,
+        |      CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h
+        |    FROM documents))
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
     // exact regime (k >= |vocab|) => identical to a plain GROUP BY
     "term_topk_sketch" ->
       s"""SELECT term, count(*) AS est_count
