@@ -12,6 +12,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("splits partition the corpus ~80/10/10; samples bounded per lang") {
+    val splits = TextAnalysis.queries("docs_split_counts")(spark, sfDir)
+      .select("split", "n").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = splits.values.sum
+    assert(total == Tables.load(spark, sfDir, "documents").count())
+    assert(splits.keySet == Set("train", "val", "test"))
+    val trainFrac = splits("train").toDouble / total
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train frac $trainFrac")
+    val sample = TextAnalysis.queries("docs_sample_per_lang")(spark, sfDir)
+      .select("lang", "rk").as[(String, Int)].collect()
+    sample.groupBy(_._1).values.foreach { g =>
+      assert(g.length <= 5)
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length))
+    }
+    // determinism: two runs give identical samples
+    val again = TextAnalysis.queries("docs_sample_per_lang")(spark, sfDir)
+      .select("lang", "rk").as[(String, Int)].collect()
+    assert(sample.toSeq == again.toSeq)
+  }
+
   test("curation funnel: monotone, covers corpus, every stage bites") {
     val rows = TextAnalysis.queries("docs_curation_funnel")(spark, sfDir)
       .select("n_docs", "n_after_dedup", "n_kept")
