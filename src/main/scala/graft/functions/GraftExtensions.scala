@@ -59,7 +59,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => HllSketchAgg(exprs.head, prec(exprs))))
     e.injectFunction(fn("graft_hll_union",
       "graft_hll_union(sketch[, p]) - estimate over unioned sketches",
-      exprs => HllUnionAgg(exprs.head, prec(exprs))))
+      exprs => HllUnionAgg(exprs.head, prec(exprs),
+        precisionExplicit = exprs.length >= 2)))
     e.injectFunction(fn("graft_topk",
       "graft_topk(col, k) - Misra-Gries heavy hitters",
       exprs => MisraGriesTopK(exprs.head,

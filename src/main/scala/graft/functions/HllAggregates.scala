@@ -176,9 +176,14 @@ case class HllSketchAgg(child: Expression, precision: Int,
     copy(child = c)
 }
 
-/** `graft_hll_union(sketch, p)` → BIGINT estimate over unioned BINARY
-  * sketches (the cross-partition / cross-day rollup face). */
+/** `graft_hll_union(sketch[, p])` → BIGINT estimate over unioned BINARY
+  * sketches (the cross-partition / cross-day rollup face).
+  * `precisionExplicit` records whether the user passed `p`: with a
+  * defaulted precision the union ADOPTS the incoming sketches' size,
+  * but an explicit `p` that contradicts the data must fail fast, not
+  * silently proceed at the sketches' (coarser) accuracy. */
 case class HllUnionAgg(child: Expression, precision: Int,
+    precisionExplicit: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends HllAggBase {
 
@@ -196,12 +201,14 @@ case class HllUnionAgg(child: Expression, precision: Int,
   }
 
   /** Adopt the incoming sketch's size while the buffer is still pristine
-    * (all-zero): `graft_hll_union(sketch)` then works on sketches built
-    * with any precision without repeating the `p` argument; a genuine
-    * mix of precisions within one group still fails fast in Hll.merge. */
+    * (all-zero) — only when `p` was defaulted: `graft_hll_union(sketch)`
+    * then works on sketches built with any precision. An explicit `p`
+    * disagreeing with the data, or a genuine precision mix within one
+    * group, still fails fast in Hll.merge. */
   private def adopting(buffer: Array[Byte],
       in: Array[Byte]): Array[Byte] =
-    if (in.length != buffer.length && buffer.forall(_ == 0)) in.clone()
+    if (!precisionExplicit && in.length != buffer.length &&
+        buffer.forall(_ == 0)) in.clone()
     else Hll.merge(buffer, in)
 
   override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
@@ -237,7 +244,8 @@ object HllFunctions {
     reg.createOrReplaceTempFunction("graft_hll_sketch",
       exprs => HllSketchAgg(exprs.head, precisionOf(exprs)), "built-in")
     reg.createOrReplaceTempFunction("graft_hll_union",
-      exprs => HllUnionAgg(exprs.head, precisionOf(exprs)), "built-in")
+      exprs => HllUnionAgg(exprs.head, precisionOf(exprs),
+        precisionExplicit = exprs.length >= 2), "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       exprs => MisraGriesTopK(exprs.head,
         SketchFunctions.intLitArg(exprs(1), "k")), "built-in")

@@ -126,15 +126,20 @@ object TextAnalysis {
     }),
 
     // Reproducible train/val/test assignment: a PORTABLE multiplicative
-    // hash (Knuth 2654435761 mod 2^32 — plain integer arithmetic, so the
-    // DuckDB oracle computes the identical value; engine hash functions
-    // like xxhash64 could never be oracle-compared) buckets every doc
-    // 80/10/10. Pure narrow projection + one keyed aggregation; at
-    // 100 TB the same expression IS the split predicate on any engine.
+    // hash (Knuth 2654435761 — plain integer arithmetic, so the DuckDB
+    // oracle computes the identical value; engine hash functions like
+    // xxhash64 could never be oracle-compared) buckets every doc
+    // 80/10/10. The id is reduced mod the prime 1000003 BEFORE the
+    // multiply so the product stays under 2^63 for any BIGINT id — the
+    // unreduced form silently wraps negative in Spark (everything lands
+    // in 'train') and errors in DuckDB once ids pass ~3.4e9. Pure
+    // narrow projection + one keyed aggregation; at 100 TB the same
+    // expression IS the split predicate on any engine.
     "docs_split_counts" -> ((s, dir) => {
       docs(s, dir)
         .selectExpr("lang",
-          "CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) % 100 AS h")
+          "CAST(((doc_id % 1000003) * 2654435761) % 4294967296 AS BIGINT)" +
+            " % 100 AS h")
         .selectExpr("lang",
           "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' " +
             "ELSE 'test' END AS split")
@@ -153,7 +158,8 @@ object TextAnalysis {
         .orderBy(asc("h"), asc("doc_id"))
       docs(s, dir)
         .selectExpr("doc_id", "lang",
-          "CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h")
+          "CAST(((doc_id % 1000003) * 2654435761) % 4294967296 AS BIGINT)" +
+            " AS h")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("lang"), col("rk"), col("doc_id"))
@@ -259,7 +265,8 @@ object TextAnalysis {
         |       ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM (SELECT lang,
-        |    CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) % 100 AS h
+        |    CAST(((doc_id % 1000003) * 2654435761) % 4294967296 AS BIGINT)
+        |      % 100 AS h
         |  FROM documents)
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "docs_sample_per_lang" ->
@@ -267,7 +274,8 @@ object TextAnalysis {
         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
         |      ORDER BY h, doc_id) AS rk
         |  FROM (SELECT lang, doc_id,
-        |      CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h
+        |      CAST(((doc_id % 1000003) * 2654435761) % 4294967296 AS BIGINT)
+        |        AS h
         |    FROM documents))
         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
     // exact regime (k >= |vocab|) => identical to a plain GROUP BY

@@ -18,13 +18,16 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
   *  - `aggregate(v, 0.0, (acc,x)->acc+x*x)`
   *      → `graft_dot(v, v)`            (the norm² inner loop)
   *
-  * All three rewrites are bit-exact: the native loops accumulate
-  * left-to-right in double like the lambda interpreter, IEEE multiply
-  * and add are commutative in their operands, and JaccardSim yields NaN
-  * on an empty union exactly like 0.0/0.0. Higher-order lambdas are
-  * never admitted to whole-stage codegen, so this is the difference
-  * between an interpreted per-element closure and a fused JVM loop on
-  * the hot similarity paths.
+  * All three rewrites are semantics-preserving: the native loops
+  * accumulate left-to-right in double like the lambda interpreter, IEEE
+  * multiply and add are commutative in their operands, JaccardSim
+  * yields NULL on an empty union exactly like Spark's non-ANSI
+  * Divide-by-zero (NULL, never NaN — NaN would sort above every real
+  * similarity), and DotProduct yields NULL on length mismatch or null
+  * elements exactly like the null-padding zip_with form. Higher-order
+  * lambdas are never admitted to whole-stage codegen, so this is the
+  * difference between an interpreted per-element closure and a fused
+  * JVM loop on the hot similarity paths.
   *
   * Registered two ways: `GraftExtensions.injectOptimizerRule` (cluster
   * deployment) and `spark.experimental.extraOptimizations` (runtime
