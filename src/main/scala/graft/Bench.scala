@@ -61,8 +61,18 @@ object Bench {
     // Per-query detail first, compact headline LAST: the driver reads a
     // bounded tail window, and round 1 lost the total because the single
     // long line was truncated at the front of that window.
-    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    val perQueryLine =
+      s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    println(perQueryLine)
+    println(totalLine)
+    // Belt-and-braces: rounds 1 and 2 both lost the stdout line to log
+    // plumbing (tail truncation, then sbt's "[info] " prefix). Persist the
+    // same two lines to a file so the numbers are always recoverable.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val w = new java.io.PrintWriter(new java.io.File(outPath))
+    try { w.println(perQueryLine); w.println(totalLine) } finally w.close()
     spark.stop()
   }
 }
