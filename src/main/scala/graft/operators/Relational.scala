@@ -345,6 +345,125 @@ object Relational {
         .orderBy(asc("o_orderstatus"))
     }),
 
+    // LEFT OUTER join — the most common join a real user writes:
+    // customers with their 1996 order count INCLUDING zeros (the shape
+    // inner/semi/anti cannot express). Built scale-first: the fact side
+    // is pre-aggregated to per-custkey totals BEFORE the join, so the
+    // outer join's right side is ≤ |customer| rows and legally
+    // broadcastable — for LEFT OUTER only the non-preserved (right)
+    // side may build the hash table, and that is exactly the side we
+    // shrink. Null-extended rows surface through coalesce.
+    "outer_customer_order_counts" -> ((s, dir) => {
+      val oAgg = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_o"),
+          sum(dec(col("o_totalprice"))).cast("double").as("spend"))
+      t(s, dir, "customer")
+        .join(broadcast(oAgg), col("c_custkey") === col("o_custkey"),
+          "left_outer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          coalesce(col("n_o"), lit(0L)).as("n_orders_1996"),
+          coalesce(col("spend"), lit(0.0)).as("spend_1996"))
+        .orderBy(asc("c_custkey"))
+    }),
+
+    // RIGHT OUTER join, direct form: parts with their January-1995
+    // sales including never-sold parts. count(l_orderkey) skips the
+    // null-extended rows — the canonical "count including zero"
+    // semantics — and the null-group sum is coalesced after the
+    // aggregation. (For RIGHT OUTER the build side must be the LEFT
+    // (non-preserved) side; the filtered fact is too large to
+    // broadcast, so this plans as a shuffle join — at cluster scale
+    // the pre-aggregate form above is the cheaper equivalent.)
+    "outer_right_parts_sold" -> ((s, dir) => {
+      val liJan = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-02-01").cast("timestamp"))
+      liJan
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"),
+          "right_outer")
+        .groupBy(col("p_partkey"), col("p_brand"))
+        .agg(count(col("l_orderkey")).as("n_sold"),
+          coalesce(sum(dec(col("l_quantity"))).cast("double"), lit(0.0))
+            .as("qty_sold"))
+        .orderBy(asc("p_partkey"))
+    }),
+
+    // FULL OUTER join: per-customer 1995-vs-1996 activity matrix with
+    // both null sides surfaced (coalesced keys/counts + a CASE that
+    // names which side was missing). Broadcast is NEVER legal for full
+    // outer (both sides are preserved), so this is inherently the
+    // shuffle/sort-merge path — asserted in RelationalSpec.
+    "outer_full_year_matrix" -> ((s, dir) => {
+      def yearAgg(y: Int) = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(s"n_$y"),
+          sum(dec(col("o_totalprice"))).cast("double").as(s"spend_$y"))
+      val a = yearAgg(1995).withColumnRenamed("o_custkey", "k95")
+      val b = yearAgg(1996).withColumnRenamed("o_custkey", "k96")
+      a.join(b, col("k95") === col("k96"), "full_outer")
+        .select(coalesce(col("k95"), col("k96")).as("custkey"),
+          coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+          coalesce(col("n_1996"), lit(0L)).as("n_1996"),
+          coalesce(col("spend_1995"), lit(0.0)).as("spend_1995"),
+          coalesce(col("spend_1996"), lit(0.0)).as("spend_1996"),
+          when(col("k95").isNull, "joined")
+            .when(col("k96").isNull, "churned")
+            .otherwise("retained").as("activity"))
+        .orderBy(asc("custkey"))
+    }),
+
+    // Null-semantics battery: coalesce / nullif / null-safe equality
+    // (<=>) / CASE with null arms / NULLS FIRST ordering — the scalar
+    // corner where engines actually disagree, pinned against the
+    // oracle. Booleans are cast to INT so the nullable three-valued
+    // results (true/false/NULL) hash identically across engines.
+    "null_semantics_battery" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_n"))
+        .select(
+          col("o_orderkey"),
+          col("status_n"),
+          coalesce(col("status_n"), lit("open")).as("status_filled"),
+          (col("status_n") <=> lit("F")).cast("int").as("eq_nullsafe"),
+          (col("status_n") === lit("F")).cast("int").as("eq_plain"),
+          when(col("status_n").isNull, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")).as("price_if_closed"))
+        .orderBy(asc_nulls_first("status_n"), asc("o_orderkey"))
+    }),
+
+    // Window-function tail: ntile quartiles, percent_rank, first/nth
+    // value over an explicit full frame, and a RANGE-framed trailing
+    // 30-day running spend (range frames need a numeric sort key, so
+    // the order date becomes a day index — which is also how an
+    // engine-portable range frame is written). All windows partition
+    // by the high-cardinality custkey.
+    "window_tail_stats" -> ((s, dir) => {
+      val wRank = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      val wFull = wRank
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRange = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day_idx")).rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .withColumn("day_idx",
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(wRank).as("quartile"),
+          percent_rank().over(wRank).as("pct_rank"),
+          first(col("o_orderkey")).over(wFull).as("first_key"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"),
+          sum(dec(col("o_totalprice"))).over(wRange).cast("double")
+            .as("spend_30d"))
+        .orderBy(asc("o_custkey"), asc("o_orderkey"))
+    }),
+
     // Small broadcast chain: customer count per region.
     "customers_per_region" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -548,6 +667,86 @@ object Relational {
          |  count(*) AS n_items
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "outer_customer_order_counts" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  coalesce(n_o, 0) AS n_orders_1996,
+        |  coalesce(spend, 0.0) AS spend_1996
+        |FROM customer
+        |LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_o,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |      AS spend
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY o_custkey) o ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "outer_right_parts_sold" ->
+      """SELECT p_partkey, p_brand, count(l_orderkey) AS n_sold,
+        |  coalesce(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE),
+        |    0.0) AS qty_sold
+        |FROM (SELECT * FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |        AND l_shipdate < TIMESTAMP '1995-02-01 00:00:00') l
+        |RIGHT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey, p_brand ORDER BY p_partkey""".stripMargin,
+    "outer_full_year_matrix" ->
+      """WITH a95 AS (
+        |  SELECT o_custkey, count(*) AS n_1995,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |      AS spend_1995
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY o_custkey),
+        |a96 AS (
+        |  SELECT o_custkey, count(*) AS n_1996,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |      AS spend_1996
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY o_custkey)
+        |SELECT coalesce(a95.o_custkey, a96.o_custkey) AS custkey,
+        |  coalesce(n_1995, 0) AS n_1995,
+        |  coalesce(n_1996, 0) AS n_1996,
+        |  coalesce(spend_1995, 0.0) AS spend_1995,
+        |  coalesce(spend_1996, 0.0) AS spend_1996,
+        |  CASE WHEN a95.o_custkey IS NULL THEN 'joined'
+        |       WHEN a96.o_custkey IS NULL THEN 'churned'
+        |       ELSE 'retained' END AS activity
+        |FROM a95 FULL OUTER JOIN a96 ON a95.o_custkey = a96.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "null_semantics_battery" ->
+      """SELECT o_orderkey, status_n,
+        |  coalesce(status_n, 'open') AS status_filled,
+        |  CAST(status_n IS NOT DISTINCT FROM 'F' AS INT) AS eq_nullsafe,
+        |  CAST(status_n = 'F' AS INT) AS eq_plain,
+        |  CASE WHEN status_n IS NULL THEN NULL
+        |       ELSE o_totalprice END AS price_if_closed
+        |FROM (SELECT o_orderkey, o_totalprice,
+        |        nullif(o_orderstatus, 'O') AS status_n
+        |      FROM orders WHERE o_orderkey < 1000)
+        |ORDER BY status_n NULLS FIRST, o_orderkey""".stripMargin,
+    "window_tail_stats" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ntile(4) OVER wr AS quartile,
+        |  percent_rank() OVER wr AS pct_rank,
+        |  first_value(o_orderkey) OVER wf AS first_key,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY day_idx
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS spend_30d
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |        date_diff('day', DATE '1995-01-01',
+        |          CAST(o_orderdate AS DATE)) AS day_idx
+        |      FROM orders)
+        |WINDOW wr AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "customers_per_region" ->
       """SELECT r_name, count(*) AS n_customers,
         |  count(DISTINCT n_name) AS n_nations

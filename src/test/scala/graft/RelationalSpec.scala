@@ -112,6 +112,91 @@ class RelationalSpec extends SparkSpec {
     assert(gids == Set(0L, 1L, 2L, 3L))
   }
 
+  test("left outer: every customer preserved incl. zero counts; " +
+      "broadcast lands on the non-preserved side") {
+    val df = Relational.queries("outer_customer_order_counts")(spark, sfDir)
+    val rows = df.collect()
+    val all = Tables.load(spark, sfDir, "customer").count()
+    assert(rows.length == all, "left outer must preserve every customer")
+    assert(rows.exists(_.getAs[Long]("n_orders_1996") == 0L),
+      "must include zero-order customers")
+    // broadcast is legal for LEFT OUTER only on the right (non-
+    // preserved) side — which is the pre-aggregated one we shrank.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"expected broadcast left-outer join:\n${plan.take(2000)}")
+  }
+
+  test("right outer: every part preserved; count skips null-extended rows") {
+    val rows = Relational.queries("outer_right_parts_sold")(spark, sfDir)
+      .collect()
+    val parts = Tables.load(spark, sfDir, "part").count()
+    assert(rows.length == parts, "right outer must preserve every part")
+    val unsold = rows.filter(_.getAs[Long]("n_sold") == 0L)
+    assert(unsold.nonEmpty, "fixture must contain unsold parts in the window")
+    unsold.foreach(r => assert(r.getAs[Double]("qty_sold") == 0.0))
+  }
+
+  test("full outer matrix: activity labels match the null sides; " +
+      "plans as sort-merge (broadcast illegal for full outer)") {
+    val df = Relational.queries("outer_full_year_matrix")(spark, sfDir)
+    val rows = df.collect()
+    rows.foreach { r =>
+      val act = r.getAs[String]("activity")
+      if (r.getAs[Long]("n_1995") == 0L) assert(act == "joined")
+      else if (r.getAs[Long]("n_1996") == 0L) assert(act == "churned")
+      else assert(act == "retained")
+    }
+    assert(rows.exists(_.getAs[String]("activity") == "joined"))
+    assert(rows.exists(_.getAs[String]("activity") == "churned"))
+    // agreement with the EXCEPT formulation of churn
+    val churned = Relational.queries("setop_churned_customers")(spark, sfDir)
+      .count()
+    assert(rows.count(_.getAs[String]("activity") == "churned") == churned)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"plan:\n${plan.take(2000)}")
+    assert(plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"full outer must not broadcast:\n${plan.take(2000)}")
+  }
+
+  test("null battery: <=> is total, = propagates null, coalesce fills") {
+    val rows = Relational.queries("null_semantics_battery")(spark, sfDir)
+      .collect()
+    assert(rows.exists(_.isNullAt(1)), "battery needs null status rows")
+    assert(rows.exists(!_.isNullAt(1)), "battery needs non-null status rows")
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("eq_nullsafe")),
+        "null-safe equality must never be null")
+      if (r.isNullAt(r.fieldIndex("status_n"))) {
+        assert(r.isNullAt(r.fieldIndex("eq_plain")),
+          "plain = must propagate null")
+        assert(r.getAs[Int]("eq_nullsafe") == 0)
+        assert(r.getAs[String]("status_filled") == "open")
+        assert(r.isNullAt(r.fieldIndex("price_if_closed")))
+      }
+    }
+  }
+
+  test("window tail: quartile bounds, percent_rank range, stable " +
+      "first/nth value, positive range-framed spend") {
+    val rows = Relational.queries("window_tail_stats")(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).values.foreach { grp =>
+      assert(grp.forall { r =>
+        val q = r.getAs[Int]("quartile"); q >= 1 && q <= 4
+      })
+      assert(grp.forall { r =>
+        val p = r.getAs[Double]("pct_rank"); p >= 0.0 && p <= 1.0
+      })
+      assert(grp.map(_.getAs[Long]("first_key")).toSet.size == 1,
+        "first_value must be constant within the partition")
+      if (grp.length == 1)
+        assert(grp.head.isNullAt(grp.head.fieldIndex("second_key")),
+          "nth_value(2) must be null for a single-row partition")
+      assert(grp.forall(_.getAs[Double]("spend_30d") > 0.0),
+        "trailing spend includes the current row, so it is positive")
+    }
+  }
+
   test("broadcast joins plan as BroadcastHashJoin, no shuffle of dims") {
     val plan = Relational.queries("star_revenue_by_nation")(spark, sfDir)
       .queryExecution.executedPlan.toString
