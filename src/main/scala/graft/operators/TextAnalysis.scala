@@ -30,15 +30,17 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     // Token counting: per-language corpus statistics. The `bpe_ish`
-    // count approximates subword counts with a deterministic regex
-    // (runs of ≤4 chars), a cheap stand-in for a real BPE vocab.
+    // count approximates subword counts by chunking every token into
+    // runs of ≤4 chars — counted directly with one compiled-regex pass
+    // (each greedy `[^ ]{1,4}` match IS one chunk, so the count equals
+    // Σ ceil(len/4) over tokens) instead of materializing the chunk
+    // substrings through nested interpreted lambdas, which was ~10×
+    // the CPU of the rest of this scan-bound query.
     "text_token_stats" -> ((s, dir) => {
       docs(s, dir)
         .selectExpr("lang", "source", s"size($toks) AS n_toks",
           "n_chars",
-          s"size(flatten(transform($toks, " +
-            "t -> transform(sequence(0, CAST(floor((length(t)-1)/4) AS INT)), " +
-            "i -> substring(t, CAST(i*4+1 AS INT), 4))))) AS bpe_ish")
+          "regexp_count(text, '[^ ]{1,4}') AS bpe_ish")
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -148,6 +150,28 @@ object TextAnalysis {
         .orderBy(asc("lang"), asc("split"))
     }),
 
+    // PIVOT: the lang × split count matrix over the reproducible-split
+    // assignment. Pivot values are DECLARED (not discovered), which at
+    // 100 TB matters twice: it skips the extra distinct-values job a
+    // value-less pivot() runs, and it bounds the output schema no
+    // matter what the data contains. Absent combinations land as NULL
+    // from the pivot and are pinned to 0 to match the conditional-
+    // aggregation formulation (which is also the oracle's).
+    "docs_split_pivot" -> ((s, dir) => {
+      docs(s, dir)
+        .selectExpr("lang",
+          "CAST(((doc_id % 1000003) * 2654435761) % 4294967296 AS BIGINT)" +
+            " % 100 AS h")
+        .selectExpr("lang",
+          "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' " +
+            "ELSE 'test' END AS split")
+        .groupBy(col("lang"))
+        .pivot("split", Seq("train", "val", "test"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("train", "val", "test"))
+        .orderBy(asc("lang"))
+    }),
+
     // Deterministic per-group sampling: k docs per lang in hash order —
     // the reproducible "take a sample of every stratum" primitive
     // (window over the portable hash; no rand(), so re-runs and engines
@@ -204,9 +228,7 @@ object TextAnalysis {
          |  count(DISTINCT source) AS n_sources
          |FROM (
          |  SELECT lang, source, n_chars, len($toksSql) AS n_toks,
-         |    len(flatten(list_transform($toksSql,
-         |      t -> list_transform(range(0, CAST(floor((length(t)-1)/4) AS INT)+1),
-         |        i -> substring(t, CAST(i*4+1 AS INT), 4))))) AS bpe_ish
+         |    len(regexp_extract_all(text, '[^ ]{1,4}')) AS bpe_ish
          |  FROM documents)
          |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_quality_scores" ->
@@ -269,6 +291,22 @@ object TextAnalysis {
         |      % 100 AS h
         |  FROM documents)
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "docs_split_pivot" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS train,
+        |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS val,
+        |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS test
+        |FROM (SELECT lang,
+        |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT lang,
+        |      CAST(((doc_id % 1000003) * 2654435761) % 4294967296 AS BIGINT)
+        |        % 100 AS h
+        |    FROM documents))
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "docs_sample_per_lang" ->
       """SELECT lang, rk, doc_id FROM (
         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
