@@ -69,6 +69,10 @@ object Dedup {
     * per collision pair — 64% of the round-1 bench). */
   private[graft] def lshCandidatePairs(sig: DataFrame, nBands: Int = 8,
       bucketCap: Int = 10000): DataFrame = {
+    // nBands=1 would build an EMPTY first-shared-band conjunction below
+    // (expr("") is a parse error at plan time), and a 1-band LSH is
+    // never what anyone means anyway.
+    require(nBands >= 2, s"lshCandidatePairs needs >= 2 bands, got $nBands")
     val raw = sig
       .select(col("doc_id"), posexplode(col("bands")))
       .withColumnRenamed("pos", "band_id")
@@ -259,11 +263,12 @@ object Dedup {
     // PAIRS (inherently quadratic on a self-similar corpus), assign every
     // doc a cluster representative (min doc_id reachable through shared
     // LSH buckets) and emit per-cluster sizes. Connected components via
-    // a fixed 3 rounds of alternating min-propagation over the
-    // doc <-> (band,bucket) bipartite graph (the Hash-to-Min idea): each
-    // round is two O(n) key-shuffles with map-side combine; near-dup
-    // clusters are bucket-cliques, so 2 rounds already converge cliques
-    // and round 3 covers short chains. Keep-rule downstream: keep the
+    // alternating min-propagation over the doc <-> (band,bucket)
+    // bipartite graph (the Hash-to-Min idea), iterated to FIXPOINT:
+    // each round is two O(n) key-shuffles with map-side combine, and a
+    // bucket chain of length L needs L rounds — a fixed horizon would
+    // silently split long chains into multiple clusters (and at 100 TB
+    // chains get longer, not shorter). Keep-rule downstream: keep the
     // representative, drop the rest.
     "dedup_minhash_clusters" -> ((s, dir) =>
       minhashClusterAssignments(s, dir)
@@ -332,8 +337,9 @@ object Dedup {
     graft.functions.SketchFunctions.register(s)
     // persist the (doc_id, bkt) edge list: the fixed-point loop below
     // references it 2x per round, and without materialization the whole
-    // unrolled plan recomputes the minhash signatures 6x. O(8n) longs —
-    // the standard iterative-graph practice (GraphX does the same).
+    // unrolled plan recomputes the minhash signatures every round. O(8n)
+    // longs — the standard iterative-graph practice (GraphX does the
+    // same).
     val edges = docs(s, dir)
       .selectExpr("doc_id", s"$tokSet AS toks")
       .selectExpr("doc_id", "graft_minhash(toks, 32, 1) AS sig")
@@ -341,14 +347,50 @@ object Dedup {
         "explode(transform(sequence(0, 7), b -> " +
           "xxhash64(b, slice(sig, b*4+1, 4)))) AS bkt")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rep = clusterFromEdges(edges)
+    // rep is persisted and fully materialized by the loop's convergence
+    // actions, so the edge cache can go before the caller consumes rep.
+    edges.unpersist()
+    rep
+  }
+
+  /** Min-propagation to FIXPOINT over a (doc_id, bkt) bipartite edge
+    * list; returns one (doc_id, rep) row per doc. Reps only DECREASE
+    * (every round's min includes the doc's current rep), so the global
+    * rep-sum is non-increasing and stalls exactly at the fixpoint — one
+    * cheap aggregate action per round detects convergence without a
+    * prev-vs-next self-join. `maxRounds` bounds the longest reachable
+    * bucket chain; hitting it is logged, never silent. */
+  private[graft] def clusterFromEdges(edges: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def repSum(r: DataFrame): java.math.BigDecimal = {
+      val v = r.agg(sum(col("rep").cast("decimal(38,0)")).as("s")).head
+      if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
+    }
     var rep = edges.select(col("doc_id")).distinct()
       .withColumn("rep", col("doc_id"))
-    for (_ <- 0 until 3) {
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevSum = repSum(rep)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
       val bucketMin = edges.join(rep, Seq("doc_id"))
         .groupBy(col("bkt")).agg(min(col("rep")).as("bmin"))
-      rep = edges.join(bucketMin, Seq("bkt"))
+      val next = edges.join(bucketMin, Seq("bkt"))
         .groupBy(col("doc_id")).agg(min(col("bmin")).as("rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val curSum = repSum(next)
+      rep.unpersist()
+      rep = next
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
+      round += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clusterFromEdges stopped at maxRounds=$maxRounds before " +
+          "reaching the fixpoint; some chained clusters may be split")
     rep
   }
 

@@ -92,6 +92,26 @@ class DedupSpec extends SparkSpec {
     assert(sizes.sum == nDocs)
   }
 
+  test("cluster propagation reaches fixpoint on a long bucket chain") {
+    // d1-[b1]-d2-[b2]-d3-[b3]-d4-[b4]-d5-[b5]-d6: ONE true cluster
+    // threaded through 5 buckets. A fixed 3-round horizon leaves the
+    // tail under a second representative; the fixpoint loop must not.
+    val edges = (1 to 5)
+      .flatMap(i => Seq((i.toLong, i.toLong), ((i + 1).toLong, i.toLong)))
+      .toDF("doc_id", "bkt")
+    val assign = Dedup.clusterFromEdges(edges)
+      .select("doc_id", "rep").as[(Long, Long)].collect().toMap
+    assert(assign.size == 6)
+    assert(assign.values.toSet == Set(1L),
+      s"chain must collapse to one representative, got $assign")
+    // two disjoint cliques stay two clusters (no over-merge)
+    val twoCliques = Seq((1L, 10L), (2L, 10L), (5L, 20L), (6L, 20L))
+      .toDF("doc_id", "bkt")
+    val reps = Dedup.clusterFromEdges(twoCliques)
+      .select("rep").distinct().as[Long].collect().toSet
+    assert(reps == Set(1L, 5L))
+  }
+
   test("embedding LSH dedup: verified pairs only, decent recall vs exact") {
     graft.functions.VectorFunctions.register(spark)
     val lsh = Dedup.queries("dedup_embedding_lsh")(spark, sfDir)
