@@ -202,8 +202,15 @@ case class HyperplaneLsh(child: Expression, tables: Int, bits: Int)
   * `size(array_intersect(a,b)) / size(array_union(a,b))` allocates two
   * result arrays per pair — at millions of candidate pairs that
   * allocation dominates the dedup verify stage. Duplicate elements are
-  * collapsed (set semantics), matching array_intersect/array_union. */
-case class JaccardSim(left: Expression, right: Expression)
+  * collapsed (set semantics), matching array_intersect/array_union.
+  *
+  * `failOnDivByZero` mirrors the divisor semantics of the Divide this
+  * expression replaces: the registered graft_jaccard function keeps
+  * the documented NULL-on-empty-union contract (false), while the
+  * optimizer rewrite captures the session's ANSI mode at plan time so
+  * swapping in for `size(∩)/size(∪)` preserves ANSI's throw-on-zero. */
+case class JaccardSim(left: Expression, right: Expression,
+    failOnDivByZero: Boolean = false)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
   with CodegenFallback {
 
@@ -224,25 +231,51 @@ case class JaccardSim(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    // A null ELEMENT is its own set member — the array_intersect /
+    // array_union semantics this expression must match bit-for-bit
+    // (reading through isNullAt matters: UnsafeArrayData returns an
+    // EMPTY STRING for a null slot, which would silently merge null
+    // with "").
     val seen = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var aNull = false
     var i = 0
-    while (i < a.numElements()) { seen.add(a.getUTF8String(i)); i += 1 }
-    val nA = seen.size
-    val inBoth = new java.util.HashSet[UTF8String]()
-    val onlyB = new java.util.HashSet[UTF8String]()
-    i = 0
-    while (i < b.numElements()) {
-      val t = b.getUTF8String(i)
-      if (seen.contains(t)) inBoth.add(t) else onlyB.add(t)
+    while (i < a.numElements()) {
+      if (a.isNullAt(i)) aNull = true else seen.add(a.getUTF8String(i))
       i += 1
     }
-    val union = nA + onlyB.size
-    // NULL on empty union: Spark's Divide returns NULL (not IEEE NaN)
-    // on a zero divisor in non-ANSI mode, so this is what makes the
-    // SimilarityRewrite swap semantics-preserving — and NaN would sort
-    // ABOVE every real similarity under Spark's NaN-largest ordering.
-    if (union == 0) null
-    else java.lang.Double.valueOf(inBoth.size.toDouble / union)
+    val nA = seen.size + (if (aNull) 1 else 0)
+    val inBoth = new java.util.HashSet[UTF8String]()
+    val onlyB = new java.util.HashSet[UTF8String]()
+    var bNull = false
+    i = 0
+    while (i < b.numElements()) {
+      if (b.isNullAt(i)) bNull = true
+      else {
+        val t = b.getUTF8String(i)
+        if (seen.contains(t)) inBoth.add(t) else onlyB.add(t)
+      }
+      i += 1
+    }
+    val union = nA + onlyB.size + (if (bNull && !aNull) 1 else 0)
+    val inter = inBoth.size + (if (aNull && bNull) 1 else 0)
+    // Empty union: non-ANSI Divide returns NULL (not IEEE NaN — NaN
+    // would sort ABOVE every real similarity under Spark's NaN-largest
+    // ordering); ANSI Divide throws. Reproduce whichever the plan
+    // captured so the SimilarityRewrite swap is semantics-preserving.
+    if (union == 0) {
+      if (failOnDivByZero)
+        // ANSI Divide raises SparkArithmeticException(DIVIDE_BY_ZERO);
+        // that class and QueryExecutionErrors are private[spark], so
+        // raise the closest public ancestor with the same message shape
+        // (it IS an ArithmeticException, which is what callers catch).
+        throw new ArithmeticException(
+          "[DIVIDE_BY_ZERO] Division by zero. Use `try_divide` to " +
+            "tolerate divisor being 0 and return NULL instead. If " +
+            "necessary set \"spark.sql.ansi.enabled\" to \"false\" to " +
+            "bypass this error.")
+      null
+    }
+    else java.lang.Double.valueOf(inter.toDouble / union)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,

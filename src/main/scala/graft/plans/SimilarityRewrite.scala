@@ -21,13 +21,16 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
   * All three rewrites are semantics-preserving: the native loops
   * accumulate left-to-right in double like the lambda interpreter, IEEE
   * multiply and add are commutative in their operands, JaccardSim
-  * yields NULL on an empty union exactly like Spark's non-ANSI
-  * Divide-by-zero (NULL, never NaN — NaN would sort above every real
-  * similarity), and DotProduct yields NULL on length mismatch or null
-  * elements exactly like the null-padding zip_with form. Higher-order
-  * lambdas are never admitted to whole-stage codegen, so this is the
-  * difference between an interpreted per-element closure and a fused
-  * JVM loop on the hot similarity paths.
+  * captures the session's ANSI mode at plan time and reproduces
+  * Divide's empty-union behavior exactly (ANSI: throw; non-ANSI: NULL,
+  * never NaN — NaN would sort above every real similarity), legacy
+  * sizeOfNull Size calls are never matched, the norm² rewrite only
+  * fires on deterministic subtrees (it duplicates them), and
+  * DotProduct yields NULL on length mismatch or null elements exactly
+  * like the null-padding zip_with form. Higher-order lambdas are never
+  * admitted to whole-stage codegen, so this is the difference between
+  * an interpreted per-element closure and a fused JVM loop on the hot
+  * similarity paths.
   *
   * Registered two ways: `GraftExtensions.injectOptimizerRule` (cluster
   * deployment) and `spark.experimental.extraOptimizations` (runtime
@@ -42,8 +45,11 @@ object SimilarityRewrite extends Rule[LogicalPlan] {
   }
 
   private object SizeOf {
+    // reject legacy-mode Size: with spark.sql.legacy.sizeOfNull=true,
+    // size(NULL) = -1 makes the HOF form yield 1.0 on two null arrays
+    // where JaccardSim yields NULL — not semantics-preserving.
     def unapply(e: Expression): Option[Expression] = unDoubleCast(e) match {
-      case s: Size => Some(s.child)
+      case s: Size if !s.legacySizeOfNull => Some(s.child)
       case _ => None
     }
   }
@@ -128,7 +134,12 @@ object SimilarityRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      // jaccard: |A ∩ B| / |A ∪ B|
+      // jaccard: |A ∩ B| / |A ∪ B|. Divisor semantics differ by mode —
+      // ANSI Divide THROWS on a zero divisor (and Spark 4 defaults ANSI
+      // on), non-ANSI returns NULL — and this rule fires on ANY session
+      // query via the extension, not just repo-internal plans. So the
+      // session's mode is captured INTO the expression at plan time:
+      // JaccardSim reproduces throw-or-NULL on an empty union exactly.
       case d: Divide => (d.left, d.right) match {
         case (SizeOf(ai: ArrayIntersect), SizeOf(au: ArrayUnion))
           if ((ai.left.semanticEquals(au.left) &&
@@ -136,7 +147,8 @@ object SimilarityRewrite extends Rule[LogicalPlan] {
               (ai.left.semanticEquals(au.right) &&
                ai.right.semanticEquals(au.left))) &&
             isStringArray(ai.left) && isStringArray(ai.right) =>
-          JaccardSim(ai.left, ai.right)
+          JaccardSim(ai.left, ai.right,
+            failOnDivByZero = conf.ansiEnabled)
         case _ => d
       }
 
@@ -147,8 +159,12 @@ object SimilarityRewrite extends Rule[LogicalPlan] {
               isPairSum(agg.merge) &&
               isDoubleArray(z.left) && isDoubleArray(z.right) =>
             DotProduct(z.left, z.right)
-          // norm²: aggregate(v, 0.0, acc+x*x)
-          case v if isSumOfSquares(agg.merge) && isDoubleArray(v) =>
+          // norm²: aggregate(v, 0.0, acc+x*x). Duplicates v into both
+          // DotProduct children, so only fire when v is deterministic
+          // (standard Catalyst practice before copying a subtree — a
+          // rand()-built array must not be evaluated twice).
+          case v if isSumOfSquares(agg.merge) && isDoubleArray(v) &&
+              v.deterministic =>
             DotProduct(v, v)
           case _ => agg
         }

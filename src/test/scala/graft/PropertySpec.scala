@@ -76,17 +76,48 @@ class PropertySpec extends SparkSpec {
     graft.functions.SketchFunctions.register(spark)
     val tokGen = Gen.listOf(Gen.oneOf(('a' to 'f').map(_.toString)))
     samples(Gen.zip(tokGen, tokGen), 20).foreach { case (a, b) =>
-      val r = Seq((a, b)).toDF("a", "b")
+      def frame = Seq((a, b)).toDF("a", "b")
         .selectExpr("graft_jaccard(a, b) AS native",
           "CAST(size(array_intersect(a, b)) AS DOUBLE)" +
             " / size(array_union(a, b)) AS hof")
-        .collect()(0)
-      // both empty => Divide-by-zero NULL on the HOF side; the native
-      // expression must agree (NULL, not NaN — Spark sorts NaN largest)
-      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch a=$a b=$b")
-      if (!r.isNullAt(0))
-        assert(r.getDouble(0) == r.getDouble(1),
-          s"native=${r.getDouble(0)} hof=${r.getDouble(1)} a=$a b=$b")
+      if (a.isEmpty && b.isEmpty) {
+        // empty union: the session is ANSI (Spark 4 default), so the
+        // HOF divide — and the rewrite standing in for it, which
+        // captures the mode — must THROW like ANSI Divide does, while
+        // the registered graft_jaccard function keeps its documented
+        // NULL contract.
+        val ex = intercept[Exception] { frame.collect() }
+        def all(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: all(t.getCause)
+        assert(all(ex).exists(_.isInstanceOf[ArithmeticException]),
+          s"expected divide-by-zero, got $ex")
+        val direct = Seq((a, b)).toDF("a", "b")
+          .selectExpr("graft_jaccard(a, b) AS native").collect()(0)
+        assert(direct.isNullAt(0), "graft_jaccard contract is NULL")
+      } else {
+        val r = frame.collect()(0)
+        assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch a=$a b=$b")
+        if (!r.isNullAt(0))
+          assert(r.getDouble(0) == r.getDouble(1),
+            s"native=${r.getDouble(0)} hof=${r.getDouble(1)} a=$a b=$b")
+      }
+    }
+  }
+
+  test("jaccard null/empty-string elements match array_intersect/union " +
+    "set semantics (null is its own member)") {
+    graft.functions.SketchFunctions.register(spark)
+    // (a, b, expected |∩|/|∪|): null and "" are DIFFERENT members
+    val cases = Seq(
+      (Seq(Some("x"), None), Seq(Some("x"), None), 1.0),        // {x,∅}={x,∅}
+      (Seq(Some(""), None), Seq(Some("")), 0.5),                // {"",∅}∩{""}
+      (Seq(None), Seq(Some("")), 0.0),                          // {∅} vs {""}
+      (Seq(Some("x"), None), Seq(Some("x")), 0.5))
+    cases.foreach { case (a, b, want) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .selectExpr("graft_jaccard(a, b) AS j").collect()(0)
+      assert(!got.isNullAt(0) && got.getDouble(0) == want,
+        s"a=$a b=$b want=$want got=$got")
     }
   }
 
