@@ -100,10 +100,15 @@ object Temporal {
         // guard the empty range: sequence(3, 1) steps DOWNWARD by
         // default, which would fabricate buckets for a band wholly
         // outside the data range (correct only thanks to the exact
-        // re-filter, at the cost of join fan-out)
+        // re-filter, at the cost of join fan-out). The b_min IS NULL
+        // arm covers an EMPTY fact table: greatest/least skip NULLs,
+        // so without it the null bounds would fall back to the raw
+        // interval edges and sequence() would fabricate ~20M bucket
+        // rows (hi/w) before the join discovered there is nothing to
+        // join to.
         .withColumn("bucket", explode(expr(
-          "CASE WHEN lo_b <= hi_b THEN sequence(lo_b, hi_b) " +
-            "ELSE array() END")))
+          "CASE WHEN b_min IS NULL OR lo_b > hi_b THEN array() " +
+            "ELSE sequence(lo_b, hi_b) END")))
         .select(col("band"), col("lo"), col("hi"), col("bucket"))
       ev(s, dir)
         .withColumn("bucket", floor(col("value") / w).cast("long"))

@@ -162,6 +162,18 @@ object EventPipeline {
         col("session_window.end").as("session_end"),
         col("actor_id"), col("n_events"))
 
+  /** Stream-static enrichment join — the most common streaming pattern
+    * after windowing: broadcast a small, slowly-changing dimension into
+    * the stream. The static side is re-planned every micro-batch (a
+    * refreshed dim snapshot is picked up on the next trigger) and
+    * broadcast, so the unbounded stream side never shuffles and the
+    * pipeline stays stateless-narrow. LEFT join on the stream-preserved
+    * side keeps events with an unmapped category alive with null
+    * attributes (and is always legal for stream-static joins — no
+    * watermark requirement, unlike stream-stream outer joins). */
+  def enriched(flat: DataFrame, categoryDim: DataFrame): DataFrame =
+    flat.join(broadcast(categoryDim), Seq("event_category"), "left")
+
   /** S3: append sink partitioned for pruning, with checkpointing. */
   def parquetSink(flat: DataFrame, path: String, checkpoint: String,
       triggerMs: Long = 2000L): DataStreamWriter[Row] =

@@ -155,6 +155,40 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dim, left-preserves " +
+      "unmapped categories") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq(
+      ("code", "eng-platform"),
+      ("issue", "eng-support")).toDF("event_category", "owner")
+    val stream = MemoryStream[String]
+    val enriched = EventPipeline.enriched(
+      EventPipeline.pipeline(stream.toDF()), dim)
+    val q = enriched.writeStream.format("memory").queryName("sink_enrich")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        ev("e1"), // PushEvent -> code -> eng-platform
+        ev("e2", typ = "IssuesEvent"), // issue -> eng-support
+        ev("e3", typ = "MysteryEvent")) // other -> no dim row
+      q.processAllAvailable()
+      val rows = spark.table("sink_enrich")
+        .select("event_id", "event_category", "owner").collect()
+      assert(rows.length == 3, "left join must preserve every event")
+      val byId = rows.map(r => r.getString(0) ->
+        Option(r.getAs[String]("owner"))).toMap
+      assert(byId("e1").contains("eng-platform"))
+      assert(byId("e2").contains("eng-support"))
+      assert(byId("e3").isEmpty, "unmapped category keeps a null owner")
+      // the static side must broadcast — the stream side never shuffles
+      val plan = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast stream-static join:\n${plan.take(2000)}")
+    } finally q.stop()
+  }
+
   test("progress monitor captures batch counts + input rows (S-mon)") {
     implicit val sc = spark.sqlContext
     val mon = graft.streaming.Monitoring.attach(spark)

@@ -58,6 +58,29 @@ class HllSpec extends SparkSpec {
     assert(est == 3L)
   }
 
+  test("persisted sketches: parquet round trip, then union in a second " +
+      "job — never re-reads raw data") {
+    // the 100 TB daily-rollup contract end-to-end: job 1 writes one
+    // BINARY sketch per (event_type, day) partition; job 2 reads ONLY
+    // the 4 KB sketches back and unions them. The estimate must equal
+    // the single-pass direct aggregate bit-for-bit (register max is
+    // associative/commutative and parquet stores the registers intact).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(expr("graft_hll_sketch(user_id)").as("day_sketch"))
+      .write.mode("overwrite").parquet(tmp)
+    val rolled = spark.read.parquet(tmp)
+      .groupBy("event_type")
+      .agg(expr("graft_hll_union(day_sketch)").as("est"))
+      .as[(String, Long)].collect().toMap
+    val direct = ev.groupBy(col("event_type"))
+      .agg(expr("graft_hll(user_id)").as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(rolled == direct)
+  }
+
   test("register-level algebra: merge is max, estimate monotone-safe") {
     val a = new Array[Byte](1 << 12)
     val b = new Array[Byte](1 << 12)
