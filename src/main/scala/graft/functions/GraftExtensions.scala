@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("graft_jaccard_sorted",
       "graft_jaccard_sorted(a, b) - Jaccard over sorted ARRAY<BIGINT>",
       exprs => JaccardSortedLong(exprs(0), exprs(1))))
+    e.injectFunction(fn("graft_bpe_count",
+      "graft_bpe_count(text, chunkLen) - BPE-ish subword chunk count",
+      exprs => BpeChunkCount(exprs(0),
+        SketchFunctions.intLitArg(exprs(1), "chunkLen"))))
     val prec = HllFunctions.precisionOf _
     e.injectFunction(fn("graft_hll",
       "graft_hll(col[, p]) - HyperLogLog distinct estimate",

@@ -331,6 +331,78 @@ case class JaccardSortedLong(left: Expression, right: Expression)
       newRight: Expression): JaccardSortedLong = copy(newLeft, newRight)
 }
 
+/** Count of `chunkLen`-character chunks over the whitespace tokens of a
+  * string — the BPE-ish subword count (`Σ ceil(tokenChars / chunkLen)`
+  * over tokens split on a single space), equal by construction to
+  * `regexp_count(text, '[^ ]{1,chunkLen}')`: each greedy match of that
+  * class IS one chunk. One pass over the UTF-8 BYTES, zero allocation,
+  * real codegen: a character is a non-continuation byte ((b & 0xC0) !=
+  * 0x80 — exactly one per code point, matching the code-point counting
+  * of both the Java-regex and RE2 formulations), and the ASCII space
+  * 0x20 can never appear inside a multi-byte sequence. The regex form
+  * costs a compiled-automaton step per character plus match-object
+  * bookkeeping; this is the scan-bound token-census hot path a training
+  * pipeline runs over every document, so the constant factor matters. */
+case class BpeChunkCount(child: Expression, chunkLen: Int)
+  extends UnaryExpression {
+
+  require(chunkLen >= 1 && chunkLen <= 64, "chunkLen must be in [1, 64]")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_count requires STRING, got ${t.simpleString}")
+  }
+
+  override def prettyName: String = "graft_bpe_count"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    var total = 0
+    var run = 0
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b == 0x20) {
+        total += (run + chunkLen - 1) / chunkLen
+        run = 0
+      } else if ((b & 0xC0) != 0x80) run += 1
+      i += 1
+    }
+    total + (run + chunkLen - 1) / chunkLen
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+  : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val run = ctx.freshName("run")
+      val total = ctx.freshName("total")
+      s"""
+         |int $n = $c.numBytes();
+         |int $total = 0; int $run = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  byte $b = $c.getByte($i);
+         |  if ($b == 0x20) {
+         |    $total += ($run + ${chunkLen - 1}) / $chunkLen; $run = 0;
+         |  } else if (($b & 0xC0) != 0x80) { $run++; }
+         |}
+         |${ev.value} = $total + ($run + ${chunkLen - 1}) / $chunkLen;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : BpeChunkCount = copy(child = newChild)
+}
+
 object SketchFunctions {
   private[functions] def intLitArg(e: Expression, what: String): Int =
     intLit(e, what)
@@ -356,6 +428,9 @@ object SketchFunctions {
       exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_jaccard_sorted",
       exprs => JaccardSortedLong(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bpe_count",
+      exprs => BpeChunkCount(exprs(0), intLit(exprs(1), "chunkLen")),
+      "built-in")
     VectorFunctions.attachRewrite(spark)
   }
 }

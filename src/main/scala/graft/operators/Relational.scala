@@ -451,12 +451,20 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val wRange = Window.partitionBy(col("o_custkey"))
         .orderBy(col("day_idx")).rangeBetween(-30, 0)
+      // date-only ordering: ties are REAL here (several orders on one
+      // day), which is what makes dense_rank/cume_dist distinct from
+      // row_number/percent_rank — and they stay deterministic under
+      // ties because peers share one value.
+      val wDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_orderdate"))
       t(s, dir, "orders")
         .withColumn("day_idx",
           datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")))
         .select(col("o_custkey"), col("o_orderkey"),
           ntile(4).over(wRank).as("quartile"),
           percent_rank().over(wRank).as("pct_rank"),
+          dense_rank().over(wDate).as("date_rank"),
+          cume_dist().over(wDate).as("date_cume"),
           first(col("o_orderkey")).over(wFull).as("first_key"),
           nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"),
           sum(dec(col("o_totalprice"))).over(wRange).cast("double")
@@ -732,6 +740,8 @@ object Relational {
       """SELECT o_custkey, o_orderkey,
         |  ntile(4) OVER wr AS quartile,
         |  percent_rank() OVER wr AS pct_rank,
+        |  dense_rank() OVER wd AS date_rank,
+        |  cume_dist() OVER wd AS date_cume,
         |  first_value(o_orderkey) OVER wf AS first_key,
         |  nth_value(o_orderkey, 2) OVER wf AS second_key,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
@@ -744,6 +754,7 @@ object Relational {
         |      FROM orders)
         |WINDOW wr AS (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey),
+        |  wd AS (PARTITION BY o_custkey ORDER BY o_orderdate),
         |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,

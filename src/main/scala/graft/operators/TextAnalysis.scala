@@ -18,11 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Single-file fixture => one input partition; token/array expression
-    * work is per-row CPU-bound, so fan out across cores first. */
+  /** Plain load, NO fan-out repartition (unlike Dedup/Similarity): every
+    * operator here is a cheap scan-bound projection feeding a keyed
+    * aggregation — the aggregation's own shuffle already redistributes,
+    * and a pre-shuffle of the full text would cost more than the narrow
+    * work it parallelizes (measured: it was most of text_token_stats
+    * once the per-row compute went native). At cluster scale the input
+    * arrives in many splits anyway; the sketch loaders keep their
+    * repartition because minhash/simhash signatures are genuinely
+    * CPU-bound per row. */
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
 
   /** Whitespace tokens — single-space split keeps Spark and DuckDB
     * semantics aligned (the fixture text is single-space separated). */
@@ -31,16 +37,19 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     // Token counting: per-language corpus statistics. The `bpe_ish`
     // count approximates subword counts by chunking every token into
-    // runs of ≤4 chars — counted directly with one compiled-regex pass
-    // (each greedy `[^ ]{1,4}` match IS one chunk, so the count equals
-    // Σ ceil(len/4) over tokens) instead of materializing the chunk
-    // substrings through nested interpreted lambdas, which was ~10×
-    // the CPU of the rest of this scan-bound query.
+    // runs of ≤4 chars — each greedy `[^ ]{1,4}` regex match IS one
+    // chunk, so the count equals Σ ceil(len/4) over tokens with no
+    // chunk substrings ever materialized (the nested-lambda original
+    // was ~10× the CPU of the rest of this scan-bound query). The
+    // native graft_bpe_count does that count in one codegen'd byte
+    // pass; the regex formulation is the portable twin (and the DuckDB
+    // oracle), proven equal ∀ strings in PropertySpec.
     "text_token_stats" -> ((s, dir) => {
+      graft.functions.SketchFunctions.register(s)
       docs(s, dir)
         .selectExpr("lang", "source", s"size($toks) AS n_toks",
           "n_chars",
-          "regexp_count(text, '[^ ]{1,4}') AS bpe_ish")
+          "graft_bpe_count(text, 4) AS bpe_ish")
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),

@@ -60,6 +60,10 @@ object Sources {
     df.write.format(format).mode("overwrite")
       .option("header", "true").save(path)
 
+  /** Prefer passing `schema`: for csv/json, schema inference is a FULL
+    * extra pass over the data before the real read — at 100 TB that is
+    * a doubled scan for metadata a caller usually already has. The
+    * infer fallback stays for ad-hoc exploration only. */
   def readAs(spark: SparkSession, format: String, path: String,
       schema: Option[StructType] = None): DataFrame = {
     val r = spark.read.format(format).option("header", "true")

@@ -104,6 +104,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("∀ strings: graft_bpe_count ≡ regexp_count(text, '[^ ]{1,4}')") {
+    graft.functions.SketchFunctions.register(spark)
+    // unicode (incl. multi-byte), runs of spaces, empty strings, long
+    // tokens — the byte-pass count must equal the regex count always
+    val charGen = Gen.frequency(
+      (5, Gen.alphaNumChar.map(_.toString)),
+      (3, Gen.const(" ")),
+      (1, Gen.oneOf("é", "ß", "日", "本", "🙂"))) // 🙂 = 4-byte code point
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    samples(strGen, 40).foreach { s =>
+      val r = Seq(Tuple1(s)).toDF("t")
+        .selectExpr("graft_bpe_count(t, 4) AS native",
+          "regexp_count(t, '[^ ]{1,4}') AS regex")
+        .collect()(0)
+      assert(r.getInt(0) == r.getInt(1),
+        s"native=${r.getInt(0)} regex=${r.getInt(1)} for ${s.take(80)}")
+    }
+  }
+
   test("jaccard null/empty-string elements match array_intersect/union " +
     "set semantics (null is its own member)") {
     graft.functions.SketchFunctions.register(spark)
