@@ -70,9 +70,16 @@ object Bench {
     // Belt-and-braces: rounds 1 and 2 both lost the stdout line to log
     // plumbing (tail truncation, then sbt's "[info] " prefix). Persist the
     // same two lines to a file so the numbers are always recoverable.
+    // Files.write (not PrintWriter, which swallows IO errors) — and a
+    // failed file write must not fail a bench whose queries all ran:
+    // the stdout lines above remain the primary channel.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val w = new java.io.PrintWriter(new java.io.File(outPath))
-    try { w.println(perQueryLine); w.println(totalLine) } finally w.close()
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      s"$perQueryLine\n$totalLine\n".getBytes("UTF-8"))
+    catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

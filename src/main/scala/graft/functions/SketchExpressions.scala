@@ -207,8 +207,10 @@ case class HyperplaneLsh(child: Expression, tables: Int, bits: Int)
   * `failOnDivByZero` mirrors the divisor semantics of the Divide this
   * expression replaces: the registered graft_jaccard function keeps
   * the documented NULL-on-empty-union contract (false), while the
-  * optimizer rewrite captures the session's ANSI mode at plan time so
-  * swapping in for `size(∩)/size(∪)` preserves ANSI's throw-on-zero. */
+  * optimizer rewrite copies the matched Divide's own eval mode at plan
+  * time (ANSI → throw, LEGACY/TRY → NULL) so swapping in for
+  * `size(∩)/size(∪)` — or for a try_divide of the same shape —
+  * preserves the original's behavior exactly. */
 case class JaccardSim(left: Expression, right: Expression,
     failOnDivByZero: Boolean = false)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
@@ -263,16 +265,7 @@ case class JaccardSim(left: Expression, right: Expression,
     // ordering); ANSI Divide throws. Reproduce whichever the plan
     // captured so the SimilarityRewrite swap is semantics-preserving.
     if (union == 0) {
-      if (failOnDivByZero)
-        // ANSI Divide raises SparkArithmeticException(DIVIDE_BY_ZERO);
-        // that class and QueryExecutionErrors are private[spark], so
-        // raise the closest public ancestor with the same message shape
-        // (it IS an ArithmeticException, which is what callers catch).
-        throw new ArithmeticException(
-          "[DIVIDE_BY_ZERO] Division by zero. Use `try_divide` to " +
-            "tolerate divisor being 0 and return NULL instead. If " +
-            "necessary set \"spark.sql.ansi.enabled\" to \"false\" to " +
-            "bypass this error.")
+      if (failOnDivByZero) throw GraftErrors.divideByZero(origin)
       null
     }
     else java.lang.Double.valueOf(inter.toDouble / union)
@@ -329,6 +322,38 @@ case class JaccardSortedLong(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): JaccardSortedLong = copy(newLeft, newRight)
+}
+
+/** Error construction matching Spark's own.
+  *
+  * ANSI Divide raises `SparkArithmeticException` with error condition
+  * DIVIDE_BY_ZERO / SQLSTATE 22012 — which handlers match on
+  * (`case e: SparkThrowable if e.getCondition == "DIVIDE_BY_ZERO"`,
+  * PySpark's error mapping). The class is Scala-`private[spark]` but
+  * its bytecode constructor is public, so build it reflectively; if the
+  * shape ever changes, degrade to a plain ArithmeticException with the
+  * same message rather than failing differently. */
+private[functions] object GraftErrors {
+  private lazy val ctor =
+    try Some(Class.forName("org.apache.spark.SparkArithmeticException")
+      .getConstructor(classOf[String],
+        classOf[scala.collection.immutable.Map[String, String]],
+        classOf[Array[org.apache.spark.QueryContext]]))
+    catch { case _: Throwable => None }
+
+  def divideByZero(origin: org.apache.spark.sql.catalyst.trees.Origin)
+  : ArithmeticException = {
+    val params: scala.collection.immutable.Map[String, String] =
+      Map("config" -> "\"spark.sql.ansi.enabled\"")
+    ctor.flatMap { c =>
+      try Some(c.newInstance("DIVIDE_BY_ZERO", params,
+        origin.getQueryContext).asInstanceOf[ArithmeticException])
+      catch { case _: Throwable => None }
+    }.getOrElse(new ArithmeticException(
+      "[DIVIDE_BY_ZERO] Division by zero. Use `try_divide` to tolerate " +
+        "divisor being 0 and return NULL instead. If necessary set " +
+        "\"spark.sql.ansi.enabled\" to \"false\" to bypass this error."))
+  }
 }
 
 /** Count of `chunkLen`-character chunks over the whitespace tokens of a

@@ -391,7 +391,15 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"clusterFromEdges stopped at maxRounds=$maxRounds before " +
           "reaching the fixpoint; some chained clusters may be split")
-    rep
+    // Hand back a frame the caller can treat as ordinary: localCheckpoint
+    // cuts the iterative lineage (no re-running the loop on reuse) and
+    // its blocks are released by the ContextCleaner once the frame is
+    // unreachable — unlike the loop's persist(), which would otherwise
+    // leak one cached DataFrame per invocation for the session lifetime
+    // (the CacheManager holds cached plans strongly until unpersist).
+    val out = rep.localCheckpoint(true)
+    rep.unpersist()
+    out
   }
 
   private val toksSql = "string_split(text, ' ')"

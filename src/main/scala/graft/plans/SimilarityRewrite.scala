@@ -134,12 +134,14 @@ object SimilarityRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      // jaccard: |A ∩ B| / |A ∪ B|. Divisor semantics differ by mode —
-      // ANSI Divide THROWS on a zero divisor (and Spark 4 defaults ANSI
-      // on), non-ANSI returns NULL — and this rule fires on ANY session
-      // query via the extension, not just repo-internal plans. So the
-      // session's mode is captured INTO the expression at plan time:
-      // JaccardSim reproduces throw-or-NULL on an empty union exactly.
+      // jaccard: |A ∩ B| / |A ∪ B|. Divisor semantics differ by eval
+      // mode — ANSI Divide THROWS on a zero divisor (and Spark 4
+      // defaults ANSI on), LEGACY and TRY (try_divide) return NULL —
+      // and this rule fires on ANY session query via the extension, not
+      // just repo-internal plans. So the MATCHED Divide's own mode (not
+      // the session conf, which a try_divide deliberately overrides) is
+      // captured INTO the expression at plan time: JaccardSim
+      // reproduces throw-or-NULL on an empty union exactly.
       case d: Divide => (d.left, d.right) match {
         case (SizeOf(ai: ArrayIntersect), SizeOf(au: ArrayUnion))
           if ((ai.left.semanticEquals(au.left) &&
@@ -148,7 +150,8 @@ object SimilarityRewrite extends Rule[LogicalPlan] {
                ai.right.semanticEquals(au.left))) &&
             isStringArray(ai.left) && isStringArray(ai.right) =>
           JaccardSim(ai.left, ai.right,
-            failOnDivByZero = conf.ansiEnabled)
+            // (failOnError itself is Scala-protected on Divide)
+            failOnDivByZero = d.evalContext.evalMode == EvalMode.ANSI)
         case _ => d
       }
 

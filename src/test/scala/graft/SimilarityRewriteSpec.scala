@@ -42,6 +42,37 @@ class SimilarityRewriteSpec extends SparkSpec {
     assert(df.as[Double].collect().toSeq == Seq(0.5, 1.0, 0.0))
   }
 
+  test("rewrite copies the Divide's eval mode: ANSI form throws on an " +
+      "empty union, try_divide stays NULL") {
+    // session is ANSI (Spark 4 default); parquet-backed so the rewrite
+    // actually fires before execution
+    val empty = docToks
+      .selectExpr("filter(toks, t -> false) AS a",
+        "filter(toks, t -> false) AS b").limit(1)
+    val ansiForm = empty.selectExpr(
+      "CAST(size(array_intersect(a, b)) AS DOUBLE)" +
+        " / size(array_union(a, b)) AS j")
+    assert(optimized(ansiForm).contains("graft_jaccard"))
+    val ex = intercept[Exception] { ansiForm.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(_.isInstanceOf[ArithmeticException]),
+      s"ANSI empty-union must throw, got $ex")
+    // the reflective construction must yield Spark's own error class
+    // (condition DIVIDE_BY_ZERO for SparkThrowable-matching handlers),
+    // not the plain-ArithmeticException fallback
+    assert(chain(ex).exists(_.getClass.getName ==
+      "org.apache.spark.SparkArithmeticException"),
+      s"expected SparkArithmeticException in ${chain(ex).map(_.getClass)}")
+    val tryForm = empty.selectExpr(
+      "try_divide(CAST(size(array_intersect(a, b)) AS DOUBLE), " +
+        "size(array_union(a, b))) AS j")
+    assert(optimized(tryForm).contains("graft_jaccard"),
+      s"try_divide shape must still rewrite:\n${optimized(tryForm)}")
+    assert(tryForm.collect()(0).isNullAt(0),
+      "try_divide semantics must survive the rewrite")
+  }
+
   test("zip_with dot product rewrites to graft_dot, same values") {
     val e = Tables.load(spark, sfDir, "embeddings").limit(5)
       .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
