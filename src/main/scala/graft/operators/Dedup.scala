@@ -368,12 +368,19 @@ object Dedup {
       val v = r.agg(sum(col("rep").cast("decimal(38,0)")).as("s")).head
       if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
     }
-    var rep = edges.select(col("doc_id")).distinct()
-      .withColumn("rep", col("doc_id"))
+    // Round 1 fused: with rep == identity, the bucket minimum is just
+    // min(doc_id) per bucket — no rep frame, no identity-distinct job,
+    // no baseline-sum job (prevSum = null means "not comparable yet").
+    // Reps can only decrease from identity, so convergence detection
+    // starts from the round-1 sum unchanged.
+    var rep = edges
+      .join(edges.groupBy(col("bkt")).agg(min(col("doc_id")).as("bmin")),
+        Seq("bkt"))
+      .groupBy(col("doc_id")).agg(min(col("bmin")).as("rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prevSum = repSum(rep)
     var converged = false
-    var round = 0
+    var round = 1
     while (!converged && round < maxRounds) {
       val bucketMin = edges.join(rep, Seq("doc_id"))
         .groupBy(col("bkt")).agg(min(col("rep")).as("bmin"))

@@ -174,6 +174,35 @@ object EventPipeline {
   def enriched(flat: DataFrame, categoryDim: DataFrame): DataFrame =
     flat.join(broadcast(categoryDim), Seq("event_category"), "left")
 
+  /** Stream-stream interval join — the stateful two-sided join family
+    * (nothing in the repo covered it before; stream-static `enriched`
+    * handles only a bounded dim side). Attributes each "effect" event
+    * to the same actor's "cause" events within the preceding `horizon`.
+    *
+    * Both sides carry watermarks AND the join condition bounds event
+    * time on both sides; that pair is what lets Spark evict join state
+    * once the watermark passes `cause_ts + horizon` — the difference
+    * between bounded state and a state store that grows with the whole
+    * stream. Inner join: matches emit as soon as both rows arrive;
+    * unmatched rows silently age out of state. Keyed by actor, so state
+    * and compute shard across executors like every other keyed op. */
+  def streamIntervalJoin(causes: DataFrame, effects: DataFrame,
+      horizon: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = causes.select(col("actor_id").as("cause_actor"),
+        col("created_at").as("cause_ts"), col("event_id").as("cause_id"))
+      .withWatermark("cause_ts", watermark)
+    val e = effects.select(col("actor_id").as("effect_actor"),
+        col("created_at").as("effect_ts"), col("event_id").as("effect_id"))
+      .withWatermark("effect_ts", watermark)
+    e.join(c,
+        col("cause_actor") === col("effect_actor") &&
+          col("cause_ts") <= col("effect_ts") &&
+          col("cause_ts") >= col("effect_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("effect_id"), col("effect_actor").as("actor_id"),
+        col("effect_ts"), col("cause_id"), col("cause_ts"))
+  }
+
   /** S3: append sink partitioned for pruning, with checkpointing. */
   def parquetSink(flat: DataFrame, path: String, checkpoint: String,
       triggerMs: Long = 2000L): DataStreamWriter[Row] =

@@ -189,6 +189,76 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within horizon, drops outside") {
+    implicit val sc = spark.sqlContext
+    def actorEv(id: String, actor: Int, typ: String, created: String) =
+      ev(id, typ = typ, created = created,
+        actor = s"""{"id": $actor, "login": "u$actor"}""")
+    val stream = MemoryStream[String]
+    val flat = EventPipeline.pipeline(stream.toDF())
+    val joined = EventPipeline.streamIntervalJoin(
+      causes = flat.filter(col("event_type") === "PushEvent"),
+      effects = flat.filter(col("event_type") === "IssuesEvent"))
+    val q = joined.writeStream.format("memory").queryName("sink_ssj")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        actorEv("p1", 7, "PushEvent", "2024-01-01T10:00:00Z"),
+        actorEv("p2", 7, "PushEvent", "2024-01-01T10:20:00Z"),
+        actorEv("i1", 7, "IssuesEvent", "2024-01-01T10:30:00Z"), // both in 1h
+        actorEv("i2", 7, "IssuesEvent", "2024-01-01T12:00:00Z"), // none in 1h
+        actorEv("p3", 8, "PushEvent", "2024-01-01T10:05:00Z"),
+        actorEv("i3", 9, "IssuesEvent", "2024-01-01T10:10:00Z")) // no cause
+      q.processAllAvailable()
+      val rows = spark.table("sink_ssj")
+        .select("effect_id", "cause_id").as[(String, String)]
+        .collect().toSet
+      assert(rows == Set(("i1", "p1"), ("i1", "p2")),
+        s"interval join must pair i1 with p1+p2 only, got $rows")
+    } finally q.stop()
+  }
+
+  test("sessionizer runs on the RocksDB state store provider") {
+    // the 100 TB state path: state lives off-heap/on-disk in RocksDB
+    // instead of the in-memory HashMap provider — same results
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def actorEv(id: String, actor: Int, created: String) =
+        ev(id, created = created,
+          actor = s"""{"id": $actor, "login": "u$actor"}""")
+      val stream = MemoryStream[String]
+      val q = EventPipeline.sessionCounts(
+        EventPipeline.pipeline(stream.toDF()))
+        .writeStream.format("memory").queryName("sink_rocks")
+        .outputMode("append").start()
+      try {
+        stream.addData(
+          actorEv("r1", 7, "2024-01-01T10:00:00Z"),
+          actorEv("r2", 7, "2024-01-01T10:10:00Z"),
+          actorEv("r3", 8, "2024-01-01T10:05:00Z"))
+        q.processAllAvailable()
+        stream.addData(actorEv("w1", 99, "2024-01-02T00:00:00Z"))
+        q.processAllAvailable()
+        stream.addData(actorEv("w2", 99, "2024-01-03T00:00:00Z"))
+        q.processAllAvailable()
+        val emitted = spark.table("sink_rocks")
+          .filter(col("actor_id").isin(7, 8))
+          .select("actor_id", "n_events").as[(Int, Long)].collect().sorted
+        assert(emitted.toSeq == Seq((7, 2L), (8, 1L)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("progress monitor captures batch counts + input rows (S-mon)") {
     implicit val sc = spark.sqlContext
     val mon = graft.streaming.Monitoring.attach(spark)
