@@ -273,6 +273,19 @@ object Relational {
       active(1995).union(active(1996)).distinct().orderBy(asc("o_custkey"))
     }),
 
+    // UNION ALL (bag semantics — Dataset.union without distinct): the
+    // zero-shuffle concatenation, and the more common union in real
+    // pipelines; duplicates across the two years are the point.
+    "setop_active_union_all" -> ((s, dir) => {
+      def active(y: Int) = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"),
+          lit(y).as("y"))
+      active(1995).union(active(1996))
+        .orderBy(asc("o_custkey"), asc("y"))
+    }),
+
     // Top-k per group: top-2 parts by revenue per supplier (rank window
     // over a pre-aggregated, partition-aligned input).
     "topk_parts_per_supplier" -> ((s, dir) => {
@@ -631,6 +644,15 @@ object Relational {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |ORDER BY o_custkey""".stripMargin,
+    "setop_active_union_all" ->
+      """SELECT o_custkey, 1995 AS y FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |UNION ALL
+        |SELECT o_custkey, 1996 AS y FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_custkey, y""".stripMargin,
     "topk_parts_per_supplier" ->
       s"""SELECT * FROM (
          |  SELECT l_suppkey, l_partkey, revenue,

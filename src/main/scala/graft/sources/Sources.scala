@@ -130,6 +130,31 @@ object Sources {
           |GROUP BY c_mktsegment, o_orderpriority
           |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)
     }),
+    // correlated EXISTS / NOT EXISTS through the SQL parser — exercises
+    // Catalyst's predicate-subquery decorrelation (RewritePredicateSubquery
+    // turns these into semi/anti joins; the DataFrame-API twins in
+    // Relational declare the joins directly).
+    "sql_exists_correlated" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_mktsegment FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          |  AND o_totalprice > 150000)
+          |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          |  AND o_orderpriority = '1-URGENT')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+    // correlated SCALAR subquery — decorrelates to a left-outer
+    // aggregate join (customers without orders surface as NULL, kept
+    // explicitly: that null-preservation IS the decorrelation contract).
+    "sql_scalar_subquery" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders
+          |   WHERE o_custkey = c_custkey) AS max_order
+          |FROM customer ORDER BY c_custkey""".stripMargin)
+    }),
     // explicit GROUPING SETS — the general form behind rollup/cube
     // (those are covered as DataFrame ops in Relational); the grouping
     // bit-vector disambiguates aggregated-away columns from NULL data.
@@ -160,6 +185,18 @@ object Sources {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment, o_orderpriority
         |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+    "sql_exists_correlated" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_totalprice > 150000)
+        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "sql_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "sql_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)

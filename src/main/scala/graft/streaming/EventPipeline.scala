@@ -174,6 +174,18 @@ object EventPipeline {
   def enriched(flat: DataFrame, categoryDim: DataFrame): DataFrame =
     flat.join(broadcast(categoryDim), Seq("event_category"), "left")
 
+  /** In-flight data-quality metrics (`Dataset.observe`): the named
+    * aggregates ride the existing plan — NO extra pass over the data,
+    * which is the only acceptable cost for always-on quality counters
+    * at 100 TB — and each micro-batch's values arrive on the listener
+    * bus in `QueryProgressEvent.observedMetrics("graft_quality")`
+    * (captured by [[Monitoring.ProgressMonitor]]). */
+  def withQualityMetrics(flat: DataFrame): DataFrame =
+    flat.observe("graft_quality",
+      count(lit(1)).as("rows"),
+      sum(when(col("actor_id").isNull, 1L).otherwise(0L)).as("null_actor"),
+      sum(when(col("org_id").isNull, 1L).otherwise(0L)).as("null_org"))
+
   /** Stream-stream interval join — the stateful two-sided join family
     * (nothing in the repo covered it before; stream-static `enriched`
     * handles only a bounded dim side). Attributes each "effect" event

@@ -19,7 +19,10 @@ import org.apache.spark.sql.streaming.StreamingQueryListener.{
   */
 object Monitoring {
 
-  /** Cumulative per-query stats, updated once per micro-batch. */
+  /** Cumulative per-query stats, updated once per micro-batch.
+    * `lastObserved` carries the latest batch's `Dataset.observe`
+    * metric rows keyed by observation name (e.g.
+    * [[EventPipeline.withQualityMetrics]]'s "graft_quality"). */
   final case class QueryStats(
       name: String,
       batches: Long,
@@ -27,7 +30,8 @@ object Monitoring {
       lastRowsPerSec: Double,
       lastBatchMs: Long,
       terminated: Boolean,
-      error: Option[String])
+      error: Option[String],
+      lastObserved: Map[String, org.apache.spark.sql.Row] = Map.empty)
 
   /** Listener accumulating [[QueryStats]] per query id. Thread-safe:
     * the listener bus delivers events from its own thread. */
@@ -55,11 +59,16 @@ object Monitoring {
         val batchMs = Option(p.durationMs.get("triggerExecution"))
           .map(_.longValue).getOrElse(0L)
         val rps = p.processedRowsPerSecond
+        val observed = p.observedMetrics.asScala.toMap
         prev.copy(
           batches = prev.batches + 1,
           inputRows = prev.inputRows + p.numInputRows,
           lastRowsPerSec = if (rps.isNaN) prev.lastRowsPerSec else rps,
-          lastBatchMs = batchMs)
+          lastBatchMs = batchMs,
+          // keep the previous batch's metrics through empty batches
+          // (an empty micro-batch reports no observations)
+          lastObserved =
+            if (observed.isEmpty) prev.lastObserved else observed)
       })
     }
 

@@ -287,6 +287,32 @@ class EventPipelineSpec extends SparkSpec {
     }
   }
 
+  test("observe() metrics ride the plan and land on the listener bus") {
+    implicit val sc = spark.sqlContext
+    val mon = graft.streaming.Monitoring.attach(spark)
+    val stream = MemoryStream[String]
+    val q = EventPipeline.withQualityMetrics(
+      EventPipeline.pipeline(stream.toDF()))
+      .writeStream.format("memory").queryName("sink_obs")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev("o1"), ev("o2"), ev("o3", actor = "null"))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 30000
+      def obs = mon.snapshot.get("sink_obs")
+        .flatMap(_.lastObserved.get("graft_quality"))
+      while (System.currentTimeMillis() < deadline && obs.isEmpty)
+        Thread.sleep(100)
+      val m = obs.get
+      assert(m.getAs[Long]("rows") == 3)
+      assert(m.getAs[Long]("null_actor") == 1)
+      assert(m.getAs[Long]("null_org") == 3) // fixture events carry org: null
+    } finally {
+      q.stop()
+      graft.streaming.Monitoring.detach(spark, mon)
+    }
+  }
+
   test("checkpoint recovery: restart resumes offsets, no reprocessing") {
     implicit val sc = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt")
