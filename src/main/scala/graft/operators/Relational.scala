@@ -386,10 +386,11 @@ object Relational {
     // sales including never-sold parts. count(l_orderkey) skips the
     // null-extended rows — the canonical "count including zero"
     // semantics — and the null-group sum is coalesced after the
-    // aggregation. (For RIGHT OUTER the build side must be the LEFT
-    // (non-preserved) side; the filtered fact is too large to
-    // broadcast, so this plans as a shuffle join — at cluster scale
-    // the pre-aggregate form above is the cheaper equivalent.)
+    // aggregation. For RIGHT OUTER the build side must be the LEFT
+    // (non-preserved) side; the pushed-down one-month shipdate filter
+    // shrinks lineitem enough that Spark broadcasts it (BuildLeft —
+    // asserted pushdown in the scan). An unfiltered fact would shuffle,
+    // where the pre-aggregate form above is the cheaper equivalent.
     "outer_right_parts_sold" -> ((s, dir) => {
       val liJan = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
