@@ -219,6 +219,34 @@ object TextAnalysis {
         .orderBy(desc("est_count"), asc("term"))
     }),
 
+    // TF-IDF: the classic term-salience score — tf(doc, term) ×
+    // ln(N / df(term)), top-3 terms per reported doc. df and N come
+    // from the FULL corpus (that is what makes it IDF) while tf is
+    // only needed for the reported docs, so the doc filter applies to
+    // the tf branch only. round(·, 6) pins last-ulp libm differences
+    // between engines, and the ranking orders by the ROUNDED value so
+    // tie-breaks agree too. Two keyed aggregations + one term join;
+    // every stage is a plain shuffle that scales out.
+    "text_tfidf_top_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tt = docs(s, dir).selectExpr("doc_id", s"explode($toks) AS term")
+      val tf = tt.filter(col("doc_id") < 50)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfT = tt.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("tfidf"), asc("term"))
+      tf.join(dfT, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+        .orderBy(asc("doc_id"), asc("rk"))
+    }),
+
     // Tokenize/explode -> global term counts, top 20.
     "term_counts" -> ((s, dir) => {
       docs(s, dir)
@@ -320,6 +348,21 @@ object TextAnalysis {
       s"""SELECT term, count(*) AS est_count
          |FROM (SELECT unnest($toksSql) AS term FROM documents)
          |GROUP BY term ORDER BY est_count DESC, term""".stripMargin,
+    "text_tfidf_top_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |       WHERE doc_id < 50 GROUP BY doc_id, term),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t
+         |       GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, rk, term, tfidf FROM (
+         |  SELECT tf.doc_id, tf.term,
+         |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6)
+         |        DESC, tf.term) AS rk
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "term_counts" ->
       s"""SELECT term, count(*) AS n
          |FROM (SELECT unnest($toksSql) AS term FROM documents)

@@ -112,6 +112,27 @@ class DedupSpec extends SparkSpec {
     assert(reps == Set(1L, 5L))
   }
 
+  test("incremental dedup: exact is non-trivial; LSH survivors are a " +
+      "recall-bounded superset") {
+    val newBatch = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 7 === 0).count()
+    val exact = Dedup.queries("dedup_incremental_exact")(spark, sfDir)
+      .as[Long].collect().toSet
+    // the check bites only if the corpus actually removes some docs
+    // AND some docs survive
+    assert(exact.nonEmpty && exact.size < newBatch,
+      s"exact survivors ${exact.size} of $newBatch must be a proper subset")
+    val lsh = Dedup.incrementalLshSurvivors(spark, sfDir)
+      .as[Long].collect().toSet
+    // LSH blocks identically but can MISS matches (recall), never
+    // fabricate them: every exact survivor survives LSH too, and the
+    // extra (missed-match) survivors stay bounded
+    assert(exact.subsetOf(lsh),
+      s"exact-surviving docs dropped by LSH: ${exact.diff(lsh)}")
+    assert((lsh.size - exact.size).toDouble / newBatch <= 0.15,
+      s"LSH misses too many matches: ${lsh.size} vs exact ${exact.size}")
+  }
+
   test("embedding LSH dedup: verified pairs only, decent recall vs exact") {
     graft.functions.VectorFunctions.register(spark)
     val lsh = Dedup.queries("dedup_embedding_lsh")(spark, sfDir)
