@@ -431,6 +431,37 @@ object Relational {
         .orderBy(asc("custkey"))
     }),
 
+    // TPC-H Q13 shape (custdist): the one outer-join form nothing above
+    // exercises — a filter INSIDE the left-outer join condition. Its
+    // semantics differ from a WHERE: a customer whose every order is
+    // filtered out is PRESERVED with count 0 (a WHERE would drop the
+    // row after null-extension). The fixture has no o_comment, so the
+    // reference predicate `o_comment NOT LIKE '%special%requests%'`
+    // becomes the same-shaped `o_orderpriority NOT LIKE '%URGENT%'`,
+    // plus a recency conjunct so the zero bucket is non-empty at every
+    // fixture scale (the semantics under test NEEDS customers whose
+    // every order fails the condition).
+    // Two-level aggregate: orders-per-customer, then customers-per-
+    // count. Scale shape: the join keys on custkey (plain shuffle
+    // hash join — orders is too big to pre-aggregate here because the
+    // filter must stay in the join condition), first aggregate reuses
+    // the join's custkey partitioning (no extra shuffle), second
+    // aggregate is a tiny re-key on c_count.
+    "q13_customer_distribution" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      cust.join(ord,
+          cust("c_custkey") === ord("o_custkey") &&
+            !ord("o_orderpriority").like("%URGENT%") &&
+            ord("o_orderdate") >= lit("1998-01-01").cast("timestamp"),
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
     // Null-semantics battery: coalesce / nullif / null-safe equality
     // (<=>) / CASE with null arms / NULLS FIRST ordering — the scalar
     // corner where engines actually disagree, pinned against the
@@ -748,6 +779,16 @@ object Relational {
         |       ELSE 'retained' END AS activity
         |FROM a95 FULL OUTER JOIN a96 ON a95.o_custkey = a96.o_custkey
         |ORDER BY custkey""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey
+        |   AND o_orderpriority NOT LIKE '%URGENT%'
+        |   AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "null_semantics_battery" ->
       """SELECT o_orderkey, status_n,
         |  coalesce(status_n, 'open') AS status_filled,

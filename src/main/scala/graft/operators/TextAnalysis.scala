@@ -247,6 +247,75 @@ object TextAnalysis {
         .orderBy(asc("doc_id"), asc("rk"))
     }),
 
+    // Benchmark DECONTAMINATION — the training-data hygiene pass every
+    // LLM pipeline runs before training: does a training doc share any
+    // 8-token shingle with the held-out eval set? The eval split derives
+    // in-plan (doc_id % 97 = 0, the same derive-a-split trick as
+    // dedup_incremental_exact — no extra fixture needed). Shingles are
+    // md5 of the 8-token window text: md5 is the ONE hash both engines
+    // compute identically, which is what makes this oracle-able (at
+    // cluster scale you'd roll 64-bit token-hash chains like
+    // graft_minhash does — same plan shape, cheaper key). Plan: narrow
+    // shingle projection on both sides, distinct eval shingles BROADCAST
+    // (eval sets are small by definition — benchmarks are KBs against a
+    // 100 TB corpus), per-doc overlap via broadcast-hash equi-join +
+    // keyed count; no shuffle touches the corpus side beyond its own
+    // per-doc aggregation. Every train doc is reported (LEFT join), so
+    // the clean/contaminated partition is complete.
+    "docs_decontaminate" -> ((s, dir) => {
+      val sh8 =
+        """CASE WHEN size(toks) < 8 THEN array(md5(concat_ws(' ', toks)))
+          |ELSE transform(sequence(1, size(toks)-7),
+          |  i -> md5(concat_ws(' ', slice(toks, i, 8)))) END""".stripMargin
+      val d = docs(s, dir)
+        .selectExpr("doc_id", s"$toks AS toks")
+        .selectExpr("doc_id", s"array_distinct($sh8) AS sh")
+      val evalSh = d.filter(col("doc_id") % 97 === 0)
+        .selectExpr("explode(sh) AS shingle").distinct()
+      val trainSh = d.filter(col("doc_id") % 97 =!= 0)
+        .selectExpr("doc_id", "explode(sh) AS shingle")
+      val overlap = trainSh.join(broadcast(evalSh), Seq("shingle"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      d.filter(col("doc_id") % 97 =!= 0)
+        .selectExpr("doc_id", "size(sh) AS n_shingles")
+        .join(overlap, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "n_shingles",
+          "coalesce(n_overlap, CAST(0 AS BIGINT)) AS n_overlap",
+          "coalesce(n_overlap, CAST(0 AS BIGINT)) >= 1 AS contaminated")
+        .orderBy(asc("doc_id"))
+    }),
+
+    // Sequence PACKING — the other pre-training staple: concatenate each
+    // (lang, split) stream in doc_id order and chunk it into 1024-token
+    // training sequences; a doc belongs to the sequence its LAST token
+    // lands in (floor(cumulative/1024) — the concatenate-and-chunk
+    // discipline GPT-style pipelines use, not bin-packing with
+    // reordering, which would destroy the reproducible doc order).
+    // Output is per-sequence doc counts + token counts + fill ratio
+    // (÷1024 is a power-of-two division — exact in IEEE-754, so both
+    // engines emit identical bits). One window + one keyed aggregation,
+    // both partitioned by (lang, split): at 100 TB the window's
+    // per-partition running sum is the standard monotonic-prefix
+    // pattern — each (lang, split) stream sorts once, no global sort.
+    "docs_pack_greedy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"), col("split"))
+        .orderBy(asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .selectExpr("doc_id", "lang", s"size($toks) AS n_toks",
+          s"$splitHash % 100 AS h")
+        .selectExpr("doc_id", "lang", "n_toks", s"$splitCase AS split")
+        .withColumn("cum", sum(col("n_toks").cast("long")).over(w))
+        .selectExpr("lang", "split", "n_toks", "cum DIV 1024 AS seq_id")
+        .groupBy(col("lang"), col("split"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks").cast("long")).as("seq_tokens"),
+          (sum(col("n_toks").cast("long")).cast("double") / 1024)
+            .as("fill_ratio"))
+        .orderBy(asc("lang"), asc("split"), asc("seq_id"))
+    }),
+
     // Tokenize/explode -> global term counts, top 20.
     "term_counts" -> ((s, dir) => {
       docs(s, dir)
@@ -363,6 +432,41 @@ object TextAnalysis {
          |        DESC, tf.term) AS rk
          |  FROM tf JOIN df USING (term) CROSS JOIN n)
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "docs_decontaminate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 8 THEN [md5(array_to_string(toks, ' '))]
+         |    ELSE list_transform(generate_series(1, len(toks)-7),
+         |      i -> md5(array_to_string(toks[i:i+7], ' '))) END) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM d
+         |       WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, unnest(sh) AS shingle FROM d
+         |       WHERE doc_id % 97 != 0),
+         |ov AS (SELECT doc_id, count(*) AS n_overlap
+         |       FROM tr JOIN ev USING (shingle) GROUP BY doc_id)
+         |SELECT d.doc_id, len(d.sh) AS n_shingles,
+         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  coalesce(ov.n_overlap, 0) >= 1 AS contaminated
+         |FROM d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         |WHERE d.doc_id % 97 != 0
+         |ORDER BY d.doc_id""".stripMargin,
+    "docs_pack_greedy" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, n_toks, $splitCase AS split
+         |  FROM (SELECT doc_id, lang, len($toksSql) AS n_toks,
+         |          $splitHash % 100 AS h
+         |        FROM documents)),
+         |c AS (SELECT lang, split, n_toks,
+         |    CAST(sum(n_toks) OVER (PARTITION BY lang, split
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM s)
+         |SELECT lang, split, cum // 1024 AS seq_id, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS seq_tokens,
+         |  CAST(sum(n_toks) AS DOUBLE) / 1024 AS fill_ratio
+         |FROM c GROUP BY lang, split, seq_id
+         |ORDER BY lang, split, seq_id""".stripMargin,
     "term_counts" ->
       s"""SELECT term, count(*) AS n
          |FROM (SELECT unnest($toksSql) AS term FROM documents)

@@ -172,4 +172,30 @@ class DedupSpec extends SparkSpec {
       assert(byRk.zip(byRk.tail).forall { case (hi, lo) => hi >= lo })
     }
   }
+
+  test("decontamination flags a planted eval-overlapping doc only") {
+    // controlled corpus: doc 0 is the eval doc (0 % 97 == 0); doc 1
+    // embeds doc 0's full text (shares its 8-token shingles); doc 2 is
+    // disjoint. Exactly doc 1 must come back contaminated.
+    val evalText =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val cleanText =
+      "one two three four five six seven eight nine ten eleven twelve"
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-decontam").toFile
+    tmp.deleteOnExit()
+    Seq(
+      (0L, evalText, "en", "web", evalText.length.toLong),
+      (1L, s"leading words then $evalText and trailing words", "en",
+        "web", 99L),
+      (2L, cleanText, "en", "web", cleanText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+    val r = graft.operators.TextAnalysis.queries("docs_decontaminate")(
+      spark, tmp.getAbsolutePath)
+      .select("doc_id", "contaminated").as[(Long, Boolean)]
+      .collect().toMap
+    assert(r == Map(1L -> true, 2L -> false))
+  }
 }

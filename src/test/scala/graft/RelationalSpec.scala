@@ -127,6 +127,31 @@ class RelationalSpec extends SparkSpec {
       s"expected broadcast left-outer join:\n${plan.take(2000)}")
   }
 
+  test("q13: join-condition filter preserves customers a WHERE would drop") {
+    val rows = Relational.queries("q13_customer_distribution")(spark, sfDir)
+      .collect()
+    val all = Tables.load(spark, sfDir, "customer").count()
+    // the c_count histogram must cover every customer...
+    assert(rows.map(_.getAs[Long]("custdist")).sum == all)
+    // ...including those whose every order was filtered INSIDE the join
+    // condition (count 0) — the semantics a WHERE cannot express. The
+    // sf fixture has customers with no orders and ~1/5 of orders
+    // URGENT, so the zero bucket is non-empty.
+    assert(rows.exists(r => r.getAs[Long]("c_count") == 0L &&
+      r.getAs[Long]("custdist") > 0L), "missing the zero-order bucket")
+    // and strictly more zero-count customers than a plain WHERE-after-
+    // join would leave: compare against the inner-join histogram
+    val inner = Tables.load(spark, sfDir, "customer")
+      .join(Tables.load(spark, sfDir, "orders"),
+        col("c_custkey") === col("o_custkey") &&
+          !col("o_orderpriority").like("%URGENT%") &&
+          col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select("c_custkey").distinct().count()
+    val zeroBucket = rows.find(_.getAs[Long]("c_count") == 0L).get
+      .getAs[Long]("custdist")
+    assert(zeroBucket == all - inner)
+  }
+
   test("right outer: every part preserved; count skips null-extended rows") {
     val rows = Relational.queries("outer_right_parts_sold")(spark, sfDir)
       .collect()

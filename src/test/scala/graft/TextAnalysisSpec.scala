@@ -90,4 +90,44 @@ class TextAnalysisSpec extends SparkSpec {
       .agg(sum("n")).as[Long].collect()(0)
     assert(n == Tables.load(spark, sfDir, "documents").count())
   }
+
+  test("decontamination: covers all train docs; fixture eval dupes flagged") {
+    val rows = TextAnalysis.queries("docs_decontaminate")(spark, sfDir)
+      .select("doc_id", "n_shingles", "n_overlap", "contaminated")
+      .as[(Long, Int, Long, Boolean)].collect()
+    val nTrain = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 97 =!= 0).count()
+    assert(rows.length == nTrain) // clean docs are reported too
+    rows.foreach { case (id, nSh, nOv, c) =>
+      assert(id % 97 != 0)
+      assert(nSh >= 1)
+      assert(nOv >= 0 && nOv <= nSh)
+      assert(c == (nOv >= 1))
+    }
+    // the sf0.001 fixture contains eval-doc duplicates => non-vacuous
+    assert(rows.count(_._4) >= 1, "no contaminated doc found in fixture")
+  }
+
+  test("packing: bins contiguous, token-conserving, fill = tokens/1024") {
+    val rows = TextAnalysis.queries("docs_pack_greedy")(spark, sfDir)
+      .select("lang", "split", "seq_id", "n_docs", "seq_tokens",
+        "fill_ratio")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, nDocs, toks, fill) =>
+      assert(nDocs >= 1)
+      assert(fill == toks.toDouble / 1024)
+    }
+    // per (lang, split): seq ids are 0..max with no holes, and the
+    // binned token total equals the stream's token total
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((lang, split), g) =>
+      val ids = g.map(_._3).sorted.toSeq
+      assert(ids == (0L to ids.max), s"holes in $lang/$split: $ids")
+    }
+    val binned = rows.map(_._5).sum
+    val total = Tables.load(spark, sfDir, "documents")
+      .selectExpr("size(split(text, ' ')) AS n").agg(sum("n"))
+      .as[Long].collect()(0)
+    assert(binned == total)
+  }
 }
