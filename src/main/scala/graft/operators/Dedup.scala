@@ -109,19 +109,28 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .filter(expr(firstSharedBand))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      // candidate-count metric (CollectMetrics is a pass-through
+      // accumulator, no extra job): candidate explosion — the LSH
+      // failure mode where banding degenerates and pair count heads
+      // toward n² — shows up in qe.observedMetrics / any
+      // QueryExecutionListener instead of only as a slow stage.
+      .observe("lsh_candidates", count(lit(1)).as("n_candidates"))
   }
 
   /** Distinct token set per doc (the unit for Jaccard). */
   private val tokSet = s"array_distinct($toks)"
 
-  /** Word 3-gram shingles from a MATERIALIZED `toks` column. (Never
-    * inline the split() into the per-shingle lambda: expression
-    * interpretation re-evaluates the split on every element access,
-    * turning an O(n) pass into O(n^2) regex splits per document.) */
-  private val shinglesFromToks =
-    """CASE WHEN size(toks) < 3 THEN array(concat_ws(' ', toks))
-      |ELSE transform(sequence(0, size(toks)-3),
-      |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END"""
+  /** Word 3-gram shingle HASHES from a MATERIALIZED token-hash column
+    * `th` (never from strings: hashing each token once and combining
+    * the three 8-byte longs per shingle skips building every shingle's
+    * ~30-byte string — no string allocation anywhere in the verify
+    * path. And never inline the split() into the per-shingle lambda:
+    * expression interpretation re-evaluates it per element access,
+    * turning an O(n) pass into O(n²) regex splits per document.) */
+  private val shingleHashesFromTokenHashes =
+    """CASE WHEN size(th) < 3 THEN array(xxhash64(th))
+      |ELSE transform(sequence(0, size(th)-3),
+      |  i -> xxhash64(th[i], th[i+1], th[i+2])) END"""
       .stripMargin
 
   val queries: Map[String, Q] = Map(
@@ -213,11 +222,12 @@ object Dedup {
             "xxhash64(b, slice(sig, b*4+1, 4))) AS bands")
       val candIds = lshCandidatePairs(sig)
       // shingle hashes materialized once per doc, only for verification
-      // (sorted longs — same fast verify path as the token variant)
+      // (sorted longs — same fast verify path as the token variant);
+      // hashed straight off per-token hashes, no shingle strings built
       val docSh = sig.select(col("doc_id"), col("toks"))
-        .selectExpr("doc_id", s"$shinglesFromToks AS sh")
+        .selectExpr("doc_id", "transform(toks, t -> xxhash64(t)) AS th")
         .selectExpr("doc_id",
-          "sort_array(array_distinct(transform(sh, x -> xxhash64(x)))) AS sh")
+          s"sort_array(array_distinct($shingleHashesFromTokenHashes)) AS sh")
       candIds
         .join(docSh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
           Seq("a_id"))

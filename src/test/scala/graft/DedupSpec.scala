@@ -173,6 +173,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("candidate-pair count is observable (explosion visible in CI)") {
+    def bands(d: Long, v: Long): Seq[Long] =
+      Array.tabulate(8)(i => if (i == 0) v else -(d * 100 + i)).toSeq
+    val sig = Seq((1L, bands(1, 9L)), (2L, bands(2, 9L)),
+      (3L, bands(3, 9L))).toDF("doc_id", "bands")
+    val cand = Dedup.lshCandidatePairs(sig)
+    // collect() (not count()) — count() runs a DERIVED plan, leaving
+    // this Dataset's own QueryExecution (whose metrics we read) unrun
+    assert(cand.collect().length == 3) // C(3,2) through the shared band
+    val m = cand.queryExecution.observedMetrics
+    assert(m.get("lsh_candidates")
+      .exists(_.getAs[Long]("n_candidates") == 3L),
+      s"observed metrics: $m")
+  }
+
   test("decontamination flags a planted eval-overlapping doc only") {
     // controlled corpus: doc 0 is the eval doc (0 % 97 == 0); doc 1
     // embeds doc 0's full text (shares its 8-token shingles); doc 2 is
