@@ -60,15 +60,17 @@ object Sources {
     df.write.format(format).mode("overwrite")
       .option("header", "true").save(path)
 
-  /** Prefer passing `schema`: for csv/json, schema inference is a FULL
-    * extra pass over the data before the real read — at 100 TB that is
-    * a doubled scan for metadata a caller usually already has. The
-    * infer fallback stays for ad-hoc exploration only. */
+  /** Pass `schema` whenever it is known. Without one, csv/json read as
+    * single-pass with every column string-typed — NEVER with
+    * inferSchema, which is a FULL extra scan over the data before the
+    * real read (at 100 TB, a doubled scan for metadata the caller
+    * usually already has; self-describing formats like orc/parquet
+    * carry their schema and are unaffected). Callers that want typed
+    * columns from schemaless text data must say so with a schema. */
   def readAs(spark: SparkSession, format: String, path: String,
       schema: Option[StructType] = None): DataFrame = {
     val r = spark.read.format(format).option("header", "true")
-    schema.fold(r.option("inferSchema", "true"))(r.schema)
-      .load(path)
+    schema.fold(r)(r.schema).load(path)
   }
 
   /** S5: partitioned columnar table (the Parquet equivalent of the

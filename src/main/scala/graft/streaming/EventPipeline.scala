@@ -215,14 +215,23 @@ object EventPipeline {
         col("effect_ts"), col("cause_id"), col("cause_ts"))
   }
 
-  /** S3: append sink partitioned for pruning, with checkpointing. */
+  /** S3: append sink partitioned for pruning, with checkpointing.
+    *
+    * `availableNow = true` is the production BACKFILL/catch-up mode
+    * (`Trigger.AvailableNow`): process everything pending as of query
+    * start — rate-limited into normal micro-batches, unlike the
+    * deprecated Once trigger's single giant batch — then stop. Same
+    * checkpoint as the continuous mode, so a nightly catch-up run and
+    * a live run are interchangeable against one sink. */
   def parquetSink(flat: DataFrame, path: String, checkpoint: String,
-      triggerMs: Long = 2000L): DataStreamWriter[Row] =
+      triggerMs: Long = 2000L,
+      availableNow: Boolean = false): DataStreamWriter[Row] =
     flat.writeStream
       .format("parquet")
       .outputMode("append")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .partitionBy("processing_date", "processing_hour")
-      .trigger(Trigger.ProcessingTime(triggerMs))
+      .trigger(if (availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(triggerMs))
 }

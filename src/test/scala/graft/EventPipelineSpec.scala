@@ -339,6 +339,40 @@ class EventPipelineSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == 3)
   }
 
+  test("AvailableNow backfill drains exactly the pending input, " +
+      "self-terminates, and the checkpoint stays resumable") {
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-catchup")
+    val (inDir, outDir, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    new java.io.File(inDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inDir/pending0.txt"),
+      Seq(ev("a1"), ev("a2")).mkString("\n"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inDir/pending1.txt"),
+      Seq(ev("a3")).mkString("\n"))
+    def start() = EventPipeline.parquetSink(
+      EventPipeline.pipeline(spark.readStream.format("text").load(inDir)),
+      outDir, ckpt, availableNow = true).start()
+    val q1 = start()
+    // AvailableNow stops ITSELF once pending input is drained — no
+    // stop() call, the await must return true within the timeout
+    assert(q1.awaitTermination(60000), "backfill did not self-terminate")
+    assert(spark.read.parquet(outDir).count() == 3)
+    // later arrivals are NOT picked up by the finished run...
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inDir/late.txt"),
+      Seq(ev("a4")).mkString("\n"))
+    assert(spark.read.parquet(outDir).count() == 3)
+    // ...but the next catch-up run resumes the same checkpoint and
+    // drains exactly the delta (no reprocessing of a1-a3)
+    val q2 = start()
+    assert(q2.awaitTermination(60000), "second backfill did not stop")
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 4)
+    assert(out.select("event_id").distinct().count() == 4)
+  }
+
   test("file stream end-to-end: parquet sink with partition pruning cols") {
     implicit val sc = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
