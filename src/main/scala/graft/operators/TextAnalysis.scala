@@ -260,28 +260,37 @@ object TextAnalysis {
     // (eval sets are small by definition — benchmarks are KBs against a
     // 100 TB corpus), per-doc overlap via broadcast-hash equi-join +
     // keyed count; no shuffle touches the corpus side beyond its own
-    // per-doc aggregation. Every train doc is reported (LEFT join), so
-    // the clean/contaminated partition is complete.
+    // per-doc aggregation. Every train doc is reported, so the
+    // clean/contaminated partition is complete.
+    //
+    // Shape note: the split filters sit BEFORE the shingle lambda and
+    // both output counts come from ONE aggregation over a left
+    // broadcast join (shingles are distinct per doc, so every train
+    // shingle row survives the eval left-join exactly once: count(1)
+    // = n_shingles, count(hit) = n_overlap). The obvious three-branch
+    // formulation — eval shingles, train shingles, and a per-doc size
+    // — recomputes the shingle projection once per branch (Catalyst
+    // does not dedupe common subplans without materialization) and
+    // measured 3× this query's cost.
     "docs_decontaminate" -> ((s, dir) => {
       val sh8 =
         """CASE WHEN size(toks) < 8 THEN array(md5(concat_ws(' ', toks)))
           |ELSE transform(sequence(1, size(toks)-7),
           |  i -> md5(concat_ws(' ', slice(toks, i, 8)))) END""".stripMargin
-      val d = docs(s, dir)
+      def shingles(df: DataFrame): DataFrame = df
         .selectExpr("doc_id", s"$toks AS toks")
-        .selectExpr("doc_id", s"array_distinct($sh8) AS sh")
-      val evalSh = d.filter(col("doc_id") % 97 === 0)
-        .selectExpr("explode(sh) AS shingle").distinct()
-      val trainSh = d.filter(col("doc_id") % 97 =!= 0)
-        .selectExpr("doc_id", "explode(sh) AS shingle")
-      val overlap = trainSh.join(broadcast(evalSh), Seq("shingle"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-      d.filter(col("doc_id") % 97 =!= 0)
-        .selectExpr("doc_id", "size(sh) AS n_shingles")
-        .join(overlap, Seq("doc_id"), "left")
-        .selectExpr("doc_id", "n_shingles",
-          "coalesce(n_overlap, CAST(0 AS BIGINT)) AS n_overlap",
-          "coalesce(n_overlap, CAST(0 AS BIGINT)) >= 1 AS contaminated")
+        .selectExpr("doc_id", s"explode(array_distinct($sh8)) AS shingle")
+      val d = docs(s, dir)
+      val evalSh = shingles(d.filter(col("doc_id") % 97 === 0))
+        .select(col("shingle")).distinct()
+        .withColumn("hit", lit(1))
+      shingles(d.filter(col("doc_id") % 97 =!= 0))
+        .join(broadcast(evalSh), Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(col("hit")).as("n_overlap"))
+        .selectExpr("doc_id", "n_shingles", "n_overlap",
+          "n_overlap >= 1 AS contaminated")
         .orderBy(asc("doc_id"))
     }),
 

@@ -94,7 +94,7 @@ class TextAnalysisSpec extends SparkSpec {
   test("decontamination: covers all train docs; fixture eval dupes flagged") {
     val rows = TextAnalysis.queries("docs_decontaminate")(spark, sfDir)
       .select("doc_id", "n_shingles", "n_overlap", "contaminated")
-      .as[(Long, Int, Long, Boolean)].collect()
+      .as[(Long, Long, Long, Boolean)].collect()
     val nTrain = Tables.load(spark, sfDir, "documents")
       .filter(col("doc_id") % 97 =!= 0).count()
     assert(rows.length == nTrain) // clean docs are reported too
