@@ -462,6 +462,31 @@ object Relational {
         .orderBy(desc("custdist"), desc("c_count"))
     }),
 
+    // TPC-H Q19 shape (discounted revenue): an OR-of-ANDs predicate
+    // mixing both join sides — the disjunctive-pushdown exercise. The
+    // fixture lacks containers/shipmode, so the three arms pair brand
+    // + size (part side) with quantity bands (lineitem side), exactly
+    // Q19's structure. Catalyst extracts the side-local residue of the
+    // disjunction and pushes it into EACH scan (part gets
+    // `(brand=A AND size<=5) OR (brand=B AND size<=10) OR ...`,
+    // lineitem gets the quantity-band disjunction) — asserted in
+    // RelationalSpec — so the broadcast dim and the fact scan both
+    // shrink before the join evaluates the full cross-side predicate.
+    "q19_discounted_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      def arm(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+        p("p_brand") === brand &&
+          p("p_size").between(1, szHi) &&
+          li("l_quantity").between(qLo, qHi)
+      li.join(broadcast(p),
+          li("l_partkey") === p("p_partkey") &&
+            (arm("Brand#3", 5, 1, 11) || arm("Brand#15", 10, 10, 20) ||
+              arm("Brand#23", 15, 20, 30)))
+        .agg(sum(revTerm).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Null-semantics battery: coalesce / nullif / null-safe equality
     // (<=>) / CASE with null arms / NULLS FIRST ordering — the scalar
     // corner where engines actually disagree, pinned against the
@@ -789,6 +814,18 @@ object Relational {
         |  GROUP BY c_custkey)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "null_semantics_battery" ->
       """SELECT o_orderkey, status_n,
         |  coalesce(status_n, 'open') AS status_filled,

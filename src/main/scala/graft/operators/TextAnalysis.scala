@@ -325,6 +325,33 @@ object TextAnalysis {
         .orderBy(asc("lang"), asc("split"), asc("seq_id"))
     }),
 
+    // Repetition detection — the Gopher/RefinedWeb-style quality rule
+    // a 100 TB curation pass applies before training: a doc whose most
+    // frequent word bigram accounts for too much of the text is
+    // boilerplate/spam. rep_ratio = count(top bigram) / count(bigrams),
+    // exact integer-ratio arithmetic (identical bits in both engines,
+    // no rounding needed). Two keyed aggregations, both sharded by
+    // doc_id — the (doc_id, bigram) count reuses the first shuffle's
+    // partitioning for the per-doc max, so this is one real shuffle
+    // over narrow rows at scale.
+    "docs_repetition_stats" -> ((s, dir) => {
+      val bigrams =
+        """CASE WHEN size(toks) < 2 THEN array(concat_ws(' ', toks))
+          |ELSE transform(sequence(0, size(toks)-2),
+          |  i -> concat_ws(' ', toks[i], toks[i+1])) END""".stripMargin
+      docs(s, dir)
+        .selectExpr("doc_id", s"$toks AS toks")
+        .selectExpr("doc_id", s"explode($bigrams) AS bg")
+        .groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_rep"))
+        .selectExpr("doc_id", "n_bigrams", "max_rep",
+          "CAST(max_rep AS DOUBLE) / n_bigrams AS rep_ratio",
+          "CAST(max_rep AS DOUBLE) / n_bigrams >= 0.08 AS is_repetitive")
+        .orderBy(asc("doc_id"))
+    }),
+
     // Tokenize/explode -> global term counts, top 20.
     "term_counts" -> ((s, dir) => {
       docs(s, dir)
@@ -476,6 +503,22 @@ object TextAnalysis {
          |  CAST(sum(n_toks) AS DOUBLE) / 1024 AS fill_ratio
          |FROM c GROUP BY lang, split, seq_id
          |ORDER BY lang, split, seq_id""".stripMargin,
+    "docs_repetition_stats" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, bg, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(
+         |      CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(generate_series(1, len(toks)-1),
+         |        i -> toks[i] || ' ' || toks[i+1]) END) AS bg
+         |    FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+         |  GROUP BY doc_id, bg),
+         |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |    CAST(max(c) AS BIGINT) AS max_rep
+         |  FROM b GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, max_rep,
+         |  CAST(max_rep AS DOUBLE) / n_bigrams AS rep_ratio,
+         |  CAST(max_rep AS DOUBLE) / n_bigrams >= 0.08 AS is_repetitive
+         |FROM d ORDER BY doc_id""".stripMargin,
     "term_counts" ->
       s"""SELECT term, count(*) AS n
          |FROM (SELECT unnest($toksSql) AS term FROM documents)

@@ -152,6 +152,24 @@ class RelationalSpec extends SparkSpec {
     assert(zeroBucket == all - inner)
   }
 
+  test("q19: side-local residue of the OR-of-ANDs pushes into both scans") {
+    val df = Relational.queries("q19_discounted_revenue")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // each scan gets its own disjunctive residue as a pushed filter
+    // (Or over brand/size on part; Or over quantity bands on lineitem)
+    val pushed = "PushedFilters: \\[[^\\]]*".r.findAllIn(plan).toList
+    assert(pushed.exists(f => f.contains("Or(") && f.contains("p_brand")),
+      s"no disjunctive pushdown on part:\n${pushed.mkString("\n")}")
+    assert(pushed.exists(f => f.contains("Or(") && f.contains("l_quantity")),
+      s"no disjunctive pushdown on lineitem:\n${pushed.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin"))
+    // one row, both aggregates non-trivial on the fixture
+    val r = df.collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_items") > 0)
+    assert(r(0).getAs[Double]("revenue") > 0.0)
+  }
+
   test("right outer: every part preserved; count skips null-extended rows") {
     val rows = Relational.queries("outer_right_parts_sold")(spark, sfDir)
       .collect()

@@ -108,6 +108,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.count(_._4) >= 1, "no contaminated doc found in fixture")
   }
 
+  test("repetition stats: ratios bounded, flag matches threshold, " +
+      "fixture boilerplate flagged") {
+    val rows = TextAnalysis.queries("docs_repetition_stats")(spark, sfDir)
+      .select("doc_id", "n_bigrams", "max_rep", "rep_ratio",
+        "is_repetitive")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(rows.length ==
+      Tables.load(spark, sfDir, "documents").count())
+    rows.foreach { case (_, n, mx, ratio, rep) =>
+      assert(mx >= 1 && mx <= n)
+      assert(ratio == mx.toDouble / n)
+      assert(rep == (ratio >= 0.08))
+    }
+    assert(rows.exists(_._5), "no repetitive doc found in fixture")
+    assert(rows.exists(!_._5), "every doc flagged — threshold vacuous")
+  }
+
   test("packing: bins contiguous, token-conserving, fill = tokens/1024") {
     val rows = TextAnalysis.queries("docs_pack_greedy")(spark, sfDir)
       .select("lang", "split", "seq_id", "n_docs", "seq_tokens",
