@@ -80,6 +80,72 @@ object Sources {
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Storage maintenance: rewrite a partitioned parquet dataset's small
+    * files toward `targetBytes` per file — the plain-parquet equivalent
+    * of Iceberg's rewrite_data_files / the reference's 128 MB
+    * target-file setting (`api.py:205-241`). Streaming sinks and
+    * incremental batch appends accrete one small file per trigger per
+    * partition; at 100 TB the resulting footer/open overhead dominates
+    * scan cost, so periodic compaction is part of the engine's surface,
+    * not an ops afterthought.
+    *
+    * Scale shape — one sizing pass + one shuffle:
+    *  1. bytes/row estimated from the file listing + a count.
+    *  2. per-partition-key output file counts = ceil(rows/targetRows);
+    *     rows get a deterministic salt `pmod(xxhash64(data cols),
+    *     files)` so each output file's rows COLOCATE in one task —
+    *     repartition on (partition cols, salt) spreads a skewed
+    *     partition across its several files instead of serializing it
+    *     through one writer (maxRecordsPerFile alone would roll files
+    *     sequentially in a single task).
+    *  3. written to `<path>.compacting`, then swapped in. The swap is
+    *     two renames, NOT atomic for concurrent readers — at cluster
+    *     scale that transactionality is precisely what a table format
+    *     (Iceberg/Delta) adds on top of this same rewrite job.
+    *
+    * Returns (files before, files after), counting data files only. */
+  def compactPartitioned(spark: SparkSession, path: String,
+      partitionCols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".")) buf += f
+      }
+      buf.result()
+    }
+    val before = dataFiles(hPath)
+    val df = spark.read.parquet(path)
+    val totalRows = df.count()
+    if (totalRows == 0) return (before.size.toLong, before.size.toLong)
+    val bytesPerRow = math.max(1L, before.map(_.getLen).sum / totalRows)
+    val targetRows = math.max(1L, targetBytes / bytesPerRow)
+    val dataCols = df.columns.filterNot(partitionCols.contains).toSeq
+    val perKey = df.groupBy(partitionCols.map(col): _*)
+      .agg(ceil(count(lit(1)).cast("double") / targetRows)
+        .cast("int").as("__files"))
+    val tmp = new Path(path + ".compacting")
+    df.join(broadcast(perKey), partitionCols)
+      .withColumn("__salt",
+        pmod(xxhash64(dataCols.map(col): _*), col("__files")))
+      .repartition((partitionCols :+ "__salt").map(col): _*)
+      .drop("__files", "__salt")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRows)
+      .partitionBy(partitionCols: _*)
+      .parquet(tmp.toString)
+    fs.delete(hPath, true)
+    require(fs.rename(tmp, hPath), s"rename $tmp -> $hPath failed")
+    spark.catalog.refreshByPath(path)
+    (before.size.toLong, dataFiles(hPath).size.toLong)
+  }
+
   /** Bucketed table pair for co-located joins (the cluster-scale answer
     * to fact-fact shuffles, SURVEY §7 M2 scale note): both sides
     * `bucketBy(n, key)` + `sortBy(key)` into managed tables; a join on

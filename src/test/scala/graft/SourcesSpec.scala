@@ -78,6 +78,41 @@ class SourcesSpec extends SparkSpec {
     Sources.refreshPath(spark, s"$sfDir/events.parquet") // no-throw
   }
 
+  test("compaction merges small files per partition, preserves data, " +
+      "and splits again under a tiny target") {
+    val p = s"${tmpDir()}/orders_small"
+    val src = Tables.load(spark, sfDir, "orders")
+    // simulate trigger-accreted small files: 8 writers per partition
+    src.repartition(8).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(p)
+    def files(dir: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().toSeq.flatMap { f =>
+        if (f.isDirectory) files(f.getAbsolutePath)
+        else if (f.getName.startsWith("_") || f.getName.startsWith("."))
+          Nil
+        else Seq(f)
+      }
+    // decimal sum: a long sum of 15k hashes overflows under ANSI mode
+    def checksumOf(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(xxhash64(src.columns.map(col): _*)
+        .cast("decimal(38,0)"))).head.getDecimal(0)
+    val checksum = checksumOf(src)
+    val nStatuses = src.select("o_orderstatus").distinct().count()
+    val (before, after) =
+      Sources.compactPartitioned(spark, p, Seq("o_orderstatus"))
+    assert(before == files(p).size + 0L || before > after) // sanity
+    assert(after == nStatuses, s"expected 1 file/partition, got $after")
+    val back = spark.read.parquet(p)
+    assert(back.count() == src.count())
+    assert(checksumOf(back).compareTo(checksum) == 0,
+      "content changed by compaction")
+    // a target below the per-partition size must yield multiple files
+    val (_, split) = Sources.compactPartitioned(spark, p,
+      Seq("o_orderstatus"), targetBytes = 2 * 1024)
+    assert(split > nStatuses, s"tiny target produced only $split files")
+    assert(spark.read.parquet(p).count() == src.count())
+  }
+
   test("kafka reader builder exposes the reference options shape") {
     // connector jar absent in this env: only assert the builder wires
     // format/options without touching a broker (no .load()).
