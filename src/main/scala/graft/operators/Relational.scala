@@ -487,6 +487,34 @@ object Relational {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q22 shape (idle high-balance customers): a filter against a
+    // GLOBAL scalar aggregate — the 1-row broadcast cross join pattern
+    // (the decorrelated form of Q22's uncorrelated scalar subquery; at
+    // any scale the average is one row, so the "join" costs nothing) —
+    // composed with an anti join against RECENT orders (idle = nothing
+    // since 1999; the fixture has no fully order-less customers, so
+    // Q22's "never ordered" arm would be vacuous here). Country code
+    // stands in as c_nationkey % 10 (no c_phone). The decimal-
+    // exact davg keeps the threshold comparison bit-identical across
+    // engines (a float avg would make membership of near-threshold
+    // customers engine-dependent).
+    "q22_idle_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >=
+              lit("1999-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 10).as("code"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy(asc("code"))
+    }),
+
     // Null-semantics battery: coalesce / nullif / null-safe equality
     // (<=>) / CASE with null arms / NULLS FIRST ordering — the scalar
     // corner where engines actually disagree, pinned against the
@@ -826,6 +854,21 @@ object Relational {
         |        AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
         |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH ab AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |      / count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey % 10 AS code, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY code ORDER BY code""".stripMargin,
     "null_semantics_battery" ->
       """SELECT o_orderkey, status_n,
         |  coalesce(status_n, 'open') AS status_filled,

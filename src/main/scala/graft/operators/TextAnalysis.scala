@@ -325,6 +325,29 @@ object TextAnalysis {
         .orderBy(asc("lang"), asc("split"), asc("seq_id"))
     }),
 
+    // Domain-mixture sampling — the "data recipe" step of a pre-training
+    // pipeline: sample each source domain at its own target rate so the
+    // training mix matches a prescribed distribution rather than the
+    // crawl's. Membership is the portable [[splitHash]] against a
+    // per-source rate (derived here from the source id so the oracle
+    // computes it identically; in production the rates are config) —
+    // fully deterministic, so the SAME docs are selected on any engine,
+    // any cluster size, any rerun: the mixture is reproducible, which
+    // is the whole point. Pure narrow predicate + one keyed aggregation.
+    "docs_domain_mixture" -> ((s, dir) => {
+      docs(s, dir)
+        .selectExpr("source", s"$splitHash % 100 AS h",
+          // target rate per domain, 20..80%
+          "20 + 5 * (CAST(substr(source, 4) AS INT) % 13) AS rate")
+        .groupBy(col("source"), col("rate"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("h") < col("rate"), 1L).otherwise(0L))
+            .as("n_sampled"))
+        .selectExpr("source", "rate", "n_docs", "n_sampled",
+          "CAST(n_sampled AS DOUBLE) / n_docs AS achieved")
+        .orderBy(asc("source"))
+    }),
+
     // Repetition detection — the Gopher/RefinedWeb-style quality rule
     // a 100 TB curation pass applies before training: a doc whose most
     // frequent word bigram accounts for too much of the text is
@@ -503,6 +526,16 @@ object TextAnalysis {
          |  CAST(sum(n_toks) AS DOUBLE) / 1024 AS fill_ratio
          |FROM c GROUP BY lang, split, seq_id
          |ORDER BY lang, split, seq_id""".stripMargin,
+    "docs_domain_mixture" ->
+      s"""SELECT source, rate, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sampled,
+         |  CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS achieved
+         |FROM (SELECT source, $splitHash % 100 AS h,
+         |        20 + 5 * (CAST(substr(source, 4) AS INT) % 13) AS rate
+         |      FROM documents)
+         |GROUP BY source, rate ORDER BY source""".stripMargin,
     "docs_repetition_stats" ->
       s"""WITH b AS (
          |  SELECT doc_id, bg, count(*) AS c FROM (

@@ -170,6 +170,25 @@ class RelationalSpec extends SparkSpec {
     assert(r(0).getAs[Double]("revenue") > 0.0)
   }
 
+  test("q22: counts exactly the above-average customers with no orders") {
+    val rows = Relational.queries("q22_idle_customers")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty, "no idle high-balance customers in fixture")
+    val total = rows.map(_.getAs[Long]("numcust")).sum
+    // independent reconstruction: above-decimal-avg balance, anti-join
+    val cust = Tables.load(spark, sfDir, "customer")
+    val avg = cust.filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast("decimal(12,2)")).cast("double")
+        / count(lit(1))).head.getDouble(0)
+    val expected = cust.filter(col("c_acctbal") > avg)
+      .join(Tables.load(spark, sfDir, "orders")
+          .filter(col("o_orderdate") >=
+            lit("1999-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(total == expected)
+  }
+
   test("right outer: every part preserved; count skips null-extended rows") {
     val rows = Relational.queries("outer_right_parts_sold")(spark, sfDir)
       .collect()

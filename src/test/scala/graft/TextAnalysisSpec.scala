@@ -108,6 +108,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.count(_._4) >= 1, "no contaminated doc found in fixture")
   }
 
+  test("domain mixture: deterministic, bounded, and actually biting") {
+    val rows = TextAnalysis.queries("docs_domain_mixture")(spark, sfDir)
+      .select("source", "rate", "n_docs", "n_sampled", "achieved")
+      .as[(String, Int, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rate, n, k, achieved) =>
+      assert(rate >= 20 && rate <= 80)
+      assert(k >= 0 && k <= n)
+      assert(achieved == k.toDouble / n)
+    }
+    // the mixture must actually subsample somewhere (not keep all docs)
+    assert(rows.exists { case (_, _, n, k, _) => k < n })
+    // determinism: identical selection on a rerun
+    val again = TextAnalysis.queries("docs_domain_mixture")(spark, sfDir)
+      .select("source", "n_sampled").as[(String, Long)].collect().toMap
+    rows.foreach { case (src, _, _, k, _) => assert(again(src) == k) }
+  }
+
   test("repetition stats: ratios bounded, flag matches threshold, " +
       "fixture boilerplate flagged") {
     val rows = TextAnalysis.queries("docs_repetition_stats")(spark, sfDir)
