@@ -215,6 +215,39 @@ object EventPipeline {
         col("effect_ts"), col("cause_id"), col("cause_ts"))
   }
 
+  /** foreachBatch UPSERT sink — the production pattern for sinks whose
+    * semantics the built-in writers can't express (merge/dedup/multi-
+    * table writes): each micro-batch arrives as an ordinary DataFrame
+    * and is merged by key instead of blindly appended. Here the merge
+    * is insert-if-absent on event_id: the batch self-dedupes, then
+    * anti-joins the sink's existing keys, so replays (at-least-once
+    * delivery, checkpoint restarts) never duplicate a row — effectively
+    * exactly-once per key end-to-end.
+    *
+    * Scale note: the existing-keys read is the plain-parquet stand-in
+    * for a real MERGE target; production would bound it by partition
+    * pruning (join only the partitions the batch touches) or use a
+    * table format's MERGE INTO, which is this same foreachBatch shape
+    * with a transactional key lookup. */
+  def upsertSink(flat: DataFrame, path: String, checkpoint: String)
+  : DataStreamWriter[Row] =
+    flat.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val fresh = batch.dropDuplicates("event_id")
+        val existing =
+          try s.read.parquet(path).select(col("event_id")).distinct()
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            s.emptyDataFrame.withColumn("event_id", lit("")) // no sink yet
+              .limit(0)
+          }
+        fresh.join(existing, Seq("event_id"), "left_anti")
+          .write.mode("append").parquet(path)
+        ()
+      }
+
   /** S3: append sink partitioned for pruning, with checkpointing.
     *
     * `availableNow = true` is the production BACKFILL/catch-up mode

@@ -373,6 +373,38 @@ class EventPipelineSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == 4)
   }
 
+  test("foreachBatch upsert sink: replays and in-batch dups never " +
+      "duplicate a key") {
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-upsert")
+    val (inDir, outDir, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    new java.io.File(inDir).mkdirs()
+    // u1 arrives twice IN the same batch
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inDir/b0.txt"),
+      Seq(ev("u1"), ev("u1"), ev("u2")).mkString("\n"))
+    def run() = {
+      val q = EventPipeline.upsertSink(
+        EventPipeline.pipeline(
+          spark.readStream.format("text").load(inDir)),
+        outDir, ckpt).start()
+      assert(q.awaitTermination(60000), "upsert run did not stop")
+    }
+    run()
+    val first = spark.read.parquet(outDir)
+    assert(first.count() == 2)
+    assert(first.select("event_id").distinct().count() == 2)
+    // u2 is RE-SENT in a later batch (at-least-once replay) + a new u3
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inDir/b1.txt"),
+      Seq(ev("u2"), ev("u3")).mkString("\n"))
+    run()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 3, "replayed key was appended again")
+    assert(out.select("event_id").as[String].collect().sorted.toSeq ==
+      Seq("u1", "u2", "u3"))
+  }
+
   test("file stream end-to-end: parquet sink with partition pruning cols") {
     implicit val sc = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
