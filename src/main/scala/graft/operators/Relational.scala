@@ -286,6 +286,29 @@ object Relational {
         .orderBy(asc("o_custkey"), asc("y"))
     }),
 
+    // EXCEPT ALL / INTERSECT ALL (bag semantics): multiplicity-aware
+    // set ops over per-order custkey rows — EXCEPT ALL keeps the
+    // SURPLUS occurrences (a customer with 5 orders in 1995 and 2 in
+    // 1996 appears 3 times: their order-count decline), INTERSECT ALL
+    // the matched minimum. The distinct-variant queries above cannot
+    // express either. Spark plans both as one aggregate computing both
+    // sides' counts + a generate of min/difference — a single shuffle,
+    // same scale shape as the distinct forms.
+    "setop_order_decline_except_all" -> ((s, dir) => {
+      def active(y: Int) = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val surplus = active(1995).exceptAll(active(1996))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_decline"))
+      val matched = active(1995).intersectAll(active(1996))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_matched"))
+      surplus.join(matched, Seq("o_custkey"), "left_outer")
+        .selectExpr("o_custkey", "n_decline",
+          "coalesce(n_matched, CAST(0 AS BIGINT)) AS n_matched")
+        .orderBy(asc("o_custkey"))
+    }),
+
     // Top-k per group: top-2 parts by revenue per supplier (rank window
     // over a pre-aggregated, partition-aligned input).
     "topk_parts_per_supplier" -> ((s, dir) => {
@@ -729,6 +752,24 @@ object Relational {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |ORDER BY o_custkey""".stripMargin,
+    "setop_order_decline_except_all" ->
+      """WITH a95 AS (SELECT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+        |a96 AS (SELECT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |surplus AS (SELECT o_custkey, count(*) AS n_decline FROM
+        |    (SELECT o_custkey FROM a95 EXCEPT ALL
+        |     SELECT o_custkey FROM a96) GROUP BY o_custkey),
+        |matched AS (SELECT o_custkey, count(*) AS n_matched FROM
+        |    (SELECT o_custkey FROM a95 INTERSECT ALL
+        |     SELECT o_custkey FROM a96) GROUP BY o_custkey)
+        |SELECT surplus.o_custkey, n_decline,
+        |  CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched
+        |FROM surplus LEFT OUTER JOIN matched
+        |  ON surplus.o_custkey = matched.o_custkey
+        |ORDER BY surplus.o_custkey""".stripMargin,
     "setop_active_union_all" ->
       """SELECT o_custkey, 1995 AS y FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'

@@ -170,6 +170,27 @@ class RelationalSpec extends SparkSpec {
     assert(r(0).getAs[Double]("revenue") > 0.0)
   }
 
+  test("except-all surplus equals the per-customer count difference") {
+    val rows = Relational.queries("setop_order_decline_except_all")(
+      spark, sfDir)
+      .select("o_custkey", "n_decline", "n_matched")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    def counts(y: Int): Map[Long, Long] =
+      Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .groupBy("o_custkey").count()
+        .as[(Long, Long)].collect().toMap
+    val (c95, c96) = (counts(1995), counts(1996))
+    // EXACT multiset identity: surplus = c95 - min(c95, c96) where > 0
+    val expected = c95.flatMap { case (k, n95) =>
+      val m = math.min(n95, c96.getOrElse(k, 0L))
+      if (n95 - m > 0) Some(k -> ((n95 - m), m)) else None
+    }
+    assert(rows.map(r => r._1 -> ((r._2, r._3))).toMap == expected)
+  }
+
   test("q22: counts exactly the above-average customers with no orders") {
     val rows = Relational.queries("q22_idle_customers")(spark, sfDir)
       .collect()
