@@ -236,6 +236,22 @@ object Sources {
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
           |  (o_orderstatus), ())
           |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+    }),
+    // LATERAL correlated derived table — the SQL form of top-k-per-
+    // group (each nation row feeds its own ordered-and-limited customer
+    // subquery). Catalyst decorrelates the LIMIT-per-correlation into a
+    // partitioned window, so the plan is the same scale shape as the
+    // DataFrame window variant — one keyed shuffle, no per-row re-
+    // execution of the subquery.
+    "sql_lateral_top_customers" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """SELECT n_name, t.c_name, t.c_acctbal
+          |FROM nation,
+          |  LATERAL (SELECT c_name, c_acctbal FROM customer
+          |           WHERE c_nationkey = n_nationkey
+          |           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+          |ORDER BY n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -273,5 +289,12 @@ object Sources {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |  (o_orderstatus), ())
-        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+    "sql_lateral_top_customers" ->
+      """SELECT n_name, t.c_name, t.c_acctbal
+        |FROM nation,
+        |  LATERAL (SELECT c_name, c_acctbal FROM customer
+        |           WHERE c_nationkey = n_nationkey
+        |           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
 }
