@@ -233,6 +233,78 @@ object EventAnalytics {
         .agg(count(lit(1)).as("n_events"),
           sum(col("new_sess")).as("n_sessions"))
         .orderBy(asc("user_id"))
+    }),
+
+    // ORDERED step funnel view → click → purchase: each step's
+    // timestamp must come strictly AFTER the previous step's first
+    // occurrence (a click before the first view does not count) — the
+    // sequential semantics a naive per-type distinct count gets wrong.
+    // Scoped to the opening 48 h (the fixture is dense enough that an
+    // unbounded window trivially completes every user's funnel —
+    // scoping is what makes the ordering guard observable, and is also
+    // the realistic shape: funnels are always measured over a window).
+    // Three per-user min-aggregations chained by a time guard inside
+    // the join filter; t3 ⊆ t2 ⊆ t1 by construction, so reached =
+    // 1 + [t2] + [t3]. All comparisons on unix_micros (the engines'
+    // shared µs truncation of the nanos fixture). Per-user joins on the
+    // aggregated (≤ |users|) frames — every stage is a keyed shuffle
+    // that scales out.
+    "events_funnel" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      t1.join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .selectExpr("user_id",
+          "1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END " +
+            "+ CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS reached")
+        .groupBy(col("reached"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(asc("reached"))
+    }),
+
+    // Retention cohorts over a RARE action (high-value purchases):
+    // users grouped by the ISO week of their first such action, counted
+    // per activity-week offset — the weekly retention triangle every
+    // analytics stack draws. The value filter matters twice: it is what
+    // spreads users across cohorts and decays the curve on this dense
+    // fixture (first-seen-week of ANY event puts everyone in cohort 0
+    // at 100% forever), and it is the realistic metric (retention is
+    // measured on a conversion action, not on raw traffic). Week
+    // arithmetic stays in integer µs (epoch difference of date_trunc'd
+    // weeks ÷ a week of µs), the one formulation both engines compute
+    // identically. Two keyed aggregations + one join on user_id.
+    "events_retention_cohorts" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .filter(col("event_type") === "purchase" && col("value") > 95.0)
+      val firstSeen = e.groupBy(col("user_id"))
+        .agg(min(unix_micros(date_trunc("week", col("ts"))))
+          .as("cohort_us"))
+      val weekly = e.select(col("user_id"),
+        unix_micros(date_trunc("week", col("ts"))).as("wk_us"))
+        .distinct()
+      weekly.join(firstSeen, Seq("user_id"))
+        .selectExpr("user_id",
+          "CAST(cohort_us AS BIGINT) AS cohort_us",
+          "CAST((wk_us - cohort_us) DIV 604800000000 AS INT) AS week_no")
+        .groupBy(col("cohort_us"), col("week_no"))
+        .agg(count(lit(1)).as("n_active"))
+        .selectExpr(
+          "date_format(timestamp_micros(cohort_us), 'yyyy-MM-dd') " +
+            "AS cohort_week",
+          "week_no", "n_active")
+        .orderBy(asc("cohort_week"), asc("week_no"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -325,5 +397,41 @@ object EventAnalytics {
         |      lag(epoch_us(ts)) OVER (PARTITION BY user_id
         |        ORDER BY ts, event_id) AS prev_us
         |    FROM events))
-        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |           FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-03 00:00:00'),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(us) AS t2 FROM e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE event_type = 'click' AND us > t1
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(us) AS t3 FROM e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE event_type = 'purchase' AND us > t2
+        |       GROUP BY e.user_id)
+        |SELECT reached, count(*) AS n_users FROM (
+        |  SELECT t1.user_id,
+        |    1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |      + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS reached
+        |  FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        |          LEFT JOIN t3 ON t1.user_id = t3.user_id)
+        |GROUP BY reached ORDER BY reached""".stripMargin,
+    "events_retention_cohorts" ->
+      """WITH hv AS (SELECT user_id, ts FROM events
+        |  WHERE event_type = 'purchase' AND value > 95),
+        |f AS (SELECT user_id,
+        |    min(epoch_us(date_trunc('week', ts))) AS cohort_us
+        |  FROM hv GROUP BY user_id),
+        |w AS (SELECT DISTINCT user_id,
+        |    epoch_us(date_trunc('week', ts)) AS wk_us FROM hv)
+        |SELECT strftime(make_timestamp(cohort_us), '%Y-%m-%d')
+        |    AS cohort_week,
+        |  CAST((wk_us - cohort_us) // 604800000000 AS INT) AS week_no,
+        |  count(*) AS n_active
+        |FROM w JOIN f ON w.user_id = f.user_id
+        |GROUP BY cohort_week, week_no
+        |ORDER BY cohort_week, week_no""".stripMargin)
 }

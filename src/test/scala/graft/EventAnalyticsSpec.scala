@@ -78,4 +78,40 @@ class EventAnalyticsSpec extends SparkSpec {
       .filter(col("k").isNotNull).count()
     assert(n == Tables.load(spark, sfDir, "events").count())
   }
+
+  test("funnel: ordering guard bites — not every viewer converts") {
+    val rows = EventAnalytics.queries("events_funnel")(spark, sfDir)
+      .select("reached", "n_users").as[(Int, Long)].collect().toMap
+    assert(rows.keySet.subsetOf(Set(1, 2, 3)))
+    // the windowed fixture must produce drop-off (multiple levels);
+    // a single all-reached-3 row would mean the guard never fired
+    assert(rows.size >= 2, s"funnel degenerate: $rows")
+    // histogram covers exactly the users with a view in the window
+    val viewers = Tables.load(spark, sfDir, "events")
+      .filter(col("ts") < lit("2024-01-03").cast("timestamp") &&
+        col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(rows.values.sum == viewers)
+  }
+
+  test("retention cohorts: offsets anchored at 0, activity decays") {
+    val rows = EventAnalytics.queries("events_retention_cohorts")(
+      spark, sfDir)
+      .select("cohort_week", "week_no", "n_active")
+      .as[(String, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, g) =>
+      // week 0 is the cohort definition: always present, and no week
+      // can exceed it (a user must act in their own first week)
+      val w0 = g.find(_._2 == 0)
+      assert(w0.isDefined, s"cohort $c missing week 0")
+      assert(g.forall(_._3 <= w0.get._3), s"cohort $c grows: $g")
+      assert(g.forall(_._2 >= 0))
+    }
+    // the rare-action metric must actually decay somewhere
+    assert(rows.exists { case (c, _, n) =>
+      n < byCohort(c).find(_._2 == 0).get._3
+    }, s"flat retention: ${rows.toSeq}")
+  }
 }
