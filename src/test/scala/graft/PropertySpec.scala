@@ -216,4 +216,94 @@ class PropertySpec extends SparkSpec {
         s"j=${r.getDouble(0)} est=${r.getDouble(1)} a=$a b=$b")
     }
   }
+
+  // ---- differential tests: the round-4 curation operators compared
+  // against from-scratch Scala reimplementations over random corpora
+  // (the fixture exercises one data shape; these exercise many) ----
+
+  /** Random corpus written as a documents.parquet dir the operators can
+    * read; ids are dense 0..n-1 so doc 0 is always an eval doc
+    * (0 % 97 == 0), and a verbatim-embedding of doc 0's text is planted
+    * at id 1 to guarantee contamination exists. */
+  private def writeCorpus(rows: Seq[(Long, String, String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prop").toFile
+    tmp.deleteOnExit()
+    rows.map { case (id, text, lang) =>
+      (id, text, lang, "src0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+    tmp.getAbsolutePath
+  }
+
+  private val corpusGen: Gen[Seq[(Long, String, String)]] = for {
+    n <- Gen.choose(4, 40)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(1, 24)
+      toks <- Gen.listOfN(len, Gen.oneOf(
+        "tok1", "tok2", "tok3", "tok4", "tok5", "tok6"))
+      lang <- Gen.oneOf("en", "de")
+    } yield (toks.mkString(" "), lang))
+  } yield docs.zipWithIndex.map { case ((text, lang), i) =>
+    // verbatim copy of doc 0 (same shingle set at ANY length; an
+    // embedding would miss when doc 0 is shorter than one shingle)
+    val planted = if (i == 1) docs.head._1 else text
+    (i.toLong, planted, lang)
+  }
+
+  test("∀ corpora: decontamination ≡ scala-set reimplementation") {
+    def shingles(text: String): Set[String] = {
+      val t = text.split(' ').toSeq
+      if (t.length < 8) Set(t.mkString(" "))
+      else t.sliding(8).map(_.mkString(" ")).toSet
+    }
+    samples(corpusGen, 4).foreach { rows =>
+      val dir = writeCorpus(rows)
+      val got = graft.operators.TextAnalysis.queries("docs_decontaminate")(
+        spark, dir)
+        .select("doc_id", "n_shingles", "n_overlap", "contaminated")
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val evalSh = rows.filter(_._1 % 97 == 0)
+        .flatMap(r => shingles(r._2)).toSet
+      val want = rows.filter(_._1 % 97 != 0).map { case (id, text, _) =>
+        val sh = shingles(text)
+        val ov = (sh & evalSh).size.toLong
+        id -> ((sh.size.toLong, ov, ov >= 1))
+      }.toMap
+      assert(got == want, s"diff for corpus of ${rows.size} docs")
+      assert(want.values.exists(_._3), "planted contamination missing")
+    }
+  }
+
+  test("∀ corpora: sequence packing ≡ scala running-sum reimplementation") {
+    def splitOf(id: Long): String = {
+      val h = ((id % 1000003L) * 2654435761L) % 4294967296L % 100L
+      if (h < 80) "train" else if (h < 90) "val" else "test"
+    }
+    samples(corpusGen, 4).foreach { rows =>
+      val dir = writeCorpus(rows)
+      val got = graft.operators.TextAnalysis.queries("docs_pack_greedy")(
+        spark, dir)
+        .select("lang", "split", "seq_id", "n_docs", "seq_tokens")
+        .as[(String, String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+      val want = rows
+        .map { case (id, text, lang) =>
+          (lang, splitOf(id), id, text.split(' ').length.toLong)
+        }
+        .groupBy(r => (r._1, r._2)).toSeq.flatMap {
+          case ((lang, split), g) =>
+            var cum = 0L
+            g.sortBy(_._3).map { case (_, _, _, n) =>
+              cum += n
+              ((lang, split, cum / 1024L), n)
+            }
+        }
+        .groupBy(_._1).map { case (k, vs) =>
+          k -> ((vs.size.toLong, vs.map(_._2).sum))
+        }
+      assert(got == want, s"diff for corpus of ${rows.size} docs")
+    }
+  }
 }
