@@ -274,6 +274,28 @@ object EventAnalytics {
         .orderBy(asc("reached"))
     }),
 
+    // Hourly anomaly detection: hours whose event count sits ≥ 2σ from
+    // the corpus mean — the ops-dashboard "traffic spike/outage" query.
+    // Variance comes from the INTEGER moment sums (n, Σcnt, Σcnt²), so
+    // both engines build z from identical operand bits; the one
+    // float-accumulation-order hazard (a naive stddev_samp aggregate)
+    // never appears. The moments are one extra 1-row aggregate
+    // broadcast over the hourly counts — at any scale the stats side
+    // is a scalar, the hourly side one keyed shuffle.
+    "events_hourly_anomalies" -> ((s, dir) => {
+      val h = ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = h.agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      h.crossJoin(broadcast(stats))
+        .selectExpr("date_format(hr, 'yyyy-MM-dd HH:00') AS hour", "cnt",
+          "(cnt - CAST(s1 AS DOUBLE)/n) / " +
+            "sqrt((s2 - CAST(s1 AS DOUBLE)*s1/n)/(n-1)) AS z")
+        .filter(abs(col("z")) >= 2.0)
+        .orderBy(asc("hour"))
+    }),
+
     // Retention cohorts over a RARE action (high-value purchases):
     // users grouped by the ISO week of their first such action, counted
     // per activity-week offset — the weekly retention triangle every
@@ -419,6 +441,18 @@ object EventAnalytics {
         |  FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
         |          LEFT JOIN t3 ON t1.user_id = t3.user_id)
         |GROUP BY reached ORDER BY reached""".stripMargin,
+    "events_hourly_anomalies" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS cnt
+        |           FROM events GROUP BY hr),
+        |s AS (SELECT count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s1,
+        |             CAST(sum(cnt*cnt) AS BIGINT) AS s2 FROM h)
+        |SELECT strftime(hr, '%Y-%m-%d %H:00') AS hour, cnt,
+        |  (cnt - CAST(s1 AS DOUBLE)/n) /
+        |    sqrt((s2 - CAST(s1 AS DOUBLE)*s1/n)/(n-1)) AS z
+        |FROM h, s
+        |WHERE abs((cnt - CAST(s1 AS DOUBLE)/n) /
+        |    sqrt((s2 - CAST(s1 AS DOUBLE)*s1/n)/(n-1))) >= 2
+        |ORDER BY hour""".stripMargin,
     "events_retention_cohorts" ->
       """WITH hv AS (SELECT user_id, ts FROM events
         |  WHERE event_type = 'purchase' AND value > 95),

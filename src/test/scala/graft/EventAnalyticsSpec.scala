@@ -94,6 +94,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows.values.sum == viewers)
   }
 
+  test("hourly anomalies: all flagged hours are >= 2 sigma, none missed") {
+    val flagged = EventAnalytics.queries("events_hourly_anomalies")(
+      spark, sfDir)
+      .select("hour", "cnt", "z").as[(String, Long, Double)].collect()
+    assert(flagged.nonEmpty, "no anomalous hours in fixture")
+    flagged.foreach { case (_, _, z) => assert(math.abs(z) >= 2.0) }
+    // independent moment check: recompute mean/std from hourly counts
+    val counts = Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts"))).count()
+      .select("count").as[Long].collect()
+    val n = counts.length.toDouble
+    val mean = counts.sum / n
+    val std = math.sqrt(
+      counts.map(c => (c - mean) * (c - mean)).sum / (n - 1))
+    val expected = counts.count(c => math.abs((c - mean) / std) >= 2.0)
+    assert(flagged.length == expected)
+  }
+
   test("retention cohorts: offsets anchored at 0, activity decays") {
     val rows = EventAnalytics.queries("events_retention_cohorts")(
       spark, sfDir)

@@ -113,6 +113,22 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(p).count() == src.count())
   }
 
+  test("schema evolution: mergeSchema unifies old and new batches") {
+    val p = s"${tmpDir()}/evolving"
+    // batch 1: original schema; batch 2: adds a column (the standard
+    // additive evolution a long-lived dataset accretes)
+    Seq((1L, "a")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$p/b=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score")
+      .write.mode("overwrite").parquet(s"$p/b=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert(merged.columns.toSet == Set("id", "v", "score", "b"))
+    val rows = merged.select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(rows(1L).isEmpty) // old rows null-extend the new column
+    assert(rows(2L).contains(9.5))
+  }
+
   test("kafka reader builder exposes the reference options shape") {
     // connector jar absent in this env: only assert the builder wires
     // format/options without touching a broker (no .load()).
