@@ -47,6 +47,30 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == expect)
   }
 
+  test("dynamic partition pruning injects the dim filter into the " +
+      "partitioned fact scan") {
+    // the 1000-executor pattern: a date-partitioned fact joined to a
+    // FILTERED dim on the partition column — DPP turns the dim filter
+    // into runtime partition pruning on the fact side, so only the
+    // surviving dates' files are read (static pruning can't see
+    // through the join)
+    val p = s"${tmpDir()}/events_dpp"
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+    Sources.writePartitioned(ev, p, Seq("d"))
+    val dim = ev.select("d").distinct()
+      .withColumn("is_campaign_day", col("d") <= "2024-01-03")
+    val fact = spark.read.parquet(p)
+    val joined = fact
+      .join(broadcast(dim.filter(col("is_campaign_day"))), Seq("d"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no DPP subquery in fact scan:\n${plan.take(3000)}")
+    // and the pruned join returns exactly the campaign days' rows
+    val expect = ev.filter(col("d") <= "2024-01-03").count()
+    assert(joined.count() == expect)
+  }
+
   test("bucketed tables sort-merge join with zero shuffle exchanges") {
     val li = Tables.load(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_quantity")
