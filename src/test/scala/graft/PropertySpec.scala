@@ -276,6 +276,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("∀ corpora: repetition stats ≡ scala bigram-count reimplementation") {
+    samples(corpusGen, 4).foreach { rows =>
+      val dir = writeCorpus(rows)
+      val got = graft.operators.TextAnalysis.queries(
+        "docs_repetition_stats")(spark, dir)
+        .select("doc_id", "n_bigrams", "max_rep")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = rows.map { case (id, text, _) =>
+        val t = text.split(' ').toSeq
+        val bgs = if (t.length < 2) Seq(t.mkString(" "))
+          else t.sliding(2).map(_.mkString(" ")).toSeq
+        val byBg = bgs.groupBy(identity).view.mapValues(_.size.toLong)
+        id -> ((bgs.size.toLong, byBg.values.max))
+      }.toMap
+      assert(got == want, s"diff for corpus of ${rows.size} docs")
+    }
+  }
+
   test("∀ corpora: sequence packing ≡ scala running-sum reimplementation") {
     def splitOf(id: Long): String = {
       val h = ((id % 1000003L) * 2654435761L) % 4294967296L % 100L
