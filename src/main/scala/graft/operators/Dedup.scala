@@ -238,6 +238,32 @@ object Dedup {
         .filter(col("jaccard") >= 0.7) // rows-only check: no output sort
     }),
 
+    // Edit-distance (Levenshtein) near-dup on document prefixes — the
+    // CHARACTER-level measure the token-set passes miss (typos,
+    // transpositions, single-char edits leave token Jaccard almost
+    // unchanged on short strings but read directly in edit distance).
+    // Blocked by (lang, source) like the exact Jaccard pass, plus the
+    // standard length pre-filter INSIDE the join condition:
+    // |len(a)-len(b)| > k implies distance > k, so the O(len²) DP only
+    // runs on length-compatible pairs. levenshtein() is deterministic
+    // and identical in both engines => fully oracled.
+    "dedup_levenshtein_prefix" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .selectExpr("doc_id", "lang", "source",
+          "substr(text, 1, 40) AS t")
+      val a = d.select(col("doc_id").as("a_id"), col("lang"),
+        col("source"), col("t").as("a_t"))
+      val b = d.select(col("doc_id").as("b_id"), col("lang"),
+        col("source"), col("t").as("b_t"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("a_id") < col("b_id") &&
+          abs(length(col("a_t")) - length(col("b_t"))) <= 20)
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("a_t"), col("b_t")).as("dist"))
+        .filter(col("dist") <= 20)
+        .orderBy(asc("dist"), asc("a_id"), asc("b_id"))
+    }),
+
     // SimHash near-dup: 64-bit fingerprint per doc (native one-pass
     // graft_simhash); 4x16-bit chunk banding (recall-complete for
     // hamming<=3), verify with bit_count(xor).
@@ -532,6 +558,19 @@ object Dedup {
          |WHERE jaccard >= 0.8
          |ORDER BY jaccard DESC, a_id, b_id""".stripMargin,
     "dedup_embedding_cosine" -> embCosOracle,
+    "dedup_levenshtein_prefix" ->
+      """SELECT a_id, b_id, dist FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    levenshtein(a.t, b.t) AS dist
+        |  FROM (SELECT doc_id, lang, source, substr(text, 1, 40) AS t
+        |        FROM documents) a
+        |  JOIN (SELECT doc_id, lang, source, substr(text, 1, 40) AS t
+        |        FROM documents) b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        |   AND abs(length(a.t) - length(b.t)) <= 20)
+        |WHERE dist <= 20
+        |ORDER BY dist, a_id, b_id""".stripMargin,
     // NOT IN over a materialized matched set (DuckDB's binder rejects
     // the outer correlation inside list functions in NOT EXISTS)
     "dedup_incremental_exact" ->

@@ -173,6 +173,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("levenshtein prefix dedup: symmetric-free, bounded, non-vacuous") {
+    val rows = Dedup.queries("dedup_levenshtein_prefix")(spark, sfDir)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty, "no edit-distance pairs in fixture")
+    rows.foreach { case (a, b, d) =>
+      assert(a < b)
+      assert(d >= 0 && d <= 20)
+    }
+  }
+
   test("candidate-pair count is observable (explosion visible in CI)") {
     def bands(d: Long, v: Long): Seq[Long] =
       Array.tabulate(8)(i => if (i == 0) v else -(d * 100 + i)).toSeq
