@@ -510,6 +510,41 @@ object Relational {
           count(lit(1)).as("n_items"))
     }),
 
+    // Null-safe equality JOIN (`<=>` / IS NOT DISTINCT FROM): the join
+    // whose key legitimately contains NULL as a VALUE — here a
+    // nullif-derived status key joined to a dim whose NULL row labels
+    // the nulled-out status. A plain `=` join silently drops every such
+    // row (NULL = NULL is NULL); `<=>` matches them — semantics nothing
+    // else in the join family exercises. Planner note: null-safe equi
+    // keys still hash-partition (Spark treats <=> as an equi key), so
+    // this stays a hash join, not a nested loop.
+    "join_null_safe_status" -> ((s, dir) => {
+      val dim = s.sql(
+        "SELECT * FROM VALUES (CAST(NULL AS STRING), 'open'), " +
+          "('F', 'final'), ('P', 'pending') AS t(k, label)")
+      val o = t(s, dir, "orders")
+        .selectExpr("o_orderkey", "nullif(o_orderstatus, 'O') AS k")
+      o.join(broadcast(dim), o("k") <=> dim("k"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc("label"))
+    }),
+
+    // Join strategy HINT surface: force the shuffled-hash path on a
+    // join the planner would otherwise broadcast or sort-merge — the
+    // escape hatch for when sort-merge's sort dominates (large inputs,
+    // plentiful memory, no useful output order). Asserted in
+    // RelationalSpec to actually plan as ShuffledHashJoin.
+    "hint_shuffle_hash_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(revTerm).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(asc("o_orderpriority"))
+    }),
+
     // TPC-H Q22 shape (idle high-balance customers): a filter against a
     // GLOBAL scalar aggregate — the 1-row broadcast cross join pattern
     // (the decorrelated form of Q22's uncorrelated scalar subquery; at
@@ -895,6 +930,21 @@ object Relational {
         |        AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
         |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "join_null_safe_status" ->
+      """SELECT label, count(*) AS n
+        |FROM (SELECT nullif(o_orderstatus, 'O') AS k FROM orders) o
+        |JOIN (VALUES (NULL, 'open'), ('F', 'final'), ('P', 'pending'))
+        |  AS t(k, label)
+        |  ON o.k IS NOT DISTINCT FROM t.k
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "hint_shuffle_hash_revenue" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q22_idle_customers" ->
       """WITH ab AS (
         |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)

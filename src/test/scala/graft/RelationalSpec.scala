@@ -191,6 +191,30 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(r => r._1 -> ((r._2, r._3))).toMap == expected)
   }
 
+  test("null-safe join labels every order incl. the NULL key group; " +
+      "plain = would drop them") {
+    val rows = Relational.queries("join_null_safe_status")(spark, sfDir)
+      .select("label", "n").as[(String, Long)].collect().toMap
+    val orders = Tables.load(spark, sfDir, "orders")
+    // <=> matches the NULL key: 'open' = the nulled-out 'O' orders
+    assert(rows("open") == orders.filter(col("o_orderstatus") === "O").count())
+    assert(rows.values.sum == orders.count())
+    // the equality-join form drops the whole NULL group
+    val dim = spark.sql("SELECT * FROM VALUES " +
+      "(CAST(NULL AS STRING), 'open'), ('F', 'final'), ('P', 'pending')" +
+      " AS t(k, label)")
+    val eqJoin = orders.selectExpr("nullif(o_orderstatus, 'O') AS k")
+      .join(dim, "k").count()
+    assert(eqJoin == rows.values.sum - rows("open"))
+  }
+
+  test("shuffle_hash hint plans as ShuffledHashJoin") {
+    val df = Relational.queries("hint_shuffle_hash_revenue")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"hint ignored:\n${plan.take(1500)}")
+  }
+
   test("q22: counts exactly the above-average customers with no orders") {
     val rows = Relational.queries("q22_idle_customers")(spark, sfDir)
       .collect()
