@@ -456,6 +456,8 @@ object SketchFunctions {
     reg.createOrReplaceTempFunction("graft_bpe_count",
       exprs => BpeChunkCount(exprs(0), intLit(exprs(1), "chunkLen")),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      exprs => ShingleRows(exprs(0), intLit(exprs(1), "n")), "built-in")
     VectorFunctions.attachRewrite(spark)
   }
 }

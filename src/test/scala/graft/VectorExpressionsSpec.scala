@@ -54,4 +54,24 @@ class VectorExpressionsSpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect().toSeq
     assert(hof == native)
   }
+
+  test("graft_shingles generator ≡ transform+explode; null yields no rows") {
+    graft.functions.SketchFunctions.register(spark)
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "x y"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val gen = docs.selectExpr("id", "graft_shingles(text, 3)")
+      .as[(Long, String)].collect().toSeq.sorted
+    val hof = docs.filter(col("text").isNotNull).selectExpr("id",
+      """explode(CASE WHEN size(split(text, ' ')) < 3
+        |  THEN array(text)
+        |  ELSE transform(sequence(0, size(split(text, ' '))-3), i ->
+        |    concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],
+        |      split(text, ' ')[i+2])) END) AS shingle""".stripMargin)
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(gen == hof)
+    assert(gen.count(_._1 == 1L) == 3) // 5 tokens -> 3 trigram rows
+    assert(gen.count(_._1 == 2L) == 1) // short doc -> whole text
+    assert(!gen.exists(_._1 == 3L)) // null text generates nothing
+  }
 }
