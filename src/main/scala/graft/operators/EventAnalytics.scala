@@ -274,6 +274,27 @@ object EventAnalytics {
         .orderBy(asc("reached"))
     }),
 
+    // MapType round trip: per-user map(event_type → count) built
+    // IN-PLAN (map_from_entries over a sorted entry list) and exploded
+    // back to rows — the complex-type surface (maps as first-class
+    // column values) the rest of the inventory never touches. The
+    // round trip is semantically the identity on the underlying
+    // groupBy, which is exactly what makes it oracle-able: the DuckDB
+    // twin is the plain aggregation, so any entry lost or reordered by
+    // the map build/unbuild shows up as a hash mismatch.
+    "events_type_map_roundtrip" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("cnt"))))).as("m"))
+        .select(col("user_id"), explode(col("m")))
+        .withColumnRenamed("key", "event_type")
+        .withColumnRenamed("value", "cnt")
+        .orderBy(asc("user_id"), asc("event_type"))
+    }),
+
     // Hourly anomaly detection: hours whose event count sits ≥ 2σ from
     // the corpus mean — the ops-dashboard "traffic spike/outage" query.
     // Variance comes from the INTEGER moment sums (n, Σcnt, Σcnt²), so
@@ -441,6 +462,11 @@ object EventAnalytics {
         |  FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
         |          LEFT JOIN t3 ON t1.user_id = t3.user_id)
         |GROUP BY reached ORDER BY reached""".stripMargin,
+    // the map build/unbuild is the identity on this aggregation
+    "events_type_map_roundtrip" ->
+      """SELECT user_id, event_type, count(*) AS cnt
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "events_hourly_anomalies" ->
       """WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS cnt
         |           FROM events GROUP BY hr),
