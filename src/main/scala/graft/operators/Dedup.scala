@@ -492,20 +492,62 @@ object Dedup {
   private[graft] def incrementalLshSurvivors(s: SparkSession, dir: String)
   : DataFrame = {
     graft.functions.SketchFunctions.register(s)
-    val d = docs(s, dir)
-      .selectExpr("doc_id", "lang", "source", s"$tokSet AS toks")
-      .selectExpr("doc_id", "lang", "source",
-        "sort_array(transform(toks, t -> xxhash64(t))) AS th",
-        "graft_minhash(toks, 32, 1) AS sig")
-      .selectExpr("doc_id", "lang", "source", "th",
-        "explode(transform(sequence(0, 7), b -> " +
-          "xxhash64(b, slice(sig, b*4+1, 4)))) AS bkt")
-    val newB = d.filter(col("doc_id") % 7 === 0)
+    val newB = signatureFrame(docs(s, dir)
+      .filter(col("doc_id") % 7 === 0))
       .select(col("doc_id").as("n_id"), col("lang"), col("source"),
         col("th").as("n_th"), col("bkt"))
-    val corpus = d.filter(col("doc_id") % 7 =!= 0)
+    val corpus = signatureFrame(docs(s, dir)
+      .filter(col("doc_id") % 7 =!= 0))
       .select(col("lang"), col("source"), col("th").as("c_th"), col("bkt"))
     val matched = newB.join(corpus, Seq("bkt", "lang", "source"))
+      .filter(expr("graft_jaccard_sorted(n_th, c_th) >= 0.8"))
+      .select(col("n_id").as("doc_id")).distinct()
+    docs(s, dir).filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left_anti")
+  }
+
+  /** The corpus-side signature frame shared by the incremental paths:
+    * per-doc sorted token hashes + exploded (band bucket) keys. */
+  private def signatureFrame(d: DataFrame): DataFrame = d
+    .selectExpr("doc_id", "lang", "source", s"$tokSet AS toks")
+    .selectExpr("doc_id", "lang", "source",
+      "sort_array(transform(toks, t -> xxhash64(t))) AS th",
+      "graft_minhash(toks, 32, 1) AS sig")
+    .selectExpr("doc_id", "lang", "source", "th",
+      "explode(transform(sequence(0, 7), b -> " +
+        "xxhash64(b, slice(sig, b*4+1, 4)))) AS bkt")
+
+  /** Persist the corpus LSH index — the production arrangement the
+    * incremental path's Scaladoc promises: signatures + band buckets
+    * computed ONCE when a corpus shard lands, saved columnar, so daily
+    * batches probe the index and never rescan corpus TEXT (the index
+    * carries token hashes, not text — 8 B/token instead of the
+    * documents themselves). DedupSpec proves the probe is
+    * result-identical to the in-plan [[incrementalLshSurvivors]]. */
+  private[graft] def buildLshIndex(s: SparkSession, dir: String,
+      path: String): Unit = {
+    graft.functions.SketchFunctions.register(s)
+    signatureFrame(docs(s, dir).filter(col("doc_id") % 7 =!= 0))
+      .select(col("lang"), col("source"), col("th"), col("bkt"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Probe a [[buildLshIndex]] index with the new batch: equi-join on
+    * (band bucket, lang, source), sorted-hash verify, LEFT ANTI out the
+    * matched docs. Identical semantics to [[incrementalLshSurvivors]],
+    * but the corpus side is the saved index scan. */
+  private[graft] def probeLshIndex(s: SparkSession, dir: String,
+      indexPath: String): DataFrame = {
+    graft.functions.SketchFunctions.register(s)
+    val newB = signatureFrame(docs(s, dir)
+      .filter(col("doc_id") % 7 === 0))
+      .select(col("doc_id").as("n_id"), col("lang"), col("source"),
+        col("th").as("n_th"), col("bkt"))
+    val idx = s.read.parquet(indexPath)
+      .select(col("lang"), col("source"), col("th").as("c_th"),
+        col("bkt"))
+    val matched = newB.join(idx, Seq("bkt", "lang", "source"))
       .filter(expr("graft_jaccard_sorted(n_th, c_th) >= 0.8"))
       .select(col("n_id").as("doc_id")).distinct()
     docs(s, dir).filter(col("doc_id") % 7 === 0)

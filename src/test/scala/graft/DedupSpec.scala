@@ -133,6 +133,26 @@ class DedupSpec extends SparkSpec {
       s"LSH misses too many matches: ${lsh.size} vs exact ${exact.size}")
   }
 
+  test("persisted LSH index: probe equals the in-plan incremental path " +
+      "and scans the index, not corpus text") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lshidx")
+    val idxPath = s"$tmp/corpus_lsh_index"
+    Dedup.buildLshIndex(spark, sfDir, idxPath)
+    val probe = Dedup.probeLshIndex(spark, sfDir, idxPath)
+    // the corpus side must come from the saved index scan...
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("corpus_lsh_index"),
+      "probe plan does not read the persisted index")
+    // ...and the index itself carries no text (hashes only)
+    assert(!spark.read.parquet(idxPath).columns.contains("text"))
+    val fromIndex = probe.as[Long].collect().toSet
+    val inPlan = Dedup.incrementalLshSurvivors(spark, sfDir)
+      .as[Long].collect().toSet
+    assert(fromIndex == inPlan,
+      s"persisted-index probe diverges: ${fromIndex.diff(inPlan)} / " +
+        s"${inPlan.diff(fromIndex)}")
+  }
+
   test("embedding LSH dedup: verified pairs only, decent recall vs exact") {
     graft.functions.VectorFunctions.register(spark)
     val lsh = Dedup.queries("dedup_embedding_lsh")(spark, sfDir)
