@@ -117,6 +117,35 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update output mode re-emits only the windows a batch changed") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val counts = EventPipeline.windowedCounts(
+      EventPipeline.pipeline(stream.toDF()))
+    val q = counts.writeStream.format("memory").queryName("sink_upd")
+      .outputMode("update").start()
+    try {
+      stream.addData(
+        ev("u1", created = "2024-01-01T10:05:00Z"),
+        ev("u2", created = "2024-01-01T11:05:00Z"))
+      q.processAllAvailable()
+      val afterFirst = spark.table("sink_upd").count()
+      assert(afterFirst == 2) // both hour windows emitted once
+      // second batch touches ONLY the 11:00 window
+      stream.addData(ev("u3", created = "2024-01-01T11:20:00Z"))
+      q.processAllAvailable()
+      val rows = spark.table("sink_upd")
+        .select("window_start", "n").collect()
+      // update mode appends just the revised 11:00 row to the memory
+      // sink: 3 rows total, not a re-emission of the untouched 10:00
+      assert(rows.length == 3, s"got ${rows.length} rows")
+      val eleven = rows.filter(_.getAs[java.sql.Timestamp]("window_start")
+        .toString.contains("11:00"))
+      assert(eleven.map(_.getAs[Long]("n")).max == 2,
+        "revised 11:00 count missing")
+    } finally q.stop()
+  }
+
   test("session_window groups gap-separated activity (batch + stream)") {
     implicit val sc = spark.sqlContext
     def actorEv(id: String, actor: Int, created: String) =
