@@ -274,6 +274,28 @@ object EventAnalytics {
         .orderBy(asc("reached"))
     }),
 
+    // Gap-filled hourly series (resampling/densification): the hourly
+    // counts LEFT-joined onto the complete hour grid between the
+    // data's bounds, zeros filled in — time-series consumers
+    // (dashboards, anomaly baselines, forecasting) need every bucket
+    // present, and a plain GROUP BY silently omits empty hours (the
+    // anomaly query above deliberately scores observed hours only;
+    // this is the densified complement). The grid derives in-plan from
+    // a 1-row bounds aggregate exploded through sequence() — no
+    // calendar table needed, and the grid side is broadcast-sized at
+    // any data scale.
+    "events_hourly_gapfill" -> ((s, dir) => {
+      val h = ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val grid = h.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .selectExpr("explode(sequence(lo, hi, interval 1 hour)) AS hr")
+      grid.join(h, Seq("hr"), "left")
+        .selectExpr("date_format(hr, 'yyyy-MM-dd HH:00') AS hour",
+          "coalesce(n, CAST(0 AS BIGINT)) AS n")
+        .orderBy(asc("hour"))
+    }),
+
     // MapType round trip: per-user map(event_type → count) built
     // IN-PLAN (map_from_entries over a sorted entry list) and exploded
     // back to rows — the complex-type surface (maps as first-class
@@ -462,6 +484,16 @@ object EventAnalytics {
         |  FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
         |          LEFT JOIN t3 ON t1.user_id = t3.user_id)
         |GROUP BY reached ORDER BY reached""".stripMargin,
+    "events_hourly_gapfill" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+        |           FROM events GROUP BY hr),
+        |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+        |g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |        AS hr FROM b)
+        |SELECT strftime(g.hr, '%Y-%m-%d %H:00') AS hour,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n
+        |FROM g LEFT JOIN h ON g.hr = h.hr
+        |ORDER BY hour""".stripMargin,
     // the map build/unbuild is the identity on this aggregation
     "events_type_map_roundtrip" ->
       """SELECT user_id, event_type, count(*) AS cnt

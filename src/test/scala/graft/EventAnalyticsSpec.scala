@@ -94,6 +94,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows.values.sum == viewers)
   }
 
+  test("gapfill: complete contiguous hour grid, zeros for empty hours, " +
+      "non-zero rows equal the plain hourly counts") {
+    val rows = EventAnalytics.queries("events_hourly_gapfill")(spark, sfDir)
+      .select("hour", "n").as[(String, Long)].collect()
+    val hourly = EventAnalytics.queries("events_hourly")(spark, sfDir)
+      .select("hour", "n").as[(String, Long)].collect().toMap
+    // every observed hour keeps its count; the rest are exact zeros
+    rows.foreach { case (h, n) => assert(n == hourly.getOrElse(h, 0L)) }
+    assert(rows.map(_._2).count(_ == 0L) ==
+      rows.length - hourly.size, "zero fill mismatch")
+    assert(rows.length > hourly.size, "fixture has no empty hours to fill")
+    // grid is contiguous: row count == hours between bounds inclusive
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm")
+    def t(s: String) = java.time.LocalDateTime.parse(s, fmt)
+    val span = java.time.Duration
+      .between(t(rows.head._1), t(rows.last._1)).toHours + 1
+    assert(rows.length == span)
+  }
+
   test("hourly anomalies: all flagged hours are >= 2 sigma, none missed") {
     val flagged = EventAnalytics.queries("events_hourly_anomalies")(
       spark, sfDir)
