@@ -276,6 +276,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("∀ event sets: funnel ≡ scala chained-min reimplementation") {
+    // random events written as a Tables.load-compatible events.parquet
+    // (int64 nanos ts, like the fixture); timestamps straddle the
+    // funnel's 2024-01-03 window cutoff so the window boundary and the
+    // after-previous-step guard both get exercised
+    val baseNs = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    val evGen2: Gen[List[(Long, Long, String, Long)]] =
+      Gen.nonEmptyListOf(for {
+        user <- Gen.choose(0L, 5L)
+        typ <- Gen.oneOf("view", "click", "purchase", "error")
+        hours <- Gen.choose(0L, 96L) // 4 days; cutoff at 48h
+      } yield (user, hours, typ, baseNs + hours * 3600L * 1000000000L))
+        .map(_.zipWithIndex.map { case ((u, _, t, ns), i) =>
+          (i.toLong, u, t, ns)
+        })
+    samples(evGen2, 6).foreach { rows =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-funnel")
+      tmp.toFile.deleteOnExit()
+      rows.map { case (id, u, t, ns) => (id, ns, u, t, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val got = graft.operators.EventAnalytics.queries("events_funnel")(
+        spark, tmp.toString)
+        .select("reached", "n_users").as[(Int, Long)].collect().toMap
+      // scala reimpl: µs-truncated, window < 2024-01-03, chained mins
+      val cutUs = baseNs / 1000L + 48L * 3600L * 1000000L
+      val byUser = rows.map { case (_, u, t, ns) => (u, t, ns / 1000L) }
+        .filter(_._3 < cutUs).groupBy(_._1)
+      val want = byUser.toSeq.flatMap { case (_, es) =>
+        def minAfter(typ: String, after: Long): Option[Long] = {
+          val c = es.filter(e => e._2 == typ && e._3 > after).map(_._3)
+          if (c.isEmpty) None else Some(c.min)
+        }
+        val t1 = es.filter(_._2 == "view").map(_._3)
+          .reduceOption(_ min _)
+        t1.map { v =>
+          val t2 = minAfter("click", v)
+          val t3 = t2.flatMap(minAfter("purchase", _))
+          1 + t2.size + t3.size
+        }
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == want, s"funnel diff for ${rows.size} events")
+    }
+  }
+
   test("∀ corpora: repetition stats ≡ scala bigram-count reimplementation") {
     samples(corpusGen, 4).foreach { rows =>
       val dir = writeCorpus(rows)
