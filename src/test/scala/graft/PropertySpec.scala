@@ -341,6 +341,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("∀ corpora: domain mixture ≡ scala hash-threshold reimplementation") {
+    def hashOf(id: Long): Long =
+      ((id % 1000003L) * 2654435761L) % 4294967296L % 100L
+    samples(corpusGen, 4).foreach { rows =>
+      val dir = writeCorpus(rows)
+      val got = graft.operators.TextAnalysis.queries("docs_domain_mixture")(
+        spark, dir)
+        .select("source", "rate", "n_docs", "n_sampled")
+        .as[(String, Int, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // all corpus docs share source "src0" => rate from its numeral
+      val rate = 20 + 5 * (0 % 13)
+      val sampled = rows.count { case (id, _, _) => hashOf(id) < rate }
+      assert(got == Map("src0" -> ((rate, rows.size.toLong,
+        sampled.toLong))))
+    }
+  }
+
   test("∀ corpora: sequence packing ≡ scala running-sum reimplementation") {
     def splitOf(id: Long): String = {
       val h = ((id % 1000003L) * 2654435761L) % 4294967296L % 100L
