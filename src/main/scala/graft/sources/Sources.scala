@@ -131,9 +131,12 @@ object Sources {
       .agg(ceil(count(lit(1)).cast("double") / targetRows)
         .cast("int").as("__files"))
     val tmp = new Path(path + ".compacting")
+    // degenerate partition-cols-only tables have nothing to salt on;
+    // maxRecordsPerFile still rolls their files at the target size
+    val salt = if (dataCols.isEmpty) lit(0L)
+      else pmod(xxhash64(dataCols.map(col): _*), col("__files"))
     df.join(broadcast(perKey), partitionCols)
-      .withColumn("__salt",
-        pmod(xxhash64(dataCols.map(col): _*), col("__files")))
+      .withColumn("__salt", salt)
       .repartition((partitionCols :+ "__salt").map(col): _*)
       .drop("__files", "__salt")
       .write.mode("overwrite")
