@@ -198,9 +198,11 @@ object Dedup {
         .selectExpr("a_id", "b_id",
           "graft_jaccard_sorted(a_th, b_th) AS jaccard")
         .filter(col("jaccard") >= 0.8)
-    // no final orderBy: the pair set is rows-only checked (no oracle)
-    // and on the self-similar corpus it is ~n² rows — a global sort of
-    // the output would cost more than the whole candidate pipeline
+        // deterministic output order so an oracle upgrade from the
+        // rows-only check is a no-op; the pair set is orders of
+        // magnitude smaller than the candidate fan-out it came from,
+        // so the sort is noise next to the pipeline above
+        .orderBy(asc("a_id"), asc("b_id"))
     }),
 
     // Order-sensitive variant: MinHash over word-3-gram shingles,
@@ -235,32 +237,42 @@ object Dedup {
           Seq("b_id"))
         .selectExpr("a_id", "b_id",
           "graft_jaccard_sorted(a_sh, b_sh) AS jaccard")
-        .filter(col("jaccard") >= 0.7) // rows-only check: no output sort
+        .filter(col("jaccard") >= 0.7)
+        .orderBy(asc("a_id"), asc("b_id")) // deterministic pair order
     }),
 
     // Edit-distance (Levenshtein) near-dup on document prefixes — the
     // CHARACTER-level measure the token-set passes miss (typos,
     // transpositions, single-char edits leave token Jaccard almost
     // unchanged on short strings but read directly in edit distance).
-    // Blocked by (lang, source) like the exact Jaccard pass, plus the
-    // standard length pre-filter INSIDE the join condition:
-    // |len(a)-len(b)| > k implies distance > k, so the O(len²) DP only
-    // runs on length-compatible pairs. levenshtein() is deterministic
-    // and identical in both engines => fully oracled.
+    // Scale path (replaces the within-block all-pairs join): char
+    // q-gram PREFIX FILTERING (AllPairs/PPJoin) generates candidates
+    // with DETERMINISTIC full recall — each edit destroys at most q of
+    // a string's q-grams, so ed(a,b) <= k implies the gram sets share
+    // >= |G|-k*q elements, and by the prefix-filter theorem the first
+    // k*q+1 grams (under one global order) of both docs must intersect.
+    // A theorem, not an LSH probability: the candidate set provably
+    // contains every qualifying pair, so this bit-matches the blocked
+    // all-pairs oracle by construction. Threshold k=4 (10% of the
+    // 40-char prefix) — the old k=20 (50% edit ratio) admitted no
+    // sub-quadratic candidate scheme even in principle (k*q+1 > |G|
+    // makes every prefix the whole gram set) and "half the characters
+    // differ" is not a near-duplicate. The banded levenshtein(a,b,k)
+    // runs O(k*n) instead of O(n²) and only on candidates.
     "dedup_levenshtein_prefix" -> ((s, dir) => {
       val d = docs(s, dir)
         .selectExpr("doc_id", "lang", "source",
           "substr(text, 1, 40) AS t")
-      val a = d.select(col("doc_id").as("a_id"), col("lang"),
-        col("source"), col("t").as("a_t"))
-      val b = d.select(col("doc_id").as("b_id"), col("lang"),
-        col("source"), col("t").as("b_t"))
-      a.join(b, Seq("lang", "source"))
-        .filter(col("a_id") < col("b_id") &&
-          abs(length(col("a_t")) - length(col("b_t"))) <= 20)
+      levenshteinPrefixCandidates(s, dir)
+        .join(d.select(col("doc_id").as("a_id"), col("t").as("a_t")),
+          Seq("a_id"))
+        .join(d.select(col("doc_id").as("b_id"), col("t").as("b_t")),
+          Seq("b_id"))
+        .filter(abs(length(col("a_t")) - length(col("b_t"))) <= levMaxDist)
         .select(col("a_id"), col("b_id"),
-          levenshtein(col("a_t"), col("b_t")).as("dist"))
-        .filter(col("dist") <= 20)
+          levenshtein(col("a_t"), col("b_t"), levMaxDist).as("dist"))
+        // the bounded DP returns -1 above the threshold => keep [0, k]
+        .filter(col("dist").between(0, levMaxDist))
         .orderBy(asc("dist"), asc("a_id"), asc("b_id"))
     }),
 
@@ -368,6 +380,7 @@ object Dedup {
         .selectExpr("a_id", "b_id",
           "round(graft_cosine(a_v, b_v), 6) AS cos_r")
         .filter(col("cos_r") >= 0.4)
+        .orderBy(asc("a_id"), asc("b_id")) // deterministic pair order
     }),
 
     // Embedding-cosine near-dup: top-5 most-similar pairs per label
@@ -395,6 +408,95 @@ object Dedup {
         .filter(col("rk") <= 5)
         .orderBy(asc("label"), asc("rk"))
     }))
+
+  /** Max edit distance for `dedup_levenshtein_prefix` (10% of the
+    * 40-char prefix) and the q-gram size its candidate filter uses.
+    * q=6 measured best on the fixture's tiny word vocabulary (3-grams
+    * recur in nearly every doc — candidates/block-pairs 0.54 at q=3 vs
+    * 0.16 at q=6); the guarantee needs k*q+1 <= |grams| i.e. q(k+1) < 40,
+    * so q=6 is also near the ceiling of what the 40-char prefix admits. */
+  private[graft] val levMaxDist = 4
+  private[graft] val levGramSize = 6
+
+  /** Candidate (a_id, b_id) pairs for the edit-distance dedup via char
+    * q-gram prefix filtering — the deterministic-recall sibling of
+    * [[lshCandidatePairs]]:
+    *
+    *  1. per doc: DISTINCT char-3-gram hashes of the 40-char prefix
+    *     (hashes, never gram strings, travel through the plan);
+    *  2. one global document-frequency pass over the grams — candidates
+    *     are minimized by probing RAREST grams first (AllPairs order),
+    *     and the df table is bounded by charset^q, so it broadcasts;
+    *  3. per doc: sort grams by (df, gram) — one global total order —
+    *     and keep the first k*q+1 as the doc's prefix;
+    *  4. inverted-index self-join on (prefix gram, lang, source).
+    *
+    * Recall argument (the Ed-Join prefix-filter theorem): ed(a,b) <= k
+    * leaves at most k*q grams in each set-difference, so the SMALLEST
+    * shared gram (global order) has < k*q+1 predecessors in either set
+    * and therefore sits in BOTH prefixes — provided a shared gram
+    * exists, which |G| > k*q guarantees for at least one side. The one
+    * uncovered case — both strings so short that |G| <= k*q — gets a
+    * per-block sentinel gram appended (short docs always keep it in
+    * their whole-set prefix), i.e. short docs fall back to all-pairs
+    * within their block, which for strings under ~30 chars is the
+    * honest cost. Recall is exactly 1 by construction — which is why
+    * no bucket cap appears here (dropping a candidate would break the
+    * oracle guarantee). Skewed grams are what the rare-first order
+    * exists to avoid; residual skew re-splits under AQE. */
+  private[graft] def levenshteinPrefixCandidates(s: SparkSession,
+      dir: String): DataFrame = {
+    val q = levGramSize
+    val kq = levMaxDist * q
+    val prefixGrams = kq + 1
+    val gs = docs(s, dir)
+      .selectExpr("doc_id", "lang", "source", "substr(text, 1, 40) AS t")
+      .selectExpr("doc_id", "lang", "source",
+        s"array_distinct(transform(sequence(1, greatest(length(t) - ${q - 1}, 1)), " +
+          s"i -> xxhash64(substr(t, i, $q)))) AS gs")
+      .selectExpr("doc_id", "lang", "source",
+        s"CASE WHEN size(gs) <= $kq THEN " +
+          "array_append(gs, xxhash64('graft-short', lang, source)) " +
+          "ELSE gs END AS gs")
+    val gramDf = gs.select(explode(col("gs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefix = gs
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(col("gs")).as("g"))
+      .join(broadcast(gramDf), Seq("g"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(expr("slice(transform(array_sort(collect_list(struct(df, g)))" +
+        s", p -> p.g), 1, $prefixGrams) AS pg"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(col("pg")).as("g"))
+    prefix.as("x").join(prefix.as("y"),
+        col("x.g") === col("y.g") &&
+          col("x.lang") === col("y.lang") &&
+          col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+      .observe("lev_candidates", count(lit(1)).as("n_candidates"))
+  }
+
+  /** The within-block all-pairs form — the recall oracle
+    * [[levenshteinPrefixCandidates]] is spec-verified against; O(block²),
+    * never the scale path. */
+  private[graft] def levenshteinBlockedExact(s: SparkSession,
+      dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .selectExpr("doc_id", "lang", "source", "substr(text, 1, 40) AS t")
+    val a = d.select(col("doc_id").as("a_id"), col("lang"),
+      col("source"), col("t").as("a_t"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"),
+      col("source"), col("t").as("b_t"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(length(col("a_t")) - length(col("b_t"))) <= levMaxDist)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_t"), col("b_t")).as("dist"))
+      .filter(col("dist") <= levMaxDist)
+  }
 
   /** (doc_id, rep) cluster assignment backing `dedup_minhash_clusters`;
     * exposed so DedupSpec can check pair-level agreement with the LSH
@@ -610,8 +712,8 @@ object Dedup {
         |        FROM documents) b
         |    ON a.lang = b.lang AND a.source = b.source
         |   AND a.doc_id < b.doc_id
-        |   AND abs(length(a.t) - length(b.t)) <= 20)
-        |WHERE dist <= 20
+        |   AND abs(length(a.t) - length(b.t)) <= 4)
+        |WHERE dist <= 4
         |ORDER BY dist, a_id, b_id""".stripMargin,
     // NOT IN over a materialized matched set (DuckDB's binder rejects
     // the outer correlation inside list functions in NOT EXISTS)

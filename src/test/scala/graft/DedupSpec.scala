@@ -199,8 +199,39 @@ class DedupSpec extends SparkSpec {
     assert(rows.nonEmpty, "no edit-distance pairs in fixture")
     rows.foreach { case (a, b, d) =>
       assert(a < b)
-      assert(d >= 0 && d <= 20)
+      assert(d >= 0 && d <= Dedup.levMaxDist)
     }
+  }
+
+  test("levenshtein prefix-filter candidates: full recall vs blocked " +
+    "exact, and far fewer pairs than the quadratic block join") {
+    val exact = Dedup.levenshteinBlockedExact(spark, sfDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "blocked-exact found no pairs in fixture")
+    val cand = Dedup.levenshteinPrefixCandidates(spark, sfDir)
+    val candPairs = cand.select("a_id", "b_id")
+      .as[(Long, Long)].collect().toSet
+    // recall is a THEOREM for the prefix filter (brief asks >= 0.9;
+    // anything below 1.0 here is a bug, not a tuning issue)
+    val recall = exact.count(candPairs.contains).toDouble / exact.size
+    assert(recall == 1.0, s"prefix-filter recall $recall < 1.0 over " +
+      s"${exact.size} qualifying pairs")
+    // pruning: candidates must be well under the all-pairs block join
+    val blockPairs = {
+      val d = graft.Tables.load(spark, sfDir, "documents")
+        .groupBy("lang", "source").count()
+        .select("count").as[Long].collect()
+      d.map(n => n * (n - 1) / 2).sum
+    }
+    assert(candPairs.size < blockPairs / 2,
+      s"candidates ${candPairs.size} vs block pairs $blockPairs — " +
+        "prefix filter is not pruning")
+    // the final query equals the blocked-exact result exactly
+    val viaLsh = Dedup.queries("dedup_levenshtein_prefix")(spark, sfDir)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    val viaBlock = Dedup.levenshteinBlockedExact(spark, sfDir)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(viaLsh == viaBlock)
   }
 
   test("candidate-pair count is observable (explosion visible in CI)") {
