@@ -255,7 +255,67 @@ object Sources {
           |           WHERE c_nationkey = n_nationkey
           |           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
           |ORDER BY n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+    }),
+    // TPC-H Q21 shape — the hardest decorrelation pattern: EXISTS and
+    // NOT EXISTS both correlated against the SAME table (lineitem)
+    // under different aliases, on top of a multi-way join. Catalyst
+    // rewrites the pair into one left-semi and one left-anti join
+    // against l1 in a single plan (asserted in RelationalSpec). The
+    // fixture has no receipt/commit dates, so l_returnflag = 'R' plays
+    // the "failed delivery" role: suppliers who were the ONLY supplier
+    // with a returned item in a finished multi-supplier order.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(q21Sql)
+    }),
+    // TPC-H Q2 shape — correlated scalar MIN whose inner query is
+    // ITSELF a join (lineitem⋈supplier; the fixture has no partsupp,
+    // so min unit price l_extendedprice/l_quantity per part stands in
+    // for min supplycost). Catalyst decorrelates the aggregate-over-
+    // join into a grouped min keyed by partkey joined back to the
+    // outer — one aggregation + one join, never a per-row re-execution.
+    // DOUBLE division is IEEE-deterministic in both engines, so the
+    // min-equality membership is bit-stable.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(q2Sql)
     }))
+
+  /** Shared ANSI text for the Q21/Q2 shapes — same string runs in
+    * Spark and DuckDB (that equivalence is the point of the oracle). */
+  private val q21Sql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND n_regionkey <= 2
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  private val q2Sql =
+    """SELECT p_partkey, p_name, s_name,
+      |  CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)
+      |    AS unit_price
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE s_nationkey < 13
+      |  AND CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE) = (
+      |    SELECT min(CAST(l2.l_extendedprice AS DOUBLE)
+      |        / CAST(l2.l_quantity AS DOUBLE))
+      |    FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |    WHERE l2.l_partkey = p_partkey AND s2.s_nationkey < 13)
+      |ORDER BY p_partkey, s_name""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "sql_revenue_by_year" ->
@@ -299,5 +359,7 @@ object Sources {
         |  LATERAL (SELECT c_name, c_acctbal FROM customer
         |           WHERE c_nationkey = n_nationkey
         |           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
-        |ORDER BY n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+        |ORDER BY n_name, t.c_acctbal DESC, t.c_name""".stripMargin,
+    "q21_waiting_suppliers" -> q21Sql,
+    "q2_min_cost_supplier" -> q2Sql)
 }

@@ -153,6 +153,40 @@ class SourcesSpec extends SparkSpec {
     assert(rows(2L).contains(9.5))
   }
 
+  test("q21: EXISTS and NOT EXISTS against the same table decorrelate " +
+    "to one semi AND one anti join in a single plan") {
+    val df = Sources.queries("q21_waiting_suppliers")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"no semi-join rewrite:\n${plan.take(3000)}")
+    assert(plan.contains("LeftAnti"),
+      s"no anti-join rewrite:\n${plan.take(3000)}")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "q21 shape is vacuous on the fixture")
+    // numwait is a count — strictly positive by construction
+    assert(rows.forall(_.getAs[Long]("numwait") > 0L))
+  }
+
+  test("q2: correlated scalar MIN over a join decorrelates to one " +
+    "grouped aggregate, not per-row re-execution") {
+    val df = Sources.queries("q2_min_cost_supplier")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // decorrelation proof: the min appears as a partial+final grouped
+    // HashAggregate keyed by partkey, joined back — so the plan has
+    // an aggregate and NO iterative subquery node
+    assert(plan.contains("HashAggregate"),
+      s"no grouped-aggregate decorrelation:\n${plan.take(3000)}")
+    assert(!plan.contains("Subquery"),
+      "scalar subquery survived decorrelation as a per-row subquery")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every returned row carries its part's minimum => each part's
+    // unit prices are all equal within the result
+    val perPart = rows.groupBy(_.getAs[Long]("p_partkey"))
+    assert(perPart.values.forall(rs =>
+      rs.map(_.getAs[Double]("unit_price")).distinct.length == 1))
+  }
+
   test("kafka reader builder exposes the reference options shape") {
     // connector jar absent in this env: only assert the builder wires
     // format/options without touching a broker (no .load()).
