@@ -248,6 +248,46 @@ object EventPipeline {
         ()
       }
 
+  /** Fixture-events ingest — the same parse→flatten→quality composition
+    * specialized to the fixture `events` table shape (`event_id, ts,
+    * user_id, event_type, value, props`), so the streamed sink output is
+    * directly consumable by every batch `events_*` operator through
+    * `Tables.load`. This closes the reference's two-process architecture
+    * into one tested flow: the streaming service writes parquet and the
+    * api service queries it (`services/streaming-service/api.py:312-318`
+    * → `services/api-service/data_service.py:125`); here ingest's output
+    * IS analytics' input, with result equality proven in
+    * EventPipelineSpec. The sink stores ts as int64 epoch-nanos — the
+    * fixture's physical format — so the one loader serves both the
+    * generated fixture and the engine's own sink. */
+  val fixtureEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", StringType, nullable = false),
+    StructField("user_id", LongType, nullable = true),
+    StructField("event_type", StringType, nullable = true),
+    StructField("value", DoubleType, nullable = true),
+    StructField("props", StringType, nullable = true)))
+
+  def fixtureEventsPipeline(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast("string"), fixtureEventSchema)
+        .as("e"))
+      .filter(col("e").isNotNull && col("e.event_id").isNotNull &&
+        col("e.ts").isNotNull && col("e.event_type").isNotNull)
+      .select(
+        col("e.event_id").as("event_id"),
+        to_timestamp(col("e.ts")).as("ts_t"),
+        col("e.user_id").as("user_id"),
+        col("e.event_type").as("event_type"),
+        col("e.value").as("value"),
+        col("e.props").as("props"))
+      .select(col("event_id"),
+        (unix_micros(col("ts_t")) * 1000).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"),
+        // event-time partition columns (P5) — same pruning-friendly
+        // choice as the github pipeline, same sink partitionBy
+        date_format(col("ts_t"), "yyyy-MM-dd").as("processing_date"),
+        hour(col("ts_t")).as("processing_hour"))
+
   /** S3: append sink partitioned for pruning, with checkpointing.
     *
     * `availableNow = true` is the production BACKFILL/catch-up mode

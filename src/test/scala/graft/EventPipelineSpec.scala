@@ -454,4 +454,36 @@ class EventPipelineSpec extends SparkSpec {
       assert(out.select("processing_hour").distinct().count() == 2)
     } finally q.stop()
   }
+
+  test("ingest→analytics composition: streamed sink output answers the " +
+      "batch events queries identically") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compose")
+    val (inDir, outDir, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    // producer stand-in: the fixture events table serialized to JSON
+    // lines (the reference's Kafka topic payloads); timestamps travel
+    // as strings and round-trip through to_timestamp at µs precision —
+    // the same precision Tables.load reduces the fixture's nanos to
+    graft.Tables.load(spark, sfDir, "events")
+      .selectExpr("to_json(struct(event_id, CAST(ts AS STRING) AS ts, " +
+        "user_id, event_type, value, props)) AS value")
+      .write.mode("overwrite").text(inDir)
+    // ingest process: file stream -> parse -> flatten -> partitioned sink
+    val raw = spark.readStream.format("text").load(inDir)
+    val q = EventPipeline.parquetSink(
+      EventPipeline.fixtureEventsPipeline(raw),
+      s"$outDir/events.parquet", ckpt, availableNow = true).start()
+    assert(q.awaitTermination(120000), "ingest run did not self-stop")
+    // analytics process: the UNCHANGED batch operators pointed at the
+    // STREAMED output — the two-process composition as one tested flow
+    import graft.operators.EventAnalytics
+    Seq("events_by_type", "events_hourly", "events_top_users").foreach {
+      name =>
+        val batch =
+          EventAnalytics.queries(name)(spark, sfDir).collect().toSeq
+        val streamed =
+          EventAnalytics.queries(name)(spark, outDir).collect().toSeq
+        assert(batch == streamed,
+          s"$name differs between batch fixture and streamed sink")
+    }
+  }
 }
