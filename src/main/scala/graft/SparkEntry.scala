@@ -27,12 +27,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventAnalytics.queries ++ Relational.queries ++ Temporal.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Sources.queries ++ Typed.queries
+      Sources.queries ++ Typed.queries ++ graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EventAnalytics.oracleSql ++ Relational.oracleSql ++ Temporal.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
-      Sources.oracleSql ++ Typed.oracleSql
+      Sources.oracleSql ++ Typed.oracleSql ++
+      graft.multimodal.Multimodal.oracleSql
 }

@@ -146,4 +146,32 @@ object Multimodal {
         sum(col("meta.durationMs")).as("total_duration_ms"),
         avg(col("meta.width")).as("avg_width"))
       .orderBy(asc("kind"), asc("format"))
+
+  /** The metadata-only aggregation as a driver-checked query: the asset
+    * synthesis is a deterministic function of the documents fixture, so
+    * DuckDB reproduces it in plain SQL — the codec stays out of the
+    * plan entirely (the point of metadata-first design: per-format
+    * inventory stats at 100 TB read tiny metadata columns, never a
+    * payload byte). */
+  val queries: Map[String, graft.Ql.Q] = Map(
+    "multimodal_meta_stats" -> ((s, dir) =>
+      metadataStats(syntheticAssets(s, dir))))
+
+  val oracleSql: Map[String, String] = Map(
+    "multimodal_meta_stats" ->
+      """SELECT kind, format, count(*) AS n_assets,
+        |  CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
+        |  avg(width) AS avg_width
+        |FROM (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |              WHEN doc_id % 3 = 1 THEN 'wav'
+        |              ELSE 'mp4' END AS format,
+        |         CAST(n_chars % 640 + 64 AS INT) AS width,
+        |         n_chars * 10 AS duration_ms
+        |  FROM documents)
+        |GROUP BY kind, format
+        |ORDER BY kind, format""".stripMargin)
 }
