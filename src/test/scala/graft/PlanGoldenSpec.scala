@@ -1,0 +1,151 @@
+package graft
+
+/** Plan-shape golden tests for the headline queries: join strategy,
+  * build side, and scan-level filter pushdown pinned as assertions, so a
+  * silent strategy flip (stats drift, AQE threshold change, an
+  * accidental cast that blocks pushdown) fails CI instead of shipping a
+  * 100×-slower plan that still returns correct rows.
+  *
+  * Assertions run on the pre-execution physical plan (the same surface
+  * the scattered per-suite checks already use); attribute ids vary per
+  * session, so patterns regex over them.
+  */
+class PlanGoldenSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  private def count(p: String, token: String): Int =
+    token.r.findAllMatchIn(p).size
+
+  private def assertHas(p: String, pattern: String, what: String): Unit =
+    assert(pattern.r.findFirstIn(p).isDefined,
+      s"$what missing; plan:\n${p.take(4000)}")
+
+  test("star_revenue_by_nation: pure broadcast star, no shuffle joins") {
+    val p = planOf("star_revenue_by_nation")
+    assert(count(p, "BroadcastHashJoin") == 4, s"expected 4 BHJ:\n$p")
+    assert(count(p, "BuildRight") == 4, "every dim must build broadcast side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
+  test("q1: single scan, no join, shipdate pushed to the scan") {
+    val p = planOf("q1_pricing_summary")
+    assert(!p.contains("Join"), "q1 must not join")
+    assertHas(p, """l_shipdate#\d+ <= 1998-09-02""", "shipdate pushdown")
+  }
+
+  test("q3: TakeOrderedAndProject top-10 over two broadcast joins, " +
+    "segment filter pushed into the customer scan") {
+    val p = planOf("q3_shipping_priority")
+    assertHas(p, """TakeOrderedAndProject\(limit=10""", "top-k operator")
+    assert(count(p, "BroadcastHashJoin") == 2)
+    assertHas(p, """c_mktsegment#\d+ = BUILDING""", "segment pushdown")
+  }
+
+  test("q5: five broadcast joins, region name pushed into region scan") {
+    val p = planOf("q5_local_supplier_revenue")
+    assert(count(p, "BroadcastHashJoin") == 5, s"expected 5 BHJ:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assertHas(p, """r_name#\d+ = ASIA""", "region pushdown")
+  }
+
+  test("q13: LeftOuter broadcast join, preserved customer scan unfiltered") {
+    val p = planOf("q13_customer_distribution")
+    assertHas(p, """BroadcastHashJoin .*LeftOuter, BuildRight""",
+      "left-outer broadcast")
+    // the join-condition filter must NOT leak onto the preserved side
+    assertHas(p,
+      """FileScan parquet \[c_custkey#\d+L?\][^\n]*DataFilters: \[\]""",
+      "unfiltered customer scan")
+  }
+
+  test("q18: TakeOrderedAndProject top-100 over broadcast joins") {
+    val p = planOf("q18_large_volume_customer")
+    assertHas(p, """TakeOrderedAndProject\(limit=100""", "top-k operator")
+    assert(count(p, "BroadcastHashJoin") == 2)
+    assert(count(p, "BuildRight") == 2)
+  }
+
+  test("q19: broadcast join keeps the disjunctive residue; side-local " +
+    "OR terms push into both scans") {
+    val p = planOf("q19_discounted_revenue")
+    assertHas(p, """BroadcastHashJoin .*BuildRight, \(+\(+\(+\(+\(*p_brand""",
+      "OR-of-ANDs residue on the join")
+    assertHas(p, """DataFilters: [^\n]*l_quantity#\d+ >= 1\.0\) AND""",
+      "quantity band pushdown on lineitem")
+    assertHas(p, """DataFilters: [^\n]*p_size#\d+ >= 1\)""",
+      "size pushdown on part")
+  }
+
+  test("q21: one semi AND one anti broadcast join in a single plan, " +
+    "status + region filters pushed") {
+    val p = planOf("q21_waiting_suppliers")
+    assertHas(p, """BroadcastHashJoin .*LeftSemi""", "semi rewrite")
+    assertHas(p, """BroadcastHashJoin .*LeftAnti""", "anti rewrite")
+    assertHas(p, """o_orderstatus#\d+ = F""", "order status pushdown")
+    assertHas(p, """n_regionkey#\d+ <= 2""", "region pushdown")
+  }
+
+  test("q22: 1-row scalar broadcast cross join + anti join on recent " +
+    "orders, date pushed") {
+    val p = planOf("q22_idle_customers")
+    assertHas(p, """BroadcastNestedLoopJoin BuildRight, Cross""",
+      "scalar broadcast")
+    assertHas(p, """BroadcastHashJoin .*LeftAnti, BuildRight""",
+      "anti join on orders")
+    assertHas(p, """o_orderdate#\d+ >= 1999-01-01""", "date pushdown")
+  }
+
+  test("q2: decorrelated min joins back via sort-merge on (price, part); " +
+    "supplier filter pushed on both occurrences") {
+    val p = planOf("q2_min_cost_supplier")
+    assert(p.contains("SortMergeJoin"), "min-equality join must be SMJ")
+    assert(count(p, "BroadcastHashJoin") >= 3)
+    assert(count(p, """s_nationkey#\d+ < 13""") >= 2,
+      "supplier pushdown on both outer and inner occurrence")
+  }
+
+  test("sortmerge_status_revenue: fact-fact join stays sort-merge") {
+    val p = planOf("sortmerge_status_revenue")
+    assertHas(p, """SortMergeJoin .*Inner""", "SMJ")
+    assert(!p.contains("BroadcastHashJoin"))
+  }
+
+  test("brand_revenue: part dim broadcasts, lineitem never shuffles") {
+    val p = planOf("brand_revenue")
+    assertHas(p, """BroadcastHashJoin .*Inner, BuildRight""", "BHJ")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
+  test("hint_shuffle_hash_revenue: the hint yields a shuffled hash join " +
+    "building the smaller orders side") {
+    val p = planOf("hint_shuffle_hash_revenue")
+    assertHas(p, """ShuffledHashJoin .*Inner, BuildRight""", "SHJ")
+  }
+
+  test("events_asof_attribution: as-of is window-based - no join node, " +
+    "type filter pushed to the scan") {
+    val p = planOf("events_asof_attribution")
+    assert(!p.contains("Join"), "as-of must not be a join")
+    assertHas(p, """event_type#\d+ IN \(click,purchase\)""",
+      "type pushdown")
+  }
+
+  test("events_value_bands: band dim broadcasts as the nested-loop " +
+    "build side with the range predicate") {
+    val p = planOf("events_value_bands")
+    assertHas(p,
+      """BroadcastNestedLoopJoin BuildRight, Inner, \(\(value#\d+ >= lo""",
+      "broadcast range join")
+  }
+
+  test("events_value_bands_bucketed: bucketed range join becomes an " +
+    "equi broadcast join with the range residual") {
+    val p = planOf("events_value_bands_bucketed")
+    assertHas(p,
+      """BroadcastHashJoin \[bucket#\d+L?\], \[bucket#\d+L?\], Inner, BuildRight, \(\(value""",
+      "bucket equi-join with range residual")
+  }
+}
