@@ -126,16 +126,25 @@ object ScaleGen {
           "END AS FLOAT))"))
       .drop("rep"), "embeddings")
 
-    // events: byte-for-byte copy (its TIMESTAMP(NANOS) column only
-    // round-trips untouched; scaling runs don't exercise events)
-    val evSrc = java.nio.file.Paths.get(s"$src/events.parquet")
-    if (java.nio.file.Files.isRegularFile(evSrc)) {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
-      java.nio.file.Files.copy(evSrc,
-        java.nio.file.Paths.get(s"$dst/events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      println("[scalegen] copied events")
-    }
+    // events: replicate like the relational tables so the full-suite
+    // scaling run exercises the events_* queries at N×. The fixture's
+    // TIMESTAMP(NANOS) column is read as raw int64 epoch-nanos
+    // (nanosAsLong — the same path Tables.load uses) and written back as
+    // plain int64; Tables.load's `timestamp_micros(ts DIV 1000)`
+    // conversion is identical for both physical encodings. event_id and
+    // user_id shift per replica (N× distinct users with per-user
+    // behavior preserved — sessionization/retention/top-k structure is
+    // replica-local, exactly how a user base grows); ts/type/value/props
+    // stay untouched so the hourly/window distributions scale ×N in
+    // density, not in span.
+    val EK = 1000000L // event_id
+    val UK = 100000L // user_id
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = load("events")
+    checkStride(events, "event_id", EK)
+    checkStride(events, "user_id", UK)
+    write(replicate(events, Map("event_id" -> EK, "user_id" -> UK))
+      .drop("rep"), "events")
     println(s"[scalegen] done: $dst (${copies}x $src)")
     spark.stop()
   }
