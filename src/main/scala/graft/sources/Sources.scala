@@ -26,6 +26,9 @@ import org.apache.spark.sql.types.StructType
   * - Multi-format IO: csv/json/orc round-trips (`writeAs`/`readAs`) —
   *   at 100 TB, columnar (parquet/orc) is the only sane rest format;
   *   csv/json exist for ingest edges.
+  * - Snapshot isolation / atomic commit / time travel: [[SnapshotTable]]
+  *   (the piece of the reference's Iceberg usage that `writePartitioned`
+  *   and `compactPartitioned` deliberately left out).
   */
 object Sources {
 
@@ -279,6 +282,32 @@ object Sources {
     "q2_min_cost_supplier" -> ((s, dir) => {
       registerViews(s, dir)
       s.sql(q2Sql)
+    }),
+    // Snapshot-table surface under the oracle: commit the orders table
+    // as v1 and a filtered snapshot as v2 into a fresh SnapshotTable,
+    // then report per-version status counts READ BACK THROUGH the
+    // version log (current read = v2, time travel = v1). The oracle
+    // computes the same counts straight from the base table — matching
+    // hashes prove the commit/claim/publish/read-path round trip, not
+    // just the arithmetic.
+    "snapshot_time_travel" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-snap-q")
+        .toString + "/orders"
+      val orders = graft.Tables.load(s, dir, "orders")
+      SnapshotTable.commit(s, root, orders)
+      SnapshotTable.commit(s, root,
+        orders.filter(col("o_orderstatus") === "F"))
+      val v1 = SnapshotTable.readVersion(s, root, 1L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("version", lit(1L))
+      val v2 = SnapshotTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("version", lit(2L))
+      v1.unionByName(v2)
+        .select("version", "o_orderstatus", "n")
+        .orderBy("version", "o_orderstatus")
     }))
 
   /** Shared ANSI text for the Q21/Q2 shapes — same string runs in
@@ -361,5 +390,13 @@ object Sources {
         |           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         |ORDER BY n_name, t.c_acctbal DESC, t.c_name""".stripMargin,
     "q21_waiting_suppliers" -> q21Sql,
-    "q2_min_cost_supplier" -> q2Sql)
+    "q2_min_cost_supplier" -> q2Sql,
+    "snapshot_time_travel" ->
+      """SELECT version, o_orderstatus, n FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
+        |    count(*) AS n FROM orders GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), o_orderstatus, count(*)
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus)
+        |ORDER BY version, o_orderstatus""".stripMargin)
 }

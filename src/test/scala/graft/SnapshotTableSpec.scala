@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+
+  test("commit -> read round trip, versions advance monotonically") {
+    val root = tmpRoot()
+    assert(SnapshotTable.currentVersion(spark, root) == 0L)
+    val orders = Tables.load(spark, sfDir, "orders")
+    val v1 = SnapshotTable.commit(spark, root, orders)
+    assert(v1 == 1L)
+    assert(SnapshotTable.read(spark, root).count() == orders.count())
+    val v2 = SnapshotTable.commit(spark, root,
+      orders.filter(col("o_orderstatus") === "F"))
+    assert(v2 == 2L)
+    assert(SnapshotTable.versions(spark, root) == Seq(1L, 2L))
+    assert(SnapshotTable.read(spark, root).count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("time travel reads the exact committed snapshot") {
+    val root = tmpRoot()
+    val nation = Tables.load(spark, sfDir, "nation")
+    SnapshotTable.commit(spark, root, nation)
+    SnapshotTable.commit(spark, root, nation.filter(col("n_regionkey") === 0))
+    val atV1 = SnapshotTable.readVersion(spark, root, 1L)
+      .select("n_name").as[String].collect().sorted.toSeq
+    val base = nation.select("n_name").as[String].collect().sorted.toSeq
+    assert(atV1 == base, "v1 must be the full nation table")
+    assert(SnapshotTable.readVersion(spark, root, 2L).count() ==
+      nation.filter(col("n_regionkey") === 0).count())
+  }
+
+  test("snapshot isolation: a reader resolved before a commit keeps " +
+      "its snapshot") {
+    val root = tmpRoot()
+    val nation = Tables.load(spark, sfDir, "nation")
+    SnapshotTable.commit(spark, root, nation)
+    // reader resolves the current version NOW (plan pinned to v=1's dir)
+    val pinned = SnapshotTable.read(spark, root)
+    val before = pinned.count()
+    // writer swaps in a smaller snapshot
+    SnapshotTable.commit(spark, root, nation.limit(3))
+    // the pinned reader still scans v=1 — immutability IS the isolation
+    assert(pinned.count() == before)
+    assert(SnapshotTable.read(spark, root).count() == 3)
+  }
+
+  test("racing committers serialize through the version claim") {
+    val root = tmpRoot()
+    val nation = Tables.load(spark, sfDir, "nation")
+    SnapshotTable.commit(spark, root, nation)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val vs = Await.result(
+      Future.sequence((1 to 4).toList.map(i => Future {
+        SnapshotTable.commit(spark, root, nation.limit(i), maxRetries = 16)
+      })), 120.seconds).sorted
+    // every commit lands on a DISTINCT version: no lost updates
+    assert(vs == List(2L, 3L, 4L, 5L))
+    assert(SnapshotTable.currentVersion(spark, root) == 5L)
+    assert(SnapshotTable.versions(spark, root) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("expireSnapshots drops only the oldest, never the current") {
+    val root = tmpRoot()
+    val nation = Tables.load(spark, sfDir, "nation")
+    (1 to 4).foreach(i =>
+      SnapshotTable.commit(spark, root, nation.limit(i)))
+    val dropped = SnapshotTable.expireSnapshots(spark, root, keep = 2)
+    assert(dropped == Seq(1L, 2L))
+    assert(SnapshotTable.versions(spark, root) == Seq(3L, 4L))
+    assert(SnapshotTable.read(spark, root).count() == 4)
+    intercept[Exception] {
+      SnapshotTable.readVersion(spark, root, 1L).count()
+    }
+  }
+
+  test("a crashed commit (claimed dir, no record) stays invisible and " +
+      "is skipped, then vacuumed") {
+    val root = tmpRoot()
+    val nation = Tables.load(spark, sfDir, "nation")
+    SnapshotTable.commit(spark, root, nation)
+    // simulate a crash between claim and publish: v=2 exists on disk
+    // but no _commits/2 record
+    nation.limit(1).write.parquet(s"$root/v=2")
+    assert(SnapshotTable.currentVersion(spark, root) == 1L)
+    assert(SnapshotTable.versions(spark, root) == Seq(1L))
+    assert(SnapshotTable.read(spark, root).count() == nation.count())
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readVersion(spark, root, 2L)
+    }
+    // the next commit claims past the orphan — never resurrects it
+    val v = SnapshotTable.commit(spark, root, nation.limit(2))
+    assert(v == 3L)
+    assert(SnapshotTable.read(spark, root).count() == 2)
+    val removed = SnapshotTable.vacuum(spark, root)
+    assert(removed.exists(_.endsWith("v=2")))
+    assert(SnapshotTable.versions(spark, root) == Seq(1L, 3L))
+    assert(SnapshotTable.readVersion(spark, root, 3L).count() == 2)
+  }
+}
