@@ -573,6 +573,171 @@ object Relational {
         .orderBy(asc("code"))
     }),
 
+    // TPC-H Q7 shape: volume shipping between two regions, grouped by
+    // the DIRECTIONAL (supplier nation -> customer nation) pair and
+    // year. Both nation lookups join the same dim under different
+    // aliases; the region pre-filter is applied INSIDE each broadcast
+    // side (supplier/customer shrink before touching the fact table),
+    // and only the cross-pair direction test remains post-join. TPC-H
+    // proper pins two nations; the fixture's 10-suppliers-at-sf0.001
+    // makes that empty, so the regions stand in — same shape, denser.
+    "q7_nation_volume" -> ((s, dir) => {
+      val supp = broadcast(t(s, dir, "supplier")
+        .join(t(s, dir, "nation").filter(col("n_regionkey").isin(0, 1))
+            .select(col("n_nationkey").as("s_nk"),
+              col("n_name").as("supp_nation"),
+              col("n_regionkey").as("s_rk")),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"), col("s_rk")))
+      val cust = broadcast(t(s, dir, "customer")
+        .join(t(s, dir, "nation").filter(col("n_regionkey").isin(0, 1))
+            .select(col("n_nationkey").as("c_nk"),
+              col("n_name").as("cust_nation"),
+              col("n_regionkey").as("c_rk")),
+          col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"), col("c_rk")))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .filter((col("s_rk") === 0 && col("c_rk") === 1) ||
+          (col("s_rk") === 1 && col("c_rk") === 0))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(revTerm).cast("double").as("volume"))
+        .orderBy(asc("supp_nation"), asc("cust_nation"), asc("l_year"))
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue per customer over a
+    // quarter, top 20. The date filter rides the orders scan and the
+    // returnflag filter the lineitem scan (both pushed); customer and
+    // nation broadcast; TakeOrderedAndProject caps the result.
+    "q10_returned_items" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >=
+                lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum(revTerm).cast("double").as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q14 shape: promo-type revenue share for one ship month —
+    // a conditional aggregate over the same decimal revenue term, the
+    // ratio taken between the two exact sums only after both are cast
+    // to double (identical operand bits in both engines => identical
+    // quotient).
+    "q14_promo_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", revTerm)
+            .otherwise(dec(lit(0)))).cast("double") /
+          sum(revTerm).cast("double")).as("promo_revenue"))
+    }),
+
+    // TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    // the correlated "= (SELECT max(...) FROM view)" form as one keyed
+    // aggregation plus a 1-row broadcast scalar join (never a re-scan
+    // per candidate). Ties all surface (equality, not top-1-by-sort).
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revTerm).cast("double").as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(asc("s_suppkey"))
+    }),
+
+    // TPC-H Q16 shape: distinct supplier counts per part group, with a
+    // NOT IN supplier exclusion (negative balances stand in for the
+    // missing complaints text). NOT IN over a provably non-null key
+    // column IS an anti join — declared directly; the part filter is a
+    // broadcast, the count-distinct the only shuffle.
+    "q16_part_supplier_counts" -> ((s, dir) => {
+      val complained = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(complained),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#1" &&
+              col("p_size").isin(1, 5, 10, 15, 20, 25))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+          asc("p_size"))
+    }),
+
+    // TPC-H Q17 shape: revenue from small-quantity lineitems of one
+    // brand, where "small" is relative to EACH part's own average
+    // quantity — the correlated scalar AVG decorrelated into a grouped
+    // aggregate joined back on partkey (one extra keyed shuffle, never
+    // a per-row subquery). Decimal-exact avg keeps the 0.5*avg
+    // threshold membership bit-identical across engines.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val avgq = li.groupBy(col("l_partkey"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      li.join(avgq, "l_partkey")
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+            .as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q20 shape: suppliers who shipped a heavy total of some
+    // "small"-named part in a year, within two regions — the nested
+    // IN (... GROUP BY ... HAVING sum(...) > t) declared as an
+    // aggregate-then-left-semi chain. Both semi joins keep supplier
+    // rows intact (no duplication from the many qualifying parts), and
+    // the HAVING aggregate reduces lineitem BEFORE any supplier join.
+    "q20_excess_suppliers" -> ((s, dir) => {
+      val heavy = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_name").startsWith("small"))
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .filter(col("sum_qty") > 40.0)
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_regionkey") <= 1)),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(asc("s_suppkey"))
+    }),
+
     // Null-semantics battery: coalesce / nullif / null-safe equality
     // (<=>) / CASE with null arms / NULLS FIRST ordering — the scalar
     // corner where engines actually disagree, pinned against the
@@ -960,6 +1125,104 @@ object Relational {
         |    WHERE o_custkey = c_custkey
         |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY code ORDER BY code""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_regionkey = 0 AND n2.n_regionkey = 1)
+        |    OR (n1.n_regionkey = 1 AND n2.n_regionkey = 0))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_part_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |avgq AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |      / count(*) AS avg_qty
+        |  FROM li GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM li JOIN avgq USING (l_partkey)
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    WHERE p_name LIKE 'small%'
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    GROUP BY l_partkey, l_suppkey
+        |    HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+        |      AS DOUBLE) > 40.0)
+        |  AND s_nationkey IN (
+        |    SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
+        |ORDER BY s_suppkey""".stripMargin,
     "null_semantics_battery" ->
       """SELECT o_orderkey, status_n,
         |  coalesce(status_n, 'open') AS status_filled,
