@@ -215,6 +215,33 @@ object EventPipeline {
         col("effect_ts"), col("cause_id"), col("cause_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the attribution query
+    * where "no cause within the horizon" is itself the answer (organic
+    * vs attributed). Same bounded-state shape as the inner variant, plus
+    * the outer contract: an unmatched effect row CANNOT emit when it
+    * arrives (a matching cause may still be in flight) — it emits with
+    * null cause columns only once the watermark proves no such cause can
+    * come. Null-emission latency therefore equals the watermark delay;
+    * that is the price of correctness, not an implementation lag, and
+    * the state store still evicts exactly like the inner join. */
+  def streamIntervalJoinLeftOuter(causes: DataFrame, effects: DataFrame,
+      horizon: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = causes.select(col("actor_id").as("cause_actor"),
+        col("created_at").as("cause_ts"), col("event_id").as("cause_id"))
+      .withWatermark("cause_ts", watermark)
+    val e = effects.select(col("actor_id").as("effect_actor"),
+        col("created_at").as("effect_ts"), col("event_id").as("effect_id"))
+      .withWatermark("effect_ts", watermark)
+    e.join(c,
+        col("cause_actor") === col("effect_actor") &&
+          col("cause_ts") <= col("effect_ts") &&
+          col("cause_ts") >= col("effect_ts") - expr(s"INTERVAL $horizon"),
+        "leftOuter")
+      .select(col("effect_id"), col("effect_actor").as("actor_id"),
+        col("effect_ts"), col("cause_id"), col("cause_ts"))
+  }
+
   /** foreachBatch UPSERT sink — the production pattern for sinks whose
     * semantics the built-in writers can't express (merge/dedup/multi-
     * table writes): each micro-batch arrives as an ordinary DataFrame

@@ -247,6 +247,51 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: matches emit eagerly, " +
+      "unmatched effects emit null cause only after the watermark " +
+      "proves no cause can come") {
+    implicit val sc = spark.sqlContext
+    def actorEv(id: String, actor: Int, typ: String, created: String) =
+      ev(id, typ = typ, created = created,
+        actor = s"""{"id": $actor, "login": "u$actor"}""")
+    val stream = MemoryStream[String]
+    val flat = EventPipeline.pipeline(stream.toDF())
+    val joined = EventPipeline.streamIntervalJoinLeftOuter(
+      causes = flat.filter(col("event_type") === "PushEvent"),
+      effects = flat.filter(col("event_type") === "IssuesEvent"))
+    val q = joined.writeStream.format("memory").queryName("sink_ssjo")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        actorEv("p1", 7, "PushEvent", "2024-01-01T10:00:00Z"),
+        actorEv("i1", 7, "IssuesEvent", "2024-01-01T10:30:00Z"), // matched
+        actorEv("i9", 9, "IssuesEvent", "2024-01-01T10:10:00Z")) // organic
+      q.processAllAvailable()
+      val early = spark.table("sink_ssjo")
+        .select("effect_id").as[String].collect().toSet
+      assert(early.contains("i1"), "matched row must emit eagerly")
+      assert(!early.contains("i9"),
+        "unmatched row must NOT emit before the watermark closes its " +
+          "horizon — a cause could still arrive")
+      // advance event time far enough that watermark (10 min) passes
+      // i9's join horizon (1 h): i9 needs watermark > 11:10
+      stream.addData(
+        actorEv("p_adv", 50, "PushEvent", "2024-01-01T13:00:00Z"),
+        actorEv("i_adv", 51, "IssuesEvent", "2024-01-01T13:00:00Z"))
+      q.processAllAvailable()
+      // one more batch so the new watermark takes effect on state
+      stream.addData(
+        actorEv("p_adv2", 52, "PushEvent", "2024-01-01T13:30:00Z"))
+      q.processAllAvailable()
+      val late = spark.table("sink_ssjo")
+        .select("effect_id", "cause_id").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(late("i1").contains("p1"))
+      assert(late.contains("i9") && late("i9").isEmpty,
+        s"organic effect must surface with null cause, got $late")
+    } finally q.stop()
+  }
+
   test("sessionizer runs on the RocksDB state store provider") {
     // the 100 TB state path: state lives off-heap/on-disk in RocksDB
     // instead of the in-memory HashMap provider — same results
