@@ -107,6 +107,74 @@ class PlanGoldenSpec extends SparkSpec {
       "supplier pushdown on both outer and inner occurrence")
   }
 
+  test("q4: semi join against lineitem with the 90-day condition as " +
+    "join residue, order dates pushed") {
+    val p = planOf("q4_order_priority")
+    assertHas(p, """Join LeftSemi|BroadcastHashJoin .*LeftSemi|SortMergeJoin .*LeftSemi""",
+      "semi join")
+    assertHas(p, """o_orderdate#\d+ >= 1997-01-01""", "date pushdown")
+    assert(!p.contains("Distinct"), "semi join must dedup for free")
+  }
+
+  test("q7: both dim lookups broadcast; only the direction test " +
+    "survives as a post-join filter") {
+    val p = planOf("q7_nation_volume")
+    assert(count(p, "BroadcastHashJoin") >= 2, s"dims must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") || count(p, "SortMergeJoin") == 1,
+      "at most the fact-fact join may shuffle")
+    assertHas(p, """l_shipdate#\d+ >= 1996-01-01""", "shipdate pushdown")
+  }
+
+  test("q8: single aggregation pass (partial+final), customers semi-" +
+    "joined, no second scan for the denominator") {
+    val p = planOf("q8_market_share")
+    assert(count(p, "HashAggregate") == 2,
+      s"numerator+denominator must share one aggregation:\n$p")
+    assertHas(p, """LeftSemi""", "customer region semi join")
+  }
+
+  test("q10: top-20 via TakeOrderedAndProject, returnflag and date " +
+    "pushed into their scans") {
+    val p = planOf("q10_returned_items")
+    assertHas(p, """TakeOrderedAndProject\(limit=20""", "top-k operator")
+    assertHas(p, """l_returnflag#\d+ = R""", "returnflag pushdown")
+    assertHas(p, """o_orderdate#\d+ >= 1996-01-01""", "date pushdown")
+  }
+
+  test("q15: the max-equality filter over the 1-row scalar broadcast " +
+    "collapses into a HASH join keyed on the normalized double — " +
+    "better than a nested-loop filter, and pinned so it stays that way") {
+    val p = planOf("q15_top_supplier")
+    assertHas(p,
+      """BroadcastHashJoin \[knownfloatingpointnormalized[^\n]*Cross, BuildRight""",
+      "hash-keyed scalar broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no BNLJ expected")
+    assertHas(p, """l_shipdate#\d+ >= 1996-01-01""", "shipdate pushdown")
+  }
+
+  test("q16: anti join for NOT IN, countDistinct as two-phase " +
+    "aggregate, part filters pushed") {
+    val p = planOf("q16_part_supplier_counts")
+    assertHas(p, """BroadcastHashJoin .*LeftAnti""", "NOT IN anti join")
+    assertHas(p, """p_size#\d+ IN \(1,5,10,15,20,25\)""", "size pushdown")
+  }
+
+  test("q17: decorrelated per-part avg joins back on partkey; brand " +
+    "filter pushed into the part scan") {
+    val p = planOf("q17_small_qty_revenue")
+    assertHas(p, """p_brand#\d+ = Brand#23""", "brand pushdown")
+    // join back on l_partkey: either SMJ or SHJ is fine, but it must be
+    // keyed on partkey, not a nested loop
+    assert(!p.contains("NestedLoop"), s"no nested loop allowed:\n$p")
+  }
+
+  test("q20: two stacked semi joins over the reduced aggregate, name " +
+    "prefix pushed into the part scan") {
+    val p = planOf("q20_excess_suppliers")
+    assert(count(p, "LeftSemi") == 2, s"expected 2 semi joins:\n$p")
+    assertHas(p, """StartsWith\(p_name#\d+, small\)""", "name pushdown")
+  }
+
   test("sortmerge_status_revenue: fact-fact join stays sort-merge") {
     val p = planOf("sortmerge_status_revenue")
     assertHas(p, """SortMergeJoin .*Inner""", "SMJ")
