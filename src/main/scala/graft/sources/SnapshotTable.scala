@@ -18,14 +18,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Commit protocol (per committer):
   *  1. stage data into `v.staging-<uuid>` — invisible to everyone.
-  *  2. claim a version: N = max(committed, on-disk dir) + 1;
-  *     `rename(staging, v=N)` — atomic, FAILS if a racing committer took
-  *     N first, in which case re-read and go again (bounded retries).
-  *  3. publish: exclusively create `_commits/N`. The commit log is
-  *     append-only, one immutable file per version — there is NO shared
-  *     mutable pointer, so no interleaving of writers can lose an update
-  *     (the round-trip that a single rewritten pointer file cannot
-  *     survive: slower committer A overwriting faster B's pointer).
+  *  2. claim a version: N = max(claimed, committed, on-disk dir) + 1;
+  *     EXCLUSIVE-create `_commits/N.claim`. The primitive is O_EXCL
+  *     (`Files.createFile`) on local filesystems and namenode-atomic
+  *     `create(overwrite=false)` on HDFS — exactly one racing committer
+  *     wins N; the loser re-reads and goes again (bounded retries).
+  *     Renames CANNOT arbitrate here: POSIX rename(2) silently replaces
+  *     an existing destination file, and renaming a directory onto an
+  *     existing directory can move it inside (the FileSystem contract) —
+  *     both make every racer think it won. (Both were observed as test
+  *     flakes before the claim moved to exclusive-create.)
+  *  3. move data: `rename(staging, v=N)` — uncontended by construction
+  *     (only the claim holder ever targets N).
+  *  4. publish: create `_commits/N`. The commit log is append-only, one
+  *     immutable file per version — there is NO shared mutable pointer,
+  *     so no interleaving of writers can lose an update (the round-trip
+  *     that a single rewritten pointer file cannot survive: slower
+  *     committer A overwriting faster B's pointer).
   *
   * Why this shape scales / is safe:
   *  - Snapshots are immutable directories: a commit never touches data a
@@ -62,6 +71,21 @@ object SnapshotTable {
       .collect { case s if s.forall(_.isDigit) => s.toLong }.sorted
   }
 
+  /** Highest claimed-or-committed version in the log (claims are
+    * `N.claim` files; commits are bare `N`). */
+  private def maxLogVersion(f: FileSystem, root: String): Long = {
+    val cd = commitsDir(root)
+    if (!f.exists(cd)) 0L
+    else f.listStatus(cd).toSeq.map(_.getPath.getName)
+      .collect {
+        case s if s.forall(_.isDigit) => s.toLong
+        case s if s.endsWith(".claim") &&
+          s.stripSuffix(".claim").forall(_.isDigit) =>
+          s.stripSuffix(".claim").toLong
+      }
+      .foldLeft(0L)(math.max)
+  }
+
   /** Latest committed version; 0 if the table has none. */
   def currentVersion(spark: SparkSession, root: String): Long =
     versions(spark, root).lastOption.getOrElse(0L)
@@ -81,16 +105,18 @@ object SnapshotTable {
   def commit(spark: SparkSession, root: String, df: DataFrame,
       maxRetries: Int = 5): Long = {
     val f = fs(spark, root)
-    val staging = new Path(root,
-      s"v.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(root, s"v.staging-$uuid")
     df.write.mode("overwrite").parquet(staging.toString)
     f.mkdirs(commitsDir(root))
     var attempt = 0
     while (attempt <= maxRetries) {
-      val next = math.max(currentVersion(spark, root),
+      val next = math.max(maxLogVersion(f, root),
         maxDirVersion(f, root)) + 1
-      // the claim: atomic rename fails iff a racing committer took `next`
-      if (f.rename(staging, versionDir(root, next))) {
+      if (tryClaim(f, root, next)) {
+        // uncontended from here: only the claim holder targets v=next
+        require(f.rename(staging, versionDir(root, next)),
+          s"data move failed for claimed version $next at $root")
         publish(f, root, next)
         spark.catalog.refreshByPath(root)
         return next
@@ -101,12 +127,32 @@ object SnapshotTable {
     throw CommitConflict(s"lost the version claim $maxRetries times at $root")
   }
 
-  /** Exclusive create of the commit record — its existence IS the commit. */
-  private def publish(f: FileSystem, root: String, v: Long): Unit = {
-    val rec = new Path(commitsDir(root), v.toString)
-    val out = f.create(rec, false) // overwrite=false: exclusive
-    try out.write(Array.emptyByteArray) finally out.close()
-  }
+  /** The arbiter: exclusive-create of `_commits/N.claim`. Local paths
+    * use NIO O_EXCL (atomic in the kernel); remote filesystems use
+    * `create(overwrite=false)`, which HDFS makes namenode-atomic.
+    * Returns true iff THIS caller created the file. */
+  private def tryClaim(f: FileSystem, root: String, v: Long): Boolean =
+    atomicCreate(f, new Path(commitsDir(root), s"$v.claim"))
+
+  private def atomicCreate(f: FileSystem, p: Path): Boolean =
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try { f.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+
+  /** The commit record — its existence IS the commit. Uncontended: only
+    * the holder of `N.claim` ever writes `N`. */
+  private def publish(f: FileSystem, root: String, v: Long): Unit =
+    require(atomicCreate(f, new Path(commitsDir(root), v.toString)),
+      s"commit record $v already exists — claim protocol violated")
 
   /** Read the current snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =
@@ -132,25 +178,39 @@ object SnapshotTable {
     val doomed = versions(spark, root).dropRight(keep)
     doomed.foreach { v =>
       f.delete(new Path(commitsDir(root), v.toString), false)
+      f.delete(new Path(commitsDir(root), s"$v.claim"), false)
       f.delete(versionDir(root, v), true)
     }
     doomed
   }
 
-  /** Remove orphan directories (claimed but never published — crashed
-    * commits) and stale staging dirs. Safe at any time: neither is
-    * reachable by readers. Returns the paths removed. */
+  /** Remove crashed-commit leftovers: orphan data directories, orphan
+    * claim files (claimed but never published), and stale staging dirs.
+    * None is reachable by readers; run it as MAINTENANCE (a committer
+    * between claim and publish looks identical to a crash, so vacuum
+    * while commits are in flight can abort them — never corrupt data).
+    * Returns the paths removed. */
   def vacuum(spark: SparkSession, root: String): Seq[String] = {
     val f = fs(spark, root)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) return Seq.empty
     val committed = versions(spark, root).toSet
-    val doomed = f.listStatus(rootPath).toSeq.map(_.getPath).filter { p =>
+    val orphanData = f.listStatus(rootPath).toSeq.map(_.getPath).filter { p =>
       val n = p.getName
       n.startsWith("v.staging-") ||
         (n.startsWith("v=") && n.stripPrefix("v=").forall(_.isDigit) &&
           !committed(n.stripPrefix("v=").toLong))
     }
+    val cd = commitsDir(root)
+    val orphanClaims =
+      if (!f.exists(cd)) Seq.empty
+      else f.listStatus(cd).toSeq.map(_.getPath).filter { p =>
+        val n = p.getName
+        (n.endsWith(".claim") &&
+          n.stripSuffix(".claim").forall(_.isDigit) &&
+          !committed(n.stripSuffix(".claim").toLong))
+      }
+    val doomed = orphanData ++ orphanClaims
     doomed.foreach(f.delete(_, true))
     doomed.map(_.toString)
   }

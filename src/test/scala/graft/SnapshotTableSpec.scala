@@ -62,7 +62,7 @@ class SnapshotTableSpec extends SparkSpec {
     val vs = Await.result(
       Future.sequence((1 to 4).toList.map(i => Future {
         SnapshotTable.commit(spark, root, nation.limit(i), maxRetries = 16)
-      })), 120.seconds).sorted
+      })), 180.seconds).sorted
     // every commit lands on a DISTINCT version: no lost updates
     assert(vs == List(2L, 3L, 4L, 5L))
     assert(SnapshotTable.currentVersion(spark, root) == 5L)
