@@ -69,6 +69,27 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root) == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("diff between snapshots tags inserted and deleted rows; " +
+      "applying it to `from` reproduces `to`") {
+    val root = tmpRoot()
+    val nation = Tables.load(spark, sfDir, "nation")
+    SnapshotTable.commit(spark, root, nation.filter(col("n_regionkey") <= 2))
+    SnapshotTable.commit(spark, root, nation.filter(col("n_regionkey") >= 2))
+    val d = SnapshotTable.diff(spark, root, 1L, 2L).collect()
+    val inserted = d.filter(_.getAs[String]("change_type") == "inserted")
+      .map(_.getAs[String]("n_name")).toSet
+    val deleted = d.filter(_.getAs[String]("change_type") == "deleted")
+      .map(_.getAs[String]("n_name")).toSet
+    val names = nation.select("n_name", "n_regionkey").collect()
+      .map(r => r.getString(0) -> r.getAs[Number](1).longValue).toMap
+    assert(inserted == names.filter(_._2 > 2).keySet, "rows only in v2")
+    assert(deleted == names.filter(_._2 < 2).keySet, "rows only in v1")
+    // catch-up: v1 minus deleted plus inserted == v2 (set equality on
+    // the key column; region 2 rows sit in both and never move)
+    val v1 = names.filter(_._2 <= 2).keySet
+    assert((v1 -- deleted ++ inserted) == names.filter(_._2 >= 2).keySet)
+  }
+
   test("expireSnapshots drops only the oldest, never the current") {
     val root = tmpRoot()
     val nation = Tables.load(spark, sfDir, "nation")
