@@ -370,9 +370,36 @@ object EventAnalytics {
             "AS cohort_week",
           "week_no", "n_active")
         .orderBy(asc("cohort_week"), asc("week_no"))
+    }),
+
+    // Semi-structured props through Spark 4's VariantType: parse_json
+    // ONCE into a variant column (an efficient binary encoding that
+    // shreds on access), then variant_get typed extraction — the
+    // engine-native path for schema-on-read JSON, replacing per-access
+    // get_json_object string re-parsing. The aggregate keeps the avg
+    // deterministic (exact BIGINT sum, one division).
+    "events_props_variant" -> ((s, dir) => {
+      ev(s, dir)
+        .select(col("event_type"),
+          parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(asc("event_type"))
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "events_props_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
+        |    / count(*) AS avg_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "events_dashboard_totals" ->
       s"""SELECT count(*) AS n_events,
          |  count(DISTINCT user_id) AS n_users,

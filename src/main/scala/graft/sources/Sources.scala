@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamReader
 import org.apache.spark.sql.types.StructType
@@ -150,6 +150,60 @@ object Sources {
     require(fs.rename(tmp, hPath), s"rename $tmp -> $hPath failed")
     spark.catalog.refreshByPath(path)
     (before.size.toLong, dataFiles(hPath).size.toLong)
+  }
+
+  /** Storage clustering on one key: range-repartition + in-file sort +
+    * write. Every output file then holds a DISJOINT key range, so any
+    * parquet reader with a key predicate skips whole files/row-groups on
+    * min/max footer stats — data skipping delivered purely by LAYOUT, no
+    * index, no table format. This is the single-dimension form of what
+    * table formats call clustering; at 100 TB it is the difference
+    * between a selective query scanning one file and scanning all of
+    * them. `files` controls granularity: more files = finer skipping,
+    * more footers (pair with `compactPartitioned`'s sizing discipline).
+    *
+    * The range boundaries come from Spark's range-partitioning sampler —
+    * one lightweight sampling pass, then one shuffle; no driver-side
+    * data. */
+  def writeClustered(df: DataFrame, path: String, key: String,
+      files: Int): Unit =
+    df.repartitionByRange(files, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode("overwrite").parquet(path)
+
+  /** Two-dimensional clustering via a Z-ORDER curve: both columns are
+    * rank-normalized to 16 bits (min/max from one tiny stats pass —
+    * four scalars, not data) and bit-interleaved; range-partitioning on
+    * the interleaved value gives every file a compact bounding BOX in
+    * (a, b) space, so predicates on EITHER column alone skip most
+    * files — the property one-column sorting cannot give to the second
+    * column. The interleave is a pure column expression (shift/and/or
+    * folds), fully codegen'd, never a UDF. */
+  def writeZOrdered(df: DataFrame, path: String, keyA: String,
+      keyB: String, files: Int): Unit = {
+    val stats = df.agg(
+      min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
+      min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).head()
+    val (aLo, aHi) = (stats.getDouble(0), stats.getDouble(1))
+    val (bLo, bHi) = (stats.getDouble(2), stats.getDouble(3))
+    def norm16(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(65535L), floor(
+        (c.cast("double") - lit(lo)) / lit(hi - lo) * lit(65536.0))
+        .cast("long"))
+    val na = norm16(col(keyA), aLo, aHi)
+    val nb = norm16(col(keyB), bLo, bHi)
+    val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(na, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(nb, i).bitwiseAND(lit(1L)),
+          2 * i + 1))
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Bucketed table pair for co-located joins (the cluster-scale answer

@@ -33,6 +33,66 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("writeClustered: every output file holds a disjoint key range " +
+      "(file-level min/max skipping by layout)") {
+    val p = s"${tmpDir()}/events_clustered"
+    val ev = Tables.load(spark, sfDir, "events")
+    Sources.writeClustered(ev, p, "value", files = 8)
+    val ranges = spark.read.parquet(p).inputFiles.toSeq.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("value")), max(col("value"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }.sortBy(_._1)
+    assert(ranges.size >= 4, s"expected several files, got $ranges")
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(lo2 >= hi1,
+          s"file ranges overlap: $ranges — clustering broken")
+      case _ =>
+    }
+    // totals survive the relayout
+    assert(spark.read.parquet(p).count() == ev.count())
+  }
+
+  test("writeZOrdered: per-file bounding boxes are compact in BOTH " +
+      "dimensions, so either column's predicate can skip files") {
+    val p = s"${tmpDir()}/events_zorder"
+    val ev = Tables.load(spark, sfDir, "events")
+    Sources.writeZOrdered(ev, p, "value", "user_id", files = 16)
+    val g = ev.agg(
+      min(col("value")).cast("double"), max(col("value")).cast("double"),
+      min(col("user_id")).cast("double"),
+      max(col("user_id")).cast("double")).head()
+    val (vw, uw) = (g.getDouble(1) - g.getDouble(0),
+      g.getDouble(3) - g.getDouble(2))
+    // per-file bounding boxes in NORMALIZED (0..1) coordinates
+    val boxes = spark.read.parquet(p).inputFiles.toSeq.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min(col("value")).cast("double"), max(col("value")).cast("double"),
+        min(col("user_id")).cast("double"),
+        max(col("user_id")).cast("double")).head()
+      ((r.getDouble(0) - g.getDouble(0)) / vw,
+        (r.getDouble(1) - g.getDouble(0)) / vw,
+        (r.getDouble(2) - g.getDouble(2)) / uw,
+        (r.getDouble(3) - g.getDouble(2)) / uw)
+    }
+    assert(boxes.size >= 8, s"expected many files, got ${boxes.size}")
+    val avgArea = boxes.map { case (aLo, aHi, bLo, bHi) =>
+      (aHi - aLo) * (bHi - bLo) }.sum / boxes.size
+    // one-column sorting gives area ~= width_a * 1.0; the curve must do
+    // far better on the PRODUCT
+    assert(avgArea < 0.3,
+      s"z-order boxes not compact: avg area fraction $avgArea, $boxes")
+    // a central 10%-band predicate on EITHER dimension must be able to
+    // skip at least half the files on min/max alone
+    val aHits = boxes.count { case (lo, hi, _, _) => hi >= 0.45 && lo <= 0.55 }
+    val bHits = boxes.count { case (_, _, lo, hi) => hi >= 0.45 && lo <= 0.55 }
+    assert(aHits <= boxes.size / 2,
+      s"value-band predicate hits $aHits of ${boxes.size} files")
+    assert(bHits <= boxes.size / 2,
+      s"user-band predicate hits $bHits of ${boxes.size} files")
+  }
+
   test("partitioned write enables partition pruning on read") {
     val p = s"${tmpDir()}/events_part"
     val ev = Tables.load(spark, sfDir, "events")
