@@ -158,6 +158,30 @@ object SnapshotTable {
   def read(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root, currentVersion(spark, root))
 
+  /** MERGE-style upsert: rows of `updates` replace current rows with the
+    * same `key` (matched => updated) or append (not matched =>
+    * inserted), committed as a NEW snapshot — copy-on-write merge, the
+    * plain-parquet form of MERGE INTO. One left-anti join (current rows
+    * not being replaced) + one union; both sides keyed, no driver state.
+    * The superseded snapshot stays readable (time travel) until expiry.
+    * Concurrent merges serialize through the commit claim; the loser's
+    * snapshot simply wins the later version — last-writer-wins at
+    * SNAPSHOT granularity, which is exactly Iceberg's semantics without
+    * a row-conflict detector. */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+      key: String): Long = {
+    val current = read(spark, root)
+    val kept = current.join(
+      updates.select(updates(key)).distinct(), Seq(key), "left_anti")
+    commit(spark, root, kept.unionByName(updates))
+  }
+
+  /** Copy-on-write DELETE WHERE: commit a new snapshot without the
+    * matching rows. Returns the new version. */
+  def deleteWhere(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column): Long =
+    commit(spark, root, read(spark, root).filter(!condition))
+
   /** Incremental read: the row-level delta between two committed
     * snapshots, tagged `inserted` / `deleted` (a modified row appears
     * as one of each — plain-parquet snapshots carry no row identity, so

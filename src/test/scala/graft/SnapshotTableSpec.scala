@@ -90,6 +90,33 @@ class SnapshotTableSpec extends SparkSpec {
     assert((v1 -- deleted ++ inserted) == names.filter(_._2 >= 2).keySet)
   }
 
+  test("merge upserts by key into a new snapshot; deleteWhere removes " +
+      "rows; history stays readable") {
+    val root = tmpRoot()
+    val nation = Tables.load(spark, sfDir, "nation")
+    SnapshotTable.commit(spark, root, nation)
+    // update one row (new name for key 0) and insert a new key 99
+    val updates = Seq((0, "NATION_0_RENAMED", 0), (99, "NATION_99", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .select(nation.schema.map(f => col(f.name).cast(f.dataType)): _*)
+    val v2 = SnapshotTable.merge(spark, root, updates, "n_nationkey")
+    assert(v2 == 2L)
+    val after = SnapshotTable.read(spark, root)
+    assert(after.count() == nation.count() + 1, "one insert, one update")
+    val names = after.filter(col("n_nationkey").isin(0, 99))
+      .select("n_name").as[String].collect().toSet
+    assert(names == Set("NATION_0_RENAMED", "NATION_99"))
+    // history: v1 still has the original row
+    assert(SnapshotTable.readVersion(spark, root, 1L)
+      .filter(col("n_nationkey") === 0)
+      .select("n_name").as[String].head() == "NATION_0")
+    // delete the inserted row again
+    val v3 = SnapshotTable.deleteWhere(spark, root,
+      col("n_nationkey") === 99)
+    assert(v3 == 3L)
+    assert(SnapshotTable.read(spark, root).count() == nation.count())
+  }
+
   test("expireSnapshots drops only the oldest, never the current") {
     val root = tmpRoot()
     val nation = Tables.load(spark, sfDir, "nation")
