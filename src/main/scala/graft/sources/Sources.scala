@@ -337,6 +337,24 @@ object Sources {
       registerViews(s, dir)
       s.sql(q2Sql)
     }),
+    // Layout ops under the oracle: round-trip events through the
+    // clustered rewrite, then aggregate a value band FROM THE CLUSTERED
+    // COPY. The oracle computes the same aggregate from the original
+    // table — matching hashes prove the relayout is value-preserving
+    // (clustering must change WHERE rows sit, never WHAT they are).
+    "layout_clustered_band" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-clu-q")
+        .toString + "/events_by_value"
+      writeClustered(graft.Tables.load(s, dir, "events"), root,
+        "value", files = 8)
+      s.read.parquet(root)
+        .filter(col("value") >= 25.0 && col("value") < 75.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy(asc("event_type"))
+    }),
     // Snapshot-table surface under the oracle: commit the orders table
     // as v1 and a filtered snapshot as v2 into a fresh SnapshotTable,
     // then report per-version status counts READ BACK THROUGH the
@@ -445,6 +463,13 @@ object Sources {
         |ORDER BY n_name, t.c_acctbal DESC, t.c_name""".stripMargin,
     "q21_waiting_suppliers" -> q21Sql,
     "q2_min_cost_supplier" -> q2Sql,
+    "layout_clustered_band" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE value >= 25.0 AND value < 75.0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "snapshot_time_travel" ->
       """SELECT version, o_orderstatus, n FROM (
         |  SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
