@@ -389,4 +389,34 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"diff for corpus of ${rows.size} docs")
     }
   }
+
+  test("∀ tables+updates: snapshot merge ≡ scala map upsert, and " +
+      "diff(pre, post) recovers exactly the net change") {
+    import graft.sources.SnapshotTable
+    val tableGen: Gen[List[(Long, String)]] = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0L, 30L)
+      v <- Gen.oneOf("a", "b", "c", "d")
+    } yield (k, v))
+    samples(tableGen.flatMap(base => tableGen.map(upd => (base, upd))), 4)
+      .foreach { case (baseRows, updRows) =>
+        // one row per key on both sides (merge semantics are keyed)
+        val base = baseRows.toMap.toSeq
+        val upd = updRows.toMap.toSeq
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-snap-prop").toString + "/t"
+        SnapshotTable.commit(spark, root, base.toDF("k", "v"))
+        SnapshotTable.merge(spark, root, upd.toDF("k", "v"), "k")
+        val got = SnapshotTable.read(spark, root)
+          .as[(Long, String)].collect().toMap
+        val want = base.toMap ++ upd.toMap // map upsert IS the spec
+        assert(got == want, s"merge mismatch: $got vs $want")
+        // the diff between the versions must be exactly the net change
+        val d = SnapshotTable.diff(spark, root, 1L, 2L)
+          .as[(Long, String, String)].collect()
+        val inserted = d.filter(_._3 == "inserted").map(r => r._1 -> r._2)
+        val deleted = d.filter(_._3 == "deleted").map(r => r._1 -> r._2)
+        assert(inserted.toMap == (want.toSet -- base.toMap.toSet).toMap)
+        assert(deleted.toMap == (base.toMap.toSet -- want.toSet).toMap)
+      }
+  }
 }
