@@ -422,11 +422,14 @@ object Dedup {
     * q-gram prefix filtering — the deterministic-recall sibling of
     * [[lshCandidatePairs]]:
     *
-    *  1. per doc: DISTINCT char-3-gram hashes of the 40-char prefix
-    *     (hashes, never gram strings, travel through the plan);
+    *  1. per doc: DISTINCT char-q-gram hashes (q = [[levGramSize]]) of
+    *     the 40-char prefix (hashes, never gram strings, travel through
+    *     the plan);
     *  2. one global document-frequency pass over the grams — candidates
-    *     are minimized by probing RAREST grams first (AllPairs order),
-    *     and the df table is bounded by charset^q, so it broadcasts;
+    *     are minimized by probing RAREST grams first (AllPairs order).
+    *     The df table grows with the corpus's distinct grams, so the
+    *     df lookup stays a KEYED SHUFFLE join (a forced broadcast here
+    *     would collect a corpus-sized table to the driver at scale);
     *  3. per doc: sort grams by (df, gram) — one global total order —
     *     and keep the first k*q+1 as the doc's prefix;
     *  4. inverted-index self-join on (prefix gram, lang, source).
@@ -463,7 +466,7 @@ object Dedup {
     val prefix = gs
       .select(col("doc_id"), col("lang"), col("source"),
         explode(col("gs")).as("g"))
-      .join(broadcast(gramDf), Seq("g"))
+      .join(gramDf, Seq("g"))
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(expr("slice(transform(array_sort(collect_list(struct(df, g)))" +
         s", p -> p.g), 1, $prefixGrams) AS pg"))

@@ -124,7 +124,8 @@ object SnapshotTable {
       attempt += 1
     }
     f.delete(staging, true)
-    throw CommitConflict(s"lost the version claim $maxRetries times at $root")
+    throw CommitConflict(
+      s"lost the version claim ${maxRetries + 1} times at $root")
   }
 
   /** The arbiter: exclusive-create of `_commits/N.claim`. Local paths
@@ -149,10 +150,20 @@ object SnapshotTable {
     }
 
   /** The commit record — its existence IS the commit. Uncontended: only
-    * the holder of `N.claim` ever writes `N`. */
-  private def publish(f: FileSystem, root: String, v: Long): Unit =
+    * the holder of `N.claim` ever writes `N`. Re-verifies the claim
+    * first: if a concurrent `vacuum` reaped it (this committer was
+    * paused past the vacuum age floor), the commit ABORTS — its data
+    * dir is already gone or doomed, and publishing anyway would mint a
+    * committed version with no data. */
+  private def publish(f: FileSystem, root: String, v: Long): Unit = {
+    if (!f.exists(new Path(commitsDir(root), s"$v.claim"))) {
+      f.delete(versionDir(root, v), true)
+      throw CommitConflict(
+        s"claim $v was vacuumed mid-commit at $root — aborting")
+    }
     require(atomicCreate(f, new Path(commitsDir(root), v.toString)),
       s"commit record $v already exists — claim protocol violated")
+  }
 
   /** Read the current snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =
@@ -170,6 +181,10 @@ object SnapshotTable {
     * a row-conflict detector. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
       key: String): Long = {
+    // bootstrap: merging into an empty table is all-inserts — commit
+    // the updates as v1 instead of failing the current-version read
+    if (currentVersion(spark, root) == 0L)
+      return commit(spark, root, updates)
     val current = read(spark, root)
     val kept = current.join(
       updates.select(updates(key)).distinct(), Seq(key), "left_anti")
@@ -230,32 +245,44 @@ object SnapshotTable {
 
   /** Remove crashed-commit leftovers: orphan data directories, orphan
     * claim files (claimed but never published), and stale staging dirs.
-    * None is reachable by readers; run it as MAINTENANCE (a committer
-    * between claim and publish looks identical to a crash, so vacuum
-    * while commits are in flight can abort them — never corrupt data).
+    * None is reachable by readers. `minAgeMs` is the safety floor
+    * against IN-FLIGHT commits (a committer between claim and publish
+    * looks identical to a crash): only leftovers older than it are
+    * reaped — the same retention contract a table format's VACUUM has.
+    * A committer paused longer than `minAgeMs` loses its commit, and
+    * loses it CLEANLY: publish re-verifies the claim and aborts rather
+    * than minting a committed version whose data was reaped. Claims are
+    * deleted BEFORE their data dirs so the abort always fires first.
     * Returns the paths removed. */
-  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+  def vacuum(spark: SparkSession, root: String,
+      minAgeMs: Long = 10 * 60 * 1000L): Seq[String] = {
     val f = fs(spark, root)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) return Seq.empty
     val committed = versions(spark, root).toSet
-    val orphanData = f.listStatus(rootPath).toSeq.map(_.getPath).filter { p =>
-      val n = p.getName
-      n.startsWith("v.staging-") ||
-        (n.startsWith("v=") && n.stripPrefix("v=").forall(_.isDigit) &&
-          !committed(n.stripPrefix("v=").toLong))
-    }
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(p: Path): Boolean =
+      try f.getFileStatus(p).getModificationTime <= cutoff
+      catch { case _: java.io.IOException => false }
     val cd = commitsDir(root)
+    // claims first: once a claim is gone, the owning committer's publish
+    // aborts, making its data dir safe to reap now or on a later pass
     val orphanClaims =
       if (!f.exists(cd)) Seq.empty
       else f.listStatus(cd).toSeq.map(_.getPath).filter { p =>
         val n = p.getName
-        (n.endsWith(".claim") &&
+        n.endsWith(".claim") &&
           n.stripSuffix(".claim").forall(_.isDigit) &&
-          !committed(n.stripSuffix(".claim").toLong))
+          !committed(n.stripSuffix(".claim").toLong) && oldEnough(p)
       }
-    val doomed = orphanData ++ orphanClaims
-    doomed.foreach(f.delete(_, true))
-    doomed.map(_.toString)
+    orphanClaims.foreach(f.delete(_, false))
+    val orphanData = f.listStatus(rootPath).toSeq.map(_.getPath).filter { p =>
+      val n = p.getName
+      (n.startsWith("v.staging-") ||
+        (n.startsWith("v=") && n.stripPrefix("v=").forall(_.isDigit) &&
+          !committed(n.stripPrefix("v=").toLong))) && oldEnough(p)
+    }
+    orphanData.foreach(f.delete(_, true))
+    (orphanClaims ++ orphanData).map(_.toString)
   }
 }

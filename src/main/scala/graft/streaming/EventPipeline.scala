@@ -200,7 +200,13 @@ object EventPipeline {
     * and compute shard across executors like every other keyed op. */
   def streamIntervalJoin(causes: DataFrame, effects: DataFrame,
       horizon: String = "1 hour",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes"): DataFrame =
+    intervalJoin(causes, effects, horizon, watermark, "inner")
+
+  /** Shared core of the interval-join pair — one place owns the
+    * watermark/condition shape both variants' state eviction relies on. */
+  private def intervalJoin(causes: DataFrame, effects: DataFrame,
+      horizon: String, watermark: String, joinType: String): DataFrame = {
     val c = causes.select(col("actor_id").as("cause_actor"),
         col("created_at").as("cause_ts"), col("event_id").as("cause_id"))
       .withWatermark("cause_ts", watermark)
@@ -210,7 +216,8 @@ object EventPipeline {
     e.join(c,
         col("cause_actor") === col("effect_actor") &&
           col("cause_ts") <= col("effect_ts") &&
-          col("cause_ts") >= col("effect_ts") - expr(s"INTERVAL $horizon"))
+          col("cause_ts") >= col("effect_ts") - expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("effect_id"), col("effect_actor").as("actor_id"),
         col("effect_ts"), col("cause_id"), col("cause_ts"))
   }
@@ -226,21 +233,8 @@ object EventPipeline {
     * the state store still evicts exactly like the inner join. */
   def streamIntervalJoinLeftOuter(causes: DataFrame, effects: DataFrame,
       horizon: String = "1 hour",
-      watermark: String = "10 minutes"): DataFrame = {
-    val c = causes.select(col("actor_id").as("cause_actor"),
-        col("created_at").as("cause_ts"), col("event_id").as("cause_id"))
-      .withWatermark("cause_ts", watermark)
-    val e = effects.select(col("actor_id").as("effect_actor"),
-        col("created_at").as("effect_ts"), col("event_id").as("effect_id"))
-      .withWatermark("effect_ts", watermark)
-    e.join(c,
-        col("cause_actor") === col("effect_actor") &&
-          col("cause_ts") <= col("effect_ts") &&
-          col("cause_ts") >= col("effect_ts") - expr(s"INTERVAL $horizon"),
-        "leftOuter")
-      .select(col("effect_id"), col("effect_actor").as("actor_id"),
-        col("effect_ts"), col("cause_id"), col("cause_ts"))
-  }
+      watermark: String = "10 minutes"): DataFrame =
+    intervalJoin(causes, effects, horizon, watermark, "leftOuter")
 
   /** foreachBatch UPSERT sink — the production pattern for sinks whose
     * semantics the built-in writers can't express (merge/dedup/multi-

@@ -36,8 +36,11 @@ object TimerSessions {
       session = getHandle.getValueState[SessionState]("session",
         Encoders.product[SessionState], TTLConfig.NONE)
 
+    // CEILING to ms: flooring would let the timer fire up to ~2 ms
+    // before last_ts + gap, wrongly closing a session that an in-gap
+    // (non-late) event could still extend
     private def timerMsFor(st: SessionState): Long =
-      st.lastUs / 1000L + gapUs / 1000L
+      (st.lastUs + gapUs + 999L) / 1000L
 
     override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
         timers: TimerValues): Iterator[ClosedSession] = {

@@ -392,11 +392,26 @@ class RelationalSpec extends SparkSpec {
     val rows = Relational.queries("q11_important_stock")(spark, sfDir)
       .collect()
     assert(rows.nonEmpty)
-    // values must strictly exceed 0.1% of the exact total
-    val total = rows.map(_.getAs[Double]("value")).sum
-    assert(rows.forall(_.getAs[Double]("value") > 0.0))
-    // the output is a suffix-free top set: sorted desc, every kept value
-    // above the cutoff implied by the smallest kept value being > 0.001x
+    // independent reconstruction: per-part decimal-exact values over the
+    // region-0 suppliers, cutoff = 0.001 * the exact base total
+    val region0 = Tables.load(spark, sfDir, "supplier")
+      .join(Tables.load(spark, sfDir, "nation")
+          .filter(col("n_regionkey") === 0),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val base = Tables.load(spark, sfDir, "lineitem")
+      .join(region0, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          col("l_quantity").cast("decimal(12,2)")).as("iv"))
+    val perPart = base.groupBy("l_partkey")
+      .agg(sum(col("iv")).cast("double").as("v")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cutoff =
+      0.001 * base.agg(sum(col("iv")).cast("double")).head().getDouble(0)
+    val expected = perPart.filter(_._2 > cutoff).keySet
+    assert(rows.map(_.getAs[Long]("l_partkey")).toSet == expected,
+      "threshold membership diverged from the reconstruction")
     val values = rows.map(_.getAs[Double]("value"))
     assert(values.sameElements(values.sortBy(-(_: Double))))
   }

@@ -149,7 +149,9 @@ class SnapshotTableSpec extends SparkSpec {
     val v = SnapshotTable.commit(spark, root, nation.limit(2))
     assert(v == 3L)
     assert(SnapshotTable.read(spark, root).count() == 2)
-    val removed = SnapshotTable.vacuum(spark, root)
+    // minAgeMs = 0: the default 10-minute floor exists to protect
+    // in-flight commits, which this test does not have
+    val removed = SnapshotTable.vacuum(spark, root, minAgeMs = 0L)
     assert(removed.exists(_.endsWith("v=2")))
     assert(SnapshotTable.versions(spark, root) == Seq(1L, 3L))
     assert(SnapshotTable.readVersion(spark, root, 3L).count() == 2)
