@@ -732,4 +732,34 @@ object Dedup {
          |SELECT doc_id FROM new_b
          |WHERE doc_id NOT IN (SELECT doc_id FROM matched)
          |ORDER BY doc_id""".stripMargin)
+
+  /** Probability that banded MinHash-LSH with `bands`×`rows` emits a
+    * pair of true Jaccard similarity `s` as a candidate — the S-curve
+    * 1-(1-s^r)^b. Pure; the analytical backbone for parameter choice. */
+  def lshCandidateProb(bands: Int, rows: Int, s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** Choose (bands, rowsPerBand) for an `nHashes`-permutation signature
+    * targeting Jaccard `threshold`: minimizes the integrated S-curve
+    * error vs the ideal step, with false NEGATIVES weighted `fnWeight`×
+    * false positives. The asymmetry is the operational reality of a
+    * dedup pipeline: a false positive costs one exact-Jaccard verify
+    * (cheap, bounded), a false negative is a missed duplicate nothing
+    * downstream can recover — so production configs lean recall
+    * (fnWeight > 1 pushes the curve's crossing point BELOW the
+    * threshold, exactly like the shipped 8×4-at-0.8 configuration). */
+  def lshTune(nHashes: Int, threshold: Double,
+      fnWeight: Double = 1.0): (Int, Int) = {
+    require(nHashes >= 2 && threshold > 0 && threshold < 1)
+    val grid = 200
+    (1 to nHashes).filter(nHashes % _ == 0).map { r =>
+      val b = nHashes / r
+      val err = (0 until grid).map { i =>
+        val s = (i + 0.5) / grid
+        val p = lshCandidateProb(b, r, s)
+        if (s < threshold) p else fnWeight * (1.0 - p)
+      }.sum / grid
+      (err, b, r)
+    }.minBy(_._1) match { case (_, b, r) => (b, r) }
+  }
 }

@@ -874,6 +874,24 @@ object Relational {
         .orderBy(asc("ship_class"))
     }),
 
+    // ANSI error-handling battery: try_cast / try_divide return NULL
+    // where strict ANSI evaluation would raise (malformed cast, divide
+    // by zero) — the semantics that let a 100 TB batch job survive one
+    // bad row instead of dying at hour three. Pinned against DuckDB's
+    // TRY_CAST / CASE-guarded division: agreeing on the NULLs is the
+    // point.
+    "scalar_try_battery" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          expr("try_cast(o_orderpriority AS INT)").as("pri_int"),
+          expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)")
+            .as("pri_digit"),
+          expr("try_divide(CAST(o_totalprice AS DOUBLE), " +
+            "o_orderkey % 3)").as("safe_div"))
+        .orderBy(asc("o_orderkey"))
+    }),
+
     // Null-semantics battery: coalesce / nullif / null-safe equality
     // (<=>) / CASE with null arms / NULLS FIRST ordering — the scalar
     // corner where engines actually disagree, pinned against the
@@ -1439,6 +1457,16 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY ship_class
         |ORDER BY ship_class""".stripMargin,
+    "scalar_try_battery" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(o_orderpriority AS INTEGER) AS pri_int,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER)
+        |    AS pri_digit,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |       ELSE CAST(o_totalprice AS DOUBLE) / (o_orderkey % 3)
+        |  END AS safe_div
+        |FROM orders WHERE o_orderkey < 300
+        |ORDER BY o_orderkey""".stripMargin,
     "null_semantics_battery" ->
       """SELECT o_orderkey, status_n,
         |  coalesce(status_n, 'open') AS status_filled,

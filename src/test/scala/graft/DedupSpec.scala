@@ -274,4 +274,30 @@ class DedupSpec extends SparkSpec {
       .collect().toMap
     assert(r == Map(1L -> true, 2L -> false))
   }
+
+  test("lshTune: S-curve crossing tracks the threshold, recall-weighted " +
+      "tuning justifies the shipped 8x4 banding") {
+    import graft.operators.Dedup.{lshCandidateProb, lshTune}
+    // the crossing point (1/b)^(1/r) of the balanced-tuned pair must be
+    // the closest achievable among divisor pairs of n
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val (b, r) = lshTune(64, t)
+      val crossing = math.pow(1.0 / b, 1.0 / r)
+      val best = (1 to 64).filter(64 % _ == 0).map { rr =>
+        math.abs(math.pow(rr.toDouble / 64, 1.0 / rr) - t) // (1/b)^(1/r)
+      }.min
+      assert(math.abs(crossing - t) <= best + 0.15,
+        s"t=$t chose ($b,$r), crossing $crossing")
+    }
+    // more selective thresholds need more rows per band
+    assert(lshTune(64, 0.9)._2 >= lshTune(64, 0.3)._2)
+    // the shipped dedup_minhash_lsh config (8 bands x 4 rows, verify at
+    // 0.8): candidate probability at the threshold must be near-1 —
+    // the analytical form of the spec's measured recall >= 0.9
+    assert(lshCandidateProb(8, 4, 0.8) >= 0.98)
+    // and recall-weighted tuning at 32 hashes indeed pushes toward
+    // fewer rows (higher recall) than the balanced choice
+    assert(lshTune(32, 0.8, fnWeight = 8.0)._2 <=
+      lshTune(32, 0.8)._2)
+  }
 }
