@@ -197,6 +197,43 @@ object SnapshotTable {
       condition: org.apache.spark.sql.Column): Long =
     commit(spark, root, read(spark, root).filter(!condition))
 
+  /** Atomic compaction: rewrite the CURRENT snapshot's data into
+    * ~`targetBytes` files and commit the rewrite as a NEW version — the
+    * snapshot-isolated upgrade of `Sources.compactPartitioned`, whose
+    * in-place delete+rename swap is documented as unsafe for concurrent
+    * readers. Here readers of the old version are untouched (their
+    * directory is immutable) and the swap is the commit-log append.
+    * Returns (files before, files after, new version). Rows are
+    * REPARTITIONED (hash, not coalesce) so skewed inputs still compact
+    * in parallel; bytes/row estimated from the current version's
+    * listing. */
+  def compact(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Long, Long, Long) = {
+    val f = fs(spark, root)
+    val v = currentVersion(spark, root)
+    val dir = versionDir(root, v)
+    def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = f.listFiles(p, true)
+      val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")) buf += st
+      }
+      buf.result()
+    }
+    val before = dataFiles(dir)
+    val df = readVersion(spark, root, v)
+    val rows = df.count()
+    if (rows == 0) return (before.size.toLong, before.size.toLong, v)
+    val bytesPerRow = math.max(1L, before.map(_.getLen).sum / rows)
+    val nFiles = math.max(1L,
+      (rows * bytesPerRow + targetBytes - 1) / targetBytes).toInt
+    val newV = commit(spark, root, df.repartition(nFiles))
+    (before.size.toLong, dataFiles(versionDir(root, newV)).size.toLong,
+      newV)
+  }
+
   /** Incremental read: the row-level delta between two committed
     * snapshots, tagged `inserted` / `deleted` (a modified row appears
     * as one of each — plain-parquet snapshots carry no row identity, so

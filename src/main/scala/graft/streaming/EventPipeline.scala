@@ -79,6 +79,32 @@ object EventPipeline {
       .withColumn("event", from_json(col("raw_json"), inputSchema))
       .filter(col("event").isNotNull && col("event.id").isNotNull)
 
+  /** Quarantine variant of [[parse]]: instead of silently DROPPING
+    * malformed rows, split the feed into (parsed, quarantined). The
+    * quarantine side keeps the raw line plus a reason — at ingest scale,
+    * "0.3 % of rows failed to parse and here they are" is an operable
+    * signal, while a silent drop is a data-loss bug nobody can audit.
+    * Both frames come from ONE pass over the source (the split is two
+    * filters over the same parsed projection; Spark schedules them as
+    * two consumers of the shared scan, or the caller persists the parsed
+    * frame when the source does not re-read cheaply). */
+  def parseWithQuarantine(raw: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = raw.select(col("value").cast("string").as("raw_json"))
+      .withColumn("event", from_json(col("raw_json"), inputSchema))
+    val good = parsed.filter(col("event").isNotNull &&
+      col("event.id").isNotNull)
+    // from_json is PERMISSIVE (all-null struct for bad JSON, not a null
+    // struct), so malformed-vs-missing-id needs a real JSON validity
+    // probe: try_parse_json returns NULL iff the text is not JSON
+    val bad = parsed.filter(col("event").isNull ||
+        col("event.id").isNull)
+      .select(col("raw_json"),
+        when(expr("try_parse_json(raw_json)").isNull,
+          lit("malformed_json"))
+          .otherwise(lit("missing_id")).as("reason"))
+    (good, bad)
+  }
+
   /** P2–P9: flatten to the 26-column storage row
     * (`schema.py:57-95`, `event_processor.py:48-166`), including payload
     * JSONPath extracts from the raw JSON (P4), quality flags (P8), and

@@ -25,6 +25,20 @@ class EventPipelineSpec extends SparkSpec {
     assert(parsed.count() == 1)
   }
 
+  test("parseWithQuarantine splits good rows from malformed with reasons, " +
+      "losing nothing") {
+    val raw = Seq(ev("1"), "{not json", """{"no_id": true}""", ev("2"))
+      .toDF("value")
+    val (good, bad) = EventPipeline.parseWithQuarantine(raw)
+    assert(good.count() == 2)
+    val reasons = bad.select("reason").as[String].collect().sorted.toSeq
+    assert(reasons == Seq("malformed_json", "missing_id"))
+    // conservation: every input line lands on exactly one side
+    assert(good.count() + bad.count() == raw.count())
+    // quarantine keeps the raw line for replay/audit
+    assert(bad.filter(col("raw_json").contains("not json")).count() == 1)
+  }
+
   test("flatten produces the 26-column row with payload extracts (P2-P9)") {
     val flat = EventPipeline.pipeline(Seq(ev("1")).toDF("value"))
     val r = flat.collect()(0)

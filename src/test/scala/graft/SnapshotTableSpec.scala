@@ -117,6 +117,23 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == nation.count())
   }
 
+  test("compact rewrites many small files into few, as a NEW version — " +
+      "old readers untouched") {
+    val root = tmpRoot()
+    val orders = Tables.load(spark, sfDir, "orders")
+    // fragment on purpose: 16 tiny files
+    SnapshotTable.commit(spark, root, orders.repartition(16))
+    val pinned = SnapshotTable.read(spark, root)
+    val (before, after, v) = SnapshotTable.compact(spark, root)
+    assert(before == 16L, s"expected 16 input files, got $before")
+    assert(after < before, s"compaction must shrink: $before -> $after")
+    assert(v == 2L)
+    assert(SnapshotTable.read(spark, root).count() == orders.count())
+    // the reader that resolved v1 before compaction still works
+    assert(pinned.count() == orders.count())
+    assert(SnapshotTable.versions(spark, root) == Seq(1L, 2L))
+  }
+
   test("expireSnapshots drops only the oldest, never the current") {
     val root = tmpRoot()
     val nation = Tables.load(spark, sfDir, "nation")
