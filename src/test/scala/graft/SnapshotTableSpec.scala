@@ -134,6 +134,38 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root) == Seq(1L, 2L))
   }
 
+  test("materialized view: refresh materializes the rollup, isStale " +
+      "flips on source commits, history composes") {
+    import graft.sources.MaterializedView
+    val src = tmpRoot()
+    val orders = Tables.load(spark, sfDir, "orders")
+    SnapshotTable.commit(spark, src, orders)
+    val view = MaterializedView.View(src, tmpRoot(),
+      df => df.groupBy("o_orderstatus")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .orderBy("o_orderstatus"))
+    assert(MaterializedView.isStale(spark, view), "never refreshed")
+    MaterializedView.refresh(spark, view)
+    assert(!MaterializedView.isStale(spark, view))
+    val served = MaterializedView.read(spark, view)
+      .as[(String, Long)].collect().toMap
+    val expected = orders.groupBy("o_orderstatus").count()
+      .as[(String, Long)].collect().toMap
+    assert(served == expected)
+    // a source commit makes the view stale; refresh catches up
+    SnapshotTable.commit(spark, src,
+      orders.filter(col("o_orderstatus") === "F"))
+    assert(MaterializedView.isStale(spark, view))
+    MaterializedView.refresh(spark, view)
+    assert(!MaterializedView.isStale(spark, view))
+    assert(MaterializedView.read(spark, view)
+      .as[(String, Long)].collect().toMap.keySet == Set("F"))
+    // view history is a snapshot table: v1 of the rollup still readable
+    assert(SnapshotTable.readVersion(spark, view.viewRoot, 1L)
+      .as[(String, Long)].collect().toMap == expected)
+  }
+
   test("expireSnapshots drops only the oldest, never the current") {
     val root = tmpRoot()
     val nation = Tables.load(spark, sfDir, "nation")
