@@ -166,6 +166,38 @@ class SnapshotTableSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap == expected)
   }
 
+  test("incremental refresh applies the diff delta and BIT-MATCHES a " +
+      "full recompute; emptied groups drop out") {
+    import graft.sources.{MaterializedView, SnapshotTable => ST}
+    val src = tmpRoot()
+    val orders = Tables.load(spark, sfDir, "orders")
+    ST.commit(spark, src, orders)
+    val iv = MaterializedView.IncrementalView(src, tmpRoot(),
+      keys = Seq("o_orderstatus"), sumCols = Seq("o_totalprice"))
+    MaterializedView.refreshIncremental(spark, iv) // first = full
+    // source changes: drop every 'P' row (empties that group) and all
+    // odd orderkeys (shrinks the others)
+    ST.commit(spark, src, orders
+      .filter(col("o_orderstatus") =!= "P" && col("o_orderkey") % 2 === 0))
+    assert(MaterializedView.isStale(spark, iv))
+    MaterializedView.refreshIncremental(spark, iv) // delta path
+    assert(!MaterializedView.isStale(spark, iv))
+    val got = MaterializedView.read(spark, iv)
+      .select("o_orderstatus", "n", "sum_o_totalprice")
+      .as[(String, Long, java.math.BigDecimal)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // full recompute over the current source — must match EXACTLY
+    val want = ST.read(spark, src)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(20,2)"))
+          .as("sum_o_totalprice"))
+      .as[(String, Long, java.math.BigDecimal)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want, s"delta refresh diverged: $got vs $want")
+    assert(!got.contains("P"), "emptied group must drop out of the view")
+  }
+
   test("expireSnapshots drops only the oldest, never the current") {
     val root = tmpRoot()
     val nation = Tables.load(spark, sfDir, "nation")
