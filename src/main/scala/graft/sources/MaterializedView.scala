@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Materialized rollup over a [[SnapshotTable]] — the dashboard pattern
   * the reference serves by RE-RUNNING every aggregation per page load
@@ -15,10 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * comparison, no data read.
   *
   * Scale: refresh cost is the rollup query itself (typically one keyed
-  * aggregation over the source snapshot); serving cost is a scan of the
-  * (small) materialized result. The refresh-vs-reread tradeoff is the
-  * same one the reference's per-request recomputation gets wrong at any
-  * scale past a demo.
+  * aggregation over the source snapshot) — or O(changed rows) on the
+  * incremental path; serving cost is a scan of the (small)
+  * materialized result. The refresh-vs-reread tradeoff is the same one
+  * the reference's per-request recomputation gets wrong at any scale
+  * past a demo.
   */
 object MaterializedView {
 
@@ -26,27 +28,47 @@ object MaterializedView {
   final case class View(sourceRoot: String, viewRoot: String,
       transform: DataFrame => DataFrame)
 
-  private def freshnessPath(viewRoot: String) =
-    new org.apache.hadoop.fs.Path(viewRoot, "_source_version")
+  /** Freshness markers are versioned, append-only files
+    * (`_source_version.<viewV>` holding the consumed source version):
+    * exclusive-create per refresh, never rewritten — the same
+    * no-shared-mutable-pointer discipline as the commit log, so
+    * concurrent refreshes cannot interleave a delete/rename and a
+    * racing reader can never observe "no marker". The CURRENT marker is
+    * the one with the highest view version. */
+  private def markerPrefix = "_source_version."
 
   /** The source version the last refresh consumed; 0 = never refreshed. */
-  def refreshedAgainst(spark: SparkSession, v: View): Long = {
-    val f = new org.apache.hadoop.fs.Path(v.viewRoot)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = freshnessPath(v.viewRoot)
-    if (!f.exists(p)) 0L
+  def refreshedAgainst(spark: SparkSession, viewRoot: String): Long = {
+    val f = SnapshotTable.fs(spark, viewRoot)
+    val rootPath = new Path(viewRoot)
+    if (!f.exists(rootPath)) return 0L
+    val markers = f.listStatus(rootPath).toSeq.map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith(markerPrefix) &&
+          p.getName.stripPrefix(markerPrefix).forall(_.isDigit)
+      }
+    if (markers.isEmpty) 0L
     else {
-      val in = f.open(p)
+      val latest = markers.maxBy(_.getName.stripPrefix(markerPrefix).toLong)
+      val in = f.open(latest)
       try scala.io.Source.fromInputStream(in).mkString.trim.toLong
       finally in.close()
     }
+  }
+
+  private def writeFreshness(spark: SparkSession, viewRoot: String,
+      sourceV: Long, viewV: Long): Unit = {
+    val f = SnapshotTable.fs(spark, viewRoot)
+    val p = new Path(viewRoot, s"$markerPrefix$viewV")
+    val out = f.create(p, false) // one refresh per view version
+    try out.write(sourceV.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Stale iff the source has committed past the version the view last
     * consumed. Metadata-only: two tiny listings, no data read. */
   def isStale(spark: SparkSession, v: View): Boolean =
     SnapshotTable.currentVersion(spark, v.sourceRoot) >
-      refreshedAgainst(spark, v)
+      refreshedAgainst(spark, v.viewRoot)
 
   /** Recompute the rollup from the CURRENT source snapshot and commit it
     * as a new view version. Resolves the source version FIRST, so a
@@ -58,8 +80,6 @@ object MaterializedView {
     val result = v.transform(
       SnapshotTable.readVersion(spark, v.sourceRoot, sourceV))
     val viewV = SnapshotTable.commit(spark, v.viewRoot, result)
-    // last-writer-wins is correct here: refreshes of the same view are
-    // idempotent recomputations, and the freshness marker is advisory
     writeFreshness(spark, v.viewRoot, sourceV, viewV)
     viewV
   }
@@ -73,10 +93,18 @@ object MaterializedView {
   /** A view restricted to keyed COUNT + SUM aggregates — exactly the
     * class where applying a row-level delta is algebraically exact, so
     * an incremental refresh costs O(changed rows), not O(source).
-    * `sumCols` are summed as DECIMAL(20,2): decimal addition is
-    * associative/commutative (unlike float), which is what makes
-    * delta-application BIT-IDENTICAL to a full recompute — the spec
-    * asserts that equality, not an epsilon. */
+    *
+    * Two subtleties make "exact" hold to the BIT (the spec asserts
+    * equality with a full recompute, not an epsilon):
+    *  - sums are DECIMAL(20,2): decimal addition is associative and
+    *    commutative, floats are neither;
+    *  - each sum column also materializes its NON-NULL count
+    *    (`cnt_<col>`). `sum` over an all-NULL group is NULL, and
+    *    (old sum) + (delta sum) cannot distinguish "sums to zero" from
+    *    "no non-null values left" — the count can, and nulls the sum
+    *    when it hits zero. This is the standard counting trick of
+    *    incremental view maintenance, surfaced as a visible
+    *    maintenance column. */
   final case class IncrementalView(sourceRoot: String, viewRoot: String,
       keys: Seq[String], sumCols: Seq[String])
 
@@ -84,8 +112,9 @@ object MaterializedView {
     import org.apache.spark.sql.functions._
     df.groupBy(v.keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        v.sumCols.map(c =>
-          sum(col(c).cast("decimal(20,2)")).as(s"sum_$c")): _*)
+        v.sumCols.flatMap(c => Seq(
+          sum(col(c).cast("decimal(20,2)")).as(s"sum_$c"),
+          count(col(c)).as(s"cnt_$c"))): _*)
   }
 
   private def asView(v: IncrementalView): View =
@@ -101,14 +130,18 @@ object MaterializedView {
     * `SnapshotTable.diff` reports changed since the last consumed
     * source version (insertions count +1, deletions -1), join the
     * signed delta onto the materialized rollup, and commit the merged
-    * result. Falls back to a full recompute on first refresh or when
-    * the previously-consumed source version has been expired. Groups
-    * whose count reaches zero are dropped — a group the source no
-    * longer contains must not linger in the view. */
+    * result. The join is NULL-SAFE on the group keys (a NULL key is one
+    * group, and an equality join would orphan it into duplicate rows).
+    * Groups whose row count reaches zero are dropped. No-ops (view
+    * already at the source's version) return without committing.
+    * Falls back to a full recompute on first refresh or when the
+    * previously-consumed source version has been expired. */
   def refreshIncremental(spark: SparkSession, v: IncrementalView): Long = {
     import org.apache.spark.sql.functions._
     val lastV = refreshedAgainst(spark, v.viewRoot)
     val curV = SnapshotTable.currentVersion(spark, v.sourceRoot)
+    if (lastV == curV && lastV > 0)
+      return SnapshotTable.currentVersion(spark, v.viewRoot) // fresh: no-op
     val canDelta = lastV > 0 && lastV < curV &&
       SnapshotTable.versions(spark, v.sourceRoot).contains(lastV)
     if (!canDelta) return refresh(spark, asView(v))
@@ -116,39 +149,43 @@ object MaterializedView {
     val delta = SnapshotTable.diff(spark, v.sourceRoot, lastV, curV)
       .withColumn("__sign",
         when(col("change_type") === "inserted", lit(1L)).otherwise(lit(-1L)))
+    // delta keys renamed so the merge can express a null-safe condition
     val deltaAgg = delta.groupBy(v.keys.map(col): _*)
       .agg(sum(col("__sign")).as("dn"),
-        v.sumCols.map(c =>
-          sum(col(c).cast("decimal(20,2)") * col("__sign"))
-            .as(s"dsum_$c")): _*)
+        v.sumCols.flatMap(c => Seq(
+          sum(col(c).cast("decimal(20,2)") * col("__sign")).as(s"dsum_$c"),
+          sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L)))
+            .as(s"dcnt_$c"))): _*)
+      .select(v.keys.map(k => col(k).as(s"__dk_$k")) ++
+        Seq(col("dn")) ++
+        v.sumCols.flatMap(c =>
+          Seq(col(s"dsum_$c"), col(s"dcnt_$c"))): _*)
     val old = SnapshotTable.read(spark, v.viewRoot)
-    val merged = old.join(deltaAgg, v.keys, "full_outer")
-      .select((v.keys.map(col) ++ Seq(
-        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+    val cond = v.keys.map(k => old(k) <=> deltaAgg(s"__dk_$k"))
+      .reduce(_ && _)
+    val zeroDec = lit(0).cast("decimal(20,2)")
+    def mergedSum(c: String): Seq[Column] = {
+      val cnt = coalesce(col(s"cnt_$c"), lit(0L)) +
+        coalesce(col(s"dcnt_$c"), lit(0L))
+      Seq(
+        when(cnt === 0L, lit(null).cast("decimal(20,2)"))
+          .otherwise((coalesce(col(s"sum_$c"), zeroDec) +
+            coalesce(col(s"dsum_$c"), zeroDec)).cast("decimal(20,2)"))
+          .as(s"sum_$c"),
+        cnt.as(s"cnt_$c"))
+    }
+    // "no old-side row" is probed via `n` (never NULL in a view row) —
+    // probing the key would misread a legitimate NULL-key group
+    val merged = old.join(deltaAgg, cond, "full_outer")
+      .select((v.keys.map(k =>
+        when(col("n").isNull, col(s"__dk_$k"))
+          .otherwise(old(k)).as(k)) ++
+        Seq((coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
           .as("n")) ++
-        v.sumCols.map(c =>
-          (coalesce(col(s"sum_$c"), lit(0).cast("decimal(20,2)")) +
-            coalesce(col(s"dsum_$c"), lit(0).cast("decimal(20,2)")))
-            .cast("decimal(20,2)").as(s"sum_$c"))): _*)
+        v.sumCols.flatMap(mergedSum)): _*)
       .filter(col("n") > 0)
     val viewV = SnapshotTable.commit(spark, v.viewRoot, merged)
     writeFreshness(spark, v.viewRoot, curV, viewV)
     viewV
-  }
-
-  private def refreshedAgainst(spark: SparkSession, viewRoot: String)
-  : Long = refreshedAgainst(spark, View("", viewRoot, identity))
-
-  private def writeFreshness(spark: SparkSession, viewRoot: String,
-      sourceV: Long, viewV: Long): Unit = {
-    val f = new org.apache.hadoop.fs.Path(viewRoot)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(viewRoot,
-      s"_source_version.tmp-$viewV")
-    val out = f.create(tmp, true)
-    try out.write(sourceV.toString.getBytes("UTF-8")) finally out.close()
-    f.delete(freshnessPath(viewRoot), false)
-    require(f.rename(tmp, freshnessPath(viewRoot)),
-      s"freshness marker swap failed at $viewRoot")
   }
 }

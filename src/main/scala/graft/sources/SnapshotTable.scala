@@ -55,7 +55,7 @@ object SnapshotTable {
 
   final case class CommitConflict(msg: String) extends RuntimeException(msg)
 
-  private def fs(spark: SparkSession, root: String): FileSystem =
+  private[sources] def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def commitsDir(root: String) = new Path(root, "_commits")
@@ -201,16 +201,21 @@ object SnapshotTable {
     * ~`targetBytes` files and commit the rewrite as a NEW version — the
     * snapshot-isolated upgrade of `Sources.compactPartitioned`, whose
     * in-place delete+rename swap is documented as unsafe for concurrent
-    * readers. Here readers of the old version are untouched (their
-    * directory is immutable) and the swap is the commit-log append.
+    * readers. Readers of the old version are untouched (their directory
+    * is immutable); the swap is the commit-log append — and the append
+    * is CONDITIONAL: compaction is data-preserving maintenance, so if
+    * any writer committed after the snapshot being rewritten was
+    * resolved, the compaction ABORTS (CommitConflict) instead of
+    * silently publishing a latest version that lacks the writer's rows.
     * Returns (files before, files after, new version). Rows are
     * REPARTITIONED (hash, not coalesce) so skewed inputs still compact
-    * in parallel; bytes/row estimated from the current version's
-    * listing. */
+    * in parallel; the file count comes straight from the current
+    * version's listed bytes. */
   def compact(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024): (Long, Long, Long) = {
     val f = fs(spark, root)
     val v = currentVersion(spark, root)
+    if (v == 0L) return (0L, 0L, 0L) // nothing committed, nothing to do
     val dir = versionDir(root, v)
     def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
       val it = f.listFiles(p, true)
@@ -223,15 +228,43 @@ object SnapshotTable {
       buf.result()
     }
     val before = dataFiles(dir)
-    val df = readVersion(spark, root, v)
-    val rows = df.count()
-    if (rows == 0) return (before.size.toLong, before.size.toLong, v)
-    val bytesPerRow = math.max(1L, before.map(_.getLen).sum / rows)
-    val nFiles = math.max(1L,
-      (rows * bytesPerRow + targetBytes - 1) / targetBytes).toInt
-    val newV = commit(spark, root, df.repartition(nFiles))
+    val totalBytes = before.map(_.getLen).sum
+    if (totalBytes == 0) return (before.size.toLong, before.size.toLong, v)
+    val nFiles =
+      math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val newV = commitExpecting(spark, root,
+      readVersion(spark, root, v).repartition(nFiles), expectedCurrent = v)
     (before.size.toLong, dataFiles(versionDir(root, newV)).size.toLong,
       newV)
+  }
+
+  /** Conditional commit (compare-and-swap): commits `df` only as version
+    * `expectedCurrent + 1`. If any other committer claimed that version
+    * first — i.e. the table moved on from the snapshot the caller
+    * derived `df` from — the staged data is discarded and
+    * [[CommitConflict]] is thrown. This is the read-modify-write
+    * primitive: plain `commit` appends unconditionally (fine for
+    * independent snapshots), `commitExpecting` refuses to publish a
+    * derivation of stale state. */
+  private[sources] def commitExpecting(spark: SparkSession, root: String,
+      df: DataFrame, expectedCurrent: Long): Long = {
+    val f = fs(spark, root)
+    val staging = new Path(root,
+      s"v.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode("overwrite").parquet(staging.toString)
+    f.mkdirs(commitsDir(root))
+    val target = expectedCurrent + 1
+    val floor = math.max(maxLogVersion(f, root), maxDirVersion(f, root))
+    if (floor >= target || !tryClaim(f, root, target)) {
+      f.delete(staging, true)
+      throw CommitConflict(s"table at $root moved past " +
+        s"$expectedCurrent while deriving version $target")
+    }
+    require(f.rename(staging, versionDir(root, target)),
+      s"data move failed for claimed version $target at $root")
+    publish(f, root, target)
+    spark.catalog.refreshByPath(root)
+    target
   }
 
   /** Incremental read: the row-level delta between two committed

@@ -198,6 +198,65 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!got.contains("P"), "emptied group must drop out of the view")
   }
 
+  test("incremental refresh with NULL keys and NULL sums still " +
+      "bit-matches a full recompute") {
+    import graft.sources.{MaterializedView, SnapshotTable => ST}
+    val src = tmpRoot()
+    def frame(rows: Seq[(Option[String], Option[Double])]) =
+      rows.toDF("k", "x")
+        .select(col("k"), col("x"))
+    // v1: a NULL-key group, and group "b" whose only x is non-null
+    ST.commit(spark, src, frame(Seq(
+      None -> Some(1.0), None -> Some(2.0),
+      Some("a") -> Some(5.0), Some("b") -> Some(7.0),
+      Some("c") -> None)))
+    val iv = MaterializedView.IncrementalView(src, tmpRoot(),
+      keys = Seq("k"), sumCols = Seq("x"))
+    MaterializedView.refreshIncremental(spark, iv)
+    // v2: NULL-key group changes; b's only non-null x is REMOVED but a
+    // null-x row remains (sum must become NULL, not 0.00); c unchanged
+    ST.commit(spark, src, frame(Seq(
+      None -> Some(1.0),
+      Some("a") -> Some(5.0), Some("b") -> None,
+      Some("c") -> None)))
+    MaterializedView.refreshIncremental(spark, iv) // delta path
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "n", "sum_x", "cnt_x")
+        .collect().map(r => Option(r.getString(0)) ->
+          ((r.getLong(1), Option(r.getDecimal(2)), r.getLong(3)))).toMap
+    val got = snap(MaterializedView.read(spark, iv))
+    val want = snap(ST.read(spark, src).groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(20,2)")).as("sum_x"),
+        count(col("x")).as("cnt_x")))
+    assert(got == want, s"NULL handling diverged: $got vs $want")
+    assert(got(Some("b"))._2.isEmpty, "all-NULL group's sum must be NULL")
+    assert(got.contains(None), "NULL-key group must merge, not duplicate")
+    // a fresh view no-ops instead of committing a duplicate version
+    val vBefore = ST.currentVersion(spark, iv.viewRoot)
+    assert(MaterializedView.refreshIncremental(spark, iv) == vBefore)
+    assert(ST.currentVersion(spark, iv.viewRoot) == vBefore)
+  }
+
+  test("compact aborts on a concurrent commit instead of silently " +
+      "dropping it; empty table is a no-op") {
+    val root = tmpRoot()
+    assert(SnapshotTable.compact(spark, root) == ((0L, 0L, 0L)))
+    val nation = Tables.load(spark, sfDir, "nation")
+    SnapshotTable.commit(spark, root, nation)
+    // simulate a racing committer that claimed v=2 before compact's
+    // conditional commit reaches it
+    nation.limit(1).write.parquet(s"$root/v=2")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$root/_commits/2.claim"))
+    intercept[SnapshotTable.CommitConflict] {
+      SnapshotTable.compact(spark, root)
+    }
+    // the table is untouched: still v1, still all rows
+    assert(SnapshotTable.currentVersion(spark, root) == 1L)
+    assert(SnapshotTable.read(spark, root).count() == nation.count())
+  }
+
   test("expireSnapshots drops only the oldest, never the current") {
     val root = tmpRoot()
     val nation = Tables.load(spark, sfDir, "nation")
