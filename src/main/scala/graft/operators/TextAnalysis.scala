@@ -187,6 +187,28 @@ object TextAnalysis {
         .orderBy(asc("lang"))
     }),
 
+    // UNPIVOT (stack): fold the pivoted wide row back to (lang, split,
+    // n) long form — the inverse reshape, here composed directly on the
+    // pivot so the oracle proves pivot∘unpivot ≡ the plain grouped
+    // counts (zero-filled cells from the pivot are dropped on the way
+    // back: a (lang, split) the corpus lacks has no long-form row).
+    // stack() is a Generator — rows stream out per input row, nothing
+    // materializes wide.
+    "docs_split_unpivot" -> ((s, dir) => {
+      docs(s, dir)
+        .selectExpr("lang", s"$splitHash % 100 AS h")
+        .selectExpr("lang", s"$splitCase AS split")
+        .groupBy(col("lang"))
+        .pivot("split", Seq("train", "val", "test"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("train", "val", "test"))
+        .selectExpr("lang",
+          "stack(3, 'train', train, 'val', val, 'test', test) " +
+            "AS (split, n)")
+        .filter(col("n") > 0)
+        .orderBy(asc("lang"), asc("split"))
+    }),
+
     // Deterministic per-group sampling: k docs per lang in hash order —
     // the reproducible "take a sample of every stratum" primitive
     // (window over the portable hash; no rand(), so re-runs and engines
@@ -465,6 +487,12 @@ object TextAnalysis {
          |FROM (SELECT lang, $splitCase AS split
          |  FROM (SELECT lang, $splitHash % 100 AS h FROM documents))
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "docs_split_unpivot" ->
+      s"""SELECT lang, split, count(*) AS n
+         |FROM (SELECT lang, $splitCase AS split
+         |  FROM (SELECT lang, $splitHash % 100 AS h FROM documents))
+         |GROUP BY lang, split
+         |ORDER BY lang, split""".stripMargin,
     "docs_sample_per_lang" ->
       s"""SELECT lang, rk, doc_id FROM (
          |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
