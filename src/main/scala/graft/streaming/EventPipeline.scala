@@ -295,6 +295,32 @@ object EventPipeline {
         ()
       }
 
+  /** The full lakehouse loop as ONE sink: each micro-batch (1) MERGEs
+    * into a [[graft.sources.SnapshotTable]] by event_id — replay-safe
+    * upsert with snapshot isolation, the transactional MERGE target the
+    * plain-parquet `upsertSink` stands in for — and (2) incrementally
+    * refreshes a keyed [[graft.sources.MaterializedView]] rollup from
+    * the table's diff. Stream → versioned table → always-fresh
+    * materialization; per batch, view maintenance costs O(that batch's
+    * rows), not O(table). Readers meanwhile see consistent snapshots of
+    * BOTH the table and the rollup at every instant — commits are
+    * atomic on each. */
+  def snapshotMvSink(flat: DataFrame, tableRoot: String,
+      viewRoot: String, keys: Seq[String], sumCols: Seq[String],
+      checkpoint: String): DataStreamWriter[Row] =
+    flat.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        graft.sources.SnapshotTable.merge(s, tableRoot,
+          batch.dropDuplicates("event_id"), "event_id")
+        graft.sources.MaterializedView.refreshIncremental(s,
+          graft.sources.MaterializedView.IncrementalView(
+            tableRoot, viewRoot, keys, sumCols))
+        ()
+      }
+
   /** Fixture-events ingest — the same parse→flatten→quality composition
     * specialized to the fixture `events` table shape (`event_id, ts,
     * user_id, event_type, value, props`), so the streamed sink output is

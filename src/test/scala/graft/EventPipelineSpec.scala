@@ -306,6 +306,44 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lakehouse loop: stream -> snapshot-table MERGE -> incremental " +
+      "MV refresh, fresh after every batch, replay-safe") {
+    implicit val sc = spark.sqlContext
+    import graft.sources.{MaterializedView, SnapshotTable}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-loop").toString
+    val (tableRoot, viewRoot) = (s"$base/events_t", s"$base/events_mv")
+    val stream = MemoryStream[String]
+    // AvailableNow drains what exists at start then stops — so each
+    // round is its own start/drain/stop, and round 2 resumes from the
+    // SAME checkpoint (the restart path is part of what's under test)
+    def drainRound(): Unit = {
+      val q = EventPipeline.snapshotMvSink(
+        EventPipeline.pipeline(stream.toDF()),
+        tableRoot, viewRoot, keys = Seq("event_type"),
+        sumCols = Seq("actor_id"), checkpoint = s"$base/ckpt").start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    stream.addData(ev("a1"), ev("a2", typ = "IssuesEvent"),
+      ev("a2", typ = "IssuesEvent")) // in-batch duplicate
+    drainRound()
+    stream.addData(ev("a3"), ev("a2", typ = "IssuesEvent")) // replay
+    drainRound()
+    // table: replay + in-batch dup collapsed by the MERGE key
+    val table = SnapshotTable.read(spark, tableRoot)
+    assert(table.count() == 3, "merge must dedup replays")
+    // view: fresh, and equal to a full recompute over the table
+    val iv = MaterializedView.IncrementalView(tableRoot, viewRoot,
+      Seq("event_type"), Seq("actor_id"))
+    assert(!MaterializedView.isStale(spark, iv))
+    val got = MaterializedView.read(spark, iv)
+      .select("event_type", "n").as[(String, Long)].collect().toMap
+    assert(got == Map("PushEvent" -> 2L, "IssuesEvent" -> 1L), s"$got")
+    // both artifacts carry history: one table+view version per batch
+    assert(SnapshotTable.versions(spark, tableRoot).size == 2)
+    assert(SnapshotTable.versions(spark, viewRoot).size == 2)
+  }
+
   test("sessionizer runs on the RocksDB state store provider") {
     // the 100 TB state path: state lives off-heap/on-disk in RocksDB
     // instead of the in-memory HashMap provider — same results
