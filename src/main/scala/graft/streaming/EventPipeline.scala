@@ -301,10 +301,23 @@ object EventPipeline {
     * plain-parquet `upsertSink` stands in for — and (2) incrementally
     * refreshes a keyed [[graft.sources.MaterializedView]] rollup from
     * the table's diff. Stream → versioned table → always-fresh
-    * materialization; per batch, view maintenance costs O(that batch's
-    * rows), not O(table). Readers meanwhile see consistent snapshots of
-    * BOTH the table and the rollup at every instant — commits are
-    * atomic on each. */
+    * materialization.
+    *
+    * Honest cost/consistency contract:
+    *  - The VIEW AGGREGATION is incremental (delta rows only), but the
+    *    plain-parquet SnapshotTable underneath makes merge a
+    *    copy-on-write table rewrite and diff a two-snapshot scan — so
+    *    each batch still pays O(table) IO. A table format with
+    *    file-level MERGE and a changelog makes those O(batch); this
+    *    sink is the composition contract those formats slot into, not
+    *    a claim that plain parquet already has their IO profile.
+    *  - Each artifact is individually consistent at every instant
+    *    (atomic commits), but table and view are SEPARATE commits: a
+    *    reader can observe table version N+1 beside a rollup of N for
+    *    the inter-commit window (or until a crashed batch replays) —
+    *    and `MaterializedView.isStale` reports exactly that state.
+    *  - Empty batches (e.g. every row failed the quality filter) are
+    *    skipped outright: no table version, no view churn. */
   def snapshotMvSink(flat: DataFrame, tableRoot: String,
       viewRoot: String, keys: Seq[String], sumCols: Seq[String],
       checkpoint: String): DataStreamWriter[Row] =
@@ -313,11 +326,19 @@ object EventPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        graft.sources.SnapshotTable.merge(s, tableRoot,
-          batch.dropDuplicates("event_id"), "event_id")
-        graft.sources.MaterializedView.refreshIncremental(s,
-          graft.sources.MaterializedView.IncrementalView(
-            tableRoot, viewRoot, keys, sumCols))
+        // persist: the deduped batch feeds BOTH sides of the merge plan
+        // (anti-join keys + union branch); without it the upstream
+        // parse/flatten subtree evaluates twice per commit
+        val fresh = batch.dropDuplicates("event_id").persist()
+        try {
+          if (!fresh.isEmpty) {
+            graft.sources.SnapshotTable.merge(s, tableRoot, fresh,
+              "event_id")
+            graft.sources.MaterializedView.refreshIncremental(s,
+              graft.sources.MaterializedView.IncrementalView(
+                tableRoot, viewRoot, keys, sumCols))
+          }
+        } finally fresh.unpersist()
         ()
       }
 
