@@ -17,9 +17,17 @@ import org.apache.spark.sql.functions._
   * function battery.
   *
   * Scale design (100 TB):
-  *  - Dimension tables (region/nation/supplier/part/customer) are
-  *    broadcast — no shuffle of the fact table for dim joins; `broadcast()`
-  *    hints are explicit where autodetection could miss (post-join sizes).
+  *  - Broadcast hints are reserved for relations whose cardinality is
+  *    FIXED by the schema, not the scale factor: nation (25 rows),
+  *    region (5), 1-row aggregate scalars, declared inline dims. A
+  *    `broadcast()` hint is mandatory — Spark's planner obeys it at any
+  *    size — so hinting customer/part/supplier (which grow linearly
+  *    with SF; ~20 B part rows at 100 TB) is a driver OOM at scale.
+  *    Those joins carry NO hint: AQE + CBO broadcast them wherever the
+  *    post-filter size fits `autoBroadcastJoinThreshold` (every sf0.1
+  *    plan below still builds a BroadcastHashJoin) and degrade to a
+  *    shuffle join when it doesn't — the plan is size-chosen, the
+  *    semantics identical.
   *  - Fact-fact joins (lineitem⋈orders) are shuffle hash/sort-merge on the
   *    join key; at cluster scale both sides would be bucketed by orderkey
   *    to make this co-located — semantics identical.
@@ -66,7 +74,7 @@ object Relational {
     "star_revenue_by_nation" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")),
+        .join(t(s, dir, "customer"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
@@ -123,7 +131,7 @@ object Relational {
         .filter(col("total_qty") > 150.0)
       heavy
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")),
+        .join(t(s, dir, "customer"),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
@@ -137,9 +145,9 @@ object Relational {
     "q5_local_supplier_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")),
+        .join(t(s, dir, "customer"),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "supplier")),
+        .join(t(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey") &&
             col("s_nationkey") === col("c_nationkey"))
         .join(broadcast(t(s, dir, "nation")),
@@ -157,7 +165,7 @@ object Relational {
     // Broadcast dim join: revenue by part brand.
     "brand_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")),
+        .join(t(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(sum(revTerm).cast("double").as("revenue"),
@@ -397,7 +405,7 @@ object Relational {
         .agg(count(lit(1)).as("n_o"),
           sum(dec(col("o_totalprice"))).cast("double").as("spend"))
       t(s, dir, "customer")
-        .join(broadcast(oAgg), col("c_custkey") === col("o_custkey"),
+        .join(oAgg, col("c_custkey") === col("o_custkey"),
           "left_outer")
         .select(col("c_custkey"), col("c_mktsegment"),
           coalesce(col("n_o"), lit(0L)).as("n_orders_1996"),
@@ -502,7 +510,7 @@ object Relational {
         p("p_brand") === brand &&
           p("p_size").between(1, szHi) &&
           li("l_quantity").between(qLo, qHi)
-      li.join(broadcast(p),
+      li.join(p,
           li("l_partkey") === p("p_partkey") &&
             (arm("Brand#3", 5, 1, 11) || arm("Brand#15", 10, 10, 20) ||
               arm("Brand#23", 15, 20, 30)))
@@ -582,20 +590,22 @@ object Relational {
     // proper pins two nations; the fixture's 10-suppliers-at-sf0.001
     // makes that empty, so the regions stand in — same shape, denser.
     "q7_nation_volume" -> ((s, dir) => {
-      val supp = broadcast(t(s, dir, "supplier")
-        .join(t(s, dir, "nation").filter(col("n_regionkey").isin(0, 1))
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_regionkey").isin(0, 1))
             .select(col("n_nationkey").as("s_nk"),
               col("n_name").as("supp_nation"),
-              col("n_regionkey").as("s_rk")),
+              col("n_regionkey").as("s_rk"))),
           col("s_nationkey") === col("s_nk"))
-        .select(col("s_suppkey"), col("supp_nation"), col("s_rk")))
-      val cust = broadcast(t(s, dir, "customer")
-        .join(t(s, dir, "nation").filter(col("n_regionkey").isin(0, 1))
+        .select(col("s_suppkey"), col("supp_nation"), col("s_rk"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_regionkey").isin(0, 1))
             .select(col("n_nationkey").as("c_nk"),
               col("n_name").as("cust_nation"),
-              col("n_regionkey").as("c_rk")),
+              col("n_regionkey").as("c_rk"))),
           col("c_nationkey") === col("c_nk"))
-        .select(col("c_custkey"), col("cust_nation"), col("c_rk")))
+        .select(col("c_custkey"), col("cust_nation"), col("c_rk"))
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
@@ -621,7 +631,7 @@ object Relational {
                 lit("1996-01-01").cast("timestamp") &&
               col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")),
+        .join(t(s, dir, "customer"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
@@ -643,7 +653,7 @@ object Relational {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
-        .join(broadcast(t(s, dir, "part")),
+        .join(t(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
         .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", revTerm)
             .otherwise(dec(lit(0)))).cast("double") /
@@ -663,7 +673,7 @@ object Relational {
       val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
       rev.crossJoin(broadcast(mx))
         .filter(col("total_revenue") === col("max_rev"))
-        .join(broadcast(t(s, dir, "supplier")),
+        .join(t(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
         .orderBy(asc("s_suppkey"))
@@ -678,11 +688,11 @@ object Relational {
       val complained = t(s, dir, "supplier")
         .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
       t(s, dir, "lineitem")
-        .join(broadcast(complained),
+        .join(complained,
           col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .join(broadcast(t(s, dir, "part")
+        .join(t(s, dir, "part")
             .filter(col("p_brand") =!= "Brand#1" &&
-              col("p_size").isin(1, 5, 10, 15, 20, 25))),
+              col("p_size").isin(1, 5, 10, 15, 20, 25)),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -698,8 +708,8 @@ object Relational {
     // threshold membership bit-identical across engines.
     "q17_small_qty_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-            .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))),
+        .join(t(s, dir, "part")
+            .filter(col("p_brand") === "Brand#23").select(col("p_partkey")),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       val avgq = li.groupBy(col("l_partkey"))
@@ -722,9 +732,9 @@ object Relational {
       val heavy = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .join(broadcast(t(s, dir, "part")
+        .join(t(s, dir, "part")
             .filter(col("p_name").startsWith("small"))
-            .select(col("p_partkey"))),
+            .select(col("p_partkey")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
@@ -776,17 +786,17 @@ object Relational {
     // one shuffle — never two scans joined back). Both sums stay
     // decimal-exact until the final division.
     "q8_market_share" -> ((s, dir) => {
-      val supp = broadcast(t(s, dir, "supplier")
-        .join(t(s, dir, "nation")
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
             .select(col("n_nationkey").as("s_nk"),
-              col("n_name").as("supp_nation")),
+              col("n_name").as("supp_nation"))),
           col("s_nationkey") === col("s_nk"))
-        .select(col("s_suppkey"), col("supp_nation")))
-      val cust = broadcast(t(s, dir, "customer")
-        .join(t(s, dir, "nation").filter(col("n_regionkey") === 0)
-            .select(col("n_nationkey").as("c_nk")),
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_regionkey") === 0)
+            .select(col("n_nationkey").as("c_nk"))),
           col("c_nationkey") === col("c_nk"))
-        .select(col("c_custkey")))
+        .select(col("c_custkey"))
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders")
             .filter(col("o_orderdate") >=
@@ -810,11 +820,11 @@ object Relational {
       val profitTerm = revTerm -
         dec(col("p_retailprice")) * dec(col("l_quantity")) * dec(lit(0.5))
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
+        .join(t(s, dir, "part")
             .filter(col("p_name").contains("widget"))
-            .select(col("p_partkey"), col("p_retailprice"))),
+            .select(col("p_partkey"), col("p_retailprice")),
           col("l_partkey") === col("p_partkey"))
-        .join(broadcast(t(s, dir, "supplier")),
+        .join(t(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")),
           col("s_nationkey") === col("n_nationkey"))
@@ -834,11 +844,12 @@ object Relational {
     // engine-specific. lineitem value plays partsupp stock value.
     "q11_important_stock" -> ((s, dir) => {
       val base = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "supplier")
-            .join(t(s, dir, "nation").filter(col("n_regionkey") === 0)
-                .select(col("n_nationkey").as("s_nk")),
+        .join(t(s, dir, "supplier")
+            .join(broadcast(t(s, dir, "nation")
+                .filter(col("n_regionkey") === 0)
+                .select(col("n_nationkey").as("s_nk"))),
               col("s_nationkey") === col("s_nk"))
-            .select(col("s_suppkey"))),
+            .select(col("s_suppkey")),
           col("l_suppkey") === col("s_suppkey"), "left_semi")
         .select(col("l_partkey"),
           (dec(col("l_extendedprice")) * dec(col("l_quantity")))

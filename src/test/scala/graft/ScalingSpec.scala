@@ -3,7 +3,16 @@ package graft
 /** Plan-shape stability at 10× scale (see SCALING.md for the measured
   * wall-clock runs). These tests PLAN against the ScaleGen 10× fixture
   * (no execution — strategy selection is what's under test) and cancel
-  * via assume() when the fixture hasn't been generated on this box. */
+  * via assume() when the fixture hasn't been generated on this box.
+  *
+  * What gets pinned is deliberately SCALE-INVARIANT: no cartesian
+  * products, no nested-loop joins, the fact table never on a broadcast
+  * build side, join count stable. Join STRATEGY (broadcast vs shuffle)
+  * is explicitly NOT pinned across scales — broadcast of an SF-growing
+  * table is supposed to flip to a shuffle join once it outgrows the
+  * threshold; pinning "strategy identical across scales" would pin the
+  * one plan that cannot survive 100×.
+  */
 class ScalingSpec extends SparkSpec {
   private val bigDir =
     sys.env.getOrElse("GRAFT_SCALE_DIR", "/tmp/graft_sf10x")
@@ -19,8 +28,14 @@ class ScalingSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, dir)
       .queryExecution.executedPlan.toString
 
-  test("10x fixture: join strategies identical to sf0.1 — no " +
-      "broadcast->BNLJ flips, no cartesian, no new shuffle joins") {
+  /** Broadcast build sides that scan the named table's files. */
+  private def broadcastScans(plan: String): String =
+    "BroadcastExchange[\\s\\S]*?FileScan parquet [^\\n]*".r
+      .findAllIn(plan).mkString
+
+  test("10x fixture: scale-invariant plan properties hold — no " +
+      "cartesian, no nested loop, same join count, lineitem never a " +
+      "broadcast build side") {
     assume(new java.io.File(bigDir).isDirectory,
       s"$bigDir absent; generate with: runMain graft.tools.ScaleGen")
     // the round-6 TPC-H batch joins the stability set: semi/anti
@@ -29,12 +44,22 @@ class ScalingSpec extends SparkSpec {
     Seq("star_revenue_by_nation", "dedup_minhash_lsh",
       "q7_nation_volume", "q8_market_share", "q16_part_supplier_counts",
       "q17_small_qty_revenue", "q20_excess_suppliers").foreach { q =>
-      val small = joinProfile(planOf(q, baseDir))
-      val big = joinProfile(planOf(q, bigDir))
+      val smallPlan = planOf(q, baseDir)
+      val bigPlan = planOf(q, bigDir)
+      val small = joinProfile(smallPlan)
+      val big = joinProfile(bigPlan)
       assert(big("CartesianProduct") == 0,
         s"$q: cartesian product at 10x: $big")
-      assert(big == small, s"$q: strategy drift sf0.1 -> 10x: " +
-        s"$small -> $big")
+      assert(big("BroadcastNestedLoopJoin") ==
+        small("BroadcastNestedLoopJoin"),
+        s"$q: a hash join degenerated to a nested loop at 10x: " +
+          s"$small -> $big")
+      // join COUNT is a property of the query, not the data volume;
+      // the broadcast/shuffle split is allowed to move between kinds
+      assert(big.values.sum == small.values.sum,
+        s"$q: join count drifted sf0.1 -> 10x: $small -> $big")
+      assert(!broadcastScans(bigPlan).contains("lineitem"),
+        s"$q: lineitem landed on a broadcast build side at 10x")
     }
   }
 
@@ -43,23 +68,39 @@ class ScalingSpec extends SparkSpec {
       s"$bigDir absent; generate with: runMain graft.tools.ScaleGen")
     val plan = planOf("star_revenue_by_nation", bigDir)
     val p = joinProfile(plan)
-    // the three hinted dims broadcast at any scale; the fourth join
-    // (lineitem⋈orders) may legally be EITHER a shuffle join or a
-    // broadcast of orders' pruned 2-column projection (column pruning
-    // shrinks its size estimate under the threshold — and it flips to
-    // SMJ on its own once the pruned columns outgrow it). What must
-    // NEVER happen: a nested-loop/cartesian, or the 6M-row lineitem
-    // side being chosen as a broadcast build side.
-    assert(p("BroadcastHashJoin") >= 3, s"lost a hinted dim broadcast: $p")
+    // nation/region are hinted (fixed 25/5 rows — broadcast at any
+    // scale); customer and orders are size-chosen: each may legally be
+    // EITHER a broadcast (fits the threshold at this scale) or a
+    // shuffle join (outgrew it). What must NEVER happen: a
+    // nested-loop/cartesian, or the fact side being chosen as a
+    // broadcast build side.
+    assert(p("BroadcastHashJoin") >= 2, s"lost a fixed-dim broadcast: $p")
     assert(p("BroadcastHashJoin") + p("SortMergeJoin") +
       p("ShuffledHashJoin") == 4, s"expected 4 hash-based joins: $p")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), s"degenerate join: $p")
     // lineitem is the streamed side everywhere: no BroadcastExchange
     // subtree may scan the lineitem files
-    val bcScans = "BroadcastExchange[\\s\\S]*?FileScan parquet [^\\n]*".r
-      .findAllIn(plan).mkString
-    assert(!bcScans.contains("lineitem"),
+    assert(!broadcastScans(plan).contains("lineitem"),
       "lineitem landed on a broadcast build side")
+  }
+
+  test("star join broadcasts are chosen by SIZE, not forced by hint: " +
+    "with the threshold disabled only the hinted fixed dims broadcast") {
+    // a broadcast() hint is mandatory at any size — so if customer /
+    // orders were still hinted, disabling autoBroadcastJoinThreshold
+    // would change nothing. The SF-growing sides degrading to shuffle
+    // joins is the proof the planner (not a hint) picks their strategy;
+    // nation/region stay broadcast BECAUSE they are hinted fixed dims.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = joinProfile(planOf("star_revenue_by_nation", baseDir))
+      assert(p("BroadcastHashJoin") == 2,
+        s"exactly the two hinted fixed dims must broadcast: $p")
+      assert(p("SortMergeJoin") + p("ShuffledHashJoin") == 2,
+        s"customer and orders must degrade to shuffle joins: $p")
+    } finally spark.conf.set(key, prev)
   }
 }
