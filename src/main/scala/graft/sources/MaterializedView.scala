@@ -130,12 +130,24 @@ object MaterializedView {
     * `SnapshotTable.diff` reports changed since the last consumed
     * source version (insertions count +1, deletions -1), join the
     * signed delta onto the materialized rollup, and commit the merged
-    * result. The join is NULL-SAFE on the group keys (a NULL key is one
-    * group, and an equality join would orphan it into duplicate rows).
-    * Groups whose row count reaches zero are dropped. No-ops (view
-    * already at the source's version) return without committing.
-    * Falls back to a full recompute on first refresh or when the
-    * previously-consumed source version has been expired. */
+    * result. With the manifest-based snapshot log the delta READ is
+    * O(changed files) too — for an append-only source the refresh
+    * scans exactly the new batch's files, never the table (the
+    * `graft_mv_delta` observation surfaces the consumed row count so
+    * the spec can pin that property). The join is NULL-SAFE on the
+    * group keys (a NULL key is one group, and an equality join would
+    * orphan it into duplicate rows). Groups whose row count reaches
+    * zero are dropped. No-ops (view already at the source's version)
+    * return without committing. Falls back to a full recompute on
+    * first refresh or when the previously-consumed source version has
+    * been expired.
+    *
+    * Concurrency: the merged rollup is DERIVED from a specific view
+    * version, so it commits via the CAS primitive — if another refresh
+    * landed in between, applying this delta on top would double-count
+    * it; instead the loser detects the conflict and falls back to a
+    * full recompute (version-independent, safe to commit on top of
+    * anything). */
   def refreshIncremental(spark: SparkSession, v: IncrementalView): Long = {
     import org.apache.spark.sql.functions._
     val lastV = refreshedAgainst(spark, v.viewRoot)
@@ -147,6 +159,7 @@ object MaterializedView {
     if (!canDelta) return refresh(spark, asView(v))
 
     val delta = SnapshotTable.diff(spark, v.sourceRoot, lastV, curV)
+      .observe("graft_mv_delta", count(lit(1)).as("delta_rows"))
       .withColumn("__sign",
         when(col("change_type") === "inserted", lit(1L)).otherwise(lit(-1L)))
     // delta keys renamed so the merge can express a null-safe condition
@@ -184,8 +197,38 @@ object MaterializedView {
           .as("n")) ++
         v.sumCols.flatMap(mergedSum)): _*)
       .filter(col("n") > 0)
-    val viewV = SnapshotTable.commit(spark, v.viewRoot, merged)
+    val viewCur = SnapshotTable.currentVersion(spark, v.viewRoot)
+    val viewV =
+      try SnapshotTable.commitExpecting(spark, v.viewRoot, merged,
+        expectedCurrent = viewCur)
+      catch {
+        // a concurrent refresh landed first: applying OUR delta onto
+        // ITS rollup would double-count the overlap — recompute instead
+        case _: SnapshotTable.CommitConflict =>
+          return refresh(spark, asView(v))
+      }
     writeFreshness(spark, v.viewRoot, curV, viewV)
     viewV
+  }
+
+  /** Expire old VIEW versions and prune the freshness markers that
+    * referenced them (markers are append-only, one per view version —
+    * without pruning they accumulate forever). Keeps every marker of a
+    * surviving version, always including the current one. */
+  def expire(spark: SparkSession, viewRoot: String, keep: Int)
+  : Seq[Long] = {
+    val dropped = SnapshotTable.expireSnapshots(spark, viewRoot, keep)
+    val surviving = SnapshotTable.versions(spark, viewRoot).toSet
+    val f = SnapshotTable.fs(spark, viewRoot)
+    val rootPath = new Path(viewRoot)
+    if (f.exists(rootPath)) f.listStatus(rootPath).toSeq.map(_.getPath)
+      .foreach { p =>
+        val n = p.getName
+        if (n.startsWith(markerPrefix) &&
+          n.stripPrefix(markerPrefix).forall(_.isDigit) &&
+          !surviving(n.stripPrefix(markerPrefix).toLong))
+          f.delete(p, false)
+      }
+    dropped
   }
 }

@@ -1,24 +1,43 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, max => smax, min => smin}
 
 /** Versioned snapshot table over plain Parquet — the engine's answer to
   * the reference's Iceberg usage (`streaming-service/api.py:205-241`:
-  * snapshot isolation, atomic commit, time travel), re-expressed with
-  * nothing but a filesystem that has atomic rename/exclusive-create.
+  * snapshot isolation, atomic commit, time travel, and since round 7 the
+  * part the reference's TBLPROPERTIES actually buy —
+  * `write.delete.mode=merge-on-read`-class IO: commits that do NOT
+  * rewrite the table), re-expressed with nothing but a filesystem that
+  * has atomic exclusive-create.
   *
-  * Layout:
+  * Layout (round 7: a version is a MANIFEST, not a directory copy):
   * {{{
-  *   <root>/v=1/          parquet data of snapshot 1 (immutable)
-  *   <root>/v=2/          ...
-  *   <root>/_commits/1    commit record: its EXISTENCE is the commit
-  *   <root>/_commits/2    (one file per committed version, never rewritten)
+  *   <root>/_data/seg-<uuid>/part-*.parquet   immutable data segments
+  *   <root>/_manifests/1                      manifest: the FILES of v1
+  *   <root>/_commits/1                        commit record: its
+  *   <root>/_commits/1.claim                  EXISTENCE is the commit
   * }}}
+  * A manifest is a tiny text file listing the data files of that
+  * version (with optional per-file min/max stats of one cluster key).
+  * Data files are written once and never moved or modified; versions
+  * SHARE them. The consequences are exactly the ones a table format is
+  * for:
+  *  - an append commit adds files — no existing file is read, copied
+  *    or touched (spec-asserted on path+mtime identity);
+  *  - MERGE rewrites only the files whose key range intersects the
+  *    update keys (manifest stats pruning) — the rest carry over by
+  *    reference;
+  *  - `diff` of two versions reads only the files ADDED/REMOVED
+  *    between them, O(delta) for append-only history, never O(table);
+  *  - time travel is reading an old manifest's files, which are still
+  *    exactly the bytes they were.
   *
   * Commit protocol (per committer):
-  *  1. stage data into `v.staging-<uuid>` — invisible to everyone.
-  *  2. claim a version: N = max(claimed, committed, on-disk dir) + 1;
+  *  1. stage a new segment `_data/seg-<uuid>` — invisible to everyone
+  *     (no manifest references it).
+  *  2. claim a version: N = max(claimed, committed, manifested) + 1;
   *     EXCLUSIVE-create `_commits/N.claim`. The primitive is O_EXCL
   *     (`Files.createFile`) on local filesystems and namenode-atomic
   *     `create(overwrite=false)` on HDFS — exactly one racing committer
@@ -28,39 +47,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     existing directory can move it inside (the FileSystem contract) —
   *     both make every racer think it won. (Both were observed as test
   *     flakes before the claim moved to exclusive-create.)
-  *  3. move data: `rename(staging, v=N)` — uncontended by construction
-  *     (only the claim holder ever targets N).
-  *  4. publish: create `_commits/N`. The commit log is append-only, one
-  *     immutable file per version — there is NO shared mutable pointer,
-  *     so no interleaving of writers can lose an update (the round-trip
-  *     that a single rewritten pointer file cannot survive: slower
-  *     committer A overwriting faster B's pointer).
+  *  3. write `_manifests/N` — uncontended by construction (only the
+  *     claim holder ever targets N). From this moment the segment is
+  *     visible to vacuum as referenced.
+  *  4. verify every referenced file still exists (a paused committer
+  *     may have had its staging reaped), then publish: create
+  *     `_commits/N`. The commit log is append-only, one immutable file
+  *     per version — there is NO shared mutable pointer, so no
+  *     interleaving of writers can lose an update.
   *
   * Why this shape scales / is safe:
-  *  - Snapshots are immutable directories: a commit never touches data a
-  *    reader might be scanning. A reader that resolved version N keeps
-  *    scanning `v=N` regardless of later commits — snapshot isolation by
-  *    immutability, no locks.
-  *  - A crash between claim and publish leaves an orphan `v=N` directory
-  *    with no commit record: invisible to readers, skipped (not
-  *    resurrected) by later committers, reclaimable by `vacuum`.
-  *  - All protocol steps are O(1) metadata ops (a listing of tiny files,
-  *    two renames); data volume only affects step 1's parquet write.
-  *  - Requires atomic rename + exclusive create (POSIX, HDFS). Object
-  *    stores without them need a real catalog CAS — that is exactly the
-  *    piece Iceberg's catalog adds, documented here as the limit rather
-  *    than hidden.
+  *  - Segments are immutable: a commit never touches data a reader
+  *    might be scanning. A reader that resolved version N keeps
+  *    scanning N's files regardless of later commits — snapshot
+  *    isolation by immutability, no locks.
+  *  - A crash between claim and publish leaves an orphan claim (and
+  *    possibly a manifest/segment) with no commit record: invisible to
+  *    readers, skipped (not resurrected) by later committers,
+  *    reclaimable by `vacuum`.
+  *  - All protocol steps are O(1)-ish metadata ops (tiny file listings
+  *    and creates); data volume only affects step 1's parquet write —
+  *    and step 1 writes the DELTA, not the table.
+  *  - Requires atomic exclusive create (POSIX, HDFS). Object stores
+  *    without it need a real catalog CAS — that is exactly the piece
+  *    Iceberg's catalog adds, documented here as the limit rather than
+  *    hidden.
   */
 object SnapshotTable {
 
   final case class CommitConflict(msg: String) extends RuntimeException(msg)
 
+  /** One data file of a snapshot. `path` is relative to the table root.
+    * When the segment was written clustered on a key, `statsKey` names
+    * it and `lo`/`hi` hold the file's min/max rendered as strings (cast
+    * back to the column's type before any comparison — string order is
+    * never used). */
+  final case class FileEntry(path: String, statsKey: Option[String],
+      lo: Option[String], hi: Option[String])
+
   private[sources] def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def commitsDir(root: String) = new Path(root, "_commits")
-
-  private def versionDir(root: String, v: Long) = new Path(root, s"v=$v")
+  private def manifestsDir(root: String) = new Path(root, "_manifests")
+  private def dataDir(root: String) = new Path(root, "_data")
 
   /** Committed versions, ascending; empty for a fresh/absent table. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
@@ -71,12 +101,14 @@ object SnapshotTable {
       .collect { case s if s.forall(_.isDigit) => s.toLong }.sorted
   }
 
-  /** Highest claimed-or-committed version in the log (claims are
-    * `N.claim` files; commits are bare `N`). */
+  /** Highest version present anywhere in the log — committed (`N`),
+    * claimed (`N.claim`) or manifested — the claim floor, so crashed
+    * commits are skipped instead of fought over. */
   private def maxLogVersion(f: FileSystem, root: String): Long = {
-    val cd = commitsDir(root)
-    if (!f.exists(cd)) 0L
-    else f.listStatus(cd).toSeq.map(_.getPath.getName)
+    def names(dir: Path): Seq[String] =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq.map(_.getPath.getName)
+    (names(commitsDir(root)) ++ names(manifestsDir(root)))
       .collect {
         case s if s.forall(_.isDigit) => s.toLong
         case s if s.endsWith(".claim") &&
@@ -90,50 +122,119 @@ object SnapshotTable {
   def currentVersion(spark: SparkSession, root: String): Long =
     versions(spark, root).lastOption.getOrElse(0L)
 
-  /** Highest `v=N` directory on disk (claimed, committed or orphaned) —
-    * the claim floor, so orphans are skipped instead of fought over. */
-  private def maxDirVersion(f: FileSystem, root: String): Long = {
-    val rootPath = new Path(root)
-    if (!f.exists(rootPath)) 0L
-    else f.listStatus(rootPath).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith("v=") &&
-        s.stripPrefix("v=").forall(_.isDigit) => s.stripPrefix("v=").toLong }
-      .foldLeft(0L)(math.max)
+  // ---- manifest IO ----
+  // One line per file, tab-separated base64(UTF-8) fields
+  // (path, statsKey, lo, hi) — base64 so stat values may contain any
+  // character; empty field = None. Line 1 is a format tag.
+
+  private val ManifestTag = "graft-manifest-v1"
+
+  private def b64(s: String): String = java.util.Base64.getEncoder
+    .encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  private def writeManifest(f: FileSystem, root: String, v: Long,
+      entries: Seq[FileEntry]): Unit = {
+    f.mkdirs(manifestsDir(root))
+    val p = new Path(manifestsDir(root), v.toString)
+    val out = f.create(p, false) // uncontended: only the claim holder
+    try {
+      val sb = new StringBuilder(ManifestTag).append('\n')
+      entries.foreach { e =>
+        sb.append(b64(e.path)).append('\t')
+          .append(e.statsKey.fold("")(b64)).append('\t')
+          .append(e.lo.fold("")(b64)).append('\t')
+          .append(e.hi.fold("")(b64)).append('\n')
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
   }
 
-  /** Commit `df` as the next snapshot; returns the committed version. */
-  def commit(spark: SparkSession, root: String, df: DataFrame,
-      maxRetries: Int = 5): Long = {
+  /** The data files of version `v` — the metadata query a table
+    * format's `.files` view answers. */
+  def manifest(spark: SparkSession, root: String, v: Long): Seq[FileEntry] =
+    readManifest(spark, root, v)
+
+  private[sources] def readManifest(spark: SparkSession, root: String,
+      v: Long): Seq[FileEntry] = {
     val f = fs(spark, root)
-    val uuid = java.util.UUID.randomUUID().toString.take(8)
-    val staging = new Path(root, s"v.staging-$uuid")
-    df.write.mode("overwrite").parquet(staging.toString)
-    f.mkdirs(commitsDir(root))
-    var attempt = 0
-    while (attempt <= maxRetries) {
-      val next = math.max(maxLogVersion(f, root),
-        maxDirVersion(f, root)) + 1
-      if (tryClaim(f, root, next)) {
-        // uncontended from here: only the claim holder targets v=next
-        require(f.rename(staging, versionDir(root, next)),
-          s"data move failed for claimed version $next at $root")
-        publish(f, root, next)
-        spark.catalog.refreshByPath(root)
-        return next
-      }
-      attempt += 1
+    val p = new Path(manifestsDir(root), v.toString)
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+    require(lines.headOption.contains(ManifestTag),
+      s"unrecognized manifest format at $p")
+    lines.drop(1).map { l =>
+      val fld = l.split('\t').padTo(4, "")
+      FileEntry(unb64(fld(0)),
+        Option(fld(1)).filter(_.nonEmpty).map(unb64),
+        Option(fld(2)).filter(_.nonEmpty).map(unb64),
+        Option(fld(3)).filter(_.nonEmpty).map(unb64))
     }
-    f.delete(staging, true)
-    throw CommitConflict(
-      s"lost the version claim ${maxRetries + 1} times at $root")
+  }
+
+  private def absolute(root: String, e: FileEntry): String =
+    new Path(root, e.path).toString
+
+  // ---- segment staging ----
+
+  /** Write `df` as a new immutable segment; returns its file entries.
+    * With `clusterKey` the segment is range-partitioned + sorted on the
+    * key and each file's min/max is recorded — the stats MERGE prunes
+    * on (and the same layout `Sources.writeClustered` gives a plain
+    * directory). */
+  private def stageSegment(spark: SparkSession, root: String,
+      df: DataFrame, clusterKey: Option[String],
+      files: Int): (Path, Seq[FileEntry]) = {
+    val seg = new Path(dataDir(root),
+      s"seg-${java.util.UUID.randomUUID().toString.take(12)}")
+    val shaped = clusterKey match {
+      case Some(k) =>
+        df.repartitionByRange(math.max(1, files), col(k))
+          .sortWithinPartitions(col(k))
+      case None => df
+    }
+    shaped.write.mode("error").parquet(seg.toString)
+    val f = fs(spark, root)
+    val parts = f.listStatus(seg).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    val rel = parts.map { st =>
+      s"_data/${seg.getName}/${st.getPath.getName}"
+    }
+    val entries = clusterKey match {
+      case Some(k) =>
+        // one column-pruned pass over the NEW files only
+        val stats = spark.read.parquet(seg.toString)
+          .select(input_file_name().as("__f"), col(k))
+          .groupBy(col("__f"))
+          .agg(smin(col(k)).cast("string").as("lo"),
+            smax(col(k)).cast("string").as("hi"))
+          .collect()
+          .map(r => new Path(r.getString(0)).getName ->
+            ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+        rel.map { p =>
+          val name = new Path(p).getName
+          val (lo, hi) = stats.getOrElse(name, (None, None))
+          FileEntry(p, Some(k), lo, hi)
+        }
+      case None => rel.map(FileEntry(_, None, None, None))
+    }
+    (seg, entries)
   }
 
   /** The arbiter: exclusive-create of `_commits/N.claim`. Local paths
     * use NIO O_EXCL (atomic in the kernel); remote filesystems use
     * `create(overwrite=false)`, which HDFS makes namenode-atomic.
     * Returns true iff THIS caller created the file. */
-  private def tryClaim(f: FileSystem, root: String, v: Long): Boolean =
+  private def tryClaim(f: FileSystem, root: String, v: Long): Boolean = {
+    f.mkdirs(commitsDir(root))
     atomicCreate(f, new Path(commitsDir(root), s"$v.claim"))
+  }
 
   private def atomicCreate(f: FileSystem, p: Path): Boolean =
     if (f.getScheme == "file") {
@@ -150,121 +251,254 @@ object SnapshotTable {
     }
 
   /** The commit record — its existence IS the commit. Uncontended: only
-    * the holder of `N.claim` ever writes `N`. Re-verifies the claim
-    * first: if a concurrent `vacuum` reaped it (this committer was
-    * paused past the vacuum age floor), the commit ABORTS — its data
-    * dir is already gone or doomed, and publishing anyway would mint a
-    * committed version with no data. */
-  private def publish(f: FileSystem, root: String, v: Long): Unit = {
-    if (!f.exists(new Path(commitsDir(root), s"$v.claim"))) {
-      f.delete(versionDir(root, v), true)
-      throw CommitConflict(
-        s"claim $v was vacuumed mid-commit at $root — aborting")
+    * the holder of `N.claim` ever writes `N`. Re-verifies the claim AND
+    * the referenced files first: if a concurrent `vacuum` reaped either
+    * (this committer was paused past the vacuum age floor), the commit
+    * ABORTS rather than minting a committed version with missing data.
+    * On abort the claim, manifest and segment are cleaned up so later
+    * committers skip the version. */
+  private def publish(f: FileSystem, root: String, v: Long,
+      entries: Seq[FileEntry], seg: Option[Path]): Unit = {
+    def abort(reason: String): Nothing = {
+      f.delete(new Path(manifestsDir(root), v.toString), false)
+      f.delete(new Path(commitsDir(root), s"$v.claim"), false)
+      seg.foreach(f.delete(_, true))
+      throw CommitConflict(s"$reason at $root — aborting version $v")
     }
+    if (!f.exists(new Path(commitsDir(root), s"$v.claim")))
+      abort(s"claim $v was vacuumed mid-commit")
+    if (!entries.forall(e => f.exists(new Path(root, e.path))))
+      abort(s"a data file of version $v was vacuumed mid-commit")
     require(atomicCreate(f, new Path(commitsDir(root), v.toString)),
       s"commit record $v already exists — claim protocol violated")
+  }
+
+  /** Claim the next version and publish `entries` as its manifest.
+    * `prior` derives the full entry list from the predecessor version's
+    * entries at claim time, so a retry after losing a claim race folds
+    * in the winner's files instead of dropping them. */
+  private def commitWith(spark: SparkSession, root: String,
+      seg: Option[Path], maxRetries: Int)(
+      prior: Long => Seq[FileEntry]): Long = {
+    val f = fs(spark, root)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val next = maxLogVersion(f, root) + 1
+      if (tryClaim(f, root, next)) {
+        val entries = prior(next - 1)
+        writeManifest(f, root, next, entries)
+        publish(f, root, next, entries, seg)
+        spark.catalog.refreshByPath(root)
+        return next
+      }
+      attempt += 1
+    }
+    seg.foreach(f.delete(_, true))
+    throw CommitConflict(
+      s"lost the version claim ${maxRetries + 1} times at $root")
+  }
+
+  /** Commit `df` as the next snapshot, REPLACING the table contents
+    * (the new manifest lists only the new segment). Returns the
+    * committed version. Prior versions stay readable until expiry. */
+  def commit(spark: SparkSession, root: String, df: DataFrame,
+      maxRetries: Int = 5): Long = {
+    val (seg, entries) = stageSegment(spark, root, df, None, 0)
+    commitWith(spark, root, Some(seg), maxRetries)(_ => entries)
+  }
+
+  /** APPEND `df` as new files of the next snapshot: every file of the
+    * current version carries over BY REFERENCE — none is read, copied
+    * or touched. This is the O(batch) ingest path a table format
+    * exists for. With `clusterKey` the new segment is range-clustered
+    * and per-file stats recorded, feeding MERGE's file pruning.
+    * Concurrent appends serialize through the claim; a loser re-reads
+    * the winner's manifest so no files are lost. */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      clusterKey: Option[String] = None, files: Int = 8,
+      maxRetries: Int = 5): Long = {
+    val (seg, entries) = stageSegment(spark, root, df, clusterKey, files)
+    commitWith(spark, root, Some(seg), maxRetries) { prev =>
+      (if (prev == 0) Seq.empty else readManifest(spark, root, prev)) ++
+        entries
+    }
   }
 
   /** Read the current snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root, currentVersion(spark, root))
 
-  /** MERGE-style upsert: rows of `updates` replace current rows with the
-    * same `key` (matched => updated) or append (not matched =>
-    * inserted), committed as a NEW snapshot — copy-on-write merge, the
-    * plain-parquet form of MERGE INTO. One left-anti join (current rows
-    * not being replaced) + one union; both sides keyed, no driver state.
-    * The superseded snapshot stays readable (time travel) until expiry.
-    * Concurrent merges serialize through the commit claim; the loser's
-    * snapshot simply wins the later version — last-writer-wins at
-    * SNAPSHOT granularity, which is exactly Iceberg's semantics without
-    * a row-conflict detector. */
+  /** Data files of `v` whose key range could contain a key of
+    * `updates`: a file is PRUNED (carried over untouched) when it has
+    * stats on `key` and no update key falls inside [lo, hi]. Stats are
+    * compared in the KEY'S type (strings cast back), never as strings.
+    * Files without stats on `key` are conservatively rewritten. */
+  private def touchedFiles(spark: SparkSession, root: String,
+      entries: Seq[FileEntry], updates: DataFrame, key: String)
+  : (Seq[FileEntry], Seq[FileEntry]) = {
+    import spark.implicits._
+    val keyType = updates.schema(key).dataType
+    val (withStats, without) = entries.partition(e =>
+      e.statsKey.contains(key) && e.lo.isDefined && e.hi.isDefined)
+    if (withStats.isEmpty) return (entries, Seq.empty)
+    // file-range metadata is O(#files) — the manifest itself; joining
+    // the update keys against it broadcast is the standard pruning
+    // shape (the planner holds the manifest either way)
+    val ranges = withStats.map(e => (e.path, e.lo.get, e.hi.get))
+      .toDF("__p", "__lo", "__hi")
+      .select(col("__p"), col("__lo").cast(keyType).as("__lo"),
+        col("__hi").cast(keyType).as("__hi"))
+    val touchedPaths = updates.select(col(key).as("__k")).distinct()
+      .join(org.apache.spark.sql.functions.broadcast(ranges),
+        col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+      .select("__p").distinct().as[String].collect().toSet
+    val (touched, carried) = withStats.partition(e =>
+      touchedPaths.contains(e.path))
+    (without ++ touched, carried)
+  }
+
+  /** MERGE-style upsert: rows of `updates` replace current rows with
+    * the same `key` (matched => updated) or append (not matched =>
+    * inserted), committed as a NEW snapshot. Copy-on-write at FILE
+    * granularity: manifest stats prune the current files to the ones
+    * whose key range intersects the update keys; only those are read,
+    * anti-joined and rewritten — every other file carries over by
+    * reference (spec: a merge touching one key rewrites at most one
+    * file of a clustered table). The new segment is re-clustered on
+    * `key` so stats stay tight for the next merge.
+    *
+    * Concurrency: the result is derived FROM a specific version and
+    * committed with [[commitExpecting]] semantics — if another commit
+    * lands first, the derivation is thrown away and re-derived against
+    * the new current version (bounded retries), so no concurrent
+    * commit is ever silently dropped. Same read-modify-write contract
+    * as Iceberg's revalidate-and-retry, stated rather than assumed. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
-      key: String): Long = {
-    // bootstrap: merging into an empty table is all-inserts — commit
-    // the updates as v1 instead of failing the current-version read
-    if (currentVersion(spark, root) == 0L)
-      return commit(spark, root, updates)
-    val current = read(spark, root)
-    val kept = current.join(
-      updates.select(updates(key)).distinct(), Seq(key), "left_anti")
-    commit(spark, root, kept.unionByName(updates))
+      key: String, files: Int = 8, maxRetries: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      if (cur == 0L) {
+        // bootstrap: all-inserts; CONDITIONAL on still being first so
+        // two racing bootstrap merges cannot both win
+        val (seg, entries) =
+          stageSegment(spark, root, updates, Some(key), files)
+        try {
+          return commitExpectingEntries(spark, root, seg, entries,
+            expectedCurrent = 0L)
+        } catch {
+          case _: CommitConflict if attempt < maxRetries => attempt += 1
+        }
+      } else {
+        val entries = readManifest(spark, root, cur)
+        val (touched, carried) =
+          touchedFiles(spark, root, entries, updates, key)
+        val rewritten =
+          if (touched.isEmpty) updates
+          else {
+            val existing = spark.read.parquet(
+              touched.map(absolute(root, _)): _*)
+            existing.join(updates.select(updates(key)).distinct(),
+              Seq(key), "left_anti").unionByName(updates)
+          }
+        val (seg, newEntries) =
+          stageSegment(spark, root, rewritten, Some(key), files)
+        try {
+          return commitExpectingEntries(spark, root, seg,
+            carried ++ newEntries, expectedCurrent = cur)
+        } catch {
+          case _: CommitConflict if attempt < maxRetries => attempt += 1
+          // table moved on: re-derive against the new current version
+        }
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Copy-on-write DELETE WHERE: commit a new snapshot without the
-    * matching rows. Returns the new version. */
+    * rows where `condition` is TRUE. SQL semantics: rows where the
+    * condition evaluates to NULL are KEPT (only TRUE deletes — a bare
+    * `filter(!condition)` would silently drop them). Re-derives and
+    * retries if a concurrent commit lands mid-derivation. */
   def deleteWhere(spark: SparkSession, root: String,
-      condition: org.apache.spark.sql.Column): Long =
-    commit(spark, root, read(spark, root).filter(!condition))
+      condition: Column, maxRetries: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      val kept = readVersion(spark, root, cur)
+        .filter(!org.apache.spark.sql.functions
+          .coalesce(condition, lit(false)))
+      val (seg, entries) = stageSegment(spark, root, kept, None, 0)
+      try {
+        return commitExpectingEntries(spark, root, seg, entries,
+          expectedCurrent = cur)
+      } catch {
+        case e: CommitConflict =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Atomic compaction: rewrite the CURRENT snapshot's data into
-    * ~`targetBytes` files and commit the rewrite as a NEW version — the
-    * snapshot-isolated upgrade of `Sources.compactPartitioned`, whose
-    * in-place delete+rename swap is documented as unsafe for concurrent
-    * readers. Readers of the old version are untouched (their directory
-    * is immutable); the swap is the commit-log append — and the append
-    * is CONDITIONAL: compaction is data-preserving maintenance, so if
-    * any writer committed after the snapshot being rewritten was
-    * resolved, the compaction ABORTS (CommitConflict) instead of
-    * silently publishing a latest version that lacks the writer's rows.
+    * ~`targetBytes` files and commit the rewrite as a NEW version.
+    * Readers of the old version are untouched (their files are
+    * immutable); the swap is the commit-log append — and the append is
+    * CONDITIONAL: compaction is data-preserving maintenance, so if any
+    * writer committed after the snapshot being rewritten was resolved,
+    * the compaction ABORTS (CommitConflict) instead of silently
+    * publishing a latest version that lacks the writer's rows.
     * Returns (files before, files after, new version). Rows are
     * REPARTITIONED (hash, not coalesce) so skewed inputs still compact
-    * in parallel; the file count comes straight from the current
-    * version's listed bytes. */
+    * in parallel. */
   def compact(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024): (Long, Long, Long) = {
     val f = fs(spark, root)
     val v = currentVersion(spark, root)
     if (v == 0L) return (0L, 0L, 0L) // nothing committed, nothing to do
-    val dir = versionDir(root, v)
-    def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val it = f.listFiles(p, true)
-      val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
-      while (it.hasNext) {
-        val st = it.next()
-        if (!st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith(".")) buf += st
-      }
-      buf.result()
-    }
-    val before = dataFiles(dir)
-    val totalBytes = before.map(_.getLen).sum
-    if (totalBytes == 0) return (before.size.toLong, before.size.toLong, v)
+    val entries = readManifest(spark, root, v)
+    val totalBytes = entries.map(e =>
+      f.getFileStatus(new Path(root, e.path)).getLen).sum
+    if (totalBytes == 0) return (entries.size.toLong, entries.size.toLong, v)
     val nFiles =
       math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val newV = commitExpecting(spark, root,
-      readVersion(spark, root, v).repartition(nFiles), expectedCurrent = v)
-    (before.size.toLong, dataFiles(versionDir(root, newV)).size.toLong,
-      newV)
+    val (seg, newEntries) = stageSegment(spark, root,
+      readVersion(spark, root, v).repartition(nFiles), None, 0)
+    val newV = commitExpectingEntries(spark, root, seg, newEntries,
+      expectedCurrent = v)
+    (entries.size.toLong, newEntries.size.toLong, newV)
   }
 
-  /** Conditional commit (compare-and-swap): commits `df` only as version
-    * `expectedCurrent + 1`. If any other committer claimed that version
-    * first — i.e. the table moved on from the snapshot the caller
-    * derived `df` from — the staged data is discarded and
+  /** Conditional commit (compare-and-swap): publishes `entries` only as
+    * version `expectedCurrent + 1`. If any other committer claimed that
+    * version first — i.e. the table moved on from the snapshot the
+    * caller derived from — the staged segment is discarded and
     * [[CommitConflict]] is thrown. This is the read-modify-write
-    * primitive: plain `commit` appends unconditionally (fine for
-    * independent snapshots), `commitExpecting` refuses to publish a
-    * derivation of stale state. */
-  private[sources] def commitExpecting(spark: SparkSession, root: String,
-      df: DataFrame, expectedCurrent: Long): Long = {
+    * primitive: plain `commit`/`append` retry against the new current,
+    * `commitExpecting` refuses to publish a derivation of stale state
+    * (merge / deleteWhere / compact / incremental view refresh). */
+  private def commitExpectingEntries(spark: SparkSession, root: String,
+      seg: Path, entries: Seq[FileEntry], expectedCurrent: Long): Long = {
     val f = fs(spark, root)
-    val staging = new Path(root,
-      s"v.staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write.mode("overwrite").parquet(staging.toString)
-    f.mkdirs(commitsDir(root))
     val target = expectedCurrent + 1
-    val floor = math.max(maxLogVersion(f, root), maxDirVersion(f, root))
-    if (floor >= target || !tryClaim(f, root, target)) {
-      f.delete(staging, true)
+    if (maxLogVersion(f, root) >= target || !tryClaim(f, root, target)) {
+      f.delete(seg, true)
       throw CommitConflict(s"table at $root moved past " +
         s"$expectedCurrent while deriving version $target")
     }
-    require(f.rename(staging, versionDir(root, target)),
-      s"data move failed for claimed version $target at $root")
-    publish(f, root, target)
+    writeManifest(f, root, target, entries)
+    publish(f, root, target, entries, Some(seg))
     spark.catalog.refreshByPath(root)
     target
+  }
+
+  /** CAS commit of a derived full snapshot (kept for callers that
+    * recompute from scratch, e.g. a materialized-view refresh). */
+  private[sources] def commitExpecting(spark: SparkSession, root: String,
+      df: DataFrame, expectedCurrent: Long): Long = {
+    val (seg, entries) = stageSegment(spark, root, df, None, 0)
+    commitExpectingEntries(spark, root, seg, entries, expectedCurrent)
   }
 
   /** Incremental read: the row-level delta between two committed
@@ -272,87 +506,177 @@ object SnapshotTable {
     * as one of each — plain-parquet snapshots carry no row identity, so
     * the diff is set-based by full row value, duplicates bag-counted).
     *
-    * This is the consumer side of CDC over the snapshot log: a
-    * downstream job that processed version `from` catches up to `to` by
-    * applying the delta instead of re-reading the table — the access
-    * pattern Iceberg calls incremental scan. Shape: one EXCEPT ALL per
-    * direction = two hash aggregations over the two snapshots, keyed by
-    * the full row — linear, no driver-side state. */
+    * Cost is O(CHANGED FILES), never O(table): rows in files shared by
+    * both manifests are bit-identical and cancel by construction, so
+    * only the files added/removed between the versions are read at
+    * all. For append-only history the removed set is empty and the
+    * diff is literally "read the new files" — one scan of the batch,
+    * zero joins, the access pattern Iceberg calls incremental scan. */
   def diff(spark: SparkSession, root: String, from: Long, to: Long)
   : DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val a = readVersion(spark, root, from)
-    val b = readVersion(spark, root, to)
-    b.exceptAll(a).withColumn("change_type", lit("inserted"))
-      .unionByName(a.exceptAll(b).withColumn("change_type", lit("deleted")))
+    val a = readManifest(spark, root, from)
+    val b = readManifest(spark, root, to)
+    val aPaths = a.map(_.path).toSet
+    val bPaths = b.map(_.path).toSet
+    val added = b.filterNot(e => aPaths.contains(e.path))
+    val removed = a.filterNot(e => bPaths.contains(e.path))
+    def readFiles(es: Seq[FileEntry]): DataFrame =
+      spark.read.parquet(es.map(absolute(root, _)): _*)
+    def tag(df: DataFrame, t: String): DataFrame =
+      df.withColumn("change_type", lit(t))
+    (added.nonEmpty, removed.nonEmpty) match {
+      case (true, false) => tag(readFiles(added), "inserted")
+      case (false, true) => tag(readFiles(removed), "deleted")
+      case (false, false) =>
+        tag(readVersion(spark, root, to).limit(0), "inserted")
+      case (true, true) =>
+        val ins = readFiles(added)
+        val del = readFiles(removed)
+        tag(ins.exceptAll(del), "inserted")
+          .unionByName(tag(del.exceptAll(ins), "deleted"))
+    }
   }
 
   /** Time travel: read snapshot `v` as of its commit. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     require(versions(spark, root).contains(v),
       s"version $v is not committed at $root")
-    spark.read.parquet(versionDir(root, v).toString)
+    val entries = readManifest(spark, root, v)
+    require(entries.nonEmpty, s"version $v at $root has an empty manifest")
+    spark.read.parquet(entries.map(absolute(root, _)): _*)
   }
 
   /** Drop all snapshots older than the newest `keep`. Returns the
-    * versions deleted. Record first, then data: a reader can never
-    * resolve a version whose data is already gone. Expiry is the ONLY
-    * operation that can invalidate an in-flight reader (one still
-    * scanning the expired directory), which is why retention is a policy
-    * knob and not automatic. */
+    * versions deleted. Data files are REFERENCE-COUNTED: a file is
+    * deleted only when no SURVIVING manifest references it (versions
+    * share files, so expiring an old version must not tear files out
+    * from under the current one). Record first, then manifest, then
+    * data: a reader can never resolve a version whose data is already
+    * gone. Expiry is the ONLY operation that can invalidate an
+    * in-flight reader (one still scanning an expired file), which is
+    * why retention is a policy knob and not automatic. */
   def expireSnapshots(spark: SparkSession, root: String, keep: Int)
   : Seq[Long] = {
     require(keep >= 1, "must keep at least the current snapshot")
     val f = fs(spark, root)
-    val doomed = versions(spark, root).dropRight(keep)
+    val all = versions(spark, root)
+    val doomed = all.dropRight(keep)
+    if (doomed.isEmpty) return doomed
+    val surviving = all.takeRight(keep)
+    val kept = surviving.flatMap(readManifest(spark, root, _))
+      .map(_.path).toSet
     doomed.foreach { v =>
+      val mine = readManifest(spark, root, v).map(_.path)
       f.delete(new Path(commitsDir(root), v.toString), false)
       f.delete(new Path(commitsDir(root), s"$v.claim"), false)
-      f.delete(versionDir(root, v), true)
+      f.delete(new Path(manifestsDir(root), v.toString), false)
+      mine.filterNot(kept).foreach(p =>
+        f.delete(new Path(root, p), false))
+    }
+    // drop segment dirs emptied by the per-file deletes
+    val dd = dataDir(root)
+    if (f.exists(dd)) f.listStatus(dd).foreach { st =>
+      if (st.isDirectory && f.listStatus(st.getPath).isEmpty)
+        f.delete(st.getPath, true)
     }
     doomed
   }
 
-  /** Remove crashed-commit leftovers: orphan data directories, orphan
-    * claim files (claimed but never published), and stale staging dirs.
-    * None is reachable by readers. `minAgeMs` is the safety floor
-    * against IN-FLIGHT commits (a committer between claim and publish
-    * looks identical to a crash): only leftovers older than it are
-    * reaped — the same retention contract a table format's VACUUM has.
-    * A committer paused longer than `minAgeMs` loses its commit, and
-    * loses it CLEANLY: publish re-verifies the claim and aborts rather
-    * than minting a committed version whose data was reaped. Claims are
-    * deleted BEFORE their data dirs so the abort always fires first.
+  /** "Now" as the FILESYSTEM sees it: the mtime of a freshly created
+    * probe file, so age comparisons use one clock (the namenode's) —
+    * the local wall clock can be arbitrarily skewed from the cluster's
+    * in a distributed deployment. */
+  private def fsNow(f: FileSystem, root: String): Long = {
+    val probe = new Path(root,
+      s"._vacuum_probe-${java.util.UUID.randomUUID().toString.take(8)}")
+    f.create(probe, true).close()
+    try f.getFileStatus(probe).getModificationTime
+    finally f.delete(probe, false)
+  }
+
+  /** Remove crashed-commit leftovers: orphan claims (claimed but never
+    * published), orphan manifests, and data segments no manifest
+    * references. None is reachable by readers. `minAgeMs` is the
+    * safety floor against IN-FLIGHT commits (a committer between
+    * staging and publish looks identical to a crash): only leftovers
+    * older than it are reaped — the same retention contract a table
+    * format's VACUUM has. A committer paused longer than `minAgeMs`
+    * loses its commit, and loses it CLEANLY: publish re-verifies the
+    * claim and the referenced files and aborts rather than minting a
+    * committed version whose data was reaped.
+    *
+    * Safety details (each closed a real race):
+    *  - ages compare against a filesystem probe mtime, not the local
+    *    clock (clock skew across a cluster);
+    *  - claims are deleted before data, so the owning committer's
+    *    publish aborts before its files can vanish under a reader;
+    *  - the committed set and the claim's existence are RE-CHECKED
+    *    immediately before every delete — a commit that landed after
+    *    vacuum's first listing must not have its pieces reaped;
+    *  - a segment referenced by ANY manifest on disk (committed or
+    *    not) is never touched: in-flight commits become vacuum-proof
+    *    the moment their manifest is written.
     * Returns the paths removed. */
   def vacuum(spark: SparkSession, root: String,
       minAgeMs: Long = 10 * 60 * 1000L): Seq[String] = {
     val f = fs(spark, root)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) return Seq.empty
-    val committed = versions(spark, root).toSet
-    val cutoff = System.currentTimeMillis() - minAgeMs
+    val cutoff = fsNow(f, root) - minAgeMs
     def oldEnough(p: Path): Boolean =
       try f.getFileStatus(p).getModificationTime <= cutoff
       catch { case _: java.io.IOException => false }
+    def committedNow(): Set[Long] = versions(spark, root).toSet
+    val removed = Seq.newBuilder[String]
+
+    // 1. orphan claims (no commit record), oldest snapshot of the
+    //    committed set re-read per delete
     val cd = commitsDir(root)
-    // claims first: once a claim is gone, the owning committer's publish
-    // aborts, making its data dir safe to reap now or on a later pass
-    val orphanClaims =
-      if (!f.exists(cd)) Seq.empty
-      else f.listStatus(cd).toSeq.map(_.getPath).filter { p =>
-        val n = p.getName
-        n.endsWith(".claim") &&
-          n.stripSuffix(".claim").forall(_.isDigit) &&
-          !committed(n.stripSuffix(".claim").toLong) && oldEnough(p)
-      }
-    orphanClaims.foreach(f.delete(_, false))
-    val orphanData = f.listStatus(rootPath).toSeq.map(_.getPath).filter { p =>
+    if (f.exists(cd)) f.listStatus(cd).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
-      (n.startsWith("v.staging-") ||
-        (n.startsWith("v=") && n.stripPrefix("v=").forall(_.isDigit) &&
-          !committed(n.stripPrefix("v=").toLong))) && oldEnough(p)
+      if (n.endsWith(".claim") &&
+        n.stripSuffix(".claim").forall(_.isDigit) && oldEnough(p) &&
+        !committedNow()(n.stripSuffix(".claim").toLong)) {
+        f.delete(p, false)
+        removed += p.toString
+      }
     }
-    orphanData.foreach(f.delete(_, true))
-    (orphanClaims ++ orphanData).map(_.toString)
+    // 2. orphan manifests: not committed AND no surviving claim (the
+    //    claim was reaped above or in an earlier pass — while a claim
+    //    lives, its manifest is an in-flight commit, not garbage)
+    val md = manifestsDir(root)
+    if (f.exists(md)) f.listStatus(md).toSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.forall(_.isDigit) && oldEnough(p) &&
+        !committedNow()(n.toLong) &&
+        !f.exists(new Path(cd, s"$n.claim"))) {
+        f.delete(p, false)
+        removed += p.toString
+      }
+    }
+    // 3. data segments referenced by NO manifest on disk (committed or
+    //    in-flight), older than the floor; plus stale staging dirs of
+    //    the pre-manifest layout
+    val referenced: Set[String] = {
+      if (!f.exists(md)) Set.empty
+      else f.listStatus(md).toSeq.map(_.getPath.getName)
+        .filter(_.forall(_.isDigit))
+        .flatMap(v => readManifest(spark, root, v.toLong))
+        // qualified (scheme-carrying) form to match listStatus paths
+        .map(e => f.makeQualified(new Path(root, e.path)).toString).toSet
+    }
+    val dd = dataDir(root)
+    if (f.exists(dd)) f.listStatus(dd).toSeq.foreach { st =>
+      val p = st.getPath
+      if (st.isDirectory && oldEnough(p)) {
+        val parts = f.listStatus(p).toSeq.map(_.getPath)
+        val live = parts.exists(pp => referenced.contains(pp.toString))
+        if (!live) {
+          f.delete(p, true)
+          removed += p.toString
+        }
+      }
+    }
+    removed.result()
   }
 }

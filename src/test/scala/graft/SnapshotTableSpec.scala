@@ -271,14 +271,16 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
-  test("a crashed commit (claimed dir, no record) stays invisible and " +
-      "is skipped, then vacuumed") {
+  test("a crashed commit (claim + orphan segment, no record) stays " +
+      "invisible and is skipped, then vacuumed") {
     val root = tmpRoot()
     val nation = Tables.load(spark, sfDir, "nation")
     SnapshotTable.commit(spark, root, nation)
-    // simulate a crash between claim and publish: v=2 exists on disk
-    // but no _commits/2 record
-    nation.limit(1).write.parquet(s"$root/v=2")
+    // simulate a crash between claim and publish: claim 2 and a staged
+    // segment exist, but no _commits/2 record and no manifest
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$root/_commits/2.claim"))
+    nation.limit(1).write.parquet(s"$root/_data/seg-crashed")
     assert(SnapshotTable.currentVersion(spark, root) == 1L)
     assert(SnapshotTable.versions(spark, root) == Seq(1L))
     assert(SnapshotTable.read(spark, root).count() == nation.count())
@@ -292,8 +294,229 @@ class SnapshotTableSpec extends SparkSpec {
     // minAgeMs = 0: the default 10-minute floor exists to protect
     // in-flight commits, which this test does not have
     val removed = SnapshotTable.vacuum(spark, root, minAgeMs = 0L)
-    assert(removed.exists(_.endsWith("v=2")))
+    assert(removed.exists(_.endsWith("2.claim")))
+    assert(removed.exists(_.endsWith("seg-crashed")))
     assert(SnapshotTable.versions(spark, root) == Seq(1L, 3L))
     assert(SnapshotTable.readVersion(spark, root, 3L).count() == 2)
+    // the committed versions' data survived the vacuum
+    assert(SnapshotTable.read(spark, root).count() == 2)
+    assert(SnapshotTable.readVersion(spark, root, 1L).count() ==
+      nation.count())
+  }
+
+  // ---- round 7: manifest-granularity commits ----
+
+  private def fileMtimes(root: String, v: Long)
+  : Map[String, Long] =
+    SnapshotTable.manifest(spark, root, v).map { e =>
+      e.path -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$root/${e.path}")).toMillis
+    }.toMap
+
+  test("append commits add files WITHOUT touching any prior data file " +
+      "(path + mtime identity); old versions still byte-match") {
+    val root = tmpRoot()
+    val nation = Tables.load(spark, sfDir, "nation")
+    SnapshotTable.commit(spark, root, nation)
+    val v1Bytes = SnapshotTable.readVersion(spark, root, 1L)
+      .orderBy("n_nationkey").collect().toSeq
+    val v1Files = fileMtimes(root, 1L)
+    val extra = nation.limit(3)
+      .withColumn("n_nationkey", col("n_nationkey") + 100)
+    val v2 = SnapshotTable.append(spark, root, extra)
+    assert(v2 == 2L)
+    // every v1 file appears in v2's manifest with IDENTICAL path+mtime
+    val v2Files = fileMtimes(root, 2L)
+    v1Files.foreach { case (p, t) =>
+      assert(v2Files.get(p).contains(t),
+        s"append touched prior data file $p")
+    }
+    assert(v2Files.size > v1Files.size, "append must add files")
+    // semantics: v2 = v1 + extra; v1 re-read byte-matches
+    assert(SnapshotTable.read(spark, root).count() ==
+      nation.count() + 3)
+    assert(SnapshotTable.readVersion(spark, root, 1L)
+      .orderBy("n_nationkey").collect().toSeq == v1Bytes)
+  }
+
+  test("diff of an append-only commit reads ONLY the added files — " +
+      "O(batch), not O(table)") {
+    val root = tmpRoot()
+    val orders = Tables.load(spark, sfDir, "orders")
+    SnapshotTable.commit(spark, root, orders)
+    val batch = orders.limit(7)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    SnapshotTable.append(spark, root, batch)
+    val d = SnapshotTable.diff(spark, root, 1L, 2L)
+    // the plan must scan only the files v2 added, never v1's
+    val added = SnapshotTable.manifest(spark, root, 2L).map(_.path).toSet --
+      SnapshotTable.manifest(spark, root, 1L).map(_.path).toSet
+    val scanned = d.inputFiles.toSeq
+    assert(scanned.nonEmpty &&
+      scanned.forall(f => added.exists(a => f.endsWith(a))),
+      s"diff scanned beyond the added files: $scanned")
+    val rows = d.collect()
+    assert(rows.length == 7)
+    assert(rows.forall(_.getAs[String]("change_type") == "inserted"))
+  }
+
+  test("merge touching one key of a clustered table rewrites at most " +
+      "one data file; the rest carry over by reference") {
+    val root = tmpRoot()
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    // bootstrap merge clusters on the key into several files
+    SnapshotTable.merge(spark, root, orders, "o_orderkey", files = 8)
+    val before = SnapshotTable.manifest(spark, root, 1L)
+    assert(before.size >= 4, s"want a multi-file table, got $before")
+    assert(before.forall(_.statsKey.contains("o_orderkey")),
+      "clustered segment must carry per-file key stats")
+    val oneKey = orders.limit(1)
+      .withColumn("o_totalprice", lit(0.0))
+    SnapshotTable.merge(spark, root, oneKey, "o_orderkey", files = 8)
+    val after = SnapshotTable.manifest(spark, root, 2L)
+    val beforePaths = before.map(_.path).toSet
+    val afterPaths = after.map(_.path).toSet
+    val rewritten = beforePaths -- afterPaths
+    assert(rewritten.size <= 1,
+      s"one-key merge rewrote ${rewritten.size} files: $rewritten")
+    assert((beforePaths & afterPaths).size == beforePaths.size - rewritten.size,
+      "untouched files must carry over by reference")
+    // semantics unharmed
+    val k = oneKey.select("o_orderkey").as[Long].head()
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("o_orderkey") === k)
+      .select("o_totalprice").as[Double].head() == 0.0)
+    assert(SnapshotTable.read(spark, root).count() == orders.count())
+  }
+
+  test("deleteWhere keeps rows where the predicate is NULL — SQL " +
+      "DELETE semantics, not filter complement") {
+    val root = tmpRoot()
+    val df = Seq[(Integer, java.lang.Double)](
+      (1, 5.0), (2, null), (3, 50.0)).toDF("id", "x")
+    SnapshotTable.commit(spark, root, df)
+    // x > 10 is NULL for id=2: DELETE must remove only id=3
+    SnapshotTable.deleteWhere(spark, root, col("x") > 10.0)
+    val kept = SnapshotTable.read(spark, root)
+      .select("id").as[Int].collect().sorted.toSeq
+    assert(kept == Seq(1, 2),
+      s"NULL-predicate row must survive a DELETE, got $kept")
+  }
+
+  test("concurrent merges with disjoint keys all land — no lost " +
+      "updates (read-modify-write goes through CAS + re-derive)") {
+    val root = tmpRoot()
+    val base = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    SnapshotTable.commit(spark, root, base)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence((1 to 4).toList.map(i => Future {
+      SnapshotTable.merge(spark, root,
+        Seq((100L + i, s"new$i")).toDF("k", "v"), "k",
+        maxRetries = 16)
+    })), 180.seconds)
+    val got = SnapshotTable.read(spark, root)
+      .select("k").as[Long].collect().toSet
+    val want = (1 to 20).map(_.toLong).toSet ++
+      (1 to 4).map(i => 100L + i).toSet
+    assert(got == want, s"a concurrent merge was lost: ${want -- got}")
+  }
+
+  test("expire with shared files: appended history keeps every file " +
+      "the surviving versions reference") {
+    val root = tmpRoot()
+    val nation = Tables.load(spark, sfDir, "nation")
+    SnapshotTable.commit(spark, root, nation) // v1
+    SnapshotTable.append(spark, root, nation.limit(2)
+      .withColumn("n_nationkey", col("n_nationkey") + 100)) // v2
+    SnapshotTable.append(spark, root, nation.limit(1)
+      .withColumn("n_nationkey", col("n_nationkey") + 200)) // v3
+    val total = nation.count() + 3
+    assert(SnapshotTable.read(spark, root).count() == total)
+    val dropped = SnapshotTable.expireSnapshots(spark, root, keep = 1)
+    assert(dropped == Seq(1L, 2L))
+    // v3 references v1's and v2's files — they MUST survive the expiry
+    assert(SnapshotTable.read(spark, root).count() == total)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readVersion(spark, root, 1L)
+    }
+  }
+
+  test("materialized-view expire prunes freshness markers of dropped " +
+      "view versions, keeping the current one") {
+    import graft.sources.MaterializedView
+    val src = tmpRoot()
+    val viewRoot = tmpRoot()
+    val nation = Tables.load(spark, sfDir, "nation")
+    SnapshotTable.commit(spark, src, nation)
+    val view = MaterializedView.View(src, viewRoot,
+      df => df.groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n")))
+    (1 to 3).foreach { i =>
+      MaterializedView.refresh(spark, view)
+      SnapshotTable.commit(spark, src, nation.limit(25 - i))
+    }
+    def markers(): Seq[String] =
+      new java.io.File(viewRoot).listFiles.toSeq.map(_.getName)
+        .filter(_.startsWith("_source_version."))
+    assert(markers().size == 3, s"expected 3 markers: ${markers()}")
+    MaterializedView.expire(spark, viewRoot, keep = 1)
+    assert(markers() == Seq("_source_version.3"),
+      s"markers not pruned to the survivor: ${markers()}")
+    assert(!MaterializedView.isStale(spark, view) ||
+      MaterializedView.refreshedAgainst(spark, viewRoot) == 3L)
+  }
+
+  test("incremental refresh consumes O(batch) input on an append-only " +
+      "source: observed delta rows track the batch, not the table") {
+    import graft.sources.MaterializedView
+    val src = tmpRoot()
+    val base = (1 to 1000).map(i => (i % 7, i.toDouble)).toDF("k", "x")
+    SnapshotTable.commit(spark, src, base)
+    val iv = MaterializedView.IncrementalView(src, tmpRoot(),
+      keys = Seq("k"), sumCols = Seq("x"))
+    MaterializedView.refreshIncremental(spark, iv) // first = full
+    val observed =
+      new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit =
+        qe.observedMetrics.get("graft_mv_delta")
+          .foreach(r => observed.add(r.getAs[Long]("delta_rows")))
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val batchSizes = Seq(10, 20, 30)
+      batchSizes.foreach { n =>
+        SnapshotTable.append(spark, src,
+          (1 to n).map(i => (i % 7, i * 1.5)).toDF("k", "x"))
+        MaterializedView.refreshIncremental(spark, iv)
+      }
+      // listener delivery is async — wait for all three
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (observed.size < batchSizes.size &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      val sizes = observed.asScala.toSeq
+      assert(sizes.sorted == Seq(10L, 20L, 30L),
+        s"refresh must read batch-sized deltas, got $sizes " +
+          "(an O(table) refresh would read >=1000 rows)")
+      // and the view still bit-matches a full recompute
+      val gotView = MaterializedView.read(spark, iv)
+        .select("k", "n", "sum_x").collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+      val want = SnapshotTable.read(spark, src).groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(20,2)")).as("sum_x"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+      assert(gotView == want)
+    } finally spark.listenerManager.unregister(listener)
   }
 }
