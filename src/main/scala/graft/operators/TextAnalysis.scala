@@ -278,12 +278,18 @@ object TextAnalysis {
     // compute identically, which is what makes this oracle-able (at
     // cluster scale you'd roll 64-bit token-hash chains like
     // graft_minhash does — same plan shape, cheaper key). Plan: narrow
-    // shingle projection on both sides, distinct eval shingles BROADCAST
-    // (eval sets are small by definition — benchmarks are KBs against a
-    // 100 TB corpus), per-doc overlap via broadcast-hash equi-join +
-    // keyed count; no shuffle touches the corpus side beyond its own
-    // per-doc aggregation. Every train doc is reported, so the
-    // clean/contaminated partition is complete.
+    // shingle projection on both sides, per-doc overlap via an equi-join
+    // on the distinct eval shingles + keyed count. Eval sets are small
+    // by definition (benchmarks are KBs against a 100 TB corpus), so the
+    // eval side SHOULD broadcast — but that is a size assumption, not an
+    // invariant, so it is deliberately NOT a mandatory broadcast() hint:
+    // AQE measures the eval side's actual runtime size and broadcasts
+    // when it fits the threshold, degrading to a keyed shuffle join on
+    // the shingle when someone feeds a corpus-sized "eval" set (the
+    // size-guard spec pins both behaviors). Either way no shuffle
+    // touches the corpus side beyond its own per-doc aggregation. Every
+    // train doc is reported, so the clean/contaminated partition is
+    // complete.
     //
     // Shape note: the split filters sit BEFORE the shingle lambda and
     // both output counts come from ONE aggregation over a left
@@ -307,7 +313,7 @@ object TextAnalysis {
         .select(col("shingle")).distinct()
         .withColumn("hit", lit(1))
       shingles(d.filter(col("doc_id") % 97 =!= 0))
-        .join(broadcast(evalSh), Seq("shingle"), "left")
+        .join(evalSh, Seq("shingle"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
           count(col("hit")).as("n_overlap"))

@@ -303,14 +303,17 @@ object EventPipeline {
     * the table's diff. Stream → versioned table → always-fresh
     * materialization.
     *
-    * Honest cost/consistency contract:
-    *  - The VIEW AGGREGATION is incremental (delta rows only), but the
-    *    plain-parquet SnapshotTable underneath makes merge a
-    *    copy-on-write table rewrite and diff a two-snapshot scan — so
-    *    each batch still pays O(table) IO. A table format with
-    *    file-level MERGE and a changelog makes those O(batch); this
-    *    sink is the composition contract those formats slot into, not
-    *    a claim that plain parquet already has their IO profile.
+    * Cost/consistency contract (round 7: O(batch), not O(table)):
+    *  - The view aggregation is incremental (delta rows only) AND the
+    *    manifest-based SnapshotTable underneath makes the IO match:
+    *    MERGE prunes on per-file key stats, so a batch of fresh
+    *    event_ids rewrites ZERO existing files (pure append of the
+    *    batch's segment; a replayed batch touches only the files
+    *    holding its keys), and the MV's diff reads only the files the
+    *    commit added. Both properties are spec-pinned across a growing
+    *    table (see "lakehouse loop IO stays FLAT"). This is the
+    *    file-level-MERGE + changelog IO profile the reference buys
+    *    from Iceberg, delivered by the engine's own table layer.
     *  - Each artifact is individually consistent at every instant
     *    (atomic commits), but table and view are SEPARATE commits: a
     *    reader can observe table version N+1 beside a rollup of N for

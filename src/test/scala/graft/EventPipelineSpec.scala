@@ -344,6 +344,76 @@ class EventPipelineSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, viewRoot).size == 2)
   }
 
+  test("lakehouse loop IO stays FLAT as the table grows: across 5 " +
+      "batches no merge rewrites a prior file (fresh keys append) and " +
+      "every MV refresh reads a batch-sized delta, not the table") {
+    implicit val sc = spark.sqlContext
+    import graft.sources.{MaterializedView, SnapshotTable}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-flat").toString
+    val (tableRoot, viewRoot) = (s"$base/events_t", s"$base/events_mv")
+    val stream = MemoryStream[String]
+    def drainRound(): Unit = {
+      val q = EventPipeline.snapshotMvSink(
+        EventPipeline.pipeline(stream.toDF()),
+        tableRoot, viewRoot, keys = Seq("event_type"),
+        sumCols = Seq("actor_id"), checkpoint = s"$base/ckpt").start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    val observed =
+      new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit =
+        qe.observedMetrics.get("graft_mv_delta")
+          .foreach(r => observed.add(r.getAs[Long]("delta_rows")))
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val batchSize = 4
+      (0 until 5).foreach { b =>
+        stream.addData((0 until batchSize).map(i =>
+          ev(f"m$b%02d$i%02d")): _*)
+        drainRound()
+      }
+      val vs = SnapshotTable.versions(spark, tableRoot)
+      assert(vs.size == 5)
+      // a fresh-key batch must APPEND: manifest stats prune the merge
+      // to zero rewritten files, so every prior file carries over — the
+      // write amplification that made the old table-COW loop unusable
+      // is structurally gone
+      vs.sliding(2).foreach { case Seq(a, b2) =>
+        val pa = SnapshotTable.manifest(spark, tableRoot, a)
+          .map(_.path).toSet
+        val pb = SnapshotTable.manifest(spark, tableRoot, b2)
+          .map(_.path).toSet
+        assert((pa -- pb).isEmpty,
+          s"batch v$b2 rewrote ${(pa -- pb).size} prior files")
+        assert(pb.size > pa.size, s"batch v$b2 added no files")
+      }
+      // the MV consumed batch-sized deltas (first refresh is full and
+      // unobserved; the four incremental ones must see 4 rows each)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (observed.size < 4 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      val sizes = observed.asScala.toSeq
+      assert(sizes.size == 4 && sizes.forall(_ == batchSize.toLong),
+        s"refresh must read batch-sized deltas as the table grows, " +
+          s"got $sizes (table reached ${5 * batchSize} rows)")
+      // and the loop still answers correctly
+      val got = MaterializedView.read(spark,
+        MaterializedView.IncrementalView(tableRoot, viewRoot,
+          Seq("event_type"), Seq("actor_id")))
+        .select("event_type", "n").as[(String, Long)].collect().toMap
+      assert(got.values.sum == 5L * batchSize)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("sessionizer runs on the RocksDB state store provider") {
     // the 100 TB state path: state lives off-heap/on-disk in RocksDB
     // instead of the in-memory HashMap provider — same results

@@ -108,6 +108,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.count(_._4) >= 1, "no contaminated doc found in fixture")
   }
 
+  test("decontamination size guard: the eval join is size-chosen, not " +
+      "hint-forced — identical rows whether it broadcasts or shuffles") {
+    def run() = TextAnalysis.queries("docs_decontaminate")(spark, sfDir)
+      .select("doc_id", "n_shingles", "n_overlap", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val viaBroadcast = run()
+    // simulate a corpus-sized eval set by disabling the broadcast
+    // thresholds (static + AQE): a mandatory hint would ignore this;
+    // the guard degrades the plan to a keyed shuffle join instead
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "-1"))
+      val df = TextAnalysis.queries("docs_decontaminate")(spark, sfDir)
+      val viaShuffle = df
+        .select("doc_id", "n_shingles", "n_overlap", "contaminated")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"eval join must degrade to a shuffle join when oversized:\n" +
+          plan.take(2000))
+      assert(viaShuffle == viaBroadcast,
+        "join strategy must never change decontamination results")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("domain mixture: deterministic, bounded, and actually biting") {
     val rows = TextAnalysis.queries("docs_domain_mixture")(spark, sfDir)
       .select("source", "rate", "n_docs", "n_sampled", "achieved")

@@ -71,4 +71,60 @@ class TimerSessionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("timer sessionizer agrees with the batch events_sessions twin " +
+      "on the fixture: once every timer fires, per-user session counts " +
+      "match the oracled SQL-window formulation exactly") {
+    implicit val sc = spark.sqlContext
+    val prev =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.functions._
+      val fixture = Tables.load(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+        .as[(Long, Long, java.sql.Timestamp, Double)].collect().toSeq
+        .map { case (u, e, t, v) => TimerEv(u, e, t, v) }
+      val maxTs = fixture.map(_.ts.getTime / 1000L).max
+      val stream = MemoryStream[TimerEv]
+      val q = TimerSessions.sessionize(stream.toDF(),
+          gapSeconds = 1800, watermark = "10 minutes")
+        .writeStream.format("memory").queryName("timer_agree")
+        .outputMode("append").start()
+      try {
+        stream.addData(fixture)
+        q.processAllAvailable()
+        // sentinel user -1 drives the watermark past every
+        // last_ts + gap (+ the 10-minute delay); timers fire on the
+        // batch AFTER the watermark advances, hence two sentinels
+        stream.addData(TimerEv(-1L, -1L, at(maxTs + 3600), 0.0))
+        q.processAllAvailable()
+        stream.addData(TimerEv(-1L, -2L, at(maxTs + 7200), 0.0))
+        q.processAllAvailable()
+        val streamed = spark.table("timer_agree").as[ClosedSession]
+          .collect().filter(_.user_id >= 0)
+          .groupBy(_.user_id).view.mapValues(_.length.toLong).toMap
+        val batch = graft.operators.EventAnalytics
+          .queries("events_sessions")(spark, sfDir)
+          .select("user_id", "n_sessions").as[(Long, Long)]
+          .collect().toMap
+        assert(streamed.keySet == batch.keySet,
+          s"user coverage differs: ${batch.keySet -- streamed.keySet}")
+        streamed.foreach { case (u, n) =>
+          assert(batch(u) == n,
+            s"user $u: timer=$n batch=${batch(u)}")
+        }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
