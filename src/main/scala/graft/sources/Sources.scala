@@ -380,6 +380,36 @@ object Sources {
       v1.unionByName(v2)
         .select("version", "o_orderstatus", "n")
         .orderBy("version", "o_orderstatus")
+    }),
+    // The round-7 manifest path under the oracle: bootstrap-merge a
+    // third of orders (clustered on the key), APPEND another third as
+    // a second commit (no existing file touched), then MERGE an update
+    // set (matched rows get a sentinel price, unmatched insert) that
+    // the per-file stats prune to the intersecting files — and read
+    // the final state back through the version log. The oracle
+    // reconstructs the same final state with plain SQL over the base
+    // table; matching hashes prove bootstrap + append + file-pruned
+    // merge + current-read compose to exactly MERGE semantics. Counts
+    // only (the sentinel is probed with a sign test), keeping the row
+    // values integer-exact in both engines.
+    "snapshot_incremental_ingest" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-inc-q")
+        .toString + "/orders_inc"
+      val o = graft.Tables.load(s, dir, "orders")
+      val third = o.filter(col("o_orderkey") % 3 === 0)
+      val appended = o.filter(col("o_orderkey") % 3 === 1)
+      val updates = o.filter((col("o_orderkey") % 30 === 0) ||
+          (col("o_orderkey") % 3 === 2 && col("o_orderkey") % 7 === 0))
+        .withColumn("o_totalprice", lit(-1.0))
+      SnapshotTable.merge(s, root, third, "o_orderkey")      // v1
+      SnapshotTable.append(s, root, appended,
+        clusterKey = Some("o_orderkey"))                     // v2
+      SnapshotTable.merge(s, root, updates, "o_orderkey")    // v3
+      SnapshotTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("o_totalprice") < 0, 1)).as("n_updated"))
+        .orderBy("o_orderstatus")
     }))
 
   /** Shared ANSI text for the Q21/Q2 shapes — same string runs in
@@ -477,5 +507,16 @@ object Sources {
         |  UNION ALL
         |  SELECT CAST(2 AS BIGINT), o_orderstatus, count(*)
         |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus)
-        |ORDER BY version, o_orderstatus""".stripMargin)
+        |ORDER BY version, o_orderstatus""".stripMargin,
+    "snapshot_incremental_ingest" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 30 = 0
+        |    OR (o_orderkey % 3 = 2 AND o_orderkey % 7 = 0)
+        |    THEN 1 END) AS n_updated
+        |FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1)
+        |   OR o_orderkey % 30 = 0
+        |   OR (o_orderkey % 3 = 2 AND o_orderkey % 7 = 0)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
 }
