@@ -273,38 +273,30 @@ object SnapshotTable {
       s"commit record $v already exists — claim protocol violated")
   }
 
-  /** Claim the next version and publish `entries` as its manifest.
-    * `prior` derives the full entry list from the predecessor version's
-    * entries at claim time, so a retry after losing a claim race folds
-    * in the winner's files instead of dropping them. */
-  private def commitWith(spark: SparkSession, root: String,
-      seg: Option[Path], maxRetries: Int)(
-      prior: Long => Seq[FileEntry]): Long = {
+  /** Commit `df` as the next snapshot, REPLACING the table contents
+    * (the new manifest lists only the new segment). Returns the
+    * committed version. Prior versions stay readable until expiry.
+    * Replacement derives from no prior state, so this is the one
+    * operation that may SKIP past crashed claims instead of waiting
+    * for vacuum to clear them. */
+  def commit(spark: SparkSession, root: String, df: DataFrame,
+      maxRetries: Int = 5): Long = {
+    val (seg, entries) = stageSegment(spark, root, df, None, 0)
     val f = fs(spark, root)
     var attempt = 0
     while (attempt <= maxRetries) {
       val next = maxLogVersion(f, root) + 1
       if (tryClaim(f, root, next)) {
-        val entries = prior(next - 1)
         writeManifest(f, root, next, entries)
-        publish(f, root, next, entries, seg)
+        publish(f, root, next, entries, Some(seg))
         spark.catalog.refreshByPath(root)
         return next
       }
       attempt += 1
     }
-    seg.foreach(f.delete(_, true))
+    f.delete(seg, true)
     throw CommitConflict(
       s"lost the version claim ${maxRetries + 1} times at $root")
-  }
-
-  /** Commit `df` as the next snapshot, REPLACING the table contents
-    * (the new manifest lists only the new segment). Returns the
-    * committed version. Prior versions stay readable until expiry. */
-  def commit(spark: SparkSession, root: String, df: DataFrame,
-      maxRetries: Int = 5): Long = {
-    val (seg, entries) = stageSegment(spark, root, df, None, 0)
-    commitWith(spark, root, Some(seg), maxRetries)(_ => entries)
   }
 
   /** APPEND `df` as new files of the next snapshot: every file of the
@@ -312,16 +304,42 @@ object SnapshotTable {
     * or touched. This is the O(batch) ingest path a table format
     * exists for. With `clusterKey` the new segment is range-clustered
     * and per-file stats recorded, feeding MERGE's file pruning.
-    * Concurrent appends serialize through the claim; a loser re-reads
-    * the winner's manifest so no files are lost. */
+    *
+    * An append DERIVES from the current manifest, so it must commit as
+    * exactly currentVersion + 1 (CAS): claiming past an interleaved
+    * commit would publish a manifest missing that commit's files — a
+    * lost update. On losing the race the loser re-reads the new
+    * current manifest and retries with the SAME staged segment (the
+    * new files don't depend on the base version, so nothing is
+    * re-staged). A crashed claim squatting on currentVersion + 1
+    * blocks CAS commits until `vacuum` reaps it — the same liveness
+    * contract as a table format whose catalog holds a dead lease. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       clusterKey: Option[String] = None, files: Int = 8,
       maxRetries: Int = 5): Long = {
     val (seg, entries) = stageSegment(spark, root, df, clusterKey, files)
-    commitWith(spark, root, Some(seg), maxRetries) { prev =>
-      (if (prev == 0) Seq.empty else readManifest(spark, root, prev)) ++
-        entries
+    val f = fs(spark, root)
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      val all =
+        (if (cur == 0) Seq.empty else readManifest(spark, root, cur)) ++
+          entries
+      val target = cur + 1
+      if (maxLogVersion(f, root) < target && tryClaim(f, root, target)) {
+        writeManifest(f, root, target, all)
+        publish(f, root, target, all, Some(seg))
+        spark.catalog.refreshByPath(root)
+        return target
+      }
+      attempt += 1
+      if (attempt > maxRetries) {
+        f.delete(seg, true)
+        throw CommitConflict(
+          s"lost the append race ${maxRetries + 1} times at $root")
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Read the current snapshot. */

@@ -424,6 +424,26 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got == want, s"a concurrent merge was lost: ${want -- got}")
   }
 
+  test("concurrent appends all land: every loser re-reads the " +
+      "winner's manifest, so no commit's files are dropped") {
+    val root = tmpRoot()
+    val base = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    SnapshotTable.commit(spark, root, base)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence((1 to 4).toList.map(i => Future {
+      SnapshotTable.append(spark, root,
+        Seq((200L + i, s"app$i")).toDF("k", "v"), maxRetries = 16)
+    })), 180.seconds)
+    assert(SnapshotTable.versions(spark, root) == (1L to 5L))
+    val got = SnapshotTable.read(spark, root)
+      .select("k").as[Long].collect().toSet
+    val want = (1 to 10).map(_.toLong).toSet ++
+      (1 to 4).map(i => 200L + i).toSet
+    assert(got == want, s"a concurrent append was lost: ${want -- got}")
+  }
+
   test("expire with shared files: appended history keeps every file " +
       "the surviving versions reference") {
     val root = tmpRoot()
