@@ -392,7 +392,9 @@ object SnapshotTable {
     * commit is ever silently dropped. Same read-modify-write contract
     * as Iceberg's revalidate-and-retry, stated rather than assumed. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
-      key: String, files: Int = 8, maxRetries: Int = 5): Long = {
+      key: String, files: Int = 8, maxRetries: Int = 5,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val f = fs(spark, root)
     var attempt = 0
     while (true) {
       val cur = currentVersion(spark, root)
@@ -419,8 +421,16 @@ object SnapshotTable {
             existing.join(updates.select(updates(key)).distinct(),
               Seq(key), "left_anti").unionByName(updates)
           }
+        // size the rewritten segment by its input bytes, with `files`
+        // as the clustering-granularity floor: a fixed file count
+        // would produce monster files once a merge touches a large
+        // key range at scale
+        val touchedBytes = touched.map(e =>
+          f.getFileStatus(new Path(root, e.path)).getLen).sum
+        val outFiles = math.max(files,
+          ((touchedBytes + targetBytes - 1) / targetBytes).toInt)
         val (seg, newEntries) =
-          stageSegment(spark, root, rewritten, Some(key), files)
+          stageSegment(spark, root, rewritten, Some(key), outFiles)
         try {
           return commitExpectingEntries(spark, root, seg,
             carried ++ newEntries, expectedCurrent = cur)
@@ -553,6 +563,32 @@ object SnapshotTable {
         tag(ins.exceptAll(del), "inserted")
           .unionByName(tag(del.exceptAll(ins), "deleted"))
     }
+  }
+
+  /** Table history — one row per committed version with its file
+    * count, byte size, and how many files it shares with its
+    * predecessor (the DESCRIBE HISTORY surface; `shared_files` > 0 is
+    * the visible signature of a zero-rewrite append or a pruned
+    * merge). Metadata-only: reads manifests and file statuses, never
+    * data. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    val rows = vs.foldLeft(
+      (Seq.empty[(Long, Long, Long, Long, Long)], Set.empty[String])) {
+      case ((acc, prevPaths), v) =>
+        val es = readManifest(spark, root, v)
+        val bytes = es.map(e =>
+          try f.getFileStatus(new Path(root, e.path)).getLen
+          catch { case _: java.io.IOException => 0L }).sum
+        val paths = es.map(_.path).toSet
+        val shared = (paths & prevPaths).size.toLong
+        (acc :+ ((v, es.size.toLong, bytes, shared,
+          (paths.size - shared))), paths)
+    }._1
+    rows.toDF("version", "n_files", "bytes", "shared_files",
+      "added_files")
   }
 
   /** Time travel: read snapshot `v` as of its commit. */

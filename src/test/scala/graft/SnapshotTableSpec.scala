@@ -424,6 +424,28 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got == want, s"a concurrent merge was lost: ${want -- got}")
   }
 
+  test("history reports per-version file sharing: appends share every " +
+      "prior file, replacements share none") {
+    val root = tmpRoot()
+    val nation = Tables.load(spark, sfDir, "nation")
+    SnapshotTable.commit(spark, root, nation)                      // v1
+    SnapshotTable.append(spark, root, nation.limit(2)
+      .withColumn("n_nationkey", col("n_nationkey") + 100))        // v2
+    SnapshotTable.commit(spark, root, nation.limit(3))             // v3
+    val h = SnapshotTable.history(spark, root)
+      .orderBy("version")
+      .select("version", "n_files", "shared_files", "added_files")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(h.map(_._1) == Seq(1L, 2L, 3L))
+    val byV = h.map(r => r._1 -> r).toMap
+    assert(byV(1L)._3 == 0L, "v1 has no predecessor to share with")
+    assert(byV(2L)._3 == byV(1L)._2,
+      "an append must share EVERY file of its predecessor")
+    assert(byV(2L)._4 > 0L, "an append adds files")
+    assert(byV(3L)._3 == 0L, "a replacement shares nothing")
+    assert(h.forall(_._2 > 0L))
+  }
+
   test("concurrent appends all land: every loser re-reads the " +
       "winner's manifest, so no commit's files are dropped") {
     val root = tmpRoot()
