@@ -77,13 +77,21 @@ object SnapshotTable {
 
   final case class CommitConflict(msg: String) extends RuntimeException(msg)
 
-  /** One data file of a snapshot. `path` is relative to the table root.
+  /** One file of a snapshot. `path` is relative to the table root.
     * When the segment was written clustered on a key, `statsKey` names
     * it and `lo`/`hi` hold the file's min/max rendered as strings (cast
     * back to the column's type before any comparison — string order is
-    * never used). */
+    * never used).
+    *
+    * `kind` is `"d"` (data) or `"t"` (key tombstone — a parquet file
+    * of keys whose OLDER rows are deleted, the merge-on-read delete
+    * vector). `seq` is the version that added the file: a tombstone
+    * kills exactly the data rows whose file has a SMALLER seq, so a
+    * merge-on-read commit's own replacement rows (same seq) survive
+    * while every older copy dies — Iceberg's sequence-number rule. */
   final case class FileEntry(path: String, statsKey: Option[String],
-      lo: Option[String], hi: Option[String])
+      lo: Option[String], hi: Option[String],
+      kind: String = "d", seq: Long = 0L)
 
   private[sources] def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -124,8 +132,9 @@ object SnapshotTable {
 
   // ---- manifest IO ----
   // One line per file, tab-separated base64(UTF-8) fields
-  // (path, statsKey, lo, hi) — base64 so stat values may contain any
-  // character; empty field = None. Line 1 is a format tag.
+  // (path, statsKey, lo, hi, kind, seq) — base64 so stat values may
+  // contain any character; empty field = None/default. Line 1 is a
+  // format tag.
 
   private val ManifestTag = "graft-manifest-v1"
 
@@ -145,7 +154,9 @@ object SnapshotTable {
         sb.append(b64(e.path)).append('\t')
           .append(e.statsKey.fold("")(b64)).append('\t')
           .append(e.lo.fold("")(b64)).append('\t')
-          .append(e.hi.fold("")(b64)).append('\n')
+          .append(e.hi.fold("")(b64)).append('\t')
+          .append(b64(e.kind)).append('\t')
+          .append(b64(e.seq.toString)).append('\n')
       }
       out.write(sb.toString.getBytes("UTF-8"))
     } finally out.close()
@@ -167,11 +178,14 @@ object SnapshotTable {
     require(lines.headOption.contains(ManifestTag),
       s"unrecognized manifest format at $p")
     lines.drop(1).map { l =>
-      val fld = l.split('\t').padTo(4, "")
+      val fld = l.split('\t').padTo(6, "")
       FileEntry(unb64(fld(0)),
         Option(fld(1)).filter(_.nonEmpty).map(unb64),
         Option(fld(2)).filter(_.nonEmpty).map(unb64),
-        Option(fld(3)).filter(_.nonEmpty).map(unb64))
+        Option(fld(3)).filter(_.nonEmpty).map(unb64),
+        Option(fld(4)).filter(_.nonEmpty).map(unb64).getOrElse("d"),
+        Option(fld(5)).filter(_.nonEmpty).map(unb64)
+          .map(_.toLong).getOrElse(0L))
     }
   }
 
@@ -258,11 +272,11 @@ object SnapshotTable {
     * On abort the claim, manifest and segment are cleaned up so later
     * committers skip the version. */
   private def publish(f: FileSystem, root: String, v: Long,
-      entries: Seq[FileEntry], seg: Option[Path]): Unit = {
+      entries: Seq[FileEntry], segs: Seq[Path]): Unit = {
     def abort(reason: String): Nothing = {
       f.delete(new Path(manifestsDir(root), v.toString), false)
       f.delete(new Path(commitsDir(root), s"$v.claim"), false)
-      seg.foreach(f.delete(_, true))
+      segs.foreach(f.delete(_, true))
       throw CommitConflict(s"$reason at $root — aborting version $v")
     }
     if (!f.exists(new Path(commitsDir(root), s"$v.claim")))
@@ -287,8 +301,9 @@ object SnapshotTable {
     while (attempt <= maxRetries) {
       val next = maxLogVersion(f, root) + 1
       if (tryClaim(f, root, next)) {
-        writeManifest(f, root, next, entries)
-        publish(f, root, next, entries, Some(seg))
+        val stamped = entries.map(_.copy(seq = next))
+        writeManifest(f, root, next, stamped)
+        publish(f, root, next, stamped, Seq(seg))
         spark.catalog.refreshByPath(root)
         return next
       }
@@ -327,8 +342,10 @@ object SnapshotTable {
           entries
       val target = cur + 1
       if (maxLogVersion(f, root) < target && tryClaim(f, root, target)) {
-        writeManifest(f, root, target, all)
-        publish(f, root, target, all, Some(seg))
+        val stamped = all.map(e =>
+          if (e.seq == 0L) e.copy(seq = target) else e)
+        writeManifest(f, root, target, stamped)
+        publish(f, root, target, stamped, Seq(seg))
         spark.catalog.refreshByPath(root)
         return target
       }
@@ -410,14 +427,18 @@ object SnapshotTable {
           case _: CommitConflict if attempt < maxRetries => attempt += 1
         }
       } else {
-        val entries = readManifest(spark, root, cur)
-        val (touched, carried) =
-          touchedFiles(spark, root, entries, updates, key)
+        val prior = readManifest(spark, root, cur)
+        val (tombs, dataEntries) = prior.partition(_.kind == "t")
+        val (touched, carriedData) =
+          touchedFiles(spark, root, dataEntries, updates, key)
+        val carried = carriedData ++ tombs
         val rewritten =
           if (touched.isEmpty) updates
           else {
-            val existing = spark.read.parquet(
-              touched.map(absolute(root, _)): _*)
+            // read touched files THROUGH the tombstone filter, so a
+            // copy-on-write merge after merge-on-read commits cannot
+            // resurrect deleted rows
+            val existing = readEntries(spark, root, touched ++ tombs)
             existing.join(updates.select(updates(key)).distinct(),
               Seq(key), "left_anti").unionByName(updates)
           }
@@ -438,6 +459,78 @@ object SnapshotTable {
           case _: CommitConflict if attempt < maxRetries => attempt += 1
           // table moved on: re-derive against the new current version
         }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** MERGE-ON-READ upsert: the write-optimized twin of [[merge]] and
+    * the semantics the reference's `write.delete.mode=merge-on-read`
+    * Iceberg property asks for. The commit stages ONLY the update
+    * batch (clustered data segment) plus a key-tombstone file listing
+    * the batch's keys — no existing file is read, opened or
+    * rewritten, so commit cost is O(batch) even when the update keys
+    * hit every file's range (the case that makes copy-on-write merge
+    * O(table)). Readers pay one join against the accumulated key set
+    * (see [[readEntries]]); [[compact]] materializes the merge and
+    * clears the tombstones. Same CAS + re-derive concurrency contract
+    * as [[merge]]. */
+  def mergeOnRead(spark: SparkSession, root: String, updates: DataFrame,
+      key: String, files: Int = 8, maxRetries: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      if (cur == 0L) {
+        // bootstrap is all-inserts: identical to COW bootstrap
+        val (seg, entries) =
+          stageSegment(spark, root, updates, Some(key), files)
+        try {
+          return commitExpectingEntries(spark, root, seg, entries,
+            expectedCurrent = 0L)
+        } catch {
+          case _: CommitConflict if attempt < maxRetries => attempt += 1
+        }
+      } else {
+        val prior = readManifest(spark, root, cur)
+        val (dataSeg, dataEntries) =
+          stageSegment(spark, root, updates, Some(key), files)
+        val (tombSeg, tombEntries) = stageSegment(spark, root,
+          updates.select(updates(key)).distinct(), Some(key), 1)
+        try {
+          return commitExpectingSegs(spark, root,
+            Seq(dataSeg, tombSeg),
+            prior ++ tombEntries.map(_.copy(kind = "t")) ++ dataEntries,
+            expectedCurrent = cur)
+        } catch {
+          case _: CommitConflict if attempt < maxRetries => attempt += 1
+        }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Merge-on-read DELETE by key set: commits ONLY a tombstone file —
+    * zero data IO regardless of table size (the delete-vector shape).
+    * Rows whose key appears in `keys` disappear from this version on;
+    * prior versions still time-travel to them. `keys` must expose the
+    * key as column `key`. */
+  def deleteKeysOnRead(spark: SparkSession, root: String,
+      keys: DataFrame, key: String, maxRetries: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      require(cur > 0L, s"cannot delete from an empty table at $root")
+      val prior = readManifest(spark, root, cur)
+      val (tombSeg, tombEntries) = stageSegment(spark, root,
+        keys.select(keys(key)).distinct(), Some(key), 1)
+      try {
+        return commitExpectingSegs(spark, root, Seq(tombSeg),
+          prior ++ tombEntries.map(_.copy(kind = "t")),
+          expectedCurrent = cur)
+      } catch {
+        case e: CommitConflict =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
       }
     }
     throw new IllegalStateException("unreachable")
@@ -507,16 +600,25 @@ object SnapshotTable {
     * `commitExpecting` refuses to publish a derivation of stale state
     * (merge / deleteWhere / compact / incremental view refresh). */
   private def commitExpectingEntries(spark: SparkSession, root: String,
-      seg: Path, entries: Seq[FileEntry], expectedCurrent: Long): Long = {
+      seg: Path, entries: Seq[FileEntry], expectedCurrent: Long): Long =
+    commitExpectingSegs(spark, root, Seq(seg), entries, expectedCurrent)
+
+  private def commitExpectingSegs(spark: SparkSession, root: String,
+      segs: Seq[Path], entries: Seq[FileEntry],
+      expectedCurrent: Long): Long = {
     val f = fs(spark, root)
     val target = expectedCurrent + 1
     if (maxLogVersion(f, root) >= target || !tryClaim(f, root, target)) {
-      f.delete(seg, true)
+      segs.foreach(f.delete(_, true))
       throw CommitConflict(s"table at $root moved past " +
         s"$expectedCurrent while deriving version $target")
     }
-    writeManifest(f, root, target, entries)
-    publish(f, root, target, entries, Some(seg))
+    // new entries carry the seq-0 sentinel; stamp them with the
+    // version that adds them (carried entries keep their add version)
+    val stamped = entries.map(e =>
+      if (e.seq == 0L) e.copy(seq = target) else e)
+    writeManifest(f, root, target, stamped)
+    publish(f, root, target, stamped, segs)
     spark.catalog.refreshByPath(root)
     target
   }
@@ -542,8 +644,20 @@ object SnapshotTable {
     * zero joins, the access pattern Iceberg calls incremental scan. */
   def diff(spark: SparkSession, root: String, from: Long, to: Long)
   : DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val a = readManifest(spark, root, from)
     val b = readManifest(spark, root, to)
+    // merge-on-read histories: a tombstone changes the LIVE rows of
+    // files that are in both manifests, so the file-delta shortcut is
+    // unsound — fall back to the exact (O(both versions)) bag diff.
+    // Append-only and COW histories never take this branch.
+    if ((a ++ b).exists(_.kind == "t")) {
+      val av = readVersion(spark, root, from)
+      val bv = readVersion(spark, root, to)
+      return bv.exceptAll(av).withColumn("change_type", lit("inserted"))
+        .unionByName(
+          av.exceptAll(bv).withColumn("change_type", lit("deleted")))
+    }
     val aPaths = a.map(_.path).toSet
     val bPaths = b.map(_.path).toSet
     val added = b.filterNot(e => aPaths.contains(e.path))
@@ -597,7 +711,43 @@ object SnapshotTable {
       s"version $v is not committed at $root")
     val entries = readManifest(spark, root, v)
     require(entries.nonEmpty, s"version $v at $root has an empty manifest")
-    spark.read.parquet(entries.map(absolute(root, _)): _*)
+    readEntries(spark, root, entries)
+  }
+
+  /** Materialize a manifest's entries as a DataFrame, applying
+    * merge-on-read tombstones. Fast path: no tombstones → one plain
+    * multi-file scan (every pre-MOR table takes this branch, zero
+    * added cost). With tombstones: data files are scanned grouped by
+    * their add-version (`seq`), each tombstone file contributes its
+    * keys with its own seq, and a row survives iff no tombstone with
+    * a STRICTLY NEWER seq covers its key — so a MOR commit's own
+    * replacement rows live while every older copy dies. One extra
+    * join against the (delete-vector-sized) key set is the read-side
+    * price; `compact` materializes and clears it. */
+  private def readEntries(spark: SparkSession, root: String,
+      entries: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max => smax2}
+    val (tombs, data) = entries.partition(_.kind == "t")
+    if (tombs.isEmpty)
+      spark.read.parquet(data.map(absolute(root, _)): _*)
+    else {
+      val key = tombs.head.statsKey.getOrElse(throw new IllegalStateException(
+        s"tombstone entry without a key column at $root"))
+      val base = data.groupBy(_.seq).toSeq.sortBy(_._1).map {
+        case (s, es) =>
+          spark.read.parquet(es.map(absolute(root, _)): _*)
+            .withColumn("__seq", lit(s))
+      }.reduce(_.unionByName(_))
+      val kills = tombs.map { t =>
+        spark.read.parquet(absolute(root, t))
+          .withColumn("__tseq", lit(t.seq))
+      }.reduce(_.unionByName(_))
+        .groupBy(col(key)).agg(smax2(col("__tseq")).as("__tseq"))
+        .withColumnRenamed(key, "__tk")
+      base.join(kills, base(key) <=> col("__tk"), "left")
+        .filter(coalesce(col("__tseq"), lit(Long.MinValue)) <= col("__seq"))
+        .drop("__tk", "__tseq", "__seq")
+    }
   }
 
   /** Drop all snapshots older than the newest `keep`. Returns the

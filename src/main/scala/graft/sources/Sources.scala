@@ -410,6 +410,33 @@ object Sources {
         .agg(count(lit(1)).as("n"),
           count(when(col("o_totalprice") < 0, 1)).as("n_updated"))
         .orderBy("o_orderstatus")
+    }),
+    // The merge-on-read path under the oracle: bootstrap a third of
+    // orders, MERGE-ON-READ the same update set (the commit writes
+    // only the batch + a key tombstone — zero existing files opened),
+    // then DELETE a key subset as a tombstone-only commit, and read
+    // the final state through the sequence-numbered tombstone filter.
+    // The oracle reconstructs the identical final state with plain
+    // SQL; matching hashes prove the read-side merge applies updates,
+    // deletes, and last-writer-wins ordering exactly.
+    "snapshot_mor_ingest" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-mor-q")
+        .toString + "/orders_mor"
+      val o = graft.Tables.load(s, dir, "orders")
+      val third = o.filter(col("o_orderkey") % 3 === 0)
+      val updates = o.filter((col("o_orderkey") % 30 === 0) ||
+          (col("o_orderkey") % 3 === 2 && col("o_orderkey") % 7 === 0))
+        .withColumn("o_totalprice", lit(-1.0))
+      SnapshotTable.merge(s, root, third, "o_orderkey")        // v1
+      SnapshotTable.mergeOnRead(s, root, updates, "o_orderkey") // v2
+      SnapshotTable.deleteKeysOnRead(s, root,                   // v3
+        o.filter(col("o_orderkey") % 60 === 0).select("o_orderkey"),
+        "o_orderkey")
+      SnapshotTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("o_totalprice") < 0, 1)).as("n_updated"))
+        .orderBy("o_orderstatus")
     }))
 
   /** Shared ANSI text for the Q21/Q2 shapes — same string runs in
@@ -517,6 +544,18 @@ object Sources {
         |WHERE o_orderkey % 3 IN (0, 1)
         |   OR o_orderkey % 30 = 0
         |   OR (o_orderkey % 3 = 2 AND o_orderkey % 7 = 0)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_mor_ingest" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 30 = 0
+        |    OR (o_orderkey % 3 = 2 AND o_orderkey % 7 = 0)
+        |    THEN 1 END) AS n_updated
+        |FROM orders
+        |WHERE (o_orderkey % 3 = 0
+        |   OR o_orderkey % 30 = 0
+        |   OR (o_orderkey % 3 = 2 AND o_orderkey % 7 = 0))
+        |  AND o_orderkey % 60 <> 0
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)
 }

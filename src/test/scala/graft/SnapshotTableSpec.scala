@@ -424,6 +424,78 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got == want, s"a concurrent merge was lost: ${want -- got}")
   }
 
+  test("merge-on-read: the commit stages only the batch + a key " +
+      "tombstone (every prior file untouched) and reads back exactly " +
+      "the copy-on-write result") {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val updates = orders.limit(5).withColumn("o_totalprice", lit(-1.0))
+    val newRows = orders.limit(3)
+      .withColumn("o_orderkey", col("o_orderkey") + 9000000L)
+      .withColumn("o_totalprice", lit(-1.0))
+    val allUpd = updates.unionByName(newRows)
+    val (cowRoot, morRoot) = (tmpRoot(), tmpRoot())
+    Seq(cowRoot, morRoot).foreach(r =>
+      SnapshotTable.merge(spark, r, orders, "o_orderkey", files = 6))
+    val priorFiles = fileMtimes(morRoot, 1L)
+    SnapshotTable.merge(spark, cowRoot, allUpd, "o_orderkey")
+    SnapshotTable.mergeOnRead(spark, morRoot, allUpd, "o_orderkey")
+    // every v1 file of the MOR table is untouched AND still referenced
+    val morManifest = SnapshotTable.manifest(spark, morRoot, 2L)
+    val morFiles = fileMtimes(morRoot, 2L)
+    priorFiles.foreach { case (p, t) =>
+      assert(morFiles.get(p).contains(t),
+        s"merge-on-read touched prior file $p")
+    }
+    assert(morManifest.count(_.kind == "t") == 1,
+      "exactly one tombstone file per MOR commit")
+    // identical final state through both write paths
+    def snap(r: String) = SnapshotTable.read(spark, r)
+      .orderBy("o_orderkey").collect().toSeq
+    assert(snap(morRoot) == snap(cowRoot),
+      "merge-on-read must read back exactly the COW merge result")
+    // diff across a MOR commit is still exact
+    val d = SnapshotTable.diff(spark, morRoot, 1L, 2L)
+    assert(d.filter(col("change_type") === "inserted").count() == 8)
+  }
+
+  test("merge-on-read delete + compaction: a tombstone-only commit " +
+      "hides the keys with zero data IO; a later MOR merge wins by " +
+      "sequence; compact materializes and clears every tombstone") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val base = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    SnapshotTable.merge(spark, root, base, "k", files = 4)
+    val priorFiles = fileMtimes(root, 1L)
+    SnapshotTable.deleteKeysOnRead(spark, root,
+      Seq(7L, 13L, 99L).toDF("k"), "k")
+    val m2 = SnapshotTable.manifest(spark, root, 2L)
+    assert(m2.count(_.kind == "t") == 1 &&
+      m2.count(_.kind == "d") == priorFiles.size,
+      "delete commit must add exactly one tombstone and no data")
+    priorFiles.foreach { case (p, t) =>
+      assert(fileMtimes(root, 2L).get(p).contains(t)) }
+    assert(SnapshotTable.read(spark, root).count() == 97)
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("k").isin(7L, 13L, 99L)).count() == 0)
+    // prior version still time-travels to the deleted rows
+    assert(SnapshotTable.readVersion(spark, root, 1L).count() == 100)
+    // a later MOR merge re-inserts key 13: newer seq beats the tombstone
+    SnapshotTable.mergeOnRead(spark, root,
+      Seq((13L, "reborn")).toDF("k", "v"), "k")
+    val afterMerge = SnapshotTable.read(spark, root)
+    assert(afterMerge.count() == 98)
+    assert(afterMerge.filter(col("k") === 13L)
+      .select("v").as[String].head() == "reborn")
+    // compaction materializes the merge view and clears tombstones
+    val (_, _, v) = SnapshotTable.compact(spark, root)
+    val compacted = SnapshotTable.manifest(spark, root, v)
+    assert(compacted.forall(_.kind == "d"),
+      "compact must clear every tombstone")
+    assert(SnapshotTable.read(spark, root).orderBy("k").collect().toSeq ==
+      afterMerge.orderBy("k").collect().toSeq)
+  }
+
   test("history reports per-version file sharing: appends share every " +
       "prior file, replacements share none") {
     val root = tmpRoot()
