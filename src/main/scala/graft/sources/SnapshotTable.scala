@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, input_file_name, lit, max => smax, min => smin}
 
@@ -572,9 +572,13 @@ object SnapshotTable {
     * publishing a latest version that lacks the writer's rows.
     * Returns (files before, files after, new version). Rows are
     * REPARTITIONED (hash, not coalesce) so skewed inputs still compact
-    * in parallel. */
+    * in parallel — or RANGE-clustered when `clusterKey` is given, so a
+    * compaction of a merge-maintained table regenerates the per-file
+    * stats the next merge prunes on (and clears accumulated
+    * merge-on-read tombstones by materializing their effect). */
   def compact(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024): (Long, Long, Long) = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      clusterKey: Option[String] = None): (Long, Long, Long) = {
     val f = fs(spark, root)
     val v = currentVersion(spark, root)
     if (v == 0L) return (0L, 0L, 0L) // nothing committed, nothing to do
@@ -584,8 +588,13 @@ object SnapshotTable {
     if (totalBytes == 0) return (entries.size.toLong, entries.size.toLong, v)
     val nFiles =
       math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val (seg, newEntries) = stageSegment(spark, root,
-      readVersion(spark, root, v).repartition(nFiles), None, 0)
+    val snapshot = readVersion(spark, root, v)
+    val (seg, newEntries) = clusterKey match {
+      case Some(_) =>
+        stageSegment(spark, root, snapshot, clusterKey, nFiles)
+      case None =>
+        stageSegment(spark, root, snapshot.repartition(nFiles), None, 0)
+    }
     val newV = commitExpectingEntries(spark, root, seg, newEntries,
       expectedCurrent = v)
     (entries.size.toLong, newEntries.size.toLong, newV)
