@@ -494,12 +494,23 @@ object SnapshotTable {
         val prior = readManifest(spark, root, cur)
         val (dataSeg, dataEntries) =
           stageSegment(spark, root, updates, Some(key), files)
-        val (tombSeg, tombEntries) = stageSegment(spark, root,
-          updates.select(updates(key)).distinct(), Some(key), 1)
+        // manifest-stats check (zero data IO): when no existing file's
+        // key range can contain an update key, the batch is provably
+        // all-inserts — skip the tombstone, keeping the history
+        // append-only (and diff/incremental-MV on their O(batch)
+        // path). Monotone-key ingest takes this branch every batch.
+        val (touched, _) = touchedFiles(spark, root,
+          prior.filter(_.kind == "d"), updates, key)
+        val (segs, entries) =
+          if (touched.isEmpty) (Seq(dataSeg), prior ++ dataEntries)
+          else {
+            val (tombSeg, tombEntries) = stageSegment(spark, root,
+              updates.select(updates(key)).distinct(), Some(key), 1)
+            (Seq(dataSeg, tombSeg),
+              prior ++ tombEntries.map(_.copy(kind = "t")) ++ dataEntries)
+          }
         try {
-          return commitExpectingSegs(spark, root,
-            Seq(dataSeg, tombSeg),
-            prior ++ tombEntries.map(_.copy(kind = "t")) ++ dataEntries,
+          return commitExpectingSegs(spark, root, segs, entries,
             expectedCurrent = cur)
         } catch {
           case _: CommitConflict if attempt < maxRetries => attempt += 1

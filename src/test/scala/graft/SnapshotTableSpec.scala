@@ -487,13 +487,29 @@ class SnapshotTableSpec extends SparkSpec {
     assert(afterMerge.count() == 98)
     assert(afterMerge.filter(col("k") === 13L)
       .select("v").as[String].head() == "reborn")
-    // compaction materializes the merge view and clears tombstones
-    val (_, _, v) = SnapshotTable.compact(spark, root)
+    // compaction materializes the merge view and clears tombstones,
+    // and the clustered form regenerates per-file stats for pruning
+    val (_, _, v) = SnapshotTable.compact(spark, root,
+      clusterKey = Some("k"))
     val compacted = SnapshotTable.manifest(spark, root, v)
     assert(compacted.forall(_.kind == "d"),
       "compact must clear every tombstone")
+    assert(compacted.forall(_.statsKey.contains("k")),
+      "clustered compaction must regenerate per-file stats")
     assert(SnapshotTable.read(spark, root).orderBy("k").collect().toSeq ==
       afterMerge.orderBy("k").collect().toSeq)
+    // a fresh-key MOR merge after compaction is provably all-inserts:
+    // the manifest stats prune everything, so NO tombstone is written
+    // and the commit is a pure append (history stays O(batch)-diffable)
+    val before = SnapshotTable.manifest(spark, root, v).map(_.path).toSet
+    SnapshotTable.mergeOnRead(spark, root,
+      Seq((1000L, "fresh")).toDF("k", "v"), "k")
+    val after = SnapshotTable.manifest(spark, root, v + 1)
+    assert(after.forall(_.kind == "d"),
+      "fresh-key MOR merge must not write a tombstone")
+    assert(before.subsetOf(after.map(_.path).toSet),
+      "fresh-key MOR merge must carry every prior file")
+    assert(SnapshotTable.read(spark, root).count() == 99)
   }
 
   test("history reports per-version file sharing: appends share every " +
