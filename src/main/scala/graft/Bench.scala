@@ -73,10 +73,15 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    def median(sorted: Seq[Double]): Double = {
+      val n = sorted.size
+      if (n % 2 == 1) sorted(n / 2)
+      else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+    }
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val times = (1 to reps).map(_ => timeOnce(name, fn)).sorted
-        (name, times(times.size / 2), times.head)
+        (name, median(times), times.head)
     }
     val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")

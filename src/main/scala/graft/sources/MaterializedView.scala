@@ -56,6 +56,23 @@ object MaterializedView {
     }
   }
 
+  /** The source version consumed by EXACTLY view version `viewV` (the
+    * version-pinned form the incremental path needs: reading "the
+    * latest marker" and "the view snapshot" at different instants lets
+    * a concurrent refresh slip in between and get its delta applied
+    * twice). None when `viewV` has no marker. */
+  private def markerFor(spark: SparkSession, viewRoot: String,
+      viewV: Long): Option[Long] = {
+    val f = SnapshotTable.fs(spark, viewRoot)
+    val p = new Path(viewRoot, s"$markerPrefix$viewV")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
   private def writeFreshness(spark: SparkSession, viewRoot: String,
       sourceV: Long, viewV: Long): Unit = {
     val f = SnapshotTable.fs(spark, viewRoot)
@@ -150,10 +167,18 @@ object MaterializedView {
     * anything). */
   def refreshIncremental(spark: SparkSession, v: IncrementalView): Long = {
     import org.apache.spark.sql.functions._
-    val lastV = refreshedAgainst(spark, v.viewRoot)
+    // pin the VIEW version first, then resolve marker + snapshot + CAS
+    // all against that one version: reading the latest marker and the
+    // view snapshot at different instants would let a refresh that
+    // lands in between have its delta applied a second time (the CAS
+    // alone cannot catch it — marker and snapshot would already agree)
+    val viewCur = SnapshotTable.currentVersion(spark, v.viewRoot)
+    val lastV =
+      if (viewCur == 0L) 0L
+      else markerFor(spark, v.viewRoot, viewCur).getOrElse(0L)
     val curV = SnapshotTable.currentVersion(spark, v.sourceRoot)
     if (lastV == curV && lastV > 0)
-      return SnapshotTable.currentVersion(spark, v.viewRoot) // fresh: no-op
+      return viewCur // fresh: no-op
     val canDelta = lastV > 0 && lastV < curV &&
       SnapshotTable.versions(spark, v.sourceRoot).contains(lastV)
     if (!canDelta) return refresh(spark, asView(v))
@@ -173,7 +198,7 @@ object MaterializedView {
         Seq(col("dn")) ++
         v.sumCols.flatMap(c =>
           Seq(col(s"dsum_$c"), col(s"dcnt_$c"))): _*)
-    val old = SnapshotTable.read(spark, v.viewRoot)
+    val old = SnapshotTable.readVersion(spark, v.viewRoot, viewCur)
     val cond = v.keys.map(k => old(k) <=> deltaAgg(s"__dk_$k"))
       .reduce(_ && _)
     val zeroDec = lit(0).cast("decimal(20,2)")
@@ -197,7 +222,6 @@ object MaterializedView {
           .as("n")) ++
         v.sumCols.flatMap(mergedSum)): _*)
       .filter(col("n") > 0)
-    val viewCur = SnapshotTable.currentVersion(spark, v.viewRoot)
     val viewV =
       try SnapshotTable.commitExpecting(spark, v.viewRoot, merged,
         expectedCurrent = viewCur)

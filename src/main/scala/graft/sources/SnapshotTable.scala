@@ -492,6 +492,7 @@ object SnapshotTable {
         }
       } else {
         val prior = readManifest(spark, root, cur)
+        requireTombKey(prior, key, root)
         val (dataSeg, dataEntries) =
           stageSegment(spark, root, updates, Some(key), files)
         // manifest-stats check (zero data IO): when no existing file's
@@ -532,6 +533,7 @@ object SnapshotTable {
       val cur = currentVersion(spark, root)
       require(cur > 0L, s"cannot delete from an empty table at $root")
       val prior = readManifest(spark, root, cur)
+      requireTombKey(prior, key, root)
       val (tombSeg, tombEntries) = stageSegment(spark, root,
         keys.select(keys(key)).distinct(), Some(key), 1)
       try {
@@ -764,10 +766,26 @@ object SnapshotTable {
       }.reduce(_.unionByName(_))
         .groupBy(col(key)).agg(smax2(col("__tseq")).as("__tseq"))
         .withColumnRenamed(key, "__tk")
-      base.join(kills, base(key) <=> col("__tk"), "left")
+      // plain equality, NOT <=>: SQL `key IN (...)` semantics — a NULL
+      // tombstone key matches nothing, and NULL-key data rows are
+      // never killed, matching what the copy-on-write merge's
+      // equality anti-join does (the spec pins MOR ≡ COW)
+      base.join(kills, base(key) === col("__tk"), "left")
         .filter(coalesce(col("__tseq"), lit(Long.MinValue)) <= col("__seq"))
         .drop("__tk", "__tseq", "__seq")
     }
+  }
+
+  /** Commit-time guard for the merge-on-read ops: every tombstone of a
+    * table must use ONE key column, or reads would be ill-defined.
+    * Failing the commit beats committing an unreadable table. */
+  private def requireTombKey(prior: Seq[FileEntry], key: String,
+      root: String): Unit = {
+    val other = prior.filter(_.kind == "t")
+      .flatMap(_.statsKey).distinct.filterNot(_ == key)
+    require(other.isEmpty,
+      s"table at $root already has tombstones keyed by " +
+        s"${other.mkString(",")}; cannot mix with key '$key'")
   }
 
   /** Drop all snapshots older than the newest `keep`. Returns the
@@ -879,25 +897,39 @@ object SnapshotTable {
       }
     }
     // 3. data segments referenced by NO manifest on disk (committed or
-    //    in-flight), older than the floor; plus stale staging dirs of
-    //    the pre-manifest layout
-    val referenced: Set[String] = {
+    //    in-flight), older than the floor. The referenced set is
+    //    REBUILT immediately before each delete: a commit can land
+    //    between the candidate listing and the delete (its manifest
+    //    appearing after the first read), and reaping its segment then
+    //    would mint a committed version with no data. Re-reading
+    //    manifests per candidate is metadata-only and vacuum is
+    //    maintenance, not a hot path.
+    def referencedNow(): Set[String] = {
       if (!f.exists(md)) Set.empty
       else f.listStatus(md).toSeq.map(_.getPath.getName)
         .filter(_.forall(_.isDigit))
-        .flatMap(v => readManifest(spark, root, v.toLong))
+        .flatMap(v =>
+          try readManifest(spark, root, v.toLong)
+          catch { case _: java.io.IOException => Seq.empty })
         // qualified (scheme-carrying) form to match listStatus paths
         .map(e => f.makeQualified(new Path(root, e.path)).toString).toSet
     }
     val dd = dataDir(root)
-    if (f.exists(dd)) f.listStatus(dd).toSeq.foreach { st =>
-      val p = st.getPath
-      if (st.isDirectory && oldEnough(p)) {
-        val parts = f.listStatus(p).toSeq.map(_.getPath)
-        val live = parts.exists(pp => referenced.contains(pp.toString))
-        if (!live) {
-          f.delete(p, true)
-          removed += p.toString
+    if (f.exists(dd)) {
+      val candidates = f.listStatus(dd).toSeq
+        .filter(st => st.isDirectory && oldEnough(st.getPath))
+        .map(_.getPath)
+      candidates.foreach { p =>
+        val referenced = referencedNow()
+        // a failed listing means "unknown", never "unreferenced"
+        val partsOpt =
+          try Some(f.listStatus(p).toSeq.map(_.getPath))
+          catch { case _: java.io.IOException => None }
+        partsOpt.foreach { parts =>
+          if (!parts.exists(pp => referenced.contains(pp.toString))) {
+            f.delete(p, true)
+            removed += p.toString
+          }
         }
       }
     }

@@ -512,6 +512,44 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 99)
   }
 
+  test("merge-on-read NULL-key semantics match copy-on-write: a NULL " +
+      "key matches nothing (SQL IN), so NULL-key rows accumulate " +
+      "identically through both write paths") {
+    def frame(rows: Seq[(Option[Long], String)]) =
+      rows.toDF("k", "v")
+    val base = frame(Seq(None -> "old_null", Some(1L) -> "one",
+      Some(2L) -> "two"))
+    val batch = frame(Seq(None -> "new_null", Some(1L) -> "one_v2"))
+    val (cowRoot, morRoot) = (tmpRoot(), tmpRoot())
+    Seq(cowRoot, morRoot).foreach(r =>
+      SnapshotTable.merge(spark, r, base, "k"))
+    SnapshotTable.merge(spark, cowRoot, batch, "k")
+    SnapshotTable.mergeOnRead(spark, morRoot, batch, "k")
+    def snap(r: String) = SnapshotTable.read(spark, r)
+      .collect().map(row => Option(row.get(0)) -> row.getString(1))
+      .toSeq.sortBy(_._2)
+    assert(snap(morRoot) == snap(cowRoot),
+      s"NULL-key divergence: ${snap(morRoot)} vs ${snap(cowRoot)}")
+    assert(snap(morRoot).count(_._1.isEmpty) == 2,
+      "both NULL-key rows must survive (NULL never matches a key)")
+  }
+
+  test("merge-on-read rejects a second tombstone key at commit time " +
+      "instead of committing an unreadable table") {
+    val root = tmpRoot()
+    val base = (1 to 10).map(i => (i.toLong, i.toString, i * 2L))
+      .toDF("a", "v", "b")
+    SnapshotTable.merge(spark, root, base, "a")
+    SnapshotTable.mergeOnRead(spark, root,
+      Seq((1L, "x", 99L)).toDF("a", "v", "b"), "a")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.deleteKeysOnRead(spark, root,
+        Seq(4L).toDF("b"), "b")
+    }
+    // the failed commit left the table fully readable
+    assert(SnapshotTable.read(spark, root).count() == 10)
+  }
+
   test("history reports per-version file sharing: appends share every " +
       "prior file, replacements share none") {
     val root = tmpRoot()
