@@ -736,6 +736,73 @@ object SnapshotTable {
     readEntries(spark, root, entries)
   }
 
+  /** Scan planning from manifest stats: split version `v`'s entries
+    * into (kept, skipped) for a range predicate on `key` — a file is
+    * skipped iff its recorded [lo, hi] provably cannot intersect the
+    * requested bounds. Files without stats on `key` are conservatively
+    * kept; tombstones are always kept (their stats describe the keys
+    * they KILL, not rows they contain — skipping one would resurrect
+    * deleted rows). Bounds compare in the key's parquet type (one
+    * footer read), never as strings. */
+  private[graft] def pruneEntries(spark: SparkSession, root: String,
+      v: Long, key: String, lo: Option[String], hi: Option[String])
+  : (Seq[FileEntry], Seq[FileEntry]) = {
+    import spark.implicits._
+    val entries = readManifest(spark, root, v)
+    val (tombs, data) = entries.partition(_.kind == "t")
+    val (withStats, without) = data.partition(e =>
+      e.statsKey.contains(key) && e.lo.isDefined && e.hi.isDefined)
+    if (withStats.isEmpty || (lo.isEmpty && hi.isEmpty))
+      return (entries, Seq.empty)
+    val keyType = spark.read
+      .parquet(absolute(root, withStats.head)).schema(key).dataType
+    // O(#files) metadata, the manifest itself — same shape as the
+    // MERGE-side pruning in touchedFiles
+    val ranges = withStats.map(e => (e.path, e.lo.get, e.hi.get))
+      .toDF("__p", "__lo", "__hi")
+      .select(col("__p"), col("__lo").cast(keyType).as("__lo"),
+        col("__hi").cast(keyType).as("__hi"))
+    val overlap =
+      lo.fold(lit(true))(b => col("__hi") >= lit(b).cast(keyType)) &&
+        hi.fold(lit(true))(b => col("__lo") <= lit(b).cast(keyType))
+    val keep = ranges.filter(overlap).select("__p")
+      .as[String].collect().toSet
+    val (kept, skipped) = withStats.partition(e => keep.contains(e.path))
+    (tombs ++ without ++ kept, skipped)
+  }
+
+  /** Predicate-pruned read — the read-side twin of MERGE's file
+    * pruning, i.e. Iceberg-style scan planning. Returns exactly
+    * `readVersion(v).filter(lo <= key AND key <= hi)` (bounds
+    * optional, inclusive, given as strings cast to the key's type),
+    * but data files whose manifest stats prove no row can match are
+    * never opened. The residual filter still runs over the kept
+    * files, so stats only ever SKIP work — they cannot change the
+    * answer. MOR-safe: tombstones always load, and the tombstone join
+    * only removes rows, so pruning data files cannot resurrect
+    * anything. At 100 TB this is the difference between a key-range
+    * lookup costing O(matching files) and O(table). */
+  def readWhere(spark: SparkSession, root: String, key: String,
+      lo: Option[String] = None, hi: Option[String] = None,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, root))
+    require(versions(spark, root).contains(v),
+      s"version $v is not committed at $root")
+    val (kept, skipped) = pruneEntries(spark, root, v, key, lo, hi)
+    val base =
+      if (kept.exists(_.kind != "t")) readEntries(spark, root, kept)
+      else {
+        // every data file pruned away: empty result, table schema
+        // from one footer (manifests are never all-tombstone, so a
+        // skipped data file must exist)
+        spark.read.parquet(absolute(root, skipped.head)).limit(0)
+      }
+    val kt = base.schema(key).dataType
+    base.filter(
+      lo.fold(lit(true))(b => col(key) >= lit(b).cast(kt)) &&
+        hi.fold(lit(true))(b => col(key) <= lit(b).cast(kt)))
+  }
+
   /** Materialize a manifest's entries as a DataFrame, applying
     * merge-on-read tombstones. Fast path: no tombstones → one plain
     * multi-file scan (every pre-MOR table takes this branch, zero

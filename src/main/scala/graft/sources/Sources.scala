@@ -437,6 +437,26 @@ object Sources {
         .agg(count(lit(1)).as("n"),
           count(when(col("o_totalprice") < 0, 1)).as("n_updated"))
         .orderBy("o_orderstatus")
+    }),
+    // Stats-pruned scan under the oracle: cluster orders into a
+    // snapshot table (per-file min/max on the key recorded in the
+    // manifest), then answer a key-range query through readWhere —
+    // scan planning skips every file whose range cannot intersect
+    // [1000, 5000] without opening it. The oracle runs the same range
+    // query over the base table; matching hashes prove pruning never
+    // changes the answer (the spec proves it actually skips files).
+    "snapshot_pruned_scan" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-scan-q")
+        .toString + "/orders_scan"
+      val o = graft.Tables.load(s, dir, "orders")
+      SnapshotTable.merge(s, root, o, "o_orderkey")
+      SnapshotTable.readWhere(s, root, "o_orderkey",
+          lo = Some("1000"), hi = Some("5000"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
     }))
 
   /** Shared ANSI text for the Q21/Q2 shapes — same string runs in
@@ -556,6 +576,13 @@ object Sources {
         |   OR o_orderkey % 30 = 0
         |   OR (o_orderkey % 3 = 2 AND o_orderkey % 7 = 0))
         |  AND o_orderkey % 60 <> 0
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_pruned_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 5000
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)
 }

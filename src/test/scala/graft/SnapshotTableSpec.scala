@@ -687,4 +687,62 @@ class SnapshotTableSpec extends SparkSpec {
       assert(gotView == want)
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("readWhere skips files by manifest stats without opening them, " +
+      "and matches an unpruned filtered read exactly") {
+    val root = tmpRoot()
+    val orders = Tables.load(spark, sfDir, "orders")
+    SnapshotTable.merge(spark, root, orders, "o_orderkey") // clustered v1
+    val entries = SnapshotTable.manifest(spark, root, 1L)
+    assert(entries.size > 1, "fixture must span multiple files to prune")
+    val (kept, skipped) = SnapshotTable.pruneEntries(spark, root, 1L,
+      "o_orderkey", Some("1000"), Some("5000"))
+    assert(skipped.nonEmpty,
+      "a narrow range over a clustered table must skip files")
+    // planning is sound: every skipped file's range provably misses
+    skipped.foreach { e =>
+      assert(e.lo.get.toLong > 5000L || e.hi.get.toLong < 1000L,
+        s"skipped ${e.path} with overlapping range [${e.lo},${e.hi}]")
+    }
+    val got = SnapshotTable.readWhere(spark, root, "o_orderkey",
+      lo = Some("1000"), hi = Some("5000"))
+    // the scan only opens kept files
+    val opened = got.select(input_file_name()).distinct()
+      .as[String].collect().toSet
+    val keptPaths = kept.map(e =>
+      new org.apache.hadoop.fs.Path(root, e.path).toString).toSet
+    assert(opened.forall(p => keptPaths.exists(p.endsWith)),
+      s"scan opened a pruned file: ${opened -- keptPaths}")
+    assert(opened.size <= kept.size && opened.size < entries.size)
+    // and pruning never changes the answer
+    val want = SnapshotTable.read(spark, root)
+      .filter(col("o_orderkey") >= 1000L && col("o_orderkey") <= 5000L)
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(got.select("o_orderkey").as[Long].collect().sorted.toSeq
+      == want)
+  }
+
+  test("readWhere with a range beyond every file returns empty with " +
+      "the table schema; MOR tombstones still apply under pruning") {
+    val root = tmpRoot()
+    val orders = Tables.load(spark, sfDir, "orders")
+    SnapshotTable.merge(spark, root, orders, "o_orderkey")
+    val none = SnapshotTable.readWhere(spark, root, "o_orderkey",
+      lo = Some(Long.MaxValue.toString))
+    assert(none.count() == 0L)
+    assert(none.schema == SnapshotTable.read(spark, root).schema)
+    // MOR: delete keys inside the probed range as a tombstone-only
+    // commit, then prove the pruned read still honors the tombstone
+    SnapshotTable.deleteKeysOnRead(spark, root,
+      orders.filter(col("o_orderkey").between(1000L, 2000L))
+        .select("o_orderkey"), "o_orderkey")
+    val got = SnapshotTable.readWhere(spark, root, "o_orderkey",
+        lo = Some("1000"), hi = Some("5000"))
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    val want = SnapshotTable.read(spark, root)
+      .filter(col("o_orderkey") >= 1000L && col("o_orderkey") <= 5000L)
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(got == want && got.forall(k => k > 2000L),
+      "pruned MOR read must apply tombstones identically")
+  }
 }
