@@ -69,6 +69,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_topk(col, k) - Misra-Gries heavy hitters",
       exprs => MisraGriesTopK(exprs.head,
         SketchFunctions.intLitArg(exprs(1), "k"))))
+    e.injectFunction(fn("graft_cms_sketch",
+      "graft_cms_sketch(col, depth, width) - Count-Min frequency sketch",
+      exprs => CmsSketchAgg(exprs.head,
+        SketchFunctions.intLitArg(exprs(1), "depth"),
+        SketchFunctions.intLitArg(exprs(2), "width"))))
+    e.injectFunction(fn("graft_cms_est",
+      "graft_cms_est(sketch, item) - Count-Min point estimate",
+      exprs => CmsEstimate(exprs(0), exprs(1))))
+    e.injectFunction(fn("graft_bottomk",
+      "graft_bottomk(col, k) - deterministic min-wise distinct sample",
+      exprs => BottomKAgg(exprs.head,
+        SketchFunctions.intLitArg(exprs(1), "k"))))
     graft.plans.GraftRules.all.foreach(r => e.injectOptimizerRule(_ => r))
   }
 }

@@ -411,6 +411,66 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("term"))
         .limit(20)
+    }),
+
+    // Count-Min frequency census (graft.functions.CmsSketchAgg): one
+    // 4×4096 counter grid instead of a full term GROUP BY, probed
+    // in-plan for the exact top-10 terms. The sketch is deterministic
+    // (counter sums commute), so the rows-only check is stable; the
+    // never-under column is the CMS guarantee made visible. The
+    // crossJoin is the 1-row broadcast-scalar shape every sketch probe
+    // here uses. NOT oracle-compared: hash-addressed estimates are
+    // engine-specific by nature (same contract as the HLL family).
+    "sketch_term_freq_cms" -> ((s, dir) => {
+      graft.functions.CmsFunctions.register(s)
+      val terms = docs(s, dir).selectExpr(s"explode($toks) AS term")
+      val sk = terms.agg(expr("graft_cms_sketch(term, 4, 4096)").as("sk"))
+      terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
+        .orderBy(desc("n_exact"), asc("term")).limit(10)
+        .crossJoin(broadcast(sk))
+        .selectExpr("term", "n_exact",
+          "graft_cms_est(sk, term) AS n_est",
+          "graft_cms_est(sk, term) >= n_exact AS never_under")
+        .orderBy(desc("n_exact"), asc("term"))
+    }),
+
+    // Deterministic distinct sampling via the mergeable bottom-k
+    // (min-wise) sketch: the k distinct values with the smallest
+    // 64-bit hash — the uniform "show me a few example values per
+    // group" a 100 TB profiler answers without collect_set's unbounded
+    // state. Unlike a seeded reservoir, bottom-k commutes with union,
+    // so the answer is independent of partitioning (spec-pinned).
+    "sketch_bottomk_sample" -> ((s, dir) => {
+      graft.functions.CmsFunctions.register(s)
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(expr("graft_bottomk(source, 3)").as("sample_sources"),
+          expr("graft_bottomk(doc_id, 5)").as("sample_doc_ids"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(asc("lang"))
+    }),
+
+    // RAG-prep chunking: overlapping fixed-size token windows
+    // (window 32, stride 24 — each chunk shares 8 tokens with its
+    // predecessor, the standard retrieval-context shape). Pure narrow
+    // work: sequence() enumerates chunk starts, one generator explodes
+    // them, slice() takes each window — whole-stage codegen end to
+    // end, no shuffle until the ORDER BY. At 100 TB chunking is
+    // scan-bound and embarrassingly parallel; output size is
+    // input × (1/stride-overlap factor), so the plan must never
+    // materialize per-doc state — and this one doesn't.
+    "docs_chunk_overlap" -> ((s, dir) => {
+      docs(s, dir)
+        .selectExpr("doc_id", s"$toks AS toks")
+        .selectExpr("doc_id", "toks",
+          "posexplode(sequence(0, size(toks) - 1, 24)) AS (i, start)")
+        .selectExpr("doc_id",
+          "CAST(start AS BIGINT) AS chunk_start",
+          "CAST(size(slice(toks, start + 1, 32)) AS BIGINT) " +
+            "AS n_chunk_toks",
+          "CAST(length(concat_ws(' ', slice(toks, start + 1, 32))) " +
+            "AS BIGINT) AS chunk_chars")
+        .orderBy(asc("doc_id"), asc("chunk_start"))
     }))
 
   private val toksSql = "string_split(text, ' ')"
@@ -589,5 +649,16 @@ object TextAnalysis {
     "term_counts" ->
       s"""SELECT term, count(*) AS n
          |FROM (SELECT unnest($toksSql) AS term FROM documents)
-         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin)
+         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    "docs_chunk_overlap" ->
+      s"""SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+         |  CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT)
+         |    AS n_chunk_toks,
+         |  CAST(length(array_to_string(
+         |    list_slice(toks, start + 1, start + 32), ' ')) AS BIGINT)
+         |    AS chunk_chars
+         |FROM (SELECT doc_id, $toksSql AS toks FROM documents),
+         |  LATERAL unnest(generate_series(0, len(toks) - 1, 24))
+         |    AS t(start)
+         |ORDER BY doc_id, chunk_start""".stripMargin)
 }

@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, input_file_name, lit, max => smax, min => smin}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Versioned snapshot table over plain Parquet — the engine's answer to
   * the reference's Iceberg usage (`streaming-service/api.py:205-241`:
@@ -134,9 +135,16 @@ object SnapshotTable {
   // One line per file, tab-separated base64(UTF-8) fields
   // (path, statsKey, lo, hi, kind, seq) — base64 so stat values may
   // contain any character; empty field = None/default. Line 1 is a
-  // format tag.
+  // format tag; v2 adds an optional `#schema\t<b64 json>` header: the
+  // TABLE schema as of this version, recorded at commit time. Readers
+  // apply it as an explicit read schema, which is what makes schema
+  // evolution O(0) at plan time — no mergeSchema footer sweep over
+  // every file (Iceberg's schema-in-metadata design; at 100 TB a
+  // footer sweep is millions of reads before the first row).
 
-  private val ManifestTag = "graft-manifest-v1"
+  private val ManifestTagV1 = "graft-manifest-v1"
+  private val ManifestTag = "graft-manifest-v2"
+  private val SchemaHeader = "#schema"
 
   private def b64(s: String): String = java.util.Base64.getEncoder
     .encodeToString(s.getBytes("UTF-8"))
@@ -144,12 +152,14 @@ object SnapshotTable {
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
   private def writeManifest(f: FileSystem, root: String, v: Long,
-      entries: Seq[FileEntry]): Unit = {
+      entries: Seq[FileEntry], schema: StructType): Unit = {
     f.mkdirs(manifestsDir(root))
     val p = new Path(manifestsDir(root), v.toString)
     val out = f.create(p, false) // uncontended: only the claim holder
     try {
       val sb = new StringBuilder(ManifestTag).append('\n')
+      sb.append(SchemaHeader).append('\t').append(b64(schema.json))
+        .append('\n')
       entries.foreach { e =>
         sb.append(b64(e.path)).append('\t')
           .append(e.statsKey.fold("")(b64)).append('\t')
@@ -162,22 +172,60 @@ object SnapshotTable {
     } finally out.close()
   }
 
+  /** Additive schema evolution: the new table schema after a batch
+    * with `batch` columns lands on a table whose schema is `prior`.
+    * Prior columns keep their position and type; batch-only columns
+    * append at the end. A same-named column with a DIFFERENT type
+    * fails the COMMIT — refusing at write time beats publishing a
+    * table whose old files can no longer be read under the new schema
+    * (the same rule Iceberg enforces; type WIDENING is a non-goal
+    * here). Every column of the evolved schema is nullable: old files
+    * read NULL for columns added after them, and new files read NULL
+    * for prior columns the batch dropped. */
+  private[graft] def evolveSchema(prior: StructType,
+      batch: StructType): StructType = {
+    batch.fields.foreach { bf =>
+      prior.fields.find(_.name == bf.name).foreach { pf =>
+        require(pf.dataType == bf.dataType,
+          s"incompatible schema change for column '${bf.name}': " +
+            s"${pf.dataType.simpleString} -> ${bf.dataType.simpleString}")
+      }
+    }
+    val priorNames = prior.fieldNames.toSet
+    StructType((prior.fields ++
+      batch.fields.filterNot(f => priorNames.contains(f.name)))
+      .map(_.copy(nullable = true)))
+  }
+
   /** The data files of version `v` — the metadata query a table
     * format's `.files` view answers. */
   def manifest(spark: SparkSession, root: String, v: Long): Seq[FileEntry] =
     readManifest(spark, root, v)
 
   private[sources] def readManifest(spark: SparkSession, root: String,
-      v: Long): Seq[FileEntry] = {
+      v: Long): Seq[FileEntry] = readManifestFull(spark, root, v)._1
+
+  /** Entries plus the committed table schema (None only for a
+    * pre-schema v1 manifest, where readers fall back to footer
+    * inference — the compatibility path, not the design). */
+  private[sources] def readManifestFull(spark: SparkSession,
+      root: String, v: Long): (Seq[FileEntry], Option[StructType]) = {
     val f = fs(spark, root)
     val p = new Path(manifestsDir(root), v.toString)
     val in = f.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.split('\n').toSeq.filter(_.nonEmpty)
-    require(lines.headOption.contains(ManifestTag),
+    require(lines.headOption.exists(t =>
+      t == ManifestTag || t == ManifestTagV1),
       s"unrecognized manifest format at $p")
-    lines.drop(1).map { l =>
+    val (headers, rows) = lines.drop(1).partition(_.startsWith("#"))
+    val schema = headers.collectFirst {
+      case h if h.startsWith(SchemaHeader + "\t") =>
+        DataType.fromJson(unb64(h.split('\t')(1)))
+          .asInstanceOf[StructType]
+    }
+    val entries = rows.map { l =>
       val fld = l.split('\t').padTo(6, "")
       FileEntry(unb64(fld(0)),
         Option(fld(1)).filter(_.nonEmpty).map(unb64),
@@ -187,7 +235,13 @@ object SnapshotTable {
         Option(fld(5)).filter(_.nonEmpty).map(unb64)
           .map(_.toLong).getOrElse(0L))
     }
+    (entries, schema)
   }
+
+  /** The table's current schema as recorded in the manifest — the
+    * metadata query `DESCRIBE TABLE` answers, no file opened. */
+  def tableSchema(spark: SparkSession, root: String): Option[StructType] =
+    readManifestFull(spark, root, currentVersion(spark, root))._2
 
   private def absolute(root: String, e: FileEntry): String =
     new Path(root, e.path).toString
@@ -302,7 +356,7 @@ object SnapshotTable {
       val next = maxLogVersion(f, root) + 1
       if (tryClaim(f, root, next)) {
         val stamped = entries.map(_.copy(seq = next))
-        writeManifest(f, root, next, stamped)
+        writeManifest(f, root, next, stamped, df.schema)
         publish(f, root, next, stamped, Seq(seg))
         spark.catalog.refreshByPath(root)
         return next
@@ -337,14 +391,18 @@ object SnapshotTable {
     var attempt = 0
     while (true) {
       val cur = currentVersion(spark, root)
-      val all =
-        (if (cur == 0) Seq.empty else readManifest(spark, root, cur)) ++
-          entries
+      val (priorEntries, priorSchema) =
+        if (cur == 0) (Seq.empty[FileEntry], None)
+        else readManifestFull(spark, root, cur)
+      val all = priorEntries ++ entries
+      // appending is the evolution path: batch-only columns extend the
+      // table schema, prior columns the batch lacks read NULL
+      val schema = priorSchema.fold(df.schema)(evolveSchema(_, df.schema))
       val target = cur + 1
       if (maxLogVersion(f, root) < target && tryClaim(f, root, target)) {
         val stamped = all.map(e =>
           if (e.seq == 0L) e.copy(seq = target) else e)
-        writeManifest(f, root, target, stamped)
+        writeManifest(f, root, target, stamped, schema)
         publish(f, root, target, stamped, Seq(seg))
         spark.catalog.refreshByPath(root)
         return target
@@ -422,12 +480,14 @@ object SnapshotTable {
           stageSegment(spark, root, updates, Some(key), files)
         try {
           return commitExpectingEntries(spark, root, seg, entries,
-            expectedCurrent = 0L)
+            expectedCurrent = 0L, schema = updates.schema)
         } catch {
           case _: CommitConflict if attempt < maxRetries => attempt += 1
         }
       } else {
-        val prior = readManifest(spark, root, cur)
+        val (prior, priorSchema) = readManifestFull(spark, root, cur)
+        val schema = priorSchema
+          .fold(updates.schema)(evolveSchema(_, updates.schema))
         val (tombs, dataEntries) = prior.partition(_.kind == "t")
         val (touched, carriedData) =
           touchedFiles(spark, root, dataEntries, updates, key)
@@ -437,10 +497,14 @@ object SnapshotTable {
           else {
             // read touched files THROUGH the tombstone filter, so a
             // copy-on-write merge after merge-on-read commits cannot
-            // resurrect deleted rows
-            val existing = readEntries(spark, root, touched ++ tombs)
+            // resurrect deleted rows; allowMissingColumns lets an
+            // evolving batch union with pre-evolution files (absent
+            // columns land as NULL, matching the read path)
+            val existing = readEntries(spark, root, touched ++ tombs,
+              priorSchema)
             existing.join(updates.select(updates(key)).distinct(),
-              Seq(key), "left_anti").unionByName(updates)
+              Seq(key), "left_anti")
+              .unionByName(updates, allowMissingColumns = true)
           }
         // size the rewritten segment by its input bytes, with `files`
         // as the clustering-granularity floor: a fixed file count
@@ -454,7 +518,8 @@ object SnapshotTable {
           stageSegment(spark, root, rewritten, Some(key), outFiles)
         try {
           return commitExpectingEntries(spark, root, seg,
-            carried ++ newEntries, expectedCurrent = cur)
+            carried ++ newEntries, expectedCurrent = cur,
+            schema = schema)
         } catch {
           case _: CommitConflict if attempt < maxRetries => attempt += 1
           // table moved on: re-derive against the new current version
@@ -486,12 +551,14 @@ object SnapshotTable {
           stageSegment(spark, root, updates, Some(key), files)
         try {
           return commitExpectingEntries(spark, root, seg, entries,
-            expectedCurrent = 0L)
+            expectedCurrent = 0L, schema = updates.schema)
         } catch {
           case _: CommitConflict if attempt < maxRetries => attempt += 1
         }
       } else {
-        val prior = readManifest(spark, root, cur)
+        val (prior, priorSchema) = readManifestFull(spark, root, cur)
+        val schema = priorSchema
+          .fold(updates.schema)(evolveSchema(_, updates.schema))
         requireTombKey(prior, key, root)
         val (dataSeg, dataEntries) =
           stageSegment(spark, root, updates, Some(key), files)
@@ -512,7 +579,7 @@ object SnapshotTable {
           }
         try {
           return commitExpectingSegs(spark, root, segs, entries,
-            expectedCurrent = cur)
+            expectedCurrent = cur, schema = schema)
         } catch {
           case _: CommitConflict if attempt < maxRetries => attempt += 1
         }
@@ -532,14 +599,17 @@ object SnapshotTable {
     while (true) {
       val cur = currentVersion(spark, root)
       require(cur > 0L, s"cannot delete from an empty table at $root")
-      val prior = readManifest(spark, root, cur)
+      val (prior, priorSchema) = readManifestFull(spark, root, cur)
       requireTombKey(prior, key, root)
       val (tombSeg, tombEntries) = stageSegment(spark, root,
         keys.select(keys(key)).distinct(), Some(key), 1)
       try {
+        // a tombstone-only commit cannot change the table schema
         return commitExpectingSegs(spark, root, Seq(tombSeg),
           prior ++ tombEntries.map(_.copy(kind = "t")),
-          expectedCurrent = cur)
+          expectedCurrent = cur,
+          schema = priorSchema.getOrElse(
+            readVersion(spark, root, cur).schema))
       } catch {
         case e: CommitConflict =>
           if (attempt >= maxRetries) throw e
@@ -565,7 +635,7 @@ object SnapshotTable {
       val (seg, entries) = stageSegment(spark, root, kept, None, 0)
       try {
         return commitExpectingEntries(spark, root, seg, entries,
-          expectedCurrent = cur)
+          expectedCurrent = cur, schema = kept.schema)
       } catch {
         case e: CommitConflict =>
           if (attempt >= maxRetries) throw e
@@ -609,7 +679,7 @@ object SnapshotTable {
         stageSegment(spark, root, snapshot.repartition(nFiles), None, 0)
     }
     val newV = commitExpectingEntries(spark, root, seg, newEntries,
-      expectedCurrent = v)
+      expectedCurrent = v, schema = snapshot.schema)
     (entries.size.toLong, newEntries.size.toLong, newV)
   }
 
@@ -622,12 +692,14 @@ object SnapshotTable {
     * `commitExpecting` refuses to publish a derivation of stale state
     * (merge / deleteWhere / compact / incremental view refresh). */
   private def commitExpectingEntries(spark: SparkSession, root: String,
-      seg: Path, entries: Seq[FileEntry], expectedCurrent: Long): Long =
-    commitExpectingSegs(spark, root, Seq(seg), entries, expectedCurrent)
+      seg: Path, entries: Seq[FileEntry], expectedCurrent: Long,
+      schema: StructType): Long =
+    commitExpectingSegs(spark, root, Seq(seg), entries, expectedCurrent,
+      schema)
 
   private def commitExpectingSegs(spark: SparkSession, root: String,
       segs: Seq[Path], entries: Seq[FileEntry],
-      expectedCurrent: Long): Long = {
+      expectedCurrent: Long, schema: StructType): Long = {
     val f = fs(spark, root)
     val target = expectedCurrent + 1
     if (maxLogVersion(f, root) >= target || !tryClaim(f, root, target)) {
@@ -639,7 +711,7 @@ object SnapshotTable {
     // version that adds them (carried entries keep their add version)
     val stamped = entries.map(e =>
       if (e.seq == 0L) e.copy(seq = target) else e)
-    writeManifest(f, root, target, stamped)
+    writeManifest(f, root, target, stamped, schema)
     publish(f, root, target, stamped, segs)
     spark.catalog.refreshByPath(root)
     target
@@ -650,7 +722,8 @@ object SnapshotTable {
   private[sources] def commitExpecting(spark: SparkSession, root: String,
       df: DataFrame, expectedCurrent: Long): Long = {
     val (seg, entries) = stageSegment(spark, root, df, None, 0)
-    commitExpectingEntries(spark, root, seg, entries, expectedCurrent)
+    commitExpectingEntries(spark, root, seg, entries, expectedCurrent,
+      schema = df.schema)
   }
 
   /** Incremental read: the row-level delta between two committed
@@ -668,14 +741,16 @@ object SnapshotTable {
   : DataFrame = {
     import org.apache.spark.sql.functions.lit
     val a = readManifest(spark, root, from)
-    val b = readManifest(spark, root, to)
+    val (b, toSchema) = readManifestFull(spark, root, to)
     // merge-on-read histories: a tombstone changes the LIVE rows of
     // files that are in both manifests, so the file-delta shortcut is
     // unsound — fall back to the exact (O(both versions)) bag diff.
     // Append-only and COW histories never take this branch.
     if ((a ++ b).exists(_.kind == "t")) {
-      val av = readVersion(spark, root, from)
-      val bv = readVersion(spark, root, to)
+      // FROM reads under TO's schema so the exceptAll legs stay
+      // union-compatible across an evolved history
+      val av = readEntries(spark, root, a, toSchema)
+      val bv = readEntries(spark, root, b, toSchema)
       return bv.exceptAll(av).withColumn("change_type", lit("inserted"))
         .unionByName(
           av.exceptAll(bv).withColumn("change_type", lit("deleted")))
@@ -684,8 +759,16 @@ object SnapshotTable {
     val bPaths = b.map(_.path).toSet
     val added = b.filterNot(e => aPaths.contains(e.path))
     val removed = a.filterNot(e => bPaths.contains(e.path))
-    def readFiles(es: Seq[FileEntry]): DataFrame =
-      spark.read.parquet(es.map(absolute(root, _)): _*)
+    // both sides read under the TO schema (evolution is additive, so
+    // it covers FROM's columns; removed pre-evolution files read NULL
+    // for later columns) — the exceptAll legs stay union-compatible
+    def readFiles(es: Seq[FileEntry]): DataFrame = {
+      val paths = es.map(absolute(root, _))
+      toSchema.fold(spark.read.parquet(paths: _*))(st =>
+        spark.read
+          .schema(StructType(st.fields.map(_.copy(nullable = true))))
+          .parquet(paths: _*))
+    }
     def tag(df: DataFrame, t: String): DataFrame =
       df.withColumn("change_type", lit(t))
     (added.nonEmpty, removed.nonEmpty) match {
@@ -731,9 +814,9 @@ object SnapshotTable {
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     require(versions(spark, root).contains(v),
       s"version $v is not committed at $root")
-    val entries = readManifest(spark, root, v)
+    val (entries, schema) = readManifestFull(spark, root, v)
     require(entries.nonEmpty, s"version $v at $root has an empty manifest")
-    readEntries(spark, root, entries)
+    readEntries(spark, root, entries, schema)
   }
 
   /** Scan planning from manifest stats: split version `v`'s entries
@@ -748,14 +831,16 @@ object SnapshotTable {
       v: Long, key: String, lo: Option[String], hi: Option[String])
   : (Seq[FileEntry], Seq[FileEntry]) = {
     import spark.implicits._
-    val entries = readManifest(spark, root, v)
+    val (entries, mSchema) = readManifestFull(spark, root, v)
     val (tombs, data) = entries.partition(_.kind == "t")
     val (withStats, without) = data.partition(e =>
       e.statsKey.contains(key) && e.lo.isDefined && e.hi.isDefined)
     if (withStats.isEmpty || (lo.isEmpty && hi.isEmpty))
       return (entries, Seq.empty)
-    val keyType = spark.read
-      .parquet(absolute(root, withStats.head)).schema(key).dataType
+    // key type from the manifest schema when recorded (v2); one footer
+    // read only on the v1 compatibility path
+    val keyType = mSchema.map(_.apply(key).dataType).getOrElse(spark.read
+      .parquet(absolute(root, withStats.head)).schema(key).dataType)
     // O(#files) metadata, the manifest itself — same shape as the
     // MERGE-side pruning in touchedFiles
     val ranges = withStats.map(e => (e.path, e.lo.get, e.hi.get))
@@ -788,14 +873,20 @@ object SnapshotTable {
     val v = version.getOrElse(currentVersion(spark, root))
     require(versions(spark, root).contains(v),
       s"version $v is not committed at $root")
+    val mSchema = readManifestFull(spark, root, v)._2
     val (kept, skipped) = pruneEntries(spark, root, v, key, lo, hi)
     val base =
-      if (kept.exists(_.kind != "t")) readEntries(spark, root, kept)
+      if (kept.exists(_.kind != "t")) readEntries(spark, root, kept,
+        mSchema)
       else {
         // every data file pruned away: empty result, table schema
-        // from one footer (manifests are never all-tombstone, so a
-        // skipped data file must exist)
-        spark.read.parquet(absolute(root, skipped.head)).limit(0)
+        // from the manifest (one footer read on the v1 path —
+        // manifests are never all-tombstone, so a skipped data file
+        // must exist)
+        mSchema.fold(
+          spark.read.parquet(absolute(root, skipped.head)).limit(0))(
+          st => spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), st))
       }
     val kt = base.schema(key).dataType
     base.filter(
@@ -812,20 +903,32 @@ object SnapshotTable {
     * a STRICTLY NEWER seq covers its key — so a MOR commit's own
     * replacement rows live while every older copy dies. One extra
     * join against the (delete-vector-sized) key set is the read-side
-    * price; `compact` materializes and clears it. */
+    * price; `compact` materializes and clears it.
+    *
+    * With a manifest `schema` the data files are read under it
+    * EXPLICITLY (columns a file predates read as NULL) — schema
+    * evolution with zero footer reads at plan time. Tombstone files
+    * keep their own single-column schema; the table schema never
+    * applies to them. */
   private def readEntries(spark: SparkSession, root: String,
-      entries: Seq[FileEntry]): DataFrame = {
+      entries: Seq[FileEntry],
+      schema: Option[StructType]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, max => smax2}
+    def readData(es: Seq[FileEntry]): DataFrame = {
+      val paths = es.map(absolute(root, _))
+      schema.fold(spark.read.parquet(paths: _*))(st =>
+        spark.read
+          .schema(StructType(st.fields.map(_.copy(nullable = true))))
+          .parquet(paths: _*))
+    }
     val (tombs, data) = entries.partition(_.kind == "t")
     if (tombs.isEmpty)
-      spark.read.parquet(data.map(absolute(root, _)): _*)
+      readData(data)
     else {
       val key = tombs.head.statsKey.getOrElse(throw new IllegalStateException(
         s"tombstone entry without a key column at $root"))
       val base = data.groupBy(_.seq).toSeq.sortBy(_._1).map {
-        case (s, es) =>
-          spark.read.parquet(es.map(absolute(root, _)): _*)
-            .withColumn("__seq", lit(s))
+        case (s, es) => readData(es).withColumn("__seq", lit(s))
       }.reduce(_.unionByName(_))
       val kills = tombs.map { t =>
         spark.read.parquet(absolute(root, t))

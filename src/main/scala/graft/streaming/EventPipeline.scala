@@ -345,6 +345,47 @@ object EventPipeline {
         ()
       }
 
+  /** Merge-on-read variant of the lakehouse sink: each micro-batch
+    * lands via [[graft.sources.SnapshotTable.mergeOnRead]] — the commit
+    * writes ONLY the batch's segment plus (when the batch's keys can
+    * touch existing files) a key tombstone. No existing data file is
+    * opened even when the batch UPDATES existing keys — exactly the
+    * case where [[snapshotMvSink]]'s copy-on-write merge must rewrite
+    * every touched file. Write cost is therefore O(batch)
+    * unconditionally: fresh-key batches take mergeOnRead's provable
+    * all-inserts branch (pure append, no tombstone), replayed or
+    * late-update batches pay one extra tombstone file. This is the
+    * `write.merge.mode=merge-on-read` profile the reference configures
+    * on its Iceberg tables, delivered by the engine's own table layer.
+    *
+    * The read-side price (the tombstone join) is bounded by compacting
+    * every `compactEvery` versions: compaction materializes the merged
+    * state, clears every tombstone and re-clusters on the key so
+    * manifest stats stay tight for the next merge. Readers are
+    * unaffected mid-compaction (it is just another CAS commit). */
+  def snapshotMorSink(flat: DataFrame, tableRoot: String,
+      checkpoint: String, compactEvery: Int = 16)
+  : DataStreamWriter[Row] =
+    flat.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        // persist: the batch feeds both the staged segment and the
+        // all-inserts manifest check
+        val fresh = batch.dropDuplicates("event_id").persist()
+        try {
+          if (!fresh.isEmpty) {
+            val v = graft.sources.SnapshotTable.mergeOnRead(s, tableRoot,
+              fresh, "event_id")
+            if (v % compactEvery == 0)
+              graft.sources.SnapshotTable.compact(s, tableRoot,
+                clusterKey = Some("event_id"))
+          }
+        } finally fresh.unpersist()
+        ()
+      }
+
   /** Fixture-events ingest — the same parse→flatten→quality composition
     * specialized to the fixture `events` table shape (`event_id, ts,
     * user_id, event_type, value, props`), so the streamed sink output is

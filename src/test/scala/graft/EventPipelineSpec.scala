@@ -414,6 +414,74 @@ class EventPipelineSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("merge-on-read lakehouse sink: updating batches never rewrite " +
+      "a prior file, last write wins, compaction clears tombstones") {
+    implicit val sc = spark.sqlContext
+    import graft.sources.SnapshotTable
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-mor-sink").toString
+    val tableRoot = s"$base/events_t"
+    val stream = MemoryStream[String]
+    def drainRound(compactEvery: Int): Unit = {
+      val q = EventPipeline.snapshotMorSink(
+        EventPipeline.pipeline(stream.toDF()),
+        tableRoot, checkpoint = s"$base/ckpt",
+        compactEvery = compactEvery).start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    // batches 0-2: fresh keys; batches 3-4 REPLAY keys m000*/m010*
+    // with a different event type — the case where the COW sink must
+    // rewrite every touched file and MOR must not touch any
+    val mk = (b: Int, i: Int) => f"m$b%02d$i%02d"
+    (0 until 3).foreach { b =>
+      stream.addData((0 until 4).map(i => ev(mk(b, i))): _*)
+      drainRound(compactEvery = 99)
+    }
+    (0 until 2).foreach { b =>
+      stream.addData((0 until 4).map(i =>
+        ev(mk(b, i), typ = "WatchEvent")): _*)
+      drainRound(compactEvery = 99)
+    }
+    val vs = SnapshotTable.versions(spark, tableRoot)
+    assert(vs.size == 5)
+    vs.sliding(2).foreach {
+      case Seq(a, b2) =>
+        val pa = SnapshotTable.manifest(spark, tableRoot, a)
+          .map(_.path).toSet
+        val pb = SnapshotTable.manifest(spark, tableRoot, b2)
+          .map(_.path).toSet
+        assert((pa -- pb).isEmpty,
+          s"v$b2 dropped/rewrote prior files — MOR must only add")
+      case _ => ()
+    }
+    // update batches carried a tombstone; fresh-key batches did not
+    assert(SnapshotTable.manifest(spark, tableRoot, 3L)
+      .count(_.kind == "t") == 0, "fresh-key batch must skip tombstone")
+    assert(SnapshotTable.manifest(spark, tableRoot, 4L)
+      .count(_.kind == "t") == 1, "updating batch must add 1 tombstone")
+    // last write wins: replayed keys show the updated type
+    val byId = SnapshotTable.read(spark, tableRoot)
+      .select("event_id", "event_type").as[(String, String)]
+      .collect().toMap
+    assert(byId.size == 12, s"12 distinct keys expected, got ${byId.size}")
+    assert(byId(mk(0, 0)) == "WatchEvent" && byId(mk(1, 3)) == "WatchEvent")
+    assert(byId(mk(2, 0)) == "PushEvent")
+    // one more updating batch with compactEvery=6 → the commit lands
+    // as v6 and triggers compaction (v7): tombstones cleared, content
+    // identical
+    stream.addData((0 until 4).map(i =>
+      ev(mk(2, i), typ = "WatchEvent")): _*)
+    drainRound(compactEvery = 6)
+    val cur = SnapshotTable.currentVersion(spark, tableRoot)
+    assert(cur == 7L, s"expected compaction commit v7, at $cur")
+    assert(SnapshotTable.manifest(spark, tableRoot, cur)
+      .count(_.kind == "t") == 0, "compaction must clear tombstones")
+    val after = SnapshotTable.read(spark, tableRoot)
+      .select("event_id", "event_type").as[(String, String)]
+      .collect().toMap
+    assert(after.size == 12 && after.values.forall(_ == "WatchEvent"))
+  }
+
   test("sessionizer runs on the RocksDB state store provider") {
     // the 100 TB state path: state lives off-heap/on-disk in RocksDB
     // instead of the in-memory HashMap provider — same results

@@ -688,6 +688,73 @@ class SnapshotTableSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("schema evolution: an appended batch with a new column evolves " +
+      "the table schema from metadata — old rows read NULL, time " +
+      "travel keeps the old schema, type changes are refused") {
+    val root = tmpRoot()
+    val v1df = (1 to 10).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    SnapshotTable.commit(spark, root, v1df)
+    val v2df = (11 to 15).map(i => (i.toLong, s"n$i", i * 1.5))
+      .toDF("id", "name", "score")
+    SnapshotTable.append(spark, root, v2df)
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.schema.fieldNames.toSeq == Seq("id", "name", "score"),
+      "batch-only columns must append to the table schema")
+    assert(cur.count() == 15)
+    val scores = cur.select("id", "score").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert((1 to 10).forall(i => scores(i.toLong).isEmpty),
+      "pre-evolution rows must read NULL for the added column")
+    assert(scores(12L).contains(18.0))
+    // time travel resolves the schema AS OF that version
+    assert(SnapshotTable.readVersion(spark, root, 1L)
+      .schema.fieldNames.toSeq == Seq("id", "name"))
+    // the DESCRIBE-style metadata query answers without data IO
+    assert(SnapshotTable.tableSchema(spark, root).get
+      .fieldNames.toSeq == Seq("id", "name", "score"))
+    // an incompatible type change must fail the COMMIT, not the reads
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root,
+        Seq((16L, 99)).toDF("id", "name"))
+    }
+    assert(SnapshotTable.currentVersion(spark, root) == 2L,
+      "a refused commit must not advance the version log")
+  }
+
+  test("schema evolution composes with merge, stats-pruned reads and " +
+      "diff across the evolved boundary") {
+    val root = tmpRoot()
+    val base = (1 to 100).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    SnapshotTable.merge(spark, root, base, "id") // v1, clustered
+    SnapshotTable.append(spark, root,
+      (101 to 120).map(i => (i.toLong, s"n$i", i * 1.0))
+        .toDF("id", "name", "score"),
+      clusterKey = Some("id"))                   // v2, evolves
+    // a COW merge of evolved-schema updates onto pre-evolution files
+    SnapshotTable.merge(spark, root,
+      Seq((5L, "n5x", 5.5), (200L, "n200", 200.0))
+        .toDF("id", "name", "score"), "id")      // v3
+    val cur = SnapshotTable.read(spark, root)
+    val byId = cur.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(byId.size == 121)
+    assert(byId(5L) == (("n5x", Some(5.5))), "merged row must update")
+    assert(byId(6L) == (("n6", None)), "untouched old row keeps NULL")
+    assert(byId(200L) == (("n200", Some(200.0))))
+    // stats-pruned read over the evolved table: full schema, right rows
+    val got = SnapshotTable.readWhere(spark, root, "id",
+      lo = Some("110"), hi = Some("115"))
+    assert(got.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(got.count() == 6)
+    // diff across the evolution: the appended batch, under to-schema
+    val d = SnapshotTable.diff(spark, root, 1L, 2L)
+    assert(d.schema.fieldNames.contains("score"))
+    assert(d.filter(col("change_type") === "inserted").count() == 20)
+    assert(d.filter(col("change_type") === "deleted").count() == 0)
+  }
+
   test("readWhere skips files by manifest stats without opening them, " +
       "and matches an unpruned filtered read exactly") {
     val root = tmpRoot()
