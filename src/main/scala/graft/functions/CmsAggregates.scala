@@ -25,6 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object Cms {
   val MaxDepth = 16
   val MaxWidth = 1 << 20
+  val MaxCells = 1 << 22
 
   @inline def index(h: Long, d: Int, width: Int): Int =
     java.lang.Math.floorMod(Splitmix.mix(h ^ (d * 0xc2b2ae3d27d4eb4fL)),
@@ -88,6 +89,12 @@ case class CmsSketchAgg(child: Expression, depth: Int, width: Int,
     else if (width < 2 || width > Cms.MaxWidth)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName width must be in [2, ${Cms.MaxWidth}]")
+    else if (depth.toLong * width > Cms.MaxCells)
+      // each GROUP holds a depth*width long grid; per-group state must
+      // stay sketch-sized or a wide groupBy OOMs the executors
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName depth*width must be <= ${Cms.MaxCells} " +
+          "(32 MB of counters per group)")
     else child.dataType match {
       case StringType | LongType | IntegerType =>
         TypeCheckResult.TypeCheckSuccess

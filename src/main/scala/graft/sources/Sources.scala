@@ -438,6 +438,28 @@ object Sources {
           count(when(col("o_totalprice") < 0, 1)).as("n_updated"))
         .orderBy("o_orderstatus")
     }),
+    // Schema evolution under the oracle: commit a third of orders,
+    // append another third CARRYING A NEW COLUMN (disc), and read the
+    // evolved table back — pre-evolution rows must surface disc as
+    // NULL, appended rows with their values, all from the manifest
+    // schema (no footer merging). The oracle reconstructs the same
+    // final state with a CASE over the base table; matching hashes
+    // prove evolve-on-append + explicit-schema read end to end.
+    "snapshot_schema_evolution" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-evo-q")
+        .toString + "/orders_evo"
+      val o = graft.Tables.load(s, dir, "orders")
+      SnapshotTable.commit(s, root, o.filter(col("o_orderkey") % 3 === 0))
+      SnapshotTable.append(s, root,
+        o.filter(col("o_orderkey") % 3 === 1)
+          .withColumn("disc", col("o_orderkey") % 7))
+      SnapshotTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("disc")).as("n_with_disc"),
+          sum(col("disc")).as("sum_disc"))
+        .orderBy("o_orderstatus")
+    }),
     // Stats-pruned scan under the oracle: cluster orders into a
     // snapshot table (per-file min/max on the key recorded in the
     // manifest), then answer a key-range query through readWhere —
@@ -583,6 +605,14 @@ object Sources {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_schema_evolution" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 3 = 1 THEN 1 END) AS n_with_disc,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 1
+        |    THEN o_orderkey % 7 END) AS BIGINT) AS sum_disc
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)
 }

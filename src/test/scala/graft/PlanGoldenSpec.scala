@@ -216,4 +216,24 @@ class PlanGoldenSpec extends SparkSpec {
       """BroadcastHashJoin \[bucket#\d+L?\], \[bucket#\d+L?\], Inner, BuildRight, \(\(value""",
       "bucket equi-join with range residual")
   }
+
+  test("docs_chunk_overlap: narrow chunking — one generator, no join, " +
+    "no aggregation, no shuffle before the output sort") {
+    val p = planOf("docs_chunk_overlap")
+    assert(!p.contains("Join"), "chunking must not join")
+    assert(!p.contains("HashAggregate"), "chunking must not aggregate")
+    assertHas(p, "Generate posexplode", "the chunk-start generator")
+    // exactly ONE exchange: the rangepartitioning for the final sort —
+    // any second one means per-doc state got materialized
+    assert(count(p, "Exchange") == 1, s"expected 1 Exchange:\n$p")
+  }
+
+  test("snapshot_pruned_scan: the scan reads a pruned file subset and " +
+    "the residual range filter stays on the scan") {
+    val p = planOf("snapshot_pruned_scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      "a pruned key-range read must stay join-free")
+    assertHas(p, """o_orderkey#\d+L >= 1000""", "residual lower bound")
+    assertHas(p, """o_orderkey#\d+L <= 5000""", "residual upper bound")
+  }
 }
