@@ -165,9 +165,22 @@ case class CmsEstimate(left: Expression, right: Expression)
         s"$prettyName supports STRING/BIGINT/INT probes, got ${t.simpleString}")
     }
 
+  // decode memo: in every probe shape here the sketch is a broadcast
+  // scalar, so consecutive rows see the SAME byte array — re-decoding
+  // depth*width longs per row would turn an O(depth) lookup into an
+  // O(sketch) allocation storm. Reference equality is the guard: a
+  // different array decodes fresh, so a miss only costs what the
+  // unmemoized path always paid.
+  @transient private[this] var lastSketch: Array[Byte] = _
+  @transient private[this] var lastDecoded: (Int, Int, Array[Long]) = _
+
   override protected def nullSafeEval(sketch: Any, item: Any): Any = {
-    val (depth, width, counts) =
-      Cms.fromBytes(sketch.asInstanceOf[Array[Byte]])
+    val bytes = sketch.asInstanceOf[Array[Byte]]
+    if (!(bytes eq lastSketch)) {
+      lastDecoded = Cms.fromBytes(bytes)
+      lastSketch = bytes
+    }
+    val (depth, width, counts) = lastDecoded
     val h = Hll.hashValue(item, right.dataType)
     var est = Long.MaxValue
     var d = 0

@@ -461,6 +461,10 @@ object TextAnalysis {
     // materialize per-doc state — and this one doesn't.
     "docs_chunk_overlap" -> ((s, dir) => {
       docs(s, dir)
+        // NULL text chunks to nothing — pinned explicitly so Spark
+        // (NULL sequence bounds) and DuckDB (NULL generate_series)
+        // agree by construction rather than by engine accident
+        .filter(col("text").isNotNull)
         .selectExpr("doc_id", s"$toks AS toks")
         .selectExpr("doc_id", "toks",
           "posexplode(sequence(0, size(toks) - 1, 24)) AS (i, start)")
@@ -657,7 +661,8 @@ object TextAnalysis {
          |  CAST(length(array_to_string(
          |    list_slice(toks, start + 1, start + 32), ' ')) AS BIGINT)
          |    AS chunk_chars
-         |FROM (SELECT doc_id, $toksSql AS toks FROM documents),
+         |FROM (SELECT doc_id, $toksSql AS toks FROM documents
+         |      WHERE text IS NOT NULL),
          |  LATERAL unnest(generate_series(0, len(toks) - 1, 24))
          |    AS t(start)
          |ORDER BY doc_id, chunk_start""".stripMargin)

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, input_file_name, lit, max => smax, min => smin}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types._
 
 /** Versioned snapshot table over plain Parquet — the engine's answer to
   * the reference's Iceberg usage (`streaming-service/api.py:205-241`:
@@ -184,18 +184,31 @@ object SnapshotTable {
     * for prior columns the batch dropped. */
   private[graft] def evolveSchema(prior: StructType,
       batch: StructType): StructType = {
+    // CASE-INSENSITIVE matching, like Spark's default resolution: a
+    // batch column differing only in case must evolve onto the prior
+    // column, not append a duplicate that poisons every later read
+    // (Spark's duplicate-column check would reject the read schema)
     batch.fields.foreach { bf =>
-      prior.fields.find(_.name == bf.name).foreach { pf =>
+      prior.fields.find(_.name.equalsIgnoreCase(bf.name)).foreach { pf =>
         require(pf.dataType == bf.dataType,
           s"incompatible schema change for column '${bf.name}': " +
             s"${pf.dataType.simpleString} -> ${bf.dataType.simpleString}")
       }
     }
-    val priorNames = prior.fieldNames.toSet
+    val priorNames = prior.fieldNames.map(_.toLowerCase).toSet
     StructType((prior.fields ++
-      batch.fields.filterNot(f => priorNames.contains(f.name)))
+      batch.fields.filterNot(f => priorNames.contains(f.name.toLowerCase)))
       .map(_.copy(nullable = true)))
   }
+
+  /** The prior table schema for an evolving commit: the manifest's
+    * recorded schema, or — on the v1 compatibility path, where the
+    * manifest predates schema tracking — the footer-resolved schema of
+    * the current version. Falling back to the BATCH schema instead
+    * would silently drop prior-only columns from every later read. */
+  private def priorSchemaOrRead(spark: SparkSession, root: String,
+      cur: Long, recorded: Option[StructType]): StructType =
+    recorded.getOrElse(readVersion(spark, root, cur).schema)
 
   /** The data files of version `v` — the metadata query a table
     * format's `.files` view answers. */
@@ -239,9 +252,13 @@ object SnapshotTable {
   }
 
   /** The table's current schema as recorded in the manifest — the
-    * metadata query `DESCRIBE TABLE` answers, no file opened. */
-  def tableSchema(spark: SparkSession, root: String): Option[StructType] =
-    readManifestFull(spark, root, currentVersion(spark, root))._2
+    * metadata query `DESCRIBE TABLE` answers, no file opened. None for
+    * an empty table or a pre-schema (v1) manifest. */
+  def tableSchema(spark: SparkSession, root: String): Option[StructType] = {
+    val cur = currentVersion(spark, root)
+    if (cur == 0L) None
+    else readManifestFull(spark, root, cur)._2
+  }
 
   private def absolute(root: String, e: FileEntry): String =
     new Path(root, e.path).toString
@@ -397,7 +414,10 @@ object SnapshotTable {
       val all = priorEntries ++ entries
       // appending is the evolution path: batch-only columns extend the
       // table schema, prior columns the batch lacks read NULL
-      val schema = priorSchema.fold(df.schema)(evolveSchema(_, df.schema))
+      val schema =
+        if (cur == 0) df.schema
+        else evolveSchema(
+          priorSchemaOrRead(spark, root, cur, priorSchema), df.schema)
       val target = cur + 1
       if (maxLogVersion(f, root) < target && tryClaim(f, root, target)) {
         val stamped = all.map(e =>
@@ -486,8 +506,9 @@ object SnapshotTable {
         }
       } else {
         val (prior, priorSchema) = readManifestFull(spark, root, cur)
-        val schema = priorSchema
-          .fold(updates.schema)(evolveSchema(_, updates.schema))
+        val schema = evolveSchema(
+          priorSchemaOrRead(spark, root, cur, priorSchema),
+          updates.schema)
         val (tombs, dataEntries) = prior.partition(_.kind == "t")
         val (touched, carriedData) =
           touchedFiles(spark, root, dataEntries, updates, key)
@@ -557,8 +578,9 @@ object SnapshotTable {
         }
       } else {
         val (prior, priorSchema) = readManifestFull(spark, root, cur)
-        val schema = priorSchema
-          .fold(updates.schema)(evolveSchema(_, updates.schema))
+        val schema = evolveSchema(
+          priorSchemaOrRead(spark, root, cur, priorSchema),
+          updates.schema)
         requireTombKey(prior, key, root)
         val (dataSeg, dataEntries) =
           stageSegment(spark, root, updates, Some(key), files)
@@ -740,17 +762,24 @@ object SnapshotTable {
   def diff(spark: SparkSession, root: String, from: Long, to: Long)
   : DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val a = readManifest(spark, root, from)
+    val (a, fromSchema) = readManifestFull(spark, root, from)
     val (b, toSchema) = readManifestFull(spark, root, to)
+    // both legs read under the UNION of the two schemas: TO alone
+    // would project away FROM-only columns (backward diffs, replacing
+    // commits that dropped a column) and silently cancel rows whose
+    // only change was in the dropped column. evolveSchema is the union
+    // with the type-conflict guard built in.
+    val readSchema = (fromSchema, toSchema) match {
+      case (Some(f), Some(t)) => Some(evolveSchema(f, t))
+      case (f, t) => f.orElse(t)
+    }
     // merge-on-read histories: a tombstone changes the LIVE rows of
     // files that are in both manifests, so the file-delta shortcut is
     // unsound — fall back to the exact (O(both versions)) bag diff.
     // Append-only and COW histories never take this branch.
     if ((a ++ b).exists(_.kind == "t")) {
-      // FROM reads under TO's schema so the exceptAll legs stay
-      // union-compatible across an evolved history
-      val av = readEntries(spark, root, a, toSchema)
-      val bv = readEntries(spark, root, b, toSchema)
+      val av = readEntries(spark, root, a, readSchema)
+      val bv = readEntries(spark, root, b, readSchema)
       return bv.exceptAll(av).withColumn("change_type", lit("inserted"))
         .unionByName(
           av.exceptAll(bv).withColumn("change_type", lit("deleted")))
@@ -759,16 +788,8 @@ object SnapshotTable {
     val bPaths = b.map(_.path).toSet
     val added = b.filterNot(e => aPaths.contains(e.path))
     val removed = a.filterNot(e => bPaths.contains(e.path))
-    // both sides read under the TO schema (evolution is additive, so
-    // it covers FROM's columns; removed pre-evolution files read NULL
-    // for later columns) — the exceptAll legs stay union-compatible
-    def readFiles(es: Seq[FileEntry]): DataFrame = {
-      val paths = es.map(absolute(root, _))
-      toSchema.fold(spark.read.parquet(paths: _*))(st =>
-        spark.read
-          .schema(StructType(st.fields.map(_.copy(nullable = true))))
-          .parquet(paths: _*))
-    }
+    def readFiles(es: Seq[FileEntry]): DataFrame =
+      readUnder(spark, root, readSchema, es)
     def tag(df: DataFrame, t: String): DataFrame =
       df.withColumn("change_type", lit(t))
     (added.nonEmpty, removed.nonEmpty) match {
@@ -830,8 +851,34 @@ object SnapshotTable {
   private[graft] def pruneEntries(spark: SparkSession, root: String,
       v: Long, key: String, lo: Option[String], hi: Option[String])
   : (Seq[FileEntry], Seq[FileEntry]) = {
-    import spark.implicits._
     val (entries, mSchema) = readManifestFull(spark, root, v)
+    pruneOf(spark, root, entries, mSchema, key, lo, hi)
+  }
+
+  /** Driver-side ordering of manifest stat strings under the key's
+    * type. Pruning compares TWO scalar bounds against driver-resident
+    * file ranges — metadata work; a cluster job for it (the
+    * touchedFiles shape, whose update-key side IS distributed) would
+    * be metadata work at data prices. Date/timestamp stats render
+    * ISO-style from `cast(string)`, which orders lexicographically. */
+  private def statOrdering(dt: DataType): Option[(String, String) => Int] =
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some((a, b) => java.lang.Long.compare(a.toLong, b.toLong))
+      case DoubleType | FloatType =>
+        Some((a, b) => java.lang.Double.compare(a.toDouble, b.toDouble))
+      case _: DecimalType =>
+        Some((a, b) => new java.math.BigDecimal(a)
+          .compareTo(new java.math.BigDecimal(b)))
+      case StringType | DateType | TimestampType =>
+        Some((a, b) => a.compareTo(b))
+      case _ => None // unorderable here: prune nothing, stay correct
+    }
+
+  private def pruneOf(spark: SparkSession, root: String,
+      entries: Seq[FileEntry], mSchema: Option[StructType],
+      key: String, lo: Option[String], hi: Option[String])
+  : (Seq[FileEntry], Seq[FileEntry]) = {
     val (tombs, data) = entries.partition(_.kind == "t")
     val (withStats, without) = data.partition(e =>
       e.statsKey.contains(key) && e.lo.isDefined && e.hi.isDefined)
@@ -841,19 +888,15 @@ object SnapshotTable {
     // read only on the v1 compatibility path
     val keyType = mSchema.map(_.apply(key).dataType).getOrElse(spark.read
       .parquet(absolute(root, withStats.head)).schema(key).dataType)
-    // O(#files) metadata, the manifest itself — same shape as the
-    // MERGE-side pruning in touchedFiles
-    val ranges = withStats.map(e => (e.path, e.lo.get, e.hi.get))
-      .toDF("__p", "__lo", "__hi")
-      .select(col("__p"), col("__lo").cast(keyType).as("__lo"),
-        col("__hi").cast(keyType).as("__hi"))
-    val overlap =
-      lo.fold(lit(true))(b => col("__hi") >= lit(b).cast(keyType)) &&
-        hi.fold(lit(true))(b => col("__lo") <= lit(b).cast(keyType))
-    val keep = ranges.filter(overlap).select("__p")
-      .as[String].collect().toSet
-    val (kept, skipped) = withStats.partition(e => keep.contains(e.path))
-    (tombs ++ without ++ kept, skipped)
+    statOrdering(keyType) match {
+      case None => (entries, Seq.empty)
+      case Some(cmp) =>
+        val (kept, skipped) = withStats.partition { e =>
+          lo.forall(b => cmp(e.hi.get, b) >= 0) &&
+            hi.forall(b => cmp(e.lo.get, b) <= 0)
+        }
+        (tombs ++ without ++ kept, skipped)
+    }
   }
 
   /** Predicate-pruned read — the read-side twin of MERGE's file
@@ -873,25 +916,56 @@ object SnapshotTable {
     val v = version.getOrElse(currentVersion(spark, root))
     require(versions(spark, root).contains(v),
       s"version $v is not committed at $root")
-    val mSchema = readManifestFull(spark, root, v)._2
-    val (kept, skipped) = pruneEntries(spark, root, v, key, lo, hi)
+    val (entries, mSchema) = readManifestFull(spark, root, v)
+    val (kept, skipped) = pruneOf(spark, root, entries, mSchema,
+      key, lo, hi)
     val base =
       if (kept.exists(_.kind != "t")) readEntries(spark, root, kept,
         mSchema)
       else {
-        // every data file pruned away: empty result, table schema
-        // from the manifest (one footer read on the v1 path —
-        // manifests are never all-tombstone, so a skipped data file
-        // must exist)
+        // every data file pruned away: empty result under the SAME
+        // nullable-forced schema the non-empty paths produce (one
+        // footer read on the v1 path — manifests are never
+        // all-tombstone, so a skipped data file must exist)
         mSchema.fold(
           spark.read.parquet(absolute(root, skipped.head)).limit(0))(
           st => spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), st))
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            asNullable(st)))
       }
     val kt = base.schema(key).dataType
     base.filter(
       lo.fold(lit(true))(b => col(key) >= lit(b).cast(kt)) &&
         hi.fold(lit(true))(b => col(key) <= lit(b).cast(kt)))
+  }
+
+  /** Point-lookup read: the rows whose `key` equals a value in `keys`
+    * (a DataFrame exposing the key column). Scan planning first: only
+    * files whose manifest [lo, hi] can contain one of the requested
+    * keys are opened — the [[touchedFiles]] shape MERGE prunes with,
+    * here serving reads — then one semi join keeps exact matches.
+    * Cost is O(matching files + key set), never O(table): the
+    * fetch-these-ids access a 100 TB serving layer runs constantly.
+    * MOR-safe for the same reason [[readWhere]] is: tombstones always
+    * load, and the read applies them before the semi join. */
+  def readKeys(spark: SparkSession, root: String, key: String,
+      keys: DataFrame, version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, root))
+    require(versions(spark, root).contains(v),
+      s"version $v is not committed at $root")
+    val (entries, mSchema) = readManifestFull(spark, root, v)
+    val (tombs, data) = entries.partition(_.kind == "t")
+    val lookup = keys.select(keys(key)).distinct()
+    val (touched, _) = touchedFiles(spark, root, data, lookup, key)
+    val base =
+      if (touched.nonEmpty)
+        readEntries(spark, root, touched ++ tombs, mSchema)
+      else mSchema.fold(
+        spark.read.parquet(absolute(root, data.head)).limit(0))(
+        st => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          asNullable(st)))
+    base.join(lookup, Seq(key), "left_semi")
   }
 
   /** Materialize a manifest's entries as a DataFrame, applying
@@ -910,25 +984,33 @@ object SnapshotTable {
     * evolution with zero footer reads at plan time. Tombstone files
     * keep their own single-column schema; the table schema never
     * applies to them. */
+  private def asNullable(st: StructType): StructType =
+    StructType(st.fields.map(_.copy(nullable = true)))
+
+  /** THE explicit-schema multi-file read — the one place the
+    * nullable-forced read schema applies, so the full read, the diff
+    * legs and the pruned-empty result agree on nullability by
+    * construction. */
+  private def readUnder(spark: SparkSession, root: String,
+      schema: Option[StructType], entries: Seq[FileEntry]): DataFrame = {
+    val paths = entries.map(absolute(root, _))
+    schema.fold(spark.read.parquet(paths: _*))(st =>
+      spark.read.schema(asNullable(st)).parquet(paths: _*))
+  }
+
   private def readEntries(spark: SparkSession, root: String,
       entries: Seq[FileEntry],
       schema: Option[StructType]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, max => smax2}
-    def readData(es: Seq[FileEntry]): DataFrame = {
-      val paths = es.map(absolute(root, _))
-      schema.fold(spark.read.parquet(paths: _*))(st =>
-        spark.read
-          .schema(StructType(st.fields.map(_.copy(nullable = true))))
-          .parquet(paths: _*))
-    }
     val (tombs, data) = entries.partition(_.kind == "t")
     if (tombs.isEmpty)
-      readData(data)
+      readUnder(spark, root, schema, data)
     else {
       val key = tombs.head.statsKey.getOrElse(throw new IllegalStateException(
         s"tombstone entry without a key column at $root"))
       val base = data.groupBy(_.seq).toSeq.sortBy(_._1).map {
-        case (s, es) => readData(es).withColumn("__seq", lit(s))
+        case (s, es) =>
+          readUnder(spark, root, schema, es).withColumn("__seq", lit(s))
       }.reduce(_.unionByName(_))
       val kills = tombs.map { t =>
         spark.read.parquet(absolute(root, t))

@@ -438,6 +438,25 @@ object Sources {
           count(when(col("o_totalprice") < 0, 1)).as("n_updated"))
         .orderBy("o_orderstatus")
     }),
+    // Point lookup under the oracle: cluster orders into a snapshot
+    // table, then fetch a key SET through readKeys — manifest stats
+    // prune to the files whose range can hold a requested key, a semi
+    // join keeps exact matches. The oracle filters the base table to
+    // the same key set; matching hashes prove pruned lookup ≡ filter.
+    "snapshot_keyed_lookup" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-look-q")
+        .toString + "/orders_lookup"
+      val o = graft.Tables.load(s, dir, "orders")
+      SnapshotTable.merge(s, root, o, "o_orderkey")
+      val wanted = o.filter(col("o_orderkey") % 500 === 0)
+        .select("o_orderkey")
+      SnapshotTable.readKeys(s, root, "o_orderkey", wanted)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    }),
     // Schema evolution under the oracle: commit a third of orders,
     // append another third CARRYING A NEW COLUMN (disc), and read the
     // evolved table back — pre-evolution rows must surface disc as
@@ -613,6 +632,13 @@ object Sources {
         |  CAST(sum(CASE WHEN o_orderkey % 3 = 1
         |    THEN o_orderkey % 7 END) AS BIGINT) AS sum_disc
         |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_keyed_lookup" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey % 500 = 0
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)
 }

@@ -755,6 +755,43 @@ class SnapshotTableSpec extends SparkSpec {
     assert(d.filter(col("change_type") === "deleted").count() == 0)
   }
 
+  test("schema evolution is case-insensitive like Spark resolution: a " +
+      "re-cased column evolves onto the original, a re-cased type " +
+      "change is refused, and tableSchema on an empty table is None") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a")).toDF("id", "name"))
+    // same column, different case, same type: must NOT append a
+    // duplicate (a dup would poison every later read)
+    SnapshotTable.append(spark, root, Seq((2L, "b")).toDF("ID", "name"))
+    val st = SnapshotTable.tableSchema(spark, root).get
+    assert(st.fieldNames.count(_.equalsIgnoreCase("id")) == 1,
+      s"re-cased column must evolve onto the original, got $st")
+    assert(SnapshotTable.read(spark, root).count() == 2)
+    // re-cased AND re-typed: refuse the commit
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark, root, Seq(("x", "c")).toDF("ID", "name"))
+    }
+    assert(SnapshotTable.tableSchema(spark, tmpRoot()).isEmpty,
+      "an empty table has no schema, not an exception")
+  }
+
+  test("diff across a replacing commit that DROPPED a column keeps the " +
+      "dropped column in view — changed rows must not cancel") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"))
+    SnapshotTable.commit(spark, root, // replace, column dropped
+      Seq((1L, "a"), (2L, "c")).toDF("id", "name"))
+    val d = SnapshotTable.diff(spark, root, 1L, 2L)
+    assert(d.schema.fieldNames.contains("score"),
+      "the union schema must keep the dropped column visible")
+    // row 1 changed ONLY in the dropped column — under a to-schema
+    // read it would cancel and vanish from the diff
+    assert(d.filter(col("change_type") === "inserted").count() == 2)
+    assert(d.filter(col("change_type") === "deleted").count() == 2)
+  }
+
   test("readWhere skips files by manifest stats without opening them, " +
       "and matches an unpruned filtered read exactly") {
     val root = tmpRoot()
@@ -787,6 +824,36 @@ class SnapshotTableSpec extends SparkSpec {
       .select("o_orderkey").as[Long].collect().sorted.toSeq
     assert(got.select("o_orderkey").as[Long].collect().sorted.toSeq
       == want)
+  }
+
+  test("readKeys opens only the stat-matching files, equals a plain " +
+      "IN filter, and honors merge-on-read deletes") {
+    val root = tmpRoot()
+    val orders = Tables.load(spark, sfDir, "orders")
+    SnapshotTable.merge(spark, root, orders, "o_orderkey") // clustered
+    val totalFiles = SnapshotTable.manifest(spark, root, 1L).size
+    assert(totalFiles > 1)
+    // a key set confined to a narrow range must not open every file
+    val wanted = orders
+      .filter(col("o_orderkey").between(1000L, 1200L))
+      .select("o_orderkey")
+    val res = SnapshotTable.readKeys(spark, root, "o_orderkey", wanted)
+    assert(res.inputFiles.length < totalFiles,
+      s"lookup read ${res.inputFiles.length} of $totalFiles files — " +
+        "stats pruned nothing")
+    val keySet = wanted.as[Long].collect().toSet
+    val got = res.select("o_orderkey").as[Long].collect().sorted.toSeq
+    val want = SnapshotTable.read(spark, root)
+      .filter(col("o_orderkey").isin(keySet.toSeq: _*))
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // MOR delete half the keys: the lookup must not resurrect them
+    SnapshotTable.deleteKeysOnRead(spark, root,
+      wanted.filter(col("o_orderkey") % 2 === 0), "o_orderkey")
+    val after = SnapshotTable.readKeys(spark, root, "o_orderkey", wanted)
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(after == want.filter(_ % 2 != 0),
+      "deleted keys must stay deleted through the pruned lookup")
   }
 
   test("readWhere with a range beyond every file returns empty with " +
