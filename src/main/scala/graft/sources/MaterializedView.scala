@@ -24,9 +24,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object MaterializedView {
 
-  /** `transform` must be a pure function of the source snapshot. */
+  /** `transform` must be a pure function of the source snapshot.
+    * With `clusterKey` every refresh commits the rollup RANGE-CLUSTERED
+    * on that column with per-file min/max stats — which is what lets
+    * [[SnapshotTable.readKeys]]/[[SnapshotTable.readWhere]] serve
+    * point lookups from the view opening only the matching files (the
+    * compute-once/serve-many pattern with a pruned serve side). */
   final case class View(sourceRoot: String, viewRoot: String,
-      transform: DataFrame => DataFrame)
+      transform: DataFrame => DataFrame,
+      clusterKey: Option[String] = None)
 
   /** Freshness markers are versioned, append-only files
     * (`_source_version.<viewV>` holding the consumed source version):
@@ -96,7 +102,8 @@ object MaterializedView {
     val sourceV = SnapshotTable.currentVersion(spark, v.sourceRoot)
     val result = v.transform(
       SnapshotTable.readVersion(spark, v.sourceRoot, sourceV))
-    val viewV = SnapshotTable.commit(spark, v.viewRoot, result)
+    val viewV = SnapshotTable.commit(spark, v.viewRoot, result,
+      clusterKey = v.clusterKey)
     writeFreshness(spark, v.viewRoot, sourceV, viewV)
     viewV
   }
@@ -135,7 +142,8 @@ object MaterializedView {
   }
 
   private def asView(v: IncrementalView): View =
-    View(v.sourceRoot, v.viewRoot, df => rollup(df, v))
+    View(v.sourceRoot, v.viewRoot, df => rollup(df, v),
+      clusterKey = v.keys.headOption)
 
   def isStale(spark: SparkSession, v: IncrementalView): Boolean =
     isStale(spark, asView(v))
@@ -224,7 +232,7 @@ object MaterializedView {
       .filter(col("n") > 0)
     val viewV =
       try SnapshotTable.commitExpecting(spark, v.viewRoot, merged,
-        expectedCurrent = viewCur)
+        expectedCurrent = viewCur, clusterKey = v.keys.headOption)
       catch {
         // a concurrent refresh landed first: applying OUR delta onto
         // ITS rollup would double-count the overlap — recompute instead

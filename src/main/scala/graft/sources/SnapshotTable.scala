@@ -365,8 +365,10 @@ object SnapshotTable {
     * operation that may SKIP past crashed claims instead of waiting
     * for vacuum to clear them. */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-      maxRetries: Int = 5): Long = {
-    val (seg, entries) = stageSegment(spark, root, df, None, 0)
+      maxRetries: Int = 5, clusterKey: Option[String] = None,
+      files: Int = 8): Long = {
+    val (seg, entries) = stageSegment(spark, root, df, clusterKey,
+      if (clusterKey.isDefined) files else 0)
     val f = fs(spark, root)
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -433,6 +435,11 @@ object SnapshotTable {
         throw CommitConflict(
           s"lost the append race ${maxRetries + 1} times at $root")
       }
+      // an append CAS-targets exactly cur+1, so a loser cannot make
+      // progress until the winner PUBLISHES — without a pause the
+      // retry budget burns in microseconds while the winner is still
+      // writing its manifest (milliseconds). Linear backoff, bounded.
+      Thread.sleep(math.min(50L, 5L * attempt))
     }
     throw new IllegalStateException("unreachable")
   }
@@ -742,8 +749,10 @@ object SnapshotTable {
   /** CAS commit of a derived full snapshot (kept for callers that
     * recompute from scratch, e.g. a materialized-view refresh). */
   private[sources] def commitExpecting(spark: SparkSession, root: String,
-      df: DataFrame, expectedCurrent: Long): Long = {
-    val (seg, entries) = stageSegment(spark, root, df, None, 0)
+      df: DataFrame, expectedCurrent: Long,
+      clusterKey: Option[String] = None, files: Int = 8): Long = {
+    val (seg, entries) = stageSegment(spark, root, df, clusterKey,
+      if (clusterKey.isDefined) files else 0)
     commitExpectingEntries(spark, root, seg, entries, expectedCurrent,
       schema = df.schema)
   }

@@ -755,6 +755,32 @@ class SnapshotTableSpec extends SparkSpec {
     assert(d.filter(col("change_type") === "deleted").count() == 0)
   }
 
+  test("a clustered materialized view serves point lookups opening " +
+      "only the matching files — compute-once, serve-pruned") {
+    import graft.sources.MaterializedView
+    val src = tmpRoot()
+    SnapshotTable.commit(spark, src,
+      (1 to 20000).map(i => (i % 4000, i.toDouble)).toDF("k", "x"))
+    val iv = MaterializedView.IncrementalView(src, tmpRoot(),
+      keys = Seq("k"), sumCols = Seq("x"))
+    MaterializedView.refreshIncremental(spark, iv) // full, clustered
+    SnapshotTable.append(spark, src,
+      (1 to 100).map(i => (i, 2.0)).toDF("k", "x"))
+    MaterializedView.refreshIncremental(spark, iv) // delta, clustered
+    val cur = SnapshotTable.currentVersion(spark, iv.viewRoot)
+    val total = SnapshotTable.manifest(spark, iv.viewRoot, cur).size
+    assert(total > 1, "view must span multiple files to prove pruning")
+    val res = SnapshotTable.readKeys(spark, iv.viewRoot, "k",
+      Seq(7, 8, 9).toDF("k"))
+    assert(res.inputFiles.length < total,
+      s"serving read ${res.inputFiles.length} of $total view files")
+    val ns = res.select("k", "n").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // base: 20000 rows over 4000 groups = 5 each; appended batch adds
+    // one row to keys 1..100
+    assert(ns == Map(7 -> 6L, 8 -> 6L, 9 -> 6L))
+  }
+
   test("schema evolution is case-insensitive like Spark resolution: a " +
       "re-cased column evolves onto the original, a re-cased type " +
       "change is refused, and tableSchema on an empty table is None") {
