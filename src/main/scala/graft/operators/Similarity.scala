@@ -164,6 +164,93 @@ object Similarity {
         .orderBy(asc("q_id"), asc("rk"))
     }),
 
+    // IVF-PQ ANN (Jégou et al., "Product Quantization for Nearest
+    // Neighbor Search", TPAMI 2011): the memory-compression scale path.
+    // A 64-dim float vector (256 bytes) becomes m=8 sub-codes of
+    // ks=16 centroids — 8 half-bytes — a 64x compression that is what
+    // lets a billion-vector index live in executor memory at 100 TB.
+    // Pipeline: normalize (L2 order == cosine order), split into m
+    // subspaces, train per-subspace codebooks with distributed Lloyd
+    // iterations (assignments are a broadcast-join pass over the
+    // corpus; ONLY the model — m*ks sub-centroids, ~8 KB — is ever
+    // collected), encode the corpus once, then answer queries by
+    // asymmetric distance: a per-query distance TABLE (m*ks entries)
+    // replaces all vector math with code lookups, IVF cell probing
+    // (label cells, as knn_ivf) bounds the candidate set, and the
+    // ADC top-16 re-ranks through the exact native cosine. Distances
+    // are approximate => rows-only driver check; recall vs the exact
+    // brute force is asserted in SimilaritySpec.
+    "knn_ivfpq" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val m = 8; val ks = 16; val nprobe = 4
+      val all = prepared(s, dir)
+        .withColumn("vn", expr("transform(v, x -> x / nrm)"))
+      val sub = all.select(col("vec_id"), col("label"),
+          posexplode(expr(
+            s"transform(sequence(0, ${m - 1}), " +
+              s"s -> slice(vn, s * ${64 / m} + 1, ${64 / m}))")))
+        .withColumnRenamed("pos", "sub")
+        .withColumnRenamed("col", "sv")
+        .persist()
+      val codebook = pqTrain(s, sub, ks, iters = 3)
+      val cb = codebookDf(s, codebook)
+      // encode the corpus: nearest sub-centroid per (vector, subspace)
+      val codes = pqAssign(sub, cb)
+        .select(col("vec_id").as("c_id"), col("label"),
+          col("sub"), col("cid"))
+      // coarse IVF probe on label cells (the knn_ivf quantizer)
+      val centroids = all
+        .select(col("label"), posexplode(col("vn")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("col")).as("cm"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), " +
+          "p -> p.cm) AS cent"))
+      val q = all.filter(col("vec_id") < 10)
+      val wCell = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cent_cos"), asc("label"))
+      val cells = broadcast(q.select(col("vec_id").as("q_id"),
+          col("vn").as("q_vn"))
+        .join(broadcast(centroids))
+        .selectExpr("q_id", "label", "graft_cosine(q_vn, cent) AS cent_cos")
+        .withColumn("cell_rk", row_number().over(wCell))
+        .filter(col("cell_rk") <= nprobe)
+        .select(col("q_id"), col("label")))
+      // asymmetric distance table: query subvector vs every
+      // sub-centroid — m*ks rows per query, broadcast
+      val dt = broadcast(sub.filter(col("vec_id") < 10)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(broadcast(cb), Seq("sub"))
+        .withColumn("pd", expr(
+          "aggregate(zip_with(sv, cent, (x, y) -> (x-y)*(x-y)), " +
+            "CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+        .select(col("q_id"), col("sub"), col("cid"), col("pd")))
+      val wAdc = Window.partitionBy(col("q_id"))
+        .orderBy(asc("adist"), asc("c_id"))
+      val shortlist = codes.join(cells, Seq("label"))
+        .join(dt, Seq("q_id", "sub", "cid"))
+        .groupBy(col("q_id"), col("c_id"))
+        .agg(sum(col("pd")).as("adist"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("adc_rk", row_number().over(wAdc))
+        .filter(col("adc_rk") <= 16)
+        .select(col("q_id"), col("c_id"))
+      // exact re-rank of the ADC shortlist through the native cosine
+      val qv = broadcast(all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v")))
+      val cv = all.select(col("vec_id").as("c_id"), col("v").as("c_v"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cos_r"), asc("c_id"))
+      val out = shortlist.join(qv, Seq("q_id")).join(cv, Seq("c_id"))
+        .selectExpr("q_id", "c_id", "graft_cosine(q_v, c_v) AS cos")
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_r"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(asc("q_id"), asc("rk"))
+      sub.unpersist()
+      out
+    }),
+
     // Centroid stats per label — the IVF building block (coarse
     // quantizer): mean vector per label + intra-label dispersion.
     "embedding_label_stats" -> ((s, dir) => {

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, lit, max => smax, min => smin}
+import org.apache.spark.sql.functions.{col, expr, input_file_name, lit, max => smax, min => smin}
 import org.apache.spark.sql.types._
 
 /** Versioned snapshot table over plain Parquet — the engine's answer to
@@ -92,7 +92,9 @@ object SnapshotTable {
     * while every older copy dies — Iceberg's sequence-number rule. */
   final case class FileEntry(path: String, statsKey: Option[String],
       lo: Option[String], hi: Option[String],
-      kind: String = "d", seq: Long = 0L)
+      kind: String = "d", seq: Long = 0L,
+      bloomKey: Option[String] = None,
+      bloom: Option[Array[Byte]] = None)
 
   private[sources] def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -133,8 +135,11 @@ object SnapshotTable {
 
   // ---- manifest IO ----
   // One line per file, tab-separated base64(UTF-8) fields
-  // (path, statsKey, lo, hi, kind, seq) — base64 so stat values may
-  // contain any character; empty field = None/default. Line 1 is a
+  // (path, statsKey, lo, hi, kind, seq, bloomKey, bloomBytes) —
+  // base64 so stat values may contain any character; empty field =
+  // None/default; bloomBytes is base64 of RAW sketch bytes. Trailing
+  // fields are optional (readers pad), so pre-bloom manifests parse
+  // unchanged. Line 1 is a
   // format tag; v2 adds an optional `#schema\t<b64 json>` header: the
   // TABLE schema as of this version, recorded at commit time. Readers
   // apply it as an explicit read schema, which is what makes schema
@@ -166,7 +171,11 @@ object SnapshotTable {
           .append(e.lo.fold("")(b64)).append('\t')
           .append(e.hi.fold("")(b64)).append('\t')
           .append(b64(e.kind)).append('\t')
-          .append(b64(e.seq.toString)).append('\n')
+          .append(b64(e.seq.toString)).append('\t')
+          .append(e.bloomKey.fold("")(b64)).append('\t')
+          .append(e.bloom.fold("")(
+            java.util.Base64.getEncoder.encodeToString))
+          .append('\n')
       }
       out.write(sb.toString.getBytes("UTF-8"))
     } finally out.close()
@@ -239,14 +248,17 @@ object SnapshotTable {
           .asInstanceOf[StructType]
     }
     val entries = rows.map { l =>
-      val fld = l.split('\t').padTo(6, "")
+      val fld = l.split('\t').padTo(8, "")
       FileEntry(unb64(fld(0)),
         Option(fld(1)).filter(_.nonEmpty).map(unb64),
         Option(fld(2)).filter(_.nonEmpty).map(unb64),
         Option(fld(3)).filter(_.nonEmpty).map(unb64),
         Option(fld(4)).filter(_.nonEmpty).map(unb64).getOrElse("d"),
         Option(fld(5)).filter(_.nonEmpty).map(unb64)
-          .map(_.toLong).getOrElse(0L))
+          .map(_.toLong).getOrElse(0L),
+        Option(fld(6)).filter(_.nonEmpty).map(unb64),
+        Option(fld(7)).filter(_.nonEmpty)
+          .map(java.util.Base64.getDecoder.decode))
     }
     (entries, schema)
   }
@@ -265,14 +277,32 @@ object SnapshotTable {
 
   // ---- segment staging ----
 
+  /** Per-file bloom sizing for `bloomKey` segments. Fixed geometry so
+    * partial buffers merge (and so the manifest cost is known upfront:
+    * ~60 KB per file at 50k expected keys / 2%). Overfull files only
+    * degrade the false-positive rate — pruning effectiveness, never
+    * correctness. Blooms are OPT-IN per table and meant for SERVING
+    * tables (clustered views, compacted dimensions) whose file counts
+    * are bounded; a fact table at 100 TB keeps the payload-free
+    * min/max stats path and puts blooms in the parquet footers
+    * instead (`parquet.bloom.filter.enabled#col`), where they prune
+    * row groups without fattening the manifest. */
+  private val BloomExpectedItems = 50000
+  private val BloomFppPct = 2
+
   /** Write `df` as a new immutable segment; returns its file entries.
     * With `clusterKey` the segment is range-partitioned + sorted on the
     * key and each file's min/max is recorded — the stats MERGE prunes
     * on (and the same layout `Sources.writeClustered` gives a plain
-    * directory). */
+    * directory). With `bloomKey` each file additionally records a
+    * membership sketch of that column — the secondary index
+    * [[readKeys]] prunes with when the requested key is NOT the
+    * cluster key (min/max on an unclustered column spans everything;
+    * a bloom does not care about ordering). */
   private def stageSegment(spark: SparkSession, root: String,
       df: DataFrame, clusterKey: Option[String],
-      files: Int): (Path, Seq[FileEntry]) = {
+      files: Int, bloomKey: Option[String] = None)
+  : (Path, Seq[FileEntry]) = {
     val seg = new Path(dataDir(root),
       s"seg-${java.util.UUID.randomUUID().toString.take(12)}")
     val shaped = clusterKey match {
@@ -291,24 +321,47 @@ object SnapshotTable {
     val rel = parts.map { st =>
       s"_data/${seg.getName}/${st.getPath.getName}"
     }
-    val entries = clusterKey match {
-      case Some(k) =>
-        // one column-pruned pass over the NEW files only
+    val entries =
+      if (clusterKey.isEmpty && bloomKey.isEmpty)
+        rel.map(FileEntry(_, None, None, None))
+      else {
+        // one column-pruned pass over the NEW files only, computing
+        // every requested per-file stat (min/max and/or bloom) at once
+        graft.functions.BloomFunctions.register(spark)
+        val cols = Seq(input_file_name().as("__f")) ++
+          clusterKey.map(k => col(k).as("__ck")) ++
+          bloomKey.map(k => col(k).as("__bk"))
+        val aggs =
+          clusterKey.toSeq.flatMap(_ => Seq(
+            smin(col("__ck")).cast("string").as("__lo"),
+            smax(col("__ck")).cast("string").as("__hi"))) ++
+          bloomKey.toSeq.map(_ => expr(
+            s"graft_bloom_sketch(__bk, $BloomExpectedItems, $BloomFppPct)")
+            .as("__bf"))
         val stats = spark.read.parquet(seg.toString)
-          .select(input_file_name().as("__f"), col(k))
+          .select(cols: _*)
           .groupBy(col("__f"))
-          .agg(smin(col(k)).cast("string").as("lo"),
-            smax(col(k)).cast("string").as("hi"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .map(r => new Path(r.getString(0)).getName ->
-            ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+          .map { r =>
+            val lohi =
+              if (clusterKey.isDefined)
+                (Option(r.getString(1)), Option(r.getString(2)))
+              else (None, None)
+            val bf =
+              if (bloomKey.isDefined)
+                Option(r.getAs[Array[Byte]](if (clusterKey.isDefined) 3
+                  else 1))
+              else None
+            new Path(r.getString(0)).getName -> ((lohi._1, lohi._2, bf))
+          }.toMap
         rel.map { p =>
           val name = new Path(p).getName
-          val (lo, hi) = stats.getOrElse(name, (None, None))
-          FileEntry(p, Some(k), lo, hi)
+          val (lo, hi, bf) = stats.getOrElse(name, (None, None, None))
+          FileEntry(p, clusterKey, lo, hi,
+            bloomKey = bloomKey.filter(_ => bf.isDefined), bloom = bf)
         }
-      case None => rel.map(FileEntry(_, None, None, None))
-    }
+      }
     (seg, entries)
   }
 
@@ -366,9 +419,9 @@ object SnapshotTable {
     * for vacuum to clear them. */
   def commit(spark: SparkSession, root: String, df: DataFrame,
       maxRetries: Int = 5, clusterKey: Option[String] = None,
-      files: Int = 8): Long = {
+      files: Int = 8, bloomKey: Option[String] = None): Long = {
     val (seg, entries) = stageSegment(spark, root, df, clusterKey,
-      if (clusterKey.isDefined) files else 0)
+      if (clusterKey.isDefined) files else 0, bloomKey)
     val f = fs(spark, root)
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -404,8 +457,9 @@ object SnapshotTable {
     * contract as a table format whose catalog holds a dead lease. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       clusterKey: Option[String] = None, files: Int = 8,
-      maxRetries: Int = 5): Long = {
-    val (seg, entries) = stageSegment(spark, root, df, clusterKey, files)
+      maxRetries: Int = 5, bloomKey: Option[String] = None): Long = {
+    val (seg, entries) =
+      stageSegment(spark, root, df, clusterKey, files, bloomKey)
     val f = fs(spark, root)
     var attempt = 0
     while (true) {
@@ -690,7 +744,8 @@ object SnapshotTable {
     * merge-on-read tombstones by materializing their effect). */
   def compact(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      clusterKey: Option[String] = None): (Long, Long, Long) = {
+      clusterKey: Option[String] = None,
+      bloomKey: Option[String] = None): (Long, Long, Long) = {
     val f = fs(spark, root)
     val v = currentVersion(spark, root)
     if (v == 0L) return (0L, 0L, 0L) // nothing committed, nothing to do
@@ -703,9 +758,10 @@ object SnapshotTable {
     val snapshot = readVersion(spark, root, v)
     val (seg, newEntries) = clusterKey match {
       case Some(_) =>
-        stageSegment(spark, root, snapshot, clusterKey, nFiles)
+        stageSegment(spark, root, snapshot, clusterKey, nFiles, bloomKey)
       case None =>
-        stageSegment(spark, root, snapshot.repartition(nFiles), None, 0)
+        stageSegment(spark, root, snapshot.repartition(nFiles), None, 0,
+          bloomKey)
     }
     val newV = commitExpectingEntries(spark, root, seg, newEntries,
       expectedCurrent = v, schema = snapshot.schema)
@@ -750,9 +806,10 @@ object SnapshotTable {
     * recompute from scratch, e.g. a materialized-view refresh). */
   private[sources] def commitExpecting(spark: SparkSession, root: String,
       df: DataFrame, expectedCurrent: Long,
-      clusterKey: Option[String] = None, files: Int = 8): Long = {
+      clusterKey: Option[String] = None, files: Int = 8,
+      bloomKey: Option[String] = None): Long = {
     val (seg, entries) = stageSegment(spark, root, df, clusterKey,
-      if (clusterKey.isDefined) files else 0)
+      if (clusterKey.isDefined) files else 0, bloomKey)
     commitExpectingEntries(spark, root, seg, entries, expectedCurrent,
       schema = df.schema)
   }
@@ -964,8 +1021,16 @@ object SnapshotTable {
       s"version $v is not committed at $root")
     val (entries, mSchema) = readManifestFull(spark, root, v)
     val (tombs, data) = entries.partition(_.kind == "t")
-    val lookup = keys.select(keys(key)).distinct()
-    val (touched, _) = touchedFiles(spark, root, data, lookup, key)
+    // probe in the TABLE's key type: the manifest blooms hashed the
+    // column as stored, so a lookup arriving as a narrower/other type
+    // must cast first or every probe would hash a different value —
+    // bloom false NEGATIVES, the one failure mode pruning cannot have
+    val tableKeyType = mSchema.flatMap(_.fields.find(_.name == key))
+      .map(_.dataType)
+    val lookup = tableKeyType.fold(keys.select(keys(key)))(t =>
+      keys.select(keys(key).cast(t).as(key))).distinct()
+    val (statsTouched, _) = touchedFiles(spark, root, data, lookup, key)
+    val touched = bloomPrune(statsTouched, lookup, key)
     val base =
       if (touched.nonEmpty)
         readEntries(spark, root, touched ++ tombs, mSchema)
@@ -975,6 +1040,38 @@ object SnapshotTable {
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           asNullable(st)))
     base.join(lookup, Seq(key), "left_semi")
+  }
+
+  /** Point lookups stay metadata-priced up to this many distinct keys;
+    * beyond it the request is a join, not a lookup, and collecting the
+    * key set for driver-side bloom probes would no longer be metadata
+    * work — bloom pruning quietly steps aside (stats pruning, which
+    * never collects the keys, still applies). */
+  private val MaxBloomProbeKeys = 10000
+
+  /** Secondary-index pruning: drop data files whose manifest bloom on
+    * `key` proves none of the requested keys can be present. This is
+    * what serves a point lookup on a NON-cluster column — min/max on
+    * an unclustered column spans the whole table, so [[touchedFiles]]
+    * keeps everything, but a per-file membership sketch does not care
+    * about ordering. A bloom hit only fails to prune; there are no
+    * false negatives, so pruning cannot change the answer. Files
+    * without a bloom on `key` (older commits, MOR segments) are
+    * conservatively kept. */
+  private def bloomPrune(entries: Seq[FileEntry], lookup: DataFrame,
+      key: String): Seq[FileEntry] = {
+    if (!entries.exists(e => e.bloomKey.contains(key) && e.bloom.isDefined))
+      return entries
+    val kt = lookup.schema(key).dataType
+    val probes = lookup.limit(MaxBloomProbeKeys + 1).collect()
+      .map(_.get(0)).filter(_ != null)
+    if (probes.length > MaxBloomProbeKeys) return entries
+    entries.filter { e =>
+      if (e.bloomKey.contains(key) && e.bloom.isDefined)
+        probes.exists(v => graft.functions.Bloom.mightContainJvm(
+          e.bloom.get, v, kt))
+      else true
+    }
   }
 
   /** Materialize a manifest's entries as a DataFrame, applying

@@ -479,6 +479,29 @@ object Sources {
           sum(col("disc")).as("sum_disc"))
         .orderBy("o_orderstatus")
     }),
+    // Secondary-index lookup under the oracle: cluster orders on the
+    // ORDER key but bloom the CUSTOMER key — the shape where min/max
+    // stats are useless (every file's custkey range spans the table)
+    // and the manifest's per-file membership sketches are the only
+    // thing standing between a point lookup and a full scan. The
+    // oracle filters the base table to the same customers; matching
+    // hashes prove bloom pruning never drops a row (no false
+    // negatives end to end). The spec proves it actually skips files.
+    "snapshot_bloom_lookup" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-bloom-q")
+        .toString + "/orders_bloom"
+      val o = graft.Tables.load(s, dir, "orders")
+      SnapshotTable.commit(s, root, o,
+        clusterKey = Some("o_orderkey"), bloomKey = Some("o_custkey"))
+      val wanted = o.filter(col("o_custkey") % 97 === 0)
+        .select("o_custkey")
+      SnapshotTable.readKeys(s, root, "o_custkey", wanted)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("min_ck"),
+          max(col("o_custkey")).as("max_ck"))
+        .orderBy("o_orderstatus")
+    }),
     // Stats-pruned scan under the oracle: cluster orders into a
     // snapshot table (per-file min/max on the key recorded in the
     // manifest), then answer a key-range query through readWhere —
@@ -639,6 +662,13 @@ object Sources {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders
         |WHERE o_orderkey % 500 = 0
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_bloom_lookup" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  min(o_custkey) AS min_ck, max(o_custkey) AS max_ck
+        |FROM orders
+        |WHERE o_custkey % 97 = 0
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)
 }

@@ -755,6 +755,40 @@ class SnapshotTableSpec extends SparkSpec {
     assert(d.filter(col("change_type") === "deleted").count() == 0)
   }
 
+  test("manifest blooms prune point lookups on a NON-cluster key, and " +
+      "files without a bloom are conservatively kept") {
+    val root = tmpRoot()
+    // u is a permutation of [0, 20000): every file's u-RANGE spans the
+    // whole domain (min/max stats on u would prune nothing, and stats
+    // are on k anyway) but each file's u-MEMBERSHIP is an eighth of it
+    // — exactly the case a per-file membership sketch exists for
+    val df = (1 to 20000)
+      .map(i => (i, (i.toLong * 7919) % 20000, i * 2.0))
+      .toDF("k", "u", "x")
+    SnapshotTable.commit(spark, root, df,
+      clusterKey = Some("k"), bloomKey = Some("u"))
+    val total = SnapshotTable.manifest(spark, root, 1L).size
+    assert(total > 1, "table must span multiple files to prove pruning")
+    val res = SnapshotTable.readKeys(spark, root, "u",
+      Seq(42L, 4242L).toDF("u"))
+    assert(res.inputFiles.length < total,
+      s"bloom lookup opened ${res.inputFiles.length} of $total files")
+    val got = res.select("k", "u").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val want = df.filter(col("u").isin(42L, 4242L))
+      .select("k", "u").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(got == want, "pruned lookup must equal the plain filter")
+    // an appended batch WITHOUT blooms: its file has no sketch on u,
+    // so it must be kept unpruned and its keys must still be found
+    SnapshotTable.append(spark, root,
+      Seq((999999, 777777L, 1.0)).toDF("k", "u", "x"))
+    val r2 = SnapshotTable.readKeys(spark, root, "u",
+      Seq(777777L).toDF("u"))
+    assert(r2.count() == 1,
+      "a bloom-less file must stay visible to keyed lookups")
+  }
+
   test("a clustered materialized view serves point lookups opening " +
       "only the matching files — compute-once, serve-pruned") {
     import graft.sources.MaterializedView
