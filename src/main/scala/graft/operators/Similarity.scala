@@ -43,6 +43,63 @@ object Similarity {
     "aggregate(zip_with(q_v, c_v, (x, y) -> x*y), CAST(0 AS DOUBLE), " +
       "(acc, x) -> acc + x)"
 
+  // ---- product quantization (Jégou et al. 2011) ----
+
+  /** Per-subspace k-means codebooks, trained with distributed Lloyd
+    * iterations: each pass broadcasts the current codebook, assigns
+    * every (vector, subspace) row to its nearest sub-centroid in one
+    * join, re-averages, and collects ONLY the model (m*ks
+    * sub-centroids, a few KB) — assignments never leave the
+    * executors, which is what keeps the pass a single corpus scan at
+    * any scale. Seeds are the sub-vectors of the ks smallest vec_ids:
+    * deterministic, model-free init (k-means++ would sample; a fixed
+    * seed set keeps the query reproducible run to run). A cluster
+    * that loses all members keeps its previous centroid. */
+  private def pqTrain(s: SparkSession, sub: DataFrame, ks: Int,
+      iters: Int): Map[(Int, Int), Seq[Double]] = {
+    var code: Map[(Int, Int), Seq[Double]] =
+      sub.filter(col("vec_id") < ks)
+        .select(col("sub"), col("vec_id").cast("int").as("cid"),
+          col("sv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
+        .toMap
+    for (_ <- 1 to iters) {
+      val updated = pqAssign(sub, codebookDf(s, code))
+        .select(col("sub"), col("cid"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(avg(col("col")).as("cv"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1)
+        .map { case (k, vs) =>
+          k -> vs.map(_._2).sortBy(_._1).map(_._2).toSeq
+        }
+      code = code ++ updated
+    }
+    code
+  }
+
+  private def codebookDf(s: SparkSession,
+      code: Map[(Int, Int), Seq[Double]]): DataFrame = {
+    import s.implicits._
+    code.toSeq.map { case ((sb, cid), cent) => (sb, cid, cent) }
+      .toDF("sub", "cid", "cent")
+  }
+
+  /** Nearest sub-centroid per (vector, subspace): one broadcast join
+    * plus a min(struct) argmin with a deterministic cid tie-break —
+    * the assignment pass that both training and encoding run. */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sv, cent, (x, y) -> (x-y)*(x-y)), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      .groupBy(col("vec_id"), col("label"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"), col("sv"))).as("m"))
+      .select(col("vec_id"), col("label"), col("sub"),
+        col("m.cid").as("cid"), col("m.sv").as("sv"))
+
   // Multi-table hyperplane signatures come from the native graft_hplsh
   // expression (graft.functions.HyperplaneLsh): T tables of b sign bits,
   // plane components derived from splitmix64 — deterministic, model-free.
