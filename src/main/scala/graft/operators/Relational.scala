@@ -958,6 +958,35 @@ object Relational {
         .orderBy(asc("o_custkey"), asc("o_orderkey"))
     }),
 
+    // Relative-error quantile profile via the mergeable DDSketch-style
+    // log-bucket sketch (graft.functions.QSketchAgg): per-flag price
+    // sketches, then the UNION face folds them into a global profile —
+    // the two-level day-sketch→quarter-rollup shape a 100 TB latency/
+    // price profiler runs without touching raw data twice. Estimates
+    // carry a RELATIVE error bound (p99 of a heavy tail stays within
+    // alpha% of truth, where rank-error sketches can miss the whole
+    // tail). Deterministic (bucket addition commutes) so the rows-only
+    // check is stable; NOT oracle-compared: bucketed estimates are
+    // engine-specific by nature (same contract as the HLL/CMS family).
+    // The spec pins the alpha-bound against exact quantiles.
+    "sketch_price_quantiles" -> ((s, dir) => {
+      graft.functions.QuantileFunctions.register(s)
+      val perFlag = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("graft_qsketch(CAST(l_extendedprice AS DOUBLE), 1)")
+          .as("sk"), count(lit(1)).as("n"))
+      val global = perFlag
+        .agg(expr("graft_qsketch_union(sk)").as("sk"),
+          sum(col("n")).as("n"))
+        .select(lit("ALL").as("l_returnflag"), col("sk"), col("n"))
+      perFlag.unionByName(global)
+        .selectExpr("l_returnflag", "n",
+          "round(graft_qsketch_quantile(sk, 0.5), 2) AS p50",
+          "round(graft_qsketch_quantile(sk, 0.9), 2) AS p90",
+          "round(graft_qsketch_quantile(sk, 0.99), 2) AS p99")
+        .orderBy(asc("l_returnflag"))
+    }),
+
     // Small broadcast chain: customer count per region.
     "customers_per_region" -> ((s, dir) => {
       t(s, dir, "customer")
