@@ -502,6 +502,42 @@ object SnapshotTable {
   def read(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root, currentVersion(spark, root))
 
+  /** The commit wall-clock of version `v`: the mtime of its commit
+    * record — the instant the version became visible (the record's
+    * creation IS the commit). Metadata-only. */
+  def commitTime(spark: SparkSession, root: String, v: Long): Long = {
+    require(versions(spark, root).contains(v),
+      s"version $v is not committed at $root")
+    fs(spark, root)
+      .getFileStatus(new Path(commitsDir(root), v.toString))
+      .getModificationTime
+  }
+
+  /** TIMESTAMP AS OF resolution: the newest version whose commit
+    * record existed at `ts` (epoch millis) — so a reader handed a
+    * wall-clock instant sees exactly what a live reader saw then.
+    * Uses the COMMIT RECORD's mtime, not data-file mtimes: staging
+    * happens before the claim, so data mtimes can predate visibility.
+    * Clock caveat (same one `vacuum` documents): mtimes come from the
+    * filesystem that hosts the log, so cross-writer skew is bounded
+    * by the store's clock, not each writer's. */
+  def versionAsOf(spark: SparkSession, root: String, ts: Long): Long = {
+    val vs = versions(spark, root)
+    val f = fs(spark, root)
+    val visible = vs.filter(v =>
+      f.getFileStatus(new Path(commitsDir(root), v.toString))
+        .getModificationTime <= ts)
+    require(visible.nonEmpty,
+      s"no version of $root was committed at or before $ts " +
+        s"(earliest surviving commit: ${vs.headOption.getOrElse(0L)})")
+    visible.max
+  }
+
+  /** Time travel by wall clock: `readAsOf(ts)` ==
+    * `readVersion(versionAsOf(ts))`. */
+  def readAsOf(spark: SparkSession, root: String, ts: Long): DataFrame =
+    readVersion(spark, root, versionAsOf(spark, root, ts))
+
   /** Data files of `v` whose key range could contain a key of
     * `updates`: a file is PRUNED (carried over untouched) when it has
     * stats on `key` and no update key falls inside [lo, hi]. Stats are
@@ -840,15 +876,67 @@ object SnapshotTable {
       case (f, t) => f.orElse(t)
     }
     // merge-on-read histories: a tombstone changes the LIVE rows of
-    // files that are in both manifests, so the file-delta shortcut is
-    // unsound — fall back to the exact (O(both versions)) bag diff.
-    // Append-only and COW histories never take this branch.
+    // files that are in both manifests, so the plain file-delta
+    // shortcut is unsound. But when the range is PURELY ACCRETIVE
+    // (every from-file, data or tombstone, still in `to` — the shape
+    // every mergeOnRead/deleteKeysOnRead commit produces), the change
+    // is still O(delta):
+    //   inserted = live-at-to rows among the ADDED data files (the
+    //     range's own later tombstones applied by the seq rule);
+    //   deleted  = live-at-from rows whose key an ADDED tombstone
+    //     covers — every such row dies, because a from-row's seq <=
+    //     from < any added tombstone's seq. The from-side read is
+    //     PRUNED to files whose stats/bloom admit a tombstoned key,
+    //     so cost is O(added files + affected files), never O(table).
+    //   A re-inserted identical row nets out through the same
+    //   exceptAll the exact diff uses.
+    // Compaction/replace commits break the accretive premise and fall
+    // back to the exact (O(both versions)) bag diff.
     if ((a ++ b).exists(_.kind == "t")) {
-      val av = readEntries(spark, root, a, readSchema)
-      val bv = readEntries(spark, root, b, readSchema)
-      return bv.exceptAll(av).withColumn("change_type", lit("inserted"))
+      val (aTombs, aData) = a.partition(_.kind == "t")
+      val (bTombs, bData) = b.partition(_.kind == "t")
+      val bDataPaths = bData.map(_.path).toSet
+      val bTombPaths = bTombs.map(_.path).toSet
+      val accretive = aData.forall(e => bDataPaths.contains(e.path)) &&
+        aTombs.forall(e => bTombPaths.contains(e.path))
+      if (!accretive) {
+        val av = readEntries(spark, root, a, readSchema)
+        val bv = readEntries(spark, root, b, readSchema)
+        return bv.exceptAll(av).withColumn("change_type", lit("inserted"))
+          .unionByName(
+            av.exceptAll(bv).withColumn("change_type", lit("deleted")))
+      }
+      val aDataPaths = aData.map(_.path).toSet
+      val aTombPaths = aTombs.map(_.path).toSet
+      val addedData = bData.filterNot(e => aDataPaths.contains(e.path))
+      val addedTombs = bTombs.filterNot(e => aTombPaths.contains(e.path))
+      def empty: DataFrame = readSchema match {
+        case Some(st) => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          asNullable(st))
+        case None => readUnder(spark, root, None, Seq(bData.head)).limit(0)
+      }
+      val ins =
+        if (addedData.isEmpty) empty
+        else readEntries(spark, root, addedData ++ bTombs, readSchema)
+      val del =
+        if (addedTombs.isEmpty) empty
+        else {
+          val key = addedTombs.head.statsKey.getOrElse(
+            throw new IllegalStateException(
+              s"tombstone entry without a key column at $root"))
+          val keysDf = addedTombs.map(t =>
+            spark.read.parquet(absolute(root, t)))
+            .reduce(_.unionByName(_)).distinct()
+          val (touched, _) = touchedFiles(spark, root, aData, keysDf, key)
+          val pruned = bloomPrune(touched, keysDf, key)
+          if (pruned.isEmpty) empty
+          else readEntries(spark, root, pruned ++ aTombs, readSchema)
+            .join(keysDf, Seq(key), "left_semi")
+        }
+      return ins.exceptAll(del).withColumn("change_type", lit("inserted"))
         .unionByName(
-          av.exceptAll(bv).withColumn("change_type", lit("deleted")))
+          del.exceptAll(ins).withColumn("change_type", lit("deleted")))
     }
     val aPaths = a.map(_.path).toSet
     val bPaths = b.map(_.path).toSet

@@ -755,6 +755,62 @@ class SnapshotTableSpec extends SparkSpec {
     assert(d.filter(col("change_type") === "deleted").count() == 0)
   }
 
+  test("TIMESTAMP AS OF: readAsOf resolves by commit-record time — a " +
+      "wall-clock instant reads exactly what a live reader saw then") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root, Seq((1, "a")).toDF("k", "s"))
+    val t1 = SnapshotTable.commitTime(spark, root, 1L)
+    Thread.sleep(25) // distinct mtimes: the resolution is millis
+    SnapshotTable.append(spark, root, Seq((2, "b")).toDF("k", "s"))
+    val t2 = SnapshotTable.commitTime(spark, root, 2L)
+    assert(t2 > t1, "commit times must advance")
+    assert(SnapshotTable.versionAsOf(spark, root, t1) == 1L)
+    assert(SnapshotTable.versionAsOf(spark, root, t2 - 1) == 1L,
+      "an instant between commits sees the earlier version")
+    assert(SnapshotTable.versionAsOf(spark, root, t2) == 2L)
+    assert(SnapshotTable.readAsOf(spark, root, t1).count() == 1L)
+    assert(SnapshotTable.readAsOf(spark, root,
+      System.currentTimeMillis() + 60000).count() == 2L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.versionAsOf(spark, root, t1 - 60000)
+    }
+  }
+
+  test("diff over a merge-on-read range is O(delta): it opens the " +
+      "added files plus only the from-files that can hold a " +
+      "tombstoned key, and still equals the exact bag diff") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 20000).map(i => (i, i * 1.0)).toDF("k", "x"),
+      clusterKey = Some("k"))
+    val v1Files = SnapshotTable.manifest(spark, root, 1L)
+    assert(v1Files.size > 1, "need multiple files to prove pruning")
+    // MOR update of a key range living in ONE clustered file
+    SnapshotTable.mergeOnRead(spark, root,
+      (1 to 50).map(i => (i, -1.0)).toDF("k", "x"), "k")
+    val d = SnapshotTable.diff(spark, root, 1L, 2L)
+    val ins = d.filter(col("change_type") === "inserted")
+      .select("k", "x").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val del = d.filter(col("change_type") === "deleted")
+      .select("k", "x").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(ins.sorted.toSeq == (1 to 50).map(i => (i, -1.0)),
+      "inserted leg must be the new row versions")
+    assert(del.sorted.toSeq == (1 to 50).map(i => (i, i * 1.0)),
+      "deleted leg must be the replaced row versions")
+    // the fast path's cost envelope: files the range ADDED, plus at
+    // most one from-file (keys 1..50 are co-clustered), never O(table)
+    val added = SnapshotTable.manifest(spark, root, 2L).map(_.path)
+      .toSet -- v1Files.map(_.path).toSet
+    assert(d.inputFiles.length <= added.size + 1,
+      s"O(delta) diff opened ${d.inputFiles.length} files " +
+        s"(${added.size} added + 1 affected allowed)")
+    // and it must agree with the exact bag diff, row for row
+    val exactIns = SnapshotTable.readVersion(spark, root, 2L)
+      .exceptAll(SnapshotTable.readVersion(spark, root, 1L))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sorted.toSeq
+    assert(ins.sorted.toSeq == exactIns)
+  }
+
   test("manifest blooms prune point lookups on a NON-cluster key, and " +
       "files without a bloom are conservatively kept") {
     val root = tmpRoot()
