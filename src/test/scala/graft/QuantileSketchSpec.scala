@@ -79,6 +79,58 @@ class QuantileSketchSpec extends SparkSpec {
     assert(empty.isNaN)
   }
 
+  test("streaming windowed sketches persisted to a snapshot table " +
+      "union to the BIT-SAME sketch a batch pass over the raw events " +
+      "builds — the compute-per-window, query-any-range rollup") {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-qroll")
+      .toString + "/w"
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val agg = stream.toDF().toDF("ts", "x")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr("graft_qsketch(x, 2)").as("sk"), count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("sk"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          SnapshotTable.append(spark, root, batch)
+        ()
+      }.start()
+    val hourXs = Seq(
+      ts("2024-01-01 10:05:00") -> 5.0,
+      ts("2024-01-01 10:25:00") -> 50.0,
+      ts("2024-01-01 10:55:00") -> 500.0,
+      ts("2024-01-01 11:05:00") -> 7.0,
+      ts("2024-01-01 11:35:00") -> 70.0,
+      ts("2024-01-01 11:45:00") -> 700.0)
+    try {
+      stream.addData(hourXs: _*)
+      q.processAllAvailable()
+      // push the watermark past both windows so append mode flushes
+      stream.addData(ts("2024-01-01 13:30:00") -> 1.0)
+      q.processAllAvailable()
+    } finally q.stop()
+    val persisted = SnapshotTable.read(spark, root)
+      .filter(col("ws") < ts("2024-01-01 12:00:00"))
+    assert(persisted.count() == 2, "both closed windows must persist")
+    val unioned = persisted.agg(expr("graft_qsketch_union(sk)"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val direct = hourXs.map(_._2).toDF("x")
+      .agg(expr("graft_qsketch(x, 2)"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(unioned, direct),
+      "window-sketch union must equal the batch sketch byte-for-byte")
+    val p50 = persisted.agg(expr("graft_qsketch_union(sk)").as("sk"))
+      .selectExpr("graft_qsketch_quantile(sk, CAST(0.5 AS DOUBLE))")
+      .collect()(0).getDouble(0)
+    // exact rank-3 of the 6 values is 50; alpha=2% relative error
+    assert(math.abs(p50 - 50.0) <= 1.1, s"range-rollup p50 $p50")
+  }
+
   test("the sketch_price_quantiles query returns a full profile: every " +
       "return flag plus the unioned ALL row, p50 <= p90 <= p99") {
     val rows = graft.operators.Relational
