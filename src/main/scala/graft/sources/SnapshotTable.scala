@@ -94,7 +94,19 @@ object SnapshotTable {
       lo: Option[String], hi: Option[String],
       kind: String = "d", seq: Long = 0L,
       bloomKey: Option[String] = None,
-      bloom: Option[Array[Byte]] = None)
+      bloom: Option[Array[Byte]] = None,
+      statsKey2: Option[String] = None,
+      lo2: Option[String] = None, hi2: Option[String] = None) {
+    /** Recorded [lo, hi] for `key`, whichever stats slot holds it —
+      * a Z-ordered file carries boxes on TWO columns and prunes on
+      * either. */
+    def statsFor(key: String): Option[(String, String)] =
+      if (statsKey.contains(key) && lo.isDefined && hi.isDefined)
+        Some((lo.get, hi.get))
+      else if (statsKey2.contains(key) && lo2.isDefined && hi2.isDefined)
+        Some((lo2.get, hi2.get))
+      else None
+  }
 
   private[sources] def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -135,11 +147,12 @@ object SnapshotTable {
 
   // ---- manifest IO ----
   // One line per file, tab-separated base64(UTF-8) fields
-  // (path, statsKey, lo, hi, kind, seq, bloomKey, bloomBytes) —
-  // base64 so stat values may contain any character; empty field =
-  // None/default; bloomBytes is base64 of RAW sketch bytes. Trailing
-  // fields are optional (readers pad), so pre-bloom manifests parse
-  // unchanged. Line 1 is a
+  // (path, statsKey, lo, hi, kind, seq, bloomKey, bloomBytes,
+  // statsKey2, lo2, hi2) — base64 so stat values may contain any
+  // character; empty field = None/default; bloomBytes is base64 of
+  // RAW sketch bytes; the second stats triple is the Z-order box's
+  // other dimension. Trailing fields are optional (readers pad), so
+  // older manifests parse unchanged. Line 1 is a
   // format tag; v2 adds an optional `#schema\t<b64 json>` header: the
   // TABLE schema as of this version, recorded at commit time. Readers
   // apply it as an explicit read schema, which is what makes schema
@@ -174,7 +187,10 @@ object SnapshotTable {
           .append(b64(e.seq.toString)).append('\t')
           .append(e.bloomKey.fold("")(b64)).append('\t')
           .append(e.bloom.fold("")(
-            java.util.Base64.getEncoder.encodeToString))
+            java.util.Base64.getEncoder.encodeToString)).append('\t')
+          .append(e.statsKey2.fold("")(b64)).append('\t')
+          .append(e.lo2.fold("")(b64)).append('\t')
+          .append(e.hi2.fold("")(b64))
           .append('\n')
       }
       out.write(sb.toString.getBytes("UTF-8"))
@@ -248,7 +264,7 @@ object SnapshotTable {
           .asInstanceOf[StructType]
     }
     val entries = rows.map { l =>
-      val fld = l.split('\t').padTo(8, "")
+      val fld = l.split('\t').padTo(11, "")
       FileEntry(unb64(fld(0)),
         Option(fld(1)).filter(_.nonEmpty).map(unb64),
         Option(fld(2)).filter(_.nonEmpty).map(unb64),
@@ -258,7 +274,10 @@ object SnapshotTable {
           .map(_.toLong).getOrElse(0L),
         Option(fld(6)).filter(_.nonEmpty).map(unb64),
         Option(fld(7)).filter(_.nonEmpty)
-          .map(java.util.Base64.getDecoder.decode))
+          .map(java.util.Base64.getDecoder.decode),
+        Option(fld(8)).filter(_.nonEmpty).map(unb64),
+        Option(fld(9)).filter(_.nonEmpty).map(unb64),
+        Option(fld(10)).filter(_.nonEmpty).map(unb64))
     }
     (entries, schema)
   }
@@ -301,15 +320,24 @@ object SnapshotTable {
     * a bloom does not care about ordering). */
   private def stageSegment(spark: SparkSession, root: String,
       df: DataFrame, clusterKey: Option[String],
-      files: Int, bloomKey: Option[String] = None)
+      files: Int, bloomKey: Option[String] = None,
+      zorderWith: Option[String] = None)
   : (Path, Seq[FileEntry]) = {
     val seg = new Path(dataDir(root),
       s"seg-${java.util.UUID.randomUUID().toString.take(12)}")
-    val shaped = clusterKey match {
-      case Some(k) =>
+    val shaped = (clusterKey, zorderWith) match {
+      case (Some(a), Some(b)) =>
+        // Z-ORDER layout: range-partition + sort on the interleaved
+        // curve, so every file is a compact BOX in (a, b) space and
+        // the min/max recorded for EACH column prunes on its own
+        df.withColumn("__z", Sources.zOrderColumn(df, a, b))
+          .repartitionByRange(math.max(1, files), col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      case (Some(k), None) =>
         df.repartitionByRange(math.max(1, files), col(k))
           .sortWithinPartitions(col(k))
-      case None => df
+      case _ => df
     }
     shaped.write.mode("error").parquet(seg.toString)
     val f = fs(spark, root)
@@ -326,40 +354,50 @@ object SnapshotTable {
         rel.map(FileEntry(_, None, None, None))
       else {
         // one column-pruned pass over the NEW files only, computing
-        // every requested per-file stat (min/max and/or bloom) at once
+        // every requested per-file stat (min/max per stats column
+        // and/or bloom) at once
         graft.functions.BloomFunctions.register(spark)
         val cols = Seq(input_file_name().as("__f")) ++
           clusterKey.map(k => col(k).as("__ck")) ++
-          bloomKey.map(k => col(k).as("__bk"))
+          bloomKey.map(k => col(k).as("__bk")) ++
+          zorderWith.map(k => col(k).as("__zk"))
         val aggs =
           clusterKey.toSeq.flatMap(_ => Seq(
             smin(col("__ck")).cast("string").as("__lo"),
             smax(col("__ck")).cast("string").as("__hi"))) ++
           bloomKey.toSeq.map(_ => expr(
             s"graft_bloom_sketch(__bk, $BloomExpectedItems, $BloomFppPct)")
-            .as("__bf"))
-        val stats = spark.read.parquet(seg.toString)
+            .as("__bf")) ++
+          zorderWith.toSeq.flatMap(_ => Seq(
+            smin(col("__zk")).cast("string").as("__lo2"),
+            smax(col("__zk")).cast("string").as("__hi2")))
+        val statRows = spark.read.parquet(seg.toString)
           .select(cols: _*)
           .groupBy(col("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .map { r =>
-            val lohi =
-              if (clusterKey.isDefined)
-                (Option(r.getString(1)), Option(r.getString(2)))
-              else (None, None)
-            val bf =
-              if (bloomKey.isDefined)
-                Option(r.getAs[Array[Byte]](if (clusterKey.isDefined) 3
-                  else 1))
-              else None
-            new Path(r.getString(0)).getName -> ((lohi._1, lohi._2, bf))
-          }.toMap
+          .map(r => new Path(r.getAs[String]("__f")).getName -> r)
+          .toMap
         rel.map { p =>
-          val name = new Path(p).getName
-          val (lo, hi, bf) = stats.getOrElse(name, (None, None, None))
-          FileEntry(p, clusterKey, lo, hi,
-            bloomKey = bloomKey.filter(_ => bf.isDefined), bloom = bf)
+          statRows.get(new Path(p).getName) match {
+            case None => FileEntry(p, clusterKey, None, None)
+            case Some(r) =>
+              val lo = clusterKey.flatMap(_ =>
+                Option(r.getAs[String]("__lo")))
+              val hi = clusterKey.flatMap(_ =>
+                Option(r.getAs[String]("__hi")))
+              val bf = bloomKey.flatMap(_ =>
+                Option(r.getAs[Array[Byte]]("__bf")))
+              val lo2 = zorderWith.flatMap(_ =>
+                Option(r.getAs[String]("__lo2")))
+              val hi2 = zorderWith.flatMap(_ =>
+                Option(r.getAs[String]("__hi2")))
+              FileEntry(p, clusterKey, lo, hi,
+                bloomKey = bloomKey.filter(_ => bf.isDefined), bloom = bf,
+                statsKey2 = zorderWith.filter(_ =>
+                  lo2.isDefined && hi2.isDefined),
+                lo2 = lo2, hi2 = hi2)
+          }
         }
       }
     (seg, entries)
@@ -419,9 +457,10 @@ object SnapshotTable {
     * for vacuum to clear them. */
   def commit(spark: SparkSession, root: String, df: DataFrame,
       maxRetries: Int = 5, clusterKey: Option[String] = None,
-      files: Int = 8, bloomKey: Option[String] = None): Long = {
+      files: Int = 8, bloomKey: Option[String] = None,
+      zorderWith: Option[String] = None): Long = {
     val (seg, entries) = stageSegment(spark, root, df, clusterKey,
-      if (clusterKey.isDefined) files else 0, bloomKey)
+      if (clusterKey.isDefined) files else 0, bloomKey, zorderWith)
     val f = fs(spark, root)
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -498,6 +537,19 @@ object SnapshotTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Commit `df` Z-ORDERED on (keyA, keyB): the segment is laid out
+    * along the interleaved curve, so every file is a compact bounding
+    * box in (keyA, keyB) space, and the manifest records min/max for
+    * BOTH columns — [[readWhere]]/[[readKeys]]/MERGE then prune on
+    * EITHER column alone, the property one-column clustering cannot
+    * give the second column. The multi-dimensional data-skipping
+    * layout (Delta's OPTIMIZE ZORDER BY) on the manifest protocol. */
+  def commitZOrdered(spark: SparkSession, root: String, df: DataFrame,
+      keyA: String, keyB: String, files: Int = 8,
+      bloomKey: Option[String] = None, maxRetries: Int = 5): Long =
+    commit(spark, root, df, maxRetries, clusterKey = Some(keyA),
+      files = files, bloomKey = bloomKey, zorderWith = Some(keyB))
+
   /** Read the current snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root, currentVersion(spark, root))
@@ -548,13 +600,16 @@ object SnapshotTable {
   : (Seq[FileEntry], Seq[FileEntry]) = {
     import spark.implicits._
     val keyType = updates.schema(key).dataType
-    val (withStats, without) = entries.partition(e =>
-      e.statsKey.contains(key) && e.lo.isDefined && e.hi.isDefined)
+    val (withStats, without) =
+      entries.partition(_.statsFor(key).isDefined)
     if (withStats.isEmpty) return (entries, Seq.empty)
     // file-range metadata is O(#files) — the manifest itself; joining
     // the update keys against it broadcast is the standard pruning
     // shape (the planner holds the manifest either way)
-    val ranges = withStats.map(e => (e.path, e.lo.get, e.hi.get))
+    val ranges = withStats.map { e =>
+        val (l, h) = e.statsFor(key).get
+        (e.path, l, h)
+      }
       .toDF("__p", "__lo", "__hi")
       .select(col("__p"), col("__lo").cast(keyType).as("__lo"),
         col("__hi").cast(keyType).as("__hi"))
@@ -1034,8 +1089,8 @@ object SnapshotTable {
       key: String, lo: Option[String], hi: Option[String])
   : (Seq[FileEntry], Seq[FileEntry]) = {
     val (tombs, data) = entries.partition(_.kind == "t")
-    val (withStats, without) = data.partition(e =>
-      e.statsKey.contains(key) && e.lo.isDefined && e.hi.isDefined)
+    val (withStats, without) =
+      data.partition(_.statsFor(key).isDefined)
     if (withStats.isEmpty || (lo.isEmpty && hi.isEmpty))
       return (entries, Seq.empty)
     // key type from the manifest schema when recorded (v2); one footer
@@ -1046,8 +1101,9 @@ object SnapshotTable {
       case None => (entries, Seq.empty)
       case Some(cmp) =>
         val (kept, skipped) = withStats.partition { e =>
-          lo.forall(b => cmp(e.hi.get, b) >= 0) &&
-            hi.forall(b => cmp(e.lo.get, b) <= 0)
+          val (l, h) = e.statsFor(key).get
+          lo.forall(b => cmp(h, b) >= 0) &&
+            hi.forall(b => cmp(l, b) <= 0)
         }
         (tombs ++ without ++ kept, skipped)
     }

@@ -180,7 +180,18 @@ object Sources {
     * column. The interleave is a pure column expression (shift/and/or
     * folds), fully codegen'd, never a UDF. */
   def writeZOrdered(df: DataFrame, path: String, keyA: String,
-      keyB: String, files: Int): Unit = {
+      keyB: String, files: Int): Unit =
+    df.withColumn("__z", zOrderColumn(df, keyA, keyB))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** The Z-interleave as a pure column expression against `df`'s value
+    * ranges (one four-scalar stats pass). Shared with the snapshot
+    * table's Z-ordered commits. */
+  private[sources] def zOrderColumn(df: DataFrame, keyA: String,
+      keyB: String): Column = {
     val stats = df.agg(
       min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
       min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).head()
@@ -193,17 +204,12 @@ object Sources {
         .cast("long"))
     val na = norm16(col(keyA), aLo, aHi)
     val nb = norm16(col(keyB), bLo, bHi)
-    val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(na, i).bitwiseAND(lit(1L)), 2 * i))
         .bitwiseOR(shiftleft(shiftright(nb, i).bitwiseAND(lit(1L)),
           2 * i + 1))
     }
-    df.withColumn("__z", z)
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
 
   /** Bucketed table pair for co-located joins (the cluster-scale answer
@@ -502,6 +508,27 @@ object Sources {
           max(col("o_custkey")).as("max_ck"))
         .orderBy("o_orderstatus")
     }),
+    // Z-order box pruning under the oracle: commit orders Z-ORDERED on
+    // (o_orderkey, o_custkey), then answer a range query on the SECOND
+    // dimension through readWhere — the multi-dimensional skipping a
+    // single-column clustering cannot give. The oracle runs the same
+    // band filter over the base table; matching hashes prove box
+    // pruning never changes the answer (the spec proves both columns
+    // actually skip files).
+    "snapshot_zorder_band" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-zord-q")
+        .toString + "/orders_z"
+      val o = graft.Tables.load(s, dir, "orders")
+      SnapshotTable.commitZOrdered(s, root, o,
+        "o_orderkey", "o_custkey", files = 8)
+      SnapshotTable.readWhere(s, root, "o_custkey",
+          lo = Some("100"), hi = Some("250"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("min_ck"),
+          max(col("o_custkey")).as("max_ck"))
+        .orderBy("o_orderstatus")
+    }),
     // Stats-pruned scan under the oracle: cluster orders into a
     // snapshot table (per-file min/max on the key recorded in the
     // manifest), then answer a key-range query through readWhere —
@@ -669,6 +696,13 @@ object Sources {
         |  min(o_custkey) AS min_ck, max(o_custkey) AS max_ck
         |FROM orders
         |WHERE o_custkey % 97 = 0
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_zorder_band" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  min(o_custkey) AS min_ck, max(o_custkey) AS max_ck
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 250
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)
 }

@@ -755,6 +755,35 @@ class SnapshotTableSpec extends SparkSpec {
     assert(d.filter(col("change_type") === "deleted").count() == 0)
   }
 
+  test("Z-ordered commits prune range reads on EITHER column: every " +
+      "file is a box in (a, b) space with min/max recorded for both") {
+    val root = tmpRoot()
+    // a 200 x 200 grid: one-column clustering would leave the second
+    // column's per-file range spanning everything; the Z curve gives
+    // every file a compact box instead
+    val df = (0 until 40000).map(i => (i % 200, i / 200)).toDF("a", "b")
+    SnapshotTable.commitZOrdered(spark, root, df, "a", "b", files = 16)
+    val total = SnapshotTable.manifest(spark, root, 1L).size
+    assert(total > 4, "need a real file grid to prove box pruning")
+    val ra = SnapshotTable.readWhere(spark, root, "a",
+      lo = Some("10"), hi = Some("20"))
+    val rb = SnapshotTable.readWhere(spark, root, "b",
+      lo = Some("10"), hi = Some("20"))
+    assert(ra.inputFiles.length < total,
+      s"a-band opened ${ra.inputFiles.length} of $total")
+    assert(rb.inputFiles.length < total,
+      s"b-band opened ${rb.inputFiles.length} of $total")
+    assert(ra.count() ==
+      df.filter(col("a") >= 10 && col("a") <= 20).count())
+    assert(rb.count() ==
+      df.filter(col("b") >= 10 && col("b") <= 20).count())
+    // point lookups on the SECOND dimension ride the same box stats
+    val rk = SnapshotTable.readKeys(spark, root, "b", Seq(5).toDF("b"))
+    assert(rk.inputFiles.length < total,
+      s"b-point opened ${rk.inputFiles.length} of $total")
+    assert(rk.count() == 200)
+  }
+
   test("TIMESTAMP AS OF: readAsOf resolves by commit-record time — a " +
       "wall-clock instant reads exactly what a live reader saw then") {
     val root = tmpRoot()
