@@ -201,6 +201,32 @@ object EventAnalytics {
         .orderBy(asc("event_type"))
     }),
 
+    // Declared data-quality expectations (operators/Expectations):
+    // named constraints gate the feed into clean/quarantine, and the
+    // quarantine side reports violations BY REASON — including a
+    // constraint that never fires (has_user must report 0, which is
+    // what proves the zero-fill join). The oracle recomputes each
+    // reason with IS NOT TRUE (NULL = violation, the quarantine gate's
+    // semantics) straight from the base table.
+    "events_expectations" -> ((s, dir) => {
+      import s.implicits._
+      val constraints = Seq(
+        "has_user" -> col("user_id").isNotNull,
+        "not_error_type" -> (col("event_type") =!= "error"),
+        "value_in_range" -> (col("value") <= 90.0))
+      val (clean, quar) = Expectations.split(ev(s, dir), constraints)
+      val perReason = quar
+        .select(explode(col("violations")).as("metric"))
+        .groupBy("metric").agg(count(lit(1)).as("n"))
+      val zeroFilled = constraints.map(_._1).toDF("metric")
+        .join(perReason, Seq("metric"), "left")
+        .select(col("metric"), coalesce(col("n"), lit(0L)).as("n"))
+      clean.agg(count(lit(1)).as("n"))
+        .select(lit("clean").as("metric"), col("n"))
+        .unionByName(zeroFilled)
+        .orderBy(asc("metric"))
+    }),
+
     // A11: the reference's declared-but-never-called stat surface
     // (avg/stddev/min/max/sum), made exact for the oracle: decimal sums,
     // variance from exact moments => bit-identical doubles both engines.
@@ -458,6 +484,21 @@ object EventAnalytics {
         |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |      FROM events) WHERE k IS NOT NULL
         |GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "events_expectations" ->
+      """SELECT 'clean' AS metric, count(*) AS n FROM events
+        |  WHERE (user_id IS NOT NULL) IS TRUE
+        |    AND (event_type <> 'error') IS TRUE
+        |    AND (value <= 90.0) IS TRUE
+        |UNION ALL
+        |SELECT 'has_user', count(*) FROM events
+        |  WHERE (user_id IS NOT NULL) IS NOT TRUE
+        |UNION ALL
+        |SELECT 'not_error_type', count(*) FROM events
+        |  WHERE (event_type <> 'error') IS NOT TRUE
+        |UNION ALL
+        |SELECT 'value_in_range', count(*) FROM events
+        |  WHERE (value <= 90.0) IS NOT TRUE
+        |ORDER BY metric""".stripMargin,
     "events_quality" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CASE WHEN event_id IS NOT NULL AND user_id IS NOT NULL
