@@ -102,22 +102,26 @@ object Bloom {
     (numHashes, words)
   }
 
-  /** Driver-side probe of a serialized filter with a JVM-typed value
-    * (what a collected Row yields) — converts to the Catalyst value
+  /** JVM value (what a collected Row yields) → the Catalyst value
     * [[Hll.hashValue]] hashes on the write side, so a manifest bloom
     * built by the aggregate and a probe from collected keys agree by
     * construction. */
+  def toCatalyst(v: Any): Any = v match {
+    case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case ts: java.sql.Timestamp =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts)
+    case d: java.sql.Date =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
+    case other => other
+  }
+
+  /** One-shot driver-side probe. For a probe LOOP (many keys against
+    * many files), decode each filter once with [[fromBytes]] and hash
+    * each key once with [[Hll.hashValue]]∘[[toCatalyst]] instead —
+    * this convenience re-decodes the whole filter per call. */
   def mightContainJvm(bytes: Array[Byte], v: Any, dt: DataType): Boolean = {
-    val catalystV = v match {
-      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
-      case ts: java.sql.Timestamp =>
-        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts)
-      case d: java.sql.Date =>
-        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
-      case other => other
-    }
     val (k, words) = fromBytes(bytes)
-    mightContain(words, k, Hll.hashValue(catalystV, dt))
+    mightContain(words, k, Hll.hashValue(toCatalyst(v), dt))
   }
 }
 

@@ -68,6 +68,10 @@ object QSketch {
     }
 
     def add(x: Double, gamma: Double): Unit = {
+      // NaN is ignored like NULL: it orders nowhere, so counting it in
+      // ANY bucket would shift every rank (the naive fall-through
+      // would bucket it as ~-1, poisoning all-positive data)
+      if (x.isNaN) return
       if (x == 0.0 || math.abs(x) < 1e-300) zero += 1
       else if (x > 0) bump(pos, indexOf(x, gamma), 1L)
       else bump(neg, indexOf(-x, gamma), 1L)
@@ -87,21 +91,22 @@ object QSketch {
     }
 
     /** Collapse beyond [[QSketch.MaxBuckets]]: fold the lowest
-      * positive / highest-|x| negative buckets into their neighbor
-      * (the tail a capped sketch gives up resolution on). */
+      * positive / highest-|x| negative buckets into their surviving
+      * neighbor (the tail a capped sketch gives up resolution on).
+      * Only a store with >= 2 buckets collapses — folding into an
+      * EXISTING neighbor is what makes each step shrink the total, so
+      * the loop provably terminates (the old re-insert-at-last-minus-1
+      * form kept the size constant on a one-bucket store and spun
+      * forever); two single-bucket stores are far under any cap. */
     private def capped(): Unit = {
       while (pos.size + neg.size > MaxBuckets) {
-        if (neg.size > 0) {
-          val last = neg.lastKey() // largest |x| negative bucket
-          val n = neg.remove(last)
-          if (neg.size > 0) bump(neg, neg.lastKey(), n)
-          else bump(neg, last - 1, n)
-        } else {
-          val first = pos.firstKey() // smallest positive bucket
-          val n = pos.remove(first)
-          if (pos.size > 0) bump(pos, pos.firstKey(), n)
-          else bump(pos, first + 1, n)
-        }
+        if (neg.size > 1) {
+          val n = neg.remove(neg.lastKey()) // largest |x| negative
+          bump(neg, neg.lastKey(), n)
+        } else if (pos.size > 1) {
+          val n = pos.remove(pos.firstKey()) // smallest positive
+          bump(pos, pos.firstKey(), n)
+        } else return
       }
     }
 

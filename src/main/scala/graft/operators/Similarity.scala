@@ -251,10 +251,17 @@ object Similarity {
         .persist()
       val codebook = pqTrain(s, sub, ks, iters = 3)
       val cb = codebookDf(s, codebook)
-      // encode the corpus: nearest sub-centroid per (vector, subspace)
+      // encode the corpus: nearest sub-centroid per (vector, subspace).
+      // MATERIALIZED while `sub` is still cached — the returned plan
+      // executes after this function returns, and an unpersisted `sub`
+      // would re-derive the corpus explode once per consumer; the
+      // cached codes are the m-bytes-per-vector index (the compression
+      // is the point), so this is the state a serving index keeps hot.
       val codes = pqAssign(sub, cb)
         .select(col("vec_id").as("c_id"), col("label"),
           col("sub"), col("cid"))
+        .persist()
+      codes.count()
       // coarse IVF probe on label cells (the knn_ivf quantizer)
       val centroids = all
         .select(col("label"), posexplode(col("vn")))

@@ -226,6 +226,23 @@ object SnapshotTable {
       .map(_.copy(nullable = true)))
   }
 
+  /** The table's bloom-index column, derived from the current
+    * version's data files: a bloom index is table METADATA in spirit,
+    * so maintenance operations (merge, MOR commits, delete, compact,
+    * plain appends) RE-APPLY it to the files they stage instead of
+    * silently eroding the index — a serving table whose merges drop
+    * the blooms degrades back toward full scans with no signal. */
+  private def tableBloomKey(prior: Seq[FileEntry]): Option[String] =
+    prior.find(e => e.kind == "d" && e.bloomKey.isDefined)
+      .flatMap(_.bloomKey)
+
+  /** An inherited bloom column is kept only when the staged frame
+    * actually carries it — an evolving batch that predates the column
+    * skips the index for its segment (conservatively unpruned on
+    * read) rather than failing the write. */
+  private def bloomFor(df: DataFrame, k: Option[String]): Option[String] =
+    k.filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+
   /** The prior table schema for an evolving commit: the manifest's
     * recorded schema, or — on the v1 compatibility path, where the
     * manifest predates schema tracking — the footer-resolved schema of
@@ -497,8 +514,14 @@ object SnapshotTable {
   def append(spark: SparkSession, root: String, df: DataFrame,
       clusterKey: Option[String] = None, files: Int = 8,
       maxRetries: Int = 5, bloomKey: Option[String] = None): Long = {
+    val inherited = bloomKey.orElse {
+      val cur0 = currentVersion(spark, root)
+      if (cur0 == 0L) None
+      else tableBloomKey(readManifest(spark, root, cur0))
+    }
     val (seg, entries) =
-      stageSegment(spark, root, df, clusterKey, files, bloomKey)
+      stageSegment(spark, root, df, clusterKey, files,
+        bloomFor(df, inherited))
     val f = fs(spark, root)
     var attempt = 0
     while (true) {
@@ -688,7 +711,8 @@ object SnapshotTable {
         val outFiles = math.max(files,
           ((touchedBytes + targetBytes - 1) / targetBytes).toInt)
         val (seg, newEntries) =
-          stageSegment(spark, root, rewritten, Some(key), outFiles)
+          stageSegment(spark, root, rewritten, Some(key), outFiles,
+            bloomFor(rewritten, tableBloomKey(prior)))
         try {
           return commitExpectingEntries(spark, root, seg,
             carried ++ newEntries, expectedCurrent = cur,
@@ -735,7 +759,8 @@ object SnapshotTable {
           updates.schema)
         requireTombKey(prior, key, root)
         val (dataSeg, dataEntries) =
-          stageSegment(spark, root, updates, Some(key), files)
+          stageSegment(spark, root, updates, Some(key), files,
+            bloomFor(updates, tableBloomKey(prior)))
         // manifest-stats check (zero data IO): when no existing file's
         // key range can contain an update key, the batch is provably
         // all-inserts — skip the tombstone, keeping the history
@@ -806,7 +831,8 @@ object SnapshotTable {
       val kept = readVersion(spark, root, cur)
         .filter(!org.apache.spark.sql.functions
           .coalesce(condition, lit(false)))
-      val (seg, entries) = stageSegment(spark, root, kept, None, 0)
+      val (seg, entries) = stageSegment(spark, root, kept, None, 0,
+        bloomFor(kept, tableBloomKey(readManifest(spark, root, cur))))
       try {
         return commitExpectingEntries(spark, root, seg, entries,
           expectedCurrent = cur, schema = kept.schema)
@@ -847,12 +873,15 @@ object SnapshotTable {
     val nFiles =
       math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val snapshot = readVersion(spark, root, v)
+    val inherited =
+      bloomFor(snapshot, bloomKey.orElse(tableBloomKey(entries)))
     val (seg, newEntries) = clusterKey match {
       case Some(_) =>
-        stageSegment(spark, root, snapshot, clusterKey, nFiles, bloomKey)
+        stageSegment(spark, root, snapshot, clusterKey, nFiles,
+          inherited)
       case None =>
         stageSegment(spark, root, snapshot.repartition(nFiles), None, 0,
-          bloomKey)
+          inherited)
     }
     val newV = commitExpectingEntries(spark, root, seg, newEntries,
       expectedCurrent = v, schema = snapshot.schema)
@@ -899,8 +928,11 @@ object SnapshotTable {
       df: DataFrame, expectedCurrent: Long,
       clusterKey: Option[String] = None, files: Int = 8,
       bloomKey: Option[String] = None): Long = {
+    val inherited = bloomKey.orElse(
+      if (expectedCurrent == 0L) None
+      else tableBloomKey(readManifest(spark, root, expectedCurrent)))
     val (seg, entries) = stageSegment(spark, root, df, clusterKey,
-      if (clusterKey.isDefined) files else 0, bloomKey)
+      if (clusterKey.isDefined) files else 0, bloomFor(df, inherited))
     commitExpectingEntries(spark, root, seg, entries, expectedCurrent,
       schema = df.schema)
   }
@@ -984,7 +1016,12 @@ object SnapshotTable {
             spark.read.parquet(absolute(root, t)))
             .reduce(_.unionByName(_)).distinct()
           val (touched, _) = touchedFiles(spark, root, aData, keysDf, key)
-          val pruned = bloomPrune(touched, keysDf, key)
+          val probeRows = keysDf.limit(MaxBloomProbeKeys + 1).collect()
+          val pruned =
+            if (probeRows.length <= MaxBloomProbeKeys)
+              bloomPrune(touched, probeRows.map(_.get(0)),
+                keysDf.schema(key).dataType, key)
+            else touched
           if (pruned.isEmpty) empty
           else readEntries(spark, root, pruned ++ aTombs, readSchema)
             .join(keysDf, Seq(key), "left_semi")
@@ -1168,13 +1205,31 @@ object SnapshotTable {
     // probe in the TABLE's key type: the manifest blooms hashed the
     // column as stored, so a lookup arriving as a narrower/other type
     // must cast first or every probe would hash a different value —
-    // bloom false NEGATIVES, the one failure mode pruning cannot have
+    // bloom false NEGATIVES, the one failure mode pruning cannot have.
+    // TRY-cast: a lookup value the table type cannot represent must
+    // match NOTHING (what the untyped join always did), not blow up
+    // the read under ANSI cast semantics; the nulls drop out of both
+    // the probe set and the semi join.
     val tableKeyType = mSchema.flatMap(_.fields.find(_.name == key))
       .map(_.dataType)
-    val lookup = tableKeyType.fold(keys.select(keys(key)))(t =>
-      keys.select(keys(key).cast(t).as(key))).distinct()
+    val castKeys = tableKeyType.fold(keys.select(keys(key)))(t =>
+      keys.select(keys(key).try_cast(t).as(key)))
+      .filter(col(key).isNotNull).distinct()
+    // a point lookup's key set is collected ONCE (capped) and reused
+    // as a local relation for stats pruning, bloom probing AND the
+    // semi join — the caller's key derivation runs one job, not three
+    val firstBatch = castKeys.limit(MaxBloomProbeKeys + 1).collect()
+    val small = firstBatch.length <= MaxBloomProbeKeys
+    val lookup =
+      if (small) spark.createDataFrame(
+        java.util.Arrays.asList(firstBatch: _*), castKeys.schema)
+      else castKeys
     val (statsTouched, _) = touchedFiles(spark, root, data, lookup, key)
-    val touched = bloomPrune(statsTouched, lookup, key)
+    val touched =
+      if (small)
+        bloomPrune(statsTouched, firstBatch.map(_.get(0)),
+          lookup.schema(key).dataType, key)
+      else statsTouched
     val base =
       if (touched.nonEmpty)
         readEntries(spark, root, touched ++ tombs, mSchema)
@@ -1201,20 +1256,22 @@ object SnapshotTable {
     * about ordering. A bloom hit only fails to prune; there are no
     * false negatives, so pruning cannot change the answer. Files
     * without a bloom on `key` (older commits, MOR segments) are
-    * conservatively kept. */
-  private def bloomPrune(entries: Seq[FileEntry], lookup: DataFrame,
-      key: String): Seq[FileEntry] = {
+    * conservatively kept. Each filter decodes ONCE and each probe
+    * hashes ONCE — the loop is (files × keys) bit tests, not (files ×
+    * keys) sketch deserializations. */
+  private def bloomPrune(entries: Seq[FileEntry], probes: Array[Any],
+      keyType: DataType, key: String): Seq[FileEntry] = {
     if (!entries.exists(e => e.bloomKey.contains(key) && e.bloom.isDefined))
       return entries
-    val kt = lookup.schema(key).dataType
-    val probes = lookup.limit(MaxBloomProbeKeys + 1).collect()
-      .map(_.get(0)).filter(_ != null)
-    if (probes.length > MaxBloomProbeKeys) return entries
+    val hashes = probes.filter(_ != null).map(v =>
+      graft.functions.Hll.hashValue(
+        graft.functions.Bloom.toCatalyst(v), keyType))
     entries.filter { e =>
-      if (e.bloomKey.contains(key) && e.bloom.isDefined)
-        probes.exists(v => graft.functions.Bloom.mightContainJvm(
-          e.bloom.get, v, kt))
-      else true
+      if (e.bloomKey.contains(key) && e.bloom.isDefined) {
+        val (k, words) = graft.functions.Bloom.fromBytes(e.bloom.get)
+        hashes.exists(h =>
+          graft.functions.Bloom.mightContain(words, k, h))
+      } else true
     }
   }
 

@@ -195,6 +195,10 @@ object Sources {
     val stats = df.agg(
       min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
       min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).head()
+    // empty frame / all-NULL keys: no range to normalize against —
+    // constant curve value, so the write degrades to unordered
+    // instead of throwing a bare NPE at the min/max row
+    if (stats.isNullAt(0) || stats.isNullAt(2)) return lit(0L)
     val (aLo, aHi) = (stats.getDouble(0), stats.getDouble(1))
     val (bLo, bHi) = (stats.getDouble(2), stats.getDouble(3))
     def norm16(c: Column, lo: Double, hi: Double): Column =

@@ -131,6 +131,35 @@ class QuantileSketchSpec extends SparkSpec {
     assert(math.abs(p50 - 50.0) <= 1.1, s"range-rollup p50 $p50")
   }
 
+  test("NaN inputs are ignored like NULL: they order nowhere, so " +
+      "counting them anywhere would shift every rank") {
+    val df = Seq(1.0, Double.NaN, 3.0, Double.NaN).toDF("x")
+    def est(q: Double): Double = df
+      .agg(expr(s"graft_qsketch_quantile(graft_qsketch(x, 1), " +
+        s"CAST($q AS DOUBLE))"))
+      .collect()(0).getDouble(0)
+    // two live values: rank ceil(0.5*2)=1 -> 1.0, rank ceil(1*2)=2 -> 3.0
+    assert(math.abs(est(0.5) - 1.0) <= 0.011)
+    assert(math.abs(est(1.0) - 3.0) <= 0.031)
+  }
+
+  test("the bucket cap terminates on the adversarial shape (huge " +
+      "positive span + a single negative bucket) and keeps every " +
+      "count") {
+    import graft.functions.QSketch
+    val g = QSketch.gammaFor(1)
+    val b = new QSketch.Buf(1)
+    b.add(-5.0, g) // one-bucket negative store: the old collapse spun
+    // gamma^(i-0.5) lands exactly in bucket i: 4200 distinct positive
+    // buckets, overflowing MaxBuckets with neg.size == 1
+    (1 to 4200).foreach(i => b.add(math.pow(g, i - 0.5), g))
+    assert(b.total == 4201L, "collapse must preserve counts")
+    assert(b.pos.size + b.neg.size <= QSketch.MaxBuckets,
+      "cap must hold after collapse")
+    // tail resolution degrades, order does not: p99 ~ the top decile
+    assert(b.quantile(0.99) > b.quantile(0.5))
+  }
+
   test("the sketch_price_quantiles query returns a full profile: every " +
       "return flag plus the unioned ALL row, p50 <= p90 <= p99") {
     val rows = graft.operators.Relational

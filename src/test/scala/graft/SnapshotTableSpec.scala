@@ -784,6 +784,38 @@ class SnapshotTableSpec extends SparkSpec {
     assert(rk.count() == 200)
   }
 
+  test("the bloom index survives maintenance: a merge re-applies the " +
+      "table's bloom column to every file it stages, and a lookup key " +
+      "outside the table key type's range matches nothing (no ANSI " +
+      "cast crash)") {
+    val root = tmpRoot()
+    val df = (1 to 20000)
+      .map(i => (i, (i.toLong * 7919) % 20000, i * 2.0))
+      .toDF("k", "u", "x")
+    SnapshotTable.commit(spark, root, df,
+      clusterKey = Some("k"), bloomKey = Some("u"))
+    // COW merge rewrites the file(s) holding keys 1..50: without
+    // inheritance those rewritten files would silently lose the index
+    SnapshotTable.merge(spark, root,
+      (1 to 50).map(i => (i, (i.toLong * 7919) % 20000, -1.0))
+        .toDF("k", "u", "x"), "k")
+    val cur = SnapshotTable.currentVersion(spark, root)
+    val entries = SnapshotTable.manifest(spark, root, cur)
+    assert(entries.filter(_.kind == "d")
+      .forall(e => e.bloomKey.contains("u") && e.bloom.isDefined),
+      "every data file after the merge must carry the inherited bloom")
+    val total = entries.size
+    val res = SnapshotTable.readKeys(spark, root, "u",
+      Seq(42L, 4242L).toDF("u"))
+    assert(res.inputFiles.length < total,
+      "pruning must still work after the merge")
+    // lookup keys wider than the table's int key: 5 billion cannot be
+    // an Int — it must simply match nothing (try_cast), not throw
+    val wide = SnapshotTable.readKeys(spark, root, "k",
+      Seq(5000000000L, 7L).toDF("k"))
+    assert(wide.select("k").collect().map(_.getInt(0)).toSeq == Seq(7))
+  }
+
   test("TIMESTAMP AS OF: readAsOf resolves by commit-record time — a " +
       "wall-clock instant reads exactly what a live reader saw then") {
     val root = tmpRoot()
