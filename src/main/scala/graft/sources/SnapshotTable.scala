@@ -1159,13 +1159,38 @@ object SnapshotTable {
     * lookup costing O(matching files) and O(table). */
   def readWhere(spark: SparkSession, root: String, key: String,
       lo: Option[String] = None, hi: Option[String] = None,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None): DataFrame =
+    readWherePruned(spark, root, Seq((key, lo, hi)), version)
+
+  /** Box read over a Z-ordered table: conjunctive range predicates on
+    * BOTH clustered dimensions, each pruning independently — the kept
+    * set is the intersection, so a (keyA, keyB) box over a
+    * [[commitZOrdered]] layout opens only the files whose bounding
+    * box intersects the query box (≈√files per dimension, the Z-curve
+    * guarantee a 1-D sort cannot give). */
+  def readWhereBox(spark: SparkSession, root: String,
+      keyA: String, loA: Option[String], hiA: Option[String],
+      keyB: String, loB: Option[String], hiB: Option[String],
+      version: Option[Long] = None): DataFrame =
+    readWherePruned(spark, root,
+      Seq((keyA, loA, hiA), (keyB, loB, hiB)), version)
+
+  private def readWherePruned(spark: SparkSession, root: String,
+      preds: Seq[(String, Option[String], Option[String])],
+      version: Option[Long]): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, root))
     require(versions(spark, root).contains(v),
       s"version $v is not committed at $root")
     val (entries, mSchema) = readManifestFull(spark, root, v)
-    val (kept, skipped) = pruneOf(spark, root, entries, mSchema,
-      key, lo, hi)
+    // each predicate prunes independently; keeping the intersection
+    // is sound because every pruneOf only ever SKIPS provably
+    // non-matching files
+    val (kept, firstSkipped) = preds.foldLeft(
+      (entries, Seq.empty[FileEntry])) {
+      case ((es, sk), (key, lo, hi)) =>
+        val (k2, sk2) = pruneOf(spark, root, es, mSchema, key, lo, hi)
+        (k2, if (sk.isEmpty) sk2 else sk)
+    }
     val base =
       if (kept.exists(_.kind != "t")) readEntries(spark, root, kept,
         mSchema)
@@ -1175,15 +1200,17 @@ object SnapshotTable {
         // footer read on the v1 path — manifests are never
         // all-tombstone, so a skipped data file must exist)
         mSchema.fold(
-          spark.read.parquet(absolute(root, skipped.head)).limit(0))(
+          spark.read.parquet(absolute(root, firstSkipped.head)).limit(0))(
           st => spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](),
             asNullable(st)))
       }
-    val kt = base.schema(key).dataType
-    base.filter(
-      lo.fold(lit(true))(b => col(key) >= lit(b).cast(kt)) &&
-        hi.fold(lit(true))(b => col(key) <= lit(b).cast(kt)))
+    preds.foldLeft(base) { case (df, (key, lo, hi)) =>
+      val kt = df.schema(key).dataType
+      df.filter(
+        lo.fold(lit(true))(b => col(key) >= lit(b).cast(kt)) &&
+          hi.fold(lit(true))(b => col(key) <= lit(b).cast(kt)))
+    }
   }
 
   /** Point-lookup read: the rows whose `key` equals a value in `keys`

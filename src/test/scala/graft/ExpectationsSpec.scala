@@ -70,6 +70,53 @@ class ExpectationsSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("streaming quality gate: a foreachBatch expectations split " +
+      "lands clean and quarantined rows in separate snapshot tables " +
+      "that exactly partition the input — replay-safe via MERGE") {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-qgate")
+      .toString
+    val cleanRoot = s"$base/clean"
+    val quarRoot = s"$base/quarantine"
+    val gate = Seq(
+      "positive" -> (col("v") > 0),
+      "short_name" -> (length(col("name")) <= 4))
+    val stream = MemoryStream[(Long, String, Double)]
+    val q = stream.toDF().toDF("id", "name", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val (clean, quar) = Expectations.split(b, gate)
+          // MERGE, not append: a replayed micro-batch upserts the
+          // same keys instead of duplicating them — the same
+          // exactly-once-per-key contract the lakehouse sink uses
+          if (!clean.isEmpty) SnapshotTable.merge(spark, cleanRoot,
+            clean, "id")
+          if (!quar.isEmpty) SnapshotTable.merge(spark, quarRoot,
+            quar.withColumn("violations",
+              concat_ws(",", col("violations"))), "id")
+        }
+        ()
+      }.start()
+    try {
+      stream.addData((1L, "ok", 5.0), (2L, "toolong", 2.0),
+        (3L, "neg", -1.0))
+      q.processAllAvailable()
+      stream.addData((4L, "fine", 1.0), (5L, "bad", -2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val cleanIds = SnapshotTable.read(spark, cleanRoot)
+      .select("id").as[Long].collect().sorted.toSeq
+    val quar = SnapshotTable.read(spark, quarRoot)
+      .select("id", "violations").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleanIds == Seq(1L, 4L))
+    assert(quar == Map(2L -> "short_name", 3L -> "positive",
+      5L -> "positive"))
+  }
+
   test("the events_expectations query reports clean + per-reason " +
       "counts that reconcile with the raw table") {
     val rows = graft.operators.EventAnalytics

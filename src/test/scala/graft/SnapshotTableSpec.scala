@@ -782,6 +782,16 @@ class SnapshotTableSpec extends SparkSpec {
     assert(rk.inputFiles.length < total,
       s"b-point opened ${rk.inputFiles.length} of $total")
     assert(rk.count() == 200)
+    // a BOX predicate prunes on both dimensions at once: the kept set
+    // is the intersection, so it opens no more files than either band
+    val box = SnapshotTable.readWhereBox(spark, root,
+      "a", Some("10"), Some("20"), "b", Some("10"), Some("20"))
+    assert(box.inputFiles.length <=
+      math.min(ra.inputFiles.length, rb.inputFiles.length),
+      s"box opened ${box.inputFiles.length} files, bands opened " +
+        s"${ra.inputFiles.length}/${rb.inputFiles.length}")
+    assert(box.count() == df.filter(col("a") >= 10 && col("a") <= 20 &&
+      col("b") >= 10 && col("b") <= 20).count())
   }
 
   test("the bloom index survives maintenance: a merge re-applies the " +
