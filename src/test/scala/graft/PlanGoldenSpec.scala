@@ -236,4 +236,31 @@ class PlanGoldenSpec extends SparkSpec {
     assertHas(p, """o_orderkey#\d+L >= 1000""", "residual lower bound")
     assertHas(p, """o_orderkey#\d+L <= 5000""", "residual upper bound")
   }
+
+  test("sketch_price_quantiles: object-hash aggregation for the " +
+    "typed-imperative sketch, no join machinery beyond the union") {
+    val p = planOf("sketch_price_quantiles")
+    assertHas(p, "ObjectHashAggregate",
+      "typed-imperative sketches must use object aggregation")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "a two-level sketch rollup must not shuffle-join")
+  }
+
+  test("events_expectations: the zero-fill join broadcasts the tiny " +
+    "constraint-name side; no sort-merge anywhere") {
+    val p = planOf("events_expectations")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing here is big enough to sort-merge")
+    assertHas(p, "BroadcastHashJoin|BroadcastNestedLoopJoin",
+      "the constraint-name zero-fill must broadcast")
+  }
+
+  test("snapshot_zorder_band: a second-dimension band read stays " +
+    "join-free with the residual filter on the scan") {
+    val p = planOf("snapshot_zorder_band")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      "a box-pruned band read must stay join-free")
+    assertHas(p, """o_custkey#\d+L >= 100""", "residual lower bound")
+    assertHas(p, """o_custkey#\d+L <= 250""", "residual upper bound")
+  }
 }

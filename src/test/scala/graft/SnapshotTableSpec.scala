@@ -794,6 +794,52 @@ class SnapshotTableSpec extends SparkSpec {
       col("b") >= 10 && col("b") <= 20).count())
   }
 
+  test("mixed concurrent maintenance serializes: racing appends, a " +
+      "COW merge and a compactor leave a contiguous version history, " +
+      "every committed row intact, and every version readable") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 1000).map(i => (i, 0)).toDF("k", "gen"),
+      clusterKey = Some("k"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.Future
+    val fa = Future(SnapshotTable.append(spark, root,
+      (10001 to 10100).map(i => (i, 1)).toDF("k", "gen"),
+      maxRetries = 30))
+    val fb = Future(SnapshotTable.append(spark, root,
+      (20001 to 20100).map(i => (i, 2)).toDF("k", "gen"),
+      maxRetries = 30))
+    val fm = Future(SnapshotTable.merge(spark, root,
+      (1 to 100).map(i => (i, 3)).toDF("k", "gen"), "k",
+      maxRetries = 30))
+    val fc = Future {
+      // compaction is maintenance: losing its race is a legal outcome
+      // (abort, never a silent drop) — what must hold is that a
+      // SUCCESSFUL compaction preserves every row
+      try SnapshotTable.compact(spark, root, clusterKey = Some("k"))
+      catch { case _: graft.sources.SnapshotTable.CommitConflict => () }
+    }
+    import scala.concurrent.duration._
+    scala.concurrent.Await.result(
+      Future.sequence(Seq(fa, fb, fm, fc.map(_ => 0L))), 300.seconds)
+    pool.shutdown()
+    val vs = SnapshotTable.versions(spark, root)
+    assert(vs == (1L to vs.max).toSeq,
+      s"version history must be contiguous, got $vs")
+    vs.foreach(v => SnapshotTable.readVersion(spark, root, v).count())
+    val fin = SnapshotTable.read(spark, root)
+      .collect().map(r => r.getInt(0) -> r.getInt(1))
+    assert(fin.length == 1200, s"expected 1200 rows, got ${fin.length}")
+    val byKey = fin.toMap
+    assert(fin.map(_._1).distinct.length == 1200, "no duplicated keys")
+    assert((1 to 100).forall(byKey(_) == 3), "merge generation visible")
+    assert((101 to 1000).forall(byKey(_) == 0), "base rows untouched")
+    assert((10001 to 10100).forall(byKey(_) == 1) &&
+      (20001 to 20100).forall(byKey(_) == 2), "both appends landed")
+  }
+
   test("the bloom index survives maintenance: a merge re-applies the " +
       "table's bloom column to every file it stages, and a lookup key " +
       "outside the table key type's range matches nothing (no ANSI " +
