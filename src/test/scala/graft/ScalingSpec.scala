@@ -103,4 +103,31 @@ class ScalingSpec extends SparkSpec {
         s"customer and orders must degrade to shuffle joins: $p")
     } finally spark.conf.set(key, prev)
   }
+
+  test("10x manifest pruning: a point lookup against a 10x snapshot " +
+      "opens a file count governed by MATCHES, not table size") {
+    assume(new java.io.File(bigDir).isDirectory,
+      s"$bigDir absent; generate with: runMain graft.tools.ScaleGen")
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("graft-scale-pr")
+      .toString + "/orders10x"
+    val o = Tables.load(spark, bigDir, "orders")
+    // 10x orders over 32 clustered files: the lookup's file cost must
+    // track the requested key range, not the 10x row count
+    SnapshotTable.commit(spark, root, o,
+      clusterKey = Some("o_orderkey"), files = 32,
+      bloomKey = Some("o_custkey"))
+    val total = SnapshotTable.manifest(spark, root, 1L).size
+    assert(total >= 16, s"expected a wide file grid, got $total")
+    val byKey = SnapshotTable.readKeys(spark, root, "o_orderkey",
+      Seq(1000L, 2000L, 3000L).toDF("o_orderkey"))
+    assert(byKey.inputFiles.length <= 3,
+      s"3 clustered keys opened ${byKey.inputFiles.length} of $total")
+    val byBloom = SnapshotTable.readKeys(spark, root, "o_custkey",
+      o.filter(col("o_custkey") === 77).select("o_custkey").limit(1))
+    assert(byBloom.inputFiles.length < total,
+      s"bloom lookup opened ${byBloom.inputFiles.length} of $total")
+  }
 }
