@@ -1101,6 +1101,13 @@ object SnapshotTable {
     pruneOf(spark, root, entries, mSchema, key, lo, hi)
   }
 
+  /** Stats pruning over an explicit entry set — the DSv2 connector's
+    * entry point into the same machinery. */
+  private[sources] def pruneEntriesOf(spark: SparkSession, root: String,
+      entries: Seq[FileEntry], mSchema: Option[StructType], key: String,
+      lo: Option[String], hi: Option[String]): Seq[FileEntry] =
+    pruneOf(spark, root, entries, mSchema, key, lo, hi)._1
+
   /** Driver-side ordering of manifest stat strings under the key's
     * type. Pruning compares TWO scalar bounds against driver-resident
     * file ranges — metadata work; a cluster job for it (the

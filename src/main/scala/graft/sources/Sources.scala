@@ -512,6 +512,26 @@ object Sources {
           max(col("o_custkey")).as("max_ck"))
         .orderBy("o_orderstatus")
     }),
+    // The DSv2 connector under the oracle: commit orders as a
+    // clustered snapshot, read it back through
+    // format("graft-snapshot") WITH a range predicate — pushdown
+    // reaches the connector as PushedFilters and prunes manifest
+    // files inside Catalyst planning (the spec asserts the file
+    // counts; this row proves the rows that come back are exactly
+    // the base table's).
+    "snapshot_connector_band" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-dsv2-q")
+        .toString + "/orders_c"
+      val o = graft.Tables.load(s, dir, "orders")
+      SnapshotTable.commit(s, root, o, clusterKey = Some("o_orderkey"))
+      s.read.format("graft-snapshot").option("path", root).load()
+        .filter(col("o_orderkey") >= 200 && col("o_orderkey") <= 700)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    }),
     // Z-order box pruning under the oracle: commit orders Z-ORDERED on
     // (o_orderkey, o_custkey), then answer a range query on the SECOND
     // dimension through readWhere — the multi-dimensional skipping a
@@ -707,6 +727,13 @@ object Sources {
         |  min(o_custkey) AS min_ck, max(o_custkey) AS max_ck
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 250
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_connector_band" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 200 AND 700
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin)
 }

@@ -1,0 +1,389 @@
+package graft.sources.connector
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{MessageType, PrimitiveType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.SnapshotTable
+import graft.sources.SnapshotTable.FileEntry
+
+/** DataSource V2 read connector for [[SnapshotTable]] roots:
+  *
+  * {{{
+  *   spark.read.format("graft-snapshot")
+  *     .option("path", root)
+  *     .option("versionAsOf", 3)        // or timestampAsOf (millis)
+  *     .load()
+  *     .filter($"o_orderkey" between (1000, 5000))
+  * }}}
+  *
+  * This puts the snapshot layer INSIDE Catalyst planning instead of
+  * beside it: filter pushdown reaches the connector as `sources.Filter`s
+  * (shown under PushedFilters in explain), and the connector answers
+  * with manifest-level FILE PRUNING — range filters prune by the
+  * min/max stats slots (both Z-order dimensions), equality/IN probes
+  * the per-file blooms — before a single parquet footer is opened.
+  * Column pruning reaches the parquet reader as a projected read
+  * schema built from each file's OWN schema, so unprojected columns
+  * are never decoded.
+  *
+  * Scope (v1, stated): batch reads of COMPACTED snapshots — a
+  * manifest carrying merge-on-read tombstones is refused with a
+  * pointer to `compact` (applying delete vectors belongs to the read
+  * pipeline, not a file scan), and columns beyond the flat
+  * int/long/float/double/boolean/string/timestamp set are refused at
+  * planning time. Row-level residual evaluation stays with Spark:
+  * pushed filters only ever SKIP whole files, so pruning cannot
+  * change an answer. */
+class GraftSnapshotSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  private def resolve(options: CaseInsensitiveStringMap)
+  : (String, Long) = {
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-snapshot requires option(\"path\", <table root>)"))
+    val spark = SparkSession.active
+    val v = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(options.get("timestampAsOf")).map(ts =>
+        SnapshotTable.versionAsOf(spark, root, ts.toLong)))
+      .getOrElse(SnapshotTable.currentVersion(spark, root))
+    (root, v)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap)
+  : StructType = {
+    val spark = SparkSession.active
+    val (root, v) = resolve(options)
+    GraftSnapshotSource.schemaOf(spark, root, v)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val (root, v) = resolve(options)
+    new GraftSnapshotTable(root, v, schema)
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+private[connector] object GraftSnapshotSource {
+  val SupportedTypes: Set[DataType] = Set(IntegerType, LongType,
+    FloatType, DoubleType, BooleanType, StringType, TimestampType,
+    TimestampNTZType, DateType)
+
+  def schemaOf(spark: SparkSession, root: String, v: Long): StructType = {
+    val (entries, mSchema) = SnapshotTable.readManifestFull(spark, root, v)
+    require(!entries.exists(_.kind == "t"),
+      s"graft-snapshot v1 reads compacted snapshots only; version $v " +
+        s"of $root carries merge-on-read tombstones — run " +
+        "SnapshotTable.compact (or read through SnapshotTable.read)")
+    val st = mSchema.getOrElse(
+      spark.read.parquet(
+        new Path(root, entries.head.path).toString).schema)
+    st.fields.foreach(f => require(SupportedTypes.contains(f.dataType),
+      s"graft-snapshot v1 does not read ${f.dataType.simpleString} " +
+        s"column '${f.name}'"))
+    StructType(st.fields.map(_.copy(nullable = true)))
+  }
+}
+
+private[connector] class GraftSnapshotTable(root: String, version: Long,
+    tableSchema: StructType) extends Table with SupportsRead {
+
+  override def name(): String = s"graft_snapshot(`$root` v$version)"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+  : ScanBuilder = new GraftScanBuilder(root, version, tableSchema)
+}
+
+private[connector] class GraftScanBuilder(root: String, version: Long,
+    fullSchema: StructType) extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  /** Keep the filters this connector can turn into file pruning:
+    * comparisons and equality/IN against a column that carries
+    * min/max stats (either Z-order slot) or a bloom in the manifest.
+    * EVERYTHING is returned as residual — the connector skips files,
+    * Spark still evaluates rows, so pushdown can only cut IO. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val spark = SparkSession.active
+    val entries = SnapshotTable.readManifestFull(spark, root, version)._1
+    def prunable(col: String): Boolean = entries.exists(e =>
+      e.statsFor(col).isDefined ||
+        (e.bloomKey.contains(col) && e.bloom.isDefined))
+    pushed = filters.filter {
+      case EqualTo(c, _) => prunable(c)
+      case In(c, _) => prunable(c)
+      case GreaterThan(c, _) => prunable(c)
+      case GreaterThanOrEqual(c, _) => prunable(c)
+      case LessThan(c, _) => prunable(c)
+      case LessThanOrEqual(c, _) => prunable(c)
+      case _ => false
+    }
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val (entries, mSchema) =
+      SnapshotTable.readManifestFull(spark, root, version)
+    val kept = pushed.foldLeft(entries)((es, f) =>
+      GraftPruning.prune(spark, root, fullSchema, mSchema, es, f))
+    new GraftScan(root, version, kept.map(_.path).toArray,
+      entries.size, required, pushed)
+  }
+}
+
+/** Driver-side translation of pushed filters into manifest pruning —
+  * the same stats/bloom machinery [[SnapshotTable.readWhere]] and
+  * [[SnapshotTable.readKeys]] use, reached through Catalyst this
+  * time. Every step only ever SKIPS provably non-matching files;
+  * unknown literal shapes prune nothing and stay correct. */
+private[connector] object GraftPruning {
+
+  private def str(v: Any): Option[String] = v match {
+    case null => None
+    case n: java.lang.Number => Some(n.toString)
+    case s: String => Some(s)
+    case ts: java.sql.Timestamp => Some(ts.toString)
+    case d: java.sql.Date => Some(d.toString)
+    case _ => None
+  }
+
+  /** Typed endpoints for an IN list — a LEXICAL min/max over numeric
+    * strings would invert ("10" < "9") and prune files that hold
+    * matches, so endpoints are chosen under the value type's own
+    * ordering. */
+  private def minMax(vs: Seq[Any]): (Option[String], Option[String]) = {
+    val clean = vs.filter(_ != null)
+    if (clean.isEmpty) return (None, None)
+    clean.head match {
+      case _: java.lang.Number
+        if clean.forall(_.isInstanceOf[java.lang.Number]) =>
+        val ds = clean.map(v =>
+          v.asInstanceOf[java.lang.Number].doubleValue() -> v)
+        (str(ds.minBy(_._1)._2), str(ds.maxBy(_._1)._2))
+      case _: String if clean.forall(_.isInstanceOf[String]) =>
+        val ss = clean.map(_.asInstanceOf[String])
+        (Some(ss.min), Some(ss.max))
+      case _ => (None, None)
+    }
+  }
+
+  def prune(spark: SparkSession, root: String, schema: StructType,
+      mSchema: Option[StructType], entries: Seq[FileEntry], f: Filter)
+  : Seq[FileEntry] = f match {
+    case EqualTo(c, v) =>
+      byRange(spark, root, mSchema,
+        byBloom(schema, entries, c, Seq(v)), c, str(v), str(v))
+    case In(c, vs) =>
+      val (lo, hi) = minMax(vs.toSeq)
+      byRange(spark, root, mSchema,
+        byBloom(schema, entries, c, vs.toSeq), c, lo, hi)
+    case GreaterThan(c, v) =>
+      byRange(spark, root, mSchema, entries, c, str(v), None)
+    case GreaterThanOrEqual(c, v) =>
+      byRange(spark, root, mSchema, entries, c, str(v), None)
+    case LessThan(c, v) =>
+      byRange(spark, root, mSchema, entries, c, None, str(v))
+    case LessThanOrEqual(c, v) =>
+      byRange(spark, root, mSchema, entries, c, None, str(v))
+    case _ => entries
+  }
+
+  private def byRange(spark: SparkSession, root: String,
+      mSchema: Option[StructType], entries: Seq[FileEntry], col: String,
+      lo: Option[String], hi: Option[String]): Seq[FileEntry] =
+    SnapshotTable.pruneEntriesOf(spark, root, entries, mSchema, col,
+      lo, hi)
+
+  private def byBloom(schema: StructType, entries: Seq[FileEntry],
+      col: String, values: Seq[Any]): Seq[FileEntry] = {
+    if (!entries.exists(e =>
+      e.bloomKey.contains(col) && e.bloom.isDefined)) return entries
+    val dt = schema.fields.find(_.name == col).map(_.dataType)
+      .getOrElse(return entries)
+    val hashes = values.filter(_ != null).map(v =>
+      graft.functions.Hll.hashValue(
+        graft.functions.Bloom.toCatalyst(v), dt))
+    entries.filter { e =>
+      if (e.bloomKey.contains(col) && e.bloom.isDefined) {
+        val (k, words) = graft.functions.Bloom.fromBytes(e.bloom.get)
+        hashes.exists(h =>
+          graft.functions.Bloom.mightContain(words, k, h))
+      } else true
+    }
+  }
+}
+
+/** One InputPartition per data file — the natural parallelism of an
+  * immutable-file table. */
+private[connector] case class GraftInputPartition(absolutePath: String)
+  extends InputPartition
+
+private[connector] class GraftScan(root: String, version: Long,
+    keptPaths: Array[String], totalFiles: Int, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-snapshot v$version files=${keptPaths.length}/$totalFiles " +
+      s"columns=${required.fieldNames.mkString(",")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    keptPaths.map(p =>
+      GraftInputPartition(new Path(root, p).toString))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required.json)
+}
+
+private[connector] class GraftReaderFactory(requiredJson: String)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+  : PartitionReader[InternalRow] = {
+    val required =
+      DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    new GraftPartitionReader(
+      partition.asInstanceOf[GraftInputPartition].absolutePath, required)
+  }
+}
+
+/** Row reader over one parquet file through parquet-mr's Group API,
+  * with a projection built from the FILE's own schema (so the
+  * physical types always match and unprojected columns are never
+  * decoded). Missing columns (schema evolution: a file older than
+  * the column) read as NULL, like the explicit-schema DataFrame
+  * path. */
+private[connector] class GraftPartitionReader(file: String,
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+  // project: the file's own types for the fields it has
+  private val present = required.fields.filter(f =>
+    fileSchema.containsField(f.name))
+  private val projection = new MessageType("graft_projection",
+    present.map(f =>
+      fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
+  private val reader: ParquetReader[Group] = {
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projection.toString)
+    ParquetReader.builder(new GroupReadSupport(), new Path(file))
+      .withConf(conf).build()
+  }
+  private val fieldIdx: Map[String, Int] =
+    present.map(_.name).zipWithIndex.toMap
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      val f = required.fields(i)
+      row.update(i, fieldIdx.get(f.name) match {
+        case None => null // file predates the column
+        case Some(gi) =>
+          if (current.getFieldRepetitionCount(gi) == 0) null
+          else readValue(gi, f.dataType)
+      })
+      i += 1
+    }
+    row
+  }
+
+  private def readValue(gi: Int, dt: DataType): Any = dt match {
+    case IntegerType => current.getInteger(gi, 0)
+    case LongType => current.getLong(gi, 0)
+    case DoubleType => current.getDouble(gi, 0)
+    case FloatType => current.getFloat(gi, 0)
+    case BooleanType => current.getBoolean(gi, 0)
+    case DateType => current.getInteger(gi, 0)
+    case StringType =>
+      UTF8String.fromBytes(current.getBinary(gi, 0).getBytes)
+    case TimestampType | TimestampNTZType =>
+      val prim = projection.getType(gi).asPrimitiveType()
+      prim.getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.INT96 =>
+          int96ToMicros(current.getInt96(gi, 0))
+        case _ =>
+          val v = current.getLong(gi, 0)
+          prim.getLogicalTypeAnnotation match {
+            case t: org.apache.parquet.schema.LogicalTypeAnnotation
+              .TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case org.apache.parquet.schema.LogicalTypeAnnotation
+                  .TimeUnit.MILLIS => v * 1000L
+                case org.apache.parquet.schema.LogicalTypeAnnotation
+                  .TimeUnit.NANOS => v / 1000L
+                case _ => v // MICROS
+              }
+            case _ => v
+          }
+      }
+    case other => throw new UnsupportedOperationException(
+      s"graft-snapshot reader: ${other.simpleString}")
+  }
+
+  /** Parquet INT96: 8 bytes nanos-of-day (LE) + 4 bytes julian day
+    * (LE) → micros since epoch. */
+  private def int96ToMicros(b: Binary): Long = {
+    val buf = java.nio.ByteBuffer.wrap(b.getBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    val epochDays = julianDay - 2440588L
+    epochDays * 86400L * 1000000L + nanosOfDay / 1000L
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** DataSource V2 connector over SnapshotTable
+  * (sources/connector/GraftSnapshotSource): the snapshot layer inside
+  * Catalyst planning — format("graft-snapshot") reads, filter
+  * pushdown shown as PushedFilters, manifest file pruning driven by
+  * the pushed predicates, projection pushed to the parquet reader,
+  * time travel via options, and the stated v1 refusals. */
+class SnapshotConnectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-dsv2").toString + "/t"
+
+  private def readFmt(root: String) =
+    spark.read.format("graft-snapshot").option("path", root)
+
+  test("a connector read equals the native snapshot read, row for " +
+      "row, including strings, doubles and timestamps") {
+    val root = tmpRoot()
+    val orders = Tables.load(spark, sfDir, "orders")
+    SnapshotTable.commit(spark, root, orders,
+      clusterKey = Some("o_orderkey"))
+    val got = readFmt(root).load()
+    assert(got.schema.fieldNames.toSeq ==
+      orders.schema.fieldNames.toSeq)
+    val a = got.orderBy("o_orderkey").collect().map(_.toSeq)
+    val b = SnapshotTable.read(spark, root)
+      .orderBy("o_orderkey").collect().map(_.toSeq)
+    assert(a.length == b.length && a.zip(b).forall(p => p._1 == p._2),
+      "connector rows must equal the native read")
+  }
+
+  test("pushed range filters prune manifest files inside planning: " +
+      "the scan description reports fewer files than the table holds " +
+      "and PushedFilters appears in explain") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 20000).map(i => (i.toLong, i * 2.0)).toDF("k", "x"),
+      clusterKey = Some("k"))
+    val total = SnapshotTable.manifest(spark, root, 1L).size
+    assert(total > 1)
+    val q = readFmt(root).load().filter(col("k") >= 1000 && col("k") <= 2000)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), s"pushdown missing:\n$plan")
+    val desc = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(desc.isDefined, s"scan description missing file counts:\n$plan")
+    assert(desc.get.group(1).toInt < desc.get.group(2).toInt,
+      s"no files pruned: ${desc.get.matched}")
+    // residual evaluation stays with Spark: exact rows survive
+    assert(q.count() == 1001)
+    assert(q.agg(sum("x")).collect()(0).getDouble(0) ==
+      (1000 to 2000).map(_ * 2.0).sum)
+  }
+
+  test("equality pushdown probes the per-file blooms on a secondary " +
+      "column; projection prunes to the requested columns") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 20000).map(i => (i, (i.toLong * 7919) % 20000, i * 2.0))
+        .toDF("k", "u", "x"),
+      clusterKey = Some("k"), bloomKey = Some("u"))
+    val total = SnapshotTable.manifest(spark, root, 1L).size
+    val q = readFmt(root).load().filter(col("u") === 42L).select("k", "u")
+    val plan = q.queryExecution.executedPlan.toString
+    val desc = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan).get
+    assert(desc.group(1).toInt < total,
+      s"bloom pushdown pruned nothing: ${desc.matched}")
+    assert(plan.contains("columns=k,u"),
+      s"projection must reach the reader:\n$plan")
+    val rows = q.collect()
+    assert(rows.length == 1 && rows(0).getLong(1) == 42L)
+  }
+
+  test("time travel options: versionAsOf reads the pinned snapshot, " +
+      "timestampAsOf resolves through commit times") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("k", "s"))
+    val t1 = SnapshotTable.commitTime(spark, root, 1L)
+    Thread.sleep(25)
+    SnapshotTable.append(spark, root, Seq((2L, "b")).toDF("k", "s"))
+    assert(readFmt(root).option("versionAsOf", "1").load().count() == 1)
+    assert(readFmt(root).load().count() == 2)
+    assert(readFmt(root).option("timestampAsOf", t1.toString)
+      .load().count() == 1)
+  }
+
+  test("schema evolution: a file that predates a column serves NULL " +
+      "for it through the connector, like the native read") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("k", "s"))
+    SnapshotTable.append(spark, root,
+      Seq((2L, "b", 9.5)).toDF("k", "s", "score"))
+    val rows = readFmt(root).load().orderBy("k")
+      .select("k", "score").collect()
+    assert(rows(0).isNullAt(1), "pre-evolution row must read NULL")
+    assert(rows(1).getDouble(1) == 9.5)
+  }
+
+  test("stated v1 refusals: merge-on-read tombstones are refused with " +
+      "a pointer to compact") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 100).map(i => (i, i * 1.0)).toDF("k", "x"),
+      clusterKey = Some("k"))
+    SnapshotTable.mergeOnRead(spark, root,
+      Seq((1, -1.0)).toDF("k", "x"), "k")
+    val e = intercept[IllegalArgumentException] {
+      readFmt(root).load().count()
+    }
+    assert(e.getMessage.contains("compact"))
+    // after compaction the connector serves the merged state
+    SnapshotTable.compact(spark, root, clusterKey = Some("k"))
+    val got = readFmt(root).load().filter(col("k") === 1).collect()
+    assert(got.length == 1 && got(0).getDouble(1) == -1.0)
+  }
+}
