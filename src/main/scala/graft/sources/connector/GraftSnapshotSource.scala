@@ -123,7 +123,7 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
   : ScanBuilder = new GraftScanBuilder(root, version, tableSchema)
 }
 
-private[connector] class GraftScanBuilder(root: String, version: Long,
+private[graft] class GraftScanBuilder(root: String, version: Long,
     fullSchema: StructType) extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -258,7 +258,12 @@ private[connector] case class GraftInputPartition(absolutePath: String)
 
 private[connector] class GraftScan(root: String, version: Long,
     keptPaths: Array[String], totalFiles: Int, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter]) extends Scan with Batch
+  with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  // runtime (join-driven) filters narrow the planned files further;
+  // starts at the compile-time pruned set
+  @volatile private var runtimeKept: Array[String] = keptPaths
 
   override def readSchema(): StructType = required
 
@@ -270,11 +275,56 @@ private[connector] class GraftScan(root: String, version: Long,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    keptPaths.map(p =>
+    runtimeKept.map(p =>
       GraftInputPartition(new Path(root, p).toString))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required.json)
+
+  /** Size-accurate planning: a v2 scan without statistics defaults to
+    * "unknown = huge", which forbids the planner from ever
+    * broadcasting a snapshot side — so a 25-row dimension stored as a
+    * snapshot would force every join through a shuffle. Bytes are the
+    * PRUNED files' actual lengths (metadata, no data IO). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: java.util.OptionalLong = {
+      val spark = SparkSession.active
+      val f = SnapshotTable.fs(spark, root)
+      java.util.OptionalLong.of(runtimeKept.map(p =>
+        try f.getFileStatus(new Path(root, p)).getLen
+        catch { case _: java.io.IOException => 0L }).sum)
+    }
+    override def sizeInBytes(): java.util.OptionalLong = bytes
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+
+  /** Runtime (join-driven) file pruning: when this scan sits under a
+    * join, Spark hands the build side's key set here as IN/EqualTo
+    * filters at execution time — the v2 form of dynamic partition
+    * pruning, answered at FILE granularity with the same stats/bloom
+    * machinery as compile-time pushdown. */
+  override def filterAttributes()
+  : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val spark = SparkSession.active
+    val entries = SnapshotTable.readManifestFull(spark, root, version)._1
+    val prunable = required.fieldNames.filter(c => entries.exists(e =>
+      e.statsFor(c).isDefined ||
+        (e.bloomKey.contains(c) && e.bloom.isDefined)))
+    prunable.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val (entries, mSchema) =
+      SnapshotTable.readManifestFull(spark, root, version)
+    val byPath = entries.map(e => e.path -> e).toMap
+    val current = runtimeKept.flatMap(byPath.get)
+    val narrowed = filters.foldLeft(current.toSeq)((es, f) =>
+      GraftPruning.prune(spark, root, required, mSchema, es, f))
+    runtimeKept = narrowed.map(_.path).toArray
+  }
 }
 
 private[connector] class GraftReaderFactory(requiredJson: String)

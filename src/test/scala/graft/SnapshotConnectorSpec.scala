@@ -100,6 +100,65 @@ class SnapshotConnectorSpec extends SparkSpec {
     assert(rows(1).getDouble(1) == 9.5)
   }
 
+  test("reported statistics make a small snapshot broadcastable: the " +
+      "planner picks a broadcast join with the connector scan on the " +
+      "build side (no stats would mean 'huge' and force a shuffle)") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root, Tables.load(spark, sfDir, "nation"))
+    val dim = readFmt(root).load()
+    val joined = Tables.load(spark, sfDir, "customer")
+      .join(dim, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"25-row snapshot dim must broadcast:\n$plan")
+    assert("BroadcastExchange[\\s\\S]*?graft_snapshot".r
+      .findFirstIn(plan).isDefined,
+      s"the connector scan must sit under the broadcast:\n$plan")
+    assert(joined.count() == 25)
+  }
+
+  test("runtime (join-driven) filtering: the scan exposes its " +
+      "prunable columns and narrows its file set when handed a key " +
+      "set at execution time") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 20000).map(i => (i.toLong, i * 2.0)).toDF("k", "x"),
+      clusterKey = Some("k"))
+    val total = SnapshotTable.manifest(spark, root, 1L).size
+    val fact = readFmt(root).load()
+    // the dim side carries a selective filter — the planner may hand
+    // its keys to the scan as runtime IN filters (v2 dynamic pruning)
+    val dim = (1 to 20000).map(i => (i.toLong, i % 97))
+      .toDF("dk", "grp").filter(col("grp") === 7)
+      .select(col("dk").as("k"))
+    val joined = fact.join(dim, "k")
+    // correctness first: runtime narrowing must never change rows
+    assert(joined.count() == dim.count())
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-snapshot v1"),
+      s"connector scan missing:\n$plan")
+    // the capability is wired: the scan names its filterable columns
+    // (planner heuristics decide per-query whether to use them)
+    val scan = new graft.sources.connector.GraftScanBuilder(
+      root, 1L, fact.schema)
+    val built = scan.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsRuntimeFiltering]
+    assert(built.filterAttributes().map(_.toString).contains("k"))
+    val before = built.asInstanceOf[
+      org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().length
+    assert(before == total)
+    built.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(5L, 6L, 7L))))
+    val after = built.asInstanceOf[
+      org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().length
+    assert(after < before,
+      s"runtime IN filter pruned nothing ($after of $before)")
+  }
+
   test("stated v1 refusals: merge-on-read tombstones are refused with " +
       "a pointer to compact") {
     val root = tmpRoot()
