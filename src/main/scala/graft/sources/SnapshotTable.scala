@@ -366,6 +366,20 @@ object SnapshotTable {
     val rel = parts.map { st =>
       s"_data/${seg.getName}/${st.getPath.getName}"
     }
+    (seg, statsEntries(spark, root, seg, rel, clusterKey, bloomKey,
+      zorderWith))
+  }
+
+  /** Per-file manifest stats for an already-written segment: min/max
+    * on `clusterKey` (and `zorderWith`) plus a membership sketch on
+    * `bloomKey`, all computed in ONE column-pruned pass over the
+    * segment's files. Shared by [[stageSegment]] and the DataSource V2
+    * write path (whose files are written by executor tasks, not
+    * `df.write`). */
+  private[sources] def statsEntries(spark: SparkSession, root: String,
+      seg: Path, rel: Seq[String], clusterKey: Option[String],
+      bloomKey: Option[String], zorderWith: Option[String] = None)
+  : Seq[FileEntry] = {
     val entries =
       if (clusterKey.isEmpty && bloomKey.isEmpty)
         rel.map(FileEntry(_, None, None, None))
@@ -417,7 +431,7 @@ object SnapshotTable {
           }
         }
       }
-    (seg, entries)
+    entries
   }
 
   /** The arbiter: exclusive-create of `_commits/N.claim`. Local paths
@@ -478,13 +492,22 @@ object SnapshotTable {
       zorderWith: Option[String] = None): Long = {
     val (seg, entries) = stageSegment(spark, root, df, clusterKey,
       if (clusterKey.isDefined) files else 0, bloomKey, zorderWith)
+    replaceStaged(spark, root, seg, entries, df.schema, maxRetries)
+  }
+
+  /** Publish an already-staged segment as a REPLACING snapshot (the
+    * claim loop of [[commit]], shared with the DataSource V2 write
+    * path's truncate-overwrite). */
+  private[sources] def replaceStaged(spark: SparkSession, root: String,
+      seg: Path, entries: Seq[FileEntry], schema: StructType,
+      maxRetries: Int = 5): Long = {
     val f = fs(spark, root)
     var attempt = 0
     while (attempt <= maxRetries) {
       val next = maxLogVersion(f, root) + 1
       if (tryClaim(f, root, next)) {
         val stamped = entries.map(_.copy(seq = next))
-        writeManifest(f, root, next, stamped, df.schema)
+        writeManifest(f, root, next, stamped, schema)
         publish(f, root, next, stamped, Seq(seg))
         spark.catalog.refreshByPath(root)
         return next
@@ -522,6 +545,16 @@ object SnapshotTable {
     val (seg, entries) =
       stageSegment(spark, root, df, clusterKey, files,
         bloomFor(df, inherited))
+    appendStaged(spark, root, seg, entries, df.schema, maxRetries)
+  }
+
+  /** Publish an already-staged segment as an APPEND commit (the CAS
+    * loop of [[append]], shared with the DataSource V2 write path —
+    * whose files are written by executor tasks before the driver
+    * lands the commit here). */
+  private[sources] def appendStaged(spark: SparkSession, root: String,
+      seg: Path, entries: Seq[FileEntry], batchSchema: StructType,
+      maxRetries: Int = 5): Long = {
     val f = fs(spark, root)
     var attempt = 0
     while (true) {
@@ -533,9 +566,9 @@ object SnapshotTable {
       // appending is the evolution path: batch-only columns extend the
       // table schema, prior columns the batch lacks read NULL
       val schema =
-        if (cur == 0) df.schema
+        if (cur == 0) batchSchema
         else evolveSchema(
-          priorSchemaOrRead(spark, root, cur, priorSchema), df.schema)
+          priorSchemaOrRead(spark, root, cur, priorSchema), batchSchema)
       val target = cur + 1
       if (maxLogVersion(f, root) < target && tryClaim(f, root, target)) {
         val stamped = all.map(e =>
@@ -558,6 +591,47 @@ object SnapshotTable {
       Thread.sleep(math.min(50L, 5L * attempt))
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** The layout a DataSource V2 write should maintain: the current
+    * version's cluster key and bloom column. New files that ignore an
+    * existing layout silently erode the table's pruning, so the write
+    * path asks here and records the same stats [[append]] would. */
+  private[sources] def layoutOf(spark: SparkSession, root: String)
+  : (Option[String], Option[String]) = {
+    val cur = currentVersion(spark, root)
+    if (cur == 0L) (None, None)
+    else {
+      val entries = readManifest(spark, root, cur)
+      (entries.find(e => e.kind == "d" && e.statsKey.isDefined)
+        .flatMap(_.statsKey),
+        tableBloomKey(entries))
+    }
+  }
+
+  /** A fresh staging-segment path under the table's data dir, for
+    * writers that produce files themselves (the V2 write path's
+    * executor tasks) instead of going through [[stageSegment]]. */
+  private[sources] def newSegmentPath(root: String): Path =
+    new Path(dataDir(root),
+      s"seg-${java.util.UUID.randomUUID().toString.take(12)}")
+
+  /** Create version 1 of a FRESH table: a manifest carrying only the
+    * schema, no data files — the catalog's CREATE TABLE. Arbitrated
+    * by the same claim protocol as every commit, so two concurrent
+    * creates resolve to one winner. */
+  def createEmpty(spark: SparkSession, root: String,
+      schema: StructType): Long = {
+    val f = fs(spark, root)
+    require(maxLogVersion(f, root) == 0L,
+      s"createEmpty requires a fresh root; $root already has versions")
+    if (!tryClaim(f, root, 1L))
+      throw CommitConflict(s"concurrent create at $root")
+    writeManifest(f, root, 1L, Seq.empty,
+      StructType(schema.fields.map(_.copy(nullable = true))))
+    publish(f, root, 1L, Seq.empty, Seq.empty)
+    spark.catalog.refreshByPath(root)
+    1L
   }
 
   /** Commit `df` Z-ORDERED on (keyA, keyB): the segment is laid out
@@ -1082,7 +1156,14 @@ object SnapshotTable {
     require(versions(spark, root).contains(v),
       s"version $v is not committed at $root")
     val (entries, schema) = readManifestFull(spark, root, v)
-    require(entries.nonEmpty, s"version $v at $root has an empty manifest")
+    if (entries.isEmpty) {
+      // a freshly created table: the manifest carries only the schema
+      val st = schema.getOrElse(throw new IllegalStateException(
+        s"version $v at $root has neither files nor a recorded schema"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        asNullable(st))
+    }
     readEntries(spark, root, entries, schema)
   }
 

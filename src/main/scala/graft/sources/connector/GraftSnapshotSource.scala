@@ -15,9 +15,10 @@ import org.apache.parquet.schema.{MessageType, PrimitiveType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -75,6 +76,10 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister {
   : StructType = {
     val spark = SparkSession.active
     val (root, v) = resolve(options)
+    require(v > 0L,
+      s"no committed version at $root — bootstrap the table first " +
+        "(SnapshotTable.commit / createEmpty, or the catalog's " +
+        "CREATE TABLE)")
     GraftSnapshotSource.schemaOf(spark, root, v)
   }
 
@@ -110,17 +115,22 @@ private[connector] object GraftSnapshotSource {
 }
 
 private[connector] class GraftSnapshotTable(root: String, version: Long,
-    tableSchema: StructType) extends Table with SupportsRead {
+    tableSchema: StructType) extends Table
+  with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft_snapshot(`$root` v$version)"
 
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
   : ScanBuilder = new GraftScanBuilder(root, version, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(root, info)
 }
 
 private[graft] class GraftScanBuilder(root: String, version: Long,
