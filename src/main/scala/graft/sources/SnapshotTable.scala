@@ -634,6 +634,39 @@ object SnapshotTable {
     1L
   }
 
+  /** ALTER TABLE ADD COLUMNS: a METADATA-ONLY commit — the new
+    * version lists the current version's files unchanged under the
+    * evolved schema, so old files read NULL for the added columns and
+    * zero data moves. CAS like every derived commit: racing a
+    * concurrent append re-derives on the new current version. */
+  def addColumns(spark: SparkSession, root: String,
+      added: StructType, maxRetries: Int = 5): Long = {
+    val f = fs(spark, root)
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      require(cur > 0L, s"no committed version at $root")
+      val (entries, recorded) = readManifestFull(spark, root, cur)
+      val prior = priorSchemaOrRead(spark, root, cur, recorded)
+      require(added.fieldNames.forall(n =>
+        !prior.fieldNames.exists(_.equalsIgnoreCase(n))),
+        s"column already exists: ${added.fieldNames.mkString(",")}")
+      val evolved = evolveSchema(prior, added)
+      val target = cur + 1
+      if (maxLogVersion(f, root) < target && tryClaim(f, root, target)) {
+        writeManifest(f, root, target, entries, evolved)
+        publish(f, root, target, entries, Seq.empty)
+        spark.catalog.refreshByPath(root)
+        return target
+      }
+      attempt += 1
+      if (attempt > maxRetries) throw CommitConflict(
+        s"lost the schema-evolution race ${maxRetries + 1} times at $root")
+      Thread.sleep(math.min(50L, 5L * attempt))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Commit `df` Z-ORDERED on (keyA, keyB): the segment is laid out
     * along the interleaved curve, so every file is a compact bounding
     * box in (keyA, keyB) space, and the manifest records min/max for

@@ -532,6 +532,40 @@ object Sources {
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
     }),
+    // The TableCatalog under the oracle: register a catalog over a
+    // fresh warehouse, CTAS half of orders into a NAMED snapshot
+    // table, INSERT INTO the other half (a CAS append commit), and
+    // aggregate the final table entirely in SQL through its catalog
+    // name. The oracle computes the same aggregate over the base
+    // table; matching hashes prove CREATE TABLE AS + INSERT INTO +
+    // catalog-name reads compose to exactly the base relation.
+    "catalog_sql_ingest" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-cat-q")
+        .toString
+      s.conf.set("spark.sql.catalog.graft_q",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_q.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q.db")
+      graft.Tables.load(s, dir, "orders")
+        .createOrReplaceTempView("orders_cat_src")
+      s.sql(
+        """CREATE TABLE graft_q.db.orders AS
+          |SELECT o_orderkey, o_orderstatus, o_orderpriority,
+          |  o_totalprice
+          |FROM orders_cat_src WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_q.db.orders
+          |SELECT o_orderkey, o_orderstatus, o_orderpriority,
+          |  o_totalprice
+          |FROM orders_cat_src WHERE o_orderkey % 2 = 1""".stripMargin)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM graft_q.db.orders
+          |GROUP BY o_orderstatus, o_orderpriority
+          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    }),
     // Z-order box pruning under the oracle: commit orders Z-ORDERED on
     // (o_orderkey, o_custkey), then answer a range query on the SECOND
     // dimension through readWhere — the multi-dimensional skipping a
@@ -735,5 +769,12 @@ object Sources {
         |FROM orders
         |WHERE o_orderkey BETWEEN 200 AND 700
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin)
+        |ORDER BY o_orderstatus""".stripMargin,
+    "catalog_sql_ingest" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
 }

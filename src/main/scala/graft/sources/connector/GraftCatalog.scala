@@ -1,0 +1,237 @@
+package graft.sources.connector
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.SnapshotTable
+
+/** A [[TableCatalog]] over a directory of [[SnapshotTable]] roots, so
+  * SQL names snapshot tables directly:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.connector.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft
+  *
+  *   CREATE TABLE graft.db.orders (o_orderkey BIGINT, ...)
+  *   INSERT INTO graft.db.orders SELECT ...      -- CAS append commit
+  *   INSERT OVERWRITE graft.db.orders SELECT ... -- truncate-replace
+  *   SELECT * FROM graft.db.orders VERSION AS OF 2
+  *   ALTER TABLE graft.db.orders ADD COLUMNS (note STRING)
+  *   CREATE TABLE graft.db.top AS SELECT ...     -- CTAS
+  * }}}
+  *
+  * Layout: `<warehouse>/<namespace...>/<table>` — a table is any
+  * directory holding a `_commits` log. All data paths go through the
+  * claim/publish protocol ([[GraftSnapshotWrite]] for writes,
+  * [[GraftSnapshotSource]] scans for reads, with the same pushdown /
+  * pruning / statistics); the catalog only resolves names. ALTER
+  * TABLE ADD COLUMNS commits a metadata-only version through the
+  * additive-evolution rule (old files read NULL for the new column).
+  * Renames move the root directory; they are a namespace operation,
+  * not a commit, and concurrent writers to the old name lose their
+  * root — rename idle tables, the same operational rule as moving any
+  * table's storage. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark = SparkSession.active
+  private def hfs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  /** Path segments come from SQL identifiers — refuse anything that
+    * could escape the warehouse directory. */
+  private def safe(part: String): String = {
+    require(part.nonEmpty && !part.contains("/") && !part.contains("\\")
+      && part != "." && part != "..",
+      s"illegal identifier segment '$part'")
+    part
+  }
+
+  private def rootOf(ident: Identifier): String =
+    ((warehouse +: ident.namespace().toSeq.map(safe)) :+
+      safe(ident.name())).mkString("/")
+
+  private def isTable(root: String): Boolean =
+    hfs.exists(new Path(root, "_commits"))
+
+  // ---- tables --------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace.toSeq.map(safe))
+      .mkString("/"))
+    if (!hfs.exists(dir)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace).toSeq)
+    hfs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        isTable(st.getPath.toUri.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(rootOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    val v = SnapshotTable.currentVersion(spark, root)
+    if (v == 0L) throw new NoSuchTableException(ident)
+    new GraftSnapshotTable(root, v,
+      GraftSnapshotSource.schemaOf(spark, root, v))
+  }
+
+  /** SQL `VERSION AS OF <v>` — pin the scan to a committed version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft version must be a number, got '$version'")
+    }
+    require(SnapshotTable.versions(spark, root).contains(v),
+      s"version $v is not committed at $root")
+    new GraftSnapshotTable(root, v,
+      GraftSnapshotSource.schemaOf(spark, root, v))
+  }
+
+  /** SQL `TIMESTAMP AS OF <ts>` — Spark hands MICROS since epoch;
+    * resolve to the newest version committed at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    val v = SnapshotTable.versionAsOf(spark, root, timestamp / 1000L)
+    new GraftSnapshotTable(root, v,
+      GraftSnapshotSource.schemaOf(spark, root, v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables are laid out by commit-time clustering " +
+        "(clusterKey / Z-order on the write), not PARTITIONED BY")
+    val root = rootOf(ident)
+    if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    schema.fields.foreach(f =>
+      require(GraftSnapshotSource.SupportedTypes.contains(f.dataType),
+        s"graft-snapshot v1 does not support ${f.dataType.simpleString} " +
+          s"column '${f.name}'"))
+    SnapshotTable.createEmpty(spark, root, schema)
+    new GraftSnapshotTable(root, 1L,
+      StructType(schema.fields.map(_.copy(nullable = true))))
+  }
+
+  /** ADD COLUMNS only — a metadata-only commit through the additive
+    * evolution rule. Drops/renames/type changes would strand old
+    * files and are refused, the same boundary the write path draws. */
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft-snapshot v1 has flat schemas; nested ADD COLUMN " +
+            s"'${a.fieldNames().mkString(".")}' is not supported")
+        val dt = a.dataType()
+        require(GraftSnapshotSource.SupportedTypes.contains(dt),
+          s"graft-snapshot v1 does not support ${dt.simpleString} " +
+            s"column '${a.fieldNames().head}'")
+        StructField(a.fieldNames().head, dt, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog supports ALTER TABLE ADD COLUMNS only, " +
+          s"got ${other.getClass.getSimpleName}")
+    }
+    SnapshotTable.addColumns(spark, root, StructType(added))
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    if (!isTable(root)) return false
+    hfs.delete(new Path(root), true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val oldRoot = rootOf(oldIdent)
+    val newRoot = rootOf(newIdent)
+    if (!isTable(oldRoot)) throw new NoSuchTableException(oldIdent)
+    if (isTable(newRoot)) throw new TableAlreadyExistsException(newIdent)
+    hfs.mkdirs(new Path(newRoot).getParent)
+    require(hfs.rename(new Path(oldRoot), new Path(newRoot)),
+      s"rename $oldRoot -> $newRoot failed")
+  }
+
+  // ---- namespaces ----------------------------------------------------
+
+  private def nsPath(namespace: Array[String]): Path =
+    new Path((warehouse +: namespace.toSeq.map(safe)).mkString("/"))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val w = new Path(warehouse)
+    if (!hfs.exists(w)) return Array.empty
+    hfs.listStatus(w).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_")
+        && !isTable(st.getPath.toUri.getPath))
+      .map(st => Array(st.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String])
+  : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      if (!hfs.exists(nsPath(namespace)))
+        throw new NoSuchNamespaceException(
+          (catalogName +: namespace).toSeq)
+      Array.empty
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || hfs.exists(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+  : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException((catalogName +: namespace).toSeq)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    hfs.mkdirs(nsPath(namespace))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    if (!hfs.exists(p)) return false
+    if (!cascade && hfs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    hfs.delete(p, true)
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** TableCatalog over snapshot roots
+  * (sources/connector/GraftCatalog): SQL names snapshot tables
+  * directly — CREATE / CTAS / INSERT INTO / INSERT OVERWRITE /
+  * VERSION AS OF / TIMESTAMP AS OF / ALTER TABLE ADD COLUMNS / DROP —
+  * every data path still landing through the claim/publish protocol
+  * and reading through the pruning connector scan. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse =
+    java.nio.file.Files.createTempDirectory("graft-cat").toString
+
+  // register the catalog once, before any test body runs
+  locally {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+  }
+
+  test("CREATE TABLE + INSERT INTO + SELECT: DDL mints version 1 " +
+      "(schema only), the insert CAS-appends version 2, and SQL " +
+      "reads through the connector scan") {
+    spark.sql("CREATE TABLE graft.db.pts (k BIGINT, tag STRING)")
+    val root = s"$warehouse/db/pts"
+    assert(SnapshotTable.currentVersion(spark, root) == 1L)
+    assert(spark.sql("SELECT * FROM graft.db.pts").count() == 0)
+
+    spark.sql(
+      "INSERT INTO graft.db.pts VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    assert(SnapshotTable.currentVersion(spark, root) == 2L)
+    assert(spark.sql(
+      "SELECT tag FROM graft.db.pts ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // the native API sees exactly what SQL wrote
+    assert(SnapshotTable.read(spark, root).count() == 3)
+  }
+
+  test("CTAS from a testdata table, then SHOW TABLES lists it and a " +
+      "filtered SQL read prunes files through the connector scan") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    orders.createOrReplaceTempView("orders_src")
+    // CTAS through the catalog: create + append in one statement
+    spark.sql(
+      """CREATE TABLE graft.db.orders_ctas AS
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders_src""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.db.orders_ctas")
+      .collect()(0).getLong(0) == orders.count())
+    val listed = spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1))
+    assert(listed.contains("orders_ctas"), listed.mkString(","))
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF resolve through the commit " +
+      "log in SQL") {
+    spark.sql("CREATE TABLE graft.db.tt (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.tt VALUES (1, 'first')")   // v2
+    val root = s"$warehouse/db/tt"
+    val t2 = SnapshotTable.commitTime(spark, root, 2L)
+    Thread.sleep(1100) // commit-time resolution is second-granular
+    spark.sql("INSERT INTO graft.db.tt VALUES (2, 'second')")  // v3
+
+    assert(spark.sql("SELECT * FROM graft.db.tt").count() == 2)
+    assert(spark.sql("SELECT * FROM graft.db.tt VERSION AS OF 2")
+      .count() == 1)
+    val tsLit = new java.sql.Timestamp(t2).toString
+    assert(spark.sql(
+      s"SELECT * FROM graft.db.tt TIMESTAMP AS OF '$tsLit'")
+      .count() == 1)
+  }
+
+  test("INSERT OVERWRITE truncate-replaces; prior version stays " +
+      "readable") {
+    spark.sql("CREATE TABLE graft.db.ow (k BIGINT)")
+    spark.sql("INSERT INTO graft.db.ow VALUES (1), (2), (3)")
+    spark.sql("INSERT OVERWRITE graft.db.ow VALUES (9)")
+    assert(spark.sql("SELECT * FROM graft.db.ow").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+    assert(spark.sql("SELECT * FROM graft.db.ow VERSION AS OF 2")
+      .count() == 3)
+  }
+
+  test("ALTER TABLE ADD COLUMNS is a metadata-only commit: zero data " +
+      "moved, old rows read NULL, and the next insert fills the " +
+      "column") {
+    spark.sql("CREATE TABLE graft.db.ev (k BIGINT)")
+    spark.sql("INSERT INTO graft.db.ev VALUES (1), (2)")
+    val root = s"$warehouse/db/ev"
+    val filesBefore = SnapshotTable.manifest(spark, root, 2L)
+      .map(_.path).toSet
+
+    spark.sql("ALTER TABLE graft.db.ev ADD COLUMNS (note STRING)")
+    assert(SnapshotTable.currentVersion(spark, root) == 3L)
+    assert(SnapshotTable.manifest(spark, root, 3L).map(_.path).toSet ==
+      filesBefore, "ADD COLUMNS must not touch data files")
+
+    spark.sql("INSERT INTO graft.db.ev VALUES (3, 'filled')")
+    val rows = spark.sql(
+      "SELECT k, note FROM graft.db.ev ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0),
+      Option(r.getString(1)))).toSeq ==
+      Seq((1L, None), (2L, None), (3L, Some("filled"))))
+  }
+
+  test("writeTo append lands through the catalog; DROP TABLE removes " +
+      "it; rename moves the root") {
+    spark.sql("CREATE TABLE graft.db.wt (k BIGINT, v DOUBLE)")
+    (1 to 50).map(i => (i.toLong, i / 2.0)).toDF("k", "v")
+      .writeTo("graft.db.wt").append()
+    assert(spark.table("graft.db.wt").count() == 50)
+
+    // the rename target resolves INSIDE the catalog: name it db.wt2
+    spark.sql("ALTER TABLE graft.db.wt RENAME TO db.wt2")
+    assert(spark.table("graft.db.wt2").count() == 50)
+    assert(!spark.catalog.tableExists("graft.db.wt"))
+
+    spark.sql("DROP TABLE graft.db.wt2")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$warehouse/db/wt2")))
+  }
+
+  test("a catalog read keeps the connector's pushdown: a range " +
+      "predicate shows PushedFilters and prunes manifest files") {
+    spark.sql("CREATE TABLE graft.db.pr (k BIGINT, x DOUBLE)")
+    // cluster through the native API so files carry stats, then read
+    // the same table BY NAME
+    val root = s"$warehouse/db/pr"
+    SnapshotTable.append(spark, root,
+      (1 to 20000).map(i => (i.toLong, i * 2.0)).toDF("k", "x"),
+      clusterKey = Some("k"))
+    val q = spark.sql(
+      "SELECT sum(x) AS s FROM graft.db.pr WHERE k BETWEEN 100 AND 200")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), s"pushdown missing:\n$plan")
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan).get
+    assert(m.group(1).toInt < m.group(2).toInt, s"no pruning: $plan")
+    assert(q.collect()(0).getDouble(0) == (100 to 200).map(_ * 2.0).sum)
+  }
+}
