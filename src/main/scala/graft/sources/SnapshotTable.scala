@@ -1228,7 +1228,8 @@ object SnapshotTable {
     * touchedFiles shape, whose update-key side IS distributed) would
     * be metadata work at data prices. Date/timestamp stats render
     * ISO-style from `cast(string)`, which orders lexicographically. */
-  private def statOrdering(dt: DataType): Option[(String, String) => Int] =
+  private[sources] def statOrdering(dt: DataType)
+  : Option[(String, String) => Int] =
     dt match {
       case LongType | IntegerType | ShortType | ByteType =>
         Some((a, b) => java.lang.Long.compare(a.toLong, b.toLong))

@@ -47,10 +47,15 @@ import graft.sources.SnapshotTable.FileEntry
   * schema built from each file's OWN schema, so unprojected columns
   * are never decoded.
   *
-  * Scope (v1, stated): batch reads of COMPACTED snapshots — a
-  * manifest carrying merge-on-read tombstones is refused with a
-  * pointer to `compact` (applying delete vectors belongs to the read
-  * pipeline, not a file scan), and columns beyond the flat
+  * Merge-on-read tables read THROUGH the tombstones: the driver
+  * attaches to each data-file partition exactly the tombstone files
+  * that can kill rows in it (sequence rule + key-range intersection),
+  * and the reader drops tombstoned rows as it decodes — the delete
+  * key is read as a hidden trailing field when unprojected. Data-file
+  * pruning stays sound under MOR because tombstones only ever REMOVE
+  * rows.
+  *
+  * Scope (v1, stated): batch reads; columns beyond the flat
   * int/long/float/double/boolean/string/timestamp set are refused at
   * planning time. Row-level residual evaluation stays with Spark:
   * pushed filters only ever SKIP whole files, so pruning cannot
@@ -100,13 +105,13 @@ private[connector] object GraftSnapshotSource {
 
   def schemaOf(spark: SparkSession, root: String, v: Long): StructType = {
     val (entries, mSchema) = SnapshotTable.readManifestFull(spark, root, v)
-    require(!entries.exists(_.kind == "t"),
-      s"graft-snapshot v1 reads compacted snapshots only; version $v " +
-        s"of $root carries merge-on-read tombstones — run " +
-        "SnapshotTable.compact (or read through SnapshotTable.read)")
-    val st = mSchema.getOrElse(
-      spark.read.parquet(
-        new Path(root, entries.head.path).toString).schema)
+    val st = mSchema.getOrElse {
+      val data = entries.find(_.kind == "d").getOrElse(
+        throw new IllegalStateException(
+          s"version $v at $root has no data files to infer a schema " +
+            "from"))
+      spark.read.parquet(new Path(root, data.path).toString).schema
+    }
     st.fields.foreach(f => require(SupportedTypes.contains(f.dataType),
       s"graft-snapshot v1 does not read ${f.dataType.simpleString} " +
         s"column '${f.name}'"))
@@ -144,10 +149,14 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     * comparisons and equality/IN against a column that carries
     * min/max stats (either Z-order slot) or a bloom in the manifest.
     * EVERYTHING is returned as residual — the connector skips files,
-    * Spark still evaluates rows, so pushdown can only cut IO. */
+    * Spark still evaluates rows, so pushdown can only cut IO. (With
+    * merge-on-read tombstones this stays sound: pruning skips DATA
+    * files only, and tombstones only ever REMOVE rows — a skipped
+    * file's rows could not have matched the filter anyway.) */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val spark = SparkSession.active
     val entries = SnapshotTable.readManifestFull(spark, root, version)._1
+      .filter(_.kind == "d")
     def prunable(col: String): Boolean = entries.exists(e =>
       e.statsFor(col).isDefined ||
         (e.bloomKey.contains(col) && e.bloom.isDefined))
@@ -172,10 +181,17 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     val spark = SparkSession.active
     val (entries, mSchema) =
       SnapshotTable.readManifestFull(spark, root, version)
-    val kept = pushed.foldLeft(entries)((es, f) =>
+    val (tombs, data) = entries.partition(_.kind == "t")
+    val kept = pushed.foldLeft(data)((es, f) =>
       GraftPruning.prune(spark, root, fullSchema, mSchema, es, f))
-    new GraftScan(root, version, kept.map(_.path).toArray,
-      entries.size, required, pushed)
+    val tombKey = tombs.headOption.map(_.statsKey.getOrElse(
+      throw new IllegalStateException(
+        s"tombstone entry without a key column at $root")))
+    new GraftScan(root, version, kept, data.size, required, pushed,
+      tombs, tombKey,
+      tombKey.map(k => fullSchema.fields.find(_.name == k).getOrElse(
+        throw new IllegalStateException(
+          s"tombstone key '$k' missing from table schema")).dataType))
   }
 }
 
@@ -261,32 +277,66 @@ private[connector] object GraftPruning {
   }
 }
 
+/** A merge-on-read tombstone file this partition must apply: only
+  * tombstones whose seq EXCEEDS the data file's (older rows die) and
+  * whose recorded key range can intersect the file's survive the
+  * driver-side pre-filter. */
+private[connector] case class TombRef(absolutePath: String, seq: Long)
+
 /** One InputPartition per data file — the natural parallelism of an
-  * immutable-file table. */
-private[connector] case class GraftInputPartition(absolutePath: String)
-  extends InputPartition
+  * immutable-file table. `tombs` is empty for compacted tables;
+  * `keyName`/`keyTypeJson` are null then. */
+private[connector] case class GraftInputPartition(absolutePath: String,
+    seq: Long, tombs: Array[TombRef], keyName: String,
+    keyTypeJson: String) extends InputPartition
 
 private[connector] class GraftScan(root: String, version: Long,
-    keptPaths: Array[String], totalFiles: Int, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch
+    keptData: Seq[FileEntry], totalFiles: Int, required: StructType,
+    pushed: Array[Filter], tombs: Seq[FileEntry],
+    tombKey: Option[String], tombKeyType: Option[DataType])
+  extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   // runtime (join-driven) filters narrow the planned files further;
   // starts at the compile-time pruned set
-  @volatile private var runtimeKept: Array[String] = keptPaths
+  @volatile private var runtimeKept: Seq[FileEntry] = keptData
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"graft-snapshot v$version files=${keptPaths.length}/$totalFiles " +
+    s"graft-snapshot v$version files=${keptData.length}/$totalFiles " +
+      (if (tombs.nonEmpty) s"tombstones=${tombs.size} " else "") +
       s"columns=${required.fieldNames.mkString(",")} " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
   override def toBatch: Batch = this
 
+  /** Can tombstone `t` kill anything in data file `e`? Sequence rule
+    * first (only OLDER rows die); then the recorded key ranges, typed
+    * via the manifest schema — disjoint ranges mean the tombstone's
+    * keys cannot appear in the file. */
+  private def applies(t: FileEntry, e: FileEntry): Boolean = {
+    if (t.seq <= e.seq) return false
+    (tombKey, tombKeyType) match {
+      case (Some(k), Some(dt)) =>
+        (t.statsFor(k), e.statsFor(k),
+          SnapshotTable.statOrdering(dt)) match {
+          case (Some((tl, th)), Some((el, eh)), Some(cmp)) =>
+            cmp(th, el) >= 0 && cmp(tl, eh) <= 0
+          case _ => true // no stats/ordering: conservatively applies
+        }
+      case _ => true
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    runtimeKept.map(p =>
-      GraftInputPartition(new Path(root, p).toString))
+    runtimeKept.map { e =>
+      val mine = tombs.filter(applies(_, e)).map(t =>
+        TombRef(new Path(root, t.path).toString, t.seq)).toArray
+      GraftInputPartition(new Path(root, e.path).toString, e.seq,
+        mine, tombKey.orNull,
+        tombKeyType.map(_.json).orNull)
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required.json)
@@ -300,8 +350,8 @@ private[connector] class GraftScan(root: String, version: Long,
     private val bytes: java.util.OptionalLong = {
       val spark = SparkSession.active
       val f = SnapshotTable.fs(spark, root)
-      java.util.OptionalLong.of(runtimeKept.map(p =>
-        try f.getFileStatus(new Path(root, p)).getLen
+      java.util.OptionalLong.of((runtimeKept ++ tombs).map(e =>
+        try f.getFileStatus(new Path(root, e.path)).getLen
         catch { case _: java.io.IOException => 0L }).sum)
     }
     override def sizeInBytes(): java.util.OptionalLong = bytes
@@ -318,6 +368,7 @@ private[connector] class GraftScan(root: String, version: Long,
   : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     val spark = SparkSession.active
     val entries = SnapshotTable.readManifestFull(spark, root, version)._1
+      .filter(_.kind == "d")
     val prunable = required.fieldNames.filter(c => entries.exists(e =>
       e.statsFor(c).isDefined ||
         (e.bloomKey.contains(c) && e.bloom.isDefined)))
@@ -327,13 +378,10 @@ private[connector] class GraftScan(root: String, version: Long,
 
   override def filter(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
-    val (entries, mSchema) =
-      SnapshotTable.readManifestFull(spark, root, version)
-    val byPath = entries.map(e => e.path -> e).toMap
-    val current = runtimeKept.flatMap(byPath.get)
-    val narrowed = filters.foldLeft(current.toSeq)((es, f) =>
+    val mSchema =
+      SnapshotTable.readManifestFull(spark, root, version)._2
+    runtimeKept = filters.foldLeft(runtimeKept)((es, f) =>
       GraftPruning.prune(spark, root, required, mSchema, es, f))
-    runtimeKept = narrowed.map(_.path).toArray
   }
 }
 
@@ -343,8 +391,66 @@ private[connector] class GraftReaderFactory(requiredJson: String)
   : PartitionReader[InternalRow] = {
     val required =
       DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    new GraftPartitionReader(
-      partition.asInstanceOf[GraftInputPartition].absolutePath, required)
+    val p = partition.asInstanceOf[GraftInputPartition]
+    if (p.tombs.isEmpty)
+      new GraftPartitionReader(p.absolutePath, required,
+        required.length, -1, null)
+    else {
+      val keyType = DataType.fromJson(p.keyTypeJson)
+      val kills = GraftTombstones.killSet(p.tombs, p.keyName, keyType)
+      // the delete key must be DECODED to filter on, even when the
+      // query didn't project it — read it as a hidden trailing field
+      val (readSchema, killIdx) =
+        required.fieldNames.indexWhere(_ == p.keyName) match {
+          case -1 => (StructType(required.fields :+
+            StructField(p.keyName, keyType, nullable = true)),
+            required.length)
+          case i => (required, i)
+        }
+      new GraftPartitionReader(p.absolutePath, readSchema,
+        required.length, killIdx, kills)
+    }
+  }
+}
+
+/** Executor-side tombstone loader: reads each tombstone file once per
+  * JVM (a small per-path cache — tombstone files are immutable, like
+  * every snapshot file) and hands readers the union of the key sets
+  * their partition must apply. Values are stored in the same Catalyst
+  * representation the data reader produces (UTF8String for strings,
+  * micros for timestamps), so membership is an exact equality — and a
+  * NULL tombstone key is never added, matching the read pipeline's
+  * IN-semantics rule that NULL kills nothing. */
+private[connector] object GraftTombstones {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.HashSet[Any]]()
+
+  private def load(path: String, keyName: String,
+      keyType: DataType): java.util.HashSet[Any] = {
+    val s = new java.util.HashSet[Any]()
+    val r = new GraftPartitionReader(path,
+      StructType(Seq(StructField(keyName, keyType, nullable = true))),
+      1, -1, null)
+    try {
+      while (r.next()) {
+        val row = r.get()
+        if (!row.isNullAt(0)) s.add(row.get(0, keyType))
+      }
+    } finally r.close()
+    s
+  }
+
+  def killSet(tombs: Array[TombRef], keyName: String,
+      keyType: DataType): java.util.HashSet[Any] = {
+    if (cache.size() > 64) cache.clear() // bound executor memory
+    val out = new java.util.HashSet[Any]()
+    tombs.foreach { t =>
+      out.addAll(cache.computeIfAbsent(t.absolutePath,
+        p => load(p, keyName, keyType)))
+    }
+    out
   }
 }
 
@@ -353,9 +459,18 @@ private[connector] class GraftReaderFactory(requiredJson: String)
   * physical types always match and unprojected columns are never
   * decoded). Missing columns (schema evolution: a file older than
   * the column) read as NULL, like the explicit-schema DataFrame
-  * path. */
+  * path.
+  *
+  * `readSchema` is what gets DECODED; only the first `emitLen` fields
+  * are emitted — merge-on-read appends the delete key as a hidden
+  * trailing field when the query didn't project it. With `killIdx >=
+  * 0`, rows whose key value (at that index of `readSchema`) is in
+  * `killSet` are skipped inside `next()` — the executor-side half of
+  * the tombstone filter; a NULL key is never killed. */
 private[connector] class GraftPartitionReader(file: String,
-    required: StructType) extends PartitionReader[InternalRow] {
+    readSchema: StructType, emitLen: Int, killIdx: Int,
+    killSet: java.util.HashSet[Any])
+  extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
   private val fileSchema: MessageType = {
@@ -364,7 +479,7 @@ private[connector] class GraftPartitionReader(file: String,
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
   // project: the file's own types for the fields it has
-  private val present = required.fields.filter(f =>
+  private val present = readSchema.fields.filter(f =>
     fileSchema.containsField(f.name))
   private val projection = new MessageType("graft_projection",
     present.map(f =>
@@ -380,22 +495,31 @@ private[connector] class GraftPartitionReader(file: String,
 
   private var current: Group = _
 
+  private def valueAt(i: Int): Any =
+    fieldIdx.get(readSchema.fields(i).name) match {
+      case None => null // file predates the column
+      case Some(gi) =>
+        if (current.getFieldRepetitionCount(gi) == 0) null
+        else readValue(gi, readSchema.fields(i).dataType)
+    }
+
   override def next(): Boolean = {
-    current = reader.read()
-    current != null
+    while (true) {
+      current = reader.read()
+      if (current == null) return false
+      if (killIdx < 0) return true
+      val kv = valueAt(killIdx)
+      if (kv == null || !killSet.contains(kv)) return true
+      // tombstoned row: keep scanning
+    }
+    false
   }
 
   override def get(): InternalRow = {
-    val row = new GenericInternalRow(required.length)
+    val row = new GenericInternalRow(emitLen)
     var i = 0
-    while (i < required.length) {
-      val f = required.fields(i)
-      row.update(i, fieldIdx.get(f.name) match {
-        case None => null // file predates the column
-        case Some(gi) =>
-          if (current.getFieldRepetitionCount(gi) == 0) null
-          else readValue(gi, f.dataType)
-      })
+    while (i < emitLen) {
+      row.update(i, valueAt(i))
       i += 1
     }
     row

@@ -159,21 +159,77 @@ class SnapshotConnectorSpec extends SparkSpec {
       s"runtime IN filter pruned nothing ($after of $before)")
   }
 
-  test("stated v1 refusals: merge-on-read tombstones are refused with " +
-      "a pointer to compact") {
+  test("merge-on-read through the connector: tombstoned rows vanish, " +
+      "the MOR batch's own replacements survive, deletes apply, and " +
+      "the result equals the native read — projected key or not") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 10000).map(i => (i.toLong, i * 1.0, s"t$i"))
+        .toDF("k", "x", "tag"),
+      clusterKey = Some("k"))
+    // MOR upsert: replaces keys 1..100 (tombstone seq 2 kills the seq-1
+    // copies; the batch's own seq-2 rows survive the same tombstone)
+    SnapshotTable.mergeOnRead(spark, root,
+      (1 to 100).map(i => (i.toLong, -i * 1.0, s"u$i"))
+        .toDF("k", "x", "tag"), "k")
+    // MOR delete: keys 9001..10000 disappear entirely
+    SnapshotTable.deleteKeysOnRead(spark, root,
+      (9001 to 10000).map(_.toLong).toDF("k"), "k")
+
+    val native = SnapshotTable.read(spark, root)
+      .orderBy("k").collect().map(_.toSeq)
+    val viaConnector = readFmt(root).load()
+      .orderBy("k").collect().map(_.toSeq)
+    assert(viaConnector.length == native.length)
+    assert(viaConnector.length == 9000)
+    viaConnector.zip(native).foreach { case (a, b) =>
+      assert(a == b, s"MOR mismatch: $a vs $b")
+    }
+    // replaced keys carry the update's values through the connector
+    val one = readFmt(root).load().filter(col("k") === 50).collect()
+    assert(one.length == 1 && one(0).getDouble(1) == -50.0)
+    // deleted rows stay deleted when the key is NOT projected (read
+    // as a hidden field) ...
+    assert(readFmt(root).load().select("tag").count() == 9000)
+    // ... and the aggregate over an unprojected-key read matches
+    assert(readFmt(root).load().select("x")
+      .agg(sum("x")).collect()(0).getDouble(0) ==
+      native.map(_(1).asInstanceOf[Double]).sum)
+  }
+
+  test("MOR read still prunes: a range predicate skips data files " +
+      "and the tombstone filter cannot resurrect or over-delete " +
+      "within the kept band") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 20000).map(i => (i.toLong, i * 2.0)).toDF("k", "x"),
+      clusterKey = Some("k"))
+    SnapshotTable.deleteKeysOnRead(spark, root,
+      Seq(1500L, 1600L, 50L).toDF("k"), "k")
+    val q = readFmt(root).load()
+      .filter(col("k") >= 1000 && col("k") <= 2000)
+    val plan = q.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan).get
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"MOR scan must still prune data files: $plan")
+    assert(plan.contains("tombstones=1"), s"tombstone count:\n$plan")
+    // 1001 band rows minus the two deleted INSIDE the band
+    assert(q.count() == 999)
+  }
+
+  test("after compact the connector serves the merged state with " +
+      "zero tombstones attached") {
     val root = tmpRoot()
     SnapshotTable.commit(spark, root,
       (1 to 100).map(i => (i, i * 1.0)).toDF("k", "x"),
       clusterKey = Some("k"))
     SnapshotTable.mergeOnRead(spark, root,
       Seq((1, -1.0)).toDF("k", "x"), "k")
-    val e = intercept[IllegalArgumentException] {
-      readFmt(root).load().count()
-    }
-    assert(e.getMessage.contains("compact"))
-    // after compaction the connector serves the merged state
     SnapshotTable.compact(spark, root, clusterKey = Some("k"))
-    val got = readFmt(root).load().filter(col("k") === 1).collect()
+    val df = readFmt(root).load()
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("tombstones="))
+    val got = df.filter(col("k") === 1).collect()
     assert(got.length == 1 && got(0).getDouble(1) == -1.0)
   }
 }
