@@ -315,6 +315,103 @@ object Similarity {
       out
     }),
 
+    // Graph ANN: a k-NN graph built with NN-DESCENT (Dong et al.,
+    // "Efficient K-Nearest Neighbor Graph Construction for Generic
+    // Similarity Measures", WWW 2011) and queried by BEAM SEARCH over
+    // the graph — the navigable-small-world family (HNSW's ancestor)
+    // re-expressed in Spark's set-oriented model. Pointer-chasing
+    // HNSW is inherently single-machine; NN-Descent's local-join
+    // ("my neighbors' neighbors are probably my neighbors") is a
+    // fixed number of keyed self-joins + per-node top-k windows, and
+    // beam search is a fixed number of frontier-expansion joins —
+    // every round a bounded shuffle, no driver-side graph, no
+    // all-pairs stage. Scale: corpus shuffled on node id (O(n·k)
+    // edges), per-round candidate set O(n·k²); queries broadcast.
+    // Graph edges are hash-seeded + cosine-improved => deterministic,
+    // but engine-specific => rows-only driver check; recall vs the
+    // exact brute force is asserted in SimilaritySpec.
+    "knn_graph" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val k = 8          // graph degree
+      val rounds = 2     // NN-Descent improvement rounds
+      val beam = 12      // query beam width
+      val steps = 4      // beam-search hops
+      val all = prepared(s, dir).persist()
+      val n = all.count()
+      val vecs = all.select(col("vec_id").as("id"), col("v"))
+
+      // score candidate edges by cosine and keep each node's top-k
+      // (ties broken by neighbor id: deterministic graph)
+      def best(cand: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("src"))
+          .orderBy(desc("cos"), asc("dst"))
+        cand.join(vecs.select(col("id").as("src"),
+            col("v").as("s_v")), Seq("src"))
+          .join(vecs.select(col("id").as("dst"),
+            col("v").as("d_v")), Seq("dst"))
+          .selectExpr("src", "dst", "graft_cosine(s_v, d_v) AS cos")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("src"), col("dst"))
+      }
+
+      // seed: k hash-derived pseudo-random neighbors per node
+      var g = best(all.select(col("vec_id").as("src"))
+        .select(col("src"), explode(expr(
+          s"transform(sequence(0, ${k - 1}), " +
+            s"j -> CAST(pmod(hash(src, j), ${n}L) AS BIGINT))"))
+          .as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()).persist()
+      g.count()
+
+      // NN-Descent: candidates = current ∪ reversed ∪ 2-hop edges
+      for (_ <- 1 to rounds) {
+        val rev = g.select(col("dst").as("src"), col("src").as("dst"))
+        val hop2 = g.select(col("src"), col("dst").as("mid"))
+          .join(g.select(col("src").as("mid"), col("dst")), Seq("mid"))
+          .select(col("src"), col("dst"))
+        val next = best(g.unionByName(rev).unionByName(hop2)
+          .filter(col("src") =!= col("dst")).distinct()).persist()
+        next.count()
+        g.unpersist()
+        g = next
+      }
+
+      // beam search: start every query at k fixed entry nodes, expand
+      // the frontier along graph edges, keep the best `beam` per hop
+      val q = broadcast(all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v")))
+      def score(cand: DataFrame): DataFrame =
+        cand.join(q, Seq("q_id"))
+          .join(vecs.select(col("id").as("c_id"),
+            col("v").as("c_v")), Seq("c_id"))
+          .selectExpr("q_id", "c_id", "graft_cosine(q_v, c_v) AS cos")
+      val wBeam = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cos"), asc("c_id"))
+
+      var visited = score(q.select(col("q_id"))
+        .join(vecs.filter(col("id") < k).select(col("id").as("c_id"))))
+      var frontier = visited.withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= beam).select(col("q_id"), col("c_id"))
+      for (_ <- 1 to steps) {
+        val expanded = score(frontier
+          .join(g.select(col("src").as("c_id"), col("dst")), Seq("c_id"))
+          .select(col("q_id"), col("dst").as("c_id"))
+          .distinct())
+        visited = visited.unionByName(expanded)
+          .groupBy(col("q_id"), col("c_id"))
+          .agg(max(col("cos")).as("cos"))
+        frontier = visited.withColumn("rk", row_number().over(wBeam))
+          .filter(col("rk") <= beam).select(col("q_id"), col("c_id"))
+      }
+      visited.filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_r"))
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(col("q_id")).orderBy(desc("cos_r"), asc("c_id"))))
+        .filter(col("rk") <= 3)
+        .orderBy(asc("q_id"), asc("rk"))
+    }),
+
     // Centroid stats per label — the IVF building block (coarse
     // quantizer): mean vector per label + intra-label dispersion.
     "embedding_label_stats" -> ((s, dir) => {
