@@ -31,11 +31,17 @@ object Bloom {
   val MaxBits: Long = 1L << 23
 
   /** Bits for `n` expected items at false-positive rate `p`, capped,
-    * rounded up to a whole 64-bit word, minimum one word. */
+    * rounded up to the next POWER OF TWO (minimum one 64-bit word).
+    * Power-of-two geometry is what makes [[foldOnce]] exact: probe
+    * indices are `h & (bits-1)`, and `(h & (2m-1)) & (m-1) == h & (m-1)`,
+    * so OR-folding a filter in half yields bit-for-bit the filter that
+    * would have been built at the half size. */
   def bitsFor(n: Long, p: Double): Int = {
     val ideal = math.ceil(-n * math.log(p) / (math.log(2) * math.log(2)))
     val capped = math.min(MaxBits.toDouble, math.max(64.0, ideal))
-    (((capped.toLong + 63) >> 6) << 6).toInt
+    var b = 64
+    while (b < capped) b <<= 1
+    b
   }
 
   /** Optimal probe count for the (possibly capped) geometry. */
@@ -49,26 +55,69 @@ object Bloom {
   }
 
   def add(words: Array[Long], numHashes: Int, h: Long): Unit = {
-    val bits = words.length.toLong << 6
+    val mask = (words.length.toLong << 6) - 1 // bits is a power of two
     val h2 = h2of(h)
     var i = 0
     while (i < numHashes) {
-      val bit = java.lang.Math.floorMod(h + i * h2, bits)
+      val bit = (h + i * h2) & mask
       words((bit >> 6).toInt) |= 1L << (bit & 63)
       i += 1
     }
   }
 
   def mightContain(words: Array[Long], numHashes: Int, h: Long): Boolean = {
-    val bits = words.length.toLong << 6
+    val mask = (words.length.toLong << 6) - 1
     val h2 = h2of(h)
     var i = 0
     while (i < numHashes) {
-      val bit = java.lang.Math.floorMod(h + i * h2, bits)
+      val bit = (h + i * h2) & mask
       if ((words((bit >> 6).toInt) & (1L << (bit & 63))) == 0L) return false
       i += 1
     }
     true
+  }
+
+  /** OR-fold a power-of-two filter in half. Exact under mask indexing
+    * (see [[bitsFor]]): membership is preserved bit-for-bit, only the
+    * false-positive rate moves (the fill roughly doubles). */
+  def foldOnce(words: Array[Long]): Array[Long] = {
+    val half = words.length >> 1
+    val out = new Array[Long](half)
+    var i = 0
+    while (i < half) { out(i) = words(i) | words(i + half); i += 1 }
+    out
+  }
+
+  private def fillOf(words: Array[Long]): Double = {
+    var set = 0L
+    var i = 0
+    while (i < words.length) {
+      set += java.lang.Long.bitCount(words(i)); i += 1
+    }
+    set.toDouble / (words.length.toLong << 6)
+  }
+
+  /** ADAPTIVE SIZING: shrink a filter to the smallest power-of-two
+    * geometry whose realized bit load still meets the declared
+    * false-positive target. `p = fill^k`, so the largest admissible
+    * fill is `p^(1/k)`; fold while the NEXT fold stays under it. A
+    * group that carried fewer distinct items than `expectedItems`
+    * (small files in the manifest index, sparse groups in SQL) ends up
+    * with a proportionally small sketch — sized by what the data
+    * actually was, in the same single pass, with zero effect on
+    * correctness (folding is exact) and the declared fpp kept. An
+    * overfull filter never folds (its fill already exceeds the
+    * target) and degrades exactly as before. */
+  def shrinkToTarget(words: Array[Long], numHashes: Int,
+      fpp: Double): Array[Long] = {
+    val targetFill = math.pow(fpp, 1.0 / numHashes)
+    var cur = words
+    while (cur.length > 1) {
+      val folded = foldOnce(cur)
+      if (fillOf(folded) > targetFill) return cur
+      cur = folded
+    }
+    cur
   }
 
   /** Union = bitwise OR, in place on `into`. */
@@ -179,7 +228,12 @@ case class BloomSketchAgg(child: Expression, expectedItems: Int,
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] =
     Bloom.merge(buf, other)
 
-  override def eval(buf: Array[Long]): Any = Bloom.toBytes(numHashes, buf)
+  // Final evaluation shrinks to what the group's data needed (exact
+  // fold, declared fpp kept — see Bloom.shrinkToTarget). Partial
+  // buffers (serialize/merge) keep the full geometry: OR-merge
+  // requires equal sizes, and only the FINAL filter is persisted.
+  override def eval(buf: Array[Long]): Any = Bloom.toBytes(numHashes,
+    Bloom.shrinkToTarget(buf, numHashes, fppPct / 100.0))
 
   override def serialize(buf: Array[Long]): Array[Byte] =
     Bloom.toBytes(numHashes, buf)

@@ -50,6 +50,47 @@ class BloomSpec extends SparkSpec {
       "bloom bytes must be partition-invariant")
   }
 
+  test("folding is exact: the folded filter is bit-identical to one " +
+      "built directly at the half geometry") {
+    import graft.functions.{Bloom, Hll}
+    import org.apache.spark.sql.types.LongType
+    val hashes = (1L to 500L).map(Hll.hashValue(_, LongType))
+    val full = new Array[Long](64) // 4096 bits
+    val half = new Array[Long](32)
+    hashes.foreach { h =>
+      Bloom.add(full, 5, h); Bloom.add(half, 5, h)
+    }
+    assert(Bloom.foldOnce(full).toSeq == half.toSeq,
+      "fold must commute with insertion under mask indexing")
+  }
+
+  test("adaptive sizing: a sparse group's filter shrinks to its data, " +
+      "a full group keeps the declared geometry, and the declared " +
+      "false-positive target survives the shrink") {
+    def bytesFor(n: Int): Array[Byte] =
+      (1 to n).map(i => s"item_$i").toDF("t")
+        .agg(expr("graft_bloom_sketch(t, 50000, 2)").as("sk"))
+        .collect()(0).getAs[Array[Byte]](0)
+    val sparse = bytesFor(500)
+    val full = bytesFor(50000)
+    assert(sparse.length * 8 <= full.length,
+      s"500-item filter (${sparse.length} B) should be ≥8x smaller " +
+        s"than the 50k-item one (${full.length} B)")
+    // no false negatives survive the fold (exactness), and absent
+    // probes still hit at ≤ the declared rate
+    val skDf = (1 to 500).map(i => s"item_$i").toDF("t")
+      .agg(expr("graft_bloom_sketch(t, 50000, 2)").as("sk"))
+    val missed = (1 to 500).map(i => s"item_$i").toDF("t")
+      .crossJoin(broadcast(skDf))
+      .filter(!expr("graft_bloom_contains(sk, t)")).count()
+    assert(missed == 0L, s"$missed inserted items probed false after fold")
+    val fps = (1 to 20000).map(i => s"__absent_$i").toDF("t")
+      .crossJoin(broadcast(skDf))
+      .filter(expr("graft_bloom_contains(sk, t)")).count()
+    assert(fps <= 20000 * 0.04,
+      s"$fps of 20000 absent probes hit after shrink (declared 2%)")
+  }
+
   test("typed probes agree with the driver-side JVM probe used for " +
       "manifest pruning") {
     val ids = (1L to 1000L).toDF("id")
