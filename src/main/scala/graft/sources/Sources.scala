@@ -532,6 +532,28 @@ object Sources {
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
     }),
+    // Nested columns through the connector, under the oracle: the
+    // embeddings table (vec_id, array<float> embedding, label)
+    // committed as a clustered snapshot and read back through
+    // format("graft-snapshot") — the recursive Group decoder serves
+    // the vectors, the atomic cluster key still prunes. Aggregates
+    // use exact per-element values (size + element_at), not float
+    // summation, so the DuckDB compare is bit-deterministic.
+    "snapshot_connector_vectors" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-dsv2-v")
+        .toString + "/emb_c"
+      val e = graft.Tables.load(s, dir, "embeddings")
+      SnapshotTable.commit(s, root, e, clusterKey = Some("vec_id"))
+      s.read.format("graft-snapshot").option("path", root).load()
+        .filter(col("vec_id") < 2000)
+        .select(col("label"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("x0"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), max(col("dim")).as("dim"),
+          min(col("x0")).as("min_x0"), max(col("x0")).as("max_x0"))
+        .orderBy("label")
+    }),
     // The TableCatalog under the oracle: register a catalog over a
     // fresh warehouse, CTAS half of orders into a NAMED snapshot
     // table, INSERT INTO the other half (a CAS append commit), and
@@ -770,6 +792,15 @@ object Sources {
         |WHERE o_orderkey BETWEEN 200 AND 700
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_connector_vectors" ->
+      """SELECT label, count(*) AS n,
+        |  max(CAST(len(embedding) AS BIGINT)) AS dim,
+        |  min(CAST(embedding[1] AS DOUBLE)) AS min_x0,
+        |  max(CAST(embedding[1] AS DOUBLE)) AS max_x0
+        |FROM embeddings
+        |WHERE vec_id < 2000
+        |GROUP BY label
+        |ORDER BY label""".stripMargin,
     "catalog_sql_ingest" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -132,8 +132,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val root = rootOf(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     schema.fields.foreach(f =>
-      require(GraftSnapshotSource.SupportedTypes.contains(f.dataType),
-        s"graft-snapshot v1 does not support ${f.dataType.simpleString} " +
+      require(GraftSnapshotSource.supported(f.dataType),
+        s"graft-snapshot does not support ${f.dataType.simpleString} " +
           s"column '${f.name}'"))
     SnapshotTable.createEmpty(spark, root, schema)
     new GraftSnapshotTable(root, 1L,
@@ -150,11 +150,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val added = changes.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
-          "graft-snapshot v1 has flat schemas; nested ADD COLUMN " +
-            s"'${a.fieldNames().mkString(".")}' is not supported")
+          "graft-snapshot adds TOP-LEVEL columns only (a nested-typed " +
+            "column is fine; splicing a field into an existing struct " +
+            s"is not): '${a.fieldNames().mkString(".")}'")
         val dt = a.dataType()
-        require(GraftSnapshotSource.SupportedTypes.contains(dt),
-          s"graft-snapshot v1 does not support ${dt.simpleString} " +
+        require(GraftSnapshotSource.supported(dt),
+          s"graft-snapshot does not support ${dt.simpleString} " +
             s"column '${a.fieldNames().head}'")
         StructField(a.fieldNames().head, dt, nullable = true)
       case other => throw new UnsupportedOperationException(

@@ -15,6 +15,7 @@ import org.apache.parquet.schema.{MessageType, PrimitiveType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -55,11 +56,18 @@ import graft.sources.SnapshotTable.FileEntry
   * pruning stays sound under MOR because tombstones only ever REMOVE
   * rows.
   *
-  * Scope (v1, stated): batch reads; columns beyond the flat
-  * int/long/float/double/boolean/string/timestamp set are refused at
-  * planning time. Row-level residual evaluation stays with Spark:
-  * pushed filters only ever SKIP whole files, so pruning cannot
-  * change an answer. */
+  * Types: the atomic int/long/float/double/boolean/string/binary/
+  * date/timestamp set, plus ARRAY / STRUCT / MAP compositions thereof
+  * to any depth (the embeddings table's `array<float>` and the
+  * multimodal table's binary payload + struct metadata read through
+  * the connector). List decoding accepts both the standard 3-level
+  * parquet layout and the 2-level legacy/pyarrow layouts by
+  * STRUCTURE, not by the inner field's name. Stats/bloom pruning and
+  * cluster layouts stay atomic-keyed; filters naming nested columns
+  * are simply residual (no file skipped — never wrong, only
+  * unpruned). Row-level residual evaluation stays with Spark: pushed
+  * filters only ever SKIP whole files, so pruning cannot change an
+  * answer. */
 class GraftSnapshotSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
@@ -100,8 +108,18 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister {
 
 private[connector] object GraftSnapshotSource {
   val SupportedTypes: Set[DataType] = Set(IntegerType, LongType,
-    FloatType, DoubleType, BooleanType, StringType, TimestampType,
-    TimestampNTZType, DateType)
+    FloatType, DoubleType, BooleanType, StringType, BinaryType,
+    TimestampType, TimestampNTZType, DateType)
+
+  /** Atomic leaves plus ARRAY / STRUCT / MAP compositions to any
+    * depth — the type domain both the reader and the V2 writer
+    * handle. */
+  def supported(dt: DataType): Boolean = dt match {
+    case ArrayType(e, _) => supported(e)
+    case StructType(fs) => fs.forall(f => supported(f.dataType))
+    case MapType(k, v, _) => supported(k) && supported(v)
+    case other => SupportedTypes.contains(other)
+  }
 
   def schemaOf(spark: SparkSession, root: String, v: Long): StructType = {
     val (entries, mSchema) = SnapshotTable.readManifestFull(spark, root, v)
@@ -112,8 +130,8 @@ private[connector] object GraftSnapshotSource {
             "from"))
       spark.read.parquet(new Path(root, data.path).toString).schema
     }
-    st.fields.foreach(f => require(SupportedTypes.contains(f.dataType),
-      s"graft-snapshot v1 does not read ${f.dataType.simpleString} " +
+    st.fields.foreach(f => require(supported(f.dataType),
+      s"graft-snapshot does not read ${f.dataType.simpleString} " +
         s"column '${f.name}'"))
     StructType(st.fields.map(_.copy(nullable = true)))
   }
@@ -498,9 +516,7 @@ private[connector] class GraftPartitionReader(file: String,
   private def valueAt(i: Int): Any =
     fieldIdx.get(readSchema.fields(i).name) match {
       case None => null // file predates the column
-      case Some(gi) =>
-        if (current.getFieldRepetitionCount(gi) == 0) null
-        else readValue(gi, readSchema.fields(i).dataType)
+      case Some(gi) => fieldValue(current, gi, readSchema.fields(i).dataType)
     }
 
   override def next(): Boolean = {
@@ -525,22 +541,118 @@ private[connector] class GraftPartitionReader(file: String,
     row
   }
 
-  private def readValue(gi: Int, dt: DataType): Any = dt match {
-    case IntegerType => current.getInteger(gi, 0)
-    case LongType => current.getLong(gi, 0)
-    case DoubleType => current.getDouble(gi, 0)
-    case FloatType => current.getFloat(gi, 0)
-    case BooleanType => current.getBoolean(gi, 0)
-    case DateType => current.getInteger(gi, 0)
+  /** One field of one group: null when absent at THIS level, else the
+    * Catalyst value — recursing through arrays / structs / maps. */
+  private def fieldValue(g: Group, gi: Int, dt: DataType): Any = {
+    if (g.getFieldRepetitionCount(gi) == 0) return null
+    dt match {
+      case ArrayType(el, _) => readArray(g, gi, el)
+      case st: StructType => readStruct(g.getGroup(gi, 0), st)
+      case mt: MapType => readMap(g.getGroup(gi, 0), mt)
+      case prim => readPrimitive(g, gi, 0, prim)
+    }
+  }
+
+  /** List decoding by STRUCTURE, covering the layouts in the wild:
+    *  - standard 3-level (`group (LIST) { repeated group list {
+    *    element } }` — Spark, and pyarrow's `item` naming);
+    *  - 2-level repeated primitive inside the LIST group;
+    *  - legacy repeated-group-IS-the-element (parquet spec rule: name
+    *    `array`/`*_tuple` or field count != 1);
+    *  - fully legacy `repeated <primitive> f` at this level. */
+  private def readArray(g: Group, gi: Int, el: DataType): Any = {
+    val fieldType = g.getType.getType(gi)
+    if (fieldType.isRepetition(
+        org.apache.parquet.schema.Type.Repetition.REPEATED)) {
+      val n = g.getFieldRepetitionCount(gi)
+      val out = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        out(j) =
+          if (fieldType.isPrimitive) readPrimitive(g, gi, j, el)
+          else el match {
+            case st: StructType => readStruct(g.getGroup(gi, j), st)
+            case other => throw new UnsupportedOperationException(
+              s"graft-snapshot reader: repeated group for " +
+                s"${other.simpleString} element")
+          }
+        j += 1
+      }
+      return new GenericArrayData(out)
+    }
+    val lg = g.getGroup(gi, 0) // the LIST wrapper group
+    val repeated = lg.getType.getType(0)
+    val n = lg.getFieldRepetitionCount(0)
+    val out = new Array[Any](n)
+    val elementIsRepeatedGroup = !repeated.isPrimitive && (el match {
+      case _: StructType =>
+        repeated.asGroupType().getFieldCount != 1 ||
+          repeated.getName == "array" ||
+          repeated.getName.endsWith("_tuple")
+      case _ => false
+    })
+    var j = 0
+    while (j < n) {
+      out(j) =
+        if (repeated.isPrimitive) readPrimitive(lg, 0, j, el)
+        else if (elementIsRepeatedGroup)
+          readStruct(lg.getGroup(0, j), el.asInstanceOf[StructType])
+        else fieldValue(lg.getGroup(0, j), 0, el) // 3-level wrapper
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Subfields matched BY NAME against the file's group — a nested
+    * field the file predates reads as NULL, the same evolution rule
+    * as top level. */
+  private def readStruct(sg: Group, st: StructType): InternalRow = {
+    val row = new GenericInternalRow(st.length)
+    val gt = sg.getType
+    var i = 0
+    while (i < st.length) {
+      val f = st.fields(i)
+      row.update(i,
+        if (gt.containsField(f.name))
+          fieldValue(sg, gt.getFieldIndex(f.name), f.dataType)
+        else null)
+      i += 1
+    }
+    row
+  }
+
+  private def readMap(mg: Group, mt: MapType): Any = {
+    val n = mg.getFieldRepetitionCount(0)
+    val keys = new Array[Any](n)
+    val values = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      val kv = mg.getGroup(0, j)
+      keys(j) = fieldValue(kv, 0, mt.keyType)
+      values(j) = fieldValue(kv, 1, mt.valueType)
+      j += 1
+    }
+    ArrayBasedMapData(keys, values)
+  }
+
+  private def readPrimitive(g: Group, gi: Int, ri: Int,
+      dt: DataType): Any = dt match {
+    case IntegerType => g.getInteger(gi, ri)
+    case LongType => g.getLong(gi, ri)
+    case DoubleType => g.getDouble(gi, ri)
+    case FloatType => g.getFloat(gi, ri)
+    case BooleanType => g.getBoolean(gi, ri)
+    case DateType => g.getInteger(gi, ri)
+    case BinaryType => g.getBinary(gi, ri).getBytes
     case StringType =>
-      UTF8String.fromBytes(current.getBinary(gi, 0).getBytes)
+      UTF8String.fromBytes(g.getBinary(gi, ri).getBytes)
     case TimestampType | TimestampNTZType =>
-      val prim = projection.getType(gi).asPrimitiveType()
+      val prim = g.getType.getType(gi).asPrimitiveType()
       prim.getPrimitiveTypeName match {
         case PrimitiveType.PrimitiveTypeName.INT96 =>
-          int96ToMicros(current.getInt96(gi, 0))
+          int96ToMicros(g.getInt96(gi, ri))
         case _ =>
-          val v = current.getLong(gi, 0)
+          val v = g.getLong(gi, ri)
           prim.getLogicalTypeAnnotation match {
             case t: org.apache.parquet.schema.LogicalTypeAnnotation
               .TimestampLogicalTypeAnnotation =>

@@ -8,10 +8,11 @@ import org.apache.parquet.hadoop.ParquetWriter
 import org.apache.parquet.hadoop.example.ExampleParquetWriter
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.io.api.Binary
-import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.write._
@@ -59,8 +60,8 @@ private[connector] class GraftWriteBuilder(root: String,
   override def build(): Write = {
     val schema = info.schema()
     schema.fields.foreach(f =>
-      require(GraftSnapshotSource.SupportedTypes.contains(f.dataType),
-        s"graft-snapshot v1 does not write ${f.dataType.simpleString} " +
+      require(GraftSnapshotSource.supported(f.dataType),
+        s"graft-snapshot does not write ${f.dataType.simpleString} " +
           s"column '${f.name}'"))
     new GraftWrite(root, schema, replace)
   }
@@ -169,22 +170,62 @@ private[connector] class GraftDataWriter(segAbs: String,
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
-      if (!row.isNullAt(i)) addValue(g, i, schema.fields(i).dataType, row)
+      if (!row.isNullAt(i))
+        addValue(g, i, schema.fields(i).dataType, row, i)
       i += 1
     }
     writer.write(g)
   }
 
-  private def addValue(g: Group, i: Int, dt: DataType,
-      row: InternalRow): Unit = dt match {
-    case IntegerType | DateType => g.add(i, row.getInt(i))
+  /** One value into one group slot. `src`/`si` generalize over rows,
+    * array elements and map entries ([[SpecializedGetters]] is the
+    * shared accessor face), so arrays / structs / maps nest to any
+    * depth; the layouts written are the STANDARD ones (3-level lists,
+    * `key_value` maps) that Spark's native reader and
+    * [[GraftPartitionReader]] both decode. */
+  private def addValue(g: Group, gi: Int, dt: DataType,
+      src: SpecializedGetters, si: Int): Unit = dt match {
+    case IntegerType | DateType => g.add(gi, src.getInt(si))
     case LongType | TimestampType | TimestampNTZType =>
-      g.add(i, row.getLong(i)) // timestamps are micros in InternalRow
-    case FloatType => g.add(i, row.getFloat(i))
-    case DoubleType => g.add(i, row.getDouble(i))
-    case BooleanType => g.add(i, row.getBoolean(i))
-    case StringType => g.add(i,
-      Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+      g.add(gi, src.getLong(si)) // timestamps are micros in InternalRow
+    case FloatType => g.add(gi, src.getFloat(si))
+    case DoubleType => g.add(gi, src.getDouble(si))
+    case BooleanType => g.add(gi, src.getBoolean(si))
+    case BinaryType =>
+      g.add(gi, Binary.fromConstantByteArray(src.getBinary(si)))
+    case StringType => g.add(gi,
+      Binary.fromConstantByteArray(src.getUTF8String(si).getBytes))
+    case ArrayType(el, _) =>
+      val arr = src.getArray(si)
+      val lg = g.addGroup(gi) // the LIST wrapper
+      var j = 0
+      while (j < arr.numElements()) {
+        val entry = lg.addGroup(0) // repeated 3-level element wrapper
+        if (!arr.isNullAt(j)) addValue(entry, 0, el, arr, j)
+        j += 1
+      }
+    case st: StructType =>
+      val sr = src.getStruct(si, st.length)
+      val sg = g.addGroup(gi)
+      var j = 0
+      while (j < st.length) {
+        if (!sr.isNullAt(j))
+          addValue(sg, j, st.fields(j).dataType, sr, j)
+        j += 1
+      }
+    case mt: MapType =>
+      val m = src.getMap(si)
+      val keys = m.keyArray()
+      val values = m.valueArray()
+      val mg = g.addGroup(gi)
+      var j = 0
+      while (j < m.numElements()) {
+        val kv = mg.addGroup(0)
+        addValue(kv, 0, mt.keyType, keys, j) // map keys are never null
+        if (!values.isNullAt(j))
+          addValue(kv, 1, mt.valueType, values, j)
+        j += 1
+      }
     case other => throw new UnsupportedOperationException(
       s"graft-snapshot writer: ${other.simpleString}")
   }
@@ -208,43 +249,62 @@ private[connector] class GraftDataWriter(segAbs: String,
 private[connector] object GraftDataWriter {
 
   /** Spark → parquet schema, the inverse of the reader's projection:
-    * all fields optional, standard logical annotations so any parquet
-    * reader (including Spark's vectorized one) round-trips the
-    * values. */
+    * all fields optional (map keys required, per the spec), standard
+    * logical annotations and layouts (3-level LIST, `key_value` MAP)
+    * so any parquet reader (including Spark's vectorized one)
+    * round-trips the values. */
   def parquetSchema(st: StructType): MessageType = {
     val b = Types.buildMessage()
-    st.fields.foreach { f =>
-      val t = f.dataType match {
-        case IntegerType =>
-          Types.optional(PrimitiveTypeName.INT32).named(f.name)
-        case LongType =>
-          Types.optional(PrimitiveTypeName.INT64).named(f.name)
-        case FloatType =>
-          Types.optional(PrimitiveTypeName.FLOAT).named(f.name)
-        case DoubleType =>
-          Types.optional(PrimitiveTypeName.DOUBLE).named(f.name)
-        case BooleanType =>
-          Types.optional(PrimitiveTypeName.BOOLEAN).named(f.name)
-        case StringType =>
-          Types.optional(PrimitiveTypeName.BINARY)
-            .as(LogicalTypeAnnotation.stringType()).named(f.name)
-        case DateType =>
-          Types.optional(PrimitiveTypeName.INT32)
-            .as(LogicalTypeAnnotation.dateType()).named(f.name)
-        case TimestampType =>
-          Types.optional(PrimitiveTypeName.INT64)
-            .as(LogicalTypeAnnotation.timestampType(true,
-              LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
-        case TimestampNTZType =>
-          Types.optional(PrimitiveTypeName.INT64)
-            .as(LogicalTypeAnnotation.timestampType(false,
-              LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
-        case other => throw new UnsupportedOperationException(
-          s"graft-snapshot writer: ${other.simpleString} " +
-            s"column '${f.name}'")
-      }
-      b.addField(t)
-    }
+    st.fields.foreach(f => b.addField(parquetType(f.name, f.dataType)))
     b.named("graft_write")
+  }
+
+  private def parquetType(name: String, dt: DataType,
+      rep: Type.Repetition = Type.Repetition.OPTIONAL): Type = dt match {
+    case IntegerType =>
+      Types.primitive(PrimitiveTypeName.INT32, rep).named(name)
+    case LongType =>
+      Types.primitive(PrimitiveTypeName.INT64, rep).named(name)
+    case FloatType =>
+      Types.primitive(PrimitiveTypeName.FLOAT, rep).named(name)
+    case DoubleType =>
+      Types.primitive(PrimitiveTypeName.DOUBLE, rep).named(name)
+    case BooleanType =>
+      Types.primitive(PrimitiveTypeName.BOOLEAN, rep).named(name)
+    case BinaryType =>
+      Types.primitive(PrimitiveTypeName.BINARY, rep).named(name)
+    case StringType =>
+      Types.primitive(PrimitiveTypeName.BINARY, rep)
+        .as(LogicalTypeAnnotation.stringType()).named(name)
+    case DateType =>
+      Types.primitive(PrimitiveTypeName.INT32, rep)
+        .as(LogicalTypeAnnotation.dateType()).named(name)
+    case TimestampType =>
+      Types.primitive(PrimitiveTypeName.INT64, rep)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+    case TimestampNTZType =>
+      Types.primitive(PrimitiveTypeName.INT64, rep)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+    case ArrayType(el, _) =>
+      Types.buildGroup(rep).as(LogicalTypeAnnotation.listType())
+        .addField(Types.repeatedGroup()
+          .addField(parquetType("element", el)).named("list"))
+        .named(name)
+    case s: StructType =>
+      val g = Types.buildGroup(rep)
+      s.fields.foreach(f => g.addField(parquetType(f.name, f.dataType)))
+      g.named(name)
+    case m: MapType =>
+      Types.buildGroup(rep).as(LogicalTypeAnnotation.mapType())
+        .addField(Types.repeatedGroup()
+          .addField(parquetType("key", m.keyType,
+            Type.Repetition.REQUIRED))
+          .addField(parquetType("value", m.valueType))
+          .named("key_value"))
+        .named(name)
+    case other => throw new UnsupportedOperationException(
+      s"graft-snapshot writer: ${other.simpleString} column '$name'")
   }
 }

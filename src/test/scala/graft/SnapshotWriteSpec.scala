@@ -144,6 +144,42 @@ class SnapshotWriteSpec extends SparkSpec {
     }
   }
 
+  test("nested + binary types round-trip through the V2 writer: " +
+      "array<double>, struct, map and binary come back exactly, " +
+      "through BOTH the native Spark reader and the connector") {
+    val root = tmpRoot()
+    val df = (1 to 300).map { i =>
+      (i.toLong, Seq(i * 0.5, i * 0.25, -i * 1.0),
+        (s"n$i", i % 5), Map(i % 3 -> s"t$i"),
+        Array.fill(8)((i % 120).toByte))
+    }.toDF("id", "xs", "s", "m", "b")
+      .withColumn("s", col("s").cast("struct<name:string,grp:int>"))
+    SnapshotTable.createEmpty(spark, root, df.schema)
+    writeFmt(df, root).mode("append").save()
+
+    def slurp(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id").collect().map(r => (
+        r.getLong(r.fieldIndex("id")),
+        r.getSeq[Double](r.fieldIndex("xs")).toVector,
+        r.getAs[org.apache.spark.sql.Row]("s") match {
+          case s => (s.getString(0), s.getInt(1))
+        },
+        r.getAs[Map[Int, String]]("m"),
+        r.getAs[Array[Byte]]("b").toVector))
+    val viaSpark = slurp(SnapshotTable.read(spark, root))
+    val viaConnector = slurp(spark.read.format("graft-snapshot")
+      .option("path", root).load())
+    val expected = (1 to 300).map { i =>
+      (i.toLong, Vector(i * 0.5, i * 0.25, -i * 1.0),
+        (s"n$i", i % 5), Map(i % 3 -> s"t$i"),
+        Array.fill(8)((i % 120).toByte).toVector)
+    }
+    assert(viaSpark.toSeq == expected,
+      "native Spark reader must decode the V2-written nested file")
+    assert(viaConnector.toSeq == expected,
+      "connector reader must decode its own writer's nested file")
+  }
+
   test("two sequential V2 appends and a native append interleave " +
       "through the same CAS protocol: three versions, nothing lost") {
     val root = tmpRoot()
