@@ -96,7 +96,8 @@ object SnapshotTable {
       bloomKey: Option[String] = None,
       bloom: Option[Array[Byte]] = None,
       statsKey2: Option[String] = None,
-      lo2: Option[String] = None, hi2: Option[String] = None) {
+      lo2: Option[String] = None, hi2: Option[String] = None,
+      rows: Option[Long] = None) {
     /** Recorded [lo, hi] for `key`, whichever stats slot holds it —
       * a Z-ordered file carries boxes on TWO columns and prunes on
       * either. */
@@ -190,7 +191,8 @@ object SnapshotTable {
             java.util.Base64.getEncoder.encodeToString)).append('\t')
           .append(e.statsKey2.fold("")(b64)).append('\t')
           .append(e.lo2.fold("")(b64)).append('\t')
-          .append(e.hi2.fold("")(b64))
+          .append(e.hi2.fold("")(b64)).append('\t')
+          .append(e.rows.fold("")(r => b64(r.toString)))
           .append('\n')
       }
       out.write(sb.toString.getBytes("UTF-8"))
@@ -281,7 +283,7 @@ object SnapshotTable {
           .asInstanceOf[StructType]
     }
     val entries = rows.map { l =>
-      val fld = l.split('\t').padTo(11, "")
+      val fld = l.split('\t').padTo(12, "")
       FileEntry(unb64(fld(0)),
         Option(fld(1)).filter(_.nonEmpty).map(unb64),
         Option(fld(2)).filter(_.nonEmpty).map(unb64),
@@ -294,7 +296,8 @@ object SnapshotTable {
           .map(java.util.Base64.getDecoder.decode),
         Option(fld(8)).filter(_.nonEmpty).map(unb64),
         Option(fld(9)).filter(_.nonEmpty).map(unb64),
-        Option(fld(10)).filter(_.nonEmpty).map(unb64))
+        Option(fld(10)).filter(_.nonEmpty).map(unb64),
+        Option(fld(11)).filter(_.nonEmpty).map(unb64).map(_.toLong))
     }
     (entries, schema)
   }
@@ -431,8 +434,25 @@ object SnapshotTable {
           }
         }
       }
-    entries
+    // exact per-file ROW COUNTS from the parquet footers — metadata
+    // reads on files this commit just wrote, no data pass. They feed
+    // the connector's reported statistics (row-accurate join sizing)
+    // and let COUNT(*) answer from the manifest alone.
+    val f = fs(spark, root)
+    entries.map(e => e.copy(rows = footerRowCount(f, root, e.path)))
   }
+
+  /** Row count from a parquet file's footer; None if unreadable (the
+    * manifest entry then simply carries no count — every consumer
+    * treats a missing count as "must read the data"). */
+  private def footerRowCount(f: FileSystem, root: String,
+      rel: String): Option[Long] =
+    try {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(root, rel), f.getConf))
+      try Some(r.getRecordCount) finally r.close()
+    } catch { case _: Exception => None }
 
   /** The arbiter: exclusive-create of `_commits/N.claim`. Local paths
     * use NIO O_EXCL (atomic in the kernel); remote filesystems use

@@ -532,6 +532,21 @@ object Sources {
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
     }),
+    // Complete aggregate pushdown under the oracle: COUNT(*)/MIN/MAX
+    // answered from the manifest's footer row counts and per-file
+    // stats — the GraftAggScan plans one metadata row and opens zero
+    // data files; matching the DuckDB aggregate over the base table
+    // proves the metadata answer is the exact answer.
+    "snapshot_agg_pushdown" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-dsv2-a")
+        .toString + "/orders_agg"
+      val o = graft.Tables.load(s, dir, "orders")
+      SnapshotTable.commit(s, root, o, clusterKey = Some("o_orderkey"))
+      s.read.format("graft-snapshot").option("path", root).load()
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_k"),
+          max(col("o_orderkey")).as("max_k"))
+    }),
     // Nested columns through the connector, under the oracle: the
     // embeddings table (vec_id, array<float> embedding, label)
     // committed as a clustered snapshot and read back through
@@ -792,6 +807,10 @@ object Sources {
         |WHERE o_orderkey BETWEEN 200 AND 700
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_agg_pushdown" ->
+      """SELECT count(*) AS n, min(o_orderkey) AS min_k,
+        |  max(o_orderkey) AS max_k
+        |FROM orders""".stripMargin,
     "snapshot_connector_vectors" ->
       """SELECT label, count(*) AS n,
         |  max(CAST(len(embedding) AS BIGINT)) AS dim,

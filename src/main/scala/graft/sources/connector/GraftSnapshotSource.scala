@@ -17,7 +17,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
@@ -147,6 +148,7 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -158,10 +160,12 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
 
 private[graft] class GraftScanBuilder(root: String, version: Long,
     fullSchema: StructType) extends ScanBuilder
-  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var aggAnswer: Option[(StructType, Array[String], String)] = None
 
   /** Keep the filters this connector can turn into file pruning:
     * comparisons and equality/IN against a column that carries
@@ -195,8 +199,83 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** COMPLETE aggregate pushdown answered from the MANIFEST — zero
+    * data files opened. Scope: ungrouped COUNT(*) from the per-file
+    * footer row counts, MIN/MAX on a column every data file carries
+    * min/max stats for (cluster or Z-order key). Declines whenever
+    * the manifest cannot answer EXACTLY: any tombstone present (a
+    * merge-on-read count must read the delete vectors), any file
+    * missing a count or the column's stats, a residual-able pushed
+    * filter, a GROUP BY, or an unorderable column type — Spark then
+    * plans the ordinary scan and the answer is computed from rows. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    tryAnswer(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggAnswer = tryAnswer(agg)
+    aggAnswer.isDefined
+  }
+
+  private def tryAnswer(agg: Aggregation)
+  : Option[(StructType, Array[String], String)] = {
+    if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
+    val spark = SparkSession.active
+    val entries = SnapshotTable.readManifestFull(spark, root, version)._1
+    val (tombs, data) = entries.partition(_.kind == "t")
+    if (tombs.nonEmpty) return None // MOR: manifest counts overcount
+
+    def minMax(colExpr: org.apache.spark.sql.connector.expressions
+        .Expression, isMin: Boolean): Option[(StructField, String)] =
+      colExpr match {
+        case fr: NamedReference if fr.fieldNames().length == 1 =>
+          val name = fr.fieldNames()(0)
+          val field = fullSchema.fields.find(_.name == name)
+            .getOrElse(return None)
+          // timestamps excluded: their stats strings are cast-format
+          // dependent; everything orderable-and-parseable qualifies
+          field.dataType match {
+            case IntegerType | LongType | FloatType | DoubleType |
+                 StringType | DateType =>
+            case _ => return None
+          }
+          if (data.isEmpty) // empty table: SQL min/max = NULL
+            return Some((StructField(s"${if (isMin) "min" else "max"}" +
+              s"($name)", field.dataType, nullable = true), null))
+          val cmp = SnapshotTable.statOrdering(field.dataType)
+            .getOrElse(return None)
+          val bounds = data.map(e =>
+            e.statsFor(name).getOrElse(return None))
+          val v =
+            if (isMin) bounds.map(_._1).min(Ordering.fromLessThan[String](
+              (a, b) => cmp(a, b) < 0))
+            else bounds.map(_._2).max(Ordering.fromLessThan[String](
+              (a, b) => cmp(a, b) < 0))
+          Some((StructField(s"${if (isMin) "min" else "max"}($name)",
+            field.dataType, nullable = true), v))
+        case _ => None
+      }
+
+    val answered = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        if (data.exists(_.rows.isEmpty)) return None
+        (StructField("count(*)", LongType, nullable = false),
+          data.map(_.rows.get).sum.toString)
+      case m: Min => minMax(m.column, isMin = true).getOrElse(return None)
+      case m: Max => minMax(m.column, isMin = false).getOrElse(return None)
+      case _ => return None
+    }
+    Some((StructType(answered.map(_._1)),
+      answered.map(_._2).toArray,
+      answered.map(_._1.name).mkString(", ")))
+  }
+
   override def build(): Scan = {
     val spark = SparkSession.active
+    aggAnswer.foreach { case (outSchema, values, desc) =>
+      val total = SnapshotTable.readManifestFull(spark, root, version)._1
+        .count(_.kind == "d")
+      return new GraftAggScan(version, outSchema, values, desc, total)
+    }
     val (entries, mSchema) =
       SnapshotTable.readManifestFull(spark, root, version)
     val (tombs, data) = entries.partition(_.kind == "t")
@@ -295,6 +374,74 @@ private[connector] object GraftPruning {
   }
 }
 
+/** Version-number offset for the snapshot streaming source — the
+  * commit log IS the offset space. */
+private[connector] case class GraftOffset(version: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** Micro-batch streaming over a [[SnapshotTable]]: offsets are
+  * committed versions; the batch for `(start, end]` reads exactly the
+  * data files `end`'s manifest holds that `start`'s did not — the
+  * O(delta) accretive diff, no data re-read, the same rule the
+  * incremental MV consumes. The FIRST batch (start = 0) is the whole
+  * table as of the stream's start — "serve the snapshot, then tail
+  * the log".
+  *
+  * Accretive ranges only, stated: a range in which files DISAPPEARED
+  * (compaction, replace, COW merge) or tombstones appeared (MOR
+  * deletes) is not expressible as an append stream, and the stream
+  * fails with a pointer instead of silently re-emitting rewritten
+  * rows — Delta draws the same line (`ignoreChanges`). */
+private[connector] class GraftMicroBatchStream(root: String,
+    required: StructType)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = GraftOffset(0L)
+
+  override def latestOffset(): Offset =
+    GraftOffset(SnapshotTable.currentVersion(spark, root))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val vS = start.asInstanceOf[GraftOffset].version
+    val vE = end.asInstanceOf[GraftOffset].version
+    if (vE <= vS) return Array.empty
+    val before =
+      if (vS == 0L) Seq.empty
+      else SnapshotTable.readManifestFull(spark, root, vS)._1
+    val after = SnapshotTable.readManifestFull(spark, root, vE)._1
+    val beforePaths = before.map(_.path).toSet
+    val afterPaths = after.map(_.path).toSet
+    val dropped = before.filter(e => !afterPaths.contains(e.path))
+    val addedTombs = after.filter(e => e.kind == "t" &&
+      !beforePaths.contains(e.path))
+    require(dropped.isEmpty && addedTombs.isEmpty,
+      s"snapshot stream at $root: versions ($vS, $vE] are not " +
+        "accretive (files rewritten by compaction/merge/replace, or " +
+        "merge-on-read tombstones added) — an append stream cannot " +
+        "express row removal; restart the stream from the current " +
+        "version or consume the table with SnapshotTable.diff")
+    after.filter(e => e.kind == "d" && !beforePaths.contains(e.path))
+      .map(e => GraftInputPartition(new Path(root, e.path).toString,
+        e.seq, Array.empty, null, null): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required.json, Array.empty)
+}
+
 /** A merge-on-read tombstone file this partition must apply: only
   * tombstones whose seq EXCEEDS the data file's (older rows die) and
   * whose recorded key range can intersect the file's survive the
@@ -307,6 +454,70 @@ private[connector] case class TombRef(absolutePath: String, seq: Long)
 private[connector] case class GraftInputPartition(absolutePath: String,
     seq: Long, tombs: Array[TombRef], keyName: String,
     keyTypeJson: String) extends InputPartition
+
+/** The scan a COMPLETELY pushed aggregate plans to: one partition,
+  * one row, values computed at PLANNING time from the manifest (the
+  * partition carries them as strings + the output schema json, both
+  * trivially serializable). No data file is opened — `SELECT
+  * count(*) FROM snapshot` is a metadata read, like Iceberg's
+  * manifest-count answer. */
+private[connector] case class GraftAggPartition(schemaJson: String,
+    values: Array[String]) extends InputPartition
+
+private[connector] class GraftAggScan(version: Long, out: StructType,
+    values: Array[String], desc: String, totalFiles: Int)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = out
+
+  override def description(): String =
+    s"graft-snapshot v$version PushedAggregates: [$desc] " +
+      s"files=0/$totalFiles (manifest-only)"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(out.json, values))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory
+}
+
+private[connector] class GraftAggReaderFactory
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+  : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftAggPartition]
+    val schema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val hasNext = !done; done = true; hasNext }
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(schema.length)
+        var i = 0
+        while (i < schema.length) {
+          val s = p.values(i)
+          row.update(i,
+            if (s == null) null
+            else schema.fields(i).dataType match {
+              case LongType => s.toLong
+              case IntegerType => s.toInt
+              case FloatType => s.toFloat
+              case DoubleType => s.toDouble
+              case StringType => UTF8String.fromString(s)
+              case DateType =>
+                java.time.LocalDate.parse(s).toEpochDay.toInt
+              case other => throw new IllegalStateException(
+                s"unexpected pushed-aggregate type $other")
+            })
+          i += 1
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
 
 private[connector] class GraftScan(root: String, version: Long,
     keptData: Seq[FileEntry], totalFiles: Int, required: StructType,
@@ -328,6 +539,15 @@ private[connector] class GraftScan(root: String, version: Long,
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
   override def toBatch: Batch = this
+
+  /** The snapshot table as a STREAMING SOURCE: each committed version
+    * is an offset, each micro-batch reads exactly the data files the
+    * versions in `(start, end]` ADDED — the commit log doubling as
+    * the change stream, Delta-style. See [[GraftMicroBatchStream]]
+    * for the accretive-range rule. */
+  override def toMicroBatchStream(checkpointLocation: String)
+  : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(root, required)
 
   /** Can tombstone `t` kill anything in data file `e`? Sequence rule
     * first (only OLDER rows die); then the recorded key ranges, typed
@@ -357,7 +577,7 @@ private[connector] class GraftScan(root: String, version: Long,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required.json)
+    new GraftReaderFactory(required.json, pushed)
 
   /** Size-accurate planning: a v2 scan without statistics defaults to
     * "unknown = huge", which forbids the planner from ever
@@ -373,8 +593,12 @@ private[connector] class GraftScan(root: String, version: Long,
         catch { case _: java.io.IOException => 0L }).sum)
     }
     override def sizeInBytes(): java.util.OptionalLong = bytes
+    // row-accurate when every kept file carries a footer count and no
+    // tombstone can remove rows; unknown otherwise (never a guess)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.empty()
+      if (tombs.isEmpty && runtimeKept.forall(_.rows.isDefined))
+        java.util.OptionalLong.of(runtimeKept.map(_.rows.get).sum)
+      else java.util.OptionalLong.empty()
   }
 
   /** Runtime (join-driven) file pruning: when this scan sits under a
@@ -403,8 +627,8 @@ private[connector] class GraftScan(root: String, version: Long,
   }
 }
 
-private[connector] class GraftReaderFactory(requiredJson: String)
-  extends PartitionReaderFactory {
+private[connector] class GraftReaderFactory(requiredJson: String,
+    pushed: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
   : PartitionReader[InternalRow] = {
     val required =
@@ -412,7 +636,7 @@ private[connector] class GraftReaderFactory(requiredJson: String)
     val p = partition.asInstanceOf[GraftInputPartition]
     if (p.tombs.isEmpty)
       new GraftPartitionReader(p.absolutePath, required,
-        required.length, -1, null)
+        required.length, -1, null, pushed)
     else {
       val keyType = DataType.fromJson(p.keyTypeJson)
       val kills = GraftTombstones.killSet(p.tombs, p.keyName, keyType)
@@ -426,7 +650,110 @@ private[connector] class GraftReaderFactory(requiredJson: String)
           case i => (required, i)
         }
       new GraftPartitionReader(p.absolutePath, readSchema,
-        required.length, killIdx, kills)
+        required.length, killIdx, kills, pushed)
+    }
+  }
+}
+
+/** Pushed `sources.Filter`s → a parquet `FilterPredicate` evaluated
+  * against ROW-GROUP statistics only (record-level assembly filtering
+  * stays OFF): inside a kept file, row groups whose min/max disprove
+  * the predicate are skipped before a page is read — the sub-file
+  * tier of the same stats-pruning ladder the manifest runs at file
+  * granularity. Translation is strict: the column must exist in the
+  * FILE's schema with a physical type matching the literal (schema
+  * evolution never mistranslates), and anything unsupported simply
+  * drops out of the conjunction — fewer skips, never a wrong skip.
+  * Spark re-evaluates every filter on the surviving rows (residuals
+  * are always kept), so this is IO reduction, not semantics. */
+private[connector] object GraftParquetFilters {
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+
+  def build(filters: Array[Filter],
+      schema: MessageType): Option[FilterPredicate] =
+    filters.flatMap(translate(_, schema))
+      .reduceOption(FilterApi.and)
+
+  private def translate(f: Filter,
+      schema: MessageType): Option[FilterPredicate] = f match {
+    case EqualTo(c, v) => leaf(schema, c, v, "eq")
+    case GreaterThan(c, v) => leaf(schema, c, v, "gt")
+    case GreaterThanOrEqual(c, v) => leaf(schema, c, v, "gtEq")
+    case LessThan(c, v) => leaf(schema, c, v, "lt")
+    case LessThanOrEqual(c, v) => leaf(schema, c, v, "ltEq")
+    case In(c, vs) if vs.nonEmpty && vs.length <= 32 =>
+      val legs = vs.map(v => leaf(schema, c, v, "eq"))
+      if (legs.exists(_.isEmpty)) None
+      else legs.flatten.reduceOption(FilterApi.or)
+    case _ => None
+  }
+
+  /** One comparison leaf, or None when the file/column/literal shape
+    * does not line up exactly. */
+  private def leaf(schema: MessageType, c: String, v: Any,
+      op: String): Option[FilterPredicate] = {
+    if (v == null || !schema.containsField(c)) return None
+    val t = schema.getType(schema.getFieldIndex(c))
+    if (!t.isPrimitive) return None
+    import PrimitiveType.PrimitiveTypeName._
+    (t.asPrimitiveType().getPrimitiveTypeName, v) match {
+      case (INT32, i: java.lang.Integer)
+        if t.getLogicalTypeAnnotation == null ||
+          t.getLogicalTypeAnnotation.isInstanceOf[
+            org.apache.parquet.schema.LogicalTypeAnnotation
+              .IntLogicalTypeAnnotation] =>
+        val col = FilterApi.intColumn(c)
+        Some(op match {
+          case "eq" => FilterApi.eq(col, i)
+          case "gt" => FilterApi.gt(col, i)
+          case "gtEq" => FilterApi.gtEq(col, i)
+          case "lt" => FilterApi.lt(col, i)
+          case "ltEq" => FilterApi.ltEq(col, i)
+        })
+      case (INT64, l: java.lang.Long)
+        if t.getLogicalTypeAnnotation == null ||
+          t.getLogicalTypeAnnotation.isInstanceOf[
+            org.apache.parquet.schema.LogicalTypeAnnotation
+              .IntLogicalTypeAnnotation] =>
+        val col = FilterApi.longColumn(c)
+        Some(op match {
+          case "eq" => FilterApi.eq(col, l)
+          case "gt" => FilterApi.gt(col, l)
+          case "gtEq" => FilterApi.gtEq(col, l)
+          case "lt" => FilterApi.lt(col, l)
+          case "ltEq" => FilterApi.ltEq(col, l)
+        })
+      case (FLOAT, fl: java.lang.Float) =>
+        val col = FilterApi.floatColumn(c)
+        Some(op match {
+          case "eq" => FilterApi.eq(col, fl)
+          case "gt" => FilterApi.gt(col, fl)
+          case "gtEq" => FilterApi.gtEq(col, fl)
+          case "lt" => FilterApi.lt(col, fl)
+          case "ltEq" => FilterApi.ltEq(col, fl)
+        })
+      case (DOUBLE, d: java.lang.Double) =>
+        val col = FilterApi.doubleColumn(c)
+        Some(op match {
+          case "eq" => FilterApi.eq(col, d)
+          case "gt" => FilterApi.gt(col, d)
+          case "gtEq" => FilterApi.gtEq(col, d)
+          case "lt" => FilterApi.lt(col, d)
+          case "ltEq" => FilterApi.ltEq(col, d)
+        })
+      case (BINARY, s: String)
+        if t.getLogicalTypeAnnotation ==
+          org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+        val col = FilterApi.binaryColumn(c)
+        val b = Binary.fromString(s)
+        Some(op match {
+          case "eq" => FilterApi.eq(col, b)
+          case "gt" => FilterApi.gt(col, b)
+          case "gtEq" => FilterApi.gtEq(col, b)
+          case "lt" => FilterApi.lt(col, b)
+          case "ltEq" => FilterApi.ltEq(col, b)
+        })
+      case _ => None
     }
   }
 }
@@ -485,9 +812,10 @@ private[connector] object GraftTombstones {
   * 0`, rows whose key value (at that index of `readSchema`) is in
   * `killSet` are skipped inside `next()` — the executor-side half of
   * the tombstone filter; a NULL key is never killed. */
-private[connector] class GraftPartitionReader(file: String,
+private[graft] class GraftPartitionReader(file: String,
     readSchema: StructType, emitLen: Int, killIdx: Int,
-    killSet: java.util.HashSet[Any])
+    killSet: java.util.HashSet[Any],
+    filters: Array[Filter] = Array.empty)
   extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -505,8 +833,19 @@ private[connector] class GraftPartitionReader(file: String,
   private val reader: ParquetReader[Group] = {
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       projection.toString)
-    ParquetReader.builder(new GroupReadSupport(), new Path(file))
-      .withConf(conf).build()
+    // ROW-GROUP statistics filtering only: whole groups whose min/max
+    // disprove the pushed predicate are skipped before any page IO.
+    // Record-level assembly filtering stays OFF — predicates may
+    // reference unprojected columns (stats need no values), and Spark
+    // evaluates the residual on every surviving row anyway.
+    conf.setBoolean("parquet.filter.record-level.enabled", false)
+    conf.setBoolean("parquet.filter.stats.enabled", true)
+    val base = ParquetReader.builder(new GroupReadSupport(), new Path(file))
+      .withConf(conf)
+    GraftParquetFilters.build(filters, fileSchema)
+      .fold(base)(p => base.withFilter(
+        org.apache.parquet.filter2.compat.FilterCompat.get(p)))
+      .build()
   }
   private val fieldIdx: Map[String, Int] =
     present.map(_.name).zipWithIndex.toMap

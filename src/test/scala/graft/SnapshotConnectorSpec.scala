@@ -213,6 +213,167 @@ class SnapshotConnectorSpec extends SparkSpec {
       s"runtime IN filter pruned nothing ($after of $before)")
   }
 
+  test("row-group pruning inside kept files: with tiny row groups, a " +
+      "pushed range predicate skips whole groups before page IO (the " +
+      "reader returns far fewer rows with record-level filtering " +
+      "off), and the end-to-end result is unchanged") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = tmpRoot()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    // tiny row groups so one file carries many; sorted by k, so the
+    // groups have disjoint k ranges and a band filter can skip most
+    hc.setInt("parquet.block.size", 64 * 1024)
+    try {
+      SnapshotTable.commit(spark, root,
+        (1 to 200000).map(i => (i.toLong, s"pad_pad_pad_pad_$i"))
+          .toDF("k", "v"),
+        clusterKey = Some("k"))
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+    }
+    val entries = SnapshotTable.manifest(spark, root, 1L)
+      .filter(_.kind == "d")
+    val big = entries.maxBy(_.rows.getOrElse(0L))
+    val (lo, hi) = (big.lo.get.toLong, big.hi.get.toLong)
+    assert(big.rows.exists(_ > 10000), s"fixture file too small: $big")
+    val bandHi = lo + (hi - lo) / 20
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    val abs = new org.apache.hadoop.fs.Path(root, big.path).toString
+    def rowsSeen(filters: Array[org.apache.spark.sql.sources.Filter])
+    : Long = {
+      val r = new graft.sources.connector.GraftPartitionReader(
+        abs, schema, 2, -1, null, filters)
+      try { var n = 0L; while (r.next()) n += 1; n } finally r.close()
+    }
+    val all = rowsSeen(Array.empty)
+    assert(all == big.rows.get)
+    val band = rowsSeen(Array(GreaterThanOrEqual("k", lo),
+      LessThanOrEqual("k", bandHi)))
+    // record-level filtering is off, so every returned row comes from
+    // a KEPT row group: far fewer rows seen == whole groups skipped
+    assert(band < all / 4,
+      s"row groups not skipped: saw $band of $all rows for a 1/20 band")
+    assert(band >= bandHi - lo + 1,
+      "a kept row group can only ADD rows, never lose matches")
+    // end-to-end: the same band through the connector equals native
+    val viaConnector = readFmt(root).load()
+      .filter(col("k") >= lo && col("k") <= bandHi).count()
+    assert(viaConnector == bandHi - lo + 1)
+  }
+
+  test("complete aggregate pushdown: ungrouped COUNT(*)/MIN/MAX " +
+      "answer from the manifest alone — still correct after the data " +
+      "directory is moved away, proving zero data IO") {
+    val root = tmpRoot()
+    val df = (1 to 20000).map(i => (i.toLong, s"s$i", i * 0.5))
+      .toDF("k", "s", "x")
+    SnapshotTable.commit(spark, root, df, clusterKey = Some("k"))
+    val agg = readFmt(root).load()
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("manifest-only"),
+      s"aggregate not pushed to the manifest scan:\n$plan")
+    val r = agg.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((20000L, 1L, 20000L)), r.toString)
+    // the proof: physically relocate the data; the manifest answer
+    // survives, a row-reading query cannot
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(f.rename(new org.apache.hadoop.fs.Path(root, "_data"),
+      new org.apache.hadoop.fs.Path(root, "_data_gone")))
+    val r2 = readFmt(root).load()
+      .agg(count(lit(1)), min(col("k")), max(col("k"))).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) ==
+      ((20000L, 1L, 20000L)), "manifest-only answer must not touch data")
+    intercept[Exception] {
+      readFmt(root).load().select("k").collect()
+    }
+  }
+
+  test("aggregate pushdown declines exactly when the manifest cannot " +
+      "answer: merge-on-read tombstones, grouped aggregates and " +
+      "filtered counts all take the row-reading path and stay correct") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 500).map(i => (i.toLong, i % 7)).toDF("k", "g"),
+      clusterKey = Some("k"))
+    // a MOR delete: count must now read tombstones, not the manifest
+    SnapshotTable.deleteKeysOnRead(spark, root,
+      Seq(1L, 2L, 3L).toDF("k"), "k")
+    val cnt = readFmt(root).load().agg(count(lit(1)))
+    assert(!cnt.queryExecution.executedPlan.toString
+      .contains("manifest-only"), "MOR count must not push")
+    assert(cnt.collect()(0).getLong(0) == 497L)
+    // grouped: declines, stays correct
+    val grouped = readFmt(root).load().groupBy("g").agg(count(lit(1)))
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("manifest-only"))
+    assert(grouped.collect().map(_.getLong(1)).sum == 497L)
+    // filtered: declines (filters stay residual), stays correct
+    val filtered = readFmt(root).load().filter(col("k") <= 100)
+      .agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("manifest-only"))
+    assert(filtered.collect()(0).getLong(0) == 97L)
+  }
+
+  test("the snapshot table is a STREAMING SOURCE: the first batch " +
+      "serves the whole table, each append then streams exactly the " +
+      "files that commit added; a checkpointed restart resumes from " +
+      "the consumed version; a compaction in range fails loudly") {
+    val root = tmpRoot()
+    val cp = java.nio.file.Files.createTempDirectory("graft-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sout")
+      .toString
+    SnapshotTable.commit(spark, root,
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      clusterKey = Some("k"))
+    def startStream() = spark.readStream.format("graft-snapshot")
+      .option("path", root).load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", cp).start()
+    def sunk(): Seq[Long] = spark.read.parquet(outDir)
+      .select("k").as[Long].collect().sorted.toSeq
+    val q = startStream()
+    try {
+      q.processAllAvailable()
+      assert(sunk() == (1L to 100L), "first batch = the whole table")
+      SnapshotTable.append(spark, root,
+        (101 to 150).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(sunk() == (1L to 150L), "each append must stream exactly once")
+    } finally q.stop()
+    // restart on the SAME checkpoint: only post-checkpoint commits
+    // flow, nothing re-emits (the file sink is exactly-once)
+    SnapshotTable.append(spark, root,
+      (151 to 160).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
+    val q2 = startStream()
+    try {
+      q2.processAllAvailable()
+      assert(sunk() == (1L to 160L),
+        "restart must resume from the consumed version, no replay")
+      // a non-accretive range (compaction rewrites files) must fail
+      // loudly, never silently re-emit rewritten rows
+      SnapshotTable.compact(spark, root, targetBytes = 1L << 30)
+      SnapshotTable.append(spark, root,
+        Seq((161L, "v161")).toDF("k", "v"))
+      val failed = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(failed.getMessage.contains("accretive") ||
+        Option(failed.getCause).exists(_.getMessage != null &&
+          failed.getCause.getMessage.contains("accretive")),
+        s"expected the accretive-range refusal, got: $failed")
+    } finally q2.stop()
+  }
+
   test("merge-on-read through the connector: tombstoned rows vanish, " +
       "the MOR batch's own replacements survive, deletes apply, and " +
       "the result equals the native read — projected key or not") {
