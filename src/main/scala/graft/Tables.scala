@@ -20,16 +20,30 @@ object Tables {
     // every consumer gets the engine's optimizer rules (notably the
     // event-time pushdown for the derived ts column below)
     graft.plans.GraftRules.attach(spark)
+    // Fixture timestamps are written without isAdjustedToUTC; read them
+    // as session-tz TimestampType (the session is pinned UTC in every
+    // entry point) rather than TIMESTAMP_NTZ, so one ts type reaches all
+    // queries regardless of fixture vintage and predicates stay natively
+    // pushable — no normalizing Cast between the scan and the filters.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if (name == "events") {
-      // The fixture events.ts is parquet TIMESTAMP(NANOS), which Spark's
-      // vectorized reader rejects. Read the raw int64 nanos
-      // (legacy.parquet.nanosAsLong) and convert to TimestampType via
-      // exact integer division — ns DIV 1000 (a double division would
-      // lose precision: epoch-ns ~1.7e18 > 2^53).
+      // The events.ts encoding has varied across fixture generations:
+      // plain TIMESTAMP(MICROS) (current), and TIMESTAMP(NANOS), which
+      // Spark's vectorized reader rejects — readable only as raw int64
+      // via legacy.parquet.nanosAsLong. Detect from the loaded schema
+      // and normalize.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // int64 nanos: convert via exact integer division — ns DIV 1000
+          // (a double division would lose precision: epoch-ns ~1.7e18 >
+          // 2^53). plans.EventTimePushdown recovers scan pruning for
+          // predicates on this derived column.
+          raw.withColumn("ts",
+            expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

@@ -440,12 +440,17 @@ object TextAnalysis {
     // group" a 100 TB profiler answers without collect_set's unbounded
     // state. Unlike a seeded reservoir, bottom-k commutes with union,
     // so the answer is independent of partitioning (spec-pinned).
+    // Samples surface as comma-joined STRINGS, not arrays: the result
+    // is a profiler report row, and scalar columns keep the driver's
+    // rows-only check (which sorts every column) applicable.
     "sketch_bottomk_sample" -> ((s, dir) => {
       graft.functions.CmsFunctions.register(s)
       docs(s, dir)
         .groupBy("lang")
-        .agg(expr("graft_bottomk(source, 3)").as("sample_sources"),
-          expr("graft_bottomk(doc_id, 5)").as("sample_doc_ids"),
+        .agg(expr("array_join(graft_bottomk(source, 3), ',')")
+            .as("sample_sources"),
+          expr("array_join(transform(graft_bottomk(doc_id, 5), " +
+            "x -> CAST(x AS STRING)), ',')").as("sample_doc_ids"),
           count(lit(1)).as("n_docs"))
         .orderBy(asc("lang"))
     }),

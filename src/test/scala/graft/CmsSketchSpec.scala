@@ -107,7 +107,10 @@ class CmsSketchSpec extends SparkSpec {
       .queries("sketch_bottomk_sample")(spark, sfDir).collect()
     assert(bk.nonEmpty)
     bk.foreach { r =>
-      assert(r.getSeq[String](1).nonEmpty && r.getSeq[Long](2).nonEmpty)
+      // scalar string columns (driver rows-only checks sort every
+      // column, so the query surface must not expose arrays)
+      assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
+      assert(r.getString(2).split(",").forall(_.matches("-?\\d+")))
     }
   }
 }
