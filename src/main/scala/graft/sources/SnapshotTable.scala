@@ -97,7 +97,8 @@ object SnapshotTable {
       bloom: Option[Array[Byte]] = None,
       statsKey2: Option[String] = None,
       lo2: Option[String] = None, hi2: Option[String] = None,
-      rows: Option[Long] = None) {
+      rows: Option[Long] = None,
+      statsNulls: Option[Long] = None) {
     /** Recorded [lo, hi] for `key`, whichever stats slot holds it —
       * a Z-ordered file carries boxes on TWO columns and prunes on
       * either. */
@@ -192,7 +193,8 @@ object SnapshotTable {
           .append(e.statsKey2.fold("")(b64)).append('\t')
           .append(e.lo2.fold("")(b64)).append('\t')
           .append(e.hi2.fold("")(b64)).append('\t')
-          .append(e.rows.fold("")(r => b64(r.toString)))
+          .append(e.rows.fold("")(r => b64(r.toString))).append('\t')
+          .append(e.statsNulls.fold("")(n => b64(n.toString)))
           .append('\n')
       }
       out.write(sb.toString.getBytes("UTF-8"))
@@ -283,7 +285,7 @@ object SnapshotTable {
           .asInstanceOf[StructType]
     }
     val entries = rows.map { l =>
-      val fld = l.split('\t').padTo(12, "")
+      val fld = l.split('\t').padTo(13, "")
       FileEntry(unb64(fld(0)),
         Option(fld(1)).filter(_.nonEmpty).map(unb64),
         Option(fld(2)).filter(_.nonEmpty).map(unb64),
@@ -297,7 +299,8 @@ object SnapshotTable {
         Option(fld(8)).filter(_.nonEmpty).map(unb64),
         Option(fld(9)).filter(_.nonEmpty).map(unb64),
         Option(fld(10)).filter(_.nonEmpty).map(unb64),
-        Option(fld(11)).filter(_.nonEmpty).map(unb64).map(_.toLong))
+        Option(fld(11)).filter(_.nonEmpty).map(unb64).map(_.toLong),
+        Option(fld(12)).filter(_.nonEmpty).map(unb64).map(_.toLong))
     }
     (entries, schema)
   }
@@ -398,7 +401,13 @@ object SnapshotTable {
         val aggs =
           clusterKey.toSeq.flatMap(_ => Seq(
             smin(col("__ck")).cast("string").as("__lo"),
-            smax(col("__ck")).cast("string").as("__hi"))) ++
+            smax(col("__ck")).cast("string").as("__hi"),
+            // NULLs per file in the stats column: min/max ignore NULLs,
+            // so order-based pruning (top-N pushdown) needs this to
+            // know whether a file can contribute rows at the NULL end
+            // of a sort
+            expr("sum(CASE WHEN __ck IS NULL THEN 1 ELSE 0 END)")
+              .as("__nulls"))) ++
           bloomKey.toSeq.map(_ => expr(
             s"graft_bloom_sketch(__bk, $BloomExpectedItems, $BloomFppPct)")
             .as("__bf")) ++
@@ -426,11 +435,14 @@ object SnapshotTable {
                 Option(r.getAs[String]("__lo2")))
               val hi2 = zorderWith.flatMap(_ =>
                 Option(r.getAs[String]("__hi2")))
+              val nulls = clusterKey.flatMap(_ =>
+                Option(r.getAs[Any]("__nulls"))
+                  .map(_.asInstanceOf[Number].longValue()))
               FileEntry(p, clusterKey, lo, hi,
                 bloomKey = bloomKey.filter(_ => bf.isDefined), bloom = bf,
                 statsKey2 = zorderWith.filter(_ =>
                   lo2.isDefined && hi2.isDefined),
-                lo2 = lo2, hi2 = hi2)
+                lo2 = lo2, hi2 = hi2, statsNulls = nulls)
           }
         }
       }

@@ -161,11 +161,19 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
 private[graft] class GraftScanBuilder(root: String, version: Long,
     fullSchema: StructType) extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates
+  with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var aggAnswer: Option[(StructType, Array[String], String)] = None
+  private var limitKept: Option[(Seq[FileEntry], String)] = None
+
+  // both pushdown traits default this true; Scala needs the diamond
+  // resolved explicitly. True = Spark always re-applies the exact
+  // limit/sort on the surviving rows — file pruning is IO reduction,
+  // never semantics.
+  override def isPartiallyPushed(): Boolean = true
 
   /** Keep the filters this connector can turn into file pruning:
     * comparisons and equality/IN against a column that carries
@@ -269,6 +277,99 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
       answered.map(_._1.name).mkString(", ")))
   }
 
+  /** LIMIT pushdown answered at FILE granularity: with exact footer
+    * row counts in the manifest, `LIMIT n` needs only a prefix of
+    * files whose counts cover n — on a 1000-file table, `LIMIT 10`
+    * plans one file. Sound only when nothing can REMOVE rows after
+    * planning: no tombstones (MOR deletes shrink files below their
+    * counts) and no pushed filters (Spark only pushes a limit with no
+    * Filter in between, and this connector always keeps residuals, so
+    * the guard is belt-and-braces). Partially-pushed always: Spark
+    * still applies the exact limit on the rows that arrive. */
+  override def pushLimit(limit: Int): Boolean = {
+    val (tombs, data) = manifestSplit()
+    if (tombs.nonEmpty || pushed.nonEmpty || limit <= 0) return false
+    if (data.filter(_.rows.isDefined).map(_.rows.get).sum < limit)
+      return false
+    val kept = Seq.newBuilder[FileEntry]
+    var cum = 0L
+    var i = 0
+    while (cum < limit && i < data.size) {
+      kept += data(i)
+      cum += data(i).rows.getOrElse(0L)
+      i += 1
+    }
+    val k = kept.result()
+    if (k.size == data.size) return false
+    limitKept = Some((k, s"PushedLimit: LIMIT $limit"))
+    true
+  }
+
+  /** Top-N pushdown over the CLUSTER KEY: files are disjoint ranges
+    * on the key, so `ORDER BY key LIMIT n` needs only the head-most
+    * files. The threshold argument: walking files by their tail-most
+    * bound (hi for ASC, lo for DESC), once the walked files' provable
+    * head-ward rows reach n, every file lying entirely beyond that
+    * bound cannot contribute. NULL-sound via the manifest's per-file
+    * null counts: a file's min/max ignore NULLs, so under NULLS FIRST
+    * any file holding NULLs is always kept, and under NULLS LAST a
+    * file's provable evidence is its non-null rows. Files missing
+    * stats/counts are kept and contribute no evidence — fewer skips,
+    * never a wrong skip. Spark still sorts + limits the survivors. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector
+      .expressions.SortOrder], limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    if (orders.length != 1 || limit <= 0) return false
+    val o = orders(0)
+    val colName = o.expression() match {
+      case fr: NamedReference if fr.fieldNames().length == 1 =>
+        fr.fieldNames()(0)
+      case _ => return false
+    }
+    val asc = o.direction() == SortDirection.ASCENDING
+    val nullsFirst = o.nullOrdering() == NullOrdering.NULLS_FIRST
+    val (tombs, data) = manifestSplit()
+    if (tombs.nonEmpty || pushed.nonEmpty) return false
+    val dt = fullSchema.fields.find(_.name == colName)
+      .map(_.dataType).getOrElse(return false)
+    val cmp = SnapshotTable.statOrdering(dt).getOrElse(return false)
+    def cmpDir(a: String, b: String): Int =
+      if (asc) cmp(a, b) else -cmp(a, b)
+    // evidence files: slot-1 stats (null count is recorded for the
+    // cluster key only) + footer rows
+    val (ev, blind) = data.partition(e => e.statsKey.contains(colName) &&
+      e.lo.isDefined && e.hi.isDefined && e.rows.isDefined &&
+      e.statsNulls.isDefined)
+    def tailBound(e: FileEntry): String = if (asc) e.hi.get else e.lo.get
+    def headBound(e: FileEntry): String = if (asc) e.lo.get else e.hi.get
+    def evidence(e: FileEntry): Long =
+      if (nullsFirst) e.rows.get else e.rows.get - e.statsNulls.get
+    val byTail = ev.sortWith((a, b) => cmpDir(tailBound(a), tailBound(b)) < 0)
+    var cum = 0L
+    var bound: Option[String] = None
+    val it = byTail.iterator
+    while (bound.isEmpty && it.hasNext) {
+      val e = it.next()
+      cum += evidence(e)
+      if (cum >= limit) bound = Some(tailBound(e))
+    }
+    val b = bound.getOrElse(return false)
+    val keptEv = ev.filter(e =>
+      (nullsFirst && e.statsNulls.get > 0) || cmpDir(headBound(e), b) <= 0)
+    if (keptEv.size + blind.size == data.size) return false
+    limitKept = Some((keptEv ++ blind,
+      s"PushedTopN: ORDER BY $colName ${if (asc) "ASC" else "DESC"} " +
+        s"${if (nullsFirst) "NULLS FIRST" else "NULLS LAST"} LIMIT $limit"))
+    true
+  }
+
+  private def manifestSplit(): (Seq[FileEntry], Seq[FileEntry]) = {
+    val entries = SnapshotTable
+      .readManifestFull(SparkSession.active, root, version)._1
+    val (t, d) = entries.partition(_.kind == "t")
+    (t, d.filter(_.kind == "d"))
+  }
+
   override def build(): Scan = {
     val spark = SparkSession.active
     aggAnswer.foreach { case (outSchema, values, desc) =>
@@ -279,7 +380,8 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     val (entries, mSchema) =
       SnapshotTable.readManifestFull(spark, root, version)
     val (tombs, data) = entries.partition(_.kind == "t")
-    val kept = pushed.foldLeft(data)((es, f) =>
+    val base = limitKept.map(_._1).getOrElse(data)
+    val kept = pushed.foldLeft(base)((es, f) =>
       GraftPruning.prune(spark, root, fullSchema, mSchema, es, f))
     val tombKey = tombs.headOption.map(_.statsKey.getOrElse(
       throw new IllegalStateException(
@@ -288,7 +390,8 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
       tombs, tombKey,
       tombKey.map(k => fullSchema.fields.find(_.name == k).getOrElse(
         throw new IllegalStateException(
-          s"tombstone key '$k' missing from table schema")).dataType))
+          s"tombstone key '$k' missing from table schema")).dataType),
+      limitKept.map(_._2))
   }
 }
 
@@ -522,7 +625,8 @@ private[connector] class GraftAggReaderFactory
 private[connector] class GraftScan(root: String, version: Long,
     keptData: Seq[FileEntry], totalFiles: Int, required: StructType,
     pushed: Array[Filter], tombs: Seq[FileEntry],
-    tombKey: Option[String], tombKeyType: Option[DataType])
+    tombKey: Option[String], tombKeyType: Option[DataType],
+    limitDesc: Option[String] = None)
   extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -536,7 +640,8 @@ private[connector] class GraftScan(root: String, version: Long,
     s"graft-snapshot v$version files=${keptData.length}/$totalFiles " +
       (if (tombs.nonEmpty) s"tombstones=${tombs.size} " else "") +
       s"columns=${required.fieldNames.mkString(",")} " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      limitDesc.fold("")(d => s" $d")
 
   override def toBatch: Batch = this
 

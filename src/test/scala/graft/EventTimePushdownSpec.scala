@@ -20,14 +20,24 @@ class EventTimePushdownSpec extends SparkSpec {
     val filtered = Tables.load(spark, sfDir, "events")
       .filter(col("ts") >= cutoff)
       .select("event_id").as[Long].collect().toSet
-    // reference computed WITHOUT any plan involvement: collect the raw
-    // nanos and apply the µs comparison in plain Scala
+    // reference computed outside the rule's reach: collect the raw
+    // column and compare µs values in plain Scala — handling both
+    // fixture vintages (int64 nanos, plain µs timestamps)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val cutoffUs = java.time.Instant.parse("2024-01-15T00:00:00Z")
       .getEpochSecond * 1000000L
-    val expected = spark.read.parquet(s"$sfDir/events.parquet")
-      .select("event_id", "ts").as[(Long, Long)].collect()
-      .filter { case (_, ns) => ns / 1000L >= cutoffUs }.map(_._1).toSet
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val micros = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.select("event_id", "ts").as[(Long, Long)].collect()
+          .map { case (id, ns) => (id, ns / 1000L) }
+      case _ =>
+        raw.selectExpr("event_id",
+            "unix_micros(CAST(ts AS TIMESTAMP_LTZ))")
+          .as[(Long, Long)].collect()
+    }).toSeq
+    val expected =
+      micros.filter(_._2 >= cutoffUs).map(_._1).toSet
     assert(filtered == expected)
     assert(filtered.nonEmpty)
   }
