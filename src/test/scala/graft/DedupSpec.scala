@@ -300,4 +300,76 @@ class DedupSpec extends SparkSpec {
     assert(lshTune(32, 0.8, fnWeight = 8.0)._2 <=
       lshTune(32, 0.8)._2)
   }
+
+  test("SemDeDup keep-rule: pruned vectors have a same-cluster " +
+      "higher-priority witness above tau, survivors have none — " +
+      "checked against an independent Scala recomputation") {
+    import org.apache.spark.sql.functions._
+    val assigned = graft.operators.Dedup.semanticAssignmentsOf(spark,
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")), k = 16, iters = 4)
+    val dropped = graft.operators.Dedup
+      .semanticDropped(spark, assigned, tauPct = 40)
+      .collect().map(_.getLong(0)).toSet
+    val rows = assigned.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getSeq[Double](2).toArray, r.getDouble(3)))
+    assert(rows.length == Tables.load(spark, sfDir, "embeddings").count())
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val byCluster = rows.groupBy(_._2)
+    val expectDropped = rows.filter { case (id, cid, v, csim) =>
+      byCluster(cid).exists { case (id2, _, v2, csim2) =>
+        id2 != id && cos(v, v2) >= 0.4 - 1e-12 &&
+          (csim2 < csim || (csim2 == csim && id2 < id))
+      }
+    }.map(_._1).toSet
+    // tolerance-free comparison would be brittle exactly AT tau;
+    // the fixture's cosines are nowhere near 0.4 +- 1e-9, so exact
+    // agreement is the honest assertion here
+    assert(dropped == expectDropped,
+      s"pruned=${dropped.size} expected=${expectDropped.size}")
+    // partition sanity through the query surface
+    val q = graft.operators.Dedup
+      .queries("dedup_semantic_clusters")(spark, sfDir).collect()
+    assert(q.map(_.getAs[Long]("n_members")).sum == rows.length)
+    assert(q.map(_.getAs[Long]("n_dropped")).sum == dropped.size)
+    assert(q.forall(r => r.getAs[Long]("n_kept") ==
+      r.getAs[Long]("n_members") - r.getAs[Long]("n_dropped")))
+  }
+
+  test("SemDeDup collapses planted exact duplicates to one kept " +
+      "representative and is bit-deterministic across runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 40 mutually-orthogonal base vectors (cos = 0 between any two),
+    // so the ONLY pairs above tau are the planted exact copies of
+    // base ids 0..4 — each copy group must lose all but its
+    // highest-priority member
+    val base = (0L until 40L).map(i =>
+      (i, Array.tabulate(40)(d => if (d == i.toInt) 1.0 else 0.0)))
+    val copies = (0L until 5L).map(i => (1000L + i, base(i.toInt)._2))
+    val vecs = (base ++ copies).toDF("vec_id", "embedding")
+    val assigned = graft.operators.Dedup
+      .semanticAssignmentsOf(spark, vecs, k = 4, iters = 3)
+    val dropped = graft.operators.Dedup
+      .semanticDropped(spark, assigned, tauPct = 99)
+      .collect().map(_.getLong(0)).toSet
+    // identical vectors land in the same cluster with identical csim;
+    // the id tie-break keeps the smallest id of each duplicate group
+    (0L until 5L).foreach { i =>
+      assert(!dropped.contains(i), s"group representative $i pruned")
+      assert(dropped.contains(1000L + i), s"exact copy of $i survived")
+    }
+    // determinism: decimal-summed centroids + rounded csim => the
+    // whole assignment (ids, clusters, csim) is bit-equal on rerun
+    val again = graft.operators.Dedup
+      .semanticAssignmentsOf(spark, vecs, k = 4, iters = 3)
+    assert(assigned.select("vec_id", "cid", "csim").orderBy("vec_id")
+        .collect().toSeq ==
+      again.select("vec_id", "cid", "csim").orderBy("vec_id")
+        .collect().toSeq)
+  }
 }
