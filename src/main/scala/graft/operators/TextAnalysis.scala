@@ -322,6 +322,43 @@ object TextAnalysis {
         .orderBy(asc("doc_id"))
     }),
 
+    // Duplicated-SPAN statistics — the cross-document substring
+    // duplication measure of Lee et al. 2022 ("Deduplicating Training
+    // Data Makes Language Models Better", arXiv:2107.06499),
+    // approximated at 8-token shingle granularity: per document, the
+    // fraction of its shingle OCCURRENCES whose text also appears in
+    // at least one OTHER document. Exact-dedup catches whole-doc
+    // copies; this surfaces partial copies (boilerplate, quoted
+    // passages) that survive it — the thing their suffix-array pass
+    // finds, re-expressed as two keyed aggregations Spark executes at
+    // any scale: a shingle→distinct-doc-count pass, then a join back
+    // on the shingle key (no broadcast — the shingle table grows with
+    // the corpus; same rule as the Ed-Join df pass). Within-doc
+    // repetition is deliberately NOT counted (docs_repetition_stats
+    // owns that axis): a shingle is duplicated only if seen in ≥ 2
+    // DISTINCT docs. md5 shingles keep the shuffle key narrow and the
+    // query DuckDB-oracleable; dup_frac is an exact int/int division,
+    // bit-identical across engines.
+    "docs_dup_span_stats" -> ((s, dir) => {
+      val sh8 =
+        """CASE WHEN size(toks) < 8 THEN array(md5(concat_ws(' ', toks)))
+          |ELSE transform(sequence(1, size(toks)-7),
+          |  i -> md5(concat_ws(' ', slice(toks, i, 8)))) END""".stripMargin
+      val occ = docs(s, dir)
+        .selectExpr("doc_id", s"$toks AS toks")
+        .selectExpr("doc_id", s"explode($sh8) AS shingle")
+      val dfreq = occ.groupBy(col("shingle"))
+        .agg(countDistinct(col("doc_id")).as("docs_with"))
+      occ.join(dfreq, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("docs_with") >= 2, 1L).otherwise(0L))
+            .as("n_dup_shingles"))
+        .selectExpr("doc_id", "n_shingles", "n_dup_shingles",
+          "CAST(n_dup_shingles AS DOUBLE) / n_shingles AS dup_frac")
+        .orderBy(asc("doc_id"))
+    }),
+
     // Sequence PACKING — the other pre-training staple: concatenate each
     // (lang, split) stream in doc_id order and chunk it into 1024-token
     // training sequences; a doc belongs to the sequence its LAST token
@@ -613,6 +650,24 @@ object TextAnalysis {
          |FROM d LEFT JOIN ov ON d.doc_id = ov.doc_id
          |WHERE d.doc_id % 97 != 0
          |ORDER BY d.doc_id""".stripMargin,
+    "docs_dup_span_stats" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CASE
+         |    WHEN len(toks) < 8 THEN [md5(array_to_string(toks, ' '))]
+         |    ELSE list_transform(generate_series(1, len(toks)-7),
+         |      i -> md5(array_to_string(toks[i:i+7], ' '))) END AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |occ AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+         |df AS (SELECT shingle, count(DISTINCT doc_id) AS docs_with
+         |       FROM occ GROUP BY shingle)
+         |SELECT occ.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df.docs_with >= 2 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_shingles,
+         |  CAST(sum(CASE WHEN df.docs_with >= 2 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*) AS dup_frac
+         |FROM occ JOIN df USING (shingle)
+         |GROUP BY occ.doc_id
+         |ORDER BY occ.doc_id""".stripMargin,
     "docs_pack_greedy" ->
       s"""WITH s AS (
          |  SELECT doc_id, lang, n_toks, $splitCase AS split
