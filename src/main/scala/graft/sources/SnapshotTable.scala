@@ -98,16 +98,18 @@ object SnapshotTable {
       statsKey2: Option[String] = None,
       lo2: Option[String] = None, hi2: Option[String] = None,
       rows: Option[Long] = None,
-      statsNulls: Option[Long] = None) {
+      statsNulls: Option[Long] = None,
+      extraStats: Seq[(String, String, String)] = Nil) {
     /** Recorded [lo, hi] for `key`, whichever stats slot holds it —
-      * a Z-ordered file carries boxes on TWO columns and prunes on
-      * either. */
+      * a Z-ordered file carries a bounding box on every curve column
+      * (two named slots plus the open-ended extra list) and prunes on
+      * any of them. */
     def statsFor(key: String): Option[(String, String)] =
       if (statsKey.contains(key) && lo.isDefined && hi.isDefined)
         Some((lo.get, hi.get))
       else if (statsKey2.contains(key) && lo2.isDefined && hi2.isDefined)
         Some((lo2.get, hi2.get))
-      else None
+      else extraStats.collectFirst { case (k, l, h) if k == key => (l, h) }
   }
 
   private[sources] def fs(spark: SparkSession, root: String): FileSystem =
@@ -194,7 +196,12 @@ object SnapshotTable {
           .append(e.lo2.fold("")(b64)).append('\t')
           .append(e.hi2.fold("")(b64)).append('\t')
           .append(e.rows.fold("")(r => b64(r.toString))).append('\t')
-          .append(e.statsNulls.fold("")(n => b64(n.toString)))
+          .append(e.statsNulls.fold("")(n => b64(n.toString))).append('\t')
+          // open-ended stats slots (Z-order dims 3+): ;-joined
+          // :-separated b64 triplets — both separators are outside
+          // the base64 alphabet
+          .append(e.extraStats.map { case (k, l, h) =>
+            s"${b64(k)}:${b64(l)}:${b64(h)}" }.mkString(";"))
           .append('\n')
       }
       out.write(sb.toString.getBytes("UTF-8"))
@@ -285,7 +292,7 @@ object SnapshotTable {
           .asInstanceOf[StructType]
     }
     val entries = rows.map { l =>
-      val fld = l.split('\t').padTo(13, "")
+      val fld = l.split('\t').padTo(14, "")
       FileEntry(unb64(fld(0)),
         Option(fld(1)).filter(_.nonEmpty).map(unb64),
         Option(fld(2)).filter(_.nonEmpty).map(unb64),
@@ -300,7 +307,12 @@ object SnapshotTable {
         Option(fld(9)).filter(_.nonEmpty).map(unb64),
         Option(fld(10)).filter(_.nonEmpty).map(unb64),
         Option(fld(11)).filter(_.nonEmpty).map(unb64).map(_.toLong),
-        Option(fld(12)).filter(_.nonEmpty).map(unb64).map(_.toLong))
+        Option(fld(12)).filter(_.nonEmpty).map(unb64).map(_.toLong),
+        Option(fld(13)).filter(_.nonEmpty).toSeq.flatMap(_.split(';')
+          .toSeq.filter(_.nonEmpty).map { t =>
+            val p = t.split(':')
+            (unb64(p(0)), unb64(p(1)), unb64(p(2)))
+          }))
     }
     (entries, schema)
   }
@@ -344,16 +356,18 @@ object SnapshotTable {
   private def stageSegment(spark: SparkSession, root: String,
       df: DataFrame, clusterKey: Option[String],
       files: Int, bloomKey: Option[String] = None,
-      zorderWith: Option[String] = None)
+      zorderWith: Option[String] = None,
+      zorderExtra: Seq[String] = Nil)
   : (Path, Seq[FileEntry]) = {
     val seg = new Path(dataDir(root),
       s"seg-${java.util.UUID.randomUUID().toString.take(12)}")
     val shaped = (clusterKey, zorderWith) match {
       case (Some(a), Some(b)) =>
         // Z-ORDER layout: range-partition + sort on the interleaved
-        // curve, so every file is a compact BOX in (a, b) space and
-        // the min/max recorded for EACH column prunes on its own
-        df.withColumn("__z", Sources.zOrderColumn(df, a, b))
+        // curve, so every file is a compact BOX in (a, b, ...) space
+        // and the min/max recorded for EACH column prunes on its own
+        df.withColumn("__z",
+            Sources.zOrderColumnN(df, Seq(a, b) ++ zorderExtra))
           .repartitionByRange(math.max(1, files), col("__z"))
           .sortWithinPartitions(col("__z"))
           .drop("__z")
@@ -373,7 +387,7 @@ object SnapshotTable {
       s"_data/${seg.getName}/${st.getPath.getName}"
     }
     (seg, statsEntries(spark, root, seg, rel, clusterKey, bloomKey,
-      zorderWith))
+      zorderWith, zorderExtra))
   }
 
   /** Per-file manifest stats for an already-written segment: min/max
@@ -384,7 +398,8 @@ object SnapshotTable {
     * `df.write`). */
   private[sources] def statsEntries(spark: SparkSession, root: String,
       seg: Path, rel: Seq[String], clusterKey: Option[String],
-      bloomKey: Option[String], zorderWith: Option[String] = None)
+      bloomKey: Option[String], zorderWith: Option[String] = None,
+      zorderExtra: Seq[String] = Nil)
   : Seq[FileEntry] = {
     val entries =
       if (clusterKey.isEmpty && bloomKey.isEmpty)
@@ -397,7 +412,9 @@ object SnapshotTable {
         val cols = Seq(input_file_name().as("__f")) ++
           clusterKey.map(k => col(k).as("__ck")) ++
           bloomKey.map(k => col(k).as("__bk")) ++
-          zorderWith.map(k => col(k).as("__zk"))
+          zorderWith.map(k => col(k).as("__zk")) ++
+          zorderExtra.zipWithIndex.map { case (k, i) =>
+            col(k).as(s"__ze$i") }
         val aggs =
           clusterKey.toSeq.flatMap(_ => Seq(
             smin(col("__ck")).cast("string").as("__lo"),
@@ -413,7 +430,10 @@ object SnapshotTable {
             .as("__bf")) ++
           zorderWith.toSeq.flatMap(_ => Seq(
             smin(col("__zk")).cast("string").as("__lo2"),
-            smax(col("__zk")).cast("string").as("__hi2")))
+            smax(col("__zk")).cast("string").as("__hi2"))) ++
+          zorderExtra.indices.flatMap(i => Seq(
+            smin(col(s"__ze$i")).cast("string").as(s"__loe$i"),
+            smax(col(s"__ze$i")).cast("string").as(s"__hie$i")))
         val statRows = spark.read.parquet(seg.toString)
           .select(cols: _*)
           .groupBy(col("__f"))
@@ -438,11 +458,20 @@ object SnapshotTable {
               val nulls = clusterKey.flatMap(_ =>
                 Option(r.getAs[Any]("__nulls"))
                   .map(_.asInstanceOf[Number].longValue()))
+              val extras = zorderExtra.zipWithIndex.flatMap {
+                case (k, i) =>
+                  (Option(r.getAs[String](s"__loe$i")),
+                    Option(r.getAs[String](s"__hie$i"))) match {
+                    case (Some(l), Some(h)) => Some((k, l, h))
+                    case _ => None
+                  }
+              }
               FileEntry(p, clusterKey, lo, hi,
                 bloomKey = bloomKey.filter(_ => bf.isDefined), bloom = bf,
                 statsKey2 = zorderWith.filter(_ =>
                   lo2.isDefined && hi2.isDefined),
-                lo2 = lo2, hi2 = hi2, statsNulls = nulls)
+                lo2 = lo2, hi2 = hi2, statsNulls = nulls,
+                extraStats = extras)
           }
         }
       }
@@ -521,9 +550,11 @@ object SnapshotTable {
   def commit(spark: SparkSession, root: String, df: DataFrame,
       maxRetries: Int = 5, clusterKey: Option[String] = None,
       files: Int = 8, bloomKey: Option[String] = None,
-      zorderWith: Option[String] = None): Long = {
+      zorderWith: Option[String] = None,
+      zorderExtra: Seq[String] = Nil): Long = {
     val (seg, entries) = stageSegment(spark, root, df, clusterKey,
-      if (clusterKey.isDefined) files else 0, bloomKey, zorderWith)
+      if (clusterKey.isDefined) files else 0, bloomKey, zorderWith,
+      zorderExtra)
     replaceStaged(spark, root, seg, entries, df.schema, maxRetries)
   }
 
@@ -699,18 +730,23 @@ object SnapshotTable {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Commit `df` Z-ORDERED on (keyA, keyB): the segment is laid out
-    * along the interleaved curve, so every file is a compact bounding
-    * box in (keyA, keyB) space, and the manifest records min/max for
-    * BOTH columns — [[readWhere]]/[[readKeys]]/MERGE then prune on
-    * EITHER column alone, the property one-column clustering cannot
-    * give the second column. The multi-dimensional data-skipping
-    * layout (Delta's OPTIMIZE ZORDER BY) on the manifest protocol. */
+  /** Commit `df` Z-ORDERED on (keyA, keyB, more...): the segment is
+    * laid out along the interleaved curve, so every file is a compact
+    * bounding box in the full key space, and the manifest records
+    * min/max for EVERY curve column (two named slots + the open-ended
+    * extra list) — [[readWhere]]/[[readKeys]]/MERGE then prune on ANY
+    * single column, and [[readWhereDims]] prunes a conjunctive box on
+    * all of them at once. The multi-dimensional data-skipping layout
+    * (Delta's OPTIMIZE ZORDER BY) on the manifest protocol; per-dim
+    * selectivity decays as dims share the fixed curve-bit budget —
+    * the same trade-off every Z-order implementation documents. */
   def commitZOrdered(spark: SparkSession, root: String, df: DataFrame,
       keyA: String, keyB: String, files: Int = 8,
-      bloomKey: Option[String] = None, maxRetries: Int = 5): Long =
+      bloomKey: Option[String] = None, maxRetries: Int = 5,
+      more: Seq[String] = Nil): Long =
     commit(spark, root, df, maxRetries, clusterKey = Some(keyA),
-      files = files, bloomKey = bloomKey, zorderWith = Some(keyB))
+      files = files, bloomKey = bloomKey, zorderWith = Some(keyB),
+      zorderExtra = more)
 
   /** Read the current snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =
@@ -1328,6 +1364,14 @@ object SnapshotTable {
       version: Option[Long] = None): DataFrame =
     readWherePruned(spark, root,
       Seq((keyA, loA, hiA), (keyB, loB, hiB)), version)
+
+  /** N-dimensional box read: one (key, lo, hi) range per curve
+    * dimension, each pruning independently, kept set = intersection —
+    * the read-side face of an N-column [[commitZOrdered]]. */
+  def readWhereDims(spark: SparkSession, root: String,
+      preds: Seq[(String, Option[String], Option[String])],
+      version: Option[Long] = None): DataFrame =
+    readWherePruned(spark, root, preds, version)
 
   private def readWherePruned(spark: SparkSession, root: String,
       preds: Seq[(String, Option[String], Option[String])],

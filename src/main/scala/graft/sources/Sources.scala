@@ -191,28 +191,38 @@ object Sources {
     * ranges (one four-scalar stats pass). Shared with the snapshot
     * table's Z-ordered commits. */
   private[sources] def zOrderColumn(df: DataFrame, keyA: String,
-      keyB: String): Column = {
-    val stats = df.agg(
-      min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
-      min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).head()
-    // empty frame / all-NULL keys: no range to normalize against —
-    // constant curve value, so the write degrades to unordered
-    // instead of throwing a bare NPE at the min/max row
-    if (stats.isNullAt(0) || stats.isNullAt(2)) return lit(0L)
-    val (aLo, aHi) = (stats.getDouble(0), stats.getDouble(1))
-    val (bLo, bHi) = (stats.getDouble(2), stats.getDouble(3))
-    def norm16(c: Column, lo: Double, hi: Double): Column =
+      keyB: String): Column = zOrderColumnN(df, Seq(keyA, keyB))
+
+  /** Interleaved Z-curve value over N key columns: each key is
+    * min/max-normalized to `b = 32/N` bits (16 for two dims, 10 for
+    * three, 8 for four — total curve precision is a fixed bit budget,
+    * the standard multi-dim trade-off), and bit i of key j lands at
+    * curve position `N*i + j`. One driver-side min/max row computes
+    * the normalization ranges; empty/all-NULL keys degrade to an
+    * unordered write instead of throwing. */
+  private[sources] def zOrderColumnN(df: DataFrame,
+      keys: Seq[String]): Column = {
+    require(keys.nonEmpty && keys.size <= 8,
+      s"z-order supports 1..8 dims, got ${keys.size}")
+    val bits = math.max(4, math.min(16, 32 / keys.size))
+    val aggCols = keys.flatMap(k => Seq(min(col(k)).cast("double"),
+      max(col(k)).cast("double")))
+    val stats = df.agg(aggCols.head, aggCols.tail: _*).head()
+    if (keys.indices.exists(j => stats.isNullAt(2 * j))) return lit(0L)
+    val top = (1L << bits) - 1
+    def normB(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
-      else least(lit(65535L), floor(
-        (c.cast("double") - lit(lo)) / lit(hi - lo) * lit(65536.0))
-        .cast("long"))
-    val na = norm16(col(keyA), aLo, aHi)
-    val nb = norm16(col(keyB), bLo, bHi)
-    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(na, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(nb, i).bitwiseAND(lit(1L)),
-          2 * i + 1))
+      else least(lit(top), floor(
+        (c.cast("double") - lit(lo)) / lit(hi - lo) *
+          lit((top + 1).toDouble)).cast("long"))
+    val normed = keys.zipWithIndex.map { case (k, j) =>
+      normB(col(k), stats.getDouble(2 * j), stats.getDouble(2 * j + 1))
+    }
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      normed.zipWithIndex.foldLeft(acc) { case (a, (nk, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(nk, i).bitwiseAND(lit(1L)),
+          keys.size * i + j))
+      }
     }
   }
 
@@ -624,6 +634,30 @@ object Sources {
           max(col("o_custkey")).as("max_ck"))
         .orderBy("o_orderstatus")
     }),
+
+    // THREE-column Z-order: the curve generalizes past two dims (stats
+    // slots become an open list in the manifest), and a conjunctive
+    // 3-D box prunes by every dimension at once through readWhereDims.
+    // The residual filter keeps the result exact whatever the pruning
+    // achieves — which is what lets DuckDB oracle a layout experiment.
+    "snapshot_zorder3_box" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-zord3-q")
+        .toString + "/orders_z3"
+      val o = graft.Tables.load(s, dir, "orders")
+      SnapshotTable.commitZOrdered(s, root, o,
+        "o_orderkey", "o_custkey", files = 8,
+        more = Seq("o_totalprice"))
+      SnapshotTable.readWhereDims(s, root, Seq(
+          ("o_orderkey", Some("2000"), Some("11000")),
+          ("o_custkey", Some("200"), Some("1100")),
+          ("o_totalprice", Some("40000"), Some("320000"))))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_ok"),
+          max(col("o_custkey")).as("max_ck"),
+          graft.Ql.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
     // Stats-pruned scan under the oracle: cluster orders into a
     // snapshot table (per-file min/max on the key recorded in the
     // manifest), then answer a key-range query through readWhere —
@@ -798,6 +832,17 @@ object Sources {
         |  min(o_custkey) AS min_ck, max(o_custkey) AS max_ck
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 250
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_zorder3_box" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  min(o_orderkey) AS min_ok, max(o_custkey) AS max_ck,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 2000 AND 11000
+        |  AND o_custkey BETWEEN 200 AND 1100
+        |  AND o_totalprice BETWEEN 40000 AND 320000
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     "snapshot_connector_band" ->

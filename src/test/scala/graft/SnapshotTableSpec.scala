@@ -794,6 +794,39 @@ class SnapshotTableSpec extends SparkSpec {
       col("b") >= 10 && col("b") <= 20).count())
   }
 
+  test("THREE-column Z-order: the manifest carries a stats box for " +
+      "every curve dimension, each prunes alone, and a 3-D box read " +
+      "opens no more files than its tightest single band") {
+    val root = tmpRoot()
+    // a 32 x 32 x 32 grid over three columns
+    val df = (0 until 32768).map(i =>
+      (i % 32, (i / 32) % 32, i / 1024)).toDF("a", "b", "c")
+    SnapshotTable.commitZOrdered(spark, root, df, "a", "b",
+      files = 16, more = Seq("c"))
+    val entries = SnapshotTable.manifest(spark, root, 1L)
+    val total = entries.size
+    assert(total > 4, "need a real file grid to prove box pruning")
+    assert(entries.forall(e => e.statsFor("c").isDefined),
+      "every file must carry the third dimension's stats")
+    def band(k: String) = SnapshotTable.readWhere(spark, root, k,
+      lo = Some("4"), hi = Some("9"))
+    val (ra, rb, rc) = (band("a"), band("b"), band("c"))
+    for ((r, n) <- Seq((ra, "a"), (rb, "b"), (rc, "c")))
+      assert(r.inputFiles.length < total,
+        s"$n-band opened ${r.inputFiles.length} of $total")
+    for ((r, k) <- Seq((ra, "a"), (rb, "b"), (rc, "c")))
+      assert(r.count() ==
+        df.filter(col(k) >= 4 && col(k) <= 9).count())
+    val box = SnapshotTable.readWhereDims(spark, root, Seq(
+      ("a", Some("4"), Some("9")), ("b", Some("4"), Some("9")),
+      ("c", Some("4"), Some("9"))))
+    assert(box.inputFiles.length <= Seq(ra, rb, rc)
+        .map(_.inputFiles.length).min,
+      s"3-D box opened ${box.inputFiles.length} files")
+    assert(box.count() == df.filter(col("a").between(4, 9) &&
+      col("b").between(4, 9) && col("c").between(4, 9)).count())
+  }
+
   test("mixed concurrent maintenance serializes: racing appends, a " +
       "COW merge and a compactor leave a contiguous version history, " +
       "every committed row intact, and every version readable") {
