@@ -322,6 +322,40 @@ object TextAnalysis {
         .orderBy(asc("doc_id"))
     }),
 
+    // TEMPERATURE-style rebalancing — the multilingual-pretraining
+    // trick (XLM-R and kin) of flattening a skewed domain mix:
+    // instead of a hand-declared per-source rate
+    // (docs_domain_mixture), each source keeps everything up to a
+    // budget K and is inverse-sqrt downsampled past it
+    // (rate = min(1, sqrt(K / n))) — big domains grow with sqrt(n),
+    // small ones survive whole, the α = 0.5 point of the temperature
+    // family. Per-SOURCE arithmetic only (sqrt and division are
+    // correctly-rounded IEEE ops, so both engines derive identical
+    // thresholds — no cross-domain Σ whose accumulation order could
+    // differ); membership is floor(rate · 2^20) basis points against
+    // the portable [[splitHash]], reproducible on any engine. One
+    // window count + one keyed aggregation, no shuffle beyond the
+    // source key at any scale.
+    "docs_temperature_mixture" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .selectExpr("source", s"$splitHash % 1048576 AS h")
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("source"))))
+        .selectExpr("source", "h", "n",
+          "CAST(floor(least(CAST(1.0 AS DOUBLE), " +
+            "sqrt(CAST(25 AS DOUBLE) / n)) * 1048576) AS BIGINT) " +
+            "AS thresh")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("thresh")).as("thresh"),
+          sum(when(col("h") < col("thresh"), 1L).otherwise(0L))
+            .as("n_sampled"))
+        .selectExpr("source", "n_docs", "thresh", "n_sampled",
+          "CAST(n_sampled AS DOUBLE) / n_docs AS achieved")
+        .orderBy(asc("source"))
+    }),
+
     // Duplicated-SPAN statistics — the cross-document substring
     // duplication measure of Lee et al. 2022 ("Deduplicating Training
     // Data Makes Language Models Better", arXiv:2107.06499),
@@ -650,6 +684,23 @@ object TextAnalysis {
          |FROM d LEFT JOIN ov ON d.doc_id = ov.doc_id
          |WHERE d.doc_id % 97 != 0
          |ORDER BY d.doc_id""".stripMargin,
+    "docs_temperature_mixture" ->
+      s"""WITH s AS (
+         |  SELECT source, $splitHash % 1048576 AS h,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM documents),
+         |t AS (SELECT source, h, n,
+         |    CAST(floor(least(CAST(1.0 AS DOUBLE),
+         |      sqrt(CAST(25 AS DOUBLE) / n)) * 1048576) AS BIGINT)
+         |      AS thresh
+         |  FROM s)
+         |SELECT source, count(*) AS n_docs, max(thresh) AS thresh,
+         |  CAST(sum(CASE WHEN h < thresh THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sampled,
+         |  CAST(sum(CASE WHEN h < thresh THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS achieved
+         |FROM t GROUP BY source
+         |ORDER BY source""".stripMargin,
     "docs_dup_span_stats" ->
       s"""WITH d AS (
          |  SELECT doc_id, CASE
