@@ -100,6 +100,125 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("sub"),
         col("m.cid").as("cid"), col("m.sv").as("sv"))
 
+  // ---- optimized product quantization (Ge et al., CVPR 2013) ----
+
+  /** One-row frame carrying an orthonormal rotation as
+    * array<array<double>> — the broadcast model for [[rotated]].
+    * Convention: rotated[j] = Σ_i v[i] · rot[i][j]. */
+  private def rotationDf(s: SparkSession,
+      r: Seq[Seq[Double]]): DataFrame = {
+    import s.implicits._
+    Seq(Tuple1(r)).toDF("rot")
+  }
+
+  /** Apply the rotation to every vector: one cross join with the
+    * 1-row broadcast model, O(d²) multiply-adds per row inside
+    * whole-stage codegen — no UDF, no driver round trip. */
+  private def rotated(vecs: DataFrame, rdf: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(rdf))
+      .selectExpr("vec_id", "label",
+        "transform(sequence(0, size(vn) - 1), j -> " +
+          "aggregate(sequence(0, size(vn) - 1), CAST(0 AS DOUBLE), " +
+          "(acc, i) -> acc + vn[i] * rot[i][j])) AS vn")
+
+  /** Split d-dim vectors into m contiguous sub-vectors — the PQ
+    * subspace explode shared by training, encoding and the OPQ loop. */
+  private def subSplit(vecs: DataFrame, m: Int, dim: Int): DataFrame =
+    vecs.select(col("vec_id"), col("label"),
+        posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), " +
+            s"s -> slice(vn, s * ${dim / m} + 1, ${dim / m}))")))
+      .withColumnRenamed("pos", "sub")
+      .withColumnRenamed("col", "sv")
+
+  /** PQ reconstruction x̂ per vector: assign each subspace to its
+    * nearest sub-centroid and concatenate the centroids in subspace
+    * order. */
+  private def reconstructed(sub: DataFrame, cb: DataFrame): DataFrame =
+    pqAssign(sub, cb)
+      .join(broadcast(cb), Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(expr("flatten(transform(array_sort(" +
+        "collect_list(struct(sub, cent))), p -> p.cent)) AS rv"))
+
+  /** d×d cross-covariance Xᵀ X̂ as a partial-aggregated sum of
+    * per-row outer products: each partition combines its rows into
+    * ≤ d² partial sums before the single d²-key shuffle, and DECIMAL
+    * accumulation makes the matrix bit-identical under any
+    * partitioning (components are ≤ 1 in magnitude, so 13 integer
+    * digits cover corpora to 10¹² rows). Only d² doubles reach the
+    * driver. */
+  private def crossCov(x: DataFrame, xhat: DataFrame,
+      d: Int): Array[Array[Double]] = {
+    val m = Array.fill(d, d)(0.0)
+    x.select(col("vec_id"), col("vn")).join(xhat, Seq("vec_id"))
+      .select(posexplode(col("vn")).as(Seq("i", "xi")), col("rv"))
+      .select(col("i"), col("xi"),
+        posexplode(col("rv")).as(Seq("j", "yj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("xi") * col("yj")).cast("decimal(38,25)"))
+        .cast("double").as("mij"))
+      .collect()
+      .foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    m
+  }
+
+  /** Orthogonal Procrustes: the rotation maximizing tr(Rᵀ M) for
+    * M = Xᵀ X̂ is R = U Vᵀ from the SVD M = U Σ Vᵀ — a d×d
+    * driver-side breeze call (the model is KBs; the DATA never moves
+    * for this step). */
+  private def procrustes(m: Array[Array[Double]],
+      d: Int): Seq[Seq[Double]] = {
+    val bm = breeze.linalg.DenseMatrix.tabulate(d, d)((i, j) => m(i)(j))
+    val s = breeze.linalg.svd(bm)
+    val r = s.U * s.Vt
+    Seq.tabulate(d, d)((i, j) => r(i, j))
+  }
+
+  /** OPQ training (non-parametric alternation): rotate → train PQ →
+    * reconstruct → Procrustes-update R, repeated; the codebook is
+    * retrained under the final rotation so the returned pair is
+    * consistent. Every stage is a corpus scan plus a model-sized
+    * collect; nothing larger than d² + m·ks doubles ever reaches the
+    * driver. Deterministic end to end: seeded Lloyd, decimal-summed
+    * covariance, LAPACK SVD on bit-identical input. */
+  private[graft] def opqTrain(s: SparkSession, vecs: DataFrame, m: Int,
+      ks: Int, d: Int, rounds: Int, lloydIters: Int)
+  : (Seq[Seq[Double]], Map[(Int, Int), Seq[Double]]) = {
+    var r: Seq[Seq[Double]] =
+      Seq.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to rounds) {
+      val y = rotated(vecs, rotationDf(s, r)).persist()
+      val sub = subSplit(y, m, d)
+      val code = pqTrain(s, sub, ks, lloydIters)
+      val rec = reconstructed(sub, codebookDf(s, code))
+      val cov = crossCov(vecs, rec, d)
+      y.unpersist()
+      r = procrustes(cov, d)
+    }
+    val yF = rotated(vecs, rotationDf(s, r))
+    (r, pqTrain(s, subSplit(yF, m, d), ks, lloydIters))
+  }
+
+  /** Mean per-vector quantization error Σ‖xR − x̂‖²/n under a
+    * (rotation, codebook) pair, evaluated with optimal re-assignment —
+    * the OPQ objective. Decimal-summed ⇒ partition-invariant;
+    * spec-facing. */
+  private[graft] def opqDistortion(s: SparkSession, vecs: DataFrame,
+      r: Seq[Seq[Double]], code: Map[(Int, Int), Seq[Double]],
+      m: Int, d: Int): Double = {
+    val cb = codebookDf(s, code)
+    val sub = subSplit(rotated(vecs, rotationDf(s, r)), m, d)
+    pqAssign(sub, cb)
+      .join(broadcast(cb), Seq("sub", "cid"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sv, cent, (x, y) -> (x-y)*(x-y)), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      .agg((sum(col("d2").cast("decimal(38,25)")).cast("double") /
+        countDistinct(col("vec_id"))).as("e"))
+      .head().getDouble(0)
+  }
+
   // Multi-table hyperplane signatures come from the native graft_hplsh
   // expression (graft.functions.HyperplaneLsh): T tables of b sign bits,
   // plane components derived from splitmix64 — deterministic, model-free.
@@ -308,6 +427,69 @@ object Similarity {
       val out = shortlist.join(qv, Seq("q_id")).join(cv, Seq("c_id"))
         .selectExpr("q_id", "c_id", "graft_cosine(q_v, c_v) AS cos")
         .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_r"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(asc("q_id"), asc("rk"))
+      sub.unpersist()
+      out
+    }),
+
+    // OPQ ANN (Ge et al., "Optimized Product Quantization", CVPR
+    // 2013): product quantization under a LEARNED orthonormal
+    // rotation — alternate (train PQ in rotated space) with (solve
+    // the orthogonal Procrustes problem for the rotation that best
+    // aligns the data to its reconstruction), so correlated
+    // dimensions spread across subspaces and the same code budget
+    // quantizes tighter. The rotation is trained distributedly (the
+    // d×d cross-covariance is a partial-aggregated outer-product sum;
+    // only d² doubles + the codebook reach the driver, where a 64×64
+    // SVD closes the loop). Queries answer by asymmetric distance
+    // over the full corpus — no IVF stage, isolating what the
+    // rotation buys the quantizer — with the ADC top-16 re-ranked by
+    // the exact native cosine on the ORIGINAL vectors. Approximate ⇒
+    // rows-only driver check; the Procrustes error-reduction
+    // guarantee, rotation orthonormality and recall vs brute force
+    // are asserted in SimilaritySpec.
+    "knn_opq" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val m = 8; val ks = 16; val d = 64
+      val all = prepared(s, dir)
+        .withColumn("vn", expr("transform(v, x -> x / nrm)"))
+      val base = all.select(col("vec_id"), col("label"), col("vn"))
+      val (rot, code) =
+        opqTrain(s, base, m, ks, d, rounds = 2, lloydIters = 3)
+      val cb = codebookDf(s, code)
+      val sub = subSplit(rotated(base, rotationDf(s, rot)), m, d)
+        .persist()
+      val codes = pqAssign(sub, cb)
+        .select(col("vec_id").as("c_id"), col("sub"), col("cid"))
+        .persist()
+      codes.count()
+      val dt = broadcast(sub.filter(col("vec_id") < 10)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(broadcast(cb), Seq("sub"))
+        .withColumn("pd", expr(
+          "aggregate(zip_with(sv, cent, (x, y) -> (x-y)*(x-y)), " +
+            "CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+        .select(col("q_id"), col("sub"), col("cid"), col("pd")))
+      val wAdc = Window.partitionBy(col("q_id"))
+        .orderBy(asc("adist"), asc("c_id"))
+      val shortlist = codes.join(dt, Seq("sub", "cid"))
+        .groupBy(col("q_id"), col("c_id"))
+        .agg(sum(col("pd")).as("adist"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("adc_rk", row_number().over(wAdc))
+        .filter(col("adc_rk") <= 16)
+        .select(col("q_id"), col("c_id"))
+      val qv = broadcast(all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v")))
+      val cv = all.select(col("vec_id").as("c_id"), col("v").as("c_v"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cos_r"), asc("c_id"))
+      val out = shortlist.join(qv, Seq("q_id")).join(cv, Seq("c_id"))
+        .selectExpr("q_id", "c_id", "graft_cosine(q_v, c_v) AS cos")
+        .select(col("q_id"), col("c_id"),
+          round(col("cos"), 6).as("cos_r"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .orderBy(asc("q_id"), asc("rk"))

@@ -105,4 +105,59 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.length == 10)
     assert(rows.forall(_._3 > 0))
   }
+
+  test("OPQ: the learned rotation is orthonormal, the Procrustes " +
+      "step cannot increase quantization error, and knn_opq answers " +
+      "a full exactly-ranked top-3 with recall vs brute force") {
+    import org.apache.spark.sql.functions._
+    val m = 8; val ks = 16; val d = 64
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v0")
+      .selectExpr("vec_id", "label", "v0",
+        "sqrt(aggregate(v0, CAST(0 AS DOUBLE), (a, x) -> a + x*x)) " +
+          "AS nrm")
+      .selectExpr("vec_id", "label",
+        "transform(v0, x -> x / nrm) AS vn")
+    val (rot, code) = graft.operators.Similarity
+      .opqTrain(spark, base, m, ks, d, rounds = 2, lloydIters = 3)
+    // orthonormality: max |RᵀR − I| tiny
+    val rtr = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(t => rot(t)(i) * rot(t)(j)).sum)
+    val offMax = (for (i <- 0 until d; j <- 0 until d) yield
+      math.abs(rtr(i)(j) - (if (i == j) 1.0 else 0.0))).max
+    assert(offMax < 1e-8, s"R'R deviates from I by $offMax")
+    // error guarantee: train plain PQ (R = I — identical seeds and
+    // iteration count), then rotate with ONE Procrustes step computed
+    // against that codebook's reconstruction. Quantization error under
+    // (R1, C) cannot exceed error under (I, C): the fixed-assignment
+    // error drops by Procrustes optimality and re-assignment only
+    // drops it further.
+    val (r1, c1) = graft.operators.Similarity
+      .opqTrain(spark, base, m, ks, d, rounds = 1, lloydIters = 3)
+    def distortion(r: Seq[Seq[Double]],
+        codebook: Map[(Int, Int), Seq[Double]]): Double =
+      graft.operators.Similarity.opqDistortion(spark, base, r,
+        codebook, m, d)
+    val idRot: Seq[Seq[Double]] =
+      Seq.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val ePlain = distortion(idRot, c1)
+    val eRot = distortion(r1, c1)
+    info(f"distortion plain=$ePlain%.6f rotated=$eRot%.6f")
+    assert(eRot <= ePlain + 1e-9,
+      s"Procrustes step increased error: $ePlain -> $eRot")
+    // query surface: full ranked top-3 per query + recall
+    val exact = Similarity.queries("knn_bruteforce")(spark, sfDir)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val opq = Similarity.queries("knn_opq")(spark, sfDir)
+      .select("q_id", "c_id", "rk").as[(Long, Long, Int)].collect()
+    assert(opq.groupBy(_._1).size == 10)
+    assert(opq.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq ==
+      Seq(1, 2, 3)))
+    val pairs = opq.map(t => (t._1, t._2)).toSet
+    val recall = exact.count(pairs.contains).toDouble / exact.size
+    info(f"OPQ recall@3 = $recall%.2f")
+    // full-corpus ADC (no IVF cell misses): materially above chance
+    assert(recall >= 0.2, s"OPQ recall@3 $recall")
+  }
 }
