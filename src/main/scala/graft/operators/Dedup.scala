@@ -455,7 +455,8 @@ object Dedup {
     * Returns (vec_id, cid, v, csim) where v is the unit vector and
     * csim its rounded cosine to the assigned centroid. */
   private[graft] def semanticAssignmentsOf(s: SparkSession,
-      vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+      vecs: DataFrame, k: Int, iters: Int,
+      trainCap: Int = 2048): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     import s.implicits._
     val e = vecs
@@ -467,10 +468,14 @@ object Dedup {
       .selectExpr("vec_id",
         "transform(v0, x -> x / greatest(nrm, CAST(1e-300 AS DOUBLE))) " +
           "AS v")
+    // Lloyd trains on a bounded deterministic sample; only the final
+    // ASSIGNMENT pass scans the corpus — centroid fitting is model
+    // work, not a per-row obligation (same discipline as opqTrain)
+    val train = e.filter(col("vec_id") < trainCap)
     def centDf(c: Map[Int, Seq[Double]]): DataFrame =
       c.toSeq.sortBy(_._1).toDF("cid", "cent")
-    def assign(cdf: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cdf))
+    def assign(src: DataFrame, cdf: DataFrame): DataFrame =
+      src.crossJoin(broadcast(cdf))
         .withColumn("d2", expr(
           "aggregate(zip_with(v, cent, (x, y) -> (x-y)*(x-y)), " +
             "CAST(0 AS DOUBLE), (a, x) -> a + x)"))
@@ -479,10 +484,10 @@ object Dedup {
         .select(col("vec_id"), col("m.cid").as("cid"),
           col("m.v").as("v"))
     var cent: Map[Int, Seq[Double]] =
-      e.orderBy(asc("vec_id")).limit(k).collect().zipWithIndex
+      train.orderBy(asc("vec_id")).limit(k).collect().zipWithIndex
         .map { case (r, i) => i -> r.getSeq[Double](1) }.toMap
     for (_ <- 1 to iters) {
-      val upd = assign(centDf(cent))
+      val upd = assign(train, centDf(cent))
         .select(col("cid"), posexplode(col("v")))
         .groupBy("cid", "pos")
         .agg((sum(col("col").cast("decimal(30,15)")).cast("double") /
@@ -494,7 +499,7 @@ object Dedup {
           cid -> vs.map(_._2).sortBy(_._1).map(_._2).toSeq }
       cent = cent ++ upd
     }
-    assign(centDf(cent))
+    assign(e, centDf(cent))
       .join(broadcast(centDf(cent)), Seq("cid"))
       .selectExpr("vec_id", "cid", "v",
         "round(graft_cosine(v, cent), 9) AS csim")

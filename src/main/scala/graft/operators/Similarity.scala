@@ -178,26 +178,33 @@ object Similarity {
   /** OPQ training (non-parametric alternation): rotate → train PQ →
     * reconstruct → Procrustes-update R, repeated; the codebook is
     * retrained under the final rotation so the returned pair is
-    * consistent. Every stage is a corpus scan plus a model-sized
-    * collect; nothing larger than d² + m·ks doubles ever reaches the
-    * driver. Deterministic end to end: seeded Lloyd, decimal-summed
-    * covariance, LAPACK SVD on bit-identical input. */
+    * consistent. Training runs on a BOUNDED deterministic sample
+    * (`vec_id < trainCap`) — the FAISS discipline: model fitting is
+    * O(sample), and only the one-pass ENCODE ever scans the corpus,
+    * which is what keeps the d²-per-row rotate/covariance passes off
+    * the 100 TB path. Nothing larger than d² + m·ks doubles reaches
+    * the driver. Deterministic end to end: seeded Lloyd,
+    * decimal-summed covariance, LAPACK SVD on bit-identical input. */
   private[graft] def opqTrain(s: SparkSession, vecs: DataFrame, m: Int,
-      ks: Int, d: Int, rounds: Int, lloydIters: Int)
+      ks: Int, d: Int, rounds: Int, lloydIters: Int,
+      trainCap: Int = 1024)
   : (Seq[Seq[Double]], Map[(Int, Int), Seq[Double]]) = {
+    val sample = vecs.filter(col("vec_id") < trainCap).persist()
     var r: Seq[Seq[Double]] =
       Seq.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     for (_ <- 1 to rounds) {
-      val y = rotated(vecs, rotationDf(s, r)).persist()
+      val y = rotated(sample, rotationDf(s, r)).persist()
       val sub = subSplit(y, m, d)
       val code = pqTrain(s, sub, ks, lloydIters)
       val rec = reconstructed(sub, codebookDf(s, code))
-      val cov = crossCov(vecs, rec, d)
+      val cov = crossCov(sample, rec, d)
       y.unpersist()
       r = procrustes(cov, d)
     }
-    val yF = rotated(vecs, rotationDf(s, r))
-    (r, pqTrain(s, subSplit(yF, m, d), ks, lloydIters))
+    val yF = rotated(sample, rotationDf(s, r))
+    val code = pqTrain(s, subSplit(yF, m, d), ks, lloydIters)
+    sample.unpersist()
+    (r, code)
   }
 
   /** Mean per-vector quantization error Σ‖xR − x̂‖²/n under a

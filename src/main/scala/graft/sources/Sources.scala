@@ -647,10 +647,12 @@ object Sources {
       SnapshotTable.commitZOrdered(s, root, o,
         "o_orderkey", "o_custkey", files = 8,
         more = Seq("o_totalprice"))
+      // bounds sized to intersect every fixture scale (sf0.001 tops
+      // out at o_orderkey 1499 / o_custkey 149)
       SnapshotTable.readWhereDims(s, root, Seq(
-          ("o_orderkey", Some("2000"), Some("11000")),
-          ("o_custkey", Some("200"), Some("1100")),
-          ("o_totalprice", Some("40000"), Some("320000"))))
+          ("o_orderkey", Some("100"), Some("1200")),
+          ("o_custkey", Some("10"), Some("120")),
+          ("o_totalprice", Some("20000"), Some("400000"))))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           min(col("o_orderkey")).as("min_ok"),
@@ -840,9 +842,9 @@ object Sources {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |    AS sum_price
         |FROM orders
-        |WHERE o_orderkey BETWEEN 2000 AND 11000
-        |  AND o_custkey BETWEEN 200 AND 1100
-        |  AND o_totalprice BETWEEN 40000 AND 320000
+        |WHERE o_orderkey BETWEEN 100 AND 1200
+        |  AND o_custkey BETWEEN 10 AND 120
+        |  AND o_totalprice BETWEEN 20000 AND 400000
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     "snapshot_connector_band" ->

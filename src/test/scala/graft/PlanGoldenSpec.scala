@@ -263,4 +263,36 @@ class PlanGoldenSpec extends SparkSpec {
     assertHas(p, """o_custkey#\d+L >= 100""", "residual lower bound")
     assertHas(p, """o_custkey#\d+L <= 250""", "residual upper bound")
   }
+
+  test("docs_dup_span_stats: the shingle df join is SIZE-chosen, " +
+    "never hint-forced — the df side grows with the corpus, so a " +
+    "mandatory broadcast would be a driver OOM at scale") {
+    val q = SparkEntry.queries("docs_dup_span_stats")(spark, sfDir)
+    // no forced broadcast anywhere in the logical plan: AQE may (and
+    // at fixture scale does) broadcast the measured-small df side,
+    // but that choice must come from size, not a hint
+    assert(!q.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "no broadcast/join hints allowed on a corpus-sized side")
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the shingle join must stay an equi-join:\n${p.take(3000)}")
+  }
+
+  test("docs_temperature_mixture: one window over the source key, " +
+    "then one aggregation — join-free end to end") {
+    val p = planOf("docs_temperature_mixture")
+    assert(!p.contains("Join"), "rebalancing must not join")
+    assertHas(p, "Window", "per-source count window")
+    assertHas(p, "HashAggregate", "final per-source aggregate")
+  }
+
+  test("snapshot_zorder3_box: a 3-D box read stays join-free with " +
+    "every dimension's residual bounds on the plan") {
+    val p = planOf("snapshot_zorder3_box")
+    assert(!p.contains("Join"), "a box-pruned read must stay join-free")
+    assertHas(p, """o_orderkey#\d+L >= 100""", "dim-1 lower bound")
+    assertHas(p, """o_custkey#\d+L >= 10""", "dim-2 lower bound")
+    assertHas(p, """o_totalprice#\d+ >= 20000""", "dim-3 lower bound")
+  }
 }
