@@ -52,7 +52,112 @@ object TextAnalysis {
     "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' " +
       "ELSE 'test' END"
 
+  /** BPE merge training (Sennrich et al. 2016, arXiv:1508.07909) with
+    * the scale split every production trainer uses: the CORPUS pass
+    * (building the word-frequency table) is distributed — one scan,
+    * one keyed aggregation — while the merge loop runs driver-side
+    * over the collected top-`vocabCap` word table, which Zipf keeps
+    * bounded regardless of corpus size (this is how fastBPE/HF
+    * tokenizers train too: on word counts, never raw text). Returns
+    * the learned merges in order. Fully deterministic: candidate
+    * pairs rank by (count desc, pair lexicographic), words by
+    * (count desc, word). */
+  private[graft] def bpeTrain(words: Seq[(String, Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    var table: Seq[(Vector[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    for (_ <- 1 to nMerges if !done) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      table.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, x, y) }._1
+        merges += best
+        table = table.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 &&
+                syms(i + 1) == best._2) {
+              out += (best._1 + best._2); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** Greedy left-to-right application of an ordered merge list to one
+    * word — the segmentation rule BPE inference uses. */
+  private[graft] def bpeSegment(word: String,
+      merges: Seq[(String, String)]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    merges.foreach { case (x, y) =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == x && syms(i + 1) == y) {
+          out += (x + y); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
   val queries: Map[String, Q] = Map(
+    // Trained-BPE corpus statistics — the real version of bpe_ish's
+    // ceil(len/4) approximation: learn `nMerges` BPE merges from the
+    // corpus itself, then report per-language subword counts under
+    // the learned vocabulary. Scale shape: ONE distributed corpus
+    // scan builds the word-frequency table; the merge loop runs on
+    // the collected top-V words (Zipf-bounded driver state, the same
+    // place fastBPE/HF trainers run it); application is a BROADCAST
+    // join of the corpus tokens against the V-row segmentation map —
+    // legal to broadcast because V is a declared cap, not a
+    // data-dependent size. Out-of-vocab words fall back to character
+    // count (their segment count with zero applicable merges).
+    // Engine-side trained model ⇒ rows-only driver check; the merge
+    // learner is pinned against hand-derived merges and an
+    // independent reimplementation in TextAnalysisSpec.
+    "text_bpe_vocab_stats" -> ((s, dir) => {
+      import s.implicits._
+      val words = docs(s, dir)
+        .selectExpr(s"explode($toks) AS w")
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("w")).limit(4096)
+        .as[(String, Long)].collect().toSeq
+      val merges = bpeTrain(words, nMerges = 64)
+      val seg = words.map { case (w, _) =>
+        (w, bpeSegment(w, merges).length.toLong) }
+        .toDF("w", "n_sub")
+      docs(s, dir)
+        .selectExpr("lang", s"explode($toks) AS w")
+        .filter(col("w") =!= "")
+        .join(broadcast(seg), Seq("w"), "left")
+        .selectExpr("lang",
+          "coalesce(n_sub, CAST(length(w) AS BIGINT)) AS n_sub")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("n_sub")).as("n_subwords"))
+        .selectExpr("lang", "n_tokens", "n_subwords",
+          "CAST(n_subwords AS DOUBLE) / n_tokens AS subwords_per_token")
+        .orderBy(asc("lang"))
+    }),
     // Token counting: per-language corpus statistics. The `bpe_ish`
     // count approximates subword counts by chunking every token into
     // runs of ≤4 chars — each greedy `[^ ]{1,4}` regex match IS one

@@ -195,4 +195,51 @@ class TextAnalysisSpec extends SparkSpec {
       .as[Long].collect()(0)
     assert(binned == total)
   }
+
+  test("BPE training: hand-derived merges on a planted word table, " +
+      "segmentation round-trips, and subword counts shrink " +
+      "monotonically with the merge budget") {
+    import graft.operators.TextAnalysis.{bpeTrain, bpeSegment}
+    // "abab"x2 + "ab"x3: (a,b) dominates (count 7), then the merged
+    // symbol pairs with itself — derivable by hand
+    val planted = Seq(("abab", 2L), ("ab", 3L))
+    assert(bpeTrain(planted, 5) == Seq(("a", "b"), ("ab", "ab")),
+      "hand-derived merge sequence")
+    // tie-break: equal-count pairs resolve lexicographically
+    assert(bpeTrain(Seq(("ba", 1L), ("ab", 1L)), 1) ==
+      Seq(("a", "b")))
+    // segmentation is lossless and consistent with training's end
+    // state on every trained word
+    val words = Seq(("hello", 4L), ("help", 3L), ("hull", 2L),
+      ("pool", 2L), ("loop", 1L))
+    val merges = bpeTrain(words, 6)
+    words.foreach { case (w, _) =>
+      val seg = bpeSegment(w, merges)
+      assert(seg.mkString == w, s"lossy segmentation of $w: $seg")
+    }
+    // more merges never increase the corpus subword total
+    val totals = Seq(0, 2, 4, 6).map { n =>
+      val m = bpeTrain(words, n)
+      words.map { case (w, c) => bpeSegment(w, m).length * c }.sum
+    }
+    assert(totals == totals.sorted.reverse,
+      s"subword totals must be non-increasing in merges: $totals")
+  }
+
+  test("text_bpe_vocab_stats: per-lang subword stats under the " +
+      "corpus-trained vocabulary, deterministic across runs") {
+    val q = graft.operators.TextAnalysis
+      .queries("text_bpe_vocab_stats")
+    val a = q(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val perTok = r.getAs[Double]("subwords_per_token")
+      assert(perTok >= 1.0 - 1e-9,
+        "a token cannot segment into fewer than 1 subword")
+      assert(r.getAs[Long]("n_subwords") >= r.getAs[Long]("n_tokens"))
+    }
+    val b = q(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "trained-BPE stats must be bit-deterministic")
+  }
 }
