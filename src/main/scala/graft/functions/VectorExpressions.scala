@@ -154,6 +154,100 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): DotProduct = copy(newLeft, newRight)
 }
 
+/** Matrix–vector rotate for the OPQ/PCA family:
+  * `graft_rotate(v: ARRAY<DOUBLE>, rot: ARRAY<ARRAY<DOUBLE>>)` →
+  * `ARRAY<DOUBLE>` with out[j] = Σ_i v[i]·rot[i][j] (row-major,
+  * vector-on-the-left — the [[graft.operators.Similarity]] rotation
+  * convention). The higher-order formulation
+  * (`transform(seq, j -> aggregate(seq, ...))`) evaluates d²
+  * interpreted lambdas PER ROW; this is one fused primitive-double
+  * loop with real codegen, which is what makes rotating a full
+  * corpus (the OPQ encode pass) a scan-speed operation.
+  *
+  * NULL contract (family rule): ragged/mismatched shapes or any null
+  * element yield NULL, never a number from a truncated prefix. */
+case class VecRotate(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _),
+            ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<DOUBLE>, ARRAY<ARRAY<DOUBLE>>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_rotate"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val rot = r.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (rot.numElements() != n || n == 0) return null
+    val dOut = rot.getArray(0).numElements()
+    val out = new Array[Double](dOut)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i) || rot.isNullAt(i)) return null
+      val xi = v.getDouble(i)
+      val ri = rot.getArray(i)
+      if (ri.numElements() != dOut) return null
+      var j = 0
+      while (j < dOut) {
+        if (ri.isNullAt(j)) return null
+        out(j) += xi * ri.getDouble(j)
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val uad = "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dout = ctx.freshName("dout")
+      val bad = ctx.freshName("bad")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val xi = ctx.freshName("xi")
+      val ri = ctx.freshName("ri")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = ($b.numElements() != $n || $n == 0);
+         |int $dout = $bad ? 0 : $b.getArray(0).numElements();
+         |double[] $out = new double[$dout];
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  double $xi = $a.getDouble($i);
+         |  $ad $ri = $b.getArray($i);
+         |  if ($ri.numElements() != $dout) { $bad = true; break; }
+         |  for (int $j = 0; $j < $dout; $j++) {
+         |    if ($ri.isNullAt($j)) { $bad = true; break; }
+         |    $out[$j] += $xi * $ri.getDouble($j);
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $uad.fromPrimitiveArray($out); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecRotate = copy(newLeft, newRight)
+}
+
 object VectorFunctions {
   private[functions] def checkDoubleArrays(name: String,
       left: Expression, right: Expression): TypeCheckResult = {
@@ -175,6 +269,8 @@ object VectorFunctions {
       exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_rotate",
+      exprs => VecRotate(exprs(0), exprs(1)), "built-in")
     attachRewrite(spark)
   }
 

@@ -470,8 +470,10 @@ object Dedup {
           "AS v")
     // Lloyd trains on a bounded deterministic sample; only the final
     // ASSIGNMENT pass scans the corpus — centroid fitting is model
-    // work, not a per-row obligation (same discipline as opqTrain)
-    val train = e.filter(col("vec_id") < trainCap)
+    // work, not a per-row obligation (same discipline as opqTrain).
+    // Cached: every Lloyd pass + the seed collect scans it, and the
+    // normalize prologue would otherwise re-run per action.
+    val train = e.filter(col("vec_id") < trainCap).persist()
     def centDf(c: Map[Int, Seq[Double]]): DataFrame =
       c.toSeq.sortBy(_._1).toDF("cid", "cent")
     def assign(src: DataFrame, cdf: DataFrame): DataFrame =
@@ -499,10 +501,13 @@ object Dedup {
           cid -> vs.map(_._2).sortBy(_._1).map(_._2).toSeq }
       cent = cent ++ upd
     }
-    assign(e, centDf(cent))
+    val out = assign(e, centDf(cent))
       .join(broadcast(centDf(cent)), Seq("cid"))
       .selectExpr("vec_id", "cid", "v",
         "round(graft_cosine(v, cent), 9) AS csim")
+      .persist() // consumers self-join it (pair stage) + re-join it
+    train.unpersist()
+    out
   }
 
   /** The SemDeDup keep-rule over cluster assignments: b is PRUNED iff

@@ -112,14 +112,14 @@ object Similarity {
   }
 
   /** Apply the rotation to every vector: one cross join with the
-    * 1-row broadcast model, O(d²) multiply-adds per row inside
-    * whole-stage codegen — no UDF, no driver round trip. */
+    * 1-row broadcast model, then the native codegen'd graft_rotate
+    * matrix–vector primitive — one fused primitive-double loop per
+    * row (the HOF formulation evaluated d² interpreted lambdas per
+    * row, which made the full-corpus encode pass model-bound instead
+    * of scan-bound). No UDF, no driver round trip. */
   private def rotated(vecs: DataFrame, rdf: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(rdf))
-      .selectExpr("vec_id", "label",
-        "transform(sequence(0, size(vn) - 1), j -> " +
-          "aggregate(sequence(0, size(vn) - 1), CAST(0 AS DOUBLE), " +
-          "(acc, i) -> acc + vn[i] * rot[i][j])) AS vn")
+      .selectExpr("vec_id", "label", "graft_rotate(vn, rot) AS vn")
 
   /** Split d-dim vectors into m contiguous sub-vectors — the PQ
     * subspace explode shared by training, encoding and the OPQ loop. */
@@ -142,24 +142,33 @@ object Similarity {
         "collect_list(struct(sub, cent))), p -> p.cent)) AS rv"))
 
   /** d×d cross-covariance Xᵀ X̂ as a partial-aggregated sum of
-    * per-row outer products: each partition combines its rows into
-    * ≤ d² partial sums before the single d²-key shuffle, and DECIMAL
+    * per-row outer products: ONE posexplode over the x side (n·d
+    * rows), then d sum columns per row-index — no (i,j)-exploded
+    * intermediate ever materializes, and each partition combines its
+    * rows into ≤ d partial rows before the d-key shuffle. DECIMAL
     * accumulation makes the matrix bit-identical under any
-    * partitioning (components are ≤ 1 in magnitude, so 13 integer
-    * digits cover corpora to 10¹² rows). Only d² doubles reach the
-    * driver. */
+    * partitioning; precision 18 keeps Spark's Long-backed Decimal
+    * (no BigDecimal allocation on the hot path), and scale 12 leaves
+    * 6 integer digits — components are ≤ 1 in magnitude and the sum
+    * runs over the BOUNDED training sample (≤ opqTrain.trainCap ≤
+    * 10⁶ by construction), so the sum fits with room. Only d²
+    * doubles reach the driver. */
   private def crossCov(x: DataFrame, xhat: DataFrame,
       d: Int): Array[Array[Double]] = {
     val m = Array.fill(d, d)(0.0)
+    val sums = (0 until d).map(j =>
+      sum((col("xi") * col("rv").getItem(j)).cast("decimal(18,12)"))
+        .cast("double").as(s"c$j"))
     x.select(col("vec_id"), col("vn")).join(xhat, Seq("vec_id"))
       .select(posexplode(col("vn")).as(Seq("i", "xi")), col("rv"))
-      .select(col("i"), col("xi"),
-        posexplode(col("rv")).as(Seq("j", "yj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum((col("xi") * col("yj")).cast("decimal(38,25)"))
-        .cast("double").as("mij"))
+      .groupBy(col("i"))
+      .agg(sums.head, sums.tail: _*)
       .collect()
-      .foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      .foreach { r =>
+        val i = r.getInt(0)
+        var j = 0
+        while (j < d) { m(i)(j) = r.getDouble(j + 1); j += 1 }
+      }
     m
   }
 
@@ -196,13 +205,24 @@ object Similarity {
       val y = rotated(sample, rotationDf(s, r)).persist()
       val sub = subSplit(y, m, d)
       val code = pqTrain(s, sub, ks, lloydIters)
-      val rec = reconstructed(sub, codebookDf(s, code))
+      // materialize the reconstruction EAGERLY before the covariance
+      // collect: fusing both into one action hands AQE a DAG whose
+      // re-planning costs more than either job executes in — two
+      // small jobs beat one deep one (measured 4×)
+      val rec = reconstructed(sub, codebookDf(s, code)).persist()
+      rec.count()
       val cov = crossCov(sample, rec, d)
+      rec.unpersist()
       y.unpersist()
       r = procrustes(cov, d)
     }
-    val yF = rotated(sample, rotationDf(s, r))
+    // cache the final-rotation frame: pqTrain runs lloydIters+1
+    // actions over it, and the O(d²)-per-row rotate is the priciest
+    // expression in the loop — recomputing it per action would cost
+    // more than the whole retrain
+    val yF = rotated(sample, rotationDf(s, r)).persist()
     val code = pqTrain(s, subSplit(yF, m, d), ks, lloydIters)
+    yF.unpersist()
     sample.unpersist()
     (r, code)
   }
@@ -544,14 +564,19 @@ object Similarity {
           .select(col("src"), col("dst"))
       }
 
-      // seed: k hash-derived pseudo-random neighbors per node
+      // seed: k hash-derived pseudo-random neighbors per node.
+      // Every loop-carried frame is localCheckpoint'ed (eager): an
+      // iterative self-join otherwise DOUBLES the logical plan each
+      // round, and re-analysis/AQE re-planning of that tree — not the
+      // 2-hop join itself — dominates wall clock. Truncating lineage
+      // per round is the Pregel/GraphX discipline; the checkpoint
+      // holds O(n·k) edge rows on executors, nothing on the driver.
       var g = best(all.select(col("vec_id").as("src"))
         .select(col("src"), explode(expr(
           s"transform(sequence(0, ${k - 1}), " +
             s"j -> CAST(pmod(hash(src, j), ${n}L) AS BIGINT))"))
           .as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()).persist()
-      g.count()
+        .filter(col("src") =!= col("dst")).distinct()).localCheckpoint()
 
       // NN-Descent: candidates = current ∪ reversed ∪ 2-hop edges
       for (_ <- 1 to rounds) {
@@ -559,11 +584,8 @@ object Similarity {
         val hop2 = g.select(col("src"), col("dst").as("mid"))
           .join(g.select(col("src").as("mid"), col("dst")), Seq("mid"))
           .select(col("src"), col("dst"))
-        val next = best(g.unionByName(rev).unionByName(hop2)
-          .filter(col("src") =!= col("dst")).distinct()).persist()
-        next.count()
-        g.unpersist()
-        g = next
+        g = best(g.unionByName(rev).unionByName(hop2)
+          .filter(col("src") =!= col("dst")).distinct()).localCheckpoint()
       }
 
       // beam search: start every query at k fixed entry nodes, expand
@@ -580,6 +602,7 @@ object Similarity {
 
       var visited = score(q.select(col("q_id"))
         .join(vecs.filter(col("id") < k).select(col("id").as("c_id"))))
+        .localCheckpoint()
       var frontier = visited.withColumn("rk", row_number().over(wBeam))
         .filter(col("rk") <= beam).select(col("q_id"), col("c_id"))
       for (_ <- 1 to steps) {
@@ -587,9 +610,13 @@ object Similarity {
           .join(g.select(col("src").as("c_id"), col("dst")), Seq("c_id"))
           .select(col("q_id"), col("dst").as("c_id"))
           .distinct())
+        // same lineage-truncation rule as the build loop: visited
+        // feeds both the next frontier and the final re-rank, so an
+        // un-truncated union chain is re-planned `steps` more times
         visited = visited.unionByName(expanded)
           .groupBy(col("q_id"), col("c_id"))
           .agg(max(col("cos")).as("cos"))
+          .localCheckpoint()
         frontier = visited.withColumn("rk", row_number().over(wBeam))
           .filter(col("rk") <= beam).select(col("q_id"), col("c_id"))
       }

@@ -55,6 +55,42 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(hof == native)
   }
 
+  test("graft_rotate ≡ HOF matmul; identity fixed point; shape/null -> NULL") {
+    VectorFunctions.register(spark)
+    // deterministic pseudo-random vectors + rotation-shaped matrix
+    val vecs = (0 until 20).map(i =>
+      Tuple1(Array.tabulate(8)(j => math.sin(i * 8 + j + 1))))
+      .toDF("v")
+    val rot = Seq.tabulate(8, 8)((i, j) => math.cos(i * 8 + j + 1) / 3.0)
+    val rdf = Seq(Tuple1(rot.map(_.toSeq))).toDF("rot")
+    val both = vecs.crossJoin(broadcast(rdf)).selectExpr(
+      "graft_rotate(v, rot) AS fast",
+      """transform(sequence(0, size(v) - 1), j ->
+        |  aggregate(sequence(0, size(v) - 1), CAST(0 AS DOUBLE),
+        |    (acc, i) -> acc + v[i] * rot[i][j])) AS slow""".stripMargin)
+      .as[(Seq[Double], Seq[Double])].collect()
+    both.foreach { case (fast, slow) =>
+      assert(fast.size == slow.size)
+      fast.zip(slow).foreach { case (f, g) =>
+        // identical loop order => bit-identical accumulation
+        assert(f == g, s"fast=$f slow=$g")
+      }
+    }
+    // identity rotation is a fixed point
+    val id = Seq.tabulate(8, 8)((i, j) => if (i == j) 1.0 else 0.0)
+    val idDf = Seq(Tuple1(id.map(_.toSeq))).toDF("rot")
+    vecs.crossJoin(broadcast(idDf))
+      .selectExpr("v", "graft_rotate(v, rot) AS r")
+      .as[(Seq[Double], Seq[Double])].collect()
+      .foreach { case (v, r) => assert(v == r) }
+    // shape mismatch (4x4 rot vs 8-dim vec) -> NULL, not a truncated rotate
+    val small = Seq(Tuple1(Seq.tabulate(4, 4)((i, j) => 1.0)
+      .map(_.toSeq))).toDF("rot")
+    val bad = vecs.limit(1).crossJoin(broadcast(small))
+      .selectExpr("graft_rotate(v, rot) AS r").collect()(0)
+    assert(bad.isNullAt(0))
+  }
+
   test("graft_shingles generator ≡ transform+explode; null yields no rows") {
     graft.functions.SketchFunctions.register(spark)
     val docs = Seq(
