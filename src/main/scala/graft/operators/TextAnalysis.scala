@@ -656,7 +656,90 @@ object TextAnalysis {
           "CAST(length(concat_ws(' ', slice(toks, start + 1, 32))) " +
             "AS BIGINT) AS chunk_chars")
         .orderBy(asc("doc_id"), asc("chunk_start"))
+    }),
+
+    // PII scrub — the redaction pass every production curation
+    // pipeline runs before training (emails, card-shaped ids, phone
+    // numbers, IPv4). Pure regexp projection: scan-bound, narrow, no
+    // shuffle until the final ORDER BY — the 100 TB shape is
+    // scan → regexp_replace chain → write, embarrassingly parallel.
+    // The fixture corpus carries no real PII, so deterministic
+    // synthetic PII is GRAFTED IN-PLAN from doc_id arithmetic
+    // (presence varies by doc_id mod 3/2/5, so the count columns are
+    // non-constant); the oracle evaluates the SAME construction and
+    // the SAME patterns, making the whole scrub hash-compared rather
+    // than spot-checked. Patterns stay inside the Java-regex ∩ RE2
+    // common subset (no lookaround, no \b) so both engines parse
+    // them identically; the DataFrame API passes them as data (lit),
+    // never through SQL-literal escape processing. Redaction order
+    // (email → card → phone → ip) is part of the operator contract —
+    // nested identically in the oracle.
+    "docs_pii_redact" -> ((s, dir) => {
+      piiRedactedDocs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(regexp_extract_all(col("aug"), lit(piiEmailRe), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("aug"), lit(piiCardRe), lit(0)))
+            .cast("long").as("n_card"),
+          size(regexp_extract_all(col("aug"), lit(piiPhoneRe), lit(0)))
+            .cast("long").as("n_phone"),
+          size(regexp_extract_all(col("aug"), lit(piiIpRe), lit(0)))
+            .cast("long").as("n_ip"),
+          (length(col("aug")) - length(col("red")))
+            .cast("long").as("chars_redacted"),
+          md5(col("red")).as("red_md5"))
+        .orderBy(asc("doc_id"))
     }))
+
+  /** The per-doc (aug, red) frame behind `docs_pii_redact`: synthetic
+    * PII grafted from doc_id arithmetic, then the ordered redaction
+    * chain. Spec-facing so tests can assert redaction is TOTAL
+    * (re-scanning `red` with every pattern finds nothing) without
+    * shipping full text through the driver compare. */
+  private[graft] def piiRedactedDocs(s: SparkSession,
+      dir: String): DataFrame = {
+    val idm = (k: Int) => (col("doc_id") % k).cast("string")
+    val aug0 = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0, lit("")).otherwise(concat(
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com ping admin."), idm(97),
+        lit("@corp.example.org"))),
+      when(col("doc_id") % 2 === 0, concat(lit(" tel +1-555-"),
+        lpad(idm(10000), 4, "0"))).otherwise(lit("")),
+      lit(" from 10."), idm(256), lit(".0."), idm(250),
+      when(col("doc_id") % 5 === 0, concat(lit(" card 4111-1111-1111-"),
+        lpad(idm(10000), 4, "0"))).otherwise(lit("")))
+    val red0 = Seq(piiEmailRe -> "<EMAIL>", piiCardRe -> "<CARD>",
+        piiPhoneRe -> "<PHONE>", piiIpRe -> "<IP>")
+      .foldLeft(aug0) { case (c, (p, r)) =>
+        regexp_replace(c, lit(p), lit(r)) }
+    docs(s, dir).select(col("doc_id"), col("lang"),
+      aug0.as("aug"), red0.as("red"))
+  }
+
+  /** PII patterns — Java-regex ∩ RE2 common subset, shared verbatim
+    * with the DuckDB oracle text (the shared constant IS the
+    * contract, as with [[splitHash]]). */
+  private[graft] val piiEmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val piiCardRe = "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"
+  private[graft] val piiPhoneRe = "\\+1-555-[0-9]{4}"
+  private[graft] val piiIpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** The synthetic-PII augmentation as ANSI SQL — the oracle twin of
+    * the in-plan construction above. */
+  private val piiAugSql =
+    """text ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN '' ELSE ' contact user' ||
+      |    CAST(doc_id AS VARCHAR) || '@mail.example.com ping admin.' ||
+      |    CAST(doc_id % 97 AS VARCHAR) || '@corp.example.org' END) ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN ' tel +1-555-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) ||
+      |  ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+      |  CAST(doc_id % 250 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN ' card 4111-1111-1111-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)""".stripMargin
 
   private val toksSql = "string_split(text, ' ')"
 
@@ -881,5 +964,21 @@ object TextAnalysis {
          |      WHERE text IS NOT NULL),
          |  LATERAL unnest(generate_series(0, len(toks) - 1, 24))
          |    AS t(start)
-         |ORDER BY doc_id, chunk_start""".stripMargin)
+         |ORDER BY doc_id, chunk_start""".stripMargin,
+    "docs_pii_redact" ->
+      s"""SELECT doc_id, lang,
+         |  len(regexp_extract_all(aug, '$piiEmailRe')) AS n_email,
+         |  len(regexp_extract_all(aug, '$piiCardRe')) AS n_card,
+         |  len(regexp_extract_all(aug, '$piiPhoneRe')) AS n_phone,
+         |  len(regexp_extract_all(aug, '$piiIpRe')) AS n_ip,
+         |  CAST(length(aug) - length(red) AS BIGINT) AS chars_redacted,
+         |  md5(red) AS red_md5
+         |FROM (SELECT doc_id, lang, aug,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      aug, '$piiEmailRe', '<EMAIL>', 'g'),
+         |      '$piiCardRe', '<CARD>', 'g'),
+         |      '$piiPhoneRe', '<PHONE>', 'g'),
+         |      '$piiIpRe', '<IP>', 'g') AS red
+         |  FROM (SELECT doc_id, lang, $piiAugSql AS aug FROM documents))
+         |ORDER BY doc_id""".stripMargin)
 }

@@ -162,12 +162,16 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     fullSchema: StructType) extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
-  with SupportsPushDownLimit with SupportsPushDownTopN {
+  with SupportsPushDownLimit with SupportsPushDownTopN
+  with SupportsPushDownOffset {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var aggAnswer: Option[(StructType, Array[String], String)] = None
   private var limitKept: Option[(Seq[FileEntry], String)] = None
+  private var limitIsTopN = false
+  // (files surviving the skip, rows still to skip in the FIRST one, desc)
+  private var offsetSkip: Option[(Seq[FileEntry], Long, String)] = None
 
   // both pushdown traits default this true; Scala needs the diamond
   // resolved explicitly. True = Spark always re-applies the exact
@@ -360,6 +364,37 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     limitKept = Some((keptEv ++ blind,
       s"PushedTopN: ORDER BY $colName ${if (asc) "ASC" else "DESC"} " +
         s"${if (nullsFirst) "NULLS FIRST" else "NULLS LAST"} LIMIT $limit"))
+    limitIsTopN = true
+    true
+  }
+
+  /** OFFSET pushdown, EXACT by contract: when this returns true Spark
+    * deletes the Offset operator, so the scan must drop precisely
+    * `offset` rows — whole head files whose exact footer counts fit
+    * under the offset, plus an in-reader skip of the remainder in the
+    * first surviving file. Sound only when counts are authoritative
+    * (no tombstones) and nothing else drops rows before the skip (no
+    * pushed filters — also keeps parquet row-group filtering off in
+    * the reader). OFFSET without ORDER BY selects an arbitrary
+    * complement, so "these particular rows" is any-`offset`-rows; the
+    * skip is still made exact so a downstream kept LIMIT sees the
+    * right count. Composes with a prior pushLimit (Spark pushes
+    * `limit+offset` as the limit in the combined shape, so the prefix
+    * covers the skip plus the limit); never with TopN — the head
+    * files of a TopN-kept set are not a row-count prefix. */
+  override def pushOffset(offset: Int): Boolean = {
+    val (tombs, data0) = manifestSplit()
+    if (tombs.nonEmpty || pushed.nonEmpty || offset <= 0 || limitIsTopN)
+      return false
+    val data = limitKept.map(_._1).getOrElse(data0)
+    if (data.exists(_.rows.isEmpty)) return false
+    var rem = offset.toLong
+    val kept = data.dropWhile { e =>
+      val drop = e.rows.get <= rem
+      if (drop) rem -= e.rows.get
+      drop
+    }
+    offsetSkip = Some((kept, rem, s"PushedOffset: OFFSET $offset"))
     true
   }
 
@@ -380,18 +415,22 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     val (entries, mSchema) =
       SnapshotTable.readManifestFull(spark, root, version)
     val (tombs, data) = entries.partition(_.kind == "t")
-    val base = limitKept.map(_._1).getOrElse(data)
+    val base = offsetSkip.map(_._1)
+      .orElse(limitKept.map(_._1)).getOrElse(data)
     val kept = pushed.foldLeft(base)((es, f) =>
       GraftPruning.prune(spark, root, fullSchema, mSchema, es, f))
     val tombKey = tombs.headOption.map(_.statsKey.getOrElse(
       throw new IllegalStateException(
         s"tombstone entry without a key column at $root")))
+    val descs = (limitKept.map(_._2) ++ offsetSkip.map(_._3)).toSeq
     new GraftScan(root, version, kept, data.size, required, pushed,
       tombs, tombKey,
       tombKey.map(k => fullSchema.fields.find(_.name == k).getOrElse(
         throw new IllegalStateException(
           s"tombstone key '$k' missing from table schema")).dataType),
-      limitKept.map(_._2))
+      if (descs.isEmpty) None else Some(descs.mkString(" ")),
+      offsetSkip.collect { case (ks, rem, _) if rem > 0 && ks.nonEmpty =>
+        (ks.head.path, rem) })
   }
 }
 
@@ -556,7 +595,7 @@ private[connector] case class TombRef(absolutePath: String, seq: Long)
   * `keyName`/`keyTypeJson` are null then. */
 private[connector] case class GraftInputPartition(absolutePath: String,
     seq: Long, tombs: Array[TombRef], keyName: String,
-    keyTypeJson: String) extends InputPartition
+    keyTypeJson: String, skipRows: Long = 0L) extends InputPartition
 
 /** The scan a COMPLETELY pushed aggregate plans to: one partition,
   * one row, values computed at PLANNING time from the manifest (the
@@ -626,7 +665,8 @@ private[connector] class GraftScan(root: String, version: Long,
     keptData: Seq[FileEntry], totalFiles: Int, required: StructType,
     pushed: Array[Filter], tombs: Seq[FileEntry],
     tombKey: Option[String], tombKeyType: Option[DataType],
-    limitDesc: Option[String] = None)
+    limitDesc: Option[String] = None,
+    offsetSkipFile: Option[(String, Long)] = None)
   extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -676,9 +716,14 @@ private[connector] class GraftScan(root: String, version: Long,
     runtimeKept.map { e =>
       val mine = tombs.filter(applies(_, e)).map(t =>
         TombRef(new Path(root, t.path).toString, t.seq)).toArray
+      // a runtime filter may prune the skip-designated file — sound:
+      // pruning proves none of its rows (skipped region included)
+      // could match, so dropping the file subsumes the skip
+      val skip = offsetSkipFile.collect {
+        case (p, n) if p == e.path => n }.getOrElse(0L)
       GraftInputPartition(new Path(root, e.path).toString, e.seq,
         mine, tombKey.orNull,
-        tombKeyType.map(_.json).orNull)
+        tombKeyType.map(_.json).orNull, skip)
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -741,7 +786,7 @@ private[connector] class GraftReaderFactory(requiredJson: String,
     val p = partition.asInstanceOf[GraftInputPartition]
     if (p.tombs.isEmpty)
       new GraftPartitionReader(p.absolutePath, required,
-        required.length, -1, null, pushed)
+        required.length, -1, null, pushed, p.skipRows)
     else {
       val keyType = DataType.fromJson(p.keyTypeJson)
       val kills = GraftTombstones.killSet(p.tombs, p.keyName, keyType)
@@ -920,7 +965,8 @@ private[connector] object GraftTombstones {
 private[graft] class GraftPartitionReader(file: String,
     readSchema: StructType, emitLen: Int, killIdx: Int,
     killSet: java.util.HashSet[Any],
-    filters: Array[Filter] = Array.empty)
+    filters: Array[Filter] = Array.empty,
+    skipRows: Long = 0L)
   extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -957,6 +1003,11 @@ private[graft] class GraftPartitionReader(file: String,
 
   private var current: Group = _
 
+  // pushed-offset remainder: drop the file's first `skipRows` rows
+  // before anything else sees them (guarded upstream: never combined
+  // with tombstones or filters, so physical rows == scan rows)
+  private var toSkip: Long = skipRows
+
   private def valueAt(i: Int): Any =
     fieldIdx.get(readSchema.fields(i).name) match {
       case None => null // file predates the column
@@ -964,6 +1015,10 @@ private[graft] class GraftPartitionReader(file: String,
     }
 
   override def next(): Boolean = {
+    while (toSkip > 0) {
+      if (reader.read() == null) return false
+      toSkip -= 1
+    }
     while (true) {
       current = reader.read()
       if (current == null) return false

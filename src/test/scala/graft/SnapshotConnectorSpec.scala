@@ -519,6 +519,49 @@ class SnapshotConnectorSpec extends SparkSpec {
     }
   }
 
+  test("OFFSET pushdown drops whole head files plus an exact in-file " +
+      "remainder; composes with LIMIT; declines on MOR") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 20000).map(i => (i.toLong, i * 2.0)).toDF("k", "x"),
+      clusterKey = Some("k"), files = 8)
+    val total = 20000L
+    // plain OFFSET: Spark deletes the Offset operator, so the scan's
+    // own skip must be exact — row count is the proof
+    val q = readFmt(root).load().offset(3000)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedOffset: OFFSET 3000"), plan)
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan).get
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"OFFSET 3000 over 2500-row files must drop head files:\n$plan")
+    assert(q.count() == total - 3000)
+    // OFFSET without ORDER BY drops an ARBITRARY 3000 rows (manifest
+    // order, not key order) — what must hold is that the survivors
+    // are 17000 DISTINCT original rows, i.e. the skip neither
+    // duplicated nor re-read anything (the 547-row in-file remainder
+    // is included in that arithmetic: 8 × 2500-row files can only
+    // reach 3000 with a partial-file skip)
+    val kept = q.select("k").collect().map(_.getLong(0))
+    assert(kept.length == (total - 3000).toInt)
+    assert(kept.distinct.length == kept.length, "skip duplicated rows")
+    assert(kept.forall(k => k >= 1L && k <= total))
+    // LIMIT + OFFSET combined: Spark pushes limit+offset as the
+    // limit, then the offset — count must be exactly the limit
+    val lo = readFmt(root).load().offset(2600).limit(10)
+    val planLo = lo.queryExecution.executedPlan.toString
+    assert(planLo.contains("PushedOffset: OFFSET 2600"), planLo)
+    assert(lo.count() == 10)
+    assert(lo.select("k").collect().map(_.getLong(0)).forall(_ > 2600))
+    // offset beyond the table: empty, never negative
+    assert(readFmt(root).load().offset(30000).count() == 0)
+    // MOR: counts overcount, the pushdown must decline
+    SnapshotTable.deleteKeysOnRead(spark, root, Seq(1L).toDF("k"), "k")
+    val mor = readFmt(root).load().offset(10)
+    assert(!mor.queryExecution.executedPlan.toString
+      .contains("PushedOffset"), "MOR table must not push offset")
+    assert(mor.count() == total - 1 - 10)
+  }
+
   test("LIMIT and top-N pushdown decline on merge-on-read tables: " +
       "tombstones can remove rows, so every data file stays planned") {
     val root = tmpRoot()

@@ -242,4 +242,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
       "trained-BPE stats must be bit-deterministic")
   }
+
+  test("pii redact: counts follow construction, redaction is total") {
+    val rows = TextAnalysis.queries("docs_pii_redact")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // the synthetic grafting rules ARE the expected counts
+      assert(r.getAs[Long]("n_email") == (if (id % 3 == 0) 0L else 2L))
+      assert(r.getAs[Long]("n_card") == (if (id % 5 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_phone") == (if (id % 2 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_ip") == 1L)
+      assert(r.getAs[Long]("chars_redacted") > 0L ||
+        (id % 3 == 0 && id % 5 != 0 && id % 2 != 0))
+    }
+    // redaction is TOTAL and the placeholders landed: re-scanning the
+    // redacted text with every pattern finds nothing, in-plan over
+    // the whole corpus
+    val red = TextAnalysis.piiRedactedDocs(spark, sfDir)
+    val leftover = red.filter(
+      regexp_count(col("red"), lit(TextAnalysis.piiEmailRe)) > 0 ||
+      regexp_count(col("red"), lit(TextAnalysis.piiCardRe)) > 0 ||
+      regexp_count(col("red"), lit(TextAnalysis.piiPhoneRe)) > 0 ||
+      regexp_count(col("red"), lit(TextAnalysis.piiIpRe)) > 0).count()
+    assert(leftover == 0L, s"$leftover docs still carry PII patterns")
+    val placed = red.filter(col("red").contains("<IP>")).count()
+    assert(placed == red.count(), "every doc grafts an IP, so every " +
+      "redacted doc must carry the <IP> placeholder")
+  }
 }
