@@ -658,6 +658,75 @@ object TextAnalysis {
         .orderBy(asc("doc_id"), asc("chunk_start"))
     }),
 
+    // DSIR feature extraction (Xie et al. 2023, arXiv:2302.03169,
+    // "Data Selection for Language Models via Importance
+    // Resampling"): hashed n-gram bucket distributions for the
+    // target domain vs the raw corpus — the model the importance
+    // weights are computed from. Buckets come from a PORTABLE string
+    // hash (first 6 hex chars of md5 → int → mod B) so the whole
+    // feature pipeline — tokenize → unigram+bigram → hash → bucket
+    // histogram — is hash-compared against DuckDB, not spot-checked;
+    // Spark spells it conv(hex,16,10), DuckDB casts '0x'||hex, both
+    // over the same md5. B=1024 keeps the model a broadcast-sized
+    // table at any corpus size; the two histograms are one scan with
+    // a conditional count. Scale: explode(ngrams) is the only fan-out
+    // (O(tokens) rows), aggregated map-side into ≤B partials.
+    "docs_dsir_buckets" -> ((s, dir) => {
+      dsirNgrams(s, dir)
+        .selectExpr("lang", s"$dsirBucketExpr AS bucket")
+        .groupBy(col("bucket"))
+        .agg(count(when(col("lang") === "en", 1)).as("n_target"),
+          count(lit(1)).as("n_raw"))
+        .orderBy(asc("bucket"))
+    }),
+
+    // DSIR importance resampling: per-doc importance weight
+    // Σ_b n_b · ln(p_b/q_b) over the doc's bucket counts, where p/q
+    // are the +1-smoothed target/raw bucket distributions from
+    // docs_dsir_buckets, then the top-K docs by weight (temperature-0
+    // selection — the paper's Gumbel top-k with the noise term
+    // dropped, so the query is deterministic). The B-row log-ratio
+    // model BROADCASTS (a declared-size cap, not a data-dependent
+    // bet); the corpus side aggregates to (doc, bucket) counts before
+    // the join, so the shuffle is bounded by docs × min(B, doc
+    // vocabulary). The ratio is computed in a fixed parenthesization
+    // of two double divisions (overflow-safe at any corpus size,
+    // unlike an integer cross-product). ln() puts the weight outside
+    // cross-engine float reproducibility ⇒ rows-only driver check;
+    // the targeting property (selected sample enriches the target
+    // domain) and bit-determinism are spec-asserted, and the bucket
+    // model itself IS oracled above.
+    "docs_dsir_sample" -> ((s, dir) => {
+      val k = 200
+      val b = 1024
+      val perBucket = dsirNgrams(s, dir)
+        .selectExpr("doc_id", s"$dsirBucketExpr AS bucket")
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val model = dsirNgrams(s, dir)
+        .selectExpr("lang", s"$dsirBucketExpr AS bucket")
+        .groupBy(col("bucket"))
+        .agg(count(when(col("lang") === "en", 1)).as("nt"),
+          count(lit(1)).as("nr"))
+      val totals = model.agg(sum(col("nt")).as("tt"),
+        sum(col("nr")).as("tr")).collect()(0)
+      val (tt, tr) = (totals.getLong(0), totals.getLong(1))
+      val ratio = model.withColumn("lr", log(
+        (col("nt").cast("double") + 1.0) / (col("nr").cast("double") + 1.0)
+          * lit((tr + b).toDouble / (tt + b).toDouble)))
+        .select(col("bucket"), col("lr"))
+      val w = perBucket.join(broadcast(ratio), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(sum((col("n") * col("lr")).cast("decimal(38,18)"))
+          .cast("double").as("w"))
+      w.join(docs(s, dir).select(col("doc_id"), col("lang"),
+          col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          round(col("w"), 6).as("w_r"))
+        .orderBy(desc("w_r"), asc("doc_id"))
+        .limit(k)
+    }),
+
     // PII scrub — the redaction pass every production curation
     // pipeline runs before training (emails, card-shaped ids, phone
     // numbers, IPv4). Pure regexp projection: scan-bound, narrow, no
@@ -690,6 +759,26 @@ object TextAnalysis {
           md5(col("red")).as("red_md5"))
         .orderBy(asc("doc_id"))
     }))
+
+  /** Unigrams + bigrams per doc, exploded — the DSIR feature stream.
+    * Single-token docs contribute their lone unigram (the CASE guard
+    * keeps Spark's sequence() off the descending-range trap). */
+  private def dsirNgrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(col("text").isNotNull)
+      .selectExpr("doc_id", "lang", s"$toks AS t")
+      .selectExpr("doc_id", "lang",
+        """explode(CASE WHEN size(t) < 2 THEN t
+          |  ELSE concat(t, transform(sequence(0, size(t) - 2),
+          |    i -> concat(t[i], ' ', t[i+1]))) END) AS ng""".stripMargin)
+
+  /** Portable n-gram → bucket hash: first 6 hex chars of md5, read as
+    * an integer, mod B=1024 — Spark spelling. The DuckDB twin in the
+    * oracle casts '0x'||hex; both evaluate the same md5 over UTF-8,
+    * so bucket assignment is engine-independent (the same contract
+    * idea as [[splitHash]], extended to STRING keys). */
+  private val dsirBucketExpr =
+    "CAST(conv(substring(md5(ng), 1, 6), 16, 10) AS BIGINT) % 1024"
 
   /** The per-doc (aug, red) frame behind `docs_pii_redact`: synthetic
     * PII grafted from doc_id arithmetic, then the ordered redaction
@@ -740,6 +829,19 @@ object TextAnalysis {
       |  CAST(doc_id % 250 AS VARCHAR) ||
       |  (CASE WHEN doc_id % 5 = 0 THEN ' card 4111-1111-1111-' ||
       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)""".stripMargin
+
+  /** DuckDB twin of [[dsirNgrams]] + [[dsirBucketExpr]] (1-indexed
+    * lists, so the bigram range shifts by one). */
+  private val dsirBucketsSql =
+    """SELECT lang,
+      |  CAST(('0x' || substr(md5(ng), 1, 6)) AS BIGINT) % 1024 AS bucket
+      |FROM (
+      |  SELECT lang, unnest(CASE WHEN len(t) < 2 THEN t
+      |    ELSE list_concat(t, list_transform(
+      |      generate_series(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1])) END) AS ng
+      |  FROM (SELECT lang, string_split(text, ' ') AS t FROM documents
+      |        WHERE text IS NOT NULL))""".stripMargin
 
   private val toksSql = "string_split(text, ' ')"
 
@@ -980,5 +1082,11 @@ object TextAnalysis {
          |      '$piiPhoneRe', '<PHONE>', 'g'),
          |      '$piiIpRe', '<IP>', 'g') AS red
          |  FROM (SELECT doc_id, lang, $piiAugSql AS aug FROM documents))
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "docs_dsir_buckets" ->
+      s"""SELECT bucket,
+         |  count(*) FILTER (WHERE lang = 'en') AS n_target,
+         |  count(*) AS n_raw
+         |FROM ($dsirBucketsSql)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin)
 }

@@ -271,4 +271,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(placed == red.count(), "every doc grafts an IP, so every " +
       "redacted doc must carry the <IP> placeholder")
   }
+
+  test("dsir: selection enriches the target domain and is " +
+      "bit-deterministic; bucket model covers every n-gram") {
+    val sel = TextAnalysis.queries("docs_dsir_sample")(spark, sfDir)
+    val a = sel.collect()
+    assert(a.length == 200)
+    // targeting: the selected fraction of lang='en' docs must beat
+    // the corpus base rate — importance weights that do not enrich
+    // the target distribution are not importance weights
+    val d = Tables.load(spark, sfDir, "documents")
+    val baseRate = d.filter(col("lang") === "en").count().toDouble /
+      d.count()
+    val selRate = a.count(_.getString(1) == "en").toDouble / a.length
+    assert(selRate > baseRate,
+      f"selected en-rate $selRate%.3f must exceed base $baseRate%.3f")
+    // determinism: same model, same weights, same sample
+    val b = TextAnalysis.queries("docs_dsir_sample")(spark, sfDir)
+      .collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // the oracled bucket histogram accounts for every n-gram
+    // occurrence: Σ n_raw == total unigrams + bigrams
+    val buckets = TextAnalysis.queries("docs_dsir_buckets")(spark, sfDir)
+    val nRaw = buckets.agg(sum("n_raw")).collect()(0).getLong(0)
+    val expected = d.filter(col("text").isNotNull)
+      .selectExpr("size(split(text, ' ')) AS n")
+      .selectExpr("CASE WHEN n < 2 THEN n ELSE 2 * n - 1 END AS c")
+      .agg(sum("c")).collect()(0).getLong(0)
+    assert(nRaw == expected,
+      s"bucket mass $nRaw != n-gram occurrences $expected")
+  }
 }
