@@ -498,6 +498,85 @@ object TextAnalysis {
         .orderBy(asc("doc_id"))
     }),
 
+    // EXACT duplicated-span detection — the suffix-array twin of the
+    // shingle-granularity docs_dup_span_stats (Lee et al. 2022 build a
+    // single-node suffix array for exact substring dedup; this is the
+    // same neighbor-scan re-expressed as ONE distributed range-
+    // partitioned sort). Every token position contributes its L-capped
+    // suffix window; windows sort lexicographically (the suffix-array
+    // order); every globally-adjacent pair from DIFFERENT docs yields
+    // a token-level LCP. Per-doc max cross-doc span is EXACT (capped
+    // at L): if doc A shares an ℓ-token span with B, all suffixes
+    // between their entries share an ℓ-prefix, so walking from A's
+    // entry the first doc-change adjacency is (A, non-A) with LCP ≥ ℓ.
+    // Scale shape: O(tokens) suffix rows (L× string amplification is
+    // the declared cost — Lee et al. pay pointers instead), one
+    // repartitionByRange sort, adjacency closed per partition with
+    // only the P partition-head rows (P = partition count, driver-
+    // bounded) exchanged for the boundaries — the mapPartitions here
+    // is the genuine per-partition-imperative case, not a shortcut.
+    // Pair enumeration is partition-invariant: range partitions tile
+    // the total (w, doc_id, p) order, so every adjacent pair is seen
+    // exactly once wherever the boundaries fall. All-integer outputs
+    // over a deterministic total order ⇒ DuckDB-oracled end-to-end.
+    "docs_exact_dup_spans" -> ((s, dir) => {
+      import s.implicits._
+      val L = 16
+      val suf = docs(s, dir).filter(col("text").isNotNull)
+        .selectExpr("doc_id", s"$toks AS t")
+        .selectExpr("doc_id", "t", "explode(sequence(1, size(t))) AS p")
+        .selectExpr("doc_id", "CAST(p AS BIGINT) AS p",
+          s"concat_ws(' ', slice(t, p, $L)) AS w")
+      val sorted = suf
+        .repartitionByRange(32, col("w"), col("doc_id"), col("p"))
+        .sortWithinPartitions("w", "doc_id", "p")
+        .select(col("doc_id"), col("p"), col("w"))
+        .as[(Long, Long, String)]
+        .persist()
+      // partition heads: the P-row boundary exchange
+      val heads = sorted.rdd.mapPartitionsWithIndex((i, it) =>
+        if (it.hasNext) Iterator((i, it.next())) else Iterator.empty)
+        .collect().toMap
+      val nParts = sorted.rdd.getNumPartitions
+      def lcp(a: String, b: String): Int = {
+        val ta = a.split(' '); val tb = b.split(' ')
+        val n = math.min(ta.length, tb.length)
+        var i = 0
+        while (i < n && ta(i) == tb(i)) i += 1
+        i
+      }
+      val pairs = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+        val out = Iterator.newBuilder[(Long, Long, Int)]
+        var prev: (Long, Long, String) = null
+        for (cur <- it) {
+          if (prev != null && prev._1 != cur._1)
+            out += ((prev._1, cur._1, lcp(prev._3, cur._3)))
+          prev = cur
+        }
+        // my last row is adjacent to the next non-empty partition's head
+        if (prev != null) {
+          var j = i + 1
+          while (j < nParts && !heads.contains(j)) j += 1
+          heads.get(j).foreach { h =>
+            if (prev._1 != h._1)
+              out += ((prev._1, h._1, lcp(prev._3, h._3)))
+          }
+        }
+        out.result()
+      }.toDF("a", "b", "lcp")
+      val sides = pairs.select(col("a").as("doc_id"), col("lcp"))
+        .unionByName(pairs.select(col("b").as("doc_id"), col("lcp")))
+      val agg = sides.groupBy(col("doc_id"))
+        .agg(max(col("lcp")).as("max_span"),
+          count(when(col("lcp") >= 8, 1)).as("n_dup8"))
+      docs(s, dir).filter(col("text").isNotNull).select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "CAST(coalesce(max_span, 0) AS BIGINT) AS max_span",
+          "coalesce(n_dup8, CAST(0 AS BIGINT)) AS n_dup8")
+        .orderBy(asc("doc_id"))
+    }),
+
     // Sequence PACKING — the other pre-training staple: concatenate each
     // (lang, split) stream in doc_id order and chunk it into 1024-token
     // training sequences; a doc belongs to the sequence its LAST token
@@ -1088,5 +1167,37 @@ object TextAnalysis {
          |  count(*) FILTER (WHERE lang = 'en') AS n_target,
          |  count(*) AS n_raw
          |FROM ($dsirBucketsSql)
-         |GROUP BY bucket ORDER BY bucket""".stripMargin)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "docs_exact_dup_spans" ->
+      """WITH suf AS (
+        |  SELECT doc_id, p,
+        |    array_to_string(list_slice(t, p, p + 15), ' ') AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents WHERE text IS NOT NULL),
+        |       LATERAL unnest(generate_series(1, len(t))) AS u(p)),
+        |nbr AS (
+        |  SELECT doc_id, w, lag(doc_id) OVER o AS pd,
+        |    lag(w) OVER o AS pw
+        |  FROM suf WINDOW o AS (ORDER BY w, doc_id, p)),
+        |lcps AS (
+        |  -- list_position returns 0 (not NULL) when no element
+        |  -- mismatches: nullif maps the all-equal case to the full
+        |  -- common length
+        |  SELECT doc_id AS a, pd AS b,
+        |    coalesce(nullif(list_position(list_transform(
+        |      generate_series(1, least(len(ta), len(tb))),
+        |      i -> CASE WHEN ta[i] = tb[i] THEN 1 ELSE 0 END), 0), 0)
+        |      - 1, least(len(ta), len(tb))) AS lcp
+        |  FROM (SELECT doc_id, pd, string_split(w, ' ') AS ta,
+        |          string_split(pw, ' ') AS tb
+        |        FROM nbr WHERE pd IS NOT NULL AND pd <> doc_id)),
+        |sides AS (SELECT a AS doc_id, lcp FROM lcps
+        |          UNION ALL SELECT b AS doc_id, lcp FROM lcps),
+        |agg AS (SELECT doc_id, max(lcp) AS mx,
+        |          count(*) FILTER (WHERE lcp >= 8) AS nd
+        |        FROM sides GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(mx, 0) AS BIGINT) AS max_span,
+        |  CAST(coalesce(nd, 0) AS BIGINT) AS n_dup8
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |WHERE d.text IS NOT NULL ORDER BY d.doc_id""".stripMargin)
 }

@@ -272,6 +272,48 @@ class TextAnalysisSpec extends SparkSpec {
       "redacted doc must carry the <IP> placeholder")
   }
 
+  test("exact dup spans: per-doc max equals brute-force suffix " +
+      "comparison (capped at L=16), and the scan is deterministic") {
+    val q = TextAnalysis.queries("docs_exact_dup_spans")
+    val got = q(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent O(n²·L) ground truth on a bounded slice: for each
+    // of the first 25 docs, the true max cross-doc LCP over ALL
+    // suffix pairs against the WHOLE corpus
+    val all = Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ')).toMap
+    val probe = all.keys.toSeq.sorted.take(25)
+    probe.foreach { a =>
+      val ta = all(a)
+      var best = 0
+      all.foreach { case (b, tb) =>
+        if (b != a) {
+          var i = 0
+          while (i < ta.length) {
+            var j = 0
+            while (j < tb.length) {
+              var l = 0
+              while (l < 16 && i + l < ta.length && j + l < tb.length &&
+                ta(i + l) == tb(j + l)) l += 1
+              if (l > best) best = l
+              j += 1
+            }
+            i += 1
+          }
+        }
+      }
+      assert(got(a) == best.toLong,
+        s"doc $a: scan says ${got(a)}, brute force says $best")
+    }
+    // determinism across runs (range-partition boundaries must not
+    // change the enumerated adjacency set)
+    val again = q(spark, sfDir).collect()
+    assert(q(spark, sfDir).collect().map(_.toSeq).toSeq ==
+      again.map(_.toSeq).toSeq)
+  }
+
   test("dsir: selection enriches the target domain and is " +
       "bit-deterministic; bucket model covers every n-gram") {
     val sel = TextAnalysis.queries("docs_dsir_sample")(spark, sfDir)
