@@ -727,7 +727,12 @@ private[connector] class GraftScan(root: String, version: Long,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required.json, pushed)
+    new GraftReaderFactory(required.json, pushed,
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone,
+      // scan-GLOBAL columnar decision: Spark refuses mixed row/columnar
+      // partitions, so one tombstoned file de-vectorizes the whole scan
+      columnarOk = tombs.isEmpty && offsetSkipFile.isEmpty &&
+        pushed.isEmpty)
 
   /** Size-accurate planning: a v2 scan without statistics defaults to
     * "unknown = huge", which forbids the planner from ever
@@ -778,7 +783,28 @@ private[connector] class GraftScan(root: String, version: Long,
 }
 
 private[connector] class GraftReaderFactory(requiredJson: String,
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter], sessionTz: String = "UTC",
+    columnarOk: Boolean = false)
+  extends PartitionReaderFactory {
+
+  /** Columnar eligibility — decided ONCE for the whole scan (Spark
+    * refuses mixed row/columnar partitions, it does not fall back):
+    * no tombstones anywhere (the kill-set filter is a row-at-a-time
+    * concern), no pushed-offset remainder, and no pushed filters
+    * (the row reader trades vectorization for parquet ROW-GROUP
+    * pruning there — with a selective filter, skipped IO beats
+    * batched decode). */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnarOk
+
+  override def createColumnarReader(partition: InputPartition)
+  : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val required =
+      DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftColumnarReader(p.absolutePath, required, sessionTz)
+  }
+
   override def createReader(partition: InputPartition)
   : PartitionReader[InternalRow] = {
     val required =
@@ -962,6 +988,70 @@ private[connector] object GraftTombstones {
   * 0`, rows whose key value (at that index of `readSchema`) is in
   * `killSet` are skipped inside `next()` — the executor-side half of
   * the tombstone filter; a NULL key is never killed. */
+/** VECTORIZED read path: Spark's own parquet vectorized reader
+  * (`VectorizedParquetRecordReader`) serves `ColumnarBatch`es straight
+  * to `BatchScanExec`, so the scan → ColumnarToRow → downstream
+  * pipeline stays inside whole-stage codegen instead of materializing
+  * a `Group` object per row — the decode profile 100 TB scans need.
+  * Schema evolution is handled WITHOUT leaving the columnar path: a
+  * file that predates a required column reads its present columns
+  * vectorized, the missing columns ride in as constant-NULL
+  * "partition" vectors (`initBatch`), and the final batch presents
+  * the vectors PERMUTED into the required-schema order (a
+  * `ColumnarBatch` is just an ordered view over `ColumnVector`s — the
+  * wrapper costs one small object per batch, no copies). Eligibility
+  * is gated by [[GraftReaderFactory.supportColumnarReads]]. */
+private[graft] class GraftColumnarReader(file: String,
+    required: StructType, sessionTz: String)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+  import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+  import org.apache.hadoop.mapred.FileSplit
+  import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+  import org.apache.hadoop.mapreduce.TaskAttemptID
+
+  // the production init path (not the column-list test overload, which
+  // pins int96AsTimestamp=false and would reject Spark's own INT96
+  // timestamps): hand ParquetReadSupport the required CATALYST schema
+  // and let it clip the file schema — a required column the file
+  // predates comes back as a constant-NULL vector, so schema
+  // evolution never leaves the columnar path
+  private val conf = new Configuration()
+  conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
+  conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+    classOf[ParquetReadSupport].getName)
+  // the schema converter reads these with a bare .toBoolean — they
+  // must be PRESENT (the FileFormat path copies the whole SQLConf
+  // into its hadoop conf; this reader sets exactly what it needs).
+  // Values mirror the row path: Spark-written snapshots (INT96 ⇒
+  // timestamp, binary ⇄ string per write metadata), session-tz
+  // timestamps (no NTZ inference — the Tables.load discipline),
+  // case-insensitive resolution.
+  locally {
+    val C = org.apache.spark.sql.internal.SQLConf
+    conf.set(C.PARQUET_BINARY_AS_STRING.key, "false")
+    conf.set(C.PARQUET_INT96_AS_TIMESTAMP.key, "true")
+    conf.set(C.CASE_SENSITIVE.key, "false")
+    conf.set(C.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "false")
+    conf.set(C.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
+  }
+
+  private val reader = new VectorizedParquetRecordReader(
+    java.time.ZoneId.of(sessionTz), "CORRECTED", "", "CORRECTED", "",
+    /* useOffHeap = */ false, /* capacity = */ 4096)
+  reader.initialize(
+    new FileSplit(new Path(file), 0, Long.MaxValue, Array.empty[String]),
+    new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+  reader.initBatch(StructType(Nil), new GenericInternalRow(0))
+  reader.enableReturningBatches()
+
+  override def next(): Boolean = reader.nextBatch()
+
+  override def get(): ColumnarBatch = reader.resultBatch()
+
+  override def close(): Unit = reader.close()
+}
+
 private[graft] class GraftPartitionReader(file: String,
     readSchema: StructType, emitLen: Int, killIdx: Int,
     killSet: java.util.HashSet[Any],

@@ -519,6 +519,51 @@ class SnapshotConnectorSpec extends SparkSpec {
     }
   }
 
+  test("vectorized read path: clean scans serve ColumnarBatches " +
+      "(ColumnarToRow in plan), schema evolution keeps the columnar " +
+      "path via NULL vectors, MOR and filtered scans fall back to rows") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 9000).map(i => (i.toLong, i * 2.0)).toDF("k", "x"),
+      clusterKey = Some("k"), files = 4)
+    // clean scan: columnar, and bit-equal to the native read
+    val clean = readFmt(root).load()
+    val planClean = clean.queryExecution.executedPlan.toString
+    assert(planClean.contains("ColumnarToRow"),
+      s"clean scan must vectorize:\n$planClean")
+    assert(clean.orderBy("k").collect().map(_.toSeq).toSeq ==
+      SnapshotTable.read(spark, root).orderBy("k").collect()
+        .map(_.toSeq).toSeq)
+    // schema evolution: new column, old files read NULL for it
+    // WITHOUT dropping off the columnar path
+    SnapshotTable.append(spark, root,
+      Seq((9001L, 1.0, "tagged")).toDF("k", "x", "tag"))
+    val evolved = readFmt(root).load()
+    val planEv = evolved.queryExecution.executedPlan.toString
+    assert(planEv.contains("ColumnarToRow"),
+      s"schema-evolved scan must stay columnar:\n$planEv")
+    assert(evolved.count() == 9001)
+    assert(evolved.filter(col("tag").isNotNull).count() == 1)
+    assert(evolved.filter(col("k") === 1L).collect()(0)
+      .isNullAt(2), "pre-evolution rows must read NULL tag")
+    // column pruning through the vectorized path
+    assert(evolved.select("x").agg(sum("x")).collect()(0).getDouble(0) ==
+      SnapshotTable.read(spark, root).select("x").agg(sum("x"))
+        .collect()(0).getDouble(0))
+    // pushed filter: row path (keeps parquet row-group pruning)
+    val filtered = readFmt(root).load().filter(col("k") <= 10)
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"), "filtered scan should take rows")
+    assert(filtered.count() == 10)
+    // MOR: tombstoned partitions de-vectorize the scan, rows stay right
+    SnapshotTable.deleteKeysOnRead(spark, root, Seq(5L).toDF("k"), "k")
+    val mor = readFmt(root).load()
+    assert(!mor.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"), "MOR scan must take the row path")
+    assert(mor.count() == 9000)
+    assert(mor.filter(col("k") === 5L).count() == 0)
+  }
+
   test("OFFSET pushdown drops whole head files plus an exact in-file " +
       "remainder; composes with LIMIT; declines on MOR") {
     val root = tmpRoot()
