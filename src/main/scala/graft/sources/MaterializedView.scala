@@ -243,6 +243,36 @@ object MaterializedView {
     viewV
   }
 
+  /** MV maintenance as a STREAMING JOB — the CDC feed for APPEND-ONLY
+    * sources: the connector's micro-batch stream tails the source
+    * table's commit log, and each micro-batch (one or more newly
+    * committed versions) triggers one [[refreshIncremental]]. The
+    * batch CONTENT is only the wake signal — the refresh derives its
+    * own signed delta from `SnapshotTable.diff`. Per tick the work is
+    * O(changed files): the stream reads the added files, the diff
+    * reads the changed files, the CAS-refresh merges a delta-sized
+    * rollup. Checkpointed: a restart resumes from the consumed source
+    * version; a replayed wake-up is harmless because
+    * refreshIncremental no-ops when the view is already at the
+    * source's version (idempotent trigger, exact refresh).
+    *
+    * Scope is the SOURCE's accretive contract: a compaction / COW
+    * merge / MOR delete in the watched range fails the stream loudly
+    * (the same line Delta's streaming source draws). The view itself
+    * is not limited to appends — call [[refreshIncremental]] directly
+    * after such a commit (its diff sees removals) and resume the feed
+    * on a fresh checkpoint; the spec walks exactly that recovery. */
+  def cdcFeed(spark: SparkSession, v: IncrementalView,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-snapshot")
+      .option("path", v.sourceRoot).load()
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refreshIncremental(spark, v); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Expire old VIEW versions and prune the freshness markers that
     * referenced them (markers are append-only, one per view version —
     * without pruning they accumulate forever). Keeps every marker of a

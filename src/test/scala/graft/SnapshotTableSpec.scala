@@ -198,6 +198,66 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!got.contains("P"), "emptied group must drop out of the view")
   }
 
+  test("cdcFeed maintains the view as a streaming job: each committed " +
+      "source version triggers one exact incremental refresh, " +
+      "including merge-on-read deletes the stream itself cannot see") {
+    import graft.sources.{MaterializedView, SnapshotTable => ST}
+    val src = tmpRoot()
+    val cp = java.nio.file.Files.createTempDirectory("graft-mvcp").toString
+    val orders = Tables.load(spark, sfDir, "orders").limit(2000)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").cache()
+    ST.commit(spark, src, orders, clusterKey = Some("o_orderkey"))
+    val iv = MaterializedView.IncrementalView(src, tmpRoot(),
+      keys = Seq("o_orderstatus"), sumCols = Seq("o_totalprice"))
+    def recomputed(): Map[String, (Long, java.math.BigDecimal)] =
+      ST.read(spark, src).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,2)")).as("s"))
+        .as[(String, Long, java.math.BigDecimal)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    def materialized(): Map[String, (Long, java.math.BigDecimal)] =
+      MaterializedView.read(spark, iv)
+        .select("o_orderstatus", "n", "sum_o_totalprice")
+        .as[(String, Long, java.math.BigDecimal)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val q = MaterializedView.cdcFeed(spark, iv, cp)
+    try {
+      q.processAllAvailable()
+      assert(materialized() == recomputed(), "first tick = full build")
+      // append-only ticks ride the stream
+      ST.append(spark, src, orders
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+      q.processAllAvailable()
+      assert(materialized() == recomputed(), "append tick diverged")
+      assert(!MaterializedView.isStale(spark, iv))
+      // a MERGE-ON-READ DELETE breaks the source's accretive contract:
+      // the feed must fail LOUDLY (not silently skip the removal)
+      ST.deleteKeysOnRead(spark, src,
+        orders.select(col("o_orderkey")).limit(500), "o_orderkey")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // recovery: a direct diff-driven refresh sees the removal and
+    // repairs the view exactly...
+    MaterializedView.refreshIncremental(spark, iv)
+    assert(materialized() == recomputed(), "post-MOR repair diverged")
+    // ...compaction materializes the tombstones (the stream's initial
+    // offset replays the whole table, so the baseline must be clean),
+    // and the feed resumes on a FRESH checkpoint, exact again
+    ST.compact(spark, src, targetBytes = 1L << 30)
+    val cp2 = java.nio.file.Files.createTempDirectory("graft-mvcp2")
+      .toString
+    val q2 = MaterializedView.cdcFeed(spark, iv, cp2)
+    try {
+      q2.processAllAvailable()
+      ST.append(spark, src, orders.limit(100)
+        .withColumn("o_orderkey", col("o_orderkey") + 2000000L))
+      q2.processAllAvailable()
+      assert(materialized() == recomputed(), "resumed feed diverged")
+    } finally q2.stop()
+  }
+
   test("incremental refresh with NULL keys and NULL sums still " +
       "bit-matches a full recompute") {
     import graft.sources.{MaterializedView, SnapshotTable => ST}
