@@ -272,6 +272,35 @@ class TextAnalysisSpec extends SparkSpec {
       "redacted doc must carry the <IP> placeholder")
   }
 
+  test("quality classifier: training descends the loss, beats the " +
+      "majority baseline clearly, and the model is bit-deterministic") {
+    import graft.operators.TextAnalysis._
+    val (feats, labels) = lrFeatures(spark, sfDir)
+    val data = feats.join(labels, Seq("doc_id"))
+    val log = scala.collection.mutable.Buffer[Double]()
+    val (w, bias) = trainLogistic(spark, data, 1024,
+      iters = 25, lr = 3.0, trainCap = 2048, lossLog = log)
+    // log-loss: far below both the initial value and the entropy of
+    // the base rate (Adagrad's warmup overshoots around iteration 3
+    // before the accumulator bites, so assert the endpoints, not
+    // monotonicity)
+    assert(log.last < 0.55 && log.last < log.head,
+      s"loss ${log.head} -> ${log.last}")
+    // held-in accuracy must clearly beat always-predict-majority
+    val out = queries("text_quality_classifier")(spark, sfDir)
+    val agg = out.selectExpr(
+      "avg(CAST(CASE WHEN label = predicted THEN 1.0 ELSE 0.0 END " +
+        "AS DOUBLE)) AS acc",
+      "avg(CAST(label AS DOUBLE)) AS base").collect()(0)
+    val majority = math.max(agg.getDouble(1), 1.0 - agg.getDouble(1))
+    assert(agg.getDouble(0) > majority + 0.1,
+      f"accuracy ${agg.getDouble(0)}%.3f vs majority $majority%.3f")
+    // determinism: same data, same model, bit for bit
+    val (w2, bias2) = trainLogistic(spark, data, 1024,
+      iters = 25, lr = 3.0, trainCap = 2048)
+    assert(w.toSeq == w2.toSeq && bias == bias2)
+  }
+
   test("exact dup spans: per-doc max equals brute-force suffix " +
       "comparison (capped at L=16), and the scan is deterministic") {
     val q = TextAnalysis.queries("docs_exact_dup_spans")
