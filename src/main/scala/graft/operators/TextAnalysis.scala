@@ -945,12 +945,18 @@ object TextAnalysis {
       b: Int, iters: Int, lr: Double, trainCap: Int,
       lossLog: scala.collection.mutable.Buffer[Double] = null)
   : (Array[Double], Double) = {
+    // the sample is model-fitting state, not corpus: size its
+    // partitioning to the SAMPLE (a bounded-cap frame on 32 shuffle
+    // partitions schedules 32 near-empty tasks per stage, ×2 stages
+    // ×iters — partition-count overhead, not compute, dominated the
+    // loop before this coalesce)
     val train = data.filter(col("doc_id") < trainCap)
       .select(col("doc_id"), col("bucket"), col("x"), col("y"))
       .unionByName(data.filter(col("doc_id") < trainCap)
         .select(col("doc_id"), col("y")).distinct()
         .select(col("doc_id"), lit(-1L).as("bucket"),
           lit(1.0).as("x"), col("y")))
+      .coalesce(4)
       .persist()
     val stats = train.filter(col("bucket") === -1L)
       .agg(count(lit(1)), avg(col("y"))).collect()(0)
