@@ -471,9 +471,10 @@ object Dedup {
     // Lloyd trains on a bounded deterministic sample; only the final
     // ASSIGNMENT pass scans the corpus — centroid fitting is model
     // work, not a per-row obligation (same discipline as opqTrain).
-    // Cached: every Lloyd pass + the seed collect scans it, and the
-    // normalize prologue would otherwise re-run per action.
-    val train = e.filter(col("vec_id") < trainCap).persist()
+    // Cached AND coalesced to the sample's own scale: every Lloyd pass
+    // + the seed collect scans it, and near-empty 32-partition stages
+    // would pay scheduling, not compute.
+    val train = e.filter(col("vec_id") < trainCap).coalesce(4).persist()
     def centDf(c: Map[Int, Seq[Double]]): DataFrame =
       c.toSeq.sortBy(_._1).toDF("cid", "cent")
     def assign(src: DataFrame, cdf: DataFrame): DataFrame =

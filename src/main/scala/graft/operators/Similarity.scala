@@ -198,6 +198,10 @@ object Similarity {
       ks: Int, d: Int, rounds: Int, lloydIters: Int,
       trainCap: Int = 1024)
   : (Seq[Seq[Double]], Map[(Int, Int), Seq[Double]]) = {
+    // NOT coalesced, unlike the classifier/SemDeDup samples: the
+    // per-task work here (the d²-madd rotate, the ks-way pqAssign) is
+    // real compute that wants the cores — measured 10% slower at 4
+    // partitions
     val sample = vecs.filter(col("vec_id") < trainCap).persist()
     var r: Seq[Seq[Double]] =
       Seq.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
