@@ -250,6 +250,39 @@ object Similarity {
       .head().getDouble(0)
   }
 
+  /** Two-pass distributed (n, mean, covariance) over the embedding
+    * corpus — the PCA/whitening model input. Decimal partial sums ⇒
+    * partition-invariant; only d + d² doubles reach the driver.
+    * Spec-facing for the trace/orthonormality assertions. */
+  private[graft] def embedCovariance(s: SparkSession, dir: String,
+      d: Int): (Double, Array[Double], Array[Array[Double]]) = {
+    import s.implicits._
+    val all = prepared(s, dir).select(col("vec_id"), col("v")).persist()
+    val n = all.count().toDouble
+    val meanSums = (0 until d).map(j =>
+      sum(col("v").getItem(j).cast("decimal(38,18)"))
+        .cast("double").as(s"m$j"))
+    val mu = all.agg(meanSums.head, meanSums.tail: _*).collect()(0)
+    val mean = Array.tabulate(d)(j => mu.getDouble(j) / n)
+    val muDf = broadcast(Seq(Tuple1(mean.toSeq)).toDF("mu"))
+    val scatterSums = (0 until d).map(j =>
+      sum((col("xi") * col("cv").getItem(j)).cast("decimal(38,18)"))
+        .cast("double").as(s"c$j"))
+    val cov = Array.fill(d, d)(0.0)
+    all.crossJoin(muDf)
+      .selectExpr("zip_with(v, mu, (a, b) -> a - b) AS cv")
+      .select(posexplode(col("cv")).as(Seq("i", "xi")), col("cv"))
+      .groupBy(col("i"))
+      .agg(scatterSums.head, scatterSums.tail: _*)
+      .collect()
+      .foreach { r =>
+        val i = r.getInt(0)
+        (0 until d).foreach(j => cov(i)(j) = r.getDouble(j + 1) / n)
+      }
+    all.unpersist()
+    (n, mean, cov)
+  }
+
   // Multi-table hyperplane signatures come from the native graft_hplsh
   // expression (graft.functions.HyperplaneLsh): T tables of b sign bits,
   // plane components derived from splitmix64 — deterministic, model-free.
@@ -634,6 +667,45 @@ object Similarity {
 
     // Centroid stats per label — the IVF building block (coarse
     // quantizer): mean vector per label + intra-label dispersion.
+    // PCA over the embedding corpus — the whitening/rotation stage a
+    // vector pipeline runs before quantization (FAISS's PCAMatrix;
+    // Ge et al.'s parametric OPQ initializes from exactly this
+    // eigenbasis). Distributed two-pass shape: pass 1 decimal-sums
+    // the per-dimension MEAN (d doubles to the driver); pass 2
+    // centers in-plan against the broadcast mean and decimal-sums the
+    // d×d scatter with the single-explode crossCov layout — two-pass
+    // centering is the numerically honest form (E[xxᵀ]−μμᵀ cancels
+    // catastrophically when variance ≪ mean²), and DECIMAL partial
+    // sums make both passes partition-invariant. The d×d eigensolve
+    // is a driver-side LAPACK call on bit-identical input — only
+    // model-sized data ever reaches the driver. Output: per-component
+    // eigenvalue + explained-variance ratios. Engine-side model ⇒
+    // rows-only driver check; PSD spectrum, trace identity,
+    // basis orthonormality and determinism are spec-asserted.
+    "embedding_pca_stats" -> ((s, dir) => {
+      import s.implicits._
+      val d = 64
+      val (_, _, cov) = embedCovariance(s, dir, d)
+      val es = breeze.linalg.eigSym(
+        breeze.linalg.DenseMatrix.tabulate(d, d)((i, j) => cov(i)(j)))
+      // eigSym returns ascending — present descending, PCA convention
+      val eigs = es.eigenvalues.toArray.reverse
+      val total = eigs.sum
+      val rows = eigs.zipWithIndex.scanLeft((0, 0.0, 0.0, 0.0)) {
+        case ((_, _, _, cum), (ev, i)) =>
+          (i, ev, ev / total, cum + ev / total)
+      }.drop(1).map { case (i, ev, ratio, cum) =>
+        (i.toLong, BigDecimal(ev).setScale(9,
+          BigDecimal.RoundingMode.HALF_EVEN).toDouble,
+          BigDecimal(ratio).setScale(9,
+            BigDecimal.RoundingMode.HALF_EVEN).toDouble,
+          BigDecimal(cum).setScale(9,
+            BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+      }.toSeq
+      rows.toDF("component", "eig_r", "var_ratio_r", "cum_ratio_r")
+        .orderBy(asc("component"))
+    }),
+
     "embedding_label_stats" -> ((s, dir) => {
       prepared(s, dir)
         .groupBy(col("label"))

@@ -160,4 +160,41 @@ class SimilaritySpec extends SparkSpec {
     // full-corpus ADC (no IVF cell misses): materially above chance
     assert(recall >= 0.2, s"OPQ recall@3 $recall")
   }
+
+  test("pca: PSD descending spectrum, trace identity, orthonormal " +
+      "eigenbasis, deterministic") {
+    val d = 64
+    val out = Similarity.queries("embedding_pca_stats")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(3)))
+    assert(out.length == d)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 - 1e-12, s"spectrum not descending at ${b._1}")
+    }
+    assert(out.last._2 >= -1e-9, "covariance must be PSD")
+    assert(math.abs(out.last._3 - 1.0) < 1e-6,
+      s"cumulative ratio must reach 1, got ${out.last._3}")
+    // trace identity: Σ eigenvalues == trace of the covariance
+    val (_, _, cov) = Similarity.embedCovariance(spark, sfDir, d)
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val eigSum = out.map(_._2).sum
+    assert(math.abs(eigSum - trace) < 1e-6 * math.max(1.0, trace),
+      s"trace $trace vs eigenvalue sum $eigSum")
+    // the eigenbasis diagonalizes cov: Vᵀ V ≈ I, Vᵀ C V ≈ diag(λ)
+    val C = breeze.linalg.DenseMatrix.tabulate(d, d)((i, j) => cov(i)(j))
+    val es = breeze.linalg.eigSym(C)
+    val V = es.eigenvectors
+    val I = V.t * V
+    (0 until d).foreach { i =>
+      assert(math.abs(I(i, i) - 1.0) < 1e-9)
+      assert(math.abs(I(i, (i + 1) % d)) < 1e-9)
+    }
+    val D = V.t * C * V
+    (0 until d).foreach { i =>
+      assert(math.abs(D(i, i) - es.eigenvalues(i)) < 1e-9)
+    }
+    // deterministic end to end
+    val again = Similarity.queries("embedding_pca_stats")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(3)))
+    assert(out.toSeq == again.toSeq)
+  }
 }
