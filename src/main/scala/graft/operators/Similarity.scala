@@ -56,14 +56,16 @@ object Similarity {
     * seed set keeps the query reproducible run to run). A cluster
     * that loses all members keeps its previous centroid. */
   private def pqTrain(s: SparkSession, sub: DataFrame, ks: Int,
-      iters: Int): Map[(Int, Int), Seq[Double]] = {
-    var code: Map[(Int, Int), Seq[Double]] =
+      iters: Int,
+      init: Option[Map[(Int, Int), Seq[Double]]] = None)
+  : Map[(Int, Int), Seq[Double]] = {
+    var code: Map[(Int, Int), Seq[Double]] = init.getOrElse(
       sub.filter(col("vec_id") < ks)
         .select(col("sub"), col("vec_id").cast("int").as("cid"),
           col("sv"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
-        .toMap
+        .toMap)
     for (_ <- 1 to iters) {
       val updated = pqAssign(sub, codebookDf(s, code))
         .select(col("sub"), col("cid"), posexplode(col("sv")))
@@ -205,30 +207,37 @@ object Similarity {
     val sample = vecs.filter(col("vec_id") < trainCap).persist()
     var r: Seq[Seq[Double]] =
       Seq.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    // the codebook CARRIES ACROSS rounds — Ge et al.'s non-parametric
+    // alternation: codewords live in the rotated space and the
+    // Procrustes step aligns the data TO them, so the previous
+    // round's codebook is the valid warm start (re-seeding each round
+    // both discards that alignment and triples the Lloyd actions);
+    // warm rounds take single polish iterations, per the paper
+    var code: Option[Map[(Int, Int), Seq[Double]]] = None
     for (_ <- 1 to rounds) {
       val y = rotated(sample, rotationDf(s, r)).persist()
       val sub = subSplit(y, m, d)
-      val code = pqTrain(s, sub, ks, lloydIters)
+      code = Some(pqTrain(s, sub, ks,
+        if (code.isEmpty) lloydIters else 1, code))
       // materialize the reconstruction EAGERLY before the covariance
       // collect: fusing both into one action hands AQE a DAG whose
       // re-planning costs more than either job executes in — two
       // small jobs beat one deep one (measured 4×)
-      val rec = reconstructed(sub, codebookDf(s, code)).persist()
+      val rec = reconstructed(sub, codebookDf(s, code.get)).persist()
       rec.count()
       val cov = crossCov(sample, rec, d)
       rec.unpersist()
       y.unpersist()
       r = procrustes(cov, d)
     }
-    // cache the final-rotation frame: pqTrain runs lloydIters+1
-    // actions over it, and the O(d²)-per-row rotate is the priciest
-    // expression in the loop — recomputing it per action would cost
-    // more than the whole retrain
+    // cache the final-rotation frame: the retrain (warm, one polish
+    // pass) runs iters+… actions over it, and the O(d²)-per-row
+    // rotate is the priciest expression in the loop
     val yF = rotated(sample, rotationDf(s, r)).persist()
-    val code = pqTrain(s, subSplit(yF, m, d), ks, lloydIters)
+    val codeF = pqTrain(s, subSplit(yF, m, d), ks, 1, code)
     yF.unpersist()
     sample.unpersist()
-    (r, code)
+    (r, codeF)
   }
 
   /** Mean per-vector quantization error Σ‖xR − x̂‖²/n under a
