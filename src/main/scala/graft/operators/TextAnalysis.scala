@@ -778,12 +778,16 @@ object TextAnalysis {
     "docs_dsir_sample" -> ((s, dir) => {
       val k = 200
       val b = 1024
-      val perBucket = dsirNgrams(s, dir)
-        .selectExpr("doc_id", s"$dsirBucketExpr AS bucket")
+      // ONE corpus tokenize/hash pass feeds both the per-doc counts
+      // and the distribution model (the n-gram explode is the only
+      // O(tokens) stage — scanning it twice doubled the query)
+      val occ = dsirNgrams(s, dir)
+        .selectExpr("doc_id", "lang", s"$dsirBucketExpr AS bucket")
+        .persist()
+      val perBucket = occ
         .groupBy(col("doc_id"), col("bucket"))
         .agg(count(lit(1)).as("n"))
-      val model = dsirNgrams(s, dir)
-        .selectExpr("lang", s"$dsirBucketExpr AS bucket")
+      val model = occ
         .groupBy(col("bucket"))
         .agg(count(when(col("lang") === "en", 1)).as("nt"),
           count(lit(1)).as("nr"))
