@@ -993,26 +993,318 @@ object SnapshotTable {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Copy-on-write DELETE WHERE: commit a new snapshot without the
-    * rows where `condition` is TRUE. SQL semantics: rows where the
-    * condition evaluates to NULL are KEPT (only TRUE deletes — a bare
-    * `filter(!condition)` would silently drop them). Re-derives and
-    * retries if a concurrent commit lands mid-derivation. */
+  /** Outcome of a [[deleteWhere]]/[[deleteFilters]] commit. `version`
+    * is the published version (= the prior current when the delete
+    * matched nothing and no commit was needed). The file counts are
+    * the scale story: `droppedFiles` left the table by METADATA edit
+    * alone (manifest stats proved every row matched — zero data IO),
+    * `carriedFiles` carried over by reference untouched, and only
+    * `rewrittenFiles` were read and rewritten without their matching
+    * rows. `scannedFiles` is how many candidate files the fallback
+    * matched-file scan had to open (0 when stats classified
+    * everything). */
+  final case class DeleteStats(version: Long, droppedFiles: Long,
+      rewrittenFiles: Long, carriedFiles: Long, scannedFiles: Long)
+
+  // Tri-state file coverage of a delete predicate, proved from
+  // manifest stats alone: every row matches / no row matches /
+  // can't tell.
+  private final val CoverAll = 1
+  private final val CoverNone = 0
+  private final val CoverUnknown = -1
+
+  /** Translate a pushed-down [[org.apache.spark.sql.sources.Filter]]
+    * into the equivalent [[Column]] predicate (Filter semantics: a row
+    * "matches" when the predicate is TRUE; NULL comparisons match
+    * nothing). None = shape this engine does not translate — the SQL
+    * DELETE path refuses it up front via `canDeleteWhere` rather than
+    * deleting the wrong rows. */
+  private[sources] def filterCondition(
+      f: org.apache.spark.sql.sources.Filter): Option[Column] = {
+    import org.apache.spark.sql.sources._
+    def c(name: String): Column = col(s"`$name`")
+    f match {
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case EqualTo(a, v) => Some(c(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(c(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case LessThan(a, v) => Some(c(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+      case In(a, vs) => Some(c(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(c(a).isNull)
+      case IsNotNull(a) => Some(c(a).isNotNull)
+      case StringStartsWith(a, v) => Some(c(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(c(a).endsWith(v))
+      case StringContains(a, v) => Some(c(a).contains(v))
+      case And(l, r) =>
+        for { a <- filterCondition(l); b <- filterCondition(r) }
+          yield a && b
+      case Or(l, r) =>
+        for { a <- filterCondition(l); b <- filterCondition(r) }
+          yield a || b
+      case Not(x) => filterCondition(x).map(p => !p)
+      case _ => None
+    }
+  }
+
+  /** Render a Filter's comparison value in the SAME form the manifest
+    * stats strings use (`cast(col as string)` of min/max), restricted
+    * to types where that rendering is order-faithful under
+    * [[statOrdering]]. Timestamps are excluded on purpose: their
+    * `cast(string)` form and `Timestamp.toString` disagree on the
+    * fractional part ("…:05" vs "…:05.0"), which would break the
+    * lexicographic compare — those columns just classify Unknown. */
+  private def statRender(dt: DataType, v: Any): Option[String] =
+    (dt, v) match {
+      case (_, null) => None
+      case (LongType | IntegerType | ShortType | ByteType, n: Number) =>
+        Some(n.longValue().toString)
+      case (DoubleType | FloatType, n: Number) =>
+        Some(n.doubleValue().toString)
+      case (_: DecimalType, d: java.math.BigDecimal) => Some(d.toString)
+      case (_: DecimalType, d: BigDecimal) => Some(d.toString)
+      case (StringType, s: String) => Some(s)
+      case (DateType, d: java.sql.Date) => Some(d.toString)
+      case (DateType, d: java.time.LocalDate) => Some(d.toString)
+      case _ => None
+    }
+
+  /** Prove the coverage of filter `f` over file `e` from manifest
+    * stats: [[CoverAll]] (every live row of the file matches — the
+    * file can be DROPPED without being read), [[CoverNone]] (no row
+    * matches — carried untouched), or [[CoverUnknown]]. Soundness
+    * rules: min/max stats describe NON-NULL values only, and a NULL
+    * never matches a comparison, so None-proofs need just the range
+    * while All-proofs additionally need the file's recorded null
+    * count to be zero (nulls are recorded for the primary stats
+    * column only; anything else stays Unknown). */
+  private def filterCoverage(e: FileEntry, schema: StructType,
+      f: org.apache.spark.sql.sources.Filter): Int = {
+    import org.apache.spark.sql.sources._
+    def dtOf(name: String): Option[DataType] =
+      schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+    // (cmp, lo, hi, rendered value) when everything lines up
+    def range(name: String, v: Any)
+    : Option[((String, String) => Int, String, String, String)] =
+      for {
+        dt <- dtOf(name)
+        if dt != TimestampType // see statRender
+        cmp <- statOrdering(dt)
+        (lo, hi) <- e.statsFor(name)
+        rv <- statRender(dt, v)
+      } yield (cmp, lo, hi, rv)
+    def nullsKnownZero(name: String): Boolean =
+      e.statsKey.exists(_.equalsIgnoreCase(name)) &&
+        e.statsNulls.contains(0L)
+    def allNull(name: String): Boolean =
+      e.statsKey.exists(_.equalsIgnoreCase(name)) &&
+        e.statsNulls.isDefined && e.rows.isDefined &&
+        e.statsNulls == e.rows
+    f match {
+      case AlwaysTrue() => CoverAll
+      case AlwaysFalse() => CoverNone
+      case EqualTo(a, v) => range(a, v) match {
+        case Some((cmp, lo, hi, rv)) =>
+          if (cmp(rv, lo) < 0 || cmp(rv, hi) > 0) CoverNone
+          else if (cmp(lo, hi) == 0 && cmp(rv, lo) == 0 &&
+            nullsKnownZero(a)) CoverAll
+          else CoverUnknown
+        case None => CoverUnknown
+      }
+      case EqualNullSafe(a, v) if v != null =>
+        filterCoverage(e, schema, EqualTo(a, v))
+      case EqualNullSafe(a, null) =>
+        filterCoverage(e, schema, IsNull(a))
+      case GreaterThan(a, v) => range(a, v) match {
+        case Some((cmp, lo, hi, rv)) =>
+          if (cmp(hi, rv) <= 0) CoverNone
+          else if (cmp(lo, rv) > 0 && nullsKnownZero(a)) CoverAll
+          else CoverUnknown
+        case None => CoverUnknown
+      }
+      case GreaterThanOrEqual(a, v) => range(a, v) match {
+        case Some((cmp, lo, hi, rv)) =>
+          if (cmp(hi, rv) < 0) CoverNone
+          else if (cmp(lo, rv) >= 0 && nullsKnownZero(a)) CoverAll
+          else CoverUnknown
+        case None => CoverUnknown
+      }
+      case LessThan(a, v) => range(a, v) match {
+        case Some((cmp, lo, hi, rv)) =>
+          if (cmp(lo, rv) >= 0) CoverNone
+          else if (cmp(hi, rv) < 0 && nullsKnownZero(a)) CoverAll
+          else CoverUnknown
+        case None => CoverUnknown
+      }
+      case LessThanOrEqual(a, v) => range(a, v) match {
+        case Some((cmp, lo, hi, rv)) =>
+          if (cmp(lo, rv) > 0) CoverNone
+          else if (cmp(hi, rv) <= 0 && nullsKnownZero(a)) CoverAll
+          else CoverUnknown
+        case None => CoverUnknown
+      }
+      case In(a, vs) =>
+        if (vs.isEmpty) CoverNone
+        else {
+          val per = vs.map(v => filterCoverage(e, schema, EqualTo(a, v)))
+          if (per.forall(_ == CoverNone)) CoverNone
+          else if (per.exists(_ == CoverAll)) CoverAll
+          else CoverUnknown
+        }
+      case IsNull(a) =>
+        if (e.statsKey.exists(_.equalsIgnoreCase(a)) &&
+          e.statsNulls.contains(0L)) CoverNone
+        else if (allNull(a)) CoverAll
+        else CoverUnknown
+      case IsNotNull(a) =>
+        if (allNull(a)) CoverNone
+        else if (nullsKnownZero(a)) CoverAll
+        else CoverUnknown
+      case And(l, r) =>
+        val (a, b) =
+          (filterCoverage(e, schema, l), filterCoverage(e, schema, r))
+        if (a == CoverNone || b == CoverNone) CoverNone
+        else if (a == CoverAll && b == CoverAll) CoverAll
+        else CoverUnknown
+      case Or(l, r) =>
+        val (a, b) =
+          (filterCoverage(e, schema, l), filterCoverage(e, schema, r))
+        if (a == CoverAll || b == CoverAll) CoverAll
+        else if (a == CoverNone && b == CoverNone) CoverNone
+        else CoverUnknown
+      case Not(x) =>
+        // sound direction only: "all rows match x" ⇒ "none match ¬x".
+        // The converse needs a no-NULLs proof on every column of x
+        // (NULL matches neither side) — classified Unknown instead.
+        if (filterCoverage(e, schema, x) == CoverAll) CoverNone
+        else CoverUnknown
+      case _ => CoverUnknown
+    }
+  }
+
+  /** DELETE WHERE over pushed-down filters, at file granularity — the
+    * engine's `DELETE FROM t WHERE …` (the DSv2 connector routes SQL
+    * DELETE here via `SupportsDelete`). Three tiers, cheapest first:
+    *
+    *  1. manifest-stats classification ([[filterCoverage]]): files
+    *     whose stats prove every row matches are DROPPED from the new
+    *     manifest — a metadata-only delete, zero data IO (the "drop a
+    *     key range / a day" case that dominates retention jobs at
+    *     100 TB); files provably untouched carry over by reference;
+    *  2. the remaining candidates are scanned ONCE (filter pushed to
+    *     the parquet scan) to find which actually contain matching
+    *     rows — containing none, they also carry over untouched;
+    *  3. only files with matching rows are rewritten without those
+    *     rows (read through the tombstone filter so a copy-on-write
+    *     delete after merge-on-read commits cannot resurrect rows),
+    *     re-clustered on the table's layout key so stats stay tight.
+    *
+    * A delete that matches nothing publishes NO new version. CAS
+    * commit + re-derive on conflict, the [[merge]] contract. */
+  def deleteFilters(spark: SparkSession, root: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      maxRetries: Int = 5): DeleteStats = {
+    require(filters.forall(filterCondition(_).isDefined),
+      s"untranslatable delete filters: ${filters.mkString(", ")}")
+    // no filters = unconditional DELETE (SQL `DELETE FROM t`): every
+    // file classifies CoverAll below and the table truncates by
+    // manifest edit alone
+    val cond = filters.flatMap(filterCondition)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    deleteCore(spark, root, cond, maxRetries,
+      classify = (e, schema) => filters
+        .map(f => filterCoverage(e, schema, f))
+        .foldLeft(CoverAll) { (acc, c) => // top-level array = AND
+          if (acc == CoverNone || c == CoverNone) CoverNone
+          else if (acc == CoverAll && c == CoverAll) CoverAll
+          else CoverUnknown
+        })
+  }
+
+  /** Copy-on-write DELETE WHERE for an arbitrary [[Column]] predicate.
+    * SQL semantics: rows where the condition evaluates to NULL are
+    * KEPT (only TRUE deletes — a bare `filter(!condition)` would
+    * silently drop them). No stats classification is possible for an
+    * opaque Column, but the matched-file scan still applies: files
+    * containing no matching row carry over untouched, so the rewrite
+    * is O(files with matches), not O(table) — structured predicates
+    * should prefer [[deleteFilters]], which can additionally drop
+    * wholly-matching files without reading them. */
   def deleteWhere(spark: SparkSession, root: String,
-      condition: Column, maxRetries: Int = 5): Long = {
+      condition: Column, maxRetries: Int = 5): Long =
+    deleteCore(spark, root, condition, maxRetries,
+      classify = (_, _) => CoverUnknown).version
+
+  private def deleteCore(spark: SparkSession, root: String,
+      condition: Column, maxRetries: Int,
+      classify: (FileEntry, StructType) => Int): DeleteStats = {
+    import org.apache.spark.sql.functions.coalesce
+    val f = fs(spark, root)
+    val matchCond = coalesce(condition, lit(false))
     var attempt = 0
     while (true) {
       val cur = currentVersion(spark, root)
-      val kept = readVersion(spark, root, cur)
-        .filter(!org.apache.spark.sql.functions
-          .coalesce(condition, lit(false)))
-      val (seg, entries) = stageSegment(spark, root, kept, None, 0,
-        bloomFor(kept, tableBloomKey(readManifest(spark, root, cur))))
+      require(cur > 0L, s"cannot delete from an empty table at $root")
+      val (prior, priorSchema) = readManifestFull(spark, root, cur)
+      val schema = priorSchemaOrRead(spark, root, cur, priorSchema)
+      val (tombs, data) = prior.partition(_.kind == "t")
+      val byCover = data.groupBy(classify(_, schema))
+      val dropped = byCover.getOrElse(CoverAll, Seq.empty)
+      val carriedNone = byCover.getOrElse(CoverNone, Seq.empty)
+      val unknown = byCover.getOrElse(CoverUnknown, Seq.empty)
+      // tier 2: one pushdown-friendly scan over the unclassified files
+      // to find the ones that actually hold matching rows. Raw files
+      // (no tombstone join — input_file_name must survive to the
+      // filter): a file whose matches are all tombstoned is rewritten
+      // needlessly but correctly.
+      val matchedPaths: Set[String] =
+        if (unknown.isEmpty) Set.empty
+        else readUnder(spark, root, priorSchema, unknown)
+          .withColumn("__file", input_file_name())
+          .filter(matchCond)
+          .select("__file").distinct()
+          .collect().map(r => new Path(r.getString(0)).getName).toSet
+      val (rewriteSet, carriedScan) = unknown.partition(e =>
+        matchedPaths.contains(new Path(e.path).getName))
+      if (dropped.isEmpty && rewriteSet.isEmpty)
+        return DeleteStats(cur, 0, 0, data.size.toLong,
+          unknown.size.toLong) // nothing matched: no commit needed
+      val carriedData = carriedNone ++ carriedScan
+      val kept =
+        if (rewriteSet.isEmpty) None
+        else Some(readEntries(spark, root, rewriteSet ++ tombs,
+          priorSchema).filter(!matchCond))
+      val (clusterKey, _) = layoutOf(spark, root)
+      val (segs, newEntries) = kept match {
+        case None => (Seq.empty[Path], Seq.empty[FileEntry])
+        case Some(df) =>
+          // size the rewrite by its input bytes (the merge rule): the
+          // kept rows are a subset of the rewritten files' rows
+          val touchedBytes = rewriteSet.map(e =>
+            f.getFileStatus(new Path(root, e.path)).getLen).sum
+          val outFiles = math.max(1L,
+            (touchedBytes + (128L << 20) - 1) / (128L << 20)).toInt
+          val (seg, es) = stageSegment(spark, root, df, clusterKey,
+            math.max(outFiles, math.min(rewriteSet.size, 8)),
+            bloomFor(df, tableBloomKey(prior)))
+          (Seq(seg), es)
+      }
+      // tombstones kill rows of data files; with no data files left
+      // they are dead weight (and readEntries' tombstone join has no
+      // base to build on) — drop them with the last data file
+      val carried =
+        if ((carriedData ++ newEntries).isEmpty) Seq.empty
+        else carriedData ++ tombs
       try {
-        return commitExpectingEntries(spark, root, seg, entries,
-          expectedCurrent = cur, schema = kept.schema)
+        val v = commitExpectingSegs(spark, root, segs,
+          carried ++ newEntries, expectedCurrent = cur, schema = schema)
+        return DeleteStats(v, dropped.size.toLong,
+          rewriteSet.size.toLong, carriedData.size.toLong,
+          unknown.size.toLong)
       } catch {
-        case e: CommitConflict =>
+        case e: CommitConflict => // staged segs already discarded
           if (attempt >= maxRetries) throw e
           attempt += 1
       }

@@ -477,6 +477,32 @@ object Sources {
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
     }),
+    // DELETE under the oracle, both tiers: cluster orders into a
+    // snapshot table, (1) range-DELETE through the pushed-filter path
+    // — manifest stats drop wholly-covered files without opening them
+    // and rewrite only the straddler — then (2) DELETE a scattered
+    // key set through the opaque-Column path, whose matched-file scan
+    // rewrites only files that actually hold matches. The oracle
+    // applies the complementary WHERE to the base table; matching
+    // hashes prove metadata-drop + scan-prune + COW rewrite compose
+    // to exactly SQL DELETE semantics. (The spec proves the IO
+    // claims; this row proves the surviving rows.)
+    "snapshot_delete_where" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-del-q")
+        .toString + "/orders_del"
+      val o = graft.Tables.load(s, dir, "orders")
+      SnapshotTable.merge(s, root, o, "o_orderkey", files = 8)
+      val cut = o.agg(max(col("o_orderkey"))).head().getLong(0) / 3
+      SnapshotTable.deleteFilters(s, root, Seq(
+        org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", cut)))
+      SnapshotTable.deleteWhere(s, root, col("o_orderkey") % 97 === 0)
+      SnapshotTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    }),
     // Schema evolution under the oracle: commit a third of orders,
     // append another third CARRYING A NEW COLUMN (disc), and read the
     // evolved table back — pre-evolution rows must surface disc as
@@ -805,6 +831,14 @@ object Sources {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_delete_where" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey > (SELECT max(o_orderkey) // 3 FROM orders)
+        |  AND o_orderkey % 97 <> 0
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     "snapshot_schema_evolution" ->

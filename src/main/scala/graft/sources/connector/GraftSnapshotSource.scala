@@ -140,7 +140,8 @@ private[connector] object GraftSnapshotSource {
 
 private[connector] class GraftSnapshotTable(root: String, version: Long,
     tableSchema: StructType) extends Table
-  with SupportsRead with SupportsWrite {
+  with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft_snapshot(`$root` v$version)"
 
@@ -156,6 +157,24 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, info)
+
+  /** SQL `DELETE FROM graft.db.t WHERE …` — filter-based DSv2 delete
+    * routed to [[SnapshotTable.deleteFilters]]: files whose manifest
+    * stats prove every row matches are dropped by metadata edit
+    * alone, a pushdown scan finds which remaining files actually hold
+    * matches, and only those are rewritten. Predicates outside the
+    * translatable subset are REFUSED here (Spark raises an analysis
+    * error) rather than risked — the user can always delete through
+    * the programmatic [[SnapshotTable.deleteWhere]] Column API, which
+    * scans instead of classifying. Deletes always run against the
+    * CURRENT version (CAS + re-derive, the merge contract); prior
+    * versions still time-travel to the deleted rows. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(SnapshotTable.filterCondition(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    SnapshotTable.deleteFilters(SparkSession.active, root,
+      filters.toIndexedSeq)
 }
 
 private[graft] class GraftScanBuilder(root: String, version: Long,

@@ -125,6 +125,55 @@ class GraftCatalogSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$warehouse/db/wt2")))
   }
 
+  test("SQL DELETE FROM removes exactly the matching rows through " +
+      "the file-pruned delete; prior versions still time-travel, and " +
+      "a stats-clustered range delete stays metadata-only") {
+    spark.sql("CREATE TABLE graft.db.del (k BIGINT, v DOUBLE)")
+    val root = s"$warehouse/db/del"
+    // cluster through the native API so files carry stats: a range
+    // DELETE can then drop whole files without opening them
+    SnapshotTable.append(spark, root,
+      (1 to 8000).map(i => (i.toLong, i / 2.0)).toDF("k", "v"),
+      clusterKey = Some("k"), files = 8)
+    val before = SnapshotTable.manifest(spark, root, 2L)
+    val mtimes = before.map { e =>
+      e.path -> java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$root/${e.path}")).toMillis
+    }.toMap
+    val hi0 = before.map(_.hi.get.toLong).min
+    spark.sql(s"DELETE FROM graft.db.del WHERE k <= $hi0")
+    assert(spark.table("graft.db.del").count() == 8000 - hi0)
+    assert(spark.sql(s"SELECT count(*) FROM graft.db.del WHERE k <= $hi0")
+      .collect()(0).getLong(0) == 0)
+    // the wholly-covered file left by manifest edit; every survivor
+    // carries over untouched (path+mtime identity = zero data IO)
+    val after = SnapshotTable.manifest(spark, root, 3L)
+    assert(after.size == before.size - 1,
+      s"expected one dropped file: ${before.size} -> ${after.size}")
+    after.foreach { e =>
+      assert(mtimes.get(e.path).exists(_ ==
+        java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(s"$root/${e.path}")).toMillis),
+        s"SQL DELETE rewrote carried file ${e.path}")
+    }
+    // time travel still reads the pre-delete state
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.del VERSION AS OF 2")
+      .collect()(0).getLong(0) == 8000)
+  }
+
+  test("SQL DELETE with an untranslatable predicate is REFUSED, not " +
+      "mis-executed") {
+    spark.sql("CREATE TABLE graft.db.delref (k BIGINT)")
+    spark.sql("INSERT INTO graft.db.delref VALUES (1), (2), (3), (4)")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.db.delref WHERE k % 2 = 0")
+    }
+    assert(e.getMessage != null, e.toString)
+    // nothing was deleted by the failed statement
+    assert(spark.table("graft.db.delref").count() == 4)
+  }
+
   test("a catalog read keeps the connector's pushdown: a range " +
       "predicate shows PushedFilters and prunes manifest files") {
     spark.sql("CREATE TABLE graft.db.pr (k BIGINT, x DOUBLE)")

@@ -464,6 +464,140 @@ class SnapshotTableSpec extends SparkSpec {
       s"NULL-predicate row must survive a DELETE, got $kept")
   }
 
+  test("deleteFilters drops wholly-matching files by METADATA edit " +
+      "alone — zero data IO — and carries the rest by reference") {
+    import org.apache.spark.sql.sources._
+    val root = tmpRoot()
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    SnapshotTable.merge(spark, root, orders, "o_orderkey", files = 8)
+    val before = SnapshotTable.manifest(spark, root, 1L)
+    assert(before.size >= 4)
+    val mtimes = fileMtimes(root, 1L)
+    // delete up to the FIRST file's own hi: that file proves CoverAll,
+    // every other file (lo > hi0) proves CoverNone — nothing scanned
+    val hi0 = before.map(_.hi.get.toLong).min
+    val st = SnapshotTable.deleteFilters(spark, root,
+      Seq(LessThanOrEqual("o_orderkey", hi0)))
+    assert(st.droppedFiles >= 1, st.toString)
+    assert(st.rewrittenFiles == 0, st.toString)
+    assert(st.scannedFiles == 0,
+      s"stats must classify every file, scanned ${st.scannedFiles}")
+    // carried files keep path+mtime identity (never rewritten)
+    val after = fileMtimes(root, st.version)
+    after.foreach { case (p, t) =>
+      assert(mtimes.get(p).contains(t), s"delete touched carried $p")
+    }
+    // semantics: exactly the filter complement; old version intact
+    assert(SnapshotTable.read(spark, root).count() ==
+      orders.filter(col("o_orderkey") > hi0).count())
+    assert(SnapshotTable.readVersion(spark, root, 1L).count() ==
+      orders.count())
+  }
+
+  test("deleteFilters on a single key rewrites ONE file after the " +
+      "matched-file scan clears the other candidates") {
+    import org.apache.spark.sql.sources._
+    val root = tmpRoot()
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus")
+    SnapshotTable.merge(spark, root, orders, "o_orderkey", files = 8)
+    val before = SnapshotTable.manifest(spark, root, 1L)
+    // an EXISTING key strictly inside one file's range: that file is
+    // Unknown, every other file's range excludes it (CoverNone)
+    val f0 = before.minBy(_.lo.get.toLong)
+    val (lo0, hi0) = (f0.lo.get.toLong, f0.hi.get.toLong)
+    val k = orders
+      .filter(col("o_orderkey") > lo0 && col("o_orderkey") < hi0)
+      .select("o_orderkey").as[Long].head()
+    val st = SnapshotTable.deleteFilters(spark, root,
+      Seq(EqualTo("o_orderkey", k)))
+    assert(st.droppedFiles == 0, st.toString)
+    assert(st.rewrittenFiles == 1, st.toString)
+    assert(st.scannedFiles == 1,
+      s"only the in-range file should be scanned, got ${st.scannedFiles}")
+    assert(SnapshotTable.read(spark, root).count() == orders.count() - 1)
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("o_orderkey") === k).count() == 0)
+  }
+
+  test("delete that matches nothing publishes NO new version") {
+    import org.apache.spark.sql.sources._
+    val root = tmpRoot()
+    val nation = Tables.load(spark, sfDir, "nation")
+    SnapshotTable.commit(spark, root, nation)
+    val st = SnapshotTable.deleteFilters(spark, root,
+      Seq(EqualTo("n_nationkey", -1L)))
+    assert(st.version == 1L && st.droppedFiles == 0 &&
+      st.rewrittenFiles == 0, st.toString)
+    assert(SnapshotTable.versions(spark, root) == Seq(1L))
+  }
+
+  test("unconditional deleteFilters truncates by manifest edit; " +
+      "prior versions still time-travel") {
+    val root = tmpRoot()
+    val nation = Tables.load(spark, sfDir, "nation")
+    SnapshotTable.commit(spark, root, nation)
+    val st = SnapshotTable.deleteFilters(spark, root, Seq.empty)
+    assert(st.rewrittenFiles == 0 && st.scannedFiles == 0 &&
+      st.droppedFiles >= 1, st.toString)
+    assert(SnapshotTable.read(spark, root).count() == 0)
+    assert(SnapshotTable.readVersion(spark, root, 1L).count() ==
+      nation.count())
+  }
+
+  test("opaque-Column deleteWhere rewrites only the files that " +
+      "contain matching rows (matched-file scan, not O(table) COW)") {
+    val root = tmpRoot()
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus")
+    SnapshotTable.merge(spark, root, orders, "o_orderkey", files = 8)
+    val before = SnapshotTable.manifest(spark, root, 1L)
+    val mtimes = fileMtimes(root, 1L)
+    val k = before.head.lo.get.toLong
+    // an opaque predicate (no Filter translation possible for the
+    // caller) hitting one key: stats can't classify, the scan can
+    SnapshotTable.deleteWhere(spark, root,
+      col("o_orderkey") * 2 === k * 2)
+    val after = SnapshotTable.manifest(spark, root, 2L)
+    val rewritten = before.map(_.path).toSet -- after.map(_.path).toSet
+    assert(rewritten.size == 1,
+      s"one-key delete rewrote ${rewritten.size} files")
+    after.filter(e => mtimes.contains(e.path)).foreach { e =>
+      assert(fileMtimes(root, 2L)(e.path) == mtimes(e.path),
+        s"carried file ${e.path} was touched")
+    }
+    assert(SnapshotTable.read(spark, root).count() == orders.count() - 1)
+  }
+
+  test("deleteFilters reads rewrites through tombstones: a COW delete " +
+      "after merge-on-read commits cannot resurrect MOR-deleted rows") {
+    import org.apache.spark.sql.sources._
+    val root = tmpRoot()
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus")
+    SnapshotTable.merge(spark, root, orders, "o_orderkey", files = 4)
+    val m = SnapshotTable.manifest(spark, root, 1L)
+    val lo0 = m.map(_.lo.get.toLong).min
+    val keys = orders.orderBy("o_orderkey")
+      .limit(3).select("o_orderkey").as[Long].collect().toSeq
+    val (morKey, cowKey) = (keys(0), keys(2))
+    assert(morKey == lo0)
+    // MOR-delete morKey: tombstone only, its data file untouched
+    SnapshotTable.deleteKeysOnRead(spark, root,
+      Seq(morKey).toDF("o_orderkey"), "o_orderkey")
+    // COW-delete cowKey: rewrites the file that still HOLDS morKey's
+    // bytes; reading through the tombstone filter must not revive it
+    val st = SnapshotTable.deleteFilters(spark, root,
+      Seq(EqualTo("o_orderkey", cowKey)))
+    assert(st.rewrittenFiles == 1, st.toString)
+    val got = SnapshotTable.read(spark, root)
+      .filter(col("o_orderkey").isin(morKey, cowKey)).count()
+    assert(got == 0,
+      s"resurrected a deleted row (morKey=$morKey cowKey=$cowKey)")
+    assert(SnapshotTable.read(spark, root).count() == orders.count() - 2)
+  }
+
   test("concurrent merges with disjoint keys all land — no lost " +
       "updates (read-modify-write goes through CAS + re-derive)") {
     val root = tmpRoot()
