@@ -810,6 +810,41 @@ object TextAnalysis {
         .limit(k)
     }),
 
+    // Stupid-backoff n-gram LM, tier resolution (Brants et al. 2007,
+    // "Large Language Models in Machine Translation" — the
+    // MapReduce-era distributed LM this engine re-expresses as keyed
+    // Spark aggregations; CCNet, Wenzek et al. 2020, is the pipeline
+    // that uses target-domain LM scores to filter a crawl). Model =
+    // uni/bi/trigram counts over the TARGET slice (lang='en'); every
+    // full-trigram position of every scoreable doc then resolves at a
+    // tier: trigram known / back off to bigram / to unigram / OOV.
+    // Tier counts are INTEGERS, so this half of the LM is
+    // hash-compared against a DuckDB twin end to end; the float
+    // scoring half rides on it below. Scale: the model is
+    // CORPUS-sized (a vocabulary, not a dimension table) — every
+    // model join is a keyed shuffle, deliberately NOT broadcast; AQE
+    // may still broadcast at small SF by measured size. Fan-out is
+    // one explode to O(tokens) rows; counts partial-aggregate
+    // map-side.
+    "text_lm_backoff_tiers" -> ((s, dir) =>
+      lmTiers(docs(s, dir)).orderBy(asc("doc_id"))),
+
+    // Stupid-backoff LM scoring — the CCNet filter signal: per-doc
+    // mean log-score under the en model, S(w3|w1,w2) = c3/c2(w1,w2),
+    // else 0.4·c2(w2,w3)/c1(w2), else 0.4²·c1(w3)/N, with an
+    // add-one floor for OOV (keeps log finite; pinned in-code, not an
+    // engine accident). The backoff constant 0.4 is the paper's.
+    // log() puts the score outside cross-engine float reproducibility
+    // ⇒ rows-only driver check — but the tier structure the score is
+    // computed FROM is the oracled query above, and the spec pins the
+    // scorer to an independent hand-rolled reimplementation
+    // bit-for-bit on a planted corpus. Top-K by score (doc_id
+    // tie-break) = "keep the most target-like documents".
+    "text_lm_score_sample" -> ((s, dir) =>
+      lmScores(docs(s, dir))
+        .orderBy(desc("score_r"), asc("doc_id"))
+        .limit(200)),
+
     // Quality / domain classifier — the CCNet-style linear filter
     // (Wenzek et al. 2020 train a fastText model to split wiki-like
     // from crawl-like text; the re-expression here is logistic
@@ -906,6 +941,117 @@ object TextAnalysis {
     * idea as [[splitHash]], extended to STRING keys). */
   private val dsirBucketExpr =
     "CAST(conv(substring(md5(ng), 1, 6), 16, 10) AS BIGINT) % 1024"
+
+  /** Scoreable docs for the n-gram LM: non-null text with at least
+    * one full-trigram position. The ≥3-token guard applies to BOTH
+    * model training and scoring (one filtered base, stated rather
+    * than implied, so the DuckDB twin matches by construction). */
+  private def lmBase(docsDf: DataFrame): DataFrame =
+    docsDf.filter(col("text").isNotNull)
+      .selectExpr("doc_id", "lang", s"$toks AS t")
+      .filter(size(col("t")) >= 3)
+
+  /** Every full-trigram position (i ≥ 2) of every scoreable doc —
+    * one narrow explode to O(tokens) rows, no window shuffle (the
+    * per-doc token array slides in place). */
+  private def lmTriPositions(base: DataFrame): DataFrame =
+    base.selectExpr("doc_id", "lang",
+      """explode(transform(sequence(0, size(t) - 3),
+        |  i -> named_struct('w1', t[i], 'w2', t[i+1], 'w3', t[i+2])))
+        |  AS g""".stripMargin)
+      .select(col("doc_id"), col("lang"), col("g.w1").as("w1"),
+        col("g.w2").as("w2"), col("g.w3").as("w3"))
+
+  /** The en-slice count model: (trigrams, bigrams, unigrams). Keyed
+    * aggregations with map-side combine; each table is vocabulary-
+    * sized and joins back by KEYED SHUFFLE — never a mandatory
+    * broadcast (the model grows with the corpus). */
+  private def lmModel(base: DataFrame)
+  : (DataFrame, DataFrame, DataFrame) = {
+    val en = base.filter(col("lang") === "en")
+    val m3 = lmTriPositions(en)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val m2 = en.selectExpr(
+        """explode(transform(sequence(0, size(t) - 2),
+          |  i -> named_struct('a', t[i], 'b', t[i+1]))) AS g"""
+          .stripMargin)
+      .select(col("g.a").as("b1"), col("g.b").as("b2"))
+      .groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).as("c2"))
+    val m1 = en.selectExpr("explode(t) AS w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c1"))
+    (m3, m2, m1)
+  }
+
+  /** Per-doc backoff-tier resolution counts (the oracled integer half
+    * of the LM): of a doc's full-trigram positions, how many resolve
+    * at the trigram / bigram / unigram tier and how many are OOV
+    * under the en model. */
+  private[graft] def lmTiers(docsDf: DataFrame): DataFrame = {
+    val base = lmBase(docsDf)
+    val (m3, m2, m1) = lmModel(base)
+    val pos = lmTriPositions(base)
+    pos
+      .join(m3, Seq("w1", "w2", "w3"), "left")
+      .join(m2, pos("w2") === m2("b1") && pos("w3") === m2("b2"), "left")
+      .join(m1, pos("w3") === m1("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"),
+        count(col("c3")).as("n_tri"),
+        sum(when(col("c3").isNull && col("c2").isNotNull, 1L)
+          .otherwise(0L)).as("n_bi"),
+        sum(when(col("c3").isNull && col("c2").isNull &&
+          col("c1").isNotNull, 1L).otherwise(0L)).as("n_uni"),
+        sum(when(col("c3").isNull && col("c2").isNull &&
+          col("c1").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
+  /** Per-doc stupid-backoff mean log-score under the en model
+    * (Brants et al. 2007 §4: S(w|ctx) backs off with a fixed 0.4
+    * penalty per level; scores are relative frequencies, not
+    * normalized probabilities — that is the "stupid" that makes the
+    * estimator one count lookup per level, embarrassingly
+    * distributable). OOV floor: count 1 at the unigram level.
+    * Decimal-summed per doc ⇒ partition-invariant; round(6) is the
+    * published surface. */
+  private[graft] def lmScores(docsDf: DataFrame): DataFrame = {
+    val base = lmBase(docsDf)
+    val (m3, m2, m1) = lmModel(base)
+    val pos = lmTriPositions(base)
+    // context tables are the SAME model counts under different keys
+    val ctx2 = m2.select(col("b1").as("x1"), col("b2").as("x2"),
+      col("c2").as("cc2"))
+    val ctx1 = m1.select(col("w").as("v"), col("c1").as("cv"))
+    val n = m1.agg(sum(col("c1"))).collect()(0).getLong(0)
+    pos
+      .join(m3, Seq("w1", "w2", "w3"), "left")
+      .join(m2, pos("w2") === m2("b1") && pos("w3") === m2("b2"), "left")
+      .join(m1, pos("w3") === m1("w"), "left")
+      .join(ctx2, pos("w1") === col("x1") && pos("w2") === col("x2"),
+        "left")
+      .join(ctx1, pos("w2") === col("v"), "left")
+      // a known trigram implies its (w1,w2) context was counted, and a
+      // known bigram implies its w2 context was — the divisors on the
+      // taken branch are never NULL/zero by construction
+      .withColumn("ls", expr(
+        s"""CASE
+           |  WHEN c3 IS NOT NULL THEN
+           |    ln(CAST(c3 AS DOUBLE) / CAST(cc2 AS DOUBLE))
+           |  WHEN c2 IS NOT NULL THEN
+           |    ln(0.4 * CAST(c2 AS DOUBLE) / CAST(cv AS DOUBLE))
+           |  WHEN c1 IS NOT NULL THEN
+           |    ln(0.16 * CAST(c1 AS DOUBLE) / CAST($n AS DOUBLE))
+           |  ELSE ln(0.16 / CAST($n AS DOUBLE))
+           |END""".stripMargin))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_pos"),
+        (sum(col("ls").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("s"))
+      .select(col("doc_id"), col("lang"), col("n_pos"),
+        round(col("s"), 6).as("score_r"))
+  }
 
   /** fastText-style NORMALIZED bag features for the quality
     * classifier: x_b = count_b / total per doc — a doc is its n-gram
@@ -1356,5 +1502,47 @@ object TextAnalysis {
         |SELECT d.doc_id, CAST(coalesce(mx, 0) AS BIGINT) AS max_span,
         |  CAST(coalesce(nd, 0) AS BIGINT) AS n_dup8
         |FROM documents d LEFT JOIN agg USING (doc_id)
-        |WHERE d.text IS NOT NULL ORDER BY d.doc_id""".stripMargin)
+        |WHERE d.text IS NOT NULL ORDER BY d.doc_id""".stripMargin,
+    // DuckDB twin of the stupid-backoff tier resolution: the same
+    // ≥3-token base, lag() windows rebuild the trigram/bigram
+    // positions, the en model is three GROUP BYs, and each position
+    // LEFT-joins its way down the backoff chain. Integer counts ⇒
+    // hash-exact.
+    "text_lm_backoff_tiers" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents
+        |  WHERE text IS NOT NULL
+        |    AND len(string_split(text, ' ')) >= 3),
+        |u AS (
+        |  SELECT doc_id, lang, unnest(t) AS w,
+        |    generate_subscripts(t, 1) AS i
+        |  FROM base),
+        |g AS (
+        |  SELECT doc_id, lang, i,
+        |    lag(w, 2) OVER win AS w1, lag(w, 1) OVER win AS w2,
+        |    w AS w3
+        |  FROM u WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+        |tri_pos AS (SELECT * FROM g WHERE w1 IS NOT NULL),
+        |m3 AS (SELECT w1, w2, w3, count(*) AS c FROM tri_pos
+        |       WHERE lang = 'en' GROUP BY 1, 2, 3),
+        |m2 AS (SELECT w2, w3, count(*) AS c FROM g
+        |       WHERE lang = 'en' AND w2 IS NOT NULL GROUP BY 1, 2),
+        |m1 AS (SELECT w3, count(*) AS c FROM g
+        |       WHERE lang = 'en' GROUP BY 1)
+        |SELECT p.doc_id,
+        |  count(*) AS n_pos,
+        |  count(m3.c) AS n_tri,
+        |  count(CASE WHEN m3.c IS NULL AND m2.c IS NOT NULL
+        |    THEN 1 END) AS n_bi,
+        |  count(CASE WHEN m3.c IS NULL AND m2.c IS NULL
+        |    AND m1.c IS NOT NULL THEN 1 END) AS n_uni,
+        |  count(CASE WHEN m3.c IS NULL AND m2.c IS NULL
+        |    AND m1.c IS NULL THEN 1 END) AS n_oov
+        |FROM tri_pos p
+        |LEFT JOIN m3 ON p.w1 = m3.w1 AND p.w2 = m3.w2 AND p.w3 = m3.w3
+        |LEFT JOIN m2 ON p.w2 = m2.w2 AND p.w3 = m2.w3
+        |LEFT JOIN m1 ON p.w3 = m1.w3
+        |GROUP BY p.doc_id
+        |ORDER BY p.doc_id""".stripMargin)
 }

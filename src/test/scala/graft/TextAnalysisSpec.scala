@@ -372,4 +372,94 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nRaw == expected,
       s"bucket mass $nRaw != n-gram occurrences $expected")
   }
+
+  test("stupid-backoff LM: tiers and scores match an independent " +
+      "hand-rolled scorer on a planted corpus, bit for bit") {
+    // planted corpus: en model sees two docs; doc 3 (de) shares some
+    // n-grams and backs off on others; doc 4 is pure OOV
+    val planted = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat ate the fish", "en"),
+      (3L, "quietly the cat sat mat here", "de"),
+      (4L, "zzz yyy xxx www", "xx")
+    ).toDF("doc_id", "text", "lang")
+
+    // independent reimplementation (plain Scala maps)
+    val docsMap = Map(
+      1L -> "the cat sat on the mat", 2L -> "the cat ate the fish",
+      3L -> "quietly the cat sat mat here", 4L -> "zzz yyy xxx www")
+    val langs = Map(1L -> "en", 2L -> "en", 3L -> "de", 4L -> "xx")
+    val enToks = docsMap.filter(kv => langs(kv._1) == "en")
+      .values.map(_.split(' ').toSeq)
+    def sliding3(t: Seq[String]) = t.sliding(3).filter(_.size == 3).toSeq
+    val c3 = enToks.flatMap(sliding3).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val c2 = enToks.flatMap(_.sliding(2).filter(_.size == 2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val c1 = enToks.flatten.groupBy(identity).view.mapValues(_.size)
+      .toMap
+    val n = enToks.map(_.size).sum
+    def score(tri: Seq[String]): Double = {
+      val Seq(w1, w2, w3) = tri
+      if (c3.contains(Seq(w1, w2, w3)))
+        math.log(c3(Seq(w1, w2, w3)).toDouble / c2(Seq(w1, w2)))
+      else if (c2.contains(Seq(w2, w3)))
+        math.log(0.4 * c2(Seq(w2, w3)).toDouble / c1(w2))
+      else if (c1.contains(w3))
+        math.log(0.16 * c1(w3).toDouble / n)
+      else math.log(0.16 / n)
+    }
+    val wantScores = docsMap.map { case (id, text) =>
+      val tris = sliding3(text.split(' ').toSeq)
+      val s = tris.map(score).sum / tris.size
+      id -> BigDecimal(s).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val wantTiers = docsMap.map { case (id, text) =>
+      val tris = sliding3(text.split(' ').toSeq)
+      id -> (tris.size.toLong,
+        tris.count(t => c3.contains(t)).toLong,
+        tris.count(t => !c3.contains(t) &&
+          c2.contains(t.drop(1))).toLong,
+        tris.count(t => !c3.contains(t) && !c2.contains(t.drop(1)) &&
+          c1.contains(t(2))).toLong,
+        tris.count(t => !c3.contains(t) && !c2.contains(t.drop(1)) &&
+          !c1.contains(t(2))).toLong)
+    }
+
+    val gotTiers = TextAnalysis.lmTiers(planted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(gotTiers == wantTiers,
+      s"tiers\n got $gotTiers\nwant $wantTiers")
+    // sanity of the plant itself: every tier is exercised somewhere
+    val tierSums = gotTiers.values
+      .foldLeft((0L, 0L, 0L, 0L))((a, t) =>
+        (a._1 + t._2, a._2 + t._3, a._3 + t._4, a._4 + t._5))
+    assert(tierSums._1 > 0 && tierSums._2 > 0 && tierSums._3 > 0 &&
+      tierSums._4 > 0, s"plant must hit all four tiers: $tierSums")
+
+    val gotScores = TextAnalysis.lmScores(planted).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(gotScores == wantScores,
+      s"scores\n got $gotScores\nwant $wantScores")
+  }
+
+  test("LM score filter targets the model domain and is " +
+      "deterministic across runs") {
+    val a = TextAnalysis.queries("text_lm_score_sample")(spark, sfDir)
+      .collect()
+    val d = Tables.load(spark, sfDir, "documents")
+    // the en-trained LM must rank en docs into the kept sample ABOVE
+    // the corpus base rate — the CCNet filtering property
+    val baseRate = d.filter(col("lang") === "en").count().toDouble /
+      d.count()
+    val selRate = a.count(_.getString(1) == "en").toDouble / a.length
+    assert(selRate > baseRate,
+      f"kept en-rate $selRate%.3f must exceed base $baseRate%.3f")
+    val b = TextAnalysis.queries("text_lm_score_sample")(spark, sfDir)
+      .collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "LM scoring must be bit-deterministic")
+  }
 }
