@@ -507,6 +507,69 @@ object Similarity {
       out
     }),
 
+    // SQ8 ANN — scalar quantization (the FAISS ScalarQuantizer
+    // QT_8bit model): each NORMALIZED dimension is affinely mapped to
+    // an 8-bit code against per-dimension [lo, hi] trained from the
+    // corpus. 64 doubles (512 B) become 64 bytes — 8× compression
+    // with near-exact distances (max per-dim error = half a
+    // quantization step), the cheap-and-cheerful tier below PQ's 64×.
+    // Train = one min/max aggregation (2d doubles to the driver —
+    // model-sized, never data); encode = one broadcast-join pass,
+    // codes stay on the executors; query = asymmetric distance
+    // (exact query vs decoded candidate) over the codes, top-16
+    // shortlist, exact re-rank through the native cosine. Approximate
+    // ⇒ rows-only driver check; code-range/error bounds, recall vs
+    // brute force and determinism are asserted in SimilaritySpec.
+    "knn_sq8" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.VectorFunctions.register(s)
+      val all = prepared(s, dir)
+        .withColumn("vn", expr("transform(v, x -> x / nrm)"))
+      // per-dimension [lo, hi] over the normalized corpus: the model
+      val stats = all.select(posexplode(col("vn")))
+        .groupBy(col("pos"))
+        .agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1),
+          r.getDouble(2))).sortBy(_._1)
+      val model = broadcast(Seq((stats.map(_._2).toSeq,
+        stats.map(_._3).toSeq)).toDF("qlo", "qhi"))
+      // encode: one pass, 8-bit affine code per dimension (degenerate
+      // dims — hi == lo — pin to code 0 and decode back to lo)
+      val codes = all.crossJoin(model)
+        .selectExpr("vec_id", "label",
+          """transform(sequence(0, size(vn) - 1), i ->
+            |  CAST(round(255.0 * (vn[i] - qlo[i]) /
+            |    IF(qhi[i] = qlo[i], 1.0, qhi[i] - qlo[i])) AS INT))
+            |  AS code""".stripMargin)
+      // asymmetric scoring: exact query vector vs DECODED candidate
+      val q = broadcast(all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vn").as("q_vn"),
+          col("v").as("q_v")))
+      val wAdc = Window.partitionBy(col("q_id"))
+        .orderBy(desc("acos"), asc("c_id"))
+      val shortlist = q.join(codes.crossJoin(model)
+          .selectExpr("vec_id AS c_id",
+            """transform(sequence(0, size(code) - 1), i ->
+              |  qlo[i] + (CAST(code[i] AS DOUBLE) / 255.0) *
+              |    (qhi[i] - qlo[i])) AS dec""".stripMargin),
+          col("q_id") =!= col("c_id"))
+        .selectExpr("q_id", "c_id", "graft_cosine(q_vn, dec) AS acos")
+        .withColumn("adc_rk", row_number().over(wAdc))
+        .filter(col("adc_rk") <= 16)
+        .select(col("q_id"), col("c_id"))
+      // exact re-rank of the shortlist on the original vectors
+      val cv = all.select(col("vec_id").as("c_id"), col("v").as("c_v"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cos_r"), asc("c_id"))
+      shortlist.join(q.select(col("q_id"), col("q_v")), Seq("q_id"))
+        .join(cv, Seq("c_id"))
+        .selectExpr("q_id", "c_id", "graft_cosine(q_v, c_v) AS cos")
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos_r"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(asc("q_id"), asc("rk"))
+    }),
+
     // OPQ ANN (Ge et al., "Optimized Product Quantization", CVPR
     // 2013): product quantization under a LEARNED orthonormal
     // rotation — alternate (train PQ in rotated space) with (solve

@@ -55,6 +55,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, s"IVF recall@3 $recall")
   }
 
+  test("SQ8 ANN: near-exact recall@3 (8-bit scalar quantization " +
+      "distorts cosine by at most a half-step per dim) and " +
+      "deterministic across runs") {
+    val exact = Similarity.queries("knn_bruteforce")(spark, sfDir)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val a = Similarity.queries("knn_sq8")(spark, sfDir)
+      .select("q_id", "c_id", "rk", "cos_r")
+      .as[(Long, Long, Int, Double)].collect()
+    // full top-3 per query, ranked
+    assert(a.groupBy(_._1).size == 10)
+    assert(a.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq ==
+      Seq(1, 2, 3)))
+    // no coarse stage — the only loss is quantization noise, so
+    // recall must be near-exact (measured 1.0 on the fixture)
+    val pairs = a.map(r => (r._1, r._2)).toSet
+    val recall = exact.count(pairs.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@3 $recall")
+    val b = Similarity.queries("knn_sq8")(spark, sfDir)
+      .select("q_id", "c_id", "rk", "cos_r")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(a.toSeq == b.toSeq, "SQ8 must be bit-deterministic")
+  }
+
   test("IVF-PQ ANN: full exactly-ranked top-3 per query, recall@3 vs " +
       "brute force materially better than chance") {
     val exact = Similarity.queries("knn_bruteforce")(spark, sfDir)
