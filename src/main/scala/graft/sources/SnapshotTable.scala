@@ -656,6 +656,76 @@ object SnapshotTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Publish an already-staged segment as a COPY-ON-WRITE group
+    * replacement: the next manifest carries every current file EXCEPT
+    * `removedPaths` (the groups a row-level operation read and
+    * rewrote) plus the staged entries. This is the commit half of the
+    * DSv2 row-level path (SQL UPDATE / MERGE INTO / group-based
+    * DELETE) — the scan half records exactly which files it planned,
+    * and correctness requires removing precisely those.
+    *
+    * Isolation is SNAPSHOT-level, validated at commit (the Iceberg
+    * COW rule): (1) every file this operation read-and-rewrote must
+    * still be listed in the current manifest — a concurrent commit
+    * that rewrote or dropped one of them made our output stale, so
+    * the commit ABORTS with [[CommitConflict]] instead of silently
+    * losing that commit's update; (2) no tombstone newer than the
+    * version this operation READ may exist — our replacement rows
+    * take the new commit's sequence number, so a concurrent
+    * merge-on-read delete's tombstone could no longer kill them and
+    * deleted rows would resurrect. Concurrent plain APPENDS are
+    * compatible and carry over untouched (their files are disjoint
+    * from any read group). Unlike MERGE's re-derive loop, a conflict
+    * here cannot re-run the work — the rewritten rows were computed
+    * by a Spark job this layer cannot replay — so the caller (Spark's
+    * ReplaceData exec) surfaces the conflict and the user re-runs the
+    * statement against the new snapshot. */
+  private[sources] def replaceFilesStaged(spark: SparkSession,
+      root: String, seg: Path, entries: Seq[FileEntry],
+      removedPaths: Set[String], baseVersion: Long,
+      batchSchema: StructType, maxRetries: Int = 5): Long = {
+    val f = fs(spark, root)
+    def fail(e: RuntimeException): Nothing = {
+      f.delete(seg, true)
+      throw e
+    }
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      if (cur == 0L) fail(new IllegalStateException(
+        s"row-level replace on an uncommitted table at $root"))
+      val (priorEntries, priorSchema) = readManifestFull(spark, root, cur)
+      val live = priorEntries.map(_.path).toSet
+      val gone = removedPaths.filterNot(live)
+      if (gone.nonEmpty) fail(CommitConflict(
+        s"row-level operation read version $baseVersion but " +
+          s"${gone.size} of its files were rewritten by a concurrent " +
+          s"commit at $root — re-run against the current snapshot"))
+      if (priorEntries.exists(e => e.kind == "t" && e.seq > baseVersion))
+        fail(CommitConflict(
+          s"a concurrent merge-on-read delete landed after version " +
+            s"$baseVersion at $root — its tombstone cannot apply to " +
+            "rewritten rows; re-run against the current snapshot"))
+      val carried = priorEntries.filterNot(e => removedPaths(e.path))
+      val schema = evolveSchema(
+        priorSchemaOrRead(spark, root, cur, priorSchema), batchSchema)
+      val target = cur + 1
+      if (maxLogVersion(f, root) < target && tryClaim(f, root, target)) {
+        val stamped = (carried ++ entries).map(e =>
+          if (e.seq == 0L) e.copy(seq = target) else e)
+        writeManifest(f, root, target, stamped, schema)
+        publish(f, root, target, stamped, Seq(seg))
+        spark.catalog.refreshByPath(root)
+        return target
+      }
+      attempt += 1
+      if (attempt > maxRetries) fail(CommitConflict(
+        s"lost the row-level commit race ${maxRetries + 1} times at $root"))
+      Thread.sleep(math.min(50L, 5L * attempt))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The layout a DataSource V2 write should maintain: the current
     * version's cluster key and bloom column. New files that ignore an
     * existing layout silently erode the table's pruning, so the write

@@ -503,6 +503,55 @@ object Sources {
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
     }),
+    // SQL row-level operations under the oracle: cluster orders into
+    // a catalog-named snapshot table, run a SQL UPDATE (untranslatable
+    // predicate — the group-based copy-on-write path, not the
+    // metadata-delete tier) and then a SQL MERGE INTO (matched rows
+    // take the source's status, unmatched source rows insert), and
+    // read the final state back through the connector. The oracle
+    // reconstructs the same end state with CASE + UNION ALL over the
+    // base table; matching hashes prove Spark's ReplaceData rewrite →
+    // recorded-group swap → CAS manifest commit compose to exactly
+    // UPDATE-then-MERGE semantics. Statement order matters and is
+    // part of the contract: a key hit by both takes the MERGE value.
+    "snapshot_sql_merge" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-rlq")
+        .toString
+      s.conf.set("spark.sql.catalog.graft_rlq",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_rlq.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rlq.db")
+      val o = graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      SnapshotTable.merge(s, s"$wh/db/orders_rl", o, "o_orderkey",
+        files = 8)
+      s.sql(
+        """UPDATE graft_rlq.db.orders_rl SET o_totalprice = -1.0
+          |WHERE o_orderkey % 10 = 3""".stripMargin)
+      o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        // key 0 exists in the fixture: -0 = 0 would collide with the
+        // %7 match set and (correctly) trip MERGE's cardinality check
+        .unionByName(o.filter(col("o_orderkey") % 97 === 0 &&
+            col("o_orderkey") > 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            lit(0.5).as("o_totalprice")))
+        .createOrReplaceTempView("graft_rl_src")
+      s.sql(
+        """MERGE INTO graft_rlq.db.orders_rl t
+          |USING graft_rl_src s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.table("graft_rlq.db.orders_rl")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") < 0, 1L).otherwise(0L))
+            .as("n_updated"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    }),
     // Schema evolution under the oracle: commit a third of orders,
     // append another third CARRYING A NEW COLUMN (disc), and read the
     // evolved table back — pre-evolution rows must surface disc as
@@ -840,6 +889,26 @@ object Sources {
         |WHERE o_orderkey > (SELECT max(o_orderkey) // 3 FROM orders)
         |  AND o_orderkey % 97 <> 0
         |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_sql_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |st AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice
+        |         WHEN o_orderkey % 10 = 3 THEN -1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'N', 0.5 FROM base
+        |  WHERE o_orderkey % 97 = 0 AND o_orderkey > 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_updated,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM st GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     "snapshot_schema_evolution" ->
       """SELECT o_orderstatus, count(*) AS n,

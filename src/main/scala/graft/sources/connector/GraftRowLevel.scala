@@ -1,0 +1,179 @@
+package graft.sources.connector
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.SnapshotTable
+import graft.sources.SnapshotTable.FileEntry
+
+/** DataSource V2 ROW-LEVEL operations for snapshot tables — the SQL
+  * surface the reference's Iceberg tables get from their engine
+  * (`write.delete.mode` TBLPROPERTIES at
+  * `/root/reference/services/streaming-service/api.py:235-238`),
+  * re-expressed on the manifest protocol:
+  *
+  * {{{
+  *   UPDATE graft.db.t SET price = 0 WHERE key % 97 = 0
+  *   MERGE INTO graft.db.t USING updates u ON t.key = u.key
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *
+  *   DELETE FROM graft.db.t WHERE <untranslatable predicate>
+  * }}}
+  *
+  * Spark's group-based (copy-on-write) rewrite drives the whole
+  * pipeline; this connector contributes exactly two verbs:
+  *
+  *  - a SCAN over the table that (a) prunes unaffected files at
+  *    compile time from the command's condition (manifest stats +
+  *    blooms, the ordinary pushdown path — our `pushFilters` only
+  *    ever SKIPS files, never drops rows, which is precisely the
+  *    group-read contract: every row of an affected group must reach
+  *    the rewrite), (b) prunes again at RUNTIME when Spark's
+  *    row-level group filtering feeds the matching keys back through
+  *    `SupportsRuntimeFiltering` (file-granularity dynamic pruning),
+  *    and (c) RECORDS the final planned file set — the groups whose
+  *    rows the rewrite consumed;
+  *  - a WRITE whose commit atomically replaces exactly those recorded
+  *    files with the rewritten output
+  *    ([[SnapshotTable.replaceFilesStaged]]: CAS + snapshot-isolation
+  *    validation — concurrent appends carry over, a concurrent
+  *    rewrite of a read group or a newer merge-on-read tombstone
+  *    aborts with `CommitConflict`).
+  *
+  * Scale shape: write amplification is O(affected files), not
+  * O(table) — an UPDATE touching one key range rewrites the files
+  * whose stats intersect it and carries every other file by
+  * reference. Rewritten files inherit the table's cluster layout
+  * (ordered distribution requested, stats + blooms recorded), so
+  * pruning survives any number of row-level commits. Merge-on-read
+  * tables compose: the scan reads through tombstones, so the
+  * replacement files materialize the merged state of the groups they
+  * replace, and carried tombstones keep killing rows only in carried
+  * older files. */
+private[connector] class GraftRowLevelOperationBuilder(root: String,
+    version: Long, tableSchema: StructType,
+    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftRowLevelOperation(root, version, tableSchema, info.command())
+}
+
+private[connector] class GraftRowLevelOperation(root: String,
+    version: Long, tableSchema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** The file set the configured scan ultimately planned — written by
+    * [[GraftScan.planInputPartitions]] (driver-side, after all
+    * pruning), read by the commit. Data files only: tombstones ride
+    * along in the scan but are never replaced by a COW commit. */
+  @volatile private[connector] var plannedFiles: Seq[FileEntry] = Seq.empty
+
+  // one builder, shared across Spark's calls — the scan and the write
+  // must describe the SAME read (Iceberg's lazy-scan-builder shape)
+  private var scanBuilder: GraftScanBuilder = _
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"GraftRowLevelOperation[$cmd, v$version]"
+
+  /** `_file` — required not for its value (the group commit tracks
+    * read files through the scan, not per row) but because Spark's
+    * ReplaceData exec applies its row projection ONLY on the
+    * metadata-writing task path: with no metadata attributes the
+    * writer would receive the RAW child rows, `__row_operation`
+    * prefix included, silently shifted against the write schema. */
+  override def requiredMetadataAttributes()
+  : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftFileMetadataColumn.Name))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+  : ScanBuilder = {
+    if (scanBuilder == null)
+      scanBuilder = new GraftScanBuilder(root, version, tableSchema,
+        onPlan = Some(files => plannedFiles = files.filter(_.kind == "d")))
+    scanBuilder
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new GraftReplaceDataWrite(root,
+        version, info.schema(), GraftRowLevelOperation.this)
+    }
+}
+
+/** The ReplaceData write: executor tasks stage rewritten rows as
+  * immutable parquet files (the same writer as the V2 append path),
+  * the driver commit computes the table-layout stats for the new
+  * files and swaps them in for the operation's recorded read set in
+  * one CAS manifest commit. */
+private[connector] class GraftReplaceDataWrite(root: String,
+    version: Long, schema: StructType, op: GraftRowLevelOperation)
+  extends Write with RequiresDistributionAndOrdering {
+
+  // rewritten files must keep the table's layout or every row-level
+  // statement would erode pruning a little more
+  private val (clusterKey, bloomKey) = {
+    val (ck, bk) = SnapshotTable.layoutOf(SparkSession.active, root)
+    (ck.filter(k => schema.fieldNames.exists(_.equalsIgnoreCase(k))),
+      bk.filter(k => schema.fieldNames.exists(_.equalsIgnoreCase(k))))
+  }
+
+  override def requiredDistribution(): Distribution =
+    clusterKey.map(k => Distributions.ordered(Array[V2SortOrder](
+      Expressions.sort(Expressions.column(k), SortDirection.ASCENDING))))
+      .getOrElse(Distributions.unspecified())
+
+  override def requiredOrdering(): Array[V2SortOrder] =
+    clusterKey.map(k => Array[V2SortOrder](
+      Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)))
+      .getOrElse(Array.empty)
+
+  override def description(): String =
+    s"graft-snapshot replace-data v$version"
+
+  override def toBatch: BatchWrite =
+    new GraftReplaceBatchWrite(root, version, schema, op,
+      clusterKey, bloomKey)
+}
+
+private[connector] class GraftReplaceBatchWrite(root: String,
+    version: Long, schema: StructType, op: GraftRowLevelOperation,
+    clusterKey: Option[String], bloomKey: Option[String])
+  extends BatchWrite {
+
+  private val seg = SnapshotTable.newSegmentPath(root)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+  : DataWriterFactory = new GraftWriterFactory(seg.toString, schema.json)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val rel = messages.toSeq.collect {
+      case GraftTaskFile(Some(name)) => s"_data/${seg.getName}/$name"
+    }
+    val removed = op.plannedFiles.map(_.path).toSet
+    if (rel.isEmpty && removed.isEmpty) {
+      // nothing read, nothing written (e.g. the condition pruned every
+      // group and no NOT MATCHED insert fired): publish no version
+      SnapshotTable.fs(spark, root).delete(seg, true)
+      return
+    }
+    val entries =
+      if (rel.isEmpty) Seq.empty
+      else SnapshotTable.statsEntries(spark, root, seg, rel,
+        clusterKey, bloomKey)
+    SnapshotTable.replaceFilesStaged(spark, root, seg, entries,
+      removed, version, schema)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    SnapshotTable.fs(spark, root).delete(seg, true)
+  }
+}

@@ -141,7 +141,23 @@ private[connector] object GraftSnapshotSource {
 private[connector] class GraftSnapshotTable(root: String, version: Long,
     tableSchema: StructType) extends Table
   with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `SELECT _file FROM t` — the data file each row came from
+    * (Iceberg's `_file` / parquet's `_metadata.file_path`). Also the
+    * load-bearing half of the row-level contract: Spark applies the
+    * ReplaceData row projection ONLY through the metadata-writing
+    * task, so the row-level operation REQUIRES this column to get
+    * correctly-aligned rows to the writer. The reader synthesizes the
+    * value per partition; a data file that genuinely contains a
+    * `_file` column wins (the projection finds it), per
+    * [[org.apache.spark.sql.connector.catalog.SupportsMetadataColumns]]
+    * conflict rules. */
+  override def metadataColumns()
+  : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftFileMetadataColumn)
 
   override def name(): String = s"graft_snapshot(`$root` v$version)"
 
@@ -175,10 +191,32 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
   override def deleteWhere(filters: Array[Filter]): Unit =
     SnapshotTable.deleteFilters(SparkSession.active, root,
       filters.toIndexedSeq)
+
+  /** SQL `UPDATE` / `MERGE INTO` / group-based `DELETE` — the
+    * copy-on-write row-level path ([[GraftRowLevelOperation]]).
+    * Untranslatable DELETE predicates, which `canDeleteWhere` refuses
+    * for the metadata path, now execute here instead of erroring:
+    * Spark's `RewriteDeleteFromTable` plans the group-based rewrite
+    * whenever the metadata delete declines. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+  : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelOperationBuilder(root, version, tableSchema, info)
+}
+
+private[connector] object GraftFileMetadataColumn
+  extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  val Name = "_file"
+  override def name(): String = Name
+  override def dataType(): DataType = StringType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "absolute path of the data file holding the row"
 }
 
 private[graft] class GraftScanBuilder(root: String, version: Long,
-    fullSchema: StructType) extends ScanBuilder
+    fullSchema: StructType,
+    onPlan: Option[Seq[FileEntry] => Unit] = None) extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
   with SupportsPushDownLimit with SupportsPushDownTopN
@@ -449,7 +487,7 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
           s"tombstone key '$k' missing from table schema")).dataType),
       if (descs.isEmpty) None else Some(descs.mkString(" ")),
       offsetSkip.collect { case (ks, rem, _) if rem > 0 && ks.nonEmpty =>
-        (ks.head.path, rem) })
+        (ks.head.path, rem) }, onPlan)
   }
 }
 
@@ -685,7 +723,8 @@ private[connector] class GraftScan(root: String, version: Long,
     pushed: Array[Filter], tombs: Seq[FileEntry],
     tombKey: Option[String], tombKeyType: Option[DataType],
     limitDesc: Option[String] = None,
-    offsetSkipFile: Option[(String, Long)] = None)
+    offsetSkipFile: Option[(String, Long)] = None,
+    onPlan: Option[Seq[FileEntry] => Unit] = None)
   extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -731,7 +770,13 @@ private[connector] class GraftScan(root: String, version: Long,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // row-level operations record the FINAL planned file set (post
+    // compile-time pruning AND runtime group filtering) — the exact
+    // groups their copy-on-write commit must replace. Overwrite, not
+    // accumulate: a re-plan after runtime filtering supersedes the
+    // wider compile-time set.
+    onPlan.foreach(_(runtimeKept))
     runtimeKept.map { e =>
       val mine = tombs.filter(applies(_, e)).map(t =>
         TombRef(new Path(root, t.path).toString, t.seq)).toArray
@@ -744,14 +789,18 @@ private[connector] class GraftScan(root: String, version: Long,
         mine, tombKey.orNull,
         tombKeyType.map(_.json).orNull, skip)
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required.json, pushed,
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone,
       // scan-GLOBAL columnar decision: Spark refuses mixed row/columnar
-      // partitions, so one tombstoned file de-vectorizes the whole scan
+      // partitions, so one tombstoned file de-vectorizes the whole scan;
+      // a requested `_file` metadata column is synthesized by the row
+      // reader only
       columnarOk = tombs.isEmpty && offsetSkipFile.isEmpty &&
-        pushed.isEmpty)
+        pushed.isEmpty &&
+        !required.fieldNames.contains(GraftFileMetadataColumn.Name))
 
   /** Size-accurate planning: a v2 scan without statistics defaults to
     * "unknown = huge", which forbids the planner from ever
@@ -1117,8 +1166,14 @@ private[graft] class GraftPartitionReader(file: String,
   // with tombstones or filters, so physical rows == scan rows)
   private var toSkip: Long = skipRows
 
+  // `_file` synthesized per partition when the file itself carries no
+  // such column (metadata column; a real stored `_file` wins above)
+  private val filePathValue = UTF8String.fromString(file)
+
   private def valueAt(i: Int): Any =
     fieldIdx.get(readSchema.fields(i).name) match {
+      case None if readSchema.fields(i).name ==
+        GraftFileMetadataColumn.Name => filePathValue
       case None => null // file predates the column
       case Some(gi) => fieldValue(current, gi, readSchema.fields(i).dataType)
     }

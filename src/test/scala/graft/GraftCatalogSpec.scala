@@ -162,16 +162,21 @@ class GraftCatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) == 8000)
   }
 
-  test("SQL DELETE with an untranslatable predicate is REFUSED, not " +
-      "mis-executed") {
+  test("SQL DELETE with an untranslatable predicate routes to the " +
+      "group-based copy-on-write path (it used to be refused) and " +
+      "deletes exactly the matching rows") {
     spark.sql("CREATE TABLE graft.db.delref (k BIGINT)")
     spark.sql("INSERT INTO graft.db.delref VALUES (1), (2), (3), (4)")
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM graft.db.delref WHERE k % 2 = 0")
-    }
-    assert(e.getMessage != null, e.toString)
-    // nothing was deleted by the failed statement
-    assert(spark.table("graft.db.delref").count() == 4)
+    // `k % 2 = 0` has no sources.Filter translation, so canDeleteWhere
+    // refuses the metadata path — with SupportsRowLevelOperations the
+    // statement now executes as a group rewrite instead of erroring
+    spark.sql("DELETE FROM graft.db.delref WHERE k % 2 = 0")
+    assert(spark.table("graft.db.delref").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 3L))
+    // and the translatable path is unaffected: still metadata-tier
+    spark.sql("DELETE FROM graft.db.delref WHERE k = 3")
+    assert(spark.table("graft.db.delref").collect().map(_.getLong(0))
+      .toSeq == Seq(1L))
   }
 
   test("a catalog read keeps the connector's pushdown: a range " +
