@@ -378,11 +378,19 @@ object SnapshotTable {
     }
     shaped.write.mode("error").parquet(seg.toString)
     val f = fs(spark, root)
+    // SORTED by file name: partition ids are zero-padded, so name
+    // order = range-partition order = ascending key ranges. listStatus
+    // order is filesystem-dependent (File.list guarantees nothing), and
+    // manifest order is load-bearing for the limit/offset file-prefix
+    // pushdowns — an arbitrary order is CORRECT there (any N rows) but
+    // a deterministic one makes commits reproducible and keeps range
+    // reads of a clustered table in cluster order.
     val parts = f.listStatus(seg).toSeq
       .filter { st =>
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
       }
+      .sortBy(_.getPath.getName)
     val rel = parts.map { st =>
       s"_data/${seg.getName}/${st.getPath.getName}"
     }

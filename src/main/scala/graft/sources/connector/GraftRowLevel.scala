@@ -154,9 +154,10 @@ private[connector] class GraftReplaceBatchWrite(root: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
+    // sorted into partition order, same rule as every other commit
     val rel = messages.toSeq.collect {
       case GraftTaskFile(Some(name)) => s"_data/${seg.getName}/$name"
-    }
+    }.sorted
     val removed = op.plannedFiles.map(_.path).toSet
     if (rel.isEmpty && removed.isEmpty) {
       // nothing read, nothing written (e.g. the condition pruned every

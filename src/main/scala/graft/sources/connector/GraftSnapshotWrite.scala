@@ -114,9 +114,11 @@ private[connector] class GraftBatchWrite(root: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
+    // sorted: commit-message arrival order is task-completion order,
+    // but manifest order should be partition order (see stageSegment)
     val rel = messages.toSeq.collect {
       case GraftTaskFile(Some(name)) => s"_data/${seg.getName}/$name"
-    }
+    }.sorted
     if (rel.isEmpty && !replace) return // empty append: nothing to commit
     val entries =
       if (rel.isEmpty) Seq.empty
