@@ -282,6 +282,35 @@ object Sources {
     // Catalyst's predicate-subquery decorrelation (RewritePredicateSubquery
     // turns these into semi/anti joins; the DataFrame-API twins in
     // Relational declare the joins directly).
+    // Recursive CTE through Spark 4's UnionLoop execution: an 84-step
+    // integer recursion builds the 1992-01..1998-12 month spine (the
+    // dashboard "no data is still a data point" gap-fill the reference
+    // fakes driver-side), LEFT JOIN monthly order rollups, zero-filled.
+    // Integer-only recursion keeps both engines' arithmetic identical;
+    // the recursion depth is a constant 84, driver-bounded, so the
+    // loop's per-step work is one 1-row batch — scale lives entirely
+    // in the joined aggregate.
+    "sql_recursive_month_spine" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(
+        """WITH RECURSIVE spine(n) AS (
+          |  SELECT 0
+          |  UNION ALL
+          |  SELECT n + 1 FROM spine WHERE n < 83
+          |),
+          |m AS (SELECT 1992 + n DIV 12 AS yr, 1 + n % 12 AS mon
+          |      FROM spine),
+          |o AS (SELECT year(o_orderdate) AS yr,
+          |        month(o_orderdate) AS mon,
+          |        count(*) AS n_orders,
+          |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |          AS DOUBLE) AS revenue
+          |      FROM orders GROUP BY 1, 2)
+          |SELECT m.yr, m.mon, coalesce(o.n_orders, 0) AS n_orders,
+          |  coalesce(o.revenue, 0.0) AS revenue
+          |FROM m LEFT JOIN o ON m.yr = o.yr AND m.mon = o.mon
+          |ORDER BY m.yr, m.mon""".stripMargin)
+    }),
     "sql_exists_correlated" -> ((s, dir) => {
       registerViews(s, dir)
       s.sql(
@@ -807,6 +836,23 @@ object Sources {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment, o_orderpriority
         |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+    "sql_recursive_month_spine" ->
+      """WITH RECURSIVE spine(n) AS (
+        |  SELECT 0
+        |  UNION ALL
+        |  SELECT n + 1 FROM spine WHERE n < 83
+        |),
+        |m AS (SELECT 1992 + n // 12 AS yr, 1 + n % 12 AS mon
+        |      FROM spine),
+        |o AS (SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+        |        count(*) AS n_orders,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |          AS DOUBLE) AS revenue
+        |      FROM orders GROUP BY 1, 2)
+        |SELECT m.yr, m.mon, coalesce(o.n_orders, 0) AS n_orders,
+        |  coalesce(o.revenue, 0.0) AS revenue
+        |FROM m LEFT JOIN o ON m.yr = o.yr AND m.mon = o.mon
+        |ORDER BY m.yr, m.mon""".stripMargin,
     "sql_exists_correlated" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey

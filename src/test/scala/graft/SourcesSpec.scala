@@ -253,4 +253,21 @@ class SourcesSpec extends SparkSpec {
     val r = Sources.kafkaStream(spark, "localhost:9092", "github_events")
     assert(r != null)
   }
+
+  test("sql_recursive_month_spine executes through UnionLoop (a real " +
+      "recursive CTE, not an unrolled union) and zero-fills the " +
+      "orderless tail months") {
+    val df = Sources.queries("sql_recursive_month_spine")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"), s"no recursion in plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 84) // 7 years x 12 months, gaps included
+    // TPC-H orderdates end 1998-08-02: the last four months of the
+    // spine exist only through the recursion and must be zero
+    val tail = rows.filter(r =>
+      r.getAs[Number](0).intValue == 1998 &&
+        r.getAs[Number](1).intValue > 8)
+    assert(tail.length == 4 && tail.forall(_.getLong(2) == 0L))
+    assert(rows.map(_.getLong(2)).sum > 0)
+  }
 }
