@@ -305,7 +305,8 @@ object Sources {
           |        count(*) AS n_orders,
           |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
           |          AS DOUBLE) AS revenue
-          |      FROM orders GROUP BY 1, 2)
+          |      FROM orders WHERE o_orderdate < DATE '1998-09-01'
+          |      GROUP BY 1, 2)
           |SELECT m.yr, m.mon, coalesce(o.n_orders, 0) AS n_orders,
           |  coalesce(o.revenue, 0.0) AS revenue
           |FROM m LEFT JOIN o ON m.yr = o.yr AND m.mon = o.mon
@@ -848,7 +849,8 @@ object Sources {
         |        count(*) AS n_orders,
         |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |          AS DOUBLE) AS revenue
-        |      FROM orders GROUP BY 1, 2)
+        |      FROM orders WHERE o_orderdate < DATE '1998-09-01'
+        |      GROUP BY 1, 2)
         |SELECT m.yr, m.mon, coalesce(o.n_orders, 0) AS n_orders,
         |  coalesce(o.revenue, 0.0) AS revenue
         |FROM m LEFT JOIN o ON m.yr = o.yr AND m.mon = o.mon

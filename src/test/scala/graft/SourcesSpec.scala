@@ -262,8 +262,8 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("UnionLoop"), s"no recursion in plan:\n$plan")
     val rows = df.collect()
     assert(rows.length == 84) // 7 years x 12 months, gaps included
-    // TPC-H orderdates end 1998-08-02: the last four months of the
-    // spine exist only through the recursion and must be zero
+    // the rollup stops at 1998-09-01 by construction: the last four
+    // spine months exist only through the recursion and must be zero
     val tail = rows.filter(r =>
       r.getAs[Number](0).intValue == 1998 &&
         r.getAs[Number](1).intValue > 8)
