@@ -734,6 +734,92 @@ object SnapshotTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Publish a staged MERGE-ON-READ delta: new data files (inserts +
+    * update replacements) plus a key-tombstone segment, appended to
+    * the current manifest — zero existing files read or rewritten,
+    * the O(batch) commit the `write.*.mode=merge-on-read` table
+    * properties ask for (the reference sets exactly these on its
+    * Iceberg table, `services/streaming-service/api.py:235-238`).
+    * The sequence rule gives the semantics: the tombstone kills only
+    * strictly-older rows with its keys, so this commit's own
+    * replacement rows survive while every older copy dies. A commit
+    * here derives only ADDITIVELY from the current manifest, so the
+    * CAS loop retries like [[appendStaged]] — no re-derivation needed
+    * on conflict. Either segment may be absent (delete-only commits
+    * stage no data; provably-insert-only batches could stage no
+    * tombstone). */
+  private[sources] def appendDeltaStaged(spark: SparkSession,
+      root: String, segs: Seq[Path], dataEntries: Seq[FileEntry],
+      tombEntries: Seq[FileEntry], key: String,
+      batchSchema: StructType, maxRetries: Int = 5): Long = {
+    val f = fs(spark, root)
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      if (cur == 0L) {
+        segs.foreach(f.delete(_, true))
+        throw new IllegalStateException(
+          s"merge-on-read delta on an uncommitted table at $root")
+      }
+      val (priorEntries, priorSchema) = readManifestFull(spark, root, cur)
+      requireTombKey(priorEntries, key, root)
+      val all = priorEntries ++
+        tombEntries.map(_.copy(kind = "t")) ++ dataEntries
+      val schema = evolveSchema(
+        priorSchemaOrRead(spark, root, cur, priorSchema), batchSchema)
+      val target = cur + 1
+      if (maxLogVersion(f, root) < target && tryClaim(f, root, target)) {
+        val stamped = all.map(e =>
+          if (e.seq == 0L) e.copy(seq = target) else e)
+        writeManifest(f, root, target, stamped, schema)
+        publish(f, root, target, stamped, segs)
+        spark.catalog.refreshByPath(root)
+        return target
+      }
+      attempt += 1
+      if (attempt > maxRetries) {
+        segs.foreach(f.delete(_, true))
+        throw CommitConflict(
+          s"lost the delta commit race ${maxRetries + 1} times at $root")
+      }
+      Thread.sleep(math.min(50L, 5L * attempt))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  // ---- table properties ----
+  // A tiny key→value side file (`_properties`), the TBLPROPERTIES
+  // surface: the catalog persists `write.*` / `graft.*` keys at CREATE
+  // TABLE, and the row-level path reads `write.delete.mode` /
+  // `write.update.mode` / `write.merge.mode` = merge-on-read to choose
+  // delta commits over copy-on-write — the same knobs the reference
+  // sets on its Iceberg table. Properties are table METADATA, not
+  // versioned state: they steer future writes, never reads.
+
+  private def propsPath(root: String) = new Path(root, "_properties")
+
+  def setProperties(spark: SparkSession, root: String,
+      props: Map[String, String]): Unit = {
+    val f = fs(spark, root)
+    val out = f.create(propsPath(root), true)
+    try out.write(props.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${b64(k)}\t${b64(v)}" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def tableProperties(spark: SparkSession,
+      root: String): Map[String, String] = {
+    val f = fs(spark, root)
+    if (!f.exists(propsPath(root))) return Map.empty
+    val in = f.open(propsPath(root))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    text.split('\n').filter(_.nonEmpty).map { line =>
+      val Array(k, v) = line.split('\t')
+      unb64(k) -> unb64(v)
+    }.toMap
+  }
+
   /** The layout a DataSource V2 write should maintain: the current
     * version's cluster key and bloom column. New files that ignore an
     * existing layout silently erode the table's pruning, so the write

@@ -582,6 +582,53 @@ object Sources {
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
     }),
+    // The MERGE-ON-READ twin of snapshot_sql_merge: same statements,
+    // same oracle, but the table's TBLPROPERTIES
+    // (write.mode=merge-on-read + write.merge.key — the reference's
+    // Iceberg delete-mode knobs) route both the SQL UPDATE and the
+    // MERGE INTO through delta commits: tombstone + batch appends,
+    // zero existing files rewritten. Matching hashes prove the
+    // sequence-numbered read-side merge reconstructs exactly the
+    // copy-on-write end state.
+    "snapshot_sql_mor_merge" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-rlmq")
+        .toString
+      s.conf.set("spark.sql.catalog.graft_rlmq",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_rlmq.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rlmq.db")
+      val root = s"$wh/db/orders_rlm"
+      val o = graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      SnapshotTable.merge(s, root, o, "o_orderkey", files = 8)
+      SnapshotTable.setProperties(s, root, Map(
+        "write.mode" -> "merge-on-read",
+        "write.merge.key" -> "o_orderkey"))
+      s.sql(
+        """UPDATE graft_rlmq.db.orders_rlm SET o_totalprice = -1.0
+          |WHERE o_orderkey % 10 = 3""".stripMargin)
+      o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .unionByName(o.filter(col("o_orderkey") % 97 === 0 &&
+            col("o_orderkey") > 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            lit(0.5).as("o_totalprice")))
+        .createOrReplaceTempView("graft_rlm_src")
+      s.sql(
+        """MERGE INTO graft_rlmq.db.orders_rlm t
+          |USING graft_rlm_src s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.table("graft_rlmq.db.orders_rlm")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") < 0, 1L).otherwise(0L))
+            .as("n_updated"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    }),
     // Schema evolution under the oracle: commit a third of orders,
     // append another third CARRYING A NEW COLUMN (disc), and read the
     // evolved table back — pre-evolution rows must surface disc as
@@ -937,6 +984,26 @@ object Sources {
         |WHERE o_orderkey > (SELECT max(o_orderkey) // 3 FROM orders)
         |  AND o_orderkey % 97 <> 0
         |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_sql_mor_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |st AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice
+        |         WHEN o_orderkey % 10 = 3 THEN -1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'N', 0.5 FROM base
+        |  WHERE o_orderkey % 97 = 0 AND o_orderkey > 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_updated,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM st GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     "snapshot_sql_merge" ->
       """WITH base AS (

@@ -136,6 +136,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft-snapshot does not support ${f.dataType.simpleString} " +
           s"column '${f.name}'"))
     SnapshotTable.createEmpty(spark, root, schema)
+    // persist the table-behavior TBLPROPERTIES (write.* / graft.*):
+    // `write.delete.mode` / `write.update.mode` / `write.merge.mode`
+    // = merge-on-read select delta row-level commits, write.merge.key
+    // names the row id — Spark's own reserved props (provider, owner,
+    // location, ...) are catalog bookkeeping, not table behavior
+    val keep = properties.asScala.filter { case (k, _) =>
+      k.startsWith("write.") || k.startsWith("graft.") }
+    if (keep.nonEmpty)
+      SnapshotTable.setProperties(spark, root, keep.toMap)
     new GraftSnapshotTable(root, 1L,
       StructType(schema.fields.map(_.copy(nullable = true))))
   }

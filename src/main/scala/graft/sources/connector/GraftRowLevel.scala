@@ -142,6 +142,185 @@ private[connector] class GraftReplaceDataWrite(root: String,
       clusterKey, bloomKey)
 }
 
+/** DELTA-based (merge-on-read) row-level operations — chosen over the
+  * copy-on-write path when the table's properties ask for it
+  * (`write.delete.mode` / `write.update.mode` / `write.merge.mode` =
+  * `merge-on-read`, the exact TBLPROPERTIES the reference sets on its
+  * Iceberg table at `services/streaming-service/api.py:235-238`).
+  *
+  * Shape: Spark's WriteDelta rewrite hands this connector per-row
+  * operations (insert / update / delete) with the row id projected
+  * out; each task stages inserts + update-replacements as ordinary
+  * data files and deleted/updated KEYS as a tombstone file, and the
+  * commit appends both to the manifest — ZERO existing files read or
+  * rewritten, so a SQL UPDATE hitting every file's key range costs
+  * O(batch), not O(table) (the case that makes COW a full rewrite).
+  * The sequence rule supplies the semantics: the new tombstone kills
+  * only strictly-older rows with its keys, so this commit's own
+  * replacement rows survive while every older copy dies. Reads apply
+  * tombstones in the scan (the connector's MOR path); `compact`
+  * materializes and clears them, restoring the clustered layout the
+  * delta batches don't maintain.
+  *
+  * The row id is the table's merge key: `write.merge.key` property,
+  * else the cluster key. Key-uniqueness is the table's contract
+  * (same as the native mergeOnRead API); a tombstone kills ALL older
+  * rows with a deleted key. */
+private[connector] class GraftDeltaOperationBuilder(root: String,
+    version: Long, tableSchema: StructType, info: RowLevelOperationInfo,
+    key: String) extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftDeltaOperation(root, version, tableSchema, info.command(),
+      key)
+}
+
+private[connector] class GraftDeltaOperation(root: String,
+    version: Long, tableSchema: StructType,
+    cmd: RowLevelOperation.Command, key: String) extends SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"GraftDeltaOperation[$cmd, v$version, rowId=$key]"
+
+  override def rowId(): Array[
+    org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(key))
+
+  // the delta scan only LOCATES affected rows; nothing is replaced,
+  // so no file recording — stats/bloom pruning and runtime group
+  // filtering still narrow the read
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+  : ScanBuilder = new GraftScanBuilder(root, version, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+  : DeltaWriteBuilder = new DeltaWriteBuilder {
+    override def build(): DeltaWrite =
+      new GraftDeltaWrite(root, info.schema(), tableSchema, key)
+  }
+}
+
+private[connector] class GraftDeltaWrite(root: String,
+    rowSchema: StructType, tableSchema: StructType, key: String)
+  extends DeltaWrite {
+
+  override def description(): String =
+    s"graft-snapshot delta write (rowId=$key)"
+
+  override def toBatch: DeltaBatchWrite =
+    new GraftDeltaBatchWrite(root, rowSchema, tableSchema, key)
+}
+
+private[connector] case class GraftDeltaTaskFiles(data: Option[String],
+    tomb: Option[String]) extends WriterCommitMessage
+
+private[connector] class GraftDeltaBatchWrite(root: String,
+    rowSchema: StructType, tableSchema: StructType, key: String)
+  extends DeltaBatchWrite {
+
+  private val dataSeg = SnapshotTable.newSegmentPath(root)
+  private val tombSeg = SnapshotTable.newSegmentPath(root)
+  private val keySchema = StructType(Seq(tableSchema.fields
+    .find(_.name.equalsIgnoreCase(key)).getOrElse(
+      throw new IllegalArgumentException(
+        s"merge key '$key' not in table schema")).copy(name = key)))
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+  : DeltaWriterFactory = new GraftDeltaWriterFactory(dataSeg.toString,
+    tombSeg.toString, rowSchema.json, keySchema.json)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val dataRel = messages.toSeq.collect {
+      case GraftDeltaTaskFiles(Some(name), _) =>
+        s"_data/${dataSeg.getName}/$name"
+    }.sorted
+    val tombRel = messages.toSeq.collect {
+      case GraftDeltaTaskFiles(_, Some(name)) =>
+        s"_data/${tombSeg.getName}/$name"
+    }.sorted
+    val f = SnapshotTable.fs(spark, root)
+    if (dataRel.isEmpty && tombRel.isEmpty) {
+      f.delete(dataSeg, true); f.delete(tombSeg, true)
+      return // nothing matched and nothing inserted
+    }
+    // data files inherit the table layout's stats/bloom for pruning;
+    // tombstones record key min/max so the read side can skip
+    // applying them to disjoint files
+    val (ck, bk) = SnapshotTable.layoutOf(spark, root)
+    val dataEntries =
+      if (dataRel.isEmpty) Seq.empty
+      else SnapshotTable.statsEntries(spark, root, dataSeg, dataRel,
+        ck.orElse(Some(key)), bk)
+    val tombEntries =
+      if (tombRel.isEmpty) Seq.empty
+      else SnapshotTable.statsEntries(spark, root, tombSeg, tombRel,
+        Some(key), None)
+    val batchSchema = if (dataRel.isEmpty) StructType(Nil) else rowSchema
+    SnapshotTable.appendDeltaStaged(spark, root,
+      Seq(dataSeg, tombSeg).filter(s =>
+        (s == dataSeg && dataRel.nonEmpty) ||
+          (s == tombSeg && tombRel.nonEmpty)),
+      dataEntries, tombEntries, key, batchSchema)
+    // clean the empty staging dir the filter above left behind
+    if (dataRel.isEmpty) f.delete(dataSeg, true)
+    if (tombRel.isEmpty) f.delete(tombSeg, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    SnapshotTable.fs(spark, root).delete(dataSeg, true)
+    SnapshotTable.fs(spark, root).delete(tombSeg, true)
+  }
+}
+
+private[connector] class GraftDeltaWriterFactory(dataSegAbs: String,
+    tombSegAbs: String, rowSchemaJson: String, keySchemaJson: String)
+  extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+  : DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new GraftDeltaWriter(dataSegAbs, tombSegAbs, rowSchemaJson,
+      keySchemaJson, partitionId, taskId)
+}
+
+/** Two lazy parquet writers per task: rows (inserts + update
+  * replacements) and keys (deleted + updated). Files appear only for
+  * non-empty streams, so a task that saw no deletes stages no
+  * tombstone piece. */
+private[connector] class GraftDeltaWriter(dataSegAbs: String,
+    tombSegAbs: String, rowSchemaJson: String, keySchemaJson: String,
+    partitionId: Int, taskId: Long)
+  extends DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private val dataW =
+    new GraftDataWriter(dataSegAbs, rowSchemaJson, partitionId, taskId)
+  private val tombW =
+    new GraftDataWriter(tombSegAbs, keySchemaJson, partitionId, taskId)
+
+  override def insert(row: InternalRow): Unit = dataW.write(row)
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    tombW.write(id)
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    tombW.write(id)
+    dataW.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val d = dataW.commit().asInstanceOf[GraftTaskFile]
+    val t = tombW.commit().asInstanceOf[GraftTaskFile]
+    GraftDeltaTaskFiles(d.name, t.name)
+  }
+
+  override def abort(): Unit = { dataW.abort(); tombW.abort() }
+
+  override def close(): Unit = { dataW.close(); tombW.close() }
+}
+
 private[connector] class GraftReplaceBatchWrite(root: String,
     version: Long, schema: StructType, op: GraftRowLevelOperation,
     clusterKey: Option[String], bloomKey: Option[String])

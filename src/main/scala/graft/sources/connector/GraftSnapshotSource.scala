@@ -161,7 +161,22 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
 
   override def name(): String = s"graft_snapshot(`$root` v$version)"
 
-  override def schema(): StructType = tableSchema
+  private lazy val persistedProps: Map[String, String] =
+    SnapshotTable.tableProperties(SparkSession.active, root)
+
+  /** The manifest schema, with one adjustment: a declared
+    * `write.merge.key` column surfaces NON-NULLABLE. That property is
+    * the user's row-id contract ("this column uniquely and non-nully
+    * identifies rows" — the same contract the native mergeOnRead key
+    * carries), and Spark's delta row-level rewrite refuses nullable
+    * row ids outright. Storage stays nullable-lenient; the marking is
+    * the declaration, not an inference. */
+  override def schema(): StructType =
+    persistedProps.get("write.merge.key") match {
+      case Some(k) => StructType(tableSchema.fields.map(f =>
+        if (f.name.equalsIgnoreCase(k)) f.copy(nullable = false) else f))
+      case None => tableSchema
+    }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -192,16 +207,61 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
     SnapshotTable.deleteFilters(SparkSession.active, root,
       filters.toIndexedSeq)
 
-  /** SQL `UPDATE` / `MERGE INTO` / group-based `DELETE` — the
-    * copy-on-write row-level path ([[GraftRowLevelOperation]]).
+  /** Persisted TBLPROPERTIES (`_properties` side file) — the
+    * `write.*.mode = merge-on-read` knobs steer the row-level path
+    * below, mirroring the reference's Iceberg table properties. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    SnapshotTable.tableProperties(SparkSession.active, root)
+      .foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  /** SQL `UPDATE` / `MERGE INTO` / group-based `DELETE`. Two
+    * executions, chosen by the table's properties per command
+    * (Iceberg's exact knobs): copy-on-write by default
+    * ([[GraftRowLevelOperation]] — affected files rewritten, best for
+    * read-heavy tables), or MERGE-ON-READ when `write.delete.mode` /
+    * `write.update.mode` / `write.merge.mode` (or blanket
+    * `write.mode`) = `merge-on-read` ([[GraftDeltaOperation]] —
+    * O(batch) tombstone+insert commits, best for frequent small
+    * updates; `compact` restores the read-optimized layout).
     * Untranslatable DELETE predicates, which `canDeleteWhere` refuses
-    * for the metadata path, now execute here instead of erroring:
-    * Spark's `RewriteDeleteFromTable` plans the group-based rewrite
-    * whenever the metadata delete declines. */
+    * for the metadata path, execute through whichever path the table
+    * asks for instead of erroring. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-  : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new GraftRowLevelOperationBuilder(root, version, tableSchema, info)
+  : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val spark = SparkSession.active
+    val props = SnapshotTable.tableProperties(spark, root)
+    val modeKey = info.command() match {
+      case Command.DELETE => "write.delete.mode"
+      case Command.UPDATE => "write.update.mode"
+      case _ => "write.merge.mode"
+    }
+    val mor = props.get(modeKey).orElse(props.get("write.mode"))
+      .exists(_.equalsIgnoreCase("merge-on-read"))
+    if (!mor)
+      new GraftRowLevelOperationBuilder(root, version, tableSchema, info)
+    else {
+      // the property is REQUIRED (no cluster-key fallback): it doubles
+      // as the non-null row-id declaration in schema(), which Spark's
+      // delta rewrite insists on
+      val declared = props.get("write.merge.key")
+        .getOrElse(throw new IllegalArgumentException(
+          s"merge-on-read row-level operations at $root need a row " +
+            "id: set TBLPROPERTIES('write.merge.key'='<col>')"))
+      // canonical field name: tombstone keys must match the table's
+      // column spelling exactly (prior tombstones join by this name)
+      val key = tableSchema.fields
+        .find(_.name.equalsIgnoreCase(declared))
+        .getOrElse(throw new IllegalArgumentException(
+          s"merge key '$declared' is not a column of $root")).name
+      new GraftDeltaOperationBuilder(root, version, tableSchema, info,
+        key)
+    }
+  }
 }
 
 private[connector] object GraftFileMetadataColumn

@@ -178,6 +178,101 @@ class RowLevelSpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read SQL UPDATE (write.update.mode TBLPROPERTIES): " +
+      "the commit appends only the batch + a key tombstone — zero " +
+      "prior files opened or rewritten — and reads merge correctly") {
+    spark.sql(
+      """CREATE TABLE graftrl.db.morsql (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('write.update.mode'='merge-on-read',
+        |  'write.merge.key'='k')""".stripMargin)
+    val root = s"$warehouse/db/morsql"
+    SnapshotTable.append(spark, root,
+      (1 to 8000).map(i => (i.toLong, i.toDouble)).toDF("k", "v"),
+      clusterKey = Some("k"), files = 8)                       // v2
+    val before = SnapshotTable.manifest(spark, root, 2L)
+    val mt = mtimes(root, 2L)
+
+    spark.sql(
+      "UPDATE graftrl.db.morsql SET v = -1.0 WHERE k % 1000 = 1")
+
+    val v3 = SnapshotTable.currentVersion(spark, root)
+    val after = SnapshotTable.manifest(spark, root, v3)
+    // EVERY prior data file carries over by reference (O(batch) commit
+    // even though the update keys span every file's range — the case
+    // where copy-on-write rewrites the whole table)
+    before.foreach { e =>
+      assert(after.exists(a => a.path == e.path && a.kind == "d"),
+        s"prior file ${e.path} missing after MOR update")
+      assert(mt(e.path) == java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$root/${e.path}")).toMillis,
+        s"MOR update rewrote prior file ${e.path}")
+    }
+    assert(after.exists(_.kind == "t"), "no tombstone committed")
+    // read-side merge: updated keys show the new value exactly once
+    val got = spark.table("graftrl.db.morsql")
+    assert(got.count() == 8000)
+    assert(got.filter(col("v") === -1.0).count() == 8)
+    assert(got.filter(col("k") === 1001L).head().getDouble(1) == -1.0)
+    // time travel still sees the pre-update values
+    assert(spark.sql(
+      "SELECT count(*) FROM graftrl.db.morsql VERSION AS OF 2 " +
+        "WHERE v = -1.0").head().getLong(0) == 0)
+    // compaction materializes the merge and clears the tombstones
+    SnapshotTable.compact(spark, root)
+    val compacted = spark.table("graftrl.db.morsql")
+    assert(compacted.count() == 8000)
+    assert(compacted.filter(col("v") === -1.0).count() == 8)
+  }
+
+  test("merge-on-read SQL MERGE INTO and DELETE: tombstone-only " +
+      "delete commits (zero data files), inserts land as data files, " +
+      "and last-writer-wins holds across the sequence rule") {
+    spark.sql(
+      """CREATE TABLE graftrl.db.mormrg (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('write.mode'='merge-on-read',
+        |  'write.merge.key'='k')""".stripMargin)
+    val root = s"$warehouse/db/mormrg"
+    SnapshotTable.append(spark, root,
+      (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("k", "v"),
+      clusterKey = Some("k"), files = 4)                       // v2
+    val mt = mtimes(root, 2L)
+
+    Seq((1L, -1.0), (2L, -2.0), (2001L, 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("mormrg_src")
+    spark.sql(
+      """MERGE INTO graftrl.db.mormrg t USING mormrg_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val got = spark.table("graftrl.db.mormrg")
+    assert(got.count() == 1001)
+    assert(got.filter(col("k") === 1L).head().getDouble(1) == -1.0)
+    assert(got.filter(col("k") === 2001L).head().getDouble(1) == 1.0)
+    // prior files untouched
+    mt.foreach { case (p, t) =>
+      assert(t == java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$root/$p")).toMillis,
+        s"MOR merge rewrote prior file $p")
+    }
+
+    // untranslatable DELETE on a MOR table: a tombstone-ONLY commit
+    val vBefore = SnapshotTable.currentVersion(spark, root)
+    val dataBefore = SnapshotTable
+      .manifest(spark, root, vBefore).count(_.kind == "d")
+    spark.sql("DELETE FROM graftrl.db.mormrg WHERE k % 2 = 0")
+    val vAfter = SnapshotTable.currentVersion(spark, root)
+    assert(vAfter == vBefore + 1)
+    val manAfter = SnapshotTable.manifest(spark, root, vAfter)
+    assert(manAfter.count(_.kind == "d") == dataBefore,
+      "a MOR delete must add no data files")
+    val after = spark.table("graftrl.db.mormrg")
+    // survivors: odd keys 1..999 (500) + 2001; key 2 (even) deleted
+    assert(after.count() == 501)
+    assert(after.filter(col("k") % 2 === 0).count() == 0)
+    assert(after.filter(col("k") === 1L).head().getDouble(1) == -1.0)
+  }
+
   test("an UPDATE whose condition matches nothing prunes every group " +
       "and publishes NO version") {
     spark.sql("CREATE TABLE graftrl.db.noop (k BIGINT, v DOUBLE)")
