@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, input_file_name, lit, max => smax, min => smin}
+import org.apache.spark.sql.functions.{col, expr, first, hash, input_file_name, lit, pmod, max => smax, min => smin}
 import org.apache.spark.sql.types._
 
 /** Versioned snapshot table over plain Parquet — the engine's answer to
@@ -785,6 +785,82 @@ object SnapshotTable {
       Thread.sleep(math.min(50L, 5L * attempt))
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Commit `df` HASH-BUCKETED on `key` into `buckets` buckets — the
+    * layout behind storage-partitioned joins: every file belongs to
+    * exactly one bucket (`pmod(murmur3(key), buckets)`, recorded in
+    * the manifest), so a scan can report `KeyGroupedPartitioning` and
+    * two tables bucketed the same way JOIN WITH ZERO SHUFFLE — the
+    * bucket id IS the partition key, and Spark aligns partitions
+    * instead of exchanging 2×O(table) bytes (Iceberg's SPJ; at 100 TB
+    * the single biggest join cost simply disappears for co-bucketed
+    * fact tables). Within each bucket, per-file min/max on `key`
+    * still record, so range pruning works too. The bucket function is
+    * Spark's own murmur3 (seed 42) — the catalog exposes it as the V2
+    * `bucket` function so the planner can verify both sides used the
+    * same one. Bucket layout is declared in the table properties;
+    * maintenance that rewrites files unbucketed (compact, COW merge)
+    * must clear or re-establish it — enforced by the scan, which only
+    * reports the partitioning when EVERY kept file carries a bucket
+    * id. */
+  def commitBucketed(spark: SparkSession, root: String, df: DataFrame,
+      key: String, buckets: Int, maxRetries: Int = 5): Long = {
+    require(buckets > 0, "buckets must be positive")
+    val seg = newSegmentPath(root)
+    df.withColumn("__b", pmod(hash(col(key)), lit(buckets)))
+      .repartition(buckets, col("__b"))
+      .write.partitionBy("__b").mode("error").parquet(seg.toString)
+    val f = fs(spark, root)
+    val segUri = seg.toUri
+    val fileList = {
+      val it = f.listFiles(seg, true)
+      val buf = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) buf += st.getPath
+      }
+      buf.result().sortBy(_.toUri.getPath)
+    }
+    // one column-pruned stats pass: per file, its bucket (constant by
+    // construction — partitionBy directory) + key min/max
+    val statRows = spark.read.parquet(seg.toString)
+      .select(input_file_name().as("__f"), col("__b"),
+        col(key).as("__k"))
+      .groupBy(col("__f"))
+      .agg(first(col("__b")).as("__bv"),
+        smin(col("__k")).cast("string").as("__lo"),
+        smax(col("__k")).cast("string").as("__hi"),
+        expr("sum(CASE WHEN __k IS NULL THEN 1 ELSE 0 END)")
+          .as("__nulls"))
+      .collect()
+      .map(r => new Path(r.getAs[String]("__f")).toUri.getPath ->
+        (r: org.apache.spark.sql.Row)).toMap
+    val segPathStr = segUri.getPath
+    val entries = fileList.map { p =>
+      val rel = s"_data/${seg.getName}/" +
+        p.toUri.getPath.stripPrefix(segPathStr).stripPrefix("/")
+      statRows.get(p.toUri.getPath) match {
+        case None => FileEntry(rel, Some(key), None, None)
+        case Some(r) =>
+          val b = r.getAs[Number]("__bv").longValue()
+          FileEntry(rel, Some(key),
+            Option(r.getAs[String]("__lo")),
+            Option(r.getAs[String]("__hi")),
+            statsNulls = Option(r.getAs[Any]("__nulls"))
+              .map(_.asInstanceOf[Number].longValue()),
+            extraStats = Seq(("__bucket", b.toString, b.toString)))
+      }
+    }
+    val stamped = entries.map(e =>
+      e.copy(rows = footerRowCount(f, root, e.path)))
+    val v = replaceStaged(spark, root, seg, stamped, df.schema,
+      maxRetries)
+    setProperties(spark, root, tableProperties(spark, root) ++ Map(
+      "graft.bucket.key" -> key,
+      "graft.bucket.count" -> buckets.toString))
+    v
   }
 
   // ---- table properties ----

@@ -582,6 +582,40 @@ object Sources {
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
     }),
+    // Bucketed layout under the oracle: orders and customer committed
+    // HASH-BUCKETED on the customer key (commitBucketed — the
+    // storage-partitioned-join layout whose zero-Exchange plan the
+    // spec pins), then joined and rolled up through the catalog with
+    // v2 bucketing enabled, so the scans serve bucket-grouped
+    // partitions. The oracle runs the plain join on the base tables;
+    // matching hashes prove bucket assignment, per-bucket file
+    // grouping and the chained bucket readers lose and duplicate
+    // nothing.
+    "snapshot_spj_join" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-spjq")
+        .toString
+      s.conf.set("spark.sql.catalog.graft_spjq",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_spjq.warehouse", wh)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_spjq.db")
+      val o = graft.Tables.load(s, dir, "orders")
+        .select("o_custkey", "o_orderstatus", "o_totalprice")
+      val c = graft.Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+      SnapshotTable.commitBucketed(s, s"$wh/db/ord_b", o,
+        "o_custkey", 8)
+      SnapshotTable.commitBucketed(s, s"$wh/db/cust_b", c,
+        "c_custkey", 8)
+      s.table("graft_spjq.db.ord_b")
+        .join(s.table("graft_spjq.db.cust_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+            .cast("double").as("total"))
+        .orderBy("c_mktsegment", "o_orderstatus")
+    }),
     // The MERGE-ON-READ twin of snapshot_sql_merge: same statements,
     // same oracle, but the table's TBLPROPERTIES
     // (write.mode=merge-on-read + write.merge.key — the reference's
@@ -985,6 +1019,13 @@ object Sources {
         |  AND o_orderkey % 97 <> 0
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_spj_join" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderstatus
+        |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
     "snapshot_sql_mor_merge" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -40,7 +40,24 @@ import graft.sources.SnapshotTable
   * not a commit, and concurrent writers to the old name lose their
   * root — rename idle tables, the same operational rule as moving any
   * table's storage. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with FunctionCatalog {
+
+  /** The V2 `bucket` function — how the planner verifies that two
+    * bucketed snapshot tables share the SAME layout function before
+    * aligning their partitions in a storage-partitioned join (and how
+    * it evaluates the function when one side is missing partitions).
+    * Must agree bit-for-bit with the write side's
+    * `pmod(hash(key), n)` in [[SnapshotTable.commitBucketed]]. */
+  override def listFunctions(namespace: Array[String])
+  : Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+  : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -243,5 +260,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty")
     hfs.delete(p, true)
+  }
+}
+
+/** `bucket(n, col)` = `pmod(murmur3_hash(col), n)` — Spark's own
+  * murmur3 (seed 42), so the value computed here is identical to the
+  * `pmod(hash(col), n)` the write side laid the files out with. The
+  * canonical name is what SPJ compares across the two join sides. */
+object GraftBucketFunction extends org.apache.spark.sql.connector
+  .catalog.functions.UnboundFunction {
+
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+
+  override def description(): String =
+    "bucket(n, col): pmod(murmur3(col), n) — the snapshot bucket layout"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket takes (numBuckets, key), got ${inputType.simpleString}")
+    val keyType = inputType.fields(1).dataType
+    keyType match {
+      case IntegerType | LongType | StringType | DateType =>
+      case other => throw new UnsupportedOperationException(
+        s"graft bucket does not support ${other.simpleString} keys")
+    }
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] =
+        Array(IntegerType, keyType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: org.apache.spark.sql.catalyst
+          .InternalRow): Integer = {
+        val n = input.getInt(0)
+        val v: Any = keyType match {
+          case IntegerType | DateType => input.getInt(1)
+          case LongType => input.getLong(1)
+          case StringType => input.getUTF8String(1)
+        }
+        val h = org.apache.spark.sql.catalyst.expressions
+          .Murmur3HashFunction.hash(v, keyType, 42L).toInt
+        ((h % n) + n) % n
+      }
+    }
   }
 }

@@ -710,6 +710,17 @@ private[connector] case class TombRef(absolutePath: String, seq: Long)
 /** One InputPartition per data file — the natural parallelism of an
   * immutable-file table. `tombs` is empty for compacted tables;
   * `keyName`/`keyTypeJson` are null then. */
+/** All of one bucket's files as ONE input partition, keyed by the
+  * bucket id — the unit of a storage-partitioned join: Spark matches
+  * partitions of two scans by [[partitionKey]] instead of shuffling
+  * either side. */
+private[connector] case class GraftBucketedPartition(
+    parts: Array[GraftInputPartition], bucket: Int)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 private[connector] case class GraftInputPartition(absolutePath: String,
     seq: Long, tombs: Array[TombRef], keyName: String,
     keyTypeJson: String, skipRows: Long = 0L) extends InputPartition
@@ -786,11 +797,51 @@ private[connector] class GraftScan(root: String, version: Long,
     offsetSkipFile: Option[(String, Long)] = None,
     onPlan: Option[Seq[FileEntry] => Unit] = None)
   extends Scan with Batch
-  with SupportsReportStatistics with SupportsRuntimeFiltering {
+  with SupportsReportStatistics with SupportsRuntimeFiltering
+  with SupportsReportPartitioning {
 
   // runtime (join-driven) filters narrow the planned files further;
   // starts at the compile-time pruned set
   @volatile private var runtimeKept: Seq[FileEntry] = keptData
+
+  /** The table's declared hash-bucket layout, honored only when EVERY
+    * kept data file still carries a bucket id (maintenance that
+    * rewrote files unbucketed degrades to unknown partitioning — a
+    * performance downgrade, never a correctness risk). */
+  private def bucketSpec: Option[(String, Int)] = {
+    val props = SnapshotTable
+      .tableProperties(SparkSession.active, root)
+    for {
+      k <- props.get("graft.bucket.key")
+      n <- props.get("graft.bucket.count").flatMap(s =>
+        scala.util.Try(s.toInt).toOption)
+      if runtimeKept.nonEmpty &&
+        runtimeKept.forall(_.statsFor("__bucket").isDefined)
+    } yield (k, n)
+  }
+
+  private def bucketOf(e: FileEntry): Int =
+    e.statsFor("__bucket").get._1.toInt
+
+  /** Storage-partitioned joins: with a bucket layout, report
+    * `KeyGroupedPartitioning(bucket(N, key))` — two snapshot tables
+    * bucketed the same way then join with ZERO exchange on either
+    * side (requires spark.sql.sources.v2.bucketing.enabled; the
+    * catalog's `bucket` V2 function proves both sides share the
+    * layout function). */
+  override def outputPartitioning()
+  : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketSpec match {
+      case Some((k, n)) =>
+        val groups = runtimeKept.map(bucketOf).distinct.size
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(Array(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, k)), groups)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(runtimeKept.size)
+    }
 
   override def readSchema(): StructType = required
 
@@ -830,6 +881,19 @@ private[connector] class GraftScan(root: String, version: Long,
     }
   }
 
+  private def filePartition(e: FileEntry): GraftInputPartition = {
+    val mine = tombs.filter(applies(_, e)).map(t =>
+      TombRef(new Path(root, t.path).toString, t.seq)).toArray
+    // a runtime filter may prune the skip-designated file — sound:
+    // pruning proves none of its rows (skipped region included)
+    // could match, so dropping the file subsumes the skip
+    val skip = offsetSkipFile.collect {
+      case (p, n) if p == e.path => n }.getOrElse(0L)
+    GraftInputPartition(new Path(root, e.path).toString, e.seq,
+      mine, tombKey.orNull,
+      tombKeyType.map(_.json).orNull, skip)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // row-level operations record the FINAL planned file set (post
     // compile-time pruning AND runtime group filtering) — the exact
@@ -837,18 +901,17 @@ private[connector] class GraftScan(root: String, version: Long,
     // accumulate: a re-plan after runtime filtering supersedes the
     // wider compile-time set.
     onPlan.foreach(_(runtimeKept))
-    runtimeKept.map { e =>
-      val mine = tombs.filter(applies(_, e)).map(t =>
-        TombRef(new Path(root, t.path).toString, t.seq)).toArray
-      // a runtime filter may prune the skip-designated file — sound:
-      // pruning proves none of its rows (skipped region included)
-      // could match, so dropping the file subsumes the skip
-      val skip = offsetSkipFile.collect {
-        case (p, n) if p == e.path => n }.getOrElse(0L)
-      GraftInputPartition(new Path(root, e.path).toString, e.seq,
-        mine, tombKey.orNull,
-        tombKeyType.map(_.json).orNull, skip)
-    }.toArray
+    bucketSpec match {
+      case Some(_) =>
+        // one partition per PRESENT bucket, keyed for the SPJ planner
+        runtimeKept.groupBy(bucketOf).toSeq.sortBy(_._1).map {
+          case (b, es) =>
+            GraftBucketedPartition(es.map(filePartition).toArray, b)
+              : InputPartition
+        }.toArray
+      case None =>
+        runtimeKept.map(filePartition(_): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -857,9 +920,9 @@ private[connector] class GraftScan(root: String, version: Long,
       // scan-GLOBAL columnar decision: Spark refuses mixed row/columnar
       // partitions, so one tombstoned file de-vectorizes the whole scan;
       // a requested `_file` metadata column is synthesized by the row
-      // reader only
+      // reader only, and bucketed (SPJ) partitions chain row readers
       columnarOk = tombs.isEmpty && offsetSkipFile.isEmpty &&
-        pushed.isEmpty &&
+        pushed.isEmpty && bucketSpec.isEmpty &&
         !required.fieldNames.contains(GraftFileMetadataColumn.Name))
 
   /** Size-accurate planning: a v2 scan without statistics defaults to
@@ -934,6 +997,30 @@ private[connector] class GraftReaderFactory(requiredJson: String,
   }
 
   override def createReader(partition: InputPartition)
+  : PartitionReader[InternalRow] = partition match {
+    case GraftBucketedPartition(parts, _) =>
+      // one bucket = several files: chain their readers in order
+      new PartitionReader[InternalRow] {
+        private val it = parts.iterator
+        private var cur: PartitionReader[InternalRow] = _
+        override def next(): Boolean = {
+          while (true) {
+            if (cur == null) {
+              if (!it.hasNext) return false
+              cur = createReader(it.next())
+            }
+            if (cur.next()) return true
+            cur.close(); cur = null
+          }
+          false
+        }
+        override def get(): InternalRow = cur.get()
+        override def close(): Unit = if (cur != null) cur.close()
+      }
+    case _ => createFileReader(partition)
+  }
+
+  private def createFileReader(partition: InputPartition)
   : PartitionReader[InternalRow] = {
     val required =
       DataType.fromJson(requiredJson).asInstanceOf[StructType]
