@@ -806,6 +806,37 @@ object SnapshotTable {
     * id. */
   def commitBucketed(spark: SparkSession, root: String, df: DataFrame,
       key: String, buckets: Int, maxRetries: Int = 5): Long = {
+    val (seg, stamped) = stageBucketed(spark, root, df, key, buckets)
+    val v = replaceStaged(spark, root, seg, stamped, df.schema,
+      maxRetries)
+    setProperties(spark, root, tableProperties(spark, root) ++ Map(
+      "graft.bucket.key" -> key,
+      "graft.bucket.count" -> buckets.toString))
+    v
+  }
+
+  /** APPEND a batch INTO the table's declared bucket layout: new
+    * files land in their buckets (same function, same count — read
+    * from the table properties), so the scan keeps reporting
+    * `KeyGroupedPartitioning` and storage-partitioned joins survive
+    * ingest. A plain `append` to a bucketed table is still legal but
+    * adds bucket-less files, which degrades the scan to unknown
+    * partitioning until compaction re-buckets. */
+  def appendBucketed(spark: SparkSession, root: String, df: DataFrame,
+      maxRetries: Int = 5): Long = {
+    val props = tableProperties(spark, root)
+    val key = props.getOrElse("graft.bucket.key",
+      throw new IllegalArgumentException(
+        s"appendBucketed: $root has no bucket layout " +
+          "(commitBucketed first)"))
+    val buckets = props("graft.bucket.count").toInt
+    val (seg, stamped) = stageBucketed(spark, root, df, key, buckets)
+    appendStaged(spark, root, seg, stamped, df.schema, maxRetries)
+  }
+
+  private def stageBucketed(spark: SparkSession, root: String,
+      df: DataFrame, key: String, buckets: Int)
+  : (Path, Seq[FileEntry]) = {
     require(buckets > 0, "buckets must be positive")
     val seg = newSegmentPath(root)
     df.withColumn("__b", pmod(hash(col(key)), lit(buckets)))
@@ -853,14 +884,8 @@ object SnapshotTable {
             extraStats = Seq(("__bucket", b.toString, b.toString)))
       }
     }
-    val stamped = entries.map(e =>
-      e.copy(rows = footerRowCount(f, root, e.path)))
-    val v = replaceStaged(spark, root, seg, stamped, df.schema,
-      maxRetries)
-    setProperties(spark, root, tableProperties(spark, root) ++ Map(
-      "graft.bucket.key" -> key,
-      "graft.bucket.count" -> buckets.toString))
-    v
+    (seg, entries.map(e =>
+      e.copy(rows = footerRowCount(f, root, e.path))))
   }
 
   // ---- table properties ----

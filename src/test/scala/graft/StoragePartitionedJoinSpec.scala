@@ -76,6 +76,28 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("appendBucketed keeps the layout through ingest: the appended " +
+      "batch lands in its buckets and the join stays exchange-free") {
+    val aRoot = s"$warehouse/db/grow_a"
+    val bRoot = s"$warehouse/db/grow_b"
+    val a1 = (1 to 5000).map(i => (i.toLong % 997, i.toDouble))
+      .toDF("k", "v")
+    val a2 = (5001 to 9000).map(i => (i.toLong % 997, i.toDouble))
+      .toDF("k", "v")
+    val dim = (0 to 996).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    SnapshotTable.commitBucketed(spark, aRoot, a1, "k", 8)
+    SnapshotTable.appendBucketed(spark, aRoot, a2)
+    SnapshotTable.commitBucketed(spark, bRoot, dim, "k", 8)
+    withSpj {
+      val j = spark.table("graftspj.db.grow_a")
+        .join(spark.table("graftspj.db.grow_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"append broke the bucket layout:\n$plan")
+      assert(j.count() == 9000)
+    }
+  }
+
   test("bucketed layout survives sparse buckets and reads exactly; " +
       "a bucket-erasing rewrite degrades to unknown partitioning " +
       "(correct, just shuffled)") {
