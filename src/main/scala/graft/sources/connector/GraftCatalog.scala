@@ -112,9 +112,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)
     val v = SnapshotTable.currentVersion(spark, root)
-    if (v == 0L) throw new NoSuchTableException(ident)
-    new GraftSnapshotTable(root, v,
-      GraftSnapshotSource.schemaOf(spark, root, v))
+    if (v != 0L)
+      return new GraftSnapshotTable(root, v,
+        GraftSnapshotSource.schemaOf(spark, root, v))
+    metadataOf(ident).getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** Iceberg-style SQL metadata tables: `SELECT * FROM
+    * graft.db.t.history` (the commit log), `...t.files` (the current
+    * manifest, one row per file with stats), `...t.properties`
+    * (TBLPROPERTIES). Resolved only when no REAL table shadows the
+    * name, computed driver-side from metadata (zero data IO) and
+    * served through a LocalScan. */
+  private def metadataOf(ident: Identifier): Option[Table] = {
+    val kind = ident.name().toLowerCase
+    if (!GraftMetadataTable.Kinds.contains(kind) ||
+      ident.namespace().isEmpty) return None
+    val parentRoot =
+      (warehouse +: ident.namespace().toSeq.map(safe)).mkString("/")
+    if (!isTable(parentRoot)) return None
+    Some(new GraftMetadataTable(
+      (ident.namespace() :+ ident.name()).mkString("."), kind,
+      parentRoot))
   }
 
   /** SQL `VERSION AS OF <v>` — pin the scan to a committed version. */
@@ -261,6 +280,92 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"namespace ${namespace.mkString(".")} is not empty")
     hfs.delete(p, true)
   }
+}
+
+/** A read-only metadata table over a snapshot root, computed
+  * driver-side (metadata only — the manifest, commit log and
+  * properties are all driver-scale) and served through a V2
+  * [[org.apache.spark.sql.connector.read.LocalScan]]. */
+private[connector] class GraftMetadataTable(fullName: String,
+    kind: String, root: String) extends Table with SupportsRead {
+
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+  import org.apache.spark.sql.types._
+
+  private def spark = SparkSession.active
+
+  override def name(): String = fullName
+
+  override def schema(): StructType = kind match {
+    case "history" => SnapshotTable.history(spark, root).schema
+    case "files" => GraftMetadataTable.FilesSchema
+    case "properties" => GraftMetadataTable.PropsSchema
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+  : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new LocalScan {
+      override def readSchema(): StructType = schema()
+      override def description(): String = s"graft-metadata($kind)"
+      override def rows(): Array[InternalRow] = kind match {
+        case "history" =>
+          SnapshotTable.history(spark, root)
+            .queryExecution.executedPlan.executeCollect()
+        case "files" =>
+          val s = spark
+          val v = SnapshotTable.currentVersion(s, root)
+          val f = SnapshotTable.fs(s, root)
+          val data = SnapshotTable.manifest(s, root, v).map { e =>
+            val bytes = try f.getFileStatus(
+              new Path(root, e.path)).getLen catch {
+              case _: java.io.IOException => 0L
+            }
+            Row(e.path, e.kind, e.seq, e.rows.map(Long.box).orNull,
+              bytes,
+              e.statsKey.orNull, e.lo.orNull, e.hi.orNull,
+              e.statsFor("__bucket").map(_._1).orNull)
+          }
+          localRows(data, GraftMetadataTable.FilesSchema)
+        case "properties" =>
+          val data = SnapshotTable.tableProperties(spark, root)
+            .toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+          localRows(data, GraftMetadataTable.PropsSchema)
+      }
+    }
+  }
+
+  private def localRows(data: Seq[Row],
+      schema: StructType): Array[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(data.asJava, schema)
+      .queryExecution.executedPlan.executeCollect()
+  }
+}
+
+private[connector] object GraftMetadataTable {
+  import org.apache.spark.sql.types._
+
+  val Kinds = Set("history", "files", "properties")
+
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("bytes", LongType, nullable = false),
+    StructField("stats_key", StringType, nullable = true),
+    StructField("min", StringType, nullable = true),
+    StructField("max", StringType, nullable = true),
+    StructField("bucket", StringType, nullable = true)))
+
+  val PropsSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = false)))
 }
 
 /** `bucket(n, col)` = `pmod(murmur3_hash(col), n)` — Spark's own

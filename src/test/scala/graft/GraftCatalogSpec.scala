@@ -179,6 +179,38 @@ class GraftCatalogSpec extends SparkSpec {
       .toSeq == Seq(1L))
   }
 
+  test("SQL metadata tables: t.history walks the commit log, t.files " +
+      "lists the current manifest with stats, t.properties shows " +
+      "TBLPROPERTIES — all driver-side, zero data IO") {
+    spark.sql(
+      """CREATE TABLE graft.db.meta (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('write.merge.key'='k')""".stripMargin)
+    val root = s"$warehouse/db/meta"
+    SnapshotTable.append(spark, root,
+      (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("k", "v"),
+      clusterKey = Some("k"), files = 2)                       // v2
+    spark.sql("INSERT INTO graft.db.meta VALUES (101, 101.0)")  // v3
+
+    val hist = spark.sql("SELECT * FROM graft.db.meta.history").collect()
+    assert(hist.length == 3, s"expected 3 versions, got ${hist.length}")
+
+    val files = spark.sql(
+      "SELECT path, kind, rows FROM graft.db.meta.files").collect()
+    assert(files.count(_.getString(1) == "d") == 3) // 2 clustered + 1
+    assert(files.map(_.getLong(2)).sum == 101)
+
+    val props = spark.sql(
+      "SELECT * FROM graft.db.meta.properties").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("write.merge.key") == "k")
+
+    // a REAL table named like a metadata kind shadows it
+    spark.sql("CREATE TABLE graft.db.history (x BIGINT)")
+    spark.sql("INSERT INTO graft.db.history VALUES (7)")
+    assert(spark.sql("SELECT * FROM graft.db.history")
+      .head().getLong(0) == 7)
+  }
+
   test("a catalog read keeps the connector's pushdown: a range " +
       "predicate shows PushedFilters and prunes manifest files") {
     spark.sql("CREATE TABLE graft.db.pr (k BIGINT, x DOUBLE)")
