@@ -762,7 +762,10 @@ object SnapshotTable {
           s"merge-on-read delta on an uncommitted table at $root")
       }
       val (priorEntries, priorSchema) = readManifestFull(spark, root, cur)
-      requireTombKey(priorEntries, key, root)
+      try requireTombKey(priorEntries, key, root)
+      catch { case e: Throwable =>
+        segs.foreach(f.delete(_, true)); throw e
+      }
       val all = priorEntries ++
         tombEntries.map(_.copy(kind = "t")) ++ dataEntries
       val schema = evolveSchema(

@@ -808,20 +808,34 @@ private[connector] class GraftScan(root: String, version: Long,
     * kept data file still carries a bucket id (maintenance that
     * rewrote files unbucketed degrades to unknown partitioning — a
     * performance downgrade, never a correctness risk). */
-  private def bucketSpec: Option[(String, Int)] = {
+  private lazy val bucketSpec: Option[(String, Int)] = {
     val props = SnapshotTable
       .tableProperties(SparkSession.active, root)
     for {
       k <- props.get("graft.bucket.key")
       n <- props.get("graft.bucket.count").flatMap(s =>
         scala.util.Try(s.toInt).toOption)
-      if runtimeKept.nonEmpty &&
-        runtimeKept.forall(_.statsFor("__bucket").isDefined)
+      // judged on the COMPILE-TIME kept set: runtime filtering only
+      // ever empties a reported bucket's file list, never the layout
+      if keptData.nonEmpty &&
+        keptData.forall(_.statsFor("__bucket").isDefined)
     } yield (k, n)
   }
 
   private def bucketOf(e: FileEntry): Int =
     e.statsFor("__bucket").get._1.toInt
+
+  /** The bucket ids this scan REPORTS — fixed at the compile-time
+    * kept set, because `outputPartitioning` is consulted during
+    * physical planning while runtime (join-driven) file filtering
+    * mutates `runtimeKept` afterwards: the partition COUNT and KEYS
+    * must not drift between the report and `planInputPartitions`, so
+    * runtime pruning empties a bucket's file list rather than
+    * dropping the bucket. */
+  private lazy val reportedBuckets: Seq[Int] =
+    if (bucketSpec.isDefined)
+      keptData.map(bucketOf).distinct.sorted
+    else Seq.empty
 
   /** Storage-partitioned joins: with a bucket layout, report
     * `KeyGroupedPartitioning(bucket(N, key))` — two snapshot tables
@@ -833,11 +847,10 @@ private[connector] class GraftScan(root: String, version: Long,
   : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     bucketSpec match {
       case Some((k, n)) =>
-        val groups = runtimeKept.map(bucketOf).distinct.size
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(Array(
             org.apache.spark.sql.connector.expressions.Expressions
-              .bucket(n, k)), groups)
+              .bucket(n, k)), reportedBuckets.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(runtimeKept.size)
@@ -903,11 +916,13 @@ private[connector] class GraftScan(root: String, version: Long,
     onPlan.foreach(_(runtimeKept))
     bucketSpec match {
       case Some(_) =>
-        // one partition per PRESENT bucket, keyed for the SPJ planner
-        runtimeKept.groupBy(bucketOf).toSeq.sortBy(_._1).map {
-          case (b, es) =>
-            GraftBucketedPartition(es.map(filePartition).toArray, b)
-              : InputPartition
+        // one partition per REPORTED bucket (stable vs the planning-
+        // time report even when runtime filtering empties a bucket)
+        val byBucket = runtimeKept.groupBy(bucketOf)
+        reportedBuckets.map { b =>
+          GraftBucketedPartition(
+            byBucket.getOrElse(b, Seq.empty)
+              .map(filePartition).toArray, b): InputPartition
         }.toArray
       case None =>
         runtimeKept.map(filePartition(_): InputPartition).toArray
