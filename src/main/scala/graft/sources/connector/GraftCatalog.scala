@@ -41,7 +41,36 @@ import graft.sources.SnapshotTable
   * root — rename idle tables, the same operational rule as moving any
   * table's storage. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with FunctionCatalog {
+  with FunctionCatalog with ProcedureCatalog {
+
+  /** Iceberg-style maintenance procedures:
+    * {{{
+    *   CALL graft.system.compact('db.t')
+    *   CALL graft.system.expire_snapshots('db.t', 3)
+    *   CALL graft.system.vacuum('db.t', 600000)
+    * }}}
+    * The namespace segment is free-form (procedures resolve by name);
+    * the table argument is 'ns.table' relative to this catalog's
+    * warehouse. Each returns a one-row result set. */
+  override def listProcedures(namespace: Array[String])
+  : Array[Identifier] =
+    GraftProcedures.Names.map(Identifier.of(namespace, _)).toArray
+
+  override def loadProcedure(ident: Identifier)
+  : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  /** `'db.t'` (or `'t'` at warehouse root) → snapshot root path. */
+  private[connector] def resolveRoot(table: String): String = {
+    val parts = table.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"bad table reference '$table'")
+    val root = (warehouse +: parts.map(safe)).mkString("/")
+    require(isTable(root), s"'$table' is not a graft table ($root)")
+    root
+  }
+
+  private[connector] def activeSpark = spark
 
   /** The V2 `bucket` function — how the planner verifies that two
     * bucketed snapshot tables share the SAME layout function before
@@ -279,6 +308,93 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty")
     hfs.delete(p, true)
+  }
+}
+
+/** The maintenance procedures behind `CALL graft.system.<name>(...)`:
+  * compaction, snapshot expiry and vacuum — the table-format upkeep
+  * the reference leaves to Iceberg's own procedures, re-expressed on
+  * the manifest protocol. Each is a driver-side metadata operation
+  * (compaction runs one clustered rewrite job) returning a one-row
+  * summary through a LocalScan. */
+private[connector] object GraftProcedures {
+
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types._
+
+  val Names = Seq("compact", "expire_snapshots", "vacuum")
+
+  def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure =
+    ident.name().toLowerCase match {
+      case "compact" => proc(cat, "compact",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(
+          StructField("files_before", LongType, nullable = false),
+          StructField("files_after", LongType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          val (before, after, v) = SnapshotTable.compact(spark,
+            cat0.resolveRoot(in.getString(0)))
+          Row(before, after, v)
+        })
+      case "expire_snapshots" => proc(cat, "expire_snapshots",
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("keep", IntegerType).build()),
+        StructType(Seq(
+          StructField("expired_versions", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          val gone = SnapshotTable.expireSnapshots(spark,
+            cat0.resolveRoot(in.getString(0)), in.getInt(1))
+          Row(gone.size.toLong)
+        })
+      case "vacuum" => proc(cat, "vacuum",
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("min_age_ms", LongType).build()),
+        StructType(Seq(
+          StructField("deleted_paths", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          val gone = SnapshotTable.vacuum(spark,
+            cat0.resolveRoot(in.getString(0)), in.getLong(1))
+          Row(gone.size.toLong)
+        })
+      case other => throw new UnsupportedOperationException(
+        s"no such graft procedure '$other' " +
+          s"(available: ${Names.mkString(", ")})")
+    }
+
+  private def proc(cat: GraftCatalog, procName: String,
+      params: Array[ProcedureParameter], outSchema: StructType,
+      body: (SparkSession, GraftCatalog, InternalRow) => Row)
+  : UnboundProcedure = new UnboundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft $procName"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graft $procName"
+        override def parameters(): Array[ProcedureParameter] = params
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow)
+        : java.util.Iterator[Scan] = {
+          val spark = SparkSession.active
+          val row = body(spark, cat, input)
+          // name must differ from LocalScan.rows — `= rows` inside the
+          // anonymous class would resolve to the member and self-recur
+          val resultRows = {
+            import scala.jdk.CollectionConverters._
+            spark.createDataFrame(Seq(row).asJava, outSchema)
+              .queryExecution.executedPlan.executeCollect()
+          }
+          java.util.List.of[Scan](new LocalScan {
+            override def readSchema(): StructType = outSchema
+            override def rows(): Array[InternalRow] = resultRows
+            override def description(): String = s"graft-proc($procName)"
+          }).iterator()
+        }
+      }
   }
 }
 

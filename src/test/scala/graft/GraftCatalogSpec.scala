@@ -211,6 +211,32 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 7)
   }
 
+  test("CALL procedures: compact merges files and clears tombstones, " +
+      "expire_snapshots prunes history, vacuum reaps unreferenced " +
+      "segments — each returning a one-row summary") {
+    spark.sql("CREATE TABLE graft.db.proc (k BIGINT, v DOUBLE)")
+    val root = s"$warehouse/db/proc"
+    SnapshotTable.append(spark, root,
+      (1 to 4000).map(i => (i.toLong, i.toDouble)).toDF("k", "v"),
+      clusterKey = Some("k"), files = 8)                       // v2
+    SnapshotTable.deleteKeysOnRead(spark, root,
+      (1 to 10).map(_.toLong).toDF("k"), "k")                  // v3
+
+    val c = spark.sql("CALL graft.system.compact('db.proc')").head()
+    assert(c.getLong(0) > c.getLong(1),
+      s"compact did not reduce files: $c")
+    assert(spark.table("graft.db.proc").count() == 3990)
+
+    val e = spark.sql(
+      "CALL graft.system.expire_snapshots('db.proc', 1)").head()
+    assert(e.getLong(0) >= 2, s"expected >=2 expired versions, got $e")
+
+    val g = spark.sql("CALL graft.system.vacuum('db.proc', 0)").head()
+    assert(g.getLong(0) >= 1, s"vacuum reaped nothing: $g")
+    // the table still reads exactly after the full maintenance pass
+    assert(spark.table("graft.db.proc").count() == 3990)
+  }
+
   test("a catalog read keeps the connector's pushdown: a range " +
       "predicate shows PushedFilters and prunes manifest files") {
     spark.sql("CREATE TABLE graft.db.pr (k BIGINT, x DOUBLE)")
