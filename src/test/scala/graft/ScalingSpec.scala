@@ -130,4 +130,50 @@ class ScalingSpec extends SparkSpec {
     assert(byBloom.inputFiles.length < total,
       s"bloom lookup opened ${byBloom.inputFiles.length} of $total")
   }
+
+  test("10x storage-partitioned join: co-bucketed fact and dim still " +
+      "join with ZERO exchange — the layout, not the data size, " +
+      "carries the property") {
+    assume(new java.io.File(bigDir).isDirectory,
+      s"$bigDir absent; generate with: runMain graft.tools.ScaleGen")
+    import org.apache.spark.sql.functions.col
+    import graft.sources.SnapshotTable
+    val wh = java.nio.file.Files.createTempDirectory("graft-scale-spj")
+      .toString
+    spark.conf.set("spark.sql.catalog.gscale",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gscale.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gscale.db")
+    val o = Tables.load(spark, bigDir, "orders")
+      .select("o_custkey", "o_totalprice")
+    val c = Tables.load(spark, bigDir, "customer")
+      .select("c_custkey", "c_mktsegment")
+    // 10x fact (~150k orders), 10x dim (~15k customers), 16 buckets
+    SnapshotTable.commitBucketed(spark, s"$wh/db/ord10",
+      o, "o_custkey", 16)
+    SnapshotTable.commitBucketed(spark, s"$wh/db/cust10",
+      c, "c_custkey", 16)
+    val prev = spark.conf
+      .getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevB = spark.conf
+      .getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("gscale.db.ord10")
+        .join(spark.table("gscale.db.cust10"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"SPJ shuffled at 10x:\n${plan.take(2500)}")
+      assert(j.count() == o.count())
+    } finally {
+      prev.fold(spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.enabled"))(v =>
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+      prevB.fold(spark.conf.unset(
+        "spark.sql.autoBroadcastJoinThreshold"))(v =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+    }
+  }
 }

@@ -98,6 +98,25 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("group-by on the bucket key aggregates WITHOUT a shuffle: the " +
+      "reported partitioning satisfies the aggregation's distribution") {
+    val root = s"$warehouse/db/aggb"
+    val data = (1 to 20000).map(i => (i.toLong % 997, i.toDouble))
+      .toDF("k", "v")
+    SnapshotTable.commitBucketed(spark, root, data, "k", 8)
+    withSpj {
+      val agg = spark.table("graftspj.db.aggb")
+        .groupBy("k").agg(sum("v").as("s"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed group-by still shuffles:\n$plan")
+      assert(agg.count() == 997)
+      val direct = data.groupBy("k").agg(sum("v").as("s"))
+      assert(agg.orderBy("k").collect().toSeq ==
+        direct.orderBy("k").collect().toSeq)
+    }
+  }
+
   test("bucketed layout survives sparse buckets and reads exactly; " +
       "a bucket-erasing rewrite degrades to unknown partitioning " +
       "(correct, just shuffled)") {
