@@ -1610,11 +1610,27 @@ object SnapshotTable {
     val snapshot = readVersion(spark, root, v)
     val inherited =
       bloomFor(snapshot, bloomKey.orElse(tableBloomKey(entries)))
-    val (seg, newEntries) = clusterKey match {
-      case Some(_) =>
+    // a declared hash-bucket layout is PRESERVED through compaction
+    // (unless the caller overrides with an explicit clusterKey):
+    // rewriting a bucketed table unbucketed would silently demote its
+    // storage-partitioned joins to shuffles
+    val bucketLayout =
+      if (clusterKey.isDefined) None
+      else {
+        val props = tableProperties(spark, root)
+        for {
+          k <- props.get("graft.bucket.key")
+          n <- props.get("graft.bucket.count").flatMap(s =>
+            scala.util.Try(s.toInt).toOption)
+        } yield (k, n)
+      }
+    val (seg, newEntries) = (clusterKey, bucketLayout) match {
+      case (_, Some((bk, bn))) =>
+        stageBucketed(spark, root, snapshot, bk, bn)
+      case (Some(_), _) =>
         stageSegment(spark, root, snapshot, clusterKey, nFiles,
           inherited)
-      case None =>
+      case _ =>
         stageSegment(spark, root, snapshot.repartition(nFiles), None, 0,
           inherited)
     }

@@ -196,13 +196,30 @@ private[connector] class GraftDeltaOperation(root: String,
   override def newWriteBuilder(info: LogicalWriteInfo)
   : DeltaWriteBuilder = new DeltaWriteBuilder {
     override def build(): DeltaWrite =
-      new GraftDeltaWrite(root, info.schema(), tableSchema, key)
+      new GraftDeltaWrite(root, info.schema(), tableSchema, key,
+        cmd != RowLevelOperation.Command.DELETE)
   }
 }
 
 private[connector] class GraftDeltaWrite(root: String,
-    rowSchema: StructType, tableSchema: StructType, key: String)
-  extends DeltaWrite {
+    rowSchema: StructType, tableSchema: StructType, key: String,
+    orderable: Boolean)
+  extends DeltaWrite with RequiresDistributionAndOrdering {
+
+  /** Delta batches land key-ordered (UPDATE/MERGE — a DELETE's plan
+    * carries no data columns to sort on): each task then writes a
+    * compact key range, so the staged data files get USEFUL min/max
+    * stats and reads keep pruning through a history of MOR updates
+    * instead of eroding one delta at a time. */
+  override def requiredDistribution(): Distribution =
+    if (orderable) Distributions.ordered(Array[V2SortOrder](
+      Expressions.sort(Expressions.column(key), SortDirection.ASCENDING)))
+    else Distributions.unspecified()
+
+  override def requiredOrdering(): Array[V2SortOrder] =
+    if (orderable) Array[V2SortOrder](
+      Expressions.sort(Expressions.column(key), SortDirection.ASCENDING))
+    else Array.empty
 
   override def description(): String =
     s"graft-snapshot delta write (rowId=$key)"

@@ -118,8 +118,8 @@ class StoragePartitionedJoinSpec extends SparkSpec {
   }
 
   test("bucketed layout survives sparse buckets and reads exactly; " +
-      "a bucket-erasing rewrite degrades to unknown partitioning " +
-      "(correct, just shuffled)") {
+      "compaction PRESERVES the declared layout; a plain unbucketed " +
+      "append degrades to unknown partitioning (correct, shuffled)") {
     val aRoot = s"$warehouse/db/sparse_a"
     val bRoot = s"$warehouse/db/sparse_b"
     // few keys: some of the 8 buckets are EMPTY on one or both sides
@@ -134,13 +134,26 @@ class StoragePartitionedJoinSpec extends SparkSpec {
         .join(spark.table("graftspj.db.sparse_b"), "k")
       assert(j.count() == 10)
     }
-    // compact() rewrites files without bucket ids: the scan must stop
-    // reporting the bucket layout (never wrongly claim it)
+    // compaction re-stages INTO the declared bucket layout, so the
+    // maintenance pass does not demote SPJ to a shuffle
     SnapshotTable.compact(spark, aRoot)
     withSpj {
       val j2 = spark.table("graftspj.db.sparse_a")
         .join(spark.table("graftspj.db.sparse_b"), "k")
+      assert(!j2.queryExecution.executedPlan.toString.contains("Exchange"),
+        "compaction lost the bucket layout")
       assert(j2.count() == 10)
+    }
+    // a PLAIN append adds a bucket-less file: the scan must stop
+    // reporting the layout (never wrongly claim it) and stay correct
+    SnapshotTable.append(spark, aRoot,
+      Seq((41L, 41.0)).toDF("k", "v"))
+    withSpj {
+      val j3 = spark.table("graftspj.db.sparse_a")
+        .join(spark.table("graftspj.db.sparse_b"), "k")
+      assert(j3.queryExecution.executedPlan.toString.contains("Exchange"),
+        "scan claimed a bucket layout over a bucket-less file")
+      assert(j3.count() == 10)
     }
   }
 }
