@@ -45,43 +45,6 @@ object Similarity {
 
   // ---- product quantization (Jégou et al. 2011) ----
 
-  /** Per-subspace k-means codebooks, trained with distributed Lloyd
-    * iterations: each pass broadcasts the current codebook, assigns
-    * every (vector, subspace) row to its nearest sub-centroid in one
-    * join, re-averages, and collects ONLY the model (m*ks
-    * sub-centroids, a few KB) — assignments never leave the
-    * executors, which is what keeps the pass a single corpus scan at
-    * any scale. Seeds are the sub-vectors of the ks smallest vec_ids:
-    * deterministic, model-free init (k-means++ would sample; a fixed
-    * seed set keeps the query reproducible run to run). A cluster
-    * that loses all members keeps its previous centroid. */
-  private def pqTrain(s: SparkSession, sub: DataFrame, ks: Int,
-      iters: Int,
-      init: Option[Map[(Int, Int), Seq[Double]]] = None)
-  : Map[(Int, Int), Seq[Double]] = {
-    var code: Map[(Int, Int), Seq[Double]] = init.getOrElse(
-      sub.filter(col("vec_id") < ks)
-        .select(col("sub"), col("vec_id").cast("int").as("cid"),
-          col("sv"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
-        .toMap)
-    for (_ <- 1 to iters) {
-      val updated = pqAssign(sub, codebookDf(s, code))
-        .select(col("sub"), col("cid"), posexplode(col("sv")))
-        .groupBy(col("sub"), col("cid"), col("pos"))
-        .agg(avg(col("col")).as("cv"))
-        .collect()
-        .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
-        .groupBy(_._1)
-        .map { case (k, vs) =>
-          k -> vs.map(_._2).sortBy(_._1).map(_._2).toSeq
-        }
-      code = code ++ updated
-    }
-    code
-  }
-
   private def codebookDf(s: SparkSession,
       code: Map[(Int, Int), Seq[Double]]): DataFrame = {
     import s.implicits._
@@ -133,47 +96,6 @@ object Similarity {
       .withColumnRenamed("pos", "sub")
       .withColumnRenamed("col", "sv")
 
-  /** PQ reconstruction x̂ per vector: assign each subspace to its
-    * nearest sub-centroid and concatenate the centroids in subspace
-    * order. */
-  private def reconstructed(sub: DataFrame, cb: DataFrame): DataFrame =
-    pqAssign(sub, cb)
-      .join(broadcast(cb), Seq("sub", "cid"))
-      .groupBy(col("vec_id"))
-      .agg(expr("flatten(transform(array_sort(" +
-        "collect_list(struct(sub, cent))), p -> p.cent)) AS rv"))
-
-  /** d×d cross-covariance Xᵀ X̂ as a partial-aggregated sum of
-    * per-row outer products: ONE posexplode over the x side (n·d
-    * rows), then d sum columns per row-index — no (i,j)-exploded
-    * intermediate ever materializes, and each partition combines its
-    * rows into ≤ d partial rows before the d-key shuffle. DECIMAL
-    * accumulation makes the matrix bit-identical under any
-    * partitioning; precision 18 keeps Spark's Long-backed Decimal
-    * (no BigDecimal allocation on the hot path), and scale 12 leaves
-    * 6 integer digits — components are ≤ 1 in magnitude and the sum
-    * runs over the BOUNDED training sample (≤ opqTrain.trainCap ≤
-    * 10⁶ by construction), so the sum fits with room. Only d²
-    * doubles reach the driver. */
-  private def crossCov(x: DataFrame, xhat: DataFrame,
-      d: Int): Array[Array[Double]] = {
-    val m = Array.fill(d, d)(0.0)
-    val sums = (0 until d).map(j =>
-      sum((col("xi") * col("rv").getItem(j)).cast("decimal(18,12)"))
-        .cast("double").as(s"c$j"))
-    x.select(col("vec_id"), col("vn")).join(xhat, Seq("vec_id"))
-      .select(posexplode(col("vn")).as(Seq("i", "xi")), col("rv"))
-      .groupBy(col("i"))
-      .agg(sums.head, sums.tail: _*)
-      .collect()
-      .foreach { r =>
-        val i = r.getInt(0)
-        var j = 0
-        while (j < d) { m(i)(j) = r.getDouble(j + 1); j += 1 }
-      }
-    m
-  }
-
   /** Orthogonal Procrustes: the rotation maximizing tr(Rᵀ M) for
     * M = Xᵀ X̂ is R = U Vᵀ from the SVD M = U Σ Vᵀ — a d×d
     * driver-side breeze call (the model is KBs; the DATA never moves
@@ -200,44 +122,173 @@ object Similarity {
       ks: Int, d: Int, rounds: Int, lloydIters: Int,
       trainCap: Int = 1024)
   : (Seq[Seq[Double]], Map[(Int, Int), Seq[Double]]) = {
-    // NOT coalesced, unlike the classifier/SemDeDup samples: the
-    // per-task work here (the d²-madd rotate, the ks-way pqAssign) is
-    // real compute that wants the cores — measured 10% slower at 4
-    // partitions
-    val sample = vecs.filter(col("vec_id") < trainCap).persist()
-    var r: Seq[Seq[Double]] =
-      Seq.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
-    // the codebook CARRIES ACROSS rounds — Ge et al.'s non-parametric
-    // alternation: codewords live in the rotated space and the
-    // Procrustes step aligns the data TO them, so the previous
-    // round's codebook is the valid warm start (re-seeding each round
-    // both discards that alignment and triples the Lloyd actions);
-    // warm rounds take single polish iterations, per the paper
-    var code: Option[Map[(Int, Int), Seq[Double]]] = None
-    for (_ <- 1 to rounds) {
-      val y = rotated(sample, rotationDf(s, r)).persist()
-      val sub = subSplit(y, m, d)
-      code = Some(pqTrain(s, sub, ks,
-        if (code.isEmpty) lloydIters else 1, code))
-      // materialize the reconstruction EAGERLY before the covariance
-      // collect: fusing both into one action hands AQE a DAG whose
-      // re-planning costs more than either job executes in — two
-      // small jobs beat one deep one (measured 4×)
-      val rec = reconstructed(sub, codebookDf(s, code.get)).persist()
-      rec.count()
-      val cov = crossCov(sample, rec, d)
-      rec.unpersist()
-      y.unpersist()
-      r = procrustes(cov, d)
+    // Model fitting is O(sample) BY CONSTRUCTION (`trainCap` bounds
+    // the training vectors regardless of corpus size — FAISS trains
+    // OPQ the same way, on a bounded driver-side sample), so the
+    // sample collects ONCE and the whole alternation (rotate → Lloyd
+    // → reconstruct → cross-covariance → Procrustes) runs driver-side
+    // over primitive arrays: ~1k×64 doubles of state, microseconds of
+    // arithmetic per round. The previous distributed loop ran
+    // rounds×(2 Lloyd jobs + a covariance job) of millisecond-scale
+    // compute each — scheduling and per-step planning dominated the
+    // query (knn_opq ~10 s at sf0.1, most of it the training loop).
+    // The full-corpus ENCODE remains the only distributed pass, which
+    // is the 100 TB shape. Same algorithmic rules as the distributed
+    // loop: identity first rotation, seeds = sub-vectors of the ks
+    // smallest vec_ids, argmin with low-cid tie-break, empty clusters
+    // keep their centroid, codebook warm-starts across rounds (Ge et
+    // al.'s non-parametric alternation), fixed iteration order ⇒
+    // deterministic.
+    val subLen = d / m
+    val rows = collectSample(vecs, trainCap)
+    val X = rows.map(_._2)
+
+    def rotate(x: Array[Double], r: Array[Array[Double]])
+    : Array[Double] = {
+      val y = new Array[Double](d)
+      var j = 0
+      while (j < d) {
+        var acc = 0.0; var i = 0
+        while (i < d) { acc += x(i) * r(i)(j); i += 1 }
+        y(j) = acc; j += 1
+      }
+      y
     }
-    // cache the final-rotation frame: the retrain (warm, one polish
-    // pass) runs iters+… actions over it, and the O(d²)-per-row
-    // rotate is the priciest expression in the loop
-    val yF = rotated(sample, rotationDf(s, r)).persist()
-    val codeF = pqTrain(s, subSplit(yF, m, d), ks, 1, code)
-    yF.unpersist()
-    sample.unpersist()
-    (r, codeF)
+
+    var r: Array[Array[Double]] =
+      Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var code: Option[LocalLloyd.Code] = None
+    for (_ <- 1 to rounds) {
+      val ys = X.map(rotate(_, r))
+      val init = code.getOrElse(
+        LocalLloyd.seeds(rows.map(_._1), ys, m, ks, subLen))
+      val cb = LocalLloyd.lloyd(ys, init, m, subLen,
+        if (code.isEmpty) lloydIters else 1)
+      code = Some(cb)
+      // cross-covariance M = Xᵀ X̂ (original x, rotated-space x̂)
+      val cov = Array.fill(d, d)(0.0)
+      X.zip(ys).foreach { case (x, y) =>
+        val xhat = new Array[Double](d)
+        var sb = 0
+        while (sb < m) {
+          val cent = cb(sb)(LocalLloyd.assignOne(y, sb, cb, subLen))
+          System.arraycopy(cent, 0, xhat, sb * subLen, subLen)
+          sb += 1
+        }
+        var i = 0
+        while (i < d) {
+          var j = 0
+          while (j < d) { cov(i)(j) += x(i) * xhat(j); j += 1 }
+          i += 1
+        }
+      }
+      r = procrustes(cov, d).map(_.toArray).toArray
+    }
+    // final polish: one Lloyd pass under the final rotation
+    val codeF = LocalLloyd.lloyd(X.map(rotate(_, r)), code.get, m,
+      subLen, 1)
+    (r.map(_.toSeq).toSeq, LocalLloyd.toMap(codeF, m))
+  }
+
+  /** PQ codebook trained driver-side over the bounded sample with
+    * R = I — the plain-PQ (IVF-PQ) half of the same sample-train /
+    * corpus-encode split [[opqTrain]] uses. Previously the codebook
+    * Lloyd ran DISTRIBUTED over the whole corpus (iters full scans +
+    * collect per pass) — against the FAISS discipline and, at sf0.1,
+    * most of knn_ivfpq's wall clock. */
+  private[graft] def pqTrainLocal(vecs: DataFrame, m: Int, ks: Int,
+      d: Int, iters: Int, trainCap: Int = 1024)
+  : Map[(Int, Int), Seq[Double]] = {
+    val subLen = d / m
+    val rows = collectSample(vecs, trainCap)
+    val ys = rows.map(_._2)
+    val code = LocalLloyd.lloyd(ys,
+      LocalLloyd.seeds(rows.map(_._1), ys, m, ks, subLen),
+      m, subLen, iters)
+    LocalLloyd.toMap(code, m)
+  }
+
+  private def collectSample(vecs: DataFrame,
+      trainCap: Int): Array[(Long, Array[Double])] = {
+    val rows = vecs.filter(col("vec_id") < trainCap)
+      .select(col("vec_id"), col("vn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "empty training sample")
+    rows
+  }
+
+  /** Driver-side Lloyd over a collected sample — the shared machinery
+    * of [[opqTrain]] and [[pqTrainLocal]]. Same rules as the old
+    * distributed loop: seeds are the sub-vectors of the ks smallest
+    * vec_ids, argmin breaks ties toward the low cid, an empty cluster
+    * keeps its centroid. Fixed iteration order ⇒ deterministic. */
+  private object LocalLloyd {
+    type Code =
+      Array[scala.collection.immutable.TreeMap[Int, Array[Double]]]
+
+    def dist2(a: Array[Double], b: Array[Double], off: Int,
+        subLen: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < subLen) {
+        val t = a(off + i) - b(i); acc += t * t; i += 1
+      }
+      acc
+    }
+
+    def assignOne(y: Array[Double], sb: Int, cb: Code,
+        subLen: Int): Int = {
+      var best = -1; var bestD = Double.MaxValue
+      cb(sb).foreach { case (cid, cent) =>
+        val dd = dist2(y, cent, sb * subLen, subLen)
+        if (dd < bestD) { bestD = dd; best = cid } // ties keep low cid
+      }
+      best
+    }
+
+    def seeds(ids: Array[Long], ys: Array[Array[Double]], m: Int,
+        ks: Int, subLen: Int): Code = {
+      val seedRows = ids.zip(ys).filter(_._1 < ks)
+      Array.tabulate(m)(sb => scala.collection.immutable.TreeMap(
+        seedRows.map { case (id, y) =>
+          id.toInt -> java.util.Arrays.copyOfRange(y, sb * subLen,
+            (sb + 1) * subLen)
+        }.toIndexedSeq: _*))
+    }
+
+    def lloyd(ys: Array[Array[Double]], init: Code, m: Int,
+        subLen: Int, iters: Int): Code = {
+      var cb = init
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(m)(
+          scala.collection.mutable.Map.empty[Int, (Array[Double], Int)])
+        ys.foreach { y =>
+          var sb = 0
+          while (sb < m) {
+            val cid = assignOne(y, sb, cb, subLen)
+            val (acc, n) = sums(sb).getOrElseUpdate(cid,
+              (new Array[Double](subLen), 0))
+            var i = 0
+            while (i < subLen) { acc(i) += y(sb * subLen + i); i += 1 }
+            sums(sb)(cid) = (acc, n + 1)
+            sb += 1
+          }
+        }
+        cb = Array.tabulate(m)(sb => cb(sb).map { case (cid, old) =>
+          sums(sb).get(cid) match {
+            case Some((acc, n)) if n > 0 => cid -> acc.map(_ / n)
+            case _ => cid -> old // empty cluster keeps its centroid
+          }
+        })
+      }
+      cb
+    }
+
+    def toMap(code: Code, m: Int): Map[(Int, Int), Seq[Double]] =
+      (for {
+        sb <- 0 until m
+        (cid, cent) <- code(sb)
+      } yield (sb, cid) -> cent.toSeq).toMap
   }
 
   /** Mean per-vector quantization error Σ‖xR − x̂‖²/n under a
@@ -247,6 +298,7 @@ object Similarity {
   private[graft] def opqDistortion(s: SparkSession, vecs: DataFrame,
       r: Seq[Seq[Double]], code: Map[(Int, Int), Seq[Double]],
       m: Int, d: Int): Double = {
+    graft.functions.VectorFunctions.register(s) // rotated needs graft_rotate
     val cb = codebookDf(s, code)
     val sub = subSplit(rotated(vecs, rotationDf(s, r)), m, d)
     pqAssign(sub, cb)
@@ -441,7 +493,10 @@ object Similarity {
         .withColumnRenamed("pos", "sub")
         .withColumnRenamed("col", "sv")
         .persist()
-      val codebook = pqTrain(s, sub, ks, iters = 3)
+      // sample-train / corpus-encode: the codebook fits on the driver
+      // from the bounded sample; only pqAssign scans the corpus
+      val codebook = pqTrainLocal(
+        all.select(col("vec_id"), col("vn")), m, ks, 64, iters = 3)
       val cb = codebookDf(s, codebook)
       // encode the corpus: nearest sub-centroid per (vector, subspace).
       // MATERIALIZED while `sub` is still cached — the returned plan
