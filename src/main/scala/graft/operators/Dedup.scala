@@ -468,46 +468,63 @@ object Dedup {
       .selectExpr("vec_id",
         "transform(v0, x -> x / greatest(nrm, CAST(1e-300 AS DOUBLE))) " +
           "AS v")
-    // Lloyd trains on a bounded deterministic sample; only the final
-    // ASSIGNMENT pass scans the corpus — centroid fitting is model
-    // work, not a per-row obligation (same discipline as opqTrain).
-    // Cached AND coalesced to the sample's own scale: every Lloyd pass
-    // + the seed collect scans it, and near-empty 32-partition stages
-    // would pay scheduling, not compute.
-    val train = e.filter(col("vec_id") < trainCap).coalesce(4).persist()
-    def centDf(c: Map[Int, Seq[Double]]): DataFrame =
-      c.toSeq.sortBy(_._1).toDF("cid", "cent")
-    def assign(src: DataFrame, cdf: DataFrame): DataFrame =
-      src.crossJoin(broadcast(cdf))
-        .withColumn("d2", expr(
-          "aggregate(zip_with(v, cent, (x, y) -> (x-y)*(x-y)), " +
-            "CAST(0 AS DOUBLE), (a, x) -> a + x)"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("d2"), col("cid"), col("v"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"),
-          col("m.v").as("v"))
-    var cent: Map[Int, Seq[Double]] =
-      train.orderBy(asc("vec_id")).limit(k).collect().zipWithIndex
-        .map { case (r, i) => i -> r.getSeq[Double](1) }.toMap
-    for (_ <- 1 to iters) {
-      val upd = assign(train, centDf(cent))
-        .select(col("cid"), posexplode(col("v")))
-        .groupBy("cid", "pos")
-        .agg((sum(col("col").cast("decimal(30,15)")).cast("double") /
-          count(lit(1))).as("c"))
-        .collect()
-        .map(r => (r.getInt(0), (r.getInt(1), r.getDouble(2))))
-        .groupBy(_._1)
-        .map { case (cid, vs) =>
-          cid -> vs.map(_._2).sortBy(_._1).map(_._2).toSeq }
-      cent = cent ++ upd
+    // Lloyd trains DRIVER-SIDE on the bounded collected sample; only
+    // the final ASSIGNMENT pass scans the corpus — centroid fitting
+    // is model work, not a per-row obligation (same discipline as
+    // opqTrain/pqTrainLocal/trainLogistic: the sample is bounded by
+    // construction, and the per-iteration cluster jobs it replaced
+    // were scheduling overhead, not compute). Fixed iteration order
+    // over the sorted sample ⇒ the model is bit-deterministic under
+    // any partitioning — stronger than the decimal-sum trick the
+    // distributed loop needed for the same guarantee.
+    val sample = e.filter(col("vec_id") < trainCap)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+    val dim = sample.head._2.length
+    // seeds: the k smallest vec_ids, cid = rank order (as before)
+    var cent: Array[Array[Double]] = sample.take(k).map(_._2.clone())
+    def assignLocal(v: Array[Double]): Int = {
+      var best = -1; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var d2 = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - cent(c)(i); d2 += t * t; i += 1 }
+        if (d2 < bestD) { bestD = d2; best = c } // ties keep low cid
+        c += 1
+      }
+      best
     }
-    val out = assign(e, centDf(cent))
-      .join(broadcast(centDf(cent)), Seq("cid"))
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { case (_, v) =>
+        val c = assignLocal(v)
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      cent = Array.tabulate(k)(c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c))
+        else cent(c)) // empty cluster keeps its centroid
+    }
+    def centDf(c: Array[Array[Double]]): DataFrame =
+      c.zipWithIndex.map { case (v, cid) => (cid, v.toSeq) }
+        .toSeq.toDF("cid", "cent")
+    val cdf = centDf(cent)
+    val out = e.crossJoin(broadcast(cdf))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(v, cent, (x, y) -> (x-y)*(x-y)), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"), col("v"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"),
+        col("m.v").as("v"))
+      .join(broadcast(cdf), Seq("cid"))
       .selectExpr("vec_id", "cid", "v",
         "round(graft_cosine(v, cent), 9) AS csim")
       .persist() // consumers self-join it (pair stage) + re-join it
-    train.unpersist()
     out
   }
 
