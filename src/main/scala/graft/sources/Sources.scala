@@ -32,6 +32,21 @@ import org.apache.spark.sql.types.StructType
   */
 object Sources {
 
+  /** ONE stable warehouse per JVM for the catalog-backed queries.
+    * Spark caches a catalog INSTANCE per name at first use, so
+    * re-pointing `spark.sql.catalog.<name>.warehouse` at a fresh temp
+    * dir on a later invocation is silently ignored — re-running one of
+    * these queries in-process (bench reps do) would then collide on
+    * the table name inside the FIRST warehouse (rounds 7-8 benches
+    * measured a fast-FAILING CTAS for catalog_sql_ingest exactly this
+    * way). Fix: one warehouse for the process, a unique table name per
+    * invocation. */
+  private lazy val catalogWarehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-cat-wh").toString
+
+  private def uniqueName(prefix: String): String =
+    s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
+
   // ---- streaming source builders (S1/S2) ----
 
   /** Reference-parity Kafka reader: subscribe, latest offsets, no fail
@@ -545,18 +560,18 @@ object Sources {
     // UPDATE-then-MERGE semantics. Statement order matters and is
     // part of the contract: a key hit by both takes the MERGE value.
     "snapshot_sql_merge" -> ((s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft-rlq")
-        .toString
+      val wh = catalogWarehouse
+      val tbl = uniqueName("orders_rl")
       s.conf.set("spark.sql.catalog.graft_rlq",
         classOf[graft.sources.connector.GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.graft_rlq.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rlq.db")
       val o = graft.Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      SnapshotTable.merge(s, s"$wh/db/orders_rl", o, "o_orderkey",
+      SnapshotTable.merge(s, s"$wh/db/$tbl", o, "o_orderkey",
         files = 8)
       s.sql(
-        """UPDATE graft_rlq.db.orders_rl SET o_totalprice = -1.0
+        s"""UPDATE graft_rlq.db.$tbl SET o_totalprice = -1.0
           |WHERE o_orderkey % 10 = 3""".stripMargin)
       o.filter(col("o_orderkey") % 7 === 0)
         .withColumn("o_orderstatus", lit("X"))
@@ -569,11 +584,11 @@ object Sources {
             lit(0.5).as("o_totalprice")))
         .createOrReplaceTempView("graft_rl_src")
       s.sql(
-        """MERGE INTO graft_rlq.db.orders_rl t
+        s"""MERGE INTO graft_rlq.db.$tbl t
           |USING graft_rl_src s ON t.o_orderkey = s.o_orderkey
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      s.table("graft_rlq.db.orders_rl")
+      s.table(s"graft_rlq.db.$tbl")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           sum(when(col("o_totalprice") < 0, 1L).otherwise(0L))
@@ -592,8 +607,8 @@ object Sources {
     // grouping and the chained bucket readers lose and duplicate
     // nothing.
     "snapshot_spj_join" -> ((s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft-spjq")
-        .toString
+      val wh = catalogWarehouse
+      val (ordT, custT) = (uniqueName("ord_b"), uniqueName("cust_b"))
       s.conf.set("spark.sql.catalog.graft_spjq",
         classOf[graft.sources.connector.GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.graft_spjq.warehouse", wh)
@@ -603,12 +618,12 @@ object Sources {
         .select("o_custkey", "o_orderstatus", "o_totalprice")
       val c = graft.Tables.load(s, dir, "customer")
         .select("c_custkey", "c_mktsegment")
-      SnapshotTable.commitBucketed(s, s"$wh/db/ord_b", o,
+      SnapshotTable.commitBucketed(s, s"$wh/db/$ordT", o,
         "o_custkey", 8)
-      SnapshotTable.commitBucketed(s, s"$wh/db/cust_b", c,
+      SnapshotTable.commitBucketed(s, s"$wh/db/$custT", c,
         "c_custkey", 8)
-      s.table("graft_spjq.db.ord_b")
-        .join(s.table("graft_spjq.db.cust_b"),
+      s.table(s"graft_spjq.db.$ordT")
+        .join(s.table(s"graft_spjq.db.$custT"),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment", "o_orderstatus")
         .agg(count(lit(1)).as("n"),
@@ -625,13 +640,13 @@ object Sources {
     // sequence-numbered read-side merge reconstructs exactly the
     // copy-on-write end state.
     "snapshot_sql_mor_merge" -> ((s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft-rlmq")
-        .toString
+      val wh = catalogWarehouse
+      val tbl = uniqueName("orders_rlm")
       s.conf.set("spark.sql.catalog.graft_rlmq",
         classOf[graft.sources.connector.GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.graft_rlmq.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rlmq.db")
-      val root = s"$wh/db/orders_rlm"
+      val root = s"$wh/db/$tbl"
       val o = graft.Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       SnapshotTable.merge(s, root, o, "o_orderkey", files = 8)
@@ -639,7 +654,7 @@ object Sources {
         "write.mode" -> "merge-on-read",
         "write.merge.key" -> "o_orderkey"))
       s.sql(
-        """UPDATE graft_rlmq.db.orders_rlm SET o_totalprice = -1.0
+        s"""UPDATE graft_rlmq.db.$tbl SET o_totalprice = -1.0
           |WHERE o_orderkey % 10 = 3""".stripMargin)
       o.filter(col("o_orderkey") % 7 === 0)
         .withColumn("o_orderstatus", lit("X"))
@@ -650,11 +665,11 @@ object Sources {
             lit(0.5).as("o_totalprice")))
         .createOrReplaceTempView("graft_rlm_src")
       s.sql(
-        """MERGE INTO graft_rlmq.db.orders_rlm t
+        s"""MERGE INTO graft_rlmq.db.$tbl t
           |USING graft_rlm_src s ON t.o_orderkey = s.o_orderkey
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      s.table("graft_rlmq.db.orders_rlm")
+      s.table(s"graft_rlmq.db.$tbl")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           sum(when(col("o_totalprice") < 0, 1L).otherwise(0L))
@@ -773,29 +788,29 @@ object Sources {
     // table; matching hashes prove CREATE TABLE AS + INSERT INTO +
     // catalog-name reads compose to exactly the base relation.
     "catalog_sql_ingest" -> ((s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft-cat-q")
-        .toString
+      val tbl = uniqueName("orders")
       s.conf.set("spark.sql.catalog.graft_q",
         classOf[graft.sources.connector.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_q.warehouse", wh)
+      s.conf.set("spark.sql.catalog.graft_q.warehouse",
+        catalogWarehouse)
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q.db")
       graft.Tables.load(s, dir, "orders")
         .createOrReplaceTempView("orders_cat_src")
       s.sql(
-        """CREATE TABLE graft_q.db.orders AS
+        s"""CREATE TABLE graft_q.db.$tbl AS
           |SELECT o_orderkey, o_orderstatus, o_orderpriority,
           |  o_totalprice
           |FROM orders_cat_src WHERE o_orderkey % 2 = 0""".stripMargin)
       s.sql(
-        """INSERT INTO graft_q.db.orders
+        s"""INSERT INTO graft_q.db.$tbl
           |SELECT o_orderkey, o_orderstatus, o_orderpriority,
           |  o_totalprice
           |FROM orders_cat_src WHERE o_orderkey % 2 = 1""".stripMargin)
       s.sql(
-        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           |    AS total
-          |FROM graft_q.db.orders
+          |FROM graft_q.db.$tbl
           |GROUP BY o_orderstatus, o_orderpriority
           |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
     }),
