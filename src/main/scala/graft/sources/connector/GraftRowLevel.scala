@@ -5,7 +5,7 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.SnapshotTable
@@ -206,18 +206,45 @@ private[connector] class GraftDeltaWrite(root: String,
     orderable: Boolean)
   extends DeltaWrite with RequiresDistributionAndOrdering {
 
+  /** The table's declared hash-bucket layout, when its bucket key IS
+    * the merge key: delta data files then land INSIDE the layout
+    * (clustered-by-bucket distribution + a per-bucket writer split),
+    * so storage-partitioned joins survive a history of MOR updates
+    * without waiting for compaction. */
+  private val bucketSpec: Option[Int] =
+    if (!orderable) None
+    else {
+      val props = SnapshotTable
+        .tableProperties(SparkSession.active, root)
+      for {
+        k <- props.get("graft.bucket.key")
+        if k.equalsIgnoreCase(key)
+        n <- props.get("graft.bucket.count").flatMap(v =>
+          scala.util.Try(v.toInt).toOption)
+      } yield n
+    }
+
   /** Delta batches land key-ordered (UPDATE/MERGE — a DELETE's plan
     * carries no data columns to sort on): each task then writes a
     * compact key range, so the staged data files get USEFUL min/max
     * stats and reads keep pruning through a history of MOR updates
-    * instead of eroding one delta at a time. */
+    * instead of eroding one delta at a time. On a bucketed table the
+    * distribution is clustered by the bucket transform instead, so
+    * each bucket's rows land in ONE task and the per-bucket file
+    * split stays bounded by the bucket count. */
   override def requiredDistribution(): Distribution =
-    if (orderable) Distributions.ordered(Array[V2SortOrder](
-      Expressions.sort(Expressions.column(key), SortDirection.ASCENDING)))
-    else Distributions.unspecified()
+    bucketSpec match {
+      case Some(n) => Distributions.clustered(Array(
+        Expressions.bucket(n, key)
+          : org.apache.spark.sql.connector.expressions.Expression))
+      case None if orderable => Distributions.ordered(Array[V2SortOrder](
+        Expressions.sort(Expressions.column(key),
+          SortDirection.ASCENDING)))
+      case None => Distributions.unspecified()
+    }
 
   override def requiredOrdering(): Array[V2SortOrder] =
-    if (orderable) Array[V2SortOrder](
+    if (orderable && bucketSpec.isEmpty) Array[V2SortOrder](
       Expressions.sort(Expressions.column(key), SortDirection.ASCENDING))
     else Array.empty
 
@@ -225,15 +252,17 @@ private[connector] class GraftDeltaWrite(root: String,
     s"graft-snapshot delta write (rowId=$key)"
 
   override def toBatch: DeltaBatchWrite =
-    new GraftDeltaBatchWrite(root, rowSchema, tableSchema, key)
+    new GraftDeltaBatchWrite(root, rowSchema, tableSchema, key,
+      bucketSpec)
 }
 
-private[connector] case class GraftDeltaTaskFiles(data: Option[String],
-    tomb: Option[String]) extends WriterCommitMessage
+private[connector] case class GraftDeltaTaskFiles(
+    data: Seq[(String, Int)], tomb: Option[String])
+  extends WriterCommitMessage
 
 private[connector] class GraftDeltaBatchWrite(root: String,
-    rowSchema: StructType, tableSchema: StructType, key: String)
-  extends DeltaBatchWrite {
+    rowSchema: StructType, tableSchema: StructType, key: String,
+    bucketSpec: Option[Int]) extends DeltaBatchWrite {
 
   private val dataSeg = SnapshotTable.newSegmentPath(root)
   private val tombSeg = SnapshotTable.newSegmentPath(root)
@@ -244,14 +273,20 @@ private[connector] class GraftDeltaBatchWrite(root: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
   : DeltaWriterFactory = new GraftDeltaWriterFactory(dataSeg.toString,
-    tombSeg.toString, rowSchema.json, keySchema.json)
+    tombSeg.toString, rowSchema.json, keySchema.json,
+    if (bucketSpec.isDefined)
+      rowSchema.fieldNames.indexWhere(_.equalsIgnoreCase(key))
+    else -1,
+    bucketSpec.getOrElse(0))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val dataRel = messages.toSeq.collect {
-      case GraftDeltaTaskFiles(Some(name), _) =>
-        s"_data/${dataSeg.getName}/$name"
-    }.sorted
+    val dataFiles = messages.toSeq.collect {
+      case GraftDeltaTaskFiles(ds, _) => ds.map { case (name, b) =>
+        (s"_data/${dataSeg.getName}/$name", b) }
+    }.flatten.sortBy(_._1)
+    val dataRel = dataFiles.map(_._1)
+    val bucketOf = dataFiles.toMap
     val tombRel = messages.toSeq.collect {
       case GraftDeltaTaskFiles(_, Some(name)) =>
         s"_data/${tombSeg.getName}/$name"
@@ -263,12 +298,19 @@ private[connector] class GraftDeltaBatchWrite(root: String,
     }
     // data files inherit the table layout's stats/bloom for pruning;
     // tombstones record key min/max so the read side can skip
-    // applying them to disjoint files
+    // applying them to disjoint files. On a bucketed table each data
+    // file additionally records its bucket id (the writer split
+    // guarantees one bucket per file), keeping SPJ reportable.
     val (ck, bk) = SnapshotTable.layoutOf(spark, root)
-    val dataEntries =
+    val dataEntries0 =
       if (dataRel.isEmpty) Seq.empty
       else SnapshotTable.statsEntries(spark, root, dataSeg, dataRel,
         ck.orElse(Some(key)), bk)
+    val dataEntries =
+      if (bucketSpec.isEmpty) dataEntries0
+      else dataEntries0.map(e => e.copy(extraStats = e.extraStats :+
+        ("__bucket", bucketOf(e.path).toString,
+          bucketOf(e.path).toString)))
     val tombEntries =
       if (tombRel.isEmpty) Seq.empty
       else SnapshotTable.statsEntries(spark, root, tombSeg, tombRel,
@@ -292,31 +334,70 @@ private[connector] class GraftDeltaBatchWrite(root: String,
 }
 
 private[connector] class GraftDeltaWriterFactory(dataSegAbs: String,
-    tombSegAbs: String, rowSchemaJson: String, keySchemaJson: String)
-  extends DeltaWriterFactory {
+    tombSegAbs: String, rowSchemaJson: String, keySchemaJson: String,
+    bucketKeyIdx: Int, buckets: Int) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
     new GraftDeltaWriter(dataSegAbs, tombSegAbs, rowSchemaJson,
-      keySchemaJson, partitionId, taskId)
+      keySchemaJson, bucketKeyIdx, buckets, partitionId, taskId)
 }
 
-/** Two lazy parquet writers per task: rows (inserts + update
+/** Lazy parquet writers per task: data rows (inserts + update
   * replacements) and keys (deleted + updated). Files appear only for
   * non-empty streams, so a task that saw no deletes stages no
-  * tombstone piece. */
+  * tombstone piece. On a bucketed table (`bucketKeyIdx >= 0`) data
+  * rows SPLIT per bucket — one file per bucket per task, each
+  * single-bucket by construction; the clustered-by-bucket
+  * distribution keeps the total file count bounded by the bucket
+  * count, not tasks × buckets. */
 private[connector] class GraftDeltaWriter(dataSegAbs: String,
     tombSegAbs: String, rowSchemaJson: String, keySchemaJson: String,
-    partitionId: Int, taskId: Long)
+    bucketKeyIdx: Int, buckets: Int, partitionId: Int, taskId: Long)
   extends DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
 
   import org.apache.spark.sql.catalyst.InternalRow
 
-  private val dataW =
-    new GraftDataWriter(dataSegAbs, rowSchemaJson, partitionId, taskId)
+  private lazy val keyType = DataType
+    .fromJson(keySchemaJson).asInstanceOf[StructType].fields(0).dataType
+
+  private val dataWriters =
+    scala.collection.mutable.Map.empty[Int, GraftDataWriter]
+  private def dataW(bucket: Int): GraftDataWriter =
+    dataWriters.getOrElseUpdate(bucket,
+      new GraftDataWriter(dataSegAbs, rowSchemaJson, partitionId,
+        // bucket rides the task id slot of the file name (unique per
+        // (task, bucket); -1 = the unbucketed singleton)
+        if (bucket < 0) taskId else taskId * 1024 + bucket + 1))
   private val tombW =
     new GraftDataWriter(tombSegAbs, keySchemaJson, partitionId, taskId)
 
-  override def insert(row: InternalRow): Unit = dataW.write(row)
+  /** `pmod(murmur3(key), n)` over the row's key value — must agree
+    * with the layout function in SnapshotTable.commitBucketed and the
+    * catalog's V2 bucket function. */
+  private def bucketFor(row: InternalRow): Int =
+    if (bucketKeyIdx < 0) -1
+    else {
+      require(!row.isNullAt(bucketKeyIdx),
+        "merge key is null in a delta row (the row-id contract " +
+          "declares it non-null)")
+      val v: Any = keyType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType =>
+          row.getInt(bucketKeyIdx)
+        case org.apache.spark.sql.types.LongType =>
+          row.getLong(bucketKeyIdx)
+        case org.apache.spark.sql.types.StringType =>
+          row.getUTF8String(bucketKeyIdx)
+        case other => throw new UnsupportedOperationException(
+          s"bucketed delta write: unsupported key type $other")
+      }
+      val h = org.apache.spark.sql.catalyst.expressions
+        .Murmur3HashFunction.hash(v, keyType, 42L).toInt
+      ((h % buckets) + buckets) % buckets
+    }
+
+  override def insert(row: InternalRow): Unit =
+    dataW(bucketFor(row)).write(row)
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
     tombW.write(id)
@@ -324,18 +405,24 @@ private[connector] class GraftDeltaWriter(dataSegAbs: String,
   override def update(meta: InternalRow, id: InternalRow,
       row: InternalRow): Unit = {
     tombW.write(id)
-    dataW.write(row)
+    dataW(bucketFor(row)).write(row)
   }
 
   override def commit(): WriterCommitMessage = {
-    val d = dataW.commit().asInstanceOf[GraftTaskFile]
+    val ds = dataWriters.toSeq.sortBy(_._1).flatMap { case (b, w) =>
+      w.commit().asInstanceOf[GraftTaskFile].name.map(_ -> b)
+    }
     val t = tombW.commit().asInstanceOf[GraftTaskFile]
-    GraftDeltaTaskFiles(d.name, t.name)
+    GraftDeltaTaskFiles(ds, t.name)
   }
 
-  override def abort(): Unit = { dataW.abort(); tombW.abort() }
+  override def abort(): Unit = {
+    dataWriters.values.foreach(_.abort()); tombW.abort()
+  }
 
-  override def close(): Unit = { dataW.close(); tombW.close() }
+  override def close(): Unit = {
+    dataWriters.values.foreach(_.close()); tombW.close()
+  }
 }
 
 private[connector] class GraftReplaceBatchWrite(root: String,

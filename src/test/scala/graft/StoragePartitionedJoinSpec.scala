@@ -117,6 +117,59 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read SQL UPDATE on a bucketed table lands its delta " +
+      "files INSIDE the bucket layout: SPJ stays exchange-free " +
+      "through the MOR history, no compaction needed") {
+    val aRoot = s"$warehouse/db/morb_a"
+    val bRoot = s"$warehouse/db/morb_b"
+    spark.sql(
+      """CREATE TABLE graftspj.db.morb_a (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('write.update.mode'='merge-on-read',
+        |  'write.merge.key'='k')""".stripMargin)
+    // bucket AFTER create: commitBucketed declares the layout props
+    // on top of the row-level ones
+    SnapshotTable.commitBucketed(spark, aRoot,
+      (1 to 8000).map(i => (i.toLong % 997, i.toDouble)).toDF("k", "v"),
+      "k", 8)
+    SnapshotTable.commitBucketed(spark, bRoot,
+      (0 to 996).map(i => (i.toLong, s"d$i")).toDF("k", "name"),
+      "k", 8)
+    // commitBucketed overwrote the properties file? both sets must
+    // survive — re-assert the row-level knobs are still there
+    val props = SnapshotTable.tableProperties(spark, aRoot)
+    assert(props.get("graft.bucket.key").contains("k"), props)
+    assert(props.get("write.merge.key").contains("k"), props)
+
+    val before = SnapshotTable.manifest(spark, aRoot,
+      SnapshotTable.currentVersion(spark, aRoot))
+    spark.sql(
+      "UPDATE graftspj.db.morb_a SET v = -1.0 WHERE k % 100 = 7")
+    val after = SnapshotTable.manifest(spark, aRoot,
+      SnapshotTable.currentVersion(spark, aRoot))
+    // delta commit: prior files untouched, a tombstone added, and
+    // EVERY new data file carries a bucket id
+    before.foreach(e => assert(after.exists(_.path == e.path),
+      s"MOR update dropped ${e.path}"))
+    assert(after.exists(_.kind == "t"), "no tombstone")
+    val newData = after.filter(e => e.kind == "d" &&
+      !before.exists(_.path == e.path))
+    assert(newData.nonEmpty, "update wrote no delta files")
+    newData.foreach(e => assert(e.statsFor("__bucket").isDefined,
+      s"delta file ${e.path} lost the bucket layout"))
+
+    withSpj {
+      val j = spark.table("graftspj.db.morb_a")
+        .join(spark.table("graftspj.db.morb_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"MOR history broke SPJ:\n${plan.take(2000)}")
+      assert(j.count() == 8000)
+      // updated values visible through the join
+      assert(j.filter(col("v") === -1.0).count() ==
+        (1 to 8000).count(i => (i % 997) % 100 == 7))
+    }
+  }
+
   test("bucketed layout survives sparse buckets and reads exactly; " +
       "compaction PRESERVES the declared layout; a plain unbucketed " +
       "append degrades to unknown partitioning (correct, shuffled)") {
