@@ -181,10 +181,15 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     SnapshotTable.commitBucketed(spark, aRoot, a, "k", 8)
     SnapshotTable.commitBucketed(spark, bRoot, b, "k", 8)
     withSpj {
-      // partially-clustered handling needs push-part-values; without
-      // asserting the plan shape here, the RESULT must stay exact
+      // partially-clustered: with push-part-values (default on) Spark
+      // aligns the present buckets and fills the gaps — the join must
+      // stay exchange-free even though some buckets exist on only one
+      // side, and the RESULT must stay exact
       val j = spark.table("graftspj.db.sparse_a")
         .join(spark.table("graftspj.db.sparse_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"sparse-bucket SPJ shuffled:\n${plan.take(2000)}")
       assert(j.count() == 10)
     }
     // compaction re-stages INTO the declared bucket layout, so the
