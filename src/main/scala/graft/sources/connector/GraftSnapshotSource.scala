@@ -178,10 +178,19 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
       case None => tableSchema
     }
 
+  /** AUTOMATIC_SCHEMA_EVOLUTION opts into `MERGE WITH SCHEMA
+    * EVOLUTION INTO`: the analyzer diffs the source schema against
+    * this table, routes the additive columns through the catalog's
+    * `alterTable` (the same metadata-only ADD COLUMNS commit), and
+    * reloads — old files read NULL for the new columns, the rewrite
+    * writes them for touched rows. Non-additive diffs (type changes,
+    * nested splices) are refused by `alterTable`, the boundary the
+    * format draws everywhere. */
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
   : ScanBuilder = new GraftScanBuilder(root, version, tableSchema)

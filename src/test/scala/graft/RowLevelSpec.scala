@@ -273,6 +273,92 @@ class RowLevelSpec extends SparkSpec {
     assert(after.filter(col("k") === 1L).head().getDouble(1) == -1.0)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds the source's extra column " +
+      "through a metadata-only commit: old files read NULL for it " +
+      "and carry by reference, touched rows get the new value") {
+    spark.sql("CREATE TABLE graftrl.db.evo (k BIGINT, v DOUBLE)")
+    val root = s"$warehouse/db/evo"
+    SnapshotTable.append(spark, root,
+      (1 to 8000).map(i => (i.toLong, i.toDouble)).toDF("k", "v"),
+      clusterKey = Some("k"), files = 8)                       // v2
+    val mt = mtimes(root, 2L)
+    // source carries a column the target lacks
+    (Seq((1L, -1.0, "upd"), (9001L, 1.0, "new")))
+      .toDF("k", "v", "tag").createOrReplaceTempView("evo_src")
+
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graftrl.db.evo t
+        |USING evo_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    // schema evolved: tag is now a (nullable) table column
+    val got = spark.table("graftrl.db.evo")
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v", "tag"))
+    assert(got.count() == 8001)
+    assert(got.filter(col("k") === 1L).head().getString(2) == "upd")
+    assert(got.filter(col("k") === 9001L).head().getString(2) == "new")
+    // every untouched row reads NULL for the evolved column
+    assert(got.filter(col("tag").isNull).count() == 7999)
+    // the evolution commit is metadata-only + group rewrite: the
+    // key-disjoint files carried untouched despite the schema change
+    val v = SnapshotTable.currentVersion(spark, root)
+    val after = SnapshotTable.manifest(spark, root, v)
+    val carried = after.filter(e => mt.contains(e.path))
+    assert(carried.nonEmpty,
+      "schema evolution rewrote every file — old files must be " +
+        "readable under the evolved schema without rewrite")
+    carried.foreach(e => assert(
+      mt(e.path) == java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$root/${e.path}")).toMillis,
+      s"carried file ${e.path} was rewritten"))
+    // the pre-evolution version still reads the 2-column schema
+    assert(spark.sql(
+      "SELECT * FROM graftrl.db.evo VERSION AS OF 2")
+      .schema.fieldNames.toSeq == Seq("k", "v"))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION on a merge-on-read table: the " +
+      "evolved column lands via O(batch) delta commit — zero prior " +
+      "files rewritten — and the read merges NULL for old rows") {
+    spark.sql(
+      """CREATE TABLE graftrl.db.morevo (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('write.mode'='merge-on-read',
+        |  'write.merge.key'='k')""".stripMargin)
+    val root = s"$warehouse/db/morevo"
+    SnapshotTable.append(spark, root,
+      (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("k", "v"),
+      clusterKey = Some("k"), files = 4)                       // v2
+    val mt = mtimes(root, 2L)
+    Seq((7L, -7.0, "seven"), (2001L, 1.0, "fresh"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("morevo_src")
+
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graftrl.db.morevo t
+        |USING morevo_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val got = spark.table("graftrl.db.morevo")
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v", "tag"))
+    assert(got.count() == 1001)
+    assert(got.filter(col("k") === 7L).head().getString(2) == "seven")
+    assert(got.filter(col("k") === 7L).head().getDouble(1) == -7.0)
+    assert(got.filter(col("tag").isNotNull).count() == 2)
+    // MOR contract survives evolution: no prior file read or rewritten
+    mt.foreach { case (p, t) =>
+      assert(t == java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$root/$p")).toMillis,
+        s"MOR schema-evolution merge rewrote prior file $p")
+    }
+    // compaction materializes the merged 3-column state
+    SnapshotTable.compact(spark, root)
+    val compacted = spark.table("graftrl.db.morevo")
+    assert(compacted.count() == 1001)
+    assert(compacted.filter(col("k") === 7L).head().getString(2)
+      == "seven")
+  }
+
   test("an UPDATE whose condition matches nothing prunes every group " +
       "and publishes NO version") {
     spark.sql("CREATE TABLE graftrl.db.noop (k BIGINT, v DOUBLE)")
