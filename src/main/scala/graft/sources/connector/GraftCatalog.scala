@@ -153,26 +153,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * (TBLPROPERTIES). Resolved only when no REAL table shadows the
     * name, computed driver-side from metadata (zero data IO) and
     * served through a LocalScan. */
-  private def metadataOf(ident: Identifier): Option[Table] = {
+  private def metadataOf(ident: Identifier,
+      pinned: Option[Long] = None): Option[Table] = {
     val kind = ident.name().toLowerCase
     if (!GraftMetadataTable.Kinds.contains(kind) ||
       ident.namespace().isEmpty) return None
     val parentRoot =
       (warehouse +: ident.namespace().toSeq.map(safe)).mkString("/")
     if (!isTable(parentRoot)) return None
+    pinned.foreach(v =>
+      require(SnapshotTable.versions(spark, parentRoot).contains(v),
+        s"version $v is not committed at $parentRoot"))
     Some(new GraftMetadataTable(
       (ident.namespace() :+ ident.name()).mkString("."), kind,
-      parentRoot))
+      parentRoot, pinned))
   }
 
-  /** SQL `VERSION AS OF <v>` — pin the scan to a committed version. */
+  /** SQL `VERSION AS OF <v>` — pin the scan to a committed version.
+    * Also resolves the metadata tables at that version: `SELECT *
+    * FROM graft.db.t.files VERSION AS OF 3` lists version 3's
+    * manifest, `...t.history VERSION AS OF 3` the log as it stood
+    * then — how a user inspects what an old snapshot was made of. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val root = rootOf(ident)
     val v = try version.toLong catch {
       case _: NumberFormatException =>
         throw new IllegalArgumentException(
           s"graft version must be a number, got '$version'")
     }
+    if (!isTable(rootOf(ident))) {
+      metadataOf(ident, Some(v)) match {
+        case Some(t) => return t
+        case None =>
+      }
+    }
+    val root = rootOf(ident)
     require(SnapshotTable.versions(spark, root).contains(v),
       s"version $v is not committed at $root")
     new GraftSnapshotTable(root, v,
@@ -401,9 +415,18 @@ private[connector] object GraftProcedures {
 /** A read-only metadata table over a snapshot root, computed
   * driver-side (metadata only — the manifest, commit log and
   * properties are all driver-scale) and served through a V2
-  * [[org.apache.spark.sql.connector.read.LocalScan]]. */
+  * [[org.apache.spark.sql.connector.read.LocalScan]].
+  *
+  * `pinned` is a `VERSION AS OF` pin: `files` then lists THAT
+  * version's manifest and `history` the log as it stood at that
+  * commit — inspection of what an old snapshot was made of, the same
+  * contract as time-traveling the data. `properties` is a side file
+  * outside the commit log (properties changes don't mint versions),
+  * so a pin doesn't rewind it — pinning it is refused rather than
+  * answered wrong. */
 private[connector] class GraftMetadataTable(fullName: String,
-    kind: String, root: String) extends Table with SupportsRead {
+    kind: String, root: String, pinned: Option[Long] = None)
+  extends Table with SupportsRead {
 
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.catalyst.InternalRow
@@ -413,6 +436,12 @@ private[connector] class GraftMetadataTable(fullName: String,
   private def spark = SparkSession.active
 
   override def name(): String = fullName
+
+  locally {
+    require(pinned.isEmpty || kind != "properties",
+      "table properties are a side file outside the commit log — " +
+        "they have no historical versions to pin (query them unpinned)")
+  }
 
   override def schema(): StructType = kind match {
     case "history" => SnapshotTable.history(spark, root).schema
@@ -430,11 +459,13 @@ private[connector] class GraftMetadataTable(fullName: String,
       override def description(): String = s"graft-metadata($kind)"
       override def rows(): Array[InternalRow] = kind match {
         case "history" =>
-          SnapshotTable.history(spark, root)
+          val h = SnapshotTable.history(spark, root)
+          pinned.fold(h)(v => h.filter(h("version") <= v))
             .queryExecution.executedPlan.executeCollect()
         case "files" =>
           val s = spark
-          val v = SnapshotTable.currentVersion(s, root)
+          val v = pinned
+            .getOrElse(SnapshotTable.currentVersion(s, root))
           val f = SnapshotTable.fs(s, root)
           val data = SnapshotTable.manifest(s, root, v).map { e =>
             val bytes = try f.getFileStatus(

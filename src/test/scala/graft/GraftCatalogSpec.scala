@@ -211,6 +211,41 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 7)
   }
 
+  test("metadata tables pin to VERSION AS OF: t.files lists the OLD " +
+      "manifest, t.history stops at the pinned commit, and " +
+      "properties (unversioned side file) refuses the pin") {
+    spark.sql("CREATE TABLE graft.db.metav (k BIGINT, v DOUBLE)")
+    val root = s"$warehouse/db/metav"
+    SnapshotTable.append(spark, root,
+      (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("k", "v"),
+      clusterKey = Some("k"), files = 2)                       // v2
+    spark.sql("INSERT INTO graft.db.metav VALUES (101, 101.0)") // v3
+
+    // v2's manifest: exactly the 2 clustered files, 100 rows
+    val filesV2 = spark.sql(
+      "SELECT path, rows FROM graft.db.metav.files VERSION AS OF 2")
+      .collect()
+    assert(filesV2.length == 2, s"v2 had 2 files, got ${filesV2.length}")
+    assert(filesV2.map(_.getLong(1)).sum == 100)
+    // current manifest still shows all 3
+    assert(spark.sql("SELECT * FROM graft.db.metav.files")
+      .count() == 3)
+    // history pinned at 2 excludes the later commit
+    val histV2 = spark.sql(
+      "SELECT version FROM graft.db.metav.history VERSION AS OF 2")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(histV2 == Seq(1L, 2L))
+    // an uncommitted pin is refused
+    val badPin = intercept[Exception](spark.sql(
+      "SELECT * FROM graft.db.metav.files VERSION AS OF 99").collect())
+    assert(badPin.getMessage.contains("not committed"))
+    // properties cannot time-travel — the side file is unversioned
+    val badProps = intercept[Exception](spark.sql(
+      "SELECT * FROM graft.db.metav.properties VERSION AS OF 2")
+      .collect())
+    assert(badProps.getMessage.contains("side file"))
+  }
+
   test("CALL procedures: compact merges files and clears tombstones, " +
       "expire_snapshots prunes history, vacuum reaps unreferenced " +
       "segments — each returning a one-row summary") {
