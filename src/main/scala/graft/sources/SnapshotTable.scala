@@ -826,7 +826,7 @@ object SnapshotTable {
     * adds bucket-less files, which degrades the scan to unknown
     * partitioning until compaction re-buckets. */
   def appendBucketed(spark: SparkSession, root: String, df: DataFrame,
-      maxRetries: Int = 5): Long = {
+      maxRetries: Int = 5, txn: Option[(String, Long)] = None): Long = {
     val props = tableProperties(spark, root)
     val key = props.getOrElse("graft.bucket.key",
       throw new IllegalArgumentException(
@@ -834,7 +834,35 @@ object SnapshotTable {
           "(commitBucketed first)"))
     val buckets = props("graft.bucket.count").toInt
     val (seg, stamped) = stageBucketed(spark, root, df, key, buckets)
-    appendStaged(spark, root, seg, stamped, df.schema, maxRetries)
+    // the idempotence marker rides the manifest entries, so it commits
+    // atomically WITH the data (see lastCommittedTxn)
+    val marked = txn.fold(stamped) { case (app, batch) =>
+      stamped.map(e => e.copy(extraStats = e.extraStats :+
+        (s"__txn:$app", batch.toString, batch.toString)))
+    }
+    appendStaged(spark, root, seg, marked, df.schema, maxRetries)
+  }
+
+  /** The highest writer-transaction id committed for `appId`, or None
+    * — the idempotent-append handshake (Delta's txnAppId/txnVersion,
+    * Iceberg's snapshot summary): a restarted streaming query replays
+    * its last micro-batch with the SAME batch id, reads this, and
+    * skips batches it already landed. The marker is stamped on the
+    * batch's manifest entries ([[appendBucketed]]'s `txn`), so it is
+    * atomic with the commit — no window where data landed but the
+    * marker didn't. Caveat, documented not hidden: markers live on
+    * FILE entries, so maintenance that rewrites files (compact, COW
+    * merge) retires them with the files they rode in on — run such
+    * maintenance with the stream stopped, or accept at-least-once for
+    * the one in-flight batch across that window. */
+  def lastCommittedTxn(spark: SparkSession, root: String,
+      appId: String): Option[Long] = {
+    val v = currentVersion(spark, root)
+    if (v == 0L) return None
+    val key = s"__txn:$appId"
+    val ids = manifest(spark, root, v)
+      .flatMap(_.statsFor(key)).map(_._1.toLong)
+    if (ids.isEmpty) None else Some(ids.max)
   }
 
   private def stageBucketed(spark: SparkSession, root: String,

@@ -386,6 +386,43 @@ object EventPipeline {
         ()
       }
 
+  /** Bucketed-ingest sink: each micro-batch appends INTO the target
+    * table's declared hash-bucket layout via
+    * [[graft.sources.SnapshotTable.appendBucketed]], so the streamed
+    * table keeps reporting `KeyGroupedPartitioning` and
+    * storage-partitioned joins against co-bucketed tables stay
+    * exchange-free through the WHOLE ingest history — no compaction
+    * required between stream and query. (A plain append sink would
+    * land bucket-less files and silently degrade every downstream SPJ
+    * to a shuffle until maintenance re-buckets; at 100 TB that shuffle
+    * is the single biggest join cost, which is the point of bucketing
+    * in the first place.)
+    *
+    * Exactly-once per batch: Spark replays a restarted micro-batch
+    * with the SAME batch id, and the commit stamps `(appId, batchId)`
+    * into the manifest atomically with the data
+    * ([[graft.sources.SnapshotTable.lastCommittedTxn]]) — a replayed
+    * batch is recognized and skipped, so at-least-once delivery plus
+    * the transactional marker composes to exactly-once appends. This
+    * is Delta's txnAppId/txnVersion idempotent-writer handshake,
+    * re-expressed on the manifest protocol. Write cost is O(batch):
+    * one bucket-clustered shuffle of the batch, ≤ bucket-count files
+    * added, zero prior files read or rewritten. */
+  def snapshotBucketedSink(flat: DataFrame, tableRoot: String,
+      checkpoint: String, appId: String): DataStreamWriter[Row] =
+    flat.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val replayed = graft.sources.SnapshotTable
+          .lastCommittedTxn(s, tableRoot, appId).exists(_ >= batchId)
+        if (!replayed && !batch.isEmpty)
+          graft.sources.SnapshotTable.appendBucketed(s, tableRoot,
+            batch, txn = Some((appId, batchId)))
+        ()
+      }
+
   /** Fixture-events ingest — the same parse→flatten→quality composition
     * specialized to the fixture `events` table shape (`event_id, ts,
     * user_id, event_type, value, props`), so the streamed sink output is

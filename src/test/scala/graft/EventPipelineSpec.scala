@@ -690,6 +690,94 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketed streaming sink: micro-batches land inside the " +
+      "declared bucket layout (SPJ over the streamed table stays " +
+      "exchange-free, no compaction), and a replayed batch id is " +
+      "skipped — exactly-once appends via the manifest txn marker") {
+    implicit val sc = spark.sqlContext
+    import graft.sources.SnapshotTable
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bsink").toString
+    val wh = s"$base/wh"
+    spark.conf.set("spark.sql.catalog.graftbs",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftbs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftbs.db")
+    val tableRoot = s"$wh/db/ev"
+    val dimRoot = s"$wh/db/actors"
+    def mkEv(b: Int, i: Int): String = ev(f"s$b%02d$i%02d",
+      actor = s"""{"id": ${i % 7}, "login": "u${i % 7}"}""")
+    // the seed commit declares the bucket layout the sink appends into
+    val seed = EventPipeline.pipeline(
+      Seq(mkEv(9, 90), mkEv(9, 91)).toDF("value"))
+    SnapshotTable.commitBucketed(spark, tableRoot, seed, "actor_id", 4)
+    // dim actor_id matches the pipeline's INT type exactly — a wider
+    // key would put a cast on the join key and demote SPJ to a shuffle
+    SnapshotTable.commitBucketed(spark, dimRoot,
+      (0 until 7).map(i => (i, s"u$i")).toDF("actor_id", "dname"),
+      "actor_id", 4)
+
+    val stream = MemoryStream[String]
+    def drain(ckpt: String): Unit = {
+      val q = EventPipeline.snapshotBucketedSink(
+        EventPipeline.pipeline(stream.toDF()), tableRoot,
+        checkpoint = ckpt, appId = "bsink-test").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    (0 until 3).foreach { b =>
+      stream.addData((0 until 8).map(i => mkEv(b, i)): _*)
+      drain(s"$base/ckpt")
+    }
+    assert(SnapshotTable.versions(spark, tableRoot).size == 4)
+    assert(SnapshotTable.read(spark, tableRoot).count() == 26)
+    assert(SnapshotTable.lastCommittedTxn(spark, tableRoot, "bsink-test")
+      .contains(2L))
+    // every data file of the ingest history carries a bucket id
+    val man = SnapshotTable.manifest(spark, tableRoot,
+      SnapshotTable.currentVersion(spark, tableRoot))
+    man.filter(_.kind == "d").foreach(e =>
+      assert(e.statsFor("__bucket").isDefined,
+        s"streamed file ${e.path} landed outside the bucket layout"))
+    // SPJ against the co-bucketed dim: zero Exchange over the
+    // streamed table — the property a plain append sink would lose
+    val prevB = spark.conf
+      .getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevT = spark.conf
+      .getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graftbs.db.ev")
+        .join(spark.table("graftbs.db.actors"), "actor_id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"streamed-table SPJ shuffled:\n${plan.take(2000)}")
+      assert(j.count() == 26)
+    } finally {
+      prevB.fold(spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.enabled"))(v =>
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+      prevT.fold(spark.conf.unset(
+        "spark.sql.autoBroadcastJoinThreshold"))(v =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+    }
+    // replay: a FRESH checkpoint re-reads the whole stream as batch 0
+    // — the committed marker (2 >= 0) recognizes it and skips, so the
+    // table neither duplicates rows nor mints a version
+    val vBefore = SnapshotTable.currentVersion(spark, tableRoot)
+    drain(s"$base/ckpt_replay")
+    assert(SnapshotTable.currentVersion(spark, tableRoot) == vBefore,
+      "replayed batch minted a version")
+    assert(SnapshotTable.read(spark, tableRoot).count() == 26,
+      "replayed batch duplicated rows")
+    // and NEW data through the original checkpoint still lands
+    stream.addData(mkEv(5, 0))
+    drain(s"$base/ckpt")
+    assert(SnapshotTable.read(spark, tableRoot).count() == 27)
+    assert(SnapshotTable.lastCommittedTxn(spark, tableRoot, "bsink-test")
+      .contains(3L))
+  }
+
   test("ingest→analytics composition: streamed sink output answers the " +
       "batch events queries identically") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compose")
