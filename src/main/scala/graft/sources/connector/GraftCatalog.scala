@@ -156,17 +156,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def metadataOf(ident: Identifier,
       pinned: Option[Long] = None): Option[Table] = {
     val kind = ident.name().toLowerCase
-    if (!GraftMetadataTable.Kinds.contains(kind) ||
-      ident.namespace().isEmpty) return None
+    val known = GraftMetadataTable.Kinds.contains(kind) ||
+      GraftChangesTable.Kinds.contains(kind)
+    if (!known || ident.namespace().isEmpty) return None
     val parentRoot =
       (warehouse +: ident.namespace().toSeq.map(safe)).mkString("/")
     if (!isTable(parentRoot)) return None
     pinned.foreach(v =>
       require(SnapshotTable.versions(spark, parentRoot).contains(v),
         s"version $v is not committed at $parentRoot"))
-    Some(new GraftMetadataTable(
-      (ident.namespace() :+ ident.name()).mkString("."), kind,
-      parentRoot, pinned))
+    val fullName = (ident.namespace() :+ ident.name()).mkString(".")
+    if (GraftChangesTable.Kinds.contains(kind))
+      Some(new GraftChangesTable(fullName, kind, parentRoot, pinned))
+    else
+      Some(new GraftMetadataTable(fullName, kind, parentRoot, pinned))
   }
 
   /** SQL `VERSION AS OF <v>` — pin the scan to a committed version.
@@ -513,6 +516,101 @@ private[connector] object GraftMetadataTable {
   val PropsSchema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
     StructField("value", StringType, nullable = false)))
+}
+
+/** The incremental-scan (changelog) SQL surface — Iceberg's
+  * changelog-table idea on the manifest protocol, as two derived
+  * tables served by the SAME distributed connector scan as the data
+  * (pushdown, stats pruning, vectorized read — NOT a driver-side
+  * LocalScan; change sets are data-scale):
+  *
+  * {{{
+  *   SELECT * FROM graft.db.t.changes                      -- of current
+  *   SELECT * FROM graft.db.t.changes VERSION AS OF 5      -- of commit 5
+  *   SELECT * FROM graft.db.t.delete_keys VERSION AS OF 5
+  * }}}
+  *
+  * `changes` = the rows commit v ADDED, still live at v: exactly the
+  * data files stamped seq=v (a tombstone kills strictly-older seqs
+  * only, so nothing in manifest v can kill them). `delete_keys` = the
+  * keys whose older rows commit v deleted: the tombstone files
+  * stamped seq=v, read as ordinary key-column data. Both are
+  * O(commit delta) by construction — the batch-SQL twin of the
+  * connector's accretive micro-batch stream.
+  *
+  * Sound only for ACCRETIVE commits (append / merge-on-read — every
+  * prior file carried): a compaction/COW/replace commit rewrites
+  * files, where "added file" ≠ "added row", so resolution REFUSES it
+  * and points at [[SnapshotTable.diff]], which computes the exact
+  * row-level diff for any pair of versions. */
+private[connector] class GraftChangesTable(fullName: String,
+    kind: String, root: String, pinned: Option[Long])
+  extends Table with SupportsRead {
+
+  import org.apache.spark.sql.connector.read.ScanBuilder
+
+  private def spark = SparkSession.active
+  private val v: Long =
+    pinned.getOrElse(SnapshotTable.currentVersion(spark, root))
+
+  locally {
+    require(v >= 1L, s"no committed version at $root")
+    if (v > 1L) {
+      val prev = SnapshotTable.manifest(spark, root, v - 1)
+        .map(_.path).toSet
+      val removed = prev --
+        SnapshotTable.manifest(spark, root, v).map(_.path).toSet
+      require(removed.isEmpty,
+        s"commit $v at $root is not accretive (${removed.size} files " +
+          "rewritten or removed by compaction / copy-on-write merge / " +
+          "replace) — a file-delta changelog cannot represent it; use " +
+          "SnapshotTable.diff(from,to) for the exact row diff")
+    }
+  }
+
+  /** delete_keys' key column: named by the commit's own tombstones,
+    * else the table's declared merge key (empty result, right
+    * schema). */
+  private lazy val keyField: StructField = {
+    val tableSchema = GraftSnapshotSource.schemaOf(spark, root, v)
+    val name = SnapshotTable.manifest(spark, root, v)
+      .collectFirst { case e if e.kind == "t" && e.seq == v =>
+        e.statsKey }.flatten
+      .orElse(SnapshotTable.tableProperties(spark, root)
+        .get("write.merge.key"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"delete_keys at $root: commit $v added no tombstones and " +
+          "the table declares no write.merge.key — no key column"))
+    tableSchema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalStateException(
+        s"tombstone key '$name' is not a column of $root"))
+  }
+
+  override def name(): String = s"$fullName(v$v)"
+
+  override def schema(): StructType = kind match {
+    case "changes" => GraftSnapshotSource.schemaOf(spark, root, v)
+    case "delete_keys" => StructType(Seq(keyField.copy(nullable = false)))
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+  : ScanBuilder = kind match {
+    case "changes" =>
+      new GraftScanBuilder(root, v, schema(),
+        entryView = _.filter(e => e.kind == "d" && e.seq == v))
+    case "delete_keys" =>
+      new GraftScanBuilder(root, v, schema(),
+        entryView = _.collect {
+          case e if e.kind == "t" && e.seq == v => e.copy(kind = "d")
+        })
+  }
+}
+
+private[connector] object GraftChangesTable {
+  val Kinds = Set("changes", "delete_keys")
 }
 
 /** `bucket(n, col)` = `pmod(murmur3_hash(col), n)` — Spark's own

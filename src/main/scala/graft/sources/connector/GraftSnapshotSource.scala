@@ -285,7 +285,9 @@ private[connector] object GraftFileMetadataColumn
 
 private[graft] class GraftScanBuilder(root: String, version: Long,
     fullSchema: StructType,
-    onPlan: Option[Seq[FileEntry] => Unit] = None) extends ScanBuilder
+    onPlan: Option[Seq[FileEntry] => Unit] = None,
+    entryView: Seq[FileEntry] => Seq[FileEntry] = identity)
+  extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
   with SupportsPushDownLimit with SupportsPushDownTopN
@@ -313,9 +315,20 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     * merge-on-read tombstones this stays sound: pruning skips DATA
     * files only, and tombstones only ever REMOVE rows — a skipped
     * file's rows could not have matched the filter anyway.) */
+  /** Every manifest read in this builder goes through the view hook,
+    * so a derived scan (e.g. the `t.changes` incremental table, whose
+    * view keeps only the files one commit added) prunes, counts and
+    * plans against ITS file set consistently. */
+  private def viewedEntries(spark: SparkSession)
+  : (Seq[FileEntry], Option[StructType]) = {
+    val (entries, mSchema) =
+      SnapshotTable.readManifestFull(spark, root, version)
+    (entryView(entries), mSchema)
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val spark = SparkSession.active
-    val entries = SnapshotTable.readManifestFull(spark, root, version)._1
+    val entries = viewedEntries(spark)._1
       .filter(_.kind == "d")
     def prunable(col: String): Boolean = entries.exists(e =>
       e.statsFor(col).isDefined ||
@@ -358,7 +371,7 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
   : Option[(StructType, Array[String], String)] = {
     if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
     val spark = SparkSession.active
-    val entries = SnapshotTable.readManifestFull(spark, root, version)._1
+    val entries = viewedEntries(spark)._1
     val (tombs, data) = entries.partition(_.kind == "t")
     if (tombs.nonEmpty) return None // MOR: manifest counts overcount
 
@@ -525,8 +538,7 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
   }
 
   private def manifestSplit(): (Seq[FileEntry], Seq[FileEntry]) = {
-    val entries = SnapshotTable
-      .readManifestFull(SparkSession.active, root, version)._1
+    val entries = viewedEntries(SparkSession.active)._1
     val (t, d) = entries.partition(_.kind == "t")
     (t, d.filter(_.kind == "d"))
   }
@@ -534,12 +546,10 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
   override def build(): Scan = {
     val spark = SparkSession.active
     aggAnswer.foreach { case (outSchema, values, desc) =>
-      val total = SnapshotTable.readManifestFull(spark, root, version)._1
-        .count(_.kind == "d")
+      val total = viewedEntries(spark)._1.count(_.kind == "d")
       return new GraftAggScan(version, outSchema, values, desc, total)
     }
-    val (entries, mSchema) =
-      SnapshotTable.readManifestFull(spark, root, version)
+    val (entries, mSchema) = viewedEntries(spark)
     val (tombs, data) = entries.partition(_.kind == "t")
     val base = offsetSkip.map(_._1)
       .orElse(limitKept.map(_._1)).getOrElse(data)

@@ -246,6 +246,70 @@ class GraftCatalogSpec extends SparkSpec {
     assert(badProps.getMessage.contains("side file"))
   }
 
+  test("changelog tables: t.changes reads exactly the rows a commit " +
+      "added (O(delta) files, not the table), t.delete_keys its " +
+      "tombstoned keys, and a non-accretive commit is refused") {
+    spark.sql(
+      """CREATE TABLE graft.db.chg (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('write.mode'='merge-on-read',
+        |  'write.merge.key'='k')""".stripMargin)
+    val root = s"$warehouse/db/chg"
+    SnapshotTable.append(spark, root,
+      (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("k", "v"),
+      clusterKey = Some("k"), files = 2)                       // v2
+    // v3: MOR update of keys 1..5 (adds data + tombstone)
+    SnapshotTable.mergeOnRead(spark, root,
+      (1 to 5).map(i => (i.toLong, -1.0)).toDF("k", "v"), "k")  // v3
+
+    // changes of v2: the appended batch, nothing else
+    val c2 = spark.sql(
+      "SELECT k, v FROM graft.db.chg.changes VERSION AS OF 2")
+    assert(c2.count() == 100)
+    assert(c2.agg(sum("v")).head().getDouble(0) == (1 to 100).sum)
+    // changes of v3: exactly the 5 replacement rows
+    val c3 = spark.sql(
+      "SELECT k, v FROM graft.db.chg.changes VERSION AS OF 3")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(c3 == (1 to 5).map(i => i.toLong -> -1.0).toMap, s"$c3")
+    // unpinned = changes of the CURRENT commit
+    assert(spark.sql("SELECT * FROM graft.db.chg.changes")
+      .count() == 5)
+    // delete_keys of v3: the tombstoned keys
+    val d3 = spark.sql(
+      "SELECT k FROM graft.db.chg.delete_keys VERSION AS OF 3")
+      .collect().map(_.getLong(0)).toSet
+    assert(d3 == (1 to 5).map(_.toLong).toSet, s"$d3")
+    // delete_keys of the plain append: no tombstones, empty, right
+    // schema (the declared merge key)
+    assert(spark.sql(
+      "SELECT k FROM graft.db.chg.delete_keys VERSION AS OF 2")
+      .count() == 0)
+    // the changes scan plans O(delta) files: exactly the data files
+    // commit 3 stamped, never the older manifest entries
+    val deltaFiles = SnapshotTable.manifest(spark, root, 3L)
+      .count(e => e.kind == "d" && e.seq == 3L)
+    val totalFiles = SnapshotTable.manifest(spark, root, 3L)
+      .count(_.kind == "d")
+    assert(deltaFiles < totalFiles, "fixture lost its delta shape")
+    val planned = spark.sql(
+      "SELECT * FROM graft.db.chg.changes VERSION AS OF 3")
+      .queryExecution.executedPlan.toString
+    assert(planned.contains(s"files=$deltaFiles/$deltaFiles"),
+      s"changes scan read more than the commit's delta " +
+        s"($deltaFiles files):\n$planned")
+    // a compaction commit rewrites files — the file-delta changelog
+    // must refuse it rather than answer wrong
+    SnapshotTable.compact(spark, root)                          // v4
+    val refused = intercept[Exception](spark.sql(
+      "SELECT * FROM graft.db.chg.changes").collect())
+    assert(refused.getMessage.contains("not accretive"),
+      refused.getMessage)
+    // pinned pre-compaction versions still answer
+    assert(spark.sql(
+      "SELECT * FROM graft.db.chg.changes VERSION AS OF 3")
+      .count() == 5)
+  }
+
   test("CALL procedures: compact merges files and clears tombstones, " +
       "expire_snapshots prunes history, vacuum reaps unreferenced " +
       "segments — each returning a one-row summary") {
