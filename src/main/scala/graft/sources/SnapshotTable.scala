@@ -939,6 +939,64 @@ object SnapshotTable {
     finally out.close()
   }
 
+  // ---- tags (named versions) ----
+  // A `_tags` side file maps names to committed versions — Iceberg's
+  // TAG refs on the manifest protocol. The operational point is
+  // dataset reproducibility: tag the snapshot a training run consumed
+  // (`tag(root, "run-2024-06", v)`), read it back by name forever
+  // (`VERSION AS OF 'run-2024-06'`), and expiry REFUSES to reap a
+  // tagged version, so the name keeps resolving no matter how much
+  // history retention drops. Tag writes are metadata-only
+  // read-modify-write on the side file (same single-writer caveat as
+  // setProperties — tag maintenance is an operator action, not a data
+  // path).
+
+  private def tagsPath(root: String) = new Path(root, "_tags")
+
+  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+    val f = fs(spark, root)
+    if (!f.exists(tagsPath(root))) return Map.empty
+    val in = f.open(tagsPath(root))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    text.split('\n').filter(_.nonEmpty).map { line =>
+      val Array(k, v) = line.split('\t')
+      unb64(k) -> unb64(v).toLong
+    }.toMap
+  }
+
+  /** Name `version`. Numeric-looking names are refused — `VERSION AS
+    * OF 3` must always mean version 3, never a tag that shadows it.
+    * Re-tagging an existing name moves it (documented overwrite). */
+  def tag(spark: SparkSession, root: String, name: String,
+      version: Long): Unit = {
+    require(name.nonEmpty && !name.forall(_.isDigit) &&
+      !name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"bad tag name '$name' (non-empty, not all digits, no tabs or " +
+        "newlines)")
+    require(versions(spark, root).contains(version),
+      s"version $version is not committed at $root")
+    writeTags(spark, root, tags(spark, root) + (name -> version))
+  }
+
+  def dropTag(spark: SparkSession, root: String,
+      name: String): Boolean = {
+    val cur = tags(spark, root)
+    if (!cur.contains(name)) return false
+    writeTags(spark, root, cur - name)
+    true
+  }
+
+  private def writeTags(spark: SparkSession, root: String,
+      all: Map[String, Long]): Unit = {
+    val f = fs(spark, root)
+    if (all.isEmpty) { f.delete(tagsPath(root), false); return }
+    val out = f.create(tagsPath(root), true)
+    try out.write(all.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${b64(k)}\t${b64(v.toString)}" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   def tableProperties(spark: SparkSession,
       root: String): Map[String, String] = {
     val f = fs(spark, root)
@@ -2190,9 +2248,13 @@ object SnapshotTable {
     require(keep >= 1, "must keep at least the current snapshot")
     val f = fs(spark, root)
     val all = versions(spark, root)
-    val doomed = all.dropRight(keep)
+    // a tagged version is pinned by name — retention never reaps it,
+    // so `VERSION AS OF '<tag>'` keeps resolving (the reproducibility
+    // contract tags exist for). Drop the tag to release the snapshot.
+    val tagged = tags(spark, root).values.toSet
+    val doomed = all.dropRight(keep).filterNot(tagged)
     if (doomed.isEmpty) return doomed
-    val surviving = all.takeRight(keep)
+    val surviving = all.filterNot(doomed.contains)
     val kept = surviving.flatMap(readManifest(spark, root, _))
       .map(_.path).toSet
     doomed.foreach { v =>

@@ -178,10 +178,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * manifest, `...t.history VERSION AS OF 3` the log as it stood
     * then — how a user inspects what an old snapshot was made of. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val v = try version.toLong catch {
-      case _: NumberFormatException =>
+    // non-numeric = a TAG name: `VERSION AS OF 'run-2024-06'` reads
+    // the snapshot that name pins (numeric names are refused at tag
+    // time, so the two namespaces cannot collide)
+    val v = if (version.nonEmpty && version.forall(_.isDigit))
+      version.toLong
+    else {
+      val tagRoot =
+        if (isTable(rootOf(ident))) rootOf(ident)
+        else (warehouse +: ident.namespace().toSeq.map(safe))
+          .mkString("/") // metadata table: tags live on the parent
+      SnapshotTable.tags(spark, tagRoot).getOrElse(version,
         throw new IllegalArgumentException(
-          s"graft version must be a number, got '$version'")
+          s"'$version' is neither a version number nor a tag of " +
+            s"$tagRoot (tags: ${SnapshotTable.tags(spark, tagRoot)
+              .keys.toSeq.sorted.mkString(", ")})"))
     }
     if (!isTable(rootOf(ident))) {
       metadataOf(ident, Some(v)) match {
@@ -342,7 +353,8 @@ private[connector] object GraftProcedures {
   import org.apache.spark.sql.connector.read.{LocalScan, Scan}
   import org.apache.spark.sql.types._
 
-  val Names = Seq("compact", "expire_snapshots", "vacuum")
+  val Names = Seq("compact", "expire_snapshots", "vacuum", "tag",
+    "drop_tag")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
@@ -376,6 +388,28 @@ private[connector] object GraftProcedures {
           val gone = SnapshotTable.vacuum(spark,
             cat0.resolveRoot(in.getString(0)), in.getLong(1))
           Row(gone.size.toLong)
+        })
+      case "tag" => proc(cat, "tag",
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", LongType).build()),
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          SnapshotTable.tag(spark, cat0.resolveRoot(in.getString(0)),
+            in.getString(1), in.getLong(2))
+          Row(in.getString(1), in.getLong(2))
+        })
+      case "drop_tag" => proc(cat, "drop_tag",
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(
+          StructField("dropped", org.apache.spark.sql.types.BooleanType,
+            nullable = false))),
+        (spark, cat0, in) => {
+          Row(SnapshotTable.dropTag(spark,
+            cat0.resolveRoot(in.getString(0)), in.getString(1)))
         })
       case other => throw new UnsupportedOperationException(
         s"no such graft procedure '$other' " +
@@ -441,8 +475,9 @@ private[connector] class GraftMetadataTable(fullName: String,
   override def name(): String = fullName
 
   locally {
-    require(pinned.isEmpty || kind != "properties",
-      "table properties are a side file outside the commit log — " +
+    require(pinned.isEmpty ||
+      (kind != "properties" && kind != "refs"),
+      s"table $kind are a side file outside the commit log — " +
         "they have no historical versions to pin (query them unpinned)")
   }
 
@@ -450,6 +485,7 @@ private[connector] class GraftMetadataTable(fullName: String,
     case "history" => SnapshotTable.history(spark, root).schema
     case "files" => GraftMetadataTable.FilesSchema
     case "properties" => GraftMetadataTable.PropsSchema
+    case "refs" => GraftMetadataTable.RefsSchema
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -485,6 +521,10 @@ private[connector] class GraftMetadataTable(fullName: String,
           val data = SnapshotTable.tableProperties(spark, root)
             .toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
           localRows(data, GraftMetadataTable.PropsSchema)
+        case "refs" =>
+          val data = SnapshotTable.tags(spark, root)
+            .toSeq.sortBy(_._1).map { case (n, v) => Row(n, v) }
+          localRows(data, GraftMetadataTable.RefsSchema)
       }
     }
   }
@@ -500,7 +540,7 @@ private[connector] class GraftMetadataTable(fullName: String,
 private[connector] object GraftMetadataTable {
   import org.apache.spark.sql.types._
 
-  val Kinds = Set("history", "files", "properties")
+  val Kinds = Set("history", "files", "properties", "refs")
 
   val FilesSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
@@ -516,6 +556,10 @@ private[connector] object GraftMetadataTable {
   val PropsSchema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
     StructField("value", StringType, nullable = false)))
+
+  val RefsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
 }
 
 /** The incremental-scan (changelog) SQL surface — Iceberg's

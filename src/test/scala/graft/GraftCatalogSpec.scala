@@ -246,6 +246,55 @@ class GraftCatalogSpec extends SparkSpec {
     assert(badProps.getMessage.contains("side file"))
   }
 
+  test("tags: VERSION AS OF '<name>' resolves a named snapshot, " +
+      "expiry refuses to reap tagged versions, t.refs lists them, " +
+      "CALL tag/drop_tag manage them") {
+    spark.sql("CREATE TABLE graft.db.tags (k BIGINT)")        // v1
+    val root = s"$warehouse/db/tags"
+    spark.sql("INSERT INTO graft.db.tags VALUES (1), (2)")    // v2
+    spark.sql("INSERT INTO graft.db.tags VALUES (3)")         // v3
+    spark.sql("INSERT INTO graft.db.tags VALUES (4)")         // v4
+
+    val tagged = spark.sql(
+      "CALL graft.system.tag('db.tags', 'baseline', 2)").head()
+    assert(tagged.getString(0) == "baseline" && tagged.getLong(1) == 2L)
+    // the name reads the pinned snapshot
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.tags VERSION AS OF 'baseline'")
+      .head().getLong(0) == 2L)
+    // and lists in refs
+    val refs = spark.sql("SELECT * FROM graft.db.tags.refs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(refs == Map("baseline" -> 2L))
+    // a metadata table pinned BY TAG resolves through the same name
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.tags.files VERSION AS OF " +
+        "'baseline'").head().getLong(0) ==
+      SnapshotTable.manifest(spark, root, 2L).size.toLong)
+    // numeric names are refused (they would shadow version numbers)
+    val bad = intercept[Exception](
+      SnapshotTable.tag(spark, root, "123", 2L))
+    assert(bad.getMessage.contains("bad tag name"))
+    // expiry keeps the tagged version alive and reaps the rest
+    spark.sql("CALL graft.system.expire_snapshots('db.tags', 1)")
+    assert(SnapshotTable.versions(spark, root) == Seq(2L, 4L),
+      SnapshotTable.versions(spark, root).toString)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.tags VERSION AS OF 'baseline'")
+      .head().getLong(0) == 2L)
+    // unknown tags error with the available names
+    val unknown = intercept[Exception](spark.sql(
+      "SELECT * FROM graft.db.tags VERSION AS OF 'nope'").collect())
+    assert(unknown.getMessage.contains("neither a version number " +
+      "nor a tag"), unknown.getMessage)
+    // drop_tag releases the pin: the next expiry reaps v2
+    assert(spark.sql(
+      "CALL graft.system.drop_tag('db.tags', 'baseline')")
+      .head().getBoolean(0))
+    spark.sql("CALL graft.system.expire_snapshots('db.tags', 1)")
+    assert(SnapshotTable.versions(spark, root) == Seq(4L))
+  }
+
   test("changelog tables: t.changes reads exactly the rows a commit " +
       "added (O(delta) files, not the table), t.delete_keys its " +
       "tombstoned keys, and a non-accretive commit is refused") {
