@@ -597,6 +597,87 @@ object Sources {
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
     }),
+    // MERGE WITH SCHEMA EVOLUTION under the oracle: the source carries
+    // a column the target lacks (prio); the analyzer's schema diff
+    // routes it through the catalog's ADD COLUMNS metadata commit and
+    // the row-level rewrite proceeds under the evolved schema — old
+    // rows read NULL, matched rows take the source's prio, inserted
+    // rows land fully typed. The oracle reconstructs the evolved end
+    // state with CASE + UNION ALL over the base table; matching
+    // hashes prove evolution + rewrite compose exactly.
+    "snapshot_sql_merge_evolve" -> ((s, dir) => {
+      val wh = catalogWarehouse
+      val tbl = uniqueName("orders_evosql")
+      s.conf.set("spark.sql.catalog.graft_evq",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_evq.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_evq.db")
+      val o = graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      SnapshotTable.merge(s, s"$wh/db/$tbl", o, "o_orderkey",
+        files = 8)
+      o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("prio", col("o_orderkey") % 5)
+        .unionByName(o.filter(col("o_orderkey") % 97 === 0 &&
+            col("o_orderkey") > 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            lit(0.5).as("o_totalprice"), lit(3L).as("prio")))
+        .createOrReplaceTempView("graft_evo_src")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graft_evq.db.$tbl t
+          |USING graft_evo_src s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.table(s"graft_evq.db.$tbl")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("prio")).as("n_with_prio"),
+          sum(col("prio")).as("sum_prio"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy("o_orderstatus")
+    }),
+    // The changelog tables under the oracle: a merge-on-read history
+    // (UPDATE then DELETE) read back commit-by-commit — t.changes
+    // VERSION AS OF 2 is exactly the update's replacement rows,
+    // t.delete_keys VERSION AS OF 3 exactly the deleted keys, each an
+    // O(commit delta) file scan. The oracle recomputes both sets from
+    // the base table; matching hashes prove the seq-stamped file
+    // deltas ARE the row-level change sets.
+    "snapshot_changes_feed" -> ((s, dir) => {
+      val wh = catalogWarehouse
+      val tbl = uniqueName("orders_chg")
+      s.conf.set("spark.sql.catalog.graft_chq",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_chq.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_chq.db")
+      val root = s"$wh/db/$tbl"
+      val o = graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      SnapshotTable.merge(s, root, o, "o_orderkey", files = 8) // v1
+      SnapshotTable.setProperties(s, root, Map(
+        "write.mode" -> "merge-on-read",
+        "write.merge.key" -> "o_orderkey"))
+      s.sql(
+        s"""UPDATE graft_chq.db.$tbl
+          |SET o_totalprice = -1.0 * o_totalprice
+          |WHERE o_orderkey % 10 = 3""".stripMargin)           // v2
+      s.sql(
+        s"DELETE FROM graft_chq.db.$tbl WHERE o_orderkey % 97 = 0"
+      )                                                        // v3
+      val chg = s.sql(
+        s"SELECT * FROM graft_chq.db.$tbl.changes VERSION AS OF 2")
+        .agg(count(lit(1)).as("n_changed"),
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+            .cast("double").as("total_changed"))
+      val dk = s.sql(
+        s"SELECT * FROM graft_chq.db.$tbl.delete_keys " +
+          "VERSION AS OF 3")
+        .agg(count(lit(1)).as("n_del_keys"),
+          min(col("o_orderkey")).as("min_dk"),
+          max(col("o_orderkey")).as("max_dk"))
+      chg.crossJoin(dk)
+    }),
     // Bucketed layout under the oracle: orders and customer committed
     // HASH-BUCKETED on the customer key (commitBucketed — the
     // storage-partitioned-join layout whose zero-Exchange plan the
@@ -1081,6 +1162,36 @@ object Sources {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM st GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_sql_merge_evolve" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders),
+        |evolved AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey % 5 END
+        |      AS prio
+        |  FROM base
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'N', 3 FROM base
+        |  WHERE o_orderkey % 97 = 0 AND o_orderkey > 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  count(prio) AS n_with_prio,
+        |  CAST(sum(prio) AS BIGINT) AS sum_prio,
+        |  min(o_orderkey) AS min_key
+        |FROM evolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_changes_feed" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 3)
+        |    AS n_changed,
+        |  (SELECT CAST(sum(CAST(-1.0 * o_totalprice
+        |      AS DECIMAL(18,2))) AS DOUBLE)
+        |    FROM orders WHERE o_orderkey % 10 = 3) AS total_changed,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 97 = 0)
+        |    AS n_del_keys,
+        |  (SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 97 = 0)
+        |    AS min_dk,
+        |  (SELECT max(o_orderkey) FROM orders WHERE o_orderkey % 97 = 0)
+        |    AS max_dk""".stripMargin,
     "snapshot_schema_evolution" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  count(CASE WHEN o_orderkey % 3 = 1 THEN 1 END) AS n_with_disc,
