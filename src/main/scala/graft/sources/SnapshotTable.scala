@@ -1051,6 +1051,62 @@ object SnapshotTable {
     1L
   }
 
+  /** Zero-copy CLONE (a writable branch): `dstRoot` becomes a fully
+    * independent table whose first manifest lists the SOURCE
+    * version's immutable files by absolute path — no data moves, so
+    * branching a 100 TB table is a metadata operation (Delta's
+    * shallow CLONE / Iceberg's branch, on the manifest protocol).
+    * Everything then works on the clone — reads with pruning, time
+    * travel, appends, row-level SQL, compaction (which localizes:
+    * rewritten files land under the clone's own `_data`) — without
+    * ever touching the source.
+    *
+    * Two invariants keep sharing safe:
+    *  - the source version is auto-TAGGED (`clone-<fingerprint>`), so
+    *    source retention cannot reap the shared files while the name
+    *    stands; dropping that tag is the operator's explicit release.
+    *  - foreign (absolute-path) entries are never deleted by the
+    *    CLONE's own expiry — [[expireSnapshots]] only reaps files
+    *    under its own root.
+    *
+    * The clone's first version NUMBER equals the source version: the
+    * carried entries keep their sequence numbers (a merge-on-read
+    * tombstone kills strictly-older seqs, so renumbering them would
+    * corrupt the carried MOR semantics), and the next commit must
+    * outrank them all. Table properties (bucket layout, merge key,
+    * write modes) copy over — layout is behavior, not location. */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Long] = None): Long = {
+    val v = version.getOrElse(currentVersion(spark, srcRoot))
+    require(versions(spark, srcRoot).contains(v),
+      s"version $v is not committed at $srcRoot")
+    val f = fs(spark, dstRoot)
+    require(maxLogVersion(f, dstRoot) == 0L,
+      s"clone target $dstRoot already has versions")
+    val (entries, recorded) = readManifestFull(spark, srcRoot, v)
+    val schema = priorSchemaOrRead(spark, srcRoot, v, recorded)
+    val srcBase = fs(spark, srcRoot)
+      .makeQualified(new Path(srcRoot)).toUri.getPath
+    val abs = entries.map(e =>
+      if (e.path.startsWith("/")) e // clone of a clone: already shared
+      else e.copy(path = s"$srcBase/${e.path}"))
+    // pin the shared files against source retention BEFORE publishing
+    // a reader of them
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(dstRoot.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(10)
+    tag(spark, srcRoot, s"clone-$fp", v)
+    if (!tryClaim(f, dstRoot, v))
+      throw CommitConflict(s"concurrent create at $dstRoot")
+    writeManifest(f, dstRoot, v, abs,
+      StructType(schema.fields.map(_.copy(nullable = true))))
+    publish(f, dstRoot, v, abs, Seq.empty)
+    val props = tableProperties(spark, srcRoot)
+    if (props.nonEmpty) setProperties(spark, dstRoot, props)
+    spark.catalog.refreshByPath(dstRoot)
+    v
+  }
+
   /** ALTER TABLE ADD COLUMNS: a METADATA-ONLY commit — the new
     * version lists the current version's files unchanged under the
     * evolved schema, so old files read NULL for the added columns and
@@ -2262,7 +2318,10 @@ object SnapshotTable {
       f.delete(new Path(commitsDir(root), v.toString), false)
       f.delete(new Path(commitsDir(root), s"$v.claim"), false)
       f.delete(new Path(manifestsDir(root), v.toString), false)
-      mine.filterNot(kept).foreach(p =>
+      // absolute paths are FOREIGN files shared from a clone source —
+      // this table's retention never deletes another table's data
+      // (the source's own tagged-version pin governs their lifetime)
+      mine.filterNot(kept).filterNot(_.startsWith("/")).foreach(p =>
         f.delete(new Path(root, p), false))
     }
     // drop segment dirs emptied by the per-file deletes

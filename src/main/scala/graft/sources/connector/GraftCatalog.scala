@@ -70,6 +70,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     root
   }
 
+  /** Like [[resolveRoot]] but for a table being CREATED (clone
+    * target): the name must be free. */
+  private[connector] def resolveNewRoot(table: String): String = {
+    val parts = table.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"bad table reference '$table'")
+    val root = (warehouse +: parts.map(safe)).mkString("/")
+    require(!isTable(root), s"'$table' already exists ($root)")
+    root
+  }
+
   private[connector] def activeSpark = spark
 
   /** The V2 `bucket` function — how the planner verifies that two
@@ -354,7 +365,7 @@ private[connector] object GraftProcedures {
   import org.apache.spark.sql.types._
 
   val Names = Seq("compact", "expire_snapshots", "vacuum", "tag",
-    "drop_tag")
+    "drop_tag", "clone")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
@@ -400,6 +411,22 @@ private[connector] object GraftProcedures {
           SnapshotTable.tag(spark, cat0.resolveRoot(in.getString(0)),
             in.getString(1), in.getLong(2))
           Row(in.getString(1), in.getLong(2))
+        })
+      case "clone" => proc(cat, "clone",
+        Array(ProcedureParameter.in("source", StringType).build(),
+          ProcedureParameter.in("target", StringType).build(),
+          // 0 = current version
+          ProcedureParameter.in("version", LongType).build()),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("shared_files", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          val srcRoot = cat0.resolveRoot(in.getString(0))
+          val dstRoot = cat0.resolveNewRoot(in.getString(1))
+          val v = SnapshotTable.cloneTable(spark, srcRoot, dstRoot,
+            Some(in.getLong(2)).filter(_ > 0L))
+          Row(v, SnapshotTable.manifest(spark, dstRoot, v)
+            .size.toLong)
         })
       case "drop_tag" => proc(cat, "drop_tag",
         Array(ProcedureParameter.in("table", StringType).build(),

@@ -295,6 +295,65 @@ class GraftCatalogSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root) == Seq(4L))
   }
 
+  test("zero-copy clone: a writable branch shares the source's files " +
+      "by reference (no data copied), diverges independently, " +
+      "carries MOR state, and neither side's retention can delete " +
+      "the other's data") {
+    spark.sql(
+      """CREATE TABLE graft.db.clsrc (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('write.mode'='merge-on-read',
+        |  'write.merge.key'='k')""".stripMargin)
+    val srcRoot = s"$warehouse/db/clsrc"
+    val dstRoot = s"$warehouse/db/clbr"
+    SnapshotTable.append(spark, srcRoot,
+      (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("k", "v"),
+      clusterKey = Some("k"), files = 4)                       // v2
+    SnapshotTable.mergeOnRead(spark, srcRoot,
+      (1 to 50).map(i => (i.toLong, -1.0)).toDF("k", "v"), "k") // v3
+
+    val res = spark.sql(
+      "CALL graft.system.clone('db.clsrc', 'db.clbr', 0)").head()
+    assert(res.getLong(0) == 3L)
+    // bit-equal reads, zero data files under the clone's root
+    assert(spark.table("graft.db.clbr").collect().toSet ==
+      spark.table("graft.db.clsrc").collect().toSet)
+    val cloneData = new java.io.File(s"$dstRoot/_data")
+    assert(!cloneData.exists() ||
+      cloneData.listFiles().forall(!_.isDirectory),
+      "clone copied data")
+    // carried merge-on-read state: updated keys read the new value
+    assert(spark.sql(
+      "SELECT v FROM graft.db.clbr WHERE k = 7").head().getDouble(0)
+      == -1.0)
+    // divergence: each side's writes are invisible to the other
+    spark.sql("INSERT INTO graft.db.clbr VALUES (2001, 1.0)")   // bv4
+    spark.sql("INSERT INTO graft.db.clsrc VALUES (3001, 3.0)")
+    assert(spark.table("graft.db.clbr").count() == 1001)
+    assert(spark.table("graft.db.clsrc").count() == 1001)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.clbr WHERE k = 3001")
+      .head().getLong(0) == 0)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.clsrc WHERE k = 2001")
+      .head().getLong(0) == 0)
+    // the clone source version is auto-tagged on the source
+    val cloneTags = SnapshotTable.tags(spark, srcRoot)
+      .filter(_._1.startsWith("clone-"))
+    assert(cloneTags.values.toSeq == Seq(3L), cloneTags.toString)
+    // compact the clone (localizes every file), then expire its whole
+    // shared history: the foreign-file guard must leave the source's
+    // data untouched
+    spark.sql("CALL graft.system.compact('db.clbr')")
+    spark.sql("CALL graft.system.expire_snapshots('db.clbr', 1)")
+    assert(spark.table("graft.db.clbr").count() == 1001)
+    assert(spark.table("graft.db.clsrc").count() == 1001,
+      "clone expiry deleted source files")
+    // source retention keeps the tagged (shared) version alive
+    spark.sql("CALL graft.system.expire_snapshots('db.clsrc', 1)")
+    assert(SnapshotTable.versions(spark, srcRoot).contains(3L),
+      "source expiry reaped the clone-pinned version")
+  }
+
   test("changelog tables: t.changes reads exactly the rows a commit " +
       "added (O(delta) files, not the table), t.delete_keys its " +
       "tombstoned keys, and a non-accretive commit is refused") {
