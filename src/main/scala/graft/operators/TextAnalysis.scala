@@ -750,6 +750,37 @@ object TextAnalysis {
     // table at any corpus size; the two histograms are one scan with
     // a conditional count. Scale: explode(ngrams) is the only fan-out
     // (O(tokens) rows), aggregated map-side into ≤B partials.
+    // Deterministic seeded global shuffle + shard assignment — the
+    // "shuffle the corpus once, split into N training shards,
+    // reproducible forever" step every training pipeline runs before
+    // a single GPU sees data. Order comes from a seeded portable hash
+    // (md5 of seed:doc_id — rerunning with the same seed reproduces
+    // the exact order on any engine), shards from the same hash's
+    // prefix, so assignment and order both derive from one value.
+    // The oracle checks an ORDER-SENSITIVE checksum (Σ doc_id·pos per
+    // shard): matching hashes prove the full permutation, not just
+    // the partition sizes. Scale: one hash shuffle into shards +
+    // per-shard sort — no global sort, no driver state; at 100 TB
+    // raise the shard count and nothing else changes.
+    "docs_training_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val keyed = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          expr("md5(concat('seed42:', CAST(doc_id AS STRING)))")
+            .as("sk"))
+        .withColumn("shard",
+          expr("CAST(conv(substring(sk, 1, 6), 16, 10) AS BIGINT) % 8"))
+      keyed
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(asc("sk"))))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"),
+          min(when(col("pos") === 1, col("doc_id"))).as("first_doc"),
+          sum(col("doc_id") * col("pos")).as("order_sum"))
+        .orderBy(asc("shard"))
+    }),
+
     "docs_dsir_buckets" -> ((s, dir) => {
       dsirNgrams(s, dir)
         .selectExpr("lang", s"$dsirBucketExpr AS bucket")
@@ -1470,6 +1501,24 @@ object TextAnalysis {
          |      '$piiIpRe', '<IP>', 'g') AS red
          |  FROM (SELECT doc_id, lang, $piiAugSql AS aug FROM documents))
          |ORDER BY doc_id""".stripMargin,
+    "docs_training_order" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    md5(concat('seed42:', CAST(doc_id AS VARCHAR))) AS sk,
+        |    CAST(('0x' || substr(
+        |      md5(concat('seed42:', CAST(doc_id AS VARCHAR))), 1, 6))
+        |      AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |ordered AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY shard ORDER BY sk) AS pos
+        |  FROM keyed)
+        |SELECT shard, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+        |  CAST(sum(doc_id * pos) AS BIGINT) AS order_sum
+        |FROM ordered GROUP BY shard
+        |ORDER BY shard""".stripMargin,
     "docs_dsir_buckets" ->
       s"""SELECT bucket,
          |  count(*) FILTER (WHERE lang = 'en') AS n_target,
