@@ -369,6 +369,35 @@ object Similarity {
         .orderBy(asc("q_id"), asc("rk"))
     }),
 
+    // Hard-negative mining for contrastive training: per query, the
+    // top-3 most-similar vectors with a DIFFERENT label — the
+    // "semantically close but wrong" examples a retrieval/embedding
+    // trainer needs most. Same broadcast-query brute-force shape as
+    // knn_bruteforce (the 10-query probe set is fixed-size by
+    // construction, so the broadcast is scale-safe) with the label
+    // mismatch folded into the join condition, so codegen filters
+    // candidates before the dot product is computed.
+    "knn_hard_negatives" -> ((s, dir) => {
+      val all = prepared(s, dir)
+      val q = broadcast(all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_lbl"),
+          col("v").as("q_v"), col("nrm").as("q_n")))
+      val c = all.select(col("vec_id").as("c_id"),
+        col("label").as("c_lbl"), col("v").as("c_v"),
+        col("nrm").as("c_n"))
+      val scored = q.join(c, col("q_id") =!= col("c_id") &&
+          col("q_lbl") =!= col("c_lbl"))
+        .selectExpr("q_id", "c_id", "c_lbl",
+          s"$dotExpr / (q_n * c_n) AS cos")
+        .select(col("q_id"), col("c_id"), col("c_lbl"),
+          round(col("cos"), 6).as("cos_r"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cos_r"), asc("c_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(asc("q_id"), asc("rk"))
+    }),
+
     // LSH-bucketed ANN: 8 tables x 6-bit hyperplane signatures;
     // candidates = union over tables of same-bucket vectors, then exact
     // cosine re-rank on the (much smaller) candidate set. The corpus is
@@ -871,6 +900,23 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "knn_bruteforce" -> knnOracle,
     "knn_bruteforce_native" -> knnOracle,
+    "knn_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        |s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    c.label AS c_lbl,
+        |    round(list_sum(list_transform(list_zip(q.v, c.v),
+        |      p -> p[1]*p[2])) / (q.nrm*c.nrm), 6) AS cos_r
+        |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |    AND q.label <> c.label)
+        |SELECT q_id, c_id, c_lbl, cos_r, rk FROM (
+        |  SELECT q_id, c_id, c_lbl, cos_r, row_number()
+        |    OVER (PARTITION BY q_id ORDER BY cos_r DESC, c_id) AS rk
+        |  FROM s)
+        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
     "embedding_label_stats" ->
       """SELECT label, count(*) AS n_vecs,
         |  round(avg(nrm), 6) AS avg_norm_r,
