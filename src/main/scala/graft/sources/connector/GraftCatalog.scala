@@ -227,6 +227,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftSnapshotSource.schemaOf(spark, root, v))
   }
 
+  /** Declares constraint support so the parser accepts `CHECK (...)`
+    * clauses for this catalog's tables. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** CREATE TABLE with constraints: ENFORCED CHECK constraints
+    * persist as `graft.check.<name>` properties (the predicate SQL
+    * text); [[GraftSnapshotTable.constraints]] surfaces them back and
+    * Spark's write planning injects the row-level validation into
+    * EVERY V2 write — INSERT, UPDATE, MERGE, the streaming sinks —
+    * so a violating row fails the WRITE instead of poisoning the
+    * table (the "expectations at the table boundary" pattern;
+    * data-quality checks inside queries stay in
+    * [[graft.operators.Expectations]]). PRIMARY KEY / UNIQUE /
+    * FOREIGN KEY are refused rather than recorded-but-unenforced: a
+    * constraint the engine won't enforce is a lie in the schema. */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val checks = info.constraints().map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(c.enforced(),
+          s"graft CHECK constraints are always enforced; declare " +
+            s"'${c.name}' ENFORCED (or drop NOT ENFORCED)")
+        c
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support enforced CHECK constraints only; " +
+          s"got: ${other.toDDL}")
+    }
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    if (checks.isEmpty) return t
+    val root = rootOf(ident)
+    SnapshotTable.setProperties(spark, root,
+      SnapshotTable.tableProperties(spark, root) ++
+        checks.map(c =>
+          s"graft.check.${c.name}" -> c.predicateSql()).toMap)
+    loadTable(ident)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -260,7 +299,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    val added = changes.map {
+    // ALTER TABLE ADD/DROP CONSTRAINT: property edits (metadata only,
+    // like the CREATE TABLE path). An added CHECK is NOT validated
+    // against existing rows here — it gates writes from now on; run a
+    // validating scan first if the history must comply.
+    val (constraintChanges, columnChanges) = changes.partition {
+      case _: TableChange.AddConstraint |
+           _: TableChange.DropConstraint => true
+      case _ => false
+    }
+    constraintChanges.foreach {
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints
+            .Check =>
+          SnapshotTable.setProperties(spark, root,
+            SnapshotTable.tableProperties(spark, root) +
+              (s"graft.check.${c.name}" -> c.predicateSql()))
+        case other => throw new UnsupportedOperationException(
+          s"graft tables support enforced CHECK constraints only; " +
+            s"got: ${other.toDDL}")
+      }
+      case d: TableChange.DropConstraint =>
+        val key = s"graft.check.${d.name}"
+        val props = SnapshotTable.tableProperties(spark, root)
+        if (!props.contains(key) && !d.ifExists())
+          throw new IllegalArgumentException(
+            s"no CHECK constraint '${d.name}' on $root")
+        SnapshotTable.setProperties(spark, root, props - key)
+      case _ => ()
+    }
+    if (columnChanges.isEmpty) return loadTable(ident)
+    val added = columnChanges.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "graft-snapshot adds TOP-LEVEL columns only (a nested-typed " +

@@ -198,6 +198,28 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, info)
 
+  /** Enforced CHECK constraints, from the `graft.check.*` properties
+    * the catalog's CREATE/ALTER TABLE persisted. Spark's write
+    * planning reads these and injects per-row validation into every
+    * V2 write against this table — the connector only declares, the
+    * engine enforces. */
+  override def constraints()
+  : Array[org.apache.spark.sql.connector.catalog.constraints
+      .Constraint] =
+    persistedProps.toSeq
+      .collect { case (k, sql) if k.startsWith("graft.check.") =>
+        k.stripPrefix("graft.check.") -> sql }
+      .sortBy(_._1)
+      .map { case (name, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(name).predicateSql(sql).enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.UNVALIDATED)
+          .rely(false).build()
+          : org.apache.spark.sql.connector.catalog.constraints
+            .Constraint
+      }.toArray
+
   /** SQL `DELETE FROM graft.db.t WHERE …` — filter-based DSv2 delete
     * routed to [[SnapshotTable.deleteFilters]]: files whose manifest
     * stats prove every row matches are dropped by metadata edit

@@ -295,6 +295,48 @@ class GraftCatalogSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, root) == Seq(4L))
   }
 
+  test("ENFORCED CHECK constraints: declared at CREATE TABLE, " +
+      "enforced on INSERT and UPDATE (violating writes abort with no " +
+      "partial state), managed via ALTER TABLE ADD/DROP CONSTRAINT") {
+    spark.sql(
+      """CREATE TABLE graft.db.chk (k BIGINT, v DOUBLE,
+        |CONSTRAINT pos_k CHECK (k > 0))""".stripMargin)
+    val root = s"$warehouse/db/chk"
+    spark.sql("INSERT INTO graft.db.chk VALUES (1, 1.0), (2, 2.0)")
+    assert(spark.table("graft.db.chk").count() == 2)
+    // a violating INSERT fails the WRITE...
+    val e = intercept[Exception](spark.sql(
+      "INSERT INTO graft.db.chk VALUES (3, 3.0), (-1, 9.0)"))
+    assert((e.getMessage + Option(e.getCause).fold("")(_.getMessage))
+      .toLowerCase.contains("pos_k"), e.getMessage)
+    // ...atomically: no partial state, no version minted
+    assert(spark.table("graft.db.chk").count() == 2)
+    val vAfterFail = SnapshotTable.currentVersion(spark, root)
+    // a violating UPDATE (row-level write path) fails too
+    val e2 = intercept[Exception](spark.sql(
+      "UPDATE graft.db.chk SET k = -5 WHERE k = 1"))
+    assert((e2.getMessage + Option(e2.getCause).fold("")(_.getMessage))
+      .toLowerCase.contains("pos_k"), e2.getMessage)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.chk WHERE k < 0")
+      .head().getLong(0) == 0)
+    assert(SnapshotTable.currentVersion(spark, root) == vAfterFail)
+    // ALTER TABLE ADD CONSTRAINT gates writes from now on
+    spark.sql(
+      "ALTER TABLE graft.db.chk ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    val e3 = intercept[Exception](spark.sql(
+      "INSERT INTO graft.db.chk VALUES (4, -1.0)"))
+    assert((e3.getMessage + Option(e3.getCause).fold("")(_.getMessage))
+      .toLowerCase.contains("v_pos"), e3.getMessage)
+    // DROP CONSTRAINT releases it
+    spark.sql("ALTER TABLE graft.db.chk DROP CONSTRAINT v_pos")
+    spark.sql("INSERT INTO graft.db.chk VALUES (4, -1.0)")
+    assert(spark.table("graft.db.chk").count() == 3)
+    // the surviving constraint still shows in DESCRIBE/properties
+    assert(SnapshotTable.tableProperties(spark, root)
+      .get("graft.check.pos_k").contains("k > 0"))
+  }
+
   test("zero-copy clone: a writable branch shares the source's files " +
       "by reference (no data copied), diverges independently, " +
       "carries MOR state, and neither side's retention can delete " +
