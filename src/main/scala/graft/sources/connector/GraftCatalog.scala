@@ -227,10 +227,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftSnapshotSource.schemaOf(spark, root, v))
   }
 
-  /** Declares constraint support so the parser accepts `CHECK (...)`
-    * clauses for this catalog's tables. */
+  /** Declares constraint + DEFAULT support so the parser accepts
+    * `CHECK (...)` and `DEFAULT <expr>` clauses for this catalog's
+    * tables. */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** CREATE TABLE with constraints: ENFORCED CHECK constraints
     * persist as `graft.check.<name>` properties (the predicate SQL
@@ -255,12 +257,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft tables support enforced CHECK constraints only; " +
           s"got: ${other.toDDL}")
     }
+    // column DEFAULTs persist beside the constraints; generated and
+    // identity columns are out of scope (refused, not ignored)
+    val defaults = info.columns().toSeq.flatMap { c =>
+      require(c.generationExpression() == null &&
+        c.identityColumnSpec() == null,
+        s"graft tables do not support generated/identity columns " +
+          s"('${c.name()}')")
+      Option(c.defaultValue()).toSeq
+        .flatMap(d => GraftDefaults.encode(c.name(), d))
+    }.toMap
     val t = createTable(ident, info.schema(), info.partitions(),
       info.properties())
-    if (checks.isEmpty) return t
+    if (checks.isEmpty && defaults.isEmpty) return t
     val root = rootOf(ident)
     SnapshotTable.setProperties(spark, root,
-      SnapshotTable.tableProperties(spark, root) ++
+      SnapshotTable.tableProperties(spark, root) ++ defaults ++
         checks.map(c =>
           s"graft.check.${c.name}" -> c.predicateSql()).toMap)
     loadTable(ident)
@@ -303,10 +315,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // like the CREATE TABLE path). An added CHECK is NOT validated
     // against existing rows here — it gates writes from now on; run a
     // validating scan first if the history must comply.
-    val (constraintChanges, columnChanges) = changes.partition {
+    val (constraintChanges, rest) = changes.partition {
       case _: TableChange.AddConstraint |
            _: TableChange.DropConstraint => true
       case _ => false
+    }
+    // ALTER TABLE ... ALTER COLUMN c SET/DROP DEFAULT: property-only,
+    // affects FUTURE inserts (standard SQL semantics — no read-side
+    // rewrite, so it is exact)
+    val (defaultChanges, columnChanges) = rest.partition {
+      case _: TableChange.UpdateColumnDefaultValue => true
+      case _ => false
+    }
+    defaultChanges.foreach {
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames().length == 1,
+          "graft DEFAULT applies to top-level columns only")
+        val colName = u.fieldNames()(0)
+        val field = GraftSnapshotSource
+          .schemaOf(spark, root, SnapshotTable.currentVersion(spark, root))
+          .fields.find(_.name.equalsIgnoreCase(colName))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column '$colName' at $root"))
+        val props = SnapshotTable.tableProperties(spark, root)
+        val newSql = Option(u.newCurrentDefault()).map(_.getSql)
+          .filter(s => s != null && s.nonEmpty)
+        newSql match {
+          case None => SnapshotTable.setProperties(spark, root,
+            props -- GraftDefaults.keysFor(field.name))
+          case Some(sql) => SnapshotTable.setProperties(spark, root,
+            props ++ GraftDefaults.encodeSql(field.name, sql,
+              field.dataType))
+        }
+      case _ => ()
     }
     constraintChanges.foreach {
       case a: TableChange.AddConstraint => a.constraint() match {
@@ -331,6 +372,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (columnChanges.isEmpty) return loadTable(ident)
     val added = columnChanges.map {
       case a: TableChange.AddColumn =>
+        // an added column's DEFAULT would need EXISTENCE defaults
+        // (engine-side fill of pre-existing rows) to be honest — old
+        // files read NULL here, so accepting it would silently give
+        // old rows a different value than the standard promises
+        require(a.defaultValue() == null,
+          s"graft ADD COLUMNS does not support DEFAULT (existing " +
+            s"rows read NULL; set the default with ALTER COLUMN " +
+            s"... SET DEFAULT afterwards): '${a.fieldNames().head}'")
         require(a.fieldNames().length == 1,
           "graft-snapshot adds TOP-LEVEL columns only (a nested-typed " +
             "column is fine; splicing a field into an existing struct " +
@@ -656,6 +705,105 @@ private[connector] object GraftMetadataTable {
   val RefsSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
     StructField("version", LongType, nullable = false)))
+}
+
+/** Column DEFAULT persistence. A default is two table properties:
+  * `graft.default.<col>` — the CURRENT-default SQL text (what an
+  * INSERT that omits the column evaluates), and
+  * `graft.defaultlit.<col>` — the evaluated literal, typed (datatype
+  * json + value, both b64). [[GraftSnapshotTable.columns]] rebuilds
+  * the V2 `ColumnDefaultValue` from these so Spark's own INSERT
+  * resolution fills omitted columns; the connector never evaluates
+  * anything at write time. Scope is deliberately literal/foldable
+  * scalars of the simple types — a non-deterministic default
+  * (current_timestamp) would make INSERT results
+  * environment-dependent, which the oracle contract forbids. */
+private[connector] object GraftDefaults {
+  import org.apache.spark.sql.connector.catalog.ColumnDefaultValue
+  import org.apache.spark.sql.connector.expressions.LiteralValue
+  import org.apache.spark.sql.types._
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  def supported(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DoubleType | FloatType |
+         BooleanType | StringType => true
+    case _ => false
+  }
+
+  /** Properties for one column's default, from the analyzer-provided
+    * `ColumnDefaultValue` (CREATE TABLE path — the literal is already
+    * evaluated and typed). */
+  def encode(col: String, d: ColumnDefaultValue): Map[String, String] = {
+    val lit = d.getValue
+    require(lit != null && supported(lit.dataType()),
+      s"graft DEFAULT supports int/long/float/double/boolean/string " +
+        s"literals; column '$col' declares: $d")
+    val sql = Option(d.getSql).getOrElse(String.valueOf(lit.value()))
+    Map(s"graft.default.$col" -> sql,
+      s"graft.defaultlit.$col" ->
+        s"${b64(lit.dataType().json)}:${b64(String.valueOf(lit.value()))}")
+  }
+
+  /** Properties from raw SQL (ALTER ... SET DEFAULT path, where Spark
+    * hands only the text): parse, require foldable, evaluate, cast to
+    * the column's type. */
+  def encodeSql(col: String, sql: String,
+      colDt: DataType): Map[String, String] = {
+    require(supported(colDt),
+      s"graft DEFAULT: unsupported column type ${colDt.simpleString}")
+    val parsed = try org.apache.spark.sql.catalyst.parser
+      .CatalystSqlParser.parseExpression(sql)
+    catch { case e: Exception => throw new IllegalArgumentException(
+      s"cannot parse DEFAULT for '$col': $sql", e) }
+    val lit = try {
+      require(parsed.foldable)
+      org.apache.spark.sql.catalyst.expressions.Cast(parsed, colDt)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    } catch { case _: Exception =>
+      throw new IllegalArgumentException(
+        s"graft DEFAULT for '$col' must be a foldable literal " +
+          s"castable to ${colDt.simpleString}, got: $sql")
+    }
+    Map(s"graft.default.$col" -> sql,
+      s"graft.defaultlit.$col" ->
+        s"${b64(colDt.json)}:${b64(String.valueOf(lit))}")
+  }
+
+  def decode(props: Map[String, String],
+      col: String): Option[ColumnDefaultValue] =
+    for {
+      sql <- props.get(s"graft.default.$col")
+      ls <- props.get(s"graft.defaultlit.$col")
+    } yield {
+      val Array(dtb, vb) = ls.split(':')
+      val dt = DataType.fromJson(unb64(dtb))
+      val raw = unb64(vb)
+      val v: Any = dt match {
+        case IntegerType => raw.toInt
+        case LongType => raw.toLong
+        case DoubleType => raw.toDouble
+        case FloatType => raw.toFloat
+        case BooleanType => raw.toBoolean
+        case StringType =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+        case other => throw new IllegalStateException(
+          s"corrupt default literal type for '$col': $other")
+      }
+      // Expressions.literal is the public literal factory (the
+      // LiteralValue case class itself is private[sql]); it re-infers
+      // the DataType from the JVM value, which round-trips exactly
+      // for the supported primitive set
+      new ColumnDefaultValue(sql,
+        org.apache.spark.sql.connector.expressions.Expressions
+          .literal(v))
+    }
+
+  def keysFor(col: String): Seq[String] =
+    Seq(s"graft.default.$col", s"graft.defaultlit.$col")
 }
 
 /** The incremental-scan (changelog) SQL surface — Iceberg's

@@ -198,6 +198,24 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, info)
 
+  /** V2 columns with their declared DEFAULTs re-attached (from the
+    * `graft.default.*` properties the catalog persisted) — Spark's
+    * INSERT resolution reads the default off the column metadata and
+    * fills omitted columns itself; the connector only declares. */
+  override def columns()
+  : Array[org.apache.spark.sql.connector.catalog.Column] = {
+    import org.apache.spark.sql.connector.catalog.Column
+    if (!persistedProps.keys.exists(_.startsWith("graft.default.")))
+      return super.columns()
+    schema().fields.map { f =>
+      GraftDefaults.decode(persistedProps, f.name) match {
+        case Some(d) => Column.create(f.name, f.dataType, f.nullable,
+          null, d, null)
+        case None => Column.create(f.name, f.dataType, f.nullable)
+      }
+    }
+  }
+
   /** Enforced CHECK constraints, from the `graft.check.*` properties
     * the catalog's CREATE/ALTER TABLE persisted. Spark's write
     * planning reads these and injects per-row validation into every

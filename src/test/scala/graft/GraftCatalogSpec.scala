@@ -337,6 +337,45 @@ class GraftCatalogSpec extends SparkSpec {
       .get("graft.check.pos_k").contains("k > 0"))
   }
 
+  test("column DEFAULTs: INSERT fills omitted columns, DEFAULT " +
+      "keyword works, ALTER COLUMN SET/DROP DEFAULT manages it, and " +
+      "ADD COLUMN with DEFAULT is refused (old rows would lie)") {
+    spark.sql(
+      """CREATE TABLE graft.db.dflt (k BIGINT,
+        |v DOUBLE DEFAULT 1.5, tag STRING DEFAULT 'none')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.dflt (k) VALUES (1), (2)")
+    spark.sql("INSERT INTO graft.db.dflt VALUES (3, 9.0, 'x')")
+    spark.sql("INSERT INTO graft.db.dflt (k, v) VALUES (4, DEFAULT)")
+    val rows = spark.table("graft.db.dflt").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, 1.5, "none"), (2L, 1.5, "none"),
+      (3L, 9.0, "x"), (4L, 1.5, "none")), rows.mkString(","))
+    // SET DEFAULT affects future inserts only
+    spark.sql(
+      "ALTER TABLE graft.db.dflt ALTER COLUMN v SET DEFAULT 2.5")
+    spark.sql("INSERT INTO graft.db.dflt (k) VALUES (5)")
+    assert(spark.sql("SELECT v FROM graft.db.dflt WHERE k = 5")
+      .head().getDouble(0) == 2.5)
+    assert(spark.sql("SELECT v FROM graft.db.dflt WHERE k = 1")
+      .head().getDouble(0) == 1.5, "SET DEFAULT rewrote old rows")
+    // DROP DEFAULT: omitted column reverts to NULL
+    spark.sql("ALTER TABLE graft.db.dflt ALTER COLUMN v DROP DEFAULT")
+    spark.sql("INSERT INTO graft.db.dflt (k) VALUES (6)")
+    assert(spark.sql("SELECT v FROM graft.db.dflt WHERE k = 6")
+      .head().isNullAt(0))
+    // ADD COLUMN with DEFAULT would need existence defaults — refused
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.db.dflt ADD COLUMNS (w DOUBLE DEFAULT 3.0)"))
+    assert(e.getMessage.contains("SET DEFAULT afterwards"),
+      e.getMessage)
+    // non-foldable defaults are refused at declaration
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.db.dflt ALTER COLUMN tag " +
+        "SET DEFAULT CAST(rand() AS STRING)"))
+    assert(e2.getMessage.toLowerCase.contains("foldable") ||
+      e2.getMessage.toLowerCase.contains("default"), e2.getMessage)
+  }
+
   test("zero-copy clone: a writable branch shares the source's files " +
       "by reference (no data copied), diverges independently, " +
       "carries MOR state, and neither side's retention can delete " +
