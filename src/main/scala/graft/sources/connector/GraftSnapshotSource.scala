@@ -192,8 +192,13 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
+  /** `startingVersion` (streaming reads, Delta's option): `"latest"`
+    * = only commits made after the stream starts; `N` = begin with
+    * version N's changes. Default remains 0 — replay the full
+    * history. */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-  : ScanBuilder = new GraftScanBuilder(root, version, tableSchema)
+  : ScanBuilder = new GraftScanBuilder(root, version, tableSchema,
+    streamStart = Option(options.get("startingVersion")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, info)
@@ -326,7 +331,8 @@ private[connector] object GraftFileMetadataColumn
 private[graft] class GraftScanBuilder(root: String, version: Long,
     fullSchema: StructType,
     onPlan: Option[Seq[FileEntry] => Unit] = None,
-    entryView: Seq[FileEntry] => Seq[FileEntry] = identity)
+    entryView: Seq[FileEntry] => Seq[FileEntry] = identity,
+    streamStart: Option[String] = None)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
@@ -606,7 +612,7 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
           s"tombstone key '$k' missing from table schema")).dataType),
       if (descs.isEmpty) None else Some(descs.mkString(" ")),
       offsetSkip.collect { case (ks, rem, _) if rem > 0 && ks.nonEmpty =>
-        (ks.head.path, rem) }, onPlan)
+        (ks.head.path, rem) }, onPlan, streamStart)
   }
 }
 
@@ -713,13 +719,33 @@ private[connector] case class GraftOffset(version: Long)
   * fails with a pointer instead of silently re-emitting rewritten
   * rows — Delta draws the same line (`ignoreChanges`). */
 private[connector] class GraftMicroBatchStream(root: String,
-    required: StructType)
+    required: StructType, startingVersion: Option[String] = None)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset = GraftOffset(0L)
+  /** Where a FRESH checkpoint begins (Delta's `startingVersion`):
+    * absent = offset 0, replay the whole commit history; `"latest"` =
+    * the current version, only commits made after the stream starts;
+    * `N` = offset N-1, so version N's own changes are the first
+    * micro-batch. A resumed checkpoint never consults this — its
+    * recorded offset wins, as it must. */
+  override def initialOffset(): Offset = GraftOffset(startingVersion
+    match {
+      case None => 0L
+      case Some(s) if s.equalsIgnoreCase("latest") =>
+        SnapshotTable.currentVersion(spark, root)
+      case Some(s) =>
+        val n = try s.trim.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"startingVersion must be 'latest' or a version " +
+                s"number, got '$s'")
+        }
+        require(n >= 1L, s"startingVersion must be >= 1, got $n")
+        n - 1L
+    })
 
   override def latestOffset(): Offset =
     GraftOffset(SnapshotTable.currentVersion(spark, root))
@@ -854,7 +880,8 @@ private[connector] class GraftScan(root: String, version: Long,
     tombKey: Option[String], tombKeyType: Option[DataType],
     limitDesc: Option[String] = None,
     offsetSkipFile: Option[(String, Long)] = None,
-    onPlan: Option[Seq[FileEntry] => Unit] = None)
+    onPlan: Option[Seq[FileEntry] => Unit] = None,
+    streamStart: Option[String] = None)
   extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering
   with SupportsReportPartitioning {
@@ -933,7 +960,7 @@ private[connector] class GraftScan(root: String, version: Long,
     * for the accretive-range rule. */
   override def toMicroBatchStream(checkpointLocation: String)
   : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(root, required)
+    new GraftMicroBatchStream(root, required, streamStart)
 
   /** Can tombstone `t` kill anything in data file `e`? Sequence rule
     * first (only OLDER rows die); then the recorded key ranges, typed

@@ -374,6 +374,46 @@ class SnapshotConnectorSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("startingVersion option: a fresh stream can begin at a pinned " +
+      "commit ('N' = that commit's changes first) or at 'latest' " +
+      "(only post-start commits); bad values are refused") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      clusterKey = Some("k"))                                  // v1
+    SnapshotTable.append(spark, root,
+      (51 to 80).map(i => (i.toLong, s"v$i")).toDF("k", "v"))  // v2
+    SnapshotTable.append(spark, root,
+      (81 to 90).map(i => (i.toLong, s"v$i")).toDF("k", "v"))  // v3
+
+    def run(opts: Map[String, String]): Seq[Long] = {
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft-cp-sv").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-sout-sv").toString
+      var r = spark.readStream.format("graft-snapshot")
+        .option("path", root)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+      try spark.read.parquet(out).select("k").as[Long]
+        .collect().sorted.toSeq
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Seq.empty }
+    }
+    // numeric pin: version 2's changes are the first batch
+    assert(run(Map("startingVersion" -> "2")) == (51L to 90L))
+    // 'latest': nothing historical flows
+    assert(run(Map("startingVersion" -> "latest")).isEmpty)
+    // refusals
+    val bad = intercept[Exception](
+      run(Map("startingVersion" -> "nope")))
+    assert(bad.getMessage.contains("startingVersion") ||
+      Option(bad.getCause).exists(c => c.getMessage != null &&
+        c.getMessage.contains("startingVersion")), bad.getMessage)
+  }
+
   test("merge-on-read through the connector: tombstoned rows vanish, " +
       "the MOR batch's own replacements survive, deletes apply, and " +
       "the result equals the native read — projected key or not") {
