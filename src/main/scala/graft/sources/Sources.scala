@@ -678,6 +678,48 @@ object Sources {
           max(col("o_orderkey")).as("max_dk"))
       chg.crossJoin(dk)
     }),
+    // Zero-copy clone under the oracle: clone the committed orders
+    // table (metadata-only — the clone's manifest references the
+    // source files by absolute path), DIVERGE both sides (a MOR
+    // update on the clone, an append on the source), and read both
+    // through one union. The oracle reconstructs the two end states
+    // from the base table; matching hashes prove shared-file reads,
+    // clone isolation and divergence all compose exactly.
+    "snapshot_clone_diverge" -> ((s, dir) => {
+      val wh = catalogWarehouse
+      val (srcT, dstT) = (uniqueName("ord_cs"), uniqueName("ord_cd"))
+      s.conf.set("spark.sql.catalog.graft_clq",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_clq.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_clq.db")
+      val (srcRoot, dstRoot) = (s"$wh/db/$srcT", s"$wh/db/$dstT")
+      val o = graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      SnapshotTable.merge(s, srcRoot, o, "o_orderkey", files = 8)
+      SnapshotTable.setProperties(s, srcRoot, Map(
+        "write.mode" -> "merge-on-read",
+        "write.merge.key" -> "o_orderkey"))
+      s.sql(s"CALL graft_clq.system.clone('db.$srcT', 'db.$dstT', 0)")
+      // diverge: clone takes a MOR price update, source takes inserts
+      s.sql(
+        s"""UPDATE graft_clq.db.$dstT SET o_totalprice = -1.0
+          |WHERE o_orderkey % 10 = 3""".stripMargin)
+      SnapshotTable.append(s, srcRoot,
+        o.filter(col("o_orderkey") % 97 === 0 &&
+            col("o_orderkey") > 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            lit(0.5).as("o_totalprice")))
+      s.table(s"graft_clq.db.$srcT").withColumn("side", lit("src"))
+        .unionByName(
+          s.table(s"graft_clq.db.$dstT").withColumn("side", lit("br")))
+        .groupBy("side", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") < 0, 1L).otherwise(0L))
+            .as("n_updated"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy("side", "o_orderstatus")
+    }),
     // Bucketed layout under the oracle: orders and customer committed
     // HASH-BUCKETED on the customer key (commitBucketed — the
     // storage-partitioned-join layout whose zero-Exchange plan the
@@ -1162,6 +1204,29 @@ object Sources {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM st GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_clone_diverge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'N', 0.5 FROM base
+        |  WHERE o_orderkey % 97 = 0 AND o_orderkey > 0),
+        |br AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN -1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base),
+        |u AS (
+        |  SELECT 'src' AS side, * FROM src
+        |  UNION ALL
+        |  SELECT 'br' AS side, * FROM br)
+        |SELECT side, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_updated,
+        |  min(o_orderkey) AS min_key
+        |FROM u GROUP BY side, o_orderstatus
+        |ORDER BY side, o_orderstatus""".stripMargin,
     "snapshot_sql_merge_evolve" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus FROM orders),
