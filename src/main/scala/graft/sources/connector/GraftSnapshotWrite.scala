@@ -83,47 +83,104 @@ private[connector] class GraftWrite(root: String, schema: StructType,
     }
   }
 
+  /** The table's declared hash-bucket layout (when the batch carries
+    * the bucket key): a SQL INSERT then lands INSIDE the layout —
+    * clustered-by-bucket distribution, per-bucket file split, bucket
+    * ids stamped in the manifest — so storage-partitioned joins
+    * survive catalog ingest exactly as they survive `appendBucketed`
+    * and the MOR delta writes. Without this, every INSERT INTO a
+    * bucketed table would silently demote SPJ to a shuffle until
+    * compaction. */
+  private val bucketSpec: Option[(String, Int)] = {
+    if (replace) None
+    else {
+      val props = SnapshotTable
+        .tableProperties(SparkSession.active, root)
+      for {
+        k <- props.get("graft.bucket.key")
+        if schema.fieldNames.exists(_.equalsIgnoreCase(k))
+        n <- props.get("graft.bucket.count").flatMap(v =>
+          scala.util.Try(v.toInt).toOption)
+      } yield (k, n)
+    }
+  }
+
   /** A clustered table asks Spark to range-partition + sort the input
     * on the cluster key, so each task writes one compact key range —
-    * the same shape `stageSegment` builds with repartitionByRange. */
+    * the same shape `stageSegment` builds with repartitionByRange. A
+    * BUCKETED table clusters by the bucket transform instead, so each
+    * bucket's rows land in one task and the per-bucket file split
+    * stays bounded by the bucket count. */
   override def requiredDistribution(): Distribution =
-    clusterKey.map(k => Distributions.ordered(Array[V2SortOrder](
-      Expressions.sort(Expressions.column(k), SortDirection.ASCENDING))))
-      .getOrElse(Distributions.unspecified())
+    bucketSpec match {
+      case Some((k, n)) => Distributions.clustered(Array(
+        Expressions.bucket(n, k)
+          : org.apache.spark.sql.connector.expressions.Expression))
+      case None => clusterKey.map(k =>
+        Distributions.ordered(Array[V2SortOrder](
+          Expressions.sort(Expressions.column(k),
+            SortDirection.ASCENDING))))
+        .getOrElse(Distributions.unspecified())
+    }
 
   override def requiredOrdering(): Array[V2SortOrder] =
-    clusterKey.map(k => Array[V2SortOrder](
+    if (bucketSpec.isDefined) Array.empty
+    else clusterKey.map(k => Array[V2SortOrder](
       Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)))
       .getOrElse(Array.empty)
 
   override def toBatch: BatchWrite =
-    new GraftBatchWrite(root, schema, replace, clusterKey, bloomKey)
+    new GraftBatchWrite(root, schema, replace, clusterKey, bloomKey,
+      bucketSpec)
 }
 
 private[connector] case class GraftTaskFile(name: Option[String])
   extends WriterCommitMessage
 
+/** Per-task files of a bucketed append: one (file, bucket) pair per
+  * non-empty bucket the task saw. */
+private[connector] case class GraftBucketedTaskFiles(
+    files: Seq[(String, Int)]) extends WriterCommitMessage
+
 private[connector] class GraftBatchWrite(root: String,
     schema: StructType, replace: Boolean, clusterKey: Option[String],
-    bloomKey: Option[String]) extends BatchWrite {
+    bloomKey: Option[String],
+    bucketSpec: Option[(String, Int)] = None) extends BatchWrite {
 
   private val seg: Path = SnapshotTable.newSegmentPath(root)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-  : DataWriterFactory = new GraftWriterFactory(seg.toString, schema.json)
+  : DataWriterFactory = bucketSpec match {
+    case Some((k, n)) => new GraftBucketedWriterFactory(seg.toString,
+      schema.json, schema.fieldNames.indexWhere(_.equalsIgnoreCase(k)),
+      n)
+    case None => new GraftWriterFactory(seg.toString, schema.json)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     // sorted: commit-message arrival order is task-completion order,
     // but manifest order should be partition order (see stageSegment)
-    val rel = messages.toSeq.collect {
-      case GraftTaskFile(Some(name)) => s"_data/${seg.getName}/$name"
-    }.sorted
+    val files = messages.toSeq.flatMap {
+      case GraftTaskFile(Some(name)) =>
+        Seq(s"_data/${seg.getName}/$name" -> -1)
+      case GraftBucketedTaskFiles(fs) => fs.map { case (name, b) =>
+        s"_data/${seg.getName}/$name" -> b }
+      case _ => Seq.empty
+    }.sortBy(_._1)
+    val rel = files.map(_._1)
     if (rel.isEmpty && !replace) return // empty append: nothing to commit
-    val entries =
+    val statsKey = clusterKey.orElse(bucketSpec.map(_._1))
+    val entries0 =
       if (rel.isEmpty) Seq.empty
       else SnapshotTable.statsEntries(spark, root, seg, rel,
-        clusterKey, bloomKey)
+        statsKey, bloomKey)
+    val bucketOf = files.toMap
+    val entries =
+      if (bucketSpec.isEmpty) entries0
+      else entries0.map(e => e.copy(extraStats = e.extraStats :+
+        ("__bucket", bucketOf(e.path).toString,
+          bucketOf(e.path).toString)))
     if (replace)
       SnapshotTable.replaceStaged(spark, root, seg, entries, schema)
     else
@@ -134,6 +191,65 @@ private[connector] class GraftBatchWrite(root: String,
     val spark = SparkSession.active
     SnapshotTable.fs(spark, root).delete(seg, true)
   }
+}
+
+private[connector] class GraftBucketedWriterFactory(segAbs: String,
+    schemaJson: String, bucketKeyIdx: Int, buckets: Int)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+  : DataWriter[InternalRow] =
+    new GraftBucketedAppendWriter(segAbs, schemaJson, bucketKeyIdx,
+      buckets, partitionId, taskId)
+}
+
+/** Bucketed append writer: rows split per bucket (`pmod(murmur3(key),
+  * n)` — must agree bit-for-bit with [[SnapshotTable.commitBucketed]]
+  * and the catalog's V2 bucket function), one lazy file per non-empty
+  * bucket per task. The clustered-by-bucket distribution upstream
+  * keeps the total file count bounded by the bucket count. NULL keys
+  * are refused — the bucket function has no bucket for them, and
+  * accepting one would silently break the layout the scan reports. */
+private[connector] class GraftBucketedAppendWriter(segAbs: String,
+    schemaJson: String, bucketKeyIdx: Int, buckets: Int,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val keyType = DataType.fromJson(schemaJson)
+    .asInstanceOf[StructType].fields(bucketKeyIdx).dataType
+
+  private val writers =
+    scala.collection.mutable.Map.empty[Int, GraftDataWriter]
+  private def w(bucket: Int): GraftDataWriter =
+    writers.getOrElseUpdate(bucket,
+      new GraftDataWriter(segAbs, schemaJson, partitionId,
+        taskId * 1024 + bucket + 1))
+
+  private def bucketFor(row: InternalRow): Int = {
+    require(!row.isNullAt(bucketKeyIdx),
+      "NULL bucket key in a bucketed append (the layout has no " +
+        "bucket for NULL)")
+    val v: Any = keyType match {
+      case IntegerType | DateType => row.getInt(bucketKeyIdx)
+      case LongType => row.getLong(bucketKeyIdx)
+      case StringType => row.getUTF8String(bucketKeyIdx)
+      case other => throw new UnsupportedOperationException(
+        s"bucketed append: unsupported key type $other")
+    }
+    val h = org.apache.spark.sql.catalyst.expressions
+      .Murmur3HashFunction.hash(v, keyType, 42L).toInt
+    ((h % buckets) + buckets) % buckets
+  }
+
+  override def write(row: InternalRow): Unit = w(bucketFor(row)).write(row)
+
+  override def commit(): WriterCommitMessage =
+    GraftBucketedTaskFiles(writers.toSeq.sortBy(_._1).flatMap {
+      case (b, dw) =>
+        dw.commit().asInstanceOf[GraftTaskFile].name.map(_ -> b)
+    })
+
+  override def abort(): Unit = writers.values.foreach(_.abort())
+
+  override def close(): Unit = writers.values.foreach(_.close())
 }
 
 private[connector] class GraftWriterFactory(segAbs: String,

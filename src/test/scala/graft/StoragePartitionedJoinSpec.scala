@@ -117,6 +117,42 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("SQL INSERT INTO a bucketed table lands inside the declared " +
+      "layout (bucket ids stamped, SPJ stays exchange-free through " +
+      "catalog ingest); NULL bucket keys are refused") {
+    val aRoot = s"$warehouse/db/ins_a"
+    val bRoot = s"$warehouse/db/ins_b"
+    SnapshotTable.commitBucketed(spark, aRoot,
+      (1 to 4000).map(i => (i.toLong % 997, i.toDouble)).toDF("k", "v"),
+      "k", 8)
+    SnapshotTable.commitBucketed(spark, bRoot,
+      (0 to 996).map(i => (i.toLong, s"d$i")).toDF("k", "name"),
+      "k", 8)
+    spark.sql(
+      "INSERT INTO graftspj.db.ins_a SELECT id % 997, id * 1.0 " +
+        "FROM range(4001, 6001)")
+    // every file of the ingest history carries a bucket id
+    val man = SnapshotTable.manifest(spark, aRoot,
+      SnapshotTable.currentVersion(spark, aRoot))
+    man.filter(_.kind == "d").foreach(e =>
+      assert(e.statsFor("__bucket").isDefined,
+        s"INSERT INTO landed ${e.path} outside the bucket layout"))
+    withSpj {
+      val j = spark.table("graftspj.db.ins_a")
+        .join(spark.table("graftspj.db.ins_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"catalog INSERT broke the bucket layout:\n${plan.take(2000)}")
+      assert(j.count() == 6000)
+    }
+    // NULL bucket key: refused, not silently mis-bucketed
+    val e = intercept[Exception](spark.sql(
+      "INSERT INTO graftspj.db.ins_a VALUES (CAST(NULL AS BIGINT), 1.0)"))
+    assert((e.getMessage +
+      Option(e.getCause).fold("")(_.getMessage)).contains("bucket"),
+      e.getMessage)
+  }
+
   test("merge-on-read SQL UPDATE on a bucketed table lands its delta " +
       "files INSIDE the bucket layout: SPJ stays exchange-free " +
       "through the MOR history, no compaction needed") {
