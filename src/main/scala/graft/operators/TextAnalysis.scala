@@ -750,6 +750,33 @@ object TextAnalysis {
     // table at any corpus size; the two histograms are one scan with
     // a conditional count. Scale: explode(ngrams) is the only fan-out
     // (O(tokens) rows), aggregated map-side into ≤B partials.
+    // Normalization-before-dedup (the CCNet preprocessing step:
+    // lowercase, strip punctuation, collapse whitespace — exact dedup
+    // then catches case/punctuation/spacing variants of the same
+    // text). The fixture corpus is already clean, so variant docs are
+    // GRAFTED in-plan (uppercased, padded, punctuated twins with
+    // offset ids — deterministic, no fixture edit): raw distinct
+    // counts see two of everything, normalized distinct counts
+    // collapse each pair back. Regexes held to the Java∩RE2 common
+    // subset so the DuckDB twin is the same computation. One
+    // narrow pass + one hash aggregate — scales like any exact dedup.
+    "docs_normalized_dedup" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select("doc_id", "text", "lang")
+        .filter(col("text").isNotNull)
+      val variants = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" !! ")).as("text"),
+        col("lang"))
+      val norm = d.unionByName(variants).withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")))
+      norm.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("raw_distinct"),
+        countDistinct(col("norm")).as("norm_distinct"))
+        .orderBy(asc("lang"))
+    }),
+
     // Deterministic seeded global shuffle + shard assignment — the
     // "shuffle the corpus once, split into N training shards,
     // reproducible forever" step every training pipeline runs before
@@ -1501,6 +1528,23 @@ object TextAnalysis {
          |      '$piiIpRe', '<IP>', 'g') AS red
          |  FROM (SELECT doc_id, lang, $piiAugSql AS aug FROM documents))
          |ORDER BY doc_id""".stripMargin,
+    "docs_normalized_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE text IS NOT NULL),
+        |all_docs AS (
+        |  SELECT doc_id, text, lang FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, '  ' || upper(text) || ' !! ', lang
+        |  FROM base),
+        |norm AS (SELECT lang, text,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+        |  FROM all_docs)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT text) AS raw_distinct,
+        |  count(DISTINCT n) AS norm_distinct
+        |FROM norm GROUP BY lang ORDER BY lang""".stripMargin,
     "docs_training_order" ->
       """WITH keyed AS (
         |  SELECT doc_id, n_chars,

@@ -2299,6 +2299,25 @@ object SnapshotTable {
     * gone. Expiry is the ONLY operation that can invalidate an
     * in-flight reader (one still scanning an expired file), which is
     * why retention is a policy knob and not automatic. */
+  /** AGE-based retention (Iceberg's `expire_snapshots(older_than)`):
+    * drop every version committed at or before `olderThanMs` (epoch
+    * millis, judged against the commit record's mtime — the same
+    * clock `versionAsOf` time-travels by, so "expire what I can no
+    * longer time-travel to" composes exactly). The current version
+    * and tagged versions always survive, count-based
+    * [[expireSnapshots]] mechanics otherwise. */
+  def expireSnapshotsOlderThan(spark: SparkSession, root: String,
+      olderThanMs: Long): Seq[Long] = {
+    val all = versions(spark, root)
+    if (all.isEmpty) return Seq.empty
+    val aged = all.dropRight(1) // current always survives
+      .filter(v => commitTime(spark, root, v) <= olderThanMs)
+    if (aged.isEmpty) return Seq.empty
+    // reuse the count-based machinery: keep everything NEWER than the
+    // oldest surviving version (tag protection applies inside)
+    expireSnapshots(spark, root, all.size - aged.size)
+  }
+
   def expireSnapshots(spark: SparkSession, root: String, keep: Int)
   : Seq[Long] = {
     require(keep >= 1, "must keep at least the current snapshot")

@@ -482,8 +482,8 @@ private[connector] object GraftProcedures {
   import org.apache.spark.sql.connector.read.{LocalScan, Scan}
   import org.apache.spark.sql.types._
 
-  val Names = Seq("compact", "expire_snapshots", "vacuum", "tag",
-    "drop_tag", "clone")
+  val Names = Seq("compact", "expire_snapshots",
+    "expire_older_than", "vacuum", "tag", "drop_tag", "clone")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
@@ -506,6 +506,16 @@ private[connector] object GraftProcedures {
         (spark, cat0, in) => {
           val gone = SnapshotTable.expireSnapshots(spark,
             cat0.resolveRoot(in.getString(0)), in.getInt(1))
+          Row(gone.size.toLong)
+        })
+      case "expire_older_than" => proc(cat, "expire_older_than",
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("older_than_ms", LongType).build()),
+        StructType(Seq(
+          StructField("expired_versions", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          val gone = SnapshotTable.expireSnapshotsOlderThan(spark,
+            cat0.resolveRoot(in.getString(0)), in.getLong(1))
           Row(gone.size.toLong)
         })
       case "vacuum" => proc(cat, "vacuum",

@@ -337,6 +337,30 @@ class GraftCatalogSpec extends SparkSpec {
       .get("graft.check.pos_k").contains("k > 0"))
   }
 
+  test("age-based expiry: versions committed at or before the cutoff " +
+      "expire (current + tagged survive), matching what versionAsOf " +
+      "can still time-travel to") {
+    spark.sql("CREATE TABLE graft.db.aged (k BIGINT)")          // v1
+    val root = s"$warehouse/db/aged"
+    spark.sql("INSERT INTO graft.db.aged VALUES (1)")           // v2
+    Thread.sleep(20)
+    spark.sql("INSERT INTO graft.db.aged VALUES (2)")           // v3
+    Thread.sleep(20)
+    spark.sql("INSERT INTO graft.db.aged VALUES (3)")           // v4
+    val cutoff = SnapshotTable.commitTime(spark, root, 2L)
+    val gone = spark.sql(
+      s"CALL graft.system.expire_older_than('db.aged', $cutoff)")
+      .head().getLong(0)
+    assert(gone == 2L, s"expected v1+v2 expired, got $gone")
+    assert(SnapshotTable.versions(spark, root) == Seq(3L, 4L))
+    assert(spark.table("graft.db.aged").count() == 3)
+    // a tagged old version survives any age cutoff
+    SnapshotTable.tag(spark, root, "keepme", 3L)
+    assert(SnapshotTable.expireSnapshotsOlderThan(spark, root,
+      System.currentTimeMillis() + 60000).isEmpty)
+    assert(SnapshotTable.versions(spark, root) == Seq(3L, 4L))
+  }
+
   test("column DEFAULTs: INSERT fills omitted columns, DEFAULT " +
       "keyword works, ALTER COLUMN SET/DROP DEFAULT manages it, and " +
       "ADD COLUMN with DEFAULT is refused (old rows would lie)") {
