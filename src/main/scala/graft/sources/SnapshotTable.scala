@@ -534,7 +534,8 @@ object SnapshotTable {
     * On abort the claim, manifest and segment are cleaned up so later
     * committers skip the version. */
   private def publish(f: FileSystem, root: String, v: Long,
-      entries: Seq[FileEntry], segs: Seq[Path]): Unit = {
+      entries: Seq[FileEntry], segs: Seq[Path],
+      op: String = "commit"): Unit = {
     def abort(reason: String): Nothing = {
       f.delete(new Path(manifestsDir(root), v.toString), false)
       f.delete(new Path(commitsDir(root), s"$v.claim"), false)
@@ -545,8 +546,32 @@ object SnapshotTable {
       abort(s"claim $v was vacuumed mid-commit")
     if (!entries.forall(e => f.exists(new Path(root, e.path))))
       abort(s"a data file of version $v was vacuumed mid-commit")
-    require(atomicCreate(f, new Path(commitsDir(root), v.toString)),
+    val record = new Path(commitsDir(root), v.toString)
+    require(atomicCreate(f, record),
       s"commit record $v already exists — claim protocol violated")
+    // the record's EXISTENCE is the commit; its content is advisory
+    // operation metadata (what kind of commit this was, for
+    // t.history / operational forensics). Written by the record's
+    // creator only; a reader racing the write sees "" and reports
+    // the unknown marker — never wrong data.
+    try {
+      val out = f.create(record, true)
+      try out.write(op.getBytes("UTF-8")) finally out.close()
+    } catch { case _: java.io.IOException => () } // advisory only
+  }
+
+  /** The advisory operation kind recorded at commit (`publish`), or
+    * "-" for records that predate the field or lost the advisory
+    * write. */
+  def commitOperation(spark: SparkSession, root: String,
+      v: Long): String = {
+    val f = fs(spark, root)
+    try {
+      val in = f.open(new Path(commitsDir(root), v.toString))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      if (text.isEmpty) "-" else text
+    } catch { case _: java.io.IOException => "-" }
   }
 
   /** Commit `df` as the next snapshot, REPLACING the table contents
@@ -579,7 +604,7 @@ object SnapshotTable {
       if (tryClaim(f, root, next)) {
         val stamped = entries.map(_.copy(seq = next))
         writeManifest(f, root, next, stamped, schema)
-        publish(f, root, next, stamped, Seq(seg))
+        publish(f, root, next, stamped, Seq(seg), op = "replace")
         spark.catalog.refreshByPath(root)
         return next
       }
@@ -645,7 +670,7 @@ object SnapshotTable {
         val stamped = all.map(e =>
           if (e.seq == 0L) e.copy(seq = target) else e)
         writeManifest(f, root, target, stamped, schema)
-        publish(f, root, target, stamped, Seq(seg))
+        publish(f, root, target, stamped, Seq(seg), op = "append")
         spark.catalog.refreshByPath(root)
         return target
       }
@@ -722,7 +747,7 @@ object SnapshotTable {
         val stamped = (carried ++ entries).map(e =>
           if (e.seq == 0L) e.copy(seq = target) else e)
         writeManifest(f, root, target, stamped, schema)
-        publish(f, root, target, stamped, Seq(seg))
+        publish(f, root, target, stamped, Seq(seg), op = "rewrite")
         spark.catalog.refreshByPath(root)
         return target
       }
@@ -775,7 +800,7 @@ object SnapshotTable {
         val stamped = all.map(e =>
           if (e.seq == 0L) e.copy(seq = target) else e)
         writeManifest(f, root, target, stamped, schema)
-        publish(f, root, target, stamped, segs)
+        publish(f, root, target, stamped, segs, op = "delta")
         spark.catalog.refreshByPath(root)
         return target
       }
@@ -1046,7 +1071,7 @@ object SnapshotTable {
       throw CommitConflict(s"concurrent create at $root")
     writeManifest(f, root, 1L, Seq.empty,
       StructType(schema.fields.map(_.copy(nullable = true))))
-    publish(f, root, 1L, Seq.empty, Seq.empty)
+    publish(f, root, 1L, Seq.empty, Seq.empty, op = "create")
     spark.catalog.refreshByPath(root)
     1L
   }
@@ -1100,7 +1125,7 @@ object SnapshotTable {
       throw CommitConflict(s"concurrent create at $dstRoot")
     writeManifest(f, dstRoot, v, abs,
       StructType(schema.fields.map(_.copy(nullable = true))))
-    publish(f, dstRoot, v, abs, Seq.empty)
+    publish(f, dstRoot, v, abs, Seq.empty, op = "clone")
     val props = tableProperties(spark, srcRoot)
     if (props.nonEmpty) setProperties(spark, dstRoot, props)
     spark.catalog.refreshByPath(dstRoot)
@@ -1128,7 +1153,7 @@ object SnapshotTable {
       val target = cur + 1
       if (maxLogVersion(f, root) < target && tryClaim(f, root, target)) {
         writeManifest(f, root, target, entries, evolved)
-        publish(f, root, target, entries, Seq.empty)
+        publish(f, root, target, entries, Seq.empty, op = "add-columns")
         spark.catalog.refreshByPath(root)
         return target
       }
@@ -1260,7 +1285,7 @@ object SnapshotTable {
           stageSegment(spark, root, updates, Some(key), files)
         try {
           return commitExpectingEntries(spark, root, seg, entries,
-            expectedCurrent = 0L, schema = updates.schema)
+            expectedCurrent = 0L, schema = updates.schema, op = "merge")
         } catch {
           case _: CommitConflict if attempt < maxRetries => attempt += 1
         }
@@ -1301,7 +1326,7 @@ object SnapshotTable {
         try {
           return commitExpectingEntries(spark, root, seg,
             carried ++ newEntries, expectedCurrent = cur,
-            schema = schema)
+            schema = schema, op = "merge")
         } catch {
           case _: CommitConflict if attempt < maxRetries => attempt += 1
           // table moved on: re-derive against the new current version
@@ -1333,7 +1358,7 @@ object SnapshotTable {
           stageSegment(spark, root, updates, Some(key), files)
         try {
           return commitExpectingEntries(spark, root, seg, entries,
-            expectedCurrent = 0L, schema = updates.schema)
+            expectedCurrent = 0L, schema = updates.schema, op = "merge")
         } catch {
           case _: CommitConflict if attempt < maxRetries => attempt += 1
         }
@@ -1363,7 +1388,7 @@ object SnapshotTable {
           }
         try {
           return commitExpectingSegs(spark, root, segs, entries,
-            expectedCurrent = cur, schema = schema)
+            expectedCurrent = cur, schema = schema, op = "merge")
         } catch {
           case _: CommitConflict if attempt < maxRetries => attempt += 1
         }
@@ -1393,7 +1418,7 @@ object SnapshotTable {
           prior ++ tombEntries.map(_.copy(kind = "t")),
           expectedCurrent = cur,
           schema = priorSchema.getOrElse(
-            readVersion(spark, root, cur).schema))
+            readVersion(spark, root, cur).schema), op = "delete")
       } catch {
         case e: CommitConflict =>
           if (attempt >= maxRetries) throw e
@@ -1709,7 +1734,8 @@ object SnapshotTable {
         else carriedData ++ tombs
       try {
         val v = commitExpectingSegs(spark, root, segs,
-          carried ++ newEntries, expectedCurrent = cur, schema = schema)
+          carried ++ newEntries, expectedCurrent = cur, schema = schema,
+          op = "delete")
         return DeleteStats(v, dropped.size.toLong,
           rewriteSet.size.toLong, carriedData.size.toLong,
           unknown.size.toLong)
@@ -1777,7 +1803,7 @@ object SnapshotTable {
           inherited)
     }
     val newV = commitExpectingEntries(spark, root, seg, newEntries,
-      expectedCurrent = v, schema = snapshot.schema)
+      expectedCurrent = v, schema = snapshot.schema, op = "compact")
     (entries.size.toLong, newEntries.size.toLong, newV)
   }
 
@@ -1791,13 +1817,14 @@ object SnapshotTable {
     * (merge / deleteWhere / compact / incremental view refresh). */
   private def commitExpectingEntries(spark: SparkSession, root: String,
       seg: Path, entries: Seq[FileEntry], expectedCurrent: Long,
-      schema: StructType): Long =
+      schema: StructType, op: String = "derive"): Long =
     commitExpectingSegs(spark, root, Seq(seg), entries, expectedCurrent,
-      schema)
+      schema, op)
 
   private def commitExpectingSegs(spark: SparkSession, root: String,
       segs: Seq[Path], entries: Seq[FileEntry],
-      expectedCurrent: Long, schema: StructType): Long = {
+      expectedCurrent: Long, schema: StructType,
+      op: String = "derive"): Long = {
     val f = fs(spark, root)
     val target = expectedCurrent + 1
     if (maxLogVersion(f, root) >= target || !tryClaim(f, root, target)) {
@@ -1810,7 +1837,7 @@ object SnapshotTable {
     val stamped = entries.map(e =>
       if (e.seq == 0L) e.copy(seq = target) else e)
     writeManifest(f, root, target, stamped, schema)
-    publish(f, root, target, stamped, segs)
+    publish(f, root, target, stamped, segs, op)
     spark.catalog.refreshByPath(root)
     target
   }
@@ -1827,7 +1854,7 @@ object SnapshotTable {
     val (seg, entries) = stageSegment(spark, root, df, clusterKey,
       if (clusterKey.isDefined) files else 0, bloomFor(df, inherited))
     commitExpectingEntries(spark, root, seg, entries, expectedCurrent,
-      schema = df.schema)
+      schema = df.schema, op = "refresh")
   }
 
   /** Incremental read: the row-level delta between two committed
@@ -1955,7 +1982,8 @@ object SnapshotTable {
     val f = fs(spark, root)
     val vs = versions(spark, root)
     val rows = vs.foldLeft(
-      (Seq.empty[(Long, Long, Long, Long, Long)], Set.empty[String])) {
+      (Seq.empty[(Long, String, Long, Long, Long, Long)],
+        Set.empty[String])) {
       case ((acc, prevPaths), v) =>
         val es = readManifest(spark, root, v)
         val bytes = es.map(e =>
@@ -1963,11 +1991,11 @@ object SnapshotTable {
           catch { case _: java.io.IOException => 0L }).sum
         val paths = es.map(_.path).toSet
         val shared = (paths & prevPaths).size.toLong
-        (acc :+ ((v, es.size.toLong, bytes, shared,
-          (paths.size - shared))), paths)
+        (acc :+ ((v, commitOperation(spark, root, v), es.size.toLong,
+          bytes, shared, (paths.size - shared))), paths)
     }._1
-    rows.toDF("version", "n_files", "bytes", "shared_files",
-      "added_files")
+    rows.toDF("version", "operation", "n_files", "bytes",
+      "shared_files", "added_files")
   }
 
   /** Time travel: read snapshot `v` as of its commit. */

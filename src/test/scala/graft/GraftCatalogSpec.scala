@@ -337,6 +337,26 @@ class GraftCatalogSpec extends SparkSpec {
       .get("graft.check.pos_k").contains("k > 0"))
   }
 
+  test("commit operation metadata: t.history reports what KIND of " +
+      "commit each version was (create/append/rewrite/delta/compact/" +
+      "add-columns), recorded atomically by the record's creator") {
+    spark.sql(
+      """CREATE TABLE graft.db.ops (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('write.merge.key'='k')""".stripMargin)  // v1
+    val root = s"$warehouse/db/ops"
+    spark.sql("INSERT INTO graft.db.ops VALUES (1, 1.0), (2, 2.0)") // v2
+    spark.sql("UPDATE graft.db.ops SET v = -1.0 WHERE k % 2 = 1")   // v3
+    SnapshotTable.mergeOnRead(spark, root,
+      Seq((2L, 9.0)).toDF("k", "v"), "k")                           // v4
+    SnapshotTable.compact(spark, root)                              // v5
+    spark.sql("ALTER TABLE graft.db.ops ADD COLUMNS (w DOUBLE)")    // v6
+    val ops = spark.sql(
+      "SELECT version, operation FROM graft.db.ops.history")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops == Map(1L -> "create", 2L -> "append", 3L -> "rewrite",
+      4L -> "merge", 5L -> "compact", 6L -> "add-columns"), ops)
+  }
+
   test("age-based expiry: versions committed at or before the cutoff " +
       "expire (current + tagged survive), matching what versionAsOf " +
       "can still time-travel to") {
