@@ -479,6 +479,47 @@ class GraftCatalogSpec extends SparkSpec {
       "source expiry reaped the clone-pinned version")
   }
 
+  test("clone of a clone: already-absolute entries carry verbatim, " +
+      "all three tables read independently, and the middle table's " +
+      "retention cannot strand the grandchild (auto-tag chain)") {
+    spark.sql("CREATE TABLE graft.db.cc_a (k BIGINT)")
+    val (aRoot, bRoot, cRoot) = (s"$warehouse/db/cc_a",
+      s"$warehouse/db/cc_b", s"$warehouse/db/cc_c")
+    spark.sql("INSERT INTO graft.db.cc_a VALUES (1), (2), (3)") // a:v2
+    spark.sql("CALL graft.system.clone('db.cc_a', 'db.cc_b', 0)")
+    spark.sql("INSERT INTO graft.db.cc_b VALUES (4)")           // b:v3
+    spark.sql("CALL graft.system.clone('db.cc_b', 'db.cc_c', 0)")
+    // grandchild = child at clone time; all reads independent
+    assert(spark.table("graft.db.cc_c").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    spark.sql("INSERT INTO graft.db.cc_c VALUES (5)")
+    assert(spark.table("graft.db.cc_c").count() == 5)
+    assert(spark.table("graft.db.cc_b").count() == 4)
+    assert(spark.table("graft.db.cc_a").count() == 3)
+    // c's manifest holds ONLY absolute foreign refs + its own file;
+    // the a-file refs carried VERBATIM (not re-prefixed through b)
+    val cm = SnapshotTable.manifest(spark, cRoot,
+      SnapshotTable.currentVersion(spark, cRoot))
+    val aAbs = cm.map(_.path).filter(_.startsWith("/"))
+      .filter(_.contains("/cc_a/"))
+    assert(aAbs.nonEmpty, "a-paths must carry verbatim through b")
+    assert(!aAbs.exists(_.contains("/cc_b/")),
+      "a clone-of-a-clone must not nest prefixes")
+    // b's own expiry (after localizing) leaves c readable: the b
+    // version c cloned is auto-tagged on b, so it survives
+    spark.sql("CALL graft.system.compact('db.cc_b')")
+    spark.sql("CALL graft.system.expire_snapshots('db.cc_b', 1)")
+    assert(spark.table("graft.db.cc_c").count() == 5,
+      "b's retention deleted files c references")
+    // tag chain: a pinned by b's clone, b pinned by c's clone
+    assert(SnapshotTable.tags(spark, aRoot)
+      .keys.exists(_.startsWith("clone-")))
+    assert(SnapshotTable.tags(spark, bRoot)
+      .keys.exists(_.startsWith("clone-")))
+    // dropTag of an unknown name reports false, deletes nothing
+    assert(!SnapshotTable.dropTag(spark, aRoot, "no-such-tag"))
+  }
+
   test("changelog tables: t.changes reads exactly the rows a commit " +
       "added (O(delta) files, not the table), t.delete_keys its " +
       "tombstoned keys, and a non-accretive commit is refused") {
