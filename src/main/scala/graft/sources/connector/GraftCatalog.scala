@@ -854,6 +854,14 @@ private[connector] class GraftChangesTable(fullName: String,
   locally {
     require(v >= 1L, s"no committed version at $root")
     if (v > 1L) {
+      // the check needs the predecessor's manifest; a retention-gapped
+      // history (v survives, v-1 expired) cannot be verified, so it
+      // refuses with the remedy rather than failing on a raw read
+      require(SnapshotTable.versions(spark, root).contains(v - 1L),
+        s"version ${v - 1} at $root has been expired — cannot verify " +
+          s"commit $v is accretive; read the pinned snapshot itself " +
+          "(VERSION AS OF) or use SnapshotTable.diff against a " +
+          "surviving version")
       val prev = SnapshotTable.manifest(spark, root, v - 1)
         .map(_.path).toSet
       val removed = prev --
