@@ -219,8 +219,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** SQL `TIMESTAMP AS OF <ts>` — Spark hands MICROS since epoch;
-    * resolve to the newest version committed at or before it. */
+    * resolve to the newest version committed at or before it. Also
+    * resolves the metadata tables at that instant, mirroring
+    * `VERSION AS OF`. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!isTable(rootOf(ident))) {
+      val kind = ident.name().toLowerCase
+      if ((GraftMetadataTable.Kinds.contains(kind) ||
+          GraftChangesTable.Kinds.contains(kind)) &&
+        ident.namespace().nonEmpty) {
+        val parentRoot = (warehouse +:
+          ident.namespace().toSeq.map(safe)).mkString("/")
+        if (isTable(parentRoot)) {
+          val v = SnapshotTable.versionAsOf(spark, parentRoot,
+            timestamp / 1000L)
+          metadataOf(ident, Some(v)).foreach(t => return t)
+        }
+      }
+    }
     val root = rootOf(ident)
     val v = SnapshotTable.versionAsOf(spark, root, timestamp / 1000L)
     new GraftSnapshotTable(root, v,

@@ -219,6 +219,7 @@ class GraftCatalogSpec extends SparkSpec {
     SnapshotTable.append(spark, root,
       (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("k", "v"),
       clusterKey = Some("k"), files = 2)                       // v2
+    Thread.sleep(20) // distinct commit mtimes for the TIMESTAMP pin
     spark.sql("INSERT INTO graft.db.metav VALUES (101, 101.0)") // v3
 
     // v2's manifest: exactly the 2 clustered files, 100 rows
@@ -235,6 +236,13 @@ class GraftCatalogSpec extends SparkSpec {
       "SELECT version FROM graft.db.metav.history VERSION AS OF 2")
       .collect().map(_.getLong(0)).toSeq.sorted
     assert(histV2 == Seq(1L, 2L))
+    // TIMESTAMP AS OF resolves metadata tables too: pinned at v2's
+    // commit instant, files lists v2's manifest
+    val t2 = SnapshotTable.commitTime(spark, root, 2L)
+    val tsLit = new java.sql.Timestamp(t2).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.db.metav.files " +
+        s"TIMESTAMP AS OF '$tsLit'").head().getLong(0) == 2L)
     // an uncommitted pin is refused
     val badPin = intercept[Exception](spark.sql(
       "SELECT * FROM graft.db.metav.files VERSION AS OF 99").collect())
