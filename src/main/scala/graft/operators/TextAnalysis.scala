@@ -528,7 +528,12 @@ object TextAnalysis {
         .selectExpr("doc_id", "CAST(p AS BIGINT) AS p",
           s"concat_ws(' ', slice(t, p, $L)) AS w")
       val sorted = suf
-        .repartitionByRange(32, col("w"), col("doc_id"), col("p"))
+        // Width scales with the cluster, not a constant: a fixed 32
+        // funnels the whole corpus's suffix rows through 32 tasks at
+        // 100×. Pair enumeration below is partition-invariant, so the
+        // width only affects parallelism, never results.
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("w"), col("doc_id"), col("p"))
         .sortWithinPartitions("w", "doc_id", "p")
         .select(col("doc_id"), col("p"), col("w"))
         .as[(Long, Long, String)]

@@ -57,20 +57,39 @@ object EventPipeline {
     StructField("created_at", StringType, nullable = true),
     StructField("processed_at", StringType, nullable = true)))
 
-  /** Event-type → category mapping — reference's EVENT_TYPE_CATEGORIES
-    * (`services/streaming-service/schema.py:100-116`) as a when-chain
-    * (P6), default "other". */
-  def categorizeGithub(c: Column): Column =
-    when(c.isin("PushEvent", "CommitCommentEvent"), "code")
-      .when(c.isin("PullRequestEvent", "PullRequestReviewEvent",
-        "PullRequestReviewCommentEvent"), "pull_request")
-      .when(c.isin("IssuesEvent", "IssueCommentEvent"), "issue")
-      .when(c.isin("CreateEvent", "DeleteEvent"), "branch_tag")
-      .when(c.isin("ForkEvent", "WatchEvent", "StarEvent"), "social")
-      .when(c.isin("ReleaseEvent", "PublicEvent"), "release")
-      .when(c.isin("MemberEvent", "TeamAddEvent"), "membership")
-      .when(c === "GollumEvent", "wiki")
+  /** Event-type → category mapping — literal transcription of the
+    * reference's EVENT_TYPE_CATEGORIES dict
+    * (`services/streaming-service/schema.py:99-116`): 15 event types
+    * into 6 categories, anything unmapped → "other" (P6). Kept as data
+    * (not a hand-rolled when-chain) so the spec can table-drive every
+    * entry against the same source of truth. */
+  val EventTypeCategories: Seq[(String, String)] = Seq(
+    "PushEvent" -> "code",
+    "PullRequestEvent" -> "code",
+    "IssuesEvent" -> "issues",
+    "IssueCommentEvent" -> "issues",
+    "WatchEvent" -> "social",
+    "ForkEvent" -> "social",
+    "CreateEvent" -> "repository",
+    "DeleteEvent" -> "repository",
+    "PublicEvent" -> "repository",
+    "ReleaseEvent" -> "releases",
+    "MemberEvent" -> "collaboration",
+    "TeamEvent" -> "collaboration",
+    "CommitCommentEvent" -> "code",
+    "PullRequestReviewEvent" -> "code",
+    "PullRequestReviewCommentEvent" -> "code")
+
+  def categorizeGithub(c: Column): Column = {
+    val byCategory = EventTypeCategories.groupBy(_._2).toSeq.sortBy(_._1)
+    byCategory
+      .foldLeft(Option.empty[Column]) { case (acc, (cat, entries)) =>
+        val cond = c.isin(entries.map(_._1): _*)
+        Some(acc.fold(when(cond, cat))(_.when(cond, cat)))
+      }
+      .get
       .otherwise("other")
+  }
 
   /** P1: parse raw JSON (Kafka value / stream line) against the declared
     * schema; unparseable rows are dropped (`event_processor.py:33-36`). */

@@ -60,6 +60,47 @@ class EventPipelineSpec extends SparkSpec {
     assert(flat.collect()(0).getAs[String]("event_category") == "other")
   }
 
+  test("categorizeGithub implements the reference EVENT_TYPE_CATEGORIES " +
+      "dict verbatim — all 15 entries, 6 categories (P6)") {
+    // Independent transcription of schema.py:99-116; must not be derived
+    // from EventPipeline.EventTypeCategories or the test proves nothing.
+    val referenceDict = Map(
+      "PushEvent" -> "code",
+      "PullRequestEvent" -> "code",
+      "IssuesEvent" -> "issues",
+      "IssueCommentEvent" -> "issues",
+      "WatchEvent" -> "social",
+      "ForkEvent" -> "social",
+      "CreateEvent" -> "repository",
+      "DeleteEvent" -> "repository",
+      "PublicEvent" -> "repository",
+      "ReleaseEvent" -> "releases",
+      "MemberEvent" -> "collaboration",
+      "TeamEvent" -> "collaboration",
+      "CommitCommentEvent" -> "code",
+      "PullRequestReviewEvent" -> "code",
+      "PullRequestReviewCommentEvent" -> "code")
+    assert(referenceDict.size == 15)
+    assert(referenceDict.values.toSet ==
+      Set("code", "issues", "social", "repository", "releases",
+        "collaboration"))
+    // The exported mapping matches entry-for-entry (no extras, no misses).
+    assert(EventPipeline.EventTypeCategories.toMap == referenceDict)
+    assert(EventPipeline.EventTypeCategories.size == 15)
+    // And the Column function agrees for every entry, plus types the
+    // reference does NOT map (incl. ones earlier rounds wrongly invented
+    // categories for) fall through to "other".
+    val probes = referenceDict.keys.toSeq ++
+      Seq("TeamAddEvent", "StarEvent", "GollumEvent", "MysteryEvent")
+    val got = probes.toDF("t")
+      .select(col("t"), EventPipeline.categorizeGithub(col("t")).as("c"))
+      .as[(String, String)].collect().toMap
+    probes.foreach { t =>
+      assert(got(t) == referenceDict.getOrElse(t, "other"),
+        s"$t -> ${got(t)}")
+    }
+  }
+
   test("null actor yields null actor cols and false flag (P8)") {
     val flat = EventPipeline.pipeline(
       Seq(ev("1", actor = "null")).toDF("value"))
@@ -203,7 +244,7 @@ class EventPipelineSpec extends SparkSpec {
     implicit val sc = spark.sqlContext
     val dim = Seq(
       ("code", "eng-platform"),
-      ("issue", "eng-support")).toDF("event_category", "owner")
+      ("issues", "eng-support")).toDF("event_category", "owner")
     val stream = MemoryStream[String]
     val enriched = EventPipeline.enriched(
       EventPipeline.pipeline(stream.toDF()), dim)
@@ -212,7 +253,7 @@ class EventPipelineSpec extends SparkSpec {
     try {
       stream.addData(
         ev("e1"), // PushEvent -> code -> eng-platform
-        ev("e2", typ = "IssuesEvent"), // issue -> eng-support
+        ev("e2", typ = "IssuesEvent"), // issues -> eng-support
         ev("e3", typ = "MysteryEvent")) // other -> no dim row
       q.processAllAvailable()
       val rows = spark.table("sink_enrich")
