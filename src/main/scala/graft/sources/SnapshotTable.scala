@@ -539,6 +539,7 @@ object SnapshotTable {
     def abort(reason: String): Nothing = {
       f.delete(new Path(manifestsDir(root), v.toString), false)
       f.delete(new Path(commitsDir(root), s"$v.claim"), false)
+      f.delete(new Path(commitsDir(root), s"$v.op"), false)
       segs.foreach(f.delete(_, true))
       throw CommitConflict(s"$reason at $root — aborting version $v")
     }
@@ -546,32 +547,40 @@ object SnapshotTable {
       abort(s"claim $v was vacuumed mid-commit")
     if (!entries.forall(e => f.exists(new Path(root, e.path))))
       abort(s"a data file of version $v was vacuumed mid-commit")
+    // advisory operation metadata (what kind of commit this was, for
+    // t.history / operational forensics) lives in a SIBLING file
+    // written BEFORE the commit becomes visible: the record itself is
+    // never rewritten after atomicCreate, so (a) stores whose
+    // overwrite-create is delete-then-create can't make a just-
+    // committed version transiently invisible to versions(), and
+    // (b) the record's mtime — the clock commitTime/expire-older-than
+    // key off — is set once and never reset.
+    try {
+      val out = f.create(new Path(commitsDir(root), s"$v.op"), true)
+      try out.write(op.getBytes("UTF-8")) finally out.close()
+    } catch { case _: java.io.IOException => () } // advisory only
     val record = new Path(commitsDir(root), v.toString)
     require(atomicCreate(f, record),
       s"commit record $v already exists — claim protocol violated")
-    // the record's EXISTENCE is the commit; its content is advisory
-    // operation metadata (what kind of commit this was, for
-    // t.history / operational forensics). Written by the record's
-    // creator only; a reader racing the write sees "" and reports
-    // the unknown marker — never wrong data.
-    try {
-      val out = f.create(record, true)
-      try out.write(op.getBytes("UTF-8")) finally out.close()
-    } catch { case _: java.io.IOException => () } // advisory only
   }
 
   /** The advisory operation kind recorded at commit (`publish`), or
     * "-" for records that predate the field or lost the advisory
-    * write. */
+    * write. Reads the `N.op` sibling; falls back to the record's own
+    * content for tables written before the sibling scheme. */
   def commitOperation(spark: SparkSession, root: String,
       v: Long): String = {
     val f = fs(spark, root)
-    try {
-      val in = f.open(new Path(commitsDir(root), v.toString))
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim finally in.close()
-      if (text.isEmpty) "-" else text
-    } catch { case _: java.io.IOException => "-" }
+    def readText(p: Path): Option[String] =
+      try {
+        val in = f.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        Some(text).filter(_.nonEmpty)
+      } catch { case _: java.io.IOException => None }
+    readText(new Path(commitsDir(root), s"$v.op"))
+      .orElse(readText(new Path(commitsDir(root), v.toString)))
+      .getOrElse("-")
   }
 
   /** Commit `df` as the next snapshot, REPLACING the table contents
@@ -1115,17 +1124,57 @@ object SnapshotTable {
     val abs = entries.map(e =>
       if (e.path.startsWith("/")) e // clone of a clone: already shared
       else e.copy(path = s"$srcBase/${e.path}"))
-    // pin the shared files against source retention BEFORE publishing
-    // a reader of them
+    // Pin the shared files against source retention BEFORE publishing
+    // a reader of them — and pin EVERY distinct root the carried
+    // absolute paths resolve to, not just the immediate source: a
+    // clone-of-a-clone carries the ORIGINAL table's files verbatim,
+    // and if only the intermediate held the original's pin, dropping
+    // the intermediate (the documented explicit release) would let
+    // the original's retention delete files this clone still reads.
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(dstRoot.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(10)
-    tag(spark, srcRoot, s"clone-$fp", v)
-    if (!tryClaim(f, dstRoot, v))
-      throw CommitConflict(s"concurrent create at $dstRoot")
-    writeManifest(f, dstRoot, v, abs,
-      StructType(schema.fields.map(_.copy(nullable = true))))
-    publish(f, dstRoot, v, abs, Seq.empty, op = "clone")
+    val tagName = s"clone-$fp"
+    def rootOf(p: String): String = {
+      val i = p.indexOf("/_data/")
+      require(i > 0, s"carried absolute path without a _data segment: $p")
+      p.substring(0, i)
+    }
+    val byRoot = abs.map(_.path).filter(_.startsWith("/")).groupBy(rootOf)
+    // For each pinned root, the version to tag: the clone source pins
+    // the cloned version itself; a grandparent root pins the newest
+    // committed version whose manifest still covers every carried file
+    // (the chain's own pins guarantee one exists while it is intact).
+    val pinPlan: Seq[(String, Long)] = byRoot.toSeq.sortBy(_._1).map {
+      case (r, _) if r == srcBase => (srcRoot, v)
+      case (r, paths) =>
+        val needed = paths.map(_.stripPrefix(s"$r/")).toSet
+        val cover = versions(spark, r).reverse.find { ver =>
+          val listed = readManifest(spark, r, ver).map(_.path).toSet
+          needed.subsetOf(listed)
+        }.getOrElse(throw new IllegalStateException(
+          s"clone source chain broken: no committed version of $r " +
+            s"covers the ${needed.size} carried files — the " +
+            s"intermediate's pin was released before re-cloning"))
+        (r, cover)
+    }
+    // apply pins, remembering prior state so an aborted clone leaves
+    // no permanent retention pin (and restores a shadowed tag)
+    val priorTags = pinPlan.map { case (r, _) =>
+      r -> tags(spark, r).get(tagName)
+    }
+    pinPlan.foreach { case (r, ver) => tag(spark, r, tagName, ver) }
+    def releasePins(): Unit = priorTags.foreach {
+      case (r, Some(prev)) => tag(spark, r, tagName, prev)
+      case (r, None) => dropTag(spark, r, tagName)
+    }
+    try {
+      if (!tryClaim(f, dstRoot, v))
+        throw CommitConflict(s"concurrent create at $dstRoot")
+      writeManifest(f, dstRoot, v, abs,
+        StructType(schema.fields.map(_.copy(nullable = true))))
+      publish(f, dstRoot, v, abs, Seq.empty, op = "clone")
+    } catch { case e: Throwable => releasePins(); throw e }
     val props = tableProperties(spark, srcRoot)
     if (props.nonEmpty) setProperties(spark, dstRoot, props)
     spark.catalog.refreshByPath(dstRoot)
@@ -2338,24 +2387,35 @@ object SnapshotTable {
       olderThanMs: Long): Seq[Long] = {
     val all = versions(spark, root)
     if (all.isEmpty) return Seq.empty
+    // the mtime-filtered set is passed EXPLICITLY, not converted to a
+    // keep-count: commit-record mtimes need not be monotone in version
+    // number (cross-writer clock skew, backdated mtimes), and a count
+    // would expire the oldest versions instead of the aged ones —
+    // breaking "expire exactly what versionAsOf can no longer reach"
     val aged = all.dropRight(1) // current always survives
       .filter(v => commitTime(spark, root, v) <= olderThanMs)
-    if (aged.isEmpty) return Seq.empty
-    // reuse the count-based machinery: keep everything NEWER than the
-    // oldest surviving version (tag protection applies inside)
-    expireSnapshots(spark, root, all.size - aged.size)
+    expireVersionSet(spark, root, aged)
   }
 
   def expireSnapshots(spark: SparkSession, root: String, keep: Int)
   : Seq[Long] = {
     require(keep >= 1, "must keep at least the current snapshot")
+    val all = versions(spark, root)
+    expireVersionSet(spark, root, all.dropRight(keep))
+  }
+
+  /** Shared expiry machinery over an EXPLICIT candidate set (already
+    * guaranteed to exclude the current version by both callers). Tag
+    * pins and file reference-counting applied here, once. */
+  private def expireVersionSet(spark: SparkSession, root: String,
+      candidates: Seq[Long]): Seq[Long] = {
     val f = fs(spark, root)
     val all = versions(spark, root)
     // a tagged version is pinned by name — retention never reaps it,
     // so `VERSION AS OF '<tag>'` keeps resolving (the reproducibility
     // contract tags exist for). Drop the tag to release the snapshot.
     val tagged = tags(spark, root).values.toSet
-    val doomed = all.dropRight(keep).filterNot(tagged)
+    val doomed = candidates.filterNot(tagged)
     if (doomed.isEmpty) return doomed
     val surviving = all.filterNot(doomed.contains)
     val kept = surviving.flatMap(readManifest(spark, root, _))
@@ -2364,6 +2424,7 @@ object SnapshotTable {
       val mine = readManifest(spark, root, v).map(_.path)
       f.delete(new Path(commitsDir(root), v.toString), false)
       f.delete(new Path(commitsDir(root), s"$v.claim"), false)
+      f.delete(new Path(commitsDir(root), s"$v.op"), false)
       f.delete(new Path(manifestsDir(root), v.toString), false)
       // absolute paths are FOREIGN files shared from a clone source —
       // this table's retention never deletes another table's data
@@ -2435,6 +2496,14 @@ object SnapshotTable {
       if (n.endsWith(".claim") &&
         n.stripSuffix(".claim").forall(_.isDigit) && oldEnough(p) &&
         !committedNow()(n.stripSuffix(".claim").toLong)) {
+        f.delete(p, false)
+        removed += p.toString
+      }
+      // orphan advisory op siblings (crashed between .op write and
+      // commit-record create, or record expired out of band)
+      if (n.endsWith(".op") &&
+        n.stripSuffix(".op").forall(_.isDigit) && oldEnough(p) &&
+        !committedNow()(n.stripSuffix(".op").toLong)) {
         f.delete(p, false)
         removed += p.toString
       }

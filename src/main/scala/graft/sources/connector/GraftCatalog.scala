@@ -768,6 +768,13 @@ private[connector] object GraftDefaults {
     require(lit != null && supported(lit.dataType()),
       s"graft DEFAULT supports int/long/float/double/boolean/string " +
         s"literals; column '$col' declares: $d")
+    // DEFAULT NULL is indistinguishable from "no default" at read/write
+    // time but would store the STRING "null" (String.valueOf(null)) and
+    // brick decode for numeric columns. Refuse it up front.
+    require(lit.value() != null,
+      s"graft DEFAULT NULL on '$col' is not supported — a nullable " +
+        s"column already fills NULL when omitted; use DROP DEFAULT to " +
+        s"clear an existing default")
     val sql = Option(d.getSql).getOrElse(String.valueOf(lit.value()))
     Map(s"graft.default.$col" -> sql,
       s"graft.defaultlit.$col" ->
@@ -794,6 +801,13 @@ private[connector] object GraftDefaults {
         s"graft DEFAULT for '$col' must be a foldable literal " +
           s"castable to ${colDt.simpleString}, got: $sql")
     }
+    // SET DEFAULT NULL (or any literal that casts to null) would store
+    // the string "null" and poison every subsequent loadTable for
+    // numeric columns. Refuse with the remedy.
+    if (lit == null) throw new IllegalArgumentException(
+      s"graft DEFAULT for '$col' evaluates to NULL — a nullable column " +
+        s"already fills NULL when omitted; use ALTER TABLE ... ALTER " +
+        s"COLUMN $col DROP DEFAULT to clear an existing default")
     Map(s"graft.default.$col" -> sql,
       s"graft.defaultlit.$col" ->
         s"${b64(colDt.json)}:${b64(String.valueOf(lit))}")
@@ -805,7 +819,9 @@ private[connector] object GraftDefaults {
       sql <- props.get(s"graft.default.$col")
       ls <- props.get(s"graft.defaultlit.$col")
     } yield {
-      val Array(dtb, vb) = ls.split(':')
+      // limit -1 keeps a trailing empty component: DEFAULT '' stores
+      // an empty b64 value and must round-trip to "", not MatchError.
+      val Array(dtb, vb) = ls.split(":", -1)
       val dt = DataType.fromJson(unb64(dtb))
       val raw = unb64(vb)
       val v: Any = dt match {

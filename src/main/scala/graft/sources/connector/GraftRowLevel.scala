@@ -364,10 +364,12 @@ private[connector] class GraftDeltaWriter(dataSegAbs: String,
     scala.collection.mutable.Map.empty[Int, GraftDataWriter]
   private def dataW(bucket: Int): GraftDataWriter =
     dataWriters.getOrElseUpdate(bucket,
-      new GraftDataWriter(dataSegAbs, rowSchemaJson, partitionId,
-        // bucket rides the task id slot of the file name (unique per
-        // (task, bucket); -1 = the unbucketed singleton)
-        if (bucket < 0) taskId else taskId * 1024 + bucket + 1))
+      // bucket is its own file-name component (-1 = the unbucketed
+      // singleton): folding it into taskId arithmetically aliases
+      // across task attempts once buckets exceed the fold base, and an
+      // aliased retry's abort() deletes the committed attempt's file.
+      new GraftDataWriter(dataSegAbs, rowSchemaJson, partitionId, taskId,
+        suffix = if (bucket < 0) "" else s"-b$bucket"))
   private val tombW =
     new GraftDataWriter(tombSegAbs, keySchemaJson, partitionId, taskId)
 

@@ -218,10 +218,14 @@ private[connector] class GraftBucketedAppendWriter(segAbs: String,
 
   private val writers =
     scala.collection.mutable.Map.empty[Int, GraftDataWriter]
+  // bucket rides as its OWN file-name component ("-bN"): folding it
+  // arithmetically into taskId (taskId*K + bucket) aliases across task
+  // attempts once buckets > K-1, and an aliased retry's abort() would
+  // delete the committed attempt's file — silent data loss.
   private def w(bucket: Int): GraftDataWriter =
     writers.getOrElseUpdate(bucket,
-      new GraftDataWriter(segAbs, schemaJson, partitionId,
-        taskId * 1024 + bucket + 1))
+      new GraftDataWriter(segAbs, schemaJson, partitionId, taskId,
+        suffix = s"-b$bucket"))
 
   private def bucketFor(row: InternalRow): Int = {
     require(!row.isNullAt(bucketKeyIdx),
@@ -266,13 +270,13 @@ private[connector] class GraftWriterFactory(segAbs: String,
   * LAZILY on the first row, so empty partitions leave nothing to
   * commit or clean. */
 private[connector] class GraftDataWriter(segAbs: String,
-    schemaJson: String, partitionId: Int, taskId: Long)
-  extends DataWriter[InternalRow] {
+    schemaJson: String, partitionId: Int, taskId: Long,
+    suffix: String = "") extends DataWriter[InternalRow] {
 
   private val schema =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val fileName =
-    f"part-$partitionId%05d-$taskId.snappy.parquet"
+    f"part-$partitionId%05d-$taskId$suffix.snappy.parquet"
   private val filePath = new Path(segAbs, fileName)
   private val msgType: MessageType = GraftDataWriter.parquetSchema(schema)
   private val factory = new SimpleGroupFactory(msgType)

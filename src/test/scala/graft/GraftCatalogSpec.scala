@@ -428,6 +428,35 @@ class GraftCatalogSpec extends SparkSpec {
       e2.getMessage.toLowerCase.contains("default"), e2.getMessage)
   }
 
+  test("DEFAULT NULL is refused with the DROP DEFAULT remedy and " +
+      "DEFAULT '' round-trips — neither bricks the table") {
+    spark.sql(
+      """CREATE TABLE graft.db.dfltedge (k BIGINT,
+        |v DOUBLE DEFAULT 1.5, tag STRING DEFAULT '')""".stripMargin)
+    // empty-string default survives a catalog round trip (re-load) and
+    // fills '' — not 'null', not a MatchError on loadTable
+    spark.sql("INSERT INTO graft.db.dfltedge (k) VALUES (1)")
+    val r = spark.table("graft.db.dfltedge").head()
+    assert(r.getString(2) == "", s"DEFAULT '' filled '${r.getString(2)}'")
+    // SET DEFAULT NULL on a numeric column: refused (would otherwise
+    // store the string "null" and poison every subsequent loadTable)
+    val eN = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.db.dfltedge ALTER COLUMN v SET DEFAULT NULL"))
+    assert(eN.getMessage.contains("DROP DEFAULT"), eN.getMessage)
+    // ...and on a string column: same refusal, no silent 'null' fill
+    val eS = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.db.dfltedge ALTER COLUMN tag SET DEFAULT NULL"))
+    assert(eS.getMessage.contains("DROP DEFAULT"), eS.getMessage)
+    // CREATE TABLE with DEFAULT NULL is refused the same way
+    val eC = intercept[Exception](spark.sql(
+      "CREATE TABLE graft.db.dfltnull (k BIGINT, v DOUBLE DEFAULT NULL)"))
+    assert(eC.getMessage.contains("DROP DEFAULT") ||
+      eC.getMessage.toLowerCase.contains("null"), eC.getMessage)
+    // the table stayed usable throughout: loadTable + insert still work
+    spark.sql("INSERT INTO graft.db.dfltedge (k) VALUES (2)")
+    assert(spark.table("graft.db.dfltedge").count() == 2)
+  }
+
   test("zero-copy clone: a writable branch shares the source's files " +
       "by reference (no data copied), diverges independently, " +
       "carries MOR state, and neither side's retention can delete " +
@@ -520,12 +549,77 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("graft.db.cc_c").count() == 5,
       "b's retention deleted files c references")
     // tag chain: a pinned by b's clone, b pinned by c's clone
-    assert(SnapshotTable.tags(spark, aRoot)
-      .keys.exists(_.startsWith("clone-")))
     assert(SnapshotTable.tags(spark, bRoot)
       .keys.exists(_.startsWith("clone-")))
+    // ...AND the grandchild pins the ORIGINAL directly: c carries a's
+    // files by absolute path, so a must hold c's pin too — otherwise
+    // releasing b's pin (the documented explicit release of b) would
+    // let a's retention delete files c still reads
+    val aClonePins = SnapshotTable.tags(spark, aRoot)
+      .filter(_._1.startsWith("clone-"))
+    assert(aClonePins.size == 2,
+      s"a must carry b's AND c's pins, got $aClonePins")
+    // release b's pin on a, advance a, expire a's history: the version
+    // c reads survives on c's own pin
+    val cPin = s"clone-${java.security.MessageDigest.getInstance("MD5")
+      .digest(cRoot.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(10)}"
+    assert(aClonePins.contains(cPin), s"$aClonePins missing $cPin")
+    (aClonePins.keySet - cPin).foreach(t =>
+      SnapshotTable.dropTag(spark, aRoot, t))
+    spark.sql("INSERT INTO graft.db.cc_a VALUES (9)")
+    spark.sql("CALL graft.system.expire_snapshots('db.cc_a', 1)")
+    assert(spark.table("graft.db.cc_c").count() == 5,
+      "a's retention deleted files c references after b's release")
     // dropTag of an unknown name reports false, deletes nothing
     assert(!SnapshotTable.dropTag(spark, aRoot, "no-such-tag"))
+  }
+
+  test("aborted clone leaves no retention pin on the source") {
+    spark.sql("CREATE TABLE graft.db.abrt_src (k BIGINT)")
+    spark.sql("INSERT INTO graft.db.abrt_src VALUES (1), (2)")
+    val srcRoot = s"$warehouse/db/abrt_src"
+    // target path is an existing plain FILE: the clone tags first
+    // (pin before a reader exists), then fails claiming the target —
+    // the abort must release the just-created pin
+    val dstRoot = s"$warehouse/db/abrt_dst"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dstRoot),
+      "not a table".getBytes("UTF-8"))
+    intercept[Exception](
+      SnapshotTable.cloneTable(spark, srcRoot, dstRoot))
+    assert(!SnapshotTable.tags(spark, srcRoot)
+      .keys.exists(_.startsWith("clone-")),
+      "failed clone left a permanent clone pin on the source")
+    // and a clean retry to a valid target still works
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dstRoot))
+    SnapshotTable.cloneTable(spark, srcRoot, dstRoot)
+    assert(SnapshotTable.read(spark, dstRoot).count() == 2)
+  }
+
+  test("expireSnapshotsOlderThan keys off each commit's mtime, not " +
+      "version order: a backdated middle version expires while an " +
+      "older-numbered fresh version survives") {
+    spark.sql("CREATE TABLE graft.db.skew (k BIGINT)")        // v1
+    spark.sql("INSERT INTO graft.db.skew VALUES (1)")         // v2
+    spark.sql("INSERT INTO graft.db.skew VALUES (2)")         // v3
+    spark.sql("INSERT INTO graft.db.skew VALUES (3)")         // v4
+    val root = s"$warehouse/db/skew"
+    assert(SnapshotTable.versions(spark, root) == Seq(1L, 2L, 3L, 4L))
+    // cross-writer clock skew: version 3's record carries an OLD
+    // mtime while versions 1-2 are fresh
+    val cutoff = System.currentTimeMillis() - 60 * 60 * 1000L
+    assert(new java.io.File(s"$root/_commits/3")
+      .setLastModified(cutoff - 60000L))
+    val expired = SnapshotTable.expireSnapshotsOlderThan(
+      spark, root, cutoff)
+    assert(expired == Seq(3L),
+      s"must expire exactly the aged version, got $expired")
+    assert(SnapshotTable.versions(spark, root) == Seq(1L, 2L, 4L))
+    // survivors still read (reference counting kept their files)
+    assert(spark.table("graft.db.skew").count() == 3)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.skew VERSION AS OF 2")
+      .head().getLong(0) == 1)
   }
 
   test("changelog tables: t.changes reads exactly the rows a commit " +
