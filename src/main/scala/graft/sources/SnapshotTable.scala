@@ -145,9 +145,15 @@ object SnapshotTable {
       .foldLeft(0L)(math.max)
   }
 
-  /** Latest committed version; 0 if the table has none. */
-  def currentVersion(spark: SparkSession, root: String): Long =
-    versions(spark, root).lastOption.getOrElse(0L)
+  /** The table's CURRENT version: main's branch head once branching
+    * is enabled, else the latest committed version (identical until
+    * the first `createBranch` — branch commits claim later global
+    * slots without moving main). 0 if the table has none. */
+  def currentVersion(spark: SparkSession, root: String): Long = {
+    val f = fs(spark, root)
+    if (branchesEnabled(f, root)) branchHead(spark, root, "main")
+    else versions(spark, root).lastOption.getOrElse(0L)
+  }
 
   // ---- manifest IO ----
   // One line per file, tab-separated base64(UTF-8) fields
@@ -535,11 +541,15 @@ object SnapshotTable {
     * committers skip the version. */
   private def publish(f: FileSystem, root: String, v: Long,
       entries: Seq[FileEntry], segs: Seq[Path],
-      op: String = "commit"): Unit = {
+      op: String = "commit",
+      branchRef: Option[(String, Long)] = None): Unit = {
     def abort(reason: String): Nothing = {
       f.delete(new Path(manifestsDir(root), v.toString), false)
       f.delete(new Path(commitsDir(root), s"$v.claim"), false)
       f.delete(new Path(commitsDir(root), s"$v.op"), false)
+      // release the claimed branch transition so the branch unwedges
+      branchRef.foreach { case (b, base) =>
+        f.delete(new Path(branchDir(root, b), s"tx-$base"), false) }
       segs.foreach(f.delete(_, true))
       throw CommitConflict(s"$reason at $root — aborting version $v")
     }
@@ -562,6 +572,11 @@ object SnapshotTable {
     val record = new Path(commitsDir(root), v.toString)
     require(atomicCreate(f, record),
       s"commit record $v already exists — claim protocol violated")
+    // branch mode: advance the branch head — the nx pointer is written
+    // only by the tx-<base> winner and only after the record is
+    // visible, so resolution never points at an uncommitted version
+    branchRef.foreach { case (b, base) =>
+      atomicCreate(f, new Path(branchDir(root, b), s"nx-$base-$v")) }
   }
 
   /** The advisory operation kind recorded at commit (`publish`), or
@@ -609,15 +624,17 @@ object SnapshotTable {
     val f = fs(spark, root)
     var attempt = 0
     while (attempt <= maxRetries) {
-      val next = maxLogVersion(f, root) + 1
-      if (tryClaim(f, root, next)) {
-        val stamped = entries.map(_.copy(seq = next))
-        writeManifest(f, root, next, stamped, schema)
-        publish(f, root, next, stamped, Seq(seg), op = "replace")
-        spark.catalog.refreshByPath(root)
-        return next
+      val cur = currentVersion(spark, root)
+      claimNextOn(f, root, "main", cur, cas = false) match {
+        case Some(next) =>
+          val stamped = entries.map(_.copy(seq = next))
+          writeManifest(f, root, next, stamped, schema)
+          publish(f, root, next, stamped, Seq(seg), op = "replace",
+            branchRef = refIf(f, root, "main", cur))
+          spark.catalog.refreshByPath(root)
+          return next
+        case None => attempt += 1
       }
-      attempt += 1
     }
     f.delete(seg, true)
     throw CommitConflict(
@@ -641,16 +658,20 @@ object SnapshotTable {
     * contract as a table format whose catalog holds a dead lease. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       clusterKey: Option[String] = None, files: Int = 8,
-      maxRetries: Int = 5, bloomKey: Option[String] = None): Long = {
+      maxRetries: Int = 5, bloomKey: Option[String] = None,
+      branch: String = "main"): Long = {
     val inherited = bloomKey.orElse {
-      val cur0 = currentVersion(spark, root)
+      val cur0 =
+        if (branch == "main") currentVersion(spark, root)
+        else branchHead(spark, root, branch)
       if (cur0 == 0L) None
       else tableBloomKey(readManifest(spark, root, cur0))
     }
     val (seg, entries) =
       stageSegment(spark, root, df, clusterKey, files,
         bloomFor(df, inherited))
-    appendStaged(spark, root, seg, entries, df.schema, maxRetries)
+    appendStaged(spark, root, seg, entries, df.schema, maxRetries,
+      branch)
   }
 
   /** Publish an already-staged segment as an APPEND commit (the CAS
@@ -659,11 +680,13 @@ object SnapshotTable {
     * lands the commit here). */
   private[sources] def appendStaged(spark: SparkSession, root: String,
       seg: Path, entries: Seq[FileEntry], batchSchema: StructType,
-      maxRetries: Int = 5): Long = {
+      maxRetries: Int = 5, branch: String = "main"): Long = {
     val f = fs(spark, root)
     var attempt = 0
     while (true) {
-      val cur = currentVersion(spark, root)
+      val cur =
+        if (branch == "main") currentVersion(spark, root)
+        else branchHead(spark, root, branch)
       val (priorEntries, priorSchema) =
         if (cur == 0) (Seq.empty[FileEntry], None)
         else readManifestFull(spark, root, cur)
@@ -674,15 +697,15 @@ object SnapshotTable {
         if (cur == 0) batchSchema
         else evolveSchema(
           priorSchemaOrRead(spark, root, cur, priorSchema), batchSchema)
-      val target = cur + 1
-      if (maxLogVersion(f, root) < target && tryClaim(f, root, target)) {
+      claimNextOn(f, root, branch, cur) match { case Some(target) =>
         val stamped = all.map(e =>
           if (e.seq == 0L) e.copy(seq = target) else e)
         writeManifest(f, root, target, stamped, schema)
-        publish(f, root, target, stamped, Seq(seg), op = "append")
+        publish(f, root, target, stamped, Seq(seg), op = "append",
+          branchRef = refIf(f, root, branch, cur))
         spark.catalog.refreshByPath(root)
         return target
-      }
+      case None => () }
       attempt += 1
       if (attempt > maxRetries) {
         f.delete(seg, true)
@@ -751,15 +774,15 @@ object SnapshotTable {
       val carried = priorEntries.filterNot(e => removedPaths(e.path))
       val schema = evolveSchema(
         priorSchemaOrRead(spark, root, cur, priorSchema), batchSchema)
-      val target = cur + 1
-      if (maxLogVersion(f, root) < target && tryClaim(f, root, target)) {
+      claimNextOn(f, root, "main", cur) match { case Some(target) =>
         val stamped = (carried ++ entries).map(e =>
           if (e.seq == 0L) e.copy(seq = target) else e)
         writeManifest(f, root, target, stamped, schema)
-        publish(f, root, target, stamped, Seq(seg), op = "rewrite")
+        publish(f, root, target, stamped, Seq(seg), op = "rewrite",
+          branchRef = refIf(f, root, "main", cur))
         spark.catalog.refreshByPath(root)
         return target
-      }
+      case None => () }
       attempt += 1
       if (attempt > maxRetries) fail(CommitConflict(
         s"lost the row-level commit race ${maxRetries + 1} times at $root"))
@@ -804,15 +827,15 @@ object SnapshotTable {
         tombEntries.map(_.copy(kind = "t")) ++ dataEntries
       val schema = evolveSchema(
         priorSchemaOrRead(spark, root, cur, priorSchema), batchSchema)
-      val target = cur + 1
-      if (maxLogVersion(f, root) < target && tryClaim(f, root, target)) {
+      claimNextOn(f, root, "main", cur) match { case Some(target) =>
         val stamped = all.map(e =>
           if (e.seq == 0L) e.copy(seq = target) else e)
         writeManifest(f, root, target, stamped, schema)
-        publish(f, root, target, stamped, segs, op = "delta")
+        publish(f, root, target, stamped, segs, op = "delta",
+          branchRef = refIf(f, root, "main", cur))
         spark.catalog.refreshByPath(root)
         return target
-      }
+      case None => () }
       attempt += 1
       if (attempt > maxRetries) {
         segs.foreach(f.delete(_, true))
@@ -1031,6 +1054,223 @@ object SnapshotTable {
     finally out.close()
   }
 
+  // ---- branches (refs) ----
+  // Git-style BRANCHES over the ONE shared commit log (Iceberg's
+  // branch refs on the manifest protocol): every commit still claims
+  // a global version slot, but each branch resolves its own HEAD
+  // through name-encoded marker files under `_refs/<branch>/`:
+  //
+  //   base-<V>      the branch was (re)based at version V — the
+  //                 LARGEST V wins (fast-forward rebases append one)
+  //   tx-<H>        the transition FROM head H is claimed. atomic
+  //                 exclusive-create, the SAME primitive as commit
+  //                 claims — exactly one committer ever advances a
+  //                 branch from a given head (per-branch CAS).
+  //   nx-<H>-<N>    the claimed transition leads to version N.
+  //                 Written by the tx-<H> winner only, AFTER commit N
+  //                 is visible, so every nx target was committed.
+  //
+  // head(branch) = start at the newest base, follow nx pointers. The
+  // walk reads MARKERS only — expiring an interior version's record
+  // never breaks resolution (only heads and bases must stay readable,
+  // and retention pins exactly those). Slots grow monotonically, so
+  // nx chains cannot cycle. Until `createBranch` first runs, no
+  // `_refs` dir exists and every code path behaves exactly as before
+  // (the plain linear cur+1 CAS).
+  //
+  // Enabling branches is a ONE-TIME administrative step, like a table
+  // format's protocol upgrade: a plain-protocol commit racing the
+  // very first `createBranch` can land a version the freshly-written
+  // main base does not see (the enabler re-absorbs stragglers, but
+  // the window is not closed). Quiesce writers for that first call;
+  // after it, every path is serialized by the tx claims.
+  private def refsDir(root: String) = new Path(root, "_refs")
+  private def branchDir(root: String, b: String) =
+    new Path(refsDir(root), b)
+
+  private def branchesEnabled(f: FileSystem, root: String): Boolean =
+    f.exists(refsDir(root))
+
+  /** All branch names (incl. "main" once branching is enabled). */
+  def branches(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    if (!branchesEnabled(f, root)) Seq.empty
+    else f.listStatus(refsDir(root)).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+  }
+
+  private def branchMarkers(f: FileSystem, root: String,
+      b: String): Seq[String] = {
+    val dir = branchDir(root, b)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+  }
+
+  /** The branch's (re)base point: the newest base marker. */
+  def branchBase(spark: SparkSession, root: String, b: String): Long = {
+    val bases = branchMarkers(fs(spark, root), root, b)
+      .collect { case s if s.startsWith("base-") =>
+        s.stripPrefix("base-").toLong }
+    require(bases.nonEmpty, s"no branch '$b' at $root")
+    bases.max
+  }
+
+  /** Resolve a branch head: newest base, then follow nx pointers. */
+  def branchHead(spark: SparkSession, root: String, b: String): Long = {
+    val f = fs(spark, root)
+    val markers = branchMarkers(f, root, b)
+    if (markers.isEmpty) {
+      if (b == "main")
+        return versions(spark, root).lastOption.getOrElse(0L)
+      throw new IllegalArgumentException(
+        s"no branch '$b' at $root (branches: " +
+          s"${branches(spark, root).mkString(",")})")
+    }
+    val base = markers.collect { case s if s.startsWith("base-") =>
+      s.stripPrefix("base-").toLong }.max
+    val nx = markers.collect { case s if s.startsWith("nx-") =>
+      val Array(from, to) = s.stripPrefix("nx-").split('-')
+      from.toLong -> to.toLong }.toMap
+    var head = base
+    while (nx.contains(head)) head = nx(head)
+    head
+  }
+
+  /** Create branch `name` from `from` (default: current main head).
+    * The first call enables branching: main's own ref is initialized
+    * at the current version so existing readers keep their view. */
+  def createBranch(spark: SparkSession, root: String, name: String,
+      from: Option[Long] = None): Long = {
+    require(name.nonEmpty && name != "main" && !name.forall(_.isDigit) &&
+      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"bad branch name '$name' (letters/digits/-/_, not all digits, " +
+        "not 'main')")
+    require(!tags(spark, root).contains(name),
+      s"'$name' is already a tag at $root — one namespace resolves " +
+        "VERSION AS OF names")
+    val f = fs(spark, root)
+    if (branchMarkers(f, root, "main").isEmpty) {
+      val cur = versions(spark, root).lastOption.getOrElse(0L)
+      require(cur > 0L, s"cannot branch an uncommitted table at $root")
+      f.mkdirs(branchDir(root, "main"))
+      atomicCreate(f, new Path(branchDir(root, "main"), s"base-$cur"))
+      // absorb plain-protocol commits that landed while enabling
+      val latest = versions(spark, root).last
+      if (latest > cur)
+        atomicCreate(f, new Path(branchDir(root, "main"), s"base-$latest"))
+    }
+    val at = from.getOrElse(branchHead(spark, root, "main"))
+    require(versions(spark, root).contains(at),
+      s"version $at is not committed at $root")
+    val dir = branchDir(root, name)
+    require(branchMarkers(f, root, name).isEmpty,
+      s"branch '$name' already exists at $root")
+    f.mkdirs(dir)
+    atomicCreate(f, new Path(dir, s"base-$at"))
+    at
+  }
+
+  /** Delete a branch ref. The versions it reached stay in the log but
+    * lose their retention pin — expiry may then reap them. */
+  def dropBranch(spark: SparkSession, root: String,
+      name: String): Boolean = {
+    require(name != "main", "cannot drop main")
+    val f = fs(spark, root)
+    val dir = branchDir(root, name)
+    if (!f.exists(dir)) false else f.delete(dir, true)
+  }
+
+  /** FAST-FORWARD merge of `branch` into `into` (default main): legal
+    * iff `into`'s head equals the branch's base — `into` has not moved
+    * since the fork, so the branch's history is a strict extension and
+    * the merge is a pointer jump (no new commit, no data IO). A
+    * diverged target is REFUSED with the remedy; merging diverged
+    * histories is a row-level operation (MERGE INTO), not a ref move.
+    * After the merge the branch is rebased at its own head, so the
+    * next write-then-merge cycle composes. */
+  def fastForward(spark: SparkSession, root: String, branch: String,
+      into: String = "main"): Long = {
+    val f = fs(spark, root)
+    val bHead = branchHead(spark, root, branch)
+    val bBase = branchBase(spark, root, branch)
+    val iHead = branchHead(spark, root, into)
+    if (iHead == bHead) return iHead // nothing to merge
+    if (iHead != bBase) throw CommitConflict(
+      s"'$into' (head $iHead) diverged from '$branch''s base ($bBase) " +
+        s"at $root — a fast-forward would drop '$into''s commits. " +
+        s"Re-create the branch from the current head, or reconcile " +
+        s"row-level with MERGE INTO")
+    if (branchMarkers(f, root, into).isEmpty) {
+      require(into == "main", s"no branch '$into' at $root")
+      f.mkdirs(branchDir(root, "main"))
+      atomicCreate(f, new Path(branchDir(root, "main"), s"base-$iHead"))
+    }
+    if (!atomicCreate(f, new Path(branchDir(root, into), s"tx-$iHead")))
+      throw CommitConflict(
+        s"concurrent commit on '$into' during fast-forward at $root")
+    atomicCreate(f, new Path(branchDir(root, into), s"nx-$iHead-$bHead"))
+    atomicCreate(f, new Path(branchDir(root, branch), s"base-$bHead"))
+    spark.catalog.refreshByPath(root)
+    bHead
+  }
+
+  /** Read a branch's head snapshot. */
+  def readBranch(spark: SparkSession, root: String,
+      branch: String): DataFrame =
+    readVersion(spark, root, branchHead(spark, root, branch))
+
+  /** Claim the next commit slot as `base`'s successor on `branch`.
+    * Plain mode (no refs): the linear CAS — slot base+1, guarded so
+    * no later slot exists. Branch mode: claim the branch transition
+    * `tx-<base>` (one winner per head — the per-branch CAS), then the
+    * lowest free global slot. None = lost the race, caller retries
+    * after re-reading the head. `cas=false` (replacing commits that
+    * derive from nothing) skips the linearity guard in plain mode. */
+  private def claimNextOn(f: FileSystem, root: String, branch: String,
+      base: Long, cas: Boolean = true): Option[Long] = {
+    if (!branchesEnabled(f, root)) {
+      if (cas) {
+        val target = base + 1
+        if (maxLogVersion(f, root) < target && tryClaim(f, root, target))
+          Some(target)
+        else None
+      } else {
+        val target = maxLogVersion(f, root) + 1
+        if (tryClaim(f, root, target)) Some(target) else None
+      }
+    } else {
+      if (branchMarkers(f, root, branch).isEmpty && branch != "main")
+        throw new IllegalArgumentException(s"no branch '$branch' at $root")
+      if (branchMarkers(f, root, "main").isEmpty) {
+        // refs enabled but main never initialized (defensive)
+        f.mkdirs(branchDir(root, "main"))
+        atomicCreate(f, new Path(branchDir(root, "main"),
+          s"base-${versions(SparkSession.active, root).lastOption.getOrElse(0L)}"))
+      }
+      if (!atomicCreate(f, new Path(branchDir(root, branch), s"tx-$base")))
+        None
+      else {
+        var target = maxLogVersion(f, root) + 1
+        var tries = 0
+        while (tries < 64 && !tryClaim(f, root, target)) {
+          target = maxLogVersion(f, root) + 1
+          tries += 1
+        }
+        if (tries >= 64) {
+          // could not allocate a slot; release the transition
+          f.delete(new Path(branchDir(root, branch), s"tx-$base"), false)
+          None
+        } else Some(target)
+      }
+    }
+  }
+
+  /** The branchRef to hand [[publish]]: set only once branching is
+    * enabled, so plain tables pay zero extra IO. */
+  private def refIf(f: FileSystem, root: String, b: String,
+      base: Long): Option[(String, Long)] =
+    if (branchesEnabled(f, root)) Some((b, base)) else None
+
   def tableProperties(spark: SparkSession,
       root: String): Map[String, String] = {
     val f = fs(spark, root)
@@ -1199,13 +1439,13 @@ object SnapshotTable {
         !prior.fieldNames.exists(_.equalsIgnoreCase(n))),
         s"column already exists: ${added.fieldNames.mkString(",")}")
       val evolved = evolveSchema(prior, added)
-      val target = cur + 1
-      if (maxLogVersion(f, root) < target && tryClaim(f, root, target)) {
+      claimNextOn(f, root, "main", cur) match { case Some(target) =>
         writeManifest(f, root, target, entries, evolved)
-        publish(f, root, target, entries, Seq.empty, op = "add-columns")
+        publish(f, root, target, entries, Seq.empty, op = "add-columns",
+          branchRef = refIf(f, root, "main", cur))
         spark.catalog.refreshByPath(root)
         return target
-      }
+      case None => () }
       attempt += 1
       if (attempt > maxRetries) throw CommitConflict(
         s"lost the schema-evolution race ${maxRetries + 1} times at $root")
@@ -1875,18 +2115,21 @@ object SnapshotTable {
       expectedCurrent: Long, schema: StructType,
       op: String = "derive"): Long = {
     val f = fs(spark, root)
-    val target = expectedCurrent + 1
-    if (maxLogVersion(f, root) >= target || !tryClaim(f, root, target)) {
-      segs.foreach(f.delete(_, true))
-      throw CommitConflict(s"table at $root moved past " +
-        s"$expectedCurrent while deriving version $target")
-    }
+    // branch mode: the tx-<expectedCurrent> claim IS the expected-
+    // current check — if main moved past it, that transition is taken
+    val target = claimNextOn(f, root, "main", expectedCurrent)
+      .getOrElse {
+        segs.foreach(f.delete(_, true))
+        throw CommitConflict(s"table at $root moved past " +
+          s"$expectedCurrent while deriving its successor")
+      }
     // new entries carry the seq-0 sentinel; stamp them with the
     // version that adds them (carried entries keep their add version)
     val stamped = entries.map(e =>
       if (e.seq == 0L) e.copy(seq = target) else e)
     writeManifest(f, root, target, stamped, schema)
-    publish(f, root, target, stamped, segs, op)
+    publish(f, root, target, stamped, segs, op,
+      branchRef = refIf(f, root, "main", expectedCurrent))
     spark.catalog.refreshByPath(root)
     target
   }
@@ -2414,8 +2657,14 @@ object SnapshotTable {
     // a tagged version is pinned by name — retention never reaps it,
     // so `VERSION AS OF '<tag>'` keeps resolving (the reproducibility
     // contract tags exist for). Drop the tag to release the snapshot.
+    // Branch HEADS and BASES pin the same way (head = what the branch
+    // reads; base = what fast-forward validates against); interior
+    // chain versions may expire — head resolution walks markers, not
+    // manifests. Drop the branch to release them.
     val tagged = tags(spark, root).values.toSet
-    val doomed = candidates.filterNot(tagged)
+    val refPinned: Set[Long] = branches(spark, root).flatMap(b =>
+      Seq(branchHead(spark, root, b), branchBase(spark, root, b))).toSet
+    val doomed = candidates.filterNot(tagged).filterNot(refPinned)
     if (doomed.isEmpty) return doomed
     val surviving = all.filterNot(doomed.contains)
     val kept = surviving.flatMap(readManifest(spark, root, _))
@@ -2506,6 +2755,25 @@ object SnapshotTable {
         !committedNow()(n.stripSuffix(".op").toLong)) {
         f.delete(p, false)
         removed += p.toString
+      }
+    }
+    // 1b. wedged branch transitions: a tx-<H> whose winner crashed
+    //     before writing nx-<H>-* blocks every later commit from H;
+    //     reap it after the age floor so the branch unwedges (the
+    //     crashed commit, if it published, stays in the log as an
+    //     unreachable version). A tx WITH a matching nx is the
+    //     permanent record of a taken transition — never reaped.
+    branches(spark, root).foreach { b =>
+      val dir = branchDir(root, b)
+      val names = f.listStatus(dir).toSeq.map(_.getPath.getName)
+      val taken = names.collect { case s if s.startsWith("nx-") =>
+        s.stripPrefix("nx-").split('-')(0).toLong }.toSet
+      names.foreach { n =>
+        if (n.startsWith("tx-") && !taken(n.stripPrefix("tx-").toLong)
+          && oldEnough(new Path(dir, n))) {
+          f.delete(new Path(dir, n), false)
+          removed += new Path(dir, n).toString
+        }
       }
     }
     // 2. orphan manifests: not committed AND no surviving claim (the

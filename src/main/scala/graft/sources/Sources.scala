@@ -720,6 +720,45 @@ object Sources {
           min(col("o_orderkey")).as("min_key"))
         .orderBy("side", "o_orderstatus")
     }),
+    // Branch refs under the oracle: commit orders, branch 'staging',
+    // append a derived batch ON THE BRANCH (main stays at v1), then
+    // FAST-FORWARD merge and read both the pre-merge snapshot (time
+    // travel to v1 — isolation held) and the merged head through the
+    // catalog (the ref moved). The oracle reconstructs both sides
+    // from the base table; matching hashes prove branch isolation,
+    // the pointer-jump merge and head resolution end-to-end.
+    "snapshot_branch_merge" -> ((s, dir) => {
+      val wh = catalogWarehouse
+      val t = uniqueName("ord_br")
+      s.conf.set("spark.sql.catalog.graft_brq",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_brq.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_brq.db")
+      val root = s"$wh/db/$t"
+      val o = graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      SnapshotTable.commit(s, root, o)                        // v1
+      SnapshotTable.createBranch(s, root, "staging")
+      SnapshotTable.append(s, root,
+        o.filter(col("o_orderkey") % 89 === 0 &&
+            col("o_orderkey") > 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            lit("B").as("o_orderstatus"),
+            lit(2.5).as("o_totalprice")),
+        branch = "staging")                                   // v2
+      val pre = SnapshotTable.readVersion(s, root, 1L)
+        .withColumn("side", lit("pre"))
+      SnapshotTable.fastForward(s, root, "staging")
+      val merged = s.table(s"graft_brq.db.$t")
+        .withColumn("side", lit("merged"))
+      pre.unionByName(merged)
+        .groupBy("side", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+            .cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy("side", "o_orderstatus")
+    }),
     // Bucketed layout under the oracle: orders and customer committed
     // HASH-BUCKETED on the customer key (commitBucketed — the
     // storage-partitioned-join layout whose zero-Exchange plan the
@@ -1204,6 +1243,24 @@ object Sources {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM st GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_branch_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |u AS (
+        |  SELECT 'pre' AS side, o_orderkey, o_orderstatus,
+        |    o_totalprice FROM base
+        |  UNION ALL
+        |  SELECT 'merged', o_orderkey, o_orderstatus, o_totalprice
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'merged', -o_orderkey, 'B', 2.5 FROM base
+        |  WHERE o_orderkey % 89 = 0 AND o_orderkey > 0)
+        |SELECT side, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  min(o_orderkey) AS min_key
+        |FROM u GROUP BY side, o_orderstatus
+        |ORDER BY side, o_orderstatus""".stripMargin,
     "snapshot_clone_diverge" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

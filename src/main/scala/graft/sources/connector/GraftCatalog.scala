@@ -189,9 +189,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * manifest, `...t.history VERSION AS OF 3` the log as it stood
     * then — how a user inspects what an old snapshot was made of. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    // non-numeric = a TAG name: `VERSION AS OF 'run-2024-06'` reads
-    // the snapshot that name pins (numeric names are refused at tag
-    // time, so the two namespaces cannot collide)
+    // non-numeric = a TAG or BRANCH name: `VERSION AS OF
+    // 'run-2024-06'` reads the snapshot the tag pins; a branch name
+    // reads the branch's current head (numeric names are refused at
+    // tag/branch creation, and the namespaces refuse collisions, so
+    // resolution is unambiguous)
     val v = if (version.nonEmpty && version.forall(_.isDigit))
       version.toLong
     else {
@@ -199,11 +201,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (isTable(rootOf(ident))) rootOf(ident)
         else (warehouse +: ident.namespace().toSeq.map(safe))
           .mkString("/") // metadata table: tags live on the parent
-      SnapshotTable.tags(spark, tagRoot).getOrElse(version,
-        throw new IllegalArgumentException(
-          s"'$version' is neither a version number nor a tag of " +
-            s"$tagRoot (tags: ${SnapshotTable.tags(spark, tagRoot)
-              .keys.toSeq.sorted.mkString(", ")})"))
+      SnapshotTable.tags(spark, tagRoot).get(version)
+        .orElse(
+          if (SnapshotTable.branches(spark, tagRoot).contains(version))
+            Some(SnapshotTable.branchHead(spark, tagRoot, version))
+          else None)
+        .getOrElse(throw new IllegalArgumentException(
+          s"'$version' is neither a version number, a tag nor a " +
+            s"branch of $tagRoot (tags: ${SnapshotTable
+              .tags(spark, tagRoot).keys.toSeq.sorted.mkString(", ")}; " +
+            s"branches: ${SnapshotTable.branches(spark, tagRoot)
+              .mkString(", ")})"))
     }
     if (!isTable(rootOf(ident))) {
       metadataOf(ident, Some(v)) match {
@@ -499,7 +507,8 @@ private[connector] object GraftProcedures {
   import org.apache.spark.sql.types._
 
   val Names = Seq("compact", "expire_snapshots",
-    "expire_older_than", "vacuum", "tag", "drop_tag", "clone")
+    "expire_older_than", "vacuum", "tag", "drop_tag", "clone",
+    "create_branch", "fast_forward", "drop_branch")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
@@ -580,6 +589,41 @@ private[connector] object GraftProcedures {
             nullable = false))),
         (spark, cat0, in) => {
           Row(SnapshotTable.dropTag(spark,
+            cat0.resolveRoot(in.getString(0)), in.getString(1)))
+        })
+      case "create_branch" => proc(cat, "create_branch",
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          // 0 = branch from the current main head
+          ProcedureParameter.in("from_version", LongType).build()),
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("base", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          val base = SnapshotTable.createBranch(spark,
+            cat0.resolveRoot(in.getString(0)), in.getString(1),
+            Some(in.getLong(2)).filter(_ > 0L))
+          Row(in.getString(1), base)
+        })
+      case "fast_forward" => proc(cat, "fast_forward",
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build(),
+          ProcedureParameter.in("into", StringType).build()),
+        StructType(Seq(
+          StructField("head", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          Row(SnapshotTable.fastForward(spark,
+            cat0.resolveRoot(in.getString(0)), in.getString(1),
+            in.getString(2)))
+        })
+      case "drop_branch" => proc(cat, "drop_branch",
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(
+          StructField("dropped", org.apache.spark.sql.types.BooleanType,
+            nullable = false))),
+        (spark, cat0, in) => {
+          Row(SnapshotTable.dropBranch(spark,
             cat0.resolveRoot(in.getString(0)), in.getString(1)))
         })
       case other => throw new UnsupportedOperationException(
@@ -693,9 +737,14 @@ private[connector] class GraftMetadataTable(fullName: String,
             .toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
           localRows(data, GraftMetadataTable.PropsSchema)
         case "refs" =>
-          val data = SnapshotTable.tags(spark, root)
-            .toSeq.sortBy(_._1).map { case (n, v) => Row(n, v) }
-          localRows(data, GraftMetadataTable.RefsSchema)
+          val tagRows = SnapshotTable.tags(spark, root)
+            .toSeq.sortBy(_._1)
+            .map { case (n, v) => Row(n, v, "tag", null) }
+          val branchRows = SnapshotTable.branches(spark, root)
+            .map(b => Row(b,
+              SnapshotTable.branchHead(spark, root, b), "branch",
+              Long.box(SnapshotTable.branchBase(spark, root, b))))
+          localRows(tagRows ++ branchRows, GraftMetadataTable.RefsSchema)
       }
     }
   }
@@ -730,7 +779,9 @@ private[connector] object GraftMetadataTable {
 
   val RefsSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
-    StructField("version", LongType, nullable = false)))
+    StructField("version", LongType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("base", LongType, nullable = true)))
 }
 
 /** Column DEFAULT persistence. A default is two table properties:

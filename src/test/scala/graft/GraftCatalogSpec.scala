@@ -293,8 +293,8 @@ class GraftCatalogSpec extends SparkSpec {
     // unknown tags error with the available names
     val unknown = intercept[Exception](spark.sql(
       "SELECT * FROM graft.db.tags VERSION AS OF 'nope'").collect())
-    assert(unknown.getMessage.contains("neither a version number " +
-      "nor a tag"), unknown.getMessage)
+    assert(unknown.getMessage.contains("neither a version number, " +
+      "a tag nor a branch"), unknown.getMessage)
     // drop_tag releases the pin: the next expiry reaps v2
     assert(spark.sql(
       "CALL graft.system.drop_tag('db.tags', 'baseline')")
