@@ -1438,8 +1438,17 @@ object SnapshotTable {
       require(added.fieldNames.forall(n =>
         !prior.fieldNames.exists(_.equalsIgnoreCase(n))),
         s"column already exists: ${added.fieldNames.mkString(",")}")
-      val evolved = evolveSchema(prior, added)
       claimNextOn(f, root, "main", cur) match { case Some(target) =>
+        // a field carrying an initial default is stamped with the
+        // version that adds it — the read-side fill boundary
+        val stampedAdded = StructType(added.fields.map { fd =>
+          if (fd.metadata.contains(InitDefaultKey))
+            fd.copy(metadata = new org.apache.spark.sql.types
+              .MetadataBuilder().withMetadata(fd.metadata)
+              .putLong(InitDefaultAtKey, target).build())
+          else fd
+        })
+        val evolved = evolveSchema(prior, stampedAdded)
         writeManifest(f, root, target, entries, evolved)
         publish(f, root, target, entries, Seq.empty, op = "add-columns",
           branchRef = refIf(f, root, "main", cur))
@@ -2557,15 +2566,69 @@ object SnapshotTable {
   private def asNullable(st: StructType): StructType =
     StructType(st.fields.map(_.copy(nullable = true)))
 
+  // ---- initial defaults (read-side ADD COLUMN DEFAULT fill) ----
+  // Iceberg's initial-default: `ADD COLUMNS (c T DEFAULT v)` records
+  // the evaluated literal AND the version that added the column in
+  // the manifest schema's field metadata. Reads then materialize the
+  // default for files written BEFORE the column existed (seq <
+  // addedAt) — old rows surface the declared value, not NULL — while
+  // post-evolution files read their stored values (absent there still
+  // means NULL, exactly Iceberg's write-time/exists split).
+  private[graft] val InitDefaultKey = "graft.initdefault"
+  private[graft] val InitDefaultAtKey = "graft.initdefault.addedAt"
+
+  private[graft] case class InitFill(name: String, dataType: DataType,
+      addedAt: Long, rendered: String) {
+    /** The typed Scala value for `lit`/vector fill — same rendering
+      * contract as the connector's current-default properties. */
+    def value: Any = dataType match {
+      case org.apache.spark.sql.types.IntegerType => rendered.toInt
+      case org.apache.spark.sql.types.LongType => rendered.toLong
+      case org.apache.spark.sql.types.DoubleType => rendered.toDouble
+      case org.apache.spark.sql.types.FloatType => rendered.toFloat
+      case org.apache.spark.sql.types.BooleanType => rendered.toBoolean
+      case org.apache.spark.sql.types.StringType => rendered
+      case other => throw new IllegalStateException(
+        s"unsupported initial-default type $other for '$name'")
+    }
+  }
+
+  private[graft] def initFills(schema: StructType): Seq[InitFill] =
+    schema.fields.toSeq.flatMap { f =>
+      if (f.metadata.contains(InitDefaultKey) &&
+        f.metadata.contains(InitDefaultAtKey))
+        Some(InitFill(f.name, f.dataType,
+          f.metadata.getLong(InitDefaultAtKey),
+          f.metadata.getString(InitDefaultKey)))
+      else None
+    }
+
   /** THE explicit-schema multi-file read — the one place the
     * nullable-forced read schema applies, so the full read, the diff
     * legs and the pruned-empty result agree on nullability by
-    * construction. */
+    * construction. Initial defaults materialize here: entries group
+    * by which defaults predate them (almost always one group), each
+    * group scans once, and pre-evolution groups overwrite the absent
+    * column with the literal — a constant projection, no extra IO. */
   private def readUnder(spark: SparkSession, root: String,
       schema: Option[StructType], entries: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val paths = entries.map(absolute(root, _))
-    schema.fold(spark.read.parquet(paths: _*))(st =>
-      spark.read.schema(asNullable(st)).parquet(paths: _*))
+    schema match {
+      case None => spark.read.parquet(paths: _*)
+      case Some(st) =>
+        val fills = initFills(st)
+        if (fills.isEmpty || entries.isEmpty)
+          spark.read.schema(asNullable(st)).parquet(paths: _*)
+        else entries.groupBy(e =>
+          fills.filter(_.addedAt > e.seq).map(_.name).toSet)
+          .toSeq.sortBy(_._1.size).map { case (names, es) =>
+            val df = spark.read.schema(asNullable(st))
+              .parquet(es.map(absolute(root, _)): _*)
+            fills.filter(f => names(f.name)).foldLeft(df)((d, f) =>
+              d.withColumn(f.name, lit(f.value).cast(f.dataType)))
+          }.reduce(_.unionByName(_))
+    }
   }
 
   private def readEntries(spark: SparkSession, root: String,

@@ -396,14 +396,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (columnChanges.isEmpty) return loadTable(ident)
     val added = columnChanges.map {
       case a: TableChange.AddColumn =>
-        // an added column's DEFAULT would need EXISTENCE defaults
-        // (engine-side fill of pre-existing rows) to be honest — old
-        // files read NULL here, so accepting it would silently give
-        // old rows a different value than the standard promises
-        require(a.defaultValue() == null,
-          s"graft ADD COLUMNS does not support DEFAULT (existing " +
-            s"rows read NULL; set the default with ALTER COLUMN " +
-            s"... SET DEFAULT afterwards): '${a.fieldNames().head}'")
         require(a.fieldNames().length == 1,
           "graft-snapshot adds TOP-LEVEL columns only (a nested-typed " +
             "column is fine; splicing a field into an existing struct " +
@@ -412,12 +404,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(GraftSnapshotSource.supported(dt),
           s"graft-snapshot does not support ${dt.simpleString} " +
             s"column '${a.fieldNames().head}'")
-        StructField(a.fieldNames().head, dt, nullable = true)
+        val base = StructField(a.fieldNames().head, dt, nullable = true)
+        // ADD COLUMNS ... DEFAULT v is an INITIAL default (Iceberg's
+        // existence default): the literal rides the manifest schema's
+        // field metadata, addColumns stamps the adding version, and
+        // BOTH read paths materialize it for pre-evolution files — so
+        // accepting it is honest: old rows surface v, not NULL
+        Option(a.defaultValue()) match {
+          case None => base
+          case Some(d) =>
+            require(GraftDefaults.supported(dt),
+              s"graft DEFAULT supports int/long/float/double/boolean/" +
+                s"string columns; '${base.name}' is ${dt.simpleString}")
+            val lit = d.getValue
+            require(lit != null && lit.value() != null,
+              s"graft ADD COLUMNS DEFAULT must be a non-null literal " +
+                s"for '${base.name}' (a nullable column already fills " +
+                s"NULL when omitted)")
+            base.copy(metadata = new org.apache.spark.sql.types
+              .MetadataBuilder()
+              .putString(SnapshotTable.InitDefaultKey,
+                String.valueOf(lit.value())).build())
+        }
       case other => throw new UnsupportedOperationException(
         s"graft catalog supports ALTER TABLE ADD COLUMNS only, " +
           s"got ${other.getClass.getSimpleName}")
     }
     SnapshotTable.addColumns(spark, root, StructType(added))
+    // the initial default is also the CURRENT default: INSERTs that
+    // omit the column fill the same literal (one declaration, both
+    // halves of the standard's semantics)
+    columnChanges.foreach {
+      case a: TableChange.AddColumn if a.defaultValue() != null =>
+        SnapshotTable.setProperties(spark, root,
+          SnapshotTable.tableProperties(spark, root) ++
+            GraftDefaults.encode(a.fieldNames().head, a.defaultValue()))
+      case _ => ()
+    }
     loadTable(ident)
   }
 

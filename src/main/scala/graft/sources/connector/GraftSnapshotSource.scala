@@ -808,7 +808,13 @@ private[connector] case class GraftBucketedPartition(
 
 private[connector] case class GraftInputPartition(absolutePath: String,
     seq: Long, tombs: Array[TombRef], keyName: String,
-    keyTypeJson: String, skipRows: Long = 0L) extends InputPartition
+    keyTypeJson: String, skipRows: Long = 0L,
+    // initial-default fills for THIS file (column -> rendered
+    // literal): columns added after the file was written, whose
+    // ADD COLUMNS declared a DEFAULT — the reader materializes the
+    // constant instead of NULL (typed via the read schema)
+    fills: Array[(String, String)] = Array.empty)
+  extends InputPartition
 
 /** The scan a COMPLETELY pushed aggregate plans to: one partition,
   * one row, values computed at PLANNING time from the manifest (the
@@ -980,6 +986,13 @@ private[connector] class GraftScan(root: String, version: Long,
     }
   }
 
+  /** Initial defaults declared in this version's schema, restricted
+    * to projected columns — evaluated once per scan (metadata only). */
+  private lazy val scanInitFills: Seq[SnapshotTable.InitFill] =
+    SnapshotTable.initFills(GraftSnapshotSource
+      .schemaOf(SparkSession.active, root, version))
+      .filter(f => required.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+
   private def filePartition(e: FileEntry): GraftInputPartition = {
     val mine = tombs.filter(applies(_, e)).map(t =>
       TombRef(new Path(root, t.path).toString, t.seq)).toArray
@@ -990,7 +1003,9 @@ private[connector] class GraftScan(root: String, version: Long,
       case (p, n) if p == e.path => n }.getOrElse(0L)
     GraftInputPartition(new Path(root, e.path).toString, e.seq,
       mine, tombKey.orNull,
-      tombKeyType.map(_.json).orNull, skip)
+      tombKeyType.map(_.json).orNull, skip,
+      scanInitFills.filter(_.addedAt > e.seq)
+        .map(f => (f.name, f.rendered)).toArray)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -1094,7 +1109,8 @@ private[connector] class GraftReaderFactory(requiredJson: String,
     val required =
       DataType.fromJson(requiredJson).asInstanceOf[StructType]
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftColumnarReader(p.absolutePath, required, sessionTz)
+    new GraftColumnarReader(p.absolutePath, required, sessionTz,
+      p.fills)
   }
 
   override def createReader(partition: InputPartition)
@@ -1128,7 +1144,7 @@ private[connector] class GraftReaderFactory(requiredJson: String,
     val p = partition.asInstanceOf[GraftInputPartition]
     if (p.tombs.isEmpty)
       new GraftPartitionReader(p.absolutePath, required,
-        required.length, -1, null, pushed, p.skipRows)
+        required.length, -1, null, pushed, p.skipRows, p.fills)
     else {
       val keyType = DataType.fromJson(p.keyTypeJson)
       val kills = GraftTombstones.killSet(p.tombs, p.keyName, keyType)
@@ -1142,7 +1158,7 @@ private[connector] class GraftReaderFactory(requiredJson: String,
           case i => (required, i)
         }
       new GraftPartitionReader(p.absolutePath, readSchema,
-        required.length, killIdx, kills, pushed)
+        required.length, killIdx, kills, pushed, fills = p.fills)
     }
   }
 }
@@ -1318,7 +1334,8 @@ private[connector] object GraftTombstones {
   * wrapper costs one small object per batch, no copies). Eligibility
   * is gated by [[GraftReaderFactory.supportColumnarReads]]. */
 private[graft] class GraftColumnarReader(file: String,
-    required: StructType, sessionTz: String)
+    required: StructType, sessionTz: String,
+    fills: Array[(String, String)] = Array.empty)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.ColumnarBatch
   import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
@@ -1363,7 +1380,43 @@ private[graft] class GraftColumnarReader(file: String,
 
   override def next(): Boolean = reader.nextBatch()
 
-  override def get(): ColumnarBatch = reader.resultBatch()
+  // initial-default fill: a required column the file predates comes
+  // back as a constant-NULL vector from the clipped read; when the
+  // schema declares an initial default for it, swap in a
+  // ConstantColumnVector of the literal — still fully columnar
+  private val fillByIdx: Map[Int, (DataType, String)] =
+    fills.flatMap { case (n, r) =>
+      val i = required.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+      if (i < 0) None else Some(i -> ((required.fields(i).dataType, r)))
+    }.toMap
+
+  override def get(): ColumnarBatch = {
+    val b = reader.resultBatch()
+    if (fillByIdx.isEmpty) b
+    else {
+      import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+      val cols = Array.tabulate[org.apache.spark.sql.vectorized
+        .ColumnVector](required.length) { i =>
+        fillByIdx.get(i) match {
+          case None => b.column(i)
+          case Some((dt, r)) =>
+            val v = new ConstantColumnVector(b.numRows(), dt)
+            dt match {
+              case IntegerType => v.setInt(r.toInt)
+              case LongType => v.setLong(r.toLong)
+              case DoubleType => v.setDouble(r.toDouble)
+              case FloatType => v.setFloat(r.toFloat)
+              case BooleanType => v.setBoolean(r.toBoolean)
+              case _ => v.setUtf8String(UTF8String.fromString(r))
+            }
+            v
+        }
+      }
+      val patched = new ColumnarBatch(cols)
+      patched.setNumRows(b.numRows())
+      patched
+    }
+  }
 
   override def close(): Unit = reader.close()
 }
@@ -1372,8 +1425,25 @@ private[graft] class GraftPartitionReader(file: String,
     readSchema: StructType, emitLen: Int, killIdx: Int,
     killSet: java.util.HashSet[Any],
     filters: Array[Filter] = Array.empty,
-    skipRows: Long = 0L)
+    skipRows: Long = 0L,
+    fills: Array[(String, String)] = Array.empty)
   extends PartitionReader[InternalRow] {
+
+  // initial-default constants for columns this file predates, typed
+  // to catalyst values once (strings become UTF8String)
+  private val fillValues: Map[String, Any] = fills.map { case (n, r) =>
+    val dt = readSchema.fields.find(_.name.equalsIgnoreCase(n))
+      .map(_.dataType).getOrElse(StringType)
+    val v: Any = dt match {
+      case IntegerType => r.toInt
+      case LongType => r.toLong
+      case DoubleType => r.toDouble
+      case FloatType => r.toFloat
+      case BooleanType => r.toBoolean
+      case _ => UTF8String.fromString(r)
+    }
+    n -> v
+  }.toMap
 
   private val conf = new Configuration()
   private val fileSchema: MessageType = {
@@ -1422,7 +1492,8 @@ private[graft] class GraftPartitionReader(file: String,
     fieldIdx.get(readSchema.fields(i).name) match {
       case None if readSchema.fields(i).name ==
         GraftFileMetadataColumn.Name => filePathValue
-      case None => null // file predates the column
+      case None => // file predates the column: initial default or NULL
+        fillValues.getOrElse(readSchema.fields(i).name, null)
       case Some(gi) => fieldValue(current, gi, readSchema.fields(i).dataType)
     }
 
