@@ -574,9 +574,37 @@ object SnapshotTable {
       s"commit record $v already exists — claim protocol violated")
     // branch mode: advance the branch head — the nx pointer is written
     // only by the tx-<base> winner and only after the record is
-    // visible, so resolution never points at an uncommitted version
+    // visible, so resolution never points at an uncommitted version.
+    // PAST THIS POINT THE VERSION IS COMMITTED in the global log: a
+    // failure linking it must never read as "nothing happened".
     branchRef.foreach { case (b, base) =>
-      atomicCreate(f, new Path(branchDir(root, b), s"nx-$base-$v")) }
+      val dir = branchDir(root, b)
+      // re-verify our tx claim survived: vacuum reaps wedged tx
+      // markers after the age floor, so a committer stalled that long
+      // may have lost the claim to a NEW winner — writing our nx then
+      // would fork the chain (duplicate `from`), which branchHead
+      // refuses to resolve
+      if (!f.exists(new Path(dir, s"tx-$base")))
+        throw CommitConflict(
+          s"version $v at $root IS committed in the global log, but " +
+            s"its claimed transition tx-$base on '$b' was vacuumed " +
+            s"(this committer stalled past the vacuum age floor) — " +
+            s"the branch was NOT advanced. Do NOT re-submit the same " +
+            s"data; fast-forward or MERGE the committed version in")
+      val nx = new Path(dir, s"nx-$base-$v")
+      var attempt = 0
+      while (!atomicCreate(f, nx) && !f.exists(nx)) {
+        // atomicCreate=false with no file = transient IO failure (an
+        // existing nx-<base>-<v> is OUR write — idempotent success)
+        attempt += 1
+        if (attempt > 4) throw new IllegalStateException(
+          s"version $v at $root IS committed but linking $nx on " +
+            s"'$b' failed $attempt times — the branch stays wedged " +
+            s"on tx-$base until the nx is written; re-invoke later " +
+            s"or let vacuum unwedge it. Do NOT re-submit the data")
+        Thread.sleep(25L << attempt)
+      }
+    }
   }
 
   /** The advisory operation kind recorded at commit (`publish`), or
@@ -1031,6 +1059,12 @@ object SnapshotTable {
       !name.exists(c => c == '\t' || c == '\n' || c == '\r'),
       s"bad tag name '$name' (non-empty, not all digits, no tabs or " +
         "newlines)")
+    // mirror of createBranch's tag check: loadTable resolves tags
+    // BEFORE branches, so a tag shadowing a live branch would silently
+    // freeze `VERSION AS OF '<name>'` at the tag — refuse instead
+    require(!branches(spark, root).contains(name),
+      s"'$name' is already a branch at $root — one namespace resolves " +
+        "VERSION AS OF names")
     require(versions(spark, root).contains(version),
       s"version $version is not committed at $root")
     writeTags(spark, root, tags(spark, root) + (name -> version))
@@ -1126,11 +1160,29 @@ object SnapshotTable {
         s"no branch '$b' at $root (branches: " +
           s"${branches(spark, root).mkString(",")})")
     }
-    val base = markers.collect { case s if s.startsWith("base-") =>
-      s.stripPrefix("base-").toLong }.max
-    val nx = markers.collect { case s if s.startsWith("nx-") =>
+    val bases = markers.collect { case s if s.startsWith("base-") =>
+      s.stripPrefix("base-").toLong }
+    require(bases.nonEmpty,
+      s"branch '$b' at $root is mid-creation (no base marker yet) — " +
+        "retry, or re-run createBranch if its writer crashed")
+    val base = bases.max
+    val nxPairs = markers.collect { case s if s.startsWith("nx-") =>
       val Array(from, to) = s.stripPrefix("nx-").split('-')
-      from.toLong -> to.toLong }.toMap
+      from.toLong -> to.toLong }
+    // a duplicate `from` is a FORKED chain (two committers published
+    // from the same head — only possible if a stalled committer's tx
+    // claim was vacuumed out from under it). Resolving to either
+    // target silently would be nondeterministic; fail loudly instead.
+    val forked = nxPairs.groupBy(_._1)
+      .filter(_._2.map(_._2).distinct.size > 1)
+    require(forked.isEmpty,
+      s"branch '$b' at $root has forked transitions: " +
+        forked.toSeq.sortBy(_._1).map { case (fr, tos) =>
+          s"$fr->{${tos.map(_._2).distinct.sorted.mkString(",")}}"
+        }.mkString("; ") +
+        " — a stalled committer published after its tx claim was " +
+        "vacuumed. Delete the nx marker of the losing target to heal")
+    val nx = nxPairs.toMap
     var head = base
     while (nx.contains(head)) head = nx(head)
     head
@@ -1166,6 +1218,14 @@ object SnapshotTable {
     require(branchMarkers(f, root, name).isEmpty,
       s"branch '$name' already exists at $root")
     f.mkdirs(dir)
+    // the sentinel's exclusive create IS the creation point: two
+    // concurrent createBranch calls can both pass the marker check
+    // and both mkdirs, but exactly one wins this create — the loser
+    // fails instead of silently contributing a second base-<V> that
+    // max() would then ignore
+    require(atomicCreate(f, new Path(dir, "created")),
+      s"branch '$name' already exists at $root (lost a concurrent " +
+        "createBranch race)")
     atomicCreate(f, new Path(dir, s"base-$at"))
     at
   }

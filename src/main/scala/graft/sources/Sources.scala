@@ -759,6 +759,44 @@ object Sources {
           min(col("o_orderkey")).as("min_key"))
         .orderBy("side", "o_orderstatus")
     }),
+    // Initial defaults under the oracle: commit orders, ALTER TABLE
+    // ADD COLUMNS (prio BIGINT DEFAULT 7) — an Iceberg-style initial
+    // default — then append rows carrying EXPLICIT prio values. The
+    // evolved read must surface 7 (not NULL) for every pre-evolution
+    // row and the stored values for appended ones; the oracle
+    // reconstructs both populations from the base table, so matching
+    // hashes prove the read-side fill (versioned at the adding
+    // commit) end-to-end through the connector scan.
+    "snapshot_initial_default" -> ((s, dir) => {
+      val wh = catalogWarehouse
+      val t = uniqueName("ord_idf")
+      s.conf.set("spark.sql.catalog.graft_idq",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_idq.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_idq.db")
+      val root = s"$wh/db/$t"
+      val o = graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      SnapshotTable.commit(s, root, o)                        // v1
+      s.sql(s"ALTER TABLE graft_idq.db.$t " +
+        "ADD COLUMNS (prio BIGINT DEFAULT 7)")                // v2
+      o.filter(col("o_orderkey") % 83 === 0 &&
+          col("o_orderkey") > 0)
+        .select((-col("o_orderkey")).as("o_orderkey"),
+          lit("D").as("o_orderstatus"), col("o_totalprice"),
+          (col("o_orderkey") % 5).as("prio"))
+        .createOrReplaceTempView("graft_idf_src")
+      s.sql(s"INSERT INTO graft_idq.db.$t " +
+        "SELECT * FROM graft_idf_src")                        // v3
+      s.table(s"graft_idq.db.$t")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("prio")).as("sum_prio"),
+          min(col("prio")).as("min_prio"),
+          max(col("prio")).as("max_prio"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy("o_orderstatus")
+    }),
     // Bucketed layout under the oracle: orders and customer committed
     // HASH-BUCKETED on the customer key (commitBucketed — the
     // storage-partitioned-join layout whose zero-Exchange plan the
@@ -1261,6 +1299,21 @@ object Sources {
         |  min(o_orderkey) AS min_key
         |FROM u GROUP BY side, o_orderstatus
         |ORDER BY side, o_orderstatus""".stripMargin,
+    "snapshot_initial_default" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders),
+        |evolved AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(7 AS BIGINT) AS prio
+        |  FROM base
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'D', o_orderkey % 5 FROM base
+        |  WHERE o_orderkey % 83 = 0 AND o_orderkey > 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(prio) AS BIGINT) AS sum_prio,
+        |  min(prio) AS min_prio, max(prio) AS max_prio,
+        |  min(o_orderkey) AS min_key
+        |FROM evolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "snapshot_clone_diverge" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

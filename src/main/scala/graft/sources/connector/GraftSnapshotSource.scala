@@ -1430,7 +1430,9 @@ private[graft] class GraftPartitionReader(file: String,
   extends PartitionReader[InternalRow] {
 
   // initial-default constants for columns this file predates, typed
-  // to catalyst values once (strings become UTF8String)
+  // to catalyst values once (strings become UTF8String); keyed
+  // lower-cased so a case-mismatched projection still fills the
+  // declared default, matching the columnar reader's equalsIgnoreCase
   private val fillValues: Map[String, Any] = fills.map { case (n, r) =>
     val dt = readSchema.fields.find(_.name.equalsIgnoreCase(n))
       .map(_.dataType).getOrElse(StringType)
@@ -1442,7 +1444,7 @@ private[graft] class GraftPartitionReader(file: String,
       case BooleanType => r.toBoolean
       case _ => UTF8String.fromString(r)
     }
-    n -> v
+    n.toLowerCase(java.util.Locale.ROOT) -> v
   }.toMap
 
   private val conf = new Configuration()
@@ -1488,12 +1490,18 @@ private[graft] class GraftPartitionReader(file: String,
   // such column (metadata column; a real stored `_file` wins above)
   private val filePathValue = UTF8String.fromString(file)
 
+  // per-output-column fill, resolved once (not per row): the typed
+  // initial default for columns this file predates, else null
+  private val fillAt: Array[Any] = readSchema.fields.map(f =>
+    fillValues.getOrElse(
+      f.name.toLowerCase(java.util.Locale.ROOT), null): Any)
+
   private def valueAt(i: Int): Any =
     fieldIdx.get(readSchema.fields(i).name) match {
       case None if readSchema.fields(i).name ==
         GraftFileMetadataColumn.Name => filePathValue
       case None => // file predates the column: initial default or NULL
-        fillValues.getOrElse(readSchema.fields(i).name, null)
+        fillAt(i)
       case Some(gi) => fieldValue(current, gi, readSchema.fields(i).dataType)
     }
 

@@ -391,7 +391,7 @@ class GraftCatalogSpec extends SparkSpec {
 
   test("column DEFAULTs: INSERT fills omitted columns, DEFAULT " +
       "keyword works, ALTER COLUMN SET/DROP DEFAULT manages it, and " +
-      "ADD COLUMN with DEFAULT is refused (old rows would lie)") {
+      "non-foldable defaults are refused at declaration") {
     spark.sql(
       """CREATE TABLE graft.db.dflt (k BIGINT,
         |v DOUBLE DEFAULT 1.5, tag STRING DEFAULT 'none')""".stripMargin)
@@ -415,11 +415,6 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO graft.db.dflt (k) VALUES (6)")
     assert(spark.sql("SELECT v FROM graft.db.dflt WHERE k = 6")
       .head().isNullAt(0))
-    // ADD COLUMN with DEFAULT would need existence defaults — refused
-    val e = intercept[Exception](spark.sql(
-      "ALTER TABLE graft.db.dflt ADD COLUMNS (w DOUBLE DEFAULT 3.0)"))
-    assert(e.getMessage.contains("SET DEFAULT afterwards"),
-      e.getMessage)
     // non-foldable defaults are refused at declaration
     val e2 = intercept[Exception](spark.sql(
       "ALTER TABLE graft.db.dflt ALTER COLUMN tag " +
@@ -455,6 +450,57 @@ class GraftCatalogSpec extends SparkSpec {
     // the table stayed usable throughout: loadTable + insert still work
     spark.sql("INSERT INTO graft.db.dfltedge (k) VALUES (2)")
     assert(spark.table("graft.db.dfltedge").count() == 2)
+  }
+
+  test("ADD COLUMNS with DEFAULT is an initial default: pre-evolution " +
+      "rows surface the literal (not NULL) through the connector scan, " +
+      "the native read, a case-mismatched projection, and after a COW " +
+      "rewrite; time travel to before the evolution has no such column") {
+    spark.sql("CREATE TABLE graft.db.initd (k BIGINT, v DOUBLE)")   // v1
+    val root = s"$warehouse/db/initd"
+    spark.sql(
+      "INSERT INTO graft.db.initd VALUES (1, 10.0), (2, 20.0)")     // v2
+    val preEvolution = SnapshotTable.currentVersion(spark, root)
+    spark.sql(
+      "ALTER TABLE graft.db.initd ADD COLUMNS (w DOUBLE DEFAULT 3.0)")
+    // connector scan: files that predate w read 3.0, never NULL
+    val viaCatalog = spark.table("graft.db.initd").orderBy("k")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    assert(viaCatalog.toSeq == Seq(1L -> 3.0, 2L -> 3.0),
+      viaCatalog.mkString(","))
+    // a case-mismatched projection fills the same constant (the
+    // row-based reader keys fills case-insensitively, like columnar)
+    val caseMix = spark.sql("SELECT W FROM graft.db.initd")
+      .collect().map(_.getDouble(0))
+    assert(caseMix.forall(_ == 3.0), caseMix.mkString(","))
+    // native SnapshotTable read agrees
+    val native = SnapshotTable.read(spark, root).orderBy("k").collect()
+      .map(r => r.getLong(r.fieldIndex("k")) ->
+        r.getDouble(r.fieldIndex("w")))
+    assert(native.toSeq == Seq(1L -> 3.0, 2L -> 3.0),
+      native.mkString(","))
+    // the initial default doubles as the CURRENT default: an INSERT
+    // omitting w fills 3.0; an explicit value is stored as given
+    spark.sql("INSERT INTO graft.db.initd (k, v) VALUES (3, 30.0)")
+    spark.sql("INSERT INTO graft.db.initd VALUES (4, 40.0, 7.5)")
+    val all = spark.table("graft.db.initd").orderBy("k").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toSeq
+    assert(all == Seq(1L -> 3.0, 2L -> 3.0, 3L -> 3.0, 4L -> 7.5),
+      all.mkString(","))
+    // time travel to before the evolution: the column doesn't exist
+    // there — pre-evolution readers see the pre-evolution schema
+    val old = spark.sql(
+      s"SELECT * FROM graft.db.initd VERSION AS OF $preEvolution")
+    assert(!old.columns.exists(_.equalsIgnoreCase("w")),
+      old.columns.mkString(","))
+    assert(old.count() == 2)
+    // a COW rewrite of a pre-evolution row keeps the fill: the
+    // rewritten file stores (or re-fills) 3.0, never NULL
+    spark.sql("UPDATE graft.db.initd SET v = 11.0 WHERE k = 1")
+    val after = spark.table("graft.db.initd").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(after == Seq((1L, 11.0, 3.0), (2L, 20.0, 3.0),
+      (3L, 30.0, 3.0), (4L, 40.0, 7.5)), after.mkString(","))
   }
 
   test("zero-copy clone: a writable branch shares the source's files " +
