@@ -74,7 +74,7 @@ object Hll {
     math.round(e)
   }
 
-  private[functions] val hashableTypes: Set[DataType] = Set(StringType,
+  private[graft] val hashableTypes: Set[DataType] = Set(StringType,
     LongType, IntegerType, ShortType, ByteType, BooleanType, DateType,
     TimestampType, DoubleType, FloatType)
 

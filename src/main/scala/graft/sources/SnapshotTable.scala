@@ -99,7 +99,11 @@ object SnapshotTable {
       lo2: Option[String] = None, hi2: Option[String] = None,
       rows: Option[Long] = None,
       statsNulls: Option[Long] = None,
-      extraStats: Seq[(String, String, String)] = Nil) {
+      extraStats: Seq[(String, String, String)] = Nil,
+      // per-column HLL register arrays (fixed NdvPrecision) for this
+      // file — MERGEABLE, so any pruned subset of files still yields
+      // an NDV estimate at plan time (the CBO column-stats feed)
+      ndv: Seq[(String, Array[Byte])] = Nil) {
     /** Recorded [lo, hi] for `key`, whichever stats slot holds it —
       * a Z-ordered file carries a bounding box on every curve column
       * (two named slots plus the open-ended extra list) and prunes on
@@ -208,6 +212,13 @@ object SnapshotTable {
           // the base64 alphabet
           .append(e.extraStats.map { case (k, l, h) =>
             s"${b64(k)}:${b64(l)}:${b64(h)}" }.mkString(";"))
+          .append('\t')
+          // NDV sketches: ;-joined b64(col):b64(registers) pairs —
+          // field 15, blank-safe for old manifests (padTo) and ignored
+          // by readers that predate it
+          .append(e.ndv.map { case (k, s) =>
+            s"${b64(k)}:${java.util.Base64.getEncoder.encodeToString(s)}"
+          }.mkString(";"))
           .append('\n')
       }
       out.write(sb.toString.getBytes("UTF-8"))
@@ -298,7 +309,7 @@ object SnapshotTable {
           .asInstanceOf[StructType]
     }
     val entries = rows.map { l =>
-      val fld = l.split('\t').padTo(14, "")
+      val fld = l.split('\t').padTo(15, "")
       FileEntry(unb64(fld(0)),
         Option(fld(1)).filter(_.nonEmpty).map(unb64),
         Option(fld(2)).filter(_.nonEmpty).map(unb64),
@@ -318,6 +329,11 @@ object SnapshotTable {
           .toSeq.filter(_.nonEmpty).map { t =>
             val p = t.split(':')
             (unb64(p(0)), unb64(p(1)), unb64(p(2)))
+          }),
+        Option(fld(14)).filter(_.nonEmpty).toSeq.flatMap(_.split(';')
+          .toSeq.filter(_.nonEmpty).map { t =>
+            val p = t.split(':')
+            (unb64(p(0)), java.util.Base64.getDecoder.decode(p(1)))
           }))
     }
     (entries, schema)
@@ -404,31 +420,57 @@ object SnapshotTable {
       zorderWith, zorderExtra))
   }
 
+  /** HLL register count for per-file NDV sketches: 2^9 = 512 bytes
+    * per column per file (~4.6% standard error) — small enough to ride
+    * the manifest at serving-table file counts, accurate enough for
+    * CBO join-cardinality estimates. Session-tunable via
+    * `spark.graft.stats.ndv.enabled` / `.maxColumns` — a 100 TB fact
+    * table with thousands of files per commit should cap the column
+    * list (or disable) to keep manifests lean. */
+  private[sources] val NdvPrecision = 9
+
+  private def ndvStatFields(spark: SparkSession,
+      schema: StructType): Seq[StructField] = {
+    val enabled = spark.conf.getOption("spark.graft.stats.ndv.enabled")
+      .forall(_.toBoolean)
+    if (!enabled) return Nil
+    val maxCols = spark.conf.getOption("spark.graft.stats.ndv.maxColumns")
+      .map(_.toInt).getOrElse(16)
+    schema.fields.toSeq
+      .filter(f => graft.functions.Hll.hashableTypes.contains(f.dataType))
+      .take(maxCols)
+  }
+
   /** Per-file manifest stats for an already-written segment: min/max
-    * on `clusterKey` (and `zorderWith`) plus a membership sketch on
-    * `bloomKey`, all computed in ONE column-pruned pass over the
-    * segment's files. Shared by [[stageSegment]] and the DataSource V2
-    * write path (whose files are written by executor tasks, not
-    * `df.write`). */
+    * on `clusterKey` (and `zorderWith`), a membership sketch on
+    * `bloomKey`, and per-column NDV (HLL) sketches, all computed in
+    * ONE column-pruned pass over the segment's files. Shared by
+    * [[stageSegment]] and the DataSource V2 write path (whose files
+    * are written by executor tasks, not `df.write`). */
   private[sources] def statsEntries(spark: SparkSession, root: String,
       seg: Path, rel: Seq[String], clusterKey: Option[String],
       bloomKey: Option[String], zorderWith: Option[String] = None,
       zorderExtra: Seq[String] = Nil)
   : Seq[FileEntry] = {
+    val segDf = spark.read.parquet(seg.toString)
+    val ndvCols = ndvStatFields(spark, segDf.schema)
     val entries =
-      if (clusterKey.isEmpty && bloomKey.isEmpty)
+      if (clusterKey.isEmpty && bloomKey.isEmpty && ndvCols.isEmpty)
         rel.map(FileEntry(_, None, None, None))
       else {
         // one column-pruned pass over the NEW files only, computing
-        // every requested per-file stat (min/max per stats column
-        // and/or bloom) at once
+        // every requested per-file stat (min/max per stats column,
+        // bloom and/or NDV sketches) at once
         graft.functions.BloomFunctions.register(spark)
+        graft.functions.HllFunctions.register(spark)
         val cols = Seq(input_file_name().as("__f")) ++
           clusterKey.map(k => col(k).as("__ck")) ++
           bloomKey.map(k => col(k).as("__bk")) ++
           zorderWith.map(k => col(k).as("__zk")) ++
           zorderExtra.zipWithIndex.map { case (k, i) =>
-            col(k).as(s"__ze$i") }
+            col(k).as(s"__ze$i") } ++
+          ndvCols.zipWithIndex.map { case (fd, i) =>
+            col(s"`${fd.name}`").as(s"__n$i") }
         val aggs =
           clusterKey.toSeq.flatMap(_ => Seq(
             smin(col("__ck")).cast("string").as("__lo"),
@@ -447,14 +489,19 @@ object SnapshotTable {
             smax(col("__zk")).cast("string").as("__hi2"))) ++
           zorderExtra.indices.flatMap(i => Seq(
             smin(col(s"__ze$i")).cast("string").as(s"__loe$i"),
-            smax(col(s"__ze$i")).cast("string").as(s"__hie$i")))
-        val statRows = spark.read.parquet(seg.toString)
+            smax(col(s"__ze$i")).cast("string").as(s"__hie$i"))) ++
+          ndvCols.indices.map(i => expr(
+            s"graft_hll_sketch(__n$i, $NdvPrecision)").as(s"__ndv$i"))
+        val statRows = segDf
           .select(cols: _*)
           .groupBy(col("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map(r => new Path(r.getAs[String]("__f")).getName -> r)
           .toMap
+        def ndvOf(r: org.apache.spark.sql.Row): Seq[(String, Array[Byte])] =
+          ndvCols.zipWithIndex.flatMap { case (fd, i) =>
+            Option(r.getAs[Array[Byte]](s"__ndv$i")).map(fd.name -> _) }
         rel.map { p =>
           statRows.get(new Path(p).getName) match {
             case None => FileEntry(p, clusterKey, None, None)
@@ -485,7 +532,7 @@ object SnapshotTable {
                 statsKey2 = zorderWith.filter(_ =>
                   lo2.isDefined && hi2.isDefined),
                 lo2 = lo2, hi2 = hi2, statsNulls = nulls,
-                extraStats = extras)
+                extraStats = extras, ndv = ndvOf(r))
           }
         }
       }
@@ -495,6 +542,22 @@ object SnapshotTable {
     // and let COUNT(*) answer from the manifest alone.
     val f = fs(spark, root)
     entries.map(e => e.copy(rows = footerRowCount(f, root, e.path)))
+  }
+
+  /** Merged NDV estimates over a set of manifest entries:
+    * column -> distinct-count estimate from the per-file HLL register
+    * unions. A column is reported only when EVERY data file carries
+    * its sketch — a partial union undercounts, and a wrong NDV is
+    * worse for the CBO than no NDV. Metadata only, no file IO. */
+  def ndvEstimates(entries: Seq[FileEntry]): Map[String, Long] = {
+    val maps = entries.filter(_.kind == "d").map(_.ndv.toMap)
+    if (maps.isEmpty || maps.exists(_.isEmpty)) return Map.empty
+    maps.map(_.keySet).reduce(_ intersect _).iterator.map { c =>
+      val it = maps.iterator.map(_(c))
+      val acc = it.next().clone()
+      it.foreach(graft.functions.Hll.merge(acc, _))
+      c -> graft.functions.Hll.estimate(acc)
+    }.toMap
   }
 
   /** Row count from a parquet file's footer; None if unreadable (the
@@ -893,15 +956,47 @@ object SnapshotTable {
     * reports the partitioning when EVERY kept file carries a bucket
     * id. */
   def commitBucketed(spark: SparkSession, root: String, df: DataFrame,
-      key: String, buckets: Int, maxRetries: Int = 5): Long = {
-    val (seg, stamped) = stageBucketed(spark, root, df, key, buckets)
+      key: String, buckets: Int, maxRetries: Int = 5): Long =
+    commitBucketedOn(spark, root, df, Seq(key -> buckets), maxRetries)
+
+  /** COMPOSITE (grid) bucket layout: each key gets its OWN
+    * per-column bucket transform (`pmod(murmur3(k_i), n_i)`), and a
+    * file belongs to one grid CELL — the tuple of its per-key bucket
+    * ids. The scan then reports `KeyGroupedPartitioning(bucket(n1,
+    * k1), bucket(n2, k2), ...)`, the only shape Spark's SPJ machinery
+    * accepts (its partitioning validator requires single-argument
+    * transforms — a single hash over the tuple can never align), so a
+    * join on the full key tuple runs with ZERO exchange. Total cells
+    * = product of the per-key counts; the properties record both
+    * comma-joined lists, and single-key tables keep the old property
+    * shape verbatim. */
+  def commitBucketedOn(spark: SparkSession, root: String, df: DataFrame,
+      keys: Seq[(String, Int)], maxRetries: Int = 5): Long = {
+    require(keys.nonEmpty, "bucket keys must be non-empty")
+    require(keys.forall(!_._1.contains(",")),
+      s"bucket key names cannot contain ',': ${keys.map(_._1).mkString(";")}")
+    val (seg, stamped) = stageBucketed(spark, root, df, keys)
     val v = replaceStaged(spark, root, seg, stamped, df.schema,
       maxRetries)
     setProperties(spark, root, tableProperties(spark, root) ++ Map(
-      "graft.bucket.key" -> key,
-      "graft.bucket.count" -> buckets.toString))
+      "graft.bucket.key" -> keys.map(_._1).mkString(","),
+      "graft.bucket.count" -> keys.map(_._2).mkString(",")))
     v
   }
+
+  /** Parse the comma-joined bucket-layout properties back to
+    * (key, count) pairs; a legacy single-count property applies the
+    * one count to every key. */
+  private[graft] def bucketLayoutOf(
+      props: Map[String, String]): Option[Seq[(String, Int)]] =
+    for {
+      k <- props.get("graft.bucket.key")
+      c <- props.get("graft.bucket.count")
+      ks = k.split(',').toSeq
+      cs <- scala.util.Try(c.split(',').toSeq.map(_.toInt)).toOption
+      if cs.nonEmpty && (cs.length == ks.length || cs.length == 1)
+    } yield ks.zip(
+      if (cs.length == 1) Seq.fill(ks.length)(cs.head) else cs)
 
   /** APPEND a batch INTO the table's declared bucket layout: new
     * files land in their buckets (same function, same count — read
@@ -913,12 +1008,11 @@ object SnapshotTable {
   def appendBucketed(spark: SparkSession, root: String, df: DataFrame,
       maxRetries: Int = 5, txn: Option[(String, Long)] = None): Long = {
     val props = tableProperties(spark, root)
-    val key = props.getOrElse("graft.bucket.key",
+    val layout = bucketLayoutOf(props).getOrElse(
       throw new IllegalArgumentException(
         s"appendBucketed: $root has no bucket layout " +
           "(commitBucketed first)"))
-    val buckets = props("graft.bucket.count").toInt
-    val (seg, stamped) = stageBucketed(spark, root, df, key, buckets)
+    val (seg, stamped) = stageBucketed(spark, root, df, layout)
     // the idempotence marker rides the manifest entries, so it commits
     // atomically WITH the data (see lastCommittedTxn)
     val marked = txn.fold(stamped) { case (app, batch) =>
@@ -950,12 +1044,40 @@ object SnapshotTable {
     if (ids.isEmpty) None else Some(ids.max)
   }
 
+  /** The grid-cell id of a key tuple: per-key `pmod(murmur3(k_i),
+    * n_i)` folded positionally (`((b1)*n2 + b2)*n3 + ...`) — each
+    * per-key bucket is recoverable from the cell id and the counts,
+    * so the manifest stores ONE id per file and the scan decomposes
+    * it back to the partition-key tuple. Single key: cell == bucket,
+    * the exact layout every pre-grid table already has on disk. */
+  private[graft] def gridCell(keys: Seq[(String, Int)])
+  : org.apache.spark.sql.Column =
+    keys.map { case (k, n) => pmod(hash(col(k)), lit(n)) }
+      .zip(keys.map(_._2))
+      .reduceLeft[(org.apache.spark.sql.Column, Int)] {
+        case ((acc, _), (b, n)) => (acc * n + b, n)
+      }._1
+
+  private[graft] def gridDecompose(cell: Int,
+      counts: Seq[Int]): Seq[Int] = {
+    var c = cell
+    val out = new Array[Int](counts.length)
+    var i = counts.length - 1
+    while (i >= 0) {
+      out(i) = c % counts(i)
+      c /= counts(i)
+      i -= 1
+    }
+    out.toSeq
+  }
+
   private def stageBucketed(spark: SparkSession, root: String,
-      df: DataFrame, key: String, buckets: Int)
+      df: DataFrame, keys: Seq[(String, Int)])
   : (Path, Seq[FileEntry]) = {
-    require(buckets > 0, "buckets must be positive")
+    require(keys.forall(_._2 > 0), "buckets must be positive")
+    val buckets = keys.map(_._2).product
     val seg = newSegmentPath(root)
-    df.withColumn("__b", pmod(hash(col(key)), lit(buckets)))
+    df.withColumn("__b", gridCell(keys))
       .repartition(buckets, col("__b"))
       .write.partitionBy("__b").mode("error").parquet(seg.toString)
     val f = fs(spark, root)
@@ -971,16 +1093,27 @@ object SnapshotTable {
       buf.result().sortBy(_.toUri.getPath)
     }
     // one column-pruned stats pass: per file, its bucket (constant by
-    // construction — partitionBy directory) + key min/max
+    // construction — partitionBy directory), per-key min/max, and the
+    // NDV sketches every other commit path records
+    val ndvCols = ndvStatFields(spark,
+      StructType(df.schema.fields.filterNot(_.name == "__b")))
+    graft.functions.HllFunctions.register(spark)
+    val selCols = Seq(input_file_name().as("__f"), col("__b")) ++
+      keys.zipWithIndex.map { case ((k, _), i) => col(k).as(s"__k$i") } ++
+      ndvCols.zipWithIndex.map { case (fd, i) =>
+        col(s"`${fd.name}`").as(s"__n$i") }
+    val aggCols = Seq(first(col("__b")).as("__bv")) ++
+      keys.indices.flatMap(i => Seq(
+        smin(col(s"__k$i")).cast("string").as(s"__lo$i"),
+        smax(col(s"__k$i")).cast("string").as(s"__hi$i"),
+        expr(s"sum(CASE WHEN __k$i IS NULL THEN 1 ELSE 0 END)")
+          .as(s"__nulls$i"))) ++
+      ndvCols.indices.map(i => expr(
+        s"graft_hll_sketch(__n$i, $NdvPrecision)").as(s"__ndv$i"))
     val statRows = spark.read.parquet(seg.toString)
-      .select(input_file_name().as("__f"), col("__b"),
-        col(key).as("__k"))
+      .select(selCols: _*)
       .groupBy(col("__f"))
-      .agg(first(col("__b")).as("__bv"),
-        smin(col("__k")).cast("string").as("__lo"),
-        smax(col("__k")).cast("string").as("__hi"),
-        expr("sum(CASE WHEN __k IS NULL THEN 1 ELSE 0 END)")
-          .as("__nulls"))
+      .agg(aggCols.head, aggCols.tail: _*)
       .collect()
       .map(r => new Path(r.getAs[String]("__f")).toUri.getPath ->
         (r: org.apache.spark.sql.Row)).toMap
@@ -989,15 +1122,29 @@ object SnapshotTable {
       val rel = s"_data/${seg.getName}/" +
         p.toUri.getPath.stripPrefix(segPathStr).stripPrefix("/")
       statRows.get(p.toUri.getPath) match {
-        case None => FileEntry(rel, Some(key), None, None)
+        case None => FileEntry(rel, Some(keys.head._1), None, None)
         case Some(r) =>
           val b = r.getAs[Number]("__bv").longValue()
-          FileEntry(rel, Some(key),
-            Option(r.getAs[String]("__lo")),
-            Option(r.getAs[String]("__hi")),
-            statsNulls = Option(r.getAs[Any]("__nulls"))
+          // keys beyond the first range-record as extra stats slots,
+          // so pruning works on every bucket column
+          val extraKeyStats = keys.zipWithIndex.drop(1).flatMap {
+            case ((k, _), i) =>
+              (Option(r.getAs[String](s"__lo$i")),
+                Option(r.getAs[String](s"__hi$i"))) match {
+                case (Some(l), Some(h)) => Some((k, l, h))
+                case _ => None
+              }
+          }
+          FileEntry(rel, Some(keys.head._1),
+            Option(r.getAs[String]("__lo0")),
+            Option(r.getAs[String]("__hi0")),
+            statsNulls = Option(r.getAs[Any]("__nulls0"))
               .map(_.asInstanceOf[Number].longValue()),
-            extraStats = Seq(("__bucket", b.toString, b.toString)))
+            extraStats = extraKeyStats :+
+              (("__bucket", b.toString, b.toString)),
+            ndv = ndvCols.zipWithIndex.flatMap { case (fd, i) =>
+              Option(r.getAs[Array[Byte]](s"__ndv$i")).map(fd.name -> _)
+            })
       }
     }
     (seg, entries.map(e =>
@@ -2142,17 +2289,10 @@ object SnapshotTable {
     // storage-partitioned joins to shuffles
     val bucketLayout =
       if (clusterKey.isDefined) None
-      else {
-        val props = tableProperties(spark, root)
-        for {
-          k <- props.get("graft.bucket.key")
-          n <- props.get("graft.bucket.count").flatMap(s =>
-            scala.util.Try(s.toInt).toOption)
-        } yield (k, n)
-      }
+      else bucketLayoutOf(tableProperties(spark, root))
     val (seg, newEntries) = (clusterKey, bucketLayout) match {
-      case (_, Some((bk, bn))) =>
-        stageBucketed(spark, root, snapshot, bk, bn)
+      case (_, Some(layout)) =>
+        stageBucketed(spark, root, snapshot, layout)
       case (Some(_), _) =>
         stageSegment(spark, root, snapshot, clusterKey, nFiles,
           inherited)

@@ -752,7 +752,10 @@ private[connector] class GraftMetadataTable(fullName: String,
             Row(e.path, e.kind, e.seq, e.rows.map(Long.box).orNull,
               bytes,
               e.statsKey.orNull, e.lo.orNull, e.hi.orNull,
-              e.statsFor("__bucket").map(_._1).orNull)
+              e.statsFor("__bucket").map(_._1).orNull,
+              if (e.ndv.isEmpty) null
+              else e.ndv.map { case (c, sk) =>
+                c -> graft.functions.Hll.estimate(sk) }.toMap)
           }
           localRows(data, GraftMetadataTable.FilesSchema)
         case "properties" =>
@@ -794,7 +797,10 @@ private[connector] object GraftMetadataTable {
     StructField("stats_key", StringType, nullable = true),
     StructField("min", StringType, nullable = true),
     StructField("max", StringType, nullable = true),
-    StructField("bucket", StringType, nullable = true)))
+    StructField("bucket", StringType, nullable = true),
+    // per-file NDV estimates from the manifest's HLL sketches
+    // (column -> distinct count); NULL when the file carries none
+    StructField("ndv", MapType(StringType, LongType), nullable = true)))
 
   val PropsSchema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
@@ -1038,11 +1044,14 @@ object GraftBucketFunction extends org.apache.spark.sql.connector
   override def name(): String = "bucket"
 
   override def description(): String =
-    "bucket(n, col): pmod(murmur3(col), n) — the snapshot bucket layout"
+    "bucket(n, col): pmod(murmur3(col), n) — the snapshot bucket " +
+      "layout (a composite layout is a GRID of these, one per key)"
 
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 2,
-      s"bucket takes (numBuckets, key), got ${inputType.simpleString}")
+      s"bucket takes (numBuckets, key), got ${inputType.simpleString}" +
+        " — composite layouts report one single-key transform per " +
+        "column (Spark's SPJ validator accepts nothing wider)")
     val keyType = inputType.fields(1).dataType
     keyType match {
       case IntegerType | LongType | StringType | DateType =>

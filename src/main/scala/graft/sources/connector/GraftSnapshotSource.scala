@@ -94,7 +94,12 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister {
       s"no committed version at $root — bootstrap the table first " +
         "(SnapshotTable.commit / createEmpty, or the catalog's " +
         "CREATE TABLE)")
-    GraftSnapshotSource.schemaOf(spark, root, v)
+    val base = GraftSnapshotSource.schemaOf(spark, root, v)
+    // changes=true: the CHANGELOG stream — each row is a change event
+    // (insert / delete) stamped with its commit version
+    if (options.getBoolean("changes", false))
+      GraftSnapshotSource.withCdcColumns(base)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -121,6 +126,16 @@ private[connector] object GraftSnapshotSource {
     case MapType(k, v, _) => supported(k) && supported(v)
     case other => SupportedTypes.contains(other)
   }
+
+  /** Changelog metadata columns (Delta CDF's naming): every change
+    * row carries what happened and in which commit. */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  def withCdcColumns(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      StructField(ChangeTypeCol, StringType, nullable = false),
+      StructField(CommitVersionCol, LongType, nullable = false)))
 
   def schemaOf(spark: SparkSession, root: String, v: Long): StructType = {
     val (entries, mSchema) = SnapshotTable.readManifestFull(spark, root, v)
@@ -197,8 +212,22 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
     * version N's changes. Default remains 0 — replay the full
     * history. */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-  : ScanBuilder = new GraftScanBuilder(root, version, tableSchema,
-    streamStart = Option(options.get("startingVersion")))
+  : ScanBuilder =
+    if (options.getBoolean("changes", false)) {
+      // the CHANGELOG stream: row-level change events, not snapshots.
+      // The provider's inferSchema appended the CDC columns, so this
+      // mode is reached through the path-based readStream
+      require(tableSchema.fieldNames
+        .contains(GraftSnapshotSource.ChangeTypeCol),
+        "changes=true is the path-based changelog stream: " +
+          "spark.readStream.format(\"graft-snapshot\")" +
+          ".option(\"path\", root).option(\"changes\", \"true\") — " +
+          "for batch change sets use t.changes / t.delete_keys")
+      val scan = new GraftChangesScan(root, tableSchema,
+        Option(options.get("startingVersion")))
+      new ScanBuilder { override def build(): Scan = scan }
+    } else new GraftScanBuilder(root, version, tableSchema,
+      streamStart = Option(options.get("startingVersion")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, info)
@@ -786,6 +815,84 @@ private[connector] class GraftMicroBatchStream(root: String,
     new GraftReaderFactory(required.json, Array.empty)
 }
 
+/** The CHANGELOG streaming scan (`changes=true`): each micro-batch
+  * delivers row-level CHANGE EVENTS, not table rows — the streaming
+  * twin of the catalog's `t.changes` / `t.delete_keys` batch tables.
+  * Batch reads are refused with the pointer (a changelog is a stream
+  * by nature; the batch surface already exists). */
+private[connector] class GraftChangesScan(root: String,
+    cdcSchema: StructType, streamStart: Option[String])
+  extends Scan {
+  override def readSchema(): StructType = cdcSchema
+  override def description(): String = s"graft-snapshot-changes($root)"
+  override def toBatch: Batch =
+    throw new UnsupportedOperationException(
+      "changes=true is a STREAMING read (spark.readStream); for a " +
+        "batch change set use the catalog's t.changes / " +
+        "t.delete_keys tables or SnapshotTable.diff(from, to)")
+  override def toMicroBatchStream(checkpointLocation: String)
+  : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftChangesMicroBatchStream(root, cdcSchema, streamStart)
+}
+
+/** CHANGELOG micro-batch stream: version range (start, end] becomes
+  * change events —
+  *
+  *  - every data file a version ADDED → its rows as
+  *    `_change_type = 'insert'` (a merge-on-read update's replacement
+  *    rows included),
+  *  - every tombstone a version added → its KEYS as
+  *    `_change_type = 'delete'` rows (key column set, data columns
+  *    NULL — tombstones record keys, not full pre-images),
+  *
+  * each stamped `_commit_version`. A MOR update therefore streams as
+  * delete(key) + insert(new row) under one commit version — apply
+  * deletes before inserts of the same version. Unlike the APPEND
+  * stream, merge-on-read history is fully expressible; what still
+  * refuses loudly is a REWRITE (compaction / COW merge / replace):
+  * "file removed" carries no row-level meaning, exactly the line
+  * `t.changes` draws. The per-event columns ride the reader's
+  * constant-fill channel (the initial-default machinery), so no data
+  * is copied or widened on disk. */
+private[connector] class GraftChangesMicroBatchStream(root: String,
+    cdcSchema: StructType, startingVersion: Option[String] = None)
+  extends GraftMicroBatchStream(root, cdcSchema, startingVersion) {
+
+  private def session = SparkSession.active
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset)
+  : Array[InputPartition] = {
+    val vS = start.asInstanceOf[GraftOffset].version
+    val vE = end.asInstanceOf[GraftOffset].version
+    if (vE <= vS) return Array.empty
+    val before =
+      if (vS == 0L) Seq.empty
+      else SnapshotTable.readManifestFull(session, root, vS)._1
+    val after = SnapshotTable.readManifestFull(session, root, vE)._1
+    val beforePaths = before.map(_.path).toSet
+    val afterPaths = after.map(_.path).toSet
+    val dropped = before.filter(e => !afterPaths.contains(e.path))
+    require(dropped.isEmpty,
+      s"changelog stream at $root: versions ($vS, $vE] rewrote " +
+        s"${dropped.size} file(s) (compaction / copy-on-write merge " +
+        "/ replace) — a file-delta changelog cannot attach row-level " +
+        "meaning to a rewrite; restart from the current version or " +
+        "use SnapshotTable.diff for the exact row diff")
+    def event(e: SnapshotTable.FileEntry,
+        changeType: String): InputPartition =
+      GraftInputPartition(new Path(root, e.path).toString, e.seq,
+        Array.empty, null, null,
+        fills = Array(
+          (GraftSnapshotSource.ChangeTypeCol, changeType),
+          (GraftSnapshotSource.CommitVersionCol, e.seq.toString)))
+    after.filter(e => !beforePaths.contains(e.path)).map { e =>
+      if (e.kind == "t") event(e, "delete") else event(e, "insert")
+    }.toArray
+  }
+}
+
 /** A merge-on-read tombstone file this partition must apply: only
   * tombstones whose seq EXCEEDS the data file's (older rows die) and
   * whose recorded key range can intersect the file's survive the
@@ -795,15 +902,15 @@ private[connector] case class TombRef(absolutePath: String, seq: Long)
 /** One InputPartition per data file — the natural parallelism of an
   * immutable-file table. `tombs` is empty for compacted tables;
   * `keyName`/`keyTypeJson` are null then. */
-/** All of one bucket's files as ONE input partition, keyed by the
-  * bucket id — the unit of a storage-partitioned join: Spark matches
-  * partitions of two scans by [[partitionKey]] instead of shuffling
-  * either side. */
+/** All of one grid cell's files as ONE input partition, keyed by the
+  * per-key bucket tuple — the unit of a storage-partitioned join:
+  * Spark matches partitions of two scans by [[partitionKey]] (one
+  * value per reported transform) instead of shuffling either side. */
 private[connector] case class GraftBucketedPartition(
-    parts: Array[GraftInputPartition], bucket: Int)
+    parts: Array[GraftInputPartition], key: Seq[Int])
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](bucket))
+    new GenericInternalRow(key.map(b => b: Any).toArray)
 }
 
 private[connector] case class GraftInputPartition(absolutePath: String,
@@ -900,18 +1007,16 @@ private[connector] class GraftScan(root: String, version: Long,
     * kept data file still carries a bucket id (maintenance that
     * rewrote files unbucketed degrades to unknown partitioning — a
     * performance downgrade, never a correctness risk). */
-  private lazy val bucketSpec: Option[(String, Int)] = {
+  private lazy val bucketSpec: Option[Seq[(String, Int)]] = {
     val props = SnapshotTable
       .tableProperties(SparkSession.active, root)
-    for {
-      k <- props.get("graft.bucket.key")
-      n <- props.get("graft.bucket.count").flatMap(s =>
-        scala.util.Try(s.toInt).toOption)
-      // judged on the COMPILE-TIME kept set: runtime filtering only
-      // ever empties a reported bucket's file list, never the layout
-      if keptData.nonEmpty &&
-        keptData.forall(_.statsFor("__bucket").isDefined)
-    } yield (k, n)
+    // comma-joined lists = composite (grid) layout, one per-column
+    // bucket transform per key; judged on the COMPILE-TIME kept set:
+    // runtime filtering only ever empties a reported bucket's file
+    // list, never the layout
+    SnapshotTable.bucketLayoutOf(props).filter(_ =>
+      keptData.nonEmpty &&
+        keptData.forall(_.statsFor("__bucket").isDefined))
   }
 
   private def bucketOf(e: FileEntry): Int =
@@ -938,11 +1043,17 @@ private[connector] class GraftScan(root: String, version: Long,
   override def outputPartitioning()
   : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     bucketSpec match {
-      case Some((k, n)) =>
+      case Some(layout) =>
+        // one SINGLE-column transform per key — Spark's partitioning
+        // validator rejects multi-argument transforms, so a composite
+        // layout reports a grid of per-key bucket transforms and the
+        // partition key is the per-key bucket tuple
         new org.apache.spark.sql.connector.read.partitioning
-          .KeyGroupedPartitioning(Array(
+          .KeyGroupedPartitioning(layout.map { case (k, n) =>
             org.apache.spark.sql.connector.expressions.Expressions
-              .bucket(n, k)), reportedBuckets.size)
+              .bucket(n, k): org.apache.spark.sql.connector
+              .expressions.Expression
+          }.toArray, reportedBuckets.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(runtimeKept.size)
@@ -1016,14 +1127,17 @@ private[connector] class GraftScan(root: String, version: Long,
     // wider compile-time set.
     onPlan.foreach(_(runtimeKept))
     bucketSpec match {
-      case Some(_) =>
-        // one partition per REPORTED bucket (stable vs the planning-
-        // time report even when runtime filtering empties a bucket)
+      case Some(layout) =>
+        // one partition per REPORTED grid cell (stable vs the
+        // planning-time report even when runtime filtering empties a
+        // cell), keyed by the decomposed per-key bucket tuple
         val byBucket = runtimeKept.groupBy(bucketOf)
+        val counts = layout.map(_._2)
         reportedBuckets.map { b =>
           GraftBucketedPartition(
             byBucket.getOrElse(b, Seq.empty)
-              .map(filePartition).toArray, b): InputPartition
+              .map(filePartition).toArray,
+            SnapshotTable.gridDecompose(b, counts)): InputPartition
         }.toArray
       case None =>
         runtimeKept.map(filePartition(_): InputPartition).toArray
@@ -1061,6 +1175,78 @@ private[connector] class GraftScan(root: String, version: Long,
       if (tombs.isEmpty && runtimeKept.forall(_.rows.isDefined))
         java.util.OptionalLong.of(runtimeKept.map(_.rows.get).sum)
       else java.util.OptionalLong.empty()
+    // per-column stats for the CBO (join reorder / broadcast sizing):
+    // NDV from the manifest's per-file HLL sketches merged over the
+    // PRUNED file set, null counts and min/max from the recorded
+    // per-file stats where the stats column is projected. Metadata
+    // only; withheld entirely under tombstones (rows the merge-on-read
+    // path deletes would inflate every estimate).
+    override def columnStats(): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      val data = runtimeKept.filter(_.kind == "d")
+      if (tombs.nonEmpty || data.isEmpty) return out
+      val ndv = SnapshotTable.ndvEstimates(data)
+      required.fields.foreach { fd =>
+        val distinct = ndv.collectFirst {
+          case (c, n) if c.equalsIgnoreCase(fd.name) => n }
+        // null count: recorded per file for the table's stats column
+        val nulls =
+          if (data.forall(e => e.statsKey.exists(_.equalsIgnoreCase(
+            fd.name)) && e.statsNulls.isDefined))
+            Some(data.map(_.statsNulls.get).sum)
+          else None
+        // min/max: numeric columns with recorded per-file ranges on
+        // every kept file (strings stay unreported — collation-safe)
+        def parsed(s: String): Option[Any] = fd.dataType match {
+          case org.apache.spark.sql.types.IntegerType =>
+            s.toIntOption.map(Int.box)
+          case org.apache.spark.sql.types.LongType =>
+            s.toLongOption.map(Long.box)
+          case org.apache.spark.sql.types.DoubleType =>
+            s.toDoubleOption.map(Double.box)
+          case org.apache.spark.sql.types.FloatType =>
+            s.toFloatOption.map(Float.box)
+          case _ => None
+        }
+        val ranges = data.map(_.statsFor(fd.name))
+        val (mn, mx) =
+          if (ranges.forall(_.isDefined) && ranges.nonEmpty) {
+            val los = ranges.flatMap(r => parsed(r.get._1))
+            val his = ranges.flatMap(r => parsed(r.get._2))
+            if (los.size == data.size && his.size == data.size)
+              (Some(los.minBy(v =>
+                v.asInstanceOf[Number].doubleValue())),
+                Some(his.maxBy(v =>
+                  v.asInstanceOf[Number].doubleValue())))
+            else (None, None)
+          } else (None, None)
+        if (distinct.isDefined || nulls.isDefined || mn.isDefined) {
+          out.put(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(fd.name),
+            new org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                distinct.fold(java.util.OptionalLong.empty())(
+                  java.util.OptionalLong.of)
+              override def nullCount(): java.util.OptionalLong =
+                nulls.fold(java.util.OptionalLong.empty())(
+                  java.util.OptionalLong.of)
+              override def min(): java.util.Optional[Object] =
+                mn.fold(java.util.Optional.empty[Object]())(v =>
+                  java.util.Optional.of(v.asInstanceOf[Object]))
+              override def max(): java.util.Optional[Object] =
+                mx.fold(java.util.Optional.empty[Object]())(v =>
+                  java.util.Optional.of(v.asInstanceOf[Object]))
+            })
+        }
+      }
+      out
+    }
   }
 
   /** Runtime (join-driven) file pruning: when this scan sits under a

@@ -91,18 +91,12 @@ private[connector] class GraftWrite(root: String, schema: StructType,
     * and the MOR delta writes. Without this, every INSERT INTO a
     * bucketed table would silently demote SPJ to a shuffle until
     * compaction. */
-  private val bucketSpec: Option[(String, Int)] = {
+  private val bucketSpec: Option[Seq[(String, Int)]] = {
     if (replace) None
-    else {
-      val props = SnapshotTable
-        .tableProperties(SparkSession.active, root)
-      for {
-        k <- props.get("graft.bucket.key")
-        if schema.fieldNames.exists(_.equalsIgnoreCase(k))
-        n <- props.get("graft.bucket.count").flatMap(v =>
-          scala.util.Try(v.toInt).toOption)
-      } yield (k, n)
-    }
+    else SnapshotTable.bucketLayoutOf(
+      SnapshotTable.tableProperties(SparkSession.active, root))
+      .filter(_.forall { case (k, _) =>
+        schema.fieldNames.exists(_.equalsIgnoreCase(k)) })
   }
 
   /** A clustered table asks Spark to range-partition + sort the input
@@ -113,9 +107,10 @@ private[connector] class GraftWrite(root: String, schema: StructType,
     * stays bounded by the bucket count. */
   override def requiredDistribution(): Distribution =
     bucketSpec match {
-      case Some((k, n)) => Distributions.clustered(Array(
-        Expressions.bucket(n, k)
-          : org.apache.spark.sql.connector.expressions.Expression))
+      case Some(layout) => Distributions.clustered(layout.map {
+        case (k, n) => Expressions.bucket(n, k)
+          : org.apache.spark.sql.connector.expressions.Expression
+      }.toArray)
       case None => clusterKey.map(k =>
         Distributions.ordered(Array[V2SortOrder](
           Expressions.sort(Expressions.column(k),
@@ -145,15 +140,15 @@ private[connector] case class GraftBucketedTaskFiles(
 private[connector] class GraftBatchWrite(root: String,
     schema: StructType, replace: Boolean, clusterKey: Option[String],
     bloomKey: Option[String],
-    bucketSpec: Option[(String, Int)] = None) extends BatchWrite {
+    bucketSpec: Option[Seq[(String, Int)]] = None) extends BatchWrite {
 
   private val seg: Path = SnapshotTable.newSegmentPath(root)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
   : DataWriterFactory = bucketSpec match {
-    case Some((k, n)) => new GraftBucketedWriterFactory(seg.toString,
-      schema.json, schema.fieldNames.indexWhere(_.equalsIgnoreCase(k)),
-      n)
+    case Some(layout) => new GraftBucketedWriterFactory(seg.toString,
+      schema.json, layout.map { case (k, n) =>
+        schema.fieldNames.indexWhere(_.equalsIgnoreCase(k)) -> n })
     case None => new GraftWriterFactory(seg.toString, schema.json)
   }
 
@@ -170,7 +165,7 @@ private[connector] class GraftBatchWrite(root: String,
     }.sortBy(_._1)
     val rel = files.map(_._1)
     if (rel.isEmpty && !replace) return // empty append: nothing to commit
-    val statsKey = clusterKey.orElse(bucketSpec.map(_._1))
+    val statsKey = clusterKey.orElse(bucketSpec.map(_.head._1))
     val entries0 =
       if (rel.isEmpty) Seq.empty
       else SnapshotTable.statsEntries(spark, root, seg, rel,
@@ -194,27 +189,32 @@ private[connector] class GraftBatchWrite(root: String,
 }
 
 private[connector] class GraftBucketedWriterFactory(segAbs: String,
-    schemaJson: String, bucketKeyIdx: Int, buckets: Int)
+    schemaJson: String, bucketKeyIdxs: Seq[(Int, Int)])
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DataWriter[InternalRow] =
-    new GraftBucketedAppendWriter(segAbs, schemaJson, bucketKeyIdx,
-      buckets, partitionId, taskId)
+    new GraftBucketedAppendWriter(segAbs, schemaJson, bucketKeyIdxs,
+      partitionId, taskId)
 }
 
-/** Bucketed append writer: rows split per bucket (`pmod(murmur3(key),
-  * n)` — must agree bit-for-bit with [[SnapshotTable.commitBucketed]]
-  * and the catalog's V2 bucket function), one lazy file per non-empty
-  * bucket per task. The clustered-by-bucket distribution upstream
-  * keeps the total file count bounded by the bucket count. NULL keys
-  * are refused — the bucket function has no bucket for them, and
-  * accepting one would silently break the layout the scan reports. */
+/** Bucketed append writer: rows split per grid cell — PER KEY
+  * `pmod(murmur3(k_i), n_i)` folded positionally, which must agree
+  * bit-for-bit with [[SnapshotTable.commitBucketedOn]]'s gridCell
+  * and the catalog's V2 bucket function — one lazy file per
+  * non-empty cell per task. The clustered-by-bucket distribution
+  * upstream keeps the total file count bounded by the cell count.
+  * NULL keys are refused — the bucket function has no bucket for
+  * them, and accepting one would silently break the layout the scan
+  * reports. */
 private[connector] class GraftBucketedAppendWriter(segAbs: String,
-    schemaJson: String, bucketKeyIdx: Int, buckets: Int,
+    schemaJson: String, bucketKeyIdxs: Seq[(Int, Int)],
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
-  private val keyType = DataType.fromJson(schemaJson)
-    .asInstanceOf[StructType].fields(bucketKeyIdx).dataType
+  private val keyTypes = {
+    val fields = DataType.fromJson(schemaJson)
+      .asInstanceOf[StructType].fields
+    bucketKeyIdxs.map { case (i, _) => fields(i).dataType }
+  }
 
   private val writers =
     scala.collection.mutable.Map.empty[Int, GraftDataWriter]
@@ -228,19 +228,27 @@ private[connector] class GraftBucketedAppendWriter(segAbs: String,
         suffix = s"-b$bucket"))
 
   private def bucketFor(row: InternalRow): Int = {
-    require(!row.isNullAt(bucketKeyIdx),
-      "NULL bucket key in a bucketed append (the layout has no " +
-        "bucket for NULL)")
-    val v: Any = keyType match {
-      case IntegerType | DateType => row.getInt(bucketKeyIdx)
-      case LongType => row.getLong(bucketKeyIdx)
-      case StringType => row.getUTF8String(bucketKeyIdx)
-      case other => throw new UnsupportedOperationException(
-        s"bucketed append: unsupported key type $other")
+    var cell = 0
+    var i = 0
+    while (i < bucketKeyIdxs.length) {
+      val (idx, n) = bucketKeyIdxs(i)
+      require(!row.isNullAt(idx),
+        "NULL bucket key in a bucketed append (the layout has no " +
+          "bucket for NULL)")
+      val dt = keyTypes(i)
+      val v: Any = dt match {
+        case IntegerType | DateType => row.getInt(idx)
+        case LongType => row.getLong(idx)
+        case StringType => row.getUTF8String(idx)
+        case other => throw new UnsupportedOperationException(
+          s"bucketed append: unsupported key type $other")
+      }
+      val h = org.apache.spark.sql.catalyst.expressions
+        .Murmur3HashFunction.hash(v, dt, 42L).toInt
+      cell = cell * n + (((h % n) + n) % n)
+      i += 1
     }
-    val h = org.apache.spark.sql.catalyst.expressions
-      .Murmur3HashFunction.hash(v, keyType, 42L).toInt
-    ((h % buckets) + buckets) % buckets
+    cell
   }
 
   override def write(row: InternalRow): Unit = w(bucketFor(row)).write(row)

@@ -207,6 +207,32 @@ class BranchSpec extends SparkSpec {
         branch = "nope"))
   }
 
+  test("the VERSION AS OF namespace refuses collisions BOTH ways: " +
+      "tagging a live branch name is refused (tags resolve first and " +
+      "would silently freeze the branch's readers), and a forked nx " +
+      "chain fails head resolution loudly instead of picking a side") {
+    val root = mk("b7", 1 to 3)
+    SnapshotTable.createBranch(spark, root, "dev")
+    // tag() must refuse the branch name — the mirror of createBranch
+    // refusing tag names
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.tag(spark, root, "dev", 1L))
+    assert(e.getMessage.contains("branch"), e.getMessage)
+    // a non-colliding tag still works
+    SnapshotTable.tag(spark, root, "ok", 1L)
+
+    // forge the fork a vacuumed-then-published stalled committer
+    // would leave: two nx markers from the same head — resolution
+    // must fail with the heal instruction, not silently pick one
+    val dir = new java.io.File(s"$root/_refs/dev")
+    val base = SnapshotTable.branchBase(spark, root, "dev")
+    new java.io.File(dir, s"nx-$base-90").createNewFile()
+    new java.io.File(dir, s"nx-$base-91").createNewFile()
+    val f = intercept[IllegalArgumentException](
+      SnapshotTable.branchHead(spark, root, "dev"))
+    assert(f.getMessage.contains("fork"), f.getMessage)
+  }
+
   test("merge-on-read semantics survive on a branch: a branch MOR " +
       "update after fast-forward round-trips (the oracled query's " +
       "shape, pinned here end-to-end)") {

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** Column statistics for the cost-based optimizer: every snapshot
+  * commit records a per-file, per-column HLL sketch in the manifest
+  * (SnapshotTable.statsEntries); the connector merges the sketches of
+  * the PRUNED file set at plan time and reports distinctCount /
+  * nullCount / min / max through SupportsReportStatistics.columnStats,
+  * which Spark folds into catalyst attributeStats — so
+  * `spark.sql.cbo.enabled` finally has per-column cardinalities to
+  * chew on for filter selectivity and join sizing. */
+class CboStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse =
+    java.nio.file.Files.createTempDirectory("graft-cbo").toString
+
+  locally {
+    spark.conf.set("spark.sql.catalog.graftcbo",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcbo.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcbo.db")
+  }
+
+  // big: 60k rows, k unique, grp has exactly 1200 distinct values
+  private lazy val roots: (String, String) = {
+    val bigRoot = s"$warehouse/db/big"
+    val midRoot = s"$warehouse/db/mid"
+    val big = (0 until 60000)
+      .map(i => (i.toLong, s"g${i % 1200}", i.toDouble))
+      .toDF("k", "grp", "v")
+    val mid = (0 until 30000).map(i => (i.toLong, s"n$i"))
+      .toDF("k", "name")
+    SnapshotTable.commit(spark, bigRoot, big, clusterKey = Some("k"))
+    SnapshotTable.commit(spark, midRoot, mid, clusterKey = Some("k"))
+    (bigRoot, midRoot)
+  }
+
+  private def withConfs[A](kvs: (String, String)*)(body: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("the manifest records per-file NDV sketches and t.files " +
+      "surfaces the per-file estimates") {
+    val (bigRoot, _) = roots
+    val entries = SnapshotTable.manifest(spark, bigRoot,
+      SnapshotTable.currentVersion(spark, bigRoot))
+    assert(entries.nonEmpty)
+    entries.foreach { e =>
+      val cols = e.ndv.map(_._1).toSet
+      assert(cols == Set("k", "grp", "v"), s"ndv columns: $cols")
+    }
+    // merged across files: within HLL error of the true cardinalities
+    val merged = SnapshotTable.ndvEstimates(entries)
+    def within(est: Long, truth: Long, pct: Double): Boolean =
+      math.abs(est - truth) <= truth * pct
+    assert(within(merged("k"), 60000, 0.15), s"k ndv ${merged("k")}")
+    assert(within(merged("grp"), 1200, 0.15), s"grp ndv ${merged("grp")}")
+    // t.files: per-file map column with the same keys
+    val files = spark.sql(
+      "SELECT path, ndv FROM graftcbo.db.big.files").collect()
+    assert(files.nonEmpty)
+    files.foreach { r =>
+      val m = r.getMap[String, Long](1)
+      assert(m.keys.toSet == Set("k", "grp", "v"), s"t.files ndv: $m")
+    }
+  }
+
+  test("scan column stats reach catalyst attributeStats: distinct " +
+      "counts, null count and numeric min/max on the pruned file set") {
+    val (bigRoot, _) = roots
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val df = spark.table("graftcbo.db.big")
+      val rel = df.queryExecution.optimizedPlan
+      val stats = rel.stats
+      assert(stats.rowCount.contains(BigInt(60000)), stats.rowCount)
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(byName.contains("grp"), s"attributeStats: ${byName.keys}")
+      val grp = byName("grp")
+      assert(grp.distinctCount.exists(d =>
+        (d - 1200).abs <= 180), s"grp ndv ${grp.distinctCount}")
+      val k = byName("k")
+      // k is the cluster/stats column: nulls and min/max recorded
+      assert(k.nullCount.contains(BigInt(0)), k.nullCount)
+      assert(k.min.contains(0L) && k.max.contains(59999L),
+        s"k range ${k.min}..${k.max}")
+    }
+  }
+
+  test("CBO uses the NDV stats: a selective non-pushable filter " +
+      "shrinks the estimate enough to broadcast a join side that " +
+      "plain size-only estimation shuffles") {
+    val (_, _) = roots
+    def plannedJoin(): String = {
+      val j = spark.table("graftcbo.db.big")
+        .filter(col("grp") === "g7")
+        .join(spark.table("graftcbo.db.mid"), "k")
+        .groupBy("name").count()
+      j.queryExecution.executedPlan.toString
+    }
+    val base = Seq(
+      // below both tables' byte sizes, so raw size never broadcasts
+      "spark.sql.autoBroadcastJoinThreshold" -> "65536",
+      "spark.sql.adaptive.enabled" -> "false")
+    val without = withConfs(base :+
+      ("spark.sql.cbo.enabled" -> "false"): _*)(plannedJoin())
+    val withCbo = withConfs(base :+
+      ("spark.sql.cbo.enabled" -> "true"): _*)(plannedJoin())
+    assert(without.contains("SortMergeJoin"),
+      s"size-only plan should shuffle:\n$without")
+    assert(withCbo.contains("BroadcastHashJoin"),
+      s"CBO plan should broadcast the filtered side:\n$withCbo")
+    // and the CBO plan is still correct
+    withConfs(base :+ ("spark.sql.cbo.enabled" -> "true"): _*) {
+      val n = spark.table("graftcbo.db.big")
+        .filter(col("grp") === "g7")
+        .join(spark.table("graftcbo.db.mid"), "k").count()
+      // grp=g7 <=> k % 1200 == 7; joined keys must also be < 30000
+      assert(n == 25, s"joined rows $n")
+    }
+  }
+
+  test("NDV recording is session-togglable and the reader treats " +
+      "sketchless manifests as stat-free (no NDV reported)") {
+    val root = s"$warehouse/db/nostats"
+    withConfs("spark.graft.stats.ndv.enabled" -> "false") {
+      SnapshotTable.commit(spark, root,
+        (1 to 100).map(i => (i.toLong, s"s$i")).toDF("k", "s"))
+    }
+    val entries = SnapshotTable.manifest(spark, root,
+      SnapshotTable.currentVersion(spark, root))
+    assert(entries.forall(_.ndv.isEmpty))
+    assert(SnapshotTable.ndvEstimates(entries).isEmpty)
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** The CHANGELOG streaming source (`changes=true` on graft-snapshot):
+  * micro-batches deliver row-level change events — inserts from added
+  * data files, deletes from added merge-on-read tombstones — each
+  * stamped `_change_type` / `_commit_version`, exactly-once across
+  * restarts, with rewrites (compaction / COW) refused loudly. The
+  * streaming twin of the catalog's `t.changes` / `t.delete_keys`. */
+class ChangesStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-cdc").toString +
+      "/t"
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-cdc-out").toString
+
+  test("appends stream as inserts exactly once; a MOR update streams " +
+      "as delete(key) + insert(new row) under one commit version; a " +
+      "restart resumes without replay; compaction refuses loudly") {
+    val root = tmpRoot()
+    val outDir = tmpDir()
+    val cp = tmpDir()
+    SnapshotTable.commit(spark, root,
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"))   // v1
+    def startStream() = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("changes", "true").load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", cp).start()
+    def events(): Seq[(Long, String, Long)] = spark.read.parquet(outDir)
+      .select(col("k"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+
+    val q = startStream()
+    try {
+      q.processAllAvailable()
+      val first = events()
+      assert(first.size == 100 && first.forall { case (_, t, v) =>
+        t == "insert" && v == 1L }, s"v1 events: ${first.take(5)}")
+
+      // append → inserts stamped v2
+      SnapshotTable.append(spark, root,
+        (101 to 120).map(i => (i.toLong, s"v$i")).toDF("k", "v")) // v2
+      q.processAllAvailable()
+      val v2 = events().filter(_._3 == 2L)
+      assert(v2.map(_._1) == (101L to 120L) &&
+        v2.forall(_._2 == "insert"), s"v2 events: $v2")
+
+      // MOR update of keys 1..10 → delete(key) + insert(new) at v3
+      SnapshotTable.mergeOnRead(spark, root,
+        (1 to 10).map(i => (i.toLong, "upd")).toDF("k", "v"), "k") // v3
+      q.processAllAvailable()
+      val v3 = events().filter(_._3 == 3L)
+      val (dels, ins) = v3.partition(_._2 == "delete")
+      assert(dels.map(_._1) == (1L to 10L), s"deletes: $dels")
+      assert(ins.map(_._1) == (1L to 10L) &&
+        ins.forall(_._2 == "insert"), s"inserts: $ins")
+      // delete events carry the key; data columns are NULL
+      val delRows = spark.read.parquet(outDir)
+        .filter(col("_change_type") === "delete")
+      assert(delRows.filter(col("v").isNotNull).count() == 0,
+        "delete events must not fabricate data columns")
+    } finally q.stop()
+
+    // restart on the same checkpoint: only the new commit flows
+    SnapshotTable.append(spark, root,
+      Seq((200L, "v200")).toDF("k", "v"))                       // v4
+    val q2 = startStream()
+    try {
+      q2.processAllAvailable()
+      assert(events().count(_._3 == 1L) == 100,
+        "restart replayed version 1")
+      val v4 = events().filter(_._3 == 4L)
+      assert(v4 == Seq((200L, "insert", 4L)), s"v4 events: $v4")
+
+      // compaction rewrites files: the changelog must refuse
+      SnapshotTable.compact(spark, root, targetBytes = 1L << 30)
+      SnapshotTable.append(spark, root,
+        Seq((201L, "v201")).toDF("k", "v"))
+      val failed = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      val msg = failed.getMessage +
+        Option(failed.getCause).flatMap(c =>
+          Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("rewrote") || msg.contains("changelog"),
+        s"expected the rewrite refusal, got: $failed")
+    } finally q2.stop()
+  }
+
+  test("startingVersion composes with changes: 'N' begins at commit " +
+      "N's events, 'latest' sees only post-start commits; batch " +
+      "reads of the changes scan are refused with the pointer") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v"))    // v1
+    SnapshotTable.append(spark, root,
+      (51 to 60).map(i => (i.toLong, s"v$i")).toDF("k", "v"))   // v2
+
+    val outDir = tmpDir()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("changes", "true")
+      .option("startingVersion", "2").load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", tmpDir()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select(col("k"), col("_commit_version"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == (51L to 60L).map(_ -> 2L),
+        s"startingVersion=2 must begin at v2's events: $got")
+    } finally q.stop()
+
+    // batch read refused (the batch surface is t.changes)
+    val e = intercept[Exception] {
+      spark.read.format("graft-snapshot").option("path", root)
+        .option("changes", "true").load().collect()
+    }
+    assert(e.getMessage.contains("STREAMING") ||
+      e.getMessage.contains("t.changes"), e.getMessage)
+  }
+}

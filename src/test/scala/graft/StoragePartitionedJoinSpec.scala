@@ -250,4 +250,68 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       assert(j3.count() == 10)
     }
   }
+
+  test("COMPOSITE bucket layout: a two-column join key bucketed over " +
+      "both columns joins with ZERO exchange, catalog INSERT lands " +
+      "inside the layout, and a single-column twin of the same join " +
+      "still shuffles") {
+    val aRoot = s"$warehouse/db/comp_a"
+    val bRoot = s"$warehouse/db/comp_b"
+    // (region, day) — a two-column key neither column determines alone
+    val fact = (1 to 20000)
+      .map(i => (i.toLong % 23, s"d${i % 97}", i.toDouble))
+      .toDF("region", "day", "v")
+    val dim = (for (r <- 0 to 22; d <- 0 to 96)
+      yield (r.toLong, s"d$d", s"n$r-$d")).toDF("region", "day", "name")
+    SnapshotTable.commitBucketedOn(spark, aRoot, fact,
+      Seq("region" -> 4, "day" -> 4))
+    SnapshotTable.commitBucketedOn(spark, bRoot, dim,
+      Seq("region" -> 4, "day" -> 4))
+    withSpj {
+      val j = spark.table("graftspj.db.comp_a")
+        .join(spark.table("graftspj.db.comp_b"),
+          Seq("region", "day"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"composite-bucketed join still shuffles:\n${plan.take(2000)}")
+      assert(j.count() == 20000)
+      val got = j.groupBy("name").agg(sum("v").as("s"))
+        .orderBy("name").collect()
+      val want = fact.join(dim, Seq("region", "day")).groupBy("name")
+        .agg(sum("v").as("s")).orderBy("name").collect()
+      assert(got.toSeq == want.toSeq)
+    }
+    // catalog INSERT through the V2 write path: the composite writer
+    // stamps bucket ids that agree with the layout, so SPJ survives
+    spark.sql(
+      "INSERT INTO graftspj.db.comp_a " +
+        "SELECT id % 23, concat('d', id % 97), id * 1.0 " +
+        "FROM range(20001, 24001)")
+    val man = SnapshotTable.manifest(spark, aRoot,
+      SnapshotTable.currentVersion(spark, aRoot))
+    man.filter(_.kind == "d").foreach(e =>
+      assert(e.statsFor("__bucket").isDefined,
+        s"composite INSERT landed ${e.path} outside the layout"))
+    withSpj {
+      val j2 = spark.table("graftspj.db.comp_a")
+        .join(spark.table("graftspj.db.comp_b"),
+          Seq("region", "day"))
+      val plan2 = j2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("Exchange"),
+        s"composite INSERT broke the layout:\n${plan2.take(2000)}")
+      assert(j2.count() == 24000)
+    }
+    // control: same data single-column-bucketed cannot serve the
+    // two-column join's distribution — it must exchange
+    val cRoot = s"$warehouse/db/comp_c"
+    SnapshotTable.commitBucketed(spark, cRoot, fact, "region", 8)
+    withSpj {
+      val j3 = spark.table("graftspj.db.comp_c")
+        .join(spark.table("graftspj.db.comp_b"),
+          Seq("region", "day"))
+      assert(j3.queryExecution.executedPlan.toString.contains("Exchange"),
+        "a single-column layout wrongly satisfied a two-column join")
+      assert(j3.count() == 20000)
+    }
+  }
 }
