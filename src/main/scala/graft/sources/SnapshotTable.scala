@@ -423,21 +423,36 @@ object SnapshotTable {
   /** HLL register count for per-file NDV sketches: 2^9 = 512 bytes
     * per column per file (~4.6% standard error) — small enough to ride
     * the manifest at serving-table file counts, accurate enough for
-    * CBO join-cardinality estimates. Session-tunable via
-    * `spark.graft.stats.ndv.enabled` / `.maxColumns` — a 100 TB fact
-    * table with thousands of files per commit should cap the column
-    * list (or disable) to keep manifests lean. */
+    * CBO join-cardinality estimates.
+    *
+    * WRITE-PATH COST CONTRACT (`spark.graft.stats.ndv.mode`):
+    *  - `auto` (default): sketch only columns the commit's stats pass
+    *    ALREADY reads (cluster / bloom / Z-order / bucket keys — the
+    *    table's join keys, exactly the NDVs join estimation needs).
+    *    Zero extra IO: a plain commit keeps its zero-pass write.
+    *  - `all`: sketch every hashable column (up to `.maxColumns`,
+    *    default 16) on every commit — one extra full read of each
+    *    ingested segment. Measured +32% on write-heavy rounds; at
+    *    100 TB that is a tax on all ingest, so it is opt-in.
+    *  - `off` / `.enabled=false`: no sketches.
+    * Full-column stats without the ingest tax: [[analyze]] (surfaced
+    * as `CALL graft.system.analyze`), the Iceberg ANALYZE shape —
+    * one explicit pass enriching the current manifest. */
   private[sources] val NdvPrecision = 9
 
-  private def ndvStatFields(spark: SparkSession,
-      schema: StructType): Seq[StructField] = {
+  private def ndvStatFields(spark: SparkSession, schema: StructType,
+      passCols: Set[String]): Seq[StructField] = {
     val enabled = spark.conf.getOption("spark.graft.stats.ndv.enabled")
       .forall(_.toBoolean)
-    if (!enabled) return Nil
+    val mode = spark.conf.getOption("spark.graft.stats.ndv.mode")
+      .getOrElse("auto")
+    if (!enabled || mode == "off") return Nil
     val maxCols = spark.conf.getOption("spark.graft.stats.ndv.maxColumns")
       .map(_.toInt).getOrElse(16)
     schema.fields.toSeq
       .filter(f => graft.functions.Hll.hashableTypes.contains(f.dataType))
+      .filter(f => mode == "all" ||
+        passCols.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
       .take(maxCols)
   }
 
@@ -452,8 +467,17 @@ object SnapshotTable {
       bloomKey: Option[String], zorderWith: Option[String] = None,
       zorderExtra: Seq[String] = Nil)
   : Seq[FileEntry] = {
-    val segDf = spark.read.parquet(seg.toString)
-    val ndvCols = ndvStatFields(spark, segDf.schema)
+    // `auto` NDV mode sketches only the pass's own columns, so a
+    // plain commit (no keys) stays a zero-pass write — the footer
+    // read below is its only post-write IO
+    val passCols = (clusterKey.toSeq ++ bloomKey ++ zorderWith ++
+      zorderExtra).map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    lazy val segDf = spark.read.parquet(seg.toString)
+    val ndvCols =
+      if (clusterKey.isEmpty && bloomKey.isEmpty &&
+        spark.conf.getOption("spark.graft.stats.ndv.mode")
+          .getOrElse("auto") != "all") Nil
+      else ndvStatFields(spark, segDf.schema, passCols)
     val entries =
       if (clusterKey.isEmpty && bloomKey.isEmpty && ndvCols.isEmpty)
         rel.map(FileEntry(_, None, None, None))
@@ -1094,9 +1118,11 @@ object SnapshotTable {
     }
     // one column-pruned stats pass: per file, its bucket (constant by
     // construction — partitionBy directory), per-key min/max, and the
-    // NDV sketches every other commit path records
+    // NDV sketches every other commit path records (auto mode: the
+    // bucket keys themselves, already read here)
     val ndvCols = ndvStatFields(spark,
-      StructType(df.schema.fields.filterNot(_.name == "__b")))
+      StructType(df.schema.fields.filterNot(_.name == "__b")),
+      keys.map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet)
     graft.functions.HllFunctions.register(spark)
     val selCols = Seq(input_file_name().as("__f"), col("__b")) ++
       keys.zipWithIndex.map { case ((k, _), i) => col(k).as(s"__k$i") } ++
@@ -1665,6 +1691,71 @@ object SnapshotTable {
       attempt += 1
       if (attempt > maxRetries) throw CommitConflict(
         s"lost the schema-evolution race ${maxRetries + 1} times at $root")
+      Thread.sleep(math.min(50L, 5L * attempt))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** ANALYZE: enrich the CURRENT manifest with per-file NDV sketches
+    * for every hashable column — the Iceberg `ANALYZE TABLE` shape,
+    * surfaced as `CALL graft.system.analyze`. One explicit pass over
+    * the live data files (the cost the `auto` write mode refuses to
+    * charge every commit), committed as a metadata-only version: the
+    * SAME file set, `op = "analyze"`, so changelog readers see an
+    * empty (still accretive) delta and time travel still works.
+    * Returns (version, columns sketched). */
+  def analyze(spark: SparkSession, root: String,
+      maxRetries: Int = 5): (Long, Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, expr, input_file_name}
+    val f = fs(spark, root)
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      require(cur > 0L, s"no committed version at $root")
+      val (entries, recorded) = readManifestFull(spark, root, cur)
+      val data = entries.filter(_.kind == "d")
+      if (data.isEmpty) return (cur, Seq.empty)
+      val schema = priorSchemaOrRead(spark, root, cur, recorded)
+      val maxCols = spark.conf
+        .getOption("spark.graft.stats.ndv.maxColumns")
+        .map(_.toInt).getOrElse(16)
+      val cols = schema.fields.toSeq.filter(fd =>
+        graft.functions.Hll.hashableTypes.contains(fd.dataType))
+        .take(maxCols)
+      if (cols.isEmpty) return (cur, Seq.empty)
+      graft.functions.HllFunctions.register(spark)
+      // one pass over the live files under the table schema (files
+      // that predate a column contribute nothing to its sketch)
+      val sel = Seq(input_file_name().as("__f")) ++
+        cols.zipWithIndex.map { case (fd, i) =>
+          col(s"`${fd.name}`").as(s"__n$i") }
+      val aggs = cols.indices.map(i => expr(
+        s"graft_hll_sketch(__n$i, $NdvPrecision)").as(s"__ndv$i"))
+      val byFile = spark.read
+        .schema(StructType(schema.fields.map(_.copy(nullable = true))))
+        .parquet(data.map(e => absolute(root, e)): _*)
+        .select(sel: _*).groupBy(col("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => new Path(r.getAs[String]("__f")).getName -> r).toMap
+      val enriched = entries.map { e =>
+        if (e.kind != "d") e
+        else byFile.get(new Path(e.path).getName).fold(e) { r =>
+          e.copy(ndv = cols.zipWithIndex.flatMap { case (fd, i) =>
+            Option(r.getAs[Array[Byte]](s"__ndv$i")).map(fd.name -> _)
+          })
+        }
+      }
+      claimNextOn(f, root, "main", cur) match { case Some(target) =>
+        writeManifest(f, root, target, enriched, schema)
+        publish(f, root, target, enriched, Seq.empty, op = "analyze",
+          branchRef = refIf(f, root, "main", cur))
+        spark.catalog.refreshByPath(root)
+        return (target, cols.map(_.name))
+      case None => () }
+      attempt += 1
+      if (attempt > maxRetries) throw CommitConflict(
+        s"lost the analyze race ${maxRetries + 1} times at $root")
       Thread.sleep(math.min(50L, 5L * attempt))
     }
     throw new IllegalStateException("unreachable")

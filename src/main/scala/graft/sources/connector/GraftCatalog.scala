@@ -531,7 +531,7 @@ private[connector] object GraftProcedures {
 
   val Names = Seq("compact", "expire_snapshots",
     "expire_older_than", "vacuum", "tag", "drop_tag", "clone",
-    "create_branch", "fast_forward", "drop_branch")
+    "create_branch", "fast_forward", "drop_branch", "analyze")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
@@ -638,6 +638,16 @@ private[connector] object GraftProcedures {
           Row(SnapshotTable.fastForward(spark,
             cat0.resolveRoot(in.getString(0)), in.getString(1),
             in.getString(2)))
+        })
+      case "analyze" => proc(cat, "analyze",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("columns", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          val (v, cols) = SnapshotTable.analyze(spark,
+            cat0.resolveRoot(in.getString(0)))
+          Row(v, cols.size.toLong)
         })
       case "drop_branch" => proc(cat, "drop_branch",
         Array(ProcedureParameter.in("table", StringType).build(),

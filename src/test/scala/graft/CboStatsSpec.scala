@@ -24,7 +24,10 @@ class CboStatsSpec extends SparkSpec {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcbo.db")
   }
 
-  // big: 60k rows, k unique, grp has exactly 1200 distinct values
+  // big: 60k rows, k unique, grp has exactly 1200 distinct values.
+  // Committed clustered (auto mode sketches k for free), then
+  // ANALYZEd so every hashable column carries a sketch — the
+  // explicit-maintenance path that keeps the ingest write zero-pass.
   private lazy val roots: (String, String) = {
     val bigRoot = s"$warehouse/db/big"
     val midRoot = s"$warehouse/db/mid"
@@ -35,6 +38,9 @@ class CboStatsSpec extends SparkSpec {
       .toDF("k", "name")
     SnapshotTable.commit(spark, bigRoot, big, clusterKey = Some("k"))
     SnapshotTable.commit(spark, midRoot, mid, clusterKey = Some("k"))
+    assert(spark.sql("CALL graftcbo.system.analyze('db.big')")
+      .head().getLong(1) == 3L)
+    SnapshotTable.analyze(spark, midRoot)
     (bigRoot, midRoot)
   }
 
@@ -48,16 +54,43 @@ class CboStatsSpec extends SparkSpec {
     }
   }
 
-  test("the manifest records per-file NDV sketches and t.files " +
-      "surfaces the per-file estimates") {
+  test("auto mode sketches only the commit pass's own columns (zero " +
+      "extra write IO); CALL analyze enriches every hashable column " +
+      "as a metadata-only accretive commit; t.files surfaces the " +
+      "per-file estimates") {
+    // a fresh clustered commit: auto mode = the cluster key only
+    val autoRoot = s"$warehouse/db/autot"
+    SnapshotTable.commit(spark, autoRoot,
+      (1 to 500).map(i => (i.toLong, s"s${i % 7}")).toDF("k", "s"),
+      clusterKey = Some("k"))
+    val autoE = SnapshotTable.manifest(spark, autoRoot,
+      SnapshotTable.currentVersion(spark, autoRoot))
+    assert(autoE.forall(_.ndv.map(_._1) == Seq("k")),
+      s"auto mode sketched ${autoE.flatMap(_.ndv.map(_._1)).distinct}")
+    // ...and a PLAIN commit stays a zero-pass write (no sketches)
+    val plainRoot = s"$warehouse/db/plaint"
+    SnapshotTable.commit(spark, plainRoot,
+      (1 to 100).map(i => (i.toLong, s"s$i")).toDF("k", "s"))
+    assert(SnapshotTable.manifest(spark, plainRoot,
+      SnapshotTable.currentVersion(spark, plainRoot))
+      .forall(_.ndv.isEmpty))
+
+    // the ANALYZEd big table: every hashable column sketched
     val (bigRoot, _) = roots
-    val entries = SnapshotTable.manifest(spark, bigRoot,
-      SnapshotTable.currentVersion(spark, bigRoot))
+    val vBefore = SnapshotTable.currentVersion(spark, bigRoot)
+    val entries = SnapshotTable.manifest(spark, bigRoot, vBefore)
     assert(entries.nonEmpty)
     entries.foreach { e =>
       val cols = e.ndv.map(_._1).toSet
       assert(cols == Set("k", "grp", "v"), s"ndv columns: $cols")
     }
+    // analyze was a metadata-only commit: same file set, op stamped
+    assert(SnapshotTable.commitOperation(spark, bigRoot, vBefore)
+      == "analyze")
+    assert(entries.map(_.path).toSet ==
+      SnapshotTable.manifest(spark, bigRoot, vBefore - 1)
+        .map(_.path).toSet,
+      "analyze must not move data")
     // merged across files: within HLL error of the true cardinalities
     val merged = SnapshotTable.ndvEstimates(entries)
     def within(est: Long, truth: Long, pct: Double): Boolean =
@@ -128,16 +161,28 @@ class CboStatsSpec extends SparkSpec {
     }
   }
 
-  test("NDV recording is session-togglable and the reader treats " +
-      "sketchless manifests as stat-free (no NDV reported)") {
+  test("NDV recording is session-togglable (mode=all / enabled=false) " +
+      "and the reader treats sketchless manifests as stat-free") {
     val root = s"$warehouse/db/nostats"
     withConfs("spark.graft.stats.ndv.enabled" -> "false") {
       SnapshotTable.commit(spark, root,
-        (1 to 100).map(i => (i.toLong, s"s$i")).toDF("k", "s"))
+        (1 to 100).map(i => (i.toLong, s"s$i")).toDF("k", "s"),
+        clusterKey = Some("k"))
     }
     val entries = SnapshotTable.manifest(spark, root,
       SnapshotTable.currentVersion(spark, root))
     assert(entries.forall(_.ndv.isEmpty))
     assert(SnapshotTable.ndvEstimates(entries).isEmpty)
+    // mode=all: every hashable column sketched AT COMMIT (the opt-in
+    // ingest-tax path for tables that want stats without analyze)
+    val root2 = s"$warehouse/db/allstats"
+    withConfs("spark.graft.stats.ndv.mode" -> "all") {
+      SnapshotTable.commit(spark, root2,
+        (1 to 100).map(i => (i.toLong, s"s$i")).toDF("k", "s"))
+    }
+    val e2 = SnapshotTable.manifest(spark, root2,
+      SnapshotTable.currentVersion(spark, root2))
+    assert(e2.forall(_.ndv.map(_._1).toSet == Set("k", "s")),
+      e2.flatMap(_.ndv.map(_._1)).distinct.toString)
   }
 }
