@@ -831,6 +831,43 @@ object Sources {
             .cast("double").as("total"))
         .orderBy("c_mktsegment", "o_orderstatus")
     }),
+    // COMPOSITE (grid) bucket layout under the oracle: both sides
+    // committed on the same two-key grid (commitBucketedOn — one
+    // per-column bucket transform per key, the only SPJ-alignable
+    // shape), joined on the full tuple through the catalog with v2
+    // bucketing enabled, so the scans serve per-cell partitions keyed
+    // by the bucket tuple. The oracle runs the plain two-key join on
+    // the base tables; matching hashes prove grid-cell assignment,
+    // decomposition and the aligned join lose and duplicate nothing.
+    "snapshot_spj_grid" -> ((s, dir) => {
+      val wh = catalogWarehouse
+      val (ordT, custT) = (uniqueName("ord_g"), uniqueName("cust_g"))
+      s.conf.set("spark.sql.catalog.graft_gridq",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_gridq.warehouse", wh)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gridq.db")
+      val o = graft.Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          (col("o_orderkey") % 7).as("o_lane"),
+          col("o_totalprice"))
+      val c = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .crossJoin(s.range(7).select(col("id").as("c_lane")))
+      SnapshotTable.commitBucketedOn(s, s"$wh/db/$ordT", o,
+        Seq("o_custkey" -> 4, "o_lane" -> 3))
+      SnapshotTable.commitBucketedOn(s, s"$wh/db/$custT", c,
+        Seq("c_custkey" -> 4, "c_lane" -> 3))
+      s.table(s"graft_gridq.db.$ordT")
+        .join(s.table(s"graft_gridq.db.$custT"),
+          col("o_custkey") === col("c_custkey") &&
+            col("o_lane") === col("c_lane"))
+        .groupBy("c_mktsegment", "o_lane")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+            .cast("double").as("total"))
+        .orderBy("c_mktsegment", "o_lane")
+    }),
     // The MERGE-ON-READ twin of snapshot_sql_merge: same statements,
     // same oracle, but the table's TBLPROPERTIES
     // (write.mode=merge-on-read + write.merge.key — the reference's
@@ -1241,6 +1278,21 @@ object Sources {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment, o_orderstatus
         |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+    "snapshot_spj_grid" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey % 7 AS o_lane, o_totalprice
+        |  FROM orders),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment, l.lane AS c_lane
+        |  FROM customer
+        |  CROSS JOIN (SELECT range AS lane FROM range(0, 7)) l)
+        |SELECT c_mktsegment, o_lane, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM o JOIN c
+        |  ON o_custkey = c_custkey AND o_lane = c_lane
+        |GROUP BY c_mktsegment, o_lane
+        |ORDER BY c_mktsegment, o_lane""".stripMargin,
     "snapshot_sql_mor_merge" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
