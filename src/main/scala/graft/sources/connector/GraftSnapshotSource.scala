@@ -1150,9 +1150,10 @@ private[connector] class GraftScan(root: String, version: Long,
       // scan-GLOBAL columnar decision: Spark refuses mixed row/columnar
       // partitions, so one tombstoned file de-vectorizes the whole scan;
       // a requested `_file` metadata column is synthesized by the row
-      // reader only, and bucketed (SPJ) partitions chain row readers
+      // reader only. Bucketed (SPJ) partitions chain COLUMNAR readers
+      // per grid cell, so storage-partitioned scans stay vectorized
       columnarOk = tombs.isEmpty && offsetSkipFile.isEmpty &&
-        pushed.isEmpty && bucketSpec.isEmpty &&
+        pushed.isEmpty &&
         !required.fieldNames.contains(GraftFileMetadataColumn.Name))
 
   /** Size-accurate planning: a v2 scan without statistics defaults to
@@ -1291,13 +1292,38 @@ private[connector] class GraftReaderFactory(requiredJson: String,
     columnarOk
 
   override def createColumnarReader(partition: InputPartition)
-  : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val required =
-      DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftColumnarReader(p.absolutePath, required, sessionTz,
-      p.fills)
-  }
+  : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case GraftBucketedPartition(parts, _) =>
+        // one grid cell = several files: chain their batch readers,
+        // so SPJ scans keep whole-stage vectorization
+        new PartitionReader[org.apache.spark.sql.vectorized
+          .ColumnarBatch] {
+          private val it = parts.iterator
+          private var cur: PartitionReader[
+            org.apache.spark.sql.vectorized.ColumnarBatch] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (!it.hasNext) return false
+                cur = createColumnarReader(it.next())
+              }
+              if (cur.next()) return true
+              cur.close(); cur = null
+            }
+            false
+          }
+          override def get()
+          : org.apache.spark.sql.vectorized.ColumnarBatch = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case _ =>
+        val required =
+          DataType.fromJson(requiredJson).asInstanceOf[StructType]
+        val p = partition.asInstanceOf[GraftInputPartition]
+        new GraftColumnarReader(p.absolutePath, required, sessionTz,
+          p.fills)
+    }
 
   override def createReader(partition: InputPartition)
   : PartitionReader[InternalRow] = partition match {

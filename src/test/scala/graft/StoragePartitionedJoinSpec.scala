@@ -55,7 +55,14 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       val plan = j.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"storage-partitioned join still shuffles:\n$plan")
-      assert(j.count() == 20000)
+      // execute THIS frame (count() builds its own execution), then
+      // the FINAL adaptive plan shows the ColumnarToRow transition —
+      // bucketed partitions chain COLUMNAR readers, so the SPJ scan
+      // stayed vectorized, no row-at-a-time fallback
+      assert(j.collect().length == 20000)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("ColumnarToRow"),
+        s"bucketed scan de-vectorized:\n${finalPlan.take(1500)}")
       val got = j.groupBy("name").agg(sum("v").as("s"))
         .orderBy("name").collect()
       val want = fact.join(dim, "k").groupBy("name")
