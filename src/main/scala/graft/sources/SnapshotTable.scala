@@ -103,7 +103,11 @@ object SnapshotTable {
       // per-column HLL register arrays (fixed NdvPrecision) for this
       // file — MERGEABLE, so any pruned subset of files still yields
       // an NDV estimate at plan time (the CBO column-stats feed)
-      ndv: Seq[(String, Array[Byte])] = Nil) {
+      ndv: Seq[(String, Array[Byte])] = Nil,
+      // per-column NULL counts (analyze records them alongside the
+      // sketches) — join estimation refuses keys without null counts,
+      // so NDV alone cannot reorder a join
+      colNulls: Seq[(String, Long)] = Nil) {
     /** Recorded [lo, hi] for `key`, whichever stats slot holds it —
       * a Z-ordered file carries a bounding box on every curve column
       * (two named slots plus the open-ended extra list) and prunes on
@@ -219,6 +223,10 @@ object SnapshotTable {
           .append(e.ndv.map { case (k, s) =>
             s"${b64(k)}:${java.util.Base64.getEncoder.encodeToString(s)}"
           }.mkString(";"))
+          .append('\t')
+          // per-column null counts: field 16, same encoding contract
+          .append(e.colNulls.map { case (k, n) =>
+            s"${b64(k)}:${b64(n.toString)}" }.mkString(";"))
           .append('\n')
       }
       out.write(sb.toString.getBytes("UTF-8"))
@@ -309,7 +317,7 @@ object SnapshotTable {
           .asInstanceOf[StructType]
     }
     val entries = rows.map { l =>
-      val fld = l.split('\t').padTo(15, "")
+      val fld = l.split('\t').padTo(16, "")
       FileEntry(unb64(fld(0)),
         Option(fld(1)).filter(_.nonEmpty).map(unb64),
         Option(fld(2)).filter(_.nonEmpty).map(unb64),
@@ -334,6 +342,11 @@ object SnapshotTable {
           .toSeq.filter(_.nonEmpty).map { t =>
             val p = t.split(':')
             (unb64(p(0)), java.util.Base64.getDecoder.decode(p(1)))
+          }),
+        Option(fld(15)).filter(_.nonEmpty).toSeq.flatMap(_.split(';')
+          .toSeq.filter(_.nonEmpty).map { t =>
+            val p = t.split(':')
+            (unb64(p(0)), unb64(p(1)).toLong)
           }))
     }
     (entries, schema)
@@ -1724,13 +1737,30 @@ object SnapshotTable {
         .take(maxCols)
       if (cols.isEmpty) return (cur, Seq.empty)
       graft.functions.HllFunctions.register(spark)
+      // numeric columns additionally get per-file min/max recorded as
+      // extra stats slots — range pruning AND the CBO's min/max both
+      // feed off them (strings stay unrecorded: collation hazards)
+      val numeric: Set[String] = cols.collect {
+        case fd if fd.dataType == org.apache.spark.sql.types.IntegerType ||
+          fd.dataType == org.apache.spark.sql.types.LongType ||
+          fd.dataType == org.apache.spark.sql.types.FloatType ||
+          fd.dataType == org.apache.spark.sql.types.DoubleType => fd.name
+      }.toSet
       // one pass over the live files under the table schema (files
       // that predate a column contribute nothing to its sketch)
       val sel = Seq(input_file_name().as("__f")) ++
         cols.zipWithIndex.map { case (fd, i) =>
           col(s"`${fd.name}`").as(s"__n$i") }
-      val aggs = cols.indices.map(i => expr(
-        s"graft_hll_sketch(__n$i, $NdvPrecision)").as(s"__ndv$i"))
+      val aggs = cols.zipWithIndex.flatMap { case (fd, i) =>
+        Seq(expr(s"graft_hll_sketch(__n$i, $NdvPrecision)")
+            .as(s"__ndv$i"),
+          expr(s"sum(CASE WHEN __n$i IS NULL THEN 1 ELSE 0 END)")
+            .as(s"__nl$i")) ++
+          (if (numeric(fd.name)) Seq(
+            smin(col(s"__n$i")).cast("string").as(s"__mn$i"),
+            smax(col(s"__n$i")).cast("string").as(s"__mx$i"))
+          else Nil)
+      }
       val byFile = spark.read
         .schema(StructType(schema.fields.map(_.copy(nullable = true))))
         .parquet(data.map(e => absolute(root, e)): _*)
@@ -1741,9 +1771,25 @@ object SnapshotTable {
       val enriched = entries.map { e =>
         if (e.kind != "d") e
         else byFile.get(new Path(e.path).getName).fold(e) { r =>
-          e.copy(ndv = cols.zipWithIndex.flatMap { case (fd, i) =>
-            Option(r.getAs[Array[Byte]](s"__ndv$i")).map(fd.name -> _)
-          })
+          val ranges = cols.zipWithIndex.flatMap { case (fd, i) =>
+            // never shadow a slot the entry already has (cluster key,
+            // z-order dims, __bucket, txn markers)
+            if (!numeric(fd.name) || e.statsFor(fd.name).isDefined) None
+            else (Option(r.getAs[String](s"__mn$i")),
+              Option(r.getAs[String](s"__mx$i"))) match {
+              case (Some(lo), Some(hi)) => Some((fd.name, lo, hi))
+              case _ => None
+            }
+          }
+          e.copy(
+            ndv = cols.zipWithIndex.flatMap { case (fd, i) =>
+              Option(r.getAs[Array[Byte]](s"__ndv$i")).map(fd.name -> _)
+            },
+            colNulls = cols.zipWithIndex.map { case (fd, i) =>
+              fd.name -> Option(r.getAs[Any](s"__nl$i"))
+                .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+            },
+            extraStats = e.extraStats ++ ranges)
         }
       }
       claimNextOn(f, root, "main", cur) match { case Some(target) =>

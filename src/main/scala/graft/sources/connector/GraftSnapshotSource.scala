@@ -82,6 +82,10 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister {
     val v = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(Option(options.get("timestampAsOf")).map(ts =>
         SnapshotTable.versionAsOf(spark, root, ts.toLong)))
+      // branch=<name>: read (or stream) the BRANCH's view — batch
+      // reads pin its head, streams follow its nx chain
+      .orElse(Option(options.get("branch")).map(b =>
+        SnapshotTable.branchHead(spark, root, b)))
       .getOrElse(SnapshotTable.currentVersion(spark, root))
     (root, v)
   }
@@ -224,10 +228,12 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
           ".option(\"path\", root).option(\"changes\", \"true\") — " +
           "for batch change sets use t.changes / t.delete_keys")
       val scan = new GraftChangesScan(root, tableSchema,
-        Option(options.get("startingVersion")))
+        Option(options.get("startingVersion")),
+        Option(options.get("branch")))
       new ScanBuilder { override def build(): Scan = scan }
     } else new GraftScanBuilder(root, version, tableSchema,
-      streamStart = Option(options.get("startingVersion")))
+      streamStart = Option(options.get("startingVersion")),
+      streamBranch = Option(options.get("branch")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, info)
@@ -361,7 +367,8 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     fullSchema: StructType,
     onPlan: Option[Seq[FileEntry] => Unit] = None,
     entryView: Seq[FileEntry] => Seq[FileEntry] = identity,
-    streamStart: Option[String] = None)
+    streamStart: Option[String] = None,
+    streamBranch: Option[String] = None)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
@@ -641,7 +648,7 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
           s"tombstone key '$k' missing from table schema")).dataType),
       if (descs.isEmpty) None else Some(descs.mkString(" ")),
       offsetSkip.collect { case (ks, rem, _) if rem > 0 && ks.nonEmpty =>
-        (ks.head.path, rem) }, onPlan, streamStart)
+        (ks.head.path, rem) }, onPlan, streamStart, streamBranch)
   }
 }
 
@@ -748,11 +755,22 @@ private[connector] case class GraftOffset(version: Long)
   * fails with a pointer instead of silently re-emitting rewritten
   * rows — Delta draws the same line (`ignoreChanges`). */
 private[connector] class GraftMicroBatchStream(root: String,
-    required: StructType, startingVersion: Option[String] = None)
+    required: StructType, startingVersion: Option[String] = None,
+    branch: Option[String] = None)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private def spark = SparkSession.active
+
+  /** The stream's moving tip: main's current version, or — with
+    * `option("branch", name)` — that branch's head, so a stream can
+    * tail a branch's commits while main moves independently (both
+    * offsets are global version numbers; manifests are compared
+    * pairwise, so interleaved foreign commits never surface). */
+  protected def tipVersion(): Long = branch match {
+    case None => SnapshotTable.currentVersion(spark, root)
+    case Some(b) => SnapshotTable.branchHead(spark, root, b)
+  }
 
   /** Where a FRESH checkpoint begins (Delta's `startingVersion`):
     * absent = offset 0, replay the whole commit history; `"latest"` =
@@ -764,7 +782,7 @@ private[connector] class GraftMicroBatchStream(root: String,
     match {
       case None => 0L
       case Some(s) if s.equalsIgnoreCase("latest") =>
-        SnapshotTable.currentVersion(spark, root)
+        tipVersion()
       case Some(s) =>
         val n = try s.trim.toLong catch {
           case _: NumberFormatException =>
@@ -776,8 +794,7 @@ private[connector] class GraftMicroBatchStream(root: String,
         n - 1L
     })
 
-  override def latestOffset(): Offset =
-    GraftOffset(SnapshotTable.currentVersion(spark, root))
+  override def latestOffset(): Offset = GraftOffset(tipVersion())
 
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toLong)
@@ -821,7 +838,8 @@ private[connector] class GraftMicroBatchStream(root: String,
   * Batch reads are refused with the pointer (a changelog is a stream
   * by nature; the batch surface already exists). */
 private[connector] class GraftChangesScan(root: String,
-    cdcSchema: StructType, streamStart: Option[String])
+    cdcSchema: StructType, streamStart: Option[String],
+    streamBranch: Option[String] = None)
   extends Scan {
   override def readSchema(): StructType = cdcSchema
   override def description(): String = s"graft-snapshot-changes($root)"
@@ -832,7 +850,8 @@ private[connector] class GraftChangesScan(root: String,
         "t.delete_keys tables or SnapshotTable.diff(from, to)")
   override def toMicroBatchStream(checkpointLocation: String)
   : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftChangesMicroBatchStream(root, cdcSchema, streamStart)
+    new GraftChangesMicroBatchStream(root, cdcSchema, streamStart,
+      streamBranch)
 }
 
 /** CHANGELOG micro-batch stream: version range (start, end] becomes
@@ -855,8 +874,10 @@ private[connector] class GraftChangesScan(root: String,
   * constant-fill channel (the initial-default machinery), so no data
   * is copied or widened on disk. */
 private[connector] class GraftChangesMicroBatchStream(root: String,
-    cdcSchema: StructType, startingVersion: Option[String] = None)
-  extends GraftMicroBatchStream(root, cdcSchema, startingVersion) {
+    cdcSchema: StructType, startingVersion: Option[String] = None,
+    branch: Option[String] = None)
+  extends GraftMicroBatchStream(root, cdcSchema, startingVersion,
+    branch) {
 
   private def session = SparkSession.active
 
@@ -994,7 +1015,8 @@ private[connector] class GraftScan(root: String, version: Long,
     limitDesc: Option[String] = None,
     offsetSkipFile: Option[(String, Long)] = None,
     onPlan: Option[Seq[FileEntry] => Unit] = None,
-    streamStart: Option[String] = None)
+    streamStart: Option[String] = None,
+    streamBranch: Option[String] = None)
   extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering
   with SupportsReportPartitioning {
@@ -1077,7 +1099,8 @@ private[connector] class GraftScan(root: String, version: Long,
     * for the accretive-range rule. */
   override def toMicroBatchStream(checkpointLocation: String)
   : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(root, required, streamStart)
+    new GraftMicroBatchStream(root, required, streamStart,
+      streamBranch)
 
   /** Can tombstone `t` kill anything in data file `e`? Sequence rule
     * first (only OLDER rows die); then the recorded key ranges, typed
@@ -1199,6 +1222,10 @@ private[connector] class GraftScan(root: String, version: Long,
           if (data.forall(e => e.statsKey.exists(_.equalsIgnoreCase(
             fd.name)) && e.statsNulls.isDefined))
             Some(data.map(_.statsNulls.get).sum)
+          else if (data.forall(_.colNulls.exists(
+            _._1.equalsIgnoreCase(fd.name))))
+            Some(data.map(_.colNulls.find(
+              _._1.equalsIgnoreCase(fd.name)).get._2).sum)
           else None
         // min/max: numeric columns with recorded per-file ranges on
         // every kept file (strings stay unreported — collation-safe)

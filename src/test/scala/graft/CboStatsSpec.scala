@@ -161,6 +161,67 @@ class CboStatsSpec extends SparkSpec {
     }
   }
 
+  test("CostBasedJoinReorder uses the NDV stats: a 3-table join " +
+      "written worst-first is reordered to take the selective join " +
+      "first under CBO, and keeps the written order without it") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // fact: 40k rows; fk_a joins a 2k-row dim completely (no
+    // shrink); fk_b spans 800 values of which dim_b holds only 80 —
+    // the b-join shrinks 10x, which only NDV-based estimation sees
+    val factRoot = s"$warehouse/db/jrf"
+    val dimARoot = s"$warehouse/db/jra"
+    val dimBRoot = s"$warehouse/db/jrb"
+    SnapshotTable.commit(spark, factRoot,
+      (0 until 40000).map(i =>
+        (i.toLong % 2000, i.toLong % 800, i.toDouble))
+        .toDF("fk_a", "fk_b", "v"), clusterKey = Some("fk_a"))
+    SnapshotTable.commit(spark, dimARoot,
+      (0 until 2000).map(i => (i.toLong, s"a$i")).toDF("a_k", "a_name"),
+      clusterKey = Some("a_k"))
+    SnapshotTable.commit(spark, dimBRoot,
+      (0 until 80).map(i => (i.toLong * 10, s"b$i")).toDF("b_k", "b_name"),
+      clusterKey = Some("b_k"))
+    Seq(factRoot, dimARoot, dimBRoot)
+      .foreach(SnapshotTable.analyze(spark, _))
+
+    def bottomJoinRefs(cbo: Boolean): Set[String] = withConfs(
+      "spark.sql.cbo.enabled" -> cbo.toString,
+      "spark.sql.cbo.joinReorder.enabled" -> cbo.toString,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val q = spark.table("graftcbo.db.jrf")
+        .join(spark.table("graftcbo.db.jra"),
+          col("fk_a") === col("a_k"))
+        .join(spark.table("graftcbo.db.jrb"),
+          col("fk_b") === col("b_k"))
+        .groupBy("a_name").count()
+      val joins = q.queryExecution.optimizedPlan
+        .collect { case j: Join => j }
+      // the bottom-most join = the one containing no other Join
+      val bottom = joins.filter(j =>
+        j.collect { case jj: Join => jj }.size == 1)
+      assert(bottom.size == 1, s"join tree shape: ${joins.size}")
+      bottom.head.references.map(_.name).toSet
+    }
+    val withoutCbo = bottomJoinRefs(cbo = false)
+    assert(withoutCbo.contains("a_k") && !withoutCbo.contains("b_k"),
+      s"written order should join dim_a first: $withoutCbo")
+    val withCbo = bottomJoinRefs(cbo = true)
+    assert(withCbo.contains("b_k") && !withCbo.contains("a_k"),
+      s"CBO should reorder the selective b-join first: $withCbo")
+    // and the reordered plan is still correct
+    withConfs("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      val n = spark.table("graftcbo.db.jrf")
+        .join(spark.table("graftcbo.db.jra"),
+          col("fk_a") === col("a_k"))
+        .join(spark.table("graftcbo.db.jrb"),
+          col("fk_b") === col("b_k")).count()
+      // fk_b % 800 hits b_k multiples of 10 below 800: 80 values,
+      // each appearing 40000/800 = 50 times
+      assert(n == 80 * 50, s"joined rows $n")
+    }
+  }
+
   test("NDV recording is session-togglable (mode=all / enabled=false) " +
       "and the reader treats sketchless manifests as stat-free") {
     val root = s"$warehouse/db/nostats"

@@ -125,4 +125,54 @@ class ChangesStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("STREAMING") ||
       e.getMessage.contains("t.changes"), e.getMessage)
   }
+
+  test("branch option: a changelog stream tails a BRANCH's commits " +
+      "while the main stream stays at main's head; fast-forward then " +
+      "delivers the merged commits to the main stream exactly once") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"))    // v1
+    SnapshotTable.createBranch(spark, root, "dev")
+    SnapshotTable.append(spark, root,
+      (11 to 15).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      branch = "dev")                                           // v2
+    // the branch stream sees the base + the branch commit
+    val devOut = tmpDir()
+    val qDev = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("changes", "true")
+      .option("branch", "dev").load()
+      .writeStream.format("parquet").option("path", devOut)
+      .option("checkpointLocation", tmpDir()).start()
+    try {
+      qDev.processAllAvailable()
+      val dev = spark.read.parquet(devOut)
+        .select(col("k"), col("_commit_version"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(dev == (1L to 10L).map(_ -> 1L) ++
+        (11L to 15L).map(_ -> 2L), s"dev events: $dev")
+    } finally qDev.stop()
+    // the main stream sees only main's view...
+    val mainOut = tmpDir()
+    def mainStream() = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("changes", "true").load()
+      .writeStream.format("parquet").option("path", mainOut)
+      .option("checkpointLocation", s"$mainOut-cp").start()
+    val qMain = mainStream()
+    try {
+      qMain.processAllAvailable()
+      assert(spark.read.parquet(mainOut).count() == 10,
+        "main stream must not see unmerged branch commits")
+      // ...until the fast-forward, which delivers them exactly once
+      SnapshotTable.fastForward(spark, root, "dev")
+      qMain.processAllAvailable()
+      val main = spark.read.parquet(mainOut)
+        .select(col("k"), col("_commit_version"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(main == (1L to 10L).map(_ -> 1L) ++
+        (11L to 15L).map(_ -> 2L), s"main events: $main")
+    } finally qMain.stop()
+    // the branch option also pins BATCH reads to the branch head
+    assert(spark.read.format("graft-snapshot").option("path", root)
+      .option("branch", "dev").load().count() == 15)
+  }
 }
