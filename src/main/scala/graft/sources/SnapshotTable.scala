@@ -1718,7 +1718,7 @@ object SnapshotTable {
     * empty (still accretive) delta and time travel still works.
     * Returns (version, columns sketched). */
   def analyze(spark: SparkSession, root: String,
-      maxRetries: Int = 5): (Long, Seq[String]) = {
+      maxRetries: Int = 5): (Long, Seq[String], Long) = {
     import org.apache.spark.sql.functions.{col, expr, input_file_name}
     val f = fs(spark, root)
     var attempt = 0
@@ -1726,8 +1726,8 @@ object SnapshotTable {
       val cur = currentVersion(spark, root)
       require(cur > 0L, s"no committed version at $root")
       val (entries, recorded) = readManifestFull(spark, root, cur)
-      val data = entries.filter(_.kind == "d")
-      if (data.isEmpty) return (cur, Seq.empty)
+      val allData = entries.filter(_.kind == "d")
+      if (allData.isEmpty) return (cur, Seq.empty, 0L)
       val schema = priorSchemaOrRead(spark, root, cur, recorded)
       val maxCols = spark.conf
         .getOption("spark.graft.stats.ndv.maxColumns")
@@ -1735,7 +1735,16 @@ object SnapshotTable {
       val cols = schema.fields.toSeq.filter(fd =>
         graft.functions.Hll.hashableTypes.contains(fd.dataType))
         .take(maxCols)
-      if (cols.isEmpty) return (cur, Seq.empty)
+      if (cols.isEmpty) return (cur, Seq.empty, 0L)
+      // INCREMENTAL: only files missing a sketch or null count for
+      // some column are re-read — repeated analyze costs O(new files)
+      // since the last one, not O(table). (After ADD COLUMN, files
+      // that predate the column lack its sketch and get ONE re-read,
+      // which records the correct all-NULL stats for them.)
+      val data = allData.filter(e => !cols.forall(fd =>
+        e.ndv.exists(_._1.equalsIgnoreCase(fd.name)) &&
+          e.colNulls.exists(_._1.equalsIgnoreCase(fd.name))))
+      if (data.isEmpty) return (cur, cols.map(_.name), 0L)
       graft.functions.HllFunctions.register(spark)
       // numeric columns additionally get per-file min/max recorded as
       // extra stats slots — range pruning AND the CBO's min/max both
@@ -1797,7 +1806,7 @@ object SnapshotTable {
         publish(f, root, target, enriched, Seq.empty, op = "analyze",
           branchRef = refIf(f, root, "main", cur))
         spark.catalog.refreshByPath(root)
-        return (target, cols.map(_.name))
+        return (target, cols.map(_.name), data.size.toLong)
       case None => () }
       attempt += 1
       if (attempt > maxRetries) throw CommitConflict(

@@ -643,11 +643,13 @@ private[connector] object GraftProcedures {
         Array(ProcedureParameter.in("table", StringType).build()),
         StructType(Seq(
           StructField("version", LongType, nullable = false),
-          StructField("columns", LongType, nullable = false))),
+          StructField("columns", LongType, nullable = false),
+          // incremental: files actually re-read this invocation
+          StructField("files_analyzed", LongType, nullable = false))),
         (spark, cat0, in) => {
-          val (v, cols) = SnapshotTable.analyze(spark,
+          val (v, cols, files) = SnapshotTable.analyze(spark,
             cat0.resolveRoot(in.getString(0)))
-          Row(v, cols.size.toLong)
+          Row(v, cols.size.toLong, files)
         })
       case "drop_branch" => proc(cat, "drop_branch",
         Array(ProcedureParameter.in("table", StringType).build(),

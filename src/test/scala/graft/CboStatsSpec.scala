@@ -105,6 +105,32 @@ class CboStatsSpec extends SparkSpec {
       val m = r.getMap[String, Long](1)
       assert(m.keys.toSet == Set("k", "grp", "v"), s"t.files ndv: $m")
     }
+
+    // INCREMENTAL analyze (own table — `big` stays pristine for the
+    // CBO tests): a fresh append re-reads ONLY the new files; a
+    // second analyze with nothing new reads zero
+    val incRoot = s"$warehouse/db/incr"
+    SnapshotTable.commit(spark, incRoot,
+      (0 until 4000).map(i => (i.toLong, s"g${i % 100}"))
+        .toDF("k", "grp"), clusterKey = Some("k"))
+    val (_, _, first) = SnapshotTable.analyze(spark, incRoot)
+    val nFiles = SnapshotTable.manifest(spark, incRoot,
+      SnapshotTable.currentVersion(spark, incRoot)).count(_.kind == "d")
+    assert(first == nFiles, s"first analyze read $first of $nFiles")
+    SnapshotTable.append(spark, incRoot,
+      (4000 until 4500).map(i => (i.toLong, s"g${i % 100}"))
+        .toDF("k", "grp"))
+    val (_, _, analyzed) = SnapshotTable.analyze(spark, incRoot)
+    val nAfter = SnapshotTable.manifest(spark, incRoot,
+      SnapshotTable.currentVersion(spark, incRoot)).count(_.kind == "d")
+    assert(analyzed == nAfter - nFiles,
+      s"incremental analyze re-read $analyzed of ${nAfter - nFiles}")
+    assert(SnapshotTable.analyze(spark, incRoot)._3 == 0L,
+      "analyze with nothing new must read zero files")
+    // merged estimates still correct over old + new sketches
+    val m2 = SnapshotTable.ndvEstimates(SnapshotTable.manifest(spark,
+      incRoot, SnapshotTable.currentVersion(spark, incRoot)))
+    assert(math.abs(m2("k") - 4500) <= 4500 * 0.15, m2("k").toString)
   }
 
   test("scan column stats reach catalyst attributeStats: distinct " +
