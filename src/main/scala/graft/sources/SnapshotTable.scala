@@ -597,6 +597,49 @@ object SnapshotTable {
     }.toMap
   }
 
+  /** Per-column statistics summary over a manifest — the data behind
+    * the catalog's `t.stats` metadata view: merged NDV (strict
+    * all-files rule, see [[ndvEstimates]]), summed NULL counts (from
+    * the stats column's per-file nulls or analyze's per-column
+    * counts), min/max over the recorded per-file ranges, and how many
+    * files carry a sketch (the staleness signal — re-run analyze when
+    * it trails the file count). Metadata only, no file IO. */
+  def statsSummary(entries: Seq[FileEntry], schema: StructType): Seq[
+    (String, Option[Long], Option[Long], Option[String],
+      Option[String], Long)] = {
+    val data = entries.filter(_.kind == "d")
+    val ndv = ndvEstimates(entries)
+    schema.fields.toSeq.map { fd =>
+      val n = fd.name
+      val sketched = data.count(
+        _.ndv.exists(_._1.equalsIgnoreCase(n))).toLong
+      val distinct = ndv.collectFirst {
+        case (c, v) if c.equalsIgnoreCase(n) => v }
+      val nulls =
+        if (data.nonEmpty && data.forall(e =>
+          e.statsKey.exists(_.equalsIgnoreCase(n)) &&
+            e.statsNulls.isDefined))
+          Some(data.map(_.statsNulls.get).sum)
+        else if (data.nonEmpty && data.forall(
+          _.colNulls.exists(_._1.equalsIgnoreCase(n))))
+          Some(data.map(
+            _.colNulls.find(_._1.equalsIgnoreCase(n)).get._2).sum)
+        else None
+      val ranges = data.map(_.statsFor(n))
+      val (mn, mx) =
+        if (data.nonEmpty && ranges.forall(_.isDefined))
+          statOrdering(fd.dataType) match {
+            case Some(cmp) =>
+              val ord = Ordering.fromLessThan[String](cmp(_, _) < 0)
+              (Some(ranges.map(_.get._1).min(ord)),
+                Some(ranges.map(_.get._2).max(ord)))
+            case None => (None, None)
+          }
+        else (None, None)
+      (n, distinct, nulls, mn, mx, sketched)
+    }
+  }
+
   /** Row count from a parquet file's footer; None if unreadable (the
     * manifest entry then simply carries no count — every consumer
     * treats a missing count as "must read the data"). */

@@ -736,6 +736,7 @@ private[connector] class GraftMetadataTable(fullName: String,
     case "files" => GraftMetadataTable.FilesSchema
     case "properties" => GraftMetadataTable.PropsSchema
     case "refs" => GraftMetadataTable.RefsSchema
+    case "stats" => GraftMetadataTable.StatsSchema
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -770,6 +771,20 @@ private[connector] class GraftMetadataTable(fullName: String,
                 c -> graft.functions.Hll.estimate(sk) }.toMap)
           }
           localRows(data, GraftMetadataTable.FilesSchema)
+        case "stats" =>
+          val s = spark
+          val v = pinned
+            .getOrElse(SnapshotTable.currentVersion(s, root))
+          val entries = SnapshotTable.manifest(s, root, v)
+          val nData = entries.count(_.kind == "d").toLong
+          val data = SnapshotTable.statsSummary(entries,
+            GraftSnapshotSource.schemaOf(s, root, v)).map {
+            case (c, ndv, nulls, mn, mx, sk) =>
+              Row(c, ndv.map(Long.box).orNull,
+                nulls.map(Long.box).orNull,
+                mn.orNull, mx.orNull, sk, nData)
+          }
+          localRows(data, GraftMetadataTable.StatsSchema)
         case "properties" =>
           val data = SnapshotTable.tableProperties(spark, root)
             .toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
@@ -798,7 +813,7 @@ private[connector] class GraftMetadataTable(fullName: String,
 private[connector] object GraftMetadataTable {
   import org.apache.spark.sql.types._
 
-  val Kinds = Set("history", "files", "properties", "refs")
+  val Kinds = Set("history", "files", "properties", "refs", "stats")
 
   val FilesSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
@@ -823,6 +838,18 @@ private[connector] object GraftMetadataTable {
     StructField("version", LongType, nullable = false),
     StructField("type", StringType, nullable = false),
     StructField("base", LongType, nullable = true)))
+
+  // `t.stats`: one row per table column — the merged CBO inputs
+  // (NDV / nulls / range) plus the staleness signal (sketched vs
+  // total files; re-run CALL analyze when it trails)
+  val StatsSchema: StructType = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("ndv", LongType, nullable = true),
+    StructField("null_count", LongType, nullable = true),
+    StructField("min", StringType, nullable = true),
+    StructField("max", StringType, nullable = true),
+    StructField("sketched_files", LongType, nullable = false),
+    StructField("data_files", LongType, nullable = false)))
 }
 
 /** Column DEFAULT persistence. A default is two table properties:

@@ -248,6 +248,26 @@ class CboStatsSpec extends SparkSpec {
     }
   }
 
+  test("t.stats surfaces the merged per-column statistics (NDV, " +
+      "nulls, range) and the sketched-vs-total staleness signal") {
+    val (_, _) = roots
+    val rows = spark.sql("SELECT * FROM graftcbo.db.big.stats")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("k", "grp", "v"), rows.keySet.toString)
+    val k = rows("k")
+    assert(math.abs(k.getLong(1) - 60000) <= 9000, k.toString) // ndv
+    assert(k.getLong(2) == 0L, k.toString)                // null_count
+    assert(k.getString(3) == "0" && k.getString(4) == "59999",
+      k.toString)                                         // min / max
+    assert(k.getLong(5) == k.getLong(6), "stale sketch count")
+    val grp = rows("grp")
+    assert(math.abs(grp.getLong(1) - 1200) <= 180, grp.toString)
+    assert(grp.isNullAt(3), "string ranges must stay unreported")
+    val v = rows("v")
+    assert(v.getString(3).toDouble == 0.0 &&
+      v.getString(4).toDouble == 59999.0, v.toString)
+  }
+
   test("NDV recording is session-togglable (mode=all / enabled=false) " +
       "and the reader treats sketchless manifests as stat-free") {
     val root = s"$warehouse/db/nostats"
