@@ -229,7 +229,8 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
           "for batch change sets use t.changes / t.delete_keys")
       val scan = new GraftChangesScan(root, tableSchema,
         Option(options.get("startingVersion")),
-        Option(options.get("branch")))
+        Option(options.get("branch")),
+        options.getBoolean("preImages", false))
       new ScanBuilder { override def build(): Scan = scan }
     } else new GraftScanBuilder(root, version, tableSchema,
       streamStart = Option(options.get("startingVersion")),
@@ -839,7 +840,8 @@ private[connector] class GraftMicroBatchStream(root: String,
   * by nature; the batch surface already exists). */
 private[connector] class GraftChangesScan(root: String,
     cdcSchema: StructType, streamStart: Option[String],
-    streamBranch: Option[String] = None)
+    streamBranch: Option[String] = None,
+    preImages: Boolean = false)
   extends Scan {
   override def readSchema(): StructType = cdcSchema
   override def description(): String = s"graft-snapshot-changes($root)"
@@ -851,7 +853,7 @@ private[connector] class GraftChangesScan(root: String,
   override def toMicroBatchStream(checkpointLocation: String)
   : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftChangesMicroBatchStream(root, cdcSchema, streamStart,
-      streamBranch)
+      streamBranch, preImages)
 }
 
 /** CHANGELOG micro-batch stream: version range (start, end] becomes
@@ -875,7 +877,7 @@ private[connector] class GraftChangesScan(root: String,
   * is copied or widened on disk. */
 private[connector] class GraftChangesMicroBatchStream(root: String,
     cdcSchema: StructType, startingVersion: Option[String] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None, preImages: Boolean = false)
   extends GraftMicroBatchStream(root, cdcSchema, startingVersion,
     branch) {
 
@@ -908,9 +910,54 @@ private[connector] class GraftChangesMicroBatchStream(root: String,
         fills = Array(
           (GraftSnapshotSource.ChangeTypeCol, changeType),
           (GraftSnapshotSource.CommitVersionCol, e.seq.toString)))
-    after.filter(e => !beforePaths.contains(e.path)).map { e =>
-      if (e.kind == "t") event(e, "delete") else event(e, "insert")
-    }.toArray
+    val adds = after.filter(e => !beforePaths.contains(e.path))
+    if (!preImages)
+      adds.map { e =>
+        if (e.kind == "t") event(e, "delete") else event(e, "insert")
+      }.toArray
+    else {
+      // preImages=true: delete events carry the FULL deleted rows.
+      // For each new tombstone t, read the PRE-t data files whose key
+      // range can intersect it (stats-pruned, O(affected files)) in
+      // emit-only-killed mode: `tombs` = tombstones BETWEEN the file
+      // and t (suppressing rows already dead before t — a key deleted
+      // twice across the range pre-images once per delete, exactly),
+      // `preImageTombs` = t itself.
+      val inserts = adds.filter(_.kind == "d")
+        .map(event(_, "insert"): InputPartition)
+      val allTombs = after.filter(_.kind == "t")
+      val deletes = adds.filter(_.kind == "t").flatMap { t =>
+        val keyName = t.statsKey.getOrElse(
+          throw new IllegalStateException(
+            s"tombstone ${t.path} at $root carries no key column"))
+        val keyType = cdcSchema.fields
+          .find(_.name.equalsIgnoreCase(keyName)).map(_.dataType)
+          .getOrElse(throw new IllegalStateException(
+            s"tombstone key '$keyName' is not a column of $root"))
+        val cmp = SnapshotTable.statOrdering(keyType)
+        def intersects(e: SnapshotTable.FileEntry): Boolean =
+          (t.statsFor(keyName), e.statsFor(keyName), cmp) match {
+            case (Some((tl, th)), Some((el, eh)), Some(c)) =>
+              c(th, el) >= 0 && c(tl, eh) <= 0
+            case _ => true // no stats: conservatively read
+          }
+        after.filter(e => e.kind == "d" && e.seq < t.seq &&
+          intersects(e)).map { e =>
+          val between = allTombs.filter(x =>
+            x.seq > e.seq && x.seq < t.seq).map(x =>
+            TombRef(new Path(root, x.path).toString, x.seq)).toArray
+          GraftInputPartition(new Path(root, e.path).toString, e.seq,
+            between, keyName, keyType.json,
+            fills = Array(
+              (GraftSnapshotSource.ChangeTypeCol, "delete"),
+              (GraftSnapshotSource.CommitVersionCol, t.seq.toString)),
+            preImageTombs = Array(
+              TombRef(new Path(root, t.path).toString, t.seq)))
+            : InputPartition
+        }
+      }
+      (inserts ++ deletes).toArray
+    }
   }
 }
 
@@ -941,7 +988,12 @@ private[connector] case class GraftInputPartition(absolutePath: String,
     // literal): columns added after the file was written, whose
     // ADD COLUMNS declared a DEFAULT — the reader materializes the
     // constant instead of NULL (typed via the read schema)
-    fills: Array[(String, String)] = Array.empty)
+    fills: Array[(String, String)] = Array.empty,
+    // PRE-IMAGE mode (changelog deletes): emit ONLY rows whose key is
+    // in THESE tombstones' key set — after the normal `tombs` filter
+    // above suppressed rows already dead before them — instead of the
+    // live rows. The kill machinery inverted.
+    preImageTombs: Array[TombRef] = Array.empty)
   extends InputPartition
 
 /** The scan a COMPLETELY pushed aggregate plans to: one partition,
@@ -1381,12 +1433,18 @@ private[connector] class GraftReaderFactory(requiredJson: String,
     val required =
       DataType.fromJson(requiredJson).asInstanceOf[StructType]
     val p = partition.asInstanceOf[GraftInputPartition]
-    if (p.tombs.isEmpty)
+    if (p.tombs.isEmpty && p.preImageTombs.isEmpty)
       new GraftPartitionReader(p.absolutePath, required,
         required.length, -1, null, pushed, p.skipRows, p.fills)
     else {
       val keyType = DataType.fromJson(p.keyTypeJson)
-      val kills = GraftTombstones.killSet(p.tombs, p.keyName, keyType)
+      val kills =
+        if (p.tombs.isEmpty) new java.util.HashSet[Any]()
+        else GraftTombstones.killSet(p.tombs, p.keyName, keyType)
+      val emits =
+        if (p.preImageTombs.isEmpty) null
+        else GraftTombstones.killSet(p.preImageTombs, p.keyName,
+          keyType)
       // the delete key must be DECODED to filter on, even when the
       // query didn't project it — read it as a hidden trailing field
       val (readSchema, killIdx) =
@@ -1397,7 +1455,8 @@ private[connector] class GraftReaderFactory(requiredJson: String,
           case i => (required, i)
         }
       new GraftPartitionReader(p.absolutePath, readSchema,
-        required.length, killIdx, kills, pushed, fills = p.fills)
+        required.length, killIdx, kills, pushed, fills = p.fills,
+        emitSet = emits)
     }
   }
 }
@@ -1665,7 +1724,11 @@ private[graft] class GraftPartitionReader(file: String,
     killSet: java.util.HashSet[Any],
     filters: Array[Filter] = Array.empty,
     skipRows: Long = 0L,
-    fills: Array[(String, String)] = Array.empty)
+    fills: Array[(String, String)] = Array.empty,
+    // non-null = PRE-IMAGE mode: after the killSet suppresses rows
+    // already dead, emit ONLY rows whose key is in THIS set — the
+    // changelog's full-row delete events
+    emitSet: java.util.HashSet[Any] = null)
   extends PartitionReader[InternalRow] {
 
   // initial-default constants for columns this file predates, typed
@@ -1754,8 +1817,13 @@ private[graft] class GraftPartitionReader(file: String,
       if (current == null) return false
       if (killIdx < 0) return true
       val kv = valueAt(killIdx)
-      if (kv == null || !killSet.contains(kv)) return true
-      // tombstoned row: keep scanning
+      val dead = kv != null && killSet.contains(kv)
+      if (!dead) {
+        if (emitSet == null) return true
+        // pre-image mode: only the rows THIS tombstone kills surface
+        if (kv != null && emitSet.contains(kv)) return true
+      }
+      // tombstoned (or not-being-deleted in pre-image mode): scan on
     }
     false
   }

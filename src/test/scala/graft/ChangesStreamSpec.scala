@@ -126,6 +126,43 @@ class ChangesStreamSpec extends SparkSpec {
       e.getMessage.contains("t.changes"), e.getMessage)
   }
 
+  test("preImages=true: delete events carry the FULL deleted rows " +
+      "(stats-pruned read of the killed files), and a key deleted " +
+      "twice pre-images each deletion with the right vintage") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      clusterKey = Some("k"))                                   // v1
+    SnapshotTable.mergeOnRead(spark, root,
+      (1 to 10).map(i => (i.toLong, "upd")).toDF("k", "v"), "k") // v2
+    SnapshotTable.mergeOnRead(spark, root,
+      (1 to 5).map(i => (i.toLong, "upd2")).toDF("k", "v"), "k") // v3
+    val outDir = tmpDir()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("changes", "true")
+      .option("preImages", "true").load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", tmpDir()).start()
+    try {
+      q.processAllAvailable()
+      val ev = spark.read.parquet(outDir)
+        .select(col("k"), col("v"), col("_change_type"),
+          col("_commit_version"))
+        .as[(Long, String, String, Long)].collect().toSeq
+      // v2's deletes carry the ORIGINAL rows...
+      val d2 = ev.filter(e => e._3 == "delete" && e._4 == 2L).sorted
+      assert(d2 == (1L to 10L).map(i => (i, s"v$i", "delete", 2L)),
+        s"v2 deletes: $d2")
+      // ...and v3's deletes carry v2's replacement rows, NOT the
+      // originals (already dead before v3 — suppressed exactly)
+      val d3 = ev.filter(e => e._3 == "delete" && e._4 == 3L).sorted
+      assert(d3 == (1L to 5L).map(i => (i, "upd", "delete", 3L)),
+        s"v3 deletes: $d3")
+      // inserts unchanged: 100 + 10 + 5
+      assert(ev.count(_._3 == "insert") == 115)
+    } finally q.stop()
+  }
+
   test("branch option: a changelog stream tails a BRANCH's commits " +
       "while the main stream stays at main's head; fast-forward then " +
       "delivers the merged commits to the main stream exactly once") {
