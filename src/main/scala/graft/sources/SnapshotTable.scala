@@ -597,6 +597,54 @@ object SnapshotTable {
     }.toMap
   }
 
+  /** Does this file lack a sketch or null count for some of `cols`?
+    * The staleness predicate shared by incremental [[analyze]], the
+    * auto-analyze policy and `t.stats`' staleness column. */
+  private def unsketched(e: FileEntry,
+      cols: Seq[StructField]): Boolean =
+    !cols.forall(fd =>
+      e.ndv.exists(_._1.equalsIgnoreCase(fd.name)) &&
+        e.colNulls.exists(_._1.equalsIgnoreCase(fd.name)))
+
+  private def analyzableCols(spark: SparkSession,
+      schema: StructType): Seq[StructField] = {
+    val maxCols = spark.conf
+      .getOption("spark.graft.stats.ndv.maxColumns")
+      .map(_.toInt).getOrElse(16)
+    schema.fields.toSeq.filter(fd =>
+      graft.functions.Hll.hashableTypes.contains(fd.dataType))
+      .take(maxCols)
+  }
+
+  /** AUTO-ANALYZE policy (opt-in): after an append on main, if the
+    * fraction of data files missing full column stats exceeds
+    * `spark.graft.stats.analyze.auto.minStale` (default 0.2), run an
+    * incremental [[analyze]] — which reads only those files, so the
+    * steady-state cost is O(data appended since the last analyze)
+    * amortized over commits, never O(table). Advisory: a lost race
+    * or failure never fails the append that triggered it. */
+  private def maybeAutoAnalyze(spark: SparkSession,
+      root: String): Unit = {
+    if (!spark.conf.getOption("spark.graft.stats.analyze.auto")
+      .exists(_.toBoolean)) return
+    val minStale = spark.conf
+      .getOption("spark.graft.stats.analyze.auto.minStale")
+      .map(_.toDouble).getOrElse(0.2)
+    try {
+      val cur = currentVersion(spark, root)
+      if (cur == 0L) return
+      val (entries, recorded) = readManifestFull(spark, root, cur)
+      val data = entries.filter(_.kind == "d")
+      if (data.isEmpty) return
+      val cols = analyzableCols(spark,
+        priorSchemaOrRead(spark, root, cur, recorded))
+      if (cols.isEmpty) return
+      val stale = data.count(unsketched(_, cols))
+      if (stale.toDouble / data.size > minStale)
+        analyze(spark, root)
+    } catch { case _: CommitConflict => () } // advisory only
+  }
+
   /** Per-column statistics summary over a manifest — the data behind
     * the catalog's `t.stats` metadata view: merged NDV (strict
     * all-files rule, see [[ndvEstimates]]), summed NULL counts (from
@@ -875,6 +923,7 @@ object SnapshotTable {
         publish(f, root, target, stamped, Seq(seg), op = "append",
           branchRef = refIf(f, root, branch, cur))
         spark.catalog.refreshByPath(root)
+        if (branch == "main") maybeAutoAnalyze(spark, root)
         return target
       case None => () }
       attempt += 1
@@ -1772,21 +1821,14 @@ object SnapshotTable {
       val allData = entries.filter(_.kind == "d")
       if (allData.isEmpty) return (cur, Seq.empty, 0L)
       val schema = priorSchemaOrRead(spark, root, cur, recorded)
-      val maxCols = spark.conf
-        .getOption("spark.graft.stats.ndv.maxColumns")
-        .map(_.toInt).getOrElse(16)
-      val cols = schema.fields.toSeq.filter(fd =>
-        graft.functions.Hll.hashableTypes.contains(fd.dataType))
-        .take(maxCols)
+      val cols = analyzableCols(spark, schema)
       if (cols.isEmpty) return (cur, Seq.empty, 0L)
       // INCREMENTAL: only files missing a sketch or null count for
       // some column are re-read — repeated analyze costs O(new files)
       // since the last one, not O(table). (After ADD COLUMN, files
       // that predate the column lack its sketch and get ONE re-read,
       // which records the correct all-NULL stats for them.)
-      val data = allData.filter(e => !cols.forall(fd =>
-        e.ndv.exists(_._1.equalsIgnoreCase(fd.name)) &&
-          e.colNulls.exists(_._1.equalsIgnoreCase(fd.name))))
+      val data = allData.filter(unsketched(_, cols))
       if (data.isEmpty) return (cur, cols.map(_.name), 0L)
       graft.functions.HllFunctions.register(spark)
       // numeric columns additionally get per-file min/max recorded as

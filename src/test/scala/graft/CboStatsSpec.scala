@@ -248,6 +248,41 @@ class CboStatsSpec extends SparkSpec {
     }
   }
 
+  test("auto-analyze (opt-in): once unsketched files exceed the " +
+      "stale fraction, an append triggers an incremental analyze; " +
+      "below it, appends stay analyze-free; off by default") {
+    val root = s"$warehouse/db/auto"
+    def ops(): Seq[String] = SnapshotTable.versions(spark, root)
+      .map(SnapshotTable.commitOperation(spark, root, _))
+    // default OFF: appends never mint analyze commits
+    SnapshotTable.commit(spark, root,
+      (1 to 1000).map(i => (i.toLong, s"s$i")).toDF("k", "s"),
+      clusterKey = Some("k"))
+    SnapshotTable.append(spark, root,
+      (1001 to 1100).map(i => (i.toLong, s"s$i")).toDF("k", "s"))
+    assert(!ops().contains("analyze"), ops().toString)
+    withConfs("spark.graft.stats.analyze.auto" -> "true",
+      "spark.graft.stats.analyze.auto.minStale" -> "0.3") {
+      // every file is unsketched for 's' => 100% stale: the next
+      // append triggers one incremental analyze commit
+      SnapshotTable.append(spark, root,
+        Seq((1101L, "s1101")).toDF("k", "s"))
+      assert(ops().count(_ == "analyze") == 1, ops().toString)
+      val vA = SnapshotTable.currentVersion(spark, root)
+      assert(SnapshotTable.commitOperation(spark, root, vA)
+        == "analyze")
+      // now fully sketched: a small append (1 stale file of many)
+      // stays under 30% and does NOT re-trigger
+      SnapshotTable.append(spark, root,
+        Seq((1102L, "s1102")).toDF("k", "s"))
+      assert(ops().count(_ == "analyze") == 1, ops().toString)
+      // merged stats cover the analyzed vintage
+      val m = SnapshotTable.ndvEstimates(SnapshotTable.manifest(spark,
+        root, vA))
+      assert(m.contains("s"), m.toString)
+    }
+  }
+
   test("t.stats surfaces the merged per-column statistics (NDV, " +
       "nulls, range) and the sketched-vs-total staleness signal") {
     val (_, _) = roots
