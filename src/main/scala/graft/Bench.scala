@@ -63,25 +63,9 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .filter(_ >= 1).getOrElse(3)
-    // Session-conf isolation: snapshot queries register catalogs and
-    // flip feature flags (e.g. spark.sql.sources.v2.bucketing.enabled)
-    // on the shared session; without restoration, conf set by an
-    // earlier query silently perturbs every later plan in the run.
-    def restoringConfs[T](body: => T): T = {
-      val before = spark.conf.getAll
-      try body finally spark.conf.getAll.foreach { case (k, v) =>
-        before.get(k) match {
-          case Some(old) if old != v =>
-            try spark.conf.set(k, old) catch { case _: Exception => () }
-          case None =>
-            try spark.conf.unset(k) catch { case _: Exception => () }
-          case _ => ()
-        }
-      }
-    }
     def timeOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-    : Double = restoringConfs {
+    : Double = ConfIsolation.restoring(spark) {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

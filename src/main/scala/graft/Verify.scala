@@ -23,20 +23,13 @@ object Verify {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
     selected.foreach { case (name, fn) =>
-      // session-conf isolation (mirror of Bench): a query that sets
-      // catalogs/flags must not perturb the queries after it
-      val before = spark.conf.getAll
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally spark.conf.getAll.foreach { case (k, v) =>
-        before.get(k) match {
-          case Some(old) if old != v =>
-            try spark.conf.set(k, old) catch { case _: Exception => () }
-          case None =>
-            try spark.conf.unset(k) catch { case _: Exception => () }
-          case _ => ()
+      // session-conf isolation (shared with Bench): a query that
+      // sets catalogs/flags must not perturb the queries after it
+      ConfIsolation.restoring(spark) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
     }

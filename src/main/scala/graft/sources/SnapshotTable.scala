@@ -625,12 +625,12 @@ object SnapshotTable {
     * or failure never fails the append that triggered it. */
   private def maybeAutoAnalyze(spark: SparkSession,
       root: String): Unit = {
-    if (!spark.conf.getOption("spark.graft.stats.analyze.auto")
-      .exists(_.toBoolean)) return
-    val minStale = spark.conf
-      .getOption("spark.graft.stats.analyze.auto.minStale")
-      .map(_.toDouble).getOrElse(0.2)
     try {
+      if (!spark.conf.getOption("spark.graft.stats.analyze.auto")
+        .exists(_.toBoolean)) return
+      val minStale = spark.conf
+        .getOption("spark.graft.stats.analyze.auto.minStale")
+        .map(_.toDouble).getOrElse(0.2)
       val cur = currentVersion(spark, root)
       if (cur == 0L) return
       val (entries, recorded) = readManifestFull(spark, root, cur)
@@ -642,7 +642,14 @@ object SnapshotTable {
       val stale = data.count(unsketched(_, cols))
       if (stale.toDouble / data.size > minStale)
         analyze(spark, root)
-    } catch { case _: CommitConflict => () } // advisory only
+    } catch {
+      // ADVISORY, totally: the triggering append IS committed by the
+      // time we run — ANY failure here (lost race, concurrent vacuum
+      // pulling a file mid-read, a malformed conf value) must not
+      // make that append look failed, or the caller re-submits the
+      // same data
+      case scala.util.control.NonFatal(_) => ()
+    }
   }
 
   /** Per-column statistics summary over a manifest — the data behind
@@ -1442,7 +1449,8 @@ object SnapshotTable {
       s.stripPrefix("base-").toLong }
     require(bases.nonEmpty,
       s"branch '$b' at $root is mid-creation (no base marker yet) — " +
-        "retry, or re-run createBranch if its writer crashed")
+        "retry; if its writer crashed, re-run createBranch (which " +
+        "completes a crashed creation) or clear it with dropBranch")
     val base = bases.max
     val nxPairs = markers.collect { case s if s.startsWith("nx-") =>
       val Array(from, to) = s.stripPrefix("nx-").split('-')
@@ -1493,7 +1501,13 @@ object SnapshotTable {
     require(versions(spark, root).contains(at),
       s"version $at is not committed at $root")
     val dir = branchDir(root, name)
-    require(branchMarkers(f, root, name).isEmpty,
+    val markers = branchMarkers(f, root, name)
+    // sentinel present but no base marker = a createBranch crashed
+    // between the two writes; re-running COMPLETES the creation
+    // rather than wedging behind "already exists"
+    val crashedCreation = markers.nonEmpty &&
+      !markers.exists(_.startsWith("base-"))
+    require(markers.isEmpty || crashedCreation,
       s"branch '$name' already exists at $root")
     f.mkdirs(dir)
     // the sentinel's exclusive create IS the creation point: two
@@ -1501,10 +1515,20 @@ object SnapshotTable {
     // and both mkdirs, but exactly one wins this create — the loser
     // fails instead of silently contributing a second base-<V> that
     // max() would then ignore
-    require(atomicCreate(f, new Path(dir, "created")),
-      s"branch '$name' already exists at $root (lost a concurrent " +
-        "createBranch race)")
+    if (!crashedCreation)
+      require(atomicCreate(f, new Path(dir, "created")),
+        s"branch '$name' already exists at $root (lost a concurrent " +
+          "createBranch race)")
     atomicCreate(f, new Path(dir, s"base-$at"))
+    if (crashedCreation) {
+      // two recoverers may have completed with DIFFERENT from-points;
+      // fail loudly rather than let max(base) silently pick one
+      val bases = branchMarkers(f, root, name)
+        .count(_.startsWith("base-"))
+      if (bases > 1) throw CommitConflict(
+        s"concurrent recovery of crashed branch '$name' at $root " +
+          s"installed $bases base markers — dropBranch and re-create")
+    }
     at
   }
 
@@ -1855,16 +1879,33 @@ object SnapshotTable {
             smax(col(s"__n$i")).cast("string").as(s"__mx$i"))
           else Nil)
       }
+      // keyed by FULL path, never basename: different segments can
+      // hold same-named files (taskIds restart per application), and
+      // a basename-keyed map would stamp one file's min/max onto
+      // another — wrong PRUNING, i.e. wrong query results
       val byFile = spark.read
         .schema(StructType(schema.fields.map(_.copy(nullable = true))))
         .parquet(data.map(e => absolute(root, e)): _*)
         .select(sel: _*).groupBy(col("__f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map(r => new Path(r.getAs[String]("__f")).getName -> r).toMap
+        .map(r => new Path(r.getAs[String]("__f")).toUri.getPath ->
+          r).toMap
+      val attempted = data.map(_.path).toSet
       val enriched = entries.map { e =>
-        if (e.kind != "d") e
-        else byFile.get(new Path(e.path).getName).fold(e) { r =>
+        if (e.kind != "d" || !attempted(e.path)) e
+        else byFile.get(new Path(absolute(root, e)).toUri.getPath)
+          match {
+          case None =>
+            // a ZERO-ROW file yields no aggregation row; stamp it
+            // with correct empty stats (blank registers, zero nulls)
+            // so it counts as sketched — otherwise it stays "stale"
+            // forever and auto-analyze re-reads it on every append
+            e.copy(
+              ndv = cols.map(fd =>
+                fd.name -> Array.ofDim[Byte](1 << NdvPrecision)),
+              colNulls = cols.map(_.name -> 0L))
+          case Some(r) =>
           val ranges = cols.zipWithIndex.flatMap { case (fd, i) =>
             // never shadow a slot the entry already has (cluster key,
             // z-order dims, __bucket, txn markers)

@@ -773,6 +773,16 @@ private[connector] class GraftMicroBatchStream(root: String,
     case Some(b) => SnapshotTable.branchHead(spark, root, b)
   }
 
+  /** Initial defaults declared by the batch-end schema, restricted to
+    * streamed columns — streamed rows from files that predate an
+    * `ADD COLUMNS ... DEFAULT` must surface the declared literal,
+    * exactly like every batch read of the same rows. */
+  protected def defaultFillsAt(vE: Long)
+  : Seq[SnapshotTable.InitFill] =
+    SnapshotTable.initFills(
+      GraftSnapshotSource.schemaOf(spark, root, vE))
+      .filter(f => required.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+
   /** Where a FRESH checkpoint begins (Delta's `startingVersion`):
     * absent = offset 0, replay the whole commit history; `"latest"` =
     * the current version, only commits made after the stream starts;
@@ -824,9 +834,13 @@ private[connector] class GraftMicroBatchStream(root: String,
         "merge-on-read tombstones added) — an append stream cannot " +
         "express row removal; restart the stream from the current " +
         "version or consume the table with SnapshotTable.diff")
+    val defaults = defaultFillsAt(vE)
     after.filter(e => e.kind == "d" && !beforePaths.contains(e.path))
       .map(e => GraftInputPartition(new Path(root, e.path).toString,
-        e.seq, Array.empty, null, null): InputPartition).toArray
+        e.seq, Array.empty, null, null,
+        fills = defaults.filter(_.addedAt > e.seq)
+          .map(f => (f.name, f.rendered)).toArray)
+        : InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -903,13 +917,24 @@ private[connector] class GraftChangesMicroBatchStream(root: String,
         "/ replace) — a file-delta changelog cannot attach row-level " +
         "meaning to a rewrite; restart from the current version or " +
         "use SnapshotTable.diff for the exact row diff")
+    // initial defaults apply to streamed CHANGE rows exactly as to
+    // batch reads: data files predating an ADD COLUMNS ... DEFAULT
+    // fill the declared literal. (Key-only delete events keep their
+    // data columns NULL — they are intentionally not row images.)
+    val defaults = defaultFillsAt(vE)
+    def defaultFills(e: SnapshotTable.FileEntry)
+    : Array[(String, String)] =
+      if (e.kind != "d") Array.empty
+      else defaults.filter(_.addedAt > e.seq)
+        .map(f => (f.name, f.rendered)).toArray
     def event(e: SnapshotTable.FileEntry,
         changeType: String): InputPartition =
       GraftInputPartition(new Path(root, e.path).toString, e.seq,
         Array.empty, null, null,
         fills = Array(
           (GraftSnapshotSource.ChangeTypeCol, changeType),
-          (GraftSnapshotSource.CommitVersionCol, e.seq.toString)))
+          (GraftSnapshotSource.CommitVersionCol, e.seq.toString)) ++
+          defaultFills(e))
     val adds = after.filter(e => !beforePaths.contains(e.path))
     if (!preImages)
       adds.map { e =>
@@ -950,7 +975,8 @@ private[connector] class GraftChangesMicroBatchStream(root: String,
             between, keyName, keyType.json,
             fills = Array(
               (GraftSnapshotSource.ChangeTypeCol, "delete"),
-              (GraftSnapshotSource.CommitVersionCol, t.seq.toString)),
+              (GraftSnapshotSource.CommitVersionCol,
+                t.seq.toString)) ++ defaultFills(e),
             preImageTombs = Array(
               TombRef(new Path(root, t.path).toString, t.seq)))
             : InputPartition
@@ -1265,22 +1291,16 @@ private[connector] class GraftScan(root: String, version: Long,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       val data = runtimeKept.filter(_.kind == "d")
       if (tombs.nonEmpty || data.isEmpty) return out
-      val ndv = SnapshotTable.ndvEstimates(data)
+      // ONE merging policy: SnapshotTable.statsSummary is the same
+      // code `t.stats` serves — NDV unions, null-count rules, and
+      // type-aware (statOrdering) min/max selection, so a long min
+      // never loses precision through a double round-trip
+      val summary = SnapshotTable.statsSummary(data, required)
+        .map(s => s._1 -> s).toMap
       required.fields.foreach { fd =>
-        val distinct = ndv.collectFirst {
-          case (c, n) if c.equalsIgnoreCase(fd.name) => n }
-        // null count: recorded per file for the table's stats column
-        val nulls =
-          if (data.forall(e => e.statsKey.exists(_.equalsIgnoreCase(
-            fd.name)) && e.statsNulls.isDefined))
-            Some(data.map(_.statsNulls.get).sum)
-          else if (data.forall(_.colNulls.exists(
-            _._1.equalsIgnoreCase(fd.name))))
-            Some(data.map(_.colNulls.find(
-              _._1.equalsIgnoreCase(fd.name)).get._2).sum)
-          else None
-        // min/max: numeric columns with recorded per-file ranges on
-        // every kept file (strings stay unreported — collation-safe)
+        val (_, distinct, nulls, mnS, mxS, _) = summary(fd.name)
+        // catalyst wants TYPED bounds; numeric only (strings stay
+        // unreported — collation-safe)
         def parsed(s: String): Option[Any] = fd.dataType match {
           case org.apache.spark.sql.types.IntegerType =>
             s.toIntOption.map(Int.box)
@@ -1292,18 +1312,8 @@ private[connector] class GraftScan(root: String, version: Long,
             s.toFloatOption.map(Float.box)
           case _ => None
         }
-        val ranges = data.map(_.statsFor(fd.name))
-        val (mn, mx) =
-          if (ranges.forall(_.isDefined) && ranges.nonEmpty) {
-            val los = ranges.flatMap(r => parsed(r.get._1))
-            val his = ranges.flatMap(r => parsed(r.get._2))
-            if (los.size == data.size && his.size == data.size)
-              (Some(los.minBy(v =>
-                v.asInstanceOf[Number].doubleValue())),
-                Some(his.maxBy(v =>
-                  v.asInstanceOf[Number].doubleValue())))
-            else (None, None)
-          } else (None, None)
+        val mn = mnS.flatMap(parsed)
+        val mx = mxS.flatMap(parsed)
         if (distinct.isDefined || nulls.isDefined || mn.isDefined) {
           out.put(
             org.apache.spark.sql.connector.expressions.Expressions

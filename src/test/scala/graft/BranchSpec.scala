@@ -221,6 +221,17 @@ class BranchSpec extends SparkSpec {
     // a non-colliding tag still works
     SnapshotTable.tag(spark, root, "ok", 1L)
 
+    // a createBranch that crashed between the sentinel and the base
+    // marker: re-running COMPLETES the creation instead of wedging
+    // behind "already exists"
+    val crashDir = new java.io.File(s"$root/_refs/crashed")
+    crashDir.mkdirs()
+    new java.io.File(crashDir, "created").createNewFile()
+    intercept[IllegalArgumentException](
+      SnapshotTable.branchHead(spark, root, "crashed"))
+    val cBase = SnapshotTable.createBranch(spark, root, "crashed")
+    assert(SnapshotTable.branchHead(spark, root, "crashed") == cBase)
+
     // forge the fork a vacuumed-then-published stalled committer
     // would leave: two nx markers from the same head — resolution
     // must fail with the heal instruction, not silently pick one

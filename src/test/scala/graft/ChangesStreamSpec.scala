@@ -126,6 +126,50 @@ class ChangesStreamSpec extends SparkSpec {
       e.getMessage.contains("t.changes"), e.getMessage)
   }
 
+  test("initial defaults apply to streamed change rows: files that " +
+      "predate an ADD COLUMNS ... DEFAULT stream the declared " +
+      "literal, exactly like batch reads of the same rows") {
+    val warehouse = tmpDir()
+    val root = s"$warehouse/db/t"
+    SnapshotTable.commit(spark, root,
+      (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v"))     // v1
+    spark.conf.set("spark.sql.catalog.graftcdcd",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcdcd.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcdcd.db")
+    spark.sql(
+      "ALTER TABLE graftcdcd.db.t ADD COLUMNS (w DOUBLE DEFAULT 2.5)")
+    SnapshotTable.append(spark, root,
+      Seq((21L, "v21", 9.0)).toDF("k", "v", "w"))                // v3
+    val outDir = tmpDir()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("changes", "true").load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", tmpDir()).start()
+    try {
+      q.processAllAvailable()
+      val ev = spark.read.parquet(outDir)
+        .select(col("k"), col("w")).as[(Long, Double)]
+        .collect().sorted.toSeq
+      assert(ev == (1L to 20L).map(_ -> 2.5) :+ (21L -> 9.0),
+        s"streamed defaults: $ev")
+    } finally q.stop()
+    // the plain append stream fills the same way
+    val outDir2 = tmpDir()
+    val q2 = spark.readStream.format("graft-snapshot")
+      .option("path", root).load()
+      .writeStream.format("parquet").option("path", outDir2)
+      .option("checkpointLocation", tmpDir()).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(outDir2)
+        .filter(col("w").isNull).count() == 0,
+        "append stream must fill initial defaults, not NULL")
+    } finally q2.stop()
+    spark.conf.unset("spark.sql.catalog.graftcdcd")
+    spark.conf.unset("spark.sql.catalog.graftcdcd.warehouse")
+  }
+
   test("preImages=true: delete events carry the FULL deleted rows " +
       "(stats-pruned read of the killed files), and a key deleted " +
       "twice pre-images each deletion with the right vintage") {
