@@ -321,4 +321,45 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       assert(j3.count() == 20000)
     }
   }
+
+  test("MISMATCHED sparse cell sets: two tables whose non-empty " +
+      "buckets differ still join exchange-free under pushPartValues " +
+      "(Spark aligns the value sets), and exactly — the skew/sparsity " +
+      "story at scale; without it the planner correctly shuffles") {
+    val aRoot = s"$warehouse/db/pp_a"
+    val bRoot = s"$warehouse/db/pp_b"
+    // A's keys hash into one sparse bucket subset, B's into another
+    // (overlapping but different): partition values don't line up
+    val a = (1 to 4000).map(i => (i.toLong % 37, i.toDouble))
+      .toDF("k", "v")
+    val b = (0 to 11).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    SnapshotTable.commitBucketed(spark, aRoot, a, "k", 16)
+    SnapshotTable.commitBucketed(spark, bRoot, b, "k", 16)
+    val want = a.join(b, "k").groupBy("name").agg(sum("v").as("s"))
+      .orderBy("name").collect().toSeq
+    def joined() = spark.table("graftspj.db.pp_a")
+      .join(spark.table("graftspj.db.pp_b"), "k")
+    withSpj {
+      val key = "spark.sql.sources.v2.bucketing.pushPartValues.enabled"
+      val prev = spark.conf.getOption(key)
+      try {
+        // pushPartValues OFF: mismatched values -> an honest shuffle
+        // (Spark 4 defaults it ON, so the control pins it explicitly)
+        spark.conf.set(key, "false")
+        assert(joined().queryExecution.executedPlan.toString
+          .contains("Exchange"),
+          "mismatched cell sets must not silently co-partition")
+        // ON (the default): Spark aligns the value sets, zero exchange
+        spark.conf.set(key, "true")
+        val j = joined()
+        assert(!j.queryExecution.executedPlan.toString
+          .contains("Exchange"),
+          "pushPartValues should align the sparse cell sets")
+        val got = j.groupBy("name").agg(sum("v").as("s"))
+          .orderBy("name").collect().toSeq
+        assert(got == want)
+      } finally prev.fold(spark.conf.unset(key))(v =>
+        spark.conf.set(key, v))
+    }
+  }
 }
