@@ -1942,6 +1942,110 @@ object SnapshotTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Equi-height HISTOGRAMS for numeric columns — the range-
+    * selectivity feed that min/max interpolation cannot provide on
+    * skewed data. Two passes over the live files (bin boundaries from
+    * the partition-invariant DDSketch quantiles, then one wide
+    * aggregation computing per-bin NDV sketches and non-null counts),
+    * stored as TABLE properties stamped with the analyzed version —
+    * the scan reports them only for UNPRUNED reads of exactly that
+    * version, so a histogram never describes files a query didn't
+    * read. Explicit maintenance, like [[analyze]]. Returns the
+    * columns histogrammed. */
+  def analyzeHistograms(spark: SparkSession, root: String,
+      bins: Int = 16): Seq[String] = {
+    require(bins >= 2 && bins <= 64, s"bins must be in [2,64]: $bins")
+    import org.apache.spark.sql.functions.expr
+    val cur = currentVersion(spark, root)
+    require(cur > 0L, s"no committed version at $root")
+    val (entries, recorded) = readManifestFull(spark, root, cur)
+    val data = entries.filter(_.kind == "d")
+    if (data.isEmpty) return Seq.empty
+    val schema = priorSchemaOrRead(spark, root, cur, recorded)
+    val numCols = schema.fields.toSeq.filter(_.dataType match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    })
+    if (numCols.isEmpty) return Seq.empty
+    graft.functions.QuantileFunctions.register(spark)
+    graft.functions.HllFunctions.register(spark)
+    val df = spark.read
+      .schema(StructType(schema.fields.map(_.copy(nullable = true))))
+      .parquet(data.map(e => absolute(root, e)): _*)
+    // pass 1: quantile sketches -> equi-height bin boundaries, with
+    // the OUTER bounds clamped to the exact min/max (the sketch is
+    // α-approximate; Spark's estimator asserts the query range fits
+    // inside the histogram, so the ends must be exact)
+    val skAggs = numCols.zipWithIndex.flatMap { case (fd, i) => Seq(
+      expr(s"graft_qsketch(CAST(`${fd.name}` AS DOUBLE), 1)")
+        .as(s"__q$i"),
+      expr(s"min(CAST(`${fd.name}` AS DOUBLE))").as(s"__lo$i"),
+      expr(s"max(CAST(`${fd.name}` AS DOUBLE))").as(s"__hi$i")) }
+    val skRow = df.agg(skAggs.head, skAggs.tail: _*).head()
+    val bounded: Seq[(StructField, Int, Array[Double])] =
+      numCols.zipWithIndex.flatMap { case (fd, i) =>
+        Option(skRow.getAs[Array[Byte]](s"__q$i")).flatMap { bs =>
+          val buf = graft.functions.QSketch.fromBytes(bs)
+          if (buf.total == 0L ||
+            skRow.isNullAt(skRow.fieldIndex(s"__lo$i"))) None
+          else {
+            val exactLo = skRow.getAs[Double](s"__lo$i")
+            val exactHi = skRow.getAs[Double](s"__hi$i")
+            val qs = (0 to bins).map(b =>
+              buf.quantile(b.toDouble / bins)).toArray
+            qs(0) = exactLo
+            qs(bins) = exactHi
+            // keep interior boundaries monotone within the clamp
+            var j = 1
+            while (j < bins) {
+              qs(j) = math.min(math.max(qs(j), exactLo), exactHi)
+              if (qs(j) < qs(j - 1)) qs(j) = qs(j - 1)
+              j += 1
+            }
+            Some((fd, i, qs))
+          }
+        }
+      }
+    if (bounded.isEmpty) return Seq.empty
+    // pass 2: per-bin NDV + per-column non-null counts, one wide agg.
+    // Bin index = interior boundaries strictly below the value
+    // (codegen'd higher-order filter, no UDF).
+    val binCols = bounded.map { case (fd, i, bs) =>
+      val interior = bs.slice(1, bins).mkString(",")
+      expr(s"size(filter(array($interior), " +
+        s"x -> x < CAST(`${fd.name}` AS DOUBLE)))").as(s"__b$i")
+    }
+    val valCols = bounded.map { case (fd, i, _) =>
+      expr(s"CAST(`${fd.name}` AS DOUBLE)").as(s"__v$i") }
+    val aggs = bounded.flatMap { case (_, i, _) =>
+      expr(s"count(__v$i)").as(s"__n$i") +:
+        (0 until bins).map(b => expr(
+          s"graft_hll_sketch(CASE WHEN __b$i = $b THEN __v$i END, " +
+            s"$NdvPrecision)").as(s"__h${i}_$b"))
+    }
+    val row = df.select(binCols ++ valCols: _*)
+      .agg(aggs.head, aggs.tail: _*).head()
+    val histProps = bounded.map { case (fd, i, bs) =>
+      val nonNull = row.getAs[Long](s"__n$i")
+      val height = nonNull.toDouble / bins
+      val binStrs = (0 until bins).map { b =>
+        val ndv = Option(row.getAs[Array[Byte]](s"__h${i}_$b"))
+          .map(graft.functions.Hll.estimate).getOrElse(0L)
+        s"${bs(b)},${bs(b + 1)},$ndv"
+      }.mkString(";")
+      s"graft.histcol.${fd.name}" -> s"$height|$binStrs"
+    }
+    setProperties(spark, root, tableProperties(spark, root)
+      .filterNot(kv => kv._1.startsWith("graft.histcol.") ||
+        kv._1.startsWith("graft.hist.")) ++ histProps ++ Map(
+      "graft.hist.version" -> cur.toString,
+      "graft.hist.bins" -> bins.toString))
+    bounded.map(_._1.name)
+  }
+
   /** Commit `df` Z-ORDERED on (keyA, keyB, more...): the segment is
     * laid out along the interleaved curve, so every file is a compact
     * bounding box in the full key space, and the manifest records

@@ -531,7 +531,8 @@ private[connector] object GraftProcedures {
 
   val Names = Seq("compact", "expire_snapshots",
     "expire_older_than", "vacuum", "tag", "drop_tag", "clone",
-    "create_branch", "fast_forward", "drop_branch", "analyze")
+    "create_branch", "fast_forward", "drop_branch", "analyze",
+    "analyze_histograms")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
@@ -650,6 +651,16 @@ private[connector] object GraftProcedures {
           val (v, cols, files) = SnapshotTable.analyze(spark,
             cat0.resolveRoot(in.getString(0)))
           Row(v, cols.size.toLong, files)
+        })
+      case "analyze_histograms" => proc(cat, "analyze_histograms",
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("bins", IntegerType).build()),
+        StructType(Seq(
+          StructField("columns", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          Row(SnapshotTable.analyzeHistograms(spark,
+            cat0.resolveRoot(in.getString(0)), in.getInt(1))
+            .size.toLong)
         })
       case "drop_branch" => proc(cat, "drop_branch",
         Array(ProcedureParameter.in("table", StringType).build(),

@@ -1297,8 +1297,45 @@ private[connector] class GraftScan(root: String, version: Long,
       // never loses precision through a double round-trip
       val summary = SnapshotTable.statsSummary(data, required)
         .map(s => s._1 -> s).toMap
+      // equi-height histograms (analyzeHistograms): table-level and
+      // version-stamped — reported only for UNPRUNED scans of exactly
+      // that version, so they never describe files a query skipped
+      val props = SnapshotTable
+        .tableProperties(SparkSession.active, root)
+      val histOk = props.get("graft.hist.version")
+        .contains(version.toString) && runtimeKept.size == totalFiles
+      def histFor(name: String): Option[
+        org.apache.spark.sql.connector.read.colstats.Histogram] =
+        if (!histOk) None
+        else props.collectFirst {
+          case (k, v) if k.startsWith("graft.histcol.") &&
+            k.stripPrefix("graft.histcol.").equalsIgnoreCase(name) => v
+        }.flatMap { enc =>
+          scala.util.Try {
+            val Array(h, binPart) = enc.split('|')
+            val parsed = binPart.split(';').map { t =>
+              val Array(loS, hiS, ndvS) = t.split(',')
+              val (loV, hiV, ndvV) =
+                (loS.toDouble, hiS.toDouble, ndvS.toLong)
+              new org.apache.spark.sql.connector.read.colstats
+                .HistogramBin {
+                override def lo(): Double = loV
+                override def hi(): Double = hiV
+                override def ndv(): Long = ndvV
+              }: org.apache.spark.sql.connector.read.colstats
+                .HistogramBin
+            }
+            new org.apache.spark.sql.connector.read.colstats
+              .Histogram {
+              override def height(): Double = h.toDouble
+              override def bins(): Array[org.apache.spark.sql
+                .connector.read.colstats.HistogramBin] = parsed
+            }: org.apache.spark.sql.connector.read.colstats.Histogram
+          }.toOption
+        }
       required.fields.foreach { fd =>
         val (_, distinct, nulls, mnS, mxS, _) = summary(fd.name)
+        val hist = histFor(fd.name)
         // catalyst wants TYPED bounds; numeric only (strings stay
         // unreported — collation-safe)
         def parsed(s: String): Option[Any] = fd.dataType match {
@@ -1314,7 +1351,8 @@ private[connector] class GraftScan(root: String, version: Long,
         }
         val mn = mnS.flatMap(parsed)
         val mx = mxS.flatMap(parsed)
-        if (distinct.isDefined || nulls.isDefined || mn.isDefined) {
+        if (distinct.isDefined || nulls.isDefined || mn.isDefined ||
+          hist.isDefined) {
           out.put(
             org.apache.spark.sql.connector.expressions.Expressions
               .column(fd.name),
@@ -1332,6 +1370,12 @@ private[connector] class GraftScan(root: String, version: Long,
               override def max(): java.util.Optional[Object] =
                 mx.fold(java.util.Optional.empty[Object]())(v =>
                   java.util.Optional.of(v.asInstanceOf[Object]))
+              override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats
+                  .Histogram] =
+                hist.fold(java.util.Optional.empty[org.apache.spark
+                  .sql.connector.read.colstats.Histogram]())(
+                  java.util.Optional.of)
             })
         }
       }

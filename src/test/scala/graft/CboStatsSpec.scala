@@ -303,6 +303,51 @@ class CboStatsSpec extends SparkSpec {
       v.getString(4).toDouble == 59999.0, v.toString)
   }
 
+  test("equi-height histograms sharpen range selectivity on SKEWED " +
+      "data where min/max interpolation is hopeless; they vanish for " +
+      "pruned scans and stale versions") {
+    val root = s"$warehouse/db/hist"
+    // exponential skew: v in {2^0..2^27}, uniform over exponents —
+    // linear interpolation between min=1 and max=1.3e8 thinks almost
+    // nothing is below 8; the truth is 4/28 of all rows
+    SnapshotTable.commit(spark, root,
+      (0 until 28000).map(i =>
+        (i.toLong, math.pow(2, i % 28))).toDF("k", "v"),
+      clusterKey = Some("k"))
+    SnapshotTable.analyze(spark, root)
+    assert(spark.sql(
+      "CALL graftcbo.system.analyze_histograms('db.hist', 16)")
+      .head().getLong(0) == 2L) // k and v
+    val truth = 28000.0 * 4 / 28
+    def estimate(): Double = withConfs(
+      "spark.sql.cbo.enabled" -> "true") {
+      spark.table("graftcbo.db.hist").filter(col("v") <= 8.0)
+        .queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toDouble).getOrElse(Double.NaN)
+    }
+    val withHist = estimate()
+    assert(withHist >= truth / 2 && withHist <= truth * 2,
+      s"histogram estimate $withHist vs truth $truth")
+    // control: drop the histogram properties — the same estimate
+    // falls back to linear interpolation and collapses
+    val props = SnapshotTable.tableProperties(spark, root)
+    SnapshotTable.setProperties(spark, root,
+      props.filterNot(_._1.startsWith("graft.hist")))
+    val linear = estimate()
+    assert(linear < truth / 3,
+      s"linear estimate $linear should be far below truth $truth")
+    SnapshotTable.setProperties(spark, root, props) // restore
+    // staleness: a new commit bumps the version; the histogram is
+    // withheld, and the strict all-files rule drops the column's
+    // NDV/range too — the estimate falls back to the unfiltered row
+    // count (conservative), never to the stale sharp estimate
+    SnapshotTable.append(spark, root,
+      Seq((28000L, 1.0)).toDF("k", "v"))
+    val afterAppend = estimate()
+    assert(afterAppend >= 28000,
+      s"stale stats must fall back conservatively, got $afterAppend")
+  }
+
   test("NDV recording is session-togglable (mode=all / enabled=false) " +
       "and the reader treats sketchless manifests as stat-free") {
     val root = s"$warehouse/db/nostats"
