@@ -597,6 +597,18 @@ object SnapshotTable {
     }.toMap
   }
 
+  /** The numeric type domain for recorded ranges / histograms / CBO
+    * bounds — one definition, so a type added here gets ranges,
+    * histograms and typed bounds together (the connector's catalyst
+    * boxing must be extended in step). */
+  private[graft] def cboNumeric(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType => true
+    case _ => false
+  }
+
   /** Does this file lack a sketch or null count for some of `cols`?
     * The staleness predicate shared by incremental [[analyze]], the
     * auto-analyze policy and `t.stats`' staleness column. */
@@ -666,8 +678,13 @@ object SnapshotTable {
     val ndv = ndvEstimates(entries)
     schema.fields.toSeq.map { fd =>
       val n = fd.name
-      val sketched = data.count(
-        _.ndv.exists(_._1.equalsIgnoreCase(n))).toLong
+      // same per-column rule as [[unsketched]] (analyze/auto-analyze
+      // staleness): a file counts as sketched only with BOTH the
+      // NDV registers and the null count — "re-run analyze when this
+      // trails data_files" must agree with what analyze would re-read
+      val sketched = data.count(e =>
+        e.ndv.exists(_._1.equalsIgnoreCase(n)) &&
+          e.colNulls.exists(_._1.equalsIgnoreCase(n))).toLong
       val distinct = ndv.collectFirst {
         case (c, v) if c.equalsIgnoreCase(n) => v }
       val nulls =
@@ -1502,13 +1519,22 @@ object SnapshotTable {
       s"version $at is not committed at $root")
     val dir = branchDir(root, name)
     val markers = branchMarkers(f, root, name)
-    // sentinel present but no base marker = a createBranch crashed
-    // between the two writes; re-running COMPLETES the creation
-    // rather than wedging behind "already exists"
-    val crashedCreation = markers.nonEmpty &&
-      !markers.exists(_.startsWith("base-"))
+    // ONLY the creation sentinel present = a createBranch crashed
+    // between its two writes; re-running COMPLETES the creation
+    // rather than wedging behind "already exists". Any other residue
+    // (nx-/tx- markers from a crashed dropBranch's partial recursive
+    // delete) is NOT recoverable this way — installing a fresh base
+    // could resolve through a stale nx chain into the dropped
+    // generation; dropBranch again instead.
+    val crashedCreation =
+      markers.nonEmpty && markers.forall(_ == "created")
     require(markers.isEmpty || crashedCreation,
-      s"branch '$name' already exists at $root")
+      if (markers.exists(_.startsWith("base-")))
+        s"branch '$name' already exists at $root"
+      else
+        s"branch '$name' at $root holds residue of a partially " +
+          s"deleted branch (${markers.mkString(",")}) — run " +
+          "dropBranch again to clear it before re-creating")
     f.mkdirs(dir)
     // the sentinel's exclusive create IS the creation point: two
     // concurrent createBranch calls can both pass the marker check
@@ -1522,12 +1548,19 @@ object SnapshotTable {
     atomicCreate(f, new Path(dir, s"base-$at"))
     if (crashedCreation) {
       // two recoverers may have completed with DIFFERENT from-points;
-      // fail loudly rather than let max(base) silently pick one
+      // fail loudly rather than let max(base) silently pick one —
+      // and RETRACT our own marker first, so the survivor's returned
+      // base is not superseded behind its back
       val bases = branchMarkers(f, root, name)
         .count(_.startsWith("base-"))
-      if (bases > 1) throw CommitConflict(
-        s"concurrent recovery of crashed branch '$name' at $root " +
-          s"installed $bases base markers — dropBranch and re-create")
+      if (bases > 1) {
+        f.delete(new Path(dir, s"base-$at"), false)
+        throw CommitConflict(
+          s"concurrent recovery of crashed branch '$name' at $root " +
+            s"installed $bases base markers — this recoverer " +
+            "retracted its own; if the branch is still baseless, " +
+            "re-run createBranch")
+      }
     }
     at
   }
@@ -1858,12 +1891,9 @@ object SnapshotTable {
       // numeric columns additionally get per-file min/max recorded as
       // extra stats slots — range pruning AND the CBO's min/max both
       // feed off them (strings stay unrecorded: collation hazards)
-      val numeric: Set[String] = cols.collect {
-        case fd if fd.dataType == org.apache.spark.sql.types.IntegerType ||
-          fd.dataType == org.apache.spark.sql.types.LongType ||
-          fd.dataType == org.apache.spark.sql.types.FloatType ||
-          fd.dataType == org.apache.spark.sql.types.DoubleType => fd.name
-      }.toSet
+      val numeric: Set[String] =
+        cols.collect { case fd if cboNumeric(fd.dataType) => fd.name }
+          .toSet
       // one pass over the live files under the table schema (files
       // that predate a column contribute nothing to its sketch)
       val sel = Seq(input_file_name().as("__f")) ++
@@ -1882,21 +1912,25 @@ object SnapshotTable {
       // keyed by FULL path, never basename: different segments can
       // hold same-named files (taskIds restart per application), and
       // a basename-keyed map would stamp one file's min/max onto
-      // another — wrong PRUNING, i.e. wrong query results
+      // another — wrong PRUNING, i.e. wrong query results.
+      // input_file_name() returns a percent-ENCODED URI string, so
+      // decode through java.net.URI before matching the manifest path
+      // (a root with a space or '%' must still line up).
+      def decoded(f: String): String =
+        scala.util.Try(new java.net.URI(f).getPath).getOrElse(f)
       val byFile = spark.read
         .schema(StructType(schema.fields.map(_.copy(nullable = true))))
         .parquet(data.map(e => absolute(root, e)): _*)
         .select(sel: _*).groupBy(col("__f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map(r => new Path(r.getAs[String]("__f")).toUri.getPath ->
-          r).toMap
+        .map(r => decoded(r.getAs[String]("__f")) -> r).toMap
       val attempted = data.map(_.path).toSet
       val enriched = entries.map { e =>
         if (e.kind != "d" || !attempted(e.path)) e
         else byFile.get(new Path(absolute(root, e)).toUri.getPath)
           match {
-          case None =>
+          case None if e.rows.contains(0L) =>
             // a ZERO-ROW file yields no aggregation row; stamp it
             // with correct empty stats (blank registers, zero nulls)
             // so it counts as sketched — otherwise it stays "stale"
@@ -1905,6 +1939,12 @@ object SnapshotTable {
               ndv = cols.map(fd =>
                 fd.name -> Array.ofDim[Byte](1 << NdvPrecision)),
               colNulls = cols.map(_.name -> 0L))
+          case None =>
+            // a NON-empty file whose key failed to match is a path-
+            // normalization gap: leave it unstamped (it stays stale
+            // and a later analyze retries) — NEVER stamp blank stats
+            // onto real rows
+            e
           case Some(r) =>
           val ranges = cols.zipWithIndex.flatMap { case (fd, i) =>
             // never shadow a slot the entry already has (cluster key,
@@ -1962,13 +2002,8 @@ object SnapshotTable {
     val data = entries.filter(_.kind == "d")
     if (data.isEmpty) return Seq.empty
     val schema = priorSchemaOrRead(spark, root, cur, recorded)
-    val numCols = schema.fields.toSeq.filter(_.dataType match {
-      case org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.FloatType |
-           org.apache.spark.sql.types.DoubleType => true
-      case _ => false
-    })
+    val numCols =
+      schema.fields.toSeq.filter(fd => cboNumeric(fd.dataType))
     if (numCols.isEmpty) return Seq.empty
     graft.functions.QuantileFunctions.register(spark)
     graft.functions.HllFunctions.register(spark)

@@ -1299,11 +1299,13 @@ private[connector] class GraftScan(root: String, version: Long,
         .map(s => s._1 -> s).toMap
       // equi-height histograms (analyzeHistograms): table-level and
       // version-stamped — reported only for UNPRUNED scans of exactly
-      // that version, so they never describe files a query skipped
-      val props = SnapshotTable
+      // that version, so they never describe files a query skipped.
+      // The cheap pruning check gates the side-file read: an
+      // un-histogrammed or pruned scan never pays the properties IO.
+      lazy val props = SnapshotTable
         .tableProperties(SparkSession.active, root)
-      val histOk = props.get("graft.hist.version")
-        .contains(version.toString) && runtimeKept.size == totalFiles
+      val histOk = runtimeKept.size == totalFiles &&
+        props.get("graft.hist.version").contains(version.toString)
       def histFor(name: String): Option[
         org.apache.spark.sql.connector.read.colstats.Histogram] =
         if (!histOk) None
