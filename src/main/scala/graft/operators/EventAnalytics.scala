@@ -146,7 +146,8 @@ object EventAnalytics {
     // O2 re-expressed in-plan: page 2 (rows 101–200) of the recency feed
     // via row_number. NOTE single-partition window — correct here, but at
     // cluster scale pagination is served by key-range predicates
-    // (ts < last_seen) instead of a global window.
+    // (ts < last_seen) instead of a global window: see
+    // `events_page_keyed` below for the 100 TB shape.
     "events_page" -> ((s, dir) => {
       val w = Window.orderBy(desc("ts"), asc("event_id"))
       ev(s, dir)
@@ -154,6 +155,35 @@ object EventAnalytics {
           col("value"), row_number().over(w).as("rn"))
         .filter(col("rn").between(101, 200))
         .orderBy(asc("rn"))
+    }),
+
+    // O2 at cluster scale — KEY-RANGE (cursor) pagination, the answer
+    // to the reference's OFFSET pagination (its API pages a recency
+    // feed by offset, which a distributed engine can only serve with
+    // a global sort or window). Here page 2 is "the 100 rows after
+    // the cursor", where the cursor is the last (ts, event_id) of
+    // page 1: every step is a distributed top-k
+    // (TakeOrderedAndProject) — per-partition heaps, no
+    // single-partition Sort, no Window — and the cursor predicate is
+    // an ordinary pushable filter, so deep pages cost the same as
+    // page 1 instead of sorting rows 1..offset. In a real serving
+    // path the client echoes the cursor back; computing it in-plan
+    // here keeps the query self-contained AND oracle-checkable.
+    "events_page_keyed" -> ((s, dir) => {
+      val e = ev(s, dir)
+      // the cursor: last row of page 1 under (ts DESC, event_id ASC)
+      // = first row of the page-1 set under the REVERSED order
+      val cursor = e
+        .orderBy(desc("ts"), asc("event_id")).limit(100)
+        .orderBy(asc("ts"), desc("event_id")).limit(1)
+        .select(col("ts").as("c_ts"), col("event_id").as("c_id"))
+      e.crossJoin(broadcast(cursor)) // 1 row: a broadcast constant
+        .filter(col("ts") < col("c_ts") ||
+          (col("ts") === col("c_ts") && col("event_id") > col("c_id")))
+        .orderBy(desc("ts"), asc("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .limit(100)
     }),
 
     // O1: recent-events feed, deterministic tie-break on event_id.
@@ -470,6 +500,16 @@ object EventAnalytics {
         |  SELECT event_id, user_id, event_type, value,
         |    row_number() OVER (ORDER BY ts DESC, event_id) AS rn
         |  FROM events) WHERE rn BETWEEN 101 AND 200 ORDER BY rn""".stripMargin,
+    "events_page_keyed" ->
+      """WITH cur AS (
+        |  SELECT ts AS c_ts, event_id AS c_id FROM (
+        |    SELECT ts, event_id FROM events
+        |    ORDER BY ts DESC, event_id LIMIT 100)
+        |  ORDER BY ts ASC, event_id DESC LIMIT 1)
+        |SELECT event_id, user_id, event_type, value
+        |FROM events, cur
+        |WHERE ts < c_ts OR (ts = c_ts AND event_id > c_id)
+        |ORDER BY ts DESC, event_id LIMIT 100""".stripMargin,
     "events_recent" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY ts DESC, event_id LIMIT 20""".stripMargin,

@@ -76,7 +76,14 @@ import org.apache.spark.sql.types._
   */
 object SnapshotTable {
 
-  final case class CommitConflict(msg: String) extends RuntimeException(msg)
+  /** `committed = true` marks the POST-COMMIT failure mode: the
+    * version IS in the global log but linking it onto its branch
+    * failed. Retry loops MUST rethrow these instead of re-staging —
+    * re-submitting the same batch would double-apply it once the
+    * wedged branch heals (the message tells the operator exactly
+    * that; the code has to obey it too). */
+  final case class CommitConflict(msg: String,
+      committed: Boolean = false) extends RuntimeException(msg)
 
   /** One file of a snapshot. `path` is relative to the table root.
     * When the segment was written clustered on a key, `statsKey` names
@@ -107,7 +114,15 @@ object SnapshotTable {
       // per-column NULL counts (analyze records them alongside the
       // sketches) — join estimation refuses keys without null counts,
       // so NDV alone cannot reorder a join
-      colNulls: Seq[(String, Long)] = Nil) {
+      colNulls: Seq[(String, Long)] = Nil,
+      // file length in bytes, stamped at commit time (the writer just
+      // wrote the file — one local status call). Plan-time consumers
+      // (connector sizeInBytes, history, compaction sizing) read it
+      // from the manifest: at 100 TB an O(files) getFileStatus sweep
+      // per QUERY PLAN is millions of object-store HEAD requests.
+      // None only for pre-v17-field manifests; readers fall back to
+      // one status call for those entries until `analyze` backfills.
+      bytes: Option[Long] = None) {
     /** Recorded [lo, hi] for `key`, whichever stats slot holds it —
       * a Z-ordered file carries a bounding box on every curve column
       * (two named slots plus the open-ended extra list) and prunes on
@@ -187,6 +202,12 @@ object SnapshotTable {
   private def unb64(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
+  /** Backtick-quote an identifier for SQL text interpolation —
+    * doubling embedded backticks, Spark's escape rule, so a hostile
+    * or merely unlucky column name can't break the statement. */
+  private def bq(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   private def writeManifest(f: FileSystem, root: String, v: Long,
       entries: Seq[FileEntry], schema: StructType): Unit = {
     f.mkdirs(manifestsDir(root))
@@ -227,6 +248,9 @@ object SnapshotTable {
           // per-column null counts: field 16, same encoding contract
           .append(e.colNulls.map { case (k, n) =>
             s"${b64(k)}:${b64(n.toString)}" }.mkString(";"))
+          .append('\t')
+          // file length in bytes: field 17, blank-safe both ways
+          .append(e.bytes.fold("")(b => b64(b.toString)))
           .append('\n')
       }
       out.write(sb.toString.getBytes("UTF-8"))
@@ -317,7 +341,7 @@ object SnapshotTable {
           .asInstanceOf[StructType]
     }
     val entries = rows.map { l =>
-      val fld = l.split('\t').padTo(16, "")
+      val fld = l.split('\t').padTo(17, "")
       FileEntry(unb64(fld(0)),
         Option(fld(1)).filter(_.nonEmpty).map(unb64),
         Option(fld(2)).filter(_.nonEmpty).map(unb64),
@@ -347,7 +371,8 @@ object SnapshotTable {
           .toSeq.filter(_.nonEmpty).map { t =>
             val p = t.split(':')
             (unb64(p(0)), unb64(p(1)).toLong)
-          }))
+          }),
+        Option(fld(16)).filter(_.nonEmpty).map(unb64).map(_.toLong))
     }
     (entries, schema)
   }
@@ -507,7 +532,7 @@ object SnapshotTable {
           zorderExtra.zipWithIndex.map { case (k, i) =>
             col(k).as(s"__ze$i") } ++
           ndvCols.zipWithIndex.map { case (fd, i) =>
-            col(s"`${fd.name}`").as(s"__n$i") }
+            col(bq(fd.name)).as(s"__n$i") }
         val aggs =
           clusterKey.toSeq.flatMap(_ => Seq(
             smin(col("__ck")).cast("string").as("__lo"),
@@ -576,9 +601,11 @@ object SnapshotTable {
     // exact per-file ROW COUNTS from the parquet footers — metadata
     // reads on files this commit just wrote, no data pass. They feed
     // the connector's reported statistics (row-accurate join sizing)
-    // and let COUNT(*) answer from the manifest alone.
+    // and let COUNT(*) answer from the manifest alone. Byte lengths
+    // ride along so NO query plan ever needs a per-file status RPC.
     val f = fs(spark, root)
-    entries.map(e => e.copy(rows = footerRowCount(f, root, e.path)))
+    entries.map(e => e.copy(rows = footerRowCount(f, root, e.path),
+      bytes = fileLen(f, root, e.path)))
   }
 
   /** Merged NDV estimates over a set of manifest entries:
@@ -652,8 +679,15 @@ object SnapshotTable {
         priorSchemaOrRead(spark, root, cur, recorded))
       if (cols.isEmpty) return
       val stale = data.count(unsketched(_, cols))
-      if (stale.toDouble / data.size > minStale)
+      if (stale.toDouble / data.size > minStale) {
         analyze(spark, root)
+        // a maintained histogram rides the same trigger: fold the
+        // appended files into the stored per-bin sketches (one pass
+        // over the new files) so range selectivity stays sharp
+        // between explicit analyzeHistograms runs
+        if (tableProperties(spark, root).contains("graft.hist.version"))
+          refreshHistograms(spark, root)
+      }
     } catch {
       // ADVISORY, totally: the triggering append IS committed by the
       // time we run — ANY failure here (lost race, concurrent vacuum
@@ -711,6 +745,23 @@ object SnapshotTable {
       (n, distinct, nulls, mn, mx, sketched)
     }
   }
+
+  /** File length via one status call; None if the file is gone or
+    * the filesystem errors (the entry then carries no size). */
+  private def fileLen(f: FileSystem, root: String,
+      rel: String): Option[Long] =
+    try Some(f.getFileStatus(new Path(root, rel)).getLen)
+    catch { case _: Exception => None }
+
+  /** An entry's byte size for sizing decisions: the manifest-recorded
+    * length, or — compatibility path for manifests that predate byte
+    * recording — ONE file-status call. Consumers that sum this over a
+    * whole manifest (history, compaction sizing, the connector's
+    * sizeInBytes) stay metadata-only on any table written or
+    * `analyze`d since bytes landed. */
+  private[graft] def entryBytes(f: FileSystem, root: String,
+      e: FileEntry): Long =
+    e.bytes.orElse(fileLen(f, root, e.path)).getOrElse(0L)
 
   /** Row count from a parquet file's footer; None if unreadable (the
     * manifest entry then simply carries no count — every consumer
@@ -805,7 +856,8 @@ object SnapshotTable {
             s"its claimed transition tx-$base on '$b' was vacuumed " +
             s"(this committer stalled past the vacuum age floor) — " +
             s"the branch was NOT advanced. Do NOT re-submit the same " +
-            s"data; fast-forward or MERGE the committed version in")
+            s"data; fast-forward or MERGE the committed version in",
+          committed = true)
       val nx = new Path(dir, s"nx-$base-$v")
       var attempt = 0
       while (!atomicCreate(f, nx) && !f.exists(nx)) {
@@ -1256,7 +1308,7 @@ object SnapshotTable {
     val selCols = Seq(input_file_name().as("__f"), col("__b")) ++
       keys.zipWithIndex.map { case ((k, _), i) => col(k).as(s"__k$i") } ++
       ndvCols.zipWithIndex.map { case (fd, i) =>
-        col(s"`${fd.name}`").as(s"__n$i") }
+        col(bq(fd.name)).as(s"__n$i") }
     val aggCols = Seq(first(col("__b")).as("__bv")) ++
       keys.indices.flatMap(i => Seq(
         smin(col(s"__k$i")).cast("string").as(s"__lo$i"),
@@ -1303,7 +1355,8 @@ object SnapshotTable {
       }
     }
     (seg, entries.map(e =>
-      e.copy(rows = footerRowCount(f, root, e.path))))
+      e.copy(rows = footerRowCount(f, root, e.path),
+        bytes = fileLen(f, root, e.path))))
   }
 
   // ---- table properties ----
@@ -1609,6 +1662,72 @@ object SnapshotTable {
     bHead
   }
 
+  /** The branch's commit chain base → head, in order. */
+  private def branchChain(spark: SparkSession, root: String,
+      b: String): Seq[Long] = {
+    val markers = branchMarkers(fs(spark, root), root, b)
+    val base = markers.collect { case s if s.startsWith("base-") =>
+      s.stripPrefix("base-").toLong }.max
+    val nx = markers.collect { case s if s.startsWith("nx-") =>
+      val Array(from, to) = s.stripPrefix("nx-").split('-')
+      from.toLong -> to.toLong }.toMap
+    val out = scala.collection.mutable.ArrayBuffer(base)
+    while (nx.contains(out.last)) out += nx(out.last)
+    out.toSeq
+  }
+
+  /** PARTIAL fast-forward — promote a PREFIX of `branch`'s commits
+    * onto `into`: advance `into` along the branch's chain up to
+    * `upTo`, a pointer walk over versions already committed in the
+    * global log (each version's manifest is self-contained, so the
+    * promotion needs no new commit and no data IO). Legal iff `into`
+    * has not moved since the fork (else [[CommitConflict]], loudly)
+    * AND `upTo` lies on the branch's chain. The branch KEEPS its
+    * divergent suffix and is rebased at the promoted point, so the
+    * next promote/merge cycle composes. Cherry-picking a MIDDLE
+    * commit while skipping its predecessors is refused by
+    * construction: a snapshot manifest carries its predecessors'
+    * effect, so promoting it alone would silently smuggle the
+    * skipped commits in — the same prefix-only rule Iceberg's
+    * cherrypick applies to non-append commits. */
+  def fastForwardTo(spark: SparkSession, root: String, branch: String,
+      upTo: Long, into: String = "main"): Long = {
+    val f = fs(spark, root)
+    val chain = branchChain(spark, root, branch)
+    require(chain.contains(upTo),
+      s"version $upTo is not on branch '$branch''s chain at $root " +
+        s"(${chain.mkString(" -> ")}) — only a PREFIX of a branch " +
+        "can be promoted")
+    val bBase = chain.head
+    val iHead = branchHead(spark, root, into)
+    if (upTo == iHead) return iHead // nothing to promote
+    if (iHead != bBase) throw CommitConflict(
+      s"'$into' (head $iHead) diverged from '$branch''s base ($bBase) " +
+        s"at $root — promoting would drop '$into''s commits. " +
+        "Re-create the branch from the current head, or reconcile " +
+        "row-level with MERGE INTO")
+    if (branchMarkers(f, root, into).isEmpty) {
+      require(into == "main", s"no branch '$into' at $root")
+      f.mkdirs(branchDir(root, "main"))
+      atomicCreate(f, new Path(branchDir(root, "main"), s"base-$iHead"))
+    }
+    if (!atomicCreate(f, new Path(branchDir(root, into), s"tx-$iHead")))
+      throw CommitConflict(
+        s"concurrent commit on '$into' during partial fast-forward " +
+          s"at $root")
+    // copy the prefix's hop pointers onto `into` — its head then
+    // resolves through them to exactly `upTo`
+    chain.takeWhile(_ != upTo).zip(chain.drop(1)).foreach {
+      case (a, b) => atomicCreate(f,
+        new Path(branchDir(root, into), s"nx-$a-$b"))
+    }
+    // rebase the branch at the promoted point: its base moves to
+    // upTo, its own nx chain keeps the unpromoted suffix reachable
+    atomicCreate(f, new Path(branchDir(root, branch), s"base-$upTo"))
+    spark.catalog.refreshByPath(root)
+    upTo
+  }
+
   /** Read a branch's head snapshot. */
   def readBranch(spark: SparkSession, root: String,
       branch: String): DataFrame =
@@ -1883,10 +2002,16 @@ object SnapshotTable {
       // INCREMENTAL: only files missing a sketch or null count for
       // some column are re-read — repeated analyze costs O(new files)
       // since the last one, not O(table). (After ADD COLUMN, files
-      // that predate the column lack its sketch and get ONE re-read,
-      // which records the correct all-NULL stats for them.)
+      // that predate the column lack its sketch and get ONE re-read;
+      // for a plain added column that records correct all-NULL stats,
+      // and for ADD COLUMN ... DEFAULT the fill override below stamps
+      // the stats queries actually surface.)
       val data = allData.filter(unsketched(_, cols))
-      if (data.isEmpty) return (cur, cols.map(_.name), 0L)
+      // bytes backfill: entries from manifests that predate byte
+      // recording get their length stamped here (one status call per
+      // legacy file, once) so plan-time sizing goes metadata-only
+      val needBytes = entries.exists(_.bytes.isEmpty)
+      if (data.isEmpty && !needBytes) return (cur, cols.map(_.name), 0L)
       graft.functions.HllFunctions.register(spark)
       // numeric columns additionally get per-file min/max recorded as
       // extra stats slots — range pruning AND the CBO's min/max both
@@ -1898,7 +2023,7 @@ object SnapshotTable {
       // that predate a column contribute nothing to its sketch)
       val sel = Seq(input_file_name().as("__f")) ++
         cols.zipWithIndex.map { case (fd, i) =>
-          col(s"`${fd.name}`").as(s"__n$i") }
+          col(bq(fd.name)).as(s"__n$i") }
       val aggs = cols.zipWithIndex.flatMap { case (fd, i) =>
         Seq(expr(s"graft_hll_sketch(__n$i, $NdvPrecision)")
             .as(s"__ndv$i"),
@@ -1918,13 +2043,15 @@ object SnapshotTable {
       // (a root with a space or '%' must still line up).
       def decoded(f: String): String =
         scala.util.Try(new java.net.URI(f).getPath).getOrElse(f)
-      val byFile = spark.read
-        .schema(StructType(schema.fields.map(_.copy(nullable = true))))
-        .parquet(data.map(e => absolute(root, e)): _*)
-        .select(sel: _*).groupBy(col("__f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map(r => decoded(r.getAs[String]("__f")) -> r).toMap
+      val byFile =
+        if (data.isEmpty) Map.empty[String, org.apache.spark.sql.Row]
+        else spark.read
+          .schema(StructType(schema.fields.map(_.copy(nullable = true))))
+          .parquet(data.map(e => absolute(root, e)): _*)
+          .select(sel: _*).groupBy(col("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map(r => decoded(r.getAs[String]("__f")) -> r).toMap
       val attempted = data.map(_.path).toSet
       val enriched = entries.map { e =>
         if (e.kind != "d" || !attempted(e.path)) e
@@ -1967,9 +2094,58 @@ object SnapshotTable {
             extraStats = e.extraStats ++ ranges)
         }
       }
+      // INITIAL-DEFAULT override: a file written BEFORE a column
+      // added via ADD COLUMNS ... DEFAULT v stores no values for it,
+      // but every query surfaces the literal `v`, never NULL — so the
+      // raw-read stats above (NDV=0, nulls=rowcount) would misreport
+      // what the table actually serves. Stamp what readers see: a
+      // one-value NDV sketch, zero nulls, and (numeric) a degenerate
+      // [v, v] range. Applied to ALL pre-evolution data files, not
+      // just this pass's, so re-running analyze heals stats an older
+      // analyze recorded wrong. Metadata-only.
+      val fillSketch: Map[String, Array[Byte]] = initFills(schema)
+        .filter(fl => cols.exists(_.name.equalsIgnoreCase(fl.name)))
+        .flatMap { fl =>
+          // hashValue takes CATALYST values (UTF8String for strings),
+          // InitFill.value renders EXTERNAL ones — convert, and skip
+          // (never fail the whole CALL) any unrenderable default
+          scala.util.Try {
+            val cv: Any = fl.dataType match {
+              case org.apache.spark.sql.types.StringType =>
+                org.apache.spark.unsafe.types.UTF8String
+                  .fromString(fl.rendered)
+              case _ => fl.value
+            }
+            val regs = Array.ofDim[Byte](1 << NdvPrecision)
+            graft.functions.Hll.add(regs,
+              graft.functions.Hll.hashValue(cv, fl.dataType))
+            fl.name -> regs
+          }.toOption
+        }.toMap
+      val fills = initFills(schema).filter(fl =>
+        fillSketch.contains(fl.name))
+      val filled = enriched.map { e =>
+        if (e.kind != "d" || e.rows.contains(0L)) e
+        else fills.filter(_.addedAt > e.seq).foldLeft(e) { (acc, fl) =>
+          acc.copy(
+            ndv = acc.ndv.filterNot(_._1.equalsIgnoreCase(fl.name)) :+
+              (fl.name -> fillSketch(fl.name)),
+            colNulls = acc.colNulls
+              .filterNot(_._1.equalsIgnoreCase(fl.name)) :+
+              (fl.name -> 0L),
+            extraStats =
+              if (!cboNumeric(fl.dataType) ||
+                acc.statsFor(fl.name).isDefined) acc.extraStats
+              else acc.extraStats :+
+                ((fl.name, fl.rendered, fl.rendered)))
+        }
+      }
+      val stamped = filled.map(e =>
+        if (e.bytes.isDefined) e
+        else e.copy(bytes = fileLen(f, root, e.path)))
       claimNextOn(f, root, "main", cur) match { case Some(target) =>
-        writeManifest(f, root, target, enriched, schema)
-        publish(f, root, target, enriched, Seq.empty, op = "analyze",
+        writeManifest(f, root, target, stamped, schema)
+        publish(f, root, target, stamped, Seq.empty, op = "analyze",
           branchRef = refIf(f, root, "main", cur))
         spark.catalog.refreshByPath(root)
         return (target, cols.map(_.name), data.size.toLong)
@@ -2015,10 +2191,10 @@ object SnapshotTable {
     // α-approximate; Spark's estimator asserts the query range fits
     // inside the histogram, so the ends must be exact)
     val skAggs = numCols.zipWithIndex.flatMap { case (fd, i) => Seq(
-      expr(s"graft_qsketch(CAST(`${fd.name}` AS DOUBLE), 1)")
+      expr(s"graft_qsketch(CAST(${bq(fd.name)} AS DOUBLE), 1)")
         .as(s"__q$i"),
-      expr(s"min(CAST(`${fd.name}` AS DOUBLE))").as(s"__lo$i"),
-      expr(s"max(CAST(`${fd.name}` AS DOUBLE))").as(s"__hi$i")) }
+      expr(s"min(CAST(${bq(fd.name)} AS DOUBLE))").as(s"__lo$i"),
+      expr(s"max(CAST(${bq(fd.name)} AS DOUBLE))").as(s"__hi$i")) }
     val skRow = df.agg(skAggs.head, skAggs.tail: _*).head()
     val bounded: Seq[(StructField, Int, Array[Double])] =
       numCols.zipWithIndex.flatMap { case (fd, i) =>
@@ -2029,18 +2205,29 @@ object SnapshotTable {
           else {
             val exactLo = skRow.getAs[Double](s"__lo$i")
             val exactHi = skRow.getAs[Double](s"__hi$i")
-            val qs = (0 to bins).map(b =>
-              buf.quantile(b.toDouble / bins)).toArray
-            qs(0) = exactLo
-            qs(bins) = exactHi
-            // keep interior boundaries monotone within the clamp
-            var j = 1
-            while (j < bins) {
-              qs(j) = math.min(math.max(qs(j), exactLo), exactHi)
-              if (qs(j) < qs(j - 1)) qs(j) = qs(j - 1)
-              j += 1
+            // a NaN/Infinity min or max (Spark sorts NaN above every
+            // double) would render as an unparseable SQL literal in
+            // the pass-2 `array(...)` — SKIP the column: a histogram
+            // cannot describe a non-finite range anyway
+            if (!java.lang.Double.isFinite(exactLo) ||
+              !java.lang.Double.isFinite(exactHi)) None
+            else {
+              val qs = (0 to bins).map(b =>
+                buf.quantile(b.toDouble / bins)).toArray
+              qs(0) = exactLo
+              qs(bins) = exactHi
+              // keep interior boundaries monotone within the clamp;
+              // a non-finite sketch quantile collapses onto its left
+              // neighbor (finite by induction from the exact ends)
+              var j = 1
+              while (j < bins) {
+                qs(j) = math.min(math.max(qs(j), exactLo), exactHi)
+                if (!java.lang.Double.isFinite(qs(j)) ||
+                  qs(j) < qs(j - 1)) qs(j) = qs(j - 1)
+                j += 1
+              }
+              Some((fd, i, qs))
             }
-            Some((fd, i, qs))
           }
         }
       }
@@ -2049,12 +2236,14 @@ object SnapshotTable {
     // Bin index = interior boundaries strictly below the value
     // (codegen'd higher-order filter, no UDF).
     val binCols = bounded.map { case (fd, i, bs) =>
-      val interior = bs.slice(1, bins).mkString(",")
+      // `D` suffix: Double.toString never round-trips as a plain SQL
+      // numeric for values like 1.0E-7 without the typed literal
+      val interior = bs.slice(1, bins).map(b => s"${b}D").mkString(",")
       expr(s"size(filter(array($interior), " +
-        s"x -> x < CAST(`${fd.name}` AS DOUBLE)))").as(s"__b$i")
+        s"x -> x < CAST(${bq(fd.name)} AS DOUBLE)))").as(s"__b$i")
     }
     val valCols = bounded.map { case (fd, i, _) =>
-      expr(s"CAST(`${fd.name}` AS DOUBLE)").as(s"__v$i") }
+      expr(s"CAST(${bq(fd.name)} AS DOUBLE)").as(s"__v$i") }
     val aggs = bounded.flatMap { case (_, i, _) =>
       expr(s"count(__v$i)").as(s"__n$i") +:
         (0 until bins).map(b => expr(
@@ -2063,7 +2252,8 @@ object SnapshotTable {
     }
     val row = df.select(binCols ++ valCols: _*)
       .agg(aggs.head, aggs.tail: _*).head()
-    val histProps = bounded.map { case (fd, i, bs) =>
+    val regW = 1 << NdvPrecision
+    val histProps = bounded.flatMap { case (fd, i, bs) =>
       val nonNull = row.getAs[Long](s"__n$i")
       val height = nonNull.toDouble / bins
       val binStrs = (0 until bins).map { b =>
@@ -2071,14 +2261,152 @@ object SnapshotTable {
           .map(graft.functions.Hll.estimate).getOrElse(0L)
         s"${bs(b)},${bs(b + 1)},$ndv"
       }.mkString(";")
-      s"graft.histcol.${fd.name}" -> s"$height|$binStrs"
+      // the per-bin HLL REGISTERS ride along (concatenated, fixed
+      // width): they are what makes the histogram MERGEABLE, so an
+      // append can be folded in ([[refreshHistograms]]) by sketching
+      // only the new files instead of recomputing the table
+      val concat = new Array[Byte](bins * regW)
+      (0 until bins).foreach { b =>
+        Option(row.getAs[Array[Byte]](s"__h${i}_$b")).foreach(r =>
+          System.arraycopy(r, 0, concat, b * regW, regW))
+      }
+      Seq(
+        s"graft.histcol.${fd.name}" -> s"$height|$binStrs",
+        s"graft.histsk.${fd.name}" ->
+          java.util.Base64.getEncoder.encodeToString(concat),
+        s"graft.histn.${fd.name}" -> nonNull.toString)
     }
     setProperties(spark, root, tableProperties(spark, root)
-      .filterNot(kv => kv._1.startsWith("graft.histcol.") ||
-        kv._1.startsWith("graft.hist.")) ++ histProps ++ Map(
+      .filterNot(_._1.startsWith("graft.hist")) ++ histProps ++ Map(
       "graft.hist.version" -> cur.toString,
       "graft.hist.bins" -> bins.toString))
     bounded.map(_._1.name)
+  }
+
+  /** INCREMENTAL histogram maintenance: fold the files appended since
+    * the histogram's stamped version into the stored per-bin HLL
+    * registers — ONE pass over the NEW files only, under the frozen
+    * bin boundaries (outer bounds extend to cover new extremes; the
+    * equi-height property drifts until the next full
+    * [[analyzeHistograms]], the standard maintenance trade). Falls
+    * back to the full recompute when merge-only math cannot be right:
+    * files were REMOVED or tombstones changed (HLLs don't subtract),
+    * or the histogram's base manifest is gone. Returns true iff the
+    * table now carries a current-version histogram. */
+  def refreshHistograms(spark: SparkSession, root: String): Boolean = {
+    import org.apache.spark.sql.functions.expr
+    val props = tableProperties(spark, root)
+    val histV = props.get("graft.hist.version").map(_.toLong)
+      .getOrElse(return false) // never histogrammed: nothing to keep
+    val bins = props.get("graft.hist.bins").map(_.toInt)
+      .getOrElse(return false)
+    val cur = currentVersion(spark, root)
+    if (cur == histV) return true // already fresh
+    def full(): Boolean =
+      analyzeHistograms(spark, root, bins).nonEmpty
+    val oldEntries =
+      scala.util.Try(readManifest(spark, root, histV))
+        .getOrElse(return full()) // base expired: recompute
+    val (curEntries, recorded) = readManifestFull(spark, root, cur)
+    val oldData = oldEntries.filter(_.kind == "d").map(_.path).toSet
+    val curData = curEntries.filter(_.kind == "d")
+    val removed = oldData -- curData.map(_.path).toSet
+    val tombsChanged = oldEntries.filter(_.kind == "t").map(_.path)
+      .toSet != curEntries.filter(_.kind == "t").map(_.path).toSet
+    if (removed.nonEmpty || tombsChanged) return full()
+    val newFiles = curData.filterNot(e => oldData(e.path))
+    val regW = 1 << NdvPrecision
+    // stored state per histogrammed column: boundaries + registers
+    val schema = priorSchemaOrRead(spark, root, cur, recorded)
+    val state = schema.fields.toSeq.filter(fd => cboNumeric(fd.dataType))
+      .flatMap { fd =>
+        for {
+          enc <- props.get(s"graft.histcol.${fd.name}")
+          sk <- props.get(s"graft.histsk.${fd.name}")
+          n <- props.get(s"graft.histn.${fd.name}").flatMap(_.toLongOption)
+          bounds <- scala.util.Try {
+            val parts = enc.split('|')(1).split(';')
+            (parts.map(_.split(',')(0).toDouble) :+
+              parts.last.split(',')(1).toDouble)
+          }.toOption.filter(_.length == bins + 1)
+          regs <- scala.util.Try(java.util.Base64.getDecoder
+            .decode(sk)).toOption.filter(_.length == bins * regW)
+        } yield (fd, bounds, regs, n)
+      }
+    if (state.isEmpty) return full()
+    if (newFiles.isEmpty) { // metadata-only commits since: restamp
+      setProperties(spark, root, tableProperties(spark, root) +
+        ("graft.hist.version" -> cur.toString))
+      return true
+    }
+    graft.functions.HllFunctions.register(spark)
+    val df = spark.read
+      .schema(StructType(schema.fields.map(_.copy(nullable = true))))
+      .parquet(newFiles.map(e => absolute(root, e)): _*)
+    val binCols = state.zipWithIndex.map { case ((fd, bs, _, _), i) =>
+      val interior = bs.slice(1, bins).map(b => s"${b}D").mkString(",")
+      expr(s"size(filter(array($interior), " +
+        s"x -> x < CAST(${bq(fd.name)} AS DOUBLE)))").as(s"__b$i")
+    }
+    val valCols = state.zipWithIndex.map { case ((fd, _, _, _), i) =>
+      expr(s"CAST(${bq(fd.name)} AS DOUBLE)").as(s"__v$i") }
+    val aggs = state.indices.flatMap { i =>
+      Seq(expr(s"count(__v$i)").as(s"__n$i"),
+        expr(s"min(__v$i)").as(s"__mn$i"),
+        expr(s"max(__v$i)").as(s"__mx$i")) ++
+        (0 until bins).map(b => expr(
+          s"graft_hll_sketch(CASE WHEN __b$i = $b THEN __v$i END, " +
+            s"$NdvPrecision)").as(s"__h${i}_$b"))
+    }
+    val row = df.select(binCols ++ valCols: _*)
+      .agg(aggs.head, aggs.tail: _*).head()
+    val refreshed = state.zipWithIndex.flatMap {
+      case ((fd, bs, regs, oldN), i) =>
+        val addN = row.getAs[Long](s"__n$i")
+        val mn = Option(row.getAs[Any](s"__mn$i"))
+          .map(_.asInstanceOf[Number].doubleValue())
+        val mx = Option(row.getAs[Any](s"__mx$i"))
+          .map(_.asInstanceOf[Number].doubleValue())
+        if (mn.exists(!java.lang.Double.isFinite(_)) ||
+          mx.exists(!java.lang.Double.isFinite(_)))
+          Nil // non-finite arrivals: drop the column's histogram
+        else {
+          val merged = regs.clone()
+          (0 until bins).foreach { b =>
+            Option(row.getAs[Array[Byte]](s"__h${i}_$b")).foreach {
+              r =>
+                val slice = java.util.Arrays.copyOfRange(merged,
+                  b * regW, (b + 1) * regW)
+                graft.functions.Hll.merge(slice, r)
+                System.arraycopy(slice, 0, merged, b * regW, regW)
+            }
+          }
+          // outer bounds stretch to the new extremes (interior
+          // boundaries frozen — the merge contract)
+          val qs = bs.clone()
+          mn.foreach(v => qs(0) = math.min(qs(0), v))
+          mx.foreach(v => qs(bins) = math.max(qs(bins), v))
+          val total = oldN + addN
+          val height = total.toDouble / bins
+          val binStrs = (0 until bins).map { b =>
+            val ndv = graft.functions.Hll.estimate(
+              java.util.Arrays.copyOfRange(merged, b * regW,
+                (b + 1) * regW))
+            s"${qs(b)},${qs(b + 1)},$ndv"
+          }.mkString(";")
+          Seq(
+            s"graft.histcol.${fd.name}" -> s"$height|$binStrs",
+            s"graft.histsk.${fd.name}" ->
+              java.util.Base64.getEncoder.encodeToString(merged),
+            s"graft.histn.${fd.name}" -> total.toString)
+        }
+    }
+    if (refreshed.isEmpty) return full()
+    setProperties(spark, root, tableProperties(spark, root)
+      .filterNot(_._1.startsWith("graft.hist")) ++ refreshed ++ Map(
+      "graft.hist.version" -> cur.toString,
+      "graft.hist.bins" -> bins.toString))
+    true
   }
 
   /** Commit `df` Z-ORDERED on (keyA, keyB, more...): the segment is
@@ -2203,7 +2531,8 @@ object SnapshotTable {
           return commitExpectingEntries(spark, root, seg, entries,
             expectedCurrent = 0L, schema = updates.schema, op = "merge")
         } catch {
-          case _: CommitConflict if attempt < maxRetries => attempt += 1
+          case e: CommitConflict if !e.committed && attempt < maxRetries =>
+            attempt += 1
         }
       } else {
         val (prior, priorSchema) = readManifestFull(spark, root, cur)
@@ -2232,8 +2561,7 @@ object SnapshotTable {
         // as the clustering-granularity floor: a fixed file count
         // would produce monster files once a merge touches a large
         // key range at scale
-        val touchedBytes = touched.map(e =>
-          f.getFileStatus(new Path(root, e.path)).getLen).sum
+        val touchedBytes = touched.map(entryBytes(f, root, _)).sum
         val outFiles = math.max(files,
           ((touchedBytes + targetBytes - 1) / targetBytes).toInt)
         val (seg, newEntries) =
@@ -2244,7 +2572,8 @@ object SnapshotTable {
             carried ++ newEntries, expectedCurrent = cur,
             schema = schema, op = "merge")
         } catch {
-          case _: CommitConflict if attempt < maxRetries => attempt += 1
+          case e: CommitConflict if !e.committed && attempt < maxRetries =>
+            attempt += 1
           // table moved on: re-derive against the new current version
         }
       }
@@ -2276,7 +2605,8 @@ object SnapshotTable {
           return commitExpectingEntries(spark, root, seg, entries,
             expectedCurrent = 0L, schema = updates.schema, op = "merge")
         } catch {
-          case _: CommitConflict if attempt < maxRetries => attempt += 1
+          case e: CommitConflict if !e.committed && attempt < maxRetries =>
+            attempt += 1
         }
       } else {
         val (prior, priorSchema) = readManifestFull(spark, root, cur)
@@ -2306,7 +2636,8 @@ object SnapshotTable {
           return commitExpectingSegs(spark, root, segs, entries,
             expectedCurrent = cur, schema = schema, op = "merge")
         } catch {
-          case _: CommitConflict if attempt < maxRetries => attempt += 1
+          case e: CommitConflict if !e.committed && attempt < maxRetries =>
+            attempt += 1
         }
       }
     }
@@ -2337,7 +2668,7 @@ object SnapshotTable {
             readVersion(spark, root, cur).schema), op = "delete")
       } catch {
         case e: CommitConflict =>
-          if (attempt >= maxRetries) throw e
+          if (e.committed || attempt >= maxRetries) throw e
           attempt += 1
       }
     }
@@ -2373,7 +2704,7 @@ object SnapshotTable {
   private[sources] def filterCondition(
       f: org.apache.spark.sql.sources.Filter): Option[Column] = {
     import org.apache.spark.sql.sources._
-    def c(name: String): Column = col(s"`$name`")
+    def c(name: String): Column = col(bq(name))
     f match {
       case AlwaysTrue() => Some(lit(true))
       case AlwaysFalse() => Some(lit(false))
@@ -2633,8 +2964,8 @@ object SnapshotTable {
         case Some(df) =>
           // size the rewrite by its input bytes (the merge rule): the
           // kept rows are a subset of the rewritten files' rows
-          val touchedBytes = rewriteSet.map(e =>
-            f.getFileStatus(new Path(root, e.path)).getLen).sum
+          val touchedBytes =
+            rewriteSet.map(entryBytes(f, root, _)).sum
           val outFiles = math.max(1L,
             (touchedBytes + (128L << 20) - 1) / (128L << 20)).toInt
           val (seg, es) = stageSegment(spark, root, df, clusterKey,
@@ -2657,7 +2988,7 @@ object SnapshotTable {
           unknown.size.toLong)
       } catch {
         case e: CommitConflict => // staged segs already discarded
-          if (attempt >= maxRetries) throw e
+          if (e.committed || attempt >= maxRetries) throw e
           attempt += 1
       }
     }
@@ -2686,8 +3017,7 @@ object SnapshotTable {
     val v = currentVersion(spark, root)
     if (v == 0L) return (0L, 0L, 0L) // nothing committed, nothing to do
     val entries = readManifest(spark, root, v)
-    val totalBytes = entries.map(e =>
-      f.getFileStatus(new Path(root, e.path)).getLen).sum
+    val totalBytes = entries.map(entryBytes(f, root, _)).sum
     if (totalBytes == 0) return (entries.size.toLong, entries.size.toLong, v)
     val nFiles =
       math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
@@ -2898,9 +3228,7 @@ object SnapshotTable {
         Set.empty[String])) {
       case ((acc, prevPaths), v) =>
         val es = readManifest(spark, root, v)
-        val bytes = es.map(e =>
-          try f.getFileStatus(new Path(root, e.path)).getLen
-          catch { case _: java.io.IOException => 0L }).sum
+        val bytes = es.map(entryBytes(f, root, _)).sum
         val paths = es.map(_.path).toSet
         val shared = (paths & prevPaths).size.toLong
         (acc :+ ((v, commitOperation(spark, root, v), es.size.toLong,

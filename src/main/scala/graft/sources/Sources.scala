@@ -446,6 +446,35 @@ object Sources {
         .select("version", "o_orderstatus", "n")
         .orderBy("version", "o_orderstatus")
     }),
+    // PARTIAL fast-forward under the oracle: main holds F orders, a
+    // branch lands O then P as two commits, and fastForwardTo
+    // promotes only the first — main must read F∪O (the promoted
+    // prefix, via copied hop pointers, no new commit) while the
+    // branch still reads F∪O∪P (the unpromoted suffix). The oracle
+    // reconstructs both legs with plain filters; matching hashes
+    // prove the pointer walk serves exactly the prefix snapshot.
+    "snapshot_partial_ff" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-pff-q")
+        .toString + "/orders_pff"
+      val o = graft.Tables.load(s, dir, "orders")
+      SnapshotTable.commit(s, root,
+        o.filter(col("o_orderstatus") === "F"))                   // v1
+      SnapshotTable.createBranch(s, root, "ingest")
+      SnapshotTable.append(s, root,
+        o.filter(col("o_orderstatus") === "O"), branch = "ingest") // v2
+      SnapshotTable.append(s, root,
+        o.filter(col("o_orderstatus") === "P"), branch = "ingest") // v3
+      SnapshotTable.fastForwardTo(s, root, "ingest", 2L)
+      val main = SnapshotTable.read(s, root)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .withColumn("leg", lit("main"))
+      val br = SnapshotTable.readBranch(s, root, "ingest")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .withColumn("leg", lit("branch"))
+      main.unionByName(br)
+        .select("leg", "o_orderstatus", "n")
+        .orderBy("leg", "o_orderstatus")
+    }),
     // The round-7 manifest path under the oracle: bootstrap-merge a
     // third of orders (clustered on the key), APPEND another third as
     // a second commit (no existing file touched), then MERGE an update
@@ -1233,6 +1262,16 @@ object Sources {
         |  SELECT CAST(2 AS BIGINT), o_orderstatus, count(*)
         |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus)
         |ORDER BY version, o_orderstatus""".stripMargin,
+    "snapshot_partial_ff" ->
+      """SELECT leg, o_orderstatus, n FROM (
+        |  SELECT 'main' AS leg, o_orderstatus, count(*) AS n
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |  GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'branch', o_orderstatus, count(*)
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+        |  GROUP BY o_orderstatus)
+        |ORDER BY leg, o_orderstatus""".stripMargin,
     "snapshot_incremental_ingest" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  count(CASE WHEN o_orderkey % 30 = 0

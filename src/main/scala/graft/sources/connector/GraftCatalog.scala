@@ -531,8 +531,8 @@ private[connector] object GraftProcedures {
 
   val Names = Seq("compact", "expire_snapshots",
     "expire_older_than", "vacuum", "tag", "drop_tag", "clone",
-    "create_branch", "fast_forward", "drop_branch", "analyze",
-    "analyze_histograms")
+    "create_branch", "fast_forward", "fast_forward_to", "drop_branch",
+    "analyze", "analyze_histograms", "refresh_histograms")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
@@ -640,6 +640,18 @@ private[connector] object GraftProcedures {
             cat0.resolveRoot(in.getString(0)), in.getString(1),
             in.getString(2)))
         })
+      case "fast_forward_to" => proc(cat, "fast_forward_to",
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build(),
+          ProcedureParameter.in("up_to", LongType).build(),
+          ProcedureParameter.in("into", StringType).build()),
+        StructType(Seq(
+          StructField("head", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          Row(SnapshotTable.fastForwardTo(spark,
+            cat0.resolveRoot(in.getString(0)), in.getString(1),
+            in.getLong(2), in.getString(3)))
+        })
       case "analyze" => proc(cat, "analyze",
         Array(ProcedureParameter.in("table", StringType).build()),
         StructType(Seq(
@@ -661,6 +673,15 @@ private[connector] object GraftProcedures {
           Row(SnapshotTable.analyzeHistograms(spark,
             cat0.resolveRoot(in.getString(0)), in.getInt(1))
             .size.toLong)
+        })
+      case "refresh_histograms" => proc(cat, "refresh_histograms",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(
+          StructField("fresh", org.apache.spark.sql.types.BooleanType,
+            nullable = false))),
+        (spark, cat0, in) => {
+          Row(SnapshotTable.refreshHistograms(spark,
+            cat0.resolveRoot(in.getString(0))))
         })
       case "drop_branch" => proc(cat, "drop_branch",
         Array(ProcedureParameter.in("table", StringType).build(),
@@ -769,10 +790,7 @@ private[connector] class GraftMetadataTable(fullName: String,
             .getOrElse(SnapshotTable.currentVersion(s, root))
           val f = SnapshotTable.fs(s, root)
           val data = SnapshotTable.manifest(s, root, v).map { e =>
-            val bytes = try f.getFileStatus(
-              new Path(root, e.path)).getLen catch {
-              case _: java.io.IOException => 0L
-            }
+            val bytes = SnapshotTable.entryBytes(f, root, e)
             Row(e.path, e.kind, e.seq, e.rows.map(Long.box).orNull,
               bytes,
               e.statsKey.orNull, e.lo.orNull, e.hi.orNull,

@@ -1261,20 +1261,30 @@ private[connector] class GraftScan(root: String, version: Long,
     * "unknown = huge", which forbids the planner from ever
     * broadcasting a snapshot side — so a 25-row dimension stored as a
     * snapshot would force every join through a shuffle. Bytes are the
-    * PRUNED files' actual lengths (metadata, no data IO). */
+    * PRUNED files' manifest-recorded lengths — zero filesystem RPCs
+    * on any table written since byte recording landed (falling back
+    * to one status call per legacy entry): at 100 TB, a per-file HEAD
+    * request per query PLAN is the difference between millisecond and
+    * minute planning. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes: java.util.OptionalLong = {
       val spark = SparkSession.active
-      val f = SnapshotTable.fs(spark, root)
+      lazy val f = SnapshotTable.fs(spark, root)
       java.util.OptionalLong.of((runtimeKept ++ tombs).map(e =>
-        try f.getFileStatus(new Path(root, e.path)).getLen
-        catch { case _: java.io.IOException => 0L }).sum)
+        e.bytes.getOrElse(SnapshotTable.entryBytes(f, root, e))).sum)
     }
     override def sizeInBytes(): java.util.OptionalLong = bytes
     // row-accurate when every kept file carries a footer count and no
-    // tombstone can remove rows; unknown otherwise (never a guess)
+    // tombstone can remove rows. Under MOR tombstones the data-file
+    // sum is still a sound UPPER bound (tombstones only delete), so
+    // it is reported rather than withheld: an overestimate errs
+    // toward shuffling, never toward a wrong broadcast — withholding
+    // it entirely would instead make the planner fall back to raw
+    // bytes, and a small serving dimension that takes steady MOR
+    // deletes would flap between broadcast and shuffle as tombstones
+    // accrue. Unknown only when a footer count is missing.
     override def numRows(): java.util.OptionalLong =
-      if (tombs.isEmpty && runtimeKept.forall(_.rows.isDefined))
+      if (runtimeKept.forall(_.rows.isDefined))
         java.util.OptionalLong.of(runtimeKept.map(_.rows.get).sum)
       else java.util.OptionalLong.empty()
     // per-column stats for the CBO (join reorder / broadcast sizing):

@@ -159,10 +159,17 @@ private[connector] class GraftBatchWrite(root: String,
     val rel = files.map(_._1)
     if (rel.isEmpty && !replace) return // empty append: nothing to commit
     val statsKey = clusterKey.orElse(bucketSpec.map(_.head._1))
+    // the FULL grid layout feeds the stats pass: secondary grid keys
+    // get per-file ranges (extraStats) and NDV sketches just like
+    // commitBucketedOn's stageBucketed — one key-less append would
+    // otherwise drop the secondary key's table-wide NDV (ndvEstimates'
+    // all-files rule) and stop range pruning on it for the new files
+    val gridExtra = bucketSpec.toSeq.flatten.map(_._1)
+      .filterNot(k => statsKey.exists(_.equalsIgnoreCase(k)))
     val entries0 =
       if (rel.isEmpty) Seq.empty
       else SnapshotTable.statsEntries(spark, root, seg, rel,
-        statsKey, bloomKey)
+        statsKey, bloomKey, zorderExtra = gridExtra)
     val bucketOf = files.toMap
     val entries =
       if (bucketSpec.isEmpty) entries0

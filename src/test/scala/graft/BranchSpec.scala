@@ -92,6 +92,69 @@ class BranchSpec extends SparkSpec {
     assert(SnapshotTable.fastForward(spark, root, "noop") == h)
   }
 
+  test("PARTIAL fast-forward: a prefix of the branch's commits " +
+      "promotes to main as a pointer walk (no new commit), the " +
+      "divergent suffix stays on the branch and composes; a middle " +
+      "commit, an off-chain version and a diverged main all refuse " +
+      "loudly") {
+    val root = mk("b_pff", 1 to 10)                              // v1
+    SnapshotTable.createBranch(spark, root, "feat")
+    SnapshotTable.append(spark, root,
+      Seq((11L, "f1")).toDF("k", "tag"), branch = "feat")        // v2
+    SnapshotTable.append(spark, root,
+      Seq((12L, "f2")).toDF("k", "tag"), branch = "feat")        // v3
+    SnapshotTable.append(spark, root,
+      Seq((13L, "f3")).toDF("k", "tag"), branch = "feat")        // v4
+    // promote the 2-commit prefix (v2, v3); v4 stays branch-only
+    val before = SnapshotTable.versions(spark, root)
+    assert(SnapshotTable.fastForwardTo(spark, root, "feat", 3L) == 3L)
+    assert(SnapshotTable.versions(spark, root) == before,
+      "partial fast-forward must not mint a commit")
+    assert(SnapshotTable.currentVersion(spark, root) == 3L)
+    assert(SnapshotTable.read(spark, root).count() == 12)
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("k") === 13L).count() == 0,
+      "the unpromoted suffix leaked into main")
+    // the suffix is still on the branch, and the cycle composes:
+    // promoting the rest is now an ordinary full fast-forward
+    assert(SnapshotTable.branchHead(spark, root, "feat") == 4L)
+    assert(SnapshotTable.readBranch(spark, root, "feat")
+      .filter(col("k") === 13L).count() == 1)
+    assert(SnapshotTable.fastForward(spark, root, "feat") == 4L)
+    assert(SnapshotTable.read(spark, root).count() == 13)
+    // refusals: an off-chain version...
+    SnapshotTable.append(spark, root,
+      Seq((14L, "f4")).toDF("k", "tag"), branch = "feat")        // v5
+    val offChain = intercept[IllegalArgumentException](
+      SnapshotTable.fastForwardTo(spark, root, "feat", 999L))
+    assert(offChain.getMessage.contains("not on branch"),
+      offChain.getMessage)
+    // ...a MIDDLE commit after the base is promotable only with its
+    // predecessors — skipping is structurally impossible (any upTo on
+    // the chain IS a prefix), so the refusal surface is off-chain +
+    // diverged; prove diverged:
+    SnapshotTable.append(spark, root, Seq((15L, "m")).toDF("k", "tag"))
+    val diverged = intercept[CommitConflict](
+      SnapshotTable.fastForwardTo(spark, root, "feat", 5L))
+    assert(diverged.getMessage.contains("diverged"), diverged.getMessage)
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("k") === 14L).count() == 0,
+      "refused promotion must not move main")
+    // the SQL surface: CALL fast_forward_to promotes through the
+    // catalog (fresh table to keep the chain clean)
+    val root2 = s"$warehouse/db/b_pff2"
+    SnapshotTable.commit(spark, root2,
+      (1 to 5).map(i => (i.toLong, s"r$i")).toDF("k", "tag"))    // v1
+    SnapshotTable.createBranch(spark, root2, "dev")
+    SnapshotTable.append(spark, root2,
+      Seq((6L, "d1")).toDF("k", "tag"), branch = "dev")          // v2
+    SnapshotTable.append(spark, root2,
+      Seq((7L, "d2")).toDF("k", "tag"), branch = "dev")          // v3
+    assert(spark.sql("CALL graftbr.system.fast_forward_to(" +
+      "'db.b_pff2', 'dev', 2, 'main')").head().getLong(0) == 2L)
+    assert(spark.table("graftbr.db.b_pff2").count() == 6)
+  }
+
   test("a claimed branch transition is exclusive: a squatting tx " +
       "marker blocks commits from that head until vacuum reaps it, " +
       "exactly like a crashed version claim") {

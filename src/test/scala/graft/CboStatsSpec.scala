@@ -348,6 +348,86 @@ class CboStatsSpec extends SparkSpec {
       s"stale stats must fall back conservatively, got $afterAppend")
   }
 
+  test("merge-on-read tombstones keep the ROW COUNT as an upper " +
+      "bound instead of withholding it: a small dimension taking MOR " +
+      "deletes still carries rowCount and still broadcasts") {
+    val dimRoot = s"$warehouse/db/mordim"
+    SnapshotTable.commit(spark, dimRoot,
+      (0 until 1200).map(i => (i.toLong, s"g${i % 40}"))
+        .toDF("k", "grp2"),
+      clusterKey = Some("k"))
+    SnapshotTable.deleteKeysOnRead(spark, dimRoot,
+      Seq(1L, 2L, 3L).toDF("k"), "k")
+    val dim = spark.table("graftcbo.db.mordim")
+    val stats = dim.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.exists(rc => rc >= 1197 && rc <= 1200),
+      s"MOR dim should report an upper-bound rowCount: ${stats.rowCount}")
+    assert(dim.count() == 1197, "the bound is a bound, reads stay exact")
+    val (bigRoot, _) = roots
+    val big = spark.read.format("graft-snapshot")
+      .option("path", bigRoot).load()
+    val j = big.join(dim, "k")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"MOR dim must still broadcast:\n${plan.take(2000)}")
+    assert(j.count() == 1197)
+  }
+
+  test("histogram MAINTENANCE rides auto-analyze: an append past the " +
+      "stale fraction folds the new files into the stored per-bin " +
+      "sketches — the version stamp advances, the estimate stays " +
+      "sharp, and the ORIGINAL files are never re-read (proven by " +
+      "corrupting them first)") {
+    val root = s"$warehouse/db/histmaint"
+    // same exponential skew as the base histogram test
+    SnapshotTable.commit(spark, root,
+      (0 until 28000).map(i =>
+        (i.toLong, math.pow(2, i % 28))).toDF("k", "v"),
+      clusterKey = Some("k"))
+    SnapshotTable.analyze(spark, root)
+    spark.sql("CALL graftcbo.system.analyze_histograms('db.histmaint', 16)")
+    def estimate(): Double = withConfs(
+      "spark.sql.cbo.enabled" -> "true") {
+      spark.table("graftcbo.db.histmaint").filter(col("v") <= 8.0)
+        .queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toDouble).getOrElse(Double.NaN)
+    }
+    // CORRUPT the original data files in place (paths survive — the
+    // commit protocol's existence guard stays satisfied — but any
+    // attempt to RE-READ them as parquet now throws): a full
+    // histogram recompute would fail loudly, so only genuinely
+    // incremental maintenance can succeed past this point
+    SnapshotTable.manifest(spark, root,
+      SnapshotTable.currentVersion(spark, root)).foreach { e =>
+      val p = java.nio.file.Paths.get(root, e.path)
+      java.nio.file.Files.write(p, "not parquet".getBytes)
+      java.nio.file.Files.deleteIfExists(p.getParent.resolve(
+        "." + p.getFileName.toString + ".crc"))
+    }
+    spark.catalog.refreshByPath(root)
+    // the append is 50% of the new file count: past the default 0.2
+    // stale fraction, so auto-analyze fires and the histogram rides
+    withConfs("spark.graft.stats.analyze.auto" -> "true") {
+      SnapshotTable.append(spark, root,
+        (0 until 4000).map(i =>
+          (28000L + i, math.pow(2, i % 28))).toDF("k", "v"))
+    }
+    val props = SnapshotTable.tableProperties(spark, root)
+    val cur = SnapshotTable.currentVersion(spark, root)
+    assert(props.get("graft.hist.version").contains(cur.toString),
+      s"histogram not refreshed: stamp ${props.get("graft.hist.version")}" +
+        s" vs current $cur")
+    val truth = 32000.0 * 4 / 28
+    val sharp = estimate()
+    assert(sharp >= truth / 2 && sharp <= truth * 2,
+      s"maintained histogram estimate $sharp vs truth $truth " +
+        "(a stale-conservative fallback would report >= 32000)")
+    // height reflects BOTH generations (merge, not overwrite)
+    val height = props("graft.histcol.v").split('|')(0).toDouble
+    assert(math.abs(height - 32000.0 / 16) < 1.0,
+      s"height $height should be total/bins = 2000")
+  }
+
   test("NDV recording is session-togglable (mode=all / enabled=false) " +
       "and the reader treats sketchless manifests as stat-free") {
     val root = s"$warehouse/db/nostats"
@@ -371,5 +451,45 @@ class CboStatsSpec extends SparkSpec {
       SnapshotTable.currentVersion(spark, root2))
     assert(e2.forall(_.ndv.map(_._1).toSet == Set("k", "s")),
       e2.flatMap(_.ndv.map(_._1)).distinct.toString)
+  }
+
+  test("analyze records what queries SURFACE for an ADD COLUMN " +
+      "DEFAULT column: pre-evolution files get a one-value NDV " +
+      "sketch, zero nulls and a [v,v] range — never all-NULL stats " +
+      "the scan would contradict") {
+    spark.sql(
+      "CREATE TABLE graftcbo.db.initstats (k BIGINT, v DOUBLE)")
+    val root = s"$warehouse/db/initstats"
+    spark.sql("INSERT INTO graftcbo.db.initstats " +
+      "SELECT id, id * 1.0 FROM range(1000)")
+    spark.sql("ALTER TABLE graftcbo.db.initstats " +
+      "ADD COLUMNS (w DOUBLE DEFAULT 3.0)")
+    // a post-evolution file stores real w values (two of them)
+    spark.sql("INSERT INTO graftcbo.db.initstats VALUES " +
+      "(2000, 1.0, 7.5), (2001, 2.0, 8.5)")
+    spark.sql("CALL graftcbo.system.analyze('db.initstats')")
+    val entries = SnapshotTable.manifest(spark, root,
+      SnapshotTable.currentVersion(spark, root))
+    val (pre, post) = entries.filter(_.kind == "d")
+      .partition(e => e.statsFor("w").map { case (lo, hi) =>
+        (lo.toDouble, hi.toDouble) }.contains((3.0, 3.0)))
+    assert(pre.nonEmpty && post.nonEmpty,
+      s"expected both file generations: ${entries.map(_.path)}")
+    pre.foreach { e =>
+      val wNdv = e.ndv.collectFirst { case ("w", regs) => regs }
+      assert(wNdv.exists(graft.functions.Hll.estimate(_) == 1L),
+        s"pre-evolution ${e.path} must sketch NDV=1 for w")
+      assert(e.colNulls.collectFirst { case ("w", n) => n }
+        .contains(0L),
+        s"pre-evolution ${e.path}: queries surface 3.0, never NULL")
+      assert(e.statsFor("w").map { case (lo, hi) =>
+        (lo.toDouble, hi.toDouble) }.contains((3.0, 3.0)),
+        s"pre-evolution ${e.path} should carry the [3.0,3.0] range")
+    }
+    // table-wide: w is reported with 3 distinct values (3.0/7.5/8.5)
+    // — the all-NULL recording would have dropped it to 0-or-missing
+    val est = SnapshotTable.ndvEstimates(entries)
+    assert(est.get("w").exists(n => n >= 2 && n <= 4),
+      s"table-wide NDV for w should be ~3, got ${est.get("w")}")
   }
 }

@@ -63,6 +63,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(page.intersect(recent).isEmpty)
   }
 
+  test("keyed (cursor) pagination returns exactly the window-defined " +
+      "page 2, with NO Window and NO global Sort in the plan — every " +
+      "step a distributed top-k") {
+    val keyed = EventAnalytics.queries("events_page_keyed")(spark, sfDir)
+    val viaWindow = EventAnalytics.queries("events_page")(spark, sfDir)
+      .select("event_id").as[Long].collect().toSet
+    val got = keyed.select("event_id").as[Long].collect().toSet
+    assert(got == viaWindow,
+      s"cursor page != offset page: ${got.size} vs ${viaWindow.size}")
+    val plan = keyed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"keyed pagination must not use a window:\n${plan.take(1500)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"page fetch should be a distributed top-k:\n${plan.take(1500)}")
+    // the page-2 fetch is a filter + top-k, never a full Sort node
+    // (TakeOrderedAndProject heaps per partition, then merges k rows)
+    assert(!plan.split('\n').exists(l =>
+      l.trim.startsWith("Sort ") || l.trim.startsWith("+- Sort ")),
+      s"global sort leaked into keyed pagination:\n${plan.take(1500)}")
+  }
+
   test("sessions: n_sessions between 1 and n_events per user") {
     val rows = EventAnalytics.queries("events_sessions")(spark, sfDir)
       .select("n_events", "n_sessions").as[(Long, Long)].collect()

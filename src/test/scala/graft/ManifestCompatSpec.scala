@@ -74,5 +74,51 @@ class ManifestCompatSpec extends SparkSpec {
       // analyze recorded numeric ranges for the non-key numeric col
       assert(e.statsFor("m").isDefined, s"no range for m on ${e.path}")
     }
+    // byte lengths are stamped at commit and round-trip exactly
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    entries.foreach { e =>
+      assert(e.bytes.contains(f.getFileStatus(
+        new org.apache.hadoop.fs.Path(root, e.path)).getLen),
+        s"bytes not stamped for ${e.path}: ${e.bytes}")
+    }
+  }
+
+  test("a pre-bytes manifest (16 fields) parses with bytes=None and " +
+      "analyze backfills the lengths METADATA-ONLY: zero data files " +
+      "re-read, every entry stamped with its true size") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-compat3").toString + "/t"
+    SnapshotTable.commit(spark, root,
+      (1 to 400).map(i => (i.toLong, s"s$i")).toDF("k", "s"),
+      clusterKey = Some("k"))
+    SnapshotTable.analyze(spark, root) // sketches complete
+    val v = SnapshotTable.currentVersion(spark, root)
+    val p = java.nio.file.Paths.get(s"$root/_manifests/$v")
+    val old = java.nio.file.Files.readString(p).split('\n').map { l =>
+      if (l.isEmpty || l.startsWith("#") || !l.contains('\t') ||
+        l.count(_ == '\t') < 5) l
+      else l.split('\t').take(16).mkString("\t")
+    }.mkString("\n")
+    java.nio.file.Files.writeString(p, old)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/_manifests/.$v.crc"))
+    spark.catalog.refreshByPath(root)
+    val stripped = SnapshotTable.manifest(spark, root, v)
+    assert(stripped.forall(_.bytes.isEmpty),
+      "field-16 truncation must parse as no-bytes")
+    assert(stripped.forall(_.ndv.nonEmpty), "ndv must survive")
+    // backfill: the sketches are complete, so analyze must touch no
+    // data — n == 0 files read — yet still commit stamped bytes
+    val (v2, _, n) = SnapshotTable.analyze(spark, root)
+    assert(n == 0L, s"bytes backfill re-read $n data files")
+    assert(v2 > v, "backfill must land as a new metadata version")
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    SnapshotTable.manifest(spark, root, v2).foreach { e =>
+      assert(e.bytes.contains(f.getFileStatus(
+        new org.apache.hadoop.fs.Path(root, e.path)).getLen),
+        s"backfill missed ${e.path}")
+    }
   }
 }

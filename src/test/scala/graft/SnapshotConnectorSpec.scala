@@ -296,6 +296,36 @@ class SnapshotConnectorSpec extends SparkSpec {
     }
   }
 
+  test("plan-time sizing is MANIFEST-ONLY: sizeInBytes comes from " +
+      "the byte lengths stamped at commit — the plan is still costed " +
+      "exactly after the data directory is moved away, proving zero " +
+      "per-file status RPCs at plan time") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 20000).map(i => (i.toLong, s"s$i", i * 0.5))
+        .toDF("k", "s", "x"),
+      clusterKey = Some("k"))
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val entries = SnapshotTable.manifest(spark, root,
+      SnapshotTable.currentVersion(spark, root))
+    entries.foreach(e => assert(e.bytes.contains(f.getFileStatus(
+      new org.apache.hadoop.fs.Path(root, e.path)).getLen),
+      s"commit did not stamp bytes for ${e.path}"))
+    val expected = BigInt(entries.map(_.bytes.get).sum)
+    // the proof: physically relocate the data; the optimizer's cost
+    // for the scan must still be the recorded sizes — a getFileStatus
+    // fallback would see nothing and report 0
+    assert(f.rename(new org.apache.hadoop.fs.Path(root, "_data"),
+      new org.apache.hadoop.fs.Path(root, "_data_elsewhere")))
+    val stats = readFmt(root).load()
+      .queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes == expected,
+      s"plan costed ${stats.sizeInBytes}, manifest says $expected")
+    assert(stats.rowCount.contains(BigInt(20000)),
+      s"manifest row count must survive too: ${stats.rowCount}")
+  }
+
   test("aggregate pushdown declines exactly when the manifest cannot " +
       "answer: merge-on-read tombstones, grouped aggregates and " +
       "filtered counts all take the row-reading path and stay correct") {

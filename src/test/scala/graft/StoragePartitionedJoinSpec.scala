@@ -160,6 +160,41 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("SQL INSERT INTO a composite-grid table records stats for " +
+      "EVERY grid key: the appended files carry NDV sketches and a " +
+      "range for the secondary key too, so table-wide NDV (all-files " +
+      "rule) and range pruning survive catalog ingest") {
+    val root = s"$warehouse/db/grid_ins"
+    SnapshotTable.commitBucketedOn(spark, root,
+      (1 to 3000).map(i => (i.toLong % 97, i.toLong % 11, i.toDouble))
+        .toDF("a", "b", "v"),
+      Seq("a" -> 4, "b" -> 3))
+    val before = SnapshotTable.manifest(spark, root,
+      SnapshotTable.currentVersion(spark, root))
+    assert(before.filter(_.kind == "d").forall(e =>
+      e.ndv.exists(_._1 == "b")), "grid commit must sketch b")
+    spark.sql("INSERT INTO graftspj.db.grid_ins " +
+      "SELECT id % 97, id % 11, id * 1.0 FROM range(3001, 5001)")
+    val after = SnapshotTable.manifest(spark, root,
+      SnapshotTable.currentVersion(spark, root))
+    val appended = after.filterNot(e =>
+      before.exists(_.path == e.path)).filter(_.kind == "d")
+    assert(appended.nonEmpty, "INSERT must add files")
+    appended.foreach { e =>
+      assert(e.ndv.exists(_._1 == "a") && e.ndv.exists(_._1 == "b"),
+        s"${e.path}: every grid key needs an NDV sketch, " +
+          s"got ${e.ndv.map(_._1)}")
+      assert(e.statsFor("b").isDefined,
+        s"${e.path}: secondary grid key needs a recorded range")
+      assert(e.statsFor("__bucket").isDefined,
+        s"${e.path}: grid cell id must still be stamped")
+    }
+    // the all-files rule keeps table-wide NDV for BOTH keys alive
+    val est = SnapshotTable.ndvEstimates(after)
+    assert(est.contains("a") && est.contains("b"),
+      s"one key-less append dropped a grid key's NDV: $est")
+  }
+
   test("merge-on-read SQL UPDATE on a bucketed table lands its delta " +
       "files INSIDE the bucket layout: SPJ stays exchange-free " +
       "through the MOR history, no compaction needed") {
