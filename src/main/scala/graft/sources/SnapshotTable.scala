@@ -705,6 +705,24 @@ object SnapshotTable {
     * counts), min/max over the recorded per-file ranges, and how many
     * files carry a sketch (the staleness signal — re-run analyze when
     * it trails the file count). Metadata only, no file IO. */
+  /** Stats STALENESS of the current snapshot: the fraction of data
+    * files missing full column sketches for at least one analyzable
+    * column — exactly the quantity the auto-analyze trigger compares
+    * against `minStale`, exposed so ingest jobs can alert on stats
+    * drift instead of discovering it as a silently shuffling join.
+    * Metadata only. 0.0 for an empty table (nothing can be stale). */
+  def statsStaleness(spark: SparkSession, root: String): Double = {
+    val cur = currentVersion(spark, root)
+    if (cur == 0L) return 0.0
+    val (entries, recorded) = readManifestFull(spark, root, cur)
+    val data = entries.filter(_.kind == "d")
+    if (data.isEmpty) return 0.0
+    val cols = analyzableCols(spark,
+      priorSchemaOrRead(spark, root, cur, recorded))
+    if (cols.isEmpty) return 0.0
+    data.count(unsketched(_, cols)).toDouble / data.size
+  }
+
   def statsSummary(entries: Seq[FileEntry], schema: StructType): Seq[
     (String, Option[Long], Option[Long], Option[String],
       Option[String], Long)] = {

@@ -231,6 +231,37 @@ object EventPipeline {
       sum(when(col("actor_id").isNull, 1L).otherwise(0L)).as("null_actor"),
       sum(when(col("org_id").isNull, 1L).otherwise(0L)).as("null_org"))
 
+  /** Post-commit TABLE-stats staleness per sink target — the metadata
+    * counterpart of [[withQualityMetrics]]. `observe()` can only
+    * aggregate the streamed ROWS; stats staleness is a property of
+    * the table AFTER the commit (the fraction of data files missing
+    * column sketches, [[graft.sources.SnapshotTable.statsStaleness]]),
+    * so the snapshot sinks record it here after every batch — a
+    * metadata-only read, O(manifest). Ingest jobs poll
+    * [[lastStatsStaleness]] (or alert on the WARN log line) to catch
+    * stats drift while it is still a maintenance task, not after it
+    * has silently degraded every downstream join estimate; with
+    * auto-analyze enabled the recorded value also proves the
+    * maintenance actually ran (it returns to 0 after each trigger). */
+  private val staleness =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  def lastStatsStaleness(tableRoot: String): Option[Double] =
+    Option(staleness.get(tableRoot))
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def recordStaleness(s: org.apache.spark.sql.SparkSession,
+      tableRoot: String): Unit = try {
+    val frac = graft.sources.SnapshotTable.statsStaleness(s, tableRoot)
+    staleness.put(tableRoot, frac)
+    if (frac > 0.5)
+      log.warn(
+        s"graft stats staleness $frac at $tableRoot — run CALL " +
+          "analyze or enable spark.graft.stats.analyze.auto")
+  } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Stream-stream interval join — the stateful two-sided join family
     * (nothing in the repo covered it before; stream-static `enriched`
     * handles only a bounded dim side). Attributes each "effect" event
@@ -402,6 +433,7 @@ object EventPipeline {
                 clusterKey = Some("event_id"))
           }
         } finally fresh.unpersist()
+        recordStaleness(s, tableRoot)
         ()
       }
 
@@ -439,6 +471,7 @@ object EventPipeline {
         if (!replayed && !batch.isEmpty)
           graft.sources.SnapshotTable.appendBucketed(s, tableRoot,
             batch, txn = Some((appId, batchId)))
+        recordStaleness(s, tableRoot)
         ()
       }
 

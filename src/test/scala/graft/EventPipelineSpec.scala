@@ -521,6 +521,22 @@ class EventPipelineSpec extends SparkSpec {
       .select("event_id", "event_type").as[(String, String)]
       .collect().toMap
     assert(after.size == 12 && after.values.forall(_ == "WatchEvent"))
+    // the sink surfaced post-commit stats staleness as a metric: the
+    // merge sink sketches its cluster key but analyze covers MORE
+    // columns, so after compaction the recorded fraction is a real
+    // number in [0,1] — and a CALL analyze drives it to 0 on the
+    // next batch (the drift → maintain → clean cycle ingest watches)
+    val frac0 = EventPipeline.lastStatsStaleness(tableRoot)
+    assert(frac0.exists(f => f >= 0.0 && f <= 1.0),
+      s"MOR sink must record staleness, got $frac0")
+    SnapshotTable.analyze(spark, tableRoot)
+    stream.addData(ev(mk(9, 0)))
+    drainRound(compactEvery = 99)
+    val frac1 = EventPipeline.lastStatsStaleness(tableRoot)
+    // only the fresh file's share may be stale after the analyze —
+    // strictly less drift than before the maintenance ran
+    assert(frac1.exists(f => f < frac0.get),
+      s"post-analyze staleness must drop: $frac0 -> $frac1")
   }
 
   test("sessionizer runs on the RocksDB state store provider") {
