@@ -320,6 +320,25 @@ object SnapshotTable {
   private[sources] def readManifest(spark: SparkSession, root: String,
       v: Long): Seq[FileEntry] = readManifestFull(spark, root, v)._1
 
+  // Parsed-manifest cache: a committed manifest is IMMUTABLE (writes
+  // are exclusive-create, versions are never rewritten — maintenance
+  // commits NEW versions), so re-parsing it per metadata operation is
+  // pure waste: every query plan, history row, and stats read walks
+  // readManifestFull, and at 100 TB a manifest carrying per-file
+  // ranges/blooms/NDV registers for ~10^6 files is GBs of base64 to
+  // decode. Entries are validated by (modTime, length) — one status
+  // call, so test-surgery rewrites and vacuumed manifests are seen —
+  // and kept in a small LRU (a handful of versions is all any
+  // workload revisits; parsed manifests can be large). */
+  private val ManifestCacheMax = 32
+  private val manifestCache = new java.util.LinkedHashMap[
+    String, (Long, Long, (Seq[FileEntry], Option[StructType]))](
+    ManifestCacheMax, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String,
+      (Long, Long, (Seq[FileEntry], Option[StructType]))]): Boolean =
+      size() > ManifestCacheMax
+  }
+
   /** Entries plus the committed table schema (None only for a
     * pre-schema v1 manifest, where readers fall back to footer
     * inference — the compatibility path, not the design). */
@@ -327,6 +346,25 @@ object SnapshotTable {
       root: String, v: Long): (Seq[FileEntry], Option[StructType]) = {
     val f = fs(spark, root)
     val p = new Path(manifestsDir(root), v.toString)
+    val st = f.getFileStatus(p) // also the existence check
+    val key = p.toString
+    manifestCache.synchronized {
+      Option(manifestCache.get(key)).foreach {
+        case (mt, len, parsed) =>
+          if (mt == st.getModificationTime && len == st.getLen)
+            return parsed
+      }
+    }
+    val parsed = parseManifest(f, p)
+    manifestCache.synchronized {
+      manifestCache.put(key,
+        (st.getModificationTime, st.getLen, parsed))
+    }
+    parsed
+  }
+
+  private def parseManifest(f: FileSystem, p: Path)
+  : (Seq[FileEntry], Option[StructType]) = {
     val in = f.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
