@@ -195,6 +195,14 @@ object SnapshotTable {
 
   private val ManifestTagV1 = "graft-manifest-v1"
   private val ManifestTag = "graft-manifest-v2"
+  // v3 = DELTA manifest: same line format, plus `#base\t<v>` naming
+  // the parent version whose resolved entries the delta applies to
+  // (`#drop\t<b64 path>` removals, rows are path-keyed upserts). A
+  // reader that predates deltas fails loudly on the tag instead of
+  // silently reading a partial table. Full manifests keep the v2 tag.
+  private val ManifestTagV3 = "graft-manifest-v3"
+  private val BaseHeader = "#base"
+  private val DropHeader = "#drop"
   private val SchemaHeader = "#schema"
 
   private def b64(s: String): String = java.util.Base64.getEncoder
@@ -208,16 +216,87 @@ object SnapshotTable {
   private def bq(name: String): String =
     "`" + name.replace("`", "``") + "`"
 
+  /** Write version `v`'s manifest. With `parent` > 0 (the version
+    * this commit derives from) a DELTA manifest is attempted: only
+    * the entries that changed vs the parent's resolved set are
+    * written, turning per-commit manifest IO from O(table) into
+    * O(delta) — the difference between a 10-file append costing 10
+    * lines and costing a million at 100 TB. The delta is written
+    * ONLY when replaying it over the parent reproduces `entries`
+    * exactly (order included — manifest order is load-bearing for
+    * the limit/offset file-prefix pushdowns) AND it is actually
+    * smaller than the full set; anything else falls back to the
+    * self-contained v2 form. Chain depth is capped so a cold read
+    * never walks more than ~32 files (compaction/replace reset it). */
   private def writeManifest(f: FileSystem, root: String, v: Long,
-      entries: Seq[FileEntry], schema: StructType): Unit = {
+      entries: Seq[FileEntry], schema: StructType,
+      parent: Long = 0L): Unit = {
     f.mkdirs(manifestsDir(root))
     val p = new Path(manifestsDir(root), v.toString)
+    val content = deltaContent(f, root, entries, schema, parent)
+      .getOrElse(fullContent(entries, schema))
     val out = f.create(p, false) // uncontended: only the claim holder
-    try {
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private val MaxDeltaDepth = 32
+
+  private def deltaContent(f: FileSystem, root: String,
+      entries: Seq[FileEntry], schema: StructType,
+      parent: Long): Option[String] = {
+    if (parent <= 0L) return None
+    val (pEntries, _, pDepth) =
+      try readManifestAt(f, root, parent)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (pDepth + 1 >= MaxDeltaDepth) return None
+    val pByPath = pEntries.iterator.map(e => e.path -> e).toMap
+    val entryPaths = entries.iterator.map(_.path).toSet
+    val drops = pEntries.map(_.path).filterNot(entryPaths)
+    // an upsert is any entry the parent lacks or holds differently.
+    // FileEntry equality compares Array fields by REFERENCE — sound
+    // here (ref-equal arrays are content-equal; carried entries pass
+    // through the commit paths by reference), and conservative: a
+    // false inequality only fattens the delta, never corrupts it
+    val ups = entries.filter(e => !pByPath.get(e.path).contains(e))
+    if ((drops.size + ups.size) * 2 >= entries.size + 1) return None
+    // replay check: the delta IS the manifest contract — if applying
+    // it over the parent does not reproduce `entries` bit-for-bit
+    // (e.g. a commit that reorders files), write the full form
+    if (applyDelta(pEntries, drops.toSet, ups) != entries) return None
+    val sb = new StringBuilder(ManifestTagV3).append('\n')
+    sb.append(SchemaHeader).append('\t').append(b64(schema.json))
+      .append('\n')
+    sb.append(BaseHeader).append('\t').append(parent.toString)
+      .append('\n')
+    drops.foreach(d => sb.append(DropHeader).append('\t')
+      .append(b64(d)).append('\n'))
+    ups.foreach(appendEntryLine(sb, _))
+    Some(sb.toString)
+  }
+
+  /** Resolve a delta against its parent's entries: same-path rows
+    * replace IN PLACE (preserving manifest order), new paths append
+    * at the end in delta order, drops delete. */
+  private def applyDelta(parent: Seq[FileEntry], drops: Set[String],
+      ups: Seq[FileEntry]): Seq[FileEntry] = {
+    val upByPath = ups.iterator.map(e => e.path -> e).toMap
+    val parentPaths = parent.iterator.map(_.path).toSet
+    parent.filterNot(e => drops(e.path))
+      .map(e => upByPath.getOrElse(e.path, e)) ++
+      ups.filterNot(e => parentPaths(e.path))
+  }
+
+  private def fullContent(entries: Seq[FileEntry],
+      schema: StructType): String = {
       val sb = new StringBuilder(ManifestTag).append('\n')
       sb.append(SchemaHeader).append('\t').append(b64(schema.json))
         .append('\n')
-      entries.foreach { e =>
+      entries.foreach(appendEntryLine(sb, _))
+      sb.toString
+  }
+
+  private def appendEntryLine(sb: StringBuilder,
+      e: FileEntry): Unit = {
         sb.append(b64(e.path)).append('\t')
           .append(e.statsKey.fold("")(b64)).append('\t')
           .append(e.lo.fold("")(b64)).append('\t')
@@ -252,9 +331,7 @@ object SnapshotTable {
           // file length in bytes: field 17, blank-safe both ways
           .append(e.bytes.fold("")(b => b64(b.toString)))
           .append('\n')
-      }
-      out.write(sb.toString.getBytes("UTF-8"))
-    } finally out.close()
+        ()
   }
 
   /** Additive schema evolution: the new table schema after a batch
@@ -330,13 +407,14 @@ object SnapshotTable {
   // call, so test-surgery rewrites and vacuumed manifests are seen —
   // and kept in a small LRU (a handful of versions is all any
   // workload revisits; parsed manifests can be large). */
-  private val ManifestCacheMax = 32
+  private val ManifestCacheMax = 64
+  private final case class CachedManifest(mtime: Long, len: Long,
+      entries: Seq[FileEntry], schema: Option[StructType],
+      depth: Int, base: Option[Long])
   private val manifestCache = new java.util.LinkedHashMap[
-    String, (Long, Long, (Seq[FileEntry], Option[StructType]))](
-    ManifestCacheMax, 0.75f, true) {
+    String, CachedManifest](ManifestCacheMax, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String,
-      (Long, Long, (Seq[FileEntry], Option[StructType]))]): Boolean =
-      size() > ManifestCacheMax
+      CachedManifest]): Boolean = size() > ManifestCacheMax
   }
 
   /** Entries plus the committed table schema (None only for a
@@ -344,39 +422,75 @@ object SnapshotTable {
     * inference — the compatibility path, not the design). */
   private[sources] def readManifestFull(spark: SparkSession,
       root: String, v: Long): (Seq[FileEntry], Option[StructType]) = {
-    val f = fs(spark, root)
+    val c = cachedManifest(fs(spark, root), root, v)
+    (c.entries, c.schema)
+  }
+
+  /** The resolved manifest of version `v` with its delta-chain depth,
+    * spark-free (writers resolve parents through the same cache). */
+  private def readManifestAt(f: FileSystem, root: String, v: Long)
+  : (Seq[FileEntry], Option[StructType], Int) = {
+    val c = cachedManifest(f, root, v)
+    (c.entries, c.schema, c.depth)
+  }
+
+  /** The version `v`'s manifest bases its delta on, if any —
+    * expiry/vacuum must keep base manifests readable while any
+    * survivor resolves through them. */
+  private def manifestBase(f: FileSystem, root: String,
+      v: Long): Option[Long] =
+    cachedManifest(f, root, v).base
+
+  private def cachedManifest(f: FileSystem, root: String,
+      v: Long): CachedManifest = {
     val p = new Path(manifestsDir(root), v.toString)
     val st = f.getFileStatus(p) // also the existence check
     val key = p.toString
     manifestCache.synchronized {
-      Option(manifestCache.get(key)).foreach {
-        case (mt, len, parsed) =>
-          if (mt == st.getModificationTime && len == st.getLen)
-            return parsed
+      Option(manifestCache.get(key)).foreach { c =>
+        if (c.mtime == st.getModificationTime && c.len == st.getLen)
+          return c
       }
     }
-    val parsed = parseManifest(f, p)
-    manifestCache.synchronized {
-      manifestCache.put(key,
-        (st.getModificationTime, st.getLen, parsed))
+    val (schema, base, drops, rows) = parseManifest(f, p)
+    val resolved = base match {
+      case None => CachedManifest(st.getModificationTime, st.getLen,
+        rows, schema, 0, None)
+      case Some(bv) =>
+        val parent = cachedManifest(f, root, bv)
+        CachedManifest(st.getModificationTime, st.getLen,
+          applyDelta(parent.entries, drops.toSet, rows), schema,
+          parent.depth + 1, Some(bv))
     }
-    parsed
+    manifestCache.synchronized { manifestCache.put(key, resolved) }
+    resolved
   }
 
+  /** Raw single-file parse: (schema, delta base, drops, entry rows).
+    * Full (v1/v2) manifests parse with no base and no drops. */
   private def parseManifest(f: FileSystem, p: Path)
-  : (Seq[FileEntry], Option[StructType]) = {
+  : (Option[StructType], Option[Long], Seq[String], Seq[FileEntry]) = {
     val in = f.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.split('\n').toSeq.filter(_.nonEmpty)
     require(lines.headOption.exists(t =>
-      t == ManifestTag || t == ManifestTagV1),
+      t == ManifestTag || t == ManifestTagV1 || t == ManifestTagV3),
       s"unrecognized manifest format at $p")
     val (headers, rows) = lines.drop(1).partition(_.startsWith("#"))
     val schema = headers.collectFirst {
       case h if h.startsWith(SchemaHeader + "\t") =>
         DataType.fromJson(unb64(h.split('\t')(1)))
           .asInstanceOf[StructType]
+    }
+    val base = headers.collectFirst {
+      case h if h.startsWith(BaseHeader + "\t") =>
+        h.split('\t')(1).toLong
+    }
+    require(base.isEmpty || lines.head == ManifestTagV3,
+      s"delta header in a non-delta manifest at $p")
+    val drops = headers.collect {
+      case h if h.startsWith(DropHeader + "\t") => unb64(h.split('\t')(1))
     }
     val entries = rows.map { l =>
       val fld = l.split('\t').padTo(17, "")
@@ -412,7 +526,7 @@ object SnapshotTable {
           }),
         Option(fld(16)).filter(_.nonEmpty).map(unb64).map(_.toLong))
     }
-    (entries, schema)
+    (schema, base, drops, entries)
   }
 
   /** The table's current schema as recorded in the manifest — the
@@ -1051,7 +1165,8 @@ object SnapshotTable {
       claimNextOn(f, root, branch, cur) match { case Some(target) =>
         val stamped = all.map(e =>
           if (e.seq == 0L) e.copy(seq = target) else e)
-        writeManifest(f, root, target, stamped, schema)
+        writeManifest(f, root, target, stamped, schema,
+          parent = cur)
         publish(f, root, target, stamped, Seq(seg), op = "append",
           branchRef = refIf(f, root, branch, cur))
         spark.catalog.refreshByPath(root)
@@ -1129,7 +1244,8 @@ object SnapshotTable {
       claimNextOn(f, root, "main", cur) match { case Some(target) =>
         val stamped = (carried ++ entries).map(e =>
           if (e.seq == 0L) e.copy(seq = target) else e)
-        writeManifest(f, root, target, stamped, schema)
+        writeManifest(f, root, target, stamped, schema,
+          parent = cur)
         publish(f, root, target, stamped, Seq(seg), op = "rewrite",
           branchRef = refIf(f, root, "main", cur))
         spark.catalog.refreshByPath(root)
@@ -1182,7 +1298,8 @@ object SnapshotTable {
       claimNextOn(f, root, "main", cur) match { case Some(target) =>
         val stamped = all.map(e =>
           if (e.seq == 0L) e.copy(seq = target) else e)
-        writeManifest(f, root, target, stamped, schema)
+        writeManifest(f, root, target, stamped, schema,
+          parent = cur)
         publish(f, root, target, stamped, segs, op = "delta",
           branchRef = refIf(f, root, "main", cur))
         spark.catalog.refreshByPath(root)
@@ -2019,7 +2136,8 @@ object SnapshotTable {
           else fd
         })
         val evolved = evolveSchema(prior, stampedAdded)
-        writeManifest(f, root, target, entries, evolved)
+        writeManifest(f, root, target, entries, evolved,
+          parent = cur)
         publish(f, root, target, entries, Seq.empty, op = "add-columns",
           branchRef = refIf(f, root, "main", cur))
         spark.catalog.refreshByPath(root)
@@ -2200,7 +2318,8 @@ object SnapshotTable {
         if (e.bytes.isDefined) e
         else e.copy(bytes = fileLen(f, root, e.path)))
       claimNextOn(f, root, "main", cur) match { case Some(target) =>
-        writeManifest(f, root, target, stamped, schema)
+        writeManifest(f, root, target, stamped, schema,
+          parent = cur)
         publish(f, root, target, stamped, Seq.empty, op = "analyze",
           branchRef = refIf(f, root, "main", cur))
         spark.catalog.refreshByPath(root)
@@ -3133,7 +3252,8 @@ object SnapshotTable {
     // version that adds them (carried entries keep their add version)
     val stamped = entries.map(e =>
       if (e.seq == 0L) e.copy(seq = target) else e)
-    writeManifest(f, root, target, stamped, schema)
+    writeManifest(f, root, target, stamped, schema,
+      parent = expectedCurrent)
     publish(f, root, target, stamped, segs, op,
       branchRef = refIf(f, root, "main", expectedCurrent))
     spark.catalog.refreshByPath(root)
@@ -3727,12 +3847,29 @@ object SnapshotTable {
     val surviving = all.filterNot(doomed.contains)
     val kept = surviving.flatMap(readManifest(spark, root, _))
       .map(_.path).toSet
+    // a survivor's DELTA manifest resolves through its base chain —
+    // those base manifest FILES must outlive the expiry even though
+    // their versions become unreachable (commit record deleted, so
+    // VERSION AS OF still fails). They are text, not data; the data
+    // files they mention are reclaimed normally below, and a later
+    // expiry reaps the manifest itself once no survivor chains
+    // through it (compaction/replace reset chains with full
+    // manifests).
+    val baseRefs: Set[Long] = surviving.flatMap(v =>
+      Iterator.iterate(manifestBase(f, root, v))(b =>
+        b.flatMap(manifestBase(f, root, _)))
+        .takeWhile(_.isDefined).flatten.toSeq).toSet
+    // resolve every doomed manifest BEFORE deleting any: a doomed
+    // delta may chain through an earlier-doomed base
+    val minePerV = doomed.map(v =>
+      v -> readManifest(spark, root, v).map(_.path)).toMap
     doomed.foreach { v =>
-      val mine = readManifest(spark, root, v).map(_.path)
+      val mine = minePerV(v)
       f.delete(new Path(commitsDir(root), v.toString), false)
       f.delete(new Path(commitsDir(root), s"$v.claim"), false)
       f.delete(new Path(commitsDir(root), s"$v.op"), false)
-      f.delete(new Path(manifestsDir(root), v.toString), false)
+      if (!baseRefs(v))
+        f.delete(new Path(manifestsDir(root), v.toString), false)
       // absolute paths are FOREIGN files shared from a clone source —
       // this table's retention never deletes another table's data
       // (the source's own tagged-version pin governs their lifetime)
@@ -3836,13 +3973,21 @@ object SnapshotTable {
     }
     // 2. orphan manifests: not committed AND no surviving claim (the
     //    claim was reaped above or in an earlier pass — while a claim
-    //    lives, its manifest is an in-flight commit, not garbage)
+    //    lives, its manifest is an in-flight commit, not garbage) AND
+    //    not a delta-chain base of any committed manifest (expiry
+    //    deliberately leaves such bases behind as resolution text)
     val md = manifestsDir(root)
+    def baseRefsNow(): Set[Long] = committedNow().flatMap(v =>
+      try Iterator.iterate(manifestBase(f, root, v))(b =>
+        b.flatMap(manifestBase(f, root, _)))
+        .takeWhile(_.isDefined).flatten.toSeq
+      catch { case _: java.io.IOException => Seq.empty })
     if (f.exists(md)) f.listStatus(md).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
       if (n.forall(_.isDigit) && oldEnough(p) &&
         !committedNow()(n.toLong) &&
-        !f.exists(new Path(cd, s"$n.claim"))) {
+        !f.exists(new Path(cd, s"$n.claim")) &&
+        !baseRefsNow()(n.toLong)) {
         f.delete(p, false)
         removed += p.toString
       }

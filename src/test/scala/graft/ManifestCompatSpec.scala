@@ -84,6 +84,88 @@ class ManifestCompatSpec extends SparkSpec {
     }
   }
 
+  private def manifestTag(root: String, v: Long): String =
+    java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$root/_manifests/$v")).get(0)
+
+  private def manifestLineCount(root: String, v: Long): Long =
+    java.nio.file.Files.lines(
+      java.nio.file.Paths.get(s"$root/_manifests/$v")).count()
+
+  test("appends write DELTA manifests: O(batch) lines per commit " +
+      "(v3 tag + #base), resolution reproduces the full entry set " +
+      "byte-for-byte, chains survive expiry of interior versions, " +
+      "and compaction resets the chain with a full manifest") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-delta").toString + "/t"
+    SnapshotTable.commit(spark, root,
+      (1 to 2000).map(i => (i.toLong, s"s$i")).toDF("k", "s"),
+      clusterKey = Some("k"), files = 8)
+    assert(manifestTag(root, 1L) == "graft-manifest-v2")
+    val fullLines = manifestLineCount(root, 1L)
+    // five 1-file appends: each manifest must carry the DELTA only
+    (1 to 5).foreach { i =>
+      SnapshotTable.append(spark, root,
+        Seq((10000L + i, s"a$i")).toDF("k", "s"))
+    }
+    (2L to 6L).foreach { v =>
+      assert(manifestTag(root, v) == "graft-manifest-v3",
+        s"append v$v should be a delta")
+      assert(manifestLineCount(root, v) <= 4,
+        s"delta v$v should be O(batch): ${manifestLineCount(root, v)} " +
+          s"lines vs full $fullLines")
+    }
+    // resolution: the delta chain reads exactly the accumulated table
+    assert(SnapshotTable.read(spark, root).count() == 2005)
+    val entries = SnapshotTable.manifest(spark, root, 6L)
+    assert(entries.count(_.kind == "d") == 13, // 8 + 5 appends
+      entries.map(_.path).mkString(","))
+    assert(entries.forall(_.bytes.isDefined),
+      "delta-resolved entries must keep their stamped stats")
+    // time travel through the chain still works at every version
+    (1L to 6L).foreach { v =>
+      assert(SnapshotTable.readVersion(spark, root, v).count() ==
+        2000 + (v - 1), s"version $v")
+    }
+    // EXPIRE interior versions: survivors chain through them, so
+    // their manifest FILES must remain as resolution bases even
+    // though the versions become unreachable
+    val gone = SnapshotTable.expireSnapshots(spark, root, keep = 2)
+    assert(gone == Seq(1L, 2L, 3L, 4L))
+    assert(SnapshotTable.read(spark, root).count() == 2005,
+      "current read must survive expiry of its delta bases")
+    assert(SnapshotTable.manifest(spark, root, 6L)
+      .count(_.kind == "d") == 13)
+    intercept[Exception](SnapshotTable.readVersion(spark, root, 3L))
+    // vacuum must not reap the kept base manifests either
+    SnapshotTable.vacuum(spark, root, minAgeMs = 0L)
+    assert(SnapshotTable.read(spark, root).count() == 2005,
+      "vacuum reaped a manifest a survivor resolves through")
+    // compaction rewrites everything -> full manifest, chain reset
+    SnapshotTable.compact(spark, root, clusterKey = Some("k"))
+    val cur = SnapshotTable.currentVersion(spark, root)
+    assert(manifestTag(root, cur) == "graft-manifest-v2",
+      "compaction must reset the delta chain with a full manifest")
+    assert(SnapshotTable.read(spark, root).count() == 2005)
+  }
+
+  test("the delta-chain depth is CAPPED: a long run of appends " +
+      "periodically writes a full manifest so a cold read never " +
+      "walks an unbounded chain") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-deltacap").toString + "/t"
+    SnapshotTable.commit(spark, root,
+      Seq((0L, "s0")).toDF("k", "s"))
+    (1 to 40).foreach { i =>
+      SnapshotTable.append(spark, root,
+        Seq((i.toLong, s"s$i")).toDF("k", "s"))
+    }
+    val tags = (1L to 41L).map(v => manifestTag(root, v))
+    assert(tags.count(_ == "graft-manifest-v2") >= 2,
+      s"40 appends must include a mid-chain full rewrite: $tags")
+    assert(SnapshotTable.read(spark, root).count() == 41)
+  }
+
   test("a pre-bytes manifest (16 fields) parses with bytes=None and " +
       "analyze backfills the lengths METADATA-ONLY: zero data files " +
       "re-read, every entry stamped with its true size") {
