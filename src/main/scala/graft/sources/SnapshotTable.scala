@@ -857,6 +857,22 @@ object SnapshotTable {
     * counts), min/max over the recorded per-file ranges, and how many
     * files carry a sketch (the staleness signal — re-run analyze when
     * it trails the file count). Metadata only, no file IO. */
+  /** Manifest-chain observability (the catalog's `t.manifests` view):
+    * one row per committed version — full or delta form, the base it
+    * resolves through, chain depth, and on-disk byte size. The
+    * operator's answer to "is my metadata still O(batch) per commit,
+    * and how long is the cold-read chain". Metadata only. */
+  def manifestInfo(spark: SparkSession, root: String)
+  : Seq[(Long, String, Option[Long], Int, Long)] = {
+    val f = fs(spark, root)
+    versions(spark, root).map { v =>
+      val st = f.getFileStatus(new Path(manifestsDir(root), v.toString))
+      val c = cachedManifest(f, root, v)
+      (v, if (c.base.isDefined) "delta" else "full", c.base, c.depth,
+        st.getLen)
+    }
+  }
+
   /** Stats STALENESS of the current snapshot: the fraction of data
     * files missing full column sketches for at least one analyzable
     * column — exactly the quantity the auto-analyze trigger compares

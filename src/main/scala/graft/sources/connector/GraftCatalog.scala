@@ -769,6 +769,7 @@ private[connector] class GraftMetadataTable(fullName: String,
     case "properties" => GraftMetadataTable.PropsSchema
     case "refs" => GraftMetadataTable.RefsSchema
     case "stats" => GraftMetadataTable.StatsSchema
+    case "manifests" => GraftMetadataTable.ManifestsSchema
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -827,6 +828,12 @@ private[connector] class GraftMetadataTable(fullName: String,
               SnapshotTable.branchHead(spark, root, b), "branch",
               Long.box(SnapshotTable.branchBase(spark, root, b))))
           localRows(tagRows ++ branchRows, GraftMetadataTable.RefsSchema)
+        case "manifests" =>
+          val rows = SnapshotTable.manifestInfo(spark, root)
+            .filter { case (v, _, _, _, _) => pinned.forall(v <= _) }
+            .map { case (v, form, base, depth, bytes) =>
+              Row(v, form, base.map(Long.box).orNull, depth, bytes) }
+          localRows(rows, GraftMetadataTable.ManifestsSchema)
       }
     }
   }
@@ -842,7 +849,18 @@ private[connector] class GraftMetadataTable(fullName: String,
 private[connector] object GraftMetadataTable {
   import org.apache.spark.sql.types._
 
-  val Kinds = Set("history", "files", "properties", "refs", "stats")
+  val Kinds = Set("history", "files", "properties", "refs", "stats",
+    "manifests")
+
+  /** Manifest-chain observability: full-vs-delta form, the base a
+    * delta resolves through, chain depth, on-disk size — how an
+    * operator checks metadata stays O(batch) per commit. */
+  val ManifestsSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("form", StringType, nullable = false),
+    StructField("base", LongType, nullable = true),
+    StructField("depth", IntegerType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
 
   val FilesSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),

@@ -833,6 +833,11 @@ class EventPipelineSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, tableRoot).count() == 27)
     assert(SnapshotTable.lastCommittedTxn(spark, tableRoot, "bsink-test")
       .contains(3L))
+    // the bucketed sink records post-commit stats staleness too —
+    // same metric contract as the MOR sink
+    assert(EventPipeline.lastStatsStaleness(tableRoot)
+      .exists(f => f >= 0.0 && f <= 1.0),
+      "bucketed sink must record staleness")
   }
 
   test("ingest→analytics composition: streamed sink output answers the " +

@@ -204,6 +204,18 @@ class GraftCatalogSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props("write.merge.key") == "k")
 
+    // t.manifests: chain observability — the CREATE and the first
+    // append are full manifests (no parent / empty parent), the
+    // catalog INSERT appends as a delta on v2
+    val mans = spark.sql(
+      "SELECT version, form, base, depth FROM graft.db.meta.manifests " +
+        "ORDER BY version").collect()
+    assert(mans.length == 3)
+    assert(mans(0).getString(1) == "full" && mans(0).getInt(3) == 0)
+    assert(mans(2).getString(1) == "delta" &&
+      mans(2).getLong(2) == 2L && mans(2).getInt(3) >= 1,
+      s"INSERT should land as a delta on v2: ${mans.mkString(",")}")
+
     // a REAL table named like a metadata kind shadows it
     spark.sql("CREATE TABLE graft.db.history (x BIGINT)")
     spark.sql("INSERT INTO graft.db.history VALUES (7)")
