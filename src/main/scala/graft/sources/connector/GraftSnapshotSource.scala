@@ -230,11 +230,13 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
       val scan = new GraftChangesScan(root, tableSchema,
         Option(options.get("startingVersion")),
         Option(options.get("branch")),
-        options.getBoolean("preImages", false))
+        options.getBoolean("preImages", false),
+        StreamLimits.from(options))
       new ScanBuilder { override def build(): Scan = scan }
     } else new GraftScanBuilder(root, version, tableSchema,
       streamStart = Option(options.get("startingVersion")),
-      streamBranch = Option(options.get("branch")))
+      streamBranch = Option(options.get("branch")),
+      streamLimits = StreamLimits.from(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, info)
@@ -369,7 +371,8 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     onPlan: Option[Seq[FileEntry] => Unit] = None,
     entryView: Seq[FileEntry] => Seq[FileEntry] = identity,
     streamStart: Option[String] = None,
-    streamBranch: Option[String] = None)
+    streamBranch: Option[String] = None,
+    streamLimits: StreamLimits = StreamLimits.none)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
@@ -649,7 +652,8 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
           s"tombstone key '$k' missing from table schema")).dataType),
       if (descs.isEmpty) None else Some(descs.mkString(" ")),
       offsetSkip.collect { case (ks, rem, _) if rem > 0 && ks.nonEmpty =>
-        (ks.head.path, rem) }, onPlan, streamStart, streamBranch)
+        (ks.head.path, rem) }, onPlan, streamStart, streamBranch,
+      streamLimits)
   }
 }
 
@@ -737,9 +741,81 @@ private[connector] object GraftPruning {
 
 /** Version-number offset for the snapshot streaming source — the
   * commit log IS the offset space. */
-private[connector] case class GraftOffset(version: Long)
+/** A stream position: everything up to `version`, inclusive — except
+  * that with `index >= 0` only the FIRST `index` files ADDED by
+  * `version` are consumed (a rate-limited batch stopped mid-commit).
+  * `index < 0` means the version is fully consumed. JSON keeps the
+  * plain-number form for full offsets, so every pre-admission-control
+  * checkpoint parses unchanged, and unlimited streams write exactly
+  * the offsets they always did. A partial offset's file index counts
+  * positions within the version's add list IN MANIFEST ORDER — stable
+  * across later commits because manifests are append-ordered, upserts
+  * keep position, and non-accretive rewrites refuse the stream. */
+private[connector] case class GraftOffset(version: Long,
+    index: Int = -1)
   extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = version.toString
+  override def json(): String =
+    if (index < 0) version.toString else s"$version#$index"
+}
+
+private[connector] object GraftOffset {
+  def parse(json: String): GraftOffset = {
+    val s = json.trim
+    val h = s.indexOf('#')
+    if (h < 0) GraftOffset(s.toLong)
+    else GraftOffset(s.substring(0, h).toLong,
+      s.substring(h + 1).toInt)
+  }
+}
+
+/** Per-trigger admission caps, straight from the read options —
+  * `maxFilesPerTrigger`, `maxBytesPerTrigger` (accepts `k`/`m`/`g`
+  * suffixes), `maxRowsPerTrigger`. All three are served ENTIRELY from
+  * the manifest (per-file `bytes` and `rows` are commit-stamped), so
+  * sizing a micro-batch costs zero data IO — the point at 100 TB,
+  * where an unthrottled first batch over a large table would be the
+  * whole table in one trigger. */
+private[connector] case class StreamLimits(maxFiles: Option[Int],
+    maxBytes: Option[Long], maxRows: Option[Long]) {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+  def toReadLimit: ReadLimit = {
+    val ls: Seq[ReadLimit] =
+      maxFiles.map(ReadLimit.maxFiles).toSeq ++
+        maxBytes.map(ReadLimit.maxBytes) ++
+        maxRows.map(ReadLimit.maxRows)
+    ls match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+}
+
+private[connector] object StreamLimits {
+  val none: StreamLimits = StreamLimits(None, None, None)
+
+  private def sizeBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) =
+      if (t.endsWith("k")) (t.dropRight(1), 1L << 10)
+      else if (t.endsWith("m")) (t.dropRight(1), 1L << 20)
+      else if (t.endsWith("g")) (t.dropRight(1), 1L << 30)
+      else (t, 1L)
+    num.trim.toLong * mult
+  }
+
+  def from(options: CaseInsensitiveStringMap): StreamLimits = {
+    def pos(name: String, v: Long): Long = {
+      require(v > 0, s"$name must be positive, got $v"); v
+    }
+    StreamLimits(
+      Option(options.get("maxFilesPerTrigger"))
+        .map(s => pos("maxFilesPerTrigger", s.trim.toLong).toInt),
+      Option(options.get("maxBytesPerTrigger"))
+        .map(s => pos("maxBytesPerTrigger", sizeBytes(s))),
+      Option(options.get("maxRowsPerTrigger"))
+        .map(s => pos("maxRowsPerTrigger", s.trim.toLong)))
+  }
 }
 
 /** Micro-batch streaming over a [[SnapshotTable]]: offsets are
@@ -757,9 +833,14 @@ private[connector] case class GraftOffset(version: Long)
   * rows — Delta draws the same line (`ignoreChanges`). */
 private[connector] class GraftMicroBatchStream(root: String,
     required: StructType, startingVersion: Option[String] = None,
-    branch: Option[String] = None)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    branch: Option[String] = None,
+    limits: StreamLimits = StreamLimits.none)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming
+    .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset,
+    ReadLimit, ReadMaxFiles, ReadMaxBytes, ReadMaxRows,
+    CompositeReadLimit}
 
   private def spark = SparkSession.active
 
@@ -805,10 +886,132 @@ private[connector] class GraftMicroBatchStream(root: String,
         n - 1L
     })
 
-  override def latestOffset(): Offset = GraftOffset(tipVersion())
+  override def latestOffset(): Offset = GraftOffset(cappedTip())
+
+  /** Trigger.AvailableNow pins the drain target at prepare time: the
+    * stream processes (rate-limited batch by rate-limited batch) up
+    * to THIS version, then stops — commits racing in behind the
+    * prepare call are the next run's work, per the trigger's
+    * contract. */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(tipVersion())
+  private def cappedTip(): Long =
+    availableNowCap.getOrElse(tipVersion())
+
+  override def getDefaultReadLimit: ReadLimit = limits.toReadLimit
+
+  override def reportLatestOffset(): Offset = GraftOffset(tipVersion())
+
+  private def flattenLimit(l: ReadLimit)
+  : (Option[Int], Option[Long], Option[Long]) = l match {
+    case f: ReadMaxFiles => (Some(f.maxFiles), None, None)
+    case b: ReadMaxBytes => (None, Some(b.maxBytes), None)
+    case r: ReadMaxRows => (None, None, Some(r.maxRows))
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(flattenLimit).foldLeft(
+        (Option.empty[Int], Option.empty[Long], Option.empty[Long])) {
+        case ((f1, b1, r1), (f2, b2, r2)) =>
+          (f1.orElse(f2), b1.orElse(b2), r1.orElse(r2))
+      }
+    // ReadAllAvailable, ReadMinRows, anything future: no cap
+    case _ => (None, None, None)
+  }
+
+  /** Every entry the end manifest holds, paired with its position
+    * WITHIN its adding version's add list (manifest order) — the
+    * coordinate system partial offsets index into. Positions are
+    * stable: manifests append new versions' entries in order, stats
+    * upserts keep position, and any rewrite that would reshuffle the
+    * past refuses the stream as non-accretive. */
+  private def withAddPositions(after: Seq[SnapshotTable.FileEntry])
+  : Seq[(SnapshotTable.FileEntry, Int)] = {
+    val counts = scala.collection.mutable.Map.empty[Long, Int]
+    after.map { e =>
+      val p = counts.getOrElse(e.seq, 0)
+      counts(e.seq) = p + 1
+      (e, p)
+    }
+  }
+
+  /** Rate-limited tip: walk the files versions after `start` added —
+    * manifest metadata only, zero data IO — admitting until a cap
+    * would be exceeded, stopping mid-version with a `version#index`
+    * offset when a single commit is bigger than a trigger. Soft-max:
+    * the first pending file is always admitted, so one oversized file
+    * advances rather than wedging the stream. Legacy manifests
+    * without seq stamps (seq 0 under a committed history) cannot
+    * attribute adds to versions and fall back to the unthrottled
+    * tip. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val so = start.asInstanceOf[GraftOffset]
+    val tip = cappedTip()
+    if (tip <= 0 || (so.version >= tip && so.index < 0)) return so
+    val (maxF, maxB, maxR) = flattenLimit(limit)
+    if (maxF.isEmpty && maxB.isEmpty && maxR.isEmpty)
+      return GraftOffset(tip)
+    val after = SnapshotTable.readManifestFull(spark, root, tip)._1
+    if (after.exists(_.seq <= 0)) return GraftOffset(tip)
+    val withPos = withAddPositions(after)
+    val pending = withPos.filter { case (e, p) =>
+      e.seq > so.version ||
+        (so.index >= 0 && e.seq == so.version && p >= so.index)
+    }.sortBy { case (e, p) => (e.seq, p) }
+    if (pending.isEmpty) return GraftOffset(tip)
+    val f = SnapshotTable.fs(spark, root)
+    var files = 0; var bytes = 0L; var rows = 0L
+    var admitted = List.empty[(SnapshotTable.FileEntry, Int)]
+    val it = pending.iterator
+    var open = true
+    while (open && it.hasNext) {
+      val (e, p) = it.next()
+      // bytes are commit-stamped; the one legacy fallback is a single
+      // status call, bounded per trigger by the cap itself
+      val eb = if (maxB.isDefined)
+        e.bytes.getOrElse(SnapshotTable.entryBytes(f, root, e))
+        else 0L
+      val er = e.rows.getOrElse(0L)
+      val fits = maxF.forall(files + 1 <= _) &&
+        maxB.forall(bytes + eb <= _) &&
+        maxR.forall(rows + er <= _)
+      if (fits || admitted.isEmpty) {
+        admitted ::= ((e, p))
+        files += 1; bytes += eb; rows += er
+        // a row-capped stream cannot size a row-countless file: admit
+        // it alone-ward (close the batch) rather than overshoot
+        if (maxR.isDefined && e.rows.isEmpty) open = false
+      } else open = false
+    }
+    if (admitted.size == pending.size) GraftOffset(tip)
+    else {
+      val (lastE, lastP) = admitted.head
+      val totalOfVersion = after.count(_.seq == lastE.seq)
+      if (lastP + 1 == totalOfVersion) GraftOffset(lastE.seq)
+      else GraftOffset(lastE.seq, lastP + 1)
+    }
+  }
+
+  /** The file adds in `(start, end]`, in manifest order. Full-version
+    * offsets keep the original path-set diff; a partial boundary
+    * switches to (version, position) slicing over the SAME add-list
+    * coordinates `latestOffset` admitted by. */
+  protected def sliceAdds(so: GraftOffset, eo: GraftOffset,
+      beforePaths: Set[String], after: Seq[SnapshotTable.FileEntry])
+  : Seq[SnapshotTable.FileEntry] =
+    if (so.index < 0 && eo.index < 0)
+      after.filter(e => !beforePaths.contains(e.path))
+    else withAddPositions(after).filter { case (e, p) =>
+      val afterStart =
+        if (so.index < 0) e.seq > so.version
+        else e.seq > so.version ||
+          (e.seq == so.version && p >= so.index)
+      val beforeEnd = e.seq < eo.version ||
+        (e.seq == eo.version && (eo.index < 0 || p < eo.index))
+      afterStart && beforeEnd
+    }.map(_._1)
 
   override def deserializeOffset(json: String): Offset =
-    GraftOffset(json.trim.toLong)
+    GraftOffset.parse(json)
 
   override def commit(end: Offset): Unit = ()
 
@@ -816,9 +1019,10 @@ private[connector] class GraftMicroBatchStream(root: String,
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val vS = start.asInstanceOf[GraftOffset].version
-    val vE = end.asInstanceOf[GraftOffset].version
-    if (vE <= vS) return Array.empty
+    val so = start.asInstanceOf[GraftOffset]
+    val eo = end.asInstanceOf[GraftOffset]
+    val vS = so.version; val vE = eo.version
+    if (vE < vS || (vE == vS && so.index < 0)) return Array.empty
     val before =
       if (vS == 0L) Seq.empty
       else SnapshotTable.readManifestFull(spark, root, vS)._1
@@ -826,8 +1030,8 @@ private[connector] class GraftMicroBatchStream(root: String,
     val beforePaths = before.map(_.path).toSet
     val afterPaths = after.map(_.path).toSet
     val dropped = before.filter(e => !afterPaths.contains(e.path))
-    val addedTombs = after.filter(e => e.kind == "t" &&
-      !beforePaths.contains(e.path))
+    val adds = sliceAdds(so, eo, beforePaths, after)
+    val addedTombs = adds.filter(_.kind == "t")
     require(dropped.isEmpty && addedTombs.isEmpty,
       s"snapshot stream at $root: versions ($vS, $vE] are not " +
         "accretive (files rewritten by compaction/merge/replace, or " +
@@ -835,7 +1039,7 @@ private[connector] class GraftMicroBatchStream(root: String,
         "express row removal; restart the stream from the current " +
         "version or consume the table with SnapshotTable.diff")
     val defaults = defaultFillsAt(vE)
-    after.filter(e => e.kind == "d" && !beforePaths.contains(e.path))
+    adds.filter(_.kind == "d")
       .map(e => GraftInputPartition(new Path(root, e.path).toString,
         e.seq, Array.empty, null, null,
         fills = defaults.filter(_.addedAt > e.seq)
@@ -855,7 +1059,8 @@ private[connector] class GraftMicroBatchStream(root: String,
 private[connector] class GraftChangesScan(root: String,
     cdcSchema: StructType, streamStart: Option[String],
     streamBranch: Option[String] = None,
-    preImages: Boolean = false)
+    preImages: Boolean = false,
+    limits: StreamLimits = StreamLimits.none)
   extends Scan {
   override def readSchema(): StructType = cdcSchema
   override def description(): String = s"graft-snapshot-changes($root)"
@@ -867,7 +1072,7 @@ private[connector] class GraftChangesScan(root: String,
   override def toMicroBatchStream(checkpointLocation: String)
   : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftChangesMicroBatchStream(root, cdcSchema, streamStart,
-      streamBranch, preImages)
+      streamBranch, preImages, limits)
 }
 
 /** CHANGELOG micro-batch stream: version range (start, end] becomes
@@ -891,9 +1096,10 @@ private[connector] class GraftChangesScan(root: String,
   * is copied or widened on disk. */
 private[connector] class GraftChangesMicroBatchStream(root: String,
     cdcSchema: StructType, startingVersion: Option[String] = None,
-    branch: Option[String] = None, preImages: Boolean = false)
+    branch: Option[String] = None, preImages: Boolean = false,
+    limits: StreamLimits = StreamLimits.none)
   extends GraftMicroBatchStream(root, cdcSchema, startingVersion,
-    branch) {
+    branch, limits) {
 
   private def session = SparkSession.active
 
@@ -901,9 +1107,10 @@ private[connector] class GraftChangesMicroBatchStream(root: String,
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       end: org.apache.spark.sql.connector.read.streaming.Offset)
   : Array[InputPartition] = {
-    val vS = start.asInstanceOf[GraftOffset].version
-    val vE = end.asInstanceOf[GraftOffset].version
-    if (vE <= vS) return Array.empty
+    val so = start.asInstanceOf[GraftOffset]
+    val eo = end.asInstanceOf[GraftOffset]
+    val vS = so.version; val vE = eo.version
+    if (vE < vS || (vE == vS && so.index < 0)) return Array.empty
     val before =
       if (vS == 0L) Seq.empty
       else SnapshotTable.readManifestFull(session, root, vS)._1
@@ -935,7 +1142,7 @@ private[connector] class GraftChangesMicroBatchStream(root: String,
           (GraftSnapshotSource.ChangeTypeCol, changeType),
           (GraftSnapshotSource.CommitVersionCol, e.seq.toString)) ++
           defaultFills(e))
-    val adds = after.filter(e => !beforePaths.contains(e.path))
+    val adds = sliceAdds(so, eo, beforePaths, after)
     if (!preImages)
       adds.map { e =>
         if (e.kind == "t") event(e, "delete") else event(e, "insert")
@@ -1094,7 +1301,8 @@ private[connector] class GraftScan(root: String, version: Long,
     offsetSkipFile: Option[(String, Long)] = None,
     onPlan: Option[Seq[FileEntry] => Unit] = None,
     streamStart: Option[String] = None,
-    streamBranch: Option[String] = None)
+    streamBranch: Option[String] = None,
+    streamLimits: StreamLimits = StreamLimits.none)
   extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering
   with SupportsReportPartitioning {
@@ -1178,7 +1386,7 @@ private[connector] class GraftScan(root: String, version: Long,
   override def toMicroBatchStream(checkpointLocation: String)
   : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(root, required, streamStart,
-      streamBranch)
+      streamBranch, streamLimits)
 
   /** Can tombstone `t` kill anything in data file `e`? Sequence rule
     * first (only OLDER rows die); then the recorded key ranges, typed
