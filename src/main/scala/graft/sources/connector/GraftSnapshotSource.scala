@@ -774,15 +774,22 @@ private[connector] object GraftOffset {
   * the manifest (per-file `bytes` and `rows` are commit-stamped), so
   * sizing a micro-batch costs zero data IO — the point at 100 TB,
   * where an unthrottled first batch over a large table would be the
-  * whole table in one trigger. */
+  * whole table in one trigger. The inverse knob, `minRowsPerTrigger`
+  * (+ `maxTriggerDelay`, default 15m — Kafka's minOffsetsPerTrigger
+  * shape), COALESCES: a trickle of small commits holds until enough
+  * rows accumulate or the delay lapses, so a high-commit-rate table
+  * doesn't cost one downstream micro-batch per tiny commit. */
 private[connector] case class StreamLimits(maxFiles: Option[Int],
-    maxBytes: Option[Long], maxRows: Option[Long]) {
+    maxBytes: Option[Long], maxRows: Option[Long],
+    minRows: Option[Long] = None, maxDelayMs: Option[Long] = None) {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
   def toReadLimit: ReadLimit = {
     val ls: Seq[ReadLimit] =
       maxFiles.map(ReadLimit.maxFiles).toSeq ++
         maxBytes.map(ReadLimit.maxBytes) ++
-        maxRows.map(ReadLimit.maxRows)
+        maxRows.map(ReadLimit.maxRows) ++
+        minRows.map(ReadLimit.minRows(_,
+          maxDelayMs.getOrElse(StreamLimits.DefaultDelayMs)))
     ls match {
       case Seq() => ReadLimit.allAvailable()
       case Seq(one) => one
@@ -793,6 +800,7 @@ private[connector] case class StreamLimits(maxFiles: Option[Int],
 
 private[connector] object StreamLimits {
   val none: StreamLimits = StreamLimits(None, None, None)
+  val DefaultDelayMs: Long = 15L * 60 * 1000
 
   private def sizeBytes(s: String): Long = {
     val t = s.trim.toLowerCase
@@ -804,17 +812,36 @@ private[connector] object StreamLimits {
     num.trim.toLong * mult
   }
 
+  /** Duration in ms: bare number = ms; `s`/`m`/`h` suffixes. */
+  private def durationMs(s: String): Long = {
+    val t = s.trim.toLowerCase
+    if (t.endsWith("ms")) t.dropRight(2).trim.toLong
+    else if (t.endsWith("s")) t.dropRight(1).trim.toLong * 1000
+    else if (t.endsWith("m")) t.dropRight(1).trim.toLong * 60000
+    else if (t.endsWith("h")) t.dropRight(1).trim.toLong * 3600000
+    else t.toLong
+  }
+
   def from(options: CaseInsensitiveStringMap): StreamLimits = {
     def pos(name: String, v: Long): Long = {
       require(v > 0, s"$name must be positive, got $v"); v
     }
+    val delay = Option(options.get("maxTriggerDelay")).map(durationMs)
+    delay.foreach(d => require(d >= 0,
+      s"maxTriggerDelay must be >= 0, got $d"))
+    require(delay.isEmpty ||
+      options.containsKey("minRowsPerTrigger"),
+      "maxTriggerDelay only applies with minRowsPerTrigger")
     StreamLimits(
       Option(options.get("maxFilesPerTrigger"))
         .map(s => pos("maxFilesPerTrigger", s.trim.toLong).toInt),
       Option(options.get("maxBytesPerTrigger"))
         .map(s => pos("maxBytesPerTrigger", sizeBytes(s))),
       Option(options.get("maxRowsPerTrigger"))
-        .map(s => pos("maxRowsPerTrigger", s.trim.toLong)))
+        .map(s => pos("maxRowsPerTrigger", s.trim.toLong)),
+      Option(options.get("minRowsPerTrigger"))
+        .map(s => pos("minRowsPerTrigger", s.trim.toLong)),
+      delay)
   }
 }
 
@@ -839,7 +866,7 @@ private[connector] class GraftMicroBatchStream(root: String,
   with org.apache.spark.sql.connector.read.streaming
     .SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset,
-    ReadLimit, ReadMaxFiles, ReadMaxBytes, ReadMaxRows,
+    ReadLimit, ReadMaxFiles, ReadMaxBytes, ReadMaxRows, ReadMinRows,
     CompositeReadLimit}
 
   private def spark = SparkSession.active
@@ -903,19 +930,23 @@ private[connector] class GraftMicroBatchStream(root: String,
 
   override def reportLatestOffset(): Offset = GraftOffset(tipVersion())
 
-  private def flattenLimit(l: ReadLimit)
-  : (Option[Int], Option[Long], Option[Long]) = l match {
-    case f: ReadMaxFiles => (Some(f.maxFiles), None, None)
-    case b: ReadMaxBytes => (None, Some(b.maxBytes), None)
-    case r: ReadMaxRows => (None, None, Some(r.maxRows))
+  /** (maxFiles, maxBytes, maxRows, (minRows, maxDelayMs)). */
+  private def flattenLimit(l: ReadLimit): (Option[Int], Option[Long],
+      Option[Long], Option[(Long, Long)]) = l match {
+    case f: ReadMaxFiles => (Some(f.maxFiles), None, None, None)
+    case b: ReadMaxBytes => (None, Some(b.maxBytes), None, None)
+    case r: ReadMaxRows => (None, None, Some(r.maxRows), None)
+    case m: ReadMinRows =>
+      (None, None, None, Some((m.minRows, m.maxTriggerDelayMs)))
     case c: CompositeReadLimit =>
       c.getReadLimits.map(flattenLimit).foldLeft(
-        (Option.empty[Int], Option.empty[Long], Option.empty[Long])) {
-        case ((f1, b1, r1), (f2, b2, r2)) =>
-          (f1.orElse(f2), b1.orElse(b2), r1.orElse(r2))
+        (Option.empty[Int], Option.empty[Long], Option.empty[Long],
+          Option.empty[(Long, Long)])) {
+        case ((f1, b1, r1, m1), (f2, b2, r2, m2)) =>
+          (f1.orElse(f2), b1.orElse(b2), r1.orElse(r2), m1.orElse(m2))
       }
-    // ReadAllAvailable, ReadMinRows, anything future: no cap
-    case _ => (None, None, None)
+    // ReadAllAvailable, anything future: no cap
+    case _ => (None, None, None, None)
   }
 
   /** Every entry the end manifest holds, paired with its position
@@ -943,12 +974,17 @@ private[connector] class GraftMicroBatchStream(root: String,
     * without seq stamps (seq 0 under a committed history) cannot
     * attribute adds to versions and fall back to the unthrottled
     * tip. */
+  /** Set once the first gated evaluation happens; reset every time a
+    * batch is actually released — `maxTriggerDelay` counts from the
+    * last released batch, Kafka's rule. */
+  @volatile private var delayClockMs: Long = 0L
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val so = start.asInstanceOf[GraftOffset]
     val tip = cappedTip()
     if (tip <= 0 || (so.version >= tip && so.index < 0)) return so
-    val (maxF, maxB, maxR) = flattenLimit(limit)
-    if (maxF.isEmpty && maxB.isEmpty && maxR.isEmpty)
+    val (maxF, maxB, maxR, minR) = flattenLimit(limit)
+    if (maxF.isEmpty && maxB.isEmpty && maxR.isEmpty && minR.isEmpty)
       return GraftOffset(tip)
     val after = SnapshotTable.readManifestFull(spark, root, tip)._1
     if (after.exists(_.seq <= 0)) return GraftOffset(tip)
@@ -958,6 +994,23 @@ private[connector] class GraftMicroBatchStream(root: String,
         (so.index >= 0 && e.seq == so.version && p >= so.index)
     }.sortBy { case (e, p) => (e.seq, p) }
     if (pending.isEmpty) return GraftOffset(tip)
+    // Coalescing gate: hold the trigger until minRows accumulate or
+    // the delay lapses. A file without a recorded row count counts as
+    // satisfying (never wedge on missing metadata); AvailableNow
+    // drains ignore the gate — its contract is "process everything
+    // pending, now" (Kafka ignores minOffsetsPerTrigger there too).
+    minR match {
+      case Some((min, delayMs)) if availableNowCap.isEmpty =>
+        val now = System.currentTimeMillis()
+        if (delayClockMs == 0L) delayClockMs = now
+        val known = pending.forall(_._1.rows.isDefined)
+        val pendingRows = pending.iterator
+          .map(_._1.rows.getOrElse(0L)).sum
+        if (known && pendingRows < min &&
+          now - delayClockMs < delayMs) return so
+        delayClockMs = now
+      case _ => ()
+    }
     val f = SnapshotTable.fs(spark, root)
     var files = 0; var bytes = 0L; var rows = 0L
     var admitted = List.empty[(SnapshotTable.FileEntry, Int)]

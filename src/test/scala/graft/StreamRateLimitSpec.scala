@@ -157,6 +157,56 @@ class StreamRateLimitSpec extends SparkSpec {
     assert(paths.sorted == full.sorted)
   }
 
+  test("minRowsPerTrigger coalesces a trickle: the trigger holds " +
+      "until enough rows accumulate or maxTriggerDelay lapses, and " +
+      "AvailableNow drains ignore the gate") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1))                                           // v1: 10 rows
+    val held = new GraftMicroBatchStream(root, schemaOf(root),
+      limits = StreamLimits(None, None, None,
+        minRows = Some(25), maxDelayMs = Some(3600000L)))
+    val hl = held.getDefaultReadLimit
+    val o0 = held.initialOffset().asInstanceOf[GraftOffset]
+    assert(held.latestOffset(o0, hl) == o0,
+      "10 pending rows under min=25 must hold the trigger")
+    SnapshotTable.append(spark, root,
+      (11 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1))                                           // v2: 20 total
+    assert(held.latestOffset(o0, hl) == o0,
+      "20 pending rows under min=25 must still hold")
+    SnapshotTable.append(spark, root,
+      (21 to 30).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1))                                           // v3: 30 total
+    assert(held.latestOffset(o0, hl) ==
+      GraftOffset(3), "30 pending rows >= min=25 must release")
+
+    // a lapsed delay releases whatever is pending, however small
+    val impatient = new GraftMicroBatchStream(root, schemaOf(root),
+      limits = StreamLimits(None, None, None,
+        minRows = Some(1000000), maxDelayMs = Some(0L)))
+    assert(impatient.latestOffset(o0, impatient.getDefaultReadLimit)
+      == GraftOffset(3), "maxTriggerDelay=0 must fire immediately")
+
+    // min composes with max: once released, the batch is still capped
+    val both = new GraftMicroBatchStream(root, schemaOf(root),
+      limits = StreamLimits(Some(2), None, None,
+        minRows = Some(25), maxDelayMs = Some(3600000L)))
+    val bo = both.latestOffset(o0, both.getDefaultReadLimit)
+      .asInstanceOf[GraftOffset]
+    assert(bo == GraftOffset(2),
+      s"released batch must still honor maxFilesPerTrigger=2, got $bo")
+
+    // AvailableNow: the gate never wedges a drain
+    val drain = new GraftMicroBatchStream(root, schemaOf(root),
+      limits = StreamLimits(None, None, None,
+        minRows = Some(1000000), maxDelayMs = Some(3600000L)))
+    drain.prepareForTriggerAvailableNow()
+    assert(drain.latestOffset(o0, drain.getDefaultReadLimit)
+      == GraftOffset(3), "AvailableNow must ignore minRows")
+  }
+
   test("end-to-end: a rate-limited AvailableNow run drains the " +
       "backfill across multiple micro-batches with exact content") {
     val root = tmpRoot()
