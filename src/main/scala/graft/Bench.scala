@@ -71,7 +71,18 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // Between timings, drop what the query left in the block manager
+      // (localCheckpoint lineage cuts and caches pin storage memory
+      // until GC'd, squeezing execution memory for every LATER query —
+      // measured 2-3x inflation on the dedup family in full-suite runs
+      // vs isolated runs of the same build). On a real cluster each of
+      // these is its own job with its own executors; the shared bench
+      // JVM has to clean up to measure the same thing.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      t
     }
     def median(sorted: Seq[Double]): Double = {
       val n = sorted.size
