@@ -2141,6 +2141,24 @@ object SnapshotTable {
       require(added.fieldNames.forall(n =>
         !prior.fieldNames.exists(_.equalsIgnoreCase(n))),
         s"column already exists: ${added.fieldNames.mkString(",")}")
+      // Ghost guard: re-adding a DROPPED name while any live data file
+      // still physically carries the old values would resurface them
+      // (readers project by NAME — the name-based analogue of
+      // Iceberg's never-reuse-a-field-id rule). Compaction rewrites
+      // every file under the narrowed schema, after which the name is
+      // genuinely free.
+      val props = tableProperties(spark, root)
+      val ghosts = added.fieldNames.flatMap { n =>
+        props.get(DroppedKeyPrefix +
+          n.toLowerCase(java.util.Locale.ROOT)).map(v => (n, v.toLong))
+      }
+      ghosts.foreach { case (n, droppedAt) =>
+        require(!entries.exists(e => e.kind == "d" && e.seq < droppedAt),
+          s"cannot re-add column '$n' at $root: it was dropped at " +
+            s"version $droppedAt and live files written before that " +
+            "still physically carry the old values, which a name-based " +
+            "read would resurface; run compact() first, then re-add")
+      }
       claimNextOn(f, root, "main", cur) match { case Some(target) =>
         // a field carrying an initial default is stamped with the
         // version that adds it — the read-side fill boundary
@@ -2156,6 +2174,10 @@ object SnapshotTable {
           parent = cur)
         publish(f, root, target, entries, Seq.empty, op = "add-columns",
           branchRef = refIf(f, root, "main", cur))
+        if (ghosts.nonEmpty) setProperties(spark, root,
+          tableProperties(spark, root) -- ghosts.map {
+            case (n, _) => DroppedKeyPrefix +
+              n.toLowerCase(java.util.Locale.ROOT) })
         spark.catalog.refreshByPath(root)
         return target
       case None => () }
@@ -2166,6 +2188,112 @@ object SnapshotTable {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Table-property marker for a DROPPED column: `graft.dropped.<lc
+    * name>` -> the version that dropped it. Files written BEFORE that
+    * version may still physically carry the column; the marker is what
+    * lets a later re-ADD of the same name refuse until compaction has
+    * rewritten them (see [[addColumns]]). */
+  private[graft] val DroppedKeyPrefix = "graft.dropped."
+
+  /** ALTER TABLE DROP COLUMN(S): a METADATA-ONLY commit — the new
+    * version lists the current files unchanged under the NARROWED
+    * schema, so every reader simply stops projecting the column; zero
+    * data moves at any size (Iceberg's drop has the same shape). The
+    * old values remain as unreferenced "ghost" bytes in pre-drop files
+    * until compaction rewrites them; a table property remembers the
+    * drop so re-adding the name refuses while ghosts are live.
+    *
+    * Refuses columns the table still depends on: the merge-on-read
+    * tombstone key (kill resolution reads it), hash-bucket layout keys
+    * (the declared layout names it), and columns referenced by an
+    * enforced CHECK constraint. */
+  def dropColumns(spark: SparkSession, root: String,
+      names: Seq[String], maxRetries: Int = 5): Long = {
+    require(names.nonEmpty, "no columns to drop")
+    val f = fs(spark, root)
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      require(cur > 0L, s"no committed version at $root")
+      val (entries, recorded) = readManifestFull(spark, root, cur)
+      val prior = priorSchemaOrRead(spark, root, cur, recorded)
+      val resolved = names.map { n =>
+        prior.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column '$n' at $root (have " +
+              s"${prior.fieldNames.mkString(", ")})"))
+      }
+      val dropSet = resolved.map(_.name).toSet
+      require(dropSet.size < prior.fields.length,
+        s"cannot drop every column of $root")
+      resolved.foreach { fd =>
+        require(!entries.exists(e => e.kind == "t" &&
+          e.statsKey.exists(_.equalsIgnoreCase(fd.name))),
+          s"cannot drop '${fd.name}' at $root: it is the merge-on-read " +
+            "tombstone key of live delete files — compact() first to " +
+            "materialize the deletes, then drop")
+      }
+      val props = tableProperties(spark, root)
+      val bucketKeys = props.get("graft.bucket.key")
+        .map(_.split(',').toSeq).getOrElse(Seq.empty)
+      resolved.foreach { fd =>
+        require(!bucketKeys.exists(_.equalsIgnoreCase(fd.name)),
+          s"cannot drop '${fd.name}' at $root: it is a declared " +
+            "hash-bucket layout key")
+      }
+      resolved.foreach { fd =>
+        props.foreach { case (k, sql) =>
+          if (k.startsWith("graft.check."))
+            require(!referencesColumn(spark, sql, fd.name),
+              s"cannot drop '${fd.name}' at $root: CHECK constraint " +
+                s"'${k.stripPrefix("graft.check.")}' references it — " +
+                "drop the constraint first")
+        }
+      }
+      val narrowed = StructType(
+        prior.fields.filterNot(fd => dropSet.contains(fd.name)))
+      claimNextOn(f, root, "main", cur) match { case Some(target) =>
+        writeManifest(f, root, target, entries, narrowed,
+          parent = cur)
+        publish(f, root, target, entries, Seq.empty,
+          op = "drop-columns",
+          branchRef = refIf(f, root, "main", cur))
+        // the dropped names' CURRENT defaults die with them, and the
+        // ghost marker arms the re-add guard
+        val cleaned = resolved.foldLeft(props) { (p, fd) =>
+          p - s"graft.default.${fd.name}" -
+            s"graft.defaultlit.${fd.name}" +
+            (DroppedKeyPrefix +
+              fd.name.toLowerCase(java.util.Locale.ROOT) ->
+              target.toString)
+        }
+        setProperties(spark, root, cleaned)
+        spark.catalog.refreshByPath(root)
+        return target
+      case None => () }
+      attempt += 1
+      if (attempt > maxRetries) throw CommitConflict(
+        s"lost the schema-evolution race ${maxRetries + 1} times at $root")
+      Thread.sleep(math.min(50L, 5L * attempt))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Does `sql` (a CHECK predicate) reference `col`? Parsed, not
+    * substring-matched: `a_b > 0` must not pin column `a`. Falls back
+    * to a conservative word-boundary test if the text won't parse. */
+  private def referencesColumn(spark: SparkSession, sql: String,
+      col: String): Boolean =
+    try spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        => a.nameParts.last
+    }.exists(_.equalsIgnoreCase(col))
+    catch { case _: Exception =>
+      java.util.regex.Pattern
+        .compile("(?i)\\b" + java.util.regex.Pattern.quote(col) + "\\b")
+        .matcher(sql).find()
+    }
 
   /** ANALYZE: enrich the CURRENT manifest with per-file NDV sketches
     * for every hashable column — the Iceberg `ANALYZE TABLE` shape,

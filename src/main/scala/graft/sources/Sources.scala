@@ -788,6 +788,39 @@ object Sources {
           min(col("o_orderkey")).as("min_key"))
         .orderBy("side", "o_orderstatus")
     }),
+    // DROP COLUMN under the oracle: commit orders (3 cols), ALTER
+    // TABLE DROP COLUMN o_totalprice — a metadata-only narrowing
+    // commit; pre-drop files keep the column's bytes as unreferenced
+    // ghosts — then append rows under the NARROWED schema. The evolved
+    // read must serve exactly the 2 surviving columns from both file
+    // populations; the oracle reconstructs the same set from the base
+    // table, so matching hashes prove the narrowed projection and the
+    // post-drop write path end-to-end through the connector scan.
+    "snapshot_drop_column" -> ((s, dir) => {
+      val wh = catalogWarehouse
+      val t = uniqueName("ord_drp")
+      s.conf.set("spark.sql.catalog.graft_drpq",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_drpq.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_drpq.db")
+      val root = s"$wh/db/$t"
+      val o = graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      SnapshotTable.commit(s, root, o)                        // v1
+      s.sql(s"ALTER TABLE graft_drpq.db.$t " +
+        "DROP COLUMN o_totalprice")                           // v2
+      SnapshotTable.append(s, root,
+        o.filter(col("o_orderkey") % 97 === 0 &&
+            col("o_orderkey") > 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            lit("D").as("o_orderstatus")))                    // v3
+      s.table(s"graft_drpq.db.$t")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    }),
     // Initial defaults under the oracle: commit orders, ALTER TABLE
     // ADD COLUMNS (prio BIGINT DEFAULT 7) — an Iceberg-style initial
     // default — then append rows carrying EXPLICIT prio values. The
@@ -1390,6 +1423,18 @@ object Sources {
         |  min(o_orderkey) AS min_key
         |FROM u GROUP BY side, o_orderstatus
         |ORDER BY side, o_orderstatus""".stripMargin,
+    "snapshot_drop_column" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders),
+        |evolved AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'D' FROM base
+        |  WHERE o_orderkey % 97 = 0 AND o_orderkey > 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM evolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "snapshot_initial_default" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus FROM orders),

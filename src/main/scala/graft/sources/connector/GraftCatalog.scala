@@ -394,7 +394,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ => ()
     }
     if (columnChanges.isEmpty) return loadTable(ident)
-    val added = columnChanges.map {
+    // ALTER TABLE ... DROP COLUMN: metadata-only narrowing commit
+    // (SnapshotTable.dropColumns owns the dependency refusals and the
+    // ghost marker that guards later re-ADDs of the same name)
+    val (drops, adds) = columnChanges.partition {
+      case _: TableChange.DeleteColumn => true
+      case _ => false
+    }
+    drops.foreach {
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "graft-snapshot drops TOP-LEVEL columns only: " +
+            s"'${d.fieldNames().mkString(".")}'")
+        val name = d.fieldNames().head
+        val exists = GraftSnapshotSource
+          .schemaOf(spark, root, SnapshotTable.currentVersion(spark, root))
+          .fields.exists(_.name.equalsIgnoreCase(name))
+        if (exists) SnapshotTable.dropColumns(spark, root, Seq(name))
+        else if (!d.ifExists()) throw new IllegalArgumentException(
+          s"no column '$name' at $root")
+      case _ => ()
+    }
+    val columnAdds = adds
+    if (columnAdds.isEmpty) return loadTable(ident)
+    val added = columnAdds.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "graft-snapshot adds TOP-LEVEL columns only (a nested-typed " +
@@ -427,14 +450,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 String.valueOf(lit.value())).build())
         }
       case other => throw new UnsupportedOperationException(
-        s"graft catalog supports ALTER TABLE ADD COLUMNS only, " +
-          s"got ${other.getClass.getSimpleName}")
+        s"graft catalog supports ALTER TABLE ADD COLUMNS / DROP " +
+          s"COLUMN only, got ${other.getClass.getSimpleName}")
     }
     SnapshotTable.addColumns(spark, root, StructType(added))
     // the initial default is also the CURRENT default: INSERTs that
     // omit the column fill the same literal (one declaration, both
     // halves of the standard's semantics)
-    columnChanges.foreach {
+    columnAdds.foreach {
       case a: TableChange.AddColumn if a.defaultValue() != null =>
         SnapshotTable.setProperties(spark, root,
           SnapshotTable.tableProperties(spark, root) ++
