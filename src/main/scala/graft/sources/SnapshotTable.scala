@@ -2159,6 +2159,20 @@ object SnapshotTable {
             "still physically carry the old values, which a name-based " +
             "read would resurface; run compact() first, then re-add")
       }
+      // ... and a renamed-away name stays reserved the same way: two
+      // logical columns must never resolve to one physical column
+      added.fieldNames.foreach { n =>
+        prior.fields.foreach { other =>
+          renameEpochs(other).foreach { ep =>
+            require(!(ep.name.equalsIgnoreCase(n) &&
+              entries.exists(e => e.kind == "d" && e.seq < ep.until)),
+              s"cannot add column '$n' at $root: live files still " +
+                s"store column '${other.name}' under that name " +
+                s"(renamed away at version ${ep.until}); run " +
+                "compact() first")
+          }
+        }
+      }
       claimNextOn(f, root, "main", cur) match { case Some(target) =>
         // a field carrying an initial default is stamped with the
         // version that adds it — the read-side fill boundary
@@ -2195,6 +2209,144 @@ object SnapshotTable {
     * lets a later re-ADD of the same name refuse until compaction has
     * rewritten them (see [[addColumns]]). */
   private[graft] val DroppedKeyPrefix = "graft.dropped."
+
+  // ---- column renames (name-based schema evolution) ----
+  // Iceberg renames are free because readers resolve by FIELD ID;
+  // graft manifests are name-based, so a renamed column records its
+  // physical-name HISTORY in the field's metadata instead: an ordered
+  // list of (name, until) epochs, where a file with seq < until stores
+  // the column under `name`. Readers translate logical -> physical per
+  // FILE (they know each file's commit seq), so a rename is a
+  // metadata-only commit and zero data moves at any size. Chained
+  // renames append epochs; compaction rewrites files under the current
+  // name, after which the epochs are dead weight but harmless.
+  private[graft] val RenamesKey = "graft.renames"
+
+  private[graft] case class RenameEpoch(name: String, until: Long)
+
+  private[graft] def renameEpochs(fd: StructField): Seq[RenameEpoch] =
+    if (!fd.metadata.contains(RenamesKey)) Seq.empty
+    else fd.metadata.getString(RenamesKey).split(',').toSeq
+      .filter(_.nonEmpty).map { part =>
+        val i = part.lastIndexOf(':')
+        RenameEpoch(unb64(part.substring(0, i)),
+          part.substring(i + 1).toLong)
+      }
+
+  private[graft] def encodeEpochs(es: Seq[RenameEpoch]): String =
+    es.map(e => s"${b64(e.name)}:${e.until}").mkString(",")
+
+  /** The PHYSICAL column name field `fd` is stored under in a file
+    * committed at `seq` — the first epoch the file predates, else the
+    * current name. */
+  private[graft] def physicalName(fd: StructField, seq: Long): String =
+    renameEpochs(fd).find(seq < _.until).map(_.name)
+      .getOrElse(fd.name)
+
+  /** (logical -> physical) pairs that DIFFER for a file at `seq` —
+    * empty for post-rename files and rename-free tables, so every
+    * reader's fast path stays untouched. */
+  private[graft] def aliasesAt(schema: StructType, seq: Long)
+  : Seq[(String, String)] =
+    schema.fields.toSeq.flatMap { fd =>
+      val p = physicalName(fd, seq)
+      if (p == fd.name) None else Some(fd.name -> p)
+    }
+
+  /** ALTER TABLE RENAME COLUMN: a METADATA-ONLY commit — the evolved
+    * schema carries the new name plus a physical-name epoch telling
+    * readers that files older than this version store the column
+    * under the old name. Refuses renames the table's other machinery
+    * depends on (merge-on-read tombstone key, hash-bucket layout key,
+    * CHECK-referenced column), a target name already taken (including
+    * a dropped-column ghost still physically present in live files),
+    * and the old name stays RESERVED against re-ADD while pre-rename
+    * files live — two logical columns must never resolve to one
+    * physical column. Current-default properties follow the rename. */
+  def renameColumn(spark: SparkSession, root: String,
+      oldName: String, newName: String, maxRetries: Int = 5): Long = {
+    val f = fs(spark, root)
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      require(cur > 0L, s"no committed version at $root")
+      val (entries, recorded) = readManifestFull(spark, root, cur)
+      val prior = priorSchemaOrRead(spark, root, cur, recorded)
+      val fd = prior.fields.find(_.name.equalsIgnoreCase(oldName))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column '$oldName' at $root (have " +
+            s"${prior.fieldNames.mkString(", ")})"))
+      require(!prior.fields.exists(_.name.equalsIgnoreCase(newName)),
+        s"column already exists: '$newName' at $root")
+      val props = tableProperties(spark, root)
+      // target name must not be a ghost (dropped, bytes still live) or
+      // a live physical alias of any column — name-based reads resolve
+      // by name, and a collision would serve the wrong bytes
+      props.get(DroppedKeyPrefix +
+        newName.toLowerCase(java.util.Locale.ROOT)).foreach { v =>
+        require(!entries.exists(e => e.kind == "d" && e.seq < v.toLong),
+          s"cannot rename to '$newName' at $root: the name was " +
+            s"dropped at version $v and live files still physically " +
+            "carry it; run compact() first")
+      }
+      prior.fields.foreach { other =>
+        renameEpochs(other).foreach { ep =>
+          require(!(ep.name.equalsIgnoreCase(newName) &&
+            entries.exists(e => e.kind == "d" && e.seq < ep.until)),
+            s"cannot rename to '$newName' at $root: live files still " +
+              s"store column '${other.name}' under that name " +
+              "(renamed away at version " + ep.until +
+              "); run compact() first")
+        }
+      }
+      require(!entries.exists(e => e.kind == "t" &&
+        e.statsKey.exists(_.equalsIgnoreCase(fd.name))),
+        s"cannot rename '${fd.name}' at $root: it is the merge-on-read " +
+          "tombstone key of live delete files — compact() first")
+      val bucketKeys = props.get("graft.bucket.key")
+        .map(_.split(',').toSeq).getOrElse(Seq.empty)
+      require(!bucketKeys.exists(_.equalsIgnoreCase(fd.name)),
+        s"cannot rename '${fd.name}' at $root: it is a declared " +
+          "hash-bucket layout key")
+      props.foreach { case (k, sql) =>
+        if (k.startsWith("graft.check."))
+          require(!referencesColumn(spark, sql, fd.name),
+            s"cannot rename '${fd.name}' at $root: CHECK constraint " +
+              s"'${k.stripPrefix("graft.check.")}' references it — " +
+              "drop the constraint first")
+      }
+      claimNextOn(f, root, "main", cur) match { case Some(target) =>
+        val epochs = renameEpochs(fd) :+ RenameEpoch(fd.name, target)
+        val renamed = fd.copy(name = newName,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(fd.metadata)
+            .putString(RenamesKey, encodeEpochs(epochs)).build())
+        val evolved = StructType(prior.fields.map(x =>
+          if (x.name == fd.name) renamed else x))
+        writeManifest(f, root, target, entries, evolved,
+          parent = cur)
+        publish(f, root, target, entries, Seq.empty,
+          op = "rename-column",
+          branchRef = refIf(f, root, "main", cur))
+        // the CURRENT default follows the column to its new name
+        val moved = Seq("graft.default.", "graft.defaultlit.")
+          .foldLeft(props) { (p, pre) =>
+            p.get(pre + fd.name) match {
+              case Some(v) => p - (pre + fd.name) + (pre + newName -> v)
+              case None => p
+            }
+          }
+        if (moved ne props) setProperties(spark, root, moved)
+        spark.catalog.refreshByPath(root)
+        return target
+      case None => () }
+      attempt += 1
+      if (attempt > maxRetries) throw CommitConflict(
+        s"lost the schema-evolution race ${maxRetries + 1} times at $root")
+      Thread.sleep(math.min(50L, 5L * attempt))
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** ALTER TABLE DROP COLUMN(S): a METADATA-ONLY commit — the new
     * version lists the current files unchanged under the NARROWED
@@ -3626,10 +3778,16 @@ object SnapshotTable {
       data.partition(_.statsFor(key).isDefined)
     if (withStats.isEmpty || (lo.isEmpty && hi.isEmpty))
       return (entries, Seq.empty)
-    // key type from the manifest schema when recorded (v2); one footer
-    // read only on the v1 compatibility path
-    val keyType = mSchema.map(_.apply(key).dataType).getOrElse(spark.read
-      .parquet(absolute(root, withStats.head)).schema(key).dataType)
+    // key type from the manifest schema when recorded (v2) — `key`
+    // may be a PHYSICAL epoch name of a renamed column, so fall back
+    // to the field whose rename history contains it; one footer read
+    // only on the v1 compatibility path
+    val keyType = mSchema.flatMap(ms =>
+      ms.fields.find(_.name == key).map(_.dataType)
+        .orElse(ms.fields.find(f =>
+          renameEpochs(f).exists(_.name == key)).map(_.dataType)))
+      .getOrElse(spark.read
+        .parquet(absolute(root, withStats.head)).schema(key).dataType)
     statOrdering(keyType) match {
       case None => (entries, Seq.empty)
       case Some(cmp) =>
@@ -3871,19 +4029,34 @@ object SnapshotTable {
     * column with the literal — a constant projection, no extra IO. */
   private def readUnder(spark: SparkSession, root: String,
       schema: Option[StructType], entries: Seq[FileEntry]): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     val paths = entries.map(absolute(root, _))
     schema match {
       case None => spark.read.parquet(paths: _*)
       case Some(st) =>
         val fills = initFills(st)
-        if (fills.isEmpty || entries.isEmpty)
+        val anyRenames = st.fields.exists(renameEpochs(_).nonEmpty)
+        if ((fills.isEmpty && !anyRenames) || entries.isEmpty)
           spark.read.schema(asNullable(st)).parquet(paths: _*)
         else entries.groupBy(e =>
-          fills.filter(_.addedAt > e.seq).map(_.name).toSet)
-          .toSeq.sortBy(_._1.size).map { case (names, es) =>
-            val df = spark.read.schema(asNullable(st))
+          (fills.filter(_.addedAt > e.seq).map(_.name).toSet,
+            aliasesAt(st, e.seq)))
+          .toSeq.sortBy { case ((names, al), _) =>
+            (names.size, al.size) }
+          .map { case ((names, aliases), es) =>
+            // pre-rename files store columns under their physical
+            // epoch names: read under the physical-named schema, then
+            // project back to logical — a rename-free group reads the
+            // logical schema directly, byte-identical to before
+            val aliasMap = aliases.toMap
+            val physSchema = StructType(st.fields.map(f =>
+              f.copy(name = aliasMap.getOrElse(f.name, f.name))))
+            val raw = spark.read.schema(asNullable(physSchema))
               .parquet(es.map(absolute(root, _)): _*)
+            val df =
+              if (aliases.isEmpty) raw
+              else raw.select(st.fields.toSeq.map(f => col(
+                aliasMap.getOrElse(f.name, f.name)).as(f.name)): _*)
             fills.filter(f => names(f.name)).foldLeft(df)((d, f) =>
               d.withColumn(f.name, lit(f.value).cast(f.dataType)))
           }.reduce(_.unionByName(_))

@@ -821,6 +821,42 @@ object Sources {
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
     }),
+    // RENAME COLUMN under the oracle: commit orders, ALTER TABLE
+    // RENAME COLUMN o_totalprice TO price — a metadata-only commit
+    // recording a physical-name epoch; pre-rename files still store
+    // the bytes under the old name and per-file readers translate —
+    // then append rows under the NEW name and aggregate ACROSS both
+    // populations, filtering on the renamed column so the translated
+    // pushdown path is on the hot line. The oracle reconstructs the
+    // same rows from the base table with a plain alias.
+    "snapshot_rename_column" -> ((s, dir) => {
+      val wh = catalogWarehouse
+      val t = uniqueName("ord_rn")
+      s.conf.set("spark.sql.catalog.graft_rnq",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_rnq.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rnq.db")
+      val root = s"$wh/db/$t"
+      val o = graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      SnapshotTable.commit(s, root, o)                        // v1
+      s.sql(s"ALTER TABLE graft_rnq.db.$t " +
+        "RENAME COLUMN o_totalprice TO price")                // v2
+      SnapshotTable.append(s, root,
+        o.filter(col("o_orderkey") % 101 === 0 &&
+            col("o_orderkey") > 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            lit("R").as("o_orderstatus"),
+            (col("o_totalprice") * 2).as("price")))           // v3
+      s.table(s"graft_rnq.db.$t")
+        .filter(col("price") > lit(1000.0))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(price AS DECIMAL(18,2))"))
+            .cast("double").as("total"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy("o_orderstatus")
+    }),
     // Initial defaults under the oracle: commit orders, ALTER TABLE
     // ADD COLUMNS (prio BIGINT DEFAULT 7) — an Iceberg-style initial
     // default — then append rows carrying EXPLICIT prio values. The
@@ -1434,6 +1470,21 @@ object Sources {
         |SELECT o_orderstatus, count(*) AS n,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM evolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_rename_column" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice AS price FROM orders),
+        |evolved AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'R', price * 2 FROM base
+        |  WHERE o_orderkey % 101 = 0 AND o_orderkey > 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key
+        |FROM evolved WHERE price > 1000.0
+        |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     "snapshot_initial_default" ->
       """WITH base AS (

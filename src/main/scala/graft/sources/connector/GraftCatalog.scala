@@ -397,7 +397,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // ALTER TABLE ... DROP COLUMN: metadata-only narrowing commit
     // (SnapshotTable.dropColumns owns the dependency refusals and the
     // ghost marker that guards later re-ADDs of the same name)
-    val (drops, adds) = columnChanges.partition {
+    val (drops, renamesAndAdds) = columnChanges.partition {
       case _: TableChange.DeleteColumn => true
       case _ => false
     }
@@ -413,6 +413,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (exists) SnapshotTable.dropColumns(spark, root, Seq(name))
         else if (!d.ifExists()) throw new IllegalArgumentException(
           s"no column '$name' at $root")
+      case _ => ()
+    }
+    // ALTER TABLE ... RENAME COLUMN: metadata-only commit recording a
+    // physical-name epoch so per-file readers translate old files
+    val (renames, adds) = renamesAndAdds.partition {
+      case _: TableChange.RenameColumn => true
+      case _ => false
+    }
+    renames.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "graft-snapshot renames TOP-LEVEL columns only: " +
+            s"'${r.fieldNames().mkString(".")}'")
+        SnapshotTable.renameColumn(spark, root,
+          r.fieldNames().head, r.newName())
       case _ => ()
     }
     val columnAdds = adds

@@ -416,9 +416,15 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     val spark = SparkSession.active
     val entries = viewedEntries(spark)._1
       .filter(_.kind == "d")
-    def prunable(col: String): Boolean = entries.exists(e =>
-      e.statsFor(col).isDefined ||
-        (e.bloomKey.contains(col) && e.bloom.isDefined))
+    def prunable(col: String): Boolean = {
+      // a renamed column's stats live under per-file epoch names too
+      val names = col +: fullSchema.fields
+        .find(_.name.equalsIgnoreCase(col)).toSeq
+        .flatMap(SnapshotTable.renameEpochs(_).map(_.name))
+      entries.exists(e => names.exists(n =>
+        e.statsFor(n).isDefined ||
+          (e.bloomKey.contains(n) && e.bloom.isDefined)))
+    }
     pushed = filters.filter {
       case EqualTo(c, _) => prunable(c)
       case In(c, _) => prunable(c)
@@ -693,24 +699,51 @@ private[connector] object GraftPruning {
     }
   }
 
+  /** A RENAMED column's per-file stats live under the file's PHYSICAL
+    * epoch name: group the entries by that name and prune each group
+    * under it. Rename-free columns take the single-group fast path.
+    * This is also what makes pruning SAFE under name reuse across
+    * renames: an old file whose physical `x` holds a DIFFERENT
+    * logical column is only ever matched under the predicate column's
+    * own epoch name for that file, never bare `x`. */
+  private def perPhysical(mSchema: Option[StructType], c: String,
+      entries: Seq[FileEntry])(
+      pruneGroup: (String, Seq[FileEntry]) => Seq[FileEntry])
+  : Seq[FileEntry] = {
+    val fd = mSchema.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
+    fd match {
+      case Some(field)
+        if SnapshotTable.renameEpochs(field).nonEmpty =>
+        entries.groupBy(e => SnapshotTable.physicalName(field, e.seq))
+          .toSeq.flatMap { case (p, g) => pruneGroup(p, g) }
+      case _ => pruneGroup(c, entries)
+    }
+  }
+
   def prune(spark: SparkSession, root: String, schema: StructType,
       mSchema: Option[StructType], entries: Seq[FileEntry], f: Filter)
   : Seq[FileEntry] = f match {
     case EqualTo(c, v) =>
-      byRange(spark, root, mSchema,
-        byBloom(schema, entries, c, Seq(v)), c, str(v), str(v))
+      perPhysical(mSchema, c, entries)((p, es) =>
+        byRange(spark, root, mSchema,
+          byBloom(schema, es, c, p, Seq(v)), p, str(v), str(v)))
     case In(c, vs) =>
       val (lo, hi) = minMax(vs.toSeq)
-      byRange(spark, root, mSchema,
-        byBloom(schema, entries, c, vs.toSeq), c, lo, hi)
+      perPhysical(mSchema, c, entries)((p, es) =>
+        byRange(spark, root, mSchema,
+          byBloom(schema, es, c, p, vs.toSeq), p, lo, hi))
     case GreaterThan(c, v) =>
-      byRange(spark, root, mSchema, entries, c, str(v), None)
+      perPhysical(mSchema, c, entries)((p, es) =>
+        byRange(spark, root, mSchema, es, p, str(v), None))
     case GreaterThanOrEqual(c, v) =>
-      byRange(spark, root, mSchema, entries, c, str(v), None)
+      perPhysical(mSchema, c, entries)((p, es) =>
+        byRange(spark, root, mSchema, es, p, str(v), None))
     case LessThan(c, v) =>
-      byRange(spark, root, mSchema, entries, c, None, str(v))
+      perPhysical(mSchema, c, entries)((p, es) =>
+        byRange(spark, root, mSchema, es, p, None, str(v)))
     case LessThanOrEqual(c, v) =>
-      byRange(spark, root, mSchema, entries, c, None, str(v))
+      perPhysical(mSchema, c, entries)((p, es) =>
+        byRange(spark, root, mSchema, es, p, None, str(v)))
     case _ => entries
   }
 
@@ -720,17 +753,19 @@ private[connector] object GraftPruning {
     SnapshotTable.pruneEntriesOf(spark, root, entries, mSchema, col,
       lo, hi)
 
+  /** `col` is the LOGICAL column (for the type lookup), `phys` the
+    * name this group of files records bloom stats under. */
   private def byBloom(schema: StructType, entries: Seq[FileEntry],
-      col: String, values: Seq[Any]): Seq[FileEntry] = {
+      col: String, phys: String, values: Seq[Any]): Seq[FileEntry] = {
     if (!entries.exists(e =>
-      e.bloomKey.contains(col) && e.bloom.isDefined)) return entries
+      e.bloomKey.contains(phys) && e.bloom.isDefined)) return entries
     val dt = schema.fields.find(_.name == col).map(_.dataType)
       .getOrElse(return entries)
     val hashes = values.filter(_ != null).map(v =>
       graft.functions.Hll.hashValue(
         graft.functions.Bloom.toCatalyst(v), dt))
     entries.filter { e =>
-      if (e.bloomKey.contains(col) && e.bloom.isDefined) {
+      if (e.bloomKey.contains(phys) && e.bloom.isDefined) {
         val (k, words) = graft.functions.Bloom.fromBytes(e.bloom.get)
         hashes.exists(h =>
           graft.functions.Bloom.mightContain(words, k, h))
@@ -1092,11 +1127,16 @@ private[connector] class GraftMicroBatchStream(root: String,
         "express row removal; restart the stream from the current " +
         "version or consume the table with SnapshotTable.diff")
     val defaults = defaultFillsAt(vE)
+    val schemaAt = GraftSnapshotSource.schemaOf(spark, root, vE)
+    val renamed = schemaAt.fields
+      .exists(SnapshotTable.renameEpochs(_).nonEmpty)
     adds.filter(_.kind == "d")
       .map(e => GraftInputPartition(new Path(root, e.path).toString,
         e.seq, Array.empty, null, null,
         fills = defaults.filter(_.addedAt > e.seq)
-          .map(f => (f.name, f.rendered)).toArray)
+          .map(f => (f.name, f.rendered)).toArray,
+        aliases = if (!renamed) Array.empty
+          else SnapshotTable.aliasesAt(schemaAt, e.seq).toArray)
         : InputPartition).toArray
   }
 
@@ -1182,6 +1222,13 @@ private[connector] class GraftChangesMicroBatchStream(root: String,
     // fill the declared literal. (Key-only delete events keep their
     // data columns NULL — they are intentionally not row images.)
     val defaults = defaultFillsAt(vE)
+    val schemaAt = GraftSnapshotSource.schemaOf(session, root, vE)
+    val renamed = schemaAt.fields
+      .exists(SnapshotTable.renameEpochs(_).nonEmpty)
+    def aliasOf(e: SnapshotTable.FileEntry)
+    : Array[(String, String)] =
+      if (!renamed || e.kind != "d") Array.empty
+      else SnapshotTable.aliasesAt(schemaAt, e.seq).toArray
     def defaultFills(e: SnapshotTable.FileEntry)
     : Array[(String, String)] =
       if (e.kind != "d") Array.empty
@@ -1194,7 +1241,8 @@ private[connector] class GraftChangesMicroBatchStream(root: String,
         fills = Array(
           (GraftSnapshotSource.ChangeTypeCol, changeType),
           (GraftSnapshotSource.CommitVersionCol, e.seq.toString)) ++
-          defaultFills(e))
+          defaultFills(e),
+        aliases = aliasOf(e))
     val adds = sliceAdds(so, eo, beforePaths, after)
     if (!preImages)
       adds.map { e =>
@@ -1238,7 +1286,8 @@ private[connector] class GraftChangesMicroBatchStream(root: String,
               (GraftSnapshotSource.CommitVersionCol,
                 t.seq.toString)) ++ defaultFills(e),
             preImageTombs = Array(
-              TombRef(new Path(root, t.path).toString, t.seq)))
+              TombRef(new Path(root, t.path).toString, t.seq)),
+            aliases = aliasOf(e))
             : InputPartition
         }
       }
@@ -1279,7 +1328,12 @@ private[connector] case class GraftInputPartition(absolutePath: String,
     // in THESE tombstones' key set — after the normal `tombs` filter
     // above suppressed rows already dead before them — instead of the
     // live rows. The kill machinery inverted.
-    preImageTombs: Array[TombRef] = Array.empty)
+    preImageTombs: Array[TombRef] = Array.empty,
+    // (logical -> physical) column names for THIS file: a RENAMED
+    // column is stored under its old name in files that predate the
+    // rename; readers project the physical name and emit the logical
+    // one. Empty for rename-free tables and post-rename files.
+    aliases: Array[(String, String)] = Array.empty)
   extends InputPartition
 
 /** The scan a COMPLETELY pushed aggregate plans to: one partition,
@@ -1459,12 +1513,19 @@ private[connector] class GraftScan(root: String, version: Long,
     }
   }
 
+  /** This version's schema WITH field metadata (initial defaults,
+    * rename epochs) — evaluated once per scan (metadata only). */
+  private lazy val scanSchema: StructType = GraftSnapshotSource
+    .schemaOf(SparkSession.active, root, version)
+
   /** Initial defaults declared in this version's schema, restricted
     * to projected columns — evaluated once per scan (metadata only). */
   private lazy val scanInitFills: Seq[SnapshotTable.InitFill] =
-    SnapshotTable.initFills(GraftSnapshotSource
-      .schemaOf(SparkSession.active, root, version))
+    SnapshotTable.initFills(scanSchema)
       .filter(f => required.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+
+  private lazy val scanHasRenames: Boolean =
+    scanSchema.fields.exists(SnapshotTable.renameEpochs(_).nonEmpty)
 
   private def filePartition(e: FileEntry): GraftInputPartition = {
     val mine = tombs.filter(applies(_, e)).map(t =>
@@ -1478,7 +1539,9 @@ private[connector] class GraftScan(root: String, version: Long,
       mine, tombKey.orNull,
       tombKeyType.map(_.json).orNull, skip,
       scanInitFills.filter(_.addedAt > e.seq)
-        .map(f => (f.name, f.rendered)).toArray)
+        .map(f => (f.name, f.rendered)).toArray,
+      aliases = if (!scanHasRenames) Array.empty
+        else SnapshotTable.aliasesAt(scanSchema, e.seq).toArray)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -1728,7 +1791,7 @@ private[connector] class GraftReaderFactory(requiredJson: String,
           DataType.fromJson(requiredJson).asInstanceOf[StructType]
         val p = partition.asInstanceOf[GraftInputPartition]
         new GraftColumnarReader(p.absolutePath, required, sessionTz,
-          p.fills)
+          p.fills, p.aliases)
     }
 
   override def createReader(partition: InputPartition)
@@ -1760,9 +1823,19 @@ private[connector] class GraftReaderFactory(requiredJson: String,
     val required =
       DataType.fromJson(requiredJson).asInstanceOf[StructType]
     val p = partition.asInstanceOf[GraftInputPartition]
+    // pushed filters name LOGICAL columns; this file may store a
+    // renamed column under its physical epoch name — translate so
+    // row-group stats pruning keeps working on pre-rename files
+    // (residuals are always re-evaluated by Spark, so a filter that
+    // won't translate just prunes less, never wrong)
+    val filePushed =
+      if (p.aliases.isEmpty) pushed
+      else pushed.map(GraftParquetFilters.renameColumns(_,
+        p.aliases.toMap))
     if (p.tombs.isEmpty && p.preImageTombs.isEmpty)
       new GraftPartitionReader(p.absolutePath, required,
-        required.length, -1, null, pushed, p.skipRows, p.fills)
+        required.length, -1, null, filePushed, p.skipRows, p.fills,
+        aliases = p.aliases)
     else {
       val keyType = DataType.fromJson(p.keyTypeJson)
       val kills =
@@ -1782,8 +1855,8 @@ private[connector] class GraftReaderFactory(requiredJson: String,
           case i => (required, i)
         }
       new GraftPartitionReader(p.absolutePath, readSchema,
-        required.length, killIdx, kills, pushed, fills = p.fills,
-        emitSet = emits)
+        required.length, killIdx, kills, filePushed, fills = p.fills,
+        emitSet = emits, aliases = p.aliases)
     }
   }
 }
@@ -1806,6 +1879,24 @@ private[connector] object GraftParquetFilters {
       schema: MessageType): Option[FilterPredicate] =
     filters.flatMap(translate(_, schema))
       .reduceOption(FilterApi.and)
+
+  /** Rewrite the column names a pushed filter references (logical ->
+    * this file's physical epoch names). Only the shapes `translate`
+    * understands need handling; anything else passes through unmapped
+    * and simply fails the strict schema check below — fewer row-group
+    * skips on that file, never a wrong one. */
+  def renameColumns(f: Filter, m: Map[String, String]): Filter = {
+    def r(c: String): String = m.getOrElse(c, c)
+    f match {
+      case EqualTo(c, v) => EqualTo(r(c), v)
+      case GreaterThan(c, v) => GreaterThan(r(c), v)
+      case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(r(c), v)
+      case LessThan(c, v) => LessThan(r(c), v)
+      case LessThanOrEqual(c, v) => LessThanOrEqual(r(c), v)
+      case In(c, vs) => In(r(c), vs)
+      case other => other
+    }
+  }
 
   private def translate(f: Filter,
       schema: MessageType): Option[FilterPredicate] = f match {
@@ -1960,8 +2051,21 @@ private[connector] object GraftTombstones {
   * is gated by [[GraftReaderFactory.supportColumnarReads]]. */
 private[graft] class GraftColumnarReader(file: String,
     required: StructType, sessionTz: String,
-    fills: Array[(String, String)] = Array.empty)
+    fills: Array[(String, String)] = Array.empty,
+    // logical -> physical names for THIS file (rename epochs): the
+    // vectorized reader is handed the PHYSICAL-named schema — same
+    // types, same order — and the resulting batch is positional, so
+    // column i IS logical field i with zero copies or wrappers
+    aliases: Array[(String, String)] = Array.empty)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val requested: StructType =
+    if (aliases.isEmpty) required
+    else {
+      val m = aliases.toMap
+      StructType(required.fields.map(f =>
+        f.copy(name = m.getOrElse(f.name, f.name))))
+    }
   import org.apache.spark.sql.vectorized.ColumnarBatch
   import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
   import org.apache.hadoop.mapred.FileSplit
@@ -1975,7 +2079,7 @@ private[graft] class GraftColumnarReader(file: String,
   // predates comes back as a constant-NULL vector, so schema
   // evolution never leaves the columnar path
   private val conf = new Configuration()
-  conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
+  conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
   conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
     classOf[ParquetReadSupport].getName)
   // the schema converter reads these with a bare .toBoolean — they
@@ -2055,8 +2159,15 @@ private[graft] class GraftPartitionReader(file: String,
     // non-null = PRE-IMAGE mode: after the killSet suppresses rows
     // already dead, emit ONLY rows whose key is in THIS set — the
     // changelog's full-row delete events
-    emitSet: java.util.HashSet[Any] = null)
+    emitSet: java.util.HashSet[Any] = null,
+    // logical -> physical names for THIS file (renamed columns whose
+    // old name this pre-rename file still stores)
+    aliases: Array[(String, String)] = Array.empty)
   extends PartitionReader[InternalRow] {
+
+  private val physOf: Map[String, String] = aliases.toMap
+  private def phys(logical: String): String =
+    physOf.getOrElse(logical, logical)
 
   // initial-default constants for columns this file predates, typed
   // to catalyst values once (strings become UTF8String); keyed
@@ -2082,12 +2193,13 @@ private[graft] class GraftPartitionReader(file: String,
       HadoopInputFile.fromPath(new Path(file), conf))
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
-  // project: the file's own types for the fields it has
+  // project: the file's own types for the fields it has — looked up
+  // under each field's PHYSICAL name for this file (rename epochs)
   private val present = readSchema.fields.filter(f =>
-    fileSchema.containsField(f.name))
+    fileSchema.containsField(phys(f.name)))
   private val projection = new MessageType("graft_projection",
     present.map(f =>
-      fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
+      fileSchema.getType(fileSchema.getFieldIndex(phys(f.name)))): _*)
   private val reader: ParquetReader[Group] = {
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       projection.toString)

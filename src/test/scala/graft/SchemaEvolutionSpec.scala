@@ -125,6 +125,144 @@ class SchemaEvolutionSpec extends SparkSpec {
     root
   }
 
+  private def readFmt(root: String) =
+    spark.read.format("graft-snapshot").option("path", root)
+
+  test("renameColumn is metadata-only: old files serve their values " +
+      "under the new name through BOTH read paths, appends write the " +
+      "new name, chained renames resolve per file, time travel keeps " +
+      "the old name") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "x"))    // v1
+    val v2 = SnapshotTable.renameColumn(spark, root, "x", "y")
+    assert(v2 == 2L)
+    assert(SnapshotTable.readManifest(spark, root, v2).map(_.path)
+      .sorted == SnapshotTable.readManifest(spark, root, 1L)
+      .map(_.path).sorted)
+    SnapshotTable.append(spark, root,
+      Seq((3L, "c", 30)).toDF("k", "v", "y"))                   // v3
+    // native read path
+    val native = SnapshotTable.read(spark, root)
+    assert(native.columns.toSeq == Seq("k", "v", "y"))
+    assert(native.select("k", "y").as[(Long, Int)].collect()
+      .sorted.toSeq == Seq((1L, 10), (2L, 20), (3L, 30)))
+    // connector read path (row reader)
+    assert(readFmt(root).load().select("k", "y")
+      .as[(Long, Int)].collect().sorted.toSeq ==
+      Seq((1L, 10), (2L, 20), (3L, 30)))
+    // filters on the renamed column hit BOTH populations
+    assert(readFmt(root).load().filter(col("y") < 25)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // chained rename: per-file epoch resolution
+    SnapshotTable.renameColumn(spark, root, "y", "z")           // v4
+    SnapshotTable.append(spark, root,
+      Seq((4L, "d", 40)).toDF("k", "v", "z"))                   // v5
+    assert(SnapshotTable.read(spark, root).select("k", "z")
+      .as[(Long, Int)].collect().sorted.toSeq ==
+      Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40)))
+    // time travel: the pre-rename version keeps its own schema
+    val old = SnapshotTable.readVersion(spark, root, 1L)
+    assert(old.columns.toSeq == Seq("k", "v", "x"))
+    assert(old.select("x").as[Int].collect().sorted.toSeq ==
+      Seq(10, 20))
+  }
+
+  test("rename keeps stats pruning sharp on BOTH file populations: " +
+      "per-file epoch names translate the predicate, and the " +
+      "vectorized path serves renamed old files") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 20000).map(i => (i.toLong, i * 2.0)).toDF("x", "val"),
+      clusterKey = Some("x"))                                   // v1
+    val total = SnapshotTable.manifest(spark, root, 1L).size
+    assert(total > 1)
+    SnapshotTable.renameColumn(spark, root, "x", "key")         // v2
+    SnapshotTable.append(spark, root,
+      (20001 to 40000).map(i => (i.toLong, i * 2.0))
+        .toDF("key", "val"), clusterKey = Some("key"))          // v3
+    val q = readFmt(root).load()
+      .filter(col("key") >= 1000 && col("key") <= 2000)
+    val plan = q.queryExecution.executedPlan.toString
+    val desc = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan).get
+    assert(desc.group(1).toInt < desc.group(2).toInt,
+      s"rename broke stats pruning: ${desc.matched}\n$plan")
+    assert(q.count() == 1001, "pruning under rename lost rows")
+    // pre-rename rows decode correctly (vectorized, tombstone-free)
+    assert(q.agg(sum("val")).collect()(0).getDouble(0) ==
+      (1000 to 2000).map(_ * 2.0).sum)
+    // and a predicate hitting only NEW files still prunes + answers
+    val q2 = readFmt(root).load()
+      .filter(col("key") >= 30000 && col("key") <= 30010)
+    assert(q2.count() == 11)
+  }
+
+  test("rename refusals and name reservation: taken/ghost targets, " +
+      "dependency columns, and the old name stays reserved until " +
+      "compaction rewrites the files") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "x"))
+    // target taken
+    assert(intercept[IllegalArgumentException](
+      SnapshotTable.renameColumn(spark, root, "x", "V"))
+      .getMessage.contains("already exists"))
+    // rename, then: the OLD name is reserved against ADD while
+    // pre-rename files live...
+    SnapshotTable.renameColumn(spark, root, "x", "y")
+    assert(intercept[IllegalArgumentException](
+      SnapshotTable.addColumns(spark, root, StructType(Seq(
+        StructField("x", IntegerType)))))
+      .getMessage.contains("compact"))
+    // ...and renaming ANOTHER column onto it refuses the same way
+    assert(intercept[IllegalArgumentException](
+      SnapshotTable.renameColumn(spark, root, "v", "x"))
+      .getMessage.contains("compact"))
+    // compaction frees the name: add x fresh, NULL everywhere
+    SnapshotTable.compact(spark, root)
+    SnapshotTable.addColumns(spark, root, StructType(Seq(
+      StructField("x", IntegerType))))
+    assert(SnapshotTable.read(spark, root).select("x")
+      .as[Option[Int]].collect().toSeq == Seq(None, None))
+    // dependency refusals
+    val mor = tmpRoot()
+    SnapshotTable.commit(spark, mor,
+      Seq((1L, "a")).toDF("k", "v"))
+    SnapshotTable.mergeOnRead(spark, mor,
+      Seq((1L, "a2")).toDF("k", "v"), "k")
+    assert(intercept[IllegalArgumentException](
+      SnapshotTable.renameColumn(spark, mor, "k", "kk"))
+      .getMessage.contains("tombstone"))
+    val bucketed = tmpRoot()
+    SnapshotTable.commitBucketed(spark, bucketed,
+      Seq((1L, "a")).toDF("k", "v"), "k", 2)
+    assert(intercept[IllegalArgumentException](
+      SnapshotTable.renameColumn(spark, bucketed, "k", "kk"))
+      .getMessage.contains("bucket"))
+  }
+
+  test("a column's CURRENT DEFAULT and INITIAL default both follow a " +
+      "rename: pre-add files still fill the literal under the new " +
+      "name, inserts omitting the new name still default") {
+    catalogFor("graft_sern")
+    spark.sql("CREATE TABLE graft_sern.db.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_sern.db.t VALUES (1, 'a')")    // v1
+    spark.sql("ALTER TABLE graft_sern.db.t " +
+      "ADD COLUMNS (prio INT DEFAULT 7)")                       // v2
+    spark.sql("INSERT INTO graft_sern.db.t VALUES (2, 'b', 5)") // v3
+    spark.sql("ALTER TABLE graft_sern.db.t " +
+      "RENAME COLUMN prio TO rank")                             // v4
+    val t = spark.table("graft_sern.db.t")
+    assert(t.columns.toSeq == Seq("k", "v", "rank"))
+    // pre-add file fills 7, post-add file serves its stored 5
+    assert(t.select("k", "rank").as[(Long, Int)].collect()
+      .sorted.toSeq == Seq((1L, 7), (2L, 5)))
+    // the CURRENT default moved with the name
+    spark.sql("INSERT INTO graft_sern.db.t (k, v) VALUES (3, 'c')")
+    assert(spark.table("graft_sern.db.t").filter(col("k") === 3)
+      .select("rank").as[Int].head() == 7)
+  }
+
   test("SQL surface: ALTER TABLE ... DROP COLUMN through the catalog, " +
       "IF EXISTS tolerated, dependency refusals surface, and the " +
       "dropped column's CURRENT DEFAULT dies with it") {
