@@ -2432,6 +2432,103 @@ object SnapshotTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Legal type widenings and their stats policy:
+    * (keepRange, keepSketch). int->long is EXACT everywhere (integer
+    * stat strings parse unchanged, HLL/bloom hashing normalizes
+    * integers to long before hashing). int->double keeps ranges
+    * (every int is exact in double) but hashes differ, so NDV/bloom
+    * sketches are dropped. float->double drops BOTH: a float's
+    * decimal-rendered bound re-parsed as double does not bracket the
+    * widened value (0.1f widens to 0.10000000149), so a kept range
+    * could WRONGLY prune — stats that might lie are removed, analyze
+    * re-records them. */
+  private val Widenings: Map[(DataType, DataType), (Boolean, Boolean)] =
+    Map(
+      (IntegerType, LongType) -> ((true, true)),
+      (IntegerType, DoubleType) -> ((true, false)),
+      (FloatType, DoubleType) -> ((false, false)))
+
+  /** ALTER TABLE ALTER COLUMN ... TYPE: widen a column's type as a
+    * METADATA-ONLY commit. Files written before the widening keep the
+    * narrower physical type; every reader upcasts at decode (Spark's
+    * own parquet updaters for the scan paths, the row reader's
+    * physical-type dispatch for kill-filtered files). Only lossless
+    * widenings are accepted; per-file stats that would become
+    * unsound are stripped from the new manifest (see [[Widenings]]).
+    * Refuses the merge-on-read tombstone key and hash-bucket layout
+    * keys (their hashes and kill comparisons are typed). */
+  def widenColumn(spark: SparkSession, root: String,
+      name: String, to: DataType, maxRetries: Int = 5): Long = {
+    val f = fs(spark, root)
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      require(cur > 0L, s"no committed version at $root")
+      val (entries, recorded) = readManifestFull(spark, root, cur)
+      val prior = priorSchemaOrRead(spark, root, cur, recorded)
+      val fd = prior.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column '$name' at $root (have " +
+            s"${prior.fieldNames.mkString(", ")})"))
+      val policy = Widenings.get((fd.dataType, to)).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot change '${fd.name}' from ${fd.dataType.simpleString} " +
+            s"to ${to.simpleString} at $root: only lossless widenings " +
+            "are supported (int->long, int->double, float->double)"))
+      require(!entries.exists(e => e.kind == "t" &&
+        e.statsKey.exists(_.equalsIgnoreCase(fd.name))),
+        s"cannot widen '${fd.name}' at $root: it is the merge-on-read " +
+          "tombstone key of live delete files — compact() first")
+      val props = tableProperties(spark, root)
+      val bucketKeys = props.get("graft.bucket.key")
+        .map(_.split(',').toSeq).getOrElse(Seq.empty)
+      require(!bucketKeys.exists(_.equalsIgnoreCase(fd.name)),
+        s"cannot widen '${fd.name}' at $root: it is a declared " +
+          "hash-bucket layout key (bucket hashes are typed)")
+      val (keepRange, keepSketch) = policy
+      // the column's stats may live under per-file epoch names too
+      val names = (fd.name +: renameEpochs(fd).map(_.name))
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      def mine(n: String): Boolean =
+        names(n.toLowerCase(java.util.Locale.ROOT))
+      val scrubbed =
+        if (keepRange && keepSketch) entries
+        else entries.map { e =>
+          if (e.kind != "d") e
+          else {
+            var x = e
+            if (!keepSketch) x = x.copy(
+              ndv = x.ndv.filterNot(kv => mine(kv._1)),
+              bloom = if (x.bloomKey.exists(mine)) None else x.bloom,
+              bloomKey = x.bloomKey.filterNot(mine))
+            if (!keepRange) x = x.copy(
+              lo = if (x.statsKey.exists(mine)) None else x.lo,
+              hi = if (x.statsKey.exists(mine)) None else x.hi,
+              lo2 = if (x.statsKey2.exists(mine)) None else x.lo2,
+              hi2 = if (x.statsKey2.exists(mine)) None else x.hi2,
+              extraStats = x.extraStats.filterNot(t => mine(t._1)))
+            x
+          }
+        }
+      claimNextOn(f, root, "main", cur) match { case Some(target) =>
+        val evolved = StructType(prior.fields.map(x =>
+          if (x.name == fd.name) x.copy(dataType = to) else x))
+        writeManifest(f, root, target, scrubbed, evolved,
+          parent = cur)
+        publish(f, root, target, scrubbed, Seq.empty,
+          op = "widen-column",
+          branchRef = refIf(f, root, "main", cur))
+        spark.catalog.refreshByPath(root)
+        return target
+      case None => () }
+      attempt += 1
+      if (attempt > maxRetries) throw CommitConflict(
+        s"lost the schema-evolution race ${maxRetries + 1} times at $root")
+      Thread.sleep(math.min(50L, 5L * attempt))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Does `sql` (a CHECK predicate) reference `col`? Parsed, not
     * substring-matched: `a_b > 0` must not pin column `a`. Falls back
     * to a conservative word-boundary test if the text won't parse. */

@@ -821,6 +821,38 @@ object Sources {
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
     }),
+    // TYPE WIDENING under the oracle: commit part with its INT
+    // p_size, ALTER COLUMN p_size TYPE BIGINT — metadata-only; old
+    // files keep INT32 pages and the scan upcasts at decode — then
+    // append rows born BIGINT and aggregate across both populations,
+    // filtering on the widened column so int-recorded min/max stats
+    // drive pruning under the long predicate.
+    "snapshot_widen_column" -> ((s, dir) => {
+      val wh = catalogWarehouse
+      val t = uniqueName("part_w")
+      s.conf.set("spark.sql.catalog.graft_wdq",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_wdq.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wdq.db")
+      val root = s"$wh/db/$t"
+      val p = graft.Tables.load(s, dir, "part")
+        .select("p_partkey", "p_size")
+      SnapshotTable.commit(s, root, p)                        // v1
+      s.sql(s"ALTER TABLE graft_wdq.db.$t " +
+        "ALTER COLUMN p_size TYPE BIGINT")                    // v2
+      SnapshotTable.append(s, root,
+        p.filter(col("p_partkey") % 53 === 0 &&
+            col("p_partkey") > 0)
+          .select((-col("p_partkey")).as("p_partkey"),
+            (col("p_size").cast("bigint") + 100L).as("p_size"))) // v3
+      s.table(s"graft_wdq.db.$t")
+        .filter(col("p_size") >= 10L)
+        .groupBy((col("p_partkey") % 7).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_size")).as("sum_size"),
+          min(col("p_partkey")).as("min_key"))
+        .orderBy("grp")
+    }),
     // RENAME COLUMN under the oracle: commit orders, ALTER TABLE
     // RENAME COLUMN o_totalprice TO price — a metadata-only commit
     // recording a physical-name epoch; pre-rename files still store
@@ -1471,6 +1503,21 @@ object Sources {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM evolved GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_widen_column" ->
+      """WITH base AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size
+        |  FROM part),
+        |evolved AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT -p_partkey, p_size + 100 FROM base
+        |  WHERE p_partkey % 53 = 0 AND p_partkey > 0)
+        |SELECT p_partkey % 7 AS grp, count(*) AS n,
+        |  CAST(sum(p_size) AS BIGINT) AS sum_size,
+        |  min(p_partkey) AS min_key
+        |FROM evolved WHERE p_size >= 10
+        |GROUP BY p_partkey % 7
+        |ORDER BY grp""".stripMargin,
     "snapshot_rename_column" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -417,7 +417,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     // ALTER TABLE ... RENAME COLUMN: metadata-only commit recording a
     // physical-name epoch so per-file readers translate old files
-    val (renames, adds) = renamesAndAdds.partition {
+    val (renames, typesAndAdds) = renamesAndAdds.partition {
       case _: TableChange.RenameColumn => true
       case _ => false
     }
@@ -428,6 +428,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"'${r.fieldNames().mkString(".")}'")
         SnapshotTable.renameColumn(spark, root,
           r.fieldNames().head, r.newName())
+      case _ => ()
+    }
+    // ALTER TABLE ... ALTER COLUMN c TYPE t: lossless widening only
+    val (retypes, adds) = typesAndAdds.partition {
+      case _: TableChange.UpdateColumnType => true
+      case _ => false
+    }
+    retypes.foreach {
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          "graft-snapshot widens TOP-LEVEL columns only: " +
+            s"'${u.fieldNames().mkString(".")}'")
+        SnapshotTable.widenColumn(spark, root,
+          u.fieldNames().head, u.newDataType())
       case _ => ()
     }
     val columnAdds = adds

@@ -2374,8 +2374,23 @@ private[graft] class GraftPartitionReader(file: String,
   private def readPrimitive(g: Group, gi: Int, ri: Int,
       dt: DataType): Any = dt match {
     case IntegerType => g.getInteger(gi, ri)
-    case LongType => g.getLong(gi, ri)
-    case DoubleType => g.getDouble(gi, ri)
+    // TYPE-WIDENED columns (ALTER COLUMN ... TYPE): files written
+    // before the widening store the narrower physical type — upcast
+    // at decode, same conversions Spark's vectorized updaters apply
+    case LongType =>
+      g.getType.getType(gi).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.INT32 =>
+          g.getInteger(gi, ri).toLong
+        case _ => g.getLong(gi, ri)
+      }
+    case DoubleType =>
+      g.getType.getType(gi).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.FLOAT =>
+          g.getFloat(gi, ri).toDouble
+        case PrimitiveType.PrimitiveTypeName.INT32 =>
+          g.getInteger(gi, ri).toDouble
+        case _ => g.getDouble(gi, ri)
+      }
     case FloatType => g.getFloat(gi, ri)
     case BooleanType => g.getBoolean(gi, ri)
     case DateType => g.getInteger(gi, ri)

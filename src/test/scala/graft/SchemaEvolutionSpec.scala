@@ -263,6 +263,82 @@ class SchemaEvolutionSpec extends SparkSpec {
       .select("rank").as[Int].head() == 7)
   }
 
+  test("widenColumn int->long is metadata-only and EXACT: both file " +
+      "populations read through every path, stats pruning stays " +
+      "sharp, SQL ALTER COLUMN TYPE works") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 20000).map(i => (i, i * 2.0)).toDF("k", "val"),
+      clusterKey = Some("k"))                                   // v1 (int k)
+    SnapshotTable.widenColumn(spark, root, "k", LongType)       // v2
+    SnapshotTable.append(spark, root,
+      (20001 to 30000).map(i => (i.toLong, i * 2.0))
+        .toDF("k", "val"), clusterKey = Some("k"))              // v3 (long k)
+    val t = readFmt(root).load()
+    assert(t.schema("k").dataType == LongType)
+    // old int files decode as long through the vectorized path
+    assert(t.agg(sum("k")).collect()(0).getLong(0) ==
+      (1 to 30000).map(_.toLong).sum)
+    // native path too
+    assert(SnapshotTable.read(spark, root).agg(sum("k"))
+      .collect()(0).getLong(0) == (1 to 30000).map(_.toLong).sum)
+    // int-recorded min/max stats still prune under the long predicate
+    val q = t.filter(col("k") >= 1000L && col("k") <= 2000L)
+    val desc = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString).get
+    assert(desc.group(1).toInt < desc.group(2).toInt,
+      s"widening broke stats pruning: ${desc.matched}")
+    assert(q.count() == 1001)
+    // SQL surface
+    catalogFor("graft_sew")
+    spark.sql("CREATE TABLE graft_sew.db.t (k INT, v STRING)")
+    spark.sql("INSERT INTO graft_sew.db.t VALUES (7, 'a')")
+    spark.sql("ALTER TABLE graft_sew.db.t ALTER COLUMN k TYPE BIGINT")
+    assert(spark.table("graft_sew.db.t").schema("k").dataType ==
+      LongType)
+    assert(spark.table("graft_sew.db.t").select("k").as[Long]
+      .head() == 7L)
+  }
+
+  test("widenColumn float->double strips stats that would lie (a " +
+      "float-rendered bound does not bracket the widened value) and " +
+      "never wrong-prunes; the row reader upcasts kill-filtered files") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 1000).map(i => (i.toLong, 0.1f * i)).toDF("k", "s"),
+      clusterKey = Some("s"))                                   // v1 (float s)
+    SnapshotTable.widenColumn(spark, root, "s", DoubleType)     // v2
+    // ranges for s are gone from the manifest: no file carries stats
+    // that could wrong-prune under double comparison
+    val entries = SnapshotTable.readManifest(spark, root, 2L)
+    assert(entries.filter(_.kind == "d").forall(e =>
+      e.statsFor("s").isEmpty), "float-rendered range survived widening")
+    val t = readFmt(root).load()
+    assert(t.schema("s").dataType == DoubleType)
+    // the widened value is the float's exact double image — the
+    // boundary predicate that a stale "0.1"-style bound would have
+    // wrongly pruned returns the row
+    val v = (0.1f * 9).toDouble
+    assert(t.filter(col("s") === v).select("k").as[Long]
+      .collect().toSeq == Seq(9L))
+    assert(t.agg(sum("s")).collect()(0).getDouble(0) ==
+      (1 to 1000).map(i => (0.1f * i).toDouble).sum)
+    // MOR kill path exercises the row reader's physical-type upcast
+    SnapshotTable.mergeOnRead(spark, root,
+      Seq((9L, 99.0)).toDF("k", "s"), "k")                      // v3
+    val after = readFmt(root).load()
+    assert(after.filter(col("k") === 9L).select("s").as[Double]
+      .head() == 99.0)
+    assert(after.count() == 1000)
+    // refusals: narrowing and nonsense conversions
+    assert(intercept[IllegalArgumentException](
+      SnapshotTable.widenColumn(spark, root, "k", IntegerType))
+      .getMessage.contains("lossless"))
+    assert(intercept[IllegalArgumentException](
+      SnapshotTable.widenColumn(spark, root, "s", StringType))
+      .getMessage.contains("lossless"))
+  }
+
   test("SQL surface: ALTER TABLE ... DROP COLUMN through the catalog, " +
       "IF EXISTS tolerated, dependency refusals surface, and the " +
       "dropped column's CURRENT DEFAULT dies with it") {
