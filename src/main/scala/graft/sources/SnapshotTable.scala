@@ -2253,6 +2253,24 @@ object SnapshotTable {
       if (p == fd.name) None else Some(fd.name -> p)
     }
 
+  /** Alias pairs for a FIXED name list that may be STALE: a stream
+    * captures its schema at start, so after a mid-stream RENAME its
+    * required names are old epoch names — resolve each requested name
+    * to the schema field whose name OR rename history carries it,
+    * then to that field's physical name in a file at `seq`. A
+    * post-rename file then maps (old logical -> new physical) and the
+    * stream keeps serving values under the name it started with. */
+  private[graft] def aliasesForNames(schema: StructType,
+      names: Seq[String], seq: Long): Seq[(String, String)] =
+    names.flatMap { n =>
+      schema.fields.find(fd => fd.name.equalsIgnoreCase(n) ||
+        renameEpochs(fd).exists(_.name.equalsIgnoreCase(n)))
+        .flatMap { fd =>
+          val p = physicalName(fd, seq)
+          if (p == n) None else Some(n -> p)
+        }
+    }
+
   /** ALTER TABLE RENAME COLUMN: a METADATA-ONLY commit — the evolved
     * schema carries the new name plus a physical-name epoch telling
     * readers that files older than this version store the column

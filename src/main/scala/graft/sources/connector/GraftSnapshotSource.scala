@@ -1130,13 +1130,18 @@ private[connector] class GraftMicroBatchStream(root: String,
     val schemaAt = GraftSnapshotSource.schemaOf(spark, root, vE)
     val renamed = schemaAt.fields
       .exists(SnapshotTable.renameEpochs(_).nonEmpty)
+    // the stream's required names were captured at START and may be
+    // STALE after a mid-stream rename — resolve through the epochs,
+    // so files on either side of the rename keep serving values
+    // under the names the stream began with
     adds.filter(_.kind == "d")
       .map(e => GraftInputPartition(new Path(root, e.path).toString,
         e.seq, Array.empty, null, null,
         fills = defaults.filter(_.addedAt > e.seq)
           .map(f => (f.name, f.rendered)).toArray,
         aliases = if (!renamed) Array.empty
-          else SnapshotTable.aliasesAt(schemaAt, e.seq).toArray)
+          else SnapshotTable.aliasesForNames(schemaAt,
+            required.fieldNames.toSeq, e.seq).toArray)
         : InputPartition).toArray
   }
 
@@ -1228,7 +1233,8 @@ private[connector] class GraftChangesMicroBatchStream(root: String,
     def aliasOf(e: SnapshotTable.FileEntry)
     : Array[(String, String)] =
       if (!renamed || e.kind != "d") Array.empty
-      else SnapshotTable.aliasesAt(schemaAt, e.seq).toArray
+      else SnapshotTable.aliasesForNames(schemaAt,
+        cdcSchema.fieldNames.toSeq, e.seq).toArray
     def defaultFills(e: SnapshotTable.FileEntry)
     : Array[(String, String)] =
       if (e.kind != "d") Array.empty
