@@ -791,6 +791,31 @@ object SnapshotTable {
   /** Does this file lack a sketch or null count for some of `cols`?
     * The staleness predicate shared by incremental [[analyze]], the
     * auto-analyze policy and `t.stats`' staleness column. */
+  /** Raw multi-file read of DATA entries under the table schema with
+    * per-epoch ALIAS translation — the stats passes' scan. Pre-rename
+    * files store renamed columns under their old names; reading them
+    * raw under the current schema would record all-NULL stats onto
+    * real values. Unlike [[readUnder]] this applies NO initial-default
+    * fills: stats passes record what files STORE, and the default
+    * overrides are stamped separately. */
+  private def readAliased(spark: SparkSession, root: String,
+      schema: StructType, entries: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    entries.groupBy(e => aliasesAt(schema, e.seq)).toSeq
+      .map { case (aliases, es) =>
+        val aliasMap = aliases.toMap
+        val physSchema = StructType(schema.fields.map(f => f.copy(
+          name = aliasMap.getOrElse(f.name, f.name),
+          nullable = true)))
+        val raw = spark.read.schema(physSchema)
+          .parquet(es.map(e => absolute(root, e)): _*)
+        if (aliases.isEmpty) raw
+        else raw.select(schema.fields.toSeq.map(f => col(bq(
+          aliasMap.getOrElse(f.name, f.name))).as(f.name)): _*)
+      }
+      .reduce(_.unionByName(_))
+  }
+
   private def unsketched(e: FileEntry,
       cols: Seq[StructField]): Boolean =
     !cols.forall(fd =>
@@ -909,15 +934,18 @@ object SnapshotTable {
         case (c, v) if c.equalsIgnoreCase(n) => v }
       val nulls =
         if (data.nonEmpty && data.forall(e =>
-          e.statsKey.exists(_.equalsIgnoreCase(n)) &&
-            e.statsNulls.isDefined))
+          e.statsKey.exists(_.equalsIgnoreCase(
+            physicalName(fd, e.seq))) && e.statsNulls.isDefined))
           Some(data.map(_.statsNulls.get).sum)
         else if (data.nonEmpty && data.forall(
           _.colNulls.exists(_._1.equalsIgnoreCase(n))))
           Some(data.map(
             _.colNulls.find(_._1.equalsIgnoreCase(n)).get._2).sum)
         else None
-      val ranges = data.map(_.statsFor(n))
+      // a renamed column's RANGE stats live under each file's
+      // physical epoch name — translate per file, so min/max stay
+      // reported across both populations
+      val ranges = data.map(e => e.statsFor(physicalName(fd, e.seq)))
       val (mn, mx) =
         if (data.nonEmpty && ranges.forall(_.isDefined))
           statOrdering(fd.dataType) match {
@@ -2341,13 +2369,30 @@ object SnapshotTable {
             .putString(RenamesKey, encodeEpochs(epochs)).build())
         val evolved = StructType(prior.fields.map(x =>
           if (x.name == fd.name) renamed else x))
-        writeManifest(f, root, target, entries, evolved,
+        // the CBO sketch stats (NDV registers, null counts) are
+        // value-based and name-keyed: re-key them to the new name so
+        // column statistics survive the rename exactly and a repeat
+        // analyze stays O(new files). RANGE/bloom stats stay under
+        // the per-file PHYSICAL names — that is the coordinate system
+        // the pruning translation looks them up in.
+        val rekeyed = entries.map { e =>
+          if (e.kind != "d") e
+          else e.copy(
+            ndv = e.ndv.map { case (n, s) =>
+              (if (n.equalsIgnoreCase(fd.name)) newName else n, s) },
+            colNulls = e.colNulls.map { case (n, c) =>
+              (if (n.equalsIgnoreCase(fd.name)) newName else n, c) })
+        }
+        writeManifest(f, root, target, rekeyed, evolved,
           parent = cur)
-        publish(f, root, target, entries, Seq.empty,
+        publish(f, root, target, rekeyed, Seq.empty,
           op = "rename-column",
           branchRef = refIf(f, root, "main", cur))
-        // the CURRENT default follows the column to its new name
-        val moved = Seq("graft.default.", "graft.defaultlit.")
+        // the CURRENT default and the equi-height histogram state
+        // (bin boundaries, per-bin registers, row counts — all
+        // value-based) follow the column to its new name
+        val moved = Seq("graft.default.", "graft.defaultlit.",
+          "graft.histcol.", "graft.histsk.", "graft.histn.")
           .foldLeft(props) { (p, pre) =>
             p.get(pre + fd.name) match {
               case Some(v) => p - (pre + fd.name) + (pre + newName -> v)
@@ -2630,10 +2675,9 @@ object SnapshotTable {
         scala.util.Try(new java.net.URI(f).getPath).getOrElse(f)
       val byFile =
         if (data.isEmpty) Map.empty[String, org.apache.spark.sql.Row]
-        else spark.read
-          .schema(StructType(schema.fields.map(_.copy(nullable = true))))
-          .parquet(data.map(e => absolute(root, e)): _*)
-          .select(sel: _*).groupBy(col("__f"))
+        else readAliased(spark, root, schema, data)
+          .select(sel: _*)
+          .groupBy(col("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map(r => decoded(r.getAs[String]("__f")) -> r).toMap
@@ -2769,9 +2813,7 @@ object SnapshotTable {
     if (numCols.isEmpty) return Seq.empty
     graft.functions.QuantileFunctions.register(spark)
     graft.functions.HllFunctions.register(spark)
-    val df = spark.read
-      .schema(StructType(schema.fields.map(_.copy(nullable = true))))
-      .parquet(data.map(e => absolute(root, e)): _*)
+    val df = readAliased(spark, root, schema, data)
     // pass 1: quantile sketches -> equi-height bin boundaries, with
     // the OUTER bounds clamped to the exact min/max (the sketch is
     // α-approximate; Spark's estimator asserts the query range fits
@@ -2926,9 +2968,7 @@ object SnapshotTable {
       return true
     }
     graft.functions.HllFunctions.register(spark)
-    val df = spark.read
-      .schema(StructType(schema.fields.map(_.copy(nullable = true))))
-      .parquet(newFiles.map(e => absolute(root, e)): _*)
+    val df = readAliased(spark, root, schema, newFiles)
     val binCols = state.zipWithIndex.map { case ((fd, bs, _, _), i) =>
       val interior = bs.slice(1, bins).map(b => s"${b}D").mkString(",")
       expr(s"size(filter(array($interior), " +

@@ -339,6 +339,52 @@ class SchemaEvolutionSpec extends SparkSpec {
       .getMessage.contains("lossless"))
   }
 
+  test("column statistics survive a rename EXACTLY: sketches re-key " +
+      "with the commit (repeat analyze reads 0 files), a fresh " +
+      "analyze reads pre-rename files under their epoch names (never " +
+      "all-NULL stats onto real values), and ranges report across " +
+      "both populations") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("x", "v"),
+      clusterKey = Some("x"))                                   // v1
+    val (_, _, n1) = SnapshotTable.analyze(spark, root)         // v2
+    assert(n1 > 0)
+    SnapshotTable.renameColumn(spark, root, "x", "key")         // v3
+    // sketches re-keyed at the rename: nothing left to analyze
+    val (_, _, n2) = SnapshotTable.analyze(spark, root)
+    assert(n2 == 0L,
+      s"re-keyed sketches must keep analyze incremental, read $n2")
+    val cur = SnapshotTable.currentVersion(spark, root)
+    val (entries, mSchema) =
+      SnapshotTable.readManifestFull(spark, root, cur)
+    val stats = SnapshotTable.statsSummary(entries, mSchema.get)
+      .map(s => s._1 -> s).toMap
+    val (_, ndv, nulls, mn, mx, _) = stats("key")
+    assert(nulls.contains(0L),
+      s"rename corrupted null counts: $nulls")
+    assert(ndv.exists(d => d > 900 && d < 1100),
+      s"rename corrupted NDV: $ndv")
+    assert(mn.isDefined && mx.isDefined,
+      "rename hid the translated per-file ranges")
+
+    // fresh analyze AFTER a rename reads old files under epoch names
+    val root2 = tmpRoot()
+    SnapshotTable.commit(spark, root2,
+      (1 to 500).map(i => (i.toLong, s"v$i")).toDF("x", "v"))   // v1
+    SnapshotTable.renameColumn(spark, root2, "x", "key")        // v2
+    SnapshotTable.analyze(spark, root2)                         // v3
+    val (e2, ms2) = SnapshotTable.readManifestFull(spark, root2,
+      SnapshotTable.currentVersion(spark, root2))
+    val s2 = SnapshotTable.statsSummary(e2, ms2.get)
+      .map(s => s._1 -> s).toMap
+    val (_, ndv2, nulls2, _, _, _) = s2("key")
+    assert(nulls2.contains(0L),
+      s"analyze read a renamed column as NULL: $nulls2")
+    assert(ndv2.exists(d => d > 450 && d < 550),
+      s"analyze sketched a renamed column wrong: $ndv2")
+  }
+
   test("SQL surface: ALTER TABLE ... DROP COLUMN through the catalog, " +
       "IF EXISTS tolerated, dependency refusals surface, and the " +
       "dropped column's CURRENT DEFAULT dies with it") {
