@@ -385,6 +385,34 @@ class SchemaEvolutionSpec extends SparkSpec {
       s"analyze sketched a renamed column wrong: $ndv2")
   }
 
+  test("merge-on-read AFTER a rename kills rows in pre-rename files: " +
+      "the hidden kill-key read translates through the alias map") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1))                                           // v1
+    SnapshotTable.renameColumn(spark, root, "k", "id")          // v2
+    // tombstones + replacements keyed on the NEW name must kill rows
+    // stored under the OLD physical name in the v1 file
+    SnapshotTable.mergeOnRead(spark, root,
+      Seq((5L, "upd5"), (7L, "upd7")).toDF("id", "v"), "id")    // v3
+    val t = readFmt(root).load()
+    assert(t.count() == 100, "MOR over a renamed key lost/duped rows")
+    assert(t.filter(col("id") === 5L).select("v").as[String]
+      .head() == "upd5")
+    assert(t.filter(col("id") === 6L).select("v").as[String]
+      .head() == "v6")
+    // a projection WITHOUT the key still applies the kill filter
+    assert(t.select("v").as[String].collect()
+      .count(_ == "upd7") == 1)
+    assert(!t.select("v").as[String].collect().contains("v7"))
+    // native path agrees
+    assert(SnapshotTable.read(spark, root).count() == 100)
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("id") === 7L).select("v").as[String]
+      .head() == "upd7")
+  }
+
   test("SQL surface: ALTER TABLE ... DROP COLUMN through the catalog, " +
       "IF EXISTS tolerated, dependency refusals surface, and the " +
       "dropped column's CURRENT DEFAULT dies with it") {
