@@ -2592,6 +2592,45 @@ object SnapshotTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** ALTER TABLE ALTER COLUMN ... COMMENT: a metadata-only commit
+    * stamping the comment into the field's metadata (the key Spark's
+    * DESCRIBE surfaces). Empty comment clears it. */
+  def commentColumn(spark: SparkSession, root: String,
+      name: String, comment: String, maxRetries: Int = 5): Long = {
+    val f = fs(spark, root)
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      require(cur > 0L, s"no committed version at $root")
+      val (entries, recorded) = readManifestFull(spark, root, cur)
+      val prior = priorSchemaOrRead(spark, root, cur, recorded)
+      val fd = prior.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column '$name' at $root (have " +
+            s"${prior.fieldNames.mkString(", ")})"))
+      claimNextOn(f, root, "main", cur) match { case Some(target) =>
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(fd.metadata)
+        val annotated = fd.copy(metadata =
+          (if (comment == null || comment.isEmpty) b.remove("comment")
+          else b.putString("comment", comment)).build())
+        val evolved = StructType(prior.fields.map(x =>
+          if (x.name == fd.name) annotated else x))
+        writeManifest(f, root, target, entries, evolved, parent = cur)
+        publish(f, root, target, entries, Seq.empty,
+          op = "comment-column",
+          branchRef = refIf(f, root, "main", cur))
+        spark.catalog.refreshByPath(root)
+        return target
+      case None => () }
+      attempt += 1
+      if (attempt > maxRetries) throw CommitConflict(
+        s"lost the schema-evolution race ${maxRetries + 1} times at $root")
+      Thread.sleep(math.min(50L, 5L * attempt))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Does `sql` (a CHECK predicate) reference `col`? Parsed, not
     * substring-matched: `a_b > 0` must not pin column `a`. Falls back
     * to a conservative word-boundary test if the text won't parse. */

@@ -430,8 +430,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           r.fieldNames().head, r.newName())
       case _ => ()
     }
+    // ALTER TABLE ... ALTER COLUMN c COMMENT: metadata-only stamp;
+    // nullability changes are refused with the honest pointer (reads
+    // are nullable-forced by the storage contract — enforce presence
+    // with an enforced CHECK constraint instead)
+    val (comments, typesAndAdds2) = typesAndAdds.partition {
+      case _: TableChange.UpdateColumnComment => true
+      case _ => false
+    }
+    comments.foreach {
+      case c: TableChange.UpdateColumnComment =>
+        require(c.fieldNames().length == 1,
+          "graft-snapshot comments TOP-LEVEL columns only: " +
+            s"'${c.fieldNames().mkString(".")}'")
+        SnapshotTable.commentColumn(spark, root,
+          c.fieldNames().head, c.newComment())
+      case _ => ()
+    }
+    typesAndAdds2.foreach {
+      case n: TableChange.UpdateColumnNullability =>
+        throw new UnsupportedOperationException(
+          s"graft tables serve every column nullable by the storage " +
+            s"contract (schema evolution fills absent columns with " +
+            s"NULL/defaults); '${n.fieldNames().mkString(".")}' " +
+            "cannot change nullability — enforce presence with " +
+            "ALTER TABLE ... ADD CONSTRAINT ... CHECK (col IS NOT " +
+            "NULL) instead")
+      case _ => ()
+    }
     // ALTER TABLE ... ALTER COLUMN c TYPE t: lossless widening only
-    val (retypes, adds) = typesAndAdds.partition {
+    val (retypes, adds) = typesAndAdds2.partition {
       case _: TableChange.UpdateColumnType => true
       case _ => false
     }

@@ -413,6 +413,29 @@ class SchemaEvolutionSpec extends SparkSpec {
       .head() == "upd7")
   }
 
+  test("ALTER COLUMN COMMENT stamps metadata-only; nullability " +
+      "changes refuse with the CHECK-constraint pointer") {
+    catalogFor("graft_sec")
+    spark.sql("CREATE TABLE graft_sec.db.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_sec.db.t VALUES (1, 'a')")
+    spark.sql("ALTER TABLE graft_sec.db.t " +
+      "ALTER COLUMN v COMMENT 'the payload'")
+    val desc = spark.sql("DESCRIBE TABLE graft_sec.db.t")
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(desc.get("v").contains("the payload"),
+      s"comment missing from DESCRIBE: $desc")
+    // data unaffected, same files
+    assert(spark.table("graft_sec.db.t").count() == 1)
+    // Spark's analyzer already refuses tightening nullability on a
+    // nullable V2 column; the catalog keeps its own guard for API
+    // callers. Either way: loud, never silent.
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE graft_sec.db.t ALTER COLUMN v SET NOT NULL"))
+    assert(e.getMessage.toLowerCase.contains("nullable") ||
+      e.getMessage.contains("CHECK"),
+      s"nullability change must refuse loudly, got: ${e.getMessage}")
+  }
+
   test("SQL surface: ALTER TABLE ... DROP COLUMN through the catalog, " +
       "IF EXISTS tolerated, dependency refusals surface, and the " +
       "dropped column's CURRENT DEFAULT dies with it") {
