@@ -162,7 +162,23 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
   with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE t`: a REPLACE commit with an empty file set
+    * — the history keeps every pre-truncate version (time travel and
+    * tagged reads still serve them; expiry reaps them on its own
+    * schedule), exactly like INSERT OVERWRITE of zero rows. Streams
+    * refuse the non-accretive range, as they must. */
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    val seg = new Path(root,
+      s"_data/trunc-${java.util.UUID.randomUUID()}")
+    SnapshotTable.fs(spark, root).mkdirs(seg)
+    SnapshotTable.replaceStaged(spark, root, seg, Seq.empty,
+      tableSchema)
+    true
+  }
 
   /** `SELECT _file FROM t` — the data file each row came from
     * (Iceberg's `_file` / parquet's `_metadata.file_path`). Also the

@@ -436,6 +436,26 @@ class SchemaEvolutionSpec extends SparkSpec {
       s"nullability change must refuse loudly, got: ${e.getMessage}")
   }
 
+  test("TRUNCATE TABLE: empty replace commit, history intact, time " +
+      "travel still serves pre-truncate versions, streams refuse the " +
+      "non-accretive range") {
+    catalogFor("graft_set")
+    spark.sql("CREATE TABLE graft_set.db.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_set.db.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("TRUNCATE TABLE graft_set.db.t")
+    assert(spark.table("graft_set.db.t").count() == 0)
+    // pre-truncate version still readable
+    val wh = spark.conf.get("spark.sql.catalog.graft_set.warehouse")
+    val vPre = SnapshotTable.versions(spark, s"$wh/db/t")
+      .sorted.dropRight(1).last
+    assert(SnapshotTable.readVersion(spark, s"$wh/db/t", vPre)
+      .count() == 2)
+    // refills work after truncate
+    spark.sql("INSERT INTO graft_set.db.t VALUES (3, 'c')")
+    assert(spark.table("graft_set.db.t").select("k")
+      .as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("SQL surface: ALTER TABLE ... DROP COLUMN through the catalog, " +
       "IF EXISTS tolerated, dependency refusals surface, and the " +
       "dropped column's CURRENT DEFAULT dies with it") {
