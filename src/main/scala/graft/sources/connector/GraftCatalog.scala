@@ -328,18 +328,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       StructType(schema.fields.map(_.copy(nullable = true))))
   }
 
-  /** ADD COLUMNS only — a metadata-only commit through the additive
-    * evolution rule. Drops/renames/type changes would strand old
-    * files and are refused, the same boundary the write path draws. */
+  /** The full ALTER TABLE surface, every form a METADATA-ONLY commit:
+    * ADD COLUMNS (initial DEFAULTs), DROP COLUMN (ghost-guarded),
+    * RENAME COLUMN (physical-name epochs), ALTER COLUMN TYPE
+    * (lossless widening), COMMENT, ADD/DROP CONSTRAINT, SET/DROP
+    * DEFAULT, SET/UNSET TBLPROPERTIES. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
+    // SET/UNSET TBLPROPERTIES: the same write./graft. behavior
+    // namespace CREATE persists — this is how a live table switches
+    // to merge-on-read row-level commits (write.delete.mode etc.).
+    // Namespaces owned by dedicated DDL refuse with the pointer, so a
+    // property edit can never desynchronize managed state.
+    val (propChanges, nonProp) = changes.partition {
+      case _: TableChange.SetProperty |
+           _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    def guardKey(k: String): Unit = {
+      require(k.startsWith("write.") || k.startsWith("graft."),
+        s"graft tables persist behavior properties only " +
+          s"(write.* / graft.*); '$k' is catalog bookkeeping")
+      val owned = Seq(
+        "graft.check." -> "ALTER TABLE ... ADD/DROP CONSTRAINT",
+        "graft.default." -> "ALTER COLUMN ... SET/DROP DEFAULT",
+        "graft.defaultlit." -> "ALTER COLUMN ... SET/DROP DEFAULT",
+        "graft.dropped." -> "DROP COLUMN (managed marker)",
+        "graft.hist" -> "CALL graft.system.analyze_histograms",
+        "graft.bucket." -> ("commitBucketed / appendBucketed (the " +
+          "declared physical layout — a property edit would lie " +
+          "about how files are laid out)"))
+      owned.foreach { case (pre, ddl) =>
+        require(!k.startsWith(pre),
+          s"property '$k' is managed by $ddl — use that instead")
+      }
+    }
+    propChanges.foreach {
+      case s: TableChange.SetProperty =>
+        guardKey(s.property())
+        SnapshotTable.setProperties(spark, root,
+          SnapshotTable.tableProperties(spark, root) +
+            (s.property() -> s.value()))
+      case r: TableChange.RemoveProperty =>
+        guardKey(r.property())
+        SnapshotTable.setProperties(spark, root,
+          SnapshotTable.tableProperties(spark, root) - r.property())
+      case _ => ()
+    }
+    if (nonProp.isEmpty) return loadTable(ident)
+    val changesLeft = nonProp
     // ALTER TABLE ADD/DROP CONSTRAINT: property edits (metadata only,
     // like the CREATE TABLE path). An added CHECK is NOT validated
     // against existing rows here — it gates writes from now on; run a
     // validating scan first if the history must comply.
-    val (constraintChanges, rest) = changes.partition {
+    val (constraintChanges, rest) = changesLeft.partition {
       case _: TableChange.AddConstraint |
            _: TableChange.DropConstraint => true
       case _ => false

@@ -309,7 +309,13 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
     * CURRENT version (CAS + re-derive, the merge contract); prior
     * versions still time-travel to the deleted rows. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(SnapshotTable.filterCondition(_).isDefined)
+    // a table declaring write.delete.mode=merge-on-read asked for
+    // O(batch) tombstone deletes: decline the filter path (which
+    // rewrites matching files copy-on-write) so Spark routes through
+    // the row-level MOR builder — Iceberg's knob, honored the same way
+    !SnapshotTable.tableProperties(SparkSession.active, root)
+      .get("write.delete.mode").contains("merge-on-read") &&
+      filters.forall(SnapshotTable.filterCondition(_).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit =
     SnapshotTable.deleteFilters(SparkSession.active, root,

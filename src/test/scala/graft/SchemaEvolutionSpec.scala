@@ -456,6 +456,40 @@ class SchemaEvolutionSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("SET/UNSET TBLPROPERTIES manage behavior properties: a live " +
+      "table switches to merge-on-read row-level commits via SQL, " +
+      "managed namespaces refuse toward their own DDL") {
+    catalogFor("graft_sep")
+    spark.sql("CREATE TABLE graft_sep.db.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_sep.db.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE graft_sep.db.t SET TBLPROPERTIES (" +
+      "'write.delete.mode'='merge-on-read', 'write.merge.key'='k')")
+    val wh = spark.conf.get("spark.sql.catalog.graft_sep.warehouse")
+    val root = s"$wh/db/t"
+    spark.sql("DELETE FROM graft_sep.db.t WHERE k = 1")
+    // the delete landed as a MOR tombstone, not a rewrite
+    assert(SnapshotTable.readManifest(spark, root,
+      SnapshotTable.currentVersion(spark, root))
+      .exists(_.kind == "t"),
+      "SET TBLPROPERTIES did not flip the row-level mode to MOR")
+    assert(spark.table("graft_sep.db.t").select("k").as[Long]
+      .collect().toSeq == Seq(2L))
+    // UNSET flips it back: the next delete is copy-on-write
+    spark.sql("ALTER TABLE graft_sep.db.t UNSET TBLPROPERTIES (" +
+      "'write.delete.mode', 'write.merge.key')")
+    assert(!SnapshotTable.tableProperties(spark, root)
+      .contains("write.delete.mode"))
+    // managed namespaces refuse with the pointer
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE graft_sep.db.t SET TBLPROPERTIES (" +
+        "'graft.check.x'='k > 0')"))
+      .getMessage.contains("CONSTRAINT"))
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE graft_sep.db.t SET TBLPROPERTIES (" +
+        "'graft.bucket.key'='k')"))
+      .getMessage.contains("commitBucketed"))
+  }
+
   test("SQL surface: ALTER TABLE ... DROP COLUMN through the catalog, " +
       "IF EXISTS tolerated, dependency refusals surface, and the " +
       "dropped column's CURRENT DEFAULT dies with it") {
