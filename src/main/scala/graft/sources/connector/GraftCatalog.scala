@@ -348,9 +348,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ => false
     }
     def guardKey(k: String): Unit = {
-      require(k.startsWith("write.") || k.startsWith("graft."),
+      // 'comment' rides along for COMMENT ON TABLE
+      require(k.startsWith("write.") || k.startsWith("graft.") ||
+        k == "comment",
         s"graft tables persist behavior properties only " +
-          s"(write.* / graft.*); '$k' is catalog bookkeeping")
+          s"(write.* / graft.* / comment); '$k' is catalog bookkeeping")
       val owned = Seq(
         "graft.check." -> "ALTER TABLE ... ADD/DROP CONSTRAINT",
         "graft.default." -> "ALTER COLUMN ... SET/DROP DEFAULT",

@@ -479,6 +479,10 @@ class SchemaEvolutionSpec extends SparkSpec {
       "'write.delete.mode', 'write.merge.key')")
     assert(!SnapshotTable.tableProperties(spark, root)
       .contains("write.delete.mode"))
+    // COMMENT ON TABLE rides the same path
+    spark.sql("COMMENT ON TABLE graft_sep.db.t IS 'events table'")
+    assert(SnapshotTable.tableProperties(spark, root)
+      .get("comment").contains("events table"))
     // managed namespaces refuse with the pointer
     assert(intercept[Exception](spark.sql(
       "ALTER TABLE graft_sep.db.t SET TBLPROPERTIES (" +
