@@ -494,6 +494,31 @@ class SchemaEvolutionSpec extends SparkSpec {
       .getMessage.contains("commitBucketed"))
   }
 
+  test("schema-evolution races serialize through the CAS claim: " +
+      "concurrent ADD and RENAME both land in some order and the " +
+      "final schema + data are consistent") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))                 // v1
+    val add = Future(SnapshotTable.addColumns(spark, root,
+      StructType(Seq(StructField("x", IntegerType)))))
+    val ren = Future(SnapshotTable.renameColumn(spark, root, "v", "w"))
+    val (vA, vR) = (Await.result(add, 60.seconds),
+      Await.result(ren, 60.seconds))
+    assert(Set(vA, vR) == Set(2L, 3L),
+      s"both evolutions must claim distinct versions, got $vA/$vR")
+    val t = SnapshotTable.read(spark, root)
+    assert(t.columns.toSet == Set("k", "w", "x"),
+      s"lost an evolution in the race: ${t.columns.toSeq}")
+    assert(t.select("k", "w").as[(Long, String)].collect()
+      .sorted.toSeq == Seq((1L, "a"), (2L, "b")))
+    assert(t.select("x").as[Option[Int]].collect().toSeq ==
+      Seq(None, None))
+  }
+
   test("SQL surface: ALTER TABLE ... DROP COLUMN through the catalog, " +
       "IF EXISTS tolerated, dependency refusals surface, and the " +
       "dropped column's CURRENT DEFAULT dies with it") {
