@@ -483,6 +483,11 @@ class SchemaEvolutionSpec extends SparkSpec {
     spark.sql("COMMENT ON TABLE graft_sep.db.t IS 'events table'")
     assert(SnapshotTable.tableProperties(spark, root)
       .get("comment").contains("events table"))
+    // SHOW CREATE TABLE round-trips the schema and the persisted props
+    val ddl = spark.sql("SHOW CREATE TABLE graft_sep.db.t")
+      .head().getString(0)
+    assert(ddl.contains("k BIGINT") && ddl.contains("v STRING"),
+      s"SHOW CREATE TABLE lost the schema:\n$ddl")
     // managed namespaces refuse with the pointer
     assert(intercept[Exception](spark.sql(
       "ALTER TABLE graft_sep.db.t SET TBLPROPERTIES (" +
