@@ -524,6 +524,51 @@ class SchemaEvolutionSpec extends SparkSpec {
       Seq(None, None))
   }
 
+  test("zero-copy CLONE of a renamed table translates: the clone's " +
+      "absolute-path entries keep their ORIGINAL seqs, so the copied " +
+      "epochs resolve the same physical names") {
+    val src = tmpRoot()
+    SnapshotTable.commit(spark, src,
+      Seq((1L, 10), (2L, 20)).toDF("k", "x"))                   // v1
+    SnapshotTable.renameColumn(spark, src, "x", "y")            // v2
+    SnapshotTable.append(spark, src,
+      Seq((3L, 30)).toDF("k", "y"))                             // v3
+    val dst = tmpRoot()
+    SnapshotTable.cloneTable(spark, src, dst)
+    assert(SnapshotTable.read(spark, dst).select("k", "y")
+      .as[(Long, Int)].collect().sorted.toSeq ==
+      Seq((1L, 10), (2L, 20), (3L, 30)),
+      "clone lost the rename translation")
+    // the clone diverges independently and keeps translating
+    SnapshotTable.append(spark, dst,
+      Seq((4L, 40)).toDF("k", "y"))
+    assert(SnapshotTable.read(spark, dst).count() == 4)
+    assert(SnapshotTable.read(spark, src).count() == 3)
+  }
+
+  test("the changelog spans a rename: each commit's changes serve " +
+      "under THAT version's schema, and the rename commit itself is " +
+      "an empty accretive delta") {
+    catalogFor("graft_secdc")
+    spark.sql("CREATE TABLE graft_secdc.db.t (k BIGINT, x INT)") // v1
+    spark.sql("INSERT INTO graft_secdc.db.t VALUES (1, 10), (2, 20)") // v2
+    spark.sql("ALTER TABLE graft_secdc.db.t RENAME COLUMN x TO y") // v3
+    spark.sql("INSERT INTO graft_secdc.db.t VALUES (3, 30)")     // v4
+    // pre-rename commit: its own (old-named) schema, its own rows
+    val c2 = spark.sql(
+      "SELECT k, x FROM graft_secdc.db.t.changes VERSION AS OF 2")
+    assert(c2.as[(Long, Int)].collect().sorted.toSeq ==
+      Seq((1L, 10), (2L, 20)))
+    // the rename commit adds no files: empty, still accretive
+    assert(spark.sql(
+      "SELECT * FROM graft_secdc.db.t.changes VERSION AS OF 3")
+      .count() == 0)
+    // post-rename commit under the new name
+    val c4 = spark.sql(
+      "SELECT k, y FROM graft_secdc.db.t.changes VERSION AS OF 4")
+    assert(c4.as[(Long, Int)].collect().toSeq == Seq((3L, 30)))
+  }
+
   test("SQL surface: ALTER TABLE ... DROP COLUMN through the catalog, " +
       "IF EXISTS tolerated, dependency refusals surface, and the " +
       "dropped column's CURRENT DEFAULT dies with it") {
