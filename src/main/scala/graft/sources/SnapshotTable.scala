@@ -2399,7 +2399,14 @@ object SnapshotTable {
               case None => p
             }
           }
-        if (moved ne props) setProperties(spark, root, moved)
+        // renaming ONTO a formerly-dropped name (legal once no
+        // pre-drop file survives — the ghost check above passed)
+        // revives the name: clear the dropped-marker, exactly as a
+        // re-ADD does, so the property surface doesn't claim a live
+        // column is dropped
+        val cleared = moved - (DroppedKeyPrefix +
+          newName.toLowerCase(java.util.Locale.ROOT))
+        if (cleared != props) setProperties(spark, root, cleared)
         spark.catalog.refreshByPath(root)
         return target
       case None => () }
@@ -2510,6 +2517,12 @@ object SnapshotTable {
       (IntegerType, LongType) -> ((true, true)),
       (IntegerType, DoubleType) -> ((true, false)),
       (FloatType, DoubleType) -> ((false, false)))
+
+  /** Whether [[widenColumn]] would accept `from` -> `to` — the
+    * catalog's up-front ALTER validation asks before committing
+    * anything, so a refused multi-change statement is a no-op. */
+  private[graft] def canWiden(from: DataType, to: DataType): Boolean =
+    Widenings.contains((from, to))
 
   /** ALTER TABLE ALTER COLUMN ... TYPE: widen a column's type as a
     * METADATA-ONLY commit. Files written before the widening keep the
@@ -2634,7 +2647,7 @@ object SnapshotTable {
   /** Does `sql` (a CHECK predicate) reference `col`? Parsed, not
     * substring-matched: `a_b > 0` must not pin column `a`. Falls back
     * to a conservative word-boundary test if the text won't parse. */
-  private def referencesColumn(spark: SparkSession, sql: String,
+  private[sources] def referencesColumn(spark: SparkSession, sql: String,
       col: String): Boolean =
     try spark.sessionState.sqlParser.parseExpression(sql).collect {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute

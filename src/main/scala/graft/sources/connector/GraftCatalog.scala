@@ -440,6 +440,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ => ()
     }
     if (columnChanges.isEmpty) return loadTable(ident)
+    // A multi-change ALTER applies as a SEQUENCE of metadata commits
+    // (drops, then renames, comments, retypes, adds — each its own
+    // CAS version). Refusals therefore validate UP FRONT against a
+    // simulation of that sequence, so a statement that would fail at
+    // change 3 leaves the table untouched instead of half-altered.
+    // SnapshotTable's ops keep the authoritative checks (they re-run
+    // under the CAS claim); this pass mirrors them for atomicity of
+    // refusal, not as the enforcement point.
+    validateColumnChanges(root, columnChanges)
     // ALTER TABLE ... DROP COLUMN: metadata-only narrowing commit
     // (SnapshotTable.dropColumns owns the dependency refusals and the
     // ghost marker that guards later re-ADDs of the same name)

@@ -948,6 +948,22 @@ private[connector] class GraftMicroBatchStream(root: String,
       GraftSnapshotSource.schemaOf(spark, root, vE))
       .filter(f => required.fieldNames.exists(_.equalsIgnoreCase(f.name)))
 
+  /** The schema RENAME ALIASES resolve against for a batch ending at
+    * `vE`: NOT schemaOf(vE). The stream's required names were derived
+    * from the table's schema at RUN START; a rate-limited replay of
+    * history puts vE BEFORE a rename those names postdate, and the
+    * vE schema carries neither the epochs nor any field matching the
+    * names — the lookup would miss and the renamed column would read
+    * silently NULL out of pre-rename files. Epochs only accumulate,
+    * so max(vE, run-start tip) always carries every epoch either the
+    * batch or the stream's names need. (Initial-default fills stay at
+    * vE — a replayed batch must surface exactly the defaults its
+    * version declared.) */
+  protected lazy val runStartVersion: Long = tipVersion()
+  protected def aliasSchemaAt(vE: Long): StructType =
+    GraftSnapshotSource.schemaOf(spark, root,
+      math.max(vE, runStartVersion))
+
   /** Where a FRESH checkpoint begins (Delta's `startingVersion`):
     * absent = offset 0, replay the whole commit history; `"latest"` =
     * the current version, only commits made after the stream starts;
@@ -1149,7 +1165,7 @@ private[connector] class GraftMicroBatchStream(root: String,
         "express row removal; restart the stream from the current " +
         "version or consume the table with SnapshotTable.diff")
     val defaults = defaultFillsAt(vE)
-    val schemaAt = GraftSnapshotSource.schemaOf(spark, root, vE)
+    val schemaAt = aliasSchemaAt(vE)
     val renamed = schemaAt.fields
       .exists(SnapshotTable.renameEpochs(_).nonEmpty)
     // the stream's required names were captured at START and may be
@@ -1249,12 +1265,17 @@ private[connector] class GraftChangesMicroBatchStream(root: String,
     // fill the declared literal. (Key-only delete events keep their
     // data columns NULL — they are intentionally not row images.)
     val defaults = defaultFillsAt(vE)
-    val schemaAt = GraftSnapshotSource.schemaOf(session, root, vE)
+    val schemaAt = aliasSchemaAt(vE)
     val renamed = schemaAt.fields
       .exists(SnapshotTable.renameEpochs(_).nonEmpty)
+    // tombstone events translate too: a tombstone committed after a
+    // rename stores its KEYS under the new physical name — a stream
+    // whose cdcSchema predates the rename must still surface them
+    // under the name it began with, not emit delete events with
+    // NULL keys
     def aliasOf(e: SnapshotTable.FileEntry)
     : Array[(String, String)] =
-      if (!renamed || e.kind != "d") Array.empty
+      if (!renamed) Array.empty
       else SnapshotTable.aliasesForNames(schemaAt,
         cdcSchema.fieldNames.toSeq, e.seq).toArray
     def defaultFills(e: SnapshotTable.FileEntry)
