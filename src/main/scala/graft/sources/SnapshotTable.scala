@@ -2511,18 +2511,28 @@ object SnapshotTable {
     * decimal-rendered bound re-parsed as double does not bracket the
     * widened value (0.1f widens to 0.10000000149), so a kept range
     * could WRONGLY prune — stats that might lie are removed, analyze
-    * re-records them. */
-  private val Widenings: Map[(DataType, DataType), (Boolean, Boolean)] =
-    Map(
-      (IntegerType, LongType) -> ((true, true)),
-      (IntegerType, DoubleType) -> ((true, false)),
-      (FloatType, DoubleType) -> ((false, false)))
+    * re-records them. decimal(P,S)->decimal(P',S) with P' > P (the
+    * Iceberg rule: scale NEVER changes) keeps ranges — the unscaled
+    * values are untouched, so the rendered bounds re-parse to the
+    * same BigDecimals — but drops sketches: value hashing switches
+    * representation (compact long vs byte array) across the
+    * 18-digit precision boundary, so kept registers could lie. */
+  private def wideningPolicy(from: DataType, to: DataType)
+  : Option[(Boolean, Boolean)] = (from, to) match {
+    case (IntegerType, LongType) => Some((true, true))
+    case (IntegerType, DoubleType) => Some((true, false))
+    case (FloatType, DoubleType) => Some((false, false))
+    case (f: DecimalType, t: DecimalType)
+      if t.scale == f.scale && t.precision > f.precision =>
+      Some((true, false))
+    case _ => None
+  }
 
   /** Whether [[widenColumn]] would accept `from` -> `to` — the
     * catalog's up-front ALTER validation asks before committing
     * anything, so a refused multi-change statement is a no-op. */
   private[graft] def canWiden(from: DataType, to: DataType): Boolean =
-    Widenings.contains((from, to))
+    wideningPolicy(from, to).isDefined
 
   /** ALTER TABLE ALTER COLUMN ... TYPE: widen a column's type as a
     * METADATA-ONLY commit. Files written before the widening keep the
@@ -2546,11 +2556,12 @@ object SnapshotTable {
         .getOrElse(throw new IllegalArgumentException(
           s"no column '$name' at $root (have " +
             s"${prior.fieldNames.mkString(", ")})"))
-      val policy = Widenings.get((fd.dataType, to)).getOrElse(
+      val policy = wideningPolicy(fd.dataType, to).getOrElse(
         throw new IllegalArgumentException(
           s"cannot change '${fd.name}' from ${fd.dataType.simpleString} " +
             s"to ${to.simpleString} at $root: only lossless widenings " +
-            "are supported (int->long, int->double, float->double)"))
+            "are supported (int->long, int->double, float->double, " +
+            "decimal(P,S)->decimal(P',S) with P' > P)"))
       require(!entries.exists(e => e.kind == "t" &&
         e.statsKey.exists(_.equalsIgnoreCase(fd.name))),
         s"cannot widen '${fd.name}' at $root: it is the merge-on-read " +

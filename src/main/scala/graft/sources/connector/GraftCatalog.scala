@@ -328,6 +328,204 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       StructType(schema.fields.map(_.copy(nullable = true))))
   }
 
+  /** Up-front validation of a multi-change column ALTER. The catalog
+    * applies column changes as a SEQUENCE of metadata commits (drops,
+    * then renames, comments, retypes, adds — each its own CAS
+    * version); this pass replays that sequence against a SIMULATION of
+    * the current schema plus the dropped/renamed-away name markers and
+    * throws BEFORE any commit, so a statement that would fail at
+    * change 3 leaves the table byte-identical instead of half-altered.
+    * The refusals mirror [[SnapshotTable.dropColumns]] /
+    * [[SnapshotTable.renameColumn]] / [[SnapshotTable.widenColumn]] /
+    * [[SnapshotTable.commentColumn]] / [[SnapshotTable.addColumns]]
+    * exactly (same messages); those ops keep the authoritative checks
+    * — they re-run under the CAS claim — so this pass buys atomicity
+    * of refusal, not enforcement. Markers recorded by EARLIER changes
+    * in the same statement (a drop arming the ghost guard, a rename
+    * reserving its old physical name) are simulated at a version
+    * strictly after every live file's seq, so a later change in the
+    * statement sees them exactly as a later standalone ALTER would. */
+  private def validateColumnChanges(root: String,
+      columnChanges: Seq[TableChange]): Unit = {
+    val cur = SnapshotTable.currentVersion(spark, root)
+    require(cur > 0L, s"no committed version at $root")
+    val (entries, recorded) =
+      SnapshotTable.readManifestFull(spark, root, cur)
+    var schema: StructType = recorded.getOrElse(
+      GraftSnapshotSource.schemaOf(spark, root, cur))
+    val props = SnapshotTable.tableProperties(spark, root)
+    val bucketKeys = props.get("graft.bucket.key")
+      .map(_.split(',').toSeq).getOrElse(Seq.empty)
+    def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+    // live data files written before version v still physically carry
+    // whatever columns existed then — the condition every ghost /
+    // reserved-name refusal keys on
+    def liveDataBefore(v: Long): Boolean =
+      entries.exists(e => e.kind == "d" && e.seq < v)
+    // simulated commit version for THIS statement's own drops/renames:
+    // strictly after every committed seq, so liveDataBefore sees any
+    // live file as pre-drop/pre-rename (which it is)
+    val simV = cur + 1L
+    var dropped: Map[String, Long] = props.collect {
+      case (k, v) if k.startsWith(SnapshotTable.DroppedKeyPrefix) =>
+        (k.stripPrefix(SnapshotTable.DroppedKeyPrefix), v.toLong)
+    }.toMap
+    var renamedAway: Map[String, Long] = Map.empty
+    def one(what: String, names: Array[String]): String = {
+      require(names.length == 1,
+        s"graft-snapshot ${what}s TOP-LEVEL columns only: " +
+          s"'${names.mkString(".")}'")
+      names.head
+    }
+    def field(name: String): StructField =
+      schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$name' at $root (have " +
+            s"${schema.fieldNames.mkString(", ")})"))
+    def notTombstoneKey(name: String, op: String): Unit =
+      require(!entries.exists(e => e.kind == "t" &&
+        e.statsKey.exists(_.equalsIgnoreCase(name))),
+        s"cannot $op '$name' at $root: it is the merge-on-read " +
+          "tombstone key of live delete files — compact() first")
+    def notBucketKey(name: String, op: String): Unit =
+      require(!bucketKeys.exists(_.equalsIgnoreCase(name)),
+        s"cannot $op '$name' at $root: it is a declared " +
+          "hash-bucket layout key")
+    def noCheckRef(name: String, op: String): Unit =
+      props.foreach { case (k, sql) =>
+        if (k.startsWith("graft.check."))
+          require(!SnapshotTable.referencesColumn(spark, sql, name),
+            s"cannot $op '$name' at $root: CHECK constraint " +
+              s"'${k.stripPrefix("graft.check.")}' references it — " +
+              "drop the constraint first")
+      }
+    // a NEW name (rename target or added column) must not collide with
+    // bytes live files still store: a dropped-but-uncompacted ghost,
+    // or a prior physical name of any column (rename epochs) — both
+    // the committed ones and this statement's own simulated ones
+    def nameFree(name: String, op: String): Unit = {
+      dropped.get(lc(name)).foreach { at =>
+        require(!liveDataBefore(at),
+          s"cannot $op '$name' at $root: the name was dropped at " +
+            s"version $at and live files still physically carry it; " +
+            "run compact() first")
+      }
+      renamedAway.get(lc(name)).foreach { until =>
+        require(!liveDataBefore(until),
+          s"cannot $op '$name' at $root: live files still store a " +
+            s"column under that name (renamed away at version $until); " +
+            "run compact() first")
+      }
+      schema.fields.foreach { other =>
+        SnapshotTable.renameEpochs(other).foreach { ep =>
+          require(!(ep.name.equalsIgnoreCase(name) &&
+            liveDataBefore(ep.until)),
+            s"cannot $op '$name' at $root: live files still store " +
+              s"column '${other.name}' under that name (renamed away " +
+              s"at version ${ep.until}); run compact() first")
+        }
+      }
+    }
+    // replay in the order the catalog COMMITS: drops, renames,
+    // comments, nullability refusals, retypes, adds, other (refused)
+    def rank(c: TableChange): Int = c match {
+      case _: TableChange.DeleteColumn => 0
+      case _: TableChange.RenameColumn => 1
+      case _: TableChange.UpdateColumnComment => 2
+      case _: TableChange.UpdateColumnNullability => 3
+      case _: TableChange.UpdateColumnType => 4
+      case _: TableChange.AddColumn => 5
+      case _ => 6
+    }
+    columnChanges.sortBy(rank).foreach {
+      case d: TableChange.DeleteColumn =>
+        val name = one("drop", d.fieldNames())
+        val exists = schema.fields.exists(_.name.equalsIgnoreCase(name))
+        if (!exists) {
+          if (!d.ifExists()) throw new IllegalArgumentException(
+            s"no column '$name' at $root")
+        } else {
+          val fd = field(name)
+          require(schema.fields.length > 1,
+            s"cannot drop every column of $root")
+          notTombstoneKey(fd.name, "drop")
+          notBucketKey(fd.name, "drop")
+          noCheckRef(fd.name, "drop")
+          schema = StructType(schema.fields.filterNot(_.name == fd.name))
+          dropped += (lc(fd.name) -> simV)
+        }
+      case r: TableChange.RenameColumn =>
+        val oldName = one("rename", r.fieldNames())
+        val fd = field(oldName)
+        require(!schema.fields.exists(
+          _.name.equalsIgnoreCase(r.newName())),
+          s"column already exists: '${r.newName()}' at $root")
+        nameFree(r.newName(), "rename to")
+        notTombstoneKey(fd.name, "rename")
+        notBucketKey(fd.name, "rename")
+        noCheckRef(fd.name, "rename")
+        schema = StructType(schema.fields.map(x =>
+          if (x.name == fd.name) x.copy(name = r.newName()) else x))
+        renamedAway += (lc(fd.name) -> simV)
+        dropped -= lc(r.newName())
+      case c: TableChange.UpdateColumnComment =>
+        field(one("comment", c.fieldNames()))
+      case n: TableChange.UpdateColumnNullability =>
+        throw new UnsupportedOperationException(
+          s"graft tables serve every column nullable by the storage " +
+            s"contract (schema evolution fills absent columns with " +
+            s"NULL/defaults); '${n.fieldNames().mkString(".")}' " +
+            "cannot change nullability — enforce presence with " +
+            "ALTER TABLE ... ADD CONSTRAINT ... CHECK (col IS NOT " +
+            "NULL) instead")
+      case u: TableChange.UpdateColumnType =>
+        val fd = field(one("widen", u.fieldNames()))
+        if (!SnapshotTable.canWiden(fd.dataType, u.newDataType()))
+          throw new IllegalArgumentException(
+            s"cannot change '${fd.name}' from " +
+              s"${fd.dataType.simpleString} to " +
+              s"${u.newDataType().simpleString} at $root: only " +
+              "lossless widenings are supported (int->long, " +
+              "int->double, float->double, " +
+              "decimal(P,S)->decimal(P',S) with P' > P)")
+        notTombstoneKey(fd.name, "widen")
+        notBucketKey(fd.name, "widen")
+        schema = StructType(schema.fields.map(x =>
+          if (x.name == fd.name) x.copy(dataType = u.newDataType())
+          else x))
+      case a: TableChange.AddColumn =>
+        val name = one("add", a.fieldNames())
+        require(a.fieldNames().length == 1,
+          "graft-snapshot adds TOP-LEVEL columns only (a nested-typed " +
+            "column is fine; splicing a field into an existing struct " +
+            s"is not): '${a.fieldNames().mkString(".")}'")
+        val dt = a.dataType()
+        require(GraftSnapshotSource.supported(dt),
+          s"graft-snapshot does not support ${dt.simpleString} " +
+            s"column '$name'")
+        require(!schema.fields.exists(_.name.equalsIgnoreCase(name)),
+          s"column already exists: $name")
+        nameFree(name, "add column")
+        Option(a.defaultValue()).foreach { dv =>
+          require(GraftDefaults.supported(dt),
+            s"graft DEFAULT supports int/long/float/double/boolean/" +
+              s"string columns; '$name' is ${dt.simpleString}")
+          val lit = dv.getValue
+          require(lit != null && lit.value() != null,
+            s"graft ADD COLUMNS DEFAULT must be a non-null literal " +
+              s"for '$name' (a nullable column already fills NULL " +
+              "when omitted)")
+        }
+        schema = StructType(schema.fields :+
+          StructField(name, dt, nullable = true))
+        dropped -= lc(name)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft catalog supports ALTER TABLE ADD COLUMNS / DROP " +
+            s"COLUMN only, got ${other.getClass.getSimpleName}")
+    }
+  }
+
   /** The full ALTER TABLE surface, every form a METADATA-ONLY commit:
     * ADD COLUMNS (initial DEFAULTs), DROP COLUMN (ghost-guarded),
     * RENAME COLUMN (physical-name epochs), ALTER COLUMN TYPE

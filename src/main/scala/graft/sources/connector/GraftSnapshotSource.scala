@@ -121,13 +121,14 @@ private[connector] object GraftSnapshotSource {
     FloatType, DoubleType, BooleanType, StringType, BinaryType,
     TimestampType, TimestampNTZType, DateType)
 
-  /** Atomic leaves plus ARRAY / STRUCT / MAP compositions to any
-    * depth — the type domain both the reader and the V2 writer
-    * handle. */
+  /** Atomic leaves (decimals at any precision/scale) plus ARRAY /
+    * STRUCT / MAP compositions to any depth — the type domain both
+    * the reader and the V2 writer handle. */
   def supported(dt: DataType): Boolean = dt match {
     case ArrayType(e, _) => supported(e)
     case StructType(fs) => fs.forall(f => supported(f.dataType))
     case MapType(k, v, _) => supported(k) && supported(v)
+    case _: DecimalType => true
     case other => SupportedTypes.contains(other)
   }
 
@@ -1309,16 +1310,35 @@ private[connector] class GraftChangesMicroBatchStream(root: String,
         .map(event(_, "insert"): InputPartition)
       val allTombs = after.filter(_.kind == "t")
       val deletes = adds.filter(_.kind == "t").flatMap { t =>
-        val keyName = t.statsKey.getOrElse(
+        // the tombstone records its key under the PHYSICAL name
+        // current at its commit; a stream that began before a
+        // key-column rename addresses the same column by its
+        // run-start name. Resolve through the rename epochs: first
+        // the field whose physical name at t.seq matches, then the
+        // name THIS stream's cdcSchema knows it by.
+        val physKey = t.statsKey.getOrElse(
           throw new IllegalStateException(
             s"tombstone ${t.path} at $root carries no key column"))
+        val keyField = schemaAt.fields.find(fd =>
+          SnapshotTable.physicalName(fd, t.seq)
+            .equalsIgnoreCase(physKey) ||
+          fd.name.equalsIgnoreCase(physKey))
+        val keyName = keyField.flatMap { fd =>
+          cdcSchema.fieldNames.find(n => fd.name.equalsIgnoreCase(n) ||
+            SnapshotTable.renameEpochs(fd)
+              .exists(_.name.equalsIgnoreCase(n)))
+        }.getOrElse(throw new IllegalStateException(
+          s"tombstone key '$physKey' is not a column of $root"))
         val keyType = cdcSchema.fields
-          .find(_.name.equalsIgnoreCase(keyName)).map(_.dataType)
-          .getOrElse(throw new IllegalStateException(
-            s"tombstone key '$keyName' is not a column of $root"))
+          .find(_.name.equalsIgnoreCase(keyName)).get.dataType
         val cmp = SnapshotTable.statOrdering(keyType)
+        // stats intersection runs in each file's OWN coordinate
+        // system: the tombstone's range is recorded under physKey,
+        // a pre-rename data file's under ITS epoch name at e.seq
+        def physAt(seq: Long): String = keyField
+          .map(SnapshotTable.physicalName(_, seq)).getOrElse(physKey)
         def intersects(e: SnapshotTable.FileEntry): Boolean =
-          (t.statsFor(keyName), e.statsFor(keyName), cmp) match {
+          (t.statsFor(physKey), e.statsFor(physAt(e.seq)), cmp) match {
             case (Some((tl, th)), Some((el, eh)), Some(c)) =>
               c(th, el) >= 0 && c(tl, eh) <= 0
             case _ => true // no stats: conservatively read
@@ -1336,7 +1356,9 @@ private[connector] class GraftChangesMicroBatchStream(root: String,
                 t.seq.toString)) ++ defaultFills(e),
             preImageTombs = Array(
               TombRef(new Path(root, t.path).toString, t.seq)),
-            aliases = aliasOf(e))
+            aliases = aliasOf(e),
+            tombKeyName = if (physKey.equalsIgnoreCase(keyName)) null
+              else physKey)
             : InputPartition
         }
       }
@@ -1382,7 +1404,15 @@ private[connector] case class GraftInputPartition(absolutePath: String,
     // column is stored under its old name in files that predate the
     // rename; readers project the physical name and emit the logical
     // one. Empty for rename-free tables and post-rename files.
-    aliases: Array[(String, String)] = Array.empty)
+    aliases: Array[(String, String)] = Array.empty,
+    // the PHYSICAL name the tombstone FILES store the key under, when
+    // it differs from `keyName`: a changelog stream that began before
+    // a key-column rename addresses the key by its run-start name
+    // (`keyName`, what the output schema and the data file's alias
+    // map resolve), but tombstones committed after the rename wrote
+    // their key column under the new name — kill-set loads must read
+    // THAT column. null = same as keyName (the common case).
+    tombKeyName: String = null)
   extends InputPartition
 
 /** The scan a COMPLETELY pushed aggregate plans to: one partition,
@@ -1621,13 +1651,18 @@ private[connector] class GraftScan(root: String, version: Long,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required.json, pushed,
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone,
-      // scan-GLOBAL columnar decision: Spark refuses mixed row/columnar
-      // partitions, so one tombstoned file de-vectorizes the whole scan;
-      // a requested `_file` metadata column is synthesized by the row
-      // reader only. Bucketed (SPJ) partitions chain COLUMNAR readers
-      // per grid cell, so storage-partitioned scans stay vectorized
-      columnarOk = tombs.isEmpty && offsetSkipFile.isEmpty &&
-        pushed.isEmpty &&
+      // scan-GLOBAL columnar decision (Spark refuses mixed
+      // row/columnar partitions, it does not fall back). Pushed
+      // filters stay columnar (row-group pruning moves into the
+      // vectorized reader's options) and so do MOR tombstones (kill
+      // sets apply as a selection over the decoded batch) — the
+      // dominant 100 TB shapes, selective scans and merge-on-read,
+      // keep columnar decode + whole-stage codegen. Row-only
+      // remainders: a pushed-offset mid-file skip, and a requested
+      // `_file` metadata column (synthesized by the row reader).
+      // Bucketed (SPJ) partitions chain COLUMNAR readers per grid
+      // cell, so storage-partitioned scans stay vectorized
+      columnarOk = offsetSkipFile.isEmpty &&
         !required.fieldNames.contains(GraftFileMetadataColumn.Name))
 
   /** Size-accurate planning: a v2 scan without statistics defaults to
@@ -1839,8 +1874,35 @@ private[connector] class GraftReaderFactory(requiredJson: String,
         val required =
           DataType.fromJson(requiredJson).asInstanceOf[StructType]
         val p = partition.asInstanceOf[GraftInputPartition]
-        new GraftColumnarReader(p.absolutePath, required, sessionTz,
-          p.fills, p.aliases)
+        val filePushed =
+          if (p.aliases.isEmpty) pushed
+          else pushed.map(GraftParquetFilters.renameColumns(_,
+            p.aliases.toMap))
+        if (p.tombs.isEmpty)
+          new GraftColumnarReader(p.absolutePath, required, sessionTz,
+            p.fills, p.aliases, filePushed)
+        else {
+          // merge-on-read, still vectorized: decode the batch through
+          // the columnar reader (key column riding as a hidden
+          // trailing field when unprojected), then apply the kill set
+          // as a SELECTION over the batch — wrapper vectors index
+          // through the survivors, zero copies (the deletion-vector
+          // shape). Batches that lose no rows pass through untouched.
+          val keyType = DataType.fromJson(p.keyTypeJson)
+          val kills = GraftTombstones.killSet(p.tombs,
+            Option(p.tombKeyName).getOrElse(p.keyName), keyType)
+          val (readSchema, killIdx) =
+            required.fieldNames.indexWhere(_ == p.keyName) match {
+              case -1 => (StructType(required.fields :+
+                StructField(p.keyName, keyType, nullable = true)),
+                required.length)
+              case i => (required, i)
+            }
+          new GraftColumnarKillReader(
+            new GraftColumnarReader(p.absolutePath, readSchema,
+              sessionTz, p.fills, p.aliases, filePushed),
+            required.length, killIdx, keyType, kills)
+        }
     }
 
   override def createReader(partition: InputPartition)
@@ -1887,12 +1949,13 @@ private[connector] class GraftReaderFactory(requiredJson: String,
         aliases = p.aliases)
     else {
       val keyType = DataType.fromJson(p.keyTypeJson)
+      val tombKey = Option(p.tombKeyName).getOrElse(p.keyName)
       val kills =
         if (p.tombs.isEmpty) new java.util.HashSet[Any]()
-        else GraftTombstones.killSet(p.tombs, p.keyName, keyType)
+        else GraftTombstones.killSet(p.tombs, tombKey, keyType)
       val emits =
         if (p.preImageTombs.isEmpty) null
-        else GraftTombstones.killSet(p.preImageTombs, p.keyName,
+        else GraftTombstones.killSet(p.preImageTombs, tombKey,
           keyType)
       // the delete key must be DECODED to filter on, even when the
       // query didn't project it — read it as a hidden trailing field
@@ -2065,8 +2128,11 @@ private[connector] object GraftTombstones {
     if (cache.size() > 64) cache.clear() // bound executor memory
     val out = new java.util.HashSet[Any]()
     tombs.foreach { t =>
-      out.addAll(cache.computeIfAbsent(t.absolutePath,
-        p => load(p, keyName, keyType)))
+      // cache key includes the column read: concurrent scans may
+      // address the same tombstone file by different epoch names
+      out.addAll(cache.computeIfAbsent(
+        t.absolutePath + "#" + keyName,
+        _ => load(t.absolutePath, keyName, keyType)))
     }
     out
   }
@@ -2105,7 +2171,14 @@ private[graft] class GraftColumnarReader(file: String,
     // vectorized reader is handed the PHYSICAL-named schema — same
     // types, same order — and the resulting batch is positional, so
     // column i IS logical field i with zero copies or wrappers
-    aliases: Array[(String, String)] = Array.empty)
+    aliases: Array[(String, String)] = Array.empty,
+    // pushed filters, ALREADY translated to this file's physical
+    // names: compiled against the footer schema into a parquet
+    // FilterPredicate for ROW-GROUP pruning (the same stats-only
+    // skipping the row reader does) — Spark re-evaluates every
+    // residual on the surviving rows, so this is IO reduction with
+    // columnar decode, never semantics
+    pushed: Array[Filter] = Array.empty)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   private val requested: StructType =
@@ -2145,6 +2218,24 @@ private[graft] class GraftColumnarReader(file: String,
     conf.set(C.CASE_SENSITIVE.key, "false")
     conf.set(C.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "false")
     conf.set(C.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
+  }
+  // row-group pruning under a pushed predicate: compile against the
+  // FOOTER schema (strict name+physical-type match — schema evolution
+  // never mistranslates; unsupported shapes drop out, pruning less
+  // but never wrong) and hand it to the reader's options the way
+  // Spark's own parquet source does — getFilteredRecordCount /
+  // getRowGroups then skip disproven groups before any page IO
+  locally {
+    if (pushed.nonEmpty) {
+      val footer = {
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(file), conf))
+        try r.getFooter.getFileMetaData.getSchema finally r.close()
+      }
+      GraftParquetFilters.build(pushed, footer).foreach(p =>
+        org.apache.parquet.hadoop.ParquetInputFormat
+          .setFilterPredicate(conf, p))
+    }
   }
 
   private val reader = new VectorizedParquetRecordReader(
@@ -2197,6 +2288,124 @@ private[graft] class GraftColumnarReader(file: String,
   }
 
   override def close(): Unit = reader.close()
+}
+
+/** Merge-on-read kills WITHOUT leaving the columnar path: the inner
+  * reader decodes the full batch vectorized (the kill key riding as a
+  * hidden trailing column when the query didn't project it), the kill
+  * set marks dead rows, and survivors surface through SELECTION
+  * vectors — wrappers that remap row indices through the survivor
+  * array with ZERO value copies (the deletion-vector execution shape;
+  * Spark's `ColumnarBatch` has no native selection concept, so the
+  * indirection lives in the vector). A batch that loses no rows
+  * passes through untouched; a fully-killed batch is skipped. Key
+  * boxing mirrors [[GraftTombstones]]' row-reader loads exactly, so
+  * set membership agrees with the row path bit for bit. */
+private[graft] class GraftColumnarKillReader(
+    inner: GraftColumnarReader, emitCols: Int, killIdx: Int,
+    keyType: DataType, kills: java.util.HashSet[Any])
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private var out: ColumnarBatch = _
+
+  private def keyAt(col: ColumnVector, r: Int): Any = keyType match {
+    case LongType => col.getLong(r)
+    case IntegerType | DateType => col.getInt(r)
+    case DoubleType => col.getDouble(r)
+    case FloatType => col.getFloat(r)
+    case BooleanType => col.getBoolean(r)
+    case TimestampType | TimestampNTZType => col.getLong(r)
+    case d: DecimalType => col.getDecimal(r, d.precision, d.scale)
+    case _ => col.getUTF8String(r)
+  }
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val b = inner.get()
+      val n = b.numRows()
+      val keyCol = b.column(killIdx)
+      val sel = new Array[Int](n)
+      var m = 0
+      var r = 0
+      while (r < n) {
+        // NULL kills nothing — the read pipeline's IN-semantics rule
+        if (keyCol.isNullAt(r) || !kills.contains(keyAt(keyCol, r))) {
+          sel(m) = r; m += 1
+        }
+        r += 1
+      }
+      if (m > 0) {
+        out =
+          if (m == n && emitCols == b.numCols()) b
+          else {
+            val cols = Array.tabulate[ColumnVector](emitCols) { i =>
+              if (m == n) b.column(i)
+              else new GraftSelectionVector(b.column(i), sel)
+            }
+            val filtered = new ColumnarBatch(cols)
+            filtered.setNumRows(m)
+            filtered
+          }
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = out
+
+  override def close(): Unit = inner.close()
+}
+
+/** A [[org.apache.spark.sql.vectorized.ColumnVector]] view that remaps
+  * row indices through a selection array: `get*(i)` answers from the
+  * base vector at `sel(i)`. Nested types delegate structurally —
+  * `getArray`/`getMap` return the base's own views (child offsets are
+  * base-coordinates, valid standalone) and `getChild` wraps the child
+  * with the SAME selection, which is exactly what `ColumnarRow`'s
+  * per-field reads need. Null accounting is conservative (the base's
+  * counts bound the view's); `close` is a no-op — the inner reader
+  * owns the base vectors' lifecycle. */
+private[graft] class GraftSelectionVector(
+    base: org.apache.spark.sql.vectorized.ColumnVector,
+    sel: Array[Int])
+  extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType) {
+
+  override def close(): Unit = ()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls(): Int = base.numNulls()
+  override def isNullAt(i: Int): Boolean = base.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = base.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = base.getByte(sel(i))
+  override def getShort(i: Int): Short = base.getShort(sel(i))
+  override def getInt(i: Int): Int = base.getInt(sel(i))
+  override def getLong(i: Int): Long = base.getLong(sel(i))
+  override def getFloat(i: Int): Float = base.getFloat(sel(i))
+  override def getDouble(i: Int): Double = base.getDouble(sel(i))
+  override def getArray(i: Int)
+  : org.apache.spark.sql.vectorized.ColumnarArray =
+    base.getArray(sel(i))
+  override def getMap(i: Int)
+  : org.apache.spark.sql.vectorized.ColumnarMap = base.getMap(sel(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+  : org.apache.spark.sql.types.Decimal =
+    base.getDecimal(sel(i), precision, scale)
+  override def getUTF8String(i: Int): UTF8String =
+    base.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(sel(i))
+  override def getInterval(i: Int)
+  : org.apache.spark.unsafe.types.CalendarInterval =
+    base.getInterval(sel(i))
+  // one wrapper per struct child, built on demand and reused —
+  // ColumnarRow calls getChild per FIELD per ROW
+  private lazy val children =
+    new java.util.concurrent.ConcurrentHashMap[Integer,
+      GraftSelectionVector]()
+  override def getChild(i: Int)
+  : org.apache.spark.sql.vectorized.ColumnVector =
+    children.computeIfAbsent(i,
+      j => new GraftSelectionVector(base.getChild(j), sel))
 }
 
 private[graft] class GraftPartitionReader(file: String,
@@ -2443,6 +2652,25 @@ private[graft] class GraftPartitionReader(file: String,
     case FloatType => g.getFloat(gi, ri)
     case BooleanType => g.getBoolean(gi, ri)
     case DateType => g.getInteger(gi, ri)
+    // decimal: whichever physical encoding the writer chose for the
+    // precision (INT32 / INT64 / fixed or variable binary), rebuilt
+    // at the REQUESTED precision — a file predating a decimal(P,S) ->
+    // decimal(P',S) widening stores the same unscaled values, so the
+    // upcast is exact (scale never changes)
+    case d: DecimalType =>
+      g.getType.getType(gi).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.INT32 =>
+          org.apache.spark.sql.types.Decimal(
+            g.getInteger(gi, ri).toLong, d.precision, d.scale)
+        case PrimitiveType.PrimitiveTypeName.INT64 =>
+          org.apache.spark.sql.types.Decimal(
+            g.getLong(gi, ri), d.precision, d.scale)
+        case _ =>
+          org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(new java.math.BigInteger(
+              g.getBinary(gi, ri).getBytes), d.scale),
+            d.precision, d.scale)
+      }
     case BinaryType => g.getBinary(gi, ri).getBytes
     case StringType =>
       UTF8String.fromBytes(g.getBinary(gi, ri).getBytes)

@@ -207,6 +207,78 @@ class ChangesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a changelog stream that began before a RENAME serves every " +
+      "event kind under its run-start names: post-rename insert " +
+      "files AND post-rename tombstones translate new-physical -> " +
+      "old-logical") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      clusterKey = Some("k"))                                   // v1
+    // schema pinned NOW, under the pre-rename names (k, v)
+    val df = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("changes", "true").load()
+    SnapshotTable.renameColumn(spark, root, "k", "id")          // v2
+    SnapshotTable.append(spark, root,
+      Seq((51L, "v51")).toDF("id", "v"))                        // v3
+    SnapshotTable.mergeOnRead(spark, root,
+      Seq((7L, "dead7")).toDF("id", "v"), "id")                 // v4
+    val outDir = tmpDir()
+    val q = df.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", tmpDir()).start()
+    try q.processAllAvailable() finally q.stop()
+    val ev = spark.read.parquet(outDir)
+      .select(col("k"), col("v"), col("_change_type"),
+        col("_commit_version"))
+      .as[(Option[Long], Option[String], String, Long)]
+      .collect().toSeq
+    // post-rename INSERT files surface their keys under 'k'
+    assert(ev.filter(e => e._3 == "insert" && e._4 == 3L) ==
+      Seq((Some(51L), Some("v51"), "insert", 3L)))
+    assert(ev.filter(e => e._3 == "insert" && e._4 == 4L) ==
+      Seq((Some(7L), Some("dead7"), "insert", 4L)))
+    // the post-rename TOMBSTONE (key-only delete event, read from
+    // the tombstone file itself) surfaces its key under 'k' too —
+    // not as a silent NULL
+    assert(ev.filter(_._3 == "delete") ==
+      Seq((Some(7L), None, "delete", 4L)))
+    // and the pre-rename backfill is untouched
+    assert(ev.count(e => e._3 == "insert" && e._4 == 1L) == 50)
+    assert(ev.forall(_._1.nonEmpty))
+  }
+
+  test("preImages across a KEY-COLUMN rename: a stream that began " +
+      "before the rename resolves the tombstone's post-rename key " +
+      "name through the epochs — delete events carry full rows " +
+      "under the run-start names, stats intersection runs in each " +
+      "file's own coordinate system") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      clusterKey = Some("k"))                                   // v1
+    val df = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("changes", "true")
+      .option("preImages", "true").load()        // names: (k, v)
+    SnapshotTable.renameColumn(spark, root, "k", "id")          // v2
+    // tombstones committed AFTER the rename store their key column
+    // (and record their key-range stats) under 'id'
+    SnapshotTable.mergeOnRead(spark, root,
+      (1 to 5).map(i => (i.toLong, "upd")).toDF("id", "v"), "id") // v3
+    val outDir = tmpDir()
+    val q = df.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", tmpDir()).start()
+    try q.processAllAvailable() finally q.stop()
+    val ev = spark.read.parquet(outDir)
+      .select(col("k"), col("v"), col("_change_type"),
+        col("_commit_version"))
+      .as[(Long, String, String, Long)].collect().toSeq
+    // full pre-image rows, original values, run-start column names
+    val d = ev.filter(_._3 == "delete").sorted
+    assert(d == (1L to 5L).map(i => (i, s"v$i", "delete", 3L)),
+      s"pre-images across the key rename: $d")
+    assert(ev.count(_._3 == "insert") == 105)
+  }
+
   test("branch option: a changelog stream tails a BRANCH's commits " +
       "while the main stream stays at main's head; fast-forward then " +
       "delivers the merged commits to the main stream exactly once") {

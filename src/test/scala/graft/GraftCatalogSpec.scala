@@ -787,4 +787,77 @@ class GraftCatalogSpec extends SparkSpec {
     assert(m.group(1).toInt < m.group(2).toInt, s"no pruning: $plan")
     assert(q.collect()(0).getDouble(0) == (100 to 200).map(_ * 2.0).sum)
   }
+
+  test("multi-change ALTER is atomic in refusal: a statement that " +
+      "would fail at change 3 of its commit sequence leaves the " +
+      "table byte-identical — validated up front, before any CAS " +
+      "commit") {
+    import org.apache.spark.sql.connector.catalog.{Identifier,
+      TableCatalog, TableChange}
+    import org.apache.spark.sql.types.{IntegerType, LongType,
+      StringType}
+    spark.sql(
+      "CREATE TABLE graft.db.atomic (k BIGINT, a INT, b STRING)")
+    spark.sql("INSERT INTO graft.db.atomic VALUES (1, 10, 'x')")
+    val root = s"$warehouse/db/atomic"
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array("db"), "atomic")
+    def snapshotState() = (
+      SnapshotTable.currentVersion(spark, root),
+      SnapshotTable.read(spark, root).schema.json,
+      SnapshotTable.tableProperties(spark, root))
+    val before = snapshotState()
+
+    // the catalog commits drops, then renames, then retypes — the
+    // illegal narrow (BIGINT -> INT) is change 3 in COMMIT order.
+    // Without up-front validation the drop and rename would land as
+    // their own versions before the retype throws, half-altering the
+    // table; with it, nothing commits.
+    val e1 = intercept[IllegalArgumentException](cat.alterTable(ident,
+      TableChange.deleteColumn(Array("b"), false),
+      TableChange.renameColumn(Array("a"), "a2"),
+      TableChange.updateColumnType(Array("k"), IntegerType)))
+    assert(e1.getMessage.contains("lossless widenings"),
+      e1.getMessage)
+    assert(snapshotState() == before,
+      "a refused multi-change ALTER must leave the table untouched")
+
+    // ADD of a name dropped IN THE SAME statement: the simulation
+    // carries the statement's own ghost marker, so the collision is
+    // caught before the drop ever commits
+    val e2 = intercept[IllegalArgumentException](cat.alterTable(ident,
+      TableChange.deleteColumn(Array("a"), false),
+      TableChange.addColumn(Array("a"), IntegerType)))
+    assert(e2.getMessage.contains("compact"), e2.getMessage)
+    assert(snapshotState() == before,
+      "same-statement drop+re-add must refuse before committing")
+
+    // an unknown/unsupported change anywhere in the statement is
+    // caught up front too (it would otherwise throw AFTER the drops
+    // and renames committed)
+    val e3 = intercept[UnsupportedOperationException](
+      cat.alterTable(ident,
+        TableChange.deleteColumn(Array("b"), false),
+        TableChange.updateColumnNullability(Array("a"), false)))
+    assert(e3.getMessage.contains("nullable"), e3.getMessage)
+    assert(snapshotState() == before)
+
+    // and the green path still applies the full sequence: drop,
+    // rename, widen (the simulation tracks the rename so the retype
+    // finds 'a2'), add — one statement, four metadata commits
+    cat.alterTable(ident,
+      TableChange.deleteColumn(Array("b"), false),
+      TableChange.renameColumn(Array("a"), "a2"),
+      TableChange.updateColumnType(Array("a2"), LongType),
+      TableChange.addColumn(Array("c"), StringType))
+    val evolved = SnapshotTable.read(spark, root).schema
+    assert(evolved.fieldNames.toSeq == Seq("k", "a2", "c"),
+      evolved.fieldNames.mkString(","))
+    assert(evolved("a2").dataType == LongType)
+    assert(spark.sql(
+      "SELECT k, a2, c FROM graft.db.atomic").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))) ==
+      Seq((1L, 10L, true)))
+  }
 }

@@ -78,6 +78,40 @@ class SchemaEvolutionSpec extends SparkSpec {
       .exists(_.startsWith("graft.dropped.")))
   }
 
+  test("rename ONTO a formerly-dropped name: refused while pre-drop " +
+      "files live (ghost bytes), legal after compaction — and then " +
+      "the dropped-marker is cleared so the property surface never " +
+      "claims a live column is dropped") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a", 111), (2L, "b", 222)).toDF("k", "v", "x"))  // v1
+    SnapshotTable.dropColumns(spark, root, Seq("x"))            // v2
+    // while pre-drop files physically carry x, renaming v onto the
+    // name would serve the GHOST bytes to name-based readers
+    assert(intercept[IllegalArgumentException](
+      SnapshotTable.renameColumn(spark, root, "v", "x"))
+      .getMessage.contains("compact"))
+    // ...and the marker is armed
+    assert(SnapshotTable.tableProperties(spark, root)
+      .contains("graft.dropped.x"))
+    SnapshotTable.compact(spark, root)                          // v3
+    SnapshotTable.renameColumn(spark, root, "v", "x")           // v4
+    // the revived name serves v's values, and the marker is gone —
+    // exactly as a re-ADD would have cleared it
+    assert(SnapshotTable.read(spark, root).select("x")
+      .as[String].collect().sorted.toSeq == Seq("a", "b"))
+    assert(!SnapshotTable.tableProperties(spark, root)
+      .contains("graft.dropped.x"))
+    // the re-ADD guard on the renamed-AWAY name still fires: the
+    // compacted files (pre-rename) physically store x's values under
+    // 'v', so adding a fresh 'v' would alias two logical columns to
+    // one physical column
+    assert(intercept[IllegalArgumentException](
+      SnapshotTable.addColumns(spark, root,
+        StructType(Seq(StructField("v", StringType)))))
+      .getMessage.contains("compact"))
+  }
+
   test("drop refusals: merge-on-read tombstone key, hash-bucket " +
       "layout key, CHECK-referenced column, the last column, and an " +
       "unknown column all fail loudly") {
@@ -298,6 +332,78 @@ class SchemaEvolutionSpec extends SparkSpec {
       LongType)
     assert(spark.table("graft_sew.db.t").select("k").as[Long]
       .head() == 7L)
+  }
+
+  test("widenColumn decimal(P,S)->decimal(P',S): metadata-only, both " +
+      "file populations read exactly through BOTH paths (narrow " +
+      "physical decimals upcast at decode), ranges keep pruning, and " +
+      "scale changes / narrowing refuse") {
+    val root = tmpRoot()
+    val narrow = (1 to 10000).map(i => (i.toLong, s"$i.25"))
+      .toDF("k", "s")
+      .select(col("k"), col("s").cast("decimal(10,2)").as("price"))
+    SnapshotTable.commit(spark, root, narrow,
+      clusterKey = Some("price"))                               // v1
+    SnapshotTable.widenColumn(spark, root, "price",
+      DecimalType(24, 2))                                       // v2
+    // post-widening files store wide decimals the old precision
+    // could not hold
+    val wide = Seq((10001L, "123456789012345678.12"),
+      (10002L, "9876543210987654321.99")).toDF("k", "s")
+      .select(col("k"), col("s").cast("decimal(24,2)").as("price"))
+    SnapshotTable.append(spark, root, wide, clusterKey = Some("price"))
+    val t = readFmt(root).load()
+    assert(t.schema("price").dataType == DecimalType(24, 2))
+    // exact through the connector (vectorized) and native paths
+    val expected = (1 to 10000).map(i => BigDecimal(s"$i.25")).sum +
+      BigDecimal("123456789012345678.12") +
+      BigDecimal("9876543210987654321.99")
+    assert(BigDecimal(t.agg(sum("price")).collect()(0)
+      .getDecimal(0)) == expected)
+    assert(BigDecimal(SnapshotTable.read(spark, root).agg(sum("price"))
+      .collect()(0).getDecimal(0)) == expected)
+    // decimal-rendered ranges survive the widening (same unscaled
+    // values, same strings) and still prune under the wide predicate
+    val q = t.filter(col("price") >= BigDecimal("100.00") &&
+      col("price") <= BigDecimal("200.00"))
+    val desc = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString).get
+    assert(desc.group(1).toInt < desc.group(2).toInt,
+      s"decimal widening broke stats pruning: ${desc.matched}")
+    assert(q.count() == 100) // prices i.25 for i in 100..199
+    // MOR kill path exercises the row reader's decimal decode on
+    // both physical encodings (INT64-backed narrow, binary wide)
+    SnapshotTable.mergeOnRead(spark, root,
+      Seq((50L, "0.00"), (10001L, "0.00")).toDF("k", "s")
+        .select(col("k"), col("s").cast("decimal(24,2)").as("price")),
+      "k")                                                      // v3
+    val after = readFmt(root).load()
+    assert(after.count() == 10002)
+    assert(after.filter(col("k").isin(50L, 10001L))
+      .select("price").as[java.math.BigDecimal].collect().toSeq
+      .map(BigDecimal(_)).forall(_ == BigDecimal("0.00")))
+    // refusals: scale change (never lossless under the Iceberg
+    // rule), narrowing, and cross-kind nonsense
+    assert(intercept[IllegalArgumentException](
+      SnapshotTable.widenColumn(spark, root, "price",
+        DecimalType(30, 4))).getMessage.contains("lossless"))
+    assert(intercept[IllegalArgumentException](
+      SnapshotTable.widenColumn(spark, root, "price",
+        DecimalType(10, 2))).getMessage.contains("lossless"))
+    assert(intercept[IllegalArgumentException](
+      SnapshotTable.widenColumn(spark, root, "price", DoubleType))
+      .getMessage.contains("lossless"))
+    // SQL surface through the catalog
+    catalogFor("graft_sewd")
+    spark.sql(
+      "CREATE TABLE graft_sewd.db.t (k BIGINT, p DECIMAL(10,2))")
+    spark.sql("INSERT INTO graft_sewd.db.t VALUES (1, 12.50)")
+    spark.sql(
+      "ALTER TABLE graft_sewd.db.t ALTER COLUMN p TYPE DECIMAL(20,2)")
+    assert(spark.table("graft_sewd.db.t").schema("p").dataType ==
+      DecimalType(20, 2))
+    assert(BigDecimal(spark.table("graft_sewd.db.t").select("p")
+      .as[java.math.BigDecimal].head()) == BigDecimal("12.50"))
   }
 
   test("widenColumn float->double strips stats that would lie (a " +

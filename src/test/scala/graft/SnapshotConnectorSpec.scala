@@ -259,6 +259,23 @@ class SnapshotConnectorSpec extends SparkSpec {
       s"row groups not skipped: saw $band of $all rows for a 1/20 band")
     assert(band >= bandHi - lo + 1,
       "a kept row group can only ADD rows, never lose matches")
+    // the VECTORIZED reader observes the same row-group skip: the
+    // pushed predicate rides its parquet options, so keeping the
+    // columnar path costs no IO vs the row path
+    def rowsSeenColumnar(
+        filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+      val r = new graft.sources.connector.GraftColumnarReader(
+        abs, schema, "UTC", pushed = filters)
+      try {
+        var n = 0L; while (r.next()) n += r.get().numRows(); n
+      } finally r.close()
+    }
+    assert(rowsSeenColumnar(Array.empty) == all)
+    val bandCol = rowsSeenColumnar(Array(GreaterThanOrEqual("k", lo),
+      LessThanOrEqual("k", bandHi)))
+    assert(bandCol < all / 4,
+      s"columnar row groups not skipped: $bandCol of $all")
+    assert(bandCol >= bandHi - lo + 1)
     // end-to-end: the same band through the connector equals native
     val viaConnector = readFmt(root).load()
       .filter(col("k") >= lo && col("k") <= bandHi).count()
@@ -591,7 +608,9 @@ class SnapshotConnectorSpec extends SparkSpec {
 
   test("vectorized read path: clean scans serve ColumnarBatches " +
       "(ColumnarToRow in plan), schema evolution keeps the columnar " +
-      "path via NULL vectors, MOR and filtered scans fall back to rows") {
+      "path via NULL vectors, and PUSHED-FILTER and MOR scans stay " +
+      "columnar too — selective scans and merge-on-read are the " +
+      "dominant 100 TB shapes") {
     val root = tmpRoot()
     SnapshotTable.commit(spark, root,
       (1 to 9000).map(i => (i.toLong, i * 2.0)).toDF("k", "x"),
@@ -620,18 +639,33 @@ class SnapshotConnectorSpec extends SparkSpec {
     assert(evolved.select("x").agg(sum("x")).collect()(0).getDouble(0) ==
       SnapshotTable.read(spark, root).select("x").agg(sum("x"))
         .collect()(0).getDouble(0))
-    // pushed filter: row path (keeps parquet row-group pruning)
+    // pushed filter: STILL columnar — row-group pruning rides the
+    // vectorized reader's options instead of forcing the row path
     val filtered = readFmt(root).load().filter(col("k") <= 10)
-    assert(!filtered.queryExecution.executedPlan.toString
-      .contains("ColumnarToRow"), "filtered scan should take rows")
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"),
+      "a pushed band predicate must not de-vectorize the scan")
     assert(filtered.count() == 10)
-    // MOR: tombstoned partitions de-vectorize the scan, rows stay right
+    // MOR: kills apply as a SELECTION over the decoded batch — the
+    // scan stays columnar and bit-equals the native read
     SnapshotTable.deleteKeysOnRead(spark, root, Seq(5L).toDF("k"), "k")
     val mor = readFmt(root).load()
-    assert(!mor.queryExecution.executedPlan.toString
-      .contains("ColumnarToRow"), "MOR scan must take the row path")
+    assert(mor.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"),
+      "a MOR tombstone must not de-vectorize the scan")
     assert(mor.count() == 9000)
     assert(mor.filter(col("k") === 5L).count() == 0)
+    assert(mor.orderBy("k").collect().map(_.toSeq).toSeq ==
+      SnapshotTable.read(spark, root).orderBy("k").collect()
+        .map(_.toSeq).toSeq)
+    // MOR + pushed filter COMPOSED, columnar, exact: the unprojected
+    // kill key rides as a hidden trailing vector and never surfaces
+    val both = readFmt(root).load().filter(col("k").between(1, 20))
+      .select("x")
+    assert(both.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"))
+    assert(both.collect().map(_.getDouble(0)).sorted.toSeq ==
+      (1 to 20).filter(_ != 5).map(_ * 2.0).sorted)
   }
 
   test("OFFSET pushdown drops whole head files plus an exact in-file " +

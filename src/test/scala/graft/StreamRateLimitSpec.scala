@@ -249,4 +249,49 @@ class StreamRateLimitSpec extends SparkSpec {
         s"rate-limited drain lost or duplicated rows (got ${got.size})")
     } finally q.stop()
   }
+
+  test("preImages changelog under admission control: a capped " +
+      "AvailableNow drain delivers every insert AND every full-row " +
+      "delete event exactly once, batches bounded by the cap") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 60).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .repartition(3), clusterKey = Some("k"))                // v1: 3 files
+    SnapshotTable.mergeOnRead(spark, root,
+      (1 to 8).map(i => (i.toLong, "upd")).toDF("k", "v"), "k") // v2
+    SnapshotTable.mergeOnRead(spark, root,
+      (4 to 6).map(i => (i.toLong, "upd2")).toDF("k", "v"), "k") // v3
+    val outDir = tmpDir()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("changes", "true")
+      .option("preImages", "true")
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", tmpDir())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val progressed = q.recentProgress.filter(_.numInputRows > 0)
+      assert(progressed.length >= 3,
+        s"1-file batches must split the drain, got " +
+          s"${progressed.map(p => p.batchId -> p.numInputRows).toSeq}")
+      val ev = spark.read.parquet(outDir)
+        .select(col("k"), col("v"), col("_change_type"),
+          col("_commit_version"))
+        .as[(Long, String, String, Long)].collect().toSeq
+      // exactly the unthrottled event set: 60 + 8 + 3 inserts; v2
+      // pre-images the originals, v3 pre-images v2's replacements
+      assert(ev.count(_._3 == "insert") == 71,
+        s"inserts: ${ev.count(_._3 == "insert")}")
+      val d2 = ev.filter(e => e._3 == "delete" && e._4 == 2L).sorted
+      assert(d2 == (1L to 8L).map(i => (i, s"v$i", "delete", 2L)),
+        s"v2 deletes: $d2")
+      val d3 = ev.filter(e => e._3 == "delete" && e._4 == 3L).sorted
+      assert(d3 == (4L to 6L).map(i => (i, "upd", "delete", 3L)),
+        s"v3 deletes: $d3")
+      assert(ev.size == 71 + 8 + 3, s"duplicated events: ${ev.size}")
+    } finally q.stop()
+  }
 }
