@@ -63,6 +63,7 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .filter(_ >= 1).getOrElse(3)
+    val benchStart = System.currentTimeMillis()
     def timeOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
     : Double = ConfIsolation.restoring(spark) {
@@ -82,6 +83,12 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+      // ... and what it left on DISK: single-use snapshot tables from
+      // the write family accumulate gigabytes across the full run,
+      // and their async writeback steals IO from later timed queries
+      // (measured as the write-family median-vs-min skew in
+      // full-suite runs). Dead-by-construction, so sweep them.
+      graft.sources.Sources.sweepBenchTemp(benchStart)
       t
     }
     def median(sorted: Seq[Double]): Double = {

@@ -47,6 +47,37 @@ object Sources {
   private def uniqueName(prefix: String): String =
     s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
 
+  /** Bench-only hygiene (called by [[graft.Bench]] between timings):
+    * every write-family query materializes a SINGLE-USE table — a
+    * unique name in the process warehouse or its own `graft-*` temp
+    * root — so a full 171-query × N-rep run accumulates gigabytes of
+    * dead table bytes whose dirty-page writeback competes with later
+    * timed queries (the measured source of the write-family
+    * median-vs-min skew in full-suite runs; isolated reruns sit at
+    * ≤1.25×). Deletes this RUN's dead roots only: `graft-*` tmpdirs
+    * modified after `since` (prior runs' dirs are long flushed and
+    * cost nothing), never the live warehouse itself, and the
+    * accumulated tables INSIDE the warehouse while keeping the
+    * namespace dirs. Single-use-per-invocation makes this safe: no
+    * bench query ever reads another invocation's table. */
+  def sweepBenchTemp(since: Long): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    val wh = new java.io.File(catalogWarehouse)
+    val whPath = wh.getCanonicalPath
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles()).foreach(_.foreach { d =>
+      if (d.getName.startsWith("graft-") && d.isDirectory &&
+          d.lastModified() >= since &&
+          d.getCanonicalPath != whPath) rm(d)
+    })
+    Option(wh.listFiles()).foreach(_.foreach { ns =>
+      if (ns.isDirectory) Option(ns.listFiles()).foreach(_.foreach(rm))
+    })
+  }
+
   // ---- streaming source builders (S1/S2) ----
 
   /** Reference-parity Kafka reader: subscribe, latest offsets, no fail
@@ -853,6 +884,45 @@ object Sources {
           min(col("p_partkey")).as("min_key"))
         .orderBy("grp")
     }),
+    // DECIMAL WIDENING under the oracle: commit orders with a
+    // DECIMAL(12,2) price (string-built, so Spark and DuckDB parse
+    // bit-identical values — no double->decimal rounding in play),
+    // ALTER COLUMN TYPE DECIMAL(24,2) — metadata-only; old files
+    // keep their narrow physical pages and the scan upcasts at
+    // decode — then append rows born wide (values past 12 digits)
+    // and filter + aggregate on the widened column, so the
+    // decimal-rendered range stats prune under the wide predicate.
+    "snapshot_widen_decimal" -> ((s, dir) => {
+      val wh = catalogWarehouse
+      val t = uniqueName("ord_wdec")
+      s.conf.set("spark.sql.catalog.graft_wdd",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_wdd.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wdd.db")
+      val root = s"$wh/db/$t"
+      val o = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          concat(col("o_orderkey") % 100000L, lit(".25"))
+            .cast("decimal(12,2)").as("price"))
+      SnapshotTable.commit(s, root, o)                        // v1
+      s.sql(s"ALTER TABLE graft_wdd.db.$t " +
+        "ALTER COLUMN price TYPE DECIMAL(24,2)")              // v2
+      SnapshotTable.append(s, root,
+        o.filter(col("o_orderkey") % 89 === 0 &&
+            col("o_orderkey") > 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            col("o_orderstatus"),
+            (col("price") + lit("1000000000000.00")
+              .cast("decimal(24,2)")).cast("decimal(24,2)")
+              .as("price")))                                  // v3
+      s.table(s"graft_wdd.db.$t")
+        .filter(col("price") >= lit("1000.00").cast("decimal(24,2)"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("decimal(38,2)").as("sum_price"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy("o_orderstatus")
+    }),
     // RENAME COLUMN under the oracle: commit orders, ALTER TABLE
     // RENAME COLUMN o_totalprice TO price — a metadata-only commit
     // recording a physical-name epoch; pre-rename files still store
@@ -1518,6 +1588,27 @@ object Sources {
         |FROM evolved WHERE p_size >= 10
         |GROUP BY p_partkey % 7
         |ORDER BY grp""".stripMargin,
+    "snapshot_widen_decimal" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CONCAT(CAST(o_orderkey % 100000 AS STRING), '.25')
+        |      AS DECIMAL(12,2)) AS price
+        |  FROM orders),
+        |evolved AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(price AS DECIMAL(24,2)) AS price FROM base
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_orderstatus,
+        |    CAST(CAST(price AS DECIMAL(24,2)) +
+        |      CAST('1000000000000.00' AS DECIMAL(24,2))
+        |      AS DECIMAL(24,2))
+        |  FROM base WHERE o_orderkey % 89 = 0 AND o_orderkey > 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(price) AS DECIMAL(38,2)) AS sum_price,
+        |  min(o_orderkey) AS min_key
+        |FROM evolved WHERE price >= CAST('1000.00' AS DECIMAL(24,2))
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "snapshot_rename_column" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus,

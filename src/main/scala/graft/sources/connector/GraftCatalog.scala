@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -305,9 +305,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables are laid out by commit-time clustering " +
-        "(clusterKey / Z-order on the write), not PARTITIONED BY")
+    // PARTITIONED BY (bucket(n, k) [, bucket(m, j) ...]) declares the
+    // hash-bucket grid layout in pure SQL — the same declaration
+    // commitBucketed records natively. Every later INSERT lands
+    // INSIDE the layout (the write builder reads it from the table
+    // properties), the scan reports KeyGroupedPartitioning, and a
+    // join between two such tables runs with ZERO exchange (SPJ).
+    // Anything except bucket transforms refuses: graft has no
+    // hive-style directory partitions — value clustering is the
+    // write-time clusterKey/Z-order job.
+    val bucketLayout: Seq[(String, Int)] = partitions.toSeq.map { t =>
+      require(t.name().equalsIgnoreCase("bucket"),
+        "graft tables are laid out by hash buckets (PARTITIONED BY " +
+          "(bucket(n, col))) or commit-time clustering (clusterKey / " +
+          s"Z-order on the write) — '${t.describe()}' is neither")
+      val n = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value() match {
+            case i: java.lang.Integer => i.intValue()
+            case l2: java.lang.Long => l2.intValue()
+            case other => throw new IllegalArgumentException(
+              s"bucket count must be an integer, got $other")
+          }
+      }.getOrElse(throw new IllegalArgumentException(
+        s"bucket transform needs a count: ${t.describe()}"))
+      val refs = t.arguments().collect { case r: NamedReference => r }
+      require(refs.length == 1 && refs.head.fieldNames().length == 1,
+        s"bucket takes exactly one top-level column: ${t.describe()}")
+      require(n > 0, s"bucket count must be positive: ${t.describe()}")
+      val col = refs.head.fieldNames().head
+      val fd = schema.fields.find(_.name.equalsIgnoreCase(col))
+        .getOrElse(throw new IllegalArgumentException(
+          s"bucket column '$col' is not in the table schema"))
+      (fd.name, n)
+    }
+    require(bucketLayout.map(_._1.toLowerCase(java.util.Locale.ROOT))
+      .distinct.size == bucketLayout.size,
+      "each column may appear in at most one bucket transform")
     val root = rootOf(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     schema.fields.foreach(f =>
@@ -315,6 +349,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft-snapshot does not support ${f.dataType.simpleString} " +
           s"column '${f.name}'"))
     SnapshotTable.createEmpty(spark, root, schema)
+    if (bucketLayout.nonEmpty)
+      SnapshotTable.setProperties(spark, root,
+        SnapshotTable.tableProperties(spark, root) ++ Map(
+          "graft.bucket.key" -> bucketLayout.map(_._1).mkString(","),
+          "graft.bucket.count" -> bucketLayout.map(_._2).mkString(",")))
     // persist the table-behavior TBLPROPERTIES (write.* / graft.*):
     // `write.delete.mode` / `write.update.mode` / `write.merge.mode`
     // = merge-on-read select delta row-level commits, write.merge.key
@@ -1140,12 +1179,17 @@ private[connector] class GraftMetadataTable(fullName: String,
             .getOrElse(SnapshotTable.currentVersion(s, root))
           val entries = SnapshotTable.manifest(s, root, v)
           val nData = entries.count(_.kind == "d").toLong
+          val nTombs = entries.count(_.kind == "t").toLong
           val data = SnapshotTable.statsSummary(entries,
             GraftSnapshotSource.schemaOf(s, root, v)).map {
             case (c, ndv, nulls, mn, mx, sk) =>
+              // live tombstones make every value-based number an
+              // upper bound over the LIVE rows — flag it
+              val stale = nTombs > 0 &&
+                (ndv.isDefined || nulls.isDefined || mn.isDefined)
               Row(c, ndv.map(Long.box).orNull,
                 nulls.map(Long.box).orNull,
-                mn.orNull, mx.orNull, sk, nData)
+                mn.orNull, mx.orNull, sk, nData, nTombs, stale)
           }
           localRows(data, GraftMetadataTable.StatsSchema)
         case "properties" =>
@@ -1229,7 +1273,14 @@ private[connector] object GraftMetadataTable {
     StructField("min", StringType, nullable = true),
     StructField("max", StringType, nullable = true),
     StructField("sketched_files", LongType, nullable = false),
-    StructField("data_files", LongType, nullable = false)))
+    StructField("data_files", LongType, nullable = false),
+    // merge-on-read staleness: value-based stats (NDV, null counts,
+    // ranges) describe the DATA FILES and cannot see tombstone
+    // deletes — with live tombstones they are sound UPPER bounds
+    // (deletes only remove values), exact again after compaction.
+    // `stale` flags exactly the rows whose numbers carry that caveat.
+    StructField("live_tombstones", LongType, nullable = false),
+    StructField("stale", BooleanType, nullable = false)))
 }
 
 /** Column DEFAULT persistence. A default is two table properties:

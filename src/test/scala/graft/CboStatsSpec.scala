@@ -371,6 +371,32 @@ class CboStatsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"MOR dim must still broadcast:\n${plan.take(2000)}")
     assert(j.count() == 1197)
+    // ...and the staleness is VISIBLE: t.stats flags every column
+    // whose value-based numbers predate the live tombstones, names
+    // the tombstone count, and clears the flag after compaction
+    // rewrites the files
+    val staleRows = spark.sql(
+      "SELECT column, live_tombstones, stale " +
+        "FROM graftcbo.db.mordim.stats").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(staleRows.values.forall(_._1 == 1L),
+      s"one live tombstone expected: $staleRows")
+    assert(staleRows("k")._2,
+      s"value-based stats under live tombstones must flag stale: " +
+        s"$staleRows")
+    // grp2 carries NO value-based stats (auto mode sketches only the
+    // cluster key; strings get no ranges) — nothing to be stale
+    assert(!staleRows("grp2")._2,
+      s"a column without value stats has nothing stale: $staleRows")
+    SnapshotTable.compact(spark, dimRoot)
+    val fresh = spark.sql(
+      "SELECT column, live_tombstones, stale " +
+        "FROM graftcbo.db.mordim.stats").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(fresh.values.forall(v => v._1 == 0L && !v._2),
+      s"compaction must clear the staleness flag: $fresh")
   }
 
   test("histogram MAINTENANCE rides auto-analyze: an append past the " +

@@ -160,6 +160,71 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("pure-SQL bucketed DDL: CREATE TABLE ... PARTITIONED BY " +
+      "(bucket(n, k)) records the same layout commitBucketed " +
+      "declares, INSERT INTO lands inside it, and two tables created " +
+      "and populated by SQL alone join with ZERO exchange") {
+    spark.sql(
+      """CREATE TABLE graftspj.db.sqlfact (k BIGINT, v DOUBLE)
+        |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graftspj.db.sqldim (k BIGINT, name STRING)
+        |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    // the DDL recorded exactly the commitBucketed property shape
+    val props = SnapshotTable.tableProperties(spark,
+      s"$warehouse/db/sqlfact")
+    assert(props.get("graft.bucket.key").contains("k"), props)
+    assert(props.get("graft.bucket.count").contains("8"), props)
+    spark.sql("INSERT INTO graftspj.db.sqlfact " +
+      "SELECT id % 997, id * 1.0 FROM range(0, 20000)")
+    spark.sql("INSERT INTO graftspj.db.sqldim " +
+      "SELECT id, concat('d', id) FROM range(0, 997)")
+    // every data file carries its bucket id — the inserts landed
+    // INSIDE the declared layout, not as layout-less stragglers
+    val man = SnapshotTable.manifest(spark, s"$warehouse/db/sqlfact",
+      SnapshotTable.currentVersion(spark, s"$warehouse/db/sqlfact"))
+    man.filter(_.kind == "d").foreach(e =>
+      assert(e.statsFor("__bucket").isDefined,
+        s"SQL INSERT landed ${e.path} outside the bucket layout"))
+    withSpj {
+      val j = spark.sql(
+        """SELECT f.k, f.v, d.name FROM graftspj.db.sqlfact f
+          |JOIN graftspj.db.sqldim d ON f.k = d.k""".stripMargin)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"SQL-declared bucket layout still shuffles:\n" +
+          plan.take(2000))
+      assert(j.count() == 20000)
+    }
+    // a composite grid declares per-key transforms the same way
+    spark.sql(
+      """CREATE TABLE graftspj.db.sqlgrid (a BIGINT, b BIGINT,
+        |v DOUBLE) PARTITIONED BY (bucket(4, a), bucket(2, b))"""
+        .stripMargin)
+    val gprops = SnapshotTable.tableProperties(spark,
+      s"$warehouse/db/sqlgrid")
+    assert(gprops.get("graft.bucket.key").contains("a,b"), gprops)
+    assert(gprops.get("graft.bucket.count").contains("4,2"), gprops)
+    // refusals: hive-style identity partitions (Spark may wrap the
+    // catalog's refusal in an AnalysisException), unknown columns,
+    // duplicate keys
+    val idErr = intercept[Exception](spark.sql(
+      "CREATE TABLE graftspj.db.badpart (k BIGINT) PARTITIONED BY (k)"))
+    assert((idErr.getMessage +
+      Option(idErr.getCause).fold("")(_.getMessage)).contains("bucket"),
+      idErr.getMessage)
+    val colErr = intercept[Exception](spark.sql(
+      "CREATE TABLE graftspj.db.badcol (k BIGINT) " +
+        "PARTITIONED BY (bucket(4, nope))"))
+    assert(colErr.getMessage.contains("nope"), colErr.getMessage)
+    val dupErr = intercept[Exception](spark.sql(
+      "CREATE TABLE graftspj.db.baddup (k BIGINT) " +
+        "PARTITIONED BY (bucket(4, k), bucket(8, k))"))
+    assert((dupErr.getMessage +
+      Option(dupErr.getCause).fold("")(_.getMessage))
+      .matches("(?s).*(at most one|[Dd]uplicate).*"), dupErr.getMessage)
+  }
+
   test("SQL INSERT INTO a composite-grid table records stats for " +
       "EVERY grid key: the appended files carry NDV sketches and a " +
       "range for the secondary key too, so table-wide NDV (all-files " +
