@@ -2024,6 +2024,15 @@ private[connector] object GraftParquetFilters {
     case _ => None
   }
 
+  /** The file column's DECIMAL scale, when it is decimal-annotated. */
+  private def decimalScale(
+      t: org.apache.parquet.schema.Type): Option[Int] =
+    t.asPrimitiveType().getLogicalTypeAnnotation match {
+      case d: org.apache.parquet.schema.LogicalTypeAnnotation
+        .DecimalLogicalTypeAnnotation => Some(d.getScale)
+      case _ => None
+    }
+
   /** One comparison leaf, or None when the file/column/literal shape
     * does not line up exactly. */
   private def leaf(schema: MessageType, c: String, v: Any,
@@ -2089,6 +2098,43 @@ private[connector] object GraftParquetFilters {
           case "lt" => FilterApi.lt(col, b)
           case "ltEq" => FilterApi.ltEq(col, b)
         })
+      // DECIMAL stored compact (INT32 for p<=9, INT64 for p<=18 — the
+      // overwhelmingly common shapes): compare UNSCALED values at the
+      // FILE's scale. The literal must re-scale exactly (trailing
+      // zeros only) — a finer-scaled literal drops out rather than
+      // round; unscaled order == decimal order at equal scale, so a
+      // kept leaf can never wrong-prune. FLBA decimals stay
+      // untranslated (residual evaluation keeps them exact).
+      case (INT32, bd: java.math.BigDecimal)
+        if decimalScale(t).isDefined =>
+        scala.util.Try[FilterPredicate] {
+          val u = java.lang.Integer.valueOf(bd
+            .setScale(decimalScale(t).get).unscaledValue()
+            .intValueExact())
+          val col = FilterApi.intColumn(c)
+          op match {
+            case "eq" => FilterApi.eq(col, u)
+            case "gt" => FilterApi.gt(col, u)
+            case "gtEq" => FilterApi.gtEq(col, u)
+            case "lt" => FilterApi.lt(col, u)
+            case "ltEq" => FilterApi.ltEq(col, u)
+          }
+        }.toOption
+      case (INT64, bd: java.math.BigDecimal)
+        if decimalScale(t).isDefined =>
+        scala.util.Try[FilterPredicate] {
+          val u = java.lang.Long.valueOf(bd
+            .setScale(decimalScale(t).get).unscaledValue()
+            .longValueExact())
+          val col = FilterApi.longColumn(c)
+          op match {
+            case "eq" => FilterApi.eq(col, u)
+            case "gt" => FilterApi.gt(col, u)
+            case "gtEq" => FilterApi.gtEq(col, u)
+            case "lt" => FilterApi.lt(col, u)
+            case "ltEq" => FilterApi.ltEq(col, u)
+          }
+        }.toOption
       case _ => None
     }
   }

@@ -282,6 +282,89 @@ class SnapshotConnectorSpec extends SparkSpec {
     assert(viaConnector == bandHi - lo + 1)
   }
 
+  test("row-group pruning on DECIMAL columns: a band predicate over " +
+      "an INT64-backed decimal compares UNSCALED values at the " +
+      "file's scale and skips whole groups; a finer-scaled literal " +
+      "drops out (prunes less, never wrong)") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual,
+      LessThanOrEqual}
+    import org.apache.spark.sql.types.{DecimalType, LongType,
+      StructField, StructType}
+    val root = tmpRoot()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 64 * 1024)
+    try {
+      SnapshotTable.commit(spark, root,
+        (1 to 200000).map(i => (i.toLong, s"$i.25"))
+          .toDF("k", "s")
+          .select(col("k"),
+            col("s").cast("decimal(12,2)").as("price"),
+            concat(lit("pad_pad_pad_"), col("k")).as("pad")),
+        clusterKey = Some("price"))
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+    }
+    val entries = SnapshotTable.manifest(spark, root, 1L)
+      .filter(_.kind == "d")
+    val big = entries.maxBy(_.rows.getOrElse(0L))
+    assert(big.rows.exists(_ > 10000), s"fixture file too small: $big")
+    val abs = new org.apache.hadoop.fs.Path(root, big.path).toString
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("price", DecimalType(12, 2))))
+    def rowsSeen(filters: Array[org.apache.spark.sql.sources.Filter])
+    : Long = {
+      val r = new graft.sources.connector.GraftPartitionReader(
+        abs, schema, 2, -1, null, filters)
+      try { var n = 0L; while (r.next()) n += 1; n } finally r.close()
+    }
+    val all = rowsSeen(Array.empty)
+    assert(all == big.rows.get)
+    val (dlo, dhi) = (BigDecimal(big.statsFor("price").get._1),
+      BigDecimal(big.statsFor("price").get._2))
+    val bandHi = (dlo + (dhi - dlo) / 20).setScale(2,
+      BigDecimal.RoundingMode.DOWN)
+    val band = rowsSeen(Array(
+      GreaterThanOrEqual("price", dlo.bigDecimal),
+      LessThanOrEqual("price", bandHi.bigDecimal)))
+    assert(band < all / 4,
+      s"decimal row groups not skipped: saw $band of $all")
+    // every match survives: kept groups can only ADD rows
+    val matches = spark.read.parquet(abs)
+      .filter(col("price").geq(dlo.bigDecimal) &&
+        col("price").leq(bandHi.bigDecimal)).count()
+    assert(band >= matches, s"band=$band matches=$matches")
+    // a literal the file's scale cannot represent exactly refuses to
+    // translate: full scan, never a wrong skip
+    val finer = rowsSeen(Array(GreaterThanOrEqual("price",
+      new java.math.BigDecimal("100.005"))))
+    assert(finer == all,
+      s"finer-scaled literal must drop out of the conjunction: $finer")
+    // the columnar path observes the same skip through its options
+    def rowsSeenColumnar(
+        filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+      val r = new graft.sources.connector.GraftColumnarReader(
+        abs, schema, "UTC", pushed = filters)
+      try {
+        var n = 0L; while (r.next()) n += r.get().numRows(); n
+      } finally r.close()
+    }
+    val bandCol = rowsSeenColumnar(Array(
+      GreaterThanOrEqual("price", dlo.bigDecimal),
+      LessThanOrEqual("price", bandHi.bigDecimal)))
+    assert(bandCol < all / 4 && bandCol >= matches,
+      s"columnar decimal skip: $bandCol of $all, matches=$matches")
+    // end-to-end: the same band through the connector equals native
+    val viaConnector = readFmt(root).load()
+      .filter(col("price").geq(dlo.bigDecimal) &&
+        col("price").leq(bandHi.bigDecimal)).count()
+    val native = SnapshotTable.read(spark, root)
+      .filter(col("price").geq(dlo.bigDecimal) &&
+        col("price").leq(bandHi.bigDecimal)).count()
+    assert(viaConnector == native && viaConnector == matches)
+  }
+
   test("complete aggregate pushdown: ungrouped COUNT(*)/MIN/MAX " +
       "answer from the manifest alone — still correct after the data " +
       "directory is moved away, proving zero data IO") {
