@@ -640,6 +640,11 @@ object SnapshotTable {
     val maxCols = spark.conf.getOption("spark.graft.stats.ndv.maxColumns")
       .map(_.toInt).getOrElse(16)
     schema.fields.toSeq
+      // "__"-prefixed columns are write-path internals (e.g. the
+      // identity-partition value directory, which partition discovery
+      // re-surfaces when the stats pass reads a nested segment) —
+      // never table columns, never sketched
+      .filterNot(_.name.startsWith("__"))
       .filter(f => graft.functions.Hll.hashableTypes.contains(f.dataType))
       .filter(f => mode == "all" ||
         passCols.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
@@ -706,18 +711,24 @@ object SnapshotTable {
             smax(col(s"__ze$i")).cast("string").as(s"__hie$i"))) ++
           ndvCols.indices.map(i => expr(
             s"graft_hll_sketch(__n$i, $NdvPrecision)").as(s"__ndv$i"))
+        // keyed by parent/name, not bare name: an identity-partitioned
+        // segment nests files under value directories, and one task
+        // writing several values reuses its part number in each — the
+        // bare file name is no longer unique within a segment
+        def fileKey(p: Path): String =
+          s"${p.getParent.getName}/${p.getName}"
         val statRows = segDf
           .select(cols: _*)
           .groupBy(col("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .map(r => new Path(r.getAs[String]("__f")).getName -> r)
+          .map(r => fileKey(new Path(r.getAs[String]("__f"))) -> r)
           .toMap
         def ndvOf(r: org.apache.spark.sql.Row): Seq[(String, Array[Byte])] =
           ndvCols.zipWithIndex.flatMap { case (fd, i) =>
             Option(r.getAs[Array[Byte]](s"__ndv$i")).map(fd.name -> _) }
         rel.map { p =>
-          statRows.get(new Path(p).getName) match {
+          statRows.get(fileKey(new Path(p))) match {
             case None => FileEntry(p, clusterKey, None, None)
             case Some(r) =>
               val lo = clusterKey.flatMap(_ =>
@@ -1464,6 +1475,111 @@ object SnapshotTable {
     val ids = manifest(spark, root, v)
       .flatMap(_.statsFor(key)).map(_._1.toLong)
     if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** IDENTITY partitioning (Iceberg's `PARTITIONED BY (col)`): every
+    * data file holds exactly ONE value of `key` — the manifest then
+    * records min == max per file, so (a) partition pruning is EXACT,
+    * (b) `GROUP BY key` is answerable from the manifest alone (zero
+    * data IO — at 100 TB, "rows per day" over a petabyte becomes a
+    * metadata read), and (c) the scan reports
+    * `KeyGroupedPartitioning(identity(key))`, so same-partitioned
+    * tables join and aggregate with zero exchange. Unlike Hive/Iceberg
+    * the partition column stays IN the data files (the value
+    * directory is a write-time splitting device, not the value's
+    * storage), so every reader — row, columnar, time travel, MOR —
+    * works unchanged. NULL partition values are refused, like the
+    * bucket layout: the layout has no partition for NULL. */
+  def commitPartitioned(spark: SparkSession, root: String,
+      df: DataFrame, key: String, maxRetries: Int = 5): Long = {
+    val (seg, entries) = stagePartitioned(spark, root, df, key)
+    val v = replaceStaged(spark, root, seg, entries, df.schema,
+      maxRetries)
+    setProperties(spark, root, tableProperties(spark, root) +
+      ("graft.partition.key" -> key))
+    v
+  }
+
+  /** APPEND a batch INTO the table's declared identity-partition
+    * layout: new files land value-pure (one partition value per
+    * file), so manifest GROUP BY answers and storage-partitioned
+    * joins survive ingest. A plain `append` stays legal but adds
+    * value-impure files, degrading both to ordinary scans until
+    * compaction re-partitions. */
+  def appendPartitioned(spark: SparkSession, root: String,
+      df: DataFrame, maxRetries: Int = 5,
+      txn: Option[(String, Long)] = None): Long = {
+    val key = partitionKeyOf(tableProperties(spark, root)).getOrElse(
+      throw new IllegalArgumentException(
+        s"appendPartitioned: $root has no identity-partition layout " +
+          "(commitPartitioned first)"))
+    val (seg, entries) = stagePartitioned(spark, root, df, key)
+    val marked = txn.fold(entries) { case (app, batch) =>
+      entries.map(e => e.copy(extraStats = e.extraStats :+
+        (s"__txn:$app", batch.toString, batch.toString)))
+    }
+    appendStaged(spark, root, seg, marked, df.schema, maxRetries)
+  }
+
+  private[graft] def partitionKeyOf(
+      props: Map[String, String]): Option[String] =
+    props.get("graft.partition.key")
+
+  /** Identity-partition types: exactly the grouping/pruning domain —
+    * the manifest's string-rendered stats must round-trip the value
+    * losslessly and order correctly under [[statOrdering]]. */
+  private[graft] def partitionableType(dt: DataType): Boolean =
+    dt match {
+      case IntegerType | LongType | ShortType | ByteType |
+           StringType | DateType => true
+      case _ => false
+    }
+
+  /** Stage `df` as a VALUE-PURE segment: same-value rows co-locate
+    * (hash repartition on the key), then a per-value dynamic split
+    * writes one file per distinct value per task — a duplicated
+    * "__pv" column drives the split so the REAL column stays in the
+    * parquet files. Huge values still split soundly: Spark's
+    * `maxRecordsPerFile` rolls files WITHIN a value directory, and
+    * every resulting file remains value-pure. */
+  private[sources] def stagePartitioned(spark: SparkSession,
+      root: String, df: DataFrame, key: String)
+  : (Path, Seq[FileEntry]) = {
+    val field = df.schema.fields
+      .find(_.name.equalsIgnoreCase(key))
+      .getOrElse(throw new IllegalArgumentException(
+        s"partition key '$key' is not a column of the batch"))
+    require(partitionableType(field.dataType),
+      s"identity partitioning does not support ${field.dataType
+        .simpleString} keys (int/long/short/byte/string/date)")
+    val seg = newSegmentPath(root)
+    df.repartition(col(bq(field.name)))
+      .withColumn("__pv", col(bq(field.name)))
+      .write.partitionBy("__pv").mode("error").parquet(seg.toString)
+    val f = fs(spark, root)
+    // dynamic-partition writes route NULL keys to the default
+    // directory — detect and refuse AFTER the write (zero extra pass
+    // over the batch; the segment is unpublished, so deleting it
+    // undoes everything)
+    val nullDir = new Path(seg, "__pv=__HIVE_DEFAULT_PARTITION__")
+    if (f.exists(nullDir)) {
+      f.delete(seg, true)
+      throw new IllegalArgumentException(
+        "NULL partition key in an identity-partitioned write (the " +
+          "layout has no partition for NULL)")
+    }
+    val parts = f.listStatus(seg).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("__pv="))
+      .flatMap(d => f.listStatus(d.getPath).toSeq)
+      .filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .sortBy(st => (st.getPath.getParent.getName, st.getPath.getName))
+    val rel = parts.map(st =>
+      s"_data/${seg.getName}/${st.getPath.getParent.getName}/" +
+        st.getPath.getName)
+    (seg, statsEntries(spark, root, seg, rel, Some(field.name), None))
   }
 
   /** The grid-cell id of a key tuple: per-key `pmod(murmur3(k_i),
@@ -3717,13 +3833,20 @@ object SnapshotTable {
     // (unless the caller overrides with an explicit clusterKey):
     // rewriting a bucketed table unbucketed would silently demote its
     // storage-partitioned joins to shuffles
-    val bucketLayout =
-      if (clusterKey.isDefined) None
-      else bucketLayoutOf(tableProperties(spark, root))
-    val (seg, newEntries) = (clusterKey, bucketLayout) match {
-      case (_, Some(layout)) =>
+    val props =
+      if (clusterKey.isDefined) Map.empty[String, String]
+      else tableProperties(spark, root)
+    val bucketLayout = bucketLayoutOf(props)
+    // a declared identity-partition layout is preserved the same way:
+    // rewriting value-pure files impure would silently demote manifest
+    // GROUP BY answers and storage-partitioned joins to full scans
+    val partitionKey = partitionKeyOf(props)
+    val (seg, newEntries) = (clusterKey, bucketLayout, partitionKey) match {
+      case (_, Some(layout), _) =>
         stageBucketed(spark, root, snapshot, layout)
-      case (Some(_), _) =>
+      case (_, _, Some(pk)) =>
+        stagePartitioned(spark, root, snapshot, pk)
+      case (Some(_), _, _) =>
         stageSegment(spark, root, snapshot, clusterKey, nFiles,
           inherited)
       case _ =>

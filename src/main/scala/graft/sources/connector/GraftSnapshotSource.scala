@@ -18,7 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
@@ -404,7 +404,8 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
-  private var aggAnswer: Option[(StructType, Array[String], String)] = None
+  private var aggAnswer
+  : Option[(StructType, Array[Array[String]], String)] = None
   private var limitKept: Option[(Seq[FileEntry], String)] = None
   private var limitIsTopN = false
   // (files surviving the skip, rows still to skip in the FIRST one, desc)
@@ -468,11 +469,17 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
   /** COMPLETE aggregate pushdown answered from the MANIFEST — zero
     * data files opened. Scope: ungrouped COUNT(*) from the per-file
     * footer row counts, MIN/MAX on a column every data file carries
-    * min/max stats for (cluster or Z-order key). Declines whenever
-    * the manifest cannot answer EXACTLY: any tombstone present (a
-    * merge-on-read count must read the delete vectors), any file
-    * missing a count or the column's stats, a residual-able pushed
-    * filter, a GROUP BY, or an unorderable column type — Spark then
+    * min/max stats for (cluster or Z-order key); and GROUP BY one
+    * column when every data file is VALUE-PURE on it (recorded
+    * min == max, zero nulls — identity-partitioned tables by
+    * construction), where COUNT(*)/COUNT(key)/MIN(key)/MAX(key) per
+    * group reduce to sums of footer counts and the constants
+    * themselves. At 100 TB that turns "rows per day over a petabyte"
+    * into a pure metadata read. Declines whenever the manifest cannot
+    * answer EXACTLY: any tombstone present (a merge-on-read count
+    * must read the delete vectors), any file missing a count or the
+    * column's stats, a residual-able pushed filter, a value-impure
+    * file under GROUP BY, or an unorderable column type — Spark then
     * plans the ordinary scan and the answer is computed from rows. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     tryAnswer(agg).isDefined
@@ -483,8 +490,9 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
   }
 
   private def tryAnswer(agg: Aggregation)
-  : Option[(StructType, Array[String], String)] = {
-    if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
+  : Option[(StructType, Array[Array[String]], String)] = {
+    if (pushed.nonEmpty) return None
+    if (agg.groupByExpressions().nonEmpty) return tryGrouped(agg)
     val spark = SparkSession.active
     val entries = viewedEntries(spark)._1
     val (tombs, data) = entries.partition(_.kind == "t")
@@ -531,8 +539,79 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
       case _ => return None
     }
     Some((StructType(answered.map(_._1)),
-      answered.map(_._2).toArray,
+      Array(answered.map(_._2).toArray),
       answered.map(_._1.name).mkString(", ")))
+  }
+
+  /** GROUP BY pushdown: sound exactly when every data file is
+    * value-pure on the group column — each file then belongs to ONE
+    * group, and per-group aggregates are sums/constants over the
+    * manifest. The output schema is `group column :: aggregate
+    * columns` (Spark's complete-pushdown contract), rows ordered by
+    * the group value so plans are deterministic. */
+  private def tryGrouped(agg: Aggregation)
+  : Option[(StructType, Array[Array[String]], String)] = {
+    val groupCol = agg.groupByExpressions() match {
+      case Array(fr: NamedReference) if fr.fieldNames().length == 1 =>
+        fr.fieldNames()(0)
+      case _ => return None
+    }
+    val field = fullSchema.fields.find(_.name == groupCol)
+      .getOrElse(return None)
+    field.dataType match {
+      case IntegerType | LongType | ShortType | ByteType |
+           StringType | DateType =>
+      case _ => return None
+    }
+    val spark = SparkSession.active
+    val entries = viewedEntries(spark)._1
+    val (tombs, data) = entries.partition(_.kind == "t")
+    if (tombs.nonEmpty || data.isEmpty) return None
+    // value-purity per file: the group column is the file's recorded
+    // stats column, its min == max, and it holds no NULLs (min/max
+    // ignore nulls, so a mixed file would lie). Identity-partitioned
+    // writes guarantee all three; anything else declines.
+    val pure = data.forall(e => e.statsKey.contains(groupCol) &&
+      e.lo.isDefined && e.lo == e.hi && e.statsNulls.contains(0L) &&
+      e.rows.isDefined)
+    if (!pure) return None
+    def isGroupCol(c: org.apache.spark.sql.connector.expressions
+        .Expression): Boolean = c match {
+      case fr: NamedReference =>
+        fr.fieldNames().length == 1 && fr.fieldNames()(0) == groupCol
+      case _ => false
+    }
+    // (output field, per-group value from (groupValue, rowSum))
+    val aggCols: Seq[(StructField, (String, Long) => String)] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          (StructField("count(*)", LongType, nullable = false),
+            (_: String, n: Long) => n.toString)
+        case c: Count if !c.isDistinct && isGroupCol(c.column) =>
+          // zero nulls per file, so COUNT(key) == COUNT(*)
+          (StructField(s"count($groupCol)", LongType, nullable = false),
+            (_: String, n: Long) => n.toString)
+        case m: Min if isGroupCol(m.column) =>
+          (StructField(s"min($groupCol)", field.dataType,
+            nullable = true), (v: String, _: Long) => v)
+        case m: Max if isGroupCol(m.column) =>
+          (StructField(s"max($groupCol)", field.dataType,
+            nullable = true), (v: String, _: Long) => v)
+        case _ => return None
+      }
+    val cmp = SnapshotTable.statOrdering(field.dataType)
+      .getOrElse(return None)
+    val rows = data.groupBy(_.lo.get).toSeq
+      .sortWith((a, b) => cmp(a._1, b._1) < 0)
+      .map { case (v, files) =>
+        val n = files.map(_.rows.get).sum
+        (v +: aggCols.map(_._2(v, n))).toArray
+      }.toArray
+    Some((StructType(field.copy(nullable = false) +:
+      aggCols.map(_._1)),
+      rows,
+      s"group by $groupCol: " +
+        aggCols.map(_._1.name).mkString(", ")))
   }
 
   /** LIMIT pushdown answered at FILE granularity: with exact footer
@@ -1422,10 +1501,10 @@ private[connector] case class GraftInputPartition(absolutePath: String,
   * count(*) FROM snapshot` is a metadata read, like Iceberg's
   * manifest-count answer. */
 private[connector] case class GraftAggPartition(schemaJson: String,
-    values: Array[String]) extends InputPartition
+    rows: Array[Array[String]]) extends InputPartition
 
 private[connector] class GraftAggScan(version: Long, out: StructType,
-    values: Array[String], desc: String, totalFiles: Int)
+    rows: Array[Array[String]], desc: String, totalFiles: Int)
   extends Scan with Batch {
 
   override def readSchema(): StructType = out
@@ -1437,7 +1516,7 @@ private[connector] class GraftAggScan(version: Long, out: StructType,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftAggPartition(out.json, values))
+    Array(GraftAggPartition(out.json, rows))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftAggReaderFactory
@@ -1450,18 +1529,21 @@ private[connector] class GraftAggReaderFactory
     val p = partition.asInstanceOf[GraftAggPartition]
     val schema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
     new PartitionReader[InternalRow] {
-      private var done = false
-      override def next(): Boolean = { val hasNext = !done; done = true; hasNext }
+      private var at = -1
+      override def next(): Boolean = { at += 1; at < p.rows.length }
       override def get(): InternalRow = {
+        val values = p.rows(at)
         val row = new GenericInternalRow(schema.length)
         var i = 0
         while (i < schema.length) {
-          val s = p.values(i)
+          val s = values(i)
           row.update(i,
             if (s == null) null
             else schema.fields(i).dataType match {
               case LongType => s.toLong
               case IntegerType => s.toInt
+              case ShortType => s.toShort
+              case ByteType => s.toByte
               case FloatType => s.toFloat
               case DoubleType => s.toDouble
               case StringType => UTF8String.fromString(s)

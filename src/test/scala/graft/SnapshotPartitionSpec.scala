@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** IDENTITY partitioning (`commitPartitioned` / `PARTITIONED BY
+  * (col)`): value-pure data files, exact partition pruning, manifest
+  * answered GROUP BY (zero data IO), layout survival through append
+  * and compaction, and NULL-key refusal. */
+class SnapshotPartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-part").toString + "/t"
+
+  private def readFmt(root: String) =
+    spark.read.format("graft-snapshot").option("path", root)
+
+  private def fixture(n: Int = 10000) =
+    (1 to n).map(i => (i.toLong, s"cat_${i % 7}", i * 1.5))
+      .toDF("id", "category", "score")
+
+  test("commitPartitioned writes VALUE-PURE files: every data file's " +
+      "recorded min == max on the key, zero nulls, and the key " +
+      "column is still stored in the files themselves") {
+    val root = tmpRoot()
+    SnapshotTable.commitPartitioned(spark, root, fixture(), "category")
+    val data = SnapshotTable.manifest(spark, root,
+      SnapshotTable.currentVersion(spark, root)).filter(_.kind == "d")
+    assert(data.nonEmpty)
+    assert(data.forall(e => e.statsKey.contains("category") &&
+      e.lo.isDefined && e.lo == e.hi && e.statsNulls.contains(0L)),
+      s"impure files: ${data.filterNot(e => e.lo == e.hi)}")
+    assert(data.map(_.lo.get).distinct.sorted ==
+      (0 until 7).map(i => s"cat_$i"))
+    // the key survives IN the data (unlike Hive-style layouts, where
+    // readers must re-derive it from the path)
+    val one = new org.apache.hadoop.fs.Path(root, data.head.path)
+    val cols = spark.read.parquet(one.toString).columns.toSeq
+    assert(cols.contains("category") && !cols.contains("__pv"))
+    // round-trip: native read equals the input
+    val got = SnapshotTable.read(spark, root)
+    assert(got.count() == 10000)
+    assert(got.agg(sum("id")).as[Long].head() ==
+      (1 to 10000).map(_.toLong).sum)
+  }
+
+  test("NULL partition keys are refused and the failed write leaves " +
+      "no new version and no staged garbage") {
+    val root = tmpRoot()
+    SnapshotTable.commitPartitioned(spark, root, fixture(100), "category")
+    val v = SnapshotTable.currentVersion(spark, root)
+    val withNull = fixture(50).union(
+      Seq((999L, null: String, 1.0)).toDF("id", "category", "score"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.appendPartitioned(spark, root, withNull)
+    }
+    assert(e.getMessage.contains("NULL partition key"))
+    assert(SnapshotTable.currentVersion(spark, root) == v)
+  }
+
+  test("GROUP BY the partition key answers from the MANIFEST alone: " +
+      "the plan reads zero data files — still correct after the " +
+      "data directory is moved away — and equals the computed result") {
+    val root = tmpRoot()
+    val df = fixture(20000)
+    SnapshotTable.commitPartitioned(spark, root, df, "category")
+    val expected = df.groupBy("category")
+      .agg(count(lit(1)).as("n"), min("category").as("lo"),
+        max("category").as("hi"))
+      .orderBy("category").collect().map(_.toSeq).toSeq
+
+    val q = readFmt(root).load().groupBy("category")
+      .agg(count(lit(1)).as("n"), min("category").as("lo"),
+        max("category").as("hi"))
+      .orderBy("category")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates") &&
+      plan.contains("group by category"), s"not pushed:\n$plan")
+    assert(plan.contains("files=0/"), s"data files planned:\n$plan")
+    assert(q.collect().map(_.toSeq).toSeq == expected)
+
+    // zero data IO, proven the hard way
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(root, "_data")
+    val hidden = new org.apache.hadoop.fs.Path(root + "_hidden")
+    assert(fs.rename(dataDir, hidden))
+    try {
+      spark.catalog.refreshByPath(root)
+      assert(readFmt(root).load().groupBy("category")
+        .agg(count(lit(1)).as("n")).orderBy("category")
+        .collect().map(_.toSeq).toSeq ==
+        expected.map(r => Seq(r.head, r(1))))
+    } finally { fs.rename(hidden, dataDir); () }
+  }
+
+  test("GROUP BY pushdown DECLINES soundly: under a filter, under " +
+      "merge-on-read tombstones, and on value-impure files the scan " +
+      "reads rows and the answer stays identical") {
+    val root = tmpRoot()
+    val df = fixture(5000)
+    SnapshotTable.commitPartitioned(spark, root, df, "category")
+    val expectFiltered = df.filter(col("id") <= 2500)
+      .groupBy("category").agg(count(lit(1)).as("n"))
+      .orderBy("category").collect().map(_.toSeq).toSeq
+    val qf = readFmt(root).load().filter(col("id") <= 2500)
+      .groupBy("category").agg(count(lit(1)).as("n"))
+      .orderBy("category")
+    assert(!qf.queryExecution.executedPlan.toString
+      .contains("group by category"))
+    assert(qf.collect().map(_.toSeq).toSeq == expectFiltered)
+
+    // MOR tombstones: counts must come from rows, not footer counts
+    SnapshotTable.deleteKeysOnRead(spark, root,
+      Seq("cat_0").toDF("category"), "category")
+    val expectMor = df.filter(col("category") =!= "cat_0")
+      .groupBy("category").agg(count(lit(1)).as("n"))
+      .orderBy("category").collect().map(_.toSeq).toSeq
+    val qm = readFmt(root).load().groupBy("category")
+      .agg(count(lit(1)).as("n")).orderBy("category")
+    assert(!qm.queryExecution.executedPlan.toString
+      .contains("group by category"))
+    assert(qm.collect().map(_.toSeq).toSeq == expectMor)
+
+    // plain (value-impure) commit: pushdown declines, answer equal
+    val root2 = tmpRoot()
+    SnapshotTable.commit(spark, root2, df, clusterKey = Some("id"))
+    val q2 = readFmt(root2).load().groupBy("category")
+      .agg(count(lit(1)).as("n")).orderBy("category")
+    assert(!q2.queryExecution.executedPlan.toString
+      .contains("group by category"))
+    assert(q2.collect().map(_.toSeq).toSeq ==
+      df.groupBy("category").agg(count(lit(1)).as("n"))
+        .orderBy("category").collect().map(_.toSeq).toSeq)
+  }
+
+  test("partition pruning is EXACT: an equality predicate on the key " +
+      "plans only that value's files, and appendPartitioned keeps " +
+      "the layout (new files value-pure, group-by still manifest-only)") {
+    val root = tmpRoot()
+    SnapshotTable.commitPartitioned(spark, root, fixture(7000),
+      "category")
+    SnapshotTable.appendPartitioned(spark, root,
+      (7001 to 9000).map(i => (i.toLong, s"cat_${i % 7}", i * 1.5))
+        .toDF("id", "category", "score"))
+    val data = SnapshotTable.manifest(spark, root,
+      SnapshotTable.currentVersion(spark, root)).filter(_.kind == "d")
+    assert(data.forall(e => e.lo.isDefined && e.lo == e.hi))
+    val q = readFmt(root).load().filter(col("category") === "cat_3")
+    val d = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    val planned = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(d).get
+    val (kept, total) = (planned.group(1).toInt, planned.group(2).toInt)
+    assert(kept < total && kept == data.count(_.lo.contains("cat_3")),
+      s"pruning inexact: $kept/$total")
+    assert(q.count() == 9000 / 7 + (if (3 <= 9000 % 7) 1 else 0))
+    // group-by is still manifest-only after the append
+    val g = readFmt(root).load().groupBy("category")
+      .agg(count(lit(1)).as("n"))
+    assert(g.queryExecution.executedPlan.toString.contains("files=0/"))
+    assert(g.orderBy("category").as[(String, Long)].collect().toSeq ==
+      (0 until 7).map(i =>
+        (s"cat_$i", 9000L / 7 + (if (i <= 9000 % 7 && i != 0) 1 else 0))))
+  }
+
+  test("compaction PRESERVES the identity layout: files stay " +
+      "value-pure, the manifest group-by still answers, and the " +
+      "compacted answer equals the pre-compaction one") {
+    val root = tmpRoot()
+    SnapshotTable.commitPartitioned(spark, root, fixture(4000),
+      "category")
+    SnapshotTable.appendPartitioned(spark, root,
+      (4001 to 6000).map(i => (i.toLong, s"cat_${i % 7}", i * 1.5))
+        .toDF("id", "category", "score"))
+    val before = readFmt(root).load().groupBy("category")
+      .agg(count(lit(1)).as("n")).orderBy("category")
+      .collect().map(_.toSeq).toSeq
+    SnapshotTable.compact(spark, root)
+    val data = SnapshotTable.manifest(spark, root,
+      SnapshotTable.currentVersion(spark, root)).filter(_.kind == "d")
+    assert(data.forall(e => e.statsKey.contains("category") &&
+      e.lo == e.hi))
+    val g = readFmt(root).load().groupBy("category")
+      .agg(count(lit(1)).as("n")).orderBy("category")
+    assert(g.queryExecution.executedPlan.toString.contains("files=0/"))
+    assert(g.collect().map(_.toSeq).toSeq == before)
+  }
+}
