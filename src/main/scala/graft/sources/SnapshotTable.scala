@@ -2470,6 +2470,9 @@ object SnapshotTable {
       require(!bucketKeys.exists(_.equalsIgnoreCase(fd.name)),
         s"cannot rename '${fd.name}' at $root: it is a declared " +
           "hash-bucket layout key")
+      require(!partitionKeyOf(props).exists(_.equalsIgnoreCase(fd.name)),
+        s"cannot rename '${fd.name}' at $root: it is the declared " +
+          "identity-partition key")
       props.foreach { case (k, sql) =>
         if (k.startsWith("graft.check."))
           require(!referencesColumn(spark, sql, fd.name),
@@ -2579,6 +2582,9 @@ object SnapshotTable {
         require(!bucketKeys.exists(_.equalsIgnoreCase(fd.name)),
           s"cannot drop '${fd.name}' at $root: it is a declared " +
             "hash-bucket layout key")
+        require(!partitionKeyOf(props).exists(_.equalsIgnoreCase(fd.name)),
+          s"cannot drop '${fd.name}' at $root: it is the declared " +
+            "identity-partition key")
       }
       resolved.foreach { fd =>
         props.foreach { case (k, sql) =>
@@ -2688,6 +2694,10 @@ object SnapshotTable {
       require(!bucketKeys.exists(_.equalsIgnoreCase(fd.name)),
         s"cannot widen '${fd.name}' at $root: it is a declared " +
           "hash-bucket layout key (bucket hashes are typed)")
+      require(!partitionKeyOf(props).exists(_.equalsIgnoreCase(fd.name)),
+        s"cannot widen '${fd.name}' at $root: it is the declared " +
+          "identity-partition key (partition values are typed and " +
+          "string-rendered — widening would split groups)")
       val (keepRange, keepSketch) = policy
       // the column's stats may live under per-file epoch names too
       val names = (fd.name +: renameEpochs(fd).map(_.name))

@@ -923,6 +923,51 @@ object Sources {
           min(col("o_orderkey")).as("min_key"))
         .orderBy("o_orderstatus")
     }),
+    // IDENTITY PARTITIONING under the oracle, pure-SQL surface:
+    // CREATE TABLE ... PARTITIONED BY (o_orderpriority), INSERT the
+    // orders rows (the V2 write clusters by the value and splits one
+    // file per distinct value — every file value-pure), then GROUP BY
+    // the partition key. The scan answers ENTIRELY from the manifest
+    // (PushedAggregates, files=0/N — zero data files opened); DuckDB
+    // recomputes the same answer from the raw parquet.
+    "snapshot_partitioned_groupby" -> ((s, dir) => {
+      val wh = catalogWarehouse
+      val t = uniqueName("ord_idp")
+      s.conf.set("spark.sql.catalog.graft_idp",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_idp.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_idp.db")
+      s.sql(s"CREATE TABLE graft_idp.db.$t (o_orderkey BIGINT, " +
+        "o_orderpriority STRING, o_totalprice DOUBLE) " +
+        "PARTITIONED BY (o_orderpriority)")
+      graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView(s"src_$t")
+      s.sql(s"INSERT INTO graft_idp.db.$t SELECT * FROM src_$t")
+      s.sql(s"SELECT o_orderpriority, count(*) AS n, " +
+        "min(o_orderpriority) AS lo, max(o_orderpriority) AS hi " +
+        s"FROM graft_idp.db.$t GROUP BY o_orderpriority " +
+        "ORDER BY o_orderpriority")
+    }),
+    // EXACT partition pruning: identity-partition orders on
+    // o_orderstatus (3 values), filter one value — the plan keeps
+    // only that value's files (min == max stats, no band slack) —
+    // and aggregate inside it.
+    "snapshot_partition_prune" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-part-q").toString + "/orders_part"
+      SnapshotTable.commitPartitioned(s, root,
+        graft.Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        "o_orderstatus")
+      s.read.format("graft-snapshot").option("path", root).load()
+        .filter(col("o_orderstatus") === "F")
+        .groupBy((col("o_orderkey") % 11).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("bigint").as("sum_key"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy("grp")
+    }),
     // RENAME COLUMN under the oracle: commit orders, ALTER TABLE
     // RENAME COLUMN o_totalprice TO price — a metadata-only commit
     // recording a physical-name epoch; pre-rename files still store
@@ -1609,6 +1654,19 @@ object Sources {
         |FROM evolved WHERE price >= CAST('1000.00' AS DECIMAL(24,2))
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_partitioned_groupby" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  min(o_orderpriority) AS lo, max(o_orderpriority) AS hi
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "snapshot_partition_prune" ->
+      """SELECT o_orderkey % 11 AS grp, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  min(o_orderkey) AS min_key
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderkey % 11
+        |ORDER BY grp""".stripMargin,
     "snapshot_rename_column" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus,

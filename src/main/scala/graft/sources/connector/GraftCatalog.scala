@@ -311,14 +311,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // INSIDE the layout (the write builder reads it from the table
     // properties), the scan reports KeyGroupedPartitioning, and a
     // join between two such tables runs with ZERO exchange (SPJ).
-    // Anything except bucket transforms refuses: graft has no
-    // hive-style directory partitions — value clustering is the
-    // write-time clusterKey/Z-order job.
-    val bucketLayout: Seq[(String, Int)] = partitions.toSeq.map { t =>
+    // PARTITIONED BY (col) — ONE identity transform — declares the
+    // value-pure layout commitPartitioned records: every INSERT
+    // splits its files per value, partition pruning is exact, and
+    // GROUP BY col answers from the manifest alone. Anything else
+    // refuses: graft has no hive-style directory partitions — value
+    // clustering is the write-time clusterKey/Z-order job.
+    val (identityTs, bucketTs) =
+      partitions.toSeq.partition(_.name().equalsIgnoreCase("identity"))
+    require(identityTs.isEmpty || bucketTs.isEmpty,
+      "a table is laid out by hash buckets OR one identity partition " +
+        "column, not both")
+    require(identityTs.length <= 1,
+      "identity partitioning takes exactly one column: " +
+        identityTs.map(_.describe()).mkString(", "))
+    val partitionKey: Option[String] = identityTs.headOption.map { t =>
+      val refs = t.arguments().collect { case r: NamedReference => r }
+      require(refs.length == 1 && refs.head.fieldNames().length == 1,
+        s"identity partition takes one top-level column: ${t.describe()}")
+      val col = refs.head.fieldNames().head
+      val fd = schema.fields.find(_.name.equalsIgnoreCase(col))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column '$col' is not in the table schema"))
+      require(SnapshotTable.partitionableType(fd.dataType),
+        s"identity partitioning does not support ${fd.dataType
+          .simpleString} keys (int/long/short/byte/string/date)")
+      fd.name
+    }
+    val bucketLayout: Seq[(String, Int)] = bucketTs.map { t =>
       require(t.name().equalsIgnoreCase("bucket"),
         "graft tables are laid out by hash buckets (PARTITIONED BY " +
-          "(bucket(n, col))) or commit-time clustering (clusterKey / " +
-          s"Z-order on the write) — '${t.describe()}' is neither")
+          "(bucket(n, col))), one identity partition column " +
+          "(PARTITIONED BY (col)), or commit-time clustering " +
+          s"(clusterKey / Z-order on the write) — '${t.describe()}' " +
+          "is none of these")
       val n = t.arguments().collectFirst {
         case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
           l.value() match {
@@ -354,6 +380,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         SnapshotTable.tableProperties(spark, root) ++ Map(
           "graft.bucket.key" -> bucketLayout.map(_._1).mkString(","),
           "graft.bucket.count" -> bucketLayout.map(_._2).mkString(",")))
+    partitionKey.foreach(k =>
+      SnapshotTable.setProperties(spark, root,
+        SnapshotTable.tableProperties(spark, root) +
+          ("graft.partition.key" -> k)))
     // persist the table-behavior TBLPROPERTIES (write.* / graft.*):
     // `write.delete.mode` / `write.update.mode` / `write.merge.mode`
     // = merge-on-read select delta row-level commits, write.merge.key
@@ -426,10 +456,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         e.statsKey.exists(_.equalsIgnoreCase(name))),
         s"cannot $op '$name' at $root: it is the merge-on-read " +
           "tombstone key of live delete files — compact() first")
-    def notBucketKey(name: String, op: String): Unit =
+    def notBucketKey(name: String, op: String): Unit = {
       require(!bucketKeys.exists(_.equalsIgnoreCase(name)),
         s"cannot $op '$name' at $root: it is a declared " +
           "hash-bucket layout key")
+      require(!SnapshotTable.partitionKeyOf(props)
+        .exists(_.equalsIgnoreCase(name)),
+        s"cannot $op '$name' at $root: it is the declared " +
+          "identity-partition key")
+    }
     def noCheckRef(name: String, op: String): Unit =
       props.foreach { case (k, sql) =>
         if (k.startsWith("graft.check."))

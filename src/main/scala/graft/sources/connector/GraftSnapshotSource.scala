@@ -200,6 +200,21 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
   private lazy val persistedProps: Map[String, String] =
     SnapshotTable.tableProperties(SparkSession.active, root)
 
+  /** The declared layout as V2 transforms — DESCRIBE / SHOW CREATE
+    * TABLE render it back as the PARTITIONED BY clause it came from.
+    * Planning does not read this: the SCAN reports (and re-verifies
+    * file purity for) its own KeyGroupedPartitioning. */
+  override def partitioning(): Array[Transform] = {
+    val buckets = SnapshotTable.bucketLayoutOf(persistedProps)
+      .toSeq.flatten.map { case (k, n) =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(n, k) }
+    val ident = SnapshotTable.partitionKeyOf(persistedProps)
+      .map(org.apache.spark.sql.connector.expressions.Expressions
+        .identity)
+    (buckets ++ ident).toArray
+  }
+
   /** The manifest schema, with one adjustment: a declared
     * `write.merge.key` column surfaces NON-NULLABLE. That property is
     * the user's row-id contract ("this column uniquely and non-nully
@@ -1466,6 +1481,30 @@ private[connector] case class GraftBucketedPartition(
     new GenericInternalRow(key.map(b => b: Any).toArray)
 }
 
+/** All of one identity-partition VALUE's files as ONE input
+  * partition — the storage-partitioned unit of a table laid out by
+  * `PARTITIONED BY (col)`. The value travels as its manifest stats
+  * string plus the column type and is re-typed here, so the key
+  * Spark compares is the actual column value (Iceberg's identity
+  * transform shape). */
+private[connector] case class GraftValuePartition(
+    parts: Array[GraftInputPartition], value: String, typeJson: String)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = {
+    val v: Any = DataType.fromJson(typeJson) match {
+      case IntegerType => value.toInt
+      case LongType => value.toLong
+      case ShortType => value.toShort
+      case ByteType => value.toByte
+      case StringType => UTF8String.fromString(value)
+      case DateType => java.time.LocalDate.parse(value).toEpochDay.toInt
+      case other => throw new IllegalStateException(
+        s"unexpected identity-partition type $other")
+    }
+    new GenericInternalRow(Array(v))
+  }
+}
+
 private[connector] case class GraftInputPartition(absolutePath: String,
     seq: Long, tombs: Array[TombRef], keyName: String,
     keyTypeJson: String, skipRows: Long = 0L,
@@ -1610,6 +1649,34 @@ private[connector] class GraftScan(root: String, version: Long,
       keptData.map(bucketOf).distinct.sorted
     else Seq.empty
 
+  /** The table's declared IDENTITY-partition layout, honored only
+    * when every kept data file is value-pure on the key (min == max,
+    * zero nulls). Merge-on-read tombstones do NOT disqualify it:
+    * kills only remove rows, never move one across values, so the
+    * co-location the report declares still holds. */
+  private lazy val identitySpec: Option[(String, DataType)] = {
+    if (bucketSpec.isDefined) None
+    else SnapshotTable.partitionKeyOf(
+      SnapshotTable.tableProperties(SparkSession.active, root))
+      .flatMap(k => scanSchema.fields
+        .find(_.name.equalsIgnoreCase(k))
+        .map(f => (f.name, f.dataType)))
+      .filter { case (k, _) => keptData.nonEmpty &&
+        keptData.forall(e => e.statsKey.contains(k) &&
+          e.lo.isDefined && e.lo == e.hi &&
+          e.statsNulls.contains(0L)) }
+  }
+
+  /** The partition values this scan REPORTS — fixed at the
+    * compile-time kept set for the same stability reason as
+    * [[reportedBuckets]]. */
+  private lazy val reportedValues: Seq[String] =
+    identitySpec.map { case (_, dt) =>
+      val cmp = SnapshotTable.statOrdering(dt)
+        .getOrElse((a: String, b: String) => a.compareTo(b))
+      keptData.map(_.lo.get).distinct.sortWith(cmp(_, _) < 0)
+    }.getOrElse(Seq.empty)
+
   /** Storage-partitioned joins: with a bucket layout, report
     * `KeyGroupedPartitioning(bucket(N, key))` — two snapshot tables
     * bucketed the same way then join with ZERO exchange on either
@@ -1630,9 +1697,20 @@ private[connector] class GraftScan(root: String, version: Long,
               .bucket(n, k): org.apache.spark.sql.connector
               .expressions.Expression
           }.toArray, reportedBuckets.size)
-      case None =>
-        new org.apache.spark.sql.connector.read.partitioning
-          .UnknownPartitioning(runtimeKept.size)
+      case None => identitySpec match {
+        case Some((k, _)) =>
+          // identity layout: one reported partition per VALUE —
+          // same-partitioned tables join (and aggregate) on the key
+          // with zero exchange
+          new org.apache.spark.sql.connector.read.partitioning
+            .KeyGroupedPartitioning(Array(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .identity(k): org.apache.spark.sql.connector
+                .expressions.Expression), reportedValues.size)
+        case None =>
+          new org.apache.spark.sql.connector.read.partitioning
+            .UnknownPartitioning(runtimeKept.size)
+      }
     }
 
   override def readSchema(): StructType = required
@@ -1725,8 +1803,19 @@ private[connector] class GraftScan(root: String, version: Long,
               .map(filePartition).toArray,
             SnapshotTable.gridDecompose(b, counts)): InputPartition
         }.toArray
-      case None =>
-        runtimeKept.map(filePartition(_): InputPartition).toArray
+      case None => identitySpec match {
+        case Some((_, dt)) =>
+          // one partition per REPORTED value (stable vs the
+          // planning-time report when runtime filtering empties one)
+          val byVal = runtimeKept.groupBy(_.lo.get)
+          reportedValues.map { v =>
+            GraftValuePartition(
+              byVal.getOrElse(v, Seq.empty)
+                .map(filePartition).toArray, v, dt.json): InputPartition
+          }.toArray
+        case None =>
+          runtimeKept.map(filePartition(_): InputPartition).toArray
+      }
     }
   }
 
@@ -1929,6 +2018,9 @@ private[connector] class GraftReaderFactory(requiredJson: String,
   override def createColumnarReader(partition: InputPartition)
   : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
+      case GraftValuePartition(parts, _, _) =>
+        // one value = several files: same chained shape as a cell
+        createColumnarReader(GraftBucketedPartition(parts, Seq.empty))
       case GraftBucketedPartition(parts, _) =>
         // one grid cell = several files: chain their batch readers,
         // so SPJ scans keep whole-stage vectorization
@@ -1989,6 +2081,8 @@ private[connector] class GraftReaderFactory(requiredJson: String,
 
   override def createReader(partition: InputPartition)
   : PartitionReader[InternalRow] = partition match {
+    case GraftValuePartition(parts, _, _) =>
+      createReader(GraftBucketedPartition(parts, Seq.empty))
     case GraftBucketedPartition(parts, _) =>
       // one bucket = several files: chain their readers in order
       new PartitionReader[InternalRow] {

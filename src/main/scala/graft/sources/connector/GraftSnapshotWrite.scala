@@ -92,19 +92,38 @@ private[connector] class GraftWrite(root: String, schema: StructType,
         schema.fieldNames.exists(_.equalsIgnoreCase(k)) })
   }
 
+  /** The table's declared IDENTITY-partition key (when the batch
+    * carries it): the INSERT clusters by the column's value and each
+    * task splits one file per distinct value it holds — files stay
+    * VALUE-PURE, so exact partition pruning and the manifest-answered
+    * GROUP BY survive catalog ingest exactly as they survive
+    * `appendPartitioned`. The catalog refuses declaring both a bucket
+    * grid and an identity key, so the two specs never coexist. */
+  private val partitionSpec: Option[String] = {
+    if (replace) None
+    else SnapshotTable.partitionKeyOf(
+      SnapshotTable.tableProperties(SparkSession.active, root))
+      .filter(k => schema.fieldNames.exists(_.equalsIgnoreCase(k)))
+  }
+
   /** A clustered table asks Spark to range-partition + sort the input
     * on the cluster key, so each task writes one compact key range —
     * the same shape `stageSegment` builds with repartitionByRange. A
     * BUCKETED table clusters by the bucket transform instead, so each
     * bucket's rows land in one task and the per-bucket file split
-    * stays bounded by the bucket count. */
+    * stays bounded by the bucket count. An identity-PARTITIONED table
+    * clusters by the column itself, so each value's rows land whole
+    * in one task. */
   override def requiredDistribution(): Distribution =
-    bucketSpec match {
-      case Some(layout) => Distributions.clustered(layout.map {
+    (bucketSpec, partitionSpec) match {
+      case (Some(layout), _) => Distributions.clustered(layout.map {
         case (k, n) => Expressions.bucket(n, k)
           : org.apache.spark.sql.connector.expressions.Expression
       }.toArray)
-      case None => clusterKey.map(k =>
+      case (None, Some(pk)) => Distributions.clustered(Array(
+        Expressions.identity(pk)
+          : org.apache.spark.sql.connector.expressions.Expression))
+      case _ => clusterKey.map(k =>
         Distributions.ordered(Array[V2SortOrder](
           Expressions.sort(Expressions.column(k),
             SortDirection.ASCENDING))))
@@ -112,14 +131,14 @@ private[connector] class GraftWrite(root: String, schema: StructType,
     }
 
   override def requiredOrdering(): Array[V2SortOrder] =
-    if (bucketSpec.isDefined) Array.empty
+    if (bucketSpec.isDefined || partitionSpec.isDefined) Array.empty
     else clusterKey.map(k => Array[V2SortOrder](
       Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)))
       .getOrElse(Array.empty)
 
   override def toBatch: BatchWrite =
     new GraftBatchWrite(root, schema, replace, clusterKey, bloomKey,
-      bucketSpec)
+      bucketSpec, partitionSpec)
 }
 
 private[connector] case class GraftTaskFile(name: Option[String])
@@ -130,19 +149,29 @@ private[connector] case class GraftTaskFile(name: Option[String])
 private[connector] case class GraftBucketedTaskFiles(
     files: Seq[(String, Int)]) extends WriterCommitMessage
 
+/** Per-task files of an identity-partitioned append: one file per
+  * distinct partition value the task saw (the value itself is NOT
+  * carried — the manifest's min == max stats record it). */
+private[connector] case class GraftPartitionedTaskFiles(
+    files: Seq[String]) extends WriterCommitMessage
+
 private[connector] class GraftBatchWrite(root: String,
     schema: StructType, replace: Boolean, clusterKey: Option[String],
     bloomKey: Option[String],
-    bucketSpec: Option[Seq[(String, Int)]] = None) extends BatchWrite {
+    bucketSpec: Option[Seq[(String, Int)]] = None,
+    partitionSpec: Option[String] = None) extends BatchWrite {
 
   private val seg: Path = SnapshotTable.newSegmentPath(root)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-  : DataWriterFactory = bucketSpec match {
-    case Some(layout) => new GraftBucketedWriterFactory(seg.toString,
-      schema.json, layout.map { case (k, n) =>
+  : DataWriterFactory = (bucketSpec, partitionSpec) match {
+    case (Some(layout), _) => new GraftBucketedWriterFactory(
+      seg.toString, schema.json, layout.map { case (k, n) =>
         schema.fieldNames.indexWhere(_.equalsIgnoreCase(k)) -> n })
-    case None => new GraftWriterFactory(seg.toString, schema.json)
+    case (None, Some(pk)) => new GraftPartitionedWriterFactory(
+      seg.toString, schema.json,
+      schema.fieldNames.indexWhere(_.equalsIgnoreCase(pk)))
+    case _ => new GraftWriterFactory(seg.toString, schema.json)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -154,11 +183,14 @@ private[connector] class GraftBatchWrite(root: String,
         Seq(s"_data/${seg.getName}/$name" -> -1)
       case GraftBucketedTaskFiles(fs) => fs.map { case (name, b) =>
         s"_data/${seg.getName}/$name" -> b }
+      case GraftPartitionedTaskFiles(fs) =>
+        fs.map(name => s"_data/${seg.getName}/$name" -> -1)
       case _ => Seq.empty
     }.sortBy(_._1)
     val rel = files.map(_._1)
     if (rel.isEmpty && !replace) return // empty append: nothing to commit
     val statsKey = clusterKey.orElse(bucketSpec.map(_.head._1))
+      .orElse(partitionSpec)
     // the FULL grid layout feeds the stats pass: secondary grid keys
     // get per-file ranges (extraStats) and NDV sketches just like
     // commitBucketedOn's stageBucketed — one key-less append would
@@ -258,6 +290,64 @@ private[connector] class GraftBucketedAppendWriter(segAbs: String,
       case (b, dw) =>
         dw.commit().asInstanceOf[GraftTaskFile].name.map(_ -> b)
     })
+
+  override def abort(): Unit = writers.values.foreach(_.abort())
+
+  override def close(): Unit = writers.values.foreach(_.close())
+}
+
+private[connector] class GraftPartitionedWriterFactory(segAbs: String,
+    schemaJson: String, keyIdx: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+  : DataWriter[InternalRow] =
+    new GraftPartitionedAppendWriter(segAbs, schemaJson, keyIdx,
+      partitionId, taskId)
+}
+
+/** Identity-partitioned append writer: one lazy file per DISTINCT
+  * partition value the task sees — the clustered-by-identity
+  * distribution upstream sends each value's rows whole to one task,
+  * so every file is value-pure and the stats pass records min == max
+  * (the invariant exact pruning and the manifest GROUP BY key on).
+  * NULL keys are refused, like the bucket layout. The per-value file
+  * index rides the file name ("-pN") purely for uniqueness; the
+  * VALUE itself is recovered from the file's stats, never the name. */
+private[connector] class GraftPartitionedAppendWriter(segAbs: String,
+    schemaJson: String, keyIdx: Int, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val keyType = DataType.fromJson(schemaJson)
+    .asInstanceOf[StructType].fields(keyIdx).dataType
+
+  private val writers =
+    scala.collection.mutable.Map.empty[Any, GraftDataWriter]
+
+  /** An IMMUTABLE map key for the row's partition value —
+    * `getUTF8String` returns a buffer the reader reuses, so strings
+    * must be copied before they key a map across rows. */
+  private def keyOf(row: InternalRow): Any = {
+    require(!row.isNullAt(keyIdx),
+      "NULL partition key in an identity-partitioned write (the " +
+        "layout has no partition for NULL)")
+    keyType match {
+      case IntegerType | DateType => row.getInt(keyIdx)
+      case LongType => row.getLong(keyIdx)
+      case ShortType => row.getShort(keyIdx)
+      case ByteType => row.getByte(keyIdx)
+      case StringType => row.getUTF8String(keyIdx).toString
+      case other => throw new UnsupportedOperationException(
+        s"identity-partitioned append: unsupported key type $other")
+    }
+  }
+
+  override def write(row: InternalRow): Unit =
+    writers.getOrElseUpdate(keyOf(row),
+      new GraftDataWriter(segAbs, schemaJson, partitionId, taskId,
+        suffix = s"-p${writers.size}")).write(row)
+
+  override def commit(): WriterCommitMessage =
+    GraftPartitionedTaskFiles(writers.values.toSeq.flatMap(
+      _.commit().asInstanceOf[GraftTaskFile].name).sorted)
 
   override def abort(): Unit = writers.values.foreach(_.abort())
 

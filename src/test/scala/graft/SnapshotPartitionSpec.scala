@@ -164,6 +164,108 @@ class SnapshotPartitionSpec extends SparkSpec {
         (s"cat_$i", 9000L / 7 + (if (i <= 9000 % 7 && i != 0) 1 else 0))))
   }
 
+  private val warehouse =
+    java.nio.file.Files.createTempDirectory("graft-partsql").toString
+
+  locally {
+    spark.conf.set("spark.sql.catalog.graftpart",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftpart.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftpart.db")
+  }
+
+  test("SQL surface: CREATE TABLE PARTITIONED BY (col) + INSERT " +
+      "lands value-pure files, SQL GROUP BY answers from the " +
+      "manifest, DESCRIBE shows the layout, and dropping or " +
+      "renaming the partition key refuses") {
+    spark.sql("CREATE TABLE graftpart.db.ev (id BIGINT, day STRING, " +
+      "amount DOUBLE) PARTITIONED BY (day)")
+    fixture(9000)
+      .select(col("id"), concat(lit("d"), col("category")).as("day"),
+        col("score").as("amount"))
+      .createOrReplaceTempView("ev_src")
+    spark.sql("INSERT INTO graftpart.db.ev SELECT * FROM ev_src")
+    val data = SnapshotTable.manifest(spark, s"$warehouse/db/ev",
+      SnapshotTable.currentVersion(spark, s"$warehouse/db/ev"))
+      .filter(_.kind == "d")
+    assert(data.nonEmpty && data.forall(e =>
+      e.statsKey.contains("day") && e.lo == e.hi &&
+        e.statsNulls.contains(0L)),
+      s"INSERT broke value purity: $data")
+    val g = spark.sql("SELECT day, count(*) AS n FROM " +
+      "graftpart.db.ev GROUP BY day ORDER BY day")
+    assert(g.queryExecution.executedPlan.toString.contains("files=0/"),
+      "SQL GROUP BY did not answer from the manifest")
+    assert(g.as[(String, Long)].collect().toSeq ==
+      fixture(9000).groupBy(concat(lit("d"), col("category")))
+        .count().orderBy(col("concat(d, category)"))
+        .as[(String, Long)].collect().toSeq)
+    val desc = spark.sql("DESCRIBE EXTENDED graftpart.db.ev")
+      .collect().map(_.toSeq.mkString("|")).mkString("\n")
+    assert(desc.contains("day"), s"partitioning not described:\n$desc")
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graftpart.db.ev DROP COLUMN day") }
+    assert(e1.getMessage.contains("identity-partition key"))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graftpart.db.ev RENAME COLUMN day TO d2") }
+    assert(e2.getMessage.contains("identity-partition key"))
+    // NULL keys refuse through SQL too
+    val e3 = intercept[Exception] {
+      spark.sql("INSERT INTO graftpart.db.ev VALUES (1, NULL, 0.5)") }
+    assert(e3.getMessage.contains("NULL partition key") ||
+      Option(e3.getCause).exists(
+        _.getMessage.contains("NULL partition key")))
+  }
+
+  test("identity SPJ: two tables PARTITIONED BY the same column join " +
+      "with ZERO exchange (and the same join over unpartitioned " +
+      "twins shuffles)") {
+    val days = (0 until 11).map(i => f"2024-01-${i + 1}%02d")
+    val fact = (1 to 22000).map(i =>
+      (i.toLong, days(i % 11), i * 2.0)).toDF("id", "day", "v")
+    val dim = days.zipWithIndex.map { case (d, i) =>
+      (d, s"label_$i") }.toDF("day", "label")
+    SnapshotTable.commitPartitioned(spark,
+      s"$warehouse/db/fact_id", fact, "day")
+    SnapshotTable.commitPartitioned(spark,
+      s"$warehouse/db/dim_id", dim, "day")
+    val prevB =
+      spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevT =
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graftpart.db.fact_id")
+        .join(spark.table("graftpart.db.dim_id"), "day")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"identity SPJ still shuffles:\n$plan")
+      assert(j.count() == 22000)
+      val got = j.groupBy("label").agg(sum("v").as("s"))
+        .orderBy("label").collect().map(_.toSeq).toSeq
+      val want = fact.join(dim, "day").groupBy("label")
+        .agg(sum("v").as("s")).orderBy("label")
+        .collect().map(_.toSeq).toSeq
+      assert(got == want)
+      // control: unpartitioned twins exchange
+      SnapshotTable.commit(spark, s"$warehouse/db/fact_pl", fact)
+      SnapshotTable.commit(spark, s"$warehouse/db/dim_pl", dim)
+      val pj = spark.table("graftpart.db.fact_pl")
+        .join(spark.table("graftpart.db.dim_pl"), "day")
+      assert(pj.queryExecution.executedPlan.toString
+        .contains("Exchange"))
+      assert(pj.count() == 22000)
+    } finally {
+      prevB.fold(spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.enabled"))(v =>
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+      prevT.fold(spark.conf.unset(
+        "spark.sql.autoBroadcastJoinThreshold"))(v =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+    }
+  }
+
   test("compaction PRESERVES the identity layout: files stay " +
       "value-pure, the manifest group-by still answers, and the " +
       "compacted answer equals the pre-compaction one") {

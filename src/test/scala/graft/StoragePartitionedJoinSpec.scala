@@ -205,14 +205,22 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       s"$warehouse/db/sqlgrid")
     assert(gprops.get("graft.bucket.key").contains("a,b"), gprops)
     assert(gprops.get("graft.bucket.count").contains("4,2"), gprops)
-    // refusals: hive-style identity partitions (Spark may wrap the
-    // catalog's refusal in an AnalysisException), unknown columns,
+    // identity partitions are their OWN layout now (r13,
+    // SnapshotPartitionSpec); here pin the remaining refusals:
+    // mixing bucket + identity, time transforms, unknown columns,
     // duplicate keys
-    val idErr = intercept[Exception](spark.sql(
-      "CREATE TABLE graftspj.db.badpart (k BIGINT) PARTITIONED BY (k)"))
-    assert((idErr.getMessage +
-      Option(idErr.getCause).fold("")(_.getMessage)).contains("bucket"),
-      idErr.getMessage)
+    val mixErr = intercept[Exception](spark.sql(
+      "CREATE TABLE graftspj.db.badmix (k BIGINT, d STRING) " +
+        "PARTITIONED BY (bucket(4, k), d)"))
+    assert((mixErr.getMessage +
+      Option(mixErr.getCause).fold("")(_.getMessage))
+      .contains("not both"), mixErr.getMessage)
+    val daysErr = intercept[Exception](spark.sql(
+      "CREATE TABLE graftspj.db.baddays (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))"))
+    assert((daysErr.getMessage +
+      Option(daysErr.getCause).fold("")(_.getMessage)).contains("bucket"),
+      daysErr.getMessage)
     val colErr = intercept[Exception](spark.sql(
       "CREATE TABLE graftspj.db.badcol (k BIGINT) " +
         "PARTITIONED BY (bucket(4, nope))"))
