@@ -523,8 +523,9 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
           // timestamps excluded: their stats strings are cast-format
           // dependent; everything orderable-and-parseable qualifies
           field.dataType match {
-            case IntegerType | LongType | FloatType | DoubleType |
-                 StringType | DateType =>
+            case IntegerType | LongType | ShortType | ByteType |
+                 FloatType | DoubleType | StringType | DateType |
+                 _: DecimalType =>
             case _ => return None
           }
           if (data.isEmpty) // empty table: SQL min/max = NULL
@@ -596,22 +597,57 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
         fr.fieldNames().length == 1 && fr.fieldNames()(0) == groupCol
       case _ => false
     }
-    // (output field, per-group value from (groupValue, rowSum))
-    val aggCols: Seq[(StructField, (String, Long) => String)] =
+    // a NON-group column is still answerable when EVERY data file
+    // records its [lo, hi] (Z-order secondaries, grid extras): MIN
+    // and MAX decompose over any partition of the rows, so the group
+    // aggregate is the min of its files' los / max of their his.
+    // NULL-safe for free — recorded stats ignore nulls, as SQL
+    // MIN/MAX do; an all-null file has no stats and declines here.
+    def statsCol(c: org.apache.spark.sql.connector.expressions
+        .Expression): Option[(StructField, (String, String) => Int)] =
+      c match {
+        case fr: NamedReference if fr.fieldNames().length == 1 =>
+          val f2 = fullSchema.fields.find(_.name == fr.fieldNames()(0))
+            .getOrElse(return None)
+          f2.dataType match {
+            case IntegerType | LongType | ShortType | ByteType |
+                 FloatType | DoubleType | StringType | DateType |
+                 _: DecimalType =>
+            case _ => return None
+          }
+          if (!data.forall(_.statsFor(f2.name).isDefined)) return None
+          SnapshotTable.statOrdering(f2.dataType).map((f2, _))
+        case _ => None
+      }
+    // (output field, per-group value from (groupValue, groupFiles))
+    type Files = Seq[graft.sources.SnapshotTable.FileEntry]
+    val aggCols: Seq[(StructField, (String, Files) => String)] =
       agg.aggregateExpressions().toSeq.map {
         case _: CountStar =>
           (StructField("count(*)", LongType, nullable = false),
-            (_: String, n: Long) => n.toString)
+            (_: String, fs: Files) => fs.map(_.rows.get).sum.toString)
         case c: Count if !c.isDistinct && isGroupCol(c.column) =>
           // zero nulls per file, so COUNT(key) == COUNT(*)
           (StructField(s"count($groupCol)", LongType, nullable = false),
-            (_: String, n: Long) => n.toString)
+            (_: String, fs: Files) => fs.map(_.rows.get).sum.toString)
         case m: Min if isGroupCol(m.column) =>
           (StructField(s"min($groupCol)", field.dataType,
-            nullable = true), (v: String, _: Long) => v)
+            nullable = true), (v: String, _: Files) => v)
         case m: Max if isGroupCol(m.column) =>
           (StructField(s"max($groupCol)", field.dataType,
-            nullable = true), (v: String, _: Long) => v)
+            nullable = true), (v: String, _: Files) => v)
+        case m: Min => statsCol(m.column).map { case (f2, c2) =>
+          (StructField(s"min(${f2.name})", f2.dataType,
+            nullable = true), (_: String, fs: Files) =>
+            fs.map(_.statsFor(f2.name).get._1)
+              .min(Ordering.fromLessThan[String](c2(_, _) < 0)))
+        }.getOrElse(return None)
+        case m: Max => statsCol(m.column).map { case (f2, c2) =>
+          (StructField(s"max(${f2.name})", f2.dataType,
+            nullable = true), (_: String, fs: Files) =>
+            fs.map(_.statsFor(f2.name).get._2)
+              .max(Ordering.fromLessThan[String](c2(_, _) < 0)))
+        }.getOrElse(return None)
         case _ => return None
       }
     val cmp = SnapshotTable.statOrdering(field.dataType)
@@ -619,8 +655,7 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     val rows = data.groupBy(_.lo.get).toSeq
       .sortWith((a, b) => cmp(a._1, b._1) < 0)
       .map { case (v, files) =>
-        val n = files.map(_.rows.get).sum
-        (v +: aggCols.map(_._2(v, n))).toArray
+        (v +: aggCols.map(_._2(v, files))).toArray
       }.toArray
     Some((StructType(field.copy(nullable = false) +:
       aggCols.map(_._1)),
@@ -1588,6 +1623,9 @@ private[connector] class GraftAggReaderFactory
               case StringType => UTF8String.fromString(s)
               case DateType =>
                 java.time.LocalDate.parse(s).toEpochDay.toInt
+              case d: DecimalType => org.apache.spark.sql.types
+                .Decimal(new java.math.BigDecimal(s), d.precision,
+                  d.scale)
               case other => throw new IllegalStateException(
                 s"unexpected pushed-aggregate type $other")
             })

@@ -266,6 +266,65 @@ class SnapshotPartitionSpec extends SparkSpec {
     }
   }
 
+  test("after ANALYZE, grouped MIN/MAX of a NON-group numeric column " +
+      "answers from the manifest too (min/max decompose over the " +
+      "group's files), and declines when a file lacks the stats") {
+    val root = tmpRoot()
+    val df = fixture(8000)
+    SnapshotTable.commitPartitioned(spark, root, df, "category")
+    // before analyze: score has no per-file range stats -> scan rows
+    val q0 = readFmt(root).load().groupBy("category")
+      .agg(min("score").as("lo"), max("score").as("hi"))
+    assert(!q0.queryExecution.executedPlan.toString
+      .contains("files=0/"))
+    SnapshotTable.analyze(spark, root)
+    val q = readFmt(root).load().groupBy("category")
+      .agg(count(lit(1)).as("n"), min("score").as("lo"),
+        max("score").as("hi"))
+      .orderBy("category")
+    assert(q.queryExecution.executedPlan.toString.contains("files=0/"),
+      s"analyzed ranges not used:\n${q.queryExecution.executedPlan}")
+    assert(q.collect().map(_.toSeq).toSeq ==
+      df.groupBy("category")
+        .agg(count(lit(1)).as("n"), min("score").as("lo"),
+          max("score").as("hi"))
+        .orderBy("category").collect().map(_.toSeq).toSeq)
+    // id is numeric, so analyze covered it too — both extremes push
+    val qs = readFmt(root).load().groupBy("category")
+      .agg(min("id").as("lo"), max("id").as("hi"))
+    assert(qs.queryExecution.executedPlan.toString.contains("files=0/"))
+    assert(qs.orderBy("category").as[(String, Long, Long)]
+      .collect().toSeq ==
+      df.groupBy("category").agg(min("id").as("lo"), max("id").as("hi"))
+        .orderBy("category").as[(String, Long, Long)].collect().toSeq)
+  }
+
+  test("GROUP BY the partition key with a NON-pushable aggregate " +
+      "(SUM) reads data but does NOT shuffle: the reported " +
+      "KeyGroupedPartitioning satisfies the aggregation") {
+    val root = s"$warehouse/db/aggp"
+    val df = fixture(15000)
+    SnapshotTable.commitPartitioned(spark, root, df, "category")
+    val prevB =
+      spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val agg = spark.table("graftpart.db.aggp")
+        .groupBy("category").agg(sum("score").as("s"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"identity group-by still shuffles:\n$plan")
+      assert(agg.count() == 7)
+      assert(agg.orderBy("category").collect().map(_.toSeq).toSeq ==
+        df.groupBy("category").agg(sum("score").as("s"))
+          .orderBy("category").collect().map(_.toSeq).toSeq)
+    } finally {
+      prevB.fold(spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.enabled"))(v =>
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+    }
+  }
+
   test("compaction PRESERVES the identity layout: files stay " +
       "value-pure, the manifest group-by still answers, and the " +
       "compacted answer equals the pre-compaction one") {
