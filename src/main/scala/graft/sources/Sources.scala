@@ -968,6 +968,24 @@ object Sources {
           min(col("o_orderkey")).as("min_key"))
         .orderBy("grp")
     }),
+    // CONSUMED partition filter + manifest aggregate: on a value-pure
+    // table a filter ON the partition key is decided exactly per file
+    // (all of a file's rows match or none), so the connector returns
+    // NO residual and COUNT under the filter answers from the kept
+    // files' footer counts — a zero-IO metadata read at any scale.
+    "snapshot_partition_count" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-pcount-q").toString + "/orders_pc"
+      SnapshotTable.commitPartitioned(s, root,
+        graft.Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        "o_orderstatus")
+      s.read.format("graft-snapshot").option("path", root).load()
+        .filter(col("o_orderstatus") === "F")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderstatus")).as("lo"),
+          max(col("o_orderstatus")).as("hi"))
+    }),
     // RENAME COLUMN under the oracle: commit orders, ALTER TABLE
     // RENAME COLUMN o_totalprice TO price — a metadata-only commit
     // recording a physical-name epoch; pre-rename files still store
@@ -1654,6 +1672,10 @@ object Sources {
         |FROM evolved WHERE price >= CAST('1000.00' AS DECIMAL(24,2))
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_partition_count" ->
+      """SELECT count(*) AS n, min(o_orderstatus) AS lo,
+        |  max(o_orderstatus) AS hi
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     "snapshot_partitioned_groupby" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  min(o_orderpriority) AS lo, max(o_orderpriority) AS hi

@@ -473,8 +473,93 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
       case LessThanOrEqual(c, _) => prunable(c)
       case _ => false
     }
-    filters
+    // CONSUME (return no residual for) filters this scan can decide
+    // EXACTLY at file granularity: when every data file is VALUE-PURE
+    // on its stats column (identity-partitioned tables), a comparison
+    // of that column against a renderable literal holds for ALL of a
+    // file's rows or NONE — keeping exactly the matching files IS the
+    // filter. Spark then plans no re-evaluation, which unlocks
+    // FILTERED manifest aggregates: `SELECT count(*) WHERE day = 'x'`
+    // stays a zero-IO metadata read. Anything unprovable stays
+    // residual, as before.
+    val pureKey: Option[(String, DataType)] =
+      entries.headOption.flatMap(_.statsKey).flatMap { k =>
+        fullSchema.fields.find(_.name.equalsIgnoreCase(k))
+          .map(f => (k, f.dataType))
+      }.filter { case (k, dt) =>
+        SnapshotTable.partitionableType(dt) &&
+          entries.forall(e => e.statsKey.contains(k) &&
+            e.lo.isDefined && e.lo == e.hi &&
+            e.statsNulls.contains(0L))
+      }
+    consumed = pureKey.toSeq.flatMap { case (k, dt) =>
+      val cmp = SnapshotTable.statOrdering(dt)
+        .getOrElse((a: String, b: String) => a.compareTo(b))
+      filters.toSeq.flatMap(f => constEval(f, k, dt, cmp).map(f -> _))
+    }
+    val consumedSet = consumed.map(_._1).toSet
+    filters.filterNot(consumedSet)
   }
+
+  /** Filters consumed by exact per-file evaluation against the
+    * value-pure stats column; (filter, evaluator over the file's
+    * constant as its stats string). */
+  private var consumed: Seq[(Filter, String => Boolean)] = Nil
+
+  /** Render `v` exactly as the stats pass rendered the column
+    * (cast-to-string); None keeps the filter residual. Integral
+    * types match only on exact integral literals — a fractional
+    * literal against an int column must NOT round. */
+  private def renderLit(v: Any, dt: DataType): Option[String] =
+    (v, dt) match {
+      case (null, _) => None
+      case (s: String, StringType) => Some(s)
+      case (s: UTF8String, StringType) => Some(s.toString)
+      case (n: java.lang.Integer,
+        IntegerType | LongType | ShortType | ByteType) =>
+        Some(n.toString)
+      case (n: java.lang.Long,
+        IntegerType | LongType | ShortType | ByteType) =>
+        Some(n.toString)
+      case (n: java.lang.Short,
+        IntegerType | LongType | ShortType | ByteType) =>
+        Some(n.toString)
+      case (n: java.lang.Byte,
+        IntegerType | LongType | ShortType | ByteType) =>
+        Some(n.toString)
+      case (d: java.sql.Date, DateType) => Some(d.toLocalDate.toString)
+      case (d: java.time.LocalDate, DateType) => Some(d.toString)
+      case _ => None
+    }
+
+  /** The filter as an exact predicate over a file's CONSTANT value of
+    * `key` (its stats string), or None when it cannot be decided at
+    * file granularity. IsNotNull is vacuously true: purity includes a
+    * zero recorded null count. */
+  private def constEval(f: Filter, key: String, dt: DataType,
+      cmp: (String, String) => Int): Option[String => Boolean] =
+    f match {
+      case EqualTo(c, v) if c.equalsIgnoreCase(key) =>
+        renderLit(v, dt).map(l => s => cmp(s, l) == 0)
+      case In(c, vs) if c.equalsIgnoreCase(key) && vs.nonEmpty =>
+        val ls = vs.toSeq.map(renderLit(_, dt))
+        if (ls.exists(_.isEmpty)) None
+        else {
+          val set = ls.flatten
+          Some(s => set.exists(cmp(s, _) == 0))
+        }
+      case GreaterThan(c, v) if c.equalsIgnoreCase(key) =>
+        renderLit(v, dt).map(l => s => cmp(s, l) > 0)
+      case GreaterThanOrEqual(c, v) if c.equalsIgnoreCase(key) =>
+        renderLit(v, dt).map(l => s => cmp(s, l) >= 0)
+      case LessThan(c, v) if c.equalsIgnoreCase(key) =>
+        renderLit(v, dt).map(l => s => cmp(s, l) < 0)
+      case LessThanOrEqual(c, v) if c.equalsIgnoreCase(key) =>
+        renderLit(v, dt).map(l => s => cmp(s, l) <= 0)
+      case org.apache.spark.sql.sources.IsNotNull(c)
+        if c.equalsIgnoreCase(key) => Some(_ => true)
+      case _ => None
+    }
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -504,14 +589,26 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     aggAnswer.isDefined
   }
 
+  /** Pushed filters block manifest answers UNLESS every one was
+    * CONSUMED (decided exactly per file); consumed filters then apply
+    * as the same per-file evaluation here — `count(*) WHERE day='x'`
+    * answers from the matching files' footer counts alone. */
+  private def residualBlocks: Boolean =
+    pushed.exists(p => !consumed.exists(_._1 == p))
+
+  private def consumedKeep(data: Seq[FileEntry]): Seq[FileEntry] =
+    if (consumed.isEmpty) data
+    else data.filter(e => consumed.forall(_._2(e.lo.get)))
+
   private def tryAnswer(agg: Aggregation)
   : Option[(StructType, Array[Array[String]], String)] = {
-    if (pushed.nonEmpty) return None
+    if (residualBlocks) return None
     if (agg.groupByExpressions().nonEmpty) return tryGrouped(agg)
     val spark = SparkSession.active
     val entries = viewedEntries(spark)._1
-    val (tombs, data) = entries.partition(_.kind == "t")
+    val (tombs, data0) = entries.partition(_.kind == "t")
     if (tombs.nonEmpty) return None // MOR: manifest counts overcount
+    val data = consumedKeep(data0)
 
     def minMax(colExpr: org.apache.spark.sql.connector.expressions
         .Expression, isMin: Boolean): Option[(StructField, String)] =
@@ -581,16 +678,19 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     }
     val spark = SparkSession.active
     val entries = viewedEntries(spark)._1
-    val (tombs, data) = entries.partition(_.kind == "t")
-    if (tombs.nonEmpty || data.isEmpty) return None
+    val (tombs, data0) = entries.partition(_.kind == "t")
+    if (tombs.nonEmpty || data0.isEmpty) return None
     // value-purity per file: the group column is the file's recorded
     // stats column, its min == max, and it holds no NULLs (min/max
     // ignore nulls, so a mixed file would lie). Identity-partitioned
     // writes guarantee all three; anything else declines.
-    val pure = data.forall(e => e.statsKey.contains(groupCol) &&
+    val pure = data0.forall(e => e.statsKey.contains(groupCol) &&
       e.lo.isDefined && e.lo == e.hi && e.statsNulls.contains(0L) &&
       e.rows.isDefined)
     if (!pure) return None
+    // consumed filters restrict the group universe exactly (they are
+    // predicates over the same per-file constant)
+    val data = consumedKeep(data0)
     def isGroupCol(c: org.apache.spark.sql.connector.expressions
         .Expression): Boolean = c match {
       case fr: NamedReference =>
@@ -797,8 +897,13 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     val (tombs, data) = entries.partition(_.kind == "t")
     val base = offsetSkip.map(_._1)
       .orElse(limitKept.map(_._1)).getOrElse(data)
-    val kept = pushed.foldLeft(base)((es, f) =>
+    val kept0 = pushed.foldLeft(base)((es, f) =>
       GraftPruning.prune(spark, root, fullSchema, mSchema, es, f))
+    // consumed filters returned NO residual, so the scan itself must
+    // be exact: the generic stats pruning above is only best-effort
+    // (boundary files survive a strict '>'); re-decide each file by
+    // its constant, which is total on a value-pure table
+    val kept = consumedKeep(kept0)
     val tombKey = tombs.headOption.map(_.statsKey.getOrElse(
       throw new IllegalStateException(
         s"tombstone entry without a key column at $root")))
@@ -2487,6 +2592,16 @@ private[graft] class GraftColumnarReader(file: String,
   // getRowGroups then skip disproven groups before any page IO
   locally {
     if (pushed.nonEmpty) {
+      // ROW-GROUP statistics filtering ONLY — the row reader's exact
+      // discipline. Page-level (column-index) filtering must stay
+      // OFF: a predicate may reference an UNPROJECTED column (file
+      // pruning needs no values), and parquet's ColumnIndexFilter
+      // resolves filter columns against the requested projection —
+      // an unprojected column yields empty row ranges and silently
+      // drops every row (measured: COUNT under a consumed partition
+      // filter returned 0 while collect() was exact, because count's
+      // column pruning removed the filter column).
+      conf.setBoolean("parquet.filter.columnindex.enabled", false)
       val footer = {
         val r = ParquetFileReader.open(
           HadoopInputFile.fromPath(new Path(file), conf))

@@ -266,6 +266,69 @@ class SnapshotPartitionSpec extends SparkSpec {
     }
   }
 
+  test("filters ON the partition key are CONSUMED (no residual, no " +
+      "Filter node): equality keeps exactly that value's files, a " +
+      "STRICT bound excludes the boundary value, COUNT(*) under the " +
+      "filter answers from the manifest, and a mixed filter keeps " +
+      "the non-key part residual") {
+    val root = tmpRoot()
+    val df = fixture(7000)
+    SnapshotTable.commitPartitioned(spark, root, df, "category")
+    def filterNodes(q: org.apache.spark.sql.DataFrame): Int =
+      q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f }.size
+    val q = readFmt(root).load().filter(col("category") === "cat_3")
+    assert(filterNodes(q) == 0,
+      s"key filter not consumed:\n${q.queryExecution.executedPlan}")
+    assert(q.collect().map(_.getAs[String]("category")).toSet ==
+      Set("cat_3"))
+    assert(q.count() == df.filter(col("category") === "cat_3").count())
+    // the count above: consumed filter + manifest COUNT — zero files
+    val cq = readFmt(root).load()
+      .filter(col("category") === "cat_3")
+      .agg(count(lit(1)).as("n"))
+    assert(cq.queryExecution.executedPlan.toString.contains("files=0/"),
+      s"filtered count not manifest-answered:\n${cq.queryExecution
+        .executedPlan}")
+    assert(cq.as[Long].head() ==
+      df.filter(col("category") === "cat_3").count())
+    // STRICT bound: the generic range pruning keeps the boundary
+    // file; the exactness re-decision must drop it
+    val qs = readFmt(root).load().filter(col("category") > "cat_3")
+    assert(filterNodes(qs) == 0)
+    assert(qs.collect().map(_.getAs[String]("category")).toSet ==
+      Set("cat_4", "cat_5", "cat_6"))
+    // grouped answer under a consumed RANGE filter stays manifest-only
+    val gq = readFmt(root).load()
+      .filter(col("category") >= "cat_4")
+      .groupBy("category").agg(count(lit(1)).as("n"))
+      .orderBy("category")
+    assert(gq.queryExecution.executedPlan.toString.contains("files=0/"))
+    assert(gq.as[(String, Long)].collect().toSeq ==
+      df.filter(col("category") >= "cat_4")
+        .groupBy("category").agg(count(lit(1)).as("n"))
+        .orderBy("category").as[(String, Long)].collect().toSeq)
+    // a conjunction with a NON-key predicate keeps that part residual
+    // (Filter node present) and stays exact
+    val qm = readFmt(root).load()
+      .filter(col("category") === "cat_2" && col("id") <= 3500)
+    assert(filterNodes(qm) == 1,
+      s"non-key part should stay residual:\n${qm.queryExecution
+        .executedPlan}")
+    assert(qm.count() ==
+      df.filter(col("category") === "cat_2" && col("id") <= 3500)
+        .count())
+    // a table whose stats column is NOT the filtered one consumes
+    // nothing: the same key filter keeps its Filter node. (A 7-value
+    // range-clustered table can come out value-pure by accident, so
+    // cluster on id to pin the negative case.)
+    val root2 = tmpRoot()
+    SnapshotTable.commit(spark, root2, df, clusterKey = Some("id"))
+    val qi = readFmt(root2).load().filter(col("category") === "cat_3")
+    assert(filterNodes(qi) == 1)
+    assert(qi.count() == df.filter(col("category") === "cat_3").count())
+  }
+
   test("after ANALYZE, grouped MIN/MAX of a NON-group numeric column " +
       "answers from the manifest too (min/max decompose over the " +
       "group's files), and declines when a file lacks the stats") {
