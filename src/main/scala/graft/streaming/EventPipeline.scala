@@ -475,6 +475,38 @@ object EventPipeline {
         ()
       }
 
+  /** Identity-partitioned ingest sink: each micro-batch appends INTO
+    * the target table's declared `PARTITIONED BY (col)` layout via
+    * [[graft.sources.SnapshotTable.appendPartitioned]] — new files
+    * stay VALUE-PURE, so through the whole ingest history the
+    * streamed table keeps (a) exact partition pruning, (b) the
+    * manifest-answered `GROUP BY key` / filtered COUNT (zero data
+    * IO), and (c) `KeyGroupedPartitioning(identity)` joins. This is
+    * THE canonical 100 TB ingest shape: events stream into a
+    * day/tenant-partitioned lakehouse table and the dashboard's
+    * "rows per partition" stays a metadata read while the stream
+    * runs. Exactly-once composes the same way as the bucketed sink:
+    * the `(appId, batchId)` marker commits atomically with the data,
+    * so a replayed micro-batch is recognized and skipped. Write cost
+    * is O(batch): one value-clustered shuffle of the batch, one file
+    * per distinct partition value in the batch, zero prior files
+    * touched. */
+  def snapshotPartitionedSink(flat: DataFrame, tableRoot: String,
+      checkpoint: String, appId: String): DataStreamWriter[Row] =
+    flat.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val replayed = graft.sources.SnapshotTable
+          .lastCommittedTxn(s, tableRoot, appId).exists(_ >= batchId)
+        if (!replayed && !batch.isEmpty)
+          graft.sources.SnapshotTable.appendPartitioned(s, tableRoot,
+            batch, txn = Some((appId, batchId)))
+        recordStaleness(s, tableRoot)
+        ()
+      }
+
   /** Fixture-events ingest — the same parse→flatten→quality composition
     * specialized to the fixture `events` table shape (`event_id, ts,
     * user_id, event_type, value, props`), so the streamed sink output is

@@ -840,6 +840,62 @@ class EventPipelineSpec extends SparkSpec {
       "bucketed sink must record staleness")
   }
 
+  test("identity-partitioned streaming sink: micro-batches land " +
+      "VALUE-PURE inside the declared layout (manifest GROUP BY and " +
+      "consumed partition filters survive the whole ingest history), " +
+      "and a replayed batch id is skipped — exactly-once appends") {
+    implicit val sc = spark.sqlContext
+    import graft.sources.SnapshotTable
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-psink").toString
+    val tableRoot = s"$base/ev"
+    def mkEv(b: Int, i: Int): String = ev(f"p$b%02d$i%02d",
+      typ = Seq("PushEvent", "ForkEvent", "IssuesEvent")(i % 3))
+    // the seed commit declares the identity layout the sink appends into
+    val seed = EventPipeline.pipeline(
+      Seq(mkEv(9, 90), mkEv(9, 91)).toDF("value"))
+    SnapshotTable.commitPartitioned(spark, tableRoot, seed, "event_type")
+    val stream = MemoryStream[String]
+    def drain(ckpt: String): Unit = {
+      val q = EventPipeline.snapshotPartitionedSink(
+        EventPipeline.pipeline(stream.toDF()), tableRoot,
+        checkpoint = ckpt, appId = "psink-test").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    (0 until 3).foreach { b =>
+      stream.addData((0 until 9).map(i => mkEv(b, i)): _*)
+      drain(s"$base/ckpt")
+    }
+    assert(SnapshotTable.read(spark, tableRoot).count() == 29)
+    // every data file of the ingest history is value-pure
+    val man = SnapshotTable.manifest(spark, tableRoot,
+      SnapshotTable.currentVersion(spark, tableRoot))
+    man.filter(_.kind == "d").foreach(e =>
+      assert(e.statsKey.contains("event_type") && e.lo == e.hi &&
+        e.statsNulls.contains(0L),
+        s"streamed file ${e.path} broke value purity"))
+    // the dashboard query over the streamed table: manifest-only
+    val g = spark.read.format("graft-snapshot")
+      .option("path", tableRoot).load()
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+    assert(g.queryExecution.executedPlan.toString.contains("files=0/"),
+      "streamed table lost the manifest GROUP BY")
+    assert(g.as[(String, Long)].collect().toSeq ==
+      Seq(("ForkEvent", 10L), ("IssuesEvent", 9L), ("PushEvent", 10L)))
+    // replay from a fresh checkpoint: recognized, skipped, no version
+    val vBefore = SnapshotTable.currentVersion(spark, tableRoot)
+    drain(s"$base/ckpt_replay")
+    assert(SnapshotTable.currentVersion(spark, tableRoot) == vBefore)
+    assert(SnapshotTable.read(spark, tableRoot).count() == 29)
+    // new data through the original checkpoint still lands, pure
+    stream.addData(mkEv(5, 0))
+    drain(s"$base/ckpt")
+    assert(SnapshotTable.read(spark, tableRoot).count() == 30)
+    assert(SnapshotTable.lastCommittedTxn(spark, tableRoot, "psink-test")
+      .contains(3L))
+  }
+
   test("ingest→analytics composition: streamed sink output answers the " +
       "batch events queries identically") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compose")
