@@ -3774,8 +3774,14 @@ object SnapshotTable {
         else Some(readEntries(spark, root, rewriteSet ++ tombs,
           priorSchema).filter(!matchCond))
       val (clusterKey, _) = layoutOf(spark, root)
+      // a declared identity layout survives the rewrite (value-pure
+      // files), like compaction and the row-level COW path
+      val partKey = partitionKeyOf(tableProperties(spark, root))
       val (segs, newEntries) = kept match {
         case None => (Seq.empty[Path], Seq.empty[FileEntry])
+        case Some(df) if partKey.isDefined =>
+          val (seg, es) = stagePartitioned(spark, root, df, partKey.get)
+          (Seq(seg), es)
         case Some(df) =>
           // size the rewrite by its input bytes (the merge rule): the
           // kept rows are a subset of the rewritten files' rows

@@ -124,13 +124,30 @@ private[connector] class GraftReplaceDataWrite(root: String,
       bk.filter(k => schema.fieldNames.exists(_.equalsIgnoreCase(k))))
   }
 
+  /** A declared identity-partition layout is preserved through the
+    * rewrite the same way ingest preserves it: cluster by the value,
+    * split one file per value — an UPDATE must not silently demote
+    * the table's manifest GROUP BY and consumed filters to scans. */
+  private val partitionKey: Option[String] =
+    SnapshotTable.partitionKeyOf(
+      SnapshotTable.tableProperties(SparkSession.active, root))
+      .filter(k => schema.fieldNames.exists(_.equalsIgnoreCase(k)))
+
   override def requiredDistribution(): Distribution =
-    clusterKey.map(k => Distributions.ordered(Array[V2SortOrder](
-      Expressions.sort(Expressions.column(k), SortDirection.ASCENDING))))
-      .getOrElse(Distributions.unspecified())
+    partitionKey match {
+      case Some(pk) => Distributions.clustered(Array(
+        Expressions.identity(pk)
+          : org.apache.spark.sql.connector.expressions.Expression))
+      case None => clusterKey.map(k =>
+        Distributions.ordered(Array[V2SortOrder](
+          Expressions.sort(Expressions.column(k),
+            SortDirection.ASCENDING))))
+        .getOrElse(Distributions.unspecified())
+    }
 
   override def requiredOrdering(): Array[V2SortOrder] =
-    clusterKey.map(k => Array[V2SortOrder](
+    if (partitionKey.isDefined) Array.empty
+    else clusterKey.map(k => Array[V2SortOrder](
       Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)))
       .getOrElse(Array.empty)
 
@@ -139,7 +156,7 @@ private[connector] class GraftReplaceDataWrite(root: String,
 
   override def toBatch: BatchWrite =
     new GraftReplaceBatchWrite(root, version, schema, op,
-      clusterKey, bloomKey)
+      clusterKey, bloomKey, partitionKey)
 }
 
 /** DELTA-based (merge-on-read) row-level operations — chosen over the
@@ -429,19 +446,28 @@ private[connector] class GraftDeltaWriter(dataSegAbs: String,
 
 private[connector] class GraftReplaceBatchWrite(root: String,
     version: Long, schema: StructType, op: GraftRowLevelOperation,
-    clusterKey: Option[String], bloomKey: Option[String])
+    clusterKey: Option[String], bloomKey: Option[String],
+    partitionKey: Option[String] = None)
   extends BatchWrite {
 
   private val seg = SnapshotTable.newSegmentPath(root)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-  : DataWriterFactory = new GraftWriterFactory(seg.toString, schema.json)
+  : DataWriterFactory = partitionKey match {
+    case Some(pk) => new GraftPartitionedWriterFactory(seg.toString,
+      schema.json, schema.fieldNames.indexWhere(_.equalsIgnoreCase(pk)))
+    case None => new GraftWriterFactory(seg.toString, schema.json)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     // sorted into partition order, same rule as every other commit
-    val rel = messages.toSeq.collect {
-      case GraftTaskFile(Some(name)) => s"_data/${seg.getName}/$name"
+    val rel = messages.toSeq.flatMap {
+      case GraftTaskFile(Some(name)) =>
+        Seq(s"_data/${seg.getName}/$name")
+      case GraftPartitionedTaskFiles(fs) =>
+        fs.map(name => s"_data/${seg.getName}/$name")
+      case _ => Seq.empty
     }.sorted
     val removed = op.plannedFiles.map(_.path).toSet
     if (rel.isEmpty && removed.isEmpty) {
@@ -453,7 +479,9 @@ private[connector] class GraftReplaceBatchWrite(root: String,
     val entries =
       if (rel.isEmpty) Seq.empty
       else SnapshotTable.statsEntries(spark, root, seg, rel,
-        clusterKey, bloomKey)
+        // a fresh partitioned table has no entries for layoutOf to
+        // read the cluster key from — the declared key still governs
+        clusterKey.orElse(partitionKey), bloomKey)
     SnapshotTable.replaceFilesStaged(spark, root, seg, entries,
       removed, version, schema)
   }

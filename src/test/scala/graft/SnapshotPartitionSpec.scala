@@ -388,6 +388,46 @@ class SnapshotPartitionSpec extends SparkSpec {
     }
   }
 
+  test("row-level SQL (UPDATE, DELETE) PRESERVES the identity " +
+      "layout: rewritten files stay value-pure, and the manifest " +
+      "GROUP BY still answers afterwards") {
+    spark.sql("CREATE TABLE graftpart.db.rl (id BIGINT, cat STRING, " +
+      "v DOUBLE) PARTITIONED BY (cat)")
+    val root = s"$warehouse/db/rl"
+    (1 to 6000).map(i => (i.toLong, s"c${i % 5}", i * 1.0))
+      .toDF("id", "cat", "v").createOrReplaceTempView("rl_src")
+    spark.sql("INSERT INTO graftpart.db.rl SELECT * FROM rl_src")
+    // COW UPDATE touching a few rows of two partitions
+    spark.sql("UPDATE graftpart.db.rl SET v = v + 1000000 " +
+      "WHERE id % 997 = 0")
+    def pure(): Unit = {
+      val data = SnapshotTable.manifest(spark, root,
+        SnapshotTable.currentVersion(spark, root)).filter(_.kind == "d")
+      assert(data.nonEmpty && data.forall(e =>
+        e.statsKey.contains("cat") && e.lo == e.hi &&
+          e.statsNulls.contains(0L)),
+        s"row-level op broke value purity: ${data.filterNot(e =>
+          e.lo == e.hi)}")
+    }
+    pure()
+    val g = spark.sql("SELECT cat, count(*) AS n FROM graftpart.db.rl " +
+      "GROUP BY cat ORDER BY cat")
+    assert(g.queryExecution.executedPlan.toString.contains("files=0/"),
+      "manifest GROUP BY lost after UPDATE")
+    assert(g.as[(String, Long)].collect().toSeq ==
+      (0 until 5).map(i => (s"c$i", 1200L)))
+    assert(spark.sql("SELECT count(*) FROM graftpart.db.rl " +
+      "WHERE v > 999999").as[Long].head() == 6)
+    // DELETE with a NON-key condition forces the scan+rewrite tier;
+    // the rewrite must come back value-pure too
+    spark.sql("DELETE FROM graftpart.db.rl WHERE id % 1001 = 0")
+    pure()
+    val g2 = spark.sql("SELECT cat, count(*) AS n FROM " +
+      "graftpart.db.rl GROUP BY cat ORDER BY cat")
+    assert(g2.queryExecution.executedPlan.toString.contains("files=0/"))
+    assert(g2.as[(String, Long)].collect().map(_._2).sum == 6000 - 5)
+  }
+
   test("compaction PRESERVES the identity layout: files stay " +
       "value-pure, the manifest group-by still answers, and the " +
       "compacted answer equals the pre-compaction one") {
