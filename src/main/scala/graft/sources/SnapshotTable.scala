@@ -799,6 +799,26 @@ object SnapshotTable {
     case _ => false
   }
 
+  /** The EXACT-sum type domain: per-file sums recorded by [[analyze]]
+    * feed complete SUM/AVG-free aggregate pushdown, so only types
+    * whose sums are order-independent and losslessly rendered qualify
+    * — integrals and decimals. Float/double sums are excluded: IEEE
+    * addition is non-associative, so a manifest answer could differ
+    * in the last ulp from Spark's row-order answer. */
+  private[graft] def summable(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
+
+  /** The extra-stats slot key holding a file's exact column sum —
+    * value-based (like the NDV sketches), so it RE-KEYS on rename and
+    * is looked up under the current logical name. */
+  private[graft] def sumKey(name: String): String = s"__sum:$name"
+
   /** Does this file lack a sketch or null count for some of `cols`?
     * The staleness predicate shared by incremental [[analyze]], the
     * auto-analyze policy and `t.stats`' staleness column. */
@@ -831,7 +851,15 @@ object SnapshotTable {
       cols: Seq[StructField]): Boolean =
     !cols.forall(fd =>
       e.ndv.exists(_._1.equalsIgnoreCase(fd.name)) &&
-        e.colNulls.exists(_._1.equalsIgnoreCase(fd.name)))
+        e.colNulls.exists(_._1.equalsIgnoreCase(fd.name)) &&
+        // a summable column also needs its exact per-file sum — a
+        // missing slot is legitimate only when the file stores no
+        // non-null values of it (SQL SUM ignores those files); files
+        // analyzed before sum recording existed heal on one re-read
+        (!summable(fd.dataType) ||
+          e.statsFor(sumKey(fd.name)).isDefined ||
+          e.colNulls.exists(kv => kv._1.equalsIgnoreCase(fd.name) &&
+            e.rows.contains(kv._2))))
 
   private def analyzableCols(spark: SparkSession,
       schema: StructType): Seq[StructField] = {
@@ -2838,6 +2866,15 @@ object SnapshotTable {
       val numeric: Set[String] =
         cols.collect { case fd if cboNumeric(fd.dataType) => fd.name }
           .toSet
+      // summable columns additionally get an EXACT per-file sum
+      // (decimal(38, col-scale) accumulator, try_sum so an overflowing
+      // file records nothing instead of failing the pass) — the feed
+      // for complete SUM pushdown: at 100 TB, `sum(amount)` over a
+      // petabyte becomes a metadata read
+      def sumScale(dt: DataType): Int = dt match {
+        case d: org.apache.spark.sql.types.DecimalType => d.scale
+        case _ => 0
+      }
       // one pass over the live files under the table schema (files
       // that predate a column contribute nothing to its sketch)
       val sel = Seq(input_file_name().as("__f")) ++
@@ -2851,6 +2888,10 @@ object SnapshotTable {
           (if (numeric(fd.name)) Seq(
             smin(col(s"__n$i")).cast("string").as(s"__mn$i"),
             smax(col(s"__n$i")).cast("string").as(s"__mx$i"))
+          else Nil) ++
+          (if (summable(fd.dataType)) Seq(expr(
+            s"CAST(try_sum(CAST(__n$i AS DECIMAL(38," +
+              s"${sumScale(fd.dataType)}))) AS STRING)").as(s"__sm$i"))
           else Nil)
       }
       // keyed by FULL path, never basename: different segments can
@@ -2901,6 +2942,14 @@ object SnapshotTable {
               case _ => None
             }
           }
+          // value-based exact sums: NULL (all-null column or a file
+          // whose sum overflowed the decimal(38) accumulator) records
+          // no slot — answer time distinguishes the two by colNulls
+          val sums = cols.zipWithIndex.flatMap { case (fd, i) =>
+            if (!summable(fd.dataType)) None
+            else Option(r.getAs[String](s"__sm$i"))
+              .map(v => (sumKey(fd.name), v, v))
+          }
           e.copy(
             ndv = cols.zipWithIndex.flatMap { case (fd, i) =>
               Option(r.getAs[Array[Byte]](s"__ndv$i")).map(fd.name -> _)
@@ -2909,7 +2958,9 @@ object SnapshotTable {
               fd.name -> Option(r.getAs[Any](s"__nl$i"))
                 .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
             },
-            extraStats = e.extraStats ++ ranges)
+            extraStats = e.extraStats
+              .filterNot(t => sums.exists(_._1 == t._1)) ++
+              ranges ++ sums)
         }
       }
       // INITIAL-DEFAULT override: a file written BEFORE a column
