@@ -207,7 +207,7 @@ case class BloomSketchAgg(child: Expression, expectedItems: Int,
     else if (fppPct < 1 || fppPct > 50)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName fpp_pct must be in [1, 50] percent")
-    else if (Hll.hashableTypes.contains(child.dataType))
+    else if (Hll.hashable(child.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName cannot hash ${child.dataType.simpleString}")
@@ -265,7 +265,7 @@ case class BloomMightContain(left: Expression, right: Expression)
     if (left.dataType != BinaryType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName needs a BINARY sketch, got ${left.dataType.simpleString}")
-    else if (Hll.hashableTypes.contains(right.dataType))
+    else if (Hll.hashable(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName cannot hash ${right.dataType.simpleString}")

@@ -78,6 +78,15 @@ object Hll {
     LongType, IntegerType, ShortType, ByteType, BooleanType, DateType,
     TimestampType, DoubleType, FloatType)
 
+  /** The full hashable domain: the exact-type set plus every
+    * DecimalType (parametric, so a Set membership can't carry it).
+    * Decimals hash by canonical numeric value — scale-normalized, so
+    * the same value sketches identically before and after a type
+    * widening (decimal(12,2) -> decimal(24,2) is metadata-only and
+    * the recorded NDV registers stay mergeable). */
+  private[graft] def hashable(dt: DataType): Boolean =
+    hashableTypes.contains(dt) || dt.isInstanceOf[DecimalType]
+
   /** 64-bit hash of a non-null catalyst value of a hashable type. */
   def hashValue(v: Any, dt: DataType): Long = dt match {
     case StringType => XXH64.hashUTF8String(v.asInstanceOf[UTF8String], 42L)
@@ -90,6 +99,18 @@ object Hll {
       java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 42L)
     case FloatType => XXH64.hashLong(
       java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong, 42L)
+    case _: DecimalType =>
+      // canonical value hash: strip trailing zeros so 5.10 at scale 2
+      // and 5.1 at scale 1 (the same number under widening) collide;
+      // plain-string form keeps full precision past 64-bit unscaled.
+      // Accepts the external forms too — the initial-default fill
+      // hashes rendered literals, not catalyst values.
+      val bd = (v match {
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case b: java.math.BigDecimal => b
+        case b: scala.math.BigDecimal => b.bigDecimal
+      }).stripTrailingZeros()
+      XXH64.hashUTF8String(UTF8String.fromString(bd.toPlainString), 42L)
     case t => throw new IllegalArgumentException(s"unhashable type $t")
   }
 }
@@ -132,7 +153,7 @@ abstract class HllAggBase extends TypedImperativeAggregate[Array[Byte]]
   override def checkInputDataTypes(): TypeCheckResult = {
     val p = checkPrecision()
     if (p != TypeCheckResult.TypeCheckSuccess) p
-    else if (Hll.hashableTypes.contains(child.dataType))
+    else if (Hll.hashable(child.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName cannot hash ${child.dataType.simpleString}")

@@ -428,6 +428,122 @@ case class BpeChunkCount(child: Expression, chunkLen: Int)
   : BpeChunkCount = copy(child = newChild)
 }
 
+/** Exact longest-repeated-substring via a SUFFIX AUTOMATON — the
+  * within-document twin of the cross-document suffix-array pass
+  * (Lee et al. 2022 use suffix structures for exact substring dedup;
+  * `docs_exact_dup_spans` owns the cross-doc axis, this owns the
+  * intra-doc one). O(n) states/time per document, code-point
+  * alphabet so the length semantics match SQL `substr`/`length`
+  * exactly (DuckDB-oracleable). A state accepts the substrings of
+  * one endpos class; a state whose endpos size is >= 2 is a
+  * substring occurring at least twice, so the answer is the max
+  * `len` over such states. Per-row scalar work: this is exactly the
+  * custom-Expression case — no shuffle, rides whole-stage codegen
+  * through a static call. */
+object Lrs {
+  def longestRepeated(s: UTF8String): Int = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < 2) return 0
+    val maxStates = 2 * n + 2
+    val len = new Array[Int](maxStates)
+    val link = new Array[Int](maxStates)
+    val cnt = new Array[Long](maxStates)
+    val trans = new Array[java.util.HashMap[Integer, Integer]](maxStates)
+    trans(0) = new java.util.HashMap[Integer, Integer]()
+    link(0) = -1
+    var size = 1
+    var last = 0
+    var i = 0
+    while (i < n) {
+      val c: Integer = cps(i)
+      val cur = size; size += 1
+      len(cur) = len(last) + 1
+      cnt(cur) = 1L
+      trans(cur) = new java.util.HashMap[Integer, Integer]()
+      var p = last
+      while (p != -1 && !trans(p).containsKey(c)) {
+        trans(p).put(c, cur)
+        p = link(p)
+      }
+      if (p == -1) link(cur) = 0
+      else {
+        val q = trans(p).get(c).intValue()
+        if (len(p) + 1 == len(q)) link(cur) = q
+        else {
+          val clone = size; size += 1
+          len(clone) = len(p) + 1
+          link(clone) = link(q)
+          cnt(clone) = 0L
+          trans(clone) =
+            new java.util.HashMap[Integer, Integer](trans(q))
+          while (p != -1 && trans(p).get(c) != null &&
+            trans(p).get(c).intValue() == q) {
+            trans(p).put(c, clone)
+            p = link(p)
+          }
+          link(q) = clone
+          link(cur) = clone
+        }
+      }
+      last = cur
+      i += 1
+    }
+    // endpos sizes: counting-sort states by len (len <= n), then fold
+    // each state's count into its suffix link, longest first
+    val buckets = new Array[Int](n + 1)
+    var v = 1
+    while (v < size) { buckets(len(v)) += 1; v += 1 }
+    var b = 1
+    while (b <= n) { buckets(b) += buckets(b - 1); b += 1 }
+    val order = new Array[Int](size - 1)
+    v = 1
+    while (v < size) {
+      buckets(len(v)) -= 1
+      order(buckets(len(v))) = v
+      v += 1
+    }
+    var ans = 0
+    var k = order.length - 1
+    while (k >= 0) {
+      val st = order(k)
+      if (cnt(st) >= 2L && len(st) > ans) ans = len(st)
+      if (link(st) > 0) cnt(link(st)) += cnt(st)
+      k -= 1
+    }
+    ans
+  }
+}
+
+/** `graft_lrs(text)` → INT: code-point length of the longest substring
+  * occurring at least twice in the string (0 when none). */
+case class LongestRepeatedSubstring(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lrs requires STRING, got ${t.simpleString}")
+  }
+
+  override def prettyName: String = "graft_lrs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Lrs.longestRepeated(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+  : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Lrs.longestRepeated($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : LongestRepeatedSubstring = copy(child = newChild)
+}
+
 object SketchFunctions {
   private[functions] def intLitArg(e: Expression, what: String): Int =
     intLit(e, what)
@@ -458,6 +574,8 @@ object SketchFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
       exprs => ShingleRows(exprs(0), intLit(exprs(1), "n")), "built-in")
+    reg.createOrReplaceTempFunction("graft_lrs",
+      exprs => LongestRepeatedSubstring(exprs(0)), "built-in")
     VectorFunctions.attachRewrite(spark)
   }
 }

@@ -582,6 +582,26 @@ object TextAnalysis {
         .orderBy(asc("doc_id"))
     }),
 
+    // EXACT longest-repeated-substring per document — the suffix-
+    // AUTOMATON intra-doc twin of docs_exact_dup_spans' cross-doc
+    // suffix-array pass: the boilerplate/repetition signal quality
+    // filters threshold on (a doc whose longest internal repeat is
+    // long relative to its length is template spam). O(n) states and
+    // time per document via graft.functions.Lrs, per-row scalar work
+    // riding whole-stage codegen — zero shuffle, trivially 100 TB-
+    // shaped. Code-point semantics match SQL substr/length, so the
+    // oracle brute-forces the same answer over every substring (the
+    // 120-char cap keeps the O(n^2) ORACLE tractable; the automaton
+    // itself has no such need). */
+    "docs_lrs_exact" -> ((s, dir) => {
+      graft.functions.SketchFunctions.register(s)
+      docs(s, dir).filter(col("text").isNotNull)
+        .selectExpr("doc_id", "substring(text, 1, 120) AS s")
+        .selectExpr("doc_id", "CAST(length(s) AS BIGINT) AS n_chars",
+          "CAST(graft_lrs(s) AS BIGINT) AS lrs_len")
+        .orderBy(asc("doc_id"))
+    }),
+
     // Sequence PACKING — the other pre-training staple: concatenate each
     // (lang, split) stream in doc_id order and chunk it into 1024-token
     // training sequences; a doc belongs to the sequence its LAST token
@@ -1606,6 +1626,28 @@ object TextAnalysis {
         |  CAST(coalesce(nd, 0) AS BIGINT) AS n_dup8
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |WHERE d.text IS NOT NULL ORDER BY d.doc_id""".stripMargin,
+    // Brute-force twin of the suffix automaton: enumerate EVERY
+    // (start, len) substring of the capped text and keep the longest
+    // length appearing at least twice — O(n^2) rows, tractable only
+    // because of the same 120-char cap the Spark query applies.
+    "docs_lrs_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 120) AS s FROM documents
+        |  WHERE text IS NOT NULL),
+        |nums AS (SELECT range AS i FROM range(1, 121)),
+        |subs AS (
+        |  SELECT d.doc_id, n2.i AS len, substr(d.s, n1.i, n2.i) AS sub
+        |  FROM d, nums n1, nums n2
+        |  WHERE n1.i + n2.i - 1 <= length(d.s)),
+        |dup AS (
+        |  SELECT doc_id, max(len) AS lrs FROM (
+        |    SELECT doc_id, len, sub FROM subs
+        |    GROUP BY doc_id, len, sub HAVING count(*) >= 2) q
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, length(d.s) AS n_chars,
+        |  CAST(coalesce(dup.lrs, 0) AS BIGINT) AS lrs_len
+        |FROM d LEFT JOIN dup USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // DuckDB twin of the stupid-backoff tier resolution: the same
     // ≥3-token base, lag() windows rebuild the trigram/bigram
     // positions, the en model is three GROUP BYs, and each position

@@ -132,7 +132,15 @@ object SnapshotTable {
         Some((lo.get, hi.get))
       else if (statsKey2.contains(key) && lo2.isDefined && hi2.isDefined)
         Some((lo2.get, hi2.get))
-      else extraStats.collectFirst { case (k, l, h) if k == key => (l, h) }
+      else {
+        // `__sum:` slots are LOGICAL-name keyed (they follow renames),
+        // so they match case-insensitively like ndv/colNulls; range and
+        // bloom slots stay under exact physical names — that is the
+        // coordinate system the pruning translation looks them up in.
+        val ci = key.startsWith(SnapshotTable.SumKeyPrefix)
+        extraStats.collectFirst { case (k, l, h)
+          if (if (ci) k.equalsIgnoreCase(key) else k == key) => (l, h) }
+      }
   }
 
   private[sources] def fs(spark: SparkSession, root: String): FileSystem =
@@ -511,7 +519,9 @@ object SnapshotTable {
         Option(fld(12)).filter(_.nonEmpty).map(unb64).map(_.toLong),
         Option(fld(13)).filter(_.nonEmpty).toSeq.flatMap(_.split(';')
           .toSeq.filter(_.nonEmpty).map { t =>
-            val p = t.split(':')
+            // limit -1 keeps trailing empties: the sum-unavailable
+            // sentinel legitimately encodes as `key::`
+            val p = t.split(":", -1)
             (unb64(p(0)), unb64(p(1)), unb64(p(2)))
           }),
         Option(fld(14)).filter(_.nonEmpty).toSeq.flatMap(_.split(';')
@@ -645,7 +655,7 @@ object SnapshotTable {
       // re-surfaces when the stats pass reads a nested segment) —
       // never table columns, never sketched
       .filterNot(_.name.startsWith("__"))
-      .filter(f => graft.functions.Hll.hashableTypes.contains(f.dataType))
+      .filter(f => graft.functions.Hll.hashable(f.dataType))
       .filter(f => mode == "all" ||
         passCols.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
       .take(maxCols)
@@ -815,9 +825,21 @@ object SnapshotTable {
   }
 
   /** The extra-stats slot key holding a file's exact column sum —
-    * value-based (like the NDV sketches), so it RE-KEYS on rename and
-    * is looked up under the current logical name. */
-  private[graft] def sumKey(name: String): String = s"__sum:$name"
+    * value-based (like the NDV sketches), so it RE-KEYS on rename
+    * ([[renameColumn]]'s rekeyed block translates this namespace) and
+    * is looked up under the current logical name, case-insensitively
+    * like every other per-column stat. */
+  private[graft] val SumKeyPrefix = "__sum:"
+  private[graft] def sumKey(name: String): String = s"$SumKeyPrefix$name"
+
+  /** Sentinel slot VALUE meaning "this file's sum is unavailable" —
+    * recorded when a file's exact sum overflowed the decimal(38)
+    * accumulator. The file then counts as SKETCHED (analyze converges,
+    * never re-reads it) while the SUM-pushdown consumer sees the
+    * sentinel and declines to answer from the manifest. Empty string
+    * can never collide with a real sum: rendered decimals are
+    * non-empty. */
+  private[graft] val SumUnavailable = ""
 
   /** Does this file lack a sketch or null count for some of `cols`?
     * The staleness predicate shared by incremental [[analyze]], the
@@ -867,7 +889,7 @@ object SnapshotTable {
       .getOption("spark.graft.stats.ndv.maxColumns")
       .map(_.toInt).getOrElse(16)
     schema.fields.toSeq.filter(fd =>
-      graft.functions.Hll.hashableTypes.contains(fd.dataType))
+      graft.functions.Hll.hashable(fd.dataType))
       .take(maxCols)
   }
 
@@ -2516,19 +2538,26 @@ object SnapshotTable {
             .putString(RenamesKey, encodeEpochs(epochs)).build())
         val evolved = StructType(prior.fields.map(x =>
           if (x.name == fd.name) renamed else x))
-        // the CBO sketch stats (NDV registers, null counts) are
-        // value-based and name-keyed: re-key them to the new name so
-        // column statistics survive the rename exactly and a repeat
-        // analyze stays O(new files). RANGE/bloom stats stay under
-        // the per-file PHYSICAL names — that is the coordinate system
-        // the pruning translation looks them up in.
+        // the CBO sketch stats (NDV registers, null counts) and the
+        // per-file exact-sum slots are value-based and LOGICAL-name
+        // keyed: re-key all three to the new name so column statistics
+        // survive the rename exactly and a repeat analyze stays O(new
+        // files). Translating the `__sum:` namespace also prevents a
+        // later column re-added under the vacated name from resolving
+        // the OLD column's orphaned sum slot. RANGE/bloom stats stay
+        // under the per-file PHYSICAL names — that is the coordinate
+        // system the pruning translation looks them up in.
+        val oldSum = sumKey(fd.name)
         val rekeyed = entries.map { e =>
           if (e.kind != "d") e
           else e.copy(
             ndv = e.ndv.map { case (n, s) =>
               (if (n.equalsIgnoreCase(fd.name)) newName else n, s) },
             colNulls = e.colNulls.map { case (n, c) =>
-              (if (n.equalsIgnoreCase(fd.name)) newName else n, c) })
+              (if (n.equalsIgnoreCase(fd.name)) newName else n, c) },
+            extraStats = e.extraStats.map { case (k, l, h) =>
+              (if (k.equalsIgnoreCase(oldSum)) sumKey(newName) else k,
+                l, h) })
         }
         writeManifest(f, root, target, rekeyed, evolved,
           parent = cur)
@@ -2880,7 +2909,13 @@ object SnapshotTable {
       val sel = Seq(input_file_name().as("__f")) ++
         cols.zipWithIndex.map { case (fd, i) =>
           col(bq(fd.name)).as(s"__n$i") }
-      val aggs = cols.zipWithIndex.flatMap { case (fd, i) =>
+      // per-file row count rides the same pass: it backfills `rows`
+      // on entries from manifests predating row-count recording (so
+      // the all-null sum escape in `unsketched` can ever hold for
+      // them) and distinguishes an ALL-NULL sum (legitimately no
+      // slot) from an OVERFLOWED one (sentinel slot)
+      val aggs = Seq(expr("count(1)").as("__rc")) ++
+        cols.zipWithIndex.flatMap { case (fd, i) =>
         Seq(expr(s"graft_hll_sketch(__n$i, $NdvPrecision)")
             .as(s"__ndv$i"),
           expr(s"sum(CASE WHEN __n$i IS NULL THEN 1 ELSE 0 END)")
@@ -2942,15 +2977,32 @@ object SnapshotTable {
               case _ => None
             }
           }
-          // value-based exact sums: NULL (all-null column or a file
-          // whose sum overflowed the decimal(38) accumulator) records
-          // no slot — answer time distinguishes the two by colNulls
+          val fileRows = Option(r.getAs[Any]("__rc"))
+            .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+          // value-based exact sums: a NULL try_sum is either an
+          // all-null column (legitimately NO slot — SQL SUM ignores
+          // the file, and the colNulls==rows escape in `unsketched`
+          // holds) or an OVERFLOWED decimal(38) accumulator — the
+          // latter records the [[SumUnavailable]] sentinel so the
+          // file counts as sketched (analyze converges) while the
+          // pushdown consumer declines to answer from the manifest
           val sums = cols.zipWithIndex.flatMap { case (fd, i) =>
             if (!summable(fd.dataType)) None
-            else Option(r.getAs[String](s"__sm$i"))
-              .map(v => (sumKey(fd.name), v, v))
+            else Option(r.getAs[String](s"__sm$i")) match {
+              case Some(v) => Some((sumKey(fd.name), v, v))
+              case None =>
+                val nulls = Option(r.getAs[Any](s"__nl$i"))
+                  .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+                if (nulls < fileRows)
+                  Some((sumKey(fd.name), SumUnavailable, SumUnavailable))
+                else None
+            }
           }
           e.copy(
+            // rows backfill: entries from manifests predating
+            // row-count recording get the exact count from this pass
+            // (commit-time counts are authoritative where present)
+            rows = e.rows.orElse(Some(fileRows)),
             ndv = cols.zipWithIndex.flatMap { case (fd, i) =>
               Option(r.getAs[Array[Byte]](s"__ndv$i")).map(fd.name -> _)
             },
@@ -2959,8 +3011,8 @@ object SnapshotTable {
                 .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
             },
             extraStats = e.extraStats
-              .filterNot(t => sums.exists(_._1 == t._1)) ++
-              ranges ++ sums)
+              .filterNot(t => sums.exists(_._1.equalsIgnoreCase(t._1)))
+              ++ ranges ++ sums)
         }
       }
       // INITIAL-DEFAULT override: a file written BEFORE a column
@@ -2996,17 +3048,43 @@ object SnapshotTable {
       val filled = enriched.map { e =>
         if (e.kind != "d" || e.rows.contains(0L)) e
         else fills.filter(_.addedAt > e.seq).foldLeft(e) { (acc, fl) =>
+          // a summable default-filled column SERVES `v` on every row
+          // of a pre-evolution file, so the file's true served sum is
+          // v * rows — stamp exactly that (the raw read above saw
+          // only NULLs and recorded no slot, while the zero-null fill
+          // closes the all-null escape: without this slot the file
+          // would be permanently stale AND the pushdown feed would
+          // silently drop its contribution). rows unknown (pre-
+          // rowcount manifest outside this pass's stale set) →
+          // sentinel: sketched, but the manifest declines to answer.
+          val servedSum: Option[(String, String, String)] =
+            if (!summable(fl.dataType)) None
+            else Some(acc.rows match {
+              case Some(n) =>
+                val prod = scala.util.Try(
+                  new java.math.BigDecimal(fl.rendered)
+                    .multiply(java.math.BigDecimal.valueOf(n))
+                    .setScale(sumScale(fl.dataType)))
+                  .filter(_.precision <= 38)
+                  .map(_.toPlainString).getOrElse(SumUnavailable)
+                (sumKey(fl.name), prod, prod)
+              case None =>
+                (sumKey(fl.name), SumUnavailable, SumUnavailable)
+            })
           acc.copy(
             ndv = acc.ndv.filterNot(_._1.equalsIgnoreCase(fl.name)) :+
               (fl.name -> fillSketch(fl.name)),
             colNulls = acc.colNulls
               .filterNot(_._1.equalsIgnoreCase(fl.name)) :+
               (fl.name -> 0L),
-            extraStats =
+            extraStats = {
+              val base = acc.extraStats.filterNot(t =>
+                servedSum.exists(_._1.equalsIgnoreCase(t._1))) ++
+                servedSum
               if (!cboNumeric(fl.dataType) ||
-                acc.statsFor(fl.name).isDefined) acc.extraStats
-              else acc.extraStats :+
-                ((fl.name, fl.rendered, fl.rendered)))
+                acc.statsFor(fl.name).isDefined) base
+              else base :+ ((fl.name, fl.rendered, fl.rendered))
+            })
         }
       }
       val stamped = filled.map(e =>

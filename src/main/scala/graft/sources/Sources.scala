@@ -919,7 +919,14 @@ object Sources {
         .filter(col("price") >= lit("1000.00").cast("decimal(24,2)"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          sum(col("price")).cast("decimal(38,2)").as("sum_price"),
+          // the hashed surface is DECIMAL(18,2) on BOTH engines: the
+          // totals fit in 16 digits, and an int64-backed decimal
+          // avoids the decimal128 representation boundary where value
+          // hashing switches representation across engines (the r13
+          // hash mismatch reproduced bit-identical values three ways
+          // — the widened DECIMAL(24,2) column itself stays the
+          // feature under test)
+          sum(col("price")).cast("decimal(18,2)").as("sum_price"),
           min(col("o_orderkey")).as("min_key"))
         .orderBy("o_orderstatus")
     }),
@@ -985,6 +992,54 @@ object Sources {
         .agg(count(lit(1)).as("n"),
           min(col("o_orderstatus")).as("lo"),
           max(col("o_orderstatus")).as("hi"))
+    }),
+    // SUM/COUNT(col) MANIFEST pushdown under the oracle: identity-
+    // partition orders on o_orderstatus, ANALYZE (records per-file
+    // exact sums + null counts), then GROUP BY the key with SUM — the
+    // plan answers entirely from the manifest (PushedAggregates,
+    // files=0/N; SumPushdownSpec pins the plan shape). At 100 TB,
+    // "revenue per status over a petabyte" is a pure metadata read.
+    // DuckDB recomputes the same totals from the raw parquet.
+    "snapshot_agg_sum" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sumq").toString + "/orders_sum"
+      SnapshotTable.commitPartitioned(s, root,
+        graft.Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+        "o_orderstatus")
+      SnapshotTable.analyze(s, root)
+      s.read.format("graft-snapshot").option("path", root).load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_key"),
+          count(col("o_orderpriority")).as("n_prio"))
+        .orderBy("o_orderstatus")
+    }),
+    // MOR TOMBSTONES over an identity layout, under the oracle: the
+    // manifest GROUP BY must DECLINE (per-file counts/sums overcount
+    // killed rows) and the row-level scan with kill vectors answers —
+    // plus an SPJ-shaped join back onto the same identity key.
+    // Proves "kills never move a row across partition values": the
+    // per-status aggregates equal DuckDB recomputing with the same
+    // rows deleted.
+    "snapshot_partition_mor" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-pmor").toString + "/orders_mor"
+      val o = graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      SnapshotTable.commitPartitioned(s, root, o, "o_orderstatus")
+      SnapshotTable.deleteKeysOnRead(s, root,
+        o.filter(col("o_orderkey") % 13 === 0)
+          .select("o_orderkey"), "o_orderkey")
+      val t = s.read.format("graft-snapshot").option("path", root)
+        .load()
+      val dim = t.groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_orderpriority")).as("n_prio"))
+      t.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          min(col("o_orderkey")).as("min_key"))
+        .join(dim, "o_orderstatus")
+        .orderBy("o_orderstatus")
     }),
     // RENAME COLUMN under the oracle: commit orders, ALTER TABLE
     // RENAME COLUMN o_totalprice TO price — a metadata-only commit
@@ -1667,7 +1722,7 @@ object Sources {
         |      AS DECIMAL(24,2))
         |  FROM base WHERE o_orderkey % 89 = 0 AND o_orderkey > 0)
         |SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(price) AS DECIMAL(38,2)) AS sum_price,
+        |  CAST(sum(price) AS DECIMAL(18,2)) AS sum_price,
         |  min(o_orderkey) AS min_key
         |FROM evolved WHERE price >= CAST('1000.00' AS DECIMAL(24,2))
         |GROUP BY o_orderstatus
@@ -1676,6 +1731,29 @@ object Sources {
       """SELECT count(*) AS n, min(o_orderstatus) AS lo,
         |  max(o_orderstatus) AS hi
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "snapshot_agg_sum" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  count(o_orderpriority) AS n_prio
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_partition_mor" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT a.o_orderstatus, a.n, a.sum_key, a.min_key, d.n_prio
+        |FROM (
+        |  SELECT o_orderstatus, count(*) AS n,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |    min(o_orderkey) AS min_key
+        |  FROM live GROUP BY o_orderstatus) a
+        |JOIN (
+        |  SELECT o_orderstatus,
+        |    count(DISTINCT o_orderpriority) AS n_prio
+        |  FROM live GROUP BY o_orderstatus) d
+        |USING (o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
     "snapshot_partitioned_groupby" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  min(o_orderpriority) AS lo, max(o_orderpriority) AS hi

@@ -18,7 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum => VSum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
@@ -600,6 +600,77 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     if (consumed.isEmpty) data
     else data.filter(e => consumed.forall(_._2(e.lo.get)))
 
+  /** Single-name column reference, the only shape manifest answers
+    * understand. */
+  private def singleName(c: org.apache.spark.sql.connector.expressions
+      .Expression): Option[String] = c match {
+    case fr: NamedReference if fr.fieldNames().length == 1 =>
+      Some(fr.fieldNames()(0))
+    case _ => None
+  }
+
+  /** The per-file exact-sum feed for SUM/AVG pushdown: for a summable
+    * column, the EXACT total and non-null row count over `data` —
+    * every file must either carry a non-sentinel `__sum:` slot
+    * (recorded by analyze / the identity writer) plus its row and
+    * null counts, or provably store no non-null values (nulls ==
+    * rows, which SQL SUM ignores). None = the manifest cannot answer
+    * exactly — an overflow sentinel, a pre-analyze file, a missing
+    * count — and Spark plans the ordinary scan. */
+  private def exactSum(name: String, data: Seq[FileEntry])
+  : Option[(java.math.BigDecimal, Long)] = {
+    val field = fullSchema.fields.find(_.name == name)
+      .getOrElse(return None)
+    if (!SnapshotTable.summable(field.dataType)) return None
+    var total = java.math.BigDecimal.ZERO
+    var nonNull = 0L
+    data.foreach { e =>
+      val rows = e.rows.getOrElse(return None)
+      val nulls = e.colNulls.collectFirst {
+        case (n, c) if n.equalsIgnoreCase(name) => c }
+        .getOrElse(return None)
+      e.statsFor(SnapshotTable.sumKey(name)) match {
+        case Some((v, _)) =>
+          if (v == SnapshotTable.SumUnavailable) return None
+          total = total.add(new java.math.BigDecimal(v))
+          nonNull += rows - nulls
+        case None =>
+          if (nulls != rows) return None
+      }
+    }
+    Some((total, nonNull))
+  }
+
+  /** Spark's SUM result type: LongType for integrals, scale-preserving
+    * precision+10 (capped 38) for decimals — the manifest answer must
+    * land in the type the rewritten Aggregate expects. */
+  private def sumResultType(dt: DataType): DataType = dt match {
+    case d: DecimalType =>
+      DecimalType(math.min(38, d.precision + 10), d.scale)
+    case _ => LongType
+  }
+
+  /** Render an exact sum in SQL SUM's answer domain: NULL over zero
+    * non-null rows; any total that does not FIT the result type
+    * returns None — Spark's own overflow behavior is mode-dependent
+    * (ANSI throws, legacy wraps longs / NULLs decimals), so the only
+    * universally-sound manifest answer is to decline and let the
+    * scan path own the overflow. */
+  private def renderSum(resType: DataType, total: java.math.BigDecimal,
+      nonNull: Long): Option[String] =
+    if (nonNull == 0L) Some(null)
+    else resType match {
+      case d: DecimalType =>
+        val t = total.setScale(d.scale)
+        if (t.precision <= d.precision) Some(t.toPlainString) else None
+      case _ =>
+        val lo = java.math.BigDecimal.valueOf(Long.MinValue)
+        val hi = java.math.BigDecimal.valueOf(Long.MaxValue)
+        if (total.compareTo(lo) >= 0 && total.compareTo(hi) <= 0)
+          Some(total.longValueExact.toString)
+        else None
+    }
+
   private def tryAnswer(agg: Aggregation)
   : Option[(StructType, Array[Array[String]], String)] = {
     if (residualBlocks) return None
@@ -649,6 +720,47 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
           data.map(_.rows.get).sum.toString)
       case m: Min => minMax(m.column, isMin = true).getOrElse(return None)
       case m: Max => minMax(m.column, isMin = false).getOrElse(return None)
+      // COUNT(col) = Σ(rows − nulls) over the kept files — needs the
+      // per-file null count analyze records for every column
+      case c: Count if !c.isDistinct =>
+        val name = singleName(c.column).getOrElse(return None)
+        val cnt = data.foldLeft(0L) { (acc, e) =>
+          val rows = e.rows.getOrElse(return None)
+          val nulls = e.colNulls.collectFirst {
+            case (n, v) if n.equalsIgnoreCase(name) => v }
+            .getOrElse(return None)
+          acc + (rows - nulls)
+        }
+        (StructField(s"count($name)", LongType, nullable = false),
+          cnt.toString)
+      // SUM from the per-file exact-sum slots: at 100 TB,
+      // `sum(amount)` over a petabyte becomes a pure metadata read
+      case s: VSum if !s.isDistinct =>
+        val name = singleName(s.column).getOrElse(return None)
+        val field = fullSchema.fields.find(_.name == name)
+          .getOrElse(return None)
+        val (total, nonNull) = exactSum(name, data)
+          .getOrElse(return None)
+        val resType = sumResultType(field.dataType)
+        (StructField(s"sum($name)", resType, nullable = true),
+          renderSum(resType, total, nonNull).getOrElse(return None))
+      // AVG = exact sum / exact non-null count. Integral inputs only:
+      // Spark divides as doubles, and exactSum/count reproduces that
+      // one division deterministically; decimal AVG's rounding is
+      // scale-shifting and stays on the scan path.
+      case a: Avg if !a.isDistinct =>
+        val name = singleName(a.column).getOrElse(return None)
+        val field = fullSchema.fields.find(_.name == name)
+          .getOrElse(return None)
+        field.dataType match {
+          case IntegerType | LongType | ShortType | ByteType =>
+          case _ => return None
+        }
+        val (total, nonNull) = exactSum(name, data)
+          .getOrElse(return None)
+        (StructField(s"avg($name)", DoubleType, nullable = true),
+          if (nonNull == 0L) null
+          else (total.doubleValue / nonNull).toString)
       case _ => return None
     }
     Some((StructType(answered.map(_._1)),
@@ -721,6 +833,14 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
       }
     // (output field, per-group value from (groupValue, groupFiles))
     type Files = Seq[graft.sources.SnapshotTable.FileEntry]
+    // SUM/AVG/COUNT(col) group answers are PRECOMPUTED here so any
+    // per-group decline (overflow sentinel, missing slot/count)
+    // rejects the whole pushdown at construction — a closure cannot
+    val groupsPre: Map[String, Seq[FileEntry]] = data.groupBy(_.lo.get)
+    def perGroup(f: Seq[FileEntry] => Option[String])
+    : Option[Map[String, String]] =
+      Some(groupsPre.map { case (v, fs) =>
+        v -> f(fs).getOrElse(return None) })
     val aggCols: Seq[(StructField, (String, Files) => String)] =
       agg.aggregateExpressions().toSeq.map {
         case _: CountStar =>
@@ -730,6 +850,47 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
           // zero nulls per file, so COUNT(key) == COUNT(*)
           (StructField(s"count($groupCol)", LongType, nullable = false),
             (_: String, fs: Files) => fs.map(_.rows.get).sum.toString)
+        case c: Count if !c.isDistinct =>
+          val name = singleName(c.column).getOrElse(return None)
+          val counts = perGroup { fs =>
+            fs.foldLeft(Option(0L)) { (acc, e) =>
+              for {
+                a <- acc; rows <- e.rows
+                nulls <- e.colNulls.collectFirst {
+                  case (n, v) if n.equalsIgnoreCase(name) => v }
+              } yield a + (rows - nulls)
+            }.map(_.toString)
+          }.getOrElse(return None)
+          (StructField(s"count($name)", LongType, nullable = false),
+            (v: String, _: Files) => counts(v))
+        case s: VSum if !s.isDistinct =>
+          val name = singleName(s.column).getOrElse(return None)
+          val f2 = fullSchema.fields.find(_.name == name)
+            .getOrElse(return None)
+          val resType = sumResultType(f2.dataType)
+          // renderSum's Some(null) — a legitimate all-null-group SUM —
+          // flows through flatMap untouched; only a DECLINE is None
+          val sums = perGroup { fs =>
+            exactSum(name, fs).flatMap { case (total, nonNull) =>
+              renderSum(resType, total, nonNull) }
+          }.getOrElse(return None)
+          (StructField(s"sum($name)", resType, nullable = true),
+            (v: String, _: Files) => sums(v))
+        case a: Avg if !a.isDistinct =>
+          val name = singleName(a.column).getOrElse(return None)
+          val f2 = fullSchema.fields.find(_.name == name)
+            .getOrElse(return None)
+          f2.dataType match {
+            case IntegerType | LongType | ShortType | ByteType =>
+            case _ => return None
+          }
+          val avgs = perGroup { fs =>
+            exactSum(name, fs).map { case (total, nonNull) =>
+              if (nonNull == 0L) null
+              else (total.doubleValue / nonNull).toString }
+          }.getOrElse(return None)
+          (StructField(s"avg($name)", DoubleType, nullable = true),
+            (v: String, _: Files) => avgs(v))
         case m: Min if isGroupCol(m.column) =>
           (StructField(s"min($groupCol)", field.dataType,
             nullable = true), (v: String, _: Files) => v)

@@ -491,6 +491,41 @@ class SchemaEvolutionSpec extends SparkSpec {
       s"analyze sketched a renamed column wrong: $ndv2")
   }
 
+  test("HISTOGRAM state survives a rename with ZERO file reads: the " +
+      "graft.histcol.* properties move to the new name and " +
+      "refreshHistograms stays metadata-only — proven with the data " +
+      "directory moved away") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 2000).map(i => (i.toLong, i % 100)).toDF("x", "v"),
+      clusterKey = Some("x"))                                   // v1
+    assert(SnapshotTable.analyzeHistograms(spark, root).nonEmpty)
+    SnapshotTable.renameColumn(spark, root, "x", "key")         // v3
+    val props = SnapshotTable.tableProperties(spark, root)
+    assert(props.contains("graft.histcol.key") &&
+      props.contains("graft.histsk.key") &&
+      props.contains("graft.histn.key"),
+      s"histogram state did not follow the rename: " +
+        props.keys.filter(_.startsWith("graft.hist")).toSeq.sorted)
+    assert(!props.contains("graft.histcol.x"),
+      "orphaned histogram state under the vacated name")
+    // the rename commit changed no file paths: refresh is a restamp,
+    // never a read — true even with the data physically gone
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(root, "_data")
+    val hidden = new org.apache.hadoop.fs.Path(root + "_hidden")
+    assert(fs.rename(dataDir, hidden))
+    try {
+      spark.catalog.refreshByPath(root)
+      assert(SnapshotTable.refreshHistograms(spark, root),
+        "histogram refresh after a rename went back to the files")
+      val after = SnapshotTable.tableProperties(spark, root)
+      assert(after.get("graft.hist.version").map(_.toLong)
+        .contains(SnapshotTable.currentVersion(spark, root)))
+    } finally { fs.rename(hidden, dataDir); () }
+  }
+
   test("merge-on-read AFTER a rename kills rows in pre-rename files: " +
       "the hidden kill-key read translates through the alias map") {
     val root = tmpRoot()

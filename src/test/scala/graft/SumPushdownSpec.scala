@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** SUM/AVG/COUNT(col) aggregate pushdown answered from the manifest's
+  * per-file exact-sum slots (recorded by analyze), and the slot
+  * lifecycle rules that keep analyze convergent: overflow sentinels,
+  * initial-default served sums, rename re-keying. The scale claim
+  * under test: `sum(amount)` over a petabyte is a metadata read. */
+class SumPushdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-sump").toString + "/t"
+
+  private def readFmt(root: String) =
+    spark.read.format("graft-snapshot").option("path", root)
+
+  private def catalogFor(name: String): String = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-sump-wh").toString
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    wh
+  }
+
+  /** id, category (7 values), decimal(12,2) amount, and a nullable
+    * flag (null on every 3rd row) — sum/avg/count(col) all have
+    * non-trivial answers. */
+  private def fixture(n: Int = 10000) =
+    (1 to n).map(i => (i.toLong, s"cat_${i % 7}",
+        if (i % 3 == 0) None else Some(i.toLong)))
+      .toDF("id", "category", "flag")
+      .withColumn("amount",
+        (col("id") % 1000 + lit(0.25)).cast("decimal(12,2)"))
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def hideData(root: String)(body: => Unit): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(root, "_data")
+    val hidden = new org.apache.hadoop.fs.Path(root + "_hidden")
+    assert(fs.rename(dataDir, hidden))
+    try { spark.catalog.refreshByPath(root); body }
+    finally { fs.rename(hidden, dataDir); () }
+  }
+
+  test("ungrouped SUM/AVG/COUNT(col) answer from the MANIFEST after " +
+      "analyze: PushedAggregates with files=0/N, still correct after " +
+      "the data directory is moved away, values equal the computed " +
+      "answers (long and decimal sums exact, overflow declines)") {
+    val root = tmpRoot()
+    val df = fixture()
+    SnapshotTable.commit(spark, root, df, clusterKey = Some("id"))
+    val expected = df.agg(
+      sum("id").as("s"), avg("id").as("a"), count(col("flag")).as("cf"),
+      sum("amount").as("sa")).collect()(0).toSeq
+    val (_, _, n1) = SnapshotTable.analyze(spark, root)
+    assert(n1 > 0)
+    val q = readFmt(root).load().agg(
+      sum("id").as("s"), avg("id").as("a"), count(col("flag")).as("cf"),
+      sum("amount").as("sa"))
+    val p = plan(q)
+    assert(p.contains("PushedAggregates"), s"not pushed:\n$p")
+    assert(p.contains("files=0/"), s"data files planned:\n$p")
+    assert(q.collect()(0).toSeq == expected)
+    hideData(root) {
+      assert(readFmt(root).load().agg(sum("id"), avg("id"),
+        count(col("flag")), sum("amount")).collect()(0).toSeq == expected)
+    }
+  }
+
+  test("GROUP BY the partition key with SUM/AVG/COUNT(col) answers " +
+      "from the manifest on an identity-partitioned analyzed table: " +
+      "files=0/N, zero data IO proven the hard way") {
+    val root = tmpRoot()
+    val df = fixture(20000)
+    SnapshotTable.commitPartitioned(spark, root, df, "category")
+    SnapshotTable.analyze(spark, root)
+    val expected = df.groupBy("category")
+      .agg(count(lit(1)).as("n"), sum("id").as("s"),
+        avg("id").as("a"), count(col("flag")).as("cf"),
+        sum("amount").as("sa"))
+      .orderBy("category").collect().map(_.toSeq).toSeq
+    val q = readFmt(root).load().groupBy("category")
+      .agg(count(lit(1)).as("n"), sum("id").as("s"),
+        avg("id").as("a"), count(col("flag")).as("cf"),
+        sum("amount").as("sa"))
+      .orderBy("category")
+    val p = plan(q)
+    assert(p.contains("PushedAggregates") &&
+      p.contains("group by category"), s"not pushed:\n$p")
+    assert(p.contains("files=0/"), s"data files planned:\n$p")
+    assert(q.collect().map(_.toSeq).toSeq == expected)
+    hideData(root) {
+      assert(readFmt(root).load().groupBy("category")
+        .agg(sum("id").as("s")).orderBy("category")
+        .collect().map(_.toSeq).toSeq ==
+        expected.map(r => Seq(r.head, r(2))))
+    }
+  }
+
+  test("SUM pushdown declines SOUNDLY and the scan answers: before " +
+      "analyze (no slots), SUM(DISTINCT), a double column (IEEE " +
+      "order-dependence), and under merge-on-read tombstones") {
+    val root = tmpRoot()
+    val df = fixture(5000).withColumn("score",
+      (col("id") * 1.5).cast("double"))
+    SnapshotTable.commit(spark, root, df, clusterKey = Some("id"))
+    // pre-analyze: no sum slots, no colNulls — decline, scan answers
+    val q0 = readFmt(root).load().agg(sum("id").as("s"))
+    assert(!plan(q0).contains("PushedAggregates"), plan(q0))
+    assert(q0.as[Long].head() == (1 to 5000).map(_.toLong).sum)
+    SnapshotTable.analyze(spark, root)
+    // DISTINCT is not decomposable over files
+    val qd = readFmt(root).load().agg(sum_distinct(col("id")).as("s"))
+    assert(!plan(qd).contains("PushedAggregates"), plan(qd))
+    assert(qd.as[Long].head() == (1 to 5000).map(_.toLong).sum)
+    // double sums are order-dependent: never answered from metadata
+    val qf = readFmt(root).load().agg(sum("score").as("s"))
+    assert(!plan(qf).contains("PushedAggregates"), plan(qf))
+    // sanity: the long sum IS pushed on the analyzed table
+    assert(plan(readFmt(root).load().agg(sum("id")))
+      .contains("PushedAggregates"))
+    // MOR tombstones: per-file sums overcount killed rows — decline
+    SnapshotTable.deleteKeysOnRead(spark, root,
+      (1 to 100).map(_.toLong).toDF("id"), "id")
+    val qm = readFmt(root).load().agg(sum("id").as("s"))
+    assert(!plan(qm).contains("PushedAggregates"), plan(qm))
+    assert(qm.as[Long].head() == (101 to 5000).map(_.toLong).sum)
+  }
+
+  test("a file whose sum OVERFLOWS the decimal(38) accumulator " +
+      "records the unavailable sentinel: analyze CONVERGES (repeat " +
+      "reads 0 files), pushdown declines, the scan's overflow " +
+      "semantics serve") {
+    val root = tmpRoot()
+    val big = "5" + "0" * 37 // 5e37: three of them overflow 38 digits
+    val df = Seq(big, big, big).toDF("s")
+      .select(col("s").cast("decimal(38,0)").as("x"),
+        monotonically_increasing_id().as("k"))
+      .coalesce(1)
+    SnapshotTable.commit(spark, root, df)
+    val (_, _, n1) = SnapshotTable.analyze(spark, root)
+    assert(n1 > 0)
+    // the sentinel is stamped, so the file counts as SKETCHED and a
+    // repeat analyze reads nothing — no permanent staleness
+    val (_, _, n2) = SnapshotTable.analyze(spark, root)
+    assert(n2 == 0L, s"overflowed file stayed stale: re-read $n2")
+    val cur = SnapshotTable.currentVersion(spark, root)
+    val entry = SnapshotTable.manifest(spark, root, cur)
+      .filter(_.kind == "d").head
+    assert(entry.statsFor(SnapshotTable.sumKey("x"))
+      .contains((SnapshotTable.SumUnavailable,
+        SnapshotTable.SumUnavailable)), "sentinel slot missing")
+    // pushdown declines on the sentinel; the scan's own (non-ANSI
+    // NULL-on-overflow) answer is what the user gets either way
+    val q = readFmt(root).load().agg(sum("x").as("s"))
+    assert(!plan(q).contains("PushedAggregates"), plan(q))
+    // 1.5e38 needs 39 digits: under ANSI (Spark 4's default) decimal
+    // SUM overflow THROWS — declining preserves exactly that instead
+    // of serving a silently-wrong manifest total
+    val ex = intercept[Exception](q.collect())
+    assert(ex.toString.contains("ARITHMETIC_OVERFLOW") ||
+      Option(ex.getCause).exists(_.toString
+        .contains("ARITHMETIC_OVERFLOW")), s"unexpected failure: $ex")
+  }
+
+  test("ADD COLUMN ... DEFAULT on a summable type: analyze stamps " +
+      "the SERVED sum (default x rows) onto pre-evolution files, " +
+      "repeat analyze reads 0 files, and the manifest SUM equals " +
+      "what queries serve") {
+    val wh = catalogFor("graft_sumdef")
+    spark.sql("CREATE TABLE graft_sumdef.db.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_sumdef.db.t " +
+      "SELECT id, concat('v', id) FROM range(1, 101)")           // v1
+    spark.sql("ALTER TABLE graft_sumdef.db.t " +
+      "ADD COLUMNS (bonus BIGINT DEFAULT 7)")                    // v2
+    spark.sql("INSERT INTO graft_sumdef.db.t " +
+      "SELECT id, concat('w', id), id * 2 FROM range(1, 51)")    // v3
+    val root = s"$wh/db/t"
+    val (_, _, n1) = SnapshotTable.analyze(spark, root)
+    assert(n1 > 0)
+    // the default-filled files got a served-sum slot: converged
+    val (_, _, n2) = SnapshotTable.analyze(spark, root)
+    assert(n2 == 0L, s"default-filled files stayed stale: re-read $n2")
+    // manifest SUM includes the 100 pre-evolution rows at 7 each
+    val expected = 100L * 7 + (1L until 51L).map(_ * 2).sum
+    val q = spark.table("graft_sumdef.db.t").agg(sum("bonus").as("s"))
+    val p = plan(q)
+    assert(p.contains("PushedAggregates") && p.contains("files=0/"),
+      s"served-sum slots must feed the manifest answer:\n$p")
+    assert(q.as[Long].head() == expected)
+    // and it matches the row-served answer exactly
+    assert(spark.table("graft_sumdef.db.t").collect()
+      .map(_.getAs[Long]("bonus")).sum == expected)
+  }
+
+  test("per-file sums SURVIVE a rename: SUM answers from the " +
+      "manifest under the NEW name (files=0/N), and a rename -> " +
+      "analyze -> rename -> analyze round-trip reads 0 files both " +
+      "times") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("x", "v"),
+      clusterKey = Some("x"))                                     // v1
+    SnapshotTable.analyze(spark, root)                            // v2
+    SnapshotTable.renameColumn(spark, root, "x", "key")           // v3
+    val (_, _, r1) = SnapshotTable.analyze(spark, root)
+    assert(r1 == 0L, s"sum slots must re-key with the rename: $r1")
+    val q = readFmt(root).load().agg(sum("key").as("s"))
+    val p = plan(q)
+    assert(p.contains("PushedAggregates") && p.contains("files=0/"),
+      s"renamed sum slot not consumed:\n$p")
+    assert(q.as[Long].head() == (1 to 1000).map(_.toLong).sum)
+    SnapshotTable.renameColumn(spark, root, "key", "key2")        // v4
+    val (_, _, r2) = SnapshotTable.analyze(spark, root)
+    assert(r2 == 0L, s"second rename went O(table): $r2")
+    assert(readFmt(root).load().agg(sum("key2")).as[Long].head() ==
+      (1 to 1000).map(_.toLong).sum)
+  }
+
+  test("decimal sums across the 18-digit boundary: per-file slots " +
+      "and the manifest total render losslessly past int64 range") {
+    val root = tmpRoot()
+    // 1e18 x 12 rows -> 1.2e19, past Long.MaxValue (~9.2e18); two
+    // files so the answer is a true cross-file decimal accumulation
+    val df = (1 to 12).map(i => (i.toLong, "1" + "0" * 18 + ".25"))
+      .toDF("k", "s")
+      .select(col("k"), col("s").cast("decimal(38,2)").as("x"))
+      .repartition(2)
+    SnapshotTable.commit(spark, root, df)
+    SnapshotTable.analyze(spark, root)
+    val q = readFmt(root).load().agg(sum("x").as("s"))
+    val p = plan(q)
+    assert(p.contains("PushedAggregates") && p.contains("files=0/"),
+      s"wide decimal sum not pushed:\n$p")
+    val got = q.collect()(0).getDecimal(0)
+    assert(got == new java.math.BigDecimal("12000000000000000003.00"),
+      s"lossy wide-decimal sum: $got")
+  }
+}

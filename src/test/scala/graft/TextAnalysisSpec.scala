@@ -462,4 +462,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
       "LM scoring must be bit-deterministic")
   }
+
+  test("suffix-automaton longest-repeated-substring is EXACT: equals " +
+      "the O(n^2) brute force on randomized strings (small alphabets " +
+      "force deep repeats and clone-heavy automata), handles the " +
+      "degenerate shapes, and runs inside whole-stage codegen") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def lrs(s: String): Int =
+      graft.functions.Lrs.longestRepeated(UTF8String.fromString(s))
+    def brute(s: String): Int = {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      var best = 0
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Int]]
+      for (len <- 1 to n - 1) {
+        seen.clear()
+        var found = false
+        for (i <- 0 to n - len)
+          if (!seen.add(cps.slice(i, i + len).toSeq)) found = true
+        if (found) best = len
+      }
+      best
+    }
+    // degenerate shapes
+    assert(lrs("") == 0 && lrs("a") == 0 && lrs("ab") == 0)
+    assert(lrs("aa") == 1)
+    assert(lrs("aaaa") == 3)   // "aaa" occurs at positions 0 and 1
+    assert(lrs("abcabc") == 3)
+    assert(lrs("banana") == 3) // "ana"
+    // surrogate pairs count as ONE code point, matching SQL length
+    assert(lrs("😀😀") == 1)
+    // randomized cross-check: binary + ternary alphabets maximize
+    // repeat depth; a wider alphabet exercises sparse transitions
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 200) {
+      val alpha = Seq("ab", "abc", "abcdefgh")(trial % 3)
+      val len = 1 + rnd.nextInt(60)
+      val s = Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+      assert(lrs(s) == brute(s), s"mismatch on '$s'")
+    }
+    // through SQL + codegen, against the same brute force
+    graft.functions.SketchFunctions.register(spark)
+    val strs = Seq.tabulate(50)(i =>
+      (i.toLong, Seq.fill(30 + i)("ab"(rnd.nextInt(2))).mkString))
+    val got = strs.toDF("id", "s")
+      .selectExpr("id", "graft_lrs(s) AS l").orderBy("id")
+      .as[(Long, Int)].collect()
+    strs.zip(got).foreach { case ((_, s), (_, l)) =>
+      assert(l == brute(s), s"codegen path mismatch on '$s'")
+    }
+  }
 }
