@@ -195,8 +195,24 @@ object MaterializedView {
       .observe("graft_mv_delta", count(lit(1)).as("delta_rows"))
       .withColumn("__sign",
         when(col("change_type") === "inserted", lit(1L)).otherwise(lit(-1L)))
-    // delta keys renamed so the merge can express a null-safe condition
-    val deltaAgg = delta.groupBy(v.keys.map(col): _*)
+    val viewV =
+      try mergeSignedDelta(spark, v, viewCur, signedDelta(delta, v))
+      catch {
+        // a concurrent refresh landed first: applying OUR delta onto
+        // ITS rollup would double-count the overlap — recompute instead
+        case _: SnapshotTable.CommitConflict =>
+          return refresh(spark, asView(v))
+      }
+    writeFreshness(spark, v.viewRoot, curV, viewV)
+    viewV
+  }
+
+  /** Signed rows (`__sign` = +1 insert / -1 retract) → the keyed delta
+    * rollup the merge consumes. Delta keys are renamed (`__dk_`) so the
+    * merge can express a null-safe join condition. */
+  private def signedDelta(df: DataFrame, v: IncrementalView): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(v.keys.map(col): _*)
       .agg(sum(col("__sign")).as("dn"),
         v.sumCols.flatMap(c => Seq(
           sum(col(c).cast("decimal(20,2)") * col("__sign")).as(s"dsum_$c"),
@@ -206,6 +222,15 @@ object MaterializedView {
         Seq(col("dn")) ++
         v.sumCols.flatMap(c =>
           Seq(col(s"dsum_$c"), col(s"dcnt_$c"))): _*)
+  }
+
+  /** Merge a keyed signed-delta rollup onto view version `viewCur` and
+    * CAS-commit the result. Throws [[SnapshotTable.CommitConflict]]
+    * when another maintainer landed in between — the caller decides
+    * how to recover (full recompute). */
+  private def mergeSignedDelta(spark: SparkSession, v: IncrementalView,
+      viewCur: Long, deltaAgg: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
     val old = SnapshotTable.readVersion(spark, v.viewRoot, viewCur)
     val cond = v.keys.map(k => old(k) <=> deltaAgg(s"__dk_$k"))
       .reduce(_ && _)
@@ -230,17 +255,8 @@ object MaterializedView {
           .as("n")) ++
         v.sumCols.flatMap(mergedSum)): _*)
       .filter(col("n") > 0)
-    val viewV =
-      try SnapshotTable.commitExpecting(spark, v.viewRoot, merged,
-        expectedCurrent = viewCur, clusterKey = v.keys.headOption)
-      catch {
-        // a concurrent refresh landed first: applying OUR delta onto
-        // ITS rollup would double-count the overlap — recompute instead
-        case _: SnapshotTable.CommitConflict =>
-          return refresh(spark, asView(v))
-      }
-    writeFreshness(spark, v.viewRoot, curV, viewV)
-    viewV
+    SnapshotTable.commitExpecting(spark, v.viewRoot, merged,
+      expectedCurrent = viewCur, clusterKey = v.keys.headOption)
   }
 
   /** MV maintenance as a STREAMING JOB — the CDC feed for APPEND-ONLY
@@ -272,6 +288,77 @@ object MaterializedView {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** RETRACTION-correct CDC feed — merge-on-read deletes and updates
+    * INCLUDED: tails the source's CHANGELOG with `preImages=true`
+    * (delete events carry the full deleted rows) and applies each
+    * micro-batch's signed delta straight from the batch content
+    * (insert rows +1, delete rows −1 — a MOR update is its
+    * delete+insert pair, netting exactly). This is the consumer shape
+    * Delta's Change Data Feed serves; [[cdcFeed]] keeps the cheaper
+    * wake-signal form for append-only sources, this one pays the
+    * preImage read to survive row-level commits.
+    *
+    * EXACTLY-ONCE across replays, independent of the checkpoint: every
+    * batch first drops rows at-or-below the view's consumed-version
+    * marker (`_commit_version` is the source's own version numbering,
+    * the same one the markers record), then lands via the CAS
+    * primitive pinned to the view version the delta was computed
+    * against. A replayed batch filters to empty and no-ops; a
+    * concurrent maintainer forces the conflict path (full recompute —
+    * version-independent, safe on top of anything). First batch on a
+    * never-refreshed view takes the full-recompute path too, which
+    * also bootstraps rows committed before the stream's start. */
+  def cdcFeedRetract(spark: SparkSession, v: IncrementalView,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-snapshot")
+      .option("path", v.sourceRoot)
+      .option("changes", "true")
+      .option("preImages", "true")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyChangeBatch(spark, v, batch); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One changelog micro-batch → one exactly-once view commit (the
+    * [[cdcFeedRetract]] body, callable directly for tests and manual
+    * catch-up). Returns the view version left current. */
+  private[graft] def applyChangeBatch(spark: SparkSession,
+      v: IncrementalView, batch: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    // the changelog's CDC metadata columns (Delta CDF's naming — the
+    // connector-private constants, restated here as the public wire
+    // contract the stream serves)
+    val verCol = "_commit_version"
+    val typCol = "_change_type"
+    val viewCur = SnapshotTable.currentVersion(spark, v.viewRoot)
+    val lastV =
+      if (viewCur == 0L) 0L
+      else markerFor(spark, v.viewRoot, viewCur).getOrElse(0L)
+    if (lastV == 0L)
+      // never refreshed (or the marker expired): bootstrap with a full
+      // recompute — it consumes the source's CURRENT version, so this
+      // batch and every replayed predecessor fall below the marker
+      return refresh(spark, asView(v))
+    val fresh = batch.filter(col(verCol) > lastV).persist()
+    try {
+      if (fresh.isEmpty) return viewCur // replay: fully consumed
+      val hi = fresh.agg(max(col(verCol))).head().getLong(0)
+      val signed = fresh.withColumn("__sign",
+        when(col(typCol) === "insert", lit(1L)).otherwise(lit(-1L)))
+      val viewV =
+        try mergeSignedDelta(spark, v, viewCur, signedDelta(signed, v))
+        catch {
+          case _: SnapshotTable.CommitConflict =>
+            return refresh(spark, asView(v))
+        }
+      writeFreshness(spark, v.viewRoot, hi, viewV)
+      viewV
+    } finally { fresh.unpersist(); () }
+  }
 
   /** Expire old VIEW versions and prune the freshness markers that
     * referenced them (markers are append-only, one per view version —

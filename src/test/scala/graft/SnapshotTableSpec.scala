@@ -258,6 +258,84 @@ class SnapshotTableSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("cdcFeedRetract maintains the view THROUGH merge-on-read " +
+      "deletes and updates (the ticks cdcFeed must refuse): signed " +
+      "preImage deltas bit-match a full recompute at every tick, an " +
+      "emptied group drops out, and a full changelog REPLAY on a " +
+      "fresh checkpoint no-ops below the consumed-version marker") {
+    import graft.sources.{MaterializedView, SnapshotTable => ST}
+    val src = tmpRoot()
+    val cp = java.nio.file.Files.createTempDirectory("graft-mvrcp")
+      .toString
+    val orders = Tables.load(spark, sfDir, "orders").limit(2000)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").cache()
+    ST.commit(spark, src, orders, clusterKey = Some("o_orderkey"))
+    val iv = MaterializedView.IncrementalView(src, tmpRoot(),
+      keys = Seq("o_orderstatus"), sumCols = Seq("o_totalprice"))
+    def recomputed(): Map[String, (Long, java.math.BigDecimal)] =
+      ST.read(spark, src).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,2)")).as("s"))
+        .as[(String, Long, java.math.BigDecimal)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    def materialized(): Map[String, (Long, java.math.BigDecimal)] =
+      MaterializedView.read(spark, iv)
+        .select("o_orderstatus", "n", "sum_o_totalprice")
+        .as[(String, Long, java.math.BigDecimal)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val q = MaterializedView.cdcFeedRetract(spark, iv, cp)
+    try {
+      q.processAllAvailable()
+      assert(materialized() == recomputed(), "bootstrap tick diverged")
+      // append: plain insert deltas
+      ST.append(spark, src, orders
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+      q.processAllAvailable()
+      assert(materialized() == recomputed(), "append tick diverged")
+      // MOR DELETE: the retraction path cdcFeed cannot take — the
+      // preImage rows subtract exactly, no exception, no repair call
+      ST.deleteKeysOnRead(spark, src,
+        orders.select(col("o_orderkey")).limit(500), "o_orderkey")
+      q.processAllAvailable()
+      assert(materialized() == recomputed(), "MOR-delete tick diverged")
+      // MOR UPDATE: delete(preImage) + insert(new row) in one version
+      // nets to the value change
+      ST.mergeOnRead(spark, src, orders.limit(200)
+        .withColumn("o_totalprice", col("o_totalprice") * 3),
+        "o_orderkey")
+      q.processAllAvailable()
+      assert(materialized() == recomputed(), "MOR-update tick diverged")
+      // empty a whole group: every 'P' row goes — the group must drop
+      ST.deleteKeysOnRead(spark, src,
+        ST.read(spark, src).filter(col("o_orderstatus") === "P")
+          .select(col("o_orderkey")), "o_orderkey")
+      q.processAllAvailable()
+      val afterDrop = materialized()
+      assert(afterDrop == recomputed(), "group-drop tick diverged")
+      assert(!afterDrop.contains("P"), "emptied group must drop out")
+    } finally q.stop()
+    // REPLAY: a fresh checkpoint makes the stream re-serve the WHOLE
+    // changelog from version 1; every row is at-or-below the consumed
+    // marker, so the view must not move (exactly-once without the
+    // checkpoint's help)
+    val viewBefore = SnapshotTable.currentVersion(spark, iv.viewRoot)
+    val stateBefore = materialized()
+    val cp2 = java.nio.file.Files.createTempDirectory("graft-mvrcp2")
+      .toString
+    val q2 = MaterializedView.cdcFeedRetract(spark, iv, cp2)
+    try {
+      q2.processAllAvailable()
+      assert(SnapshotTable.currentVersion(spark, iv.viewRoot) ==
+        viewBefore, "replayed changelog moved the view")
+      assert(materialized() == stateBefore)
+      // and the resumed feed still applies NEW ticks exactly
+      ST.append(spark, src, orders.limit(100)
+        .withColumn("o_orderkey", col("o_orderkey") + 2000000L))
+      q2.processAllAvailable()
+      assert(materialized() == recomputed(), "resumed feed diverged")
+    } finally q2.stop()
+  }
+
   test("incremental refresh with NULL keys and NULL sums still " +
       "bit-matches a full recompute") {
     import graft.sources.{MaterializedView, SnapshotTable => ST}

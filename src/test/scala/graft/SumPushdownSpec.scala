@@ -105,6 +105,29 @@ class SumPushdownSpec extends SparkSpec {
     }
   }
 
+  test("a CONSUMED partition-key filter composes with SUM: the " +
+      "filtered manifest answer stays zero-IO (files=0/N) and equals " +
+      "the computed answer over exactly the kept files") {
+    val root = tmpRoot()
+    val df = fixture(9000)
+    SnapshotTable.commitPartitioned(spark, root, df, "category")
+    SnapshotTable.analyze(spark, root)
+    val expected = df.filter(col("category") === "cat_3")
+      .agg(sum("id").as("s"), count(col("flag")).as("cf"))
+      .collect()(0).toSeq
+    val q = readFmt(root).load().filter(col("category") === "cat_3")
+      .agg(sum("id").as("s"), count(col("flag")).as("cf"))
+    val p = plan(q)
+    assert(p.contains("PushedAggregates") && p.contains("files=0/"),
+      s"consumed filter must not block the manifest answer:\n$p")
+    assert(q.collect()(0).toSeq == expected)
+    // a NON-key filter is residual: pushdown declines, scan answers
+    val q2 = readFmt(root).load().filter(col("id") <= 4500)
+      .agg(sum("id").as("s"))
+    assert(!plan(q2).contains("PushedAggregates"), plan(q2))
+    assert(q2.as[Long].head() == (1 to 4500).map(_.toLong).sum)
+  }
+
   test("SUM pushdown declines SOUNDLY and the scan answers: before " +
       "analyze (no slots), SUM(DISTINCT), a double column (IEEE " +
       "order-dependence), and under merge-on-read tombstones") {
