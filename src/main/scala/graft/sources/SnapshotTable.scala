@@ -133,11 +133,12 @@ object SnapshotTable {
       else if (statsKey2.contains(key) && lo2.isDefined && hi2.isDefined)
         Some((lo2.get, hi2.get))
       else {
-        // `__sum:` slots are LOGICAL-name keyed (they follow renames),
-        // so they match case-insensitively like ndv/colNulls; range and
-        // bloom slots stay under exact physical names — that is the
-        // coordinate system the pruning translation looks them up in.
-        val ci = key.startsWith(SnapshotTable.SumKeyPrefix)
+        // `__sum:` / `__tsu:` slots are LOGICAL-name keyed (they follow
+        // renames), so they match case-insensitively like ndv/colNulls;
+        // range and bloom slots stay under exact physical names — that
+        // is the coordinate system the pruning translation uses.
+        val ci = key.startsWith(SnapshotTable.SumKeyPrefix) ||
+          key.startsWith(SnapshotTable.TsuKeyPrefix)
         extraStats.collectFirst { case (k, l, h)
           if (if (ci) k.equalsIgnoreCase(key) else k == key) => (l, h) }
       }
@@ -841,6 +842,18 @@ object SnapshotTable {
     * non-empty. */
   private[graft] val SumUnavailable = ""
 
+  /** The extra-stats slot holding a TIMESTAMP column's per-file
+    * [min, max] as EPOCH-MICROS — the TZ-independent coordinate the
+    * string-rendered range slots cannot provide (a cast-to-string
+    * bound is only comparable under the session zone that rendered
+    * it; epoch micros are absolute instants, which is also catalyst's
+    * own internal timestamp value). Feeds exact MIN/MAX(ts) aggregate
+    * pushdown — "first/last event over a petabyte" as a metadata
+    * read. Value-based and logical-name keyed like [[sumKey]]: the
+    * rename re-key block translates this namespace too. */
+  private[graft] val TsuKeyPrefix = "__tsu:"
+  private[graft] def tsuKey(name: String): String = s"$TsuKeyPrefix$name"
+
   /** Does this file lack a sketch or null count for some of `cols`?
     * The staleness predicate shared by incremental [[analyze]], the
     * auto-analyze policy and `t.stats`' staleness column. */
@@ -870,18 +883,22 @@ object SnapshotTable {
   }
 
   private def unsketched(e: FileEntry,
-      cols: Seq[StructField]): Boolean =
+      cols: Seq[StructField]): Boolean = {
+    // a missing value slot (exact sum / epoch-micros ts range) is
+    // legitimate only when the file stores no non-null values of the
+    // column (SQL SUM/MIN/MAX ignore those files); files analyzed
+    // before the slot kind existed heal on one re-read
+    def allNull(fd: StructField): Boolean =
+      e.colNulls.exists(kv => kv._1.equalsIgnoreCase(fd.name) &&
+        e.rows.contains(kv._2))
     !cols.forall(fd =>
       e.ndv.exists(_._1.equalsIgnoreCase(fd.name)) &&
         e.colNulls.exists(_._1.equalsIgnoreCase(fd.name)) &&
-        // a summable column also needs its exact per-file sum — a
-        // missing slot is legitimate only when the file stores no
-        // non-null values of it (SQL SUM ignores those files); files
-        // analyzed before sum recording existed heal on one re-read
         (!summable(fd.dataType) ||
-          e.statsFor(sumKey(fd.name)).isDefined ||
-          e.colNulls.exists(kv => kv._1.equalsIgnoreCase(fd.name) &&
-            e.rows.contains(kv._2))))
+          e.statsFor(sumKey(fd.name)).isDefined || allNull(fd)) &&
+        (fd.dataType != org.apache.spark.sql.types.TimestampType ||
+          e.statsFor(tsuKey(fd.name)).isDefined || allNull(fd)))
+  }
 
   private def analyzableCols(spark: SparkSession,
       schema: StructType): Seq[StructField] = {
@@ -2548,6 +2565,7 @@ object SnapshotTable {
         // under the per-file PHYSICAL names — that is the coordinate
         // system the pruning translation looks them up in.
         val oldSum = sumKey(fd.name)
+        val oldTsu = tsuKey(fd.name)
         val rekeyed = entries.map { e =>
           if (e.kind != "d") e
           else e.copy(
@@ -2556,8 +2574,9 @@ object SnapshotTable {
             colNulls = e.colNulls.map { case (n, c) =>
               (if (n.equalsIgnoreCase(fd.name)) newName else n, c) },
             extraStats = e.extraStats.map { case (k, l, h) =>
-              (if (k.equalsIgnoreCase(oldSum)) sumKey(newName) else k,
-                l, h) })
+              (if (k.equalsIgnoreCase(oldSum)) sumKey(newName)
+              else if (k.equalsIgnoreCase(oldTsu)) tsuKey(newName)
+              else k, l, h) })
         }
         writeManifest(f, root, target, rekeyed, evolved,
           parent = cur)
@@ -2927,6 +2946,14 @@ object SnapshotTable {
           (if (summable(fd.dataType)) Seq(expr(
             s"CAST(try_sum(CAST(__n$i AS DECIMAL(38," +
               s"${sumScale(fd.dataType)}))) AS STRING)").as(s"__sm$i"))
+          else Nil) ++
+          // timestamps: TZ-independent epoch-micros bounds (catalyst's
+          // own internal value) — the MIN/MAX(ts) pushdown feed
+          (if (fd.dataType == org.apache.spark.sql.types.TimestampType)
+            Seq(expr(s"CAST(min(unix_micros(__n$i)) AS STRING)")
+                .as(s"__tl$i"),
+              expr(s"CAST(max(unix_micros(__n$i)) AS STRING)")
+                .as(s"__th$i"))
           else Nil)
       }
       // keyed by FULL path, never basename: different segments can
@@ -2998,6 +3025,18 @@ object SnapshotTable {
                 else None
             }
           }
+          // timestamp epoch-micros bounds: all-null columns record no
+          // slot (the all-null escape in `unsketched` covers them)
+          val tsRanges = cols.zipWithIndex.flatMap { case (fd, i) =>
+            if (fd.dataType != org.apache.spark.sql.types.TimestampType)
+              None
+            else (Option(r.getAs[String](s"__tl$i")),
+              Option(r.getAs[String](s"__th$i"))) match {
+              case (Some(lo), Some(hi)) =>
+                Some((tsuKey(fd.name), lo, hi))
+              case _ => None
+            }
+          }
           e.copy(
             // rows backfill: entries from manifests predating
             // row-count recording get the exact count from this pass
@@ -3011,8 +3050,9 @@ object SnapshotTable {
                 .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
             },
             extraStats = e.extraStats
-              .filterNot(t => sums.exists(_._1.equalsIgnoreCase(t._1)))
-              ++ ranges ++ sums)
+              .filterNot(t => sums.exists(_._1.equalsIgnoreCase(t._1)) ||
+                tsRanges.exists(_._1.equalsIgnoreCase(t._1)))
+              ++ ranges ++ sums ++ tsRanges)
         }
       }
       // INITIAL-DEFAULT override: a file written BEFORE a column
@@ -3071,6 +3111,27 @@ object SnapshotTable {
               case None =>
                 (sumKey(fl.name), SumUnavailable, SumUnavailable)
             })
+          // a TIMESTAMP default serves one instant on every row: the
+          // epoch-micros range is degenerate [v, v] (unparseable
+          // default -> the unavailable sentinel: sketched, declined)
+          val servedTsu: Option[(String, String, String)] =
+            if (fl.dataType != org.apache.spark.sql.types.TimestampType)
+              None
+            else Some {
+              scala.util.Try(fl.value match {
+                case i: java.time.Instant => java.time.temporal
+                  .ChronoUnit.MICROS.between(java.time.Instant.EPOCH, i)
+                case t: java.sql.Timestamp =>
+                  Math.multiplyExact(t.getTime, 1000L) +
+                    (t.getNanos % 1000000) / 1000
+                case l: java.lang.Long => l.longValue()
+              }).toOption match {
+                case Some(m) => (tsuKey(fl.name), m.toString, m.toString)
+                case None =>
+                  (tsuKey(fl.name), SumUnavailable, SumUnavailable)
+              }
+            }
+          val served = servedSum.toSeq ++ servedTsu
           acc.copy(
             ndv = acc.ndv.filterNot(_._1.equalsIgnoreCase(fl.name)) :+
               (fl.name -> fillSketch(fl.name)),
@@ -3079,8 +3140,7 @@ object SnapshotTable {
               (fl.name -> 0L),
             extraStats = {
               val base = acc.extraStats.filterNot(t =>
-                servedSum.exists(_._1.equalsIgnoreCase(t._1))) ++
-                servedSum
+                served.exists(_._1.equalsIgnoreCase(t._1))) ++ served
               if (!cboNumeric(fl.dataType) ||
                 acc.statsFor(fl.name).isDefined) base
               else base :+ ((fl.name, fl.rendered, fl.rendered))

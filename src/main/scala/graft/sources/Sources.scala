@@ -1015,6 +1015,38 @@ object Sources {
           count(col("o_orderpriority")).as("n_prio"))
         .orderBy("o_orderstatus")
     }),
+    // TIMESTAMP bounds from the MANIFEST, under the oracle: identity-
+    // partition events by type, ANALYZE (records per-file epoch-micros
+    // ts ranges — TZ-independent instants, catalyst's own coordinate),
+    // then "first/last event per type" answers with files=0/N — the
+    // 100 TB query every event pipeline runs, as a metadata read.
+    "snapshot_agg_ts" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-tsq").toString + "/events_ts"
+      SnapshotTable.commitPartitioned(s, root,
+        graft.Tables.load(s, dir, "events")
+          .select("event_type", "ts", "user_id"),
+        "event_type")
+      SnapshotTable.analyze(s, root)
+      s.read.format("graft-snapshot").option("path", root).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+        .orderBy("event_type")
+    }),
+    // COUNT(DISTINCT key) from the MANIFEST on a value-pure table:
+    // the distinct set is exactly the set of per-file constants.
+    "snapshot_count_distinct" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cdq").toString + "/orders_cd"
+      SnapshotTable.commitPartitioned(s, root,
+        graft.Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+        "o_orderstatus")
+      s.read.format("graft-snapshot").option("path", root).load()
+        .agg(countDistinct(col("o_orderstatus")).as("k"))
+    }),
     // MOR TOMBSTONES over an identity layout, under the oracle: the
     // manifest GROUP BY must DECLINE (per-file counts/sums overcount
     // killed rows) and the row-level scan with kill vectors answers —
@@ -1039,6 +1071,44 @@ object Sources {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
           min(col("o_orderkey")).as("min_key"))
         .join(dim, "o_orderstatus")
+        .orderBy("o_orderstatus")
+    }),
+    // RETRACTION-CORRECT CDC MV under the oracle: commit orders, MOR-
+    // delete a slice and MOR-update another, then let cdcFeedRetract
+    // consume the changelog (preImage deletes subtract, updates net as
+    // delete+insert) and read the maintained rollup. DuckDB recomputes
+    // the same rollup from the base table with the same rows deleted /
+    // tripled — every signed delta the stream applied must land
+    // bit-exact (decimal sums, integer counts).
+    "snapshot_mv_retract" -> ((s, dir) => {
+      val src = java.nio.file.Files
+        .createTempDirectory("graft-mvr").toString + "/orders_src"
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft-mvr-cp").toString
+      val o = graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      SnapshotTable.commit(s, src, o, clusterKey = Some("o_orderkey"))
+      val iv = MaterializedView.IncrementalView(src,
+        src + "_view", keys = Seq("o_orderstatus"),
+        sumCols = Seq("o_totalprice"))
+      val q = MaterializedView.cdcFeedRetract(s, iv, cp)
+      try {
+        q.processAllAvailable() // bootstrap rollup of v1
+        // the row-level commits land AFTER the bootstrap, so the
+        // stream itself applies the preImage retractions
+        SnapshotTable.deleteKeysOnRead(s, src,
+          o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+          "o_orderkey")                                         // v2
+        SnapshotTable.mergeOnRead(s, src,
+          o.filter(col("o_orderkey") % 11 === 0 &&
+              col("o_orderkey") % 7 =!= 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 3),
+          "o_orderkey")                                         // v3
+        q.processAllAvailable()
+      } finally q.stop()
+      MaterializedView.read(s, iv)
+        .select(col("o_orderstatus"), col("n"),
+          col("sum_o_totalprice"), col("cnt_o_totalprice"))
         .orderBy("o_orderstatus")
     }),
     // RENAME COLUMN under the oracle: commit orders, ALTER TABLE
@@ -1731,6 +1801,14 @@ object Sources {
       """SELECT count(*) AS n, min(o_orderstatus) AS lo,
         |  max(o_orderstatus) AS hi
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "snapshot_agg_ts" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "snapshot_count_distinct" ->
+      "SELECT count(DISTINCT o_orderstatus) AS k FROM orders",
     "snapshot_agg_sum" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
@@ -1767,6 +1845,18 @@ object Sources {
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderkey % 11
         |ORDER BY grp""".stripMargin,
+    "snapshot_mv_retract" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 3
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
+        |    AS DECIMAL(20,2)) AS sum_o_totalprice,
+        |  count(o_totalprice) AS cnt_o_totalprice
+        |FROM live GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "snapshot_rename_column" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus,

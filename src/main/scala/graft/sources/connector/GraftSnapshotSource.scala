@@ -641,6 +641,38 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     Some((total, nonNull))
   }
 
+  /** Exact MIN or MAX of a TIMESTAMP column over `data`, from the
+    * `__tsu:` epoch-micros slots: every file must carry the slot
+    * (non-sentinel) or provably store no non-null values. Returns
+    * None = decline; Some(None) = SQL NULL (no non-null rows);
+    * Some(Some(micros)) = the bound. */
+  private def tsBound(name: String, data: Seq[FileEntry],
+      isMin: Boolean): Option[Option[Long]] = {
+    val vals = data.flatMap { e =>
+      e.statsFor(SnapshotTable.tsuKey(name)) match {
+        case Some((lo, hi)) =>
+          if (lo == SnapshotTable.SumUnavailable) return None
+          Some(if (isMin) lo.toLong else hi.toLong)
+        case None =>
+          val rows = e.rows.getOrElse(return None)
+          val nulls = e.colNulls.collectFirst {
+            case (n, c) if n.equalsIgnoreCase(name) => c }
+            .getOrElse(return None)
+          if (nulls != rows) return None
+          None
+      }
+    }
+    Some(if (vals.isEmpty) None
+    else Some(if (isMin) vals.min else vals.max))
+  }
+
+  /** Is every file in `data` VALUE-PURE on `name` (single recorded
+    * value, zero nulls)? The precondition under which per-file
+    * constants answer DISTINCT questions exactly. */
+  private def valuePure(name: String, data: Seq[FileEntry]): Boolean =
+    data.forall(e => e.statsKey.contains(name) &&
+      e.lo.isDefined && e.lo == e.hi && e.statsNulls.contains(0L))
+
   /** Spark's SUM result type: LongType for integrals, scale-preserving
     * precision+10 (capped 38) for decimals — the manifest answer must
     * land in the type the rewritten Aggregate expects. */
@@ -688,8 +720,17 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
           val name = fr.fieldNames()(0)
           val field = fullSchema.fields.find(_.name == name)
             .getOrElse(return None)
-          // timestamps excluded: their stats strings are cast-format
-          // dependent; everything orderable-and-parseable qualifies
+          val tag = if (isMin) "min" else "max"
+          // TIMESTAMPS answer from the `__tsu:` epoch-micros slots —
+          // TZ-independent instants (the string-rendered range slots
+          // are only comparable under the session zone that rendered
+          // them). All-null files legitimately have no slot and
+          // contribute nothing, exactly as SQL MIN/MAX do.
+          if (field.dataType == TimestampType) {
+            val v = tsBound(name, data, isMin).getOrElse(return None)
+            return Some((StructField(s"$tag($name)", TimestampType,
+              nullable = true), v.map(_.toString).orNull))
+          }
           field.dataType match {
             case IntegerType | LongType | ShortType | ByteType |
                  FloatType | DoubleType | StringType | DateType |
@@ -697,8 +738,8 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
             case _ => return None
           }
           if (data.isEmpty) // empty table: SQL min/max = NULL
-            return Some((StructField(s"${if (isMin) "min" else "max"}" +
-              s"($name)", field.dataType, nullable = true), null))
+            return Some((StructField(s"$tag($name)",
+              field.dataType, nullable = true), null))
           val cmp = SnapshotTable.statOrdering(field.dataType)
             .getOrElse(return None)
           val bounds = data.map(e =>
@@ -708,7 +749,7 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
               (a, b) => cmp(a, b) < 0))
             else bounds.map(_._2).max(Ordering.fromLessThan[String](
               (a, b) => cmp(a, b) < 0))
-          Some((StructField(s"${if (isMin) "min" else "max"}($name)",
+          Some((StructField(s"$tag($name)",
             field.dataType, nullable = true), v))
         case _ => None
       }
@@ -733,6 +774,17 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
         }
         (StructField(s"count($name)", LongType, nullable = false),
           cnt.toString)
+      // COUNT(DISTINCT col) is EXACT when every kept file is
+      // value-pure on the column (one value, zero nulls — identity
+      // tables by construction): the distinct set is the set of
+      // per-file constants, and consumed filters keep/drop whole
+      // files so the kept constants are exactly the matching values
+      case c: Count if c.isDistinct =>
+        val name = singleName(c.column).getOrElse(return None)
+        if (!valuePure(name, data)) return None
+        (StructField(s"count(DISTINCT $name)", LongType,
+          nullable = false),
+          data.map(_.lo.get).distinct.size.toLong.toString)
       // SUM from the per-file exact-sum slots: at 100 TB,
       // `sum(amount)` over a petabyte becomes a pure metadata read
       case s: VSum if !s.isDistinct =>
@@ -891,12 +943,36 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
           }.getOrElse(return None)
           (StructField(s"avg($name)", DoubleType, nullable = true),
             (v: String, _: Files) => avgs(v))
+        // COUNT(DISTINCT key) per group is 1 by value-purity (every
+        // group's files all carry exactly that one non-null value)
+        case c: Count if c.isDistinct && isGroupCol(c.column) =>
+          (StructField(s"count(DISTINCT $groupCol)", LongType,
+            nullable = false), (_: String, _: Files) => "1")
         case m: Min if isGroupCol(m.column) =>
           (StructField(s"min($groupCol)", field.dataType,
             nullable = true), (v: String, _: Files) => v)
         case m: Max if isGroupCol(m.column) =>
           (StructField(s"max($groupCol)", field.dataType,
             nullable = true), (v: String, _: Files) => v)
+        // grouped MIN/MAX of a TIMESTAMP column: per-group epoch-
+        // micros bounds from the `__tsu:` slots, precomputed so any
+        // decline rejects the whole pushdown at construction
+        case m: Min if singleName(m.column).exists(n =>
+          fullSchema.fields.exists(f => f.name == n &&
+            f.dataType == TimestampType)) =>
+          val name = singleName(m.column).get
+          val mins = perGroup(fs => tsBound(name, fs, isMin = true)
+            .map(_.map(_.toString).orNull)).getOrElse(return None)
+          (StructField(s"min($name)", TimestampType, nullable = true),
+            (v: String, _: Files) => mins(v))
+        case m: Max if singleName(m.column).exists(n =>
+          fullSchema.fields.exists(f => f.name == n &&
+            f.dataType == TimestampType)) =>
+          val name = singleName(m.column).get
+          val maxs = perGroup(fs => tsBound(name, fs, isMin = false)
+            .map(_.map(_.toString).orNull)).getOrElse(return None)
+          (StructField(s"max($name)", TimestampType, nullable = true),
+            (v: String, _: Files) => maxs(v))
         case m: Min => statsCol(m.column).map { case (f2, c2) =>
           (StructField(s"min(${f2.name})", f2.dataType,
             nullable = true), (_: String, fs: Files) =>
@@ -1889,6 +1965,9 @@ private[connector] class GraftAggReaderFactory
               case StringType => UTF8String.fromString(s)
               case DateType =>
                 java.time.LocalDate.parse(s).toEpochDay.toInt
+              // catalyst's internal timestamp IS epoch micros — the
+              // `__tsu:` slots answer in the same coordinate
+              case TimestampType => s.toLong
               case d: DecimalType => org.apache.spark.sql.types
                 .Decimal(new java.math.BigDecimal(s), d.precision,
                   d.scale)

@@ -248,6 +248,108 @@ class SumPushdownSpec extends SparkSpec {
       (1 to 1000).map(_.toLong).sum)
   }
 
+  test("MIN/MAX of a TIMESTAMP column answer from the epoch-micros " +
+      "slots: TZ-independent instants, sub-second precision exact, " +
+      "all-null files contribute nothing, files=0/N proven with the " +
+      "data moved away; grouped per identity key too") {
+    val root = tmpRoot()
+    val df = fixture(8000)
+      .withColumn("ts", expr(
+        "CASE WHEN id % 5 = 0 THEN NULL " +
+          "ELSE timestamp_micros(id * 1000001) END"))
+    SnapshotTable.commitPartitioned(spark, root, df, "category")
+    SnapshotTable.analyze(spark, root)
+    val expected = df.agg(min("ts"), max("ts")).collect()(0).toSeq
+    val q = readFmt(root).load().agg(min("ts").as("lo"),
+      max("ts").as("hi"))
+    val p = plan(q)
+    assert(p.contains("PushedAggregates") && p.contains("files=0/"),
+      s"timestamp bounds not answered from the manifest:\n$p")
+    assert(q.collect()(0).toSeq == expected)
+    // grouped: per-key bounds from the same slots
+    val eg = df.groupBy("category").agg(min("ts").as("lo"),
+      max("ts").as("hi")).orderBy("category").collect().map(_.toSeq)
+    val qg = readFmt(root).load().groupBy("category")
+      .agg(min("ts").as("lo"), max("ts").as("hi")).orderBy("category")
+    assert(plan(qg).contains("files=0/"), plan(qg))
+    assert(qg.collect().map(_.toSeq).toSeq == eg.toSeq)
+    hideData(root) {
+      assert(readFmt(root).load().agg(min("ts"), max("ts"))
+        .collect()(0).toSeq == expected)
+    }
+    // an ALL-NULL timestamp column serves SQL's NULL bounds from
+    // metadata alone (the all-null escape, not a decline)
+    val root2 = tmpRoot()
+    SnapshotTable.commit(spark, root2, fixture(100)
+      .withColumn("ts", lit(null).cast("timestamp")))
+    SnapshotTable.analyze(spark, root2)
+    val q2 = readFmt(root2).load().agg(min("ts").as("lo"))
+    assert(plan(q2).contains("files=0/"), plan(q2))
+    assert(q2.collect()(0).isNullAt(0))
+  }
+
+  test("COUNT(DISTINCT key) answers from the manifest on a value-" +
+      "pure table — the distinct set IS the set of per-file " +
+      "constants — composes with a consumed filter, is 1 per group " +
+      "under GROUP BY, and declines on impure tables and non-key " +
+      "columns") {
+    val root = tmpRoot()
+    val df = fixture(6000)
+    SnapshotTable.commitPartitioned(spark, root, df, "category")
+    val q = readFmt(root).load()
+      .agg(countDistinct(col("category")).as("k"))
+    val p = plan(q)
+    assert(p.contains("PushedAggregates") && p.contains("files=0/"),
+      s"COUNT DISTINCT not answered from the manifest:\n$p")
+    assert(q.as[Long].head() == 7L)
+    // consumed filter keeps whole files: the kept constants are
+    // exactly the matching values
+    val qf = readFmt(root).load()
+      .filter(col("category").isin("cat_1", "cat_2", "cat_3"))
+      .agg(countDistinct(col("category")).as("k"))
+    assert(plan(qf).contains("files=0/"), plan(qf))
+    assert(qf.as[Long].head() == 3L)
+    // grouped: per-group distinct of the key is 1 by purity
+    val qg = readFmt(root).load().groupBy("category")
+      .agg(countDistinct(col("category")).as("k"), count(lit(1)).as("n"))
+      .orderBy("category")
+    assert(plan(qg).contains("files=0/"), plan(qg))
+    val rows = qg.collect()
+    assert(rows.length == 7 && rows.forall(_.getLong(1) == 1L),
+      rows.mkString(", "))
+    // non-key distinct: files are not value-pure on it — scan answers
+    val qn = readFmt(root).load()
+      .agg(countDistinct(col("id")).as("k"))
+    assert(!plan(qn).contains("PushedAggregates"), plan(qn))
+    assert(qn.as[Long].head() == 6000L)
+    // plain (impure) table declines
+    val root2 = tmpRoot()
+    SnapshotTable.commit(spark, root2, df, clusterKey = Some("id"))
+    val q2 = readFmt(root2).load()
+      .agg(countDistinct(col("category")).as("k"))
+    assert(!plan(q2).contains("PushedAggregates"), plan(q2))
+    assert(q2.as[Long].head() == 7L)
+  }
+
+  test("timestamp epoch-micros slots SURVIVE a rename: repeat " +
+      "analyze reads 0 files and MIN(ts) answers under the new name") {
+    val root = tmpRoot()
+    SnapshotTable.commit(spark, root,
+      (1 to 500).map(i => (i.toLong, s"v$i")).toDF("x", "v")
+        .withColumn("ev_ts", expr("timestamp_micros(x * 777)")))
+    SnapshotTable.analyze(spark, root)
+    SnapshotTable.renameColumn(spark, root, "ev_ts", "occurred_at")
+    val (_, _, n) = SnapshotTable.analyze(spark, root)
+    assert(n == 0L, s"tsu slots must re-key with the rename: $n")
+    val q = readFmt(root).load().agg(min("occurred_at").as("lo"))
+    val p = plan(q)
+    assert(p.contains("PushedAggregates") && p.contains("files=0/"),
+      s"renamed tsu slot not consumed:\n$p")
+    assert(q.collect()(0).getTimestamp(0).toInstant ==
+      java.time.Instant.EPOCH.plus(777,
+        java.time.temporal.ChronoUnit.MICROS))
+  }
+
   test("decimal sums across the 18-digit boundary: per-file slots " +
       "and the manifest total render losslessly past int64 range") {
     val root = tmpRoot()
