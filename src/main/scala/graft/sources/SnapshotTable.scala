@@ -807,6 +807,11 @@ object SnapshotTable {
          org.apache.spark.sql.types.LongType |
          org.apache.spark.sql.types.FloatType |
          org.apache.spark.sql.types.DoubleType => true
+    // decimals render as plain scale-fixed strings (cast-to-string)
+    // and statOrdering compares them as BigDecimal — ranges,
+    // histograms (double-approximated bins) and typed CBO bounds all
+    // work; the connector boxes bounds as java.math.BigDecimal
+    case _: org.apache.spark.sql.types.DecimalType => true
     case _ => false
   }
 

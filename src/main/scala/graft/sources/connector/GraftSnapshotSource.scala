@@ -1166,6 +1166,10 @@ private[connector] object GraftPruning {
 
   private def str(v: Any): Option[String] = v match {
     case null => None
+    // decimals render PLAIN (never scientific) to match the
+    // cast-to-string form the recorded stats use
+    case b: java.math.BigDecimal => Some(b.toPlainString)
+    case b: scala.math.BigDecimal => Some(b.bigDecimal.toPlainString)
     case n: java.lang.Number => Some(n.toString)
     case s: String => Some(s)
     case ts: java.sql.Timestamp => Some(ts.toString)
@@ -2321,6 +2325,8 @@ private[connector] class GraftScan(root: String, version: Long,
             s.toDoubleOption.map(Double.box)
           case org.apache.spark.sql.types.FloatType =>
             s.toFloatOption.map(Float.box)
+          case _: org.apache.spark.sql.types.DecimalType =>
+            scala.util.Try(new java.math.BigDecimal(s)).toOption
           case _ => None
         }
         val mn = mnS.flatMap(parsed)

@@ -303,6 +303,43 @@ class CboStatsSpec extends SparkSpec {
       v.getString(4).toDouble == 59999.0, v.toString)
   }
 
+  test("DECIMAL columns are CBO-first-class: analyze records sketches " +
+      "and ranges, t.stats reports decimal min/max, a predicate on a " +
+      "NON-key decimal column PRUNES files from its analyze-recorded " +
+      "ranges, and histograms build over the decimal") {
+    val root = s"$warehouse/db/dec"
+    val df = (0 until 40000).map(i => (i.toLong, i)).toDF("k", "i")
+      .select(col("k"),
+        (col("i") % 1000 + lit(0.25)).cast("decimal(12,2)").as("amt"),
+        col("i").cast("decimal(20,4)").as("wide"))
+    SnapshotTable.commit(spark, root, df, clusterKey = Some("k"))
+    SnapshotTable.analyze(spark, root)
+    val rows = spark.sql("SELECT * FROM graftcbo.db.dec.stats")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val amt = rows("amt")
+    assert(new java.math.BigDecimal(amt.getString(3))
+      .compareTo(new java.math.BigDecimal("0.25")) == 0 &&
+      new java.math.BigDecimal(amt.getString(4))
+        .compareTo(new java.math.BigDecimal("999.25")) == 0,
+      amt.toString)
+    // `wide` correlates with the cluster key, so per-file ranges are
+    // disjoint and the ANALYZE-recorded slots (it is NOT the cluster
+    // key) prune a band predicate
+    val q = spark.read.format("graft-snapshot").option("path", root)
+      .load()
+      .filter(col("wide") >= lit("10000.0000").cast("decimal(20,4)") &&
+        col("wide") <= lit("11000.0000").cast("decimal(20,4)"))
+    val desc = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString).get
+    assert(desc.group(1).toInt < desc.group(2).toInt,
+      s"decimal ranges did not prune: ${desc.matched}")
+    assert(q.count() == 1001L)
+    // histograms accept the decimal columns (double-approximated bins)
+    val histed = SnapshotTable.analyzeHistograms(spark, root)
+    assert(histed.contains("amt") && histed.contains("wide"),
+      histed.toString)
+  }
+
   test("equi-height histograms sharpen range selectivity on SKEWED " +
       "data where min/max interpolation is hopeless; they vanish for " +
       "pruned scans and stale versions") {
