@@ -742,8 +742,24 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
               field.dataType, nullable = true), null))
           val cmp = SnapshotTable.statOrdering(field.dataType)
             .getOrElse(return None)
-          val bounds = data.map(e =>
-            e.statsFor(name).getOrElse(return None))
+          // a file with NO recorded range is answerable only when it
+          // provably stores no non-null values (recorded min/max
+          // ignore nulls, as SQL MIN/MAX do) — it contributes nothing
+          val bounds = data.flatMap { e =>
+            e.statsFor(name) match {
+              case Some(b) => Some(b)
+              case None =>
+                val rows = e.rows.getOrElse(return None)
+                val nulls = e.colNulls.collectFirst {
+                  case (n, c) if n.equalsIgnoreCase(name) => c }
+                  .getOrElse(return None)
+                if (nulls != rows) return None
+                None
+            }
+          }
+          if (bounds.isEmpty) // every row NULL: SQL min/max = NULL
+            return Some((StructField(s"$tag($name)",
+              field.dataType, nullable = true), null))
           val v =
             if (isMin) bounds.map(_._1).min(Ordering.fromLessThan[String](
               (a, b) => cmp(a, b) < 0))

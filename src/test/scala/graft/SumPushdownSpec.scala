@@ -331,6 +331,36 @@ class SumPushdownSpec extends SparkSpec {
     assert(q2.as[Long].head() == 7L)
   }
 
+  test("ungrouped MIN/MAX skip ALL-NULL files instead of declining: " +
+      "an analyzed table where some files store only NULLs of the " +
+      "column still answers from the manifest, and an entirely-NULL " +
+      "column serves SQL's NULL") {
+    val root = tmpRoot()
+    // two populations in separate files: ids 1..1000 with real
+    // values, ids 1001..2000 all-NULL for v
+    val df = (1 to 2000).map(i => (i.toLong,
+        if (i <= 1000) Some(i * 2L) else None))
+      .toDF("id", "v")
+    SnapshotTable.commitPartitioned(spark, root,
+      df.withColumn("half", (col("id") <= 1000).cast("string")), "half")
+    SnapshotTable.analyze(spark, root)
+    val q = readFmt(root).load().agg(min("v").as("lo"),
+      max("v").as("hi"))
+    val p = plan(q)
+    assert(p.contains("PushedAggregates") && p.contains("files=0/"),
+      s"all-null files must be skipped, not declined:\n$p")
+    assert(q.collect()(0).toSeq == Seq(2L, 2000L))
+    // entirely-NULL column: the manifest serves SQL's NULL bounds
+    val root2 = tmpRoot()
+    SnapshotTable.commit(spark, root2,
+      (1 to 100).map(i => (i.toLong, None: Option[Long]))
+        .toDF("id", "v"))
+    SnapshotTable.analyze(spark, root2)
+    val q2 = readFmt(root2).load().agg(min("v").as("lo"))
+    assert(plan(q2).contains("files=0/"), plan(q2))
+    assert(q2.collect()(0).isNullAt(0))
+  }
+
   test("timestamp epoch-micros slots SURVIVE a rename: repeat " +
       "analyze reads 0 files and MIN(ts) answers under the new name") {
     val root = tmpRoot()
