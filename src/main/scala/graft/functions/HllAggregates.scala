@@ -109,6 +109,8 @@ object Hll {
         case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
         case b: java.math.BigDecimal => b
         case b: scala.math.BigDecimal => b.bigDecimal
+        case other => throw new IllegalArgumentException(
+          s"unhashable decimal representation ${other.getClass}")
       }).stripTrailingZeros()
       XXH64.hashUTF8String(UTF8String.fromString(bd.toPlainString), 42L)
     case t => throw new IllegalArgumentException(s"unhashable type $t")

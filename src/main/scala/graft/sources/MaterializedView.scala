@@ -308,7 +308,15 @@ object MaterializedView {
     * concurrent maintainer forces the conflict path (full recompute —
     * version-independent, safe on top of anything). First batch on a
     * never-refreshed view takes the full-recompute path too, which
-    * also bootstraps rows committed before the stream's start. */
+    * also bootstraps rows committed before the stream's start.
+    *
+    * PRECONDITION the marker scheme depends on: micro-batches contain
+    * WHOLE source versions. The marker is version-granular, so a
+    * version split across two batches would have its tail dropped as
+    * already-consumed. That is why this reader is built with NO
+    * admission-control options (maxFilesPerTrigger etc. — the base
+    * stream supports them; this feed must not): rate-limit by
+    * triggering less often, never by splitting versions. */
   def cdcFeedRetract(spark: SparkSession, v: IncrementalView,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("graft-snapshot")

@@ -18,7 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum => VSum}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum => VSum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
@@ -581,11 +581,29 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     * column's stats, a residual-able pushed filter, a value-impure
     * file under GROUP BY, or an unorderable column type — Spark then
     * plans the ordinary scan and the answer is computed from rows. */
+  // supportCompletePushDown and pushAggregation arrive back-to-back
+  // with the same Aggregation: memoize by instance so the manifest
+  // read + per-group folds run once per planned aggregate, not twice
+  private var answered
+  : Option[(Aggregation, Option[(StructType, Array[Array[String]],
+    String)])] = None
+
+  private def tryAnswerCached(agg: Aggregation)
+  : Option[(StructType, Array[Array[String]], String)] = {
+    answered match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = tryAnswer(agg)
+        answered = Some((agg, r))
+        r
+    }
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    tryAnswer(agg).isDefined
+    tryAnswerCached(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    aggAnswer = tryAnswer(agg)
+    aggAnswer = tryAnswerCached(agg)
     aggAnswer.isDefined
   }
 
@@ -812,23 +830,13 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
         val resType = sumResultType(field.dataType)
         (StructField(s"sum($name)", resType, nullable = true),
           renderSum(resType, total, nonNull).getOrElse(return None))
-      // AVG = exact sum / exact non-null count. Integral inputs only:
-      // Spark divides as doubles, and exactSum/count reproduces that
-      // one division deterministically; decimal AVG's rounding is
-      // scale-shifting and stays on the scan path.
-      case a: Avg if !a.isDistinct =>
-        val name = singleName(a.column).getOrElse(return None)
-        val field = fullSchema.fields.find(_.name == name)
-          .getOrElse(return None)
-        field.dataType match {
-          case IntegerType | LongType | ShortType | ByteType =>
-          case _ => return None
-        }
-        val (total, nonNull) = exactSum(name, data)
-          .getOrElse(return None)
-        (StructField(s"avg($name)", DoubleType, nullable = true),
-          if (nonNull == 0L) null
-          else (total.doubleValue / nonNull).toString)
+      // AVG is NEVER answered from the manifest — by the same rule
+      // that excludes float/double SUM: Spark's scan-path Average
+      // accumulates its sum in a DOUBLE buffer even for integral
+      // inputs (order-dependent IEEE addition), so an exact-sum
+      // manifest answer could differ in the last ulp from what the
+      // same query returns once a filter pushes it onto the scan.
+      // One query, one answer: AVG stays on the scan path.
       case _ => return None
     }
     Some((StructType(answered.map(_._1)),
@@ -860,14 +868,11 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     val entries = viewedEntries(spark)._1
     val (tombs, data0) = entries.partition(_.kind == "t")
     if (tombs.nonEmpty || data0.isEmpty) return None
-    // value-purity per file: the group column is the file's recorded
-    // stats column, its min == max, and it holds no NULLs (min/max
-    // ignore nulls, so a mixed file would lie). Identity-partitioned
-    // writes guarantee all three; anything else declines.
-    val pure = data0.forall(e => e.statsKey.contains(groupCol) &&
-      e.lo.isDefined && e.lo == e.hi && e.statsNulls.contains(0L) &&
-      e.rows.isDefined)
-    if (!pure) return None
+    // value-purity per file (the shared predicate), plus footer row
+    // counts — the per-group COUNTs are sums of them. Identity-
+    // partitioned writes guarantee all of it; anything else declines.
+    if (!valuePure(groupCol, data0) ||
+      !data0.forall(_.rows.isDefined)) return None
     // consumed filters restrict the group universe exactly (they are
     // predicates over the same per-file constant)
     val data = consumedKeep(data0)
@@ -944,21 +949,10 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
           }.getOrElse(return None)
           (StructField(s"sum($name)", resType, nullable = true),
             (v: String, _: Files) => sums(v))
-        case a: Avg if !a.isDistinct =>
-          val name = singleName(a.column).getOrElse(return None)
-          val f2 = fullSchema.fields.find(_.name == name)
-            .getOrElse(return None)
-          f2.dataType match {
-            case IntegerType | LongType | ShortType | ByteType =>
-            case _ => return None
-          }
-          val avgs = perGroup { fs =>
-            exactSum(name, fs).map { case (total, nonNull) =>
-              if (nonNull == 0L) null
-              else (total.doubleValue / nonNull).toString }
-          }.getOrElse(return None)
-          (StructField(s"avg($name)", DoubleType, nullable = true),
-            (v: String, _: Files) => avgs(v))
+        // AVG declines here for the same reason as the ungrouped path:
+        // Spark's scan-path Average sums in a DOUBLE buffer even for
+        // integral inputs, so an exact manifest answer could differ
+        // from the scan's — one query, one answer.
         // COUNT(DISTINCT key) per group is 1 by value-purity (every
         // group's files all carry exactly that one non-null value)
         case c: Count if c.isDistinct && isGroupCol(c.column) =>
@@ -1005,7 +999,7 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
       }
     val cmp = SnapshotTable.statOrdering(field.dataType)
       .getOrElse(return None)
-    val rows = data.groupBy(_.lo.get).toSeq
+    val rows = groupsPre.toSeq
       .sortWith((a, b) => cmp(a._1, b._1) < 0)
       .map { case (v, files) =>
         (v +: aggCols.map(_._2(v, files))).toArray
