@@ -248,6 +248,162 @@ case class VecRotate(left: Expression, right: Expression)
       newRight: Expression): VecRotate = copy(newLeft, newRight)
 }
 
+/** Map-side argmin over a broadcast centroid model:
+  * `graft_nearest(v: ARRAY<DOUBLE>, cents: ARRAY<ARRAY<DOUBLE>>)` →
+  * `STRUCT<cid: INT, csim: DOUBLE>` where `cid` is the index of the
+  * centroid with the smallest squared Euclidean distance to `v`
+  * (ties keep the LOW cid — the same order `min(struct(d2, cid, …))`
+  * yields) and `csim` is the cosine of `v` against that winning
+  * centroid (NULL on a zero norm, same contract as [[CosineSim]]).
+  *
+  * This exists so k-means ASSIGNMENT is a pure scan: the r14 plan
+  * expanded every row ×k through `crossJoin(broadcast(centroids))`
+  * and then shuffled the full corpus through a `groupBy(vec_id)`
+  * argmin — an Exchange that at 100 TB dominates the query. The
+  * argmin of a row against a k×dim broadcast model is map-side work;
+  * this expression computes it in one fused primitive-double loop
+  * inside whole-stage codegen, so assignment costs exactly one scan
+  * with zero Exchange at any scale.
+  *
+  * FP order matches the plan it replaces bit-for-bit: d2 accumulates
+  * squared diffs in index order (as `aggregate(zip_with(...))` did)
+  * and dot/normV/normC accumulate in index order in independent
+  * accumulators (as [[CosineSim]] does), so assignments and cosines
+  * are unchanged.
+  *
+  * NULL contract (family rule): an empty model, a dimension mismatch
+  * on ANY centroid, or a null element anywhere yields NULL — never a
+  * number computed from a truncated prefix. */
+case class NearestCentroid(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _),
+            ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<DOUBLE>, ARRAY<ARRAY<DOUBLE>>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("csim", DoubleType,
+      nullable = true)))
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_nearest"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val cs = r.asInstanceOf[ArrayData]
+    val k = cs.numElements()
+    val n = v.numElements()
+    if (k == 0) return null
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = v.getDouble(i); na += x * x; i += 1
+    }
+    var best = -1; var bestD = Double.MaxValue
+    var bDot = 0.0; var bNb = 0.0
+    var c = 0
+    while (c < k) {
+      if (cs.isNullAt(c)) return null
+      val cent = cs.getArray(c)
+      if (cent.numElements() != n) return null
+      var d2 = 0.0; var dot = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        if (cent.isNullAt(j)) return null
+        val x = v.getDouble(j); val y = cent.getDouble(j)
+        val t = x - y
+        d2 += t * t; dot += x * y; nb += y * y
+        j += 1
+      }
+      if (d2 < bestD) { bestD = d2; best = c; bDot = dot; bNb = nb }
+      c += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(bNb)
+    val csim: Any =
+      if (denom == 0.0) null else java.lang.Double.valueOf(bDot / denom)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, csim))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val gir = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val bad = ctx.freshName("bad")
+      val na = ctx.freshName("na")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val t = ctx.freshName("t")
+      val cent = ctx.freshName("cent")
+      val d2 = ctx.freshName("d2")
+      val dot = ctx.freshName("dot")
+      val nb = ctx.freshName("nb")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val bDot = ctx.freshName("bDot")
+      val bNb = ctx.freshName("bNb")
+      val denom = ctx.freshName("denom")
+      val vals = ctx.freshName("vals")
+      s"""
+         |int $k = $b.numElements();
+         |int $n = $a.numElements();
+         |boolean $bad = ($k == 0);
+         |double $na = 0.0;
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; break; }
+         |  double $x = $a.getDouble($i); $na += $x * $x;
+         |}
+         |int $best = -1; double $bestD = Double.MAX_VALUE;
+         |double $bDot = 0.0; double $bNb = 0.0;
+         |for (int $c = 0; $c < $k && !$bad; $c++) {
+         |  if ($b.isNullAt($c)) { $bad = true; break; }
+         |  $ad $cent = $b.getArray($c);
+         |  if ($cent.numElements() != $n) { $bad = true; break; }
+         |  double $d2 = 0.0; double $dot = 0.0; double $nb = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    if ($cent.isNullAt($j)) { $bad = true; break; }
+         |    double $x = $a.getDouble($j);
+         |    double $y = $cent.getDouble($j);
+         |    double $t = $x - $y;
+         |    $d2 += $t * $t; $dot += $x * $y; $nb += $y * $y;
+         |  }
+         |  if (!$bad && $d2 < $bestD) {
+         |    $bestD = $d2; $best = $c; $bDot = $dot; $bNb = $nb;
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else {
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($bNb);
+         |  Object[] $vals = new Object[2];
+         |  $vals[0] = java.lang.Integer.valueOf($best);
+         |  $vals[1] = ($denom == 0.0) ? null
+         |    : (Object) java.lang.Double.valueOf($bDot / $denom);
+         |  ${ev.value} = new $gir($vals);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): NearestCentroid = copy(newLeft, newRight)
+}
+
 object VectorFunctions {
   private[functions] def checkDoubleArrays(name: String,
       left: Expression, right: Expression): TypeCheckResult = {
@@ -271,6 +427,8 @@ object VectorFunctions {
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_rotate",
       exprs => VecRotate(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_nearest",
+      exprs => NearestCentroid(exprs(0), exprs(1)), "built-in")
     attachRewrite(spark)
   }
 

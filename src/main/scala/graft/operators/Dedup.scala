@@ -509,21 +509,20 @@ object Dedup {
         if (counts(c) > 0) sums(c).map(_ / counts(c))
         else cent(c)) // empty cluster keeps its centroid
     }
-    def centDf(c: Array[Array[Double]]): DataFrame =
-      c.zipWithIndex.map { case (v, cid) => (cid, v.toSeq) }
-        .toSeq.toDF("cid", "cent")
-    val cdf = centDf(cent)
-    val out = e.crossJoin(broadcast(cdf))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(v, cent, (x, y) -> (x-y)*(x-y)), " +
-          "CAST(0 AS DOUBLE), (a, x) -> a + x)"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d2"), col("cid"), col("v"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"),
-        col("m.v").as("v"))
-      .join(broadcast(cdf), Seq("cid"))
-      .selectExpr("vec_id", "cid", "v",
-        "round(graft_cosine(v, cent), 9) AS csim")
+    // ASSIGNMENT is map-side, zero Exchange (r14 verdict #2): the
+    // k×dim model rides a 1-row broadcast (same pattern as the OPQ
+    // rotate) and the codegen graft_nearest expression computes the
+    // argmin + winner cosine per row in one fused loop. The plan this
+    // replaces (crossJoin ×k → groupBy(vec_id) argmin) shuffled the
+    // FULL vector corpus once just to pick a per-row minimum — at
+    // 100 TB of embeddings that exchange dominates the query. FP
+    // order inside graft_nearest matches the old HOF d2 / cosine
+    // accumulation exactly, so cids and csims are bit-unchanged.
+    val model = Seq(Tuple1(cent.map(_.toSeq).toSeq)).toDF("cents")
+    val out = e.crossJoin(broadcast(model))
+      .selectExpr("vec_id", "v", "graft_nearest(v, cents) AS m")
+      .selectExpr("vec_id", "m.cid AS cid", "v",
+        "round(m.csim, 9) AS csim")
       .persist() // consumers self-join it (pair stage) + re-join it
     out
   }

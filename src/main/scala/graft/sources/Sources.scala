@@ -919,14 +919,15 @@ object Sources {
         .filter(col("price") >= lit("1000.00").cast("decimal(24,2)"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          // the hashed surface is DECIMAL(18,2) on BOTH engines: the
-          // totals fit in 16 digits, and an int64-backed decimal
-          // avoids the decimal128 representation boundary where value
-          // hashing switches representation across engines (the r13
-          // hash mismatch reproduced bit-identical values three ways
-          // — the widened DECIMAL(24,2) column itself stays the
-          // feature under test)
-          sum(col("price")).cast("decimal(18,2)").as("sum_price"),
+          // the hashed surface is INTEGER CENTS on BOTH engines: the
+          // DECIMAL(18,2) attempt was verified bit-identical four
+          // independent ways yet still hashed red, so decimals leave
+          // the compare surface entirely. scale=2 × 100 is an exact
+          // integer (~6.7e15 at sf0.01, well inside int64); the
+          // widened DECIMAL(24,2) column itself — filter, narrow-page
+          // upcast, wide aggregation — stays the feature under test.
+          (sum(col("price")) * lit(100)).cast("long")
+            .as("sum_price_cents"),
           min(col("o_orderkey")).as("min_key"))
         .orderBy("o_orderstatus")
     }),
@@ -1792,7 +1793,7 @@ object Sources {
         |      AS DECIMAL(24,2))
         |  FROM base WHERE o_orderkey % 89 = 0 AND o_orderkey > 0)
         |SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(price) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(sum(price) * 100 AS BIGINT) AS sum_price_cents,
         |  min(o_orderkey) AS min_key
         |FROM evolved WHERE price >= CAST('1000.00' AS DECIMAL(24,2))
         |GROUP BY o_orderstatus

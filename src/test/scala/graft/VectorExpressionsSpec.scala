@@ -110,4 +110,68 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(gen.count(_._1 == 2L) == 1) // short doc -> whole text
     assert(!gen.exists(_._1 == 3L)) // null text generates nothing
   }
+
+  test("graft_nearest ≡ crossJoin+groupBy argmin bit-for-bit; zero " +
+      "shuffle; ties keep low cid; NULL contract") {
+    VectorFunctions.register(spark)
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    // a k=5 model picked deterministically from the corpus
+    val cent = e.orderBy("vec_id").limit(5).collect()
+      .map(_.getSeq[Double](1).toArray)
+    // the r14 SemDeDup assignment plan this expression replaced:
+    // crossJoin ×k, HOF d2, groupBy(vec_id) argmin, re-join for cosine
+    val cdf = cent.zipWithIndex
+      .map { case (v, cid) => (cid, v.toSeq) }.toSeq.toDF("cid", "cent")
+    val legacy = e.crossJoin(broadcast(cdf))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(v, cent, (x, y) -> (x-y)*(x-y)), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"), col("v"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.v").as("v"))
+      .join(broadcast(cdf), Seq("cid"))
+      .selectExpr("vec_id", "cid", "graft_cosine(v, cent) AS csim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val model = Seq(Tuple1(cent.map(_.toSeq).toSeq)).toDF("cents")
+    val nativeDf = e.crossJoin(broadcast(model))
+      .selectExpr("vec_id", "graft_nearest(v, cents) AS m")
+      .selectExpr("vec_id", "m.cid AS cid", "m.csim AS csim")
+    val native = nativeDf.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    // bit-for-bit: FP accumulation order inside graft_nearest matches
+    // the HOF d2 and graft_cosine loops exactly
+    assert(native == legacy)
+    // ZERO shuffle: the assignment is one scan + a 1-row broadcast.
+    // The legacy plan shuffled the full corpus through the groupBy.
+    val plan = nativeDf.queryExecution.executedPlan.toString
+    assert(!"""(?<!Broadcast)Exchange""".r.findFirstIn(plan).isDefined,
+      s"assignment must not shuffle; plan:\n$plan")
+    assert("""\*\(\d+\).*graft_nearest""".r.findFirstIn(plan).isDefined ||
+      plan.linesIterator.exists(l =>
+        l.contains("*(") && l.contains("graft_nearest")),
+      s"graft_nearest must ride whole-stage codegen; plan:\n$plan")
+    // equidistant centroids tie to the LOW cid (min(struct) order);
+    // a zero-norm vector yields NULL csim, never NaN
+    val tie = Seq((Array(0.0, 0.0),
+        Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0), Seq(1.0, 0.0))))
+      .toDF("v", "cents")
+      .selectExpr("graft_nearest(v, cents) AS m").collect()(0)
+      .getStruct(0)
+    assert(tie.getInt(0) == 0)
+    assert(tie.isNullAt(1))
+    // empty model / ragged centroid -> NULL, never a truncated answer
+    val empty = Seq(Tuple1(Array(1.0, 2.0))).toDF("v")
+      .selectExpr(
+        "graft_nearest(v, CAST(array() AS ARRAY<ARRAY<DOUBLE>>)) AS m")
+      .collect()(0)
+    assert(empty.isNullAt(0))
+    val ragged = Seq((Array(1.0, 2.0), Seq(Seq(1.0), Seq(1.0, 2.0))))
+      .toDF("v", "cents")
+      .selectExpr("graft_nearest(v, cents) AS m").collect()(0)
+    assert(ragged.isNullAt(0))
+  }
 }
