@@ -441,6 +441,56 @@ case class BpeChunkCount(child: Expression, chunkLen: Int)
   * custom-Expression case — no shuffle, rides whole-stage codegen
   * through a static call. */
 object Lrs {
+  /** Minimal open-addressing int→int map: primitive parallel arrays,
+    * multiplicative hash, linear probing, power-of-two growth at 3/4
+    * load. Keys are code points (≥ 0), values are automaton state ids
+    * (≥ 1), so −1 serves as the absent marker for both. This replaces
+    * the boxed `java.util.HashMap[Integer, Integer]` transition
+    * tables that made per-row allocation pathological on long
+    * documents (2n+2 maps of boxed entries per row): transitions now
+    * cost O(n) primitive ints per row, nothing boxed. */
+  private final class IntIntMap private (
+      private var keys: Array[Int], private var vals: Array[Int],
+      private var n: Int) {
+    def this(cap: Int) = this(Array.fill(
+      Integer.highestOneBit(math.max(4, cap * 2) - 1) << 1)(-1),
+      new Array[Int](Integer.highestOneBit(
+        math.max(4, cap * 2) - 1) << 1), 0)
+    private def mask: Int = keys.length - 1
+    private def slot(k: Int): Int = (k * 0x9E3779B9) & mask
+    /** The value at `k`, or −1 when absent. */
+    def get(k: Int): Int = {
+      var i = slot(k)
+      while (true) {
+        val kk = keys(i)
+        if (kk == k) return vals(i)
+        if (kk == -1) return -1
+        i = (i + 1) & mask
+      }
+      -1
+    }
+    def put(k: Int, v: Int): Unit = {
+      if ((n + 1) * 4 > keys.length * 3) grow()
+      var i = slot(k)
+      while (keys(i) != -1 && keys(i) != k) i = (i + 1) & mask
+      if (keys(i) == -1) n += 1
+      keys(i) = k; vals(i) = v
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      keys = Array.fill(ok.length << 1)(-1)
+      vals = new Array[Int](ok.length << 1)
+      n = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != -1) put(ok(i), ov(i))
+        i += 1
+      }
+    }
+    def copy(): IntIntMap =
+      new IntIntMap(keys.clone(), vals.clone(), n)
+  }
+
   def longestRepeated(s: UTF8String): Int = {
     val cps = s.toString.codePoints().toArray
     val n = cps.length
@@ -449,36 +499,34 @@ object Lrs {
     val len = new Array[Int](maxStates)
     val link = new Array[Int](maxStates)
     val cnt = new Array[Long](maxStates)
-    val trans = new Array[java.util.HashMap[Integer, Integer]](maxStates)
-    trans(0) = new java.util.HashMap[Integer, Integer]()
+    val trans = new Array[IntIntMap](maxStates)
+    trans(0) = new IntIntMap(4)
     link(0) = -1
     var size = 1
     var last = 0
     var i = 0
     while (i < n) {
-      val c: Integer = cps(i)
+      val c = cps(i)
       val cur = size; size += 1
       len(cur) = len(last) + 1
       cnt(cur) = 1L
-      trans(cur) = new java.util.HashMap[Integer, Integer]()
+      trans(cur) = new IntIntMap(4)
       var p = last
-      while (p != -1 && !trans(p).containsKey(c)) {
+      while (p != -1 && trans(p).get(c) == -1) {
         trans(p).put(c, cur)
         p = link(p)
       }
       if (p == -1) link(cur) = 0
       else {
-        val q = trans(p).get(c).intValue()
+        val q = trans(p).get(c)
         if (len(p) + 1 == len(q)) link(cur) = q
         else {
           val clone = size; size += 1
           len(clone) = len(p) + 1
           link(clone) = link(q)
           cnt(clone) = 0L
-          trans(clone) =
-            new java.util.HashMap[Integer, Integer](trans(q))
-          while (p != -1 && trans(p).get(c) != null &&
-            trans(p).get(c).intValue() == q) {
+          trans(clone) = trans(q).copy()
+          while (p != -1 && trans(p).get(c) == q) {
             trans(p).put(c, clone)
             p = link(p)
           }
@@ -516,7 +564,13 @@ object Lrs {
 }
 
 /** `graft_lrs(text)` → INT: code-point length of the longest substring
-  * occurring at least twice in the string (0 when none). */
+  * occurring at least twice in the string (0 when none).
+  *
+  * Memory: O(n) primitive ints per row (suffix-automaton states plus
+  * open-addressing transition arrays — nothing boxed), so the general
+  * SQL-registered function is safe on long documents, not just the
+  * pipeline's 120-char-capped use. Time O(n · α) with tiny constant
+  * (α = probe factor ≈ 1). */
 case class LongestRepeatedSubstring(child: Expression)
   extends UnaryExpression {
 

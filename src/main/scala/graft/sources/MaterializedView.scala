@@ -313,10 +313,14 @@ object MaterializedView {
     * PRECONDITION the marker scheme depends on: micro-batches contain
     * WHOLE source versions. The marker is version-granular, so a
     * version split across two batches would have its tail dropped as
-    * already-consumed. That is why this reader is built with NO
-    * admission-control options (maxFilesPerTrigger etc. — the base
-    * stream supports them; this feed must not): rate-limit by
-    * triggering less often, never by splitting versions. */
+    * already-consumed. ENFORCED at both ends: the changelog stream
+    * itself rounds any admission cap UP to a version boundary (a
+    * `changes=true` reader can never emit a partial version, even in
+    * a user-built feed — [[connector.GraftChangesMicroBatchStream]]),
+    * and [[applyChangeBatch]] verifies version CONTIGUITY against the
+    * marker at runtime, falling back to a full recompute when a
+    * mis-built feed (startingVersion past the marker, a foreign
+    * checkpoint) would otherwise silently skip versions. */
   def cdcFeedRetract(spark: SparkSession, v: IncrementalView,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("graft-snapshot")
@@ -354,7 +358,25 @@ object MaterializedView {
     val fresh = batch.filter(col(verCol) > lastV).persist()
     try {
       if (fresh.isEmpty) return viewCur // replay: fully consumed
-      val hi = fresh.agg(max(col(verCol))).head().getLong(0)
+      val bounds = fresh.agg(max(col(verCol)), min(col(verCol))).head()
+      val hi = bounds.getLong(0)
+      val lo = bounds.getLong(1)
+      // CONTIGUITY guard (runtime twin of the doc precondition): the
+      // marker scheme assumes this batch continues exactly where the
+      // marker left off. A gap (lo > lastV+1) is benign only when the
+      // skipped versions added no files — metadata-only commits
+      // (rename/ALTER) bump the version without producing change
+      // events. Anything else means the feed was mis-built
+      // (startingVersion past the marker, a foreign checkpoint) and
+      // its missing versions' changes would be silently lost —
+      // recompute instead: version-independent, correct on top of
+      // anything. One manifest read, zero data IO.
+      if (lo > lastV + 1) {
+        val entries =
+          SnapshotTable.readManifestFull(spark, v.sourceRoot, hi)._1
+        if (entries.exists(e => e.seq > lastV && e.seq < lo))
+          return refresh(spark, asView(v))
+      }
       val signed = fresh.withColumn("__sign",
         when(col(typCol) === "insert", lit(1L)).otherwise(lit(-1L)))
       val viewV =

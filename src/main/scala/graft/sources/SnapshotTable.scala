@@ -722,24 +722,44 @@ object SnapshotTable {
             smax(col(s"__ze$i")).cast("string").as(s"__hie$i"))) ++
           ndvCols.indices.map(i => expr(
             s"graft_hll_sketch(__n$i, $NdvPrecision)").as(s"__ndv$i"))
-        // keyed by parent/name, not bare name: an identity-partitioned
-        // segment nests files under value directories, and one task
-        // writing several values reuses its part number in each — the
-        // bare file name is no longer unique within a segment
-        def fileKey(p: Path): String =
-          s"${p.getParent.getName}/${p.getName}"
+        // keyed by the path BELOW the segment directory, not the bare
+        // name: an identity-partitioned segment nests files under
+        // value directories and one task writing several values
+        // reuses its part number in each — and with a COMPOSITE key
+        // the nesting is multi-level, where even parent/name collides
+        // across branches (__pv0=x1/__pv1=y and __pv0=x2/__pv1=y hold
+        // same-named files from one task). ENCODING: input_file_name
+        // returns a URI-ENCODED string ("%20") while listings and rel
+        // paths carry the literal on-disk names (partition values may
+        // contain spaces) — decode the URI form so both sides key
+        // identically; a literal-space rel path fails URI parsing and
+        // falls back to the Path route, which yields the same
+        // decoded form.
+        def fileKey(s0: String): String = {
+          val s = try new java.net.URI(s0).getPath catch {
+            case _: java.net.URISyntaxException =>
+              new Path(s0).toUri.getPath
+          }
+          val tag = "/" + seg.getName + "/"
+          val i = s.indexOf(tag)
+          if (i >= 0) s.substring(i + tag.length)
+          else {
+            val p = new Path(s0)
+            s"${p.getParent.getName}/${p.getName}"
+          }
+        }
         val statRows = segDf
           .select(cols: _*)
           .groupBy(col("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .map(r => fileKey(new Path(r.getAs[String]("__f"))) -> r)
+          .map(r => fileKey(r.getAs[String]("__f")) -> r)
           .toMap
         def ndvOf(r: org.apache.spark.sql.Row): Seq[(String, Array[Byte])] =
           ndvCols.zipWithIndex.flatMap { case (fd, i) =>
             Option(r.getAs[Array[Byte]](s"__ndv$i")).map(fd.name -> _) }
         rel.map { p =>
-          statRows.get(fileKey(new Path(p))) match {
+          statRows.get(fileKey(p)) match {
             case None => FileEntry(p, clusterKey, None, None)
             case Some(r) =>
               val lo = clusterKey.flatMap(_ =>
@@ -842,10 +862,20 @@ object SnapshotTable {
     * recorded when a file's exact sum overflowed the decimal(38)
     * accumulator. The file then counts as SKETCHED (analyze converges,
     * never re-reads it) while the SUM-pushdown consumer sees the
-    * sentinel and declines to answer from the manifest. Empty string
-    * can never collide with a real sum: rendered decimals are
-    * non-empty. */
-  private[graft] val SumUnavailable = ""
+    * sentinel and declines to answer from the manifest. `!` can never
+    * collide with a real sum (rendered decimals are digits/sign/dot)
+    * and — unlike the empty string it replaces — encodes NON-EMPTY in
+    * the manifest (`key:b64(!):b64(!)`), so readers predating the
+    * `split(":", -1)` fix decode it without crashing during a rolling
+    * upgrade. Read-side compatibility: manifests written while the
+    * sentinel was `""` encode `key::` — [[sumUnavailable]] accepts
+    * BOTH forms forever. */
+  private[graft] val SumUnavailable = "!"
+
+  /** Is this slot value the unavailable sentinel? Accepts the current
+    * `!` form and the legacy empty-string form r14 manifests carry. */
+  private[graft] def sumUnavailable(v: String): Boolean =
+    v.isEmpty || v == SumUnavailable
 
   /** The extra-stats slot holding a TIMESTAMP column's per-file
     * [min, max] as EPOCH-MICROS — the TZ-independent coordinate the
@@ -1563,12 +1593,24 @@ object SnapshotTable {
     * works unchanged. NULL partition values are refused, like the
     * bucket layout: the layout has no partition for NULL. */
   def commitPartitioned(spark: SparkSession, root: String,
-      df: DataFrame, key: String, maxRetries: Int = 5): Long = {
-    val (seg, entries) = stagePartitioned(spark, root, df, key)
+      df: DataFrame, key: String, maxRetries: Int = 5): Long =
+    commitPartitionedOn(spark, root, df, Seq(key), maxRetries)
+
+  /** COMPOSITE identity partitioning (`PARTITIONED BY (a, b)`): every
+    * data file holds exactly ONE value TUPLE of `keys` — the standard
+    * 100 TB layout (date × tenant). Files are value-pure on EVERY
+    * key, so pruning on ANY of the columns is exact, `GROUP BY a, b`
+    * (or any subset) answers from the manifest alone, and the scan
+    * reports one identity transform per key for zero-exchange
+    * storage-partitioned joins. Key ORDER is the declaration order —
+    * it fixes the directory nesting at write time, nothing else. */
+  def commitPartitionedOn(spark: SparkSession, root: String,
+      df: DataFrame, keys: Seq[String], maxRetries: Int = 5): Long = {
+    val (seg, entries) = stagePartitioned(spark, root, df, keys)
     val v = replaceStaged(spark, root, seg, entries, df.schema,
       maxRetries)
     setProperties(spark, root, tableProperties(spark, root) +
-      ("graft.partition.key" -> key))
+      ("graft.partition.key" -> keys.mkString(",")))
     v
   }
 
@@ -1581,11 +1623,11 @@ object SnapshotTable {
   def appendPartitioned(spark: SparkSession, root: String,
       df: DataFrame, maxRetries: Int = 5,
       txn: Option[(String, Long)] = None): Long = {
-    val key = partitionKeyOf(tableProperties(spark, root)).getOrElse(
-      throw new IllegalArgumentException(
-        s"appendPartitioned: $root has no identity-partition layout " +
-          "(commitPartitioned first)"))
-    val (seg, entries) = stagePartitioned(spark, root, df, key)
+    val keys = partitionKeysOf(tableProperties(spark, root))
+    require(keys.nonEmpty,
+      s"appendPartitioned: $root has no identity-partition layout " +
+        "(commitPartitioned first)")
+    val (seg, entries) = stagePartitioned(spark, root, df, keys)
     val marked = txn.fold(entries) { case (app, batch) =>
       entries.map(e => e.copy(extraStats = e.extraStats :+
         (s"__txn:$app", batch.toString, batch.toString)))
@@ -1593,9 +1635,63 @@ object SnapshotTable {
     appendStaged(spark, root, seg, marked, df.schema, maxRetries)
   }
 
-  private[graft] def partitionKeyOf(
-      props: Map[String, String]): Option[String] =
-    props.get("graft.partition.key")
+  /** The declared identity-partition columns, in declaration order —
+    * empty when the table has no identity layout. The property value
+    * is the comma-joined column list (single-column tables keep the
+    * exact value they always had). */
+  private[graft] def partitionKeysOf(
+      props: Map[String, String]): Seq[String] =
+    props.get("graft.partition.key").toSeq
+      .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's headline metadata feature):
+    * change the table's identity layout GOING FORWARD — a metadata-
+    * only property edit, zero files rewritten. `keys` empty drops the
+    * layout. Sound by the per-file design: nothing in this engine
+    * trusts the DECLARATION — every reader (pruning, consumed
+    * filters, manifest GROUP BY, the SPJ report) verifies value
+    * purity from each file's OWN recorded stats — so after an
+    * evolution,
+    *  - old files keep their layout and keep pruning on the OLD keys,
+    *  - new writes land pure on the NEW keys and prune on those,
+    *  - manifest aggregates still answer whenever EVERY file is pure
+    *    on the queried columns (e.g. evolving (day) → (day, tenant)
+    *    keeps `GROUP BY day` a zero-IO metadata read across the
+    *    boundary, because both eras are day-pure), and decline to the
+    *    exact scan otherwise,
+    *  - the SPJ partitioning report declines until every kept file is
+    *    pure on the full new tuple — `compact()` restages the whole
+    *    table into the current spec and restores it.
+    * The validations mirror CREATE: columns must exist, be
+    * partitionable types, distinct, and not coexist with a bucket
+    * grid. SQL surface: `ALTER TABLE t SET TBLPROPERTIES
+    * ('graft.partition.key' = 'a,b')` (validated by the catalog
+    * through this method) or UNSET to drop. */
+  def evolvePartitioning(spark: SparkSession, root: String,
+      keys: Seq[String]): Unit = {
+    val cur = currentVersion(spark, root)
+    require(cur > 0L, s"no committed version at $root")
+    val props = tableProperties(spark, root)
+    require(keys.isEmpty || bucketLayoutOf(props).isEmpty,
+      "a table is laid out by hash buckets OR identity partition " +
+        "columns, not both")
+    val (_, recorded) = readManifestFull(spark, root, cur)
+    val schema = priorSchemaOrRead(spark, root, cur, recorded)
+    val resolved = keys.map(k => schema.fields
+      .find(_.name.equalsIgnoreCase(k))
+      .getOrElse(throw new IllegalArgumentException(
+        s"partition column '$k' is not in the table schema at $root")))
+    resolved.foreach(fd => require(partitionableType(fd.dataType),
+      s"identity partitioning does not support ${fd.dataType
+        .simpleString} keys (int/long/short/byte/string/date)"))
+    require(resolved.map(_.name.toLowerCase(java.util.Locale.ROOT))
+      .distinct.size == resolved.size,
+      "each column may appear at most once in the partition spec")
+    if (resolved.isEmpty)
+      setProperties(spark, root, props - "graft.partition.key")
+    else setProperties(spark, root, props +
+      ("graft.partition.key" -> resolved.map(_.name).mkString(",")))
+  }
 
   /** Identity-partition types: exactly the grouping/pruning domain —
     * the manifest's string-rendered stats must round-trip the value
@@ -1615,43 +1711,68 @@ object SnapshotTable {
     * `maxRecordsPerFile` rolls files WITHIN a value directory, and
     * every resulting file remains value-pure. */
   private[sources] def stagePartitioned(spark: SparkSession,
-      root: String, df: DataFrame, key: String)
+      root: String, df: DataFrame, keys: Seq[String])
   : (Path, Seq[FileEntry]) = {
-    val field = df.schema.fields
-      .find(_.name.equalsIgnoreCase(key))
+    require(keys.nonEmpty, "identity partitioning needs a key")
+    val fields = keys.map(k => df.schema.fields
+      .find(_.name.equalsIgnoreCase(k))
       .getOrElse(throw new IllegalArgumentException(
-        s"partition key '$key' is not a column of the batch"))
-    require(partitionableType(field.dataType),
-      s"identity partitioning does not support ${field.dataType
-        .simpleString} keys (int/long/short/byte/string/date)")
+        s"partition key '$k' is not a column of the batch")))
+    fields.foreach(field =>
+      require(partitionableType(field.dataType),
+        s"identity partitioning does not support ${field.dataType
+          .simpleString} keys (int/long/short/byte/string/date)"))
     val seg = newSegmentPath(root)
-    df.repartition(col(bq(field.name)))
-      .withColumn("__pv", col(bq(field.name)))
-      .write.partitionBy("__pv").mode("error").parquet(seg.toString)
+    // one hash repartition on the full tuple co-locates same-tuple
+    // rows, then the dynamic split writes one file per distinct tuple
+    // per task (nested __pvN=value directories — the REAL columns
+    // stay in the parquet files; the directories are a write-time
+    // splitting device)
+    val pvCols = fields.indices.map(i => s"__pv$i")
+    fields.zip(pvCols)
+      .foldLeft(df.repartition(fields.map(fd => col(bq(fd.name))): _*)) {
+        case (d, (fd, pv)) => d.withColumn(pv, col(bq(fd.name)))
+      }
+      .write.partitionBy(pvCols: _*).mode("error").parquet(seg.toString)
     val f = fs(spark, root)
     // dynamic-partition writes route NULL keys to the default
-    // directory — detect and refuse AFTER the write (zero extra pass
-    // over the batch; the segment is unpublished, so deleting it
-    // undoes everything)
-    val nullDir = new Path(seg, "__pv=__HIVE_DEFAULT_PARTITION__")
-    if (f.exists(nullDir)) {
-      f.delete(seg, true)
-      throw new IllegalArgumentException(
-        "NULL partition key in an identity-partitioned write (the " +
-          "layout has no partition for NULL)")
-    }
-    val parts = f.listStatus(seg).toSeq
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("__pv="))
-      .flatMap(d => f.listStatus(d.getPath).toSeq)
-      .filter { st =>
+    // directory AT THEIR NESTING LEVEL — detect and refuse AFTER the
+    // write (zero extra pass over the batch; the segment is
+    // unpublished, so deleting it undoes everything)
+    def walk(dir: Path, level: Int): Seq[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(dir).toSeq.flatMap { st =>
         val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
+        if (st.isDirectory && n.startsWith("__pv")) {
+          if (n.endsWith("=__HIVE_DEFAULT_PARTITION__")) {
+            f.delete(seg, true)
+            throw new IllegalArgumentException(
+              "NULL partition key in an identity-partitioned write " +
+                "(the layout has no partition for NULL)")
+          }
+          walk(st.getPath, level + 1)
+        } else if (!st.isDirectory && !n.startsWith("_") &&
+          !n.startsWith(".") && level == keys.length) Seq(st)
+        else Seq.empty
       }
-      .sortBy(st => (st.getPath.getParent.getName, st.getPath.getName))
-    val rel = parts.map(st =>
-      s"_data/${seg.getName}/${st.getPath.getParent.getName}/" +
-        st.getPath.getName)
-    (seg, statsEntries(spark, root, seg, rel, Some(field.name), None))
+    val segPathStr = seg.toUri.getPath
+    val parts = walk(seg, 0)
+      .sortBy(_.getPath.toUri.getPath)
+    val rel = parts.map(st => s"_data/${seg.getName}/" +
+      st.getPath.toUri.getPath.stripPrefix(segPathStr)
+        .stripPrefix("/"))
+    // first key: the primary stats slot (value-pure min == max plus
+    // the null count); tail keys: extraStats ranges — statsFor reads
+    // both, so pruning and purity checks see every key. Tail-key
+    // NULL counts are zero BY CONSTRUCTION (the null directory check
+    // above refused them) — stamped as colNulls so readers can
+    // verify tuple purity without trusting the layout declaration.
+    val entries = statsEntries(spark, root, seg, rel,
+      Some(fields.head.name), None,
+      zorderExtra = fields.drop(1).map(_.name))
+    val tail = fields.drop(1).map(_.name)
+    (seg, if (tail.isEmpty) entries
+    else entries.map(e =>
+      e.copy(colNulls = e.colNulls ++ tail.map(_ -> 0L))))
   }
 
   /** The grid-cell id of a key tuple: per-key `pmod(murmur3(k_i),
@@ -2542,8 +2663,8 @@ object SnapshotTable {
       require(!bucketKeys.exists(_.equalsIgnoreCase(fd.name)),
         s"cannot rename '${fd.name}' at $root: it is a declared " +
           "hash-bucket layout key")
-      require(!partitionKeyOf(props).exists(_.equalsIgnoreCase(fd.name)),
-        s"cannot rename '${fd.name}' at $root: it is the declared " +
+      require(!partitionKeysOf(props).exists(_.equalsIgnoreCase(fd.name)),
+        s"cannot rename '${fd.name}' at $root: it is a declared " +
           "identity-partition key")
       props.foreach { case (k, sql) =>
         if (k.startsWith("graft.check."))
@@ -2663,8 +2784,8 @@ object SnapshotTable {
         require(!bucketKeys.exists(_.equalsIgnoreCase(fd.name)),
           s"cannot drop '${fd.name}' at $root: it is a declared " +
             "hash-bucket layout key")
-        require(!partitionKeyOf(props).exists(_.equalsIgnoreCase(fd.name)),
-          s"cannot drop '${fd.name}' at $root: it is the declared " +
+        require(!partitionKeysOf(props).exists(_.equalsIgnoreCase(fd.name)),
+          s"cannot drop '${fd.name}' at $root: it is a declared " +
             "identity-partition key")
       }
       resolved.foreach { fd =>
@@ -2775,8 +2896,8 @@ object SnapshotTable {
       require(!bucketKeys.exists(_.equalsIgnoreCase(fd.name)),
         s"cannot widen '${fd.name}' at $root: it is a declared " +
           "hash-bucket layout key (bucket hashes are typed)")
-      require(!partitionKeyOf(props).exists(_.equalsIgnoreCase(fd.name)),
-        s"cannot widen '${fd.name}' at $root: it is the declared " +
+      require(!partitionKeysOf(props).exists(_.equalsIgnoreCase(fd.name)),
+        s"cannot widen '${fd.name}' at $root: it is a declared " +
           "identity-partition key (partition values are typed and " +
           "string-rendered — widening would split groups)")
       val (keepRange, keepSketch) = policy
@@ -3970,11 +4091,11 @@ object SnapshotTable {
       val (clusterKey, _) = layoutOf(spark, root)
       // a declared identity layout survives the rewrite (value-pure
       // files), like compaction and the row-level COW path
-      val partKey = partitionKeyOf(tableProperties(spark, root))
+      val partKeys = partitionKeysOf(tableProperties(spark, root))
       val (segs, newEntries) = kept match {
         case None => (Seq.empty[Path], Seq.empty[FileEntry])
-        case Some(df) if partKey.isDefined =>
-          val (seg, es) = stagePartitioned(spark, root, df, partKey.get)
+        case Some(df) if partKeys.nonEmpty =>
+          val (seg, es) = stagePartitioned(spark, root, df, partKeys)
           (Seq(seg), es)
         case Some(df) =>
           // size the rewrite by its input bytes (the merge rule): the
@@ -4050,12 +4171,12 @@ object SnapshotTable {
     // a declared identity-partition layout is preserved the same way:
     // rewriting value-pure files impure would silently demote manifest
     // GROUP BY answers and storage-partitioned joins to full scans
-    val partitionKey = partitionKeyOf(props)
-    val (seg, newEntries) = (clusterKey, bucketLayout, partitionKey) match {
+    val partitionKeys = partitionKeysOf(props)
+    val (seg, newEntries) = (clusterKey, bucketLayout, partitionKeys) match {
       case (_, Some(layout), _) =>
         stageBucketed(spark, root, snapshot, layout)
-      case (_, _, Some(pk)) =>
-        stagePartitioned(spark, root, snapshot, pk)
+      case (_, _, pks) if pks.nonEmpty =>
+        stagePartitioned(spark, root, snapshot, pks)
       case (Some(_), _, _) =>
         stageSegment(spark, root, snapshot, clusterKey, nFiles,
           inherited)

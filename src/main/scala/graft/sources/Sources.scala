@@ -1036,6 +1036,103 @@ object Sources {
           max(col("ts")).as("last_ts"))
         .orderBy("event_type")
     }),
+    // COMPOSITE identity partitioning under the oracle (r14 verdict
+    // #5): CREATE TABLE ... PARTITIONED BY (o_orderstatus,
+    // o_orderpriority) in pure SQL, INSERT the orders rows (the V2
+    // write clusters by the TUPLE and splits one file per distinct
+    // tuple — every file tuple-pure), then GROUP BY both keys UNDER
+    // a filter on the SECOND key. The filter is CONSUMED (decided
+    // exactly per file) and the aggregate answers ENTIRELY from the
+    // manifest (PushedAggregates, files=0/N — PlanGoldenSpec pins
+    // it). The date × tenant layout every 100 TB pipeline uses, as a
+    // pure metadata read. DuckDB recomputes from the raw parquet.
+    "snapshot_partition_multi" -> ((s, dir) => {
+      val wh = catalogWarehouse
+      val t = uniqueName("ord_mp")
+      s.conf.set("spark.sql.catalog.graft_mp",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_mp.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_mp.db")
+      s.sql(s"CREATE TABLE graft_mp.db.$t (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, o_orderpriority STRING) " +
+        "PARTITIONED BY (o_orderstatus, o_orderpriority)")
+      graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .createOrReplaceTempView(s"src_$t")
+      s.sql(s"INSERT INTO graft_mp.db.$t SELECT * FROM src_$t")
+      s.sql("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "count(o_orderpriority) AS np, " +
+        "min(o_orderstatus) AS lo, max(o_orderpriority) AS hi " +
+        s"FROM graft_mp.db.$t " +
+        "WHERE o_orderpriority >= '2' " +
+        "GROUP BY o_orderstatus, o_orderpriority " +
+        "ORDER BY o_orderstatus, o_orderpriority")
+    }),
+    // COMPOSITE layout × SUM slots: ANALYZE a two-key table, then
+    // GROUP BY the tuple with SUM + COUNT(col) — per-group sums fold
+    // the matching files' exact-sum slots, zero data IO (files=0/N) —
+    // and COUNT(DISTINCT second_key) answers ungrouped from the
+    // per-file constants. "revenue per (day, tenant) over a
+    // petabyte" as a metadata read.
+    "snapshot_agg_sum_multi" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-summ").toString + "/orders_summ"
+      SnapshotTable.commitPartitionedOn(s, root,
+        graft.Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+        Seq("o_orderstatus", "o_orderpriority"))
+      SnapshotTable.analyze(s, root)
+      val t = s.read.format("graft-snapshot").option("path", root)
+        .load()
+      t.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_key"))
+        .crossJoin(t.agg(
+          countDistinct(col("o_orderpriority")).as("n_prio")))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+    // PARTITION-SPEC EVOLUTION under the oracle (r14 verdict #6):
+    // create PARTITIONED BY (o_orderstatus), insert the even keys,
+    // ALTER TABLE ... SET TBLPROPERTIES evolve the layout to
+    // (o_orderstatus, o_orderpriority) — METADATA-ONLY, no version,
+    // no file rewritten — then insert the odd keys on the new spec.
+    // The query spans the boundary twice: GROUP BY the SHARED key
+    // still answers from the manifest (both eras are status-pure —
+    // files=0/N, PlanGoldenSpec pins it), while a count under a
+    // filter on the NEW key scans exactly (prunes the new era by
+    // stats, keeps the old era conservatively). DuckDB recomputes
+    // both from the raw parquet.
+    "snapshot_partition_evolve" -> ((s, dir) => {
+      val wh = catalogWarehouse
+      val t = uniqueName("ord_pe")
+      s.conf.set("spark.sql.catalog.graft_pe",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_pe.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_pe.db")
+      s.sql(s"CREATE TABLE graft_pe.db.$t (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, o_orderpriority STRING) " +
+        "PARTITIONED BY (o_orderstatus)")
+      graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .createOrReplaceTempView(s"src_$t")
+      s.sql(s"INSERT INTO graft_pe.db.$t " +
+        s"SELECT * FROM src_$t WHERE o_orderkey % 2 = 0")
+      s.sql(s"ALTER TABLE graft_pe.db.$t SET TBLPROPERTIES " +
+        "('graft.partition.key' = 'o_orderstatus,o_orderpriority')")
+      s.sql(s"INSERT INTO graft_pe.db.$t " +
+        s"SELECT * FROM src_$t WHERE o_orderkey % 2 <> 0")
+      s.sql(
+        s"""SELECT a.o_orderstatus, a.n, a.nk, b.n_urgent
+           |FROM (SELECT o_orderstatus, count(*) AS n,
+           |        count(o_orderstatus) AS nk
+           |      FROM graft_pe.db.$t GROUP BY o_orderstatus) a
+           |JOIN (SELECT o_orderstatus, count(*) AS n_urgent
+           |      FROM graft_pe.db.$t
+           |      WHERE o_orderpriority = '1-URGENT'
+           |      GROUP BY o_orderstatus) b
+           |  ON a.o_orderstatus = b.o_orderstatus
+           |ORDER BY a.o_orderstatus""".stripMargin)
+    }),
     // COUNT(DISTINCT key) from the MANIFEST on a value-pure table:
     // the distinct set is exactly the set of per-file constants.
     "snapshot_count_distinct" -> ((s, dir) => {
@@ -1802,6 +1899,31 @@ object Sources {
       """SELECT count(*) AS n, min(o_orderstatus) AS lo,
         |  max(o_orderstatus) AS hi
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "snapshot_partition_multi" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  count(o_orderpriority) AS np,
+        |  min(o_orderstatus) AS lo, max(o_orderpriority) AS hi
+        |FROM orders WHERE o_orderpriority >= '2'
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "snapshot_agg_sum_multi" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  (SELECT count(DISTINCT o_orderpriority) FROM orders)
+        |    AS n_prio
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "snapshot_partition_evolve" ->
+      """SELECT a.o_orderstatus, a.n, a.nk, b.n_urgent
+        |FROM (SELECT o_orderstatus, count(*) AS n,
+        |        count(o_orderstatus) AS nk
+        |      FROM orders GROUP BY o_orderstatus) a
+        |JOIN (SELECT o_orderstatus, count(*) AS n_urgent
+        |      FROM orders WHERE o_orderpriority = '1-URGENT'
+        |      GROUP BY o_orderstatus) b
+        |  ON a.o_orderstatus = b.o_orderstatus
+        |ORDER BY a.o_orderstatus""".stripMargin,
     "snapshot_agg_ts" ->
       """SELECT event_type, count(*) AS n,
         |  min(ts) AS first_ts, max(ts) AS last_ts

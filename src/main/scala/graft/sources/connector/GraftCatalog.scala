@@ -311,21 +311,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // INSIDE the layout (the write builder reads it from the table
     // properties), the scan reports KeyGroupedPartitioning, and a
     // join between two such tables runs with ZERO exchange (SPJ).
-    // PARTITIONED BY (col) — ONE identity transform — declares the
-    // value-pure layout commitPartitioned records: every INSERT
-    // splits its files per value, partition pruning is exact, and
-    // GROUP BY col answers from the manifest alone. Anything else
-    // refuses: graft has no hive-style directory partitions — value
-    // clustering is the write-time clusterKey/Z-order job.
+    // PARTITIONED BY (a[, b, ...]) — identity transforms — declares
+    // the value-pure layout commitPartitionedOn records: every INSERT
+    // splits its files per value TUPLE, partition pruning is exact on
+    // every key, and GROUP BY any subset of the keys answers from the
+    // manifest alone. Composite keys (date × tenant) are the standard
+    // 100 TB layout. Anything else refuses: graft has no hive-style
+    // directory partitions — value clustering is the write-time
+    // clusterKey/Z-order job.
     val (identityTs, bucketTs) =
       partitions.toSeq.partition(_.name().equalsIgnoreCase("identity"))
     require(identityTs.isEmpty || bucketTs.isEmpty,
-      "a table is laid out by hash buckets OR one identity partition " +
-        "column, not both")
-    require(identityTs.length <= 1,
-      "identity partitioning takes exactly one column: " +
-        identityTs.map(_.describe()).mkString(", "))
-    val partitionKey: Option[String] = identityTs.headOption.map { t =>
+      "a table is laid out by hash buckets OR identity partition " +
+        "columns, not both")
+    val partitionKeys: Seq[String] = identityTs.map { t =>
       val refs = t.arguments().collect { case r: NamedReference => r }
       require(refs.length == 1 && refs.head.fieldNames().length == 1,
         s"identity partition takes one top-level column: ${t.describe()}")
@@ -338,6 +337,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .simpleString} keys (int/long/short/byte/string/date)")
       fd.name
     }
+    require(partitionKeys
+      .map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size ==
+      partitionKeys.size,
+      "each column may appear in at most one identity partition " +
+        "transform")
     val bucketLayout: Seq[(String, Int)] = bucketTs.map { t =>
       require(t.name().equalsIgnoreCase("bucket"),
         "graft tables are laid out by hash buckets (PARTITIONED BY " +
@@ -380,10 +384,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         SnapshotTable.tableProperties(spark, root) ++ Map(
           "graft.bucket.key" -> bucketLayout.map(_._1).mkString(","),
           "graft.bucket.count" -> bucketLayout.map(_._2).mkString(",")))
-    partitionKey.foreach(k =>
+    if (partitionKeys.nonEmpty)
       SnapshotTable.setProperties(spark, root,
         SnapshotTable.tableProperties(spark, root) +
-          ("graft.partition.key" -> k)))
+          ("graft.partition.key" -> partitionKeys.mkString(",")))
     // persist the table-behavior TBLPROPERTIES (write.* / graft.*):
     // `write.delete.mode` / `write.update.mode` / `write.merge.mode`
     // = merge-on-read select delta row-level commits, write.merge.key
@@ -460,9 +464,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(!bucketKeys.exists(_.equalsIgnoreCase(name)),
         s"cannot $op '$name' at $root: it is a declared " +
           "hash-bucket layout key")
-      require(!SnapshotTable.partitionKeyOf(props)
+      require(!SnapshotTable.partitionKeysOf(props)
         .exists(_.equalsIgnoreCase(name)),
-        s"cannot $op '$name' at $root: it is the declared " +
+        s"cannot $op '$name' at $root: it is a declared " +
           "identity-partition key")
     }
     def noCheckRef(name: String, op: String): Unit =
@@ -640,6 +644,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     propChanges.foreach {
+      // PARTITION-SPEC EVOLUTION: `graft.partition.key` is settable —
+      // unlike the bucket namespace, nothing trusts this declaration
+      // (readers verify per-file purity from recorded stats), so the
+      // edit can only steer FUTURE writes — but it is VALIDATED like
+      // CREATE: real columns, partitionable types, no bucket clash.
+      case s: TableChange.SetProperty
+        if s.property() == "graft.partition.key" =>
+        SnapshotTable.evolvePartitioning(spark, root,
+          s.value().split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      case r: TableChange.RemoveProperty
+        if r.property() == "graft.partition.key" =>
+        SnapshotTable.evolvePartitioning(spark, root, Seq.empty)
       case s: TableChange.SetProperty =>
         guardKey(s.property())
         SnapshotTable.setProperties(spark, root,

@@ -125,28 +125,29 @@ private[connector] class GraftReplaceDataWrite(root: String,
   }
 
   /** A declared identity-partition layout is preserved through the
-    * rewrite the same way ingest preserves it: cluster by the value,
-    * split one file per value — an UPDATE must not silently demote
-    * the table's manifest GROUP BY and consumed filters to scans. */
-  private val partitionKey: Option[String] =
-    SnapshotTable.partitionKeyOf(
+    * rewrite the same way ingest preserves it: cluster by the key
+    * tuple, split one file per tuple — an UPDATE must not silently
+    * demote the table's manifest GROUP BY and consumed filters to
+    * scans. */
+  private val partitionKeys: Seq[String] =
+    SnapshotTable.partitionKeysOf(
       SnapshotTable.tableProperties(SparkSession.active, root))
       .filter(k => schema.fieldNames.exists(_.equalsIgnoreCase(k)))
 
   override def requiredDistribution(): Distribution =
-    partitionKey match {
-      case Some(pk) => Distributions.clustered(Array(
+    if (partitionKeys.nonEmpty)
+      Distributions.clustered(partitionKeys.map(pk =>
         Expressions.identity(pk)
-          : org.apache.spark.sql.connector.expressions.Expression))
-      case None => clusterKey.map(k =>
-        Distributions.ordered(Array[V2SortOrder](
-          Expressions.sort(Expressions.column(k),
-            SortDirection.ASCENDING))))
-        .getOrElse(Distributions.unspecified())
-    }
+          : org.apache.spark.sql.connector.expressions.Expression)
+        .toArray)
+    else clusterKey.map(k =>
+      Distributions.ordered(Array[V2SortOrder](
+        Expressions.sort(Expressions.column(k),
+          SortDirection.ASCENDING))))
+      .getOrElse(Distributions.unspecified())
 
   override def requiredOrdering(): Array[V2SortOrder] =
-    if (partitionKey.isDefined) Array.empty
+    if (partitionKeys.nonEmpty) Array.empty
     else clusterKey.map(k => Array[V2SortOrder](
       Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)))
       .getOrElse(Array.empty)
@@ -156,7 +157,7 @@ private[connector] class GraftReplaceDataWrite(root: String,
 
   override def toBatch: BatchWrite =
     new GraftReplaceBatchWrite(root, version, schema, op,
-      clusterKey, bloomKey, partitionKey)
+      clusterKey, bloomKey, partitionKeys)
 }
 
 /** DELTA-based (merge-on-read) row-level operations — chosen over the
@@ -447,17 +448,18 @@ private[connector] class GraftDeltaWriter(dataSegAbs: String,
 private[connector] class GraftReplaceBatchWrite(root: String,
     version: Long, schema: StructType, op: GraftRowLevelOperation,
     clusterKey: Option[String], bloomKey: Option[String],
-    partitionKey: Option[String] = None)
+    partitionKeys: Seq[String] = Seq.empty)
   extends BatchWrite {
 
   private val seg = SnapshotTable.newSegmentPath(root)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-  : DataWriterFactory = partitionKey match {
-    case Some(pk) => new GraftPartitionedWriterFactory(seg.toString,
-      schema.json, schema.fieldNames.indexWhere(_.equalsIgnoreCase(pk)))
-    case None => new GraftWriterFactory(seg.toString, schema.json)
-  }
+  : DataWriterFactory =
+    if (partitionKeys.nonEmpty)
+      new GraftPartitionedWriterFactory(seg.toString, schema.json,
+        partitionKeys.map(pk =>
+          schema.fieldNames.indexWhere(_.equalsIgnoreCase(pk))))
+    else new GraftWriterFactory(seg.toString, schema.json)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -476,12 +478,20 @@ private[connector] class GraftReplaceBatchWrite(root: String,
       SnapshotTable.fs(spark, root).delete(seg, true)
       return
     }
-    val entries =
+    val entries0 =
       if (rel.isEmpty) Seq.empty
       else SnapshotTable.statsEntries(spark, root, seg, rel,
         // a fresh partitioned table has no entries for layoutOf to
-        // read the cluster key from — the declared key still governs
-        clusterKey.orElse(partitionKey), bloomKey)
+        // read the cluster key from — the declared keys still govern;
+        // composite-layout tail keys record extraStats ranges so the
+        // rewritten files keep their tuple purity evidence
+        clusterKey.orElse(partitionKeys.headOption), bloomKey,
+        zorderExtra = partitionKeys.drop(1))
+    val partTail = partitionKeys.drop(1)
+    val entries =
+      if (partTail.isEmpty) entries0
+      else entries0.map(e =>
+        e.copy(colNulls = e.colNulls ++ partTail.map(_ -> 0L)))
     SnapshotTable.replaceFilesStaged(spark, root, seg, entries,
       removed, version, schema)
   }

@@ -209,9 +209,9 @@ private[connector] class GraftSnapshotTable(root: String, version: Long,
       .toSeq.flatten.map { case (k, n) =>
         org.apache.spark.sql.connector.expressions.Expressions
           .bucket(n, k) }
-    val ident = SnapshotTable.partitionKeyOf(persistedProps)
-      .map(org.apache.spark.sql.connector.expressions.Expressions
-        .identity)
+    val ident = SnapshotTable.partitionKeysOf(persistedProps)
+      .map(k => org.apache.spark.sql.connector.expressions.Expressions
+        .identity(k))
     (buckets ++ ident).toArray
   }
 
@@ -482,29 +482,37 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     // FILTERED manifest aggregates: `SELECT count(*) WHERE day = 'x'`
     // stays a zero-IO metadata read. Anything unprovable stays
     // residual, as before.
-    val pureKey: Option[(String, DataType)] =
-      entries.headOption.flatMap(_.statsKey).flatMap { k =>
-        fullSchema.fields.find(_.name.equalsIgnoreCase(k))
-          .map(f => (k, f.dataType))
-      }.filter { case (k, dt) =>
-        SnapshotTable.partitionableType(dt) &&
-          entries.forall(e => e.statsKey.contains(k) &&
-            e.lo.isDefined && e.lo == e.hi &&
-            e.statsNulls.contains(0L))
-      }
-    consumed = pureKey.toSeq.flatMap { case (k, dt) =>
+    // candidate pure columns: the primary stats slot's column plus
+    // any further DECLARED identity keys (a composite layout records
+    // the tail keys' constants as extraStats ranges + null counts) —
+    // each verified value-pure on every file, never trusted from the
+    // declaration alone
+    val declared = SnapshotTable.partitionKeysOf(
+      SnapshotTable.tableProperties(spark, root))
+    val pureCols: Seq[(String, DataType)] =
+      (entries.headOption.flatMap(_.statsKey).toSeq ++ declared)
+        .distinct
+        .flatMap(k => fullSchema.fields
+          .find(_.name.equalsIgnoreCase(k))
+          .map(f => (k, f.dataType)))
+        .filter { case (k, dt) =>
+          SnapshotTable.partitionableType(dt) && entries.nonEmpty &&
+            entries.forall(GraftScan.pureValueOf(_, k).isDefined)
+        }
+    consumed = pureCols.flatMap { case (k, dt) =>
       val cmp = SnapshotTable.statOrdering(dt)
         .getOrElse((a: String, b: String) => a.compareTo(b))
-      filters.toSeq.flatMap(f => constEval(f, k, dt, cmp).map(f -> _))
+      filters.toSeq.flatMap(f => constEval(f, k, dt, cmp).map(p =>
+        f -> ((e: FileEntry) => p(GraftScan.pureValueOf(e, k).get))))
     }
     val consumedSet = consumed.map(_._1).toSet
     filters.filterNot(consumedSet)
   }
 
-  /** Filters consumed by exact per-file evaluation against the
-    * value-pure stats column; (filter, evaluator over the file's
-    * constant as its stats string). */
-  private var consumed: Seq[(Filter, String => Boolean)] = Nil
+  /** Filters consumed by exact per-file evaluation against a
+    * value-pure column; (filter, evaluator over the file entry —
+    * reading its recorded constant for that column). */
+  private var consumed: Seq[(Filter, FileEntry => Boolean)] = Nil
 
   /** Render `v` exactly as the stats pass rendered the column
     * (cast-to-string); None keeps the filter residual. Integral
@@ -583,7 +591,13 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     * plans the ordinary scan and the answer is computed from rows. */
   // supportCompletePushDown and pushAggregation arrive back-to-back
   // with the same Aggregation: memoize by instance so the manifest
-  // read + per-group folds run once per planned aggregate, not twice
+  // read + per-group folds run once per planned aggregate, not twice.
+  // INVARIANT this depends on: Spark passes the IDENTICAL Aggregation
+  // instance to both calls (V2ScanRelationPushDown translates once and
+  // reuses the object). The `eq` guard means a planner that ever
+  // re-translates falls back to recomputing — never serves a stale
+  // answer for a DIFFERENT aggregate — so the cache can only cost
+  // time, not correctness.
   private var answered
   : Option[(Aggregation, Option[(StructType, Array[Array[String]],
     String)])] = None
@@ -616,7 +630,7 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
 
   private def consumedKeep(data: Seq[FileEntry]): Seq[FileEntry] =
     if (consumed.isEmpty) data
-    else data.filter(e => consumed.forall(_._2(e.lo.get)))
+    else data.filter(e => consumed.forall(_._2(e)))
 
   /** Single-name column reference, the only shape manifest answers
     * understand. */
@@ -649,8 +663,13 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
         .getOrElse(return None)
       e.statsFor(SnapshotTable.sumKey(name)) match {
         case Some((v, _)) =>
-          if (v == SnapshotTable.SumUnavailable) return None
-          total = total.add(new java.math.BigDecimal(v))
+          if (SnapshotTable.sumUnavailable(v)) return None
+          // a corrupt/truncated slot declines to the scan path —
+          // plan time must never throw on manifest content
+          val parsed = try new java.math.BigDecimal(v) catch {
+            case _: NumberFormatException => return None
+          }
+          total = total.add(parsed)
           nonNull += rows - nulls
         case None =>
           if (nulls != rows) return None
@@ -669,8 +688,11 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     val vals = data.flatMap { e =>
       e.statsFor(SnapshotTable.tsuKey(name)) match {
         case Some((lo, hi)) =>
-          if (lo == SnapshotTable.SumUnavailable) return None
-          Some(if (isMin) lo.toLong else hi.toLong)
+          if (SnapshotTable.sumUnavailable(lo)) return None
+          // corrupt slot -> decline, never throw at plan time
+          Some(try { if (isMin) lo.toLong else hi.toLong } catch {
+            case _: NumberFormatException => return None
+          })
         case None =>
           val rows = e.rows.getOrElse(return None)
           val nulls = e.colNulls.collectFirst {
@@ -683,13 +705,6 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     Some(if (vals.isEmpty) None
     else Some(if (isMin) vals.min else vals.max))
   }
-
-  /** Is every file in `data` VALUE-PURE on `name` (single recorded
-    * value, zero nulls)? The precondition under which per-file
-    * constants answer DISTINCT questions exactly. */
-  private def valuePure(name: String, data: Seq[FileEntry]): Boolean =
-    data.forall(e => e.statsKey.contains(name) &&
-      e.lo.isDefined && e.lo == e.hi && e.statsNulls.contains(0L))
 
   /** Spark's SUM result type: LongType for integrals, scale-preserving
     * precision+10 (capped 38) for decimals — the manifest answer must
@@ -711,13 +726,19 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     if (nonNull == 0L) Some(null)
     else resType match {
       case d: DecimalType =>
-        val t = total.setScale(d.scale)
+        // setScale throws when a corrupt slot carries MORE scale than
+        // the column type allows — decline to the scan, never throw
+        val t = try total.setScale(d.scale) catch {
+          case _: ArithmeticException => return None
+        }
         if (t.precision <= d.precision) Some(t.toPlainString) else None
       case _ =>
         val lo = java.math.BigDecimal.valueOf(Long.MinValue)
         val hi = java.math.BigDecimal.valueOf(Long.MaxValue)
         if (total.compareTo(lo) >= 0 && total.compareTo(hi) <= 0)
-          Some(total.longValueExact.toString)
+          try Some(total.longValueExact.toString) catch {
+            case _: ArithmeticException => None // fractional slot
+          }
         else None
     }
 
@@ -815,10 +836,12 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
       // files so the kept constants are exactly the matching values
       case c: Count if c.isDistinct =>
         val name = singleName(c.column).getOrElse(return None)
-        if (!valuePure(name, data)) return None
+        if (!data.forall(GraftScan.pureValueOf(_, name).isDefined))
+          return None
         (StructField(s"count(DISTINCT $name)", LongType,
           nullable = false),
-          data.map(_.lo.get).distinct.size.toLong.toString)
+          data.map(GraftScan.pureValueOf(_, name).get)
+            .distinct.size.toLong.toString)
       // SUM from the per-file exact-sum slots: at 100 TB,
       // `sum(amount)` over a petabyte becomes a pure metadata read
       case s: VSum if !s.isDistinct =>
@@ -845,43 +868,55 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
   }
 
   /** GROUP BY pushdown: sound exactly when every data file is
-    * value-pure on the group column — each file then belongs to ONE
+    * value-pure on EVERY group column — each file then belongs to ONE
     * group, and per-group aggregates are sums/constants over the
-    * manifest. The output schema is `group column :: aggregate
-    * columns` (Spark's complete-pushdown contract), rows ordered by
-    * the group value so plans are deterministic. */
+    * manifest. One or MORE group columns (a composite identity layout
+    * `PARTITIONED BY (a, b)` makes files pure on the whole tuple, and
+    * any SUBSET of pure columns groups exactly too). The output
+    * schema is `group columns :: aggregate columns` (Spark's
+    * complete-pushdown contract), rows ordered by the group tuple so
+    * plans are deterministic. */
   private def tryGrouped(agg: Aggregation)
   : Option[(StructType, Array[Array[String]], String)] = {
-    val groupCol = agg.groupByExpressions() match {
-      case Array(fr: NamedReference) if fr.fieldNames().length == 1 =>
-        fr.fieldNames()(0)
-      case _ => return None
+    val groupCols: Seq[String] = {
+      val cs = agg.groupByExpressions().toSeq.map {
+        case fr: NamedReference if fr.fieldNames().length == 1 =>
+          fr.fieldNames()(0)
+        case _ => return None
+      }
+      if (cs.isEmpty || cs.distinct.size != cs.size) return None
+      cs
     }
-    val field = fullSchema.fields.find(_.name == groupCol)
-      .getOrElse(return None)
-    field.dataType match {
+    val groupFields = groupCols.map(c =>
+      fullSchema.fields.find(_.name == c).getOrElse(return None))
+    groupFields.foreach(_.dataType match {
       case IntegerType | LongType | ShortType | ByteType |
            StringType | DateType =>
       case _ => return None
-    }
+    })
     val spark = SparkSession.active
     val entries = viewedEntries(spark)._1
     val (tombs, data0) = entries.partition(_.kind == "t")
     if (tombs.nonEmpty || data0.isEmpty) return None
-    // value-purity per file (the shared predicate), plus footer row
-    // counts — the per-group COUNTs are sums of them. Identity-
-    // partitioned writes guarantee all of it; anything else declines.
-    if (!valuePure(groupCol, data0) ||
+    // value-purity per file ON EVERY group column (the shared
+    // predicate), plus footer row counts — the per-group COUNTs are
+    // sums of them. Identity-partitioned writes guarantee all of it;
+    // anything else declines.
+    if (!groupCols.forall(c =>
+        data0.forall(GraftScan.pureValueOf(_, c).isDefined)) ||
       !data0.forall(_.rows.isDefined)) return None
     // consumed filters restrict the group universe exactly (they are
-    // predicates over the same per-file constant)
+    // predicates over the same per-file constants)
     val data = consumedKeep(data0)
-    def isGroupCol(c: org.apache.spark.sql.connector.expressions
-        .Expression): Boolean = c match {
-      case fr: NamedReference =>
-        fr.fieldNames().length == 1 && fr.fieldNames()(0) == groupCol
-      case _ => false
+    // the index of the group column `c` names, or -1
+    def groupIdx(c: org.apache.spark.sql.connector.expressions
+        .Expression): Int = c match {
+      case fr: NamedReference if fr.fieldNames().length == 1 =>
+        groupCols.indexOf(fr.fieldNames()(0))
+      case _ => -1
     }
+    def isGroupCol(c: org.apache.spark.sql.connector.expressions
+        .Expression): Boolean = groupIdx(c) >= 0
     // a NON-group column is still answerable when EVERY data file
     // records its [lo, hi] (Z-order secondaries, grid extras): MIN
     // and MAX decompose over any partition of the rows, so the group
@@ -909,20 +944,24 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     // SUM/AVG/COUNT(col) group answers are PRECOMPUTED here so any
     // per-group decline (overflow sentinel, missing slot/count)
     // rejects the whole pushdown at construction — a closure cannot
-    val groupsPre: Map[String, Seq[FileEntry]] = data.groupBy(_.lo.get)
+    val groupsPre: Map[Seq[String], Seq[FileEntry]] =
+      data.groupBy(e => groupCols.map(GraftScan.pureValueOf(e, _).get))
     def perGroup(f: Seq[FileEntry] => Option[String])
-    : Option[Map[String, String]] =
+    : Option[Map[Seq[String], String]] =
       Some(groupsPre.map { case (v, fs) =>
         v -> f(fs).getOrElse(return None) })
-    val aggCols: Seq[(StructField, (String, Files) => String)] =
+    val aggCols: Seq[(StructField, (Seq[String], Files) => String)] =
       agg.aggregateExpressions().toSeq.map {
         case _: CountStar =>
           (StructField("count(*)", LongType, nullable = false),
-            (_: String, fs: Files) => fs.map(_.rows.get).sum.toString)
+            (_: Seq[String], fs: Files) =>
+              fs.map(_.rows.get).sum.toString)
         case c: Count if !c.isDistinct && isGroupCol(c.column) =>
           // zero nulls per file, so COUNT(key) == COUNT(*)
-          (StructField(s"count($groupCol)", LongType, nullable = false),
-            (_: String, fs: Files) => fs.map(_.rows.get).sum.toString)
+          (StructField(s"count(${groupCols(groupIdx(c.column))})",
+            LongType, nullable = false),
+            (_: Seq[String], fs: Files) =>
+              fs.map(_.rows.get).sum.toString)
         case c: Count if !c.isDistinct =>
           val name = singleName(c.column).getOrElse(return None)
           val counts = perGroup { fs =>
@@ -935,7 +974,7 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
             }.map(_.toString)
           }.getOrElse(return None)
           (StructField(s"count($name)", LongType, nullable = false),
-            (v: String, _: Files) => counts(v))
+            (v: Seq[String], _: Files) => counts(v))
         case s: VSum if !s.isDistinct =>
           val name = singleName(s.column).getOrElse(return None)
           val f2 = fullSchema.fields.find(_.name == name)
@@ -948,7 +987,7 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
               renderSum(resType, total, nonNull) }
           }.getOrElse(return None)
           (StructField(s"sum($name)", resType, nullable = true),
-            (v: String, _: Files) => sums(v))
+            (v: Seq[String], _: Files) => sums(v))
         // AVG declines here for the same reason as the ungrouped path:
         // Spark's scan-path Average sums in a DOUBLE buffer even for
         // integral inputs, so an exact manifest answer could differ
@@ -956,14 +995,20 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
         // COUNT(DISTINCT key) per group is 1 by value-purity (every
         // group's files all carry exactly that one non-null value)
         case c: Count if c.isDistinct && isGroupCol(c.column) =>
-          (StructField(s"count(DISTINCT $groupCol)", LongType,
-            nullable = false), (_: String, _: Files) => "1")
+          (StructField(
+            s"count(DISTINCT ${groupCols(groupIdx(c.column))})",
+            LongType, nullable = false),
+            (_: Seq[String], _: Files) => "1")
         case m: Min if isGroupCol(m.column) =>
-          (StructField(s"min($groupCol)", field.dataType,
-            nullable = true), (v: String, _: Files) => v)
+          val i = groupIdx(m.column)
+          (StructField(s"min(${groupCols(i)})",
+            groupFields(i).dataType, nullable = true),
+            (v: Seq[String], _: Files) => v(i))
         case m: Max if isGroupCol(m.column) =>
-          (StructField(s"max($groupCol)", field.dataType,
-            nullable = true), (v: String, _: Files) => v)
+          val i = groupIdx(m.column)
+          (StructField(s"max(${groupCols(i)})",
+            groupFields(i).dataType, nullable = true),
+            (v: Seq[String], _: Files) => v(i))
         // grouped MIN/MAX of a TIMESTAMP column: per-group epoch-
         // micros bounds from the `__tsu:` slots, precomputed so any
         // decline rejects the whole pushdown at construction
@@ -974,7 +1019,7 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
           val mins = perGroup(fs => tsBound(name, fs, isMin = true)
             .map(_.map(_.toString).orNull)).getOrElse(return None)
           (StructField(s"min($name)", TimestampType, nullable = true),
-            (v: String, _: Files) => mins(v))
+            (v: Seq[String], _: Files) => mins(v))
         case m: Max if singleName(m.column).exists(n =>
           fullSchema.fields.exists(f => f.name == n &&
             f.dataType == TimestampType)) =>
@@ -982,32 +1027,42 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
           val maxs = perGroup(fs => tsBound(name, fs, isMin = false)
             .map(_.map(_.toString).orNull)).getOrElse(return None)
           (StructField(s"max($name)", TimestampType, nullable = true),
-            (v: String, _: Files) => maxs(v))
+            (v: Seq[String], _: Files) => maxs(v))
         case m: Min => statsCol(m.column).map { case (f2, c2) =>
           (StructField(s"min(${f2.name})", f2.dataType,
-            nullable = true), (_: String, fs: Files) =>
+            nullable = true), (_: Seq[String], fs: Files) =>
             fs.map(_.statsFor(f2.name).get._1)
               .min(Ordering.fromLessThan[String](c2(_, _) < 0)))
         }.getOrElse(return None)
         case m: Max => statsCol(m.column).map { case (f2, c2) =>
           (StructField(s"max(${f2.name})", f2.dataType,
-            nullable = true), (_: String, fs: Files) =>
+            nullable = true), (_: Seq[String], fs: Files) =>
             fs.map(_.statsFor(f2.name).get._2)
               .max(Ordering.fromLessThan[String](c2(_, _) < 0)))
         }.getOrElse(return None)
         case _ => return None
       }
-    val cmp = SnapshotTable.statOrdering(field.dataType)
-      .getOrElse(return None)
+    val cmps = groupFields.map(f =>
+      SnapshotTable.statOrdering(f.dataType).getOrElse(return None))
+    // lexicographic tuple order, per-column typed comparison
+    def tupleLt(a: Seq[String], b: Seq[String]): Boolean = {
+      var i = 0
+      while (i < cmps.length) {
+        val c = cmps(i)(a(i), b(i))
+        if (c != 0) return c < 0
+        i += 1
+      }
+      false
+    }
     val rows = groupsPre.toSeq
-      .sortWith((a, b) => cmp(a._1, b._1) < 0)
+      .sortWith((a, b) => tupleLt(a._1, b._1))
       .map { case (v, files) =>
-        (v +: aggCols.map(_._2(v, files))).toArray
+        (v ++ aggCols.map(_._2(v, files))).toArray
       }.toArray
-    Some((StructType(field.copy(nullable = false) +:
+    Some((StructType(groupFields.map(_.copy(nullable = false)) ++
       aggCols.map(_._1)),
       rows,
-      s"group by $groupCol: " +
+      s"group by ${groupCols.mkString(", ")}: " +
         aggCols.map(_._1.name).mkString(", ")))
   }
 
@@ -1725,6 +1780,29 @@ private[connector] class GraftChangesMicroBatchStream(root: String,
 
   private def session = SparkSession.active
 
+  /** Changelog batches carry WHOLE source versions, always. The base
+    * stream's admission control may stop mid-version (`version#index`)
+    * — correct for an append stream, where a version is just files —
+    * but a CHANGE batch that splits a version hands a consumer half a
+    * commit: `MaterializedView.cdcFeedRetract`'s exactly-once marker
+    * is version-granular, so the split version's tail would be
+    * silently dropped on replay (the r14 verdict's latent footgun).
+    * So a cap that lands mid-version rounds UP to the version
+    * boundary — the same soft-max rule the base stream applies to one
+    * oversized file: the first pending version is always admitted
+    * whole, caps bound how many FURTHER versions a trigger drains,
+    * and a partial END offset is impossible by construction. (A
+    * partial START offset left by a pre-guard checkpoint still
+    * resumes exactly: the very next batch completes that version.) */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+  : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val off = super.latestOffset(start, limit)
+    val go = off.asInstanceOf[GraftOffset]
+    if (go.index < 0) go else GraftOffset(go.version)
+  }
+
   override def planInputPartitions(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       end: org.apache.spark.sql.connector.read.streaming.Offset)
@@ -1872,27 +1950,31 @@ private[connector] case class GraftBucketedPartition(
     new GenericInternalRow(key.map(b => b: Any).toArray)
 }
 
-/** All of one identity-partition VALUE's files as ONE input
+/** All of one identity-partition VALUE TUPLE's files as ONE input
   * partition — the storage-partitioned unit of a table laid out by
-  * `PARTITIONED BY (col)`. The value travels as its manifest stats
-  * string plus the column type and is re-typed here, so the key
-  * Spark compares is the actual column value (Iceberg's identity
-  * transform shape). */
+  * `PARTITIONED BY (a[, b, ...])`. Each value travels as its manifest
+  * stats string plus the column type and is re-typed here, so the key
+  * Spark compares is the actual column value tuple (Iceberg's
+  * identity transform shape, one field per declared key). */
 private[connector] case class GraftValuePartition(
-    parts: Array[GraftInputPartition], value: String, typeJson: String)
+    parts: Array[GraftInputPartition], values: Seq[String],
+    typeJsons: Seq[String])
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = {
-    val v: Any = DataType.fromJson(typeJson) match {
-      case IntegerType => value.toInt
-      case LongType => value.toLong
-      case ShortType => value.toShort
-      case ByteType => value.toByte
-      case StringType => UTF8String.fromString(value)
-      case DateType => java.time.LocalDate.parse(value).toEpochDay.toInt
-      case other => throw new IllegalStateException(
-        s"unexpected identity-partition type $other")
+    val vs = values.zip(typeJsons).map { case (value, tj) =>
+      (DataType.fromJson(tj) match {
+        case IntegerType => value.toInt
+        case LongType => value.toLong
+        case ShortType => value.toShort
+        case ByteType => value.toByte
+        case StringType => UTF8String.fromString(value)
+        case DateType =>
+          java.time.LocalDate.parse(value).toEpochDay.toInt
+        case other => throw new IllegalStateException(
+          s"unexpected identity-partition type $other")
+      }): Any
     }
-    new GenericInternalRow(Array(v))
+    new GenericInternalRow(vs.toArray)
   }
 }
 
@@ -1997,6 +2079,28 @@ private[connector] class GraftAggReaderFactory
   }
 }
 
+private[connector] object GraftScan {
+  /** The single value file `e` provably holds for column `name`, or
+    * None when the file is not value-pure on it. Two evidence paths:
+    * the PRIMARY stats slot (statsKey: lo == hi plus the slot's own
+    * null count), or — for the tail keys of a composite identity
+    * layout — any recorded [lo, hi] range (statsKey2 / extraStats)
+    * with a zero per-column null count. Both are writer-recorded
+    * facts, so purity never rests on the layout DECLARATION alone. */
+  def pureValueOf(e: graft.sources.SnapshotTable.FileEntry,
+      name: String): Option[String] =
+    if (e.statsKey.contains(name)) {
+      if (e.lo.isDefined && e.lo == e.hi && e.statsNulls.contains(0L))
+        e.lo
+      else None
+    } else e.statsFor(name) match {
+      case Some((l, h)) if l == h && e.colNulls.collectFirst {
+        case (n, c) if n.equalsIgnoreCase(name) => c }.contains(0L) =>
+        Some(l)
+      case _ => None
+    }
+}
+
 private[connector] class GraftScan(root: String, version: Long,
     keptData: Seq[FileEntry], totalFiles: Int, required: StructType,
     pushed: Array[Filter], tombs: Seq[FileEntry],
@@ -2046,33 +2150,38 @@ private[connector] class GraftScan(root: String, version: Long,
       keptData.map(bucketOf).distinct.sorted
     else Seq.empty
 
-  /** The table's declared IDENTITY-partition layout, honored only
-    * when every kept data file is value-pure on the key (min == max,
-    * zero nulls). Merge-on-read tombstones do NOT disqualify it:
-    * kills only remove rows, never move one across values, so the
-    * co-location the report declares still holds. */
-  private lazy val identitySpec: Option[(String, DataType)] = {
-    if (bucketSpec.isDefined) None
-    else SnapshotTable.partitionKeyOf(
-      SnapshotTable.tableProperties(SparkSession.active, root))
-      .flatMap(k => scanSchema.fields
-        .find(_.name.equalsIgnoreCase(k))
-        .map(f => (f.name, f.dataType)))
-      .filter { case (k, _) => keptData.nonEmpty &&
-        keptData.forall(e => e.statsKey.contains(k) &&
-          e.lo.isDefined && e.lo == e.hi &&
-          e.statsNulls.contains(0L)) }
+  /** The table's declared IDENTITY-partition layout (one or MORE
+    * keys, declaration order), honored only when every kept data file
+    * is value-pure on EVERY key (min == max, zero nulls — the first
+    * key from its primary stats slot, tail keys from their extraStats
+    * ranges plus recorded null counts). Merge-on-read tombstones do
+    * NOT disqualify it: kills only remove rows, never move one across
+    * values, so the co-location the report declares still holds. */
+  private lazy val identitySpec: Seq[(String, DataType)] = {
+    if (bucketSpec.isDefined) Seq.empty
+    else {
+      val keys = SnapshotTable.partitionKeysOf(
+        SnapshotTable.tableProperties(SparkSession.active, root))
+        .flatMap(k => scanSchema.fields
+          .find(_.name.equalsIgnoreCase(k))
+          .map(f => (f.name, f.dataType)))
+      if (keys.size == SnapshotTable.partitionKeysOf(
+          SnapshotTable.tableProperties(SparkSession.active, root)).size &&
+        keys.nonEmpty && keptData.nonEmpty &&
+        keys.forall { case (k, _) =>
+          keptData.forall(GraftScan.pureValueOf(_, k).isDefined) })
+        keys
+      else Seq.empty
+    }
   }
 
-  /** The partition values this scan REPORTS — fixed at the
+  /** The partition value TUPLES this scan REPORTS — fixed at the
     * compile-time kept set for the same stability reason as
     * [[reportedBuckets]]. */
-  private lazy val reportedValues: Seq[String] =
-    identitySpec.map { case (_, dt) =>
-      val cmp = SnapshotTable.statOrdering(dt)
-        .getOrElse((a: String, b: String) => a.compareTo(b))
-      keptData.map(_.lo.get).distinct.sortWith(cmp(_, _) < 0)
-    }.getOrElse(Seq.empty)
+  private lazy val reportedValues: Seq[Seq[String]] =
+    if (identitySpec.isEmpty) Seq.empty
+    else keptData.map(e => identitySpec.map { case (k, _) =>
+      GraftScan.pureValueOf(e, k).get }).distinct
 
   /** Storage-partitioned joins: with a bucket layout, report
     * `KeyGroupedPartitioning(bucket(N, key))` — two snapshot tables
@@ -2094,20 +2203,22 @@ private[connector] class GraftScan(root: String, version: Long,
               .bucket(n, k): org.apache.spark.sql.connector
               .expressions.Expression
           }.toArray, reportedBuckets.size)
-      case None => identitySpec match {
-        case Some((k, _)) =>
-          // identity layout: one reported partition per VALUE —
-          // same-partitioned tables join (and aggregate) on the key
-          // with zero exchange
+      case None =>
+        if (identitySpec.nonEmpty)
+          // identity layout: one reported partition per value TUPLE —
+          // one single-column identity transform per key (Spark's
+          // partitioning validator takes them positionally, like the
+          // bucket grid above). Same-partitioned tables join (and
+          // aggregate) on the key set with zero exchange.
           new org.apache.spark.sql.connector.read.partitioning
-            .KeyGroupedPartitioning(Array(
+            .KeyGroupedPartitioning(identitySpec.map { case (k, _) =>
               org.apache.spark.sql.connector.expressions.Expressions
                 .identity(k): org.apache.spark.sql.connector
-                .expressions.Expression), reportedValues.size)
-        case None =>
+                .expressions.Expression
+            }.toArray, reportedValues.size)
+        else
           new org.apache.spark.sql.connector.read.partitioning
             .UnknownPartitioning(runtimeKept.size)
-      }
     }
 
   override def readSchema(): StructType = required
@@ -2200,19 +2311,21 @@ private[connector] class GraftScan(root: String, version: Long,
               .map(filePartition).toArray,
             SnapshotTable.gridDecompose(b, counts)): InputPartition
         }.toArray
-      case None => identitySpec match {
-        case Some((_, dt)) =>
-          // one partition per REPORTED value (stable vs the
+      case None =>
+        if (identitySpec.nonEmpty) {
+          // one partition per REPORTED value tuple (stable vs the
           // planning-time report when runtime filtering empties one)
-          val byVal = runtimeKept.groupBy(_.lo.get)
-          reportedValues.map { v =>
+          val typeJsons = identitySpec.map(_._2.json)
+          val byVal = runtimeKept.groupBy(e => identitySpec.map {
+            case (k, _) => GraftScan.pureValueOf(e, k).get })
+          reportedValues.map { vs =>
             GraftValuePartition(
-              byVal.getOrElse(v, Seq.empty)
-                .map(filePartition).toArray, v, dt.json): InputPartition
+              byVal.getOrElse(vs, Seq.empty)
+                .map(filePartition).toArray, vs, typeJsons)
+              : InputPartition
           }.toArray
-        case None =>
+        } else
           runtimeKept.map(filePartition(_): InputPartition).toArray
-      }
     }
   }
 

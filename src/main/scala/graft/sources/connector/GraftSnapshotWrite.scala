@@ -92,18 +92,20 @@ private[connector] class GraftWrite(root: String, schema: StructType,
         schema.fieldNames.exists(_.equalsIgnoreCase(k)) })
   }
 
-  /** The table's declared IDENTITY-partition key (when the batch
-    * carries it): the INSERT clusters by the column's value and each
-    * task splits one file per distinct value it holds — files stay
-    * VALUE-PURE, so exact partition pruning and the manifest-answered
-    * GROUP BY survive catalog ingest exactly as they survive
-    * `appendPartitioned`. The catalog refuses declaring both a bucket
-    * grid and an identity key, so the two specs never coexist. */
-  private val partitionSpec: Option[String] = {
+  /** The table's declared IDENTITY-partition keys (when the batch
+    * carries ALL of them): the INSERT clusters by the key tuple and
+    * each task splits one file per distinct tuple it holds — files
+    * stay VALUE-PURE on every key, so exact partition pruning and the
+    * manifest-answered GROUP BY survive catalog ingest exactly as
+    * they survive `appendPartitioned`. The catalog refuses declaring
+    * both a bucket grid and identity keys, so the two specs never
+    * coexist. */
+  private val partitionSpec: Option[Seq[String]] = {
     if (replace) None
-    else SnapshotTable.partitionKeyOf(
-      SnapshotTable.tableProperties(SparkSession.active, root))
-      .filter(k => schema.fieldNames.exists(_.equalsIgnoreCase(k)))
+    else Some(SnapshotTable.partitionKeysOf(
+      SnapshotTable.tableProperties(SparkSession.active, root)))
+      .filter(ks => ks.nonEmpty && ks.forall(k =>
+        schema.fieldNames.exists(_.equalsIgnoreCase(k))))
   }
 
   /** A clustered table asks Spark to range-partition + sort the input
@@ -120,9 +122,10 @@ private[connector] class GraftWrite(root: String, schema: StructType,
         case (k, n) => Expressions.bucket(n, k)
           : org.apache.spark.sql.connector.expressions.Expression
       }.toArray)
-      case (None, Some(pk)) => Distributions.clustered(Array(
+      case (None, Some(pks)) => Distributions.clustered(pks.map(pk =>
         Expressions.identity(pk)
-          : org.apache.spark.sql.connector.expressions.Expression))
+          : org.apache.spark.sql.connector.expressions.Expression)
+        .toArray)
       case _ => clusterKey.map(k =>
         Distributions.ordered(Array[V2SortOrder](
           Expressions.sort(Expressions.column(k),
@@ -159,7 +162,7 @@ private[connector] class GraftBatchWrite(root: String,
     schema: StructType, replace: Boolean, clusterKey: Option[String],
     bloomKey: Option[String],
     bucketSpec: Option[Seq[(String, Int)]] = None,
-    partitionSpec: Option[String] = None) extends BatchWrite {
+    partitionSpec: Option[Seq[String]] = None) extends BatchWrite {
 
   private val seg: Path = SnapshotTable.newSegmentPath(root)
 
@@ -168,9 +171,9 @@ private[connector] class GraftBatchWrite(root: String,
     case (Some(layout), _) => new GraftBucketedWriterFactory(
       seg.toString, schema.json, layout.map { case (k, n) =>
         schema.fieldNames.indexWhere(_.equalsIgnoreCase(k)) -> n })
-    case (None, Some(pk)) => new GraftPartitionedWriterFactory(
-      seg.toString, schema.json,
-      schema.fieldNames.indexWhere(_.equalsIgnoreCase(pk)))
+    case (None, Some(pks)) => new GraftPartitionedWriterFactory(
+      seg.toString, schema.json, pks.map(pk =>
+        schema.fieldNames.indexWhere(_.equalsIgnoreCase(pk))))
     case _ => new GraftWriterFactory(seg.toString, schema.json)
   }
 
@@ -190,18 +193,27 @@ private[connector] class GraftBatchWrite(root: String,
     val rel = files.map(_._1)
     if (rel.isEmpty && !replace) return // empty append: nothing to commit
     val statsKey = clusterKey.orElse(bucketSpec.map(_.head._1))
-      .orElse(partitionSpec)
-    // the FULL grid layout feeds the stats pass: secondary grid keys
-    // get per-file ranges (extraStats) and NDV sketches just like
+      .orElse(partitionSpec.map(_.head))
+    // the FULL grid/identity layout feeds the stats pass: secondary
+    // keys get per-file ranges (extraStats) and NDV sketches just like
     // commitBucketedOn's stageBucketed — one key-less append would
     // otherwise drop the secondary key's table-wide NDV (ndvEstimates'
     // all-files rule) and stop range pruning on it for the new files
-    val gridExtra = bucketSpec.toSeq.flatten.map(_._1)
+    val gridExtra = (bucketSpec.toSeq.flatten.map(_._1) ++
+      partitionSpec.toSeq.flatten.drop(1))
       .filterNot(k => statsKey.exists(_.equalsIgnoreCase(k)))
-    val entries0 =
+    val entries1 =
       if (rel.isEmpty) Seq.empty
       else SnapshotTable.statsEntries(spark, root, seg, rel,
         statsKey, bloomKey, zorderExtra = gridExtra)
+    // composite identity layout: tail-key NULL counts are zero BY
+    // CONSTRUCTION (the writer refused NULL keys) — stamped so tuple
+    // purity is verifiable from the manifest, not the declaration
+    val partTail = partitionSpec.toSeq.flatten.drop(1)
+    val entries0 =
+      if (partTail.isEmpty) entries1
+      else entries1.map(e =>
+        e.copy(colNulls = e.colNulls ++ partTail.map(_ -> 0L)))
     val bucketOf = files.toMap
     val entries =
       if (bucketSpec.isEmpty) entries0
@@ -297,48 +309,53 @@ private[connector] class GraftBucketedAppendWriter(segAbs: String,
 }
 
 private[connector] class GraftPartitionedWriterFactory(segAbs: String,
-    schemaJson: String, keyIdx: Int) extends DataWriterFactory {
+    schemaJson: String, keyIdxs: Seq[Int]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DataWriter[InternalRow] =
-    new GraftPartitionedAppendWriter(segAbs, schemaJson, keyIdx,
+    new GraftPartitionedAppendWriter(segAbs, schemaJson, keyIdxs,
       partitionId, taskId)
 }
 
 /** Identity-partitioned append writer: one lazy file per DISTINCT
-  * partition value the task sees — the clustered-by-identity
-  * distribution upstream sends each value's rows whole to one task,
-  * so every file is value-pure and the stats pass records min == max
-  * (the invariant exact pruning and the manifest GROUP BY key on).
-  * NULL keys are refused, like the bucket layout. The per-value file
-  * index rides the file name ("-pN") purely for uniqueness; the
-  * VALUE itself is recovered from the file's stats, never the name. */
+  * partition value TUPLE the task sees — the clustered-by-identity
+  * distribution upstream sends each tuple's rows whole to one task,
+  * so every file is value-pure on every key and the stats pass
+  * records min == max per key (the invariant exact pruning and the
+  * manifest GROUP BY key on). NULL keys are refused, like the bucket
+  * layout. The per-tuple file index rides the file name ("-pN")
+  * purely for uniqueness; the VALUES are recovered from the file's
+  * stats, never the name. */
 private[connector] class GraftPartitionedAppendWriter(segAbs: String,
-    schemaJson: String, keyIdx: Int, partitionId: Int, taskId: Long)
-  extends DataWriter[InternalRow] {
+    schemaJson: String, keyIdxs: Seq[Int], partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
 
-  private val keyType = DataType.fromJson(schemaJson)
-    .asInstanceOf[StructType].fields(keyIdx).dataType
+  private val keyTypes = {
+    val fields = DataType.fromJson(schemaJson)
+      .asInstanceOf[StructType].fields
+    keyIdxs.map(fields(_).dataType)
+  }
 
   private val writers =
-    scala.collection.mutable.Map.empty[Any, GraftDataWriter]
+    scala.collection.mutable.Map.empty[Seq[Any], GraftDataWriter]
 
-  /** An IMMUTABLE map key for the row's partition value —
+  /** An IMMUTABLE map key for the row's partition value tuple —
     * `getUTF8String` returns a buffer the reader reuses, so strings
     * must be copied before they key a map across rows. */
-  private def keyOf(row: InternalRow): Any = {
-    require(!row.isNullAt(keyIdx),
-      "NULL partition key in an identity-partitioned write (the " +
-        "layout has no partition for NULL)")
-    keyType match {
-      case IntegerType | DateType => row.getInt(keyIdx)
-      case LongType => row.getLong(keyIdx)
-      case ShortType => row.getShort(keyIdx)
-      case ByteType => row.getByte(keyIdx)
-      case StringType => row.getUTF8String(keyIdx).toString
-      case other => throw new UnsupportedOperationException(
-        s"identity-partitioned append: unsupported key type $other")
+  private def keyOf(row: InternalRow): Seq[Any] =
+    keyIdxs.zip(keyTypes).map { case (keyIdx, keyType) =>
+      require(!row.isNullAt(keyIdx),
+        "NULL partition key in an identity-partitioned write (the " +
+          "layout has no partition for NULL)")
+      keyType match {
+        case IntegerType | DateType => row.getInt(keyIdx)
+        case LongType => row.getLong(keyIdx)
+        case ShortType => row.getShort(keyIdx)
+        case ByteType => row.getByte(keyIdx)
+        case StringType => row.getUTF8String(keyIdx).toString
+        case other => throw new UnsupportedOperationException(
+          s"identity-partitioned append: unsupported key type $other")
+      }
     }
-  }
 
   override def write(row: InternalRow): Unit =
     writers.getOrElseUpdate(keyOf(row),

@@ -328,4 +328,48 @@ class ChangesStreamSpec extends SparkSpec {
     assert(spark.read.format("graft-snapshot").option("path", root)
       .option("branch", "dev").load().count() == 15)
   }
+
+  test("admission caps on a changelog stream clamp to whole-version " +
+      "boundaries: no micro-batch ever splits a source version, the " +
+      "cap still throttles across versions") {
+    val root = tmpRoot()
+    // three commits of 5 files each — a maxFilesPerTrigger far below
+    // a version's file count would split versions on an append stream
+    SnapshotTable.commit(spark, root,
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .repartition(5))                                        // v1
+    SnapshotTable.append(spark, root,
+      (51 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .repartition(5))                                        // v2
+    SnapshotTable.append(spark, root,
+      (101 to 150).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .repartition(5))                                        // v3
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("changes", "true")
+      .option("maxFilesPerTrigger", "2")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val m = b.groupBy("_commit_version").count()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        if (m.nonEmpty) batches.synchronized { batches += m }
+        ()
+      }
+      .option("checkpointLocation", tmpDir()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = batches.synchronized { batches.toList }
+    // the cap DID throttle: 15 files / cap 2 with version-boundary
+    // rounding = one whole version per trigger, never all three at once
+    assert(got.size >= 3, s"cap did not throttle: $got")
+    // no version is split across batches...
+    val owners = got.flatMap(_.keys)
+    assert(owners.distinct.size == owners.size,
+      s"a version appeared in two micro-batches: $got")
+    // ...and every version arrived WHOLE, with all 50 of its rows
+    val perVersion = got.flatten.toMap
+    assert(perVersion == Map(1L -> 50L, 2L -> 50L, 3L -> 50L),
+      s"per-version rows: $perVersion")
+  }
 }

@@ -228,6 +228,32 @@ class PlanGoldenSpec extends SparkSpec {
     assert(count(p, "Exchange") == 1, s"expected 1 Exchange:\n$p")
   }
 
+  test("snapshot_partition_multi: composite-tuple GROUP BY under a " +
+    "second-key filter answers from the manifest — zero data files") {
+    val p = planOf("snapshot_partition_multi")
+    assertHas(p, "PushedAggregates", "complete aggregate pushdown")
+    assert(p.contains("files=0/"),
+      s"expected a zero-file metadata answer:\n$p")
+  }
+
+  test("snapshot_partition_evolve: GROUP BY the shared key answers " +
+    "from the manifest across the spec-evolution boundary") {
+    val p = planOf("snapshot_partition_evolve")
+    assertHas(p, "PushedAggregates", "complete aggregate pushdown")
+    assert(p.contains("files=0/"),
+      s"shared-key branch must be a zero-file metadata answer:\n$p")
+  }
+
+  test("snapshot_agg_sum_multi: composite-tuple GROUP BY with SUM " +
+    "folds per-file sum slots — zero data files on both branches") {
+    val p = planOf("snapshot_agg_sum_multi")
+    assertHas(p, "PushedAggregates", "complete aggregate pushdown")
+    assert(p.contains("files=0/"),
+      s"expected zero-file metadata answers:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"both branches must answer at plan time:\n$p")
+  }
+
   test("snapshot_pruned_scan: the scan reads a pruned file subset and " +
     "the residual range filter stays on the scan") {
     val p = planOf("snapshot_pruned_scan")

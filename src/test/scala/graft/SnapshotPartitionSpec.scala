@@ -450,4 +450,252 @@ class SnapshotPartitionSpec extends SparkSpec {
     assert(g.queryExecution.executedPlan.toString.contains("files=0/"))
     assert(g.collect().map(_.toSeq).toSeq == before)
   }
+
+  private def multiFixture(n: Int = 9000) =
+    (1 to n).map(i => (i.toLong, s"d${i % 5}", s"t${i % 3}", i * 1.0))
+      .toDF("id", "day", "tenant", "v")
+
+  private def assertTuplePure(root: String): Unit = {
+    val data = SnapshotTable.manifest(spark, root,
+      SnapshotTable.currentVersion(spark, root)).filter(_.kind == "d")
+    assert(data.nonEmpty)
+    assert(data.forall(e => e.statsKey.contains("day") &&
+      e.lo.isDefined && e.lo == e.hi && e.statsNulls.contains(0L)),
+      s"day impure: $data")
+    assert(data.forall(e =>
+      e.statsFor("tenant").exists(t => t._1 == t._2) &&
+        e.colNulls.exists { case (nm, c) =>
+          nm.equalsIgnoreCase("tenant") && c == 0L }),
+      s"tenant impure: $data")
+  }
+
+  test("COMPOSITE identity layout (native API): commitPartitionedOn " +
+      "(day, tenant) + appendPartitioned write TUPLE-pure files, " +
+      "GROUP BY both keys — and a SUBSET — answers from the " +
+      "manifest, and filters on EITHER key prune exactly with no " +
+      "residual") {
+    val root = tmpRoot()
+    SnapshotTable.commitPartitionedOn(spark, root, multiFixture(6000),
+      Seq("day", "tenant"))
+    SnapshotTable.appendPartitioned(spark, root,
+      (6001 to 9000).map(i =>
+        (i.toLong, s"d${i % 5}", s"t${i % 3}", i * 1.0))
+        .toDF("id", "day", "tenant", "v"))
+    assertTuplePure(root)
+    val src = multiFixture(9000)
+    // GROUP BY the full tuple: zero data IO
+    val g2 = readFmt(root).load().groupBy("day", "tenant")
+      .agg(count(lit(1)).as("n")).orderBy("day", "tenant")
+    val p2 = g2.queryExecution.executedPlan.toString
+    assert(p2.contains("PushedAggregates") && p2.contains("files=0/"),
+      s"tuple GROUP BY not manifest-answered:\n$p2")
+    assert(g2.as[(String, String, Long)].collect().toSeq ==
+      src.groupBy("day", "tenant").agg(count(lit(1)).as("n"))
+        .orderBy("day", "tenant")
+        .as[(String, String, Long)].collect().toSeq)
+    // GROUP BY a SUBSET (the second key alone): files are pure on it
+    // too, so the manifest still answers
+    val g1 = readFmt(root).load().groupBy("tenant")
+      .agg(count(lit(1)).as("n"), min(col("tenant")).as("lo"))
+      .orderBy("tenant")
+    val p1 = g1.queryExecution.executedPlan.toString
+    assert(p1.contains("PushedAggregates") && p1.contains("files=0/"),
+      s"subset GROUP BY not manifest-answered:\n$p1")
+    assert(g1.as[(String, Long, String)].collect().toSeq ==
+      Seq(("t0", 3000L, "t0"), ("t1", 3000L, "t1"),
+        ("t2", 3000L, "t2")))
+    // filters on EITHER key are consumed: count(*) under them stays a
+    // metadata read, and the kept file set is exactly the value's
+    val cDay = readFmt(root).load().filter(col("day") === "d2")
+      .agg(count(lit(1)).as("n"))
+    val pDay = cDay.queryExecution.executedPlan.toString
+    assert(pDay.contains("PushedAggregates") && pDay.contains("files=0/"),
+      s"day filter not consumed:\n$pDay")
+    assert(cDay.as[Long].head() == src.filter(col("day") === "d2").count())
+    val cTen = readFmt(root).load().filter(col("tenant") === "t1")
+      .agg(count(lit(1)).as("n"))
+    val pTen = cTen.queryExecution.executedPlan.toString
+    assert(pTen.contains("PushedAggregates") && pTen.contains("files=0/"),
+      s"tenant filter not consumed:\n$pTen")
+    assert(cTen.as[Long].head() ==
+      src.filter(col("tenant") === "t1").count())
+    // both keys at once: exact tuple pruning on the plain scan
+    val both = readFmt(root).load()
+      .filter(col("day") === "d1" && col("tenant") === "t2")
+    val pBoth = both.queryExecution.executedPlan.toString
+    assert(!pBoth.contains("Filter ("),
+      s"composite key filter left a residual:\n$pBoth")
+    assert(both.count() ==
+      src.filter(col("day") === "d1" && col("tenant") === "t2").count())
+    // NULL in the SECOND key refuses like the first
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.appendPartitioned(spark, root,
+        Seq((1L, "d0", null: String, 1.0))
+          .toDF("id", "day", "tenant", "v"))
+    }
+    assert(e.getMessage.contains("NULL partition key"))
+  }
+
+  test("COMPOSITE identity layout (SQL surface): CREATE TABLE " +
+      "PARTITIONED BY (day, tenant) + INSERT lands tuple-pure " +
+      "files, two co-partitioned tables JOIN on the tuple with ZERO " +
+      "exchange, UPDATE preserves the layout, and either key " +
+      "refuses rename/drop") {
+    spark.sql("CREATE TABLE graftpart.db.m1 (id BIGINT, day STRING, " +
+      "tenant STRING, v DOUBLE) PARTITIONED BY (day, tenant)")
+    spark.sql("CREATE TABLE graftpart.db.m2 (day STRING, " +
+      "tenant STRING, w DOUBLE) PARTITIONED BY (day, tenant)")
+    multiFixture(9000).createOrReplaceTempView("m_src")
+    spark.sql("INSERT INTO graftpart.db.m1 SELECT * FROM m_src")
+    spark.sql("INSERT INTO graftpart.db.m2 " +
+      "SELECT day, tenant, sum(v) FROM m_src GROUP BY day, tenant")
+    assertTuplePure(s"$warehouse/db/m1")
+    assertTuplePure(s"$warehouse/db/m2")
+    // SQL GROUP BY over the tuple: manifest-answered
+    val g = spark.sql("SELECT day, tenant, count(*) AS n FROM " +
+      "graftpart.db.m1 GROUP BY day, tenant ORDER BY day, tenant")
+    assert(g.queryExecution.executedPlan.toString.contains("files=0/"),
+      "SQL tuple GROUP BY did not answer from the manifest")
+    assert(g.as[(String, String, Long)].collect().length == 15)
+    // composite storage-partitioned join: zero exchange on both sides
+    val prevB =
+      spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevT =
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graftpart.db.m1")
+        .join(spark.table("graftpart.db.m2"), Seq("day", "tenant"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"composite identity SPJ still shuffles:\n$plan")
+      assert(j.count() == 9000)
+      val got = j.groupBy("day", "tenant")
+        .agg(sum("v").as("sv"), first("w").as("w"))
+        .filter(col("sv") =!= col("w")).count()
+      assert(got == 0, "per-tuple sums disagree with the dim side")
+    } finally {
+      prevB.fold(spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.enabled"))(v =>
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+      prevT.fold(spark.conf.unset(
+        "spark.sql.autoBroadcastJoinThreshold"))(v =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+    }
+    // row-level UPDATE (COW rewrite) preserves tuple purity and the
+    // manifest GROUP BY
+    spark.sql("UPDATE graftpart.db.m1 SET v = v * 10 WHERE id % 7 = 0")
+    assertTuplePure(s"$warehouse/db/m1")
+    val g3 = spark.sql("SELECT day, tenant, count(*) AS n FROM " +
+      "graftpart.db.m1 GROUP BY day, tenant ORDER BY day, tenant")
+    assert(g3.queryExecution.executedPlan.toString.contains("files=0/"),
+      "manifest GROUP BY lost after UPDATE")
+    assert(g3.as[(String, String, Long)].collect().map(_._3).sum == 9000)
+    // either key refuses rename/drop
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graftpart.db.m1 RENAME COLUMN tenant TO t2") }
+    assert(e1.getMessage.contains("identity-partition key"))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graftpart.db.m1 DROP COLUMN day") }
+    assert(e2.getMessage.contains("identity-partition key"))
+  }
+
+  test("PARTITION-SPEC EVOLUTION: ALTER TABLE SET TBLPROPERTIES " +
+      "('graft.partition.key') changes the layout GOING FORWARD — " +
+      "metadata-only, zero files touched; old files keep their " +
+      "layout, new writes land on the new spec, GROUP BY the shared " +
+      "key stays a zero-IO answer ACROSS the boundary, the full new " +
+      "tuple declines to an exact scan until compaction restores " +
+      "it; invalid specs refuse") {
+    val root = s"$warehouse/db/ev2"
+    spark.sql("CREATE TABLE graftpart.db.ev2 (id BIGINT, day STRING, " +
+      "tenant STRING, v DOUBLE) PARTITIONED BY (day)")
+    multiFixture(4500).createOrReplaceTempView("ev2_src_a")
+    spark.sql("INSERT INTO graftpart.db.ev2 SELECT * FROM ev2_src_a")
+    val vBefore = SnapshotTable.currentVersion(spark, root)
+    val filesBefore = SnapshotTable.manifest(spark, root, vBefore)
+      .filter(_.kind == "d").map(_.path).toSet
+    // EVOLVE (day) -> (day, tenant): metadata-only — no new version,
+    // no file rewritten
+    spark.sql("ALTER TABLE graftpart.db.ev2 SET TBLPROPERTIES " +
+      "('graft.partition.key' = 'day,tenant')")
+    assert(SnapshotTable.currentVersion(spark, root) == vBefore,
+      "spec evolution must not commit a data version")
+    assert(SnapshotTable.manifest(spark, root, vBefore)
+      .filter(_.kind == "d").map(_.path).toSet == filesBefore)
+    // new-era writes land on the NEW spec (tuple-pure)
+    (4501 to 9000).map(i =>
+      (i.toLong, s"d${i % 5}", s"t${i % 3}", i * 1.0))
+      .toDF("id", "day", "tenant", "v")
+      .createOrReplaceTempView("ev2_src_b")
+    spark.sql("INSERT INTO graftpart.db.ev2 SELECT * FROM ev2_src_b")
+    val data = SnapshotTable.manifest(spark, root,
+      SnapshotTable.currentVersion(spark, root)).filter(_.kind == "d")
+    val (oldEra, newEra) = data.partition(e => filesBefore(e.path))
+    assert(newEra.nonEmpty && newEra.forall(e =>
+      e.statsFor("tenant").exists(t => t._1 == t._2)),
+      s"post-evolution files not tenant-pure: $newEra")
+    assert(oldEra.forall(_.statsFor("tenant").isEmpty),
+      "old-era files must be untouched")
+    // GROUP BY the SHARED key: every file of both eras is day-pure,
+    // so the manifest still answers with zero IO across the boundary
+    val src = multiFixture(9000)
+    val gDay = spark.sql("SELECT day, count(*) AS n FROM " +
+      "graftpart.db.ev2 GROUP BY day ORDER BY day")
+    assert(gDay.queryExecution.executedPlan.toString
+      .contains("files=0/"),
+      "shared-key GROUP BY lost its manifest answer across the " +
+        "evolution boundary")
+    assert(gDay.as[(String, Long)].collect().toSeq ==
+      src.groupBy("day").count().orderBy("day")
+        .as[(String, Long)].collect().toSeq)
+    // the FULL new tuple: old-era files are not tenant-pure, so the
+    // manifest DECLINES and the scan answers exactly
+    val gTup = spark.sql("SELECT day, tenant, count(*) AS n FROM " +
+      "graftpart.db.ev2 GROUP BY day, tenant ORDER BY day, tenant")
+    assert(!gTup.queryExecution.executedPlan.toString
+      .contains("files=0/"),
+      "tuple GROUP BY must decline over mixed-era files")
+    assert(gTup.as[(String, String, Long)].collect().toSeq ==
+      src.groupBy("day", "tenant").count().orderBy("day", "tenant")
+        .as[(String, String, Long)].collect().toSeq)
+    // a tenant filter still prunes the NEW era by stats and keeps the
+    // old era conservatively — exact answer either way
+    assert(spark.sql("SELECT count(*) FROM graftpart.db.ev2 " +
+      "WHERE tenant = 't1'").as[Long].head() ==
+      src.filter(col("tenant") === "t1").count())
+    // compaction restages EVERYTHING into the current spec: the tuple
+    // answer comes back as a metadata read
+    SnapshotTable.compact(spark, root)
+    val gTup2 = spark.sql("SELECT day, tenant, count(*) AS n FROM " +
+      "graftpart.db.ev2 GROUP BY day, tenant ORDER BY day, tenant")
+    assert(gTup2.queryExecution.executedPlan.toString
+      .contains("files=0/"),
+      "compaction did not restore the tuple manifest answer")
+    assert(gTup2.as[(String, String, Long)].collect().toSeq ==
+      src.groupBy("day", "tenant").count().orderBy("day", "tenant")
+        .as[(String, String, Long)].collect().toSeq)
+    // refusals: unknown column, unpartitionable type, bucket clash
+    val b1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graftpart.db.ev2 SET TBLPROPERTIES " +
+        "('graft.partition.key' = 'nope')") }
+    assert(b1.getMessage.contains("not in the table schema"))
+    val b2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graftpart.db.ev2 SET TBLPROPERTIES " +
+        "('graft.partition.key' = 'v')") }
+    assert(b2.getMessage.contains("does not support"))
+    spark.sql("CREATE TABLE graftpart.db.ev2b (id BIGINT, k STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO graftpart.db.ev2b VALUES (1, 'x')")
+    val b3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graftpart.db.ev2b SET TBLPROPERTIES " +
+        "('graft.partition.key' = 'k')") }
+    assert(b3.getMessage.contains("not both"))
+    // UNSET drops the layout going forward
+    spark.sql("ALTER TABLE graftpart.db.ev2 UNSET TBLPROPERTIES " +
+      "('graft.partition.key')")
+    assert(SnapshotTable.partitionKeysOf(
+      SnapshotTable.tableProperties(spark, root)).isEmpty)
+  }
 }

@@ -336,6 +336,69 @@ class SnapshotTableSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("applyChangeBatch contiguity guard: a mis-built feed that " +
+      "skips a DATA version full-recomputes instead of silently " +
+      "losing it; a metadata-only version gap stays on the " +
+      "incremental path") {
+    import graft.sources.{MaterializedView, SnapshotTable => ST}
+    val src = tmpRoot()
+    def rows(lo: Int, hi: Int, st: String, price: Double) =
+      (lo to hi).map(i => (i.toLong, st, price)).toDF("k", "s", "x")
+    def batchFor(ver: Long, lo: Int, hi: Int, st: String,
+        price: Double) =
+      (lo to hi).map(i => (ver, "insert", i.toLong, st, price))
+        .toDF("_commit_version", "_change_type", "k", "s", "x")
+    ST.commit(spark, src, rows(1, 100, "A", 1.0))               // v1
+    val iv = MaterializedView.IncrementalView(src, tmpRoot(),
+      keys = Seq("s"), sumCols = Seq("x"))
+    def recomputed(): Map[String, Long] = ST.read(spark, src)
+      .groupBy("s").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    def materialized(): Map[String, Long] = MaterializedView
+      .read(spark, iv).select("s", "n")
+      .as[(String, Long)].collect().toMap
+    // bootstrap (lastV=0 -> full refresh, marker = v1)
+    MaterializedView.applyChangeBatch(spark, iv,
+      batchFor(1L, 1, 0, "A", 1.0)) // empty frame, schema only
+    assert(materialized() == recomputed(), "bootstrap diverged")
+    ST.append(spark, src, rows(101, 150, "B", 2.0))             // v2
+    ST.append(spark, src, rows(151, 160, "C", 3.0))             // v3
+    // MIS-BUILT feed: delivers only v3's events, skipping v2 — a
+    // version-granular marker would stamp 3 and drop B forever. The
+    // guard sees the data gap (v2 added files, no v2 events) and
+    // recomputes.
+    MaterializedView.applyChangeBatch(spark, iv,
+      batchFor(3L, 151, 160, "C", 3.0))
+    val afterGap = materialized()
+    assert(afterGap == recomputed(),
+      s"guard lost the skipped version: $afterGap")
+    assert(afterGap.contains("B"),
+      "v2's group B is missing — skipped changes were lost")
+    // METADATA-ONLY gap: v4 renames an unused column (zero files),
+    // v5 and v6 append data. A feed whose trigger ends at v5 shows
+    // lo=5 against marker 3 — benign: the manifest attributes no
+    // files to v4. The incremental path must be KEPT (observable:
+    // v6's group is absent after the v5-only batch — a recompute
+    // would have swept it in), and the result exact.
+    ST.renameColumn(spark, src, "k", "kk")                      // v4
+    ST.append(spark, src, rows(161, 170, "D", 4.0)
+      .withColumnRenamed("k", "kk"))                            // v5
+    ST.append(spark, src, rows(171, 180, "E", 5.0)
+      .withColumnRenamed("k", "kk"))                            // v6
+    MaterializedView.applyChangeBatch(spark, iv,
+      batchFor(5L, 161, 170, "D", 4.0)
+        .withColumnRenamed("k", "kk"))
+    val afterMeta = materialized()
+    assert(afterMeta.contains("D"), s"v5 batch not applied: $afterMeta")
+    assert(!afterMeta.contains("E"),
+      "metadata-only gap forced a full recompute (E swept in early)")
+    // the rest of the feed lands exactly
+    MaterializedView.applyChangeBatch(spark, iv,
+      batchFor(6L, 171, 180, "E", 5.0)
+        .withColumnRenamed("k", "kk"))
+    assert(materialized() == recomputed(), "catch-up tick diverged")
+  }
+
   test("incremental refresh with NULL keys and NULL sums still " +
       "bit-matches a full recompute") {
     import graft.sources.{MaterializedView, SnapshotTable => ST}

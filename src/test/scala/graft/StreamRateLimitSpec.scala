@@ -123,8 +123,9 @@ class StreamRateLimitSpec extends SparkSpec {
     assert(stream.reportLatestOffset() == GraftOffset(2))
   }
 
-  test("the changelog stream honors limits too, keeping each event's " +
-      "commit-version stamp when a MOR commit is split") {
+  test("the changelog stream honors limits at VERSION granularity: a " +
+      "cap that would split a MOR commit rounds UP to the version " +
+      "boundary — whole versions per batch, every file exactly once") {
     val root = tmpRoot()
     SnapshotTable.commit(spark, root,
       (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v")
@@ -142,17 +143,24 @@ class StreamRateLimitSpec extends SparkSpec {
       val n = stream.latestOffset(o, limit).asInstanceOf[GraftOffset]
       val advanced = n != o
       if (advanced) {
+        // a change batch's END offset is always a whole version: a
+        // split version's tail would be silently dropped by any
+        // version-granular exactly-once consumer (cdcFeedRetract)
+        assert(n.index < 0,
+          s"changelog emitted a partial-version offset $n")
+        // ...and each batch carries exactly ONE whole version (the
+        // cap still throttles across versions)
         val parts = stream.planInputPartitions(o, n)
-        assert(parts.length <= 1,
-          s"maxFilesPerTrigger=1 leaked ${parts.length} files")
+        assert(n.version == o.version + 1,
+          s"expected one version per capped batch, got $o -> $n")
         paths ++= pathsOf(parts)
         batches += 1; o = n
       }
       advanced && batches < 20
     }) ()
-    // v1: 2 data files; v2: replacement data file(s) + tombstone —
-    // at least 4 single-file batches, all files exactly once
-    assert(batches >= 4, s"expected >=4 rate-limited batches, got $batches")
+    // v1 whole (2 data files), then v2 whole (replacement data +
+    // tombstone) — two version-granular batches, all files once
+    assert(batches == 2, s"expected 2 whole-version batches, got $batches")
     val full = pathsOf(stream.planInputPartitions(GraftOffset(0), o))
     assert(paths.sorted == full.sorted)
   }

@@ -412,4 +412,70 @@ class SumPushdownSpec extends SparkSpec {
     assert(got == new java.math.BigDecimal("12000000000000000003.00"),
       s"lossy wide-decimal sum: $got")
   }
+
+  test("CORRUPT manifest slots decline to the scan instead of " +
+      "throwing at plan time: an unparseable __sum value, an over-" +
+      "scaled sum, and a non-numeric __tsu bound each fall back to " +
+      "the exact scan answer while intact slots keep answering") {
+    def b64(s: String): String = java.util.Base64.getEncoder
+      .encodeToString(s.getBytes("UTF-8"))
+    def corrupt(root: String, key: String, newLo: String): Unit = {
+      val v = SnapshotTable.currentVersion(spark, root)
+      val mf = java.nio.file.Paths.get(root, "_manifests", v.toString)
+      val txt = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      val kb = b64(key)
+      // extraStats triples are `b64key:b64lo:b64hi` joined by ';' in
+      // a tab-separated field — swap the lo (and hi) payloads
+      val re = (java.util.regex.Pattern.quote(kb) +
+        ":[A-Za-z0-9+/=]*:[A-Za-z0-9+/=]*").r
+      val swapped = re.replaceAllIn(txt,
+        s"$kb:${b64(newLo)}:${b64(newLo)}")
+      assert(swapped != txt, s"slot $key not found to corrupt")
+      java.nio.file.Files.write(mf, swapped.getBytes("UTF-8"))
+      // drop Hadoop LocalFS's checksum sidecar — the edit IS the
+      // corruption under test, not a checksum failure
+      java.nio.file.Files.deleteIfExists(
+        mf.getParent.resolve(s".${mf.getFileName}.crc"))
+      spark.catalog.refreshByPath(root)
+    }
+    val root = tmpRoot()
+    val base = java.sql.Timestamp.from(java.time.Instant.EPOCH)
+    val df = (1 to 3000).map(i => (i.toLong, i.toLong % 97))
+      .toDF("id", "amt0")
+      .withColumn("amount", (col("amt0") + lit(0.25))
+        .cast("decimal(12,2)"))
+      .withColumn("ts", expr("timestamp_micros(id * 1000000)"))
+      .drop("amt0")
+    SnapshotTable.commit(spark, root, df, clusterKey = Some("id"))
+    SnapshotTable.analyze(spark, root)
+    val expect = df.agg(sum("id"), sum("amount"), min("ts"))
+      .collect()(0)
+    def q() = readFmt(root).load()
+      .agg(sum("id").as("si"), sum("amount").as("sa"),
+        min("ts").as("mt"))
+    assert(plan(q()).contains("PushedAggregates"), "healthy pushdown")
+    // 1) unparseable decimal in __sum:amount -> whole pushdown
+    // declines (one bad slot poisons the combined aggregate), scan
+    // answers exactly, nothing throws
+    corrupt(root, "__sum:amount", "not_a_number")
+    val p1 = plan(q())
+    assert(!p1.contains("PushedAggregates"),
+      s"corrupt sum slot must decline:\n$p1")
+    assert(q().collect()(0).toSeq == expect.toSeq)
+    // but an aggregate NOT touching the corrupt column still answers
+    // from the manifest
+    val pi = plan(readFmt(root).load().agg(sum("id").as("si")))
+    assert(pi.contains("PushedAggregates") && pi.contains("files=0/"),
+      s"intact slot stopped answering:\n$pi")
+    // 2) parseable but OVER-SCALED sum (scale 5 > column scale 2):
+    // renderSum's setScale must decline, not throw
+    corrupt(root, "__sum:amount", "1.23456")
+    assert(!plan(q()).contains("PushedAggregates"))
+    assert(q().collect()(0).toSeq == expect.toSeq)
+    // 3) non-numeric __tsu bound -> timestamp MIN declines soundly
+    corrupt(root, "__tsu:ts", "garbage")
+    val qt = readFmt(root).load().agg(min("ts").as("mt"))
+    assert(!plan(qt).contains("PushedAggregates"))
+    assert(qt.collect()(0).getTimestamp(0) == expect.getTimestamp(2))
+  }
 }
