@@ -1133,6 +1133,31 @@ object Sources {
            |  ON a.o_orderstatus = b.o_orderstatus
            |ORDER BY a.o_orderstatus""".stripMargin)
     }),
+    // t.partitions METADATA TABLE under the oracle: per-tuple row
+    // counts of a composite identity layout, answered entirely from
+    // each file's recorded purity facts (zero data IO — the first
+    // question any 100 TB maintenance job asks: "how is this table
+    // laid out, and how big is each partition"). DuckDB recomputes
+    // the same rollup from the raw parquet.
+    "snapshot_partitions_meta" -> ((s, dir) => {
+      val wh = catalogWarehouse
+      val t = uniqueName("ord_pm")
+      s.conf.set("spark.sql.catalog.graft_pm",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_pm.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_pm.db")
+      s.sql(s"CREATE TABLE graft_pm.db.$t (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, o_orderpriority STRING) " +
+        "PARTITIONED BY (o_orderstatus, o_orderpriority)")
+      graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .createOrReplaceTempView(s"src_$t")
+      s.sql(s"INSERT INTO graft_pm.db.$t SELECT * FROM src_$t")
+      s.sql("SELECT partition['o_orderstatus'] AS o_orderstatus, " +
+        "partition['o_orderpriority'] AS o_orderpriority, " +
+        s"rows AS n FROM graft_pm.db.$t.partitions " +
+        "ORDER BY o_orderstatus, o_orderpriority")
+    }),
     // COUNT(DISTINCT key) from the MANIFEST on a value-pure table:
     // the distinct set is exactly the set of per-file constants.
     "snapshot_count_distinct" -> ((s, dir) => {
@@ -1930,6 +1955,11 @@ object Sources {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "snapshot_partitions_meta" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "snapshot_count_distinct" ->
       "SELECT count(DISTINCT o_orderstatus) AS k FROM orders",
     "snapshot_agg_sum" ->

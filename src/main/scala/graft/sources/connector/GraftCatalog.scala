@@ -395,8 +395,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // location, ...) are catalog bookkeeping, not table behavior
     val keep = properties.asScala.filter { case (k, _) =>
       k.startsWith("write.") || k.startsWith("graft.") }
+    // MERGE with what the layout declarations above just persisted —
+    // a plain set would silently wipe graft.partition.key /
+    // graft.bucket.key whenever PARTITIONED BY and TBLPROPERTIES
+    // appear together, and every later INSERT would land unlaid-out
     if (keep.nonEmpty)
-      SnapshotTable.setProperties(spark, root, keep.toMap)
+      SnapshotTable.setProperties(spark, root,
+        SnapshotTable.tableProperties(spark, root) ++ keep.toMap)
     new GraftSnapshotTable(root, 1L,
       StructType(schema.fields.map(_.copy(nullable = true))))
   }
@@ -1193,6 +1198,7 @@ private[connector] class GraftMetadataTable(fullName: String,
     case "refs" => GraftMetadataTable.RefsSchema
     case "stats" => GraftMetadataTable.StatsSchema
     case "manifests" => GraftMetadataTable.ManifestsSchema
+    case "partitions" => GraftMetadataTable.PartitionsSchema
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -1262,6 +1268,46 @@ private[connector] class GraftMetadataTable(fullName: String,
             .map { case (v, form, base, depth, bytes) =>
               Row(v, form, base.map(Long.box).orNull, depth, bytes) }
           localRows(rows, GraftMetadataTable.ManifestsSchema)
+        case "partitions" =>
+          // one row per partition tuple of the CURRENT spec, computed
+          // from each file's OWN recorded purity facts (never the
+          // declaration) — a zero-IO answer to "how is this table laid
+          // out", the first question any 100 TB maintenance job asks.
+          // Files not pure on the full current tuple (pre-evolution
+          // eras, unpartitioned appends) aggregate under partition =
+          // NULL; physical footer row counts over-count live rows
+          // while merge-on-read tombstones exist, so `stale` flags it
+          // (the same honesty contract as `t.stats`).
+          val s = spark
+          val v = pinned
+            .getOrElse(SnapshotTable.currentVersion(s, root))
+          val keys = SnapshotTable.partitionKeysOf(
+            SnapshotTable.tableProperties(s, root))
+          val entries = SnapshotTable.manifest(s, root, v)
+          val (tombs, data) = entries.partition(_.kind == "t")
+          val f = SnapshotTable.fs(s, root)
+          val stale = tombs.nonEmpty
+          val rows = data.groupBy { e =>
+            if (keys.isEmpty) None
+            else {
+              val vs = keys.map(k => GraftScan.pureValueOf(e, k))
+              if (vs.forall(_.isDefined))
+                Some(keys.zip(vs.map(_.get)))
+              else None
+            }
+          }.toSeq.map { case (part, fs) =>
+            val rowSum =
+              if (fs.forall(_.rows.isDefined))
+                Long.box(fs.map(_.rows.get).sum)
+              else null
+            val bytes = fs.map(SnapshotTable.entryBytes(f, root, _)).sum
+            Row(part.map(_.toMap).orNull, fs.size.toLong, rowSum,
+              bytes, stale)
+          }.sortBy(r => Option(r.get(0))
+            .map(_.asInstanceOf[Map[String, String]]
+              .toSeq.sorted.mkString(""))
+            .getOrElse("￿"))
+          localRows(rows, GraftMetadataTable.PartitionsSchema)
       }
     }
   }
@@ -1278,7 +1324,7 @@ private[connector] object GraftMetadataTable {
   import org.apache.spark.sql.types._
 
   val Kinds = Set("history", "files", "properties", "refs", "stats",
-    "manifests")
+    "manifests", "partitions")
 
   /** Manifest-chain observability: full-vs-delta form, the base a
     * delta resolves through, chain depth, on-disk size — how an
@@ -1289,6 +1335,21 @@ private[connector] object GraftMetadataTable {
     StructField("base", LongType, nullable = true),
     StructField("depth", IntegerType, nullable = false),
     StructField("bytes", LongType, nullable = false)))
+
+  /** Per-partition physical layout of the CURRENT spec: `partition`
+    * maps key → rendered pure value (NULL = files not pure on the
+    * full tuple — older eras after spec evolution, or the whole
+    * table when unpartitioned); `rows` are footer counts (NULL when
+    * a legacy file predates row recording), an upper bound on live
+    * rows whenever `stale` (live merge-on-read tombstones) is set. */
+  val PartitionsSchema: StructType = StructType(Seq(
+    StructField("partition",
+      MapType(StringType, StringType, valueContainsNull = false),
+      nullable = true),
+    StructField("files", LongType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("bytes", LongType, nullable = false),
+    StructField("stale", BooleanType, nullable = false)))
 
   val FilesSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),

@@ -2113,7 +2113,7 @@ private[connector] class GraftScan(root: String, version: Long,
     streamLimits: StreamLimits = StreamLimits.none)
   extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering
-  with SupportsReportPartitioning {
+  with SupportsReportPartitioning with SupportsReportOrdering {
 
   // runtime (join-driven) filters narrow the planned files further;
   // starts at the compile-time pruned set
@@ -2220,6 +2220,31 @@ private[connector] class GraftScan(root: String, version: Long,
           new org.apache.spark.sql.connector.read.partitioning
             .UnknownPartitioning(runtimeKept.size)
     }
+
+  /** Per-partition SORT ORDER this scan guarantees. On an identity
+    * layout every reported partition is constant on every key (that
+    * is the value-purity the report rests on), and a constant column
+    * satisfies ANY sort order on itself — so the scan declares the
+    * projected identity keys ascending. Spark's EnsureRequirements
+    * then elides the per-partition SortExec a sort-merge join would
+    * otherwise insert on both sides: a co-partitioned identity join
+    * runs with zero exchange AND zero sort. Only keys the query
+    * projects are reported (Spark resolves these against the scan
+    * OUTPUT; an unprojected key would fail resolution), and order is
+    * preserved only because each key-grouped partition is exactly
+    * one InputPartition — Spark drops the report if it ever groups
+    * several. Bucketed layouts report nothing: a bucket's files
+    * concatenate in manifest order, so no column order survives. */
+  override def outputOrdering()
+  : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    identitySpec.collect {
+      case (k, _) if required.fieldNames.exists(_.equalsIgnoreCase(k)) =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(
+            required.fieldNames.find(_.equalsIgnoreCase(k)).get),
+          org.apache.spark.sql.connector.expressions.SortDirection
+            .ASCENDING)
+    }.toArray
 
   override def readSchema(): StructType = required
 

@@ -223,6 +223,98 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 7)
   }
 
+  test("t.partitions: one zero-IO row per CURRENT-spec tuple from " +
+      "per-file purity facts — rows/files/bytes match the data, an " +
+      "unpartitioned table is one NULL-partition row, pre-evolution " +
+      "files aggregate under NULL, MOR tombstones flip `stale`, and " +
+      "the table pins to VERSION AS OF") {
+    spark.sql("CREATE TABLE graft.db.ptab (id BIGINT, day STRING, " +
+      "tenant STRING, v DOUBLE) PARTITIONED BY (day, tenant) " +
+      "TBLPROPERTIES ('write.merge.key'='id', " +
+      "'write.delete.mode'='merge-on-read')")
+    val src = (1 to 6000).map(i =>
+      (i.toLong, s"d${i % 3}", s"t${i % 2}", i * 1.0))
+      .toDF("id", "day", "tenant", "v")
+    src.createOrReplaceTempView("ptab_src")
+    spark.sql("INSERT INTO graft.db.ptab SELECT * FROM ptab_src")
+
+    val got = spark.sql(
+      "SELECT partition['day'] AS day, partition['tenant'] AS tenant, " +
+        "rows, files, bytes, stale FROM graft.db.ptab.partitions " +
+        "ORDER BY day, tenant").collect()
+    val want = src.groupBy("day", "tenant").count()
+      .orderBy("day", "tenant")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.length == 6)
+    assert(got.map(r => (r.getString(0), r.getString(1),
+      r.getLong(2))).toSeq == want.toSeq)
+    assert(got.forall(r => r.getLong(3) >= 1 && r.getLong(4) > 0 &&
+      !r.getBoolean(5)))
+
+    // the pinned PRE-insert manifest has no data files at all
+    assert(spark.sql(
+      "SELECT * FROM graft.db.ptab.partitions VERSION AS OF 1")
+      .count() == 0)
+
+    // unpartitioned table: the whole manifest is one NULL-tuple row
+    spark.sql("CREATE TABLE graft.db.punp (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.punp VALUES (1, 1.0), (2, 2.0)")
+    val unp = spark.sql(
+      "SELECT partition, rows FROM graft.db.punp.partitions").collect()
+    assert(unp.length == 1 && unp.head.isNullAt(0) &&
+      unp.head.getLong(1) == 2)
+
+    // spec evolution: files from the (day)-era are not pure on the
+    // new (day, tenant) tuple — they aggregate under partition NULL
+    // while the new era reports its tuples
+    spark.sql("CREATE TABLE graft.db.pevo (id BIGINT, day STRING, " +
+      "tenant STRING) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO graft.db.pevo VALUES " +
+      "(1, 'd0', 'ta'), (2, 'd0', 'tb'), (3, 'd1', 'ta')")
+    spark.sql("ALTER TABLE graft.db.pevo SET TBLPROPERTIES " +
+      "('graft.partition.key'='day,tenant')")
+    spark.sql("INSERT INTO graft.db.pevo VALUES (4, 'd2', 'tc')")
+    val evo = spark.sql(
+      "SELECT partition, rows FROM graft.db.pevo.partitions").collect()
+    val (legacy, tupled) = evo.partition(_.isNullAt(0))
+    assert(legacy.map(_.getLong(1)).sum == 3,
+      s"old-era rows misattributed: ${evo.mkString(",")}")
+    assert(tupled.length == 1 &&
+      tupled.head.getMap[String, String](0).toMap ==
+        Map("day" -> "d2", "tenant" -> "tc") &&
+      tupled.head.getLong(1) == 1)
+
+    // a MOR delete leaves footer counts over-counting: stale flips,
+    // the physical numbers stay the recorded ones
+    spark.sql("DELETE FROM graft.db.ptab WHERE id = 17")
+    val afterDel = spark.sql(
+      "SELECT rows, stale FROM graft.db.ptab.partitions").collect()
+    assert(afterDel.forall(_.getBoolean(1)),
+      "tombstones present but stale not flagged")
+    assert(afterDel.map(_.getLong(0)).sum == 6000)
+  }
+
+  test("PARTITIONED BY + TBLPROPERTIES together keep BOTH: the " +
+      "layout declaration survives the property persistence (it was " +
+      "once wiped by a non-merging set) and the first INSERT lands " +
+      "inside the declared layout") {
+    spark.sql("CREATE TABLE graft.db.lay_b (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('write.merge.key'='k')")
+    val broot = s"$warehouse/db/lay_b"
+    val bprops = SnapshotTable.tableProperties(spark, broot)
+    assert(bprops.get("graft.bucket.key").contains("k") &&
+      bprops.get("write.merge.key").contains("k"),
+      s"layout or property lost: $bprops")
+    spark.sql("INSERT INTO graft.db.lay_b " +
+      "SELECT id, id * 1.0 FROM range(1, 200)")
+    val bman = SnapshotTable.manifest(spark, broot,
+      SnapshotTable.currentVersion(spark, broot))
+    assert(bman.filter(_.kind == "d").forall(
+      _.statsFor("__bucket").isDefined),
+      "INSERT landed outside the declared bucket grid")
+  }
+
   test("metadata tables pin to VERSION AS OF: t.files lists the OLD " +
       "manifest, t.history stops at the pinned commit, and " +
       "properties (unversioned side file) refuses the pin") {

@@ -266,6 +266,68 @@ class SnapshotPartitionSpec extends SparkSpec {
     }
   }
 
+  test("identity SPJ is SORT-FREE: the scan reports per-partition " +
+      "ordering on its constant keys, so the co-partitioned join " +
+      "plans a SortMergeJoin with ZERO exchange and ZERO sort; an " +
+      "ORDER BY on a NON-key column still inserts its sort (the " +
+      "report never overclaims)") {
+    val days = (0 until 9).map(i => f"2024-02-${i + 1}%02d")
+    val fact = (1 to 18000).map(i =>
+      (i.toLong, days(i % 9), i * 0.5)).toDF("id", "day", "v")
+    val dim = days.zipWithIndex.map { case (d, i) =>
+      (d, s"lab_$i") }.toDF("day", "label")
+    SnapshotTable.commitPartitioned(spark,
+      s"$warehouse/db/fact_so", fact, "day")
+    SnapshotTable.commitPartitioned(spark,
+      s"$warehouse/db/dim_so", dim, "day")
+    val prevB =
+      spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevT =
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def sorts(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.SortExec => s }.size
+      val j = spark.table("graftpart.db.fact_so")
+        .join(spark.table("graftpart.db.dim_so"), "day")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"expected a sort-merge join under SPJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"identity SPJ still shuffles:\n$plan")
+      assert(sorts(j) == 0,
+        s"constant-key partitions still sorted:\n$plan")
+      assert(j.count() == 18000)
+      val got = j.groupBy("label").agg(sum("v").as("s"))
+        .orderBy("label").collect().map(_.toSeq).toSeq
+      val want = fact.join(dim, "day").groupBy("label")
+        .agg(sum("v").as("s")).orderBy("label")
+        .collect().map(_.toSeq).toSeq
+      assert(got == want)
+      // the report claims ONLY the identity keys: ordering by a
+      // non-key column still pays its sort
+      val o = spark.table("graftpart.db.fact_so")
+        .sortWithinPartitions("v")
+      assert(sorts(o) == 1,
+        "non-key ordering was wrongly assumed satisfied")
+      // and the key ordering itself is assumed satisfied per
+      // partition — a sortWithinPartitions on the key is a no-op
+      val ok = spark.table("graftpart.db.fact_so")
+        .sortWithinPartitions("day")
+      assert(sorts(ok) == 0,
+        s"key ordering not consumed:\n${ok.queryExecution.executedPlan}")
+    } finally {
+      prevB.fold(spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.enabled"))(v =>
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+      prevT.fold(spark.conf.unset(
+        "spark.sql.autoBroadcastJoinThreshold"))(v =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+    }
+  }
+
   test("filters ON the partition key are CONSUMED (no residual, no " +
       "Filter node): equality keeps exactly that value's files, a " +
       "STRICT bound excludes the boundary value, COUNT(*) under the " +
@@ -570,6 +632,11 @@ class SnapshotPartitionSpec extends SparkSpec {
       val plan = j.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"composite identity SPJ still shuffles:\n$plan")
+      // the reported tuple ordering (constant per partition) elides
+      // both SMJ sorts too — zero exchange AND zero sort
+      assert(j.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+        s"composite SPJ still sorts constant keys:\n$plan")
       assert(j.count() == 9000)
       val got = j.groupBy("day", "tenant")
         .agg(sum("v").as("sv"), first("w").as("w"))
