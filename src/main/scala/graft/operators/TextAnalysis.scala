@@ -374,6 +374,26 @@ object TextAnalysis {
         .orderBy(asc("doc_id"), asc("rk"))
     }),
 
+    // Lexical retrieval — BM25 top-20 through the PERSISTED inverted
+    // index (operators/TextIndex): build term-bucketed postings, then
+    // search. The search's `term IN (...)` hashes into its buckets at
+    // plan time (GraftPruning.pruneBucket), so the scan reads only the
+    // query terms' posting files — the classic posting-list access
+    // path, recovered from layout metadata alone; at 100 TB a 4-term
+    // query against a 4096-bucket index touches ~4/4096ths of the
+    // postings. The oracle recomputes BM25 from the raw documents
+    // table in DuckDB: the index path must agree (round 6) with a
+    // from-scratch evaluation, which also proves df/N/avgdl survive
+    // the build→properties→search round trip.
+    "docs_bm25_index" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25-q").toString + "/ix"
+      TextIndex.build(s, docs(s, dir).select("doc_id", "text"), root,
+        buckets = 32)
+      TextIndex.searchBm25(s, root,
+        Seq("spark", "merge", "vector", "customer"), 20)
+    }),
+
     // Benchmark DECONTAMINATION — the training-data hygiene pass every
     // LLM pipeline runs before training: does a training doc share any
     // 8-token shingle with the held-out eval set? The eval split derives
@@ -1425,6 +1445,32 @@ object TextAnalysis {
          |        DESC, tf.term) AS rk
          |  FROM tf JOIN df USING (term) CROSS JOIN n)
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // from-scratch BM25 over raw documents — must equal the Spark
+    // side's persisted-index path. Arithmetic is kept textually
+    // parallel to TextIndex.searchBm25 (same association order), and
+    // both engines round the per-doc sum to 6 decimals.
+    "docs_bm25_index" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term,
+         |    len($toksSql) AS dl FROM documents),
+         |n AS (SELECT count(*) AS n_docs, sum(len($toksSql)) AS sumdl
+         |      FROM documents),
+         |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM t
+         |  WHERE term IN ('spark','merge','vector','customer')
+         |  GROUP BY doc_id, term, dl),
+         |df AS (SELECT term, count(*) AS df FROM (
+         |  SELECT DISTINCT doc_id, term FROM t
+         |  WHERE term IN ('spark','merge','vector','customer'))
+         |  GROUP BY term)
+         |SELECT doc_id, round(sum(
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |      * (tf * (1.2 + 1.0))
+         |      / (tf + 1.2 * ((1.0 - 0.75)
+         |          + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n_docs)))
+         |  ), 6) AS score
+         |FROM tf JOIN df USING (term) CROSS JOIN n
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id
+         |LIMIT 20""".stripMargin,
     "docs_decontaminate" ->
       s"""WITH d AS (
          |  SELECT doc_id, list_distinct(

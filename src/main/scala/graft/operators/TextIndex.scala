@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+
+/** A persisted INVERTED INDEX over a document corpus, stored as a
+  * term-bucketed snapshot table — lexical (BM25) retrieval as a
+  * lakehouse primitive.
+  *
+  * Postings are one row per (term, doc): `term, doc_id, tf, dl`,
+  * hash-bucketed on `term` via [[SnapshotTable.commitBucketedOn]].
+  * That single layout decision is the whole scale story: a query's
+  * `term IN (...)` filter is hashed at PLAN time into the buckets
+  * those terms live in (GraftPruning.pruneBucket), so a 4-term search
+  * against a 4096-bucket index reads ~4/4096ths of the postings —
+  * the classic posting-list access path, recovered entirely from
+  * declarative Spark + manifest metadata, no driver-side index
+  * structure and nothing resident in memory between queries.
+  *
+  * Corpus-level scoring state (document count and total token count)
+  * is ADDITIVE, so it lives in two table properties maintained by
+  * [[build]] and [[add]]; `avgdl = sumdl / ndocs` stays exact across
+  * incremental ingest. df(term) deliberately does NOT live anywhere:
+  * it is one tiny aggregate over exactly the postings a search
+  * already reads (df of a term = that term's posting count), and any
+  * persisted copy would go stale on every add.
+  *
+  * Reference scope: the reference engine has no text-retrieval
+  * operator; this extends the LLM-pipeline surface (SURVEY.md §2's
+  * beyond-reference block) where retrieval-based decontamination and
+  * data selection need exactly this primitive at corpus scale.
+  */
+object TextIndex {
+
+  private val NDocsProp = "graft.textindex.ndocs"
+  private val SumDlProp = "graft.textindex.sumdl"
+
+  /** Whitespace tokens — the same tokenizer every documents-table
+    * query in this repo uses (`split(text, ' ')`), so index answers
+    * are comparable with the from-raw oracles. */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  private def bumpStats(spark: SparkSession, root: String,
+      docs: DataFrame): Unit = {
+    val st = docs
+      .agg(count(lit(1)).as("n"),
+        sum(size(split(col("text"), " "))).as("s"))
+      .head()
+    val props = SnapshotTable.tableProperties(spark, root)
+    val n0 = props.get(NDocsProp).map(_.toLong).getOrElse(0L)
+    val s0 = props.get(SumDlProp).map(_.toLong).getOrElse(0L)
+    SnapshotTable.setProperties(spark, root, props ++ Map(
+      NDocsProp -> (n0 + st.getLong(0)).toString,
+      SumDlProp -> (s0 + st.getLong(1)).toString))
+  }
+
+  /** Index `docs(doc_id, text)` at `root`. Replaces any prior index
+    * there (commitBucketedOn replaces the file set). */
+  def build(spark: SparkSession, docs: DataFrame, root: String,
+      buckets: Int = 64): Long = {
+    val v = SnapshotTable.commitBucketedOn(spark, root,
+      postingsOf(docs), Seq(("term", buckets)))
+    SnapshotTable.setProperties(spark, root,
+      SnapshotTable.tableProperties(spark, root) ++ Map(
+        NDocsProp -> "0", SumDlProp -> "0"))
+    bumpStats(spark, root, docs)
+    v
+  }
+
+  /** Incrementally index a NEW batch of documents: postings land in
+    * their buckets (the layout survives ingest, so searches keep
+    * pruning), corpus stats bump additively. Doc ids must be new —
+    * re-adding an already-indexed doc would split its tf rows. */
+  def add(spark: SparkSession, docs: DataFrame, root: String): Long = {
+    val v = SnapshotTable.appendBucketed(spark, root, postingsOf(docs))
+    bumpStats(spark, root, docs)
+    v
+  }
+
+  /** BM25 top-k: score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    * b·dl/avgdl)) with idf = ln(1 + (N − df + ½)/(df + ½)) — the
+    * Robertson/Lucene form, non-negative for every df. One pruned
+    * scan (only the query terms' buckets), one tiny per-term
+    * aggregate broadcast back onto it, one doc-keyed sum: every
+    * stage is a narrow shuffle of ALREADY term-filtered postings.
+    * Scores round to 6 decimals and ties break on doc_id, so results
+    * are deterministic and engine-comparable. */
+  def searchBm25(spark: SparkSession, root: String,
+      query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    val props = SnapshotTable.tableProperties(spark, root)
+    val n = props.getOrElse(NDocsProp,
+      sys.error(s"$root is not a TextIndex (missing $NDocsProp)"))
+      .toLong
+    val avgdl = props(SumDlProp).toLong.toDouble / n
+    val terms = query.distinct
+    val p = spark.read.format("graft-snapshot").option("path", root)
+      .load()
+      .filter(col("term").isin(terms: _*))
+    // df(term) = the term's posting count — computed from the same
+    // pruned scan the scorer reads; broadcast: at most |query| rows
+    val dfT = p.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    p.join(broadcast(dfT), "term")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / lit(avgdl))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("w")), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+}

@@ -1199,8 +1199,17 @@ private[graft] class GraftScanBuilder(root: String, version: Long,
     val (tombs, data) = entries.partition(_.kind == "t")
     val base = offsetSkip.map(_._1)
       .orElse(limitKept.map(_._1)).getOrElse(data)
-    val kept0 = pushed.foldLeft(base)((es, f) =>
+    val kept1 = pushed.foldLeft(base)((es, f) =>
       GraftPruning.prune(spark, root, fullSchema, mSchema, es, f))
+    // hash-bucket pruning: equality/IN on a declared bucket-layout
+    // key keeps only the literal's own cell(s) — stats ranges rarely
+    // help on a hash-scattered key, the cell id is exact
+    val kept0 = SnapshotTable.bucketLayoutOf(
+      SnapshotTable.tableProperties(spark, root)) match {
+      case Some(layout) => pushed.foldLeft(kept1)((es, f) =>
+        GraftPruning.pruneBucket(fullSchema, layout, es, f))
+      case None => kept1
+    }
     // consumed filters returned NO residual, so the scan itself must
     // be exact: the generic stats pruning above is only best-effort
     // (boundary files survive a strict '>'); re-decide each file by
@@ -1315,6 +1324,58 @@ private[connector] object GraftPruning {
       lo: Option[String], hi: Option[String]): Seq[FileEntry] =
     SnapshotTable.pruneEntriesOf(spark, root, entries, mSchema, col,
       lo, hi)
+
+  /** Hash-bucket pruning: the writer routed every row of a layout key
+    * value v into exactly one per-key bucket — `pmod(murmur3(v), n)`,
+    * the same Murmur3 (seed 42) Catalyst's `hash()` computes — and the
+    * manifest records each file's grid cell. An EqualTo/In literal on
+    * a layout key therefore names the ONLY cells its matches can live
+    * in; hashing the literal at plan time keeps exactly those cells'
+    * files. A point lookup on a 4096-bucket table reads 1/4096 of the
+    * files with no bloom and no min/max selectivity required — at
+    * 100 TB that is the needle-in-haystack access path.
+    *
+    * Sound because the layout is IMMUTABLE once declared: rename,
+    * drop and widen of a bucket key are refused, `graft.bucket.*` is
+    * not SQL-editable, and re-declaring via `commitBucketedOn`
+    * REPLACES the whole file set — so every recorded cell was
+    * computed under the counts the properties hold now. Files with
+    * NO recorded cell (a plain `append`, an unbucketed maintenance
+    * rewrite) are always kept; null or unconvertible literals
+    * decline the whole filter. */
+  private[connector] def pruneBucket(schema: StructType,
+      layout: Seq[(String, Int)], entries: Seq[FileEntry], f: Filter)
+  : Seq[FileEntry] = {
+    val (c, vs) = f match {
+      case EqualTo(c, v) => (c, Seq(v))
+      case In(c, vs) => (c, vs.toSeq)
+      case _ => return entries
+    }
+    val ki = layout.indexWhere(_._1.equalsIgnoreCase(c))
+    if (ki < 0 || vs.isEmpty || vs.contains(null)) return entries
+    val dt = schema.fields.find(_.name.equalsIgnoreCase(c))
+      .map(_.dataType).getOrElse(return entries)
+    val n = layout(ki)._2
+    val counts = layout.map(_._2)
+    val hs = vs.map(v => scala.util.Try {
+      val lit = org.apache.spark.sql.catalyst.expressions
+        .Literal.create(v, dt)
+      val h = org.apache.spark.sql.catalyst.expressions
+        .Murmur3Hash(Seq(lit), 42).eval(null).asInstanceOf[Int]
+      ((h % n) + n) % n
+    }.toOption)
+    if (hs.exists(_.isEmpty)) return entries
+    val target = hs.flatten.toSet
+    entries.filter { e =>
+      e.statsFor("__bucket").flatMap(s =>
+        scala.util.Try(s._1.toInt).toOption) match {
+        case Some(cell) =>
+          SnapshotTable.gridDecompose(cell, counts)
+            .lift(ki).exists(target.contains)
+        case None => true
+      }
+    }
+  }
 
   /** `col` is the LOGICAL column (for the type lookup), `phys` the
     * name this group of files records bloom stats under. */
@@ -2532,8 +2593,18 @@ private[connector] class GraftScan(root: String, version: Long,
     val spark = SparkSession.active
     val mSchema =
       SnapshotTable.readManifestFull(spark, root, version)._2
-    runtimeKept = filters.foldLeft(runtimeKept)((es, f) =>
+    val ranged = filters.foldLeft(runtimeKept)((es, f) =>
       GraftPruning.prune(spark, root, required, mSchema, es, f))
+    // a runtime IN on the bucket key (dynamic pruning from a joined
+    // dim) narrows to the named cells — the raw declared layout, not
+    // [[bucketSpec]]: pruning keeps cell-less files, so it needs no
+    // every-file guarantee
+    runtimeKept = SnapshotTable.bucketLayoutOf(
+      SnapshotTable.tableProperties(spark, root)) match {
+      case Some(layout) => filters.foldLeft(ranged)((es, f) =>
+        GraftPruning.pruneBucket(required, layout, es, f))
+      case None => ranged
+    }
   }
 }
 

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextIndex
+
+/** Persisted inverted index (operators/TextIndex): BM25 search over
+  * term-bucketed postings. Pins (a) scores equal an independent
+  * driver-side BM25 over the raw corpus, (b) the search scan plans
+  * only the query terms' buckets (the posting-list access path is
+  * real, not cosmetic), (c) incremental `add` is indistinguishable
+  * from a one-shot build over the union. */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Vector("apple", "pear", "kiwi", "plum", "fig",
+    "mango", "grape", "lime", "peach", "date", "melon", "cherry")
+
+  /** Deterministic synthetic corpus: doc i holds 20 + (i%7) tokens
+    * drawn by a fixed recurrence. */
+  private def corpus(ids: Range): Seq[(Long, String)] =
+    ids.map { i =>
+      val toks = (0 until 20 + i % 7)
+        .map(j => vocab((i * 31 + j * 17 + (j * j) % 13) % vocab.size))
+      (i.toLong, toks.mkString(" "))
+    }
+
+  /** Independent BM25: same operation tree as TextIndex.searchBm25,
+    * computed in plain Scala over the collected corpus. */
+  private def bm25Local(docs: Seq[(Long, String)], q: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75)
+  : Seq[(Long, Double)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val n = docs.size
+    val avgdl = toks.map(_._2.size.toLong).sum.toDouble / n
+    val terms = q.distinct
+    val df = terms.map(t =>
+      t -> toks.count(_._2.contains(t)).toLong).toMap
+    val scored = toks.flatMap { case (id, ts) =>
+      val ws = terms.flatMap { t =>
+        val tf = ts.count(_ == t).toLong
+        if (tf == 0 || df(t) == 0) None
+        else {
+          val idf = math.log(1.0 +
+            (n.toDouble - df(t) + 0.5) / (df(t) + 0.5))
+          Some(idf * (tf * (k1 + 1.0)) /
+            (tf + k1 * ((1.0 - b) + b * ts.size / avgdl)))
+        }
+      }
+      if (ws.isEmpty) None
+      else Some(id -> BigDecimal(java.math.BigDecimal.valueOf(ws.sum))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    scored.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-tix").toString + "/ix"
+
+  test("BM25 through the persisted index equals an independent " +
+      "from-scratch evaluation, and the search scan plans only the " +
+      "query terms' buckets") {
+    val docs = corpus(0 until 400)
+    val root = tmpRoot()
+    TextIndex.build(spark, docs.toDF("doc_id", "text"), root,
+      buckets = 16)
+
+    val q = Seq("kiwi", "cherry", "fig")
+    val res = TextIndex.searchBm25(spark, root, q, 15)
+    val plan = res.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no graft scan in search plan:\n$plan")
+    val (kept, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(kept < total,
+      s"search read $kept/$total posting files — bucket pruning " +
+        "did not engage")
+    assert(kept <= 3,
+      s"3 terms live in at most 3 buckets, read $kept files")
+
+    val got = res.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = bm25Local(docs, q, 15)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gi, gs), (wi, ws)) =>
+      assert(gi == wi && gs == ws,
+        s"index ($gi, $gs) != local ($wi, $ws)")
+    }
+  }
+
+  test("incremental add: search after add equals a one-shot build " +
+      "over the union (postings land in their buckets, corpus stats " +
+      "bump additively)") {
+    val a = corpus(0 until 300)
+    val bDocs = corpus(300 until 400)
+    val incRoot = tmpRoot()
+    TextIndex.build(spark, a.toDF("doc_id", "text"), incRoot,
+      buckets = 16)
+    TextIndex.add(spark, bDocs.toDF("doc_id", "text"), incRoot)
+
+    val oneRoot = tmpRoot()
+    TextIndex.build(spark, (a ++ bDocs).toDF("doc_id", "text"),
+      oneRoot, buckets = 16)
+
+    val q = Seq("apple", "melon")
+    val inc = TextIndex.searchBm25(spark, incRoot, q, 25).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val one = TextIndex.searchBm25(spark, oneRoot, q, 25).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(inc == one,
+      s"incremental index diverged from one-shot:\n$inc\nvs\n$one")
+    assert(inc == bm25Local(a ++ bDocs, q, 25))
+
+    // the incremental index still prunes: appendBucketed kept the
+    // layout, so no cell-less files crept in
+    val plan = TextIndex.searchBm25(spark, incRoot, q, 5)
+      .queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"post-add search lost pruning:\n$plan")
+  }
+}
