@@ -459,7 +459,31 @@ object Dedup {
       trainCap: Int = 2048): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     import s.implicits._
-    val e = vecs
+    val e = unitVectors(vecs)
+    val cent = lloydModel(e, k, iters, trainCap)
+    // ASSIGNMENT is map-side, zero Exchange (r14 verdict #2): the
+    // k×dim model rides a 1-row broadcast (same pattern as the OPQ
+    // rotate) and the codegen graft_nearest expression computes the
+    // argmin + winner cosine per row in one fused loop. The plan this
+    // replaces (crossJoin ×k → groupBy(vec_id) argmin) shuffled the
+    // FULL vector corpus once just to pick a per-row minimum — at
+    // 100 TB of embeddings that exchange dominates the query. FP
+    // order inside graft_nearest matches the old HOF d2 / cosine
+    // accumulation exactly, so cids and csims are bit-unchanged.
+    val model = Seq(Tuple1(cent.map(_.toSeq).toSeq)).toDF("cents")
+    val out = e.crossJoin(broadcast(model))
+      .selectExpr("vec_id", "v", "graft_nearest(v, cents) AS m")
+      .selectExpr("vec_id", "m.cid AS cid", "v",
+        "round(m.csim, 9) AS csim")
+      .persist() // consumers self-join it (pair stage) + re-join it
+    out
+  }
+
+  /** `(vec_id, embedding: array<numeric>)` → `(vec_id, v)` with v the
+    * unit-normalized double vector — the shared preprocessing of every
+    * embedding-space operator here and in [[VectorIndex]]. */
+  private[graft] def unitVectors(vecs: DataFrame): DataFrame =
+    vecs
       .selectExpr("vec_id",
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS v0")
       .selectExpr("vec_id", "v0",
@@ -468,22 +492,27 @@ object Dedup {
       .selectExpr("vec_id",
         "transform(v0, x -> x / greatest(nrm, CAST(1e-300 AS DOUBLE))) " +
           "AS v")
-    // Lloyd trains DRIVER-SIDE on the bounded collected sample; only
-    // the final ASSIGNMENT pass scans the corpus — centroid fitting
-    // is model work, not a per-row obligation (same discipline as
-    // opqTrain/pqTrainLocal/trainLogistic: the sample is bounded by
-    // construction, and the per-iteration cluster jobs it replaced
-    // were scheduling overhead, not compute). Fixed iteration order
-    // over the sorted sample ⇒ the model is bit-deterministic under
-    // any partitioning — stronger than the decimal-sum trick the
-    // distributed loop needed for the same guarantee.
+
+  /** Lloyd's k-means over `e = (vec_id, v)`, trained DRIVER-SIDE on
+    * the bounded collected sample; only callers' assignment passes
+    * scan the corpus — centroid fitting is model work, not a per-row
+    * obligation (same discipline as opqTrain/pqTrainLocal/
+    * trainLogistic: the sample is bounded by construction, and the
+    * per-iteration cluster jobs it replaced were scheduling overhead,
+    * not compute). Fixed iteration order over the sorted sample ⇒ the
+    * model is bit-deterministic under any partitioning — stronger
+    * than the decimal-sum trick the distributed loop needed for the
+    * same guarantee. Seeds are the vectors of the k smallest vec_ids,
+    * cid = rank order; argmin ties keep the low cid; an emptied
+    * cluster keeps its centroid. */
+  private[graft] def lloydModel(e: DataFrame, k: Int, iters: Int,
+      trainCap: Int = 2048): Array[Array[Double]] = {
     val sample = e.filter(col("vec_id") < trainCap)
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
     val dim = sample.head._2.length
-    // seeds: the k smallest vec_ids, cid = rank order (as before)
     var cent: Array[Array[Double]] = sample.take(k).map(_._2.clone())
     def assignLocal(v: Array[Double]): Int = {
       var best = -1; var bestD = Double.MaxValue
@@ -509,22 +538,7 @@ object Dedup {
         if (counts(c) > 0) sums(c).map(_ / counts(c))
         else cent(c)) // empty cluster keeps its centroid
     }
-    // ASSIGNMENT is map-side, zero Exchange (r14 verdict #2): the
-    // k×dim model rides a 1-row broadcast (same pattern as the OPQ
-    // rotate) and the codegen graft_nearest expression computes the
-    // argmin + winner cosine per row in one fused loop. The plan this
-    // replaces (crossJoin ×k → groupBy(vec_id) argmin) shuffled the
-    // FULL vector corpus once just to pick a per-row minimum — at
-    // 100 TB of embeddings that exchange dominates the query. FP
-    // order inside graft_nearest matches the old HOF d2 / cosine
-    // accumulation exactly, so cids and csims are bit-unchanged.
-    val model = Seq(Tuple1(cent.map(_.toSeq).toSeq)).toDF("cents")
-    val out = e.crossJoin(broadcast(model))
-      .selectExpr("vec_id", "v", "graft_nearest(v, cents) AS m")
-      .selectExpr("vec_id", "m.cid AS cid", "v",
-        "round(m.csim, 9) AS csim")
-      .persist() // consumers self-join it (pair stage) + re-join it
-    out
+    cent
   }
 
   /** The SemDeDup keep-rule over cluster assignments: b is PRUNED iff

@@ -494,6 +494,26 @@ object Similarity {
         .orderBy(asc("q_id"), asc("rk"))
     }),
 
+    // PERSISTED IVF index (operators/VectorIndex): the same coarse-
+    // quantize-then-probe contract as knn_ivf, but the index is a
+    // cell-identity-partitioned snapshot TABLE — a probe's
+    // `cell IN (...)` is a consumed filter over value-pure files, so
+    // the scan plans ONLY the nprobe cells' files. "ANN reads
+    // ~nprobe/nlist of the corpus bytes" becomes a manifest-level
+    // fact decided before any IO, instead of a join-time hope.
+    // Rows-only by the ANN contract; recall, determinism, pruning
+    // and incremental-add pins live in VectorIndexSpec.
+    "knn_ivf_persisted" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfx-q").toString + "/ix"
+      VectorIndex.build(s, emb(s, dir).select("vec_id", "embedding"),
+        root, nlist = 16, iters = 5)
+      VectorIndex.search(s, root,
+        emb(s, dir).filter(col("vec_id") < 10)
+          .selectExpr("vec_id AS q_id", "embedding"),
+        k = 3, nprobe = 3)
+    }),
+
     // IVF-PQ ANN (Jégou et al., "Product Quantization for Nearest
     // Neighbor Search", TPAMI 2011): the memory-compression scale path.
     // A 64-dim float vector (256 bytes) becomes m=8 sub-codes of
