@@ -394,6 +394,25 @@ object TextAnalysis {
         Seq("spark", "merge", "vector", "customer"), 20)
     }),
 
+    // INCREMENTAL index maintenance, oracled: build the index on
+    // ~6/7ths of the corpus, add() the held-out batch, then search.
+    // The oracle recomputes BM25 from the FULL documents table from
+    // scratch — so this row passing proves the incremental path is
+    // exactly equivalent to a rebuild: postings land in their buckets
+    // and the additive (ndocs, sumdl) stats reproduce avgdl/idf to
+    // the bit. This is the production shape: day one builds, every
+    // day after adds.
+    "docs_bm25_incremental" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25i-q").toString + "/ix"
+      val d = docs(s, dir).select("doc_id", "text")
+      TextIndex.build(s, d.filter(col("doc_id") % 7 =!= 0), root,
+        buckets = 32)
+      TextIndex.add(s, d.filter(col("doc_id") % 7 === 0), root)
+      TextIndex.searchBm25(s, root,
+        Seq("window", "batch", "filter"), 20)
+    }),
+
     // Benchmark DECONTAMINATION — the training-data hygiene pass every
     // LLM pipeline runs before training: does a training doc share any
     // 8-token shingle with the held-out eval set? The eval split derives
@@ -1460,6 +1479,31 @@ object TextAnalysis {
          |df AS (SELECT term, count(*) AS df FROM (
          |  SELECT DISTINCT doc_id, term FROM t
          |  WHERE term IN ('spark','merge','vector','customer'))
+         |  GROUP BY term)
+         |SELECT doc_id, round(sum(
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |      * (tf * (1.2 + 1.0))
+         |      / (tf + 1.2 * ((1.0 - 0.75)
+         |          + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n_docs)))
+         |  ), 6) AS score
+         |FROM tf JOIN df USING (term) CROSS JOIN n
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id
+         |LIMIT 20""".stripMargin,
+    // from-scratch BM25 over the FULL corpus — the Spark side indexed
+    // it in two installments (build + add), so equality proves
+    // incremental maintenance is a rebuild, bit for bit.
+    "docs_bm25_incremental" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term,
+         |    len($toksSql) AS dl FROM documents),
+         |n AS (SELECT count(*) AS n_docs, sum(len($toksSql)) AS sumdl
+         |      FROM documents),
+         |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM t
+         |  WHERE term IN ('window','batch','filter')
+         |  GROUP BY doc_id, term, dl),
+         |df AS (SELECT term, count(*) AS df FROM (
+         |  SELECT DISTINCT doc_id, term FROM t
+         |  WHERE term IN ('window','batch','filter'))
          |  GROUP BY term)
          |SELECT doc_id, round(sum(
          |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
