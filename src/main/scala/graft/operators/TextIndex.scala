@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 import graft.sources.SnapshotTable
 
@@ -20,12 +21,17 @@ import graft.sources.SnapshotTable
   * structure and nothing resident in memory between queries.
   *
   * Corpus-level scoring state (document count and total token count)
-  * is ADDITIVE, so it lives in two table properties maintained by
-  * [[build]] and [[add]]; `avgdl = sumdl / ndocs` stays exact across
-  * incremental ingest. df(term) deliberately does NOT live anywhere:
-  * it is one tiny aggregate over exactly the postings a search
-  * already reads (df of a term = that term's posting count), and any
-  * persisted copy would go stale on every add.
+  * is ADDITIVE, so it lives as a JOURNAL: a tiny `<root>_stats`
+  * snapshot table holding one `(n_docs, sum_dl)` row per
+  * installment; `avgdl = Σsum_dl / Σn_docs` stays exact across any
+  * number of incremental adds, and because the journal is itself a
+  * snapshot table, installments can carry the same `(appId, batchId)`
+  * idempotence marker the postings commit carries — which is what
+  * makes STREAMING maintenance exactly-once ([[applyBatch]]).
+  * df(term) deliberately does NOT live anywhere: it is one tiny
+  * aggregate over exactly the postings a search already reads (df of
+  * a term = that term's posting count), and any persisted copy would
+  * go stale on every add.
   *
   * Reference scope: the reference engine has no text-retrieval
   * operator; this extends the LLM-pipeline surface (SURVEY.md §2's
@@ -34,8 +40,7 @@ import graft.sources.SnapshotTable
   */
 object TextIndex {
 
-  private val NDocsProp = "graft.textindex.ndocs"
-  private val SumDlProp = "graft.textindex.sumdl"
+  private def statsRoot(root: String): String = root + "_stats"
 
   /** Whitespace tokens — the same tokenizer every documents-table
     * query in this repo uses (`split(text, ' ')`), so index answers
@@ -48,42 +53,74 @@ object TextIndex {
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
 
-  private def bumpStats(spark: SparkSession, root: String,
-      docs: DataFrame): Unit = {
-    val st = docs
-      .agg(count(lit(1)).as("n"),
-        sum(size(split(col("text"), " "))).as("s"))
-      .head()
-    val props = SnapshotTable.tableProperties(spark, root)
-    val n0 = props.get(NDocsProp).map(_.toLong).getOrElse(0L)
-    val s0 = props.get(SumDlProp).map(_.toLong).getOrElse(0L)
-    SnapshotTable.setProperties(spark, root, props ++ Map(
-      NDocsProp -> (n0 + st.getLong(0)).toString,
-      SumDlProp -> (s0 + st.getLong(1)).toString))
-  }
+  /** One journal row for an installment of documents. */
+  private def statsRowOf(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).as("sum_dl"))
 
   /** Index `docs(doc_id, text)` at `root`. Replaces any prior index
-    * there (commitBucketedOn replaces the file set). */
+    * there (commitBucketedOn replaces the file set; the stats journal
+    * restarts with it). */
   def build(spark: SparkSession, docs: DataFrame, root: String,
       buckets: Int = 64): Long = {
     val v = SnapshotTable.commitBucketedOn(spark, root,
       postingsOf(docs), Seq(("term", buckets)))
-    SnapshotTable.setProperties(spark, root,
-      SnapshotTable.tableProperties(spark, root) ++ Map(
-        NDocsProp -> "0", SumDlProp -> "0"))
-    bumpStats(spark, root, docs)
+    SnapshotTable.commit(spark, statsRoot(root), statsRowOf(docs))
     v
   }
 
   /** Incrementally index a NEW batch of documents: postings land in
     * their buckets (the layout survives ingest, so searches keep
-    * pruning), corpus stats bump additively. Doc ids must be new —
-    * re-adding an already-indexed doc would split its tf rows. */
+    * pruning), the stats journal gains one additive row. Doc ids must
+    * be new — re-adding an already-indexed doc would split its tf
+    * rows. */
   def add(spark: SparkSession, docs: DataFrame, root: String): Long = {
     val v = SnapshotTable.appendBucketed(spark, root, postingsOf(docs))
-    bumpStats(spark, root, docs)
+    SnapshotTable.append(spark, statsRoot(root), statsRowOf(docs),
+      files = 1)
     v
   }
+
+  /** EXACTLY-ONCE streaming maintenance: apply one micro-batch of new
+    * documents under an `(appId, batchId)` idempotence marker. Each
+    * of the two commits (postings, stats journal) carries the marker
+    * atomically with its data and is guarded by its OWN
+    * `lastCommittedTxn` check, so a replayed batch no-ops and a crash
+    * BETWEEN the two commits converges on replay: the landed half is
+    * recognized and skipped, the missing half lands. (The one-batch
+    * window where postings exist without their stats row only skews
+    * avgdl/N by the in-flight batch — scoring state, never membership
+    * — and closes on recovery.) */
+  def applyBatch(spark: SparkSession, root: String, docs: DataFrame,
+      appId: String, batchId: Long): Unit = {
+    val landed = SnapshotTable.lastCommittedTxn(spark, root, appId)
+      .exists(_ >= batchId)
+    if (!landed)
+      SnapshotTable.appendBucketed(spark, root, postingsOf(docs),
+        txn = Some((appId, batchId)))
+    val statsLanded = SnapshotTable
+      .lastCommittedTxn(spark, statsRoot(root), appId)
+      .exists(_ >= batchId)
+    if (!statsLanded)
+      SnapshotTable.append(spark, statsRoot(root), statsRowOf(docs),
+        files = 1, txn = Some((appId, batchId)))
+  }
+
+  /** Streaming sink: keep the index at `root` (built beforehand over
+    * the day-0 corpus) fresh from a stream of `(doc_id, text)` rows.
+    * At-least-once delivery + the per-table markers compose to
+    * exactly-once index maintenance — the same handshake as the
+    * snapshot ingest sinks. */
+  def indexSink(docs: DataFrame, root: String, checkpoint: String,
+      appId: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          applyBatch(batch.sparkSession, root, batch, appId, batchId)
+        ()
+      }
 
   /** BM25 top-k: score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
     * b·dl/avgdl)) with idf = ln(1 + (N − df + ½)/(df + ½)) — the
@@ -97,11 +134,10 @@ object TextIndex {
       query: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "empty query")
-    val props = SnapshotTable.tableProperties(spark, root)
-    val n = props.getOrElse(NDocsProp,
-      sys.error(s"$root is not a TextIndex (missing $NDocsProp)"))
-      .toLong
-    val avgdl = props(SumDlProp).toLong.toDouble / n
+    val st = SnapshotTable.read(spark, statsRoot(root))
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    val n = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / n
     val terms = query.distinct
     val p = spark.read.format("graft-snapshot").option("path", root)
       .load()

@@ -1281,7 +1281,8 @@ object SnapshotTable {
   def append(spark: SparkSession, root: String, df: DataFrame,
       clusterKey: Option[String] = None, files: Int = 8,
       maxRetries: Int = 5, bloomKey: Option[String] = None,
-      branch: String = "main"): Long = {
+      branch: String = "main",
+      txn: Option[(String, Long)] = None): Long = {
     val inherited = bloomKey.orElse {
       val cur0 =
         if (branch == "main") currentVersion(spark, root)
@@ -1292,7 +1293,14 @@ object SnapshotTable {
     val (seg, entries) =
       stageSegment(spark, root, df, clusterKey, files,
         bloomFor(df, inherited))
-    appendStaged(spark, root, seg, entries, df.schema, maxRetries,
+    // idempotent-writer marker, same contract as appendBucketed /
+    // appendPartitioned: rides the manifest entries, atomic with the
+    // commit (see lastCommittedTxn)
+    val marked = txn.fold(entries) { case (app, batch) =>
+      entries.map(e => e.copy(extraStats = e.extraStats :+
+        (s"__txn:$app", batch.toString, batch.toString)))
+    }
+    appendStaged(spark, root, seg, marked, df.schema, maxRetries,
       branch)
   }
 

@@ -582,6 +582,33 @@ object Sources {
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
     }),
+    // Needle-in-haystack through the HASH-BUCKET layout: bucket
+    // orders on o_custkey — a hash-scattered key whose per-file
+    // min/max ranges all span the whole domain, so stats pruning
+    // keeps everything — then fetch five customers' orders through
+    // the connector. GraftPruning.pruneBucket hashes the IN literals
+    // at plan time (the writer's own pmod(murmur3, n)) and plans
+    // ONLY their cells' files: at 100 TB the lookup reads ~5/32nds
+    // of the table regardless of row count. The oracle filters raw
+    // orders to the same keys; matching hashes prove the cell-pruned
+    // lookup ≡ the filter. (BucketPruneSpec pins the file counts;
+    // this row pins the rows.)
+    "snapshot_bucket_lookup" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-bkt-q")
+        .toString + "/orders_bkt"
+      val o = graft.Tables.load(s, dir, "orders")
+      SnapshotTable.commitBucketed(s, root, o, "o_custkey", 32)
+      val keys = o.select(col("o_custkey")).distinct()
+        .orderBy(col("o_custkey")).limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      s.read.format("graft-snapshot").option("path", root).load()
+        .filter(col("o_custkey").isin(keys: _*))
+        .groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_custkey"), col("o_orderstatus"))
+    }),
     // DELETE under the oracle, both tiers: cluster orders into a
     // snapshot table, (1) range-DELETE through the pushed-filter path
     // — manifest stats drop wholly-covered files without opening them
@@ -2115,6 +2142,15 @@ object Sources {
         |WHERE o_custkey % 97 = 0
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_bucket_lookup" ->
+      """SELECT o_custkey, o_orderstatus, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  ORDER BY o_custkey LIMIT 5)
+        |GROUP BY o_custkey, o_orderstatus
+        |ORDER BY o_custkey, o_orderstatus""".stripMargin,
     "snapshot_zorder_band" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  min(o_custkey) AS min_ck, max(o_custkey) AS max_ck

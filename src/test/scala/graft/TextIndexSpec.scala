@@ -116,4 +116,68 @@ class TextIndexSpec extends SparkSpec {
     assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
       s"post-add search lost pruning:\n$plan")
   }
+
+  test("streaming maintenance is exactly-once: a MemoryStream of new " +
+      "documents lands through indexSink, a replayed batch no-ops, " +
+      "and a crash between the postings and stats commits converges " +
+      "on replay — search always equals the one-shot rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val day0 = corpus(0 until 200)
+    val day1 = corpus(200 until 280)
+    val day2 = corpus(280 until 340)
+    val root = tmpRoot()
+    TextIndex.build(spark, day0.toDF("doc_id", "text"), root,
+      buckets = 16)
+
+    val stream = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tix-ck").toString
+    stream.addData(day1: _*)
+    TextIndex.indexSink(stream.toDF().toDF("doc_id", "text"), root,
+      ckpt, appId = "tix-test").start().awaitTermination()
+    stream.addData(day2: _*)
+    TextIndex.indexSink(stream.toDF().toDF("doc_id", "text"), root,
+      ckpt, appId = "tix-test").start().awaitTermination()
+
+    val q = Seq("kiwi", "plum")
+    val want = bm25Local(day0 ++ day1 ++ day2, q, 25)
+    def got() = TextIndex.searchBm25(spark, root, q, 25).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got() == want, "streamed index diverged from rebuild")
+
+    // replay: re-apply the LAST batch under its committed id — both
+    // markers recognize it, nothing lands, search is unchanged
+    val vBefore = graft.sources.SnapshotTable
+      .currentVersion(spark, root)
+    TextIndex.applyBatch(spark, root,
+      day2.toDF("doc_id", "text"), "tix-test", batchId = 1L)
+    assert(graft.sources.SnapshotTable
+      .currentVersion(spark, root) == vBefore,
+      "replayed batch committed new postings")
+    assert(got() == want, "replay changed search results")
+
+    // crash window: land ONLY the postings half of a day-3 batch
+    // (what a crash between the two commits leaves), then replay the
+    // full applyBatch — postings are skipped, the stats row lands,
+    // and search equals the full rebuild
+    val day3 = corpus(340 until 380)
+    graft.sources.SnapshotTable.appendBucketed(spark, root,
+      // the postings shape applyBatch writes, via the public API:
+      // build a twin index and read its postings? No — re-derive
+      // through add()'s own tokenizer by calling applyBatch twice
+      // would defeat the test; instead stamp the same txn marker
+      day3.toDF("doc_id", "text")
+        .withColumn("__toks", split(col("text"), " "))
+        .select(col("doc_id"), size(col("__toks")).as("dl"),
+          explode(col("__toks")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf")),
+      txn = Some(("tix-test", 2L)))
+    TextIndex.applyBatch(spark, root,
+      day3.toDF("doc_id", "text"), "tix-test", batchId = 2L)
+    val wantAll = bm25Local(day0 ++ day1 ++ day2 ++ day3, q, 25)
+    assert(got() == wantAll,
+      "crash-window replay did not converge to the rebuild")
+  }
 }
