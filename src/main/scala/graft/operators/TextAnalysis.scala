@@ -413,6 +413,24 @@ object TextAnalysis {
         Seq("window", "batch", "filter"), 20)
     }),
 
+    // INDEX DELETION, oracled: build over the full corpus, remove()
+    // every 13th doc (tombstone set + a NEGATIVE stats-journal row —
+    // no posting file touched), then search. The oracle recomputes
+    // BM25 from scratch over ONLY the surviving documents — so the
+    // green row proves the read-side tombstone filter and the
+    // additive stats algebra make deletion exactly equivalent to
+    // never having indexed the docs: membership, df, N and avgdl all
+    // agree bit-for-bit.
+    "docs_bm25_delete" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25d-q").toString + "/ix"
+      val d = docs(s, dir).select("doc_id", "text")
+      TextIndex.build(s, d, root, buckets = 32)
+      TextIndex.remove(s, d.filter(col("doc_id") % 13 === 0), root)
+      TextIndex.searchBm25(s, root,
+        Seq("table", "stream", "group"), 20)
+    }),
+
     // Benchmark DECONTAMINATION — the training-data hygiene pass every
     // LLM pipeline runs before training: does a training doc share any
     // 8-token shingle with the held-out eval set? The eval split derives
@@ -1479,6 +1497,33 @@ object TextAnalysis {
          |df AS (SELECT term, count(*) AS df FROM (
          |  SELECT DISTINCT doc_id, term FROM t
          |  WHERE term IN ('spark','merge','vector','customer'))
+         |  GROUP BY term)
+         |SELECT doc_id, round(sum(
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |      * (tf * (1.2 + 1.0))
+         |      / (tf + 1.2 * ((1.0 - 0.75)
+         |          + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n_docs)))
+         |  ), 6) AS score
+         |FROM tf JOIN df USING (term) CROSS JOIN n
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id
+         |LIMIT 20""".stripMargin,
+    // from-scratch BM25 over ONLY the surviving docs — the Spark side
+    // indexed everything then tombstoned the rest, so equality proves
+    // deletion ≡ never-indexed (membership, df, N, avgdl).
+    "docs_bm25_delete" ->
+      s"""WITH s AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 13 <> 0),
+         |t AS (SELECT doc_id, unnest($toksSql) AS term,
+         |    len($toksSql) AS dl FROM s),
+         |n AS (SELECT count(*) AS n_docs, sum(len($toksSql)) AS sumdl
+         |      FROM s),
+         |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM t
+         |  WHERE term IN ('table','stream','group')
+         |  GROUP BY doc_id, term, dl),
+         |df AS (SELECT term, count(*) AS df FROM (
+         |  SELECT DISTINCT doc_id, term FROM t
+         |  WHERE term IN ('table','stream','group'))
          |  GROUP BY term)
          |SELECT doc_id, round(sum(
          |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))

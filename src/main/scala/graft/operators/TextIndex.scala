@@ -41,6 +41,7 @@ import graft.sources.SnapshotTable
 object TextIndex {
 
   private def statsRoot(root: String): String = root + "_stats"
+  private def delsRoot(root: String): String = root + "_dels"
 
   /** Whitespace tokens — the same tokenizer every documents-table
     * query in this repo uses (`split(text, ' ')`), so index answers
@@ -66,6 +67,10 @@ object TextIndex {
     val v = SnapshotTable.commitBucketedOn(spark, root,
       postingsOf(docs), Seq(("term", buckets)))
     SnapshotTable.commit(spark, statsRoot(root), statsRowOf(docs))
+    // a rebuild IS the tombstone purge: clear any accumulated dels
+    if (SnapshotTable.currentVersion(spark, delsRoot(root)) > 0L)
+      SnapshotTable.commit(spark, delsRoot(root),
+        spark.range(0).selectExpr("id AS doc_id"))
     v
   }
 
@@ -79,6 +84,30 @@ object TextIndex {
     SnapshotTable.append(spark, statsRoot(root), statsRowOf(docs),
       files = 1)
     v
+  }
+
+  /** REMOVE documents from the index WITHOUT touching a single
+    * posting file: the removed ids land in a `<root>_dels` tombstone
+    * set and the stats journal gains a NEGATIVE row — the additive
+    * (n_docs, sum_dl) algebra nets them out exactly, and
+    * [[searchBm25]] anti-joins the tombstones out of the pruned
+    * postings BEFORE df is counted, so df/N/avgdl all behave as if
+    * the docs were never indexed. `docs` carries full (doc_id, text)
+    * rows because that is what deletion feeds actually provide (the
+    * snapshot changelog emits preImages) and the negative journal
+    * row needs the token counts. Postings are term-bucketed, so a
+    * physical purge would touch every bucket — the production shape
+    * is exactly this: filter at read, rebuild (`build`) to compact
+    * once tombstones accumulate. Removing an id that was never
+    * indexed, or re-adding a removed id, is outside the contract. */
+  def remove(spark: SparkSession, docs: DataFrame, root: String)
+  : Long = {
+    SnapshotTable.append(spark, delsRoot(root),
+      docs.select(col("doc_id")), files = 1)
+    SnapshotTable.append(spark, statsRoot(root),
+      docs.agg((-count(lit(1))).as("n_docs"),
+        (-sum(size(split(col("text"), " ")))).as("sum_dl")),
+      files = 1)
   }
 
   /** EXACTLY-ONCE streaming maintenance: apply one micro-batch of new
@@ -139,9 +168,17 @@ object TextIndex {
     val n = st.getLong(0)
     val avgdl = st.getLong(1).toDouble / n
     val terms = query.distinct
-    val p = spark.read.format("graft-snapshot").option("path", root)
+    val p0 = spark.read.format("graft-snapshot").option("path", root)
       .load()
       .filter(col("term").isin(terms: _*))
+    // tombstoned docs leave the pruned postings BEFORE df is counted,
+    // so df/N/avgdl behave as if they were never indexed. The dels
+    // set is bounded by removals since the last rebuild; no broadcast
+    // hint — AQE measures it (the decontaminate discipline)
+    val p =
+      if (SnapshotTable.currentVersion(spark, delsRoot(root)) == 0L) p0
+      else p0.join(SnapshotTable.read(spark, delsRoot(root))
+        .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
     // df(term) = the term's posting count — computed from the same
     // pruned scan the scorer reads; broadcast: at most |query| rows
     val dfT = p.groupBy(col("term"))

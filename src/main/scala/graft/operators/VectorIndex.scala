@@ -73,6 +73,42 @@ object VectorIndex {
     SnapshotTable.appendPartitioned(spark, root, asg)
   }
 
+  /** EXACTLY-ONCE streaming maintenance: one micro-batch of new
+    * vectors under an `(appId, batchId)` idempotence marker. Unlike
+    * [[TextIndex]] there is no scoring-state journal — the quantizer
+    * is frozen at build time — so a single marked commit IS the whole
+    * batch and replay is a pure no-op. */
+  def applyBatch(spark: SparkSession, root: String, vecs: DataFrame,
+      appId: String, batchId: Long): Unit = {
+    val landed = SnapshotTable.lastCommittedTxn(spark, root, appId)
+      .exists(_ >= batchId)
+    if (landed) return
+    graft.functions.VectorFunctions.register(spark)
+    val model = loadModel(spark, root)
+    val asg = Dedup.unitVectors(vecs)
+      .crossJoin(broadcast(model))
+      .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell", "v")
+    SnapshotTable.appendPartitioned(spark, root, asg,
+      txn = Some((appId, batchId)))
+    ()
+  }
+
+  /** Streaming sink: keep the index at `root` (built beforehand) fresh
+    * from a stream of `(vec_id, embedding)` rows — the embedding twin
+    * of [[TextIndex.indexSink]], same idempotent-writer handshake. */
+  def indexSink(vecs: DataFrame, root: String, checkpoint: String,
+      appId: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          applyBatch(batch.sparkSession, root, batch, appId, batchId)
+        ()
+      }
+
   /** The persisted centroid matrix as the 1-row broadcast-model frame
     * the assignment/probe expressions consume. */
   private def loadModel(spark: SparkSession, root: String): DataFrame =

@@ -117,6 +117,36 @@ class TextIndexSpec extends SparkSpec {
       s"post-add search lost pruning:\n$plan")
   }
 
+  test("remove(): tombstoned docs leave membership, df, N and avgdl " +
+      "exactly — search equals an index that never held them — and a " +
+      "rebuild purges the tombstone set") {
+    val all = corpus(0 until 400)
+    val (dead, alive) = all.partition(_._1 % 5 == 0)
+    val root = tmpRoot()
+    TextIndex.build(spark, all.toDF("doc_id", "text"), root,
+      buckets = 16)
+    TextIndex.remove(spark, dead.toDF("doc_id", "text"), root)
+
+    val q = Seq("pear", "date", "grape")
+    def got() = TextIndex.searchBm25(spark, root, q, 25).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got() == bm25Local(alive, q, 25),
+      "post-remove search diverged from the never-indexed oracle")
+    assert(got().forall(r => r._1 % 5 != 0),
+      "a tombstoned doc surfaced in results")
+
+    // rebuild over the survivors: same answers, dels cleared, and
+    // the pruned access path intact
+    TextIndex.build(spark, alive.toDF("doc_id", "text"), root,
+      buckets = 16)
+    assert(got() == bm25Local(alive, q, 25),
+      "rebuild (tombstone purge) changed answers")
+    val plan = TextIndex.searchBm25(spark, root, q, 5)
+      .queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt)
+  }
+
   test("streaming maintenance is exactly-once: a MemoryStream of new " +
       "documents lands through indexSink, a replayed batch no-ops, " +
       "and a crash between the postings and stats commits converges " +

@@ -95,4 +95,54 @@ class VectorIndexSpec extends SparkSpec {
           s"got $cid at $cos")
     }
   }
+
+  test("streaming maintenance is exactly-once: vectors land through " +
+      "indexSink, a replayed batch no-ops, and streamed results " +
+      "equal the batch add() path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = embeddings.filter(col("vec_id") < 300)
+    val streamRoot = tmpRoot()
+    val batchRoot = tmpRoot()
+    VectorIndex.build(spark, base, streamRoot, nlist = 8, iters = 5,
+      trainCap = 300)
+    VectorIndex.build(spark, base, batchRoot, nlist = 8, iters = 5,
+      trainCap = 300)
+
+    val newRows = embeddings
+      .filter(col("vec_id") >= 300 && col("vec_id") < 360)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-vix-ck").toString
+    stream.addData(newRows.toIndexedSeq: _*)
+    VectorIndex.indexSink(
+      stream.toDF().toDF("vec_id", "embedding"), streamRoot, ckpt,
+      appId = "vix-test").start().awaitTermination()
+    VectorIndex.add(spark,
+      embeddings.filter(col("vec_id") >= 300 && col("vec_id") < 360),
+      batchRoot)
+
+    val qs = embeddings.filter(col("vec_id") < 5)
+      .selectExpr("vec_id AS q_id", "embedding")
+    def results(root: String) =
+      VectorIndex.search(spark, root, qs, k = 3, nprobe = 3)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    assert(results(streamRoot) == results(batchRoot),
+      "streamed index diverged from batch add()")
+
+    // replay under the committed batch id: no new version, results
+    // unchanged
+    val vBefore = graft.sources.SnapshotTable
+      .currentVersion(spark, streamRoot)
+    VectorIndex.applyBatch(spark, streamRoot,
+      embeddings.filter(col("vec_id") >= 300 && col("vec_id") < 360),
+      "vix-test", batchId = 0L)
+    assert(graft.sources.SnapshotTable
+      .currentVersion(spark, streamRoot) == vBefore,
+      "replayed batch committed new assignments")
+    assert(results(streamRoot) == results(batchRoot))
+  }
 }
