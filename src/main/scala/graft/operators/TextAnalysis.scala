@@ -431,6 +431,45 @@ object TextAnalysis {
         Seq("table", "stream", "group"), 20)
     }),
 
+    // THE INDEX AS A MATERIALIZED VIEW, oracled end-to-end: documents
+    // live in a snapshot TABLE; the index builds from its v1 state;
+    // then a MOR DELETE (v2) and a MOR UPDATE (v3, delete+insert with
+    // preImages) land on the table and the CDC sink
+    // (TextIndex.cdcIndexSink) applies the changelog to the index —
+    // era-stamped insert postings, version-cut tombstones, one signed
+    // stats row per batch, each commit exactly-once by its marker.
+    // The oracle recomputes BM25 from scratch over the table's FINAL
+    // logical state (survivors, updated texts reconstructed in SQL) —
+    // so the green row proves the full loop: changelog semantics,
+    // update netting (old postings die at their cut, replacements
+    // live), and the signed stats algebra. The query terms include
+    // 'extra' — a token that ONLY exists in updated texts.
+    "docs_bm25_cdc" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bm25c-q").toString
+      val src = base + "/docs_src"
+      val root = base + "/ix"
+      val d = docs(s, dir).select("doc_id", "text")
+      graft.sources.SnapshotTable.commit(s, src, d,
+        clusterKey = Some("doc_id"))                          // v1
+      TextIndex.build(s, d, root, buckets = 32)
+      val q = TextIndex.cdcIndexSink(s, src, root, base + "/cp",
+        "bm25cdc", startingVersion = 2L)
+      try {
+        graft.sources.SnapshotTable.deleteKeysOnRead(s, src,
+          d.filter(col("doc_id") % 13 === 0).select("doc_id"),
+          "doc_id")                                           // v2
+        graft.sources.SnapshotTable.mergeOnRead(s, src,
+          d.filter(col("doc_id") % 17 === 0 &&
+              col("doc_id") % 13 =!= 0)
+            .withColumn("text",
+              concat(col("text"), lit(" extra extra"))),
+          "doc_id")                                           // v3
+        q.processAllAvailable()
+      } finally q.stop()
+      TextIndex.searchBm25(s, root, Seq("extra", "sort", "join"), 20)
+    }),
+
     // Benchmark DECONTAMINATION — the training-data hygiene pass every
     // LLM pipeline runs before training: does a training doc share any
     // 8-token shingle with the held-out eval set? The eval split derives
@@ -1497,6 +1536,36 @@ object TextAnalysis {
          |df AS (SELECT term, count(*) AS df FROM (
          |  SELECT DISTINCT doc_id, term FROM t
          |  WHERE term IN ('spark','merge','vector','customer'))
+         |  GROUP BY term)
+         |SELECT doc_id, round(sum(
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |      * (tf * (1.2 + 1.0))
+         |      / (tf + 1.2 * ((1.0 - 0.75)
+         |          + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n_docs)))
+         |  ), 6) AS score
+         |FROM tf JOIN df USING (term) CROSS JOIN n
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id
+         |LIMIT 20""".stripMargin,
+    // from-scratch BM25 over the documents table's FINAL logical
+    // state (MOR delete of every 13th doc, MOR update appending
+    // ' extra extra' to every surviving 17th) — the Spark side got
+    // there by applying the table's CHANGELOG to a pre-built index.
+    "docs_bm25_cdc" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 0 THEN text || ' extra extra'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 0),
+         |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         |    len(string_split(text, ' ')) AS dl FROM s),
+         |n AS (SELECT count(*) AS n_docs,
+         |    sum(len(string_split(text, ' '))) AS sumdl FROM s),
+         |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM t
+         |  WHERE term IN ('extra','sort','join')
+         |  GROUP BY doc_id, term, dl),
+         |df AS (SELECT term, count(*) AS df FROM (
+         |  SELECT DISTINCT doc_id, term FROM t
+         |  WHERE term IN ('extra','sort','join'))
          |  GROUP BY term)
          |SELECT doc_id, round(sum(
          |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))

@@ -45,13 +45,22 @@ object TextIndex {
 
   /** Whitespace tokens — the same tokenizer every documents-table
     * query in this repo uses (`split(text, ' ')`), so index answers
-    * are comparable with the from-raw oracles. */
-  private def postingsOf(docs: DataFrame): DataFrame =
+    * are comparable with the from-raw oracles.
+    *
+    * `era` orders installments of the SAME doc id within its
+    * lifetime (0 for build/add/stream batches of new docs; the
+    * source `_commit_version` for CDC rows): a tombstone records the
+    * cut it was issued at, and only postings with `era < cut` die —
+    * which is exactly what makes a MOR UPDATE (delete+insert at one
+    * version) net to the new text. */
+  private def postingsOf(docs: DataFrame,
+      era: org.apache.spark.sql.Column = lit(0L)): DataFrame =
     docs
+      .withColumn("__era", era)
       .withColumn("__toks", split(col("text"), " "))
       .select(col("doc_id"), size(col("__toks")).as("dl"),
-        explode(col("__toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
+        col("__era").as("era"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"), col("era"))
       .agg(count(lit(1)).as("tf"))
 
   /** One journal row for an installment of documents. */
@@ -70,7 +79,7 @@ object TextIndex {
     // a rebuild IS the tombstone purge: clear any accumulated dels
     if (SnapshotTable.currentVersion(spark, delsRoot(root)) > 0L)
       SnapshotTable.commit(spark, delsRoot(root),
-        spark.range(0).selectExpr("id AS doc_id"))
+        spark.range(0).selectExpr("id AS doc_id", "id AS cut"))
     v
   }
 
@@ -103,12 +112,83 @@ object TextIndex {
   def remove(spark: SparkSession, docs: DataFrame, root: String)
   : Long = {
     SnapshotTable.append(spark, delsRoot(root),
-      docs.select(col("doc_id")), files = 1)
+      docs.select(col("doc_id"),
+        lit(Long.MaxValue).as("cut")), files = 1)
     SnapshotTable.append(spark, statsRoot(root),
       docs.agg((-count(lit(1))).as("n_docs"),
         (-sum(size(split(col("text"), " ")))).as("sum_dl")),
       files = 1)
   }
+
+  /** CDC MAINTENANCE: apply one micro-batch of the source documents
+    * table's CHANGELOG (`changes=true, preImages=true` — insert rows
+    * carry new docs, delete rows carry full preImages; a MOR update
+    * is its delete+insert pair at one `_commit_version`). Three
+    * marked commits, each guarded by its own `lastCommittedTxn`:
+    * insert postings stamped `era = _commit_version`, delete
+    * tombstones `(doc_id, cut = _commit_version)`, and ONE net
+    * signed stats row (+insert −delete). The era/cut algebra nets an
+    * update exactly: the old postings (`era < cut`) die, the
+    * replacement (`era = cut`) lives, and stats carry the token-count
+    * delta. Replay no-ops per table, a crash between commits
+    * converges on replay. */
+  def applyChanges(spark: SparkSession, root: String, batch: DataFrame,
+      appId: String, batchId: Long): Unit = {
+    val ver = col("_commit_version")
+    // an empty side skips its commit outright — skipping is naturally
+    // idempotent (a replay recomputes the same empty side), and an
+    // empty frame cannot stage a parquet segment anyway
+    val ins = batch.filter(col("_change_type") === "insert")
+      .select(col("doc_id"), col("text"), ver.as("__v"))
+    if (!ins.isEmpty &&
+        !SnapshotTable.lastCommittedTxn(spark, root, appId)
+          .exists(_ >= batchId))
+      SnapshotTable.appendBucketed(spark, root,
+        postingsOf(ins, col("__v")), txn = Some((appId, batchId)))
+    val del = batch.filter(col("_change_type") === "delete")
+    if (!del.isEmpty &&
+        !SnapshotTable.lastCommittedTxn(spark, delsRoot(root), appId)
+          .exists(_ >= batchId))
+      SnapshotTable.append(spark, delsRoot(root),
+        del.select(col("doc_id"), ver.as("cut")), files = 1,
+        txn = Some((appId, batchId)))
+    if (!SnapshotTable.lastCommittedTxn(spark, statsRoot(root), appId)
+        .exists(_ >= batchId))
+      SnapshotTable.append(spark, statsRoot(root),
+        batch.select(
+            when(col("_change_type") === "insert", 1L)
+              .otherwise(-1L).as("sgn"),
+            size(split(col("text"), " ")).as("dl"))
+          .agg(sum(col("sgn")).as("n_docs"),
+            sum(col("sgn") * col("dl")).as("sum_dl")),
+        files = 1, txn = Some((appId, batchId)))
+  }
+
+  /** The index as a MATERIALIZED VIEW of a documents snapshot table:
+    * tail the source's changelog and keep the index consistent with
+    * the table through inserts, MOR deletes and MOR updates —
+    * exactly-once via [[applyChanges]]'s per-table markers. Build the
+    * index from the source's CURRENT state first and pass
+    * `startingVersion = thatVersion + 1` so the bootstrap is not
+    * replayed; the sink owns its checkpoint. */
+  def cdcIndexSink(spark: SparkSession, sourceRoot: String,
+      root: String, checkpoint: String, appId: String,
+      startingVersion: Long)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-snapshot")
+      .option("path", sourceRoot)
+      .option("changes", "true")
+      .option("preImages", "true")
+      .option("startingVersion", startingVersion.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          applyChanges(batch.sparkSession, root, batch, appId, batchId)
+        ()
+      }
+      .start()
 
   /** EXACTLY-ONCE streaming maintenance: apply one micro-batch of new
     * documents under an `(appId, batchId)` idempotence marker. Each
@@ -171,14 +251,22 @@ object TextIndex {
     val p0 = spark.read.format("graft-snapshot").option("path", root)
       .load()
       .filter(col("term").isin(terms: _*))
-    // tombstoned docs leave the pruned postings BEFORE df is counted,
-    // so df/N/avgdl behave as if they were never indexed. The dels
-    // set is bounded by removals since the last rebuild; no broadcast
-    // hint — AQE measures it (the decontaminate discipline)
+    // tombstoned postings leave the pruned scan BEFORE df is counted,
+    // so df/N/avgdl behave as if they were never indexed. A tombstone
+    // kills only postings with era < cut — the era a CDC re-insert
+    // (MOR update) carries equals its delete's cut, so updates net to
+    // the new text. The dels set is bounded by removals since the
+    // last rebuild; no broadcast hint — AQE measures it (the
+    // decontaminate discipline)
     val p =
       if (SnapshotTable.currentVersion(spark, delsRoot(root)) == 0L) p0
-      else p0.join(SnapshotTable.read(spark, delsRoot(root))
-        .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      else {
+        val cuts = SnapshotTable.read(spark, delsRoot(root))
+          .groupBy(col("doc_id")).agg(max(col("cut")).as("__cut"))
+        p0.join(cuts, Seq("doc_id"), "left_outer")
+          .filter(col("__cut").isNull || col("era") >= col("__cut"))
+          .drop("__cut")
+      }
     // df(term) = the term's posting count — computed from the same
     // pruned scan the scorer reads; broadcast: at most |query| rows
     val dfT = p.groupBy(col("term"))
