@@ -37,6 +37,7 @@ object VectorIndex {
   private val NListProp = "graft.vectorindex.nlist"
 
   private def centsRoot(root: String): String = root + "_cents"
+  private def delsRoot(root: String): String = root + "_dels"
 
   /** Index `vecs(vec_id, embedding)` at `root`: nlist cells, one
     * value-pure partition per cell. Replaces any prior index. */
@@ -54,6 +55,10 @@ object VectorIndex {
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "cent")
     SnapshotTable.commit(spark, centsRoot(root), centDf)
+    // a rebuild IS the tombstone purge
+    if (SnapshotTable.currentVersion(spark, delsRoot(root)) > 0L)
+      SnapshotTable.commit(spark, delsRoot(root),
+        spark.range(0).selectExpr("id AS vec_id"))
     SnapshotTable.setProperties(spark, root,
       SnapshotTable.tableProperties(spark, root) +
         (NListProp -> nlist.toString))
@@ -72,6 +77,17 @@ object VectorIndex {
       .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell", "v")
     SnapshotTable.appendPartitioned(spark, root, asg)
   }
+
+  /** REMOVE vectors WITHOUT touching a single index file: ids land in
+    * a `<root>_dels` tombstone set and [[search]] anti-joins them out
+    * of the probed cells. No scoring state to adjust (IVF has none —
+    * the quantizer is frozen), so deletion is one tiny append;
+    * rebuild (`build`) is the physical purge and clears the set.
+    * Removed ids must not be re-added. */
+  def remove(spark: SparkSession, vecIds: DataFrame, root: String)
+  : Long =
+    SnapshotTable.append(spark, delsRoot(root),
+      vecIds.select(col("vec_id")), files = 1)
 
   /** EXACTLY-ONCE streaming maintenance: one micro-batch of new
     * vectors under an `(appId, batchId)` idempotence marker. Unlike
@@ -145,10 +161,18 @@ object VectorIndex {
     // consumed-filter path plans exactly those cells' files
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val idx = spark.read.format("graft-snapshot")
+    val idx0 = spark.read.format("graft-snapshot")
       .option("path", root).load()
       .filter(col("cell").isin(cells.toSeq: _*))
       .select(col("vec_id").as("c_id"), col("cell"), col("v"))
+    // tombstoned vectors leave the probed cells at read time; the
+    // set is bounded by removals since the last rebuild
+    val idx =
+      if (SnapshotTable.currentVersion(spark, delsRoot(root)) == 0L)
+        idx0
+      else idx0.join(SnapshotTable.read(spark, delsRoot(root))
+          .select(col("vec_id").as("c_id")).distinct(),
+        Seq("c_id"), "left_anti")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("cos_r"), asc("c_id"))
     idx.join(broadcast(probes), Seq("cell"))

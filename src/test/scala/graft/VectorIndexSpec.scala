@@ -96,6 +96,48 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("remove(): a tombstoned vector disappears from results (its " +
+      "clone query falls back to the next neighbor), probes keep " +
+      "pruning, and a rebuild purges the set") {
+    val root = tmpRoot()
+    VectorIndex.build(spark, embeddings.filter(col("vec_id") < 400),
+      root, nlist = 8, iters = 5, trainCap = 400)
+    // clone vector 3 under a new id, verify it tops its own query,
+    // then remove it and verify the query no longer returns it
+    val clone = embeddings.filter(col("vec_id") === 3)
+      .selectExpr("vec_id + 100000 AS vec_id", "embedding")
+    VectorIndex.add(spark, clone, root)
+    val qs = embeddings.filter(col("vec_id") === 3)
+      .selectExpr("vec_id AS q_id", "embedding")
+    def top1() = VectorIndex.search(spark, root, qs, 1, nprobe = 2)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).head
+    assert(top1() == ((100003L, 1.0)))
+
+    VectorIndex.remove(spark,
+      spark.range(100003, 100004).selectExpr("id AS vec_id"), root)
+    val (cid, cos) = top1()
+    assert(cid != 100003L && cos < 1.0,
+      s"tombstoned vector still returned: $cid at $cos")
+    val plan = VectorIndex.search(spark, root, qs, 1, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"post-remove probe lost pruning:\n$plan")
+
+    // rebuild over the base corpus: dels cleared, same top-1 as a
+    // fresh index
+    VectorIndex.build(spark, embeddings.filter(col("vec_id") < 400),
+      root, nlist = 8, iters = 5, trainCap = 400)
+    val fresh = tmpRoot()
+    VectorIndex.build(spark, embeddings.filter(col("vec_id") < 400),
+      fresh, nlist = 8, iters = 5, trainCap = 400)
+    val a = VectorIndex.search(spark, root, qs, 3, nprobe = 2)
+      .collect().map(_.toSeq)
+    val b = VectorIndex.search(spark, fresh, qs, 3, nprobe = 2)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "rebuild diverged from a fresh index")
+  }
+
   test("streaming maintenance is exactly-once: vectors land through " +
       "indexSink, a replayed batch no-ops, and streamed results " +
       "equal the batch add() path") {
