@@ -146,6 +146,12 @@ object TextIndex {
       SnapshotTable.appendBucketed(spark, root,
         postingsOf(ins, col("__v")), txn = Some((appId, batchId)))
     val del = batch.filter(col("_change_type") === "delete")
+    // the signed stats row needs the DELETED texts' token counts — a
+    // feed built without preImages=true would silently corrupt
+    // N/avgdl (sum() skips nulls), so refuse it loudly
+    require(del.filter(col("text").isNull).isEmpty,
+      "TextIndex.applyChanges needs delete rows with preImages " +
+        "(build the changelog stream with preImages=true)")
     if (!del.isEmpty &&
         !SnapshotTable.lastCommittedTxn(spark, delsRoot(root), appId)
           .exists(_ >= batchId))

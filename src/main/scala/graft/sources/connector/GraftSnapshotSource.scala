@@ -1355,6 +1355,13 @@ private[connector] object GraftPruning {
     if (ki < 0 || vs.isEmpty || vs.contains(null)) return entries
     val dt = schema.fields.find(_.name.equalsIgnoreCase(c))
       .map(_.dataType).getOrElse(return entries)
+    dt match {
+      // SQL equality and murmur3-of-bits disagree on -0.0 == 0.0 (and
+      // NaN payloads): a 0.0 literal would prune away the bucket the
+      // writer hashed -0.0 rows into. Fractional bucket keys decline.
+      case FloatType | DoubleType => return entries
+      case _ => ()
+    }
     val n = layout(ki)._2
     val counts = layout.map(_._2)
     val hs = vs.map(v => scala.util.Try {

@@ -200,8 +200,8 @@ class TextIndexSpec extends SparkSpec {
       day3.toDF("doc_id", "text")
         .withColumn("__toks", split(col("text"), " "))
         .select(col("doc_id"), size(col("__toks")).as("dl"),
-          explode(col("__toks")).as("term"))
-        .groupBy(col("term"), col("doc_id"), col("dl"))
+          lit(0L).as("era"), explode(col("__toks")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"), col("era"))
         .agg(count(lit(1)).as("tf")),
       txn = Some(("tix-test", 2L)))
     TextIndex.applyBatch(spark, root,
