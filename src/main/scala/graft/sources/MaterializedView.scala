@@ -196,7 +196,8 @@ object MaterializedView {
       .withColumn("__sign",
         when(col("change_type") === "inserted", lit(1L)).otherwise(lit(-1L)))
     val viewV =
-      try mergeSignedDelta(spark, v, viewCur, signedDelta(delta, v))
+      try mergeSignedDelta(spark, v.viewRoot, v.keys, v.sumCols, viewCur,
+        signedDelta(delta, v.keys, v.sumCols))
       catch {
         // a concurrent refresh landed first: applying OUR delta onto
         // ITS rollup would double-count the overlap — recompute instead
@@ -210,17 +211,18 @@ object MaterializedView {
   /** Signed rows (`__sign` = +1 insert / -1 retract) → the keyed delta
     * rollup the merge consumes. Delta keys are renamed (`__dk_`) so the
     * merge can express a null-safe join condition. */
-  private def signedDelta(df: DataFrame, v: IncrementalView): DataFrame = {
+  private def signedDelta(df: DataFrame, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    df.groupBy(v.keys.map(col): _*)
+    df.groupBy(keys.map(col): _*)
       .agg(sum(col("__sign")).as("dn"),
-        v.sumCols.flatMap(c => Seq(
+        sumCols.flatMap(c => Seq(
           sum(col(c).cast("decimal(20,2)") * col("__sign")).as(s"dsum_$c"),
           sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L)))
             .as(s"dcnt_$c"))): _*)
-      .select(v.keys.map(k => col(k).as(s"__dk_$k")) ++
+      .select(keys.map(k => col(k).as(s"__dk_$k")) ++
         Seq(col("dn")) ++
-        v.sumCols.flatMap(c =>
+        sumCols.flatMap(c =>
           Seq(col(s"dsum_$c"), col(s"dcnt_$c"))): _*)
   }
 
@@ -228,11 +230,12 @@ object MaterializedView {
     * CAS-commit the result. Throws [[SnapshotTable.CommitConflict]]
     * when another maintainer landed in between — the caller decides
     * how to recover (full recompute). */
-  private def mergeSignedDelta(spark: SparkSession, v: IncrementalView,
+  private def mergeSignedDelta(spark: SparkSession, viewRoot: String,
+      keys: Seq[String], sumCols: Seq[String],
       viewCur: Long, deltaAgg: DataFrame): Long = {
     import org.apache.spark.sql.functions._
-    val old = SnapshotTable.readVersion(spark, v.viewRoot, viewCur)
-    val cond = v.keys.map(k => old(k) <=> deltaAgg(s"__dk_$k"))
+    val old = SnapshotTable.readVersion(spark, viewRoot, viewCur)
+    val cond = keys.map(k => old(k) <=> deltaAgg(s"__dk_$k"))
       .reduce(_ && _)
     val zeroDec = lit(0).cast("decimal(20,2)")
     def mergedSum(c: String): Seq[Column] = {
@@ -248,15 +251,15 @@ object MaterializedView {
     // "no old-side row" is probed via `n` (never NULL in a view row) —
     // probing the key would misread a legitimate NULL-key group
     val merged = old.join(deltaAgg, cond, "full_outer")
-      .select((v.keys.map(k =>
+      .select((keys.map(k =>
         when(col("n").isNull, col(s"__dk_$k"))
           .otherwise(old(k)).as(k)) ++
         Seq((coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
           .as("n")) ++
-        v.sumCols.flatMap(mergedSum)): _*)
+        sumCols.flatMap(mergedSum)): _*)
       .filter(col("n") > 0)
-    SnapshotTable.commitExpecting(spark, v.viewRoot, merged,
-      expectedCurrent = viewCur, clusterKey = v.keys.headOption)
+    SnapshotTable.commitExpecting(spark, viewRoot, merged,
+      expectedCurrent = viewCur, clusterKey = keys.headOption)
   }
 
   /** MV maintenance as a STREAMING JOB — the CDC feed for APPEND-ONLY
@@ -380,7 +383,8 @@ object MaterializedView {
       val signed = fresh.withColumn("__sign",
         when(col(typCol) === "insert", lit(1L)).otherwise(lit(-1L)))
       val viewV =
-        try mergeSignedDelta(spark, v, viewCur, signedDelta(signed, v))
+        try mergeSignedDelta(spark, v.viewRoot, v.keys, v.sumCols, viewCur,
+          signedDelta(signed, v.keys, v.sumCols))
         catch {
           case _: SnapshotTable.CommitConflict =>
             return refresh(spark, asView(v))
@@ -388,6 +392,244 @@ object MaterializedView {
       writeFreshness(spark, v.viewRoot, hi, viewV)
       viewV
     } finally { fresh.unpersist(); () }
+  }
+
+  // ---- join views: fact ⋈ dim → keyed rollup, maintained from BOTH
+  // ---- tables' deltas ----
+
+  /** A materialized rollup over an equi-join `fact ⋈ dim`, restricted
+    * to keyed COUNT + SUM aggregates — maintained INCREMENTALLY from
+    * both tables' version deltas via the bilinear identity
+    *
+    * {{{ Δ(F ⋈ D) = ΔF ⋈ D_new  +  F_old ⋈ ΔD }}}
+    *
+    * (signed multisets; expand `(F+ΔF)⋈(D+ΔD) − F⋈D` and fold the
+    * cross term `ΔF⋈ΔD` into the first summand's `D_new = D + ΔD`).
+    * This is the standard delta rule of incremental view maintenance
+    * (Griffin & Libkin, "Incremental Maintenance of Views with
+    * Duplicates", SIGMOD'95; the same algebra DBSP/Materialize run),
+    * expressed over [[SnapshotTable.diff]]'s exact signed row deltas.
+    *
+    * Why this matters at scale: the view is a join a 100 TB engine
+    * must never recompute per refresh. Both summands are O(delta +
+    * matching files), never O(table):
+    *  - `ΔF ⋈ D_new` reads the fact delta (O(changed files) via the
+    *    manifest diff) and prunes the DIM read to ΔF's join keys
+    *    through [[SnapshotTable.readKeys]] (stats + bloom, version-
+    *    pinned) — the nightly fact append never rescans the dim;
+    *  - `F_old ⋈ ΔD` reads the dim delta and prunes the FACT read to
+    *    ΔD's keys the same way — a ten-row dim correction touches
+    *    only the fact files whose stats admit those keys, which is
+    *    the whole point of keeping the fact table clustered on its
+    *    foreign key.
+    *
+    * `keys` (group-by) and `sumCols` name columns of the JOINED frame,
+    * so a rollup keyed by a dim attribute (revenue by nation name)
+    * maintains exactly: a dim update retracts the fact rows' old
+    * contribution under the old attribute and re-adds it under the
+    * new one, both signed legs arriving through `F_old ⋈ ΔD`.
+    * Column names must be disjoint across the two tables (enforced),
+    * so the joined frame is unambiguous. The join is INNER on
+    * `factKey = dimKey`: NULL keys match nothing, exactly as SQL. */
+  final case class JoinView(factRoot: String, dimRoot: String,
+      viewRoot: String, factKey: String, dimKey: String,
+      keys: Seq[String], sumCols: Seq[String])
+
+  /** Join-view freshness markers record BOTH consumed source versions
+    * (`_source_versions.<viewV>` holding `factV,dimV`) — same
+    * exclusive-create, append-only discipline as the single-source
+    * markers, distinct namespace so the two view kinds cannot
+    * misread each other's files. */
+  private def joinMarkerPrefix = "_source_versions."
+
+  private def joinMarkerFor(spark: SparkSession, viewRoot: String,
+      viewV: Long): Option[(Long, Long)] = {
+    val f = SnapshotTable.fs(spark, viewRoot)
+    val p = new Path(viewRoot, s"$joinMarkerPrefix$viewV")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val s = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      s.split(',') match {
+        case Array(a, b) => Some((a.toLong, b.toLong))
+        case _ => None
+      }
+    }
+  }
+
+  private def writeJoinFreshness(spark: SparkSession, viewRoot: String,
+      factV: Long, dimV: Long, viewV: Long): Unit = {
+    val f = SnapshotTable.fs(spark, viewRoot)
+    val out = f.create(new Path(viewRoot, s"$joinMarkerPrefix$viewV"),
+      false) // one refresh per view version
+    try out.write(s"$factV,$dimV".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The (factV, dimV) pair the view's CURRENT version consumed;
+    * (0, 0) = never refreshed (or the marker expired). */
+  def joinRefreshedAgainst(spark: SparkSession, viewRoot: String)
+  : (Long, Long) = {
+    val cur = SnapshotTable.currentVersion(spark, viewRoot)
+    if (cur == 0L) (0L, 0L)
+    else joinMarkerFor(spark, viewRoot, cur).getOrElse((0L, 0L))
+  }
+
+  def isStale(spark: SparkSession, v: JoinView): Boolean = {
+    val (f, d) = joinRefreshedAgainst(spark, v.viewRoot)
+    SnapshotTable.currentVersion(spark, v.factRoot) > f ||
+      SnapshotTable.currentVersion(spark, v.dimRoot) > d
+  }
+
+  def read(spark: SparkSession, v: JoinView): DataFrame =
+    SnapshotTable.read(spark, v.viewRoot)
+
+  /** Inner-join `fact ⋈ dim` with the disjoint-name guard the delta
+    * algebra depends on (a shadowed column would silently group or
+    * sum the wrong side). */
+  private def joinedFrame(fact: DataFrame, dim: DataFrame,
+      v: JoinView): DataFrame = {
+    val overlap = fact.columns.map(_.toLowerCase(java.util.Locale.ROOT))
+      .toSet intersect
+      dim.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    require(overlap.isEmpty,
+      s"JoinView requires disjoint column names; shared: " +
+        overlap.toSeq.sorted.mkString(", "))
+    fact.join(dim, fact(v.factKey) === dim(v.dimKey), "inner")
+  }
+
+  private def joinRollup(joined: DataFrame, v: JoinView): DataFrame = {
+    import org.apache.spark.sql.functions._
+    joined.groupBy(v.keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        v.sumCols.flatMap(c => Seq(
+          sum(col(c).cast("decimal(20,2)")).as(s"sum_$c"),
+          count(col(c)).as(s"cnt_$c"))): _*)
+  }
+
+  /** Recompute the join rollup from the CURRENT snapshots of both
+    * sources and commit it as a new view version. Version-independent
+    * (safe to commit on top of anything), so it is also every
+    * incremental path's recovery move. */
+  def refreshJoin(spark: SparkSession, v: JoinView): Long = {
+    val factV = SnapshotTable.currentVersion(spark, v.factRoot)
+    val dimV = SnapshotTable.currentVersion(spark, v.dimRoot)
+    val result = joinRollup(joinedFrame(
+      SnapshotTable.readVersion(spark, v.factRoot, factV),
+      SnapshotTable.readVersion(spark, v.dimRoot, dimV), v), v)
+    val viewV = SnapshotTable.commit(spark, v.viewRoot, result,
+      clusterKey = v.keys.headOption)
+    writeJoinFreshness(spark, v.viewRoot, factV, dimV, viewV)
+    viewV
+  }
+
+  /** Refresh by DELTA when possible — the two-summand rule above, each
+    * summand key-pruning its table read; merged onto the view through
+    * the same signed-delta CAS commit the single-source path uses.
+    * Falls back to [[refreshJoin]] on first refresh, when a consumed
+    * version has been expired, or on a CAS conflict (a concurrent
+    * maintainer landed first — applying OUR delta on ITS rollup would
+    * double-count the overlap). No-ops when fresh. */
+  def refreshJoinIncremental(spark: SparkSession, v: JoinView): Long = {
+    import org.apache.spark.sql.functions._
+    val viewCur = SnapshotTable.currentVersion(spark, v.viewRoot)
+    val (lastF, lastD) =
+      if (viewCur == 0L) (0L, 0L)
+      else joinMarkerFor(spark, v.viewRoot, viewCur).getOrElse((0L, 0L))
+    val curF = SnapshotTable.currentVersion(spark, v.factRoot)
+    val curD = SnapshotTable.currentVersion(spark, v.dimRoot)
+    if (lastF == curF && lastD == curD && lastF > 0)
+      return viewCur // fresh: no-op
+    val canDelta = lastF > 0 && lastD > 0 &&
+      lastF <= curF && lastD <= curD &&
+      SnapshotTable.versions(spark, v.factRoot).contains(lastF) &&
+      SnapshotTable.versions(spark, v.dimRoot).contains(lastD)
+    if (!canDelta) return refreshJoin(spark, v)
+
+    val signedRows = joinSignedRows(spark, v, lastF, lastD, curF, curD)
+      .getOrElse(return viewCur) // both sources metadata-fresh
+    val viewV =
+      try mergeSignedDelta(spark, v.viewRoot, v.keys, v.sumCols, viewCur,
+        signedDelta(signedRows, v.keys, v.sumCols))
+      catch {
+        case _: SnapshotTable.CommitConflict => return refreshJoin(spark, v)
+      }
+    writeJoinFreshness(spark, v.viewRoot, curF, curD, viewV)
+    viewV
+  }
+
+  /** The two-summand signed delta `ΔF ⋈ D_new + F_old ⋈ ΔD` as one
+    * frame of joined rows carrying `__sign` — the refresh body,
+    * exposed package-private so specs can assert the IO shape
+    * (`inputFiles`): a fact-only change never re-opens the fact's
+    * pre-existing files, a dim-only change opens only the fact files
+    * whose stats admit the touched keys. None = neither source added
+    * data versions (metadata-only staleness). */
+  private[graft] def joinSignedRows(spark: SparkSession, v: JoinView,
+      lastF: Long, lastD: Long, curF: Long, curD: Long)
+  : Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    def signed(df: DataFrame): DataFrame = df
+      .withColumn("__sign",
+        when(col("change_type") === "inserted", lit(1L))
+          .otherwise(lit(-1L)))
+      .drop("change_type")
+
+    // ΔF ⋈ D_new: the dim read is version-pinned to curD and PRUNED to
+    // the fact delta's join keys (stats + bloom from the manifest)
+    val t1 =
+      if (curF <= lastF) None
+      else {
+        val dF = signed(
+          SnapshotTable.diff(spark, v.factRoot, lastF, curF))
+        val dimPruned = SnapshotTable.readKeys(spark, v.dimRoot,
+          v.dimKey, dF.select(col(v.factKey).as(v.dimKey)), Some(curD))
+        Some(dF.join(dimPruned,
+          dF(v.factKey) === dimPruned(v.dimKey), "inner"))
+      }
+    // F_old ⋈ ΔD: the fact read is version-pinned to lastF and PRUNED
+    // to the dim delta's keys — a small dim correction opens only the
+    // fact files whose stats admit the touched keys
+    val t2 =
+      if (curD <= lastD) None
+      else {
+        val dD = signed(
+          SnapshotTable.diff(spark, v.dimRoot, lastD, curD))
+        val factOld = SnapshotTable.readKeys(spark, v.factRoot,
+          v.factKey, dD.select(col(v.dimKey).as(v.factKey)), Some(lastF))
+        Some(factOld.join(dD,
+          factOld(v.factKey) === dD(v.dimKey), "inner"))
+      }
+    (t1.toSeq ++ t2.toSeq) match {
+      case Seq() => None
+      case parts => Some(parts.reduce(_.unionByName(_)))
+    }
+  }
+
+  /** Join-MV maintenance as a STREAMING JOB: one changelog wake stream
+    * per source, each tick calling [[refreshJoinIncremental]]. The
+    * batch content is discarded — the refresh derives its own signed
+    * deltas from the manifest diff, version-pinned by the pair marker
+    * — so the wake streams ride `changes=true` (which survives MOR
+    * deletes/updates, unlike the plain accretive stream) and replays
+    * or double-wakes are harmless: the refresh no-ops when fresh and
+    * CAS-recovers when raced. Returns both query handles. */
+  def joinFeed(spark: SparkSession, v: JoinView,
+      factCheckpoint: String, dimCheckpoint: String)
+  : (org.apache.spark.sql.streaming.StreamingQuery,
+     org.apache.spark.sql.streaming.StreamingQuery) = {
+    def wake(root: String, cp: String) =
+      spark.readStream.format("graft-snapshot")
+        .option("path", root)
+        .option("changes", "true").option("preImages", "true")
+        .load()
+        .writeStream
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          refreshJoinIncremental(spark, v); ()
+        }
+        .option("checkpointLocation", cp)
+        .start()
+    (wake(v.factRoot, factCheckpoint), wake(v.dimRoot, dimCheckpoint))
   }
 
   /** Expire old VIEW versions and prune the freshness markers that
@@ -403,10 +645,20 @@ object MaterializedView {
     if (f.exists(rootPath)) f.listStatus(rootPath).toSeq.map(_.getPath)
       .foreach { p =>
         val n = p.getName
-        if (n.startsWith(markerPrefix) &&
-          n.stripPrefix(markerPrefix).forall(_.isDigit) &&
-          !surviving(n.stripPrefix(markerPrefix).toLong))
-          f.delete(p, false)
+        // both marker namespaces (single-source and join pair);
+        // joinMarkerPrefix does NOT match markerPrefix's startsWith
+        // ("_source_versions." vs "_source_version.") so each file is
+        // judged under exactly one prefix
+        val suffix =
+          if (n.startsWith(joinMarkerPrefix))
+            Some(n.stripPrefix(joinMarkerPrefix))
+          else if (n.startsWith(markerPrefix))
+            Some(n.stripPrefix(markerPrefix))
+          else None
+        suffix.filter(s => s.nonEmpty && s.forall(_.isDigit))
+          .foreach { s =>
+            if (!surviving(s.toLong)) f.delete(p, false)
+          }
       }
     dropped
   }

@@ -1261,6 +1261,49 @@ object Sources {
           col("sum_o_totalprice"), col("cnt_o_totalprice"))
         .orderBy("o_orderstatus")
     }),
+    // INCREMENTALLY-MAINTAINED JOIN MV under the oracle: a fact ⋈ dim
+    // rollup (revenue by customer segment) kept exact through a fact
+    // MOR-delete, a dim MOR-update (segment reassignment) and a fact
+    // append — each by ONE incremental refresh applying the bilinear
+    // delta Δ(F⋈D) = ΔF⋈D_new + F_old⋈ΔD with key-pruned table reads.
+    // DuckDB recomputes the join rollup from scratch over the same
+    // final logical state; every signed leg must land bit-exact.
+    "snapshot_mv_join" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-mvj").toString
+      val fact = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val dim = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val jv = MaterializedView.JoinView(
+        base + "/fact", base + "/dim", base + "/view",
+        factKey = "o_custkey", dimKey = "c_custkey",
+        keys = Seq("c_mktsegment"), sumCols = Seq("o_totalprice"))
+      SnapshotTable.commit(s, jv.factRoot, fact,
+        clusterKey = Some("o_custkey"))
+      SnapshotTable.commit(s, jv.dimRoot, dim,
+        clusterKey = Some("c_custkey"))
+      MaterializedView.refreshJoinIncremental(s, jv) // bootstrap
+      SnapshotTable.deleteKeysOnRead(s, jv.factRoot,
+        fact.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
+        "o_orderkey")
+      MaterializedView.refreshJoinIncremental(s, jv) // ΔF only (kills)
+      SnapshotTable.mergeOnRead(s, jv.dimRoot,
+        dim.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_mktsegment", lit("MOVED")),
+        "c_custkey")
+      MaterializedView.refreshJoinIncremental(s, jv) // ΔD only
+      SnapshotTable.append(s, jv.factRoot,
+        fact.filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice")))
+      MaterializedView.refreshJoinIncremental(s, jv) // ΔF only (append)
+      MaterializedView.read(s, jv)
+        .select(col("c_mktsegment"), col("n"),
+          col("sum_o_totalprice"), col("cnt_o_totalprice"))
+        .orderBy("c_mktsegment")
+    }),
     // RENAME COLUMN under the oracle: commit orders, ALTER TABLE
     // RENAME COLUMN o_totalprice TO price — a metadata-only commit
     // recording a physical-name epoch; pre-rename files still store
@@ -2037,6 +2080,25 @@ object Sources {
         |  count(o_totalprice) AS cnt_o_totalprice
         |FROM live GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_mv_join" ->
+      """WITH fact AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice * 2
+        |  FROM orders WHERE o_orderkey % 17 = 0),
+        |dim AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
+        |    AS DECIMAL(20,2)) AS sum_o_totalprice,
+        |  count(o_totalprice) AS cnt_o_totalprice
+        |FROM fact JOIN dim ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "snapshot_rename_column" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -1,0 +1,286 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.{MaterializedView, SnapshotTable}
+
+/** [[MaterializedView.JoinView]] — incremental maintenance of a
+  * fact ⋈ dim rollup from both tables' version deltas
+  * (Δ(F⋈D) = ΔF⋈D_new + F_old⋈ΔD), with key-pruned table reads.
+  *
+  * Every incremental result is asserted BIT-EQUAL to a from-scratch
+  * recompute of the same rollup over the two tables' current
+  * snapshots — the maintenance algebra has no epsilon. */
+class JoinViewSpec extends SparkSpec {
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-jv").toString + "/t"
+
+  /** orders-shaped fact (key, custkey FK, price) and customer-shaped
+    * dim (custkey PK, segment) from the sf fixture. */
+  private def factDf: DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  private def dimDf: DataFrame =
+    Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  private def mkView(): MaterializedView.JoinView = {
+    val base = tmpRoot()
+    MaterializedView.JoinView(
+      factRoot = base + "_fact", dimRoot = base + "_dim",
+      viewRoot = base + "_view",
+      factKey = "o_custkey", dimKey = "c_custkey",
+      keys = Seq("c_mktsegment"), sumCols = Seq("o_totalprice"))
+  }
+
+  /** From-scratch recompute of the view's rollup over the CURRENT
+    * snapshots — the oracle every incremental refresh must bit-match. */
+  private def expected(v: MaterializedView.JoinView): Seq[String] = {
+    val f = SnapshotTable.read(spark, v.factRoot)
+    val d = SnapshotTable.read(spark, v.dimRoot)
+    canon(f.join(d, f("o_custkey") === d("c_custkey"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(20,2)"))
+          .as("sum_o_totalprice"),
+        count(col("o_totalprice")).as("cnt_o_totalprice")))
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.select(col("c_mktsegment"), col("n"),
+        col("sum_o_totalprice").cast("decimal(20,2)"),
+        col("cnt_o_totalprice"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  private def served(v: MaterializedView.JoinView): Seq[String] =
+    canon(MaterializedView.read(spark, v))
+
+  test("bootstrap (full recompute) then fact-append, fact MOR-delete, " +
+      "dim MOR-update, and a both-sides version — every incremental " +
+      "refresh bit-matches a from-scratch recompute") {
+    val v = mkView()
+    val fact = factDf
+    SnapshotTable.commit(spark, v.factRoot, fact,
+      clusterKey = Some("o_custkey"), files = 8)
+    SnapshotTable.commit(spark, v.dimRoot, dimDf,
+      clusterKey = Some("c_custkey"), files = 4)
+
+    // bootstrap: no marker -> full path
+    assert(MaterializedView.isStale(spark, v))
+    MaterializedView.refreshJoinIncremental(spark, v)
+    assert(!MaterializedView.isStale(spark, v))
+    assert(served(v) == expected(v), "bootstrap")
+    val viewAfterBoot = SnapshotTable.currentVersion(spark, v.viewRoot)
+
+    // fact append: new orders under fresh keys
+    SnapshotTable.append(spark, v.factRoot,
+      fact.filter(col("o_orderkey") % 17 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice")))
+    MaterializedView.refreshJoinIncremental(spark, v)
+    assert(served(v) == expected(v), "fact append")
+
+    // fact MOR delete
+    SnapshotTable.deleteKeysOnRead(spark, v.factRoot,
+      fact.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
+      "o_orderkey")
+    MaterializedView.refreshJoinIncremental(spark, v)
+    assert(served(v) == expected(v), "fact MOR delete")
+
+    // dim MOR update: move every 7th customer to a new segment — the
+    // delta must retract those customers' fact rows from their old
+    // segment and re-add them under 'MOVED'
+    SnapshotTable.mergeOnRead(spark, v.dimRoot,
+      dimDf.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment", lit("MOVED")),
+      "c_custkey")
+    MaterializedView.refreshJoinIncremental(spark, v)
+    assert(served(v) == expected(v), "dim MOR update")
+
+    // both sides change between refreshes (the cross term ΔF⋈ΔD rides
+    // D_new): append fact rows AND move more dim rows, one refresh
+    SnapshotTable.append(spark, v.factRoot,
+      fact.filter(col("o_orderkey") % 19 === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+    SnapshotTable.mergeOnRead(spark, v.dimRoot,
+      dimDf.filter(col("c_custkey") % 11 === 0)
+        .withColumn("c_mktsegment", lit("MOVED2")),
+      "c_custkey")
+    MaterializedView.refreshJoinIncremental(spark, v)
+    assert(served(v) == expected(v), "both sides changed")
+
+    // every post-bootstrap refresh was a DELTA commit, not a recompute:
+    // the view advanced exactly once per refresh call
+    assert(SnapshotTable.currentVersion(spark, v.viewRoot) ==
+      viewAfterBoot + 4)
+
+    // refresh when fresh: no-op, version unchanged
+    val cur = SnapshotTable.currentVersion(spark, v.viewRoot)
+    assert(MaterializedView.refreshJoinIncremental(spark, v) == cur)
+    assert(SnapshotTable.currentVersion(spark, v.viewRoot) == cur)
+  }
+
+  test("IO shape: a fact-only append never re-opens the fact's " +
+      "pre-existing files; a dim-only change opens only the fact files " +
+      "whose stats admit the touched keys") {
+    val v = mkView()
+    val fact = factDf
+    SnapshotTable.commit(spark, v.factRoot, fact,
+      clusterKey = Some("o_custkey"), files = 8)
+    SnapshotTable.commit(spark, v.dimRoot, dimDf,
+      clusterKey = Some("c_custkey"), files = 4)
+    MaterializedView.refreshJoinIncremental(spark, v) // bootstrap
+
+    val factV1Files = SnapshotTable.readVersion(spark, v.factRoot, 1L)
+      .inputFiles.toSet
+    assert(factV1Files.size == 8, "clustered commit should stage 8 files")
+
+    // fact-only: ΔF ⋈ D_new must read ONLY the appended fact files
+    SnapshotTable.append(spark, v.factRoot,
+      fact.limit(50).select(
+        (col("o_orderkey") + 30000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice")))
+    val curF = SnapshotTable.currentVersion(spark, v.factRoot)
+    val curD = SnapshotTable.currentVersion(spark, v.dimRoot)
+    val rowsF = MaterializedView.joinSignedRows(spark, v,
+      lastF = 1L, lastD = curD, curF = curF, curD = curD).get
+    val openedF = rowsF.inputFiles.toSet
+    assert((openedF intersect factV1Files).isEmpty,
+      s"fact-only delta re-opened pre-existing fact files: " +
+        s"${openedF intersect factV1Files}")
+    MaterializedView.refreshJoinIncremental(spark, v)
+
+    // dim-only: F_old ⋈ ΔD must open a strict subset of fact files —
+    // touch ONE customer key, whose fact rows live in few range files
+    val oneKey = dimDf.select(min(col("c_custkey"))).head().getLong(0)
+    SnapshotTable.mergeOnRead(spark, v.dimRoot,
+      dimDf.filter(col("c_custkey") === oneKey)
+        .withColumn("c_mktsegment", lit("SOLO")),
+      "c_custkey")
+    val lastF2 = SnapshotTable.currentVersion(spark, v.factRoot)
+    val rowsD = MaterializedView.joinSignedRows(spark, v,
+      lastF = lastF2, lastD = curD,
+      curF = lastF2,
+      curD = SnapshotTable.currentVersion(spark, v.dimRoot)).get
+    val openedD = rowsD.inputFiles.toSet intersect factV1Files
+    assert(openedD.size < factV1Files.size,
+      s"dim-only delta opened ${openedD.size}/${factV1Files.size} " +
+        "fact files — pruning lost")
+    MaterializedView.refreshJoinIncremental(spark, v)
+    assert(served(v) == expected(v), "after IO-shape history")
+  }
+
+  test("group keys from the DIM side with a NULL group: the null-safe " +
+      "merge keeps exactly one NULL-segment group through updates") {
+    val v = mkView()
+    val fact = factDf
+    // null out one customer's segment so the view has a NULL group key
+    val dim0 = dimDf.withColumn("c_mktsegment",
+      when(col("c_custkey") % 5 === 0, lit(null: String))
+        .otherwise(col("c_mktsegment")))
+    SnapshotTable.commit(spark, v.factRoot, fact,
+      clusterKey = Some("o_custkey"), files = 8)
+    SnapshotTable.commit(spark, v.dimRoot, dim0,
+      clusterKey = Some("c_custkey"), files = 4)
+    MaterializedView.refreshJoinIncremental(spark, v)
+    assert(served(v) == expected(v), "bootstrap with NULL group")
+    assert(MaterializedView.read(spark, v)
+      .filter(col("c_mktsegment").isNull).count() == 1)
+
+    // append fact rows referencing NULL-segment customers — the delta
+    // must merge INTO the existing NULL group, not duplicate it
+    SnapshotTable.append(spark, v.factRoot,
+      fact.filter(col("o_custkey") % 5 === 0).limit(20)
+        .select((col("o_orderkey") + 40000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+    MaterializedView.refreshJoinIncremental(spark, v)
+    assert(served(v) == expected(v), "append into NULL group")
+    assert(MaterializedView.read(spark, v)
+      .filter(col("c_mktsegment").isNull).count() == 1)
+  }
+
+  test("a group emptied by deletes leaves the view; expired source " +
+      "versions and overlapping column names are handled") {
+    val v = mkView()
+    val fact = factDf
+    // a tiny private segment: customers 1..3 with segment 'ONLY',
+    // plus their fact rows — deleting the fact rows must DROP the
+    // group (n reaches zero), not leave a zero row
+    val dim0 = dimDf.withColumn("c_mktsegment",
+      when(col("c_custkey") <= 3, lit("ONLY"))
+        .otherwise(col("c_mktsegment")))
+    SnapshotTable.commit(spark, v.factRoot, fact,
+      clusterKey = Some("o_custkey"), files = 8)
+    SnapshotTable.commit(spark, v.dimRoot, dim0,
+      clusterKey = Some("c_custkey"), files = 4)
+    MaterializedView.refreshJoinIncremental(spark, v)
+    val hadOnly = MaterializedView.read(spark, v)
+      .filter(col("c_mktsegment") === "ONLY").count()
+    assert(hadOnly == 1L, "fixture: the ONLY group exists")
+
+    SnapshotTable.deleteKeysOnRead(spark, v.factRoot,
+      fact.filter(col("o_custkey") <= 3).select("o_orderkey"),
+      "o_orderkey")
+    MaterializedView.refreshJoinIncremental(spark, v)
+    assert(served(v) == expected(v), "group drained by fact deletes")
+    assert(MaterializedView.read(spark, v)
+      .filter(col("c_mktsegment") === "ONLY").count() == 0,
+      "an emptied group must leave the view")
+
+    // expire the consumed fact version: the next refresh must fall
+    // back to a full recompute and still serve the exact rollup
+    SnapshotTable.append(spark, v.factRoot,
+      fact.limit(5).select(
+        (col("o_orderkey") + 50000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice")))
+    SnapshotTable.expireSnapshots(spark, v.factRoot, keep = 1)
+    MaterializedView.refreshJoinIncremental(spark, v)
+    assert(served(v) == expected(v), "recompute after expiry")
+
+    // overlapping column names are refused loudly
+    val bad = MaterializedView.JoinView(v.factRoot, v.factRoot,
+      tmpRoot(), "o_custkey", "o_custkey",
+      Seq("o_orderkey"), Seq("o_totalprice"))
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.refreshJoin(spark, bad)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  test("streaming joinFeed: two changelog wake streams keep the view " +
+      "exact through fact appends and dim MOR updates") {
+    val v = mkView()
+    val fact = factDf
+    SnapshotTable.commit(spark, v.factRoot, fact,
+      clusterKey = Some("o_custkey"), files = 8)
+    SnapshotTable.commit(spark, v.dimRoot, dimDf,
+      clusterKey = Some("c_custkey"), files = 4)
+    val cpF = java.nio.file.Files
+      .createTempDirectory("graft-jv-cpf").toString
+    val cpD = java.nio.file.Files
+      .createTempDirectory("graft-jv-cpd").toString
+    val (qf, qd) = MaterializedView.joinFeed(spark, v, cpF, cpD)
+    try {
+      qf.processAllAvailable(); qd.processAllAvailable()
+      assert(served(v) == expected(v), "bootstrap via feed")
+
+      SnapshotTable.append(spark, v.factRoot,
+        fact.limit(40).select(
+          (col("o_orderkey") + 60000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+      qf.processAllAvailable(); qd.processAllAvailable()
+      assert(served(v) == expected(v), "fact append via feed")
+
+      SnapshotTable.mergeOnRead(spark, v.dimRoot,
+        dimDf.filter(col("c_custkey") % 9 === 0)
+          .withColumn("c_mktsegment", lit("FEEDMOVED")),
+        "c_custkey")
+      qd.processAllAvailable(); qf.processAllAvailable()
+      assert(served(v) == expected(v), "dim update via feed")
+    } finally { qf.stop(); qd.stop() }
+  }
+}
