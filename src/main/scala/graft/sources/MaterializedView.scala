@@ -226,15 +226,12 @@ object MaterializedView {
           Seq(col(s"dsum_$c"), col(s"dcnt_$c"))): _*)
   }
 
-  /** Merge a keyed signed-delta rollup onto view version `viewCur` and
-    * CAS-commit the result. Throws [[SnapshotTable.CommitConflict]]
-    * when another maintainer landed in between — the caller decides
-    * how to recover (full recompute). */
-  private def mergeSignedDelta(spark: SparkSession, viewRoot: String,
-      keys: Seq[String], sumCols: Seq[String],
-      viewCur: Long, deltaAgg: DataFrame): Long = {
+  /** The pure merge: old rollup ⊕ keyed signed-delta rollup → the new
+    * rollup frame (no commit). Shared by the committing refreshes and
+    * the read-time [[readFresh]] serving path. */
+  private def mergedFrame(old: DataFrame, keys: Seq[String],
+      sumCols: Seq[String], deltaAgg: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val old = SnapshotTable.readVersion(spark, viewRoot, viewCur)
     val cond = keys.map(k => old(k) <=> deltaAgg(s"__dk_$k"))
       .reduce(_ && _)
     val zeroDec = lit(0).cast("decimal(20,2)")
@@ -250,7 +247,7 @@ object MaterializedView {
     }
     // "no old-side row" is probed via `n` (never NULL in a view row) —
     // probing the key would misread a legitimate NULL-key group
-    val merged = old.join(deltaAgg, cond, "full_outer")
+    old.join(deltaAgg, cond, "full_outer")
       .select((keys.map(k =>
         when(col("n").isNull, col(s"__dk_$k"))
           .otherwise(old(k)).as(k)) ++
@@ -258,8 +255,51 @@ object MaterializedView {
           .as("n")) ++
         sumCols.flatMap(mergedSum)): _*)
       .filter(col("n") > 0)
+  }
+
+  /** Merge a keyed signed-delta rollup onto view version `viewCur` and
+    * CAS-commit the result. Throws [[SnapshotTable.CommitConflict]]
+    * when another maintainer landed in between — the caller decides
+    * how to recover (full recompute). */
+  private def mergeSignedDelta(spark: SparkSession, viewRoot: String,
+      keys: Seq[String], sumCols: Seq[String],
+      viewCur: Long, deltaAgg: DataFrame): Long = {
+    val merged = mergedFrame(
+      SnapshotTable.readVersion(spark, viewRoot, viewCur),
+      keys, sumCols, deltaAgg)
     SnapshotTable.commitExpecting(spark, viewRoot, merged,
       expectedCurrent = viewCur, clusterKey = keys.headOption)
+  }
+
+  /** ALWAYS-FRESH serving without a refresh: the committed rollup ⊕
+    * the not-yet-consumed delta, merged AT READ TIME — no view commit,
+    * no write amplification. The lambda-architecture pattern in one
+    * call: a dashboard hit pays O(view + changed rows), never
+    * O(source), and sees every source commit immediately; the
+    * background [[refreshIncremental]]/[[cdcFeed]] cadence then only
+    * bounds how much delta each read re-merges, not staleness.
+    * Falls back to computing the rollup straight from the source when
+    * the view was never refreshed or its consumed version has been
+    * expired (both still commit-free). */
+  def readFresh(spark: SparkSession, v: IncrementalView): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val viewCur = SnapshotTable.currentVersion(spark, v.viewRoot)
+    val lastV =
+      if (viewCur == 0L) 0L
+      else markerFor(spark, v.viewRoot, viewCur).getOrElse(0L)
+    val curV = SnapshotTable.currentVersion(spark, v.sourceRoot)
+    require(curV > 0L, s"source never committed at ${v.sourceRoot}")
+    if (viewCur > 0L && lastV == curV) return read(spark, v)
+    val canDelta = viewCur > 0L && lastV > 0L && lastV < curV &&
+      SnapshotTable.versions(spark, v.sourceRoot).contains(lastV)
+    if (!canDelta)
+      return rollup(SnapshotTable.readVersion(spark, v.sourceRoot, curV), v)
+    val delta = SnapshotTable.diff(spark, v.sourceRoot, lastV, curV)
+      .withColumn("__sign",
+        when(col("change_type") === "inserted", lit(1L))
+          .otherwise(lit(-1L)))
+    mergedFrame(SnapshotTable.readVersion(spark, v.viewRoot, viewCur),
+      v.keys, v.sumCols, signedDelta(delta, v.keys, v.sumCols))
   }
 
   /** MV maintenance as a STREAMING JOB — the CDC feed for APPEND-ONLY
@@ -435,15 +475,47 @@ object MaterializedView {
       viewRoot: String, factKey: String, dimKey: String,
       keys: Seq[String], sumCols: Seq[String])
 
-  /** Join-view freshness markers record BOTH consumed source versions
-    * (`_source_versions.<viewV>` holding `factV,dimV`) — same
-    * exclusive-create, append-only discipline as the single-source
-    * markers, distinct namespace so the two view kinds cannot
-    * misread each other's files. */
+  /** One dimension of a star: `factKey` (a fact column) equi-joins
+    * `dimKey` (a column of the table at `root`). */
+  final case class StarDim(root: String, factKey: String, dimKey: String)
+
+  /** The N-dimension generalization: a rollup over
+    * `fact ⋈ dim_1 ⋈ … ⋈ dim_k` (the star-schema query), maintained
+    * incrementally from ALL k+1 tables' deltas by the telescoping
+    * delta rule — with relations R_0..R_k and states old/new,
+    *
+    * {{{ Δ(R_0 ⋈ … ⋈ R_k) =
+    *       Σ_i  R_0^old ⋈ … ⋈ R_{i-1}^old ⋈ ΔR_i ⋈ R_{i+1}^new ⋈ … ⋈ R_k^new }}}
+    *
+    * (each summand has exactly one signed delta factor; factors left
+    * of it read their OLD version, right of it their NEW — the
+    * standard multilinear expansion, every cross term absorbed
+    * exactly once). [[JoinView]] is the k=1 special case and
+    * delegates here. Every summand key-prunes its table reads: the
+    * delta factor is O(changed files) via the manifest diff, the fact
+    * read is pruned to the changed dim keys, and each dim read is
+    * pruned to the accumulated frame's foreign keys — so a refresh is
+    * O(delta + matching files) regardless of table count or size. */
+  final case class StarView(factRoot: String, viewRoot: String,
+      dims: Seq[StarDim], keys: Seq[String], sumCols: Seq[String]) {
+    require(dims.nonEmpty, "a star view needs at least one dimension")
+  }
+
+  private def asStar(v: JoinView): StarView =
+    StarView(v.factRoot, v.viewRoot,
+      Seq(StarDim(v.dimRoot, v.factKey, v.dimKey)), v.keys, v.sumCols)
+
+  /** Star freshness markers record EVERY consumed source version
+    * (`_source_versions.<viewV>` holding `factV,dimV_1,…,dimV_k`) —
+    * same exclusive-create, append-only discipline as the
+    * single-source markers, distinct namespace so the view kinds
+    * cannot misread each other's files. A marker whose arity does not
+    * match the view's table count reads as "no marker" (full-recompute
+    * fallback), so re-shaping a view over an existing root fails safe. */
   private def joinMarkerPrefix = "_source_versions."
 
-  private def joinMarkerFor(spark: SparkSession, viewRoot: String,
-      viewV: Long): Option[(Long, Long)] = {
+  private def starMarkerFor(spark: SparkSession, viewRoot: String,
+      viewV: Long, arity: Int): Option[Seq[Long]] = {
     val f = SnapshotTable.fs(spark, viewRoot)
     val p = new Path(viewRoot, s"$joinMarkerPrefix$viewV")
     if (!f.exists(p)) None
@@ -451,186 +523,286 @@ object MaterializedView {
       val in = f.open(p)
       val s = try scala.io.Source.fromInputStream(in).mkString.trim
       finally in.close()
-      s.split(',') match {
-        case Array(a, b) => Some((a.toLong, b.toLong))
-        case _ => None
-      }
+      val parts = s.split(',').toSeq
+      if (parts.length == arity &&
+        parts.forall(x => x.nonEmpty && x.forall(_.isDigit)))
+        Some(parts.map(_.toLong))
+      else None
     }
   }
 
-  private def writeJoinFreshness(spark: SparkSession, viewRoot: String,
-      factV: Long, dimV: Long, viewV: Long): Unit = {
+  private def writeStarFreshness(spark: SparkSession, viewRoot: String,
+      vs: Seq[Long], viewV: Long): Unit = {
     val f = SnapshotTable.fs(spark, viewRoot)
     val out = f.create(new Path(viewRoot, s"$joinMarkerPrefix$viewV"),
       false) // one refresh per view version
-    try out.write(s"$factV,$dimV".getBytes("UTF-8")) finally out.close()
+    try out.write(vs.mkString(",").getBytes("UTF-8")) finally out.close()
   }
 
   /** The (factV, dimV) pair the view's CURRENT version consumed;
     * (0, 0) = never refreshed (or the marker expired). */
   def joinRefreshedAgainst(spark: SparkSession, viewRoot: String)
   : (Long, Long) = {
-    val cur = SnapshotTable.currentVersion(spark, viewRoot)
-    if (cur == 0L) (0L, 0L)
-    else joinMarkerFor(spark, viewRoot, cur).getOrElse((0L, 0L))
+    starRefreshedAgainst(spark, viewRoot, 2) match {
+      case Seq(a, b) => (a, b)
+      case _ => (0L, 0L)
+    }
   }
 
-  def isStale(spark: SparkSession, v: JoinView): Boolean = {
-    val (f, d) = joinRefreshedAgainst(spark, v.viewRoot)
-    SnapshotTable.currentVersion(spark, v.factRoot) > f ||
-      SnapshotTable.currentVersion(spark, v.dimRoot) > d
+  /** Every consumed source version (fact first), or all zeros. */
+  def starRefreshedAgainst(spark: SparkSession, viewRoot: String,
+      arity: Int): Seq[Long] = {
+    val cur = SnapshotTable.currentVersion(spark, viewRoot)
+    if (cur == 0L) Seq.fill(arity)(0L)
+    else starMarkerFor(spark, viewRoot, cur, arity)
+      .getOrElse(Seq.fill(arity)(0L))
   }
+
+  private def starRoots(v: StarView): Seq[String] =
+    v.factRoot +: v.dims.map(_.root)
+
+  def isStale(spark: SparkSession, v: StarView): Boolean = {
+    val roots = starRoots(v)
+    val last = starRefreshedAgainst(spark, v.viewRoot, roots.size)
+    roots.zip(last).exists { case (r, l) =>
+      SnapshotTable.currentVersion(spark, r) > l }
+  }
+
+  def isStale(spark: SparkSession, v: JoinView): Boolean =
+    isStale(spark, asStar(v))
+
+  def read(spark: SparkSession, v: StarView): DataFrame =
+    SnapshotTable.read(spark, v.viewRoot)
 
   def read(spark: SparkSession, v: JoinView): DataFrame =
     SnapshotTable.read(spark, v.viewRoot)
 
-  /** Inner-join `fact ⋈ dim` with the disjoint-name guard the delta
-    * algebra depends on (a shadowed column would silently group or
-    * sum the wrong side). */
-  private def joinedFrame(fact: DataFrame, dim: DataFrame,
-      v: JoinView): DataFrame = {
-    val overlap = fact.columns.map(_.toLowerCase(java.util.Locale.ROOT))
-      .toSet intersect
-      dim.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    require(overlap.isEmpty,
-      s"JoinView requires disjoint column names; shared: " +
-        overlap.toSeq.sorted.mkString(", "))
-    fact.join(dim, fact(v.factKey) === dim(v.dimKey), "inner")
+  /** Chain the star's inner joins with the disjoint-name guard the
+    * delta algebra depends on (a shadowed column would silently group
+    * or sum the wrong side). */
+  private def starJoinedFrame(fact: DataFrame,
+      dims: Seq[(DataFrame, StarDim)]): DataFrame = {
+    val lc = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+    val all = fact.columns.map(lc) ++
+      dims.flatMap(_._1.columns.map(lc))
+    val dup = all.groupBy(identity).collect {
+      case (n, xs) if xs.size > 1 => n }
+    require(dup.isEmpty,
+      s"star/join views require disjoint column names across all " +
+        s"tables; shared: ${dup.toSeq.sorted.mkString(", ")}")
+    dims.foldLeft(fact) { case (acc, (d, sd)) =>
+      acc.join(d, acc(sd.factKey) === d(sd.dimKey), "inner") }
   }
 
-  private def joinRollup(joined: DataFrame, v: JoinView): DataFrame = {
+  private def starRollup(joined: DataFrame, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    joined.groupBy(v.keys.map(col): _*)
+    joined.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        v.sumCols.flatMap(c => Seq(
+        sumCols.flatMap(c => Seq(
           sum(col(c).cast("decimal(20,2)")).as(s"sum_$c"),
           count(col(c)).as(s"cnt_$c"))): _*)
   }
 
-  /** Recompute the join rollup from the CURRENT snapshots of both
+  /** Recompute the star rollup from the CURRENT snapshots of all
     * sources and commit it as a new view version. Version-independent
     * (safe to commit on top of anything), so it is also every
     * incremental path's recovery move. */
-  def refreshJoin(spark: SparkSession, v: JoinView): Long = {
-    val factV = SnapshotTable.currentVersion(spark, v.factRoot)
-    val dimV = SnapshotTable.currentVersion(spark, v.dimRoot)
-    val result = joinRollup(joinedFrame(
-      SnapshotTable.readVersion(spark, v.factRoot, factV),
-      SnapshotTable.readVersion(spark, v.dimRoot, dimV), v), v)
-    val viewV = SnapshotTable.commit(spark, v.viewRoot, result,
+  def refreshStar(spark: SparkSession, v: StarView): Long = {
+    val vs = starRoots(v).map(SnapshotTable.currentVersion(spark, _))
+    val joined = starJoinedFrame(
+      SnapshotTable.readVersion(spark, v.factRoot, vs.head),
+      v.dims.zipWithIndex.map { case (d, i) =>
+        (SnapshotTable.readVersion(spark, d.root, vs(i + 1)), d) })
+    val viewV = SnapshotTable.commit(spark, v.viewRoot,
+      starRollup(joined, v.keys, v.sumCols),
       clusterKey = v.keys.headOption)
-    writeJoinFreshness(spark, v.viewRoot, factV, dimV, viewV)
+    writeStarFreshness(spark, v.viewRoot, vs, viewV)
     viewV
   }
 
-  /** Refresh by DELTA when possible — the two-summand rule above, each
-    * summand key-pruning its table read; merged onto the view through
+  def refreshJoin(spark: SparkSession, v: JoinView): Long =
+    refreshStar(spark, asStar(v))
+
+  /** Refresh by DELTA when possible — the telescoping rule above, each
+    * summand key-pruning its table reads; merged onto the view through
     * the same signed-delta CAS commit the single-source path uses.
-    * Falls back to [[refreshJoin]] on first refresh, when a consumed
+    * Falls back to [[refreshStar]] on first refresh, when a consumed
     * version has been expired, or on a CAS conflict (a concurrent
     * maintainer landed first — applying OUR delta on ITS rollup would
     * double-count the overlap). No-ops when fresh. */
-  def refreshJoinIncremental(spark: SparkSession, v: JoinView): Long = {
-    import org.apache.spark.sql.functions._
+  def refreshStarIncremental(spark: SparkSession, v: StarView): Long = {
     val viewCur = SnapshotTable.currentVersion(spark, v.viewRoot)
-    val (lastF, lastD) =
-      if (viewCur == 0L) (0L, 0L)
-      else joinMarkerFor(spark, v.viewRoot, viewCur).getOrElse((0L, 0L))
-    val curF = SnapshotTable.currentVersion(spark, v.factRoot)
-    val curD = SnapshotTable.currentVersion(spark, v.dimRoot)
-    if (lastF == curF && lastD == curD && lastF > 0)
-      return viewCur // fresh: no-op
-    val canDelta = lastF > 0 && lastD > 0 &&
-      lastF <= curF && lastD <= curD &&
-      SnapshotTable.versions(spark, v.factRoot).contains(lastF) &&
-      SnapshotTable.versions(spark, v.dimRoot).contains(lastD)
-    if (!canDelta) return refreshJoin(spark, v)
+    val roots = starRoots(v)
+    val last =
+      if (viewCur == 0L) Seq.fill(roots.size)(0L)
+      else starMarkerFor(spark, v.viewRoot, viewCur, roots.size)
+        .getOrElse(Seq.fill(roots.size)(0L))
+    val cur = roots.map(SnapshotTable.currentVersion(spark, _))
+    if (last == cur && last.head > 0) return viewCur // fresh: no-op
+    val canDelta = last.forall(_ > 0) &&
+      last.zip(cur).forall { case (l, c) => l <= c } &&
+      roots.indices.forall(i =>
+        SnapshotTable.versions(spark, roots(i)).contains(last(i)))
+    if (!canDelta) return refreshStar(spark, v)
 
-    val signedRows = joinSignedRows(spark, v, lastF, lastD, curF, curD)
-      .getOrElse(return viewCur) // both sources metadata-fresh
+    val signedRows = starSignedRows(spark, v, last, cur)
+      .getOrElse(return viewCur) // all sources metadata-fresh
     val viewV =
       try mergeSignedDelta(spark, v.viewRoot, v.keys, v.sumCols, viewCur,
         signedDelta(signedRows, v.keys, v.sumCols))
       catch {
-        case _: SnapshotTable.CommitConflict => return refreshJoin(spark, v)
+        case _: SnapshotTable.CommitConflict => return refreshStar(spark, v)
       }
-    writeJoinFreshness(spark, v.viewRoot, curF, curD, viewV)
+    writeStarFreshness(spark, v.viewRoot, cur, viewV)
     viewV
   }
 
-  /** The two-summand signed delta `ΔF ⋈ D_new + F_old ⋈ ΔD` as one
-    * frame of joined rows carrying `__sign` — the refresh body,
-    * exposed package-private so specs can assert the IO shape
-    * (`inputFiles`): a fact-only change never re-opens the fact's
-    * pre-existing files, a dim-only change opens only the fact files
-    * whose stats admit the touched keys. None = neither source added
+  def refreshJoinIncremental(spark: SparkSession, v: JoinView): Long =
+    refreshStarIncremental(spark, asStar(v))
+
+  /** The telescoping signed delta as one frame of joined rows carrying
+    * `__sign` — the refresh body, exposed package-private so specs can
+    * assert the IO shape (`inputFiles`): a fact-only change never
+    * re-opens the fact's pre-existing files, a dim-only change opens
+    * only the fact files whose stats admit the touched keys. `last` /
+    * `cur` are version vectors (fact first). None = no source added
     * data versions (metadata-only staleness). */
-  private[graft] def joinSignedRows(spark: SparkSession, v: JoinView,
-      lastF: Long, lastD: Long, curF: Long, curD: Long)
-  : Option[DataFrame] = {
-    import org.apache.spark.sql.functions._
+  private[graft] def starSignedRows(spark: SparkSession, v: StarView,
+      lastVs: Seq[Long], curVs: Seq[Long]): Option[DataFrame] = {
+    // local names avoid shadowing functions.last from the import below
+    val (last, cur) = (lastVs, curVs)
+    import org.apache.spark.sql.functions.{col, lit, when}
     def signed(df: DataFrame): DataFrame = df
       .withColumn("__sign",
         when(col("change_type") === "inserted", lit(1L))
           .otherwise(lit(-1L)))
       .drop("change_type")
+    val roots = starRoots(v)
 
-    // ΔF ⋈ D_new: the dim read is version-pinned to curD and PRUNED to
-    // the fact delta's join keys (stats + bloom from the manifest)
-    val t1 =
-      if (curF <= lastF) None
+    // join `dims(j)` onto the accumulated frame at version `ver`,
+    // PRUNED to the frame's foreign keys (stats + bloom, version-
+    // pinned) — the dim read is O(matching files), never O(dim)
+    def joinDim(acc: DataFrame, j: Int, ver: Long): DataFrame = {
+      val d = v.dims(j)
+      val dj = SnapshotTable.readKeys(spark, d.root, d.dimKey,
+        acc.select(col(d.factKey).as(d.dimKey)), Some(ver))
+      acc.join(dj, acc(d.factKey) === dj(d.dimKey), "inner")
+    }
+
+    val terms = roots.indices.flatMap { i =>
+      if (cur(i) <= last(i)) None
       else {
-        val dF = signed(
-          SnapshotTable.diff(spark, v.factRoot, lastF, curF))
-        val dimPruned = SnapshotTable.readKeys(spark, v.dimRoot,
-          v.dimKey, dF.select(col(v.factKey).as(v.dimKey)), Some(curD))
-        Some(dF.join(dimPruned,
-          dF(v.factKey) === dimPruned(v.dimKey), "inner"))
+        val dRi = signed(
+          SnapshotTable.diff(spark, roots(i), last(i), cur(i)))
+        if (i == 0) {
+          // ΔF ⋈ dim_1^new ⋈ … ⋈ dim_k^new
+          Some(v.dims.indices.foldLeft(dRi)((acc, j) =>
+            joinDim(acc, j, cur(j + 1))))
+        } else {
+          // F^old ⋈ … dim_{i-1}^old ⋈ ΔD_i ⋈ dim_{i+1}^new … — the
+          // fact read is version-pinned to last(0) and PRUNED to the
+          // dim delta's keys
+          val di = v.dims(i - 1)
+          val factOld = SnapshotTable.readKeys(spark, v.factRoot,
+            di.factKey, dRi.select(col(di.dimKey).as(di.factKey)),
+            Some(last.head))
+          val start = factOld.join(dRi,
+            factOld(di.factKey) === dRi(di.dimKey), "inner")
+          Some(v.dims.indices.foldLeft(start) { (acc, j) =>
+            if (j == i - 1) acc // ΔD_i itself, already joined
+            else joinDim(acc, j,
+              if (j + 1 < i) last(j + 1) else cur(j + 1))
+          })
+        }
       }
-    // F_old ⋈ ΔD: the fact read is version-pinned to lastF and PRUNED
-    // to the dim delta's keys — a small dim correction opens only the
-    // fact files whose stats admit the touched keys
-    val t2 =
-      if (curD <= lastD) None
-      else {
-        val dD = signed(
-          SnapshotTable.diff(spark, v.dimRoot, lastD, curD))
-        val factOld = SnapshotTable.readKeys(spark, v.factRoot,
-          v.factKey, dD.select(col(v.dimKey).as(v.factKey)), Some(lastF))
-        Some(factOld.join(dD,
-          factOld(v.factKey) === dD(v.dimKey), "inner"))
-      }
-    (t1.toSeq ++ t2.toSeq) match {
-      case Seq() => None
-      case parts => Some(parts.reduce(_.unionByName(_)))
+    }
+    if (terms.isEmpty) None
+    else Some(terms.reduce(_.unionByName(_)))
+  }
+
+  private[graft] def joinSignedRows(spark: SparkSession, v: JoinView,
+      lastF: Long, lastD: Long, curF: Long, curD: Long)
+  : Option[DataFrame] =
+    starSignedRows(spark, asStar(v), Seq(lastF, lastD), Seq(curF, curD))
+
+  /** [[readFresh]] for star views: committed rollup ⊕ the telescoping
+    * pending delta, merged at read time — an always-fresh star-schema
+    * dashboard that never recomputes the join and never commits on the
+    * read path. Cost is O(view + delta + matching files) via the same
+    * key-pruned reads the refresh uses. */
+  def readFresh(spark: SparkSession, v: StarView): DataFrame = {
+    val viewCur = SnapshotTable.currentVersion(spark, v.viewRoot)
+    val roots = starRoots(v)
+    val last =
+      if (viewCur == 0L) Seq.fill(roots.size)(0L)
+      else starMarkerFor(spark, v.viewRoot, viewCur, roots.size)
+        .getOrElse(Seq.fill(roots.size)(0L))
+    val cur = roots.map(SnapshotTable.currentVersion(spark, _))
+    require(cur.forall(_ > 0L),
+      s"sources never committed at ${roots.mkString(" / ")}")
+    if (viewCur > 0L && last == cur) return read(spark, v)
+    val canDelta = viewCur > 0L && last.forall(_ > 0L) &&
+      last.zip(cur).forall { case (l, c) => l <= c } &&
+      roots.indices.forall(i =>
+        SnapshotTable.versions(spark, roots(i)).contains(last(i)))
+    if (!canDelta)
+      return starRollup(starJoinedFrame(
+        SnapshotTable.readVersion(spark, v.factRoot, cur.head),
+        v.dims.zipWithIndex.map { case (d, i) =>
+          (SnapshotTable.readVersion(spark, d.root, cur(i + 1)), d) }),
+        v.keys, v.sumCols)
+    starSignedRows(spark, v, last, cur) match {
+      case None => read(spark, v) // metadata-only staleness
+      case Some(rows) =>
+        mergedFrame(SnapshotTable.readVersion(spark, v.viewRoot, viewCur),
+          v.keys, v.sumCols, signedDelta(rows, v.keys, v.sumCols))
     }
   }
 
-  /** Join-MV maintenance as a STREAMING JOB: one changelog wake stream
-    * per source, each tick calling [[refreshJoinIncremental]]. The
-    * batch content is discarded — the refresh derives its own signed
-    * deltas from the manifest diff, version-pinned by the pair marker
-    * — so the wake streams ride `changes=true` (which survives MOR
-    * deletes/updates, unlike the plain accretive stream) and replays
-    * or double-wakes are harmless: the refresh no-ops when fresh and
-    * CAS-recovers when raced. Returns both query handles. */
-  def joinFeed(spark: SparkSession, v: JoinView,
-      factCheckpoint: String, dimCheckpoint: String)
-  : (org.apache.spark.sql.streaming.StreamingQuery,
-     org.apache.spark.sql.streaming.StreamingQuery) = {
-    def wake(root: String, cp: String) =
+  def readFresh(spark: SparkSession, v: JoinView): DataFrame =
+    readFresh(spark, asStar(v))
+
+  /** Star-MV maintenance as a STREAMING JOB: one changelog wake stream
+    * per source table, each tick calling [[refreshStarIncremental]].
+    * The batch content is discarded — the refresh derives its own
+    * signed deltas from the manifest diff, version-pinned by the
+    * vector marker — so the wake streams ride `changes=true` (which
+    * survives MOR deletes/updates, unlike the plain accretive stream)
+    * and replays or double-wakes are harmless: the refresh no-ops when
+    * fresh and CAS-recovers when raced. Returns one handle per source
+    * (fact first). */
+  def starFeed(spark: SparkSession, v: StarView,
+      checkpoints: Seq[String])
+  : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    val roots = starRoots(v)
+    require(checkpoints.size == roots.size,
+      s"need ${roots.size} checkpoints (fact first), " +
+        s"got ${checkpoints.size}")
+    roots.zip(checkpoints).map { case (root, cp) =>
       spark.readStream.format("graft-snapshot")
         .option("path", root)
         .option("changes", "true").option("preImages", "true")
         .load()
         .writeStream
         .foreachBatch { (_: DataFrame, _: Long) =>
-          refreshJoinIncremental(spark, v); ()
+          refreshStarIncremental(spark, v); ()
         }
         .option("checkpointLocation", cp)
         .start()
-    (wake(v.factRoot, factCheckpoint), wake(v.dimRoot, dimCheckpoint))
+    }
   }
+
+  def joinFeed(spark: SparkSession, v: JoinView,
+      factCheckpoint: String, dimCheckpoint: String)
+  : (org.apache.spark.sql.streaming.StreamingQuery,
+     org.apache.spark.sql.streaming.StreamingQuery) =
+    starFeed(spark, asStar(v),
+      Seq(factCheckpoint, dimCheckpoint)) match {
+      case Seq(a, b) => (a, b)
+      case other => throw new IllegalStateException(
+        s"expected two feed handles, got ${other.size}")
+    }
 
   /** Expire old VIEW versions and prune the freshness markers that
     * referenced them (markers are append-only, one per view version —

@@ -4406,6 +4406,47 @@ object SnapshotTable {
     readEntries(spark, root, entries, schema)
   }
 
+  /** ROLLBACK: commit a NEW version whose contents are exactly those
+    * of committed version `v` — the recovery move after a bad write.
+    * Metadata-only at any table size: the new manifest lists `v`'s
+    * files and schema verbatim, zero data bytes move (the shape of
+    * Iceberg's `rollback_to_snapshot`). History-preserving: the bad
+    * versions stay time-travelable for forensics until expiry, and
+    * the operation rides the ordinary claim protocol, so concurrent
+    * writers serialize with it like any commit. Table PROPERTIES are
+    * not rolled back — the schema travels in the manifest, but
+    * forward-looking settings (write layout, constraints) keep their
+    * current values. No-ops when `v` is already current. Requires `v`
+    * un-expired. Returns the version left current. */
+  def rollbackTo(spark: SparkSession, root: String, v: Long,
+      maxRetries: Int = 5): Long = {
+    val f = fs(spark, root)
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      require(versions(spark, root).contains(v),
+        s"version $v is not committed at $root")
+      if (v == cur) return cur
+      val (entries, recorded) = readManifestFull(spark, root, v)
+      val schema = priorSchemaOrRead(spark, root, v, recorded)
+      claimNextOn(f, root, "main", cur) match {
+        case Some(target) =>
+          writeManifest(f, root, target, entries, schema, parent = cur)
+          publish(f, root, target, entries, Seq.empty,
+            op = s"rollback-to-$v",
+            branchRef = refIf(f, root, "main", cur))
+          spark.catalog.refreshByPath(root)
+          return target
+        case None => ()
+      }
+      attempt += 1
+      if (attempt > maxRetries) throw CommitConflict(
+        s"lost the rollback race ${maxRetries + 1} times at $root")
+      Thread.sleep(math.min(50L, 5L * attempt))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Scan planning from manifest stats: split version `v`'s entries
     * into (kept, skipped) for a range predicate on `key` — a file is
     * skipped iff its recorded [lo, hi] provably cannot intersect the

@@ -1304,6 +1304,140 @@ object Sources {
           col("sum_o_totalprice"), col("cnt_o_totalprice"))
         .orderBy("c_mktsegment")
     }),
+    // ALWAYS-FRESH MV SERVING under the oracle: bootstrap the join
+    // rollup, then land a fact MOR-delete, a dim MOR-update and a fact
+    // append WITHOUT refreshing — readFresh merges the committed view
+    // with the pending two-summand delta AT READ TIME (no view commit)
+    // and must equal DuckDB recomputing the join rollup from the final
+    // logical state.
+    "snapshot_mv_fresh" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-mvf").toString
+      val fact = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val dim = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val jv = MaterializedView.JoinView(
+        base + "/fact", base + "/dim", base + "/view",
+        factKey = "o_custkey", dimKey = "c_custkey",
+        keys = Seq("c_mktsegment"), sumCols = Seq("o_totalprice"))
+      SnapshotTable.commit(s, jv.factRoot, fact,
+        clusterKey = Some("o_custkey"))
+      SnapshotTable.commit(s, jv.dimRoot, dim,
+        clusterKey = Some("c_custkey"))
+      MaterializedView.refreshJoinIncremental(s, jv) // bootstrap only
+      SnapshotTable.deleteKeysOnRead(s, jv.factRoot,
+        fact.filter(col("o_orderkey") % 19 === 0).select("o_orderkey"),
+        "o_orderkey")
+      SnapshotTable.mergeOnRead(s, jv.dimRoot,
+        dim.filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_mktsegment", lit("FRESH")),
+        "c_custkey")
+      SnapshotTable.append(s, jv.factRoot,
+        fact.filter(col("o_orderkey") % 29 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice")))
+      // NO refresh: the read itself merges the pending delta
+      MaterializedView.readFresh(s, jv)
+        .select(col("c_mktsegment"), col("n"),
+          col("sum_o_totalprice"), col("cnt_o_totalprice"))
+        .orderBy("c_mktsegment")
+    }),
+    // STAR-SCHEMA MV under the oracle: a lineitem ⋈ part ⋈ supplier
+    // rollup maintained incrementally from ALL THREE tables' deltas by
+    // the telescoping rule (one signed-delta factor per summand, old
+    // states left of it, new states right). History: fact MOR-delete,
+    // each dim MOR-updated in turn, then a fact append + dim update in
+    // ONE refresh (the cross term). DuckDB recomputes the 3-way join
+    // rollup from the final logical state.
+    "snapshot_mv_star" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-mvs").toString
+      val li = graft.Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"))
+      val part = graft.Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val supp = graft.Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val sv = MaterializedView.StarView(
+        factRoot = base + "/li", viewRoot = base + "/view",
+        dims = Seq(
+          MaterializedView.StarDim(base + "/part",
+            "l_partkey", "p_partkey"),
+          MaterializedView.StarDim(base + "/supp",
+            "l_suppkey", "s_suppkey")),
+        keys = Seq("p_brand", "s_nationkey"),
+        sumCols = Seq("l_extendedprice"))
+      SnapshotTable.commit(s, sv.factRoot, li,
+        clusterKey = Some("l_partkey"))
+      SnapshotTable.commit(s, sv.dims(0).root, part,
+        clusterKey = Some("p_partkey"))
+      SnapshotTable.commit(s, sv.dims(1).root, supp,
+        clusterKey = Some("s_suppkey"))
+      MaterializedView.refreshStarIncremental(s, sv) // bootstrap
+      SnapshotTable.deleteKeysOnRead(s, sv.factRoot,
+        li.filter(col("l_orderkey") % 13 === 0).select("l_orderkey"),
+        "l_orderkey")
+      MaterializedView.refreshStarIncremental(s, sv) // ΔF (kills)
+      SnapshotTable.mergeOnRead(s, sv.dims(0).root,
+        part.filter(col("p_partkey") % 10 === 0)
+          .withColumn("p_brand", lit("Brand#99")), "p_partkey")
+      MaterializedView.refreshStarIncremental(s, sv) // ΔD1
+      SnapshotTable.mergeOnRead(s, sv.dims(1).root,
+        supp.filter(col("s_suppkey") % 5 === 0)
+          .withColumn("s_nationkey", lit(-1).cast("int")), "s_suppkey")
+      MaterializedView.refreshStarIncremental(s, sv) // ΔD2
+      SnapshotTable.append(s, sv.factRoot,
+        li.filter(col("l_orderkey") % 23 === 0)
+          .select((col("l_orderkey") + 90000000L).as("l_orderkey"),
+            col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") * 2).as("l_extendedprice")))
+      SnapshotTable.mergeOnRead(s, sv.dims(0).root,
+        part.filter(col("p_partkey") % 17 === 0)
+          .withColumn("p_brand", lit("Brand#77")), "p_partkey")
+      MaterializedView.refreshStarIncremental(s, sv) // ΔF + ΔD1 at once
+      MaterializedView.read(s, sv)
+        .select(col("p_brand"), col("s_nationkey"), col("n"),
+          col("sum_l_extendedprice"), col("cnt_l_extendedprice"))
+        .orderBy("p_brand", "s_nationkey")
+    }),
+    // ROLLBACK under the oracle: a bad day (MOR delete + junk append)
+    // is undone by rollbackTo — a metadata-only commit restoring v1's
+    // files — and the table then moves FORWARD from the restored
+    // state. DuckDB sees only the final logical state: base orders
+    // plus the post-rollback append; the deleted slice is back and
+    // the junk never existed.
+    "snapshot_rollback" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-rb-q").toString + "/orders_rb"
+      val o = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      SnapshotTable.commit(s, root, o,
+        clusterKey = Some("o_orderkey"))                      // v1
+      SnapshotTable.deleteKeysOnRead(s, root,
+        o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+        "o_orderkey")                                         // v2
+      SnapshotTable.append(s, root,
+        o.limit(25).select(
+          (col("o_orderkey") + 90000000L).as("o_orderkey"),
+          lit("X").as("o_orderstatus"), col("o_totalprice"))) // v3
+      SnapshotTable.rollbackTo(s, root, 1L)                   // v4 = v1
+      SnapshotTable.append(s, root,
+        o.filter(col("o_orderkey") % 31 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderstatus"),
+            (col("o_totalprice") * 2).as("o_totalprice")))    // v5
+      s.read.format("graft-snapshot").option("path", root).load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,2)"))
+            .cast("decimal(20,2)").as("sum_price"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy("o_orderstatus")
+    }),
     // RENAME COLUMN under the oracle: commit orders, ALTER TABLE
     // RENAME COLUMN o_totalprice TO price — a metadata-only commit
     // recording a physical-name epoch; pre-rename files still store
@@ -2099,6 +2233,65 @@ object Sources {
         |FROM fact JOIN dim ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "snapshot_mv_fresh" ->
+      """WITH fact AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 19 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice * 2
+        |  FROM orders WHERE o_orderkey % 29 = 0),
+        |dim AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'FRESH'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
+        |    AS DECIMAL(20,2)) AS sum_o_totalprice,
+        |  count(o_totalprice) AS cnt_o_totalprice
+        |FROM fact JOIN dim ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "snapshot_mv_star" ->
+      """WITH fact AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT l_orderkey + 90000000, l_partkey, l_suppkey,
+        |    l_extendedprice * 2
+        |  FROM lineitem WHERE l_orderkey % 23 = 0),
+        |dim_p AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 17 = 0 THEN 'Brand#77'
+        |         WHEN p_partkey % 10 = 0 THEN 'Brand#99'
+        |         ELSE p_brand END AS p_brand
+        |  FROM part),
+        |dim_s AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 5 = 0 THEN -1
+        |         ELSE s_nationkey END AS s_nationkey
+        |  FROM supplier)
+        |SELECT p_brand, s_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)))
+        |    AS DECIMAL(20,2)) AS sum_l_extendedprice,
+        |  count(l_extendedprice) AS cnt_l_extendedprice
+        |FROM fact
+        |JOIN dim_p ON l_partkey = p_partkey
+        |JOIN dim_s ON l_suppkey = s_suppkey
+        |GROUP BY p_brand, s_nationkey
+        |ORDER BY p_brand, s_nationkey""".stripMargin,
+    "snapshot_rollback" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice * 2
+        |  FROM orders WHERE o_orderkey % 31 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
+        |    AS DECIMAL(20,2)) AS sum_price,
+        |  min(o_orderkey) AS min_key
+        |FROM live GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "snapshot_rename_column" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -960,7 +960,8 @@ private[connector] object GraftProcedures {
   val Names = Seq("compact", "expire_snapshots",
     "expire_older_than", "vacuum", "tag", "drop_tag", "clone",
     "create_branch", "fast_forward", "fast_forward_to", "drop_branch",
-    "analyze", "analyze_histograms", "refresh_histograms")
+    "analyze", "analyze_histograms", "refresh_histograms",
+    "rollback_to")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
@@ -1110,6 +1111,15 @@ private[connector] object GraftProcedures {
         (spark, cat0, in) => {
           Row(SnapshotTable.refreshHistograms(spark,
             cat0.resolveRoot(in.getString(0))))
+        })
+      case "rollback_to" => proc(cat, "rollback_to",
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", LongType).build()),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          Row(SnapshotTable.rollbackTo(spark,
+            cat0.resolveRoot(in.getString(0)), in.getLong(1)))
         })
       case "drop_branch" => proc(cat, "drop_branch",
         Array(ProcedureParameter.in("table", StringType).build(),

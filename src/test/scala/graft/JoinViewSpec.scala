@@ -251,6 +251,202 @@ class JoinViewSpec extends SparkSpec {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("readFresh: the committed rollup plus the pending delta, merged " +
+      "at read time — always exact, never commits") {
+    val v = mkView()
+    val fact = factDf
+    SnapshotTable.commit(spark, v.factRoot, fact,
+      clusterKey = Some("o_custkey"), files = 8)
+    SnapshotTable.commit(spark, v.dimRoot, dimDf,
+      clusterKey = Some("c_custkey"), files = 4)
+
+    // never-refreshed: readFresh computes the rollup straight from the
+    // sources, still without committing
+    assert(canon(MaterializedView.readFresh(spark, v)) == expected(v),
+      "compute-on-read before any refresh")
+    assert(SnapshotTable.currentVersion(spark, v.viewRoot) == 0L)
+
+    MaterializedView.refreshJoinIncremental(spark, v) // bootstrap
+    val viewV = SnapshotTable.currentVersion(spark, v.viewRoot)
+
+    // fresh view: readFresh == read
+    assert(canon(MaterializedView.readFresh(spark, v)) == served(v))
+
+    // UN-refreshed fact MOR-delete + dim MOR-update + fact append: the
+    // read-time merge must serve the exact current rollup while the
+    // committed view stays at its old version
+    SnapshotTable.deleteKeysOnRead(spark, v.factRoot,
+      fact.filter(col("o_orderkey") % 23 === 0).select("o_orderkey"),
+      "o_orderkey")
+    SnapshotTable.mergeOnRead(spark, v.dimRoot,
+      dimDf.filter(col("c_custkey") % 13 === 0)
+        .withColumn("c_mktsegment", lit("FRESHMOVED")),
+      "c_custkey")
+    SnapshotTable.append(spark, v.factRoot,
+      fact.limit(30).select(
+        (col("o_orderkey") + 70000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice")))
+    assert(canon(MaterializedView.readFresh(spark, v)) == expected(v),
+      "read-time merge over pending changes")
+    assert(SnapshotTable.currentVersion(spark, v.viewRoot) == viewV,
+      "readFresh must not commit")
+    // the committed view is genuinely behind — the read-time merge did
+    // real work
+    assert(served(v) != expected(v), "fixture: view is stale")
+
+    // expired consumed version: readFresh falls back to compute-on-read
+    SnapshotTable.expireSnapshots(spark, v.factRoot, keep = 1)
+    assert(canon(MaterializedView.readFresh(spark, v)) == expected(v),
+      "compute-on-read after expiry")
+    assert(SnapshotTable.currentVersion(spark, v.viewRoot) == viewV)
+  }
+
+  test("readFresh (single-source IncrementalView): pending MOR deletes " +
+      "and appends served exactly without a refresh") {
+    val base = tmpRoot()
+    val fact = factDf
+    SnapshotTable.commit(spark, base + "_src", fact,
+      clusterKey = Some("o_orderkey"))
+    val iv = MaterializedView.IncrementalView(base + "_src",
+      base + "_iview", keys = Seq("o_custkey"),
+      sumCols = Seq("o_totalprice"))
+    MaterializedView.refreshIncremental(spark, iv)
+    val viewV = SnapshotTable.currentVersion(spark, iv.viewRoot)
+
+    SnapshotTable.deleteKeysOnRead(spark, base + "_src",
+      fact.filter(col("o_orderkey") % 29 === 0).select("o_orderkey"),
+      "o_orderkey")
+    SnapshotTable.append(spark, base + "_src",
+      fact.limit(25).select(
+        (col("o_orderkey") + 80000000L).as("o_orderkey"),
+        col("o_custkey"), (col("o_totalprice") * 2).as("o_totalprice")))
+
+    def canonIv(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("o_custkey"), col("n"),
+          col("sum_o_totalprice").cast("decimal(20,2)"),
+          col("cnt_o_totalprice"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+    val want = canonIv(SnapshotTable.read(spark, base + "_src")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(20,2)"))
+          .as("sum_o_totalprice"),
+        count(col("o_totalprice")).as("cnt_o_totalprice")))
+    assert(canonIv(MaterializedView.readFresh(spark, iv)) == want)
+    assert(SnapshotTable.currentVersion(spark, iv.viewRoot) == viewV,
+      "readFresh must not commit")
+  }
+
+  test("StarView (2 dims): lineitem x part x supplier rollup stays " +
+      "bit-exact through fact deletes, BOTH dims' MOR updates, a fact " +
+      "append, and a three-tables-changed refresh; readFresh serves " +
+      "pending changes") {
+    val base = tmpRoot()
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"))
+    val part = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val supp = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val sv = MaterializedView.StarView(
+      factRoot = base + "_li", viewRoot = base + "_sview",
+      dims = Seq(
+        MaterializedView.StarDim(base + "_part", "l_partkey", "p_partkey"),
+        MaterializedView.StarDim(base + "_supp", "l_suppkey", "s_suppkey")),
+      keys = Seq("p_brand", "s_nationkey"),
+      sumCols = Seq("l_extendedprice"))
+    SnapshotTable.commit(spark, sv.factRoot, li,
+      clusterKey = Some("l_partkey"), files = 8)
+    SnapshotTable.commit(spark, sv.dims(0).root, part,
+      clusterKey = Some("p_partkey"), files = 4)
+    SnapshotTable.commit(spark, sv.dims(1).root, supp,
+      clusterKey = Some("s_suppkey"), files = 2)
+
+    def expectedStar(): Seq[String] = {
+      val f = SnapshotTable.read(spark, sv.factRoot)
+      val p = SnapshotTable.read(spark, sv.dims(0).root)
+      val s = SnapshotTable.read(spark, sv.dims(1).root)
+      canonStar(f.join(p, f("l_partkey") === p("p_partkey"))
+        .join(s, f("l_suppkey") === s("s_suppkey"))
+        .groupBy("p_brand", "s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(20,2)"))
+            .as("sum_l_extendedprice"),
+          count(col("l_extendedprice")).as("cnt_l_extendedprice")))
+    }
+    def canonStar(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("p_brand"), col("s_nationkey"), col("n"),
+          col("sum_l_extendedprice").cast("decimal(20,2)"),
+          col("cnt_l_extendedprice"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+    def servedStar(): Seq[String] =
+      canonStar(MaterializedView.read(spark, sv))
+
+    MaterializedView.refreshStarIncremental(spark, sv) // bootstrap
+    assert(servedStar() == expectedStar(), "bootstrap")
+    val afterBoot = SnapshotTable.currentVersion(spark, sv.viewRoot)
+
+    // fact delete (kills whole orders' line items)
+    SnapshotTable.deleteKeysOnRead(spark, sv.factRoot,
+      li.filter(col("l_orderkey") % 13 === 0).select("l_orderkey"),
+      "l_orderkey")
+    MaterializedView.refreshStarIncremental(spark, sv)
+    assert(servedStar() == expectedStar(), "fact MOR delete")
+
+    // dim 1 (part) MOR update: move some parts to a new brand
+    SnapshotTable.mergeOnRead(spark, sv.dims(0).root,
+      part.filter(col("p_partkey") % 10 === 0)
+        .withColumn("p_brand", lit("Brand#99")),
+      "p_partkey")
+    MaterializedView.refreshStarIncremental(spark, sv)
+    assert(servedStar() == expectedStar(), "part MOR update")
+
+    // dim 2 (supplier) MOR update: move some suppliers' nation
+    SnapshotTable.mergeOnRead(spark, sv.dims(1).root,
+      supp.filter(col("s_suppkey") % 5 === 0)
+        .withColumn("s_nationkey", lit(-1).cast("int")),
+      "s_suppkey")
+    MaterializedView.refreshStarIncremental(spark, sv)
+    assert(servedStar() == expectedStar(), "supplier MOR update")
+
+    // all three tables change between refreshes — every telescoping
+    // cross term must land exactly once
+    SnapshotTable.append(spark, sv.factRoot,
+      li.limit(60).select(
+        (col("l_orderkey") + 90000000L).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * 2).as("l_extendedprice")))
+    SnapshotTable.mergeOnRead(spark, sv.dims(0).root,
+      part.filter(col("p_partkey") % 17 === 0)
+        .withColumn("p_brand", lit("Brand#77")),
+      "p_partkey")
+    SnapshotTable.mergeOnRead(spark, sv.dims(1).root,
+      supp.filter(col("s_suppkey") % 7 === 0)
+        .withColumn("s_nationkey", lit(-2).cast("int")),
+      "s_suppkey")
+    MaterializedView.refreshStarIncremental(spark, sv)
+    assert(servedStar() == expectedStar(), "three tables changed")
+
+    // every post-bootstrap refresh was a delta commit
+    assert(SnapshotTable.currentVersion(spark, sv.viewRoot) ==
+      afterBoot + 4)
+
+    // readFresh: pending changes on all three tables served exactly,
+    // no commit
+    SnapshotTable.deleteKeysOnRead(spark, sv.factRoot,
+      li.filter(col("l_orderkey") % 37 === 0).select("l_orderkey"),
+      "l_orderkey")
+    SnapshotTable.mergeOnRead(spark, sv.dims(0).root,
+      part.filter(col("p_partkey") % 23 === 0)
+        .withColumn("p_brand", lit("Brand#55")),
+      "p_partkey")
+    val vNow = SnapshotTable.currentVersion(spark, sv.viewRoot)
+    assert(canonStar(MaterializedView.readFresh(spark, sv)) ==
+      expectedStar(), "readFresh over pending star changes")
+    assert(SnapshotTable.currentVersion(spark, sv.viewRoot) == vNow)
+  }
+
   test("streaming joinFeed: two changelog wake streams keep the view " +
       "exact through fact appends and dim MOR updates") {
     val v = mkView()
