@@ -129,16 +129,30 @@ object MaterializedView {
     *    when it hits zero. This is the standard counting trick of
     *    incremental view maintenance, surfaced as a visible
     *    maintenance column. */
+  /** `minMaxCols` adds `min_<c>` / `max_<c>` to the view. MIN/MAX are
+    * NOT invertible under deletes (retracting the current minimum says
+    * nothing about the runner-up), so maintenance splits per group:
+    * groups touched only by INSERTS merge monotonically
+    * (`least`/`greatest` — exact, zero source IO), and groups touched
+    * by any DELETE are recomputed exactly from the source restricted
+    * to those group keys — O(affected groups' rows), key-pruned
+    * through the manifest. This is the standard bounded-recompute
+    * treatment of non-invertible aggregates in incremental view
+    * maintenance. */
   final case class IncrementalView(sourceRoot: String, viewRoot: String,
-      keys: Seq[String], sumCols: Seq[String])
+      keys: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil)
 
   private def rollup(df: DataFrame, v: IncrementalView): DataFrame = {
     import org.apache.spark.sql.functions._
     df.groupBy(v.keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        v.sumCols.flatMap(c => Seq(
+        (v.sumCols.flatMap(c => Seq(
           sum(col(c).cast("decimal(20,2)")).as(s"sum_$c"),
-          count(col(c)).as(s"cnt_$c"))): _*)
+          count(col(c)).as(s"cnt_$c"))) ++
+          v.minMaxCols.flatMap(c => Seq(
+            min(col(c)).as(s"min_$c"),
+            max(col(c)).as(s"max_$c")))): _*)
   }
 
   private def asView(v: IncrementalView): View =
@@ -196,8 +210,9 @@ object MaterializedView {
       .withColumn("__sign",
         when(col("change_type") === "inserted", lit(1L)).otherwise(lit(-1L)))
     val viewV =
-      try mergeSignedDelta(spark, v.viewRoot, v.keys, v.sumCols, viewCur,
-        signedDelta(delta, v.keys, v.sumCols))
+      try SnapshotTable.commitExpecting(spark, v.viewRoot,
+        incrDeltaFrame(spark, v, viewCur, delta, curV),
+        expectedCurrent = viewCur, clusterKey = v.keys.headOption)
       catch {
         // a concurrent refresh landed first: applying OUR delta onto
         // ITS rollup would double-count the overlap — recompute instead
@@ -212,25 +227,37 @@ object MaterializedView {
     * rollup the merge consumes. Delta keys are renamed (`__dk_`) so the
     * merge can express a null-safe join condition. */
   private def signedDelta(df: DataFrame, keys: Seq[String],
-      sumCols: Seq[String]): DataFrame = {
+      sumCols: Seq[String], mmCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     df.groupBy(keys.map(col): _*)
       .agg(sum(col("__sign")).as("dn"),
-        sumCols.flatMap(c => Seq(
+        (sumCols.flatMap(c => Seq(
           sum(col(c).cast("decimal(20,2)") * col("__sign")).as(s"dsum_$c"),
           sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L)))
-            .as(s"dcnt_$c"))): _*)
+            .as(s"dcnt_$c"))) ++
+          // insert-only extrema for the monotone merge, plus the flag
+          // that routes a group to the exact recompute instead
+          mmCols.flatMap(c => Seq(
+            min(when(col("__sign") === 1L, col(c))).as(s"imin_$c"),
+            max(when(col("__sign") === 1L, col(c))).as(s"imax_$c"))) ++
+          (if (mmCols.isEmpty) Nil else Seq(
+            max(when(col("__sign") === -1L, lit(1)).otherwise(lit(0)))
+              .as("dhasdel")))): _*)
       .select(keys.map(k => col(k).as(s"__dk_$k")) ++
         Seq(col("dn")) ++
         sumCols.flatMap(c =>
-          Seq(col(s"dsum_$c"), col(s"dcnt_$c"))): _*)
+          Seq(col(s"dsum_$c"), col(s"dcnt_$c"))) ++
+        mmCols.flatMap(c =>
+          Seq(col(s"imin_$c"), col(s"imax_$c"))) ++
+        (if (mmCols.isEmpty) Nil else Seq(col("dhasdel"))): _*)
   }
 
   /** The pure merge: old rollup ⊕ keyed signed-delta rollup → the new
     * rollup frame (no commit). Shared by the committing refreshes and
     * the read-time [[readFresh]] serving path. */
   private def mergedFrame(old: DataFrame, keys: Seq[String],
-      sumCols: Seq[String], deltaAgg: DataFrame): DataFrame = {
+      sumCols: Seq[String], deltaAgg: DataFrame,
+      mmCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     val cond = keys.map(k => old(k) <=> deltaAgg(s"__dk_$k"))
       .reduce(_ && _)
@@ -245,6 +272,12 @@ object MaterializedView {
           .as(s"sum_$c"),
         cnt.as(s"cnt_$c"))
     }
+    // monotone extrema merge — valid ONLY for insert-touched groups
+    // (the caller routes delete-touched groups to the recompute);
+    // least/greatest skip NULLs, so an absent side passes through
+    def mergedMm(c: String): Seq[Column] = Seq(
+      least(col(s"min_$c"), col(s"imin_$c")).as(s"min_$c"),
+      greatest(col(s"max_$c"), col(s"imax_$c")).as(s"max_$c"))
     // "no old-side row" is probed via `n` (never NULL in a view row) —
     // probing the key would misread a legitimate NULL-key group
     old.join(deltaAgg, cond, "full_outer")
@@ -253,8 +286,52 @@ object MaterializedView {
           .otherwise(old(k)).as(k)) ++
         Seq((coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
           .as("n")) ++
-        sumCols.flatMap(mergedSum)): _*)
+        sumCols.flatMap(mergedSum) ++
+        mmCols.flatMap(mergedMm)): _*)
       .filter(col("n") > 0)
+  }
+
+  /** One incremental-view delta, applied: the merged rollup frame an
+    * [[IncrementalView]] refresh would commit (no commit here — shared
+    * by the committing refreshes and [[readFresh]]). With
+    * `minMaxCols`, groups touched by a delete are recomputed exactly
+    * from the source AT VERSION `srcV` restricted to those group keys
+    * (manifest-pruned through the first group key when possible);
+    * everything else merges algebraically. */
+  private def incrDeltaFrame(spark: SparkSession, v: IncrementalView,
+      viewCur: Long, signedRows: DataFrame, srcV: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val old = SnapshotTable.readVersion(spark, v.viewRoot, viewCur)
+    val deltaAgg = signedDelta(signedRows, v.keys, v.sumCols,
+      v.minMaxCols)
+    if (v.minMaxCols.isEmpty)
+      return mergedFrame(old, v.keys, v.sumCols, deltaAgg)
+    val insOnly = deltaAgg.filter(col("dhasdel") === 0).drop("dhasdel")
+    val delKeys = deltaAgg.filter(col("dhasdel") === 1)
+      .select(v.keys.map(k => col(s"__dk_$k")): _*)
+    // groups untouched by deletes: algebraic merge; old rows of
+    // delete-touched groups are excluded — the recompute replaces them
+    val oldKept = old.join(delKeys,
+      v.keys.map(k => old(k) <=> delKeys(s"__dk_$k")).reduce(_ && _),
+      "left_anti")
+    val part1 = mergedFrame(oldKept, v.keys, v.sumCols, insOnly,
+      v.minMaxCols)
+    // delete-touched groups: exact recompute over only their rows.
+    // Key-prune the source read through the manifest when every
+    // touched first-key is non-NULL (readKeys cannot probe NULL); a
+    // NULL group key falls back to the plain scan — the semi join
+    // below is the exactness guarantee either way.
+    val k0 = v.keys.head
+    val hasNullKey = delKeys
+      .filter(col(s"__dk_$k0").isNull).limit(1).count() > 0
+    val srcBase =
+      if (hasNullKey) SnapshotTable.readVersion(spark, v.sourceRoot, srcV)
+      else SnapshotTable.readKeys(spark, v.sourceRoot, k0,
+        delKeys.select(col(s"__dk_$k0").as(k0)), Some(srcV))
+    val srcAff = srcBase.join(delKeys,
+      v.keys.map(k => srcBase(k) <=> delKeys(s"__dk_$k")).reduce(_ && _),
+      "left_semi")
+    part1.unionByName(rollup(srcAff, v))
   }
 
   /** Merge a keyed signed-delta rollup onto view version `viewCur` and
@@ -298,8 +375,7 @@ object MaterializedView {
       .withColumn("__sign",
         when(col("change_type") === "inserted", lit(1L))
           .otherwise(lit(-1L)))
-    mergedFrame(SnapshotTable.readVersion(spark, v.viewRoot, viewCur),
-      v.keys, v.sumCols, signedDelta(delta, v.keys, v.sumCols))
+    incrDeltaFrame(spark, v, viewCur, delta, curV)
   }
 
   /** MV maintenance as a STREAMING JOB — the CDC feed for APPEND-ONLY
@@ -423,8 +499,11 @@ object MaterializedView {
       val signed = fresh.withColumn("__sign",
         when(col(typCol) === "insert", lit(1L)).otherwise(lit(-1L)))
       val viewV =
-        try mergeSignedDelta(spark, v.viewRoot, v.keys, v.sumCols, viewCur,
-          signedDelta(signed, v.keys, v.sumCols))
+        try SnapshotTable.commitExpecting(spark, v.viewRoot,
+          // delete-touched min/max groups recompute against the state
+          // this batch brings the view to (version hi is committed)
+          incrDeltaFrame(spark, v, viewCur, signed, hi),
+          expectedCurrent = viewCur, clusterKey = v.keys.headOption)
         catch {
           case _: SnapshotTable.CommitConflict =>
             return refresh(spark, asView(v))

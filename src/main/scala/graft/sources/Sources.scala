@@ -1344,6 +1344,44 @@ object Sources {
           col("sum_o_totalprice"), col("cnt_o_totalprice"))
         .orderBy("c_mktsegment")
     }),
+    // MIN/MAX MV MAINTENANCE under the oracle: extrema are not
+    // invertible under deletes, so the view recomputes exactly the
+    // delete-touched groups (key-pruned) and merges everything else
+    // algebraically. History: append rows that move both extrema
+    // monotonically, then MOR-delete a slice INCLUDING current group
+    // minima — the runner-up must surface. DuckDB recomputes from the
+    // final state.
+    "snapshot_mv_minmax" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-mvm").toString
+      val o = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val iv = MaterializedView.IncrementalView(base + "/src",
+        base + "/view", keys = Seq("o_orderstatus"),
+        sumCols = Seq("o_totalprice"),
+        minMaxCols = Seq("o_totalprice", "o_orderkey"))
+      SnapshotTable.commit(s, iv.sourceRoot, o,
+        clusterKey = Some("o_orderstatus"),
+        bloomKey = Some("o_orderkey"))
+      MaterializedView.refreshIncremental(s, iv) // bootstrap
+      SnapshotTable.append(s, iv.sourceRoot,
+        o.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderstatus"),
+            (col("o_totalprice") * 4).as("o_totalprice")))
+      MaterializedView.refreshIncremental(s, iv) // monotone merge
+      SnapshotTable.deleteKeysOnRead(s, iv.sourceRoot,
+        o.filter(col("o_orderkey") % 3 === 0).select("o_orderkey"),
+        "o_orderkey")
+      MaterializedView.refreshIncremental(s, iv) // bounded recompute
+      MaterializedView.read(s, iv)
+        .select(col("o_orderstatus"), col("n"),
+          col("sum_o_totalprice"), col("cnt_o_totalprice"),
+          col("min_o_totalprice"), col("max_o_totalprice"),
+          col("min_o_orderkey"), col("max_o_orderkey"))
+        .orderBy("o_orderstatus")
+    }),
     // STAR-SCHEMA MV under the oracle: a lineitem ⋈ part ⋈ supplier
     // rollup maintained incrementally from ALL THREE tables' deltas by
     // the telescoping rule (one signed-delta factor per summand, old
@@ -2252,6 +2290,23 @@ object Sources {
         |FROM fact JOIN dim ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "snapshot_mv_minmax" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice * 4
+        |  FROM orders WHERE o_orderkey % 11 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
+        |    AS DECIMAL(20,2)) AS sum_o_totalprice,
+        |  count(o_totalprice) AS cnt_o_totalprice,
+        |  min(o_totalprice) AS min_o_totalprice,
+        |  max(o_totalprice) AS max_o_totalprice,
+        |  min(o_orderkey) AS min_o_orderkey,
+        |  max(o_orderkey) AS max_o_orderkey
+        |FROM live GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "snapshot_mv_star" ->
       """WITH fact AS (
         |  SELECT l_orderkey, l_partkey, l_suppkey, l_extendedprice
