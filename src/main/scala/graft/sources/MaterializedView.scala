@@ -145,10 +145,14 @@ object MaterializedView {
 
   private def rollup(df: DataFrame, v: IncrementalView): DataFrame = {
     import org.apache.spark.sql.functions._
+    // sums land as DECIMAL(20,2), the SAME type the merged refresh
+    // writes — a view whose history mixes full and delta commits must
+    // keep ONE schema (its own diff is the cascading-MV delta feed)
     df.groupBy(v.keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
         (v.sumCols.flatMap(c => Seq(
-          sum(col(c).cast("decimal(20,2)")).as(s"sum_$c"),
+          sum(col(c).cast("decimal(20,2)")).cast("decimal(20,2)")
+            .as(s"sum_$c"),
           count(col(c)).as(s"cnt_$c"))) ++
           v.minMaxCols.flatMap(c => Seq(
             min(col(c)).as(s"min_$c"),
@@ -676,10 +680,12 @@ object MaterializedView {
   private def starRollup(joined: DataFrame, keys: Seq[String],
       sumCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
+    // DECIMAL(20,2) sums for the same one-schema reason as [[rollup]]
     joined.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sumCols.flatMap(c => Seq(
-          sum(col(c).cast("decimal(20,2)")).as(s"sum_$c"),
+          sum(col(c).cast("decimal(20,2)")).cast("decimal(20,2)")
+            .as(s"sum_$c"),
           count(col(c)).as(s"cnt_$c"))): _*)
   }
 

@@ -1344,6 +1344,63 @@ object Sources {
           col("sum_o_totalprice"), col("cnt_o_totalprice"))
         .orderBy("c_mktsegment")
     }),
+    // WRITE-AUDIT-PUBLISH under the oracle: stage a batch on an
+    // isolated BRANCH (main readers untouched), AUDIT the staged
+    // snapshot with declared expectations, REFUSE the publish when
+    // violations exist, re-stage the quarantine-cleaned batch on a
+    // fresh branch, and PUBLISH via fast-forward — a metadata pointer
+    // jump, zero data IO. DuckDB sees only what main should serve:
+    // base orders plus the CLEAN half of the batch; the bad rows'
+    // bytes exist on disk but were never published.
+    "snapshot_wap" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-wap").toString + "/orders_wap"
+      val o = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      SnapshotTable.commit(s, root, o,
+        clusterKey = Some("o_orderkey"))                      // v1 main
+      val good = o.filter(col("o_orderkey") % 41 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      val bad = o.filter(col("o_orderkey") % 83 === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          col("o_orderstatus"),
+          (-col("o_totalprice")).as("o_totalprice"))
+      val checks = Seq(
+        "positive_price" -> (col("o_totalprice") > 0))
+      // WRITE: the full batch lands on the audit branch only
+      SnapshotTable.createBranch(s, root, "audit")
+      SnapshotTable.append(s, root, good.unionByName(bad),
+        branch = "audit")
+      // AUDIT the staged snapshot; violations REFUSE the publish
+      val staged = SnapshotTable.readBranch(s, root, "audit")
+      val (_, quarantined) = graft.operators.Expectations
+        .split(staged, checks)
+      require(quarantined.limit(1).count() > 0,
+        "fixture: the staged batch must contain violations")
+      SnapshotTable.dropBranch(s, root, "audit")
+      // re-stage only the rows that pass every expectation
+      SnapshotTable.createBranch(s, root, "audit-clean")
+      SnapshotTable.append(s, root,
+        graft.operators.Expectations
+          .split(good.unionByName(bad), checks)._1,
+        branch = "audit-clean")
+      val (_, quar2) = graft.operators.Expectations.split(
+        SnapshotTable.readBranch(s, root, "audit-clean"), checks)
+      require(quar2.limit(1).count() == 0,
+        "fixture: the cleaned stage must audit green")
+      // PUBLISH: fast-forward main onto the audited head
+      SnapshotTable.fastForward(s, root, "audit-clean", "main")
+      s.read.format("graft-snapshot").option("path", root).load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,2)"))
+            .cast("decimal(20,2)").as("sum_price"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    }),
     // MIN/MAX MV MAINTENANCE under the oracle: extrema are not
     // invertible under deletes, so the view recomputes exactly the
     // delete-touched groups (key-pruned) and merges everything else
@@ -2290,6 +2347,18 @@ object Sources {
         |FROM fact JOIN dim ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "snapshot_wap" ->
+      """WITH published AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice * 2
+        |  FROM orders WHERE o_orderkey % 41 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
+        |    AS DECIMAL(20,2)) AS sum_price,
+        |  max(o_orderkey) AS max_key
+        |FROM published GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "snapshot_mv_minmax" ->
       """WITH live AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -447,6 +447,55 @@ class JoinViewSpec extends SparkSpec {
     assert(SnapshotTable.currentVersion(spark, sv.viewRoot) == vNow)
   }
 
+  test("cascading MVs: a second-level rollup maintained from the " +
+      "first view's own version history stays exact through source " +
+      "changes") {
+    val base = tmpRoot()
+    val fact = factDf
+    SnapshotTable.commit(spark, base + "_src", fact,
+      clusterKey = Some("o_orderkey"))
+    // level 1: per-customer rollup (many groups)
+    val l1 = MaterializedView.IncrementalView(base + "_src",
+      base + "_l1", keys = Seq("o_custkey"),
+      sumCols = Seq("o_totalprice"))
+    // level 2: distribution of per-customer order counts — groups the
+    // LEVEL-1 VIEW by its own cnt column; the view table is an
+    // ordinary snapshot table, so the second level needs nothing new
+    // (its delta is the bag diff of two view versions)
+    val l2 = MaterializedView.IncrementalView(base + "_l1",
+      base + "_l2", keys = Seq("cnt_o_totalprice"),
+      sumCols = Seq("sum_o_totalprice"))
+    MaterializedView.refreshIncremental(spark, l1)
+    MaterializedView.refreshIncremental(spark, l2)
+
+    def want(): Seq[String] =
+      SnapshotTable.read(spark, base + "_l1")
+        .groupBy("cnt_o_totalprice")
+        .agg(count(lit(1)).as("n"),
+          sum(col("sum_o_totalprice").cast("decimal(20,2)"))
+            .as("sum_sum_o_totalprice"),
+          count(col("sum_o_totalprice")).as("cnt_sum_o_totalprice"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+    def got(): Seq[String] =
+      MaterializedView.read(spark, l2)
+        .collect().map(_.mkString("|")).sorted.toSeq
+    assert(got() == want(), "bootstrap cascade")
+
+    // source changes ripple through both levels, each an incremental
+    // refresh of its own layer
+    SnapshotTable.append(spark, base + "_src",
+      fact.limit(35).select(
+        (col("o_orderkey") + 99000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice")))
+    SnapshotTable.deleteKeysOnRead(spark, base + "_src",
+      fact.filter(col("o_orderkey") % 31 === 0).select("o_orderkey"),
+      "o_orderkey")
+    MaterializedView.refreshIncremental(spark, l1)
+    MaterializedView.refreshIncremental(spark, l2)
+    assert(got() == want(),
+      "level-2 view must equal a recompute over the level-1 view")
+  }
+
   test("streaming joinFeed: two changelog wake streams keep the view " +
       "exact through fact appends and dim MOR updates") {
     val v = mkView()
