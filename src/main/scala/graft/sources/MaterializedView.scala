@@ -306,10 +306,14 @@ object MaterializedView {
       viewCur: Long, signedRows: DataFrame, srcV: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     val old = SnapshotTable.readVersion(spark, v.viewRoot, viewCur)
-    val deltaAgg = signedDelta(signedRows, v.keys, v.sumCols,
+    val deltaAgg0 = signedDelta(signedRows, v.keys, v.sumCols,
       v.minMaxCols)
     if (v.minMaxCols.isEmpty)
-      return mergedFrame(old, v.keys, v.sumCols, deltaAgg)
+      return mergedFrame(old, v.keys, v.sumCols, deltaAgg0)
+    // the delta rollup feeds the insert-only merge, the delete-key
+    // probe, AND the two key joins — persist the (group-count-sized)
+    // frame so the underlying diff evaluates once
+    val deltaAgg = deltaAgg0.persist()
     val insOnly = deltaAgg.filter(col("dhasdel") === 0).drop("dhasdel")
     val delKeys = deltaAgg.filter(col("dhasdel") === 1)
       .select(v.keys.map(k => col(s"__dk_$k")): _*)
@@ -767,19 +771,40 @@ object MaterializedView {
 
     // join `dims(j)` onto the accumulated frame at version `ver`,
     // PRUNED to the frame's foreign keys (stats + bloom, version-
-    // pinned) — the dim read is O(matching files), never O(dim)
+    // pinned) — the dim read is O(matching files), never O(dim).
+    // EXCEPT when the dim version is broadcast-small: the probe's
+    // key-collection job then costs more than it saves, so read the
+    // dim whole and let the join broadcast it (same threshold logic
+    // as Spark's own broadcast decision).
+    val smallBytes = spark.conf.getOption(
+      "spark.sql.autoBroadcastJoinThreshold")
+      .flatMap(x => scala.util.Try(
+        org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(x)).toOption)
+      .filter(_ > 0).getOrElse(10L * 1024 * 1024)
+    def dimIsSmall(root: String, ver: Long): Boolean = {
+      val es = SnapshotTable.manifest(spark, root, ver)
+      val bs = es.map(_.bytes)
+      bs.forall(_.isDefined) && bs.flatten.sum <= smallBytes
+    }
     def joinDim(acc: DataFrame, j: Int, ver: Long): DataFrame = {
       val d = v.dims(j)
-      val dj = SnapshotTable.readKeys(spark, d.root, d.dimKey,
-        acc.select(col(d.factKey).as(d.dimKey)), Some(ver))
+      val dj =
+        if (dimIsSmall(d.root, ver))
+          SnapshotTable.readVersion(spark, d.root, ver)
+        else SnapshotTable.readKeys(spark, d.root, d.dimKey,
+          acc.select(col(d.factKey).as(d.dimKey)), Some(ver))
       acc.join(dj, acc(d.factKey) === dj(d.dimKey), "inner")
     }
 
     val terms = roots.indices.flatMap { i =>
       if (cur(i) <= last(i)) None
       else {
+        // the delta is evaluated once per readKeys PROBE plus once in
+        // the term's own join — persist it (delta-sized; the context
+        // cleaner reclaims the cache once the frame is unreachable)
         val dRi = signed(
-          SnapshotTable.diff(spark, roots(i), last(i), cur(i)))
+          SnapshotTable.diff(spark, roots(i), last(i), cur(i))).persist()
         if (i == 0) {
           // ΔF ⋈ dim_1^new ⋈ … ⋈ dim_k^new
           Some(v.dims.indices.foldLeft(dRi)((acc, j) =>

@@ -4340,6 +4340,14 @@ object SnapshotTable {
           else readEntries(spark, root, pruned ++ aTombs, readSchema)
             .join(keysDf, Seq(key), "left_semi")
         }
+      // a pure-delete commit (no added data files) or a pure-insert
+      // commit (no added tombstones) has one PROVABLY empty leg —
+      // skip the exceptAll pair (two shuffles) the mixed case needs;
+      // x.exceptAll(empty) = x and empty.exceptAll(x) = empty exactly
+      if (addedData.isEmpty)
+        return del.withColumn("change_type", lit("deleted"))
+      if (addedTombs.isEmpty)
+        return ins.withColumn("change_type", lit("inserted"))
       return ins.exceptAll(del).withColumn("change_type", lit("inserted"))
         .unionByName(
           del.exceptAll(ins).withColumn("change_type", lit("deleted")))

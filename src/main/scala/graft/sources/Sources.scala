@@ -1449,7 +1449,11 @@ object Sources {
     "snapshot_mv_star" -> ((s, dir) => {
       val base = java.nio.file.Files
         .createTempDirectory("graft-mvs").toString
+      // a 1/4 slice keeps the fixture at the same scale as the other
+      // snapshot_* queries (orders-sized) — the maintenance path is
+      // identical, the oracle mirrors the slice
       val li = graft.Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 4 === 1)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_extendedprice"))
       val part = graft.Tables.load(s, dir, "part")
@@ -2377,13 +2381,16 @@ object Sources {
         |FROM live GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     "snapshot_mv_star" ->
-      """WITH fact AS (
+      """WITH li AS (
         |  SELECT l_orderkey, l_partkey, l_suppkey, l_extendedprice
-        |  FROM lineitem WHERE l_orderkey % 13 <> 0
+        |  FROM lineitem WHERE l_orderkey % 4 = 1),
+        |fact AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_extendedprice
+        |  FROM li WHERE l_orderkey % 13 <> 0
         |  UNION ALL
         |  SELECT l_orderkey + 90000000, l_partkey, l_suppkey,
         |    l_extendedprice * 2
-        |  FROM lineitem WHERE l_orderkey % 23 = 0),
+        |  FROM li WHERE l_orderkey % 23 = 0),
         |dim_p AS (
         |  SELECT p_partkey,
         |    CASE WHEN p_partkey % 17 = 0 THEN 'Brand#77'
