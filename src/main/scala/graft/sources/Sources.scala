@@ -1344,6 +1344,39 @@ object Sources {
           col("sum_o_totalprice"), col("cnt_o_totalprice"))
         .orderBy("c_mktsegment")
     }),
+    // THE REFERENCE'S DASHBOARD, maintained instead of recomputed:
+    // the reference re-runs every aggregation per page load
+    // (api-service/data_service.py); here the per-type rollup is an
+    // IncrementalView over the events table with MIN/MAX columns, and
+    // the serve path is readFresh — a late batch and a GDPR-style
+    // user erasure land WITHOUT a refresh, yet the read is exact.
+    // DuckDB recomputes the dashboard from the final logical state.
+    "events_mv_dashboard" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-evmv").toString
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val iv = MaterializedView.IncrementalView(base + "/src",
+        base + "/view", keys = Seq("event_type"),
+        sumCols = Seq("value"), minMaxCols = Seq("value"))
+      SnapshotTable.commit(s, iv.sourceRoot,
+        ev.filter(col("event_id") % 5 =!= 0),
+        clusterKey = Some("event_type"), bloomKey = Some("event_id"))
+      MaterializedView.refreshIncremental(s, iv) // materialize once
+      // a late batch arrives and one user exercises erasure — the
+      // dashboard is served fresh WITHOUT recomputing or refreshing
+      SnapshotTable.append(s, iv.sourceRoot,
+        ev.filter(col("event_id") % 5 === 0))
+      SnapshotTable.deleteKeysOnRead(s, iv.sourceRoot,
+        ev.filter(col("user_id") % 97 === 0).select("event_id"),
+        "event_id")
+      MaterializedView.readFresh(s, iv)
+        .select(col("event_type"), col("n"),
+          col("sum_value"), col("cnt_value"),
+          col("min_value"), col("max_value"))
+        .orderBy("event_type")
+    }),
     // WRITE-AUDIT-PUBLISH under the oracle: stage a batch on an
     // isolated BRANCH (main readers untouched), AUDIT the staged
     // snapshot with declared expectations, REFUSE the publish when
@@ -2351,6 +2384,15 @@ object Sources {
         |FROM fact JOIN dim ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "events_mv_dashboard" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(20,2))) AS DECIMAL(20,2))
+        |    AS sum_value,
+        |  count(value) AS cnt_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events WHERE user_id % 97 <> 0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "snapshot_wap" ->
       """WITH published AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
