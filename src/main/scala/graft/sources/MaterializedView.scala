@@ -583,6 +583,11 @@ object MaterializedView {
     * read is pruned to the changed dim keys, and each dim read is
     * pruned to the accumulated frame's foreign keys — so a refresh is
     * O(delta + matching files) regardless of table count or size. */
+  /** Star views carry COUNT + SUM aggregates only: extrema under
+    * deletes need the bounded delete-group recompute, which
+    * [[IncrementalView.minMaxCols]] provides for single-table views
+    * (restricting a JOINED frame to delete-touched groups keyed by
+    * dim attributes has no pruned access path in general). */
   final case class StarView(factRoot: String, viewRoot: String,
       dims: Seq[StarDim], keys: Seq[String], sumCols: Seq[String]) {
     require(dims.nonEmpty, "a star view needs at least one dimension")

@@ -4455,6 +4455,13 @@ object SnapshotTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** [[rollbackTo]] by wall clock: restore the state a live reader
+    * saw at `ts` (epoch millis) — `rollbackTo(versionAsOf(ts))`, the
+    * shape of Delta's `RESTORE TABLE ... TO TIMESTAMP AS OF`. */
+  def rollbackToTimestamp(spark: SparkSession, root: String,
+      ts: Long, maxRetries: Int = 5): Long =
+    rollbackTo(spark, root, versionAsOf(spark, root, ts), maxRetries)
+
   /** Scan planning from manifest stats: split version `v`'s entries
     * into (kept, skipped) for a range predicate on `key` — a file is
     * skipped iff its recorded [lo, hi] provably cannot intersect the

@@ -103,6 +103,21 @@ class RollbackSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("rollbackToTimestamp restores what a live reader saw at that " +
+      "instant") {
+    val root = tmpRoot()
+    val nation = Tables.load(spark, sfDir, "nation")
+    SnapshotTable.commit(spark, root, nation)                // v1
+    val afterV1 = SnapshotTable.commitTime(spark, root, 1L)
+    Thread.sleep(1100) // mtime granularity on the local fs
+    SnapshotTable.append(spark, root, nation.limit(3))       // v2
+    val v1Rows = canon(root, Some(1L))
+    assert(canon(root) != v1Rows, "fixture: v2 diverged")
+    val target = SnapshotTable.rollbackToTimestamp(spark, root, afterV1)
+    assert(target == 3L)
+    assert(canon(root) == v1Rows)
+  }
+
   test("a post-rollback append builds on the restored state; diff " +
       "against the rolled-back version reports the undone rows") {
     val root = tmpRoot()
