@@ -155,6 +155,40 @@ class MvMinMaxSpec extends SparkSpec {
         "files — group pruning lost")
   }
 
+  test("min/max through the STREAMING CDC feed: a MOR delete that " +
+      "kills group minima recomputes those groups against the batch's " +
+      "own version") {
+    val v = mkView()
+    val o = src
+    SnapshotTable.commit(spark, v.sourceRoot, o,
+      clusterKey = Some("o_orderstatus"), bloomKey = Some("o_orderkey"))
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft-mm-cp").toString
+    val q = MaterializedView.cdcFeedRetract(spark, v, cp)
+    try {
+      q.processAllAvailable() // bootstrap
+      assert(served(v) == expected(v), "bootstrap via feed")
+      // delete each status's current minimum-price rows, then append
+      // new extrema — both land through the changelog stream
+      import org.apache.spark.sql.expressions.Window
+      val mins = SnapshotTable.read(spark, v.sourceRoot)
+        .withColumn("rk",
+          row_number().over(Window.partitionBy("o_orderstatus")
+            .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)))
+        .filter(col("rk") <= 2).select("o_orderkey")
+      SnapshotTable.deleteKeysOnRead(spark, v.sourceRoot, mins,
+        "o_orderkey")
+      SnapshotTable.append(spark, v.sourceRoot,
+        o.limit(10).select(
+          (col("o_orderkey") + 97000000L).as("o_orderkey"),
+          col("o_orderstatus"),
+          (col("o_totalprice") * 50).as("o_totalprice")))
+      q.processAllAvailable()
+      assert(served(v) == expected(v),
+        "streamed MOR delete of group minima + appended maxima")
+    } finally q.stop()
+  }
+
   test("NULL group key and all-NULL extrema survive the delete-" +
       "recompute path") {
     val base = tmpRoot()
