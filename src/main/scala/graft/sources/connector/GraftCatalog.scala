@@ -961,7 +961,7 @@ private[connector] object GraftProcedures {
     "expire_older_than", "vacuum", "tag", "drop_tag", "clone",
     "create_branch", "fast_forward", "fast_forward_to", "drop_branch",
     "analyze", "analyze_histograms", "refresh_histograms",
-    "rollback_to")
+    "rollback_to", "rollback_to_timestamp")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
@@ -1119,6 +1119,15 @@ private[connector] object GraftProcedures {
           StructField("version", LongType, nullable = false))),
         (spark, cat0, in) => {
           Row(SnapshotTable.rollbackTo(spark,
+            cat0.resolveRoot(in.getString(0)), in.getLong(1)))
+        })
+      case "rollback_to_timestamp" => proc(cat, "rollback_to_timestamp",
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("ts_millis", LongType).build()),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          Row(SnapshotTable.rollbackToTimestamp(spark,
             cat0.resolveRoot(in.getString(0)), in.getLong(1)))
         })
       case "drop_branch" => proc(cat, "drop_branch",

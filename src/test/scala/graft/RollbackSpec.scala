@@ -118,6 +118,27 @@ class RollbackSpec extends SparkSpec {
     assert(canon(root) == v1Rows)
   }
 
+  test("SQL surface: CALL graft.system.rollback_to_timestamp") {
+    val warehouse =
+      java.nio.file.Files.createTempDirectory("graft-rbt-cat").toString
+    spark.conf.set("spark.sql.catalog.graft_rbt",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rbt.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_rbt.db")
+    spark.sql("CREATE TABLE graft_rbt.db.rbt (k BIGINT)")       // v1
+    spark.sql("INSERT INTO graft_rbt.db.rbt VALUES (1)")        // v2
+    val after = SnapshotTable.commitTime(spark,
+      s"$warehouse/db/rbt", 2L)
+    Thread.sleep(1100)
+    spark.sql("INSERT INTO graft_rbt.db.rbt VALUES (999)")      // v3
+    val out = spark.sql(
+      s"CALL graft_rbt.system.rollback_to_timestamp('db.rbt', $after)")
+      .head()
+    assert(out.getLong(0) == 4L)
+    assert(spark.sql("SELECT * FROM graft_rbt.db.rbt")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("a post-rollback append builds on the restored state; diff " +
       "against the rolled-back version reports the undone rows") {
     val root = tmpRoot()
