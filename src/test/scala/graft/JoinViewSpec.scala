@@ -447,6 +447,40 @@ class JoinViewSpec extends SparkSpec {
     assert(SnapshotTable.currentVersion(spark, sv.viewRoot) == vNow)
   }
 
+  test("concurrent maintainers: racing incremental refreshes " +
+      "serialize through the CAS — the loser recomputes, the view " +
+      "never double-counts a delta") {
+    val v = mkView()
+    val fact = factDf
+    SnapshotTable.commit(spark, v.factRoot, fact,
+      clusterKey = Some("o_custkey"), files = 8)
+    SnapshotTable.commit(spark, v.dimRoot, dimDf,
+      clusterKey = Some("c_custkey"), files = 4)
+    MaterializedView.refreshJoinIncremental(spark, v) // bootstrap
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    for (round <- 1 to 2) {
+      SnapshotTable.append(spark, v.factRoot,
+        fact.limit(60).select(
+          (col("o_orderkey") + round * 80000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+      SnapshotTable.mergeOnRead(spark, v.dimRoot,
+        dimDf.filter(col("c_custkey") % (5 + round) === 0)
+          .withColumn("c_mktsegment", lit(s"RACE$round")),
+        "c_custkey")
+      // three maintainers race to consume the same pending delta
+      val rs = Await.result(Future.sequence(Seq.fill(3)(Future {
+        MaterializedView.refreshJoinIncremental(spark, v)
+      })), 120.seconds)
+      assert(rs.nonEmpty)
+      assert(served(v) == expected(v),
+        s"round $round: racing refreshes corrupted the rollup")
+      assert(!MaterializedView.isStale(spark, v))
+    }
+  }
+
   test("cascading MVs: a second-level rollup maintained from the " +
       "first view's own version history stays exact through source " +
       "changes") {
