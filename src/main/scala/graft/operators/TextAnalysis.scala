@@ -470,6 +470,28 @@ object TextAnalysis {
       TextIndex.searchBm25(s, root, Seq("extra", "sort", "join"), 20)
     }),
 
+    // REAL-ANALYZER CONJUNCTIVE SEARCH, oracled: the index builds with
+    // the declared `simple` analyzer (case-fold, non-alphanumeric runs
+    // separate, empty tokens dropped — recorded as a table property so
+    // every later installment reuses it), over a corpus mutated
+    // in-plan to MAKE the analyzer load-bearing: every text is
+    // UPPERCASED and gains a ", Spark!" suffix, so the whitespace
+    // tokenizer would index zero lowercase terms and a junk "spark!"
+    // token. The search is AND semantics — only docs holding ALL
+    // three terms are scored; df/N/avgdl stay the OR scan's, so
+    // scores match the searchBm25 contract. The oracle mirrors the
+    // analyzer as SQL (lower + regex-split + empty-filter — the
+    // analyzer is DATA, which is the point) and the conjunctive
+    // membership via HAVING count(DISTINCT term) = 3.
+    "docs_bm25_and" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25a-q").toString + "/ix"
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(upper(col("text")), lit(", Spark!")).as("text"))
+      TextIndex.build(s, d, root, buckets = 32, analyzer = "simple")
+      TextIndex.searchAnd(s, root, Seq("vector", "merge", "window"), 20)
+    }),
+
     // Benchmark DECONTAMINATION — the training-data hygiene pass every
     // LLM pipeline runs before training: does a training doc share any
     // 8-token shingle with the held-out eval set? The eval split derives
@@ -1629,6 +1651,40 @@ object TextAnalysis {
          |GROUP BY doc_id
          |ORDER BY score DESC, doc_id
          |LIMIT 20""".stripMargin,
+    // the `simple` analyzer mirrored as SQL (lower + split on
+    // non-alphanumeric runs + drop empties) over the same in-plan
+    // mutation (UPPER + ', Spark!'), conjunctive membership via
+    // HAVING count(DISTINCT term) = 3; df/N/avgdl are the OR scan's.
+    "docs_bm25_and" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(
+        |      lower(upper(text) || ', Spark!'), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS term, len(toks) AS dl
+        |      FROM d),
+        |n AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sumdl
+        |      FROM d),
+        |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM t
+        |  WHERE term IN ('vector','merge','window')
+        |  GROUP BY doc_id, term, dl),
+        |fullm AS (SELECT doc_id FROM tf
+        |  GROUP BY doc_id HAVING count(DISTINCT term) = 3),
+        |df AS (SELECT term, count(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, term FROM t
+        |  WHERE term IN ('vector','merge','window'))
+        |  GROUP BY term)
+        |SELECT doc_id, round(sum(
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * ((1.0 - 0.75)
+        |          + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n_docs)))
+        |  ), 6) AS score
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |WHERE doc_id IN (SELECT doc_id FROM fullm)
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
     "docs_decontaminate" ->
       s"""WITH d AS (
          |  SELECT doc_id, list_distinct(

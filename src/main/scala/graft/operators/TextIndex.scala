@@ -43,43 +43,74 @@ object TextIndex {
   private def statsRoot(root: String): String = root + "_stats"
   private def delsRoot(root: String): String = root + "_dels"
 
-  /** Whitespace tokens — the same tokenizer every documents-table
-    * query in this repo uses (`split(text, ' ')`), so index answers
-    * are comparable with the from-raw oracles.
-    *
-    * `era` orders installments of the SAME doc id within its
+  /** Table property recording which analyzer built the index — every
+    * later installment (add / remove / CDC) reads it back, so one
+    * index can never mix tokenizations. */
+  val AnalyzerProp = "graft.textindex.analyzer"
+
+  /** The DECLARED analyzers, kept as data (a name, not a closure) so
+    * an external engine — the DuckDB oracle, a reader in another
+    * language — can mirror tokenization exactly:
+    *  - `whitespace`: `split(text, ' ')`, the documents-table
+    *    convention every from-raw oracle in this repo uses;
+    *  - `simple`: case-fold, any run of non-[a-z0-9] separates, empty
+    *    tokens dropped — the minimal real-retrieval analyzer (Lucene's
+    *    SimpleAnalyzer shape: letters-ish runs, lowercased). */
+  private def toks(text: org.apache.spark.sql.Column,
+      analyzer: String): org.apache.spark.sql.Column = analyzer match {
+    case "whitespace" => split(text, " ")
+    case "simple" =>
+      array_remove(split(lower(text), "[^a-z0-9]+"), "")
+    case other => throw new IllegalArgumentException(
+      s"unknown analyzer '$other' (declared: whitespace, simple)")
+  }
+
+  /** The analyzer the index at `root` was built with. */
+  private def analyzerOf(spark: SparkSession, root: String): String =
+    SnapshotTable.tableProperties(spark, root)
+      .getOrElse(AnalyzerProp, "whitespace")
+
+  /** `era` orders installments of the SAME doc id within its
     * lifetime (0 for build/add/stream batches of new docs; the
     * source `_commit_version` for CDC rows): a tombstone records the
     * cut it was issued at, and only postings with `era < cut` die —
     * which is exactly what makes a MOR UPDATE (delete+insert at one
     * version) net to the new text. */
   private def postingsOf(docs: DataFrame,
-      era: org.apache.spark.sql.Column = lit(0L)): DataFrame =
+      era: org.apache.spark.sql.Column = lit(0L),
+      analyzer: String = "whitespace"): DataFrame =
     docs
       .withColumn("__era", era)
-      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("__toks", toks(col("text"), analyzer))
       .select(col("doc_id"), size(col("__toks")).as("dl"),
         col("__era").as("era"), explode(col("__toks")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"), col("era"))
       .agg(count(lit(1)).as("tf"))
 
   /** One journal row for an installment of documents. */
-  private def statsRowOf(docs: DataFrame): DataFrame =
+  private def statsRowOf(docs: DataFrame,
+      analyzer: String = "whitespace"): DataFrame =
     docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(split(col("text"), " "))).as("sum_dl"))
+      sum(size(toks(col("text"), analyzer))).as("sum_dl"))
 
   /** Index `docs(doc_id, text)` at `root`. Replaces any prior index
     * there (commitBucketedOn replaces the file set; the stats journal
-    * restarts with it). */
+    * restarts with it). The analyzer is recorded as a table property
+    * and every later installment reuses it. */
   def build(spark: SparkSession, docs: DataFrame, root: String,
-      buckets: Int = 64): Long = {
+      buckets: Int = 64, analyzer: String = "whitespace"): Long = {
+    toks(lit(""), analyzer) // validate the name before any commit
     val v = SnapshotTable.commitBucketedOn(spark, root,
-      postingsOf(docs), Seq(("term", buckets)))
-    SnapshotTable.commit(spark, statsRoot(root), statsRowOf(docs))
+      postingsOf(docs, analyzer = analyzer), Seq(("term", buckets)))
+    SnapshotTable.commit(spark, statsRoot(root),
+      statsRowOf(docs, analyzer))
     // a rebuild IS the tombstone purge: clear any accumulated dels
     if (SnapshotTable.currentVersion(spark, delsRoot(root)) > 0L)
       SnapshotTable.commit(spark, delsRoot(root),
         spark.range(0).selectExpr("id AS doc_id", "id AS cut"))
+    SnapshotTable.setProperties(spark, root,
+      SnapshotTable.tableProperties(spark, root) +
+        (AnalyzerProp -> analyzer))
     v
   }
 
@@ -89,8 +120,10 @@ object TextIndex {
     * be new — re-adding an already-indexed doc would split its tf
     * rows. */
   def add(spark: SparkSession, docs: DataFrame, root: String): Long = {
-    val v = SnapshotTable.appendBucketed(spark, root, postingsOf(docs))
-    SnapshotTable.append(spark, statsRoot(root), statsRowOf(docs),
+    val an = analyzerOf(spark, root)
+    val v = SnapshotTable.appendBucketed(spark, root,
+      postingsOf(docs, analyzer = an))
+    SnapshotTable.append(spark, statsRoot(root), statsRowOf(docs, an),
       files = 1)
     v
   }
@@ -108,16 +141,35 @@ object TextIndex {
     * physical purge would touch every bucket — the production shape
     * is exactly this: filter at read, rebuild (`build`) to compact
     * once tombstones accumulate. Removing an id that was never
-    * indexed, or re-adding a removed id, is outside the contract. */
-  def remove(spark: SparkSession, docs: DataFrame, root: String)
-  : Long = {
-    SnapshotTable.append(spark, delsRoot(root),
-      docs.select(col("doc_id"),
-        lit(Long.MaxValue).as("cut")), files = 1)
-    SnapshotTable.append(spark, statsRoot(root),
-      docs.agg((-count(lit(1))).as("n_docs"),
-        (-sum(size(split(col("text"), " ")))).as("sum_dl")),
-      files = 1)
+    * indexed, or re-adding a removed id, is outside the contract.
+    *
+    * The two appends (tombstones, then the negative stats row) are
+    * separate commits. Pass `txn` to make each idempotent under its
+    * own `(appId, batchId)` marker — then a crash between them, or a
+    * caller retry after a transient failure, converges on replay
+    * exactly like [[applyChanges]] (the landed half is recognized and
+    * skipped). Without `txn`, a retry after a crash in the window
+    * between the commits double-applies one side and permanently
+    * skews N/avgdl until a rebuild — callers with retry loops MUST
+    * pass a marker. */
+  def remove(spark: SparkSession, docs: DataFrame, root: String,
+      txn: Option[(String, Long)] = None): Long = {
+    val an = analyzerOf(spark, root)
+    def landed(tbl: String): Boolean = txn.exists { case (app, b) =>
+      SnapshotTable.lastCommittedTxn(spark, tbl, app).exists(_ >= b)
+    }
+    val dv =
+      if (landed(delsRoot(root)))
+        SnapshotTable.currentVersion(spark, delsRoot(root))
+      else SnapshotTable.append(spark, delsRoot(root),
+        docs.select(col("doc_id"),
+          lit(Long.MaxValue).as("cut")), files = 1, txn = txn)
+    if (!landed(statsRoot(root)))
+      SnapshotTable.append(spark, statsRoot(root),
+        docs.agg((-count(lit(1))).as("n_docs"),
+          (-sum(size(toks(col("text"), an)))).as("sum_dl")),
+        files = 1, txn = txn)
+    dv
   }
 
   /** CDC MAINTENANCE: apply one micro-batch of the source documents
@@ -135,6 +187,7 @@ object TextIndex {
   def applyChanges(spark: SparkSession, root: String, batch: DataFrame,
       appId: String, batchId: Long): Unit = {
     val ver = col("_commit_version")
+    val an = analyzerOf(spark, root)
     // an empty side skips its commit outright — skipping is naturally
     // idempotent (a replay recomputes the same empty side), and an
     // empty frame cannot stage a parquet segment anyway
@@ -144,7 +197,7 @@ object TextIndex {
         !SnapshotTable.lastCommittedTxn(spark, root, appId)
           .exists(_ >= batchId))
       SnapshotTable.appendBucketed(spark, root,
-        postingsOf(ins, col("__v")), txn = Some((appId, batchId)))
+        postingsOf(ins, col("__v"), an), txn = Some((appId, batchId)))
     val del = batch.filter(col("_change_type") === "delete")
     // the signed stats row needs the DELETED texts' token counts — a
     // feed built without preImages=true would silently corrupt
@@ -164,7 +217,7 @@ object TextIndex {
         batch.select(
             when(col("_change_type") === "insert", 1L)
               .otherwise(-1L).as("sgn"),
-            size(split(col("text"), " ")).as("dl"))
+            size(toks(col("text"), an)).as("dl"))
           .agg(sum(col("sgn")).as("n_docs"),
             sum(col("sgn") * col("dl")).as("sum_dl")),
         files = 1, txn = Some((appId, batchId)))
@@ -208,16 +261,17 @@ object TextIndex {
     * — and closes on recovery.) */
   def applyBatch(spark: SparkSession, root: String, docs: DataFrame,
       appId: String, batchId: Long): Unit = {
+    val an = analyzerOf(spark, root)
     val landed = SnapshotTable.lastCommittedTxn(spark, root, appId)
       .exists(_ >= batchId)
     if (!landed)
-      SnapshotTable.appendBucketed(spark, root, postingsOf(docs),
-        txn = Some((appId, batchId)))
+      SnapshotTable.appendBucketed(spark, root,
+        postingsOf(docs, analyzer = an), txn = Some((appId, batchId)))
     val statsLanded = SnapshotTable
       .lastCommittedTxn(spark, statsRoot(root), appId)
       .exists(_ >= batchId)
     if (!statsLanded)
-      SnapshotTable.append(spark, statsRoot(root), statsRowOf(docs),
+      SnapshotTable.append(spark, statsRoot(root), statsRowOf(docs, an),
         files = 1, txn = Some((appId, batchId)))
   }
 
@@ -249,32 +303,81 @@ object TextIndex {
       query: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "empty query")
+    val (n, avgdl) = corpusStats(spark, root)
+    val p = livePostings(spark, root, query.distinct)
+    scoreBm25(p, n, avgdl, k1, b)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** CONJUNCTIVE (AND) top-k: only documents containing EVERY query
+    * term are scored — the boolean-retrieval shape real search needs
+    * (BM25 over an OR of terms surfaces docs missing half the query).
+    * Membership is one per-doc distinct-term count over the SAME
+    * pruned postings the scorer reads, so the AND costs nothing
+    * beyond the OR's IO: the scan still reads ~|terms|/buckets of the
+    * postings, and the filter is a doc-keyed semi join of
+    * already-term-filtered rows. Scores and tie-breaks are the
+    * [[searchBm25]] contract, so AND results are a subset of the OR
+    * ranking restricted to full matches. */
+  def searchAnd(spark: SparkSession, root: String,
+      query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    val terms = query.distinct
+    val (n, avgdl) = corpusStats(spark, root)
+    val p = livePostings(spark, root, terms)
+    val full = p.groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("__nt"))
+      .filter(col("__nt") === terms.size)
+      .select(col("doc_id"))
+    // df stays the OR scan's (all live docs holding the term), so AND
+    // scores are bit-identical to the OR ranking's — the semi join
+    // only restricts WHICH docs surface
+    scoreBm25(p, n, avgdl, k1, b)
+      .join(full, Seq("doc_id"), "left_semi")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** (N, avgdl) from the additive stats journal. */
+  private def corpusStats(spark: SparkSession, root: String)
+  : (Long, Double) = {
     val st = SnapshotTable.read(spark, statsRoot(root))
       .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
     val n = st.getLong(0)
-    val avgdl = st.getLong(1).toDouble / n
-    val terms = query.distinct
+    (n, st.getLong(1).toDouble / n)
+  }
+
+  /** The LIVE postings of `terms`: one bucket-pruned scan (the
+    * `term IN (...)` filter hashes to its buckets at plan time), with
+    * tombstoned postings removed BEFORE df is counted, so df/N/avgdl
+    * behave as if removed docs were never indexed. A tombstone kills
+    * only postings with era < cut — the era a CDC re-insert (MOR
+    * update) carries equals its delete's cut, so updates net to the
+    * new text. The dels set is bounded by removals since the last
+    * rebuild; no broadcast hint — AQE measures it (the decontaminate
+    * discipline). */
+  private def livePostings(spark: SparkSession, root: String,
+      terms: Seq[String]): DataFrame = {
     val p0 = spark.read.format("graft-snapshot").option("path", root)
       .load()
       .filter(col("term").isin(terms: _*))
-    // tombstoned postings leave the pruned scan BEFORE df is counted,
-    // so df/N/avgdl behave as if they were never indexed. A tombstone
-    // kills only postings with era < cut — the era a CDC re-insert
-    // (MOR update) carries equals its delete's cut, so updates net to
-    // the new text. The dels set is bounded by removals since the
-    // last rebuild; no broadcast hint — AQE measures it (the
-    // decontaminate discipline)
-    val p =
-      if (SnapshotTable.currentVersion(spark, delsRoot(root)) == 0L) p0
-      else {
-        val cuts = SnapshotTable.read(spark, delsRoot(root))
-          .groupBy(col("doc_id")).agg(max(col("cut")).as("__cut"))
-        p0.join(cuts, Seq("doc_id"), "left_outer")
-          .filter(col("__cut").isNull || col("era") >= col("__cut"))
-          .drop("__cut")
-      }
-    // df(term) = the term's posting count — computed from the same
-    // pruned scan the scorer reads; broadcast: at most |query| rows
+    if (SnapshotTable.currentVersion(spark, delsRoot(root)) == 0L) p0
+    else {
+      val cuts = SnapshotTable.read(spark, delsRoot(root))
+        .groupBy(col("doc_id")).agg(max(col("cut")).as("__cut"))
+      p0.join(cuts, Seq("doc_id"), "left_outer")
+        .filter(col("__cut").isNull || col("era") >= col("__cut"))
+        .drop("__cut")
+    }
+  }
+
+  /** BM25-score live postings → (doc_id, score); df(term) = the
+    * term's posting count, computed from the same pruned rows the
+    * scorer reads (broadcast: at most |query| rows). */
+  private def scoreBm25(p: DataFrame, n: Long, avgdl: Double,
+      k1: Double, b: Double): DataFrame = {
     val dfT = p.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     p.join(broadcast(dfT), "term")
@@ -287,7 +390,5 @@ object TextIndex {
             lit(b) * col("dl") / lit(avgdl))))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("w")), 6).as("score"))
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(k)
   }
 }

@@ -40,7 +40,11 @@ object VectorIndex {
   private def delsRoot(root: String): String = root + "_dels"
 
   /** Index `vecs(vec_id, embedding)` at `root`: nlist cells, one
-    * value-pure partition per cell. Replaces any prior index. */
+    * value-pure partition per cell. Replaces any prior index. Rows
+    * carry an `era` — the index version the installment lands as
+    * (0 for the build) — so a tombstone's cut can order a REMOVE
+    * against a later re-add of the same id (the [[TextIndex]]
+    * era/cut algebra, ported). */
   def build(spark: SparkSession, vecs: DataFrame, root: String,
       nlist: Int, iters: Int = 5, trainCap: Int = 2048): Long = {
     graft.functions.VectorFunctions.register(spark)
@@ -49,7 +53,8 @@ object VectorIndex {
     val cent = Dedup.lloydModel(e, nlist, iters, trainCap)
     val model = Seq(Tuple1(cent.map(_.toSeq).toSeq)).toDF("cents")
     val asg = e.crossJoin(broadcast(model))
-      .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell", "v")
+      .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell", "v",
+        "CAST(0 AS BIGINT) AS era")
     val v = SnapshotTable.commitPartitioned(spark, root, asg, "cell")
     val centDf = cent.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -58,36 +63,54 @@ object VectorIndex {
     // a rebuild IS the tombstone purge
     if (SnapshotTable.currentVersion(spark, delsRoot(root)) > 0L)
       SnapshotTable.commit(spark, delsRoot(root),
-        spark.range(0).selectExpr("id AS vec_id"))
+        spark.range(0).selectExpr("id AS vec_id", "id AS cut"))
     SnapshotTable.setProperties(spark, root,
       SnapshotTable.tableProperties(spark, root) +
         (NListProp -> nlist.toString))
     v
   }
 
-  /** Incrementally index NEW vectors: assign against the PERSISTED
-    * model (the quantizer never drifts under ingest — cells keep
-    * their meaning), land value-pure via appendPartitioned so probes
-    * keep pruning. Vec ids must be new. */
+  /** The era a NEW installment lands as: the version the next index
+    * commit creates. Exact under the single-maintainer discipline
+    * every index writer here assumes (the same line [[TextIndex]]'s
+    * CDC path draws); a concurrent foreign commit only shifts eras
+    * FORWARD, which keeps the `era >= cut` liveness test conservative
+    * in the safe direction (a just-removed id stays removed). */
+  private def nextEra(spark: SparkSession, root: String): Long =
+    SnapshotTable.currentVersion(spark, root) + 1L
+
+  /** Incrementally index vectors: assign against the PERSISTED model
+    * (the quantizer never drifts under ingest — cells keep their
+    * meaning), land value-pure via appendPartitioned so probes keep
+    * pruning. A previously [[remove]]d id may be re-added: the new
+    * rows' era is at or past every earlier tombstone's cut, so the
+    * NEW vector is served. */
   def add(spark: SparkSession, vecs: DataFrame, root: String): Long = {
     graft.functions.VectorFunctions.register(spark)
     val model = loadModel(spark, root)
     val asg = Dedup.unitVectors(vecs)
       .crossJoin(broadcast(model))
-      .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell", "v")
+      .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell", "v",
+        s"CAST(${nextEra(spark, root)} AS BIGINT) AS era")
     SnapshotTable.appendPartitioned(spark, root, asg)
   }
 
   /** REMOVE vectors WITHOUT touching a single index file: ids land in
-    * a `<root>_dels` tombstone set and [[search]] anti-joins them out
-    * of the probed cells. No scoring state to adjust (IVF has none —
-    * the quantizer is frozen), so deletion is one tiny append;
-    * rebuild (`build`) is the physical purge and clears the set.
-    * Removed ids must not be re-added. */
+    * a `<root>_dels` tombstone set carrying the CUT they were issued
+    * at, and [[search]] keeps only probed rows with `era >= cut` — so
+    * everything indexed so far dies while a LATER [[add]] of the same
+    * id (era at or past the cut) is served. No scoring state to
+    * adjust (IVF has none — the quantizer is frozen), so deletion is
+    * one tiny append; rebuild (`build`) is the physical purge and
+    * clears the set. Manual ops stamp the INDEX-version timeline — do
+    * not mix with [[applyChanges]] CDC maintenance (source-version
+    * timeline) on one index; see the exclusivity note there. */
   def remove(spark: SparkSession, vecIds: DataFrame, root: String)
-  : Long =
+  : Long = {
+    val cut = nextEra(spark, root)
     SnapshotTable.append(spark, delsRoot(root),
-      vecIds.select(col("vec_id")), files = 1)
+      vecIds.select(col("vec_id"), lit(cut).as("cut")), files = 1)
+  }
 
   /** EXACTLY-ONCE streaming maintenance: one micro-batch of new
     * vectors under an `(appId, batchId)` idempotence marker. Unlike
@@ -103,11 +126,93 @@ object VectorIndex {
     val model = loadModel(spark, root)
     val asg = Dedup.unitVectors(vecs)
       .crossJoin(broadcast(model))
-      .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell", "v")
+      .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell", "v",
+        s"CAST(${nextEra(spark, root)} AS BIGINT) AS era")
     SnapshotTable.appendPartitioned(spark, root, asg,
       txn = Some((appId, batchId)))
     ()
   }
+
+  /** CDC MAINTENANCE: apply one micro-batch of the source embeddings
+    * table's CHANGELOG (`changes=true` — insert rows carry new
+    * vectors; a MOR update is its delete+insert pair at one
+    * `_commit_version`). Two marked commits, each guarded by its own
+    * `lastCommittedTxn`: insert assignments stamped
+    * `era = _commit_version` and delete tombstones
+    * `(vec_id, cut = _commit_version)`. The era/cut algebra nets an
+    * update exactly — the old vector (`era < cut`) dies, the
+    * replacement (`era = cut`) is served. Unlike [[TextIndex]] no
+    * preImages are needed: IVF has no corpus-level scoring state, so
+    * a delete is just the id. Replay no-ops per table; a crash
+    * between the two commits converges on replay.
+    *
+    * TIMELINE EXCLUSIVITY: CDC rows are stamped on the SOURCE's
+    * version timeline; the manual [[add]]/[[remove]] path stamps on
+    * the index's own. The two orderings are incomparable — maintain
+    * one index through exactly ONE of the modes (the same line
+    * [[TextIndex]] draws; a rebuild resets either way). */
+  def applyChanges(spark: SparkSession, root: String, batch: DataFrame,
+      appId: String, batchId: Long): Unit = {
+    val ver = col("_commit_version")
+    val ins = batch.filter(col("_change_type") === "insert")
+      .select(col("vec_id"), col("embedding"), ver.as("__v"))
+    if (!ins.isEmpty &&
+        !SnapshotTable.lastCommittedTxn(spark, root, appId)
+          .exists(_ >= batchId)) {
+      graft.functions.VectorFunctions.register(spark)
+      val model = loadModel(spark, root)
+      // unit-normalize with the per-row version carried through (the
+      // unitVectors helper drops extra columns; a vec_id join back
+      // would mis-pair an id touched at several versions in one batch)
+      val asg = ins
+        .selectExpr("vec_id", "__v",
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS v0")
+        .selectExpr("vec_id", "__v", "v0",
+          "sqrt(aggregate(v0, CAST(0 AS DOUBLE), (a, x) -> a + x*x)) " +
+            "AS nrm")
+        .selectExpr("vec_id", "__v",
+          "transform(v0, x -> x / greatest(nrm, " +
+            "CAST(1e-300 AS DOUBLE))) AS v")
+        .crossJoin(broadcast(model))
+        .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell",
+          "v", "__v AS era")
+      SnapshotTable.appendPartitioned(spark, root, asg,
+        txn = Some((appId, batchId)))
+    }
+    val del = batch.filter(col("_change_type") === "delete")
+    if (!del.isEmpty &&
+        !SnapshotTable.lastCommittedTxn(spark, delsRoot(root), appId)
+          .exists(_ >= batchId)) {
+      SnapshotTable.append(spark, delsRoot(root),
+        del.select(col("vec_id"), ver.as("cut")), files = 1,
+        txn = Some((appId, batchId)))
+      ()
+    }
+  }
+
+  /** The index as a MATERIALIZED VIEW of an embeddings snapshot
+    * table: tail the source's changelog and keep the index consistent
+    * through inserts, MOR deletes and MOR updates — exactly-once via
+    * [[applyChanges]]'s per-table markers. Build from the source's
+    * CURRENT state first and pass `startingVersion = thatVersion + 1`
+    * so the bootstrap is not replayed. */
+  def cdcIndexSink(spark: SparkSession, sourceRoot: String,
+      root: String, checkpoint: String, appId: String,
+      startingVersion: Long)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-snapshot")
+      .option("path", sourceRoot)
+      .option("changes", "true")
+      .option("startingVersion", startingVersion.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          applyChanges(batch.sparkSession, root, batch, appId, batchId)
+        ()
+      }
+      .start()
 
   /** Streaming sink: keep the index at `root` (built beforehand) fresh
     * from a stream of `(vec_id, embedding)` rows — the embedding twin
@@ -126,11 +231,23 @@ object VectorIndex {
       }
 
   /** The persisted centroid matrix as the 1-row broadcast-model frame
-    * the assignment/probe expressions consume. */
-  private def loadModel(spark: SparkSession, root: String): DataFrame =
-    SnapshotTable.read(spark, centsRoot(root))
-      .agg(expr("transform(array_sort(collect_list(struct(cell, cent)))" +
+    * the assignment/probe expressions consume. Validates the declared
+    * `graft.vectorindex.nlist` table property against the sidecar's
+    * actual centroid count — a partial build failure that left the
+    * two diverged must fail loudly here, not mis-assign silently. */
+  private def loadModel(spark: SparkSession, root: String): DataFrame = {
+    val cents = SnapshotTable.read(spark, centsRoot(root))
+    SnapshotTable.tableProperties(spark, root).get(NListProp)
+      .foreach { declared =>
+        val actual = cents.count()
+        require(actual == declared.toLong,
+          s"index at $root declares nlist=$declared but its centroid " +
+            s"sidecar holds $actual cells — rebuild the index")
+      }
+    cents.agg(expr(
+      "transform(array_sort(collect_list(struct(cell, cent)))" +
         ", p -> p.cent) AS cents"))
+  }
 
   /** Approximate top-k neighbors for `queries(q_id, embedding)`:
     * probe the top-`nprobe` cells per query, exact cosine within
@@ -148,6 +265,11 @@ object VectorIndex {
     // set (q_id, cell) is tiny — |queries| × nprobe rows
     val wCell = Window.partitionBy(col("q_id"))
       .orderBy(desc("cent_cos"), asc("cell"))
+    // no persist: the frame is |queries| × nprobe rows over a 1-row
+    // broadcast model — re-deriving it for the collect AND the join
+    // below is two trivially cheap map-side jobs, whereas a cached
+    // relation would sit in the CacheManager (strong reference, never
+    // context-cleaned) for the session lifetime per search call
     val probes = qe.crossJoin(broadcast(model))
       .select(col("q_id"), col("q_v"),
         posexplode(col("cents")).as(Seq("cell", "cent")))
@@ -156,7 +278,6 @@ object VectorIndex {
       .withColumn("cell_rk", row_number().over(wCell))
       .filter(col("cell_rk") <= nprobe)
       .select(col("q_id"), col("q_v"), col("cell"))
-      .persist()
     // the union of probed cells becomes the scan's IN literal — the
     // consumed-filter path plans exactly those cells' files
     val cells = probes.select(col("cell")).distinct()
@@ -164,15 +285,23 @@ object VectorIndex {
     val idx0 = spark.read.format("graft-snapshot")
       .option("path", root).load()
       .filter(col("cell").isin(cells.toSeq: _*))
-      .select(col("vec_id").as("c_id"), col("cell"), col("v"))
-    // tombstoned vectors leave the probed cells at read time; the
-    // set is bounded by removals since the last rebuild
+      .select(col("vec_id").as("c_id"), col("cell"), col("v"),
+        col("era"))
+    // tombstones kill only probed rows with era < cut, so a remove
+    // hides everything indexed before it while a later re-add of the
+    // same id is served (the TextIndex era/cut algebra); the dels set
+    // is bounded by removals since the last rebuild
     val idx =
-      if (SnapshotTable.currentVersion(spark, delsRoot(root)) == 0L)
+      (if (SnapshotTable.currentVersion(spark, delsRoot(root)) == 0L)
         idx0
-      else idx0.join(SnapshotTable.read(spark, delsRoot(root))
-          .select(col("vec_id").as("c_id")).distinct(),
-        Seq("c_id"), "left_anti")
+      else {
+        val cuts = SnapshotTable.read(spark, delsRoot(root))
+          .groupBy(col("vec_id")).agg(max(col("cut")).as("__cut"))
+          .select(col("vec_id").as("c_id"), col("__cut"))
+        idx0.join(cuts, Seq("c_id"), "left_outer")
+          .filter(col("__cut").isNull || col("era") >= col("__cut"))
+          .drop("__cut")
+      }).drop("era")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("cos_r"), asc("c_id"))
     idx.join(broadcast(probes), Seq("cell"))

@@ -213,16 +213,16 @@ object MaterializedView {
       .observe("graft_mv_delta", count(lit(1)).as("delta_rows"))
       .withColumn("__sign",
         when(col("change_type") === "inserted", lit(1L)).otherwise(lit(-1L)))
+    val (merged, cleanup) = incrDeltaFrame(spark, v, viewCur, delta, curV)
     val viewV =
-      try SnapshotTable.commitExpecting(spark, v.viewRoot,
-        incrDeltaFrame(spark, v, viewCur, delta, curV),
+      try SnapshotTable.commitExpecting(spark, v.viewRoot, merged,
         expectedCurrent = viewCur, clusterKey = v.keys.headOption)
       catch {
         // a concurrent refresh landed first: applying OUR delta onto
         // ITS rollup would double-count the overlap — recompute instead
         case _: SnapshotTable.CommitConflict =>
           return refresh(spark, asView(v))
-      }
+      } finally cleanup()
     writeFreshness(spark, v.viewRoot, curV, viewV)
     viewV
   }
@@ -303,20 +303,33 @@ object MaterializedView {
     * (manifest-pruned through the first group key when possible);
     * everything else merges algebraically. */
   private def incrDeltaFrame(spark: SparkSession, v: IncrementalView,
-      viewCur: Long, signedRows: DataFrame, srcV: Long): DataFrame = {
+      viewCur: Long, signedRows: DataFrame, srcV: Long)
+      : (DataFrame, () => Unit) = {
     import org.apache.spark.sql.functions._
     val old = SnapshotTable.readVersion(spark, v.viewRoot, viewCur)
     val deltaAgg0 = signedDelta(signedRows, v.keys, v.sumCols,
       v.minMaxCols)
     if (v.minMaxCols.isEmpty)
-      return mergedFrame(old, v.keys, v.sumCols, deltaAgg0)
-    // the delta rollup feeds the insert-only merge, the delete-key
-    // probe, AND the two key joins — persist the (group-count-sized)
-    // frame so the underlying diff evaluates once
+      return (mergedFrame(old, v.keys, v.sumCols, deltaAgg0), () => ())
+    // the delta rollup feeds the delete-key probes, the insert-only
+    // merge AND the key joins — persist the (group-count-sized) frame
+    // so the underlying diff evaluates once. SQL caching holds a
+    // strong CacheManager reference until unpersist, so the CALLER
+    // must invoke the returned cleanup once the frame is consumed
+    // (commit / eager materialization) — a leaked entry per refresh
+    // would grow storage without bound on streaming maintainers.
     val deltaAgg = deltaAgg0.persist()
-    val insOnly = deltaAgg.filter(col("dhasdel") === 0).drop("dhasdel")
+    val cleanup = () => { deltaAgg.unpersist(); () }
     val delKeys = deltaAgg.filter(col("dhasdel") === 1)
       .select(v.keys.map(k => col(s"__dk_$k")): _*)
+    // no delete-touched group (the common append-only tick): the
+    // monotone merge alone is exact — skip the NULL-key probe, the
+    // anti join and the recompute leg entirely (one cheap emptiness
+    // job on the cached delta replaces them all)
+    if (delKeys.limit(1).count() == 0L)
+      return (mergedFrame(old, v.keys, v.sumCols,
+        deltaAgg.drop("dhasdel"), v.minMaxCols), cleanup)
+    val insOnly = deltaAgg.filter(col("dhasdel") === 0).drop("dhasdel")
     // groups untouched by deletes: algebraic merge; old rows of
     // delete-touched groups are excluded — the recompute replaces them
     val oldKept = old.join(delKeys,
@@ -339,7 +352,7 @@ object MaterializedView {
     val srcAff = srcBase.join(delKeys,
       v.keys.map(k => srcBase(k) <=> delKeys(s"__dk_$k")).reduce(_ && _),
       "left_semi")
-    part1.unionByName(rollup(srcAff, v))
+    (part1.unionByName(rollup(srcAff, v)), cleanup)
   }
 
   /** Merge a keyed signed-delta rollup onto view version `viewCur` and
@@ -383,7 +396,15 @@ object MaterializedView {
       .withColumn("__sign",
         when(col("change_type") === "inserted", lit(1L))
           .otherwise(lit(-1L)))
-    incrDeltaFrame(spark, v, viewCur, delta, curV)
+    val (merged, cleanup) = incrDeltaFrame(spark, v, viewCur, delta, curV)
+    // the caller scans the result at an unknown later time, so the
+    // delta cache can't wait for them: materialize the (view-sized,
+    // bounded) frame NOW via localCheckpoint — its RDD blocks are
+    // reference-tracked and reclaimed by the context cleaner, unlike
+    // CacheManager entries — then release the delta cache immediately.
+    // A per-hit leak here would grow storage without bound on an
+    // always-fresh serving path.
+    try merged.localCheckpoint(true) finally cleanup()
   }
 
   /** MV maintenance as a STREAMING JOB — the CDC feed for APPEND-ONLY
@@ -406,12 +427,15 @@ object MaterializedView {
     * after such a commit (its diff sees removals) and resume the feed
     * on a fresh checkpoint; the spec walks exactly that recovery. */
   def cdcFeed(spark: SparkSession, v: IncrementalView,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, retain: Option[Int] = None)
+  : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("graft-snapshot")
       .option("path", v.sourceRoot).load()
       .writeStream
       .foreachBatch { (_: DataFrame, _: Long) =>
-        refreshIncremental(spark, v); ()
+        refreshIncremental(spark, v)
+        retain.foreach(k => expire(spark, v.viewRoot, k))
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .start()
@@ -447,9 +471,21 @@ object MaterializedView {
     * and [[applyChangeBatch]] verifies version CONTIGUITY against the
     * marker at runtime, falling back to a full recompute when a
     * mis-built feed (startingVersion past the marker, a foreign
-    * checkpoint) would otherwise silently skip versions. */
+    * checkpoint) would otherwise silently skip versions.
+    *
+    * RETENTION: every refresh commits a full view version plus a
+    * freshness marker, so a minute-cadence feed mints ~1,440 view
+    * snapshots a day. `retain = Some(k)` runs [[expire]] after each
+    * batch, bounding history to the latest k versions WITH their
+    * markers (expire always keeps the current version's marker, so the
+    * incremental chain is never broken — spec-pinned). Equivalent
+    * recipe for an external scheduler: call
+    * `MaterializedView.expire(spark, viewRoot, k)` on any cadence
+    * (NOT the bare `CALL graft.system.expire_snapshots`, which leaves
+    * orphaned marker files behind). */
   def cdcFeedRetract(spark: SparkSession, v: IncrementalView,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, retain: Option[Int] = None)
+  : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("graft-snapshot")
       .option("path", v.sourceRoot)
       .option("changes", "true")
@@ -457,7 +493,9 @@ object MaterializedView {
       .load()
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyChangeBatch(spark, v, batch); ()
+        applyChangeBatch(spark, v, batch)
+        retain.foreach(k => expire(spark, v.viewRoot, k))
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .start()
@@ -506,16 +544,16 @@ object MaterializedView {
       }
       val signed = fresh.withColumn("__sign",
         when(col(typCol) === "insert", lit(1L)).otherwise(lit(-1L)))
+      // delete-touched min/max groups recompute against the state
+      // this batch brings the view to (version hi is committed)
+      val (merged, cleanup) = incrDeltaFrame(spark, v, viewCur, signed, hi)
       val viewV =
-        try SnapshotTable.commitExpecting(spark, v.viewRoot,
-          // delete-touched min/max groups recompute against the state
-          // this batch brings the view to (version hi is committed)
-          incrDeltaFrame(spark, v, viewCur, signed, hi),
+        try SnapshotTable.commitExpecting(spark, v.viewRoot, merged,
           expectedCurrent = viewCur, clusterKey = v.keys.headOption)
         catch {
           case _: SnapshotTable.CommitConflict =>
             return refresh(spark, asView(v))
-        }
+        } finally cleanup()
       writeFreshness(spark, v.viewRoot, hi, viewV)
       viewV
     } finally { fresh.unpersist(); () }
@@ -740,14 +778,14 @@ object MaterializedView {
         SnapshotTable.versions(spark, roots(i)).contains(last(i)))
     if (!canDelta) return refreshStar(spark, v)
 
-    val signedRows = starSignedRows(spark, v, last, cur)
+    val (signedRows, cleanup) = starSignedRows(spark, v, last, cur)
       .getOrElse(return viewCur) // all sources metadata-fresh
     val viewV =
       try mergeSignedDelta(spark, v.viewRoot, v.keys, v.sumCols, viewCur,
         signedDelta(signedRows, v.keys, v.sumCols))
       catch {
         case _: SnapshotTable.CommitConflict => return refreshStar(spark, v)
-      }
+      } finally cleanup()
     writeStarFreshness(spark, v.viewRoot, cur, viewV)
     viewV
   }
@@ -761,9 +799,14 @@ object MaterializedView {
     * re-opens the fact's pre-existing files, a dim-only change opens
     * only the fact files whose stats admit the touched keys. `last` /
     * `cur` are version vectors (fact first). None = no source added
-    * data versions (metadata-only staleness). */
+    * data versions (metadata-only staleness). The second element
+    * releases the per-term delta caches — SQL persist holds a strong
+    * CacheManager reference until unpersist (NOT reclaimed by the
+    * context cleaner), so the caller must invoke it once the frame is
+    * consumed or every maintenance tick leaks a cached relation. */
   private[graft] def starSignedRows(spark: SparkSession, v: StarView,
-      lastVs: Seq[Long], curVs: Seq[Long]): Option[DataFrame] = {
+      lastVs: Seq[Long], curVs: Seq[Long])
+      : Option[(DataFrame, () => Unit)] = {
     // local names avoid shadowing functions.last from the import below
     val (last, cur) = (lastVs, curVs)
     import org.apache.spark.sql.functions.{col, lit, when}
@@ -802,14 +845,16 @@ object MaterializedView {
       acc.join(dj, acc(d.factKey) === dj(d.dimKey), "inner")
     }
 
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val terms = roots.indices.flatMap { i =>
       if (cur(i) <= last(i)) None
       else {
         // the delta is evaluated once per readKeys PROBE plus once in
-        // the term's own join — persist it (delta-sized; the context
-        // cleaner reclaims the cache once the frame is unreachable)
+        // the term's own join — persist it (delta-sized), released by
+        // the returned cleanup once the caller consumes the frame
         val dRi = signed(
           SnapshotTable.diff(spark, roots(i), last(i), cur(i))).persist()
+        cached += dRi
         if (i == 0) {
           // ΔF ⋈ dim_1^new ⋈ … ⋈ dim_k^new
           Some(v.dims.indices.foldLeft(dRi)((acc, j) =>
@@ -832,13 +877,14 @@ object MaterializedView {
         }
       }
     }
-    if (terms.isEmpty) None
-    else Some(terms.reduce(_.unionByName(_)))
+    val cleanup = () => { cached.foreach(_.unpersist()); () }
+    if (terms.isEmpty) { cleanup(); None }
+    else Some((terms.reduce(_.unionByName(_)), cleanup))
   }
 
   private[graft] def joinSignedRows(spark: SparkSession, v: JoinView,
       lastF: Long, lastD: Long, curF: Long, curD: Long)
-  : Option[DataFrame] =
+  : Option[(DataFrame, () => Unit)] =
     starSignedRows(spark, asStar(v), Seq(lastF, lastD), Seq(curF, curD))
 
   /** [[readFresh]] for star views: committed rollup ⊕ the telescoping
@@ -869,9 +915,16 @@ object MaterializedView {
         v.keys, v.sumCols)
     starSignedRows(spark, v, last, cur) match {
       case None => read(spark, v) // metadata-only staleness
-      case Some(rows) =>
-        mergedFrame(SnapshotTable.readVersion(spark, v.viewRoot, viewCur),
+      case Some((rows, cleanup)) =>
+        // same contract as the IncrementalView readFresh: the caller
+        // scans later, so materialize the bounded view-sized merge NOW
+        // (localCheckpoint blocks are context-cleaner-reclaimed) and
+        // release the delta caches immediately
+        try mergedFrame(
+          SnapshotTable.readVersion(spark, v.viewRoot, viewCur),
           v.keys, v.sumCols, signedDelta(rows, v.keys, v.sumCols))
+          .localCheckpoint(true)
+        finally cleanup()
     }
   }
 
@@ -888,7 +941,7 @@ object MaterializedView {
     * fresh and CAS-recovers when raced. Returns one handle per source
     * (fact first). */
   def starFeed(spark: SparkSession, v: StarView,
-      checkpoints: Seq[String])
+      checkpoints: Seq[String], retain: Option[Int] = None)
   : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
     val roots = starRoots(v)
     require(checkpoints.size == roots.size,
@@ -901,7 +954,11 @@ object MaterializedView {
         .load()
         .writeStream
         .foreachBatch { (_: DataFrame, _: Long) =>
-          refreshStarIncremental(spark, v); ()
+          refreshStarIncremental(spark, v)
+          // bound the minted view history (see cdcFeedRetract); the
+          // expire is idempotent and maintainer-serialized per wake
+          retain.foreach(k => expire(spark, v.viewRoot, k))
+          ()
         }
         .option("checkpointLocation", cp)
         .start()
@@ -909,11 +966,12 @@ object MaterializedView {
   }
 
   def joinFeed(spark: SparkSession, v: JoinView,
-      factCheckpoint: String, dimCheckpoint: String)
+      factCheckpoint: String, dimCheckpoint: String,
+      retain: Option[Int] = None)
   : (org.apache.spark.sql.streaming.StreamingQuery,
      org.apache.spark.sql.streaming.StreamingQuery) =
     starFeed(spark, asStar(v),
-      Seq(factCheckpoint, dimCheckpoint)) match {
+      Seq(factCheckpoint, dimCheckpoint), retain) match {
       case Seq(a, b) => (a, b)
       case other => throw new IllegalStateException(
         s"expected two feed handles, got ${other.size}")

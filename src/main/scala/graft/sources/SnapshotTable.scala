@@ -2327,7 +2327,10 @@ object SnapshotTable {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8")
       .mkString finally in.close()
     text.split('\n').filter(_.nonEmpty).map { line =>
-      val Array(k, v) = line.split('\t')
+      // -1 keeps the trailing empty field: a property with an EMPTY
+      // value serializes as "<b64key>\t" and default split would drop
+      // the second element, poisoning every read of the table
+      val Array(k, v) = line.split("\t", -1)
       unb64(k) -> unb64(v)
     }.toMap
   }

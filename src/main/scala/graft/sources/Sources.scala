@@ -1256,9 +1256,11 @@ object Sources {
           "o_orderkey")                                         // v3
         q.processAllAvailable()
       } finally q.stop()
+      // integer-cents compare surface (no DecimalType may be hashed)
       MaterializedView.read(s, iv)
         .select(col("o_orderstatus"), col("n"),
-          col("sum_o_totalprice"), col("cnt_o_totalprice"))
+          (col("sum_o_totalprice") * lit(100)).cast("long")
+            .as("sum_cents"), col("cnt_o_totalprice"))
         .orderBy("o_orderstatus")
     }),
     // INCREMENTALLY-MAINTAINED JOIN MV under the oracle: a fact ⋈ dim
@@ -1299,9 +1301,15 @@ object Sources {
             col("o_custkey"),
             (col("o_totalprice") * 2).as("o_totalprice")))
       MaterializedView.refreshJoinIncremental(s, jv) // ΔF only (append)
+      // the hashed compare surface is INTEGER CENTS: the view's
+      // DECIMAL(20,2) sum is exact, but DecimalType columns hash red
+      // in the driver even when cell-identical (the
+      // snapshot_widen_decimal lesson) — scale=2 × 100 is an exact
+      // int64 on both engines
       MaterializedView.read(s, jv)
         .select(col("c_mktsegment"), col("n"),
-          col("sum_o_totalprice"), col("cnt_o_totalprice"))
+          (col("sum_o_totalprice") * lit(100)).cast("long")
+            .as("sum_cents"), col("cnt_o_totalprice"))
         .orderBy("c_mktsegment")
     }),
     // ALWAYS-FRESH MV SERVING under the oracle: bootstrap the join
@@ -1338,10 +1346,12 @@ object Sources {
           .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
             col("o_custkey"),
             (col("o_totalprice") * 2).as("o_totalprice")))
-      // NO refresh: the read itself merges the pending delta
+      // NO refresh: the read itself merges the pending delta.
+      // integer-cents compare surface (no DecimalType may be hashed)
       MaterializedView.readFresh(s, jv)
         .select(col("c_mktsegment"), col("n"),
-          col("sum_o_totalprice"), col("cnt_o_totalprice"))
+          (col("sum_o_totalprice") * lit(100)).cast("long")
+            .as("sum_cents"), col("cnt_o_totalprice"))
         .orderBy("c_mktsegment")
     }),
     // THE REFERENCE'S DASHBOARD, maintained instead of recomputed:
@@ -1371,10 +1381,11 @@ object Sources {
       SnapshotTable.deleteKeysOnRead(s, iv.sourceRoot,
         ev.filter(col("user_id") % 97 === 0).select("event_id"),
         "event_id")
+      // integer-cents compare surface (no DecimalType may be hashed)
       MaterializedView.readFresh(s, iv)
         .select(col("event_type"), col("n"),
-          col("sum_value"), col("cnt_value"),
-          col("min_value"), col("max_value"))
+          (col("sum_value") * lit(100)).cast("long").as("sum_cents"),
+          col("cnt_value"), col("min_value"), col("max_value"))
         .orderBy("event_type")
     }),
     // WRITE-AUDIT-PUBLISH under the oracle: stage a batch on an
@@ -1426,11 +1437,13 @@ object Sources {
         "fixture: the cleaned stage must audit green")
       // PUBLISH: fast-forward main onto the audited head
       SnapshotTable.fastForward(s, root, "audit-clean", "main")
+      // integer-cents compare surface (no DecimalType may be hashed);
+      // decimal aggregation stays the feature, ×100→int64 is exact
       s.read.format("graft-snapshot").option("path", root).load()
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(20,2)"))
-            .cast("decimal(20,2)").as("sum_price"),
+          (sum(col("o_totalprice").cast("decimal(20,2)")) * lit(100))
+            .cast("long").as("sum_price_cents"),
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
     }),
@@ -1465,12 +1478,53 @@ object Sources {
         o.filter(col("o_orderkey") % 3 === 0).select("o_orderkey"),
         "o_orderkey")
       MaterializedView.refreshIncremental(s, iv) // bounded recompute
+      // integer-cents compare surface (no DecimalType may be hashed)
       MaterializedView.read(s, iv)
         .select(col("o_orderstatus"), col("n"),
-          col("sum_o_totalprice"), col("cnt_o_totalprice"),
+          (col("sum_o_totalprice") * lit(100)).cast("long")
+            .as("sum_cents"), col("cnt_o_totalprice"),
           col("min_o_totalprice"), col("max_o_totalprice"),
           col("min_o_orderkey"), col("max_o_orderkey"))
         .orderBy("o_orderstatus")
+    }),
+    // THE MV LAYER THROUGH SQL ALONE, oracled: CREATE TABLE (CTAS),
+    // CALL graft.system.create_mv (bootstraps the rollup and persists
+    // the definition as view properties), row-level DELETE + INSERT on
+    // the source through SQL, CALL refresh_mv (reconstructs the
+    // definition BY NAME and runs the incremental path — the DELETE
+    // exercises the min/max delete-touched recompute), SELECT the view
+    // back as an ordinary catalog table. DuckDB recomputes the rollup
+    // from the final logical state.
+    "snapshot_mv_sql" -> ((s, dir) => {
+      val tbl = uniqueName("ord_mvsql")
+      val view = uniqueName("mv_mvsql")
+      s.conf.set("spark.sql.catalog.graft_mvq",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_mvq.warehouse",
+        catalogWarehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_mvq.db")
+      graft.Tables.load(s, dir, "orders")
+        .createOrReplaceTempView("orders_mvsql_src")
+      s.sql(
+        s"""CREATE TABLE graft_mvq.db.$tbl AS
+          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM orders_mvsql_src""".stripMargin)
+      s.sql(s"CALL graft_mvq.system.create_mv('db.$view', 'db.$tbl', " +
+        "'o_orderstatus', 'o_totalprice', 'o_orderkey')")
+      s.sql(s"DELETE FROM graft_mvq.db.$tbl WHERE o_orderkey % 7 = 0")
+      s.sql(
+        s"""INSERT INTO graft_mvq.db.$tbl
+          |SELECT o_orderkey + 10000000, o_orderstatus,
+          |  o_totalprice * 2
+          |FROM orders_mvsql_src WHERE o_orderkey % 11 = 0""".stripMargin)
+      s.sql(s"CALL graft_mvq.system.refresh_mv('db.$view')")
+      // integer-cents compare surface (no DecimalType may be hashed)
+      s.sql(
+        s"""SELECT o_orderstatus, n,
+          |  CAST(sum_o_totalprice * 100 AS BIGINT) AS sum_cents,
+          |  cnt_o_totalprice, min_o_orderkey, max_o_orderkey
+          |FROM graft_mvq.db.$view
+          |ORDER BY o_orderstatus""".stripMargin)
     }),
     // STAR-SCHEMA MV under the oracle: a lineitem ⋈ part ⋈ supplier
     // rollup maintained incrementally from ALL THREE tables' deltas by
@@ -1530,9 +1584,11 @@ object Sources {
         part.filter(col("p_partkey") % 17 === 0)
           .withColumn("p_brand", lit("Brand#77")), "p_partkey")
       MaterializedView.refreshStarIncremental(s, sv) // ΔF + ΔD1 at once
+      // integer-cents compare surface (no DecimalType may be hashed)
       MaterializedView.read(s, sv)
         .select(col("p_brand"), col("s_nationkey"), col("n"),
-          col("sum_l_extendedprice"), col("cnt_l_extendedprice"))
+          (col("sum_l_extendedprice") * lit(100)).cast("long")
+            .as("sum_cents"), col("cnt_l_extendedprice"))
         .orderBy("p_brand", "s_nationkey")
     }),
     // ROLLBACK under the oracle: a bad day (MOR delete + junk append)
@@ -1562,11 +1618,12 @@ object Sources {
           .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
             col("o_orderstatus"),
             (col("o_totalprice") * 2).as("o_totalprice")))    // v5
+      // integer-cents compare surface (no DecimalType may be hashed)
       s.read.format("graft-snapshot").option("path", root).load()
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(20,2)"))
-            .cast("decimal(20,2)").as("sum_price"),
+          (sum(col("o_totalprice").cast("decimal(20,2)")) * lit(100))
+            .cast("long").as("sum_price_cents"),
           min(col("o_orderkey")).as("min_key"))
         .orderBy("o_orderstatus")
     }),
@@ -2341,8 +2398,8 @@ object Sources {
         |         ELSE o_totalprice END AS o_totalprice
         |  FROM orders WHERE o_orderkey % 7 <> 0)
         |SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
-        |    AS DECIMAL(20,2)) AS sum_o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) * 100
+        |    AS BIGINT) AS sum_cents,
         |  count(o_totalprice) AS cnt_o_totalprice
         |FROM live GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
@@ -2359,8 +2416,8 @@ object Sources {
         |         ELSE c_mktsegment END AS c_mktsegment
         |  FROM customer)
         |SELECT c_mktsegment, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
-        |    AS DECIMAL(20,2)) AS sum_o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) * 100
+        |    AS BIGINT) AS sum_cents,
         |  count(o_totalprice) AS cnt_o_totalprice
         |FROM fact JOIN dim ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
@@ -2378,16 +2435,16 @@ object Sources {
         |         ELSE c_mktsegment END AS c_mktsegment
         |  FROM customer)
         |SELECT c_mktsegment, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
-        |    AS DECIMAL(20,2)) AS sum_o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) * 100
+        |    AS BIGINT) AS sum_cents,
         |  count(o_totalprice) AS cnt_o_totalprice
         |FROM fact JOIN dim ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
     "events_mv_dashboard" ->
       """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(20,2))) AS DECIMAL(20,2))
-        |    AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(20,2))) * 100 AS BIGINT)
+        |    AS sum_cents,
         |  count(value) AS cnt_value,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events WHERE user_id % 97 <> 0
@@ -2400,8 +2457,8 @@ object Sources {
         |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice * 2
         |  FROM orders WHERE o_orderkey % 41 = 0)
         |SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
-        |    AS DECIMAL(20,2)) AS sum_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) * 100
+        |    AS BIGINT) AS sum_price_cents,
         |  max(o_orderkey) AS max_key
         |FROM published GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
@@ -2413,11 +2470,26 @@ object Sources {
         |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice * 4
         |  FROM orders WHERE o_orderkey % 11 = 0)
         |SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
-        |    AS DECIMAL(20,2)) AS sum_o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) * 100
+        |    AS BIGINT) AS sum_cents,
         |  count(o_totalprice) AS cnt_o_totalprice,
         |  min(o_totalprice) AS min_o_totalprice,
         |  max(o_totalprice) AS max_o_totalprice,
+        |  min(o_orderkey) AS min_o_orderkey,
+        |  max(o_orderkey) AS max_o_orderkey
+        |FROM live GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_mv_sql" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice * 2
+        |  FROM orders WHERE o_orderkey % 11 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) * 100
+        |    AS BIGINT) AS sum_cents,
+        |  count(o_totalprice) AS cnt_o_totalprice,
         |  min(o_orderkey) AS min_o_orderkey,
         |  max(o_orderkey) AS max_o_orderkey
         |FROM live GROUP BY o_orderstatus
@@ -2445,8 +2517,8 @@ object Sources {
         |         ELSE s_nationkey END AS s_nationkey
         |  FROM supplier)
         |SELECT p_brand, s_nationkey, count(*) AS n,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)))
-        |    AS DECIMAL(20,2)) AS sum_l_extendedprice,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) * 100
+        |    AS BIGINT) AS sum_cents,
         |  count(l_extendedprice) AS cnt_l_extendedprice
         |FROM fact
         |JOIN dim_p ON l_partkey = p_partkey
@@ -2460,8 +2532,8 @@ object Sources {
         |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice * 2
         |  FROM orders WHERE o_orderkey % 31 = 0)
         |SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
-        |    AS DECIMAL(20,2)) AS sum_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) * 100
+        |    AS BIGINT) AS sum_price_cents,
         |  min(o_orderkey) AS min_key
         |FROM live GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,

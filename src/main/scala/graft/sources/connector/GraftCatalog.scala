@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.sources.SnapshotTable
+import graft.sources.{MaterializedView, SnapshotTable}
 
 /** A [[TableCatalog]] over a directory of [[SnapshotTable]] roots, so
   * SQL names snapshot tables directly:
@@ -961,7 +961,50 @@ private[connector] object GraftProcedures {
     "expire_older_than", "vacuum", "tag", "drop_tag", "clone",
     "create_branch", "fast_forward", "fast_forward_to", "drop_branch",
     "analyze", "analyze_histograms", "refresh_histograms",
-    "rollback_to", "rollback_to_timestamp")
+    "rollback_to", "rollback_to_timestamp",
+    "create_mv", "create_join_mv", "refresh_mv")
+
+  /** View-table properties persisting an MV definition, so
+    * `refresh_mv('db.view')` needs only the view's name — the SQL-first
+    * MV contract (Iceberg/Materialize shape): the definition lives WITH
+    * the view, not in the caller's code. */
+  private val MvKindProp = "graft.mv.kind" // incremental | join
+  private val MvSourceProp = "graft.mv.source"
+  private val MvKeysProp = "graft.mv.keys"
+  private val MvSumsProp = "graft.mv.sums"
+  private val MvMinMaxProp = "graft.mv.minmax"
+  private val MvDimProp = "graft.mv.dim"
+  private val MvFactKeyProp = "graft.mv.fact_key"
+  private val MvDimKeyProp = "graft.mv.dim_key"
+
+  private def csv(s: String): Seq[String] =
+    s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Reconstruct the MV definition persisted on the view and run one
+    * incremental refresh of the right shape. */
+  private def refreshMv(spark: SparkSession, cat: GraftCatalog,
+      view: String): Long = {
+    val viewRoot = cat.resolveRoot(view)
+    val p = SnapshotTable.tableProperties(spark, viewRoot)
+    val src = p.getOrElse(MvSourceProp, throw new IllegalArgumentException(
+      s"'$view' is not a materialized view (no $MvSourceProp property " +
+        "— was it created via CALL graft.system.create_mv?)"))
+    p.getOrElse(MvKindProp, "incremental") match {
+      case "join" =>
+        MaterializedView.refreshJoinIncremental(spark,
+          MaterializedView.JoinView(
+            cat.resolveRoot(src), cat.resolveRoot(p(MvDimProp)), viewRoot,
+            factKey = p(MvFactKeyProp), dimKey = p(MvDimKeyProp),
+            keys = csv(p.getOrElse(MvKeysProp, "")),
+            sumCols = csv(p.getOrElse(MvSumsProp, ""))))
+      case _ =>
+        MaterializedView.refreshIncremental(spark,
+          MaterializedView.IncrementalView(cat.resolveRoot(src), viewRoot,
+            keys = csv(p.getOrElse(MvKeysProp, "")),
+            sumCols = csv(p.getOrElse(MvSumsProp, "")),
+            minMaxCols = csv(p.getOrElse(MvMinMaxProp, ""))))
+    }
+  }
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
@@ -1129,6 +1172,90 @@ private[connector] object GraftProcedures {
         (spark, cat0, in) => {
           Row(SnapshotTable.rollbackToTimestamp(spark,
             cat0.resolveRoot(in.getString(0)), in.getLong(1)))
+        })
+      // CREATE MATERIALIZED VIEW as a procedure: bootstrap the keyed
+      // rollup over `source`, persist the definition as view-table
+      // properties (side-file metadata — no extra view version), and
+      // register nothing else: the view root under the warehouse IS
+      // the catalog table, immediately SELECTable. keys/sums are
+      // comma-separated column lists; minmax may be '' for none.
+      case "create_mv" => proc(cat, "create_mv",
+        Array(ProcedureParameter.in("view", StringType).build(),
+          ProcedureParameter.in("source", StringType).build(),
+          ProcedureParameter.in("keys", StringType).build(),
+          ProcedureParameter.in("sums", StringType).build(),
+          ProcedureParameter.in("minmax", StringType).build()),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          val view = in.getString(0)
+          val source = in.getString(1)
+          val keys = csv(in.getString(2))
+          val sums = csv(in.getString(3))
+          val mm = csv(in.getString(4))
+          require(keys.nonEmpty, "create_mv: at least one group key")
+          require(sums.nonEmpty, "create_mv: at least one sum column")
+          val srcRoot = cat0.resolveRoot(source)
+          val viewRoot = cat0.resolveNewRoot(view)
+          val iv = MaterializedView.IncrementalView(srcRoot, viewRoot,
+            keys, sums, mm)
+          val v = MaterializedView.refreshIncremental(spark, iv)
+          SnapshotTable.setProperties(spark, viewRoot,
+            SnapshotTable.tableProperties(spark, viewRoot) ++ Map(
+              MvKindProp -> "incremental",
+              MvSourceProp -> source, MvKeysProp -> keys.mkString(","),
+              MvSumsProp -> sums.mkString(","),
+              MvMinMaxProp -> mm.mkString(",")))
+          Row(v)
+        })
+      // CREATE MATERIALIZED VIEW over a fact ⋈ dim equi-join — the
+      // bilinear-delta JoinView, SQL-first: bootstrap, persist the
+      // definition, refresh later by name.
+      case "create_join_mv" => proc(cat, "create_join_mv",
+        Array(ProcedureParameter.in("view", StringType).build(),
+          ProcedureParameter.in("fact", StringType).build(),
+          ProcedureParameter.in("dim", StringType).build(),
+          ProcedureParameter.in("fact_key", StringType).build(),
+          ProcedureParameter.in("dim_key", StringType).build(),
+          ProcedureParameter.in("keys", StringType).build(),
+          ProcedureParameter.in("sums", StringType).build()),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          val view = in.getString(0)
+          val keys = csv(in.getString(5))
+          val sums = csv(in.getString(6))
+          require(keys.nonEmpty, "create_join_mv: at least one group key")
+          require(sums.nonEmpty, "create_join_mv: at least one sum column")
+          val viewRoot = cat0.resolveNewRoot(view)
+          val jv = MaterializedView.JoinView(
+            cat0.resolveRoot(in.getString(1)),
+            cat0.resolveRoot(in.getString(2)), viewRoot,
+            factKey = in.getString(3), dimKey = in.getString(4),
+            keys = keys, sumCols = sums)
+          val v = MaterializedView.refreshJoinIncremental(spark, jv)
+          SnapshotTable.setProperties(spark, viewRoot,
+            SnapshotTable.tableProperties(spark, viewRoot) ++ Map(
+              MvKindProp -> "join",
+              MvSourceProp -> in.getString(1),
+              MvDimProp -> in.getString(2),
+              MvFactKeyProp -> in.getString(3),
+              MvDimKeyProp -> in.getString(4),
+              MvKeysProp -> keys.mkString(","),
+              MvSumsProp -> sums.mkString(",")))
+          Row(v)
+        })
+      // REFRESH MATERIALIZED VIEW: reconstruct the definition from the
+      // view's own properties and run the right incremental refresh
+      // (delta merge when possible, full recompute on first/expired/
+      // conflict — the refresh functions' own contract). No-ops when
+      // fresh.
+      case "refresh_mv" => proc(cat, "refresh_mv",
+        Array(ProcedureParameter.in("view", StringType).build()),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          Row(refreshMv(spark, cat0, in.getString(0)))
         })
       case "drop_branch" => proc(cat, "drop_branch",
         Array(ProcedureParameter.in("table", StringType).build(),

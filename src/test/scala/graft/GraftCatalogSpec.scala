@@ -952,4 +952,84 @@ class GraftCatalogSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))) ==
       Seq((1L, 10L, true)))
   }
+
+  test("create_mv / refresh_mv procedures: the definition persists as " +
+      "view properties, refresh-by-name runs the incremental path, " +
+      "and a non-MV table is refused") {
+    spark.sql("CREATE TABLE graft.db.mvsrc (k STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.mvsrc VALUES " +
+      "('a', 1.0), ('a', 2.0), ('b', 5.0)")
+    val v1 = spark.sql("CALL graft.system.create_mv(" +
+      "'db.mvagg', 'db.mvsrc', 'k', 'v', '')").head().getLong(0)
+    assert(v1 == 1L)
+    def served() = spark.sql(
+      "SELECT k, n, CAST(sum_v * 100 AS BIGINT) FROM graft.db.mvagg " +
+        "ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served() == Seq(("a", 2L, 300L), ("b", 1L, 500L)))
+    // land more source data, refresh BY NAME — the delta merges
+    spark.sql("INSERT INTO graft.db.mvsrc VALUES ('b', 7.0), ('c', 9.0)")
+    spark.sql("CALL graft.system.refresh_mv('db.mvagg')")
+    assert(served() ==
+      Seq(("a", 2L, 300L), ("b", 2L, 1200L), ("c", 1L, 900L)))
+    // refresh when fresh: no new view version
+    val cur = SnapshotTable.currentVersion(spark, s"$warehouse/db/mvagg")
+    spark.sql("CALL graft.system.refresh_mv('db.mvagg')")
+    assert(SnapshotTable.currentVersion(spark,
+      s"$warehouse/db/mvagg") == cur, "fresh refresh_mv committed")
+    // a plain table is not a refreshable view
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.refresh_mv('db.mvsrc')").collect()
+    }
+    assert(e.getMessage.contains("not a materialized view"),
+      s"wrong refusal: ${e.getMessage}")
+  }
+
+  test("create_join_mv / refresh_mv: the JoinView maintenance paths " +
+      "(fact delete, dim MOR update, fact append) run through the " +
+      "procedure surface and match a from-scratch recompute") {
+    val fact = (1L to 200L).map(k => (k, k % 20, (k % 7).toDouble))
+      .toDF("o_id", "c_id", "price")
+    val dim = (0L until 20L).map(c => (c, s"seg${c % 4}"))
+      .toDF("c_id2", "seg")
+    fact.createOrReplaceTempView("jmv_fact_src")
+    dim.createOrReplaceTempView("jmv_dim_src")
+    spark.sql("CREATE TABLE graft.db.jmvf AS SELECT * FROM jmv_fact_src")
+    spark.sql("CREATE TABLE graft.db.jmvd AS SELECT * FROM jmv_dim_src")
+    spark.sql("CALL graft.system.create_join_mv('db.jmvv', " +
+      "'db.jmvf', 'db.jmvd', 'c_id', 'c_id2', 'seg', 'price')")
+    def served() = spark.sql(
+      "SELECT seg, n, CAST(sum_price * 100 AS BIGINT), cnt_price " +
+        "FROM graft.db.jmvv ORDER BY seg").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    def expected() = spark.sql(
+      """SELECT seg, count(*) AS n,
+        |  CAST(sum(CAST(price AS DECIMAL(20,2))) * 100 AS BIGINT),
+        |  count(price)
+        |FROM graft.db.jmvf JOIN graft.db.jmvd ON c_id = c_id2
+        |GROUP BY seg ORDER BY seg""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(served() == expected(), "bootstrap diverged")
+    // ΔF: SQL row-level delete, then refresh by name
+    spark.sql("DELETE FROM graft.db.jmvf WHERE o_id % 13 = 0")
+    spark.sql("CALL graft.system.refresh_mv('db.jmvv')")
+    assert(served() == expected(), "after fact delete")
+    // ΔD: dim update through MERGE, then refresh by name
+    spark.sql(
+      """MERGE INTO graft.db.jmvd t
+        |USING (SELECT c_id2, 'MOVED' AS seg FROM jmv_dim_src
+        |       WHERE c_id2 % 5 = 0) s
+        |ON t.c_id2 = s.c_id2
+        |WHEN MATCHED THEN UPDATE SET seg = s.seg""".stripMargin)
+    spark.sql("CALL graft.system.refresh_mv('db.jmvv')")
+    assert(served() == expected(), "after dim update")
+    // ΔF append
+    spark.sql("INSERT INTO graft.db.jmvf " +
+      "SELECT o_id + 1000, c_id, price * 2 FROM jmv_fact_src " +
+      "WHERE o_id % 17 = 0")
+    spark.sql("CALL graft.system.refresh_mv('db.jmvv')")
+    assert(served() == expected(), "after fact append")
+  }
 }

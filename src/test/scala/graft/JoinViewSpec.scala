@@ -146,9 +146,10 @@ class JoinViewSpec extends SparkSpec {
         col("o_custkey"), col("o_totalprice")))
     val curF = SnapshotTable.currentVersion(spark, v.factRoot)
     val curD = SnapshotTable.currentVersion(spark, v.dimRoot)
-    val rowsF = MaterializedView.joinSignedRows(spark, v,
+    val (rowsF, cleanF) = MaterializedView.joinSignedRows(spark, v,
       lastF = 1L, lastD = curD, curF = curF, curD = curD).get
     val openedF = rowsF.inputFiles.toSet
+    cleanF()
     assert((openedF intersect factV1Files).isEmpty,
       s"fact-only delta re-opened pre-existing fact files: " +
         s"${openedF intersect factV1Files}")
@@ -162,11 +163,12 @@ class JoinViewSpec extends SparkSpec {
         .withColumn("c_mktsegment", lit("SOLO")),
       "c_custkey")
     val lastF2 = SnapshotTable.currentVersion(spark, v.factRoot)
-    val rowsD = MaterializedView.joinSignedRows(spark, v,
+    val (rowsD, cleanD) = MaterializedView.joinSignedRows(spark, v,
       lastF = lastF2, lastD = curD,
       curF = lastF2,
       curD = SnapshotTable.currentVersion(spark, v.dimRoot)).get
     val openedD = rowsD.inputFiles.toSet intersect factV1Files
+    cleanD()
     assert(openedD.size < factV1Files.size,
       s"dim-only delta opened ${openedD.size}/${factV1Files.size} " +
         "fact files — pruning lost")

@@ -972,6 +972,55 @@ class SnapshotTableSpec extends SparkSpec {
       MaterializedView.refreshedAgainst(spark, viewRoot) == 3L)
   }
 
+  test("cdcFeedRetract with retain: a long-running feed keeps view " +
+      "history BOUNDED (versions + markers pruned every tick) and " +
+      "expiry never breaks the marker chain — every post-expiry tick " +
+      "still lands exactly") {
+    import graft.sources.{MaterializedView, SnapshotTable => ST}
+    val src = tmpRoot()
+    val cp = java.nio.file.Files.createTempDirectory("graft-mvexp")
+      .toString
+    val base = (1 to 500).map(i => (i.toLong, s"k${i % 5}", i * 1.0))
+      .toDF("id", "k", "x")
+    ST.commit(spark, src, base, clusterKey = Some("id"))
+    val iv = MaterializedView.IncrementalView(src, tmpRoot(),
+      keys = Seq("k"), sumCols = Seq("x"))
+    def recomputed() = ST.read(spark, src).groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(20,2)")).as("s"))
+      .as[(String, Long, java.math.BigDecimal)].collect().toSet
+    def materialized() = MaterializedView.read(spark, iv)
+      .select("k", "n", "sum_x")
+      .as[(String, Long, java.math.BigDecimal)].collect().toSet
+    def markers(): Seq[String] =
+      new java.io.File(iv.viewRoot).listFiles.toSeq.map(_.getName)
+        .filter(_.startsWith("_source_version."))
+    val q = MaterializedView.cdcFeedRetract(spark, iv, cp,
+      retain = Some(2))
+    try {
+      q.processAllAvailable()
+      // a day of ticks in miniature: appends AND a MOR delete, each
+      // tick minting a view version the retention must reap
+      (1 to 4).foreach { i =>
+        ST.append(spark, src, base.limit(50)
+          .withColumn("id", col("id") + lit(i * 10000L)))
+        q.processAllAvailable()
+        assert(materialized() == recomputed(), s"tick $i diverged")
+        assert(ST.versions(spark, iv.viewRoot).size <= 2,
+          s"tick $i: view history unbounded " +
+            s"(${ST.versions(spark, iv.viewRoot)})")
+        assert(markers().size <= 2,
+          s"tick $i: markers unbounded (${markers()})")
+      }
+      ST.deleteKeysOnRead(spark, src,
+        base.select(col("id")).limit(100), "id")
+      q.processAllAvailable()
+      assert(materialized() == recomputed(), "post-expiry MOR delete " +
+        "tick diverged — expiry broke the marker chain")
+      assert(ST.versions(spark, iv.viewRoot).size <= 2)
+    } finally q.stop()
+  }
+
   test("incremental refresh consumes O(batch) input on an append-only " +
       "source: observed delta rows track the batch, not the table") {
     import graft.sources.MaterializedView

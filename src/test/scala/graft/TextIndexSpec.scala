@@ -210,4 +210,81 @@ class TextIndexSpec extends SparkSpec {
     assert(got() == wantAll,
       "crash-window replay did not converge to the rebuild")
   }
+
+  test("searchAnd: only docs holding EVERY query term surface, their " +
+      "scores are bit-identical to searchBm25's, and the scan still " +
+      "prunes to the query terms' buckets") {
+    val docs = corpus(0 until 400)
+    val root = tmpRoot()
+    TextIndex.build(spark, docs.toDF("doc_id", "text"), root,
+      buckets = 16)
+    val q = Seq("apple", "cherry", "melon")
+    val orTop = TextIndex.searchBm25(spark, root, q, 400).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val andGot = TextIndex.searchAnd(spark, root, q, 400).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fullDocs = docs.filter { case (_, t) =>
+      val ts = t.split(" ", -1).toSet; q.forall(ts) }.map(_._1).toSet
+    assert(fullDocs.nonEmpty && fullDocs.size < docs.size,
+      "fixture must make AND selective")
+    assert(andGot.map(_._1).toSet == fullDocs,
+      "AND membership diverged from a from-raw evaluation")
+    // subset-of-OR with identical scores: df/N/avgdl are the OR scan's
+    assert(andGot == orTop.filter(r => fullDocs(r._1)),
+      "AND scores/order diverged from the OR ranking's restriction")
+    val plan = TextIndex.searchAnd(spark, root, q, 5)
+      .queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"AND search lost bucket pruning:\n$plan")
+  }
+
+  test("the declared 'simple' analyzer (case-fold, non-alphanumeric " +
+      "separators, empties dropped) is recorded at build and reused " +
+      "by add(): a cased/punctuated corpus answers like the " +
+      "whitespace index over its normalized twin") {
+    // mangle the deterministic corpus: uppercase + punctuation noise
+    def mangle(t: String): String =
+      t.split(" ").map(w => w.toUpperCase + "?!").mkString("  ,")
+    val all = corpus(0 until 300)
+    val (day0, day1) = all.partition(_._1 % 4 != 0)
+    val root = tmpRoot()
+    TextIndex.build(spark,
+      day0.map { case (id, t) => (id, mangle(t)) }.toDF("doc_id", "text"),
+      root, buckets = 16, analyzer = "simple")
+    // add() must pick the analyzer up from the table property
+    TextIndex.add(spark,
+      day1.map { case (id, t) => (id, mangle(t)) }.toDF("doc_id", "text"),
+      root)
+    val q = Seq("kiwi", "fig", "lime")
+    val got = TextIndex.searchBm25(spark, root, q, 25).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == bm25Local(all, q, 25),
+      "simple-analyzer index diverged from the normalized oracle")
+    // unknown analyzer names fail loudly before any commit
+    intercept[IllegalArgumentException] {
+      TextIndex.build(spark, all.toDF("doc_id", "text"), tmpRoot(),
+        analyzer = "porter")
+    }
+  }
+
+  test("remove() under a txn marker is idempotent: a caller retry " +
+      "(same appId/batchId) lands neither tombstones nor the negative " +
+      "stats row twice, so N/avgdl stay exact") {
+    val all = corpus(0 until 300)
+    val (dead, alive) = all.partition(_._1 % 6 == 0)
+    val root = tmpRoot()
+    TextIndex.build(spark, all.toDF("doc_id", "text"), root,
+      buckets = 16)
+    TextIndex.remove(spark, dead.toDF("doc_id", "text"), root,
+      txn = Some(("rm-app", 1L)))
+    // the retry: both commits recognize their landed marker and skip
+    TextIndex.remove(spark, dead.toDF("doc_id", "text"), root,
+      txn = Some(("rm-app", 1L)))
+    val q = Seq("plum", "peach", "mango")
+    val got = TextIndex.searchBm25(spark, root, q, 25).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == bm25Local(alive, q, 25),
+      "retried remove double-applied (stats or tombstones skewed)")
+  }
 }

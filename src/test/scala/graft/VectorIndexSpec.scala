@@ -138,6 +138,128 @@ class VectorIndexSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "rebuild diverged from a fresh index")
   }
 
+  test("remove then re-add of the same id serves the NEW vector " +
+      "(era/cut algebra: the tombstone's cut kills only earlier eras) " +
+      "and probes still prune") {
+    val root = tmpRoot()
+    VectorIndex.build(spark, embeddings.filter(col("vec_id") < 400),
+      root, nlist = 8, iters = 5, trainCap = 400)
+    // index a clone of vector 3 under id 100003, remove it, then
+    // RE-ADD id 100003 as a clone of vector 7 — a CDC-style update
+    VectorIndex.add(spark,
+      embeddings.filter(col("vec_id") === 3)
+        .selectExpr("vec_id + 100000 AS vec_id", "embedding"), root)
+    VectorIndex.remove(spark,
+      spark.range(100003, 100004).selectExpr("id AS vec_id"), root)
+    VectorIndex.add(spark,
+      embeddings.filter(col("vec_id") === 7)
+        .selectExpr("vec_id + 99996 AS vec_id", "embedding"), root)
+    def top1(qid: Long) = VectorIndex.search(spark, root,
+        embeddings.filter(col("vec_id") === qid)
+          .selectExpr("vec_id AS q_id", "embedding"), 1, nprobe = 3)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).head
+    // the OLD incarnation (clone of 3) must stay dead…
+    val (c3, cos3) = top1(3L)
+    assert(c3 != 100003L || cos3 < 1.0,
+      s"removed incarnation still served: $c3 at $cos3")
+    // …and the NEW incarnation (clone of 7) must be served
+    assert(top1(7L) == ((100003L, 1.0)),
+      s"re-added vector not served: ${top1(7L)}")
+    val plan = VectorIndex.search(spark, root,
+        embeddings.filter(col("vec_id") === 7)
+          .selectExpr("vec_id AS q_id", "embedding"), 1, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"post-re-add probe lost pruning:\n$plan")
+  }
+
+  test("CDC maintenance (cdcIndexSink): the index tracks an embeddings " +
+      "TABLE through inserts, MOR deletes and a MOR UPDATE (the " +
+      "delete+insert pair nets to the NEW vector), exactly-once, and " +
+      "matches an index built fresh over the final state") {
+    import graft.sources.SnapshotTable
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-vixcdc").toString
+    val src = base + "/emb_src"
+    val root = base + "/ix"
+    val day0 = embeddings.filter(col("vec_id") < 400)
+    SnapshotTable.commit(spark, src, day0,
+      clusterKey = Some("vec_id"))                            // v1
+    VectorIndex.build(spark, day0, root, nlist = 8, iters = 5,
+      trainCap = 400)
+    val q = VectorIndex.cdcIndexSink(spark, src, root, base + "/cp",
+      "vixcdc", startingVersion = 2L)
+    try {
+      // v2: append new vectors
+      SnapshotTable.append(spark, src,
+        embeddings.filter(col("vec_id") >= 400 && col("vec_id") < 450))
+      // v3: MOR-delete a slice
+      SnapshotTable.deleteKeysOnRead(spark, src,
+        day0.filter(col("vec_id") % 10 === 3).select("vec_id"),
+        "vec_id")
+      // v4: MOR UPDATE — vector 5 becomes a clone of vector 11
+      val newVec = embeddings.filter(col("vec_id") === 11)
+        .selectExpr("CAST(5 AS BIGINT) AS vec_id", "embedding")
+      SnapshotTable.mergeOnRead(spark, src, newVec, "vec_id")
+      q.processAllAvailable()
+    } finally q.stop()
+    // the maintained index must answer like one built fresh over the
+    // table's final logical state (same quantizer: same train corpus)
+    val fresh = base + "/ix_fresh"
+    VectorIndex.build(spark, day0, fresh, nlist = 8, iters = 5,
+      trainCap = 400)
+    // align the fresh index with the final state via the SAME CDC
+    // semantics: hand-build the changelog batch (changes=true is a
+    // streaming-only read by design) and apply it once
+    val nullEmb = "CAST(NULL AS ARRAY<FLOAT>) AS embedding"
+    val changeBatch = embeddings
+      .filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .selectExpr("vec_id", "embedding", "'insert' AS _change_type",
+        "CAST(2 AS BIGINT) AS _commit_version")
+      .unionByName(day0.filter(col("vec_id") % 10 === 3)
+        .selectExpr("vec_id", nullEmb, "'delete' AS _change_type",
+          "CAST(3 AS BIGINT) AS _commit_version"))
+      .unionByName(spark.range(5, 6)
+        .selectExpr("id AS vec_id", nullEmb,
+          "'delete' AS _change_type",
+          "CAST(4 AS BIGINT) AS _commit_version"))
+      .unionByName(embeddings.filter(col("vec_id") === 11)
+        .selectExpr("CAST(5 AS BIGINT) AS vec_id", "embedding",
+          "'insert' AS _change_type",
+          "CAST(4 AS BIGINT) AS _commit_version"))
+    VectorIndex.applyChanges(spark, fresh, changeBatch, "vixcdc-f", 0L)
+    val qs = embeddings.filter(col("vec_id") === 11 ||
+        col("vec_id") === 3)
+      .selectExpr("vec_id AS q_id", "embedding")
+    def results(r: String) =
+      VectorIndex.search(spark, r, qs, k = 3, nprobe = 3)
+        .collect().map(x =>
+          (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+        .toSeq
+    assert(results(root) == results(fresh),
+      "streamed CDC index diverged from the batch-applied twin")
+    // the update netted: vector 5 is now vector 11's clone…
+    val top11 = VectorIndex.search(spark, root,
+        embeddings.filter(col("vec_id") === 11)
+          .selectExpr("vec_id AS q_id", "embedding"), 1, nprobe = 3)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).head
+    assert(top11 == ((5L, 1.0)),
+      s"MOR update did not net to the new vector: $top11")
+    // …and MOR-deleted ids never surface
+    val all = VectorIndex.search(spark, root, qs, k = 50, nprobe = 8)
+      .collect().map(_.getLong(2)).toSet
+    assert(!all.exists(id => id < 400 && id % 10 == 3),
+      "a MOR-deleted vector surfaced")
+    // replay under the committed batch ids: no new index version
+    val vBefore = SnapshotTable.currentVersion(spark, root)
+    val q2 = VectorIndex.cdcIndexSink(spark, src, root,
+      base + "/cp2", "vixcdc", startingVersion = 2L)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(SnapshotTable.currentVersion(spark, root) == vBefore,
+      "replayed changelog committed new assignments")
+  }
+
   test("streaming maintenance is exactly-once: vectors land through " +
       "indexSink, a replayed batch no-ops, and streamed results " +
       "equal the batch add() path") {
