@@ -492,6 +492,22 @@ object TextAnalysis {
       TextIndex.searchAnd(s, root, Seq("vector", "merge", "window"), 20)
     }),
 
+    // POSITIONAL PHRASE SEARCH, oracled: postings carry per-doc
+    // position lists, so the index answers exact consecutive-token
+    // queries — only docs containing "stream spark" AS A PHRASE are
+    // scored (bag-of-words AND would admit any doc with both words).
+    // The read is still the pruned 2-bucket scan; adjacency is one
+    // array expression per candidate. The oracle recomputes phrase
+    // membership in DuckDB with a positional lambda over the token
+    // list and scores the same BM25 restriction.
+    "docs_bm25_phrase" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25p-q").toString + "/ix"
+      TextIndex.build(s, docs(s, dir).select("doc_id", "text"), root,
+        buckets = 32)
+      TextIndex.searchPhrase(s, root, Seq("stream", "spark"), 20)
+    }),
+
     // Benchmark DECONTAMINATION — the training-data hygiene pass every
     // LLM pipeline runs before training: does a training doc share any
     // 8-token shingle with the held-out eval set? The eval split derives
@@ -1685,6 +1701,35 @@ object TextAnalysis {
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id
         |LIMIT 20""".stripMargin,
+    // phrase membership via a positional lambda over the token list
+    // (DuckDB lists are 1-based); scoring is the same BM25 restriction
+    "docs_bm25_phrase" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ph AS (SELECT doc_id FROM d
+         |  WHERE len(list_filter(range(1, len(toks)),
+         |    i -> toks[i] = 'stream' AND toks[i+1] = 'spark')) > 0),
+         |t AS (SELECT doc_id, unnest(toks) AS term, len(toks) AS dl
+         |      FROM d),
+         |n AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sumdl
+         |      FROM d),
+         |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM t
+         |  WHERE term IN ('stream','spark')
+         |  GROUP BY doc_id, term, dl),
+         |df AS (SELECT term, count(*) AS df FROM (
+         |  SELECT DISTINCT doc_id, term FROM t
+         |  WHERE term IN ('stream','spark'))
+         |  GROUP BY term)
+         |SELECT doc_id, round(sum(
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |      * (tf * (1.2 + 1.0))
+         |      / (tf + 1.2 * ((1.0 - 0.75)
+         |          + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n_docs)))
+         |  ), 6) AS score
+         |FROM tf JOIN df USING (term) CROSS JOIN n
+         |WHERE doc_id IN (SELECT doc_id FROM ph)
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id
+         |LIMIT 20""".stripMargin,
     "docs_decontaminate" ->
       s"""WITH d AS (
          |  SELECT doc_id, list_distinct(

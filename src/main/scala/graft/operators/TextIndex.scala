@@ -70,6 +70,18 @@ object TextIndex {
     SnapshotTable.tableProperties(spark, root)
       .getOrElse(AnalyzerProp, "whitespace")
 
+  /** Tokenize a query string with the INDEX's OWN analyzer — the same
+    * Column expression the postings went through, evaluated on a 1-row
+    * frame, so query terms can never disagree with indexed terms (the
+    * SQL `search_text` procedure's entry point). */
+  def analyzeQuery(spark: SparkSession, root: String, q: String)
+  : Seq[String] = {
+    import spark.implicits._
+    Seq(q).toDF("text")
+      .select(toks(col("text"), analyzerOf(spark, root)).as("t"))
+      .head().getSeq[String](0).toSeq
+  }
+
   /** `era` orders installments of the SAME doc id within its
     * lifetime (0 for build/add/stream batches of new docs; the
     * source `_commit_version` for CDC rows): a tombstone records the
@@ -83,9 +95,15 @@ object TextIndex {
       .withColumn("__era", era)
       .withColumn("__toks", toks(col("text"), analyzer))
       .select(col("doc_id"), size(col("__toks")).as("dl"),
-        col("__era").as("era"), explode(col("__toks")).as("term"))
+        col("__era").as("era"),
+        posexplode(col("__toks")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"), col("dl"), col("era"))
-      .agg(count(lit(1)).as("tf"))
+      // positions (0-based in the analyzed token stream) make the
+      // postings POSITIONAL — [[searchPhrase]] needs adjacency; the
+      // sort keeps the row content deterministic for bit-equality
+      // specs (collect_list order is not)
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("pos"))
 
   /** One journal row for an installment of documents. */
   private def statsRowOf(docs: DataFrame,
@@ -336,6 +354,42 @@ object TextIndex {
     // only restricts WHICH docs surface
     scoreBm25(p, n, avgdl, k1, b)
       .join(full, Seq("doc_id"), "left_semi")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** PHRASE top-k: only documents containing the EXACT consecutive
+    * token sequence `phrase` (under the index's analyzer) are scored —
+    * the positional-postings query classic retrieval needs beyond
+    * bag-of-words. Matching reads NOTHING beyond the AND search's
+    * pruned scan: each phrase slot filters the same term-pruned
+    * postings, slots join doc-keyed (|phrase| joins of tiny rows), and
+    * adjacency is one array expression over the per-doc position
+    * lists — `∃ p ∈ pos(t_0): p+i ∈ pos(t_i) ∀i`. Scores and
+    * tie-breaks are the [[searchBm25]] contract over the phrase's
+    * distinct terms, so phrase results are that OR ranking restricted
+    * to phrase matches. */
+  def searchPhrase(spark: SparkSession, root: String,
+      phrase: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val terms = phrase.distinct
+    val (n, avgdl) = corpusStats(spark, root)
+    val p = livePostings(spark, root, terms)
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      p.filter(col("term") === t)
+        .select(col("doc_id"), col("pos").as(s"__p$i"))
+    }
+    val joined = slots.reduce((a, b) => a.join(b, Seq("doc_id")))
+    val adj =
+      if (phrase.size == 1) lit(true)
+      else expr("exists(__p0, x -> " +
+        (1 until phrase.size)
+          .map(i => s"array_contains(__p$i, x + $i)")
+          .mkString(" AND ") + ")")
+    val matches = joined.filter(adj).select(col("doc_id")).distinct()
+    scoreBm25(p, n, avgdl, k1, b)
+      .join(matches, Seq("doc_id"), "left_semi")
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
   }

@@ -1526,6 +1526,30 @@ object Sources {
           |FROM graft_mvq.db.$view
           |ORDER BY o_orderstatus""".stripMargin)
     }),
+    // LEXICAL RETRIEVAL THROUGH SQL ALONE, oracled: CTAS the documents
+    // into the catalog, CALL create_text_index (persisted BM25
+    // postings, analyzer recorded), CALL search_text with AND
+    // semantics — the procedure tokenizes the query string with the
+    // index's own analyzer and returns the ranked top-k directly.
+    // DuckDB recomputes conjunctive BM25 from the raw table.
+    "docs_text_index_sql" -> ((s, dir) => {
+      val tbl = uniqueName("docs_txq")
+      val ix = uniqueName("ix_txq")
+      s.conf.set("spark.sql.catalog.graft_txq",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_txq.warehouse",
+        catalogWarehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_txq.db")
+      graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "text")
+        .createOrReplaceTempView("docs_txq_src")
+      s.sql(s"CREATE TABLE graft_txq.db.$tbl AS " +
+        "SELECT doc_id, text FROM docs_txq_src")
+      s.sql(s"CALL graft_txq.system.create_text_index(" +
+        s"'db.$ix', 'db.$tbl', 32, 'whitespace')")
+      s.sql(s"CALL graft_txq.system.search_text(" +
+        s"'db.$ix', 'customer merge', 20, 'and')")
+    }),
     // STAR-SCHEMA MV under the oracle: a lineitem ⋈ part ⋈ supplier
     // rollup maintained incrementally from ALL THREE tables' deltas by
     // the telescoping rule (one signed-delta factor per summand, old
@@ -2479,6 +2503,31 @@ object Sources {
         |  max(o_orderkey) AS max_o_orderkey
         |FROM live GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "docs_text_index_sql" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS
+        |    term, len(string_split(text, ' ')) AS dl FROM documents),
+        |n AS (SELECT count(*) AS n_docs,
+        |    sum(len(string_split(text, ' '))) AS sumdl FROM documents),
+        |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM t
+        |  WHERE term IN ('customer','merge')
+        |  GROUP BY doc_id, term, dl),
+        |fullm AS (SELECT doc_id FROM tf
+        |  GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+        |df AS (SELECT term, count(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, term FROM t
+        |  WHERE term IN ('customer','merge'))
+        |  GROUP BY term)
+        |SELECT doc_id, round(sum(
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * ((1.0 - 0.75)
+        |          + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n_docs)))
+        |  ), 6) AS score
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |WHERE doc_id IN (SELECT doc_id FROM fullm)
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
     "snapshot_mv_sql" ->
       """WITH live AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -962,7 +962,8 @@ private[connector] object GraftProcedures {
     "create_branch", "fast_forward", "fast_forward_to", "drop_branch",
     "analyze", "analyze_histograms", "refresh_histograms",
     "rollback_to", "rollback_to_timestamp",
-    "create_mv", "create_join_mv", "refresh_mv")
+    "create_mv", "create_join_mv", "refresh_mv",
+    "create_text_index", "search_text")
 
   /** View-table properties persisting an MV definition, so
     * `refresh_mv('db.view')` needs only the view's name — the SQL-first
@@ -1257,6 +1258,56 @@ private[connector] object GraftProcedures {
         (spark, cat0, in) => {
           Row(refreshMv(spark, cat0, in.getString(0)))
         })
+      // LEXICAL RETRIEVAL through SQL: build a persisted BM25 inverted
+      // index over a catalog table's (doc_id, text) and query it by
+      // name — the index root under the warehouse is ALSO a SELECTable
+      // postings table. analyzer ∈ {whitespace, simple}.
+      case "create_text_index" => proc(cat, "create_text_index",
+        Array(ProcedureParameter.in("index", StringType).build(),
+          ProcedureParameter.in("source", StringType).build(),
+          ProcedureParameter.in("buckets", IntegerType).build(),
+          ProcedureParameter.in("analyzer", StringType).build()),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          val srcRoot = cat0.resolveRoot(in.getString(1))
+          val idxRoot = cat0.resolveNewRoot(in.getString(0))
+          Row(graft.operators.TextIndex.build(spark,
+            SnapshotTable.read(spark, srcRoot)
+              .select("doc_id", "text"),
+            idxRoot, buckets = in.getInt(2),
+            analyzer = in.getString(3)))
+        })
+      // Top-k search over a text index: the query string is tokenized
+      // by the INDEX's recorded analyzer; mode ∈ {or, and, phrase}
+      // (bag-of-words BM25 / all-terms conjunction / exact consecutive
+      // phrase). Returns the ranked (doc_id, score) rows directly —
+      // top-k is procedure-sized by construction.
+      case "search_text" => procMulti(cat, "search_text",
+        Array(ProcedureParameter.in("index", StringType).build(),
+          ProcedureParameter.in("query", StringType).build(),
+          ProcedureParameter.in("k", IntegerType).build(),
+          ProcedureParameter.in("mode", StringType).build()),
+        StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("score", org.apache.spark.sql.types.DoubleType,
+            nullable = false))),
+        (spark, cat0, in) => {
+          import graft.operators.TextIndex
+          val root = cat0.resolveRoot(in.getString(0))
+          val terms = TextIndex.analyzeQuery(spark, root,
+            in.getString(1))
+          val k = in.getInt(2)
+          val res = in.getString(3).toLowerCase match {
+            case "and" => TextIndex.searchAnd(spark, root, terms, k)
+            case "phrase" => TextIndex.searchPhrase(spark, root,
+              terms, k)
+            case "or" => TextIndex.searchBm25(spark, root, terms, k)
+            case other => throw new IllegalArgumentException(
+              s"unknown search mode '$other' (or, and, phrase)")
+          }
+          res.collect().toSeq
+        })
       case "drop_branch" => proc(cat, "drop_branch",
         Array(ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("name", StringType).build()),
@@ -1275,6 +1326,13 @@ private[connector] object GraftProcedures {
   private def proc(cat: GraftCatalog, procName: String,
       params: Array[ProcedureParameter], outSchema: StructType,
       body: (SparkSession, GraftCatalog, InternalRow) => Row)
+  : UnboundProcedure =
+    procMulti(cat, procName, params, outSchema,
+      (spark, cat0, in) => Seq(body(spark, cat0, in)))
+
+  private def procMulti(cat: GraftCatalog, procName: String,
+      params: Array[ProcedureParameter], outSchema: StructType,
+      body: (SparkSession, GraftCatalog, InternalRow) => Seq[Row])
   : UnboundProcedure = new UnboundProcedure {
     override def name(): String = procName
     override def description(): String = s"graft $procName"
@@ -1287,12 +1345,12 @@ private[connector] object GraftProcedures {
         override def call(input: InternalRow)
         : java.util.Iterator[Scan] = {
           val spark = SparkSession.active
-          val row = body(spark, cat, input)
+          val out = body(spark, cat, input)
           // name must differ from LocalScan.rows — `= rows` inside the
           // anonymous class would resolve to the member and self-recur
           val resultRows = {
             import scala.jdk.CollectionConverters._
-            spark.createDataFrame(Seq(row).asJava, outSchema)
+            spark.createDataFrame(out.asJava, outSchema)
               .queryExecution.executedPlan.executeCollect()
           }
           java.util.List.of[Scan](new LocalScan {

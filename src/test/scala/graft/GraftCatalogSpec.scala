@@ -1032,4 +1032,42 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("CALL graft.system.refresh_mv('db.jmvv')")
     assert(served() == expected(), "after fact append")
   }
+
+  test("create_text_index / search_text procedures: the index builds " +
+      "from a catalog table, the query string is tokenized by the " +
+      "recorded analyzer, all three modes answer, and an unknown " +
+      "mode is refused") {
+    val docs = Seq(
+      (1L, "Spark streams JOIN the batch; spark joins the stream!"),
+      (2L, "batch spark merge"),
+      (3L, "the stream joins spark"),
+      (4L, "spark alone"),
+      (5L, "joins spark, the stream"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("txi_src")
+    spark.sql("CREATE TABLE graft.db.txidocs AS SELECT * FROM txi_src")
+    spark.sql("CALL graft.system.create_text_index(" +
+      "'db.txix', 'db.txidocs', 8, 'simple')")
+    // the postings root is itself a SELECTable catalog table
+    assert(spark.sql("SELECT count(*) FROM graft.db.txix").head()
+      .getLong(0) > 0, "postings not selectable")
+    def ids(q: String, mode: String): Seq[Long] = spark.sql(
+      s"CALL graft.system.search_text('db.txix', '$q', 10, '$mode')")
+      .collect().map(_.getLong(0)).toSeq
+    // OR: any doc holding any term ('Spark!' case-folds/strips)
+    assert(ids("spark stream", "or").toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // AND: both terms required
+    assert(ids("spark stream", "and").toSet == Set(1L, 3L, 5L))
+    // PHRASE: consecutive under the simple analyzer — 'the stream'
+    // appears in 1 ('...joins the stream!'), 3 and 5, but doc 2/4
+    // (AND-failing) and any non-adjacent holders are out
+    assert(ids("the stream", "phrase").toSet == Set(1L, 3L, 5L),
+      s"phrase got ${ids("the stream", "phrase")}")
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.search_text(" +
+        "'db.txix', 'spark', 5, 'fuzzy')").collect()
+    }
+    assert(e.getMessage.contains("unknown search mode"),
+      s"wrong refusal: ${e.getMessage}")
+  }
 }

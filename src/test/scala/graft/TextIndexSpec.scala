@@ -268,6 +268,41 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("searchPhrase: only docs containing the EXACT consecutive " +
+      "sequence surface (AND-matching docs without adjacency are " +
+      "excluded), scores restrict the OR ranking, and the scan still " +
+      "prunes") {
+    val docs = corpus(0 until 400)
+    val root = tmpRoot()
+    TextIndex.build(spark, docs.toDF("doc_id", "text"), root,
+      buckets = 16)
+    val phrase = Seq("mango", "date")
+    def hasPhrase(t: String): Boolean =
+      t.split(" ", -1).sliding(2).exists(w =>
+        w.length == 2 && w(0) == phrase(0) && w(1) == phrase(1))
+    val want = docs.filter { case (_, t) => hasPhrase(t) }
+      .map(_._1).toSet
+    val andDocs = docs.filter { case (_, t) =>
+      val ts = t.split(" ", -1).toSet; phrase.forall(ts) }
+      .map(_._1).toSet
+    assert(want.nonEmpty && want.size < andDocs.size,
+      s"fixture must separate phrase (${want.size}) from " +
+        s"AND (${andDocs.size})")
+    val got = TextIndex.searchPhrase(spark, root, phrase, 400)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1).toSet == want,
+      "phrase membership diverged from a from-raw sliding-window scan")
+    val orTop = TextIndex.searchBm25(spark, root, phrase, 400)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == orTop.filter(r => want(r._1)),
+      "phrase scores/order diverged from the OR ranking's restriction")
+    val plan = TextIndex.searchPhrase(spark, root, phrase, 5)
+      .queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"phrase search lost bucket pruning:\n$plan")
+  }
+
   test("remove() under a txn marker is idempotent: a caller retry " +
       "(same appId/batchId) lands neither tombstones nor the negative " +
       "stats row twice, so N/avgdl stay exact") {
