@@ -962,8 +962,9 @@ private[connector] object GraftProcedures {
     "create_branch", "fast_forward", "fast_forward_to", "drop_branch",
     "analyze", "analyze_histograms", "refresh_histograms",
     "rollback_to", "rollback_to_timestamp",
-    "create_mv", "create_join_mv", "refresh_mv",
-    "create_text_index", "search_text")
+    "create_mv", "create_join_mv", "refresh_mv", "mv_status",
+    "create_text_index", "search_text",
+    "create_vector_index", "search_vectors")
 
   /** View-table properties persisting an MV definition, so
     * `refresh_mv('db.view')` needs only the view's name — the SQL-first
@@ -1258,6 +1259,48 @@ private[connector] object GraftProcedures {
         (spark, cat0, in) => {
           Row(refreshMv(spark, cat0, in.getString(0)))
         })
+      // MV observability: kind, source, consumed source version vs its
+      // current, and the staleness verdict — the freshness dashboard
+      // line as one metadata-only call (listings, zero data IO).
+      case "mv_status" => proc(cat, "mv_status",
+        Array(ProcedureParameter.in("view", StringType).build()),
+        StructType(Seq(
+          StructField("kind", StringType, nullable = false),
+          StructField("source", StringType, nullable = false),
+          StructField("view_version", LongType, nullable = false),
+          StructField("consumed_source_version", LongType,
+            nullable = false),
+          StructField("source_version", LongType, nullable = false),
+          StructField("stale", org.apache.spark.sql.types.BooleanType,
+            nullable = false))),
+        (spark, cat0, in) => {
+          val viewRoot = cat0.resolveRoot(in.getString(0))
+          val p = SnapshotTable.tableProperties(spark, viewRoot)
+          val src = p.getOrElse(MvSourceProp,
+            throw new IllegalArgumentException(
+              s"'${in.getString(0)}' is not a materialized view"))
+          val kind = p.getOrElse(MvKindProp, "incremental")
+          // join views consume a VERSION VECTOR (fact first); the
+          // reported consumed/source columns are the fact's, staleness
+          // covers every source
+          val (consumed, srcCur, stale) = kind match {
+            case "join" =>
+              val last = MaterializedView
+                .starRefreshedAgainst(spark, viewRoot, 2)
+              val curs = Seq(src, p(MvDimProp)).map(t =>
+                SnapshotTable.currentVersion(spark, cat0.resolveRoot(t)))
+              (last.head, curs.head,
+                curs.zip(last).exists { case (c, l) => c > l })
+            case _ =>
+              val c = MaterializedView.refreshedAgainst(spark, viewRoot)
+              val s = SnapshotTable.currentVersion(spark,
+                cat0.resolveRoot(src))
+              (c, s, s > c)
+          }
+          Row(kind, src,
+            SnapshotTable.currentVersion(spark, viewRoot),
+            consumed, srcCur, stale)
+        })
       // LEXICAL RETRIEVAL through SQL: build a persisted BM25 inverted
       // index over a catalog table's (doc_id, text) and query it by
       // name — the index root under the warehouse is ALSO a SELECTable
@@ -1307,6 +1350,46 @@ private[connector] object GraftProcedures {
               s"unknown search mode '$other' (or, and, phrase)")
           }
           res.collect().toSeq
+        })
+      // ANN RETRIEVAL through SQL: build the persisted IVF index over
+      // a catalog table's (vec_id, embedding) — the cell-partitioned
+      // assignments are themselves a SELECTable table — and probe it
+      // with a query TABLE's (q_id, embedding) rows. The output is
+      // |queries|×k rows, so callers keep the query table
+      // procedure-sized (the same contract every top-k surface here
+      // has); corpus-sized scoring stays in the Scala API.
+      case "create_vector_index" => proc(cat, "create_vector_index",
+        Array(ProcedureParameter.in("index", StringType).build(),
+          ProcedureParameter.in("source", StringType).build(),
+          ProcedureParameter.in("nlist", IntegerType).build()),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false))),
+        (spark, cat0, in) => {
+          val srcRoot = cat0.resolveRoot(in.getString(1))
+          val idxRoot = cat0.resolveNewRoot(in.getString(0))
+          Row(graft.operators.VectorIndex.build(spark,
+            SnapshotTable.read(spark, srcRoot)
+              .select("vec_id", "embedding"),
+            idxRoot, nlist = in.getInt(2)))
+        })
+      case "search_vectors" => procMulti(cat, "search_vectors",
+        Array(ProcedureParameter.in("index", StringType).build(),
+          ProcedureParameter.in("queries", StringType).build(),
+          ProcedureParameter.in("k", IntegerType).build(),
+          ProcedureParameter.in("nprobe", IntegerType).build()),
+        StructType(Seq(
+          StructField("q_id", LongType, nullable = false),
+          StructField("rk", IntegerType, nullable = false),
+          StructField("c_id", LongType, nullable = false),
+          StructField("cos_r", org.apache.spark.sql.types.DoubleType,
+            nullable = false))),
+        (spark, cat0, in) => {
+          graft.operators.VectorIndex.search(spark,
+            cat0.resolveRoot(in.getString(0)),
+            SnapshotTable.read(spark, cat0.resolveRoot(in.getString(1)))
+              .select("q_id", "embedding"),
+            k = in.getInt(2), nprobe = in.getInt(3))
+            .collect().toSeq
         })
       case "drop_branch" => proc(cat, "drop_branch",
         Array(ProcedureParameter.in("table", StringType).build(),

@@ -1070,4 +1070,56 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown search mode"),
       s"wrong refusal: ${e.getMessage}")
   }
+
+  test("mv_status: reports kind/consumed/current/stale for both MV " +
+      "kinds, flips on a source commit, clears on refresh_mv") {
+    spark.sql("CREATE TABLE graft.db.stsrc (k STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.stsrc VALUES ('a', 1.0)")
+    spark.sql("CALL graft.system.create_mv(" +
+      "'db.stagg', 'db.stsrc', 'k', 'v', '')")
+    def status() = spark.sql(
+      "CALL graft.system.mv_status('db.stagg')").head()
+    assert(status().getString(0) == "incremental")
+    assert(!status().getBoolean(5), "fresh view reported stale")
+    spark.sql("INSERT INTO graft.db.stsrc VALUES ('b', 2.0)")
+    val st = status()
+    assert(st.getBoolean(5), "post-commit view reported fresh")
+    assert(st.getLong(4) > st.getLong(3),
+      "source_version must lead consumed after a commit")
+    spark.sql("CALL graft.system.refresh_mv('db.stagg')")
+    assert(!status().getBoolean(5), "refreshed view reported stale")
+    // join kind: stale on a DIM-side commit too (the version vector)
+    assert(spark.sql("CALL graft.system.mv_status('db.jmvv')").head()
+      .getString(0) == "join")
+    spark.sql("INSERT INTO graft.db.jmvd VALUES (999, 'segX')")
+    assert(spark.sql("CALL graft.system.mv_status('db.jmvv')").head()
+      .getBoolean(5), "dim commit must flip join-MV staleness")
+    spark.sql("CALL graft.system.refresh_mv('db.jmvv')")
+    assert(!spark.sql("CALL graft.system.mv_status('db.jmvv')").head()
+      .getBoolean(5))
+  }
+
+  test("create_vector_index / search_vectors procedures: ANN top-k " +
+      "by name over catalog tables, probes prune") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").limit(400)
+    emb.createOrReplaceTempView("vix_src")
+    spark.sql("CREATE TABLE graft.db.vixemb AS SELECT * FROM vix_src")
+    spark.sql("CALL graft.system.create_vector_index(" +
+      "'db.vix', 'db.vixemb', 8)")
+    // assignments are a SELECTable table, value-pure per cell
+    assert(spark.sql("SELECT count(DISTINCT cell) FROM graft.db.vix")
+      .head().getLong(0) > 1)
+    emb.filter(col("vec_id") < 3)
+      .selectExpr("vec_id AS q_id", "embedding")
+      .createOrReplaceTempView("vix_q_src")
+    spark.sql("CREATE TABLE graft.db.vixq AS SELECT * FROM vix_q_src")
+    val res = spark.sql("CALL graft.system.search_vectors(" +
+      "'db.vix', 'db.vixq', 3, 3)").collect()
+    assert(res.length == 9, s"expected 3 queries x k=3, got " +
+      s"${res.length}")
+    // each query's rank-1 neighbor at cosine <= 1, self excluded
+    assert(res.filter(_.getInt(1) == 1).forall(r =>
+      r.getDouble(3) <= 1.0 && r.getLong(2) != r.getLong(0)))
+  }
 }
