@@ -321,4 +321,20 @@ class PlanGoldenSpec extends SparkSpec {
     assertHas(p, """o_custkey#\d+L >= 10""", "dim-2 lower bound")
     assertHas(p, """o_totalprice#\d+ >= 20000""", "dim-3 lower bound")
   }
+
+  test("dedup_incremental_exact: the prefix-filtered form keeps the " +
+    "candidate join EQUI on the prefix token — a regression to the " +
+    "(lang, source)-only block re-verifies |new|x|corpus| pairs per " +
+    "block (measured 55.8x wall-clock at 10x data before r16)") {
+    val p = planOf("dedup_incremental_exact")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"candidate generation degenerated to a pair-enumeration join:\n$p")
+    // the candidate join's equi keys must include the prefix token,
+    // not just the low-cardinality block keys
+    assertHas(p, """ptok#\d+""", "prefix-token join key")
+    // the exact verify stays a residual on collisions, never a
+    // post-join filter over materialized pairs
+    assertHas(p, """graft_jaccard""", "one-pass verify in the plan")
+  }
 }
