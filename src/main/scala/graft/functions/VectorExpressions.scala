@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
 
 /** Native Catalyst expressions for vector math (builder brief: custom
   * `Expression` with `doGenCode` beats a Scala UDF).
@@ -404,6 +404,206 @@ case class NearestCentroid(left: Expression, right: Expression)
       newRight: Expression): NearestCentroid = copy(newLeft, newRight)
 }
 
+/** SQ8 scalar-quantizer ENCODE (the FAISS ScalarQuantizer QT_8bit
+  * model): `graft_sq8_encode(v, lo, hi)` → BINARY of |v| bytes, byte i
+  * = round(255·(v[i]−lo[i])/(hi[i]−lo[i])) clamped to [0, 255]
+  * (values outside the trained range — late adds — saturate; a
+  * degenerate dimension hi==lo pins to 0 and decodes back to lo).
+  * 8 B/dim doubles become 1 B/dim codes — the 8× storage cut that
+  * makes a PERSISTED billion-vector index probe-IO-bound instead of
+  * size-bound ([[graft.operators.VectorIndex]]'s coded cells).
+  *
+  * NULL contract (family rule): shape mismatch between the three
+  * arrays or a null element yields NULL, never a code array from a
+  * truncated prefix. */
+case class Sq8Encode(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(first, second, third).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires three ARRAY<DOUBLE> arguments, got (" +
+        children.map(_.dataType.simpleString).mkString(", ") + ")")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_sq8_encode"
+
+  override protected def nullSafeEval(v0: Any, lo0: Any, hi0: Any): Any = {
+    val v = v0.asInstanceOf[ArrayData]
+    val lo = lo0.asInstanceOf[ArrayData]
+    val hi = hi0.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (lo.numElements() != n || hi.numElements() != n) return null
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i) || lo.isNullAt(i) || hi.isNullAt(i)) return null
+      val x = v.getDouble(i)
+      val l = lo.getDouble(i)
+      val h = hi.getDouble(i)
+      val c =
+        if (h <= l) 0
+        else {
+          val r = math.round(255.0 * (x - l) / (h - l)).toInt
+          if (r < 0) 0 else if (r > 255) 255 else r
+        }
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (v, lo, hi) => {
+      val n = ctx.freshName("n")
+      val bad = ctx.freshName("bad")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val l = ctx.freshName("l")
+      val h = ctx.freshName("h")
+      val r = ctx.freshName("r")
+      s"""
+         |int $n = $v.numElements();
+         |boolean $bad =
+         |  ($lo.numElements() != $n || $hi.numElements() != $n);
+         |byte[] $out = new byte[$bad ? 0 : $n];
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
+         |  if ($v.isNullAt($i) || $lo.isNullAt($i) || $hi.isNullAt($i)) {
+         |    $bad = true; break;
+         |  }
+         |  double $x = $v.getDouble($i);
+         |  double $l = $lo.getDouble($i);
+         |  double $h = $hi.getDouble($i);
+         |  int $r = ($h <= $l) ? 0
+         |    : (int) java.lang.Math.round(255.0 * ($x - $l) / ($h - $l));
+         |  $out[$i] = (byte) ($r < 0 ? 0 : ($r > 255 ? 255 : $r));
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Sq8Encode = copy(f, s, t)
+}
+
+/** SQ8 ASYMMETRIC distance: `graft_sq8_adc(q, code, lo, hi)` → the
+  * cosine of the EXACT query vector against the DECODED candidate
+  * (decoded[i] = lo[i] + (code[i]/255)·(hi[i]−lo[i])) in one fused
+  * loop — no intermediate decoded array is ever materialized, which
+  * is what keeps a coded-cell probe ([[graft.operators.VectorIndex]])
+  * at scan speed inside whole-stage codegen.
+  *
+  * NULL contract (family rule): shape mismatch, a null element, or a
+  * zero norm on either side yields NULL. */
+case class Sq8AdcCos(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType,
+      fourth.dataType) match {
+      case (ArrayType(DoubleType, _), BinaryType,
+            ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<DOUBLE>, BINARY, ARRAY<DOUBLE>, " +
+          "ARRAY<DOUBLE>), got (" +
+          children.map(_.dataType.simpleString).mkString(", ") + ")")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_sq8_adc"
+
+  override protected def nullSafeEval(q0: Any, c0: Any, lo0: Any,
+      hi0: Any): Any = {
+    val q = q0.asInstanceOf[ArrayData]
+    val code = c0.asInstanceOf[Array[Byte]]
+    val lo = lo0.asInstanceOf[ArrayData]
+    val hi = hi0.asInstanceOf[ArrayData]
+    val n = q.numElements()
+    if (code.length != n || lo.numElements() != n ||
+      hi.numElements() != n) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i) || lo.isNullAt(i) || hi.isNullAt(i)) return null
+      val x = q.getDouble(i)
+      val l = lo.getDouble(i)
+      val h = hi.getDouble(i)
+      val y =
+        if (h <= l) l
+        else l + ((code(i) & 0xFF) / 255.0) * (h - l)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (q, code, lo, hi) => {
+      val n = ctx.freshName("n")
+      val bad = ctx.freshName("bad")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val l = ctx.freshName("l")
+      val h = ctx.freshName("h")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = $q.numElements();
+         |boolean $bad = ($code.length != $n ||
+         |  $lo.numElements() != $n || $hi.numElements() != $n);
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
+         |  if ($q.isNullAt($i) || $lo.isNullAt($i) || $hi.isNullAt($i)) {
+         |    $bad = true; break;
+         |  }
+         |  double $x = $q.getDouble($i);
+         |  double $l = $lo.getDouble($i);
+         |  double $h = $hi.getDouble($i);
+         |  double $y = ($h <= $l) ? $l
+         |    : $l + (($code[$i] & 0xFF) / 255.0) * ($h - $l);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |if (!$bad) {
+         |  double $denom =
+         |    java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) { $bad = true; }
+         |  else { ${ev.value} = $dot / $denom; }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression, q: Expression): Sq8AdcCos =
+    copy(f, s, t, q)
+}
+
 object VectorFunctions {
   private[functions] def checkDoubleArrays(name: String,
       left: Expression, right: Expression): TypeCheckResult = {
@@ -429,6 +629,11 @@ object VectorFunctions {
       exprs => VecRotate(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_nearest",
       exprs => NearestCentroid(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sq8_encode",
+      exprs => Sq8Encode(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sq8_adc",
+      exprs => Sq8AdcCos(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
     attachRewrite(spark)
   }
 

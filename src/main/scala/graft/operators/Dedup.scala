@@ -360,7 +360,15 @@ object Dedup {
         .groupBy("doc_id")
         .agg(expr("transform(array_sort(collect_list(struct(f, tok)))" +
           ", p -> p.tok)").as("stoks"))
-      val d2 = d.join(sorted, Seq("doc_id"))
+      // LEFT join with an empty-set fallback: a doc whose token array
+      // is null/empty has no exploded rows (absent from `sorted`), and
+      // an inner join would drop it from d2 entirely — silently losing
+      // it from the SURVIVOR side, where the naive anti-join form kept
+      // it (a token-less doc can never reach the 0.8 Jaccard bar, so
+      // it is always a survivor)
+      val d2 = d.join(sorted, Seq("doc_id"), "left_outer")
+        .withColumn("stoks", coalesce(col("stoks"),
+          expr("CAST(array() AS ARRAY<STRING>)")))
       val pfx = s"slice(stoks, 1, size(stoks) " +
         s"- CAST(ceil($t * size(stoks)) AS INT) + 1)"
       val newB = d2.filter(col("doc_id") % 7 === 0)

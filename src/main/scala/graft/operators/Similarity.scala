@@ -514,6 +514,26 @@ object Similarity {
         k = 3, nprobe = 3)
     }),
 
+    // SQ8-CODED persisted IVF index: the same probe contract, but
+    // cells store 1 B/dim scalar-quantized codes (8× smaller index —
+    // at 100 TB of embeddings the index is IO-priced by the probe,
+    // not its own size), scored by fused asymmetric distance
+    // (graft_sq8_adc, codegen) and exactly re-ranked from a
+    // vec_id-bloomed raw sidecar the search touches only as a
+    // point lookup. Rows-only by the ANN contract; recall vs the
+    // uncoded index, byte-shrink ≥4× and pruning pins live in
+    // VectorIndexSpec.
+    "knn_ivf_persisted_sq8" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfx8-q").toString + "/ix"
+      VectorIndex.build(s, emb(s, dir).select("vec_id", "embedding"),
+        root, nlist = 16, iters = 5, codec = Some("sq8"))
+      VectorIndex.search(s, root,
+        emb(s, dir).filter(col("vec_id") < 10)
+          .selectExpr("vec_id AS q_id", "embedding"),
+        k = 3, nprobe = 3)
+    }),
+
     // IVF-PQ ANN (Jégou et al., "Product Quantization for Nearest
     // Neighbor Search", TPAMI 2011): the memory-compression scale path.
     // A 64-dim float vector (256 bytes) becomes m=8 sub-codes of

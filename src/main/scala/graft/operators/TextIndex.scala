@@ -66,7 +66,7 @@ object TextIndex {
   }
 
   /** The analyzer the index at `root` was built with. */
-  private def analyzerOf(spark: SparkSession, root: String): String =
+  private[graft] def analyzerOf(spark: SparkSession, root: String): String =
     SnapshotTable.tableProperties(spark, root)
       .getOrElse(AnalyzerProp, "whitespace")
 
@@ -118,6 +118,17 @@ object TextIndex {
   def build(spark: SparkSession, docs: DataFrame, root: String,
       buckets: Int = 64, analyzer: String = "whitespace"): Long = {
     toks(lit(""), analyzer) // validate the name before any commit
+    // the analyzer property lands BEFORE the first data commit: a crash
+    // in the old after-everything window left 'simple'-built postings
+    // that analyzerOf() read back as the 'whitespace' default, so a
+    // later add() silently mixed tokenizations. Property-first is safe
+    // in both crash orders: property without postings = an empty index
+    // a later build overwrites; postings always carry their property.
+    // A rebuild also RESETS the maintenance mode — either timeline may
+    // maintain the fresh index.
+    SnapshotTable.setProperties(spark, root,
+      SnapshotTable.tableProperties(spark, root)
+        - IndexMaintenance.Prop + (AnalyzerProp -> analyzer))
     val v = SnapshotTable.commitBucketedOn(spark, root,
       postingsOf(docs, analyzer = analyzer), Seq(("term", buckets)))
     SnapshotTable.commit(spark, statsRoot(root),
@@ -126,9 +137,6 @@ object TextIndex {
     if (SnapshotTable.currentVersion(spark, delsRoot(root)) > 0L)
       SnapshotTable.commit(spark, delsRoot(root),
         spark.range(0).selectExpr("id AS doc_id", "id AS cut"))
-    SnapshotTable.setProperties(spark, root,
-      SnapshotTable.tableProperties(spark, root) +
-        (AnalyzerProp -> analyzer))
     v
   }
 
@@ -138,6 +146,7 @@ object TextIndex {
     * be new — re-adding an already-indexed doc would split its tf
     * rows. */
   def add(spark: SparkSession, docs: DataFrame, root: String): Long = {
+    IndexMaintenance.claim(spark, root, "manual")
     val an = analyzerOf(spark, root)
     val v = SnapshotTable.appendBucketed(spark, root,
       postingsOf(docs, analyzer = an))
@@ -172,6 +181,7 @@ object TextIndex {
     * pass a marker. */
   def remove(spark: SparkSession, docs: DataFrame, root: String,
       txn: Option[(String, Long)] = None): Long = {
+    IndexMaintenance.claim(spark, root, "manual")
     val an = analyzerOf(spark, root)
     def landed(tbl: String): Boolean = txn.exists { case (app, b) =>
       SnapshotTable.lastCommittedTxn(spark, tbl, app).exists(_ >= b)
@@ -204,6 +214,7 @@ object TextIndex {
     * converges on replay. */
   def applyChanges(spark: SparkSession, root: String, batch: DataFrame,
       appId: String, batchId: Long): Unit = {
+    IndexMaintenance.claim(spark, root, "cdc")
     val ver = col("_commit_version")
     val an = analyzerOf(spark, root)
     // an empty side skips its commit outright — skipping is naturally
@@ -279,6 +290,7 @@ object TextIndex {
     * — and closes on recovery.) */
   def applyBatch(spark: SparkSession, root: String, docs: DataFrame,
       appId: String, batchId: Long): Unit = {
+    IndexMaintenance.claim(spark, root, "manual")
     val an = analyzerOf(spark, root)
     val landed = SnapshotTable.lastCommittedTxn(spark, root, appId)
       .exists(_ >= batchId)

@@ -35,18 +35,35 @@ import graft.sources.SnapshotTable
 object VectorIndex {
 
   private val NListProp = "graft.vectorindex.nlist"
+  private val CodecProp = "graft.vectorindex.codec" // absent | sq8
 
   private def centsRoot(root: String): String = root + "_cents"
   private def delsRoot(root: String): String = root + "_dels"
+  private def sq8Root(root: String): String = root + "_sq8"
+  private def rawRoot(root: String): String = root + "_raw"
 
   /** Index `vecs(vec_id, embedding)` at `root`: nlist cells, one
     * value-pure partition per cell. Replaces any prior index. Rows
     * carry an `era` — the index version the installment lands as
     * (0 for the build) — so a tombstone's cut can order a REMOVE
     * against a later re-add of the same id (the [[TextIndex]]
-    * era/cut algebra, ported). */
+    * era/cut algebra, ported).
+    *
+    * `codec = Some("sq8")` stores SCALAR-QUANTIZED cells: each unit
+    * vector's 8 B/dim doubles become 1 B/dim codes
+    * (`graft_sq8_encode` against per-dimension [lo, hi] trained here
+    * and persisted in a `<root>_sq8` sidecar), an 8× storage cut that
+    * makes probe IO — not index SIZE — the cost of a search at 100 TB
+    * of embeddings. Raw vectors move to a `<root>_raw` sidecar
+    * (vec_id-clustered + bloomed) that search touches ONLY for the
+    * ADC shortlist's exact re-rank — a point lookup, never a scan.
+    * A rebuild also RESETS the maintenance-mode claim
+    * ([[IndexMaintenance]]) — either timeline may maintain the fresh
+    * index. */
   def build(spark: SparkSession, vecs: DataFrame, root: String,
-      nlist: Int, iters: Int = 5, trainCap: Int = 2048): Long = {
+      nlist: Int, iters: Int = 5, trainCap: Int = 2048,
+      codec: Option[String] = None): Long = {
+    require(codec.forall(_ == "sq8"), s"unsupported codec $codec")
     graft.functions.VectorFunctions.register(spark)
     import spark.implicits._
     val e = Dedup.unitVectors(vecs)
@@ -55,7 +72,34 @@ object VectorIndex {
     val asg = e.crossJoin(broadcast(model))
       .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell", "v",
         "CAST(0 AS BIGINT) AS era")
-    val v = SnapshotTable.commitPartitioned(spark, root, asg, "cell")
+    val v = codec match {
+      case Some("sq8") =>
+        // per-dimension [lo, hi] over the UNIT corpus: the quantizer
+        // model — 2d doubles to the driver, never data
+        val stats = e.select(posexplode(col("v")))
+          .groupBy(col("pos"))
+          .agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
+          .collect().map(r => (r.getInt(0), r.getDouble(1),
+            r.getDouble(2))).sortBy(_._1)
+        val sq8 = Seq((stats.map(_._2).toSeq, stats.map(_._3).toSeq))
+          .toDF("qlo", "qhi")
+        SnapshotTable.commit(spark, sq8Root(root), sq8)
+        // the raw sidecar lands BEFORE the coded index: a crash
+        // between the two leaves raw rows no probe reads (harmless);
+        // the reverse order would leave coded rows whose shortlist
+        // re-rank fetch comes back empty — a silent wrong answer
+        SnapshotTable.commit(spark, rawRoot(root),
+          e.select(col("vec_id"), col("v"),
+            lit(0L).as("era")),
+          clusterKey = Some("vec_id"), bloomKey = Some("vec_id"))
+        SnapshotTable.commitPartitioned(spark, root,
+          asg.crossJoin(broadcast(sq8))
+            .selectExpr("vec_id", "cell",
+              "graft_sq8_encode(v, qlo, qhi) AS code", "era"),
+          "cell")
+      case _ =>
+        SnapshotTable.commitPartitioned(spark, root, asg, "cell")
+    }
     val centDf = cent.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "cent")
@@ -64,11 +108,21 @@ object VectorIndex {
     if (SnapshotTable.currentVersion(spark, delsRoot(root)) > 0L)
       SnapshotTable.commit(spark, delsRoot(root),
         spark.range(0).selectExpr("id AS vec_id", "id AS cut"))
+    val base = SnapshotTable.tableProperties(spark, root) -
+      IndexMaintenance.Prop - CodecProp + (NListProp -> nlist.toString)
     SnapshotTable.setProperties(spark, root,
-      SnapshotTable.tableProperties(spark, root) +
-        (NListProp -> nlist.toString))
+      codec.fold(base)(c => base + (CodecProp -> c)))
     v
   }
+
+  private def codecOf(spark: SparkSession, root: String)
+  : Option[String] =
+    SnapshotTable.tableProperties(spark, root).get(CodecProp)
+
+  /** The persisted per-dimension [lo, hi] quantizer bounds as the
+    * 1-row broadcast frame the encode/ADC expressions consume. */
+  private def loadSq8(spark: SparkSession, root: String): DataFrame =
+    SnapshotTable.read(spark, sq8Root(root)).select("qlo", "qhi")
 
   /** The era a NEW installment lands as: the version the next index
     * commit creates. Exact under the single-maintainer discipline
@@ -86,13 +140,30 @@ object VectorIndex {
     * rows' era is at or past every earlier tombstone's cut, so the
     * NEW vector is served. */
   def add(spark: SparkSession, vecs: DataFrame, root: String): Long = {
+    IndexMaintenance.claim(spark, root, "manual")
     graft.functions.VectorFunctions.register(spark)
     val model = loadModel(spark, root)
-    val asg = Dedup.unitVectors(vecs)
-      .crossJoin(broadcast(model))
+    val e = Dedup.unitVectors(vecs)
+    val era = nextEra(spark, root)
+    val asg = e.crossJoin(broadcast(model))
       .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell", "v",
-        s"CAST(${nextEra(spark, root)} AS BIGINT) AS era")
-    SnapshotTable.appendPartitioned(spark, root, asg)
+        s"CAST($era AS BIGINT) AS era")
+    codecOf(spark, root) match {
+      case Some("sq8") =>
+        // raw first (same crash-order argument as build): a vector
+        // whose dims fall outside the trained [lo, hi] SATURATES in
+        // the code (Sq8Encode clamps) — the re-rank fetch serves the
+        // exact raw vector either way
+        SnapshotTable.append(spark, rawRoot(root),
+          e.select(col("vec_id"), col("v"), lit(era).as("era")),
+          clusterKey = Some("vec_id"))
+        SnapshotTable.appendPartitioned(spark, root,
+          asg.crossJoin(broadcast(loadSq8(spark, root)))
+            .selectExpr("vec_id", "cell",
+              "graft_sq8_encode(v, qlo, qhi) AS code", "era"))
+      case _ =>
+        SnapshotTable.appendPartitioned(spark, root, asg)
+    }
   }
 
   /** REMOVE vectors WITHOUT touching a single index file: ids land in
@@ -107,6 +178,7 @@ object VectorIndex {
     * timeline) on one index; see the exclusivity note there. */
   def remove(spark: SparkSession, vecIds: DataFrame, root: String)
   : Long = {
+    IndexMaintenance.claim(spark, root, "manual")
     val cut = nextEra(spark, root)
     SnapshotTable.append(spark, delsRoot(root),
       vecIds.select(col("vec_id"), lit(cut).as("cut")), files = 1)
@@ -119,16 +191,33 @@ object VectorIndex {
     * batch and replay is a pure no-op. */
   def applyBatch(spark: SparkSession, root: String, vecs: DataFrame,
       appId: String, batchId: Long): Unit = {
+    IndexMaintenance.claim(spark, root, "manual")
     val landed = SnapshotTable.lastCommittedTxn(spark, root, appId)
       .exists(_ >= batchId)
-    if (landed) return
     graft.functions.VectorFunctions.register(spark)
+    val codec = codecOf(spark, root)
+    val e = Dedup.unitVectors(vecs)
+    // the raw sidecar keeps ITS OWN idempotence marker (the TextIndex
+    // two-commit pattern): a crash between the raw and coded commits
+    // converges on replay — each table skips only what it already has
+    val era = nextEra(spark, root)
+    if (codec.contains("sq8") &&
+        !SnapshotTable.lastCommittedTxn(spark, rawRoot(root), appId)
+          .exists(_ >= batchId))
+      SnapshotTable.append(spark, rawRoot(root),
+        e.select(col("vec_id"), col("v"), lit(era).as("era")),
+        clusterKey = Some("vec_id"), txn = Some((appId, batchId)))
+    if (landed) return
     val model = loadModel(spark, root)
-    val asg = Dedup.unitVectors(vecs)
-      .crossJoin(broadcast(model))
+    val asg = e.crossJoin(broadcast(model))
       .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell", "v",
-        s"CAST(${nextEra(spark, root)} AS BIGINT) AS era")
-    SnapshotTable.appendPartitioned(spark, root, asg,
+        s"CAST($era AS BIGINT) AS era")
+    SnapshotTable.appendPartitioned(spark, root,
+      if (codec.contains("sq8"))
+        asg.crossJoin(broadcast(loadSq8(spark, root)))
+          .selectExpr("vec_id", "cell",
+            "graft_sq8_encode(v, qlo, qhi) AS code", "era")
+      else asg,
       txn = Some((appId, batchId)))
     ()
   }
@@ -153,30 +242,50 @@ object VectorIndex {
     * [[TextIndex]] draws; a rebuild resets either way). */
   def applyChanges(spark: SparkSession, root: String, batch: DataFrame,
       appId: String, batchId: Long): Unit = {
+    IndexMaintenance.claim(spark, root, "cdc")
     val ver = col("_commit_version")
+    val codec = codecOf(spark, root)
     val ins = batch.filter(col("_change_type") === "insert")
       .select(col("vec_id"), col("embedding"), ver.as("__v"))
-    if (!ins.isEmpty &&
+    // unit-normalize with the per-row version carried through (the
+    // unitVectors helper drops extra columns; a vec_id join back
+    // would mis-pair an id touched at several versions in one batch)
+    lazy val unit = ins
+      .selectExpr("vec_id", "__v",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v0")
+      .selectExpr("vec_id", "__v", "v0",
+        "sqrt(aggregate(v0, CAST(0 AS DOUBLE), (a, x) -> a + x*x)) " +
+          "AS nrm")
+      .selectExpr("vec_id", "__v",
+        "transform(v0, x -> x / greatest(nrm, " +
+          "CAST(1e-300 AS DOUBLE))) AS v")
+    val anyIns = !ins.isEmpty
+    // raw sidecar first, own marker (same two-commit convergence as
+    // applyBatch). A CDC update's delete half needs no raw tombstone:
+    // the re-rank fetch only ever looks up ids the ERA/CUT filter
+    // already admitted, so a stale raw row for a dead id is never read
+    // — the LATEST raw row per id wins the fetch (see search)
+    if (anyIns && codec.contains("sq8") &&
+        !SnapshotTable.lastCommittedTxn(spark, rawRoot(root), appId)
+          .exists(_ >= batchId))
+      SnapshotTable.append(spark, rawRoot(root),
+        unit.select(col("vec_id"), col("v"), col("__v").as("era")),
+        clusterKey = Some("vec_id"), txn = Some((appId, batchId)))
+    if (anyIns &&
         !SnapshotTable.lastCommittedTxn(spark, root, appId)
           .exists(_ >= batchId)) {
       graft.functions.VectorFunctions.register(spark)
       val model = loadModel(spark, root)
-      // unit-normalize with the per-row version carried through (the
-      // unitVectors helper drops extra columns; a vec_id join back
-      // would mis-pair an id touched at several versions in one batch)
-      val asg = ins
-        .selectExpr("vec_id", "__v",
-          "transform(embedding, x -> CAST(x AS DOUBLE)) AS v0")
-        .selectExpr("vec_id", "__v", "v0",
-          "sqrt(aggregate(v0, CAST(0 AS DOUBLE), (a, x) -> a + x*x)) " +
-            "AS nrm")
-        .selectExpr("vec_id", "__v",
-          "transform(v0, x -> x / greatest(nrm, " +
-            "CAST(1e-300 AS DOUBLE))) AS v")
+      val asg = unit
         .crossJoin(broadcast(model))
         .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell",
           "v", "__v AS era")
-      SnapshotTable.appendPartitioned(spark, root, asg,
+      SnapshotTable.appendPartitioned(spark, root,
+        if (codec.contains("sq8"))
+          asg.crossJoin(broadcast(loadSq8(spark, root)))
+            .selectExpr("vec_id", "cell",
+              "graft_sq8_encode(v, qlo, qhi) AS code", "era")
+        else asg,
         txn = Some((appId, batchId)))
     }
     val del = batch.filter(col("_change_type") === "delete")
@@ -253,7 +362,15 @@ object VectorIndex {
     * probe the top-`nprobe` cells per query, exact cosine within
     * them. Output (q_id, rk, c_id, cos_r) — deterministic: the model
     * is bit-reproducible, cell ranking ties break on cell id, and
-    * result ties on rounded cosine break on c_id. */
+    * result ties on rounded cosine break on c_id.
+    *
+    * On an SQ8-coded index the probe scans 1 B/dim CODES and scores
+    * by asymmetric distance (`graft_sq8_adc` — exact query against
+    * the decoded candidate, fused, codegen), shortlists
+    * max(4k, 16) per query, then re-ranks the shortlist EXACTLY from
+    * the raw sidecar via a bloom-pruned point lookup
+    * ([[SnapshotTable.readKeys]]) — the raw bytes read are
+    * O(|queries|·shortlist), never O(index). */
   def search(spark: SparkSession, root: String, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
@@ -282,10 +399,12 @@ object VectorIndex {
     // consumed-filter path plans exactly those cells' files
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
+    val codec = codecOf(spark, root)
+    val payload = if (codec.contains("sq8")) "code" else "v"
     val idx0 = spark.read.format("graft-snapshot")
       .option("path", root).load()
       .filter(col("cell").isin(cells.toSeq: _*))
-      .select(col("vec_id").as("c_id"), col("cell"), col("v"),
+      .select(col("vec_id").as("c_id"), col("cell"), col(payload),
         col("era"))
     // tombstones kill only probed rows with era < cut, so a remove
     // hides everything indexed before it while a later re-add of the
@@ -304,13 +423,43 @@ object VectorIndex {
       }).drop("era")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("cos_r"), asc("c_id"))
-    idx.join(broadcast(probes), Seq("cell"))
-      .filter(col("q_id") =!= col("c_id"))
-      .selectExpr("q_id", "c_id",
-        "round(graft_cosine(q_v, v), 6) AS cos_r")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("c_id"), col("cos_r"))
-      .orderBy(asc("q_id"), asc("rk"))
+    if (codec.contains("sq8")) {
+      // ADC shortlist over the probed CODES — the only index bytes a
+      // coded probe ever scans
+      val wAdc = Window.partitionBy(col("q_id"))
+        .orderBy(desc("acos"), asc("c_id"))
+      val shortlist = idx.join(broadcast(probes), Seq("cell"))
+        .filter(col("q_id") =!= col("c_id"))
+        .crossJoin(broadcast(loadSq8(spark, root)))
+        .selectExpr("q_id", "q_v", "c_id",
+          "graft_sq8_adc(q_v, code, qlo, qhi) AS acos")
+        .withColumn("adc_rk", row_number().over(wAdc))
+        .filter(col("adc_rk") <= math.max(4 * k, 16))
+        .select(col("q_id"), col("q_v"), col("c_id"))
+      // exact re-rank: point-lookup the shortlist ids in the raw
+      // sidecar (bloom/stats-pruned — O(shortlist) bytes); the
+      // NEWEST raw row per id is the one the era/cut filter served
+      val ids = shortlist.select(col("c_id").as("vec_id")).distinct()
+      val raws = SnapshotTable
+        .readKeys(spark, rawRoot(root), "vec_id", ids)
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("v"), col("era")).as("c_v"))
+        .select(col("vec_id").as("c_id"), col("c_v"))
+      shortlist.join(raws, Seq("c_id"))
+        .selectExpr("q_id", "c_id",
+          "round(graft_cosine(q_v, c_v), 6) AS cos_r")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("q_id"), col("rk"), col("c_id"), col("cos_r"))
+        .orderBy(asc("q_id"), asc("rk"))
+    } else
+      idx.join(broadcast(probes), Seq("cell"))
+        .filter(col("q_id") =!= col("c_id"))
+        .selectExpr("q_id", "c_id",
+          "round(graft_cosine(q_v, v), 6) AS cos_r")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("q_id"), col("rk"), col("c_id"), col("cos_r"))
+        .orderBy(asc("q_id"), asc("rk"))
   }
 }

@@ -982,6 +982,27 @@ private[connector] object GraftProcedures {
   private def csv(s: String): Seq[String] =
     s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** Driver-collect bounds for the table-valued retrieval procedures:
+    * a DSv2 procedure RETURNS rows (not a scan), so its result is
+    * always driver-materialized — both k and the query-table size
+    * must stay procedure-sized. Beyond these, the request is a join,
+    * not a lookup (the [[SnapshotTable]] MaxBloomProbeKeys line), and
+    * belongs in the Scala API, which returns distributed frames. */
+  private val MaxProcedureK = 1000
+  private val MaxProcedureQueryRows = 1000
+
+  /** A REQUIRED property of a join MV's definition — a view whose
+    * `graft.mv.kind` says 'join' but is missing one (partial
+    * setProperties, hand-edited metadata) must fail with the same
+    * descriptive shape the missing-source case gets, not a bare
+    * NoSuchElementException. */
+  private def joinProp(p: Map[String, String], key: String,
+      view: String): String =
+    p.getOrElse(key, throw new IllegalArgumentException(
+      s"'$view' declares $MvKindProp=join but is missing its '$key' " +
+        "property — the view's MV definition is incomplete " +
+        "(recreate it via CALL graft.system.create_join_mv)"))
+
   /** Reconstruct the MV definition persisted on the view and run one
     * incremental refresh of the right shape. */
   private def refreshMv(spark: SparkSession, cat: GraftCatalog,
@@ -995,8 +1016,10 @@ private[connector] object GraftProcedures {
       case "join" =>
         MaterializedView.refreshJoinIncremental(spark,
           MaterializedView.JoinView(
-            cat.resolveRoot(src), cat.resolveRoot(p(MvDimProp)), viewRoot,
-            factKey = p(MvFactKeyProp), dimKey = p(MvDimKeyProp),
+            cat.resolveRoot(src),
+            cat.resolveRoot(joinProp(p, MvDimProp, view)), viewRoot,
+            factKey = joinProp(p, MvFactKeyProp, view),
+            dimKey = joinProp(p, MvDimKeyProp, view),
             keys = csv(p.getOrElse(MvKeysProp, "")),
             sumCols = csv(p.getOrElse(MvSumsProp, ""))))
       case _ =>
@@ -1287,7 +1310,8 @@ private[connector] object GraftProcedures {
             case "join" =>
               val last = MaterializedView
                 .starRefreshedAgainst(spark, viewRoot, 2)
-              val curs = Seq(src, p(MvDimProp)).map(t =>
+              val curs = Seq(src,
+                joinProp(p, MvDimProp, in.getString(0))).map(t =>
                 SnapshotTable.currentVersion(spark, cat0.resolveRoot(t)))
               (last.head, curs.head,
                 curs.zip(last).exists { case (c, l) => c > l })
@@ -1341,6 +1365,11 @@ private[connector] object GraftProcedures {
           val terms = TextIndex.analyzeQuery(spark, root,
             in.getString(1))
           val k = in.getInt(2)
+          require(k <= MaxProcedureK,
+            s"search_text collects its top-k to the driver; " +
+              s"k=$k exceeds the procedure bound $MaxProcedureK — " +
+              "corpus-sized retrieval stays in the Scala API " +
+              "(TextIndex.searchBm25 returns a DataFrame)")
           val res = in.getString(3).toLowerCase match {
             case "and" => TextIndex.searchAnd(spark, root, terms, k)
             case "phrase" => TextIndex.searchPhrase(spark, root,
@@ -1384,11 +1413,30 @@ private[connector] object GraftProcedures {
           StructField("cos_r", org.apache.spark.sql.types.DoubleType,
             nullable = false))),
         (spark, cat0, in) => {
+          val k = in.getInt(2)
+          require(k <= MaxProcedureK,
+            s"search_vectors collects |queries|×k rows to the driver; " +
+              s"k=$k exceeds the procedure bound $MaxProcedureK — " +
+              "corpus-sized scoring stays in the Scala API " +
+              "(VectorIndex.search returns a DataFrame)")
+          val qdf = SnapshotTable
+            .read(spark, cat0.resolveRoot(in.getString(1)))
+            .select("q_id", "embedding")
+          // the MaxBloomProbeKeys discipline (SnapshotTable.readKeys):
+          // count capped — one limit(cap+1) job, never a full count —
+          // and refuse LOUDLY beyond, instead of letting a caller
+          // point the procedure at a corpus-sized table and drive an
+          // unbounded driver collect
+          val probe = qdf.limit(MaxProcedureQueryRows + 1).count()
+          require(probe <= MaxProcedureQueryRows,
+            s"search_vectors collects |queries|×k rows to the driver; " +
+              s"queries table '${in.getString(1)}' holds more than " +
+              s"$MaxProcedureQueryRows rows — keep the query table " +
+              "procedure-sized, or use VectorIndex.search (returns a " +
+              "distributed DataFrame)")
           graft.operators.VectorIndex.search(spark,
-            cat0.resolveRoot(in.getString(0)),
-            SnapshotTable.read(spark, cat0.resolveRoot(in.getString(1)))
-              .select("q_id", "embedding"),
-            k = in.getInt(2), nprobe = in.getInt(3))
+            cat0.resolveRoot(in.getString(0)), qdf,
+            k = k, nprobe = in.getInt(3))
             .collect().toSeq
         })
       case "drop_branch" => proc(cat, "drop_branch",

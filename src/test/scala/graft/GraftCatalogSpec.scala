@@ -1122,4 +1122,44 @@ class GraftCatalogSpec extends SparkSpec {
     assert(res.filter(_.getInt(1) == 1).forall(r =>
       r.getDouble(3) <= 1.0 && r.getLong(2) != r.getLong(0)))
   }
+
+  test("retrieval procedures refuse unbounded driver collects: " +
+      "search_vectors rejects a corpus-sized queries table (capped " +
+      "count, one limit job) and an oversized k; search_text rejects " +
+      "an oversized k") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").limit(400)
+    emb.createOrReplaceTempView("vixcap_src")
+    spark.sql("CREATE TABLE graft.db.vixcapemb AS " +
+      "SELECT * FROM vixcap_src")
+    spark.sql("CALL graft.system.create_vector_index(" +
+      "'db.vixcap', 'db.vixcapemb', 8)")
+    // a "queries" table that is actually the corpus (>1000 rows after
+    // union with itself x3): the procedure must refuse, not collect
+    spark.sql("CREATE TABLE graft.db.vixcapq AS " +
+      "SELECT vec_id AS q_id, embedding FROM vixcap_src " +
+      "UNION ALL SELECT vec_id + 1000, embedding FROM vixcap_src " +
+      "UNION ALL SELECT vec_id + 2000, embedding FROM vixcap_src")
+    val e1 = intercept[Exception] {
+      spark.sql("CALL graft.system.search_vectors(" +
+        "'db.vixcap', 'db.vixcapq', 3, 3)").collect()
+    }
+    assert(e1.getMessage.contains("procedure-sized"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("CALL graft.system.search_vectors(" +
+        "'db.vixcap', 'db.vixcapq', 100000, 3)").collect()
+    }
+    assert(e2.getMessage.contains("bound"), e2.getMessage)
+    // search_text k bound (index over a small docs table)
+    spark.sql("CREATE TABLE graft.db.txcap AS SELECT " +
+      "CAST(id AS BIGINT) AS doc_id, 'apple pear kiwi' AS text " +
+      "FROM range(50)")
+    spark.sql("CALL graft.system.create_text_index(" +
+      "'db.txcapix', 'db.txcap', 8, 'whitespace')")
+    val e3 = intercept[Exception] {
+      spark.sql("CALL graft.system.search_text(" +
+        "'db.txcapix', 'apple', 100000, 'or')").collect()
+    }
+    assert(e3.getMessage.contains("bound"), e3.getMessage)
+  }
 }

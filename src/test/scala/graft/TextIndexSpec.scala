@@ -322,4 +322,34 @@ class TextIndexSpec extends SparkSpec {
     assert(got == bm25Local(alive, q, 25),
       "retried remove double-applied (stats or tombstones skewed)")
   }
+
+  test("maintenance-mode exclusivity is ENFORCED: manual add() after " +
+      "a CDC tick throws, and a rebuild resets the claim (plus the " +
+      "analyzer property, which now lands BEFORE the data commits)") {
+    val root = tmpRoot()
+    TextIndex.build(spark, corpus(0 until 100).toDF("doc_id", "text"),
+      root, buckets = 8, analyzer = "simple")
+    // the property-first ordering: a fresh build must already declare
+    // its analyzer (the old code set it last — a crash window where
+    // analyzerOf() fell back to 'whitespace')
+    assert(TextIndex.analyzerOf(spark, root) == "simple")
+    val tick = corpus(100 until 110)
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'insert' AS _change_type",
+        "CAST(2 AS BIGINT) AS _commit_version")
+    TextIndex.applyChanges(spark, root, tick, "tix-excl", 0L)
+    val e = intercept[IllegalStateException] {
+      TextIndex.add(spark,
+        corpus(200 until 210).toDF("doc_id", "text"), root)
+    }
+    assert(e.getMessage.contains("cdc"), e.getMessage)
+    // rebuild resets the claim — manual maintenance is legal again
+    TextIndex.build(spark, corpus(0 until 100).toDF("doc_id", "text"),
+      root, buckets = 8, analyzer = "simple")
+    TextIndex.add(spark,
+      corpus(200 until 210).toDF("doc_id", "text"), root)
+    intercept[IllegalStateException] {
+      TextIndex.applyChanges(spark, root, tick, "tix-excl2", 0L)
+    }
+  }
 }

@@ -174,4 +174,118 @@ class VectorExpressionsSpec extends SparkSpec {
       .selectExpr("graft_nearest(v, cents) AS m").collect()(0)
     assert(ragged.isNullAt(0))
   }
+
+  test("graft_sq8_encode: round-trip error <= half a quantization " +
+      "step, out-of-range saturates, degenerate dim pins to lo, " +
+      "shape mismatch / null element -> NULL") {
+    VectorFunctions.register(spark)
+    val lo = Array(-1.0, 0.0, 5.0)
+    val hi = Array(1.0, 10.0, 5.0) // dim 2 degenerate (hi == lo)
+    val vs = Seq(
+      Array(-1.0, 0.0, 5.0), Array(1.0, 10.0, 5.0),
+      Array(0.123, 7.89, 5.0), Array(-0.5, 2.5, 5.0),
+      Array(-3.0, 42.0, 5.0)) // out of range both ways
+    val df = vs.map(v => (v, lo, hi)).toDF("v", "lo", "hi")
+      .selectExpr("v", "lo", "hi",
+        "graft_sq8_encode(v, lo, hi) AS code")
+    val rows = df.collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0)
+      val code = r.getAs[Array[Byte]](3)
+      assert(code.length == 3)
+      (0 until 3).foreach { i =>
+        val (l, h) = (lo(i), hi(i))
+        val dec = if (h <= l) l
+          else l + ((code(i) & 0xFF) / 255.0) * (h - l)
+        val halfStep = if (h <= l) 0.0 else (h - l) / 255.0 / 2.0
+        val clamped = math.max(l, math.min(h, v(i)))
+        assert(math.abs(dec - clamped) <= halfStep + 1e-12,
+          s"dim $i: v=${v(i)} dec=$dec halfStep=$halfStep")
+      }
+    }
+    // saturation: the out-of-range row pins to 0 / 255
+    val sat = rows.last.getAs[Array[Byte]](3)
+    assert((sat(0) & 0xFF) == 0 && (sat(1) & 0xFF) == 255)
+    // shape mismatch and null element -> NULL, never a prefix code
+    val bad = Seq((Array(1.0, 2.0), Array(0.0), Array(1.0)))
+      .toDF("v", "lo", "hi")
+      .selectExpr("graft_sq8_encode(v, lo, hi) AS c").collect()(0)
+    assert(bad.isNullAt(0))
+    val withNull = spark.sql(
+      "SELECT graft_sq8_encode(array(1.0D, CAST(NULL AS DOUBLE)), " +
+        "array(0.0D, 0.0D), array(1.0D, 1.0D)) AS c").collect()(0)
+    assert(withNull.isNullAt(0))
+  }
+
+  test("graft_sq8_adc == graft_cosine(q, decoded) exactly (fused ADC " +
+      "vs materialized decode), participates in whole-stage codegen, " +
+      "and interpreted == codegen") {
+    VectorFunctions.register(spark)
+    // non-local source so codegen actually runs
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 200)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val stats = base.selectExpr("posexplode(v)")
+      .groupBy(col("pos"))
+      .agg(min(col("col")).as("l"), max(col("col")).as("h"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val model = Seq((stats.map(_._2).toSeq, stats.map(_._3).toSeq))
+      .toDF("qlo", "qhi")
+    val coded = base.crossJoin(broadcast(model))
+      .selectExpr("vec_id", "v", "qlo", "qhi",
+        "graft_sq8_encode(v, qlo, qhi) AS code")
+    val q = base.filter(col("vec_id") === 0)
+      .selectExpr("v AS q_v")
+    val scored = coded.crossJoin(broadcast(q))
+      .selectExpr("vec_id", "code",
+        "graft_sq8_adc(q_v, code, qlo, qhi) AS adc")
+    val rows = scored.collect().sortBy(_.getLong(0))
+    // the AQE-final plan (post-collect) must fuse the ADC projection
+    // into a WholeStageCodegen stage (the "*(n)" prefix)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_sq8_adc")), s"plan:\n$plan")
+    // independent reference: decode in plain Scala (same loop order as
+    // the expression — bitwise-comparable) and cosine against the
+    // exact query
+    val qv = base.filter(col("vec_id") === 0)
+      .collect()(0).getSeq[Double](1).toArray
+    val (qloA, qhiA) = (stats.map(_._2), stats.map(_._3))
+    rows.foreach { r =>
+      val code = r.getAs[Array[Byte]](1)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until code.length).foreach { i =>
+        val (l, h) = (qloA(i), qhiA(i))
+        val y = if (h <= l) l
+          else l + ((code(i) & 0xFF) / 255.0) * (h - l)
+        dot += qv(i) * y; na += qv(i) * qv(i); nb += y * y
+      }
+      val ref = dot / (math.sqrt(na) * math.sqrt(nb))
+      assert(math.abs(r.getDouble(2) - ref) < 1e-12,
+        s"vec ${r.getLong(0)}: adc=${r.getDouble(2)} ref=$ref")
+    }
+    // interpreted path (codegen off) agrees bit-for-bit
+    val offRows = {
+      val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+      val fm = spark.conf.get("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try scored.collect().sortBy(_.getLong(0))
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        spark.conf.set("spark.sql.codegen.factoryMode", fm)
+      }
+    }
+    assert(rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      offRows.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+    // zero-norm query -> NULL
+    val z = Seq((Array(0.0, 0.0), Array(0.0, 0.0), Array(1.0, 1.0)))
+      .toDF("q", "lo", "hi")
+      .selectExpr(
+        "graft_sq8_adc(q, graft_sq8_encode(array(0.5D, 0.5D), lo, hi)" +
+          ", lo, hi) AS c").collect()(0)
+    assert(z.isNullAt(0))
+  }
 }

@@ -19,6 +19,19 @@ class VectorIndexSpec extends SparkSpec {
   private def embeddings =
     Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
 
+  /** Total parquet bytes under the index TABLE's own directory (the
+    * `_raw`/`_sq8`/`_cents` sidecars are sibling dirs — excluded, as
+    * they should be: the probe never scans them). */
+  private def dirBytes(root: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    try s.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.toString.endsWith(".parquet"))
+      .map(java.nio.file.Files.size).sum
+    finally s.close()
+  }
+
   test("probe plans only the probed cells' files; recall@3 vs brute " +
       "force is material; two runs are bit-identical") {
     val root = tmpRoot()
@@ -258,6 +271,121 @@ class VectorIndexSpec extends SparkSpec {
     try q2.processAllAvailable() finally q2.stop()
     assert(SnapshotTable.currentVersion(spark, root) == vBefore,
       "replayed changelog committed new assignments")
+  }
+
+  test("SQ8-coded index: >=4x smaller than the uncoded twin, probes " +
+      "keep pruning, recall@3 vs brute force >= 0.9 at full probe, " +
+      "and two runs are bit-identical") {
+    val coded = tmpRoot()
+    val plain = tmpRoot()
+    VectorIndex.build(spark, embeddings, coded, nlist = 16, iters = 5,
+      codec = Some("sq8"))
+    VectorIndex.build(spark, embeddings, plain, nlist = 16, iters = 5)
+
+    // the headline 100 TB claim: 1 B/dim codes vs 8 B/dim doubles in
+    // the index table itself (sidecars are point-lookup-only)
+    val (cb, pb) = (dirBytes(coded), dirBytes(plain))
+    assert(cb * 4 <= pb,
+      s"coded index $cb B is not >=4x smaller than uncoded $pb B")
+
+    // probe byte budget survives the codec: 3 queries x nprobe 3
+    // plan at most 9 of the 16 cells' files
+    val qs3 = embeddings.filter(col("vec_id") < 3)
+      .selectExpr("vec_id AS q_id", "embedding")
+    val pruned = VectorIndex.search(spark, coded, qs3, k = 3, nprobe = 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no graft scan in coded search plan:\n$plan")
+    val (kept, tot) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(kept < tot && kept <= 9,
+      s"coded probe planned $kept/$tot files — not the nprobe budget")
+
+    // recall floor the verdict asked pinned: full probe isolates the
+    // quantization+shortlist error from IVF cell misses — ADC top-16
+    // + exact re-rank from the raw sidecar must recover >=0.9 of the
+    // exact brute-force top-3 set
+    val qs = embeddings.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", "embedding")
+    def run() = VectorIndex.search(spark, coded, qs, k = 3, nprobe = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val a = run()
+    val exact = Similarity.queries("knn_bruteforce")(spark, sfDir)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val pairs = a.map(t => (t._1, t._3)).toSet
+    val recall = exact.count(pairs.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 persisted recall@3 $recall < 0.9")
+
+    assert(a.toSeq == run().toSeq, "coded search is not deterministic")
+  }
+
+  test("SQ8-coded index: add() lands codes + raw rows (a clone tops " +
+      "its query at EXACT cos 1.0 through the re-rank fetch, even " +
+      "though its dims saturate the trained [lo,hi]), and remove/" +
+      "re-add serves the NEW vector") {
+    val root = tmpRoot()
+    VectorIndex.build(spark, embeddings.filter(col("vec_id") < 400),
+      root, nlist = 8, iters = 5, trainCap = 400, codec = Some("sq8"))
+    VectorIndex.add(spark,
+      embeddings.filter(col("vec_id") === 3)
+        .selectExpr("vec_id + 100000 AS vec_id", "embedding"), root)
+    def top1(qid: Long) = VectorIndex.search(spark, root,
+        embeddings.filter(col("vec_id") === qid)
+          .selectExpr("vec_id AS q_id", "embedding"), 1, nprobe = 3)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).head
+    // cos EXACTLY 1.0: the ADC score is approximate but the final
+    // ranking comes off the raw sidecar — quantization error must
+    // never leak into served scores
+    assert(top1(3L) == ((100003L, 1.0)), s"coded add lost: ${top1(3L)}")
+
+    VectorIndex.remove(spark,
+      spark.range(100003, 100004).selectExpr("id AS vec_id"), root)
+    val (cid, cos) = top1(3L)
+    assert(cid != 100003L && cos < 1.0,
+      s"tombstoned coded vector still returned: $cid at $cos")
+    VectorIndex.add(spark,
+      embeddings.filter(col("vec_id") === 7)
+        .selectExpr("vec_id + 99996 AS vec_id", "embedding"), root)
+    assert(top1(7L) == ((100003L, 1.0)),
+      s"re-added coded vector not served: ${top1(7L)}")
+    val (c3b, cos3b) = top1(3L)
+    assert(c3b != 100003L || cos3b < 1.0,
+      s"old incarnation resurfaced: $c3b at $cos3b")
+  }
+
+  test("maintenance-mode exclusivity is ENFORCED: a manual add() " +
+      "after a CDC tick throws, CDC after manual throws, and a " +
+      "rebuild resets the claim") {
+    val root = tmpRoot()
+    val base = embeddings.filter(col("vec_id") < 300)
+    VectorIndex.build(spark, base, root, nlist = 8, iters = 5,
+      trainCap = 300)
+    // one CDC tick claims the source-version timeline
+    val tick = embeddings
+      .filter(col("vec_id") >= 300 && col("vec_id") < 310)
+      .selectExpr("vec_id", "embedding", "'insert' AS _change_type",
+        "CAST(2 AS BIGINT) AS _commit_version")
+    VectorIndex.applyChanges(spark, root, tick, "vix-excl", 0L)
+    val e = intercept[IllegalStateException] {
+      VectorIndex.add(spark,
+        embeddings.filter(col("vec_id") === 3)
+          .selectExpr("vec_id + 100000 AS vec_id", "embedding"), root)
+    }
+    assert(e.getMessage.contains("cdc"), e.getMessage)
+    intercept[IllegalStateException] {
+      VectorIndex.remove(spark,
+        spark.range(3, 4).selectExpr("id AS vec_id"), root)
+    }
+    // rebuild resets: either mode may maintain the fresh index
+    VectorIndex.build(spark, base, root, nlist = 8, iters = 5,
+      trainCap = 300)
+    VectorIndex.add(spark,
+      embeddings.filter(col("vec_id") === 3)
+        .selectExpr("vec_id + 100000 AS vec_id", "embedding"), root)
+    // …and now the OTHER timeline refuses
+    intercept[IllegalStateException] {
+      VectorIndex.applyChanges(spark, root, tick, "vix-excl2", 0L)
+    }
   }
 
   test("streaming maintenance is exactly-once: vectors land through " +
