@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
@@ -254,6 +255,68 @@ case class HllUnionAgg(child: Expression, precision: Int,
     copy(child = c)
 }
 
+/** `graft_hll_merge(a, b)` → BINARY: elementwise register max of two
+  * sketches of EQUAL precision — the SCALAR face of the union, for
+  * incremental view maintenance where the old and delta sketches meet
+  * in one JOINED ROW (not one aggregation group). Copies the left
+  * side first; inputs are never mutated. Mixed precisions fail fast
+  * (Hll.merge's contract). */
+case class HllMergeScalar(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY, BINARY), got (" +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def prettyName: String = "graft_hll_merge"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Hll.merge(a.asInstanceOf[Array[Byte]].clone(),
+      b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Hll.merge((byte[]) $a.clone(), $b)")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): HllMergeScalar = copy(l, r)
+}
+
+/** `graft_hll_estimate(sketch)` → BIGINT: the cardinality estimate of
+  * one persisted register array — the scalar read face for sketch
+  * COLUMNS (a maintained view's `hll_<c>` → its served `ndv_<c>`). */
+case class HllEstimateScalar(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires BINARY, got ${t.simpleString}")
+    }
+
+  override def prettyName: String = "graft_hll_estimate"
+
+  override protected def nullSafeEval(s: Any): Any =
+    Hll.estimate(s.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hll.estimate($c)")
+
+  override protected def withNewChildInternal(c: Expression)
+  : HllEstimateScalar = copy(c)
+}
+
 object HllFunctions {
   private[functions] def precisionOf(exprs: Seq[Expression]): Int =
     if (exprs.length >= 2) SketchFunctions.intLitArg(exprs(1), "precision")
@@ -269,6 +332,10 @@ object HllFunctions {
     reg.createOrReplaceTempFunction("graft_hll_union",
       exprs => HllUnionAgg(exprs.head, precisionOf(exprs),
         precisionExplicit = exprs.length >= 2), "built-in")
+    reg.createOrReplaceTempFunction("graft_hll_merge",
+      exprs => HllMergeScalar(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_hll_estimate",
+      exprs => HllEstimateScalar(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       exprs => MisraGriesTopK(exprs.head,
         SketchFunctions.intLitArg(exprs(1), "k")), "built-in")

@@ -508,6 +508,27 @@ object TextAnalysis {
       TextIndex.searchPhrase(s, root, Seq("stream", "spark"), 20)
     }),
 
+    // STOPWORD-ANALYZER PHRASE SEARCH, oracled: the index builds with
+    // `simple_en_stop` (simple + drop the FIXED, versioned
+    // StopwordsEnV1 list — recorded in the analyzer name/table
+    // property, so the DuckDB oracle mirrors the list literally).
+    // This is the retrieval-scale analyzer: the corpus's "the"/"a"
+    // posting lists are corpus-sized and positional, and under this
+    // analyzer they simply don't exist — the index shrinks by exactly
+    // the rows every search would otherwise scan. Positions are
+    // assigned AFTER the drop, so the phrase ["sort", "table"] also
+    // matches docs whose raw text reads "sort the table" / "sort a
+    // table" (surviving-token adjacency — the standard stopword-
+    // phrase semantics, spec-pinned in TextIndexSpec). The oracle
+    // replays the same filtered tokenization in SQL.
+    "docs_bm25_stop_phrase" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25sp-q").toString + "/ix"
+      TextIndex.build(s, docs(s, dir).select("doc_id", "text"), root,
+        buckets = 32, analyzer = "simple_en_stop")
+      TextIndex.searchPhrase(s, root, Seq("sort", "table"), 20)
+    }),
+
     // Benchmark DECONTAMINATION — the training-data hygiene pass every
     // LLM pipeline runs before training: does a training doc share any
     // 8-token shingle with the held-out eval set? The eval split derives
@@ -1449,6 +1470,17 @@ object TextAnalysis {
 
   private val toksSql = "string_split(text, ' ')"
 
+  /** The `simple_en_stop` analyzer mirrored as SQL: lower + split on
+    * non-alphanumeric runs + drop empties + drop the SAME versioned
+    * stopword list the index recorded (the analyzer is DATA — the
+    * list interpolates from the one definition in TextIndex). */
+  private val stopToksSql: String = {
+    val lst = graft.operators.TextIndex.StopwordsEnV1
+      .map(w => s"'$w'").mkString(", ")
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+      s"x -> x <> '' AND x NOT IN ($lst))"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "text_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
@@ -1718,6 +1750,39 @@ object TextAnalysis {
          |df AS (SELECT term, count(*) AS df FROM (
          |  SELECT DISTINCT doc_id, term FROM t
          |  WHERE term IN ('stream','spark'))
+         |  GROUP BY term)
+         |SELECT doc_id, round(sum(
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |      * (tf * (1.2 + 1.0))
+         |      / (tf + 1.2 * ((1.0 - 0.75)
+         |          + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n_docs)))
+         |  ), 6) AS score
+         |FROM tf JOIN df USING (term) CROSS JOIN n
+         |WHERE doc_id IN (SELECT doc_id FROM ph)
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id
+         |LIMIT 20""".stripMargin,
+    // the stopword analyzer mirrored literally (stopToksSql carries
+    // the SAME versioned list the index recorded); phrase adjacency
+    // runs over the SURVIVING tokens' positions, so "sort the table"
+    // matches the ["sort", "table"] phrase — exactly what the index's
+    // post-drop positions encode
+    "docs_bm25_stop_phrase" ->
+      s"""WITH d AS (SELECT doc_id, $stopToksSql AS toks
+         |           FROM documents),
+         |ph AS (SELECT doc_id FROM d
+         |  WHERE len(list_filter(range(1, len(toks)),
+         |    i -> toks[i] = 'sort' AND toks[i+1] = 'table')) > 0),
+         |t AS (SELECT doc_id, unnest(toks) AS term, len(toks) AS dl
+         |      FROM d),
+         |n AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sumdl
+         |      FROM d),
+         |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM t
+         |  WHERE term IN ('sort','table')
+         |  GROUP BY doc_id, term, dl),
+         |df AS (SELECT term, count(*) AS df FROM (
+         |  SELECT DISTINCT doc_id, term FROM t
+         |  WHERE term IN ('sort','table'))
          |  GROUP BY term)
          |SELECT doc_id, round(sum(
          |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))

@@ -48,6 +48,19 @@ object TextIndex {
     * index can never mix tokenizations. */
   val AnalyzerProp = "graft.textindex.analyzer"
 
+  /** The FIXED v1 English stopword set behind `simple_en_stop` — the
+    * classic Lucene/Snowball 33-word list, VERSIONED BY THE ANALYZER
+    * NAME: a different set must ship as a new analyzer name, because
+    * an index records only the name and its tokenization may never
+    * drift under it. Public data, exposed so an external engine (the
+    * DuckDB oracle) can mirror the list literally. */
+  val StopwordsEnV1: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by",
+    "for", "if", "in", "into", "is", "it",
+    "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these",
+    "they", "this", "to", "was", "will", "with")
+
   /** The DECLARED analyzers, kept as data (a name, not a closure) so
     * an external engine — the DuckDB oracle, a reader in another
     * language — can mirror tokenization exactly:
@@ -55,14 +68,27 @@ object TextIndex {
     *    convention every from-raw oracle in this repo uses;
     *  - `simple`: case-fold, any run of non-[a-z0-9] separates, empty
     *    tokens dropped — the minimal real-retrieval analyzer (Lucene's
-    *    SimpleAnalyzer shape: letters-ish runs, lowercased). */
+    *    SimpleAnalyzer shape: letters-ish runs, lowercased);
+    *  - `simple_en_stop`: `simple` + drop [[StopwordsEnV1]]. The
+    *    retrieval-scale analyzer: every "the" posting list is
+    *    corpus-sized (and positional postings multiply that), so
+    *    dropping stopwords shrinks exactly the rows every search
+    *    scans. Token POSITIONS are assigned AFTER the drop, so a
+    *    PHRASE matches on SURVIVING tokens' adjacency — "sort the
+    *    table" indexes as consecutive (sort, table) and the phrase
+    *    query ["sort", "table"] finds it (the standard
+    *    stopword-phrase semantics). */
   private def toks(text: org.apache.spark.sql.Column,
       analyzer: String): org.apache.spark.sql.Column = analyzer match {
     case "whitespace" => split(text, " ")
     case "simple" =>
       array_remove(split(lower(text), "[^a-z0-9]+"), "")
+    case "simple_en_stop" =>
+      filter(array_remove(split(lower(text), "[^a-z0-9]+"), ""),
+        t => !t.isInCollection(StopwordsEnV1))
     case other => throw new IllegalArgumentException(
-      s"unknown analyzer '$other' (declared: whitespace, simple)")
+      s"unknown analyzer '$other' " +
+        "(declared: whitespace, simple, simple_en_stop)")
   }
 
   /** The analyzer the index at `root` was built with. */
@@ -261,7 +287,7 @@ object TextIndex {
     * replayed; the sink owns its checkpoint. */
   def cdcIndexSink(spark: SparkSession, sourceRoot: String,
       root: String, checkpoint: String, appId: String,
-      startingVersion: Long)
+      startingVersion: Long, purgeDelsAfter: Option[Long] = None)
   : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("graft-snapshot")
       .option("path", sourceRoot)
@@ -272,8 +298,11 @@ object TextIndex {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
         if (!batch.isEmpty)
-          applyChanges(batch.sparkSession, root, batch, appId, batchId)
+          applyChanges(s, root, batch, appId, batchId)
+        if (purgeDelsAfter.exists(_ <= delsRows(s, root)))
+          purgeTombstones(s, root, txn = Some((appId, batchId)))
         ()
       }
       .start()
@@ -311,15 +340,65 @@ object TextIndex {
     * exactly-once index maintenance — the same handshake as the
     * snapshot ingest sinks. */
   def indexSink(docs: DataFrame, root: String, checkpoint: String,
-      appId: String): DataStreamWriter[Row] =
+      appId: String, purgeDelsAfter: Option[Long] = None)
+  : DataStreamWriter[Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
         if (!batch.isEmpty)
-          applyBatch(batch.sparkSession, root, batch, appId, batchId)
+          applyBatch(s, root, batch, appId, batchId)
+        if (purgeDelsAfter.exists(_ <= delsRows(s, root)))
+          purgeTombstones(s, root, txn = Some((appId, batchId)))
         ()
       }
+
+  /** Accumulated tombstone rows, metadata-priced (manifest row
+    * counts — the dels table only sees appends and the purge's
+    * replacing clear). */
+  private def delsRows(spark: SparkSession, root: String): Long = {
+    val v = SnapshotTable.currentVersion(spark, delsRoot(root))
+    if (v == 0L) return 0L
+    val entries = SnapshotTable.manifest(spark, delsRoot(root), v)
+      .filter(_.kind == "d")
+    if (entries.forall(_.rows.isDefined)) entries.flatMap(_.rows).sum
+    else SnapshotTable.read(spark, delsRoot(root)).count()
+  }
+
+  /** PHYSICALLY PURGE tombstoned postings: rewrite the index to its
+    * LIVE rows (the same era/cut filter every search applies), compact
+    * the additive stats journal to one net row, and clear the dels
+    * set — rebuild-is-the-purge WITHOUT re-tokenizing the corpus (the
+    * bucket layout, analyzer property and maintenance claim survive;
+    * searches keep pruning). Crash-safe in this order: surviving
+    * postings all have `era >=` their doc's cut, so a crash before
+    * the dels clear just re-filters rows that no longer exist; a
+    * crash before the stats compaction leaves the journal longer but
+    * identical in sum. `txn` keeps a streaming maintainer's replay
+    * guard across the REPLACING commit. */
+  def purgeTombstones(spark: SparkSession, root: String,
+      txn: Option[(String, Long)] = None): Unit = {
+    if (SnapshotTable.currentVersion(spark, delsRoot(root)) == 0L) return
+    val layout = SnapshotTable
+      .bucketLayoutOf(SnapshotTable.tableProperties(spark, root))
+      .getOrElse(throw new IllegalStateException(
+        s"index at $root has no bucket layout"))
+    val cuts = SnapshotTable.read(spark, delsRoot(root))
+      .groupBy(col("doc_id")).agg(max(col("cut")).as("__cut"))
+    val live = SnapshotTable.read(spark, root)
+      .join(cuts, Seq("doc_id"), "left_outer")
+      .filter(col("__cut").isNull || col("era") >= col("__cut"))
+      .drop("__cut")
+    SnapshotTable.commitBucketedOn(spark, root, live, layout, txn = txn)
+    SnapshotTable.commit(spark, statsRoot(root),
+      SnapshotTable.read(spark, statsRoot(root))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_dl")).as("sum_dl")))
+    SnapshotTable.commit(spark, delsRoot(root),
+      spark.range(0).selectExpr("id AS doc_id", "id AS cut"))
+    ()
+  }
 
   /** BM25 top-k: score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
     * b·dl/avgdl)) with idf = ln(1 + (N − df + ½)/(df + ½)) — the

@@ -299,15 +299,68 @@ object VectorIndex {
     }
   }
 
+  /** Accumulated tombstone rows, metadata-priced: the dels table only
+    * ever sees appends (and the purge's replacing clear), so its
+    * manifest row counts ARE the set size — no data IO per check. */
+  private def delsRows(spark: SparkSession, root: String): Long = {
+    val v = SnapshotTable.currentVersion(spark, delsRoot(root))
+    if (v == 0L) return 0L
+    val entries = SnapshotTable.manifest(spark, delsRoot(root), v)
+      .filter(_.kind == "d")
+    if (entries.forall(_.rows.isDefined)) entries.flatMap(_.rows).sum
+    else SnapshotTable.read(spark, delsRoot(root)).count()
+  }
+
+  /** PHYSICALLY PURGE tombstoned rows: rewrite the index to its LIVE
+    * rows (the same era/cut filter [[search]] applies) and clear the
+    * dels set — the rebuild-is-the-purge path WITHOUT retraining the
+    * quantizer (centroids, cell layout, sidecars and the maintenance
+    * claim all survive; probes keep pruning). Crash-safe in this
+    * order: surviving rows all have `era >= `their cut, so a crash
+    * between the rewrite and the dels clear just re-applies tombstones
+    * that no longer kill anything. `txn` keeps the streaming
+    * maintainer's replay guard across the REPLACING commit (the
+    * markers on the replaced files are gone with them). */
+  def purgeTombstones(spark: SparkSession, root: String,
+      txn: Option[(String, Long)] = None): Unit = {
+    if (SnapshotTable.currentVersion(spark, delsRoot(root)) == 0L) return
+    val idx = SnapshotTable.read(spark, root)
+    val cuts = SnapshotTable.read(spark, delsRoot(root))
+      .groupBy(col("vec_id")).agg(max(col("cut")).as("__cut"))
+    def liveOf(df: DataFrame): DataFrame =
+      df.join(cuts, Seq("vec_id"), "left_outer")
+        .filter(col("__cut").isNull || col("era") >= col("__cut"))
+        .drop("__cut")
+    // coded index: drop the raw sidecar's dead rows first (an update's
+    // superseded vector has era < its cut) — rewriting raw before the
+    // index is the safe crash order, since dead index rows keep being
+    // filtered by the still-present dels either way
+    if (codecOf(spark, root).contains("sq8"))
+      SnapshotTable.commit(spark, rawRoot(root),
+        liveOf(SnapshotTable.read(spark, rawRoot(root))),
+        clusterKey = Some("vec_id"), bloomKey = Some("vec_id"))
+    SnapshotTable.commitPartitionedOn(spark, root, liveOf(idx),
+      Seq("cell"), txn = txn)
+    SnapshotTable.commit(spark, delsRoot(root),
+      spark.range(0).selectExpr("id AS vec_id", "id AS cut"))
+    ()
+  }
+
   /** The index as a MATERIALIZED VIEW of an embeddings snapshot
     * table: tail the source's changelog and keep the index consistent
     * through inserts, MOR deletes and MOR updates — exactly-once via
     * [[applyChanges]]'s per-table markers. Build from the source's
     * CURRENT state first and pass `startingVersion = thatVersion + 1`
-    * so the bootstrap is not replayed. */
+    * so the bootstrap is not replayed.
+    *
+    * `purgeDelsAfter`: once the tombstone set holds at least this many
+    * rows (checked from manifest metadata each tick), the sink runs
+    * [[purgeTombstones]] — dels stay BOUNDED on an always-on feed
+    * instead of growing until a manual rebuild (1,440 source commits/
+    * day is 1,440 tombstone batches/day). */
   def cdcIndexSink(spark: SparkSession, sourceRoot: String,
       root: String, checkpoint: String, appId: String,
-      startingVersion: Long)
+      startingVersion: Long, purgeDelsAfter: Option[Long] = None)
   : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("graft-snapshot")
       .option("path", sourceRoot)
@@ -317,25 +370,33 @@ object VectorIndex {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
         if (!batch.isEmpty)
-          applyChanges(batch.sparkSession, root, batch, appId, batchId)
+          applyChanges(s, root, batch, appId, batchId)
+        if (purgeDelsAfter.exists(_ <= delsRows(s, root)))
+          purgeTombstones(s, root, txn = Some((appId, batchId)))
         ()
       }
       .start()
 
   /** Streaming sink: keep the index at `root` (built beforehand) fresh
     * from a stream of `(vec_id, embedding)` rows — the embedding twin
-    * of [[TextIndex.indexSink]], same idempotent-writer handshake. */
+    * of [[TextIndex.indexSink]], same idempotent-writer handshake.
+    * `purgeDelsAfter` bounds the tombstone set as in [[cdcIndexSink]]
+    * (manual [[remove]]s between batches accumulate dels too). */
   def indexSink(vecs: DataFrame, root: String, checkpoint: String,
-      appId: String)
+      appId: String, purgeDelsAfter: Option[Long] = None)
   : org.apache.spark.sql.streaming.DataStreamWriter[
       org.apache.spark.sql.Row] =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
         if (!batch.isEmpty)
-          applyBatch(batch.sparkSession, root, batch, appId, batchId)
+          applyBatch(s, root, batch, appId, batchId)
+        if (purgeDelsAfter.exists(_ <= delsRows(s, root)))
+          purgeTombstones(s, root, txn = Some((appId, batchId)))
         ()
       }
 

@@ -139,24 +139,73 @@ object MaterializedView {
     * through the manifest. This is the standard bounded-recompute
     * treatment of non-invertible aggregates in incremental view
     * maintenance. */
+  /** `avgCols` adds a SERVED-EXACT `avg_<c>` column: avg is not
+    * additive, but it is DERIVED — the view maintains (sum, cnt) for
+    * the column (the same decimal-sum + non-null-count pair `sumCols`
+    * keeps) and materializes `avg_<c> = CAST(sum AS DOUBLE) / cnt` on
+    * every commit. The derivation re-runs on each merge, so the
+    * served average is always the exact quotient of exact parts —
+    * never an "averaged average".
+    *
+    * `ndvCols` adds `ndv_<c>`, an APPROXIMATE count(DISTINCT c) via a
+    * mergeable HLL sketch column (`hll_<c>`, the graft_hll register
+    * family): inserts union registers monotonically; HLL is NOT
+    * invertible under deletes, so delete-touched groups take the same
+    * bounded exact-recompute path `minMaxCols` uses. EXACT distinct
+    * is refused loudly at the procedure surface — maintaining it
+    * incrementally means keeping every distinct value per group,
+    * which is the source table again. */
   final case class IncrementalView(sourceRoot: String, viewRoot: String,
       keys: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Nil)
+      minMaxCols: Seq[String] = Nil,
+      avgCols: Seq[String] = Nil,
+      ndvCols: Seq[String] = Nil) {
+    /** Columns maintaining a (sum, cnt) pair: declared sums + the
+      * pairs avg derives from, each kept once. */
+    private[sources] def allSums: Seq[String] =
+      (sumCols ++ avgCols).distinct
+    /** Any non-invertible aggregate present → deletes route through
+      * the bounded exact recompute. */
+    private[sources] def nonInvertible: Boolean =
+      minMaxCols.nonEmpty || ndvCols.nonEmpty
+  }
+
+  /** Append the DERIVED serving columns (avg from its sum/cnt pair,
+    * ndv from its HLL registers) — recomputed on every materialized
+    * frame, so they can never drift from their maintenance columns. */
+  private def withDerived(df: DataFrame, avgCols: Seq[String],
+      ndvCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (ndvCols.nonEmpty)
+      graft.functions.HllFunctions.register(df.sparkSession)
+    val withAvg = avgCols.foldLeft(df)((d, c) =>
+      // sum is NULL when cnt hits 0 (the counting trick), so the
+      // quotient is NULL exactly when SQL avg() would be
+      d.withColumn(s"avg_$c",
+        col(s"sum_$c").cast("double") / col(s"cnt_$c")))
+    ndvCols.foldLeft(withAvg)((d, c) =>
+      d.withColumn(s"ndv_$c", expr(s"graft_hll_estimate(hll_$c)")))
+  }
 
   private def rollup(df: DataFrame, v: IncrementalView): DataFrame = {
     import org.apache.spark.sql.functions._
+    if (v.ndvCols.nonEmpty)
+      graft.functions.HllFunctions.register(df.sparkSession)
     // sums land as DECIMAL(20,2), the SAME type the merged refresh
     // writes — a view whose history mixes full and delta commits must
     // keep ONE schema (its own diff is the cascading-MV delta feed)
-    df.groupBy(v.keys.map(col): _*)
+    withDerived(df.groupBy(v.keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        (v.sumCols.flatMap(c => Seq(
+        (v.allSums.flatMap(c => Seq(
           sum(col(c).cast("decimal(20,2)")).cast("decimal(20,2)")
             .as(s"sum_$c"),
           count(col(c)).as(s"cnt_$c"))) ++
           v.minMaxCols.flatMap(c => Seq(
             min(col(c)).as(s"min_$c"),
-            max(col(c)).as(s"max_$c")))): _*)
+            max(col(c)).as(s"max_$c"))) ++
+          v.ndvCols.map(c =>
+            expr(s"graft_hll_sketch($c)").as(s"hll_$c"))): _*),
+      v.avgCols, v.ndvCols)
   }
 
   private def asView(v: IncrementalView): View =
@@ -231,8 +280,12 @@ object MaterializedView {
     * rollup the merge consumes. Delta keys are renamed (`__dk_`) so the
     * merge can express a null-safe join condition. */
   private def signedDelta(df: DataFrame, keys: Seq[String],
-      sumCols: Seq[String], mmCols: Seq[String] = Nil): DataFrame = {
+      sumCols: Seq[String], mmCols: Seq[String] = Nil,
+      ndvCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
+    if (ndvCols.nonEmpty)
+      graft.functions.HllFunctions.register(df.sparkSession)
+    val needsDel = mmCols.nonEmpty || ndvCols.nonEmpty
     df.groupBy(keys.map(col): _*)
       .agg(sum(col("__sign")).as("dn"),
         (sumCols.flatMap(c => Seq(
@@ -244,7 +297,13 @@ object MaterializedView {
           mmCols.flatMap(c => Seq(
             min(when(col("__sign") === 1L, col(c))).as(s"imin_$c"),
             max(when(col("__sign") === 1L, col(c))).as(s"imax_$c"))) ++
-          (if (mmCols.isEmpty) Nil else Seq(
+          // insert-only register unions (the CASE nulls out retracted
+          // rows — HllSketchAgg skips nulls, so deletes never touch
+          // the sketch; the dhasdel flag routes them to the recompute)
+          ndvCols.map(c =>
+            expr(s"graft_hll_sketch(CASE WHEN __sign = 1 THEN $c END)")
+              .as(s"ihll_$c")) ++
+          (if (!needsDel) Nil else Seq(
             max(when(col("__sign") === -1L, lit(1)).otherwise(lit(0)))
               .as("dhasdel")))): _*)
       .select(keys.map(k => col(k).as(s"__dk_$k")) ++
@@ -253,7 +312,8 @@ object MaterializedView {
           Seq(col(s"dsum_$c"), col(s"dcnt_$c"))) ++
         mmCols.flatMap(c =>
           Seq(col(s"imin_$c"), col(s"imax_$c"))) ++
-        (if (mmCols.isEmpty) Nil else Seq(col("dhasdel"))): _*)
+        ndvCols.map(c => col(s"ihll_$c")) ++
+        (if (!needsDel) Nil else Seq(col("dhasdel"))): _*)
   }
 
   /** The pure merge: old rollup ⊕ keyed signed-delta rollup → the new
@@ -261,8 +321,11 @@ object MaterializedView {
     * the read-time [[readFresh]] serving path. */
   private def mergedFrame(old: DataFrame, keys: Seq[String],
       sumCols: Seq[String], deltaAgg: DataFrame,
-      mmCols: Seq[String] = Nil): DataFrame = {
+      mmCols: Seq[String] = Nil, avgCols: Seq[String] = Nil,
+      ndvCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
+    if (ndvCols.nonEmpty)
+      graft.functions.HllFunctions.register(old.sparkSession)
     val cond = keys.map(k => old(k) <=> deltaAgg(s"__dk_$k"))
       .reduce(_ && _)
     val zeroDec = lit(0).cast("decimal(20,2)")
@@ -282,17 +345,26 @@ object MaterializedView {
     def mergedMm(c: String): Seq[Column] = Seq(
       least(col(s"min_$c"), col(s"imin_$c")).as(s"min_$c"),
       greatest(col(s"max_$c"), col(s"imax_$c")).as(s"max_$c"))
+    // register union — same insert-only contract as the extrema (a
+    // one-sided group passes its sketch through unchanged)
+    def mergedHll(c: String): Seq[Column] = Seq(
+      when(col(s"ihll_$c").isNull, col(s"hll_$c"))
+        .when(col(s"hll_$c").isNull, col(s"ihll_$c"))
+        .otherwise(expr(s"graft_hll_merge(hll_$c, ihll_$c)"))
+        .as(s"hll_$c"))
     // "no old-side row" is probed via `n` (never NULL in a view row) —
     // probing the key would misread a legitimate NULL-key group
-    old.join(deltaAgg, cond, "full_outer")
+    withDerived(old.join(deltaAgg, cond, "full_outer")
       .select((keys.map(k =>
         when(col("n").isNull, col(s"__dk_$k"))
           .otherwise(old(k)).as(k)) ++
         Seq((coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
           .as("n")) ++
         sumCols.flatMap(mergedSum) ++
-        mmCols.flatMap(mergedMm)): _*)
-      .filter(col("n") > 0)
+        mmCols.flatMap(mergedMm) ++
+        ndvCols.flatMap(mergedHll)): _*)
+      .filter(col("n") > 0),
+      avgCols, ndvCols)
   }
 
   /** One incremental-view delta, applied: the merged rollup frame an
@@ -307,10 +379,11 @@ object MaterializedView {
       : (DataFrame, () => Unit) = {
     import org.apache.spark.sql.functions._
     val old = SnapshotTable.readVersion(spark, v.viewRoot, viewCur)
-    val deltaAgg0 = signedDelta(signedRows, v.keys, v.sumCols,
-      v.minMaxCols)
-    if (v.minMaxCols.isEmpty)
-      return (mergedFrame(old, v.keys, v.sumCols, deltaAgg0), () => ())
+    val deltaAgg0 = signedDelta(signedRows, v.keys, v.allSums,
+      v.minMaxCols, v.ndvCols)
+    if (!v.nonInvertible)
+      return (mergedFrame(old, v.keys, v.allSums, deltaAgg0,
+        avgCols = v.avgCols), () => ())
     // the delta rollup feeds the delete-key probes, the insert-only
     // merge AND the key joins — persist the (group-count-sized) frame
     // so the underlying diff evaluates once. SQL caching holds a
@@ -327,16 +400,17 @@ object MaterializedView {
     // anti join and the recompute leg entirely (one cheap emptiness
     // job on the cached delta replaces them all)
     if (delKeys.limit(1).count() == 0L)
-      return (mergedFrame(old, v.keys, v.sumCols,
-        deltaAgg.drop("dhasdel"), v.minMaxCols), cleanup)
+      return (mergedFrame(old, v.keys, v.allSums,
+        deltaAgg.drop("dhasdel"), v.minMaxCols, v.avgCols, v.ndvCols),
+        cleanup)
     val insOnly = deltaAgg.filter(col("dhasdel") === 0).drop("dhasdel")
     // groups untouched by deletes: algebraic merge; old rows of
     // delete-touched groups are excluded — the recompute replaces them
     val oldKept = old.join(delKeys,
       v.keys.map(k => old(k) <=> delKeys(s"__dk_$k")).reduce(_ && _),
       "left_anti")
-    val part1 = mergedFrame(oldKept, v.keys, v.sumCols, insOnly,
-      v.minMaxCols)
+    val part1 = mergedFrame(oldKept, v.keys, v.allSums, insOnly,
+      v.minMaxCols, v.avgCols, v.ndvCols)
     // delete-touched groups: exact recompute over only their rows.
     // Key-prune the source read through the manifest when every
     // touched first-key is non-NULL (readKeys cannot probe NULL); a

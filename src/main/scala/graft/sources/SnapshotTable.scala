@@ -1514,11 +1514,17 @@ object SnapshotTable {
     * comma-joined lists, and single-key tables keep the old property
     * shape verbatim. */
   def commitBucketedOn(spark: SparkSession, root: String, df: DataFrame,
-      keys: Seq[(String, Int)], maxRetries: Int = 5): Long = {
+      keys: Seq[(String, Int)], maxRetries: Int = 5,
+      txn: Option[(String, Long)] = None): Long = {
     require(keys.nonEmpty, "bucket keys must be non-empty")
     require(keys.forall(!_._1.contains(",")),
       s"bucket key names cannot contain ',': ${keys.map(_._1).mkString(";")}")
-    val (seg, stamped) = stageBucketed(spark, root, df, keys)
+    val (seg, stamped0) = stageBucketed(spark, root, df, keys)
+    // replay-guard marker on a replacing commit — see commitPartitionedOn
+    val stamped = txn.fold(stamped0) { case (app, batch) =>
+      stamped0.map(e => e.copy(extraStats = e.extraStats :+
+        (s"__txn:$app", batch.toString, batch.toString)))
+    }
     val v = replaceStaged(spark, root, seg, stamped, df.schema,
       maxRetries)
     setProperties(spark, root, tableProperties(spark, root) ++ Map(
@@ -1613,9 +1619,18 @@ object SnapshotTable {
     * storage-partitioned joins. Key ORDER is the declaration order —
     * it fixes the directory nesting at write time, nothing else. */
   def commitPartitionedOn(spark: SparkSession, root: String,
-      df: DataFrame, keys: Seq[String], maxRetries: Int = 5): Long = {
+      df: DataFrame, keys: Seq[String], maxRetries: Int = 5,
+      txn: Option[(String, Long)] = None): Long = {
     val (seg, entries) = stagePartitioned(spark, root, df, keys)
-    val v = replaceStaged(spark, root, seg, entries, df.schema,
+    // an idempotent-writer marker on a REPLACING commit: a streaming
+    // maintainer that compacts/purges its own table mid-stream keeps
+    // its replay guard across the replace (markers on the replaced
+    // files would be gone)
+    val marked = txn.fold(entries) { case (app, batch) =>
+      entries.map(e => e.copy(extraStats = e.extraStats :+
+        (s"__txn:$app", batch.toString, batch.toString)))
+    }
+    val v = replaceStaged(spark, root, seg, marked, df.schema,
       maxRetries)
     setProperties(spark, root, tableProperties(spark, root) +
       ("graft.partition.key" -> keys.mkString(",")))

@@ -1526,6 +1526,45 @@ object Sources {
           |FROM graft_mvq.db.$view
           |ORDER BY o_orderstatus""".stripMargin)
     }),
+    // MV WITH A SERVED-EXACT AVG through SQL alone, oracled: create_mv
+    // accepts aggregate SPECS ('col:sum', 'col:avg', 'col:ndv'), and
+    // avg is DERIVED — the view maintains the (decimal sum, non-null
+    // count) pair and re-materializes avg = CAST(sum AS DOUBLE)/cnt on
+    // every merge, so the served average is always the exact quotient
+    // of exact parts (never an averaged average). The history includes
+    // a DELETE tick, so the delta path proves avg exact under
+    // retractions too. DuckDB recomputes the same quotient from the
+    // final logical state.
+    "snapshot_mv_avg_sql" -> ((s, dir) => {
+      val tbl = uniqueName("ord_mvavg")
+      val view = uniqueName("mv_mvavg")
+      s.conf.set("spark.sql.catalog.graft_mvq",
+        classOf[graft.sources.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_mvq.warehouse",
+        catalogWarehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_mvq.db")
+      graft.Tables.load(s, dir, "orders")
+        .createOrReplaceTempView("orders_mvavg_src")
+      s.sql(
+        s"""CREATE TABLE graft_mvq.db.$tbl AS
+          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM orders_mvavg_src""".stripMargin)
+      s.sql(s"CALL graft_mvq.system.create_mv('db.$view', 'db.$tbl', " +
+        "'o_orderstatus', 'o_totalprice:sum,o_totalprice:avg', '')")
+      s.sql(s"DELETE FROM graft_mvq.db.$tbl WHERE o_orderkey % 5 = 0")
+      s.sql(
+        s"""INSERT INTO graft_mvq.db.$tbl
+          |SELECT o_orderkey + 20000000, o_orderstatus,
+          |  o_totalprice * 3
+          |FROM orders_mvavg_src WHERE o_orderkey % 13 = 0""".stripMargin)
+      s.sql(s"CALL graft_mvq.system.refresh_mv('db.$view')")
+      s.sql(
+        s"""SELECT o_orderstatus, n,
+          |  CAST(sum_o_totalprice * 100 AS BIGINT) AS sum_cents,
+          |  cnt_o_totalprice, avg_o_totalprice
+          |FROM graft_mvq.db.$view
+          |ORDER BY o_orderstatus""".stripMargin)
+    }),
     // LEXICAL RETRIEVAL THROUGH SQL ALONE, oracled: CTAS the documents
     // into the catalog, CALL create_text_index (persisted BM25
     // postings, analyzer recorded), CALL search_text with AND
@@ -2541,6 +2580,25 @@ object Sources {
         |  count(o_totalprice) AS cnt_o_totalprice,
         |  min(o_orderkey) AS min_o_orderkey,
         |  max(o_orderkey) AS max_o_orderkey
+        |FROM live GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // avg mirrored as the SAME exact quotient: decimal sum → double,
+    // divided by the non-null count (both engines convert the
+    // identical exact decimal to its nearest double, then one IEEE
+    // division — bit-deterministic on both sides)
+    "snapshot_mv_avg_sql" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice * 3
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) * 100
+        |    AS BIGINT) AS sum_cents,
+        |  count(o_totalprice) AS cnt_o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+        |    / count(o_totalprice) AS avg_o_totalprice
         |FROM live GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     "snapshot_mv_star" ->

@@ -982,6 +982,42 @@ private[connector] object GraftProcedures {
   private def csv(s: String): Seq[String] =
     s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** Parse a `create_mv` aggregate-spec list into (sums, avgs, ndvs):
+    * each comma-separated entry is `col` / `col:sum` (additive sum —
+    * the historic form, unchanged), `col:avg` (served exact from the
+    * maintained (sum, cnt) pair), or `col:ndv` (approximate
+    * count(DISTINCT col) via a mergeable HLL sketch column). EXACT
+    * distinct is refused loudly: maintaining it incrementally under
+    * deletes means keeping every distinct value per group — the
+    * source table again — so the engine will not pretend to. */
+  private def aggSpecs(s: String)
+  : (Seq[String], Seq[String], Seq[String]) = {
+    val parsed = csv(s).map { e =>
+      e.split(':').map(_.trim).toSeq match {
+        case Seq(c) => (c, "sum")
+        case Seq(c, f) => (c, f.toLowerCase)
+        case _ => throw new IllegalArgumentException(
+          s"create_mv: bad aggregate spec '$e' (use col, col:sum, " +
+            "col:avg or col:ndv)")
+      }
+    }
+    parsed.foreach {
+      case (_, "sum" | "avg" | "ndv") => ()
+      case (c, "distinct" | "count_distinct") =>
+        throw new IllegalArgumentException(
+          s"create_mv: EXACT count(DISTINCT $c) is not incrementally " +
+            "maintainable (a retraction needs every remaining distinct " +
+            s"value per group — the source itself); use '$c:ndv' for " +
+            "the mergeable HLL approximation, or a full-recompute view")
+      case (c, f) => throw new IllegalArgumentException(
+        s"create_mv: unknown aggregate '$f' for column '$c' " +
+          "(sum, avg, ndv)")
+    }
+    (parsed.collect { case (c, "sum") => c },
+      parsed.collect { case (c, "avg") => c },
+      parsed.collect { case (c, "ndv") => c })
+  }
+
   /** Driver-collect bounds for the table-valued retrieval procedures:
     * a DSv2 procedure RETURNS rows (not a scan), so its result is
     * always driver-materialized — both k and the query-table size
@@ -1023,11 +1059,13 @@ private[connector] object GraftProcedures {
             keys = csv(p.getOrElse(MvKeysProp, "")),
             sumCols = csv(p.getOrElse(MvSumsProp, ""))))
       case _ =>
+        val (sums, avgs, ndvs) = aggSpecs(p.getOrElse(MvSumsProp, ""))
         MaterializedView.refreshIncremental(spark,
           MaterializedView.IncrementalView(cat.resolveRoot(src), viewRoot,
             keys = csv(p.getOrElse(MvKeysProp, "")),
-            sumCols = csv(p.getOrElse(MvSumsProp, "")),
-            minMaxCols = csv(p.getOrElse(MvMinMaxProp, ""))))
+            sumCols = sums,
+            minMaxCols = csv(p.getOrElse(MvMinMaxProp, "")),
+            avgCols = avgs, ndvCols = ndvs))
     }
   }
 
@@ -1216,20 +1254,23 @@ private[connector] object GraftProcedures {
           val view = in.getString(0)
           val source = in.getString(1)
           val keys = csv(in.getString(2))
-          val sums = csv(in.getString(3))
+          val rawSpecs = in.getString(3)
+          // sums accepts aggregate SPECS: col (sum), col:avg, col:ndv
+          val (sums, avgs, ndvs) = aggSpecs(rawSpecs)
           val mm = csv(in.getString(4))
           require(keys.nonEmpty, "create_mv: at least one group key")
-          require(sums.nonEmpty, "create_mv: at least one sum column")
+          require(sums.nonEmpty || avgs.nonEmpty || ndvs.nonEmpty,
+            "create_mv: at least one aggregate column")
           val srcRoot = cat0.resolveRoot(source)
           val viewRoot = cat0.resolveNewRoot(view)
           val iv = MaterializedView.IncrementalView(srcRoot, viewRoot,
-            keys, sums, mm)
+            keys, sums, mm, avgCols = avgs, ndvCols = ndvs)
           val v = MaterializedView.refreshIncremental(spark, iv)
           SnapshotTable.setProperties(spark, viewRoot,
             SnapshotTable.tableProperties(spark, viewRoot) ++ Map(
               MvKindProp -> "incremental",
               MvSourceProp -> source, MvKeysProp -> keys.mkString(","),
-              MvSumsProp -> sums.mkString(","),
+              MvSumsProp -> csv(rawSpecs).mkString(","),
               MvMinMaxProp -> mm.mkString(",")))
           Row(v)
         })

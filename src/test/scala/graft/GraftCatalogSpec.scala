@@ -1123,6 +1123,41 @@ class GraftCatalogSpec extends SparkSpec {
       r.getDouble(3) <= 1.0 && r.getLong(2) != r.getLong(0)))
   }
 
+  test("create_mv aggregate specs: ':avg' serves the exact derived " +
+      "quotient, ':ndv' an HLL distinct; EXACT ':distinct' is " +
+      "refused loudly with the ndv pointer") {
+    val emb = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    emb.createOrReplaceTempView("mvspec_src")
+    spark.sql("CREATE TABLE graft.db.mvspecsrc AS " +
+      "SELECT * FROM mvspec_src")
+    spark.sql("CALL graft.system.create_mv('db.mvspecv', " +
+      "'db.mvspecsrc', 'o_orderstatus', " +
+      "'o_totalprice:avg,o_custkey:ndv', '')")
+    val got = spark.sql(
+      "SELECT o_orderstatus, avg_o_totalprice, ndv_o_custkey " +
+        "FROM graft.db.mvspecv ORDER BY o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val exp = spark.sql(
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+        |    / count(o_totalprice) AS a,
+        |  count(DISTINCT o_custkey) AS d
+        |FROM mvspec_src GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    got.zip(exp).foreach { case ((k, a, nd), (ek, ea, ed)) =>
+      assert(k == ek && a == ea, s"avg mismatch: $a vs $ea at $k")
+      assert(math.abs(nd - ed).toDouble / ed <= 0.05,
+        s"ndv $nd vs exact $ed at $k")
+    }
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.create_mv('db.mvspecv2', " +
+        "'db.mvspecsrc', 'o_orderstatus', 'o_custkey:distinct', '')")
+    }
+    assert(e.getMessage.contains("ndv"), e.getMessage)
+  }
+
   test("retrieval procedures refuse unbounded driver collects: " +
       "search_vectors rejects a corpus-sized queries table (capped " +
       "count, one limit job) and an oversized k; search_text rejects " +

@@ -323,6 +323,76 @@ class TextIndexSpec extends SparkSpec {
       "retried remove double-applied (stats or tombstones skewed)")
   }
 
+  test("purgeTombstones: physically drops dead postings, compacts " +
+      "the stats journal to one net row, clears dels — search " +
+      "bit-equal before and after, and equal to an index that never " +
+      "held the removed docs") {
+    import graft.sources.SnapshotTable
+    val all = corpus(0 until 300)
+    val (dead, alive) = all.partition(_._1 % 6 == 0)
+    val root = tmpRoot()
+    TextIndex.build(spark, all.toDF("doc_id", "text"), root,
+      buckets = 16)
+    TextIndex.remove(spark, dead.toDF("doc_id", "text"), root)
+    val q = Seq("plum", "peach", "mango")
+    def results() = TextIndex.searchBm25(spark, root, q, 25).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = results()
+    TextIndex.purgeTombstones(spark, root)
+    assert(results() == before, "purge changed served results")
+    assert(results() == bm25Local(alive, q, 25))
+    // dels cleared, postings physically live-only, stats one net row
+    assert(SnapshotTable.read(spark, root + "_dels").count() == 0L)
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("doc_id") % 6 === 0).count() == 0L,
+      "dead postings survived the purge")
+    assert(SnapshotTable.read(spark, root + "_stats").count() == 1L)
+    // idempotent: a second purge (empty dels) no-ops
+    TextIndex.purgeTombstones(spark, root)
+    assert(results() == before)
+    // bucket pruning survives the rewrite
+    val plan = TextIndex.searchBm25(spark, root, q, 5)
+      .queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"post-purge search lost pruning:\n$plan")
+  }
+
+  test("simple_en_stop analyzer: stopword postings do not exist in " +
+      "the index, a phrase matches ACROSS removed stopwords " +
+      "(surviving-token adjacency), the query analyzer drops them " +
+      "too, and the scan still prunes") {
+    val root = tmpRoot()
+    val docs = Seq(
+      (1L, "sort the table quickly"),
+      (2L, "sort a table now"),
+      (3L, "sort table direct"),
+      (4L, "table sort reversed"), // wrong order: no phrase
+      (5L, "the sort of all tables")) // 'tables' != 'table': no phrase
+      .toDF("doc_id", "text")
+    TextIndex.build(spark, docs, root, buckets = 8,
+      analyzer = "simple_en_stop")
+    // the scale point: stopword posting lists simply don't exist
+    val terms = graft.sources.SnapshotTable.read(spark, root)
+      .select("term").distinct().as[String].collect().toSet
+    assert(TextIndex.StopwordsEnV1.forall(w => !terms.contains(w)),
+      s"stopwords leaked into the index: " +
+        s"${terms.intersect(TextIndex.StopwordsEnV1.toSet)}")
+    // positions are post-drop: "sort the table" and "sort a table"
+    // carry (sort, table) ADJACENT — the phrase finds all three forms
+    val res = TextIndex.searchPhrase(spark, root,
+      Seq("sort", "table"), 10)
+    assert(res.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // the query string goes through the SAME analyzer
+    assert(TextIndex.analyzeQuery(spark, root, "Sort THE Table!") ==
+      Seq("sort", "table"))
+    // bucket pruning survives the analyzer
+    val plan = res.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"stop-analyzer search lost pruning:\n$plan")
+  }
+
   test("maintenance-mode exclusivity is ENFORCED: manual add() after " +
       "a CDC tick throws, and a rebuild resets the claim (plus the " +
       "analyzer property, which now lands BEFORE the data commits)") {

@@ -353,6 +353,66 @@ class VectorIndexSpec extends SparkSpec {
       s"old incarnation resurfaced: $c3b at $cos3b")
   }
 
+  test("dels hygiene: a long CDC run with purgeDelsAfter keeps the " +
+      "tombstone set bounded, results stay exact across the " +
+      "auto-purge, and probes keep pruning") {
+    import graft.sources.SnapshotTable
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-vixpurge").toString
+    val src = base + "/emb_src"
+    val root = base + "/ix"
+    val day0 = embeddings.filter(col("vec_id") < 400)
+    SnapshotTable.commit(spark, src, day0, clusterKey = Some("vec_id"))
+    VectorIndex.build(spark, day0, root, nlist = 8, iters = 5,
+      trainCap = 400)
+    // every tick MOR-updates a 40-vector slice (delete+insert pairs),
+    // so tombstones accrue 40/tick; the purge threshold trips twice
+    val q = VectorIndex.cdcIndexSink(spark, src, root, base + "/cp",
+      "vixpurge", startingVersion = 2L, purgeDelsAfter = Some(100L))
+    try {
+      (0 until 6).foreach { i =>
+        val lo = (i % 4) * 100
+        SnapshotTable.mergeOnRead(spark, src,
+          embeddings
+            .filter(col("vec_id") >= lo && col("vec_id") < lo + 40)
+            .selectExpr("vec_id",
+              s"transform(embedding, x -> x * CAST(${i + 2} AS FLOAT))" +
+                " AS embedding"),
+          "vec_id")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // bounded: after the last purge trip, dels hold < threshold + one
+    // tick's worth — never the 240 an unbounded run would have
+    val delsNow = SnapshotTable.read(spark, root + "_dels").count()
+    assert(delsNow < 140, s"dels unbounded: $delsNow")
+    // exact across the purge: the maintained index answers like one
+    // built fresh over the source's final state (same train corpus)
+    val fresh = base + "/ix_fresh"
+    VectorIndex.build(spark,
+      SnapshotTable.read(spark, src).select("vec_id", "embedding"),
+      fresh, nlist = 8, iters = 5, trainCap = 400)
+    // the two quantizers trained on different corpora, so probe ALL
+    // cells (nprobe = nlist): results then depend only on the LIVE
+    // vector sets, which must be identical across the purge
+    val qs = embeddings.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", "embedding")
+    val res = VectorIndex.search(spark, root, qs, k = 3, nprobe = 8)
+    val freshRes = VectorIndex.search(spark, fresh, qs, k = 3,
+      nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val liveRes = res.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(liveRes == freshRes,
+      "post-purge results diverged from a fresh index over the " +
+        "final state")
+    val plan = res.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no graft scan:\n$plan")
+  }
+
   test("maintenance-mode exclusivity is ENFORCED: a manual add() " +
       "after a CDC tick throws, CDC after manual throws, and a " +
       "rebuild resets the claim") {
