@@ -630,6 +630,8 @@ object SketchFunctions {
       exprs => ShingleRows(exprs(0), intLit(exprs(1), "n")), "built-in")
     reg.createOrReplaceTempFunction("graft_lrs",
       exprs => LongestRepeatedSubstring(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_porter",
+      exprs => PorterStemExpr(exprs(0)), "built-in")
     VectorFunctions.attachRewrite(spark)
   }
 }

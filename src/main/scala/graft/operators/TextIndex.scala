@@ -86,10 +86,29 @@ object TextIndex {
     case "simple_en_stop" =>
       filter(array_remove(split(lower(text), "[^a-z0-9]+"), ""),
         t => !t.isInCollection(StopwordsEnV1))
+    case "simple_en_porter" =>
+      // simple_en_stop + Porter-stem each surviving token (the
+      // graft_porter expression — one static call per token inside
+      // codegen). Stemming runs on BOTH the postings and the query
+      // (analyzeQuery), so "relational" finds docs saying "relations"
+      // — the standard English retrieval analyzer, dictionary-free
+      // and deterministic. Callers with a SparkSession must ensure
+      // SketchFunctions.register ran ([[reg]]).
+      transform(
+        filter(array_remove(split(lower(text), "[^a-z0-9]+"), ""),
+          t => !t.isInCollection(StopwordsEnV1)),
+        t => call_function("graft_porter", t))
     case other => throw new IllegalArgumentException(
       s"unknown analyzer '$other' " +
-        "(declared: whitespace, simple, simple_en_stop)")
+        "(declared: whitespace, simple, simple_en_stop, " +
+        "simple_en_porter)")
   }
+
+  /** Resolve the analyzer's function dependencies on this session —
+    * idempotent, called at every entry point that evaluates [[toks]]
+    * (the `graft_porter` call resolves from the session registry). */
+  private def reg(spark: SparkSession): Unit =
+    graft.functions.SketchFunctions.register(spark)
 
   /** The analyzer the index at `root` was built with. */
   private[graft] def analyzerOf(spark: SparkSession, root: String): String =
@@ -102,6 +121,7 @@ object TextIndex {
     * SQL `search_text` procedure's entry point). */
   def analyzeQuery(spark: SparkSession, root: String, q: String)
   : Seq[String] = {
+    reg(spark)
     import spark.implicits._
     Seq(q).toDF("text")
       .select(toks(col("text"), analyzerOf(spark, root)).as("t"))
@@ -143,6 +163,7 @@ object TextIndex {
     * and every later installment reuses it. */
   def build(spark: SparkSession, docs: DataFrame, root: String,
       buckets: Int = 64, analyzer: String = "whitespace"): Long = {
+    reg(spark)
     toks(lit(""), analyzer) // validate the name before any commit
     // the analyzer property lands BEFORE the first data commit: a crash
     // in the old after-everything window left 'simple'-built postings
@@ -172,6 +193,7 @@ object TextIndex {
     * be new — re-adding an already-indexed doc would split its tf
     * rows. */
   def add(spark: SparkSession, docs: DataFrame, root: String): Long = {
+    reg(spark)
     IndexMaintenance.claim(spark, root, "manual")
     val an = analyzerOf(spark, root)
     val v = SnapshotTable.appendBucketed(spark, root,
@@ -207,6 +229,7 @@ object TextIndex {
     * pass a marker. */
   def remove(spark: SparkSession, docs: DataFrame, root: String,
       txn: Option[(String, Long)] = None): Long = {
+    reg(spark)
     IndexMaintenance.claim(spark, root, "manual")
     val an = analyzerOf(spark, root)
     def landed(tbl: String): Boolean = txn.exists { case (app, b) =>
@@ -240,6 +263,7 @@ object TextIndex {
     * converges on replay. */
   def applyChanges(spark: SparkSession, root: String, batch: DataFrame,
       appId: String, batchId: Long): Unit = {
+    reg(spark)
     IndexMaintenance.claim(spark, root, "cdc")
     val ver = col("_commit_version")
     val an = analyzerOf(spark, root)
@@ -319,6 +343,7 @@ object TextIndex {
     * — and closes on recovery.) */
   def applyBatch(spark: SparkSession, root: String, docs: DataFrame,
       appId: String, batchId: Long): Unit = {
+    reg(spark)
     IndexMaintenance.claim(spark, root, "manual")
     val an = analyzerOf(spark, root)
     val landed = SnapshotTable.lastCommittedTxn(spark, root, appId)

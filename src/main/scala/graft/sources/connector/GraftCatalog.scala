@@ -1431,16 +1431,22 @@ private[connector] object GraftProcedures {
       case "create_vector_index" => proc(cat, "create_vector_index",
         Array(ProcedureParameter.in("index", StringType).build(),
           ProcedureParameter.in("source", StringType).build(),
-          ProcedureParameter.in("nlist", IntegerType).build()),
+          ProcedureParameter.in("nlist", IntegerType).build(),
+          // '' = raw vectors; 'sq8' = 1 B/dim scalar-quantized cells
+          // (8x smaller index; probes score by fused ADC and re-rank
+          // exactly from the bloomed raw sidecar)
+          ProcedureParameter.in("codec", StringType)
+            .defaultValue("''").build()),
         StructType(Seq(
           StructField("version", LongType, nullable = false))),
         (spark, cat0, in) => {
           val srcRoot = cat0.resolveRoot(in.getString(1))
           val idxRoot = cat0.resolveNewRoot(in.getString(0))
+          val codec = Option(in.getString(3)).filter(_.nonEmpty)
           Row(graft.operators.VectorIndex.build(spark,
             SnapshotTable.read(spark, srcRoot)
               .select("vec_id", "embedding"),
-            idxRoot, nlist = in.getInt(2)))
+            idxRoot, nlist = in.getInt(2), codec = codec))
         })
       case "search_vectors" => procMulti(cat, "search_vectors",
         Array(ProcedureParameter.in("index", StringType).build(),

@@ -1121,6 +1121,18 @@ class GraftCatalogSpec extends SparkSpec {
     // each query's rank-1 neighbor at cosine <= 1, self excluded
     assert(res.filter(_.getInt(1) == 1).forall(r =>
       r.getDouble(3) <= 1.0 && r.getLong(2) != r.getLong(0)))
+    // the SQ8 codec through SQL (the optional 4th param; the 3-arg
+    // form above stays raw): same probe contract, coded cells
+    spark.sql("CALL graft.system.create_vector_index(" +
+      "'db.vix8', 'db.vixemb', 8, 'sq8')")
+    val res8 = spark.sql("CALL graft.system.search_vectors(" +
+      "'db.vix8', 'db.vixq', 3, 8)").collect()
+    assert(res8.length == 9)
+    assert(res8.filter(_.getInt(1) == 1).forall(r =>
+      r.getDouble(3) <= 1.0 && r.getLong(2) != r.getLong(0)))
+    // coded cells really are codes, not vectors
+    assert(spark.sql("SELECT * FROM graft.db.vix8").schema("code")
+      .dataType == org.apache.spark.sql.types.BinaryType)
   }
 
   test("create_mv aggregate specs: ':avg' serves the exact derived " +

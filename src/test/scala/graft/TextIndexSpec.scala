@@ -393,6 +393,88 @@ class TextIndexSpec extends SparkSpec {
       s"stop-analyzer search lost pruning:\n$plan")
   }
 
+  test("graft_porter matches the published Porter-stemmer examples; " +
+      "non-lowercase-alpha tokens pass through unchanged; NULL -> " +
+      "NULL; codegen == interpreted") {
+    graft.functions.SketchFunctions.register(spark)
+    // canonical pairs from the algorithm's published vocabulary
+    val cases = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "motoring" -> "motor", "sing" -> "sing", "hopping" -> "hop",
+      "falling" -> "fall", "hissing" -> "hiss", "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky",
+      "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration", "digitizer" -> "digit",
+      "operator" -> "oper", "feudalism" -> "feudal",
+      "decisiveness" -> "decis", "hopefulness" -> "hope",
+      "electricity" -> "electr", "electrical" -> "electr",
+      "hopeful" -> "hope", "goodness" -> "good",
+      "revival" -> "reviv", "allowance" -> "allow",
+      "inference" -> "infer", "adjustable" -> "adjust",
+      "replacement" -> "replac", "adoption" -> "adopt",
+      "communism" -> "commun", "effective" -> "effect",
+      "generalizations" -> "gener", "controlling" -> "control",
+      "rolling" -> "roll",
+      // pass-through: non [a-z] or too short
+      "123" -> "123", "Mixed" -> "Mixed", "ab" -> "ab",
+      "foo_bar" -> "foo_bar")
+    import spark.implicits._
+    val got = cases.map(_._1).toDF("w")
+      .selectExpr("w", "graft_porter(w) AS s")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (w, e) =>
+      assert(got(w) == e, s"stem($w) = ${got(w)}, expected $e")
+    }
+    // NULL contract
+    assert(spark.sql("SELECT graft_porter(CAST(NULL AS STRING))")
+      .head().isNullAt(0))
+    // interpreted == codegen over a non-local source
+    val docsCol = Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+      .selectExpr("doc_id", "w", "graft_porter(w) AS s")
+    val on = docsCol.collect().map(_.toSeq)
+    val off = {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      try docsCol.collect().map(_.toSeq)
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    assert(on.toSeq == off.toSeq)
+  }
+
+  test("simple_en_porter analyzer: morphological variants collapse " +
+      "to one posting term on BOTH the index and the query side, " +
+      "stopwords drop, and the scan still prunes") {
+    val root = tmpRoot()
+    val docs = Seq(
+      (1L, "the relational databases"),
+      (2L, "relations between tables"),
+      (3L, "relating tables to databases"),
+      (4L, "a purely orthogonal topic"))
+      .toDF("doc_id", "text")
+    TextIndex.build(spark, docs, root, buckets = 8,
+      analyzer = "simple_en_porter")
+    // query side stems through the SAME analyzer: "Relational!" and
+    // "relations" both become the posting term "relat"
+    assert(TextIndex.analyzeQuery(spark, root, "Relational Tables!") ==
+      Seq("relat", "tabl"))
+    val hits = TextIndex.searchBm25(spark, root, Seq("relat"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L, 3L),
+      s"stemmed term missed morphological variants: $hits")
+    // stopwords never indexed ("the", "a", "to", "between" is NOT a
+    // v1 stopword and must survive)
+    val terms = graft.sources.SnapshotTable.read(spark, root)
+      .select("term").distinct().as[String].collect().toSet
+    assert(!terms.contains("the") && !terms.contains("a") &&
+      terms.contains("between"))
+    val plan = TextIndex.searchBm25(spark, root, Seq("relat"), 5)
+      .queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"porter search lost pruning:\n$plan")
+  }
+
   test("maintenance-mode exclusivity is ENFORCED: manual add() after " +
       "a CDC tick throws, and a rebuild resets the claim (plus the " +
       "analyzer property, which now lands BEFORE the data commits)") {
