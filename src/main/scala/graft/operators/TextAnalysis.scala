@@ -529,6 +529,50 @@ object TextAnalysis {
       TextIndex.searchPhrase(s, root, Seq("sort", "table"), 20)
     }),
 
+    // HYBRID RETRIEVAL (RRF), oracled — the standard RAG serving
+    // pattern: a lexical BM25 leg and a semantic cosine leg, fused by
+    // reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09:
+    // score(d) = Σ_legs 1/(60 + rank_leg(d)) — rank-based, so the two
+    // legs' incomparable score scales never matter). The lexical leg
+    // is the persisted TextIndex's bucket-pruned BM25 top-20; the
+    // semantic leg is exact cosine of every document embedding
+    // against doc 0's embedding (the query vector), top-20. Both legs
+    // are deterministic ranked lists with doc_id tie-breaks, and RRF
+    // is pure double arithmetic on RANKS — which is what makes a
+    // hybrid pipeline oracle-able at all. DuckDB recomputes BM25 from
+    // raw text and the cosine leg via list_cosine_similarity.
+    "docs_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorFunctions.register(s)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-rrf-q").toString + "/ix"
+      TextIndex.build(s, docs(s, dir).select("doc_id", "text"), root,
+        buckets = 32)
+      val wLex = Window.orderBy(desc("score"), asc("doc_id"))
+      val lex = TextIndex.searchBm25(s, root,
+        Seq("stream", "vector", "merge"), 20)
+        .withColumn("lex_rk", row_number().over(wLex))
+        .select(col("doc_id"), col("lex_rk"))
+      val e = graft.Tables.load(s, dir, "embeddings")
+        .selectExpr("vec_id",
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      val qv = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("v").as("q_v")))
+      val wSem = Window.orderBy(desc("cos_r"), asc("doc_id"))
+      val sem = e.filter(col("vec_id") =!= 0).crossJoin(qv)
+        .selectExpr("vec_id AS doc_id",
+          "round(graft_cosine(v, q_v), 6) AS cos_r")
+        .orderBy(desc("cos_r"), asc("doc_id")).limit(20)
+        .withColumn("sem_rk", row_number().over(wSem))
+        .select(col("doc_id"), col("sem_rk"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .selectExpr("doc_id",
+          "round(coalesce(1.0/(60 + lex_rk), CAST(0 AS DOUBLE)) + " +
+            "coalesce(1.0/(60 + sem_rk), CAST(0 AS DOUBLE)), 9) AS rrf",
+          "lex_rk", "sem_rk")
+        .orderBy(desc("rrf"), asc("doc_id"))
+    }),
+
     // Benchmark DECONTAMINATION — the training-data hygiene pass every
     // LLM pipeline runs before training: does a training doc share any
     // 8-token shingle with the held-out eval set? The eval split derives
@@ -1795,6 +1839,56 @@ object TextAnalysis {
          |GROUP BY doc_id
          |ORDER BY score DESC, doc_id
          |LIMIT 20""".stripMargin,
+    // both legs recomputed: BM25 from raw text (whitespace analyzer),
+    // cosine via list_cosine_similarity over double-cast embeddings
+    // (the identical float->double conversion + ascending-index loop
+    // both engines run); fusion is rank-only double arithmetic
+    "docs_hybrid_rrf" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS term, len(toks) AS dl
+         |      FROM d),
+         |n AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sumdl
+         |      FROM d),
+         |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM t
+         |  WHERE term IN ('stream','vector','merge')
+         |  GROUP BY doc_id, term, dl),
+         |df AS (SELECT term, count(*) AS df FROM (
+         |  SELECT DISTINCT doc_id, term FROM t
+         |  WHERE term IN ('stream','vector','merge'))
+         |  GROUP BY term),
+         |bm AS (SELECT doc_id, round(sum(
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |      * (tf * (1.2 + 1.0))
+         |      / (tf + 1.2 * ((1.0 - 0.75)
+         |          + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n_docs)))
+         |  ), 6) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n
+         |  GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id
+         |  LIMIT 20),
+         |lex AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rk
+         |  FROM bm),
+         |qv AS (SELECT list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE)) AS q_v
+         |  FROM embeddings WHERE vec_id = 0),
+         |sem0 AS (SELECT vec_id AS doc_id,
+         |    round(list_cosine_similarity(
+         |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         |      (SELECT q_v FROM qv)), 6) AS cos_r
+         |  FROM embeddings WHERE vec_id <> 0
+         |  ORDER BY cos_r DESC, doc_id
+         |  LIMIT 20),
+         |sem AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY cos_r DESC, doc_id) AS sem_rk
+         |  FROM sem0)
+         |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         |  round(coalesce(1.0/(60 + lex_rk), CAST(0 AS DOUBLE)) +
+         |        coalesce(1.0/(60 + sem_rk), CAST(0 AS DOUBLE)), 9)
+         |    AS rrf,
+         |  lex_rk, sem_rk
+         |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+         |ORDER BY rrf DESC, doc_id""".stripMargin,
     "docs_decontaminate" ->
       s"""WITH d AS (
          |  SELECT doc_id, list_distinct(
