@@ -435,10 +435,11 @@ object MaterializedView {
     * how to recover (full recompute). */
   private def mergeSignedDelta(spark: SparkSession, viewRoot: String,
       keys: Seq[String], sumCols: Seq[String],
-      viewCur: Long, deltaAgg: DataFrame): Long = {
+      viewCur: Long, deltaAgg: DataFrame,
+      avgCols: Seq[String] = Nil): Long = {
     val merged = mergedFrame(
       SnapshotTable.readVersion(spark, viewRoot, viewCur),
-      keys, sumCols, deltaAgg)
+      keys, sumCols, deltaAgg, avgCols = avgCols)
     SnapshotTable.commitExpecting(spark, viewRoot, merged,
       expectedCurrent = viewCur, clusterKey = keys.headOption)
   }
@@ -672,7 +673,8 @@ object MaterializedView {
     * `factKey = dimKey`: NULL keys match nothing, exactly as SQL. */
   final case class JoinView(factRoot: String, dimRoot: String,
       viewRoot: String, factKey: String, dimKey: String,
-      keys: Seq[String], sumCols: Seq[String])
+      keys: Seq[String], sumCols: Seq[String],
+      avgCols: Seq[String] = Nil)
 
   /** One dimension of a star: `factKey` (a fact column) equi-joins
     * `dimKey` (a column of the table at `root`). */
@@ -695,19 +697,24 @@ object MaterializedView {
     * read is pruned to the changed dim keys, and each dim read is
     * pruned to the accumulated frame's foreign keys — so a refresh is
     * O(delta + matching files) regardless of table count or size. */
-  /** Star views carry COUNT + SUM aggregates only: extrema under
-    * deletes need the bounded delete-group recompute, which
+  /** Star views carry COUNT + SUM aggregates (and DERIVED AVG, which
+    * is just a served quotient of those): extrema/HLL under deletes
+    * need the bounded delete-group recompute, which
     * [[IncrementalView.minMaxCols]] provides for single-table views
     * (restricting a JOINED frame to delete-touched groups keyed by
     * dim attributes has no pruned access path in general). */
   final case class StarView(factRoot: String, viewRoot: String,
-      dims: Seq[StarDim], keys: Seq[String], sumCols: Seq[String]) {
+      dims: Seq[StarDim], keys: Seq[String], sumCols: Seq[String],
+      avgCols: Seq[String] = Nil) {
     require(dims.nonEmpty, "a star view needs at least one dimension")
+    private[sources] def allSums: Seq[String] =
+      (sumCols ++ avgCols).distinct
   }
 
   private def asStar(v: JoinView): StarView =
     StarView(v.factRoot, v.viewRoot,
-      Seq(StarDim(v.dimRoot, v.factKey, v.dimKey)), v.keys, v.sumCols)
+      Seq(StarDim(v.dimRoot, v.factKey, v.dimKey)), v.keys, v.sumCols,
+      v.avgCols)
 
   /** Star freshness markers record EVERY consumed source version
     * (`_source_versions.<viewV>` holding `factV,dimV_1,…,dimV_k`) —
@@ -799,15 +806,16 @@ object MaterializedView {
   }
 
   private def starRollup(joined: DataFrame, keys: Seq[String],
-      sumCols: Seq[String]): DataFrame = {
+      sumCols: Seq[String], avgCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     // DECIMAL(20,2) sums for the same one-schema reason as [[rollup]]
-    joined.groupBy(keys.map(col): _*)
+    withDerived(joined.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sumCols.flatMap(c => Seq(
           sum(col(c).cast("decimal(20,2)")).cast("decimal(20,2)")
             .as(s"sum_$c"),
-          count(col(c)).as(s"cnt_$c"))): _*)
+          count(col(c)).as(s"cnt_$c"))): _*),
+      avgCols, Nil)
   }
 
   /** Recompute the star rollup from the CURRENT snapshots of all
@@ -821,7 +829,7 @@ object MaterializedView {
       v.dims.zipWithIndex.map { case (d, i) =>
         (SnapshotTable.readVersion(spark, d.root, vs(i + 1)), d) })
     val viewV = SnapshotTable.commit(spark, v.viewRoot,
-      starRollup(joined, v.keys, v.sumCols),
+      starRollup(joined, v.keys, v.allSums, v.avgCols),
       clusterKey = v.keys.headOption)
     writeStarFreshness(spark, v.viewRoot, vs, viewV)
     viewV
@@ -855,8 +863,8 @@ object MaterializedView {
     val (signedRows, cleanup) = starSignedRows(spark, v, last, cur)
       .getOrElse(return viewCur) // all sources metadata-fresh
     val viewV =
-      try mergeSignedDelta(spark, v.viewRoot, v.keys, v.sumCols, viewCur,
-        signedDelta(signedRows, v.keys, v.sumCols))
+      try mergeSignedDelta(spark, v.viewRoot, v.keys, v.allSums, viewCur,
+        signedDelta(signedRows, v.keys, v.allSums), v.avgCols)
       catch {
         case _: SnapshotTable.CommitConflict => return refreshStar(spark, v)
       } finally cleanup()
@@ -986,7 +994,7 @@ object MaterializedView {
         SnapshotTable.readVersion(spark, v.factRoot, cur.head),
         v.dims.zipWithIndex.map { case (d, i) =>
           (SnapshotTable.readVersion(spark, d.root, cur(i + 1)), d) }),
-        v.keys, v.sumCols)
+        v.keys, v.allSums, v.avgCols)
     starSignedRows(spark, v, last, cur) match {
       case None => read(spark, v) // metadata-only staleness
       case Some((rows, cleanup)) =>
@@ -996,7 +1004,8 @@ object MaterializedView {
         // release the delta caches immediately
         try mergedFrame(
           SnapshotTable.readVersion(spark, v.viewRoot, viewCur),
-          v.keys, v.sumCols, signedDelta(rows, v.keys, v.sumCols))
+          v.keys, v.allSums, signedDelta(rows, v.keys, v.allSums),
+          avgCols = v.avgCols)
           .localCheckpoint(true)
         finally cleanup()
     }

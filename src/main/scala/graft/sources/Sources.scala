@@ -1280,7 +1280,11 @@ object Sources {
       val jv = MaterializedView.JoinView(
         base + "/fact", base + "/dim", base + "/view",
         factKey = "o_custkey", dimKey = "c_custkey",
-        keys = Seq("c_mktsegment"), sumCols = Seq("o_totalprice"))
+        keys = Seq("c_mktsegment"), sumCols = Seq("o_totalprice"),
+        // r17: the derived served-exact average rides the same
+        // telescoping refresh — oracled as the identical
+        // decimal-sum→double quotient
+        avgCols = Seq("o_totalprice"))
       SnapshotTable.commit(s, jv.factRoot, fact,
         clusterKey = Some("o_custkey"))
       SnapshotTable.commit(s, jv.dimRoot, dim,
@@ -1309,7 +1313,8 @@ object Sources {
       MaterializedView.read(s, jv)
         .select(col("c_mktsegment"), col("n"),
           (col("sum_o_totalprice") * lit(100)).cast("long")
-            .as("sum_cents"), col("cnt_o_totalprice"))
+            .as("sum_cents"), col("cnt_o_totalprice"),
+          col("avg_o_totalprice"))
         .orderBy("c_mktsegment")
     }),
     // ALWAYS-FRESH MV SERVING under the oracle: bootstrap the join
@@ -2481,7 +2486,9 @@ object Sources {
         |SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) * 100
         |    AS BIGINT) AS sum_cents,
-        |  count(o_totalprice) AS cnt_o_totalprice
+        |  count(o_totalprice) AS cnt_o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+        |    / count(o_totalprice) AS avg_o_totalprice
         |FROM fact JOIN dim ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,

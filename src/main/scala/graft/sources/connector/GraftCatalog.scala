@@ -1050,6 +1050,8 @@ private[connector] object GraftProcedures {
         "— was it created via CALL graft.system.create_mv?)"))
     p.getOrElse(MvKindProp, "incremental") match {
       case "join" =>
+        val (jSums, jAvgs, _) =
+          aggSpecs(p.getOrElse(MvSumsProp, ""))
         MaterializedView.refreshJoinIncremental(spark,
           MaterializedView.JoinView(
             cat.resolveRoot(src),
@@ -1057,7 +1059,7 @@ private[connector] object GraftProcedures {
             factKey = joinProp(p, MvFactKeyProp, view),
             dimKey = joinProp(p, MvDimKeyProp, view),
             keys = csv(p.getOrElse(MvKeysProp, "")),
-            sumCols = csv(p.getOrElse(MvSumsProp, ""))))
+            sumCols = jSums, avgCols = jAvgs))
       case _ =>
         val (sums, avgs, ndvs) = aggSpecs(p.getOrElse(MvSumsProp, ""))
         MaterializedView.refreshIncremental(spark,
@@ -1290,15 +1292,24 @@ private[connector] object GraftProcedures {
         (spark, cat0, in) => {
           val view = in.getString(0)
           val keys = csv(in.getString(5))
-          val sums = csv(in.getString(6))
+          val rawSpecs = in.getString(6)
+          // sum/avg specs as create_mv; :ndv is single-table-only
+          // (deletes on a JOINED frame have no bounded recompute path
+          // — the StarView scaladoc's extrema argument)
+          val (sums, avgs, ndvs) = aggSpecs(rawSpecs)
+          require(ndvs.isEmpty,
+            "create_join_mv: ':ndv' is not maintainable on a join " +
+              "view (no bounded delete-recompute path over a joined " +
+              "frame); keep HLL-distinct views single-table")
           require(keys.nonEmpty, "create_join_mv: at least one group key")
-          require(sums.nonEmpty, "create_join_mv: at least one sum column")
+          require(sums.nonEmpty || avgs.nonEmpty,
+            "create_join_mv: at least one aggregate column")
           val viewRoot = cat0.resolveNewRoot(view)
           val jv = MaterializedView.JoinView(
             cat0.resolveRoot(in.getString(1)),
             cat0.resolveRoot(in.getString(2)), viewRoot,
             factKey = in.getString(3), dimKey = in.getString(4),
-            keys = keys, sumCols = sums)
+            keys = keys, sumCols = sums, avgCols = avgs)
           val v = MaterializedView.refreshJoinIncremental(spark, jv)
           SnapshotTable.setProperties(spark, viewRoot,
             SnapshotTable.tableProperties(spark, viewRoot) ++ Map(
@@ -1308,7 +1319,7 @@ private[connector] object GraftProcedures {
               MvFactKeyProp -> in.getString(3),
               MvDimKeyProp -> in.getString(4),
               MvKeysProp -> keys.mkString(","),
-              MvSumsProp -> sums.mkString(",")))
+              MvSumsProp -> csv(rawSpecs).mkString(",")))
           Row(v)
         })
       // REFRESH MATERIALIZED VIEW: reconstruct the definition from the

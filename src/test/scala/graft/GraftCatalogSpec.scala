@@ -1168,6 +1168,35 @@ class GraftCatalogSpec extends SparkSpec {
         "'db.mvspecsrc', 'o_orderstatus', 'o_custkey:distinct', '')")
     }
     assert(e.getMessage.contains("ndv"), e.getMessage)
+    // join MVs accept :avg (same derived quotient through the
+    // telescoping refresh) but refuse :ndv — no bounded
+    // delete-recompute path over a joined frame
+    Tables.load(spark, sfDir, "customer")
+      .select("c_custkey", "c_mktsegment")
+      .createOrReplaceTempView("mvspec_dim")
+    spark.sql("CREATE TABLE graft.db.mvspecdim AS " +
+      "SELECT * FROM mvspec_dim")
+    spark.sql("CALL graft.system.create_join_mv('db.mvspecjv', " +
+      "'db.mvspecsrc', 'db.mvspecdim', 'o_custkey', 'c_custkey', " +
+      "'c_mktsegment', 'o_totalprice:avg')")
+    val jGot = spark.sql(
+      "SELECT c_mktsegment, avg_o_totalprice FROM graft.db.mvspecjv " +
+        "ORDER BY c_mktsegment")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val jExp = spark.sql(
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+        |    / count(o_totalprice) AS a
+        |FROM mvspec_src JOIN mvspec_dim ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(jGot.toSeq == jExp.toSeq)
+    val e2 = intercept[Exception] {
+      spark.sql("CALL graft.system.create_join_mv('db.mvspecjv2', " +
+        "'db.mvspecsrc', 'db.mvspecdim', 'o_custkey', 'c_custkey', " +
+        "'c_mktsegment', 'o_custkey:ndv')")
+    }
+    assert(e2.getMessage.contains("single-table"), e2.getMessage)
   }
 
   test("retrieval procedures refuse unbounded driver collects: " +

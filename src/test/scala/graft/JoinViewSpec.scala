@@ -564,4 +564,72 @@ class JoinViewSpec extends SparkSpec {
       assert(served(v) == expected(v), "dim update via feed")
     } finally { qf.stop(); qd.stop() }
   }
+
+  test("avgCols on a JoinView: avg_<c> is served as the EXACT derived " +
+      "quotient through fact append, fact MOR-delete, dim MOR-update " +
+      "and a both-sides tick — bit-equal to a from-scratch recompute") {
+    val base = tmpRoot()
+    val v = MaterializedView.JoinView(
+      factRoot = base + "_fact", dimRoot = base + "_dim",
+      viewRoot = base + "_view",
+      factKey = "o_custkey", dimKey = "c_custkey",
+      keys = Seq("c_mktsegment"), sumCols = Nil,
+      avgCols = Seq("o_totalprice"))
+    val fact = factDf
+    SnapshotTable.commit(spark, v.factRoot, fact,
+      clusterKey = Some("o_custkey"), files = 8)
+    SnapshotTable.commit(spark, v.dimRoot, dimDf,
+      clusterKey = Some("c_custkey"), files = 4)
+    def expectedAvg(): Seq[String] = {
+      val f = SnapshotTable.read(spark, v.factRoot)
+      val d = SnapshotTable.read(spark, v.dimRoot)
+      f.join(d, f("o_custkey") === d("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(sum(col("o_totalprice").cast("decimal(20,2)"))
+          .as("s"), count(col("o_totalprice")).as("c"))
+        .select(col("c_mktsegment"),
+          (col("s").cast("double") / col("c")).as("a"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+    }
+    def servedAvg(): Seq[String] =
+      MaterializedView.read(spark, v)
+        .select(col("c_mktsegment"), col("avg_o_totalprice"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+    MaterializedView.refreshJoinIncremental(spark, v)
+    assert(servedAvg() == expectedAvg(), "bootstrap")
+    SnapshotTable.append(spark, v.factRoot,
+      fact.filter(col("o_orderkey") % 17 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice")))
+    MaterializedView.refreshJoinIncremental(spark, v)
+    assert(servedAvg() == expectedAvg(), "fact append")
+    SnapshotTable.deleteKeysOnRead(spark, v.factRoot,
+      fact.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
+      "o_orderkey")
+    MaterializedView.refreshJoinIncremental(spark, v)
+    assert(servedAvg() == expectedAvg(), "fact MOR delete")
+    SnapshotTable.mergeOnRead(spark, v.dimRoot,
+      dimDf.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment", lit("MOVED")),
+      "c_custkey")
+    SnapshotTable.append(spark, v.factRoot,
+      fact.filter(col("o_orderkey") % 19 === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+    MaterializedView.refreshJoinIncremental(spark, v)
+    assert(servedAvg() == expectedAvg(), "dim update + fact append")
+    // readFresh serves the same derived column without a commit
+    val cur = SnapshotTable.currentVersion(spark, v.viewRoot)
+    SnapshotTable.append(spark, v.factRoot,
+      fact.filter(col("o_orderkey") % 23 === 0)
+        .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+    val freshAvg = MaterializedView.readFresh(spark, v)
+      .select(col("c_mktsegment"), col("avg_o_totalprice"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(freshAvg == expectedAvg(), "readFresh derived avg")
+    assert(SnapshotTable.currentVersion(spark, v.viewRoot) == cur,
+      "readFresh committed")
+  }
 }
