@@ -391,6 +391,20 @@ object TextIndex {
     else SnapshotTable.read(spark, delsRoot(root)).count()
   }
 
+  /** Metadata-only observability row for the `index_status` SQL
+    * procedure — table properties + manifest row counts, zero data
+    * IO. */
+  def status(spark: SparkSession, root: String): Map[String, String] = {
+    val p = SnapshotTable.tableProperties(spark, root)
+    Map(
+      "kind" -> "text",
+      "version" -> SnapshotTable.currentVersion(spark, root).toString,
+      "analyzer_or_codec" -> analyzerOf(spark, root),
+      "layout" -> ("buckets=" + p.getOrElse("graft.bucket.count", "?")),
+      "dels" -> delsRows(spark, root).toString,
+      "maintenance" -> p.getOrElse(IndexMaintenance.Prop, "unclaimed"))
+  }
+
   /** PHYSICALLY PURGE tombstoned postings: rewrite the index to its
     * LIVE rows (the same era/cut filter every search applies), compact
     * the additive stats journal to one net row, and clear the dels

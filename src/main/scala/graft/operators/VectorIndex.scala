@@ -311,6 +311,20 @@ object VectorIndex {
     else SnapshotTable.read(spark, delsRoot(root)).count()
   }
 
+  /** Metadata-only observability row for the `index_status` SQL
+    * procedure: everything answers from table properties + manifest
+    * row counts — zero data IO. */
+  def status(spark: SparkSession, root: String): Map[String, String] = {
+    val p = SnapshotTable.tableProperties(spark, root)
+    Map(
+      "kind" -> "vector",
+      "version" -> SnapshotTable.currentVersion(spark, root).toString,
+      "analyzer_or_codec" -> p.getOrElse(CodecProp, "raw"),
+      "layout" -> ("nlist=" + p.getOrElse(NListProp, "?")),
+      "dels" -> delsRows(spark, root).toString,
+      "maintenance" -> p.getOrElse(IndexMaintenance.Prop, "unclaimed"))
+  }
+
   /** PHYSICALLY PURGE tombstoned rows: rewrite the index to its LIVE
     * rows (the same era/cut filter [[search]] applies) and clear the
     * dels set — the rebuild-is-the-purge path WITHOUT retraining the

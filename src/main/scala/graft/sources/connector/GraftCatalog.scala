@@ -964,7 +964,8 @@ private[connector] object GraftProcedures {
     "rollback_to", "rollback_to_timestamp",
     "create_mv", "create_join_mv", "refresh_mv", "mv_status",
     "create_text_index", "search_text",
-    "create_vector_index", "search_vectors")
+    "create_vector_index", "search_vectors",
+    "search_hybrid", "index_status")
 
   /** View-table properties persisting an MV definition, so
     * `refresh_mv('db.view')` needs only the view's name — the SQL-first
@@ -1496,6 +1497,90 @@ private[connector] object GraftProcedures {
             cat0.resolveRoot(in.getString(0)), qdf,
             k = k, nprobe = in.getInt(3))
             .collect().toSeq
+        })
+      // HYBRID RETRIEVAL through SQL: the BM25 text-index leg and the
+      // IVF vector-index leg, fused by reciprocal-rank (RRF, k=60) —
+      // the standard RAG serving shape as one CALL. The query string
+      // tokenizes with the text index's recorded analyzer; the query
+      // EMBEDDING comes from a 1-row queries table (q_id, embedding).
+      // Fusion runs driver-side over the two <= k ranked lists —
+      // procedure-sized by construction.
+      case "search_hybrid" => procMulti(cat, "search_hybrid",
+        Array(ProcedureParameter.in("text_index", StringType).build(),
+          ProcedureParameter.in("vector_index", StringType).build(),
+          ProcedureParameter.in("query", StringType).build(),
+          ProcedureParameter.in("queries", StringType).build(),
+          ProcedureParameter.in("k", IntegerType).build(),
+          ProcedureParameter.in("nprobe", IntegerType).build()),
+        StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("rrf", org.apache.spark.sql.types.DoubleType,
+            nullable = false),
+          StructField("lex_rk", IntegerType, nullable = true),
+          StructField("sem_rk", IntegerType, nullable = true))),
+        (spark, cat0, in) => {
+          import graft.operators.{TextIndex, VectorIndex}
+          val k = in.getInt(4)
+          require(k <= MaxProcedureK,
+            s"search_hybrid fuses two driver-side top-k lists; k=$k " +
+              s"exceeds the procedure bound $MaxProcedureK")
+          val tRoot = cat0.resolveRoot(in.getString(0))
+          val vRoot = cat0.resolveRoot(in.getString(1))
+          val qdf = SnapshotTable
+            .read(spark, cat0.resolveRoot(in.getString(3)))
+            .select("q_id", "embedding")
+          require(qdf.limit(2).count() == 1L,
+            s"search_hybrid expects a 1-row queries table (one query " +
+              s"embedding); '${in.getString(3)}' has another shape")
+          val terms = TextIndex.analyzeQuery(spark, tRoot,
+            in.getString(2))
+          val lex = TextIndex.searchBm25(spark, tRoot, terms, k)
+            .collect().zipWithIndex
+            .map { case (r, i) => r.getLong(0) -> (i + 1) }.toMap
+          val sem = VectorIndex.search(spark, vRoot, qdf, k,
+            nprobe = in.getInt(5))
+            .collect().map(r => r.getLong(2) -> r.getInt(1)).toMap
+          (lex.keySet ++ sem.keySet).toSeq.map { id =>
+            val rrf = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+              sem.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+            (id, BigDecimal(rrf).setScale(9,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }.sortBy { case (id, rrf) => (-rrf, id) }
+            .map { case (id, rrf) =>
+              Row(id, rrf,
+                lex.get(id).map(Int.box).orNull,
+                sem.get(id).map(Int.box).orNull)
+            }
+        })
+      // Index observability: one metadata-only row per persisted
+      // retrieval index — kind, version, analyzer/codec, layout,
+      // accumulated tombstones (manifest row counts) and the claimed
+      // maintenance mode. The freshness dashboard line for the
+      // retrieval layer, zero data IO (the mv_status twin).
+      case "index_status" => proc(cat, "index_status",
+        Array(ProcedureParameter.in("index", StringType).build()),
+        StructType(Seq(
+          StructField("kind", StringType, nullable = false),
+          StructField("version", LongType, nullable = false),
+          StructField("analyzer_or_codec", StringType, nullable = false),
+          StructField("layout", StringType, nullable = false),
+          StructField("dels", LongType, nullable = false),
+          StructField("maintenance", StringType, nullable = false))),
+        (spark, cat0, in) => {
+          val root = cat0.resolveRoot(in.getString(0))
+          val p = SnapshotTable.tableProperties(spark, root)
+          val st =
+            if (p.contains(graft.operators.TextIndex.AnalyzerProp))
+              graft.operators.TextIndex.status(spark, root)
+            else if (p.contains("graft.vectorindex.nlist"))
+              graft.operators.VectorIndex.status(spark, root)
+            else throw new IllegalArgumentException(
+              s"'${in.getString(0)}' is not a graft retrieval index " +
+                "(no analyzer / nlist property — was it created via " +
+                "CALL create_text_index / create_vector_index?)")
+          Row(st("kind"), st("version").toLong,
+            st("analyzer_or_codec"), st("layout"), st("dels").toLong,
+            st("maintenance"))
         })
       case "drop_branch" => proc(cat, "drop_branch",
         Array(ProcedureParameter.in("table", StringType).build(),

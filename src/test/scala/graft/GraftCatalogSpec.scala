@@ -1199,6 +1199,84 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e2.getMessage.contains("single-table"), e2.getMessage)
   }
 
+  test("search_hybrid: RRF fusion of the text and vector legs by " +
+      "name — agrees with hand-fused search_text + search_vectors, " +
+      "refuses multi-row query tables; index_status reports both " +
+      "index kinds metadata-only and refuses non-indexes") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").limit(400)
+    docs.createOrReplaceTempView("hyb_docs_src")
+    spark.sql("CREATE TABLE graft.db.hybdocs AS " +
+      "SELECT * FROM hyb_docs_src")
+    spark.sql("CALL graft.system.create_text_index(" +
+      "'db.hybtix', 'db.hybdocs', 16, 'whitespace')")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").limit(400)
+    emb.createOrReplaceTempView("hyb_emb_src")
+    spark.sql("CREATE TABLE graft.db.hybemb AS " +
+      "SELECT * FROM hyb_emb_src")
+    spark.sql("CALL graft.system.create_vector_index(" +
+      "'db.hybvix', 'db.hybemb', 8, 'sq8')")
+    spark.sql("CREATE TABLE graft.db.hybq AS " +
+      "SELECT vec_id AS q_id, embedding FROM hyb_emb_src " +
+      "WHERE vec_id = 0")
+    val fused = spark.sql("CALL graft.system.search_hybrid(" +
+      "'db.hybtix', 'db.hybvix', 'stream vector merge', 'db.hybq', " +
+      "10, 8)").collect()
+    assert(fused.nonEmpty)
+    // hand-fuse the two leg procedures and compare exactly
+    val lex = spark.sql("CALL graft.system.search_text(" +
+      "'db.hybtix', 'stream vector merge', 10, 'or')").collect()
+      .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1) }.toMap
+    val sem = spark.sql("CALL graft.system.search_vectors(" +
+      "'db.hybvix', 'db.hybq', 10, 8)").collect()
+      .map(r => r.getLong(2) -> r.getInt(1)).toMap
+    val expect = (lex.keySet ++ sem.keySet).toSeq.map { id =>
+      val rrf = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        sem.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, BigDecimal(rrf).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, rrf) => (-rrf, id) }
+    assert(fused.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      expect, "procedure fusion diverged from hand fusion")
+    // ranks surface and are consistent with the legs
+    fused.foreach { r =>
+      val id = r.getLong(0)
+      assert((if (r.isNullAt(2)) None else Some(r.getInt(2))) ==
+        lex.get(id))
+      assert((if (r.isNullAt(3)) None else Some(r.getInt(3))) ==
+        sem.get(id))
+    }
+    // a multi-row "queries" table refuses
+    spark.sql("CREATE TABLE graft.db.hybqmulti AS " +
+      "SELECT vec_id AS q_id, embedding FROM hyb_emb_src " +
+      "WHERE vec_id < 3")
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.search_hybrid(" +
+        "'db.hybtix', 'db.hybvix', 'stream', 'db.hybqmulti', 5, 8)")
+        .collect()
+    }
+    assert(e.getMessage.contains("1-row"), e.getMessage)
+    // index_status: both kinds, metadata-only
+    val ts = spark.sql(
+      "CALL graft.system.index_status('db.hybtix')").head()
+    assert(ts.getString(0) == "text" &&
+      ts.getString(2) == "whitespace" &&
+      ts.getString(3).startsWith("buckets=") &&
+      ts.getLong(4) == 0L && ts.getString(5) == "unclaimed", ts.toString)
+    val vs = spark.sql(
+      "CALL graft.system.index_status('db.hybvix')").head()
+    assert(vs.getString(0) == "vector" &&
+      vs.getString(2) == "sq8" && vs.getString(3) == "nlist=8" &&
+      vs.getLong(4) == 0L, vs.toString)
+    val e2 = intercept[Exception] {
+      spark.sql("CALL graft.system.index_status('db.hybdocs')")
+        .collect()
+    }
+    assert(e2.getMessage.contains("not a graft retrieval index"),
+      e2.getMessage)
+  }
+
   test("retrieval procedures refuse unbounded driver collects: " +
       "search_vectors rejects a corpus-sized queries table (capped " +
       "count, one limit job) and an oversized k; search_text rejects " +
