@@ -372,4 +372,34 @@ class DedupSpec extends SparkSpec {
       again.select("vec_id", "cid", "csim").orderBy("vec_id")
         .collect().toSeq)
   }
+
+  test("dedup_token_jaccard PPJoin form == the naive blocked " +
+      "all-pairs form, pair-for-pair and score-for-score (the prefix " +
+      "filter provably admits every true pair)") {
+    import org.apache.spark.sql.functions._
+    graft.functions.SketchFunctions.register(spark)
+    val d = Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id", "lang", "source",
+        "array_distinct(split(text, ' ')) AS toks")
+    val a = d.select(col("doc_id").as("a_id"), col("lang"),
+      col("source"), col("toks").as("a_toks"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"),
+      col("source"), col("toks").as("b_toks"))
+    val naive = a.join(b, Seq("lang", "source"))
+      .filter(col("a_id") < col("b_id"))
+      .selectExpr("a_id", "b_id",
+        "graft_jaccard(a_toks, b_toks) AS jaccard")
+      .filter(col("jaccard") >= 0.8)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ppjoin = graft.operators.Dedup
+      .queries("dedup_token_jaccard")(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ppjoin == naive,
+      s"PPJoin diverged from naive: only-ppjoin=" +
+        s"${(ppjoin -- naive).take(5)} only-naive=" +
+        s"${(naive -- ppjoin).take(5)}")
+    assert(naive.nonEmpty, "fixture produced no near-dup pairs")
+  }
 }

@@ -353,6 +353,61 @@ class VectorIndexSpec extends SparkSpec {
       s"old incarnation resurfaced: $c3b at $cos3b")
   }
 
+  test("SQ8-coded index under CDC: an embeddings-table MOR UPDATE " +
+      "nets to the NEW vector and the re-rank fetch serves the " +
+      "NEWEST raw row (max-era) — served scores exactly match an " +
+      "uncoded index maintained by the same changelog") {
+    import graft.sources.SnapshotTable
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-vixcdc8").toString
+    val src = base + "/emb_src"
+    val coded = base + "/ix8"
+    val plain = base + "/ix"
+    val day0 = embeddings.filter(col("vec_id") < 400)
+    SnapshotTable.commit(spark, src, day0, clusterKey = Some("vec_id"))
+    VectorIndex.build(spark, day0, coded, nlist = 8, iters = 5,
+      trainCap = 400, codec = Some("sq8"))
+    VectorIndex.build(spark, day0, plain, nlist = 8, iters = 5,
+      trainCap = 400)
+    val q8 = VectorIndex.cdcIndexSink(spark, src, coded, base + "/cp8",
+      "vixcdc8", startingVersion = 2L)
+    val qp = VectorIndex.cdcIndexSink(spark, src, plain, base + "/cpp",
+      "vixcdcp", startingVersion = 2L)
+    try {
+      // v2: MOR UPDATE — vector 5 becomes a clone of vector 11; the
+      // coded path must land BOTH a new code row and a new raw row
+      SnapshotTable.mergeOnRead(spark, src,
+        embeddings.filter(col("vec_id") === 11)
+          .selectExpr("CAST(5 AS BIGINT) AS vec_id", "embedding"),
+        "vec_id")
+      // v3: append fresh vectors
+      SnapshotTable.append(spark, src,
+        embeddings.filter(col("vec_id") >= 400 && col("vec_id") < 430))
+      q8.processAllAvailable(); qp.processAllAvailable()
+    } finally { q8.stop(); qp.stop() }
+    val qs = embeddings
+      .filter(col("vec_id") === 11 || col("vec_id") === 3)
+      .selectExpr("vec_id AS q_id", "embedding")
+    def results(r: String) =
+      VectorIndex.search(spark, r, qs, k = 3, nprobe = 8)
+        .collect().map(x =>
+          (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+        .toSeq
+    // full probe: both indexes see the same live set; the coded
+    // index's exact re-rank must reproduce the raw cosine scores
+    // EXACTLY — including for updated id 5, whose raw sidecar now
+    // holds two rows and must serve the max-era one
+    assert(results(coded) == results(plain),
+      "coded CDC index diverged from the uncoded twin")
+    val top11 = VectorIndex.search(spark, coded,
+        embeddings.filter(col("vec_id") === 11)
+          .selectExpr("vec_id AS q_id", "embedding"), 1, nprobe = 8)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).head
+    assert(top11 == ((5L, 1.0)),
+      s"MOR update did not net to the new vector on the coded path: " +
+        s"$top11")
+  }
+
   test("dels hygiene: a long CDC run with purgeDelsAfter keeps the " +
       "tombstone set bounded, results stay exact across the " +
       "auto-purge, and probes keep pruning") {
