@@ -424,7 +424,7 @@ private[connector] class GraftDataWriter(segAbs: String,
   override def close(): Unit = ()
 }
 
-private[connector] object GraftDataWriter {
+private[sources] object GraftDataWriter {
 
   /** A parquet writer fed Spark `InternalRow`s directly through
     * Spark's own `ParquetWriteSupport` — the exact engine (and
