@@ -1944,6 +1944,15 @@ object SnapshotTable {
         s"identity partitioning does not support ${field.dataType
           .simpleString} keys (int/long/short/byte/string/date)"))
     val seg = newSegmentPath(root)
+    // single-pass staging (see stageSegment): tasks split one file per
+    // distinct key tuple and compute each file's stats while writing
+    if (inlineStatsEnabled(spark)) {
+      val entries = writePartitionedInline(spark, root, seg, df, fields)
+      val tailK = fields.drop(1).map(_.name)
+      return (seg, if (tailK.isEmpty) entries
+      else entries.map(e =>
+        e.copy(colNulls = e.colNulls ++ tailK.map(_ -> 0L))))
+    }
     // one hash repartition on the full tuple co-locates same-tuple
     // rows, then the dynamic split writes one file per distinct tuple
     // per task (nested __pvN=value directories — the REAL columns
@@ -1994,6 +2003,129 @@ object SnapshotTable {
     (seg, if (tail.isEmpty) entries
     else entries.map(e =>
       e.copy(colNulls = e.colNulls ++ tail.map(_ -> 0L))))
+  }
+
+  /** Single-pass identity-partitioned staging: one hash repartition on
+    * the key tuple co-locates same-tuple rows, then each task writes
+    * one lazily-created, VALUE-PURE file per distinct tuple it sees,
+    * accumulating the same per-file stats the read-back pass recorded
+    * (head-key min == max range + null count, tail-key ranges, NDV
+    * registers, rows, bytes). NULL keys refuse with the same
+    * IllegalArgumentException the directory-walk check raised, the
+    * segment deleted and nothing committed. */
+  private def writePartitionedInline(spark: SparkSession, root: String,
+      seg: Path, df: DataFrame, fields: Seq[StructField])
+  : Seq[FileEntry] = {
+    val schema = df.schema
+    def idxOf(k: String): Int =
+      schema.fieldNames.indexWhere(_.equalsIgnoreCase(k))
+    val keySpec = fields.map(fd =>
+      (fd.name, idxOf(fd.name), fd.dataType))
+    val ndvCols = ndvStatFields(spark, schema,
+      fields.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet)
+    val ndvSpec = ndvCols.map(fd => (fd.name, idxOf(fd.name), fd.dataType))
+    val shaped = df.repartition(fields.map(fd => col(bq(fd.name))): _*)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val segStr = seg.toString
+    val schemaJson = schema.json
+    val NullKeyMsg = "NULL partition key in an identity-partitioned " +
+      "write (the layout has no partition for NULL)"
+    val stats =
+      try shaped.queryExecution.toRdd.mapPartitionsWithIndex {
+        (pid, it) =>
+          val taskSchema =
+            DataType.fromJson(schemaJson).asInstanceOf[StructType]
+          val tc = org.apache.spark.TaskContext.get()
+          val attempt = if (tc == null) 0L else tc.taskAttemptId()
+          final class FileAcc(n: Int) {
+            val name = f"part-$pid%05d-$attempt-p$n.snappy.parquet"
+            val path = new Path(segStr, name)
+            val writer = connector.GraftDataWriter.nativeWriter(path,
+              taskSchema)
+            val mm = keySpec.map { case (_, _, dt) => new MinMaxAcc(dt) }
+            val ndv = ndvSpec.map(_ => new Array[Byte](1 << NdvPrecision))
+            var rows = 0L
+          }
+          val open = scala.collection.mutable.LinkedHashMap
+            .empty[Seq[Any], FileAcc]
+          // immutable tuple key: UTF8String cells alias reused buffers
+          def keyOf(r: org.apache.spark.sql.catalyst.InternalRow)
+          : Seq[Any] = keySpec.map { case (_, i, dt) =>
+            require(!r.isNullAt(i), NullKeyMsg)
+            r.get(i, dt) match {
+              case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+              case x => x
+            }
+          }
+          try {
+            while (it.hasNext) {
+              val r = it.next()
+              val acc = open.getOrElseUpdate(keyOf(r),
+                new FileAcc(open.size))
+              var j = 0
+              while (j < keySpec.length) {
+                val (_, i, dt) = keySpec(j)
+                acc.mm(j).add(r.get(i, dt))
+                j += 1
+              }
+              j = 0
+              while (j < ndvSpec.length) {
+                val (_, i, dt) = ndvSpec(j)
+                if (!r.isNullAt(i)) graft.functions.Hll.add(acc.ndv(j),
+                  graft.functions.Hll.hashValue(r.get(i, dt), dt))
+                j += 1
+              }
+              acc.writer.write(r)
+              acc.rows += 1
+            }
+            open.values.foreach(_.writer.close())
+          } catch {
+            case e: Throwable =>
+              open.values.foreach { a =>
+                try a.writer.close() catch { case _: Throwable => () }
+                try a.path.getFileSystem(
+                  new org.apache.hadoop.conf.Configuration())
+                  .delete(a.path, false)
+                catch { case _: Throwable => () }
+              }
+              throw e
+          }
+          open.values.iterator.map { a =>
+            val len = a.path.getFileSystem(
+              new org.apache.hadoop.conf.Configuration())
+              .getFileStatus(a.path).getLen
+            val k0 = a.mm.head
+            InlineFileStats(a.name, a.rows, len,
+              renderStat(k0.lo, keySpec.head._3, tz),
+              renderStat(k0.hi, keySpec.head._3, tz), k0.nulls, None,
+              None, None,
+              keySpec.zip(a.mm).drop(1).map { case ((k, _, dt), m) =>
+                (k, renderStat(m.lo, dt, tz), renderStat(m.hi, dt, tz)) },
+              ndvSpec.zip(a.ndv).map { case ((n, _, _), regs) =>
+                (n, regs) })
+          }.toList.iterator
+      }.collect().toSeq.sortBy(_.name)
+      catch {
+        case e: Throwable =>
+          // surface the NULL-key refusal as the API-level
+          // IllegalArgumentException callers (and specs) rely on
+          var c: Throwable = e
+          var isNull = false
+          while (c != null && !isNull) {
+            isNull = Option(c.getMessage).exists(_.contains(NullKeyMsg))
+            c = c.getCause
+          }
+          fs(spark, root).delete(seg, true)
+          if (isNull) throw new IllegalArgumentException(NullKeyMsg)
+          throw e
+      }
+    stats.map { s =>
+      FileEntry(s"_data/${seg.getName}/${s.name}", Some(fields.head.name),
+        s.lo, s.hi, statsNulls = Some(s.nulls),
+        extraStats = s.extras.collect {
+          case (k, Some(l), Some(h)) => (k, l, h) },
+        ndv = s.ndv, rows = Some(s.rows), bytes = Some(s.bytes))
+    }
   }
 
   /** The grid-cell id of a key tuple: per-key `pmod(murmur3(k_i),

@@ -112,6 +112,16 @@ class InlineStatsSpec extends SparkSpec {
     assert(on.forall(_.statsFor("__bucket").isDefined))
   }
 
+  test("identity-partitioned commit: value-pure files match") {
+    val df = zoo.withColumn("day",
+      concat(lit("d"), col("id") % 5)).filter(col("s").isNotNull)
+    val (on, off) = both(df, (root, d) =>
+      SnapshotTable.commitPartitionedOn(spark, root, d,
+        Seq("day", "s")): Unit)
+    assertSameStats(on, off)
+    assert(on.forall(e => e.lo == e.hi && e.colNulls.contains("s" -> 0L)))
+  }
+
   test("empty batch stages a readable empty segment") {
     val root = tmp() + "/empty"
     SnapshotTable.commit(spark, root, zoo.filter(lit(false)),
