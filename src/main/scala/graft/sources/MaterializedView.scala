@@ -103,7 +103,8 @@ object MaterializedView {
     val result = v.transform(
       SnapshotTable.readVersion(spark, v.sourceRoot, sourceV))
     val viewV = SnapshotTable.commit(spark, v.viewRoot, result,
-      clusterKey = v.clusterKey)
+      clusterKey = v.clusterKey,
+      files = SnapshotTable.adaptiveFiles(spark, v.viewRoot))
     writeFreshness(spark, v.viewRoot, sourceV, viewV)
     viewV
   }
@@ -265,7 +266,8 @@ object MaterializedView {
     val (merged, cleanup) = incrDeltaFrame(spark, v, viewCur, delta, curV)
     val viewV =
       try SnapshotTable.commitExpecting(spark, v.viewRoot, merged,
-        expectedCurrent = viewCur, clusterKey = v.keys.headOption)
+        expectedCurrent = viewCur, clusterKey = v.keys.headOption,
+        files = SnapshotTable.adaptiveFiles(spark, v.viewRoot))
       catch {
         // a concurrent refresh landed first: applying OUR delta onto
         // ITS rollup would double-count the overlap — recompute instead
@@ -441,7 +443,8 @@ object MaterializedView {
       SnapshotTable.readVersion(spark, viewRoot, viewCur),
       keys, sumCols, deltaAgg, avgCols = avgCols)
     SnapshotTable.commitExpecting(spark, viewRoot, merged,
-      expectedCurrent = viewCur, clusterKey = keys.headOption)
+      expectedCurrent = viewCur, clusterKey = keys.headOption,
+      files = SnapshotTable.adaptiveFiles(spark, viewRoot))
   }
 
   /** ALWAYS-FRESH serving without a refresh: the committed rollup ⊕
@@ -624,7 +627,8 @@ object MaterializedView {
       val (merged, cleanup) = incrDeltaFrame(spark, v, viewCur, signed, hi)
       val viewV =
         try SnapshotTable.commitExpecting(spark, v.viewRoot, merged,
-          expectedCurrent = viewCur, clusterKey = v.keys.headOption)
+          expectedCurrent = viewCur, clusterKey = v.keys.headOption,
+          files = SnapshotTable.adaptiveFiles(spark, v.viewRoot))
         catch {
           case _: SnapshotTable.CommitConflict =>
             return refresh(spark, asView(v))
@@ -830,7 +834,8 @@ object MaterializedView {
         (SnapshotTable.readVersion(spark, d.root, vs(i + 1)), d) })
     val viewV = SnapshotTable.commit(spark, v.viewRoot,
       starRollup(joined, v.keys, v.allSums, v.avgCols),
-      clusterKey = v.keys.headOption)
+      clusterKey = v.keys.headOption,
+      files = SnapshotTable.adaptiveFiles(spark, v.viewRoot))
     writeStarFreshness(spark, v.viewRoot, vs, viewV)
     viewV
   }

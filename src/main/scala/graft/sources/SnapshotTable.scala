@@ -1288,6 +1288,28 @@ object SnapshotTable {
       e: FileEntry): Long =
     e.bytes.orElse(fileLen(f, root, e.path)).getOrElse(0L)
 
+  /** SCALE-ADAPTIVE file count for re-committing a table whose current
+    * size is knowable from its manifest (metadata-only, no data IO):
+    * one ~128 MB file per 128 MB of current data, clamped to
+    * [1, cap]. The materialized-view refresh paths use this instead of
+    * a constant 8: a KB-scale rollup commits ONE file — and because
+    * `RangePartitioner(partitions = 1)` needs no range bounds, the
+    * range-clustering SAMPLE PASS (a full extra evaluation of the
+    * refresh's merge frame) disappears with it — while a view that has
+    * grown past 128 MB gets proportionally more files, up to `cap`.
+    * Never-committed roots fall back to the old default (8): there is
+    * nothing to size from, and a bootstrap rollup can be large. */
+  private[sources] def adaptiveFiles(spark: SparkSession, root: String,
+      cap: Int = 64): Int = {
+    val v = currentVersion(spark, root)
+    if (v == 0L) return 8
+    val f = fs(spark, root)
+    val bytes = manifest(spark, root, v).filter(_.kind == "d")
+      .map(e => entryBytes(f, root, e)).sum
+    val target = 128L << 20
+    math.max(1, math.min(cap, ((bytes + target - 1) / target).toInt))
+  }
+
   /** Row count from a parquet file's footer; None if unreadable (the
     * manifest entry then simply carries no count — every consumer
     * treats a missing count as "must read the data"). */
