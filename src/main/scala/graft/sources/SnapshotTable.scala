@@ -4250,13 +4250,19 @@ object SnapshotTable {
         val (dataSeg, dataEntries) =
           stageSegment(spark, root, updates, Some(key), files,
             bloomFor(updates, tableBloomKey(prior)))
-        // manifest-stats check (zero data IO): when no existing file's
-        // key range can contain an update key, the batch is provably
-        // all-inserts — skip the tombstone, keeping the history
-        // append-only (and diff/incremental-MV on their O(batch)
-        // path). Monotone-key ingest takes this branch every batch.
-        val (touched, _) = touchedFiles(spark, root,
-          prior.filter(_.kind == "d"), updates, key)
+        // manifest-stats check (zero data IO, zero jobs): when no
+        // existing file's key range can overlap a STAGED file's key
+        // range, the batch is provably all-inserts — skip the
+        // tombstone, keeping the history append-only (and
+        // diff/incremental-MV on their O(batch) path). Monotone-key
+        // ingest takes this branch every batch. The staged segment's
+        // own per-file ranges replace the broadcast-join
+        // classification job the old form ran: interval overlap is a
+        // sound (conservative) superset of per-key containment — no
+        // overlap still PROVES all-inserts, and a false overlap only
+        // writes a tombstone that kills nothing.
+        val touched = rangesTouchLocal(prior.filter(_.kind == "d"),
+          dataEntries, key, updates.schema(key).dataType)
         val (segs, entries) =
           if (touched.isEmpty) (Seq(dataSeg), prior ++ dataEntries)
           else {
@@ -4824,10 +4830,18 @@ object SnapshotTable {
           val keysDf = addedTombs.map(t =>
             spark.read.parquet(absolute(root, t)))
             .reduce(_.unionByName(_)).distinct()
-          val (touched, _) = touchedFiles(spark, root, aData, keysDf, key)
+          // probe rows collect FIRST: a small tombstone set then
+          // classifies + bloom-prunes driver-side from one evaluation
+          // of keysDf (the join form evaluated it a second time and
+          // launched a classification job)
           val probeRows = keysDf.limit(MaxBloomProbeKeys + 1).collect()
+          val probesSmall = probeRows.length <= MaxBloomProbeKeys
+          val (touched, _) =
+            if (probesSmall) touchedFilesLocal(spark, aData,
+              probeRows.map(_.get(0)), keysDf.schema(key).dataType, key)
+            else touchedFiles(spark, root, aData, keysDf, key)
           val pruned =
-            if (probeRows.length <= MaxBloomProbeKeys)
+            if (probesSmall)
               bloomPrune(touched, probeRows.map(_.get(0)),
                 keysDf.schema(key).dataType, key)
             else touched
@@ -5106,6 +5120,68 @@ object SnapshotTable {
     }
   }
 
+  /** Prior files whose recorded key range OVERLAPS any staged file's
+    * range — the metadata-only form of the touched-files test when the
+    * probe side is itself a staged segment with per-file stats. A
+    * prior file without stats on `key` is conservatively touched; a
+    * staged file without stats holds only NULL keys, which match no
+    * range (SQL comparison semantics), so it contributes no interval.
+    * Zero Spark jobs. */
+  private def rangesTouchLocal(prior: Seq[FileEntry],
+      staged: Seq[FileEntry], key: String, dt: DataType)
+  : Seq[FileEntry] =
+    statOrdering(dt) match {
+      case None => prior
+      case Some(cmp) =>
+        val ranges = staged.flatMap(_.statsFor(key))
+        prior.filter(e => e.statsFor(key) match {
+          case None => true
+          case Some((plo, phi)) => ranges.exists { case (sl, sh) =>
+            cmp(sl, phi) <= 0 && cmp(sh, plo) >= 0 }
+        })
+    }
+
+  /** Driver-side twin of [[touchedFiles]] for an ALREADY-COLLECTED
+    * probe set: classify files by whether any probe falls inside their
+    * recorded [lo, hi] — a sorted-probe binary search per file in the
+    * SAME rendered-string coordinate system [[pruneOf]] prunes in,
+    * zero Spark jobs (the broadcast-join form launched one per call;
+    * a point lookup's keys are already on the driver). Unorderable
+    * types conservatively touch everything, like the join form's
+    * untyped fallback never pruning incorrectly. */
+  private def touchedFilesLocal(spark: SparkSession,
+      entries: Seq[FileEntry], probes: Array[Any], dt: DataType,
+      key: String): (Seq[FileEntry], Seq[FileEntry]) = {
+    val (withStats, without) =
+      entries.partition(_.statsFor(key).isDefined)
+    if (withStats.isEmpty) return (entries, Seq.empty)
+    statOrdering(dt) match {
+      case None => (entries, Seq.empty)
+      case Some(cmp) =>
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        val rendered = probes.iterator.filter(_ != null)
+          .flatMap(v => renderStat(Bloom.toCatalyst(v), dt, tz))
+          .toArray
+        java.util.Arrays.sort(rendered, new java.util.Comparator[String] {
+          override def compare(a: String, b: String): Int = cmp(a, b)
+        })
+        def anyIn(lo: String, hi: String): Boolean = {
+          var a = 0
+          var b = rendered.length
+          while (a < b) {
+            val m = (a + b) >>> 1
+            if (cmp(rendered(m), lo) < 0) a = m + 1 else b = m
+          }
+          a < rendered.length && cmp(rendered(a), hi) <= 0
+        }
+        val (touched, carried) = withStats.partition { e =>
+          val (l, h) = e.statsFor(key).get
+          anyIn(l, h)
+        }
+        (without ++ touched, carried)
+    }
+  }
+
   /** Point-lookup read: the rows whose `key` equals a value in `keys`
     * (a DataFrame exposing the key column). Scan planning first: only
     * files whose manifest [lo, hi] can contain one of the requested
@@ -5144,7 +5220,13 @@ object SnapshotTable {
       if (small) spark.createDataFrame(
         java.util.Arrays.asList(firstBatch: _*), castKeys.schema)
       else castKeys
-    val (statsTouched, _) = touchedFiles(spark, root, data, lookup, key)
+    // small key sets classify files DRIVER-SIDE against the collected
+    // probes (zero jobs); only a join-sized key set pays the
+    // broadcast-join classification job
+    val (statsTouched, _) =
+      if (small) touchedFilesLocal(spark, data,
+        firstBatch.map(_.get(0)), lookup.schema(key).dataType, key)
+      else touchedFiles(spark, root, data, lookup, key)
     val touched =
       if (small)
         bloomPrune(statsTouched, firstBatch.map(_.get(0)),
