@@ -643,7 +643,7 @@ object SnapshotTable {
 
   /** Everything [[statsEntries]] derives per file, computed by the
     * WRITE TASK itself while the rows stream into parquet. */
-  private case class InlineFileStats(name: String, rows: Long,
+  private[sources] case class InlineFileStats(name: String, rows: Long,
       bytes: Long, lo: Option[String], hi: Option[String], nulls: Long,
       bloom: Option[Array[Byte]],
       lo2: Option[String], hi2: Option[String],
@@ -655,7 +655,7 @@ object SnapshotTable {
     * sum(CASE WHEN c IS NULL ...)` in the read-back pass, using the
     * same interpreted ordering those aggregates use. Retained values
     * are copied when they alias task-reused buffers (UTF8String). */
-  private class MinMaxAcc(dt: DataType) extends Serializable {
+  private[sources] class MinMaxAcc(dt: DataType) extends Serializable {
     private val ord = org.apache.spark.sql.catalyst.util.TypeUtils
       .getInterpretedOrdering(dt)
     var lo: Any = null
@@ -676,13 +676,121 @@ object SnapshotTable {
   /** Render a catalyst value the way the read-back pass did
     * (`cast(x AS STRING)` under the session time zone) — manifests
     * from both paths are bit-identical. */
-  private def renderStat(v: Any, dt: DataType, tz: String)
+  private[sources] def renderStat(v: Any, dt: DataType, tz: String)
   : Option[String] =
     Option(v).map { x =>
       org.apache.spark.sql.catalyst.expressions.Cast(
         org.apache.spark.sql.catalyst.expressions.Literal(x, dt),
         StringType, Option(tz)).eval().toString
     }
+
+  /** Serializable per-file stats recipe for the DataSource V2 writers:
+    * which row positions to range/bloom/NDV-sketch while writing, so a
+    * V2 commit (SQL INSERT / CTAS / MERGE / DELETE rewrite) needs no
+    * read-back stats pass and no footer reads either — the same
+    * single-pass contract the native staging paths have. None when
+    * the session disabled inline staging. */
+  private[sources] case class InlineStatsSpec(
+      ck: Option[(Int, DataType)], bk: Option[(Int, DataType)],
+      ze: Seq[(String, Int, DataType)],
+      ndv: Seq[(String, Int, DataType)], tz: String)
+
+  private[sources] def inlineStatsSpec(spark: SparkSession,
+      schema: StructType, clusterKey: Option[String],
+      bloomKey: Option[String], gridExtra: Seq[String] = Nil)
+  : Option[InlineStatsSpec] = {
+    if (!inlineStatsEnabled(spark)) return None
+    // a stat column absent from this batch's schema records nothing
+    // (e.g. a DELETE's plan carries no data columns — the old
+    // read-back pass never ran for those writes either)
+    def present(k: String): Boolean =
+      schema.fieldNames.exists(_.equalsIgnoreCase(k))
+    def spec1(k: String): (Int, DataType) = {
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(k))
+      (i, schema(i).dataType)
+    }
+    val ckP = clusterKey.filter(present)
+    val bkP = bloomKey.filter(present)
+    val zeP = gridExtra.filter(present)
+    val passCols = (ckP.toSeq ++ bkP ++ zeP)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val ndvCols =
+      if (ckP.isEmpty && bkP.isEmpty &&
+        spark.conf.getOption("spark.graft.stats.ndv.mode")
+          .getOrElse("auto") != "all") Nil
+      else ndvStatFields(spark, schema, passCols)
+    Some(InlineStatsSpec(ckP.map(spec1), bkP.map(spec1),
+      zeP.map(k => (k, spec1(k)._1, spec1(k)._2)),
+      ndvCols.map(fd => (fd.name, spec1(fd.name)._1, fd.dataType)),
+      spark.sessionState.conf.sessionLocalTimeZone))
+  }
+
+  /** Task-side accumulator over one file's rows for an
+    * [[InlineStatsSpec]] — the V2 writers feed every written row
+    * through [[add]] and read the finished [[InlineFileStats]] at
+    * commit. Same primitives (interpreted orderings, Hll/Bloom adds,
+    * Cast-to-string rendering) as the native inline staging, so
+    * manifests agree with the read-back pass bit-for-bit. */
+  private[sources] final class InlineStatsAcc(spec: InlineStatsSpec) {
+    private val ck = spec.ck.map { case (_, dt) => new MinMaxAcc(dt) }
+    private val ze = spec.ze.map { case (_, _, dt) => new MinMaxAcc(dt) }
+    private val ndvRegs =
+      spec.ndv.map(_ => new Array[Byte](1 << NdvPrecision))
+    private val bloomBits =
+      Bloom.bitsFor(BloomExpectedItems, BloomFppPct / 100.0)
+    private val bloomHashes = Bloom.hashesFor(bloomBits, BloomExpectedItems)
+    private val bloomWords =
+      spec.bk.map(_ => new Array[Long](bloomBits >> 6))
+    private var rows = 0L
+
+    def add(r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      spec.ck.foreach { case (i, dt) =>
+        ck.get.add(if (r.isNullAt(i)) null else r.get(i, dt)) }
+      var j = 0
+      while (j < spec.ze.length) {
+        val (_, i, dt) = spec.ze(j)
+        ze(j).add(if (r.isNullAt(i)) null else r.get(i, dt))
+        j += 1
+      }
+      j = 0
+      while (j < spec.ndv.length) {
+        val (_, i, dt) = spec.ndv(j)
+        if (!r.isNullAt(i)) graft.functions.Hll.add(ndvRegs(j),
+          graft.functions.Hll.hashValue(r.get(i, dt), dt))
+        j += 1
+      }
+      spec.bk.foreach { case (i, dt) =>
+        if (!r.isNullAt(i)) Bloom.add(bloomWords.get, bloomHashes,
+          graft.functions.Hll.hashValue(r.get(i, dt), dt)) }
+      rows += 1
+    }
+
+    def finish(name: String, bytes: Long): InlineFileStats =
+      InlineFileStats(name, rows, bytes,
+        ck.flatMap(a => renderStat(a.lo, spec.ck.get._2, spec.tz)),
+        ck.flatMap(a => renderStat(a.hi, spec.ck.get._2, spec.tz)),
+        ck.map(_.nulls).getOrElse(0L),
+        bloomWords.map(w => Bloom.toBytes(bloomHashes,
+          Bloom.shrinkToTarget(w, bloomHashes, BloomFppPct / 100.0))),
+        None, None,
+        spec.ze.zip(ze).map { case ((k, _, dt), a) =>
+          (k, renderStat(a.lo, dt, spec.tz),
+            renderStat(a.hi, dt, spec.tz)) },
+        spec.ndv.zip(ndvRegs).map { case ((n, _, _), regs) =>
+          (n, regs) })
+  }
+
+  /** [[FileEntry]] from a task-computed [[InlineFileStats]] — the same
+    * shaping [[statsEntries]] applies to its read-back rows. */
+  private[sources] def inlineEntry(rel: String, s: InlineFileStats,
+      clusterKey: Option[String], bloomKey: Option[String]): FileEntry =
+    FileEntry(rel, clusterKey, s.lo, s.hi,
+      bloomKey = bloomKey.filter(_ => s.bloom.isDefined),
+      bloom = s.bloom,
+      statsNulls = clusterKey.map(_ => s.nulls),
+      extraStats = s.extras.collect {
+        case (k, Some(l), Some(h)) => (k, l, h) },
+      ndv = s.ndv, rows = Some(s.rows), bytes = Some(s.bytes))
 
   /** Write `shaped` as one parquet file per non-empty partition via
     * the connector's native row writer, computing all per-file
@@ -719,6 +827,7 @@ object SnapshotTable {
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val segStr = seg.toString
     val schemaJson = schema.json
+    val pconf = connector.GraftDataWriter.sessionParquetConf(spark)
     val bloomBits = Bloom.bitsFor(BloomExpectedItems, BloomFppPct / 100.0)
     val bloomHashes = Bloom.hashesFor(bloomBits, BloomExpectedItems)
     val stats = shaped.queryExecution.toRdd.mapPartitionsWithIndex {
@@ -731,7 +840,8 @@ object SnapshotTable {
           val attempt = if (tc == null) 0L else tc.taskAttemptId()
           val name = f"part-$pid%05d-$attempt.snappy.parquet"
           val p = new Path(segStr, name)
-          val writer = connector.GraftDataWriter.nativeWriter(p, taskSchema)
+          val writer =
+            connector.GraftDataWriter.nativeWriter(p, taskSchema, pconf)
           val ck = ckSpec.map { case (_, dt) => new MinMaxAcc(dt) }
           val zk = zkSpec.map { case (_, dt) => new MinMaxAcc(dt) }
           val ze = zeSpec.map { case (_, _, dt) => new MinMaxAcc(dt) }
@@ -797,7 +907,8 @@ object SnapshotTable {
       // the segment stays readable — mirror that exactly
       val name = "part-00000-0.snappy.parquet"
       val p = new Path(seg, name)
-      val w = connector.GraftDataWriter.nativeWriter(p, schema)
+      val w = connector.GraftDataWriter.nativeWriter(p, schema,
+        connector.GraftDataWriter.sessionParquetConf(spark))
       w.close()
       val len = fs(spark, root).getFileStatus(p).getLen
       return Seq(FileEntry(s"_data/${seg.getName}/$name", clusterKey,
@@ -2050,6 +2161,7 @@ object SnapshotTable {
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val segStr = seg.toString
     val schemaJson = schema.json
+    val pconf = connector.GraftDataWriter.sessionParquetConf(spark)
     val NullKeyMsg = "NULL partition key in an identity-partitioned " +
       "write (the layout has no partition for NULL)"
     val stats =
@@ -2063,7 +2175,7 @@ object SnapshotTable {
             val name = f"part-$pid%05d-$attempt-p$n.snappy.parquet"
             val path = new Path(segStr, name)
             val writer = connector.GraftDataWriter.nativeWriter(path,
-              taskSchema)
+              taskSchema, pconf)
             val mm = keySpec.map { case (_, _, dt) => new MinMaxAcc(dt) }
             val ndv = ndvSpec.map(_ => new Array[Byte](1 << NdvPrecision))
             var rows = 0L
@@ -2295,6 +2407,7 @@ object SnapshotTable {
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val segStr = seg.toString
     val schemaJson = schema.json
+    val pconf = connector.GraftDataWriter.sessionParquetConf(spark)
     val stats = shaped.queryExecution.toRdd.mapPartitionsWithIndex {
       (pid, it) =>
         val taskSchema =
@@ -2313,7 +2426,7 @@ object SnapshotTable {
           val name = f"part-$pid%05d-$attempt-b$bucket.snappy.parquet"
           val path = new Path(segStr, name)
           val writer = connector.GraftDataWriter.nativeWriter(path,
-            taskSchema)
+            taskSchema, pconf)
           val mm = keySpec.map { case (_, _, dt) => new MinMaxAcc(dt) }
           val ndv = ndvSpec.map(_ => new Array[Byte](1 << NdvPrecision))
           var rows = 0L

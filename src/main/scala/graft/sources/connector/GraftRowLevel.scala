@@ -275,7 +275,8 @@ private[connector] class GraftDeltaWrite(root: String,
 }
 
 private[connector] case class GraftDeltaTaskFiles(
-    data: Seq[(String, Int)], tomb: Option[String])
+    data: Seq[(String, Int, Option[SnapshotTable.InlineFileStats])],
+    tomb: Option[(String, Option[SnapshotTable.InlineFileStats])])
   extends WriterCommitMessage
 
 private[connector] class GraftDeltaBatchWrite(root: String,
@@ -289,39 +290,48 @@ private[connector] class GraftDeltaBatchWrite(root: String,
       throw new IllegalArgumentException(
         s"merge key '$key' not in table schema")).copy(name = key)))
 
+  // data files inherit the table layout's stats/bloom for pruning;
+  // tombstones record key min/max so the read side can skip applying
+  // them to disjoint files. Single-pass: the delta writers accumulate
+  // these while writing (see SnapshotTable.InlineStatsAcc).
+  private val (ck, bk) =
+    SnapshotTable.layoutOf(SparkSession.active, root)
+  private val dataSpec = SnapshotTable.inlineStatsSpec(
+    SparkSession.active, rowSchema, ck.orElse(Some(key)), bk)
+  private val tombSpec = SnapshotTable.inlineStatsSpec(
+    SparkSession.active, keySchema, Some(key), None)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
   : DeltaWriterFactory = new GraftDeltaWriterFactory(dataSeg.toString,
     tombSeg.toString, rowSchema.json, keySchema.json,
     if (bucketSpec.isDefined)
       rowSchema.fieldNames.indexWhere(_.equalsIgnoreCase(key))
     else -1,
-    bucketSpec.getOrElse(0))
+    bucketSpec.getOrElse(0), dataSpec, tombSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val dataFiles = messages.toSeq.collect {
-      case GraftDeltaTaskFiles(ds, _) => ds.map { case (name, b) =>
-        (s"_data/${dataSeg.getName}/$name", b) }
+      case GraftDeltaTaskFiles(ds, _) => ds.map { case (name, b, st) =>
+        (s"_data/${dataSeg.getName}/$name", b, st) }
     }.flatten.sortBy(_._1)
     val dataRel = dataFiles.map(_._1)
-    val bucketOf = dataFiles.toMap
-    val tombRel = messages.toSeq.collect {
-      case GraftDeltaTaskFiles(_, Some(name)) =>
-        s"_data/${tombSeg.getName}/$name"
-    }.sorted
+    val bucketOf = dataFiles.map(f => f._1 -> f._2).toMap
+    val tombFiles = messages.toSeq.collect {
+      case GraftDeltaTaskFiles(_, Some((name, st))) =>
+        (s"_data/${tombSeg.getName}/$name", st)
+    }.sortBy(_._1)
+    val tombRel = tombFiles.map(_._1)
     val f = SnapshotTable.fs(spark, root)
     if (dataRel.isEmpty && tombRel.isEmpty) {
       f.delete(dataSeg, true); f.delete(tombSeg, true)
       return // nothing matched and nothing inserted
     }
-    // data files inherit the table layout's stats/bloom for pruning;
-    // tombstones record key min/max so the read side can skip
-    // applying them to disjoint files. On a bucketed table each data
-    // file additionally records its bucket id (the writer split
-    // guarantees one bucket per file), keeping SPJ reportable.
-    val (ck, bk) = SnapshotTable.layoutOf(spark, root)
     val dataEntries0 =
       if (dataRel.isEmpty) Seq.empty
+      else if (dataSpec.isDefined && dataFiles.forall(_._3.isDefined))
+        dataFiles.map { case (r, _, st) =>
+          SnapshotTable.inlineEntry(r, st.get, ck.orElse(Some(key)), bk) }
       else SnapshotTable.statsEntries(spark, root, dataSeg, dataRel,
         ck.orElse(Some(key)), bk)
     val dataEntries =
@@ -331,6 +341,9 @@ private[connector] class GraftDeltaBatchWrite(root: String,
           bucketOf(e.path).toString)))
     val tombEntries =
       if (tombRel.isEmpty) Seq.empty
+      else if (tombSpec.isDefined && tombFiles.forall(_._2.isDefined))
+        tombFiles.map { case (r, st) =>
+          SnapshotTable.inlineEntry(r, st.get, Some(key), None) }
       else SnapshotTable.statsEntries(spark, root, tombSeg, tombRel,
         Some(key), None)
     val batchSchema = if (dataRel.isEmpty) StructType(Nil) else rowSchema
@@ -353,11 +366,15 @@ private[connector] class GraftDeltaBatchWrite(root: String,
 
 private[connector] class GraftDeltaWriterFactory(dataSegAbs: String,
     tombSegAbs: String, rowSchemaJson: String, keySchemaJson: String,
-    bucketKeyIdx: Int, buckets: Int) extends DeltaWriterFactory {
+    bucketKeyIdx: Int, buckets: Int,
+    dataSpec: Option[SnapshotTable.InlineStatsSpec] = None,
+    tombSpec: Option[SnapshotTable.InlineStatsSpec] = None)
+  extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
     new GraftDeltaWriter(dataSegAbs, tombSegAbs, rowSchemaJson,
-      keySchemaJson, bucketKeyIdx, buckets, partitionId, taskId)
+      keySchemaJson, bucketKeyIdx, buckets, partitionId, taskId,
+      dataSpec, tombSpec)
 }
 
 /** Lazy parquet writers per task: data rows (inserts + update
@@ -370,7 +387,9 @@ private[connector] class GraftDeltaWriterFactory(dataSegAbs: String,
   * count, not tasks × buckets. */
 private[connector] class GraftDeltaWriter(dataSegAbs: String,
     tombSegAbs: String, rowSchemaJson: String, keySchemaJson: String,
-    bucketKeyIdx: Int, buckets: Int, partitionId: Int, taskId: Long)
+    bucketKeyIdx: Int, buckets: Int, partitionId: Int, taskId: Long,
+    dataSpec: Option[SnapshotTable.InlineStatsSpec] = None,
+    tombSpec: Option[SnapshotTable.InlineStatsSpec] = None)
   extends DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
 
   import org.apache.spark.sql.catalyst.InternalRow
@@ -387,9 +406,11 @@ private[connector] class GraftDeltaWriter(dataSegAbs: String,
       // across task attempts once buckets exceed the fold base, and an
       // aliased retry's abort() deletes the committed attempt's file.
       new GraftDataWriter(dataSegAbs, rowSchemaJson, partitionId, taskId,
-        suffix = if (bucket < 0) "" else s"-b$bucket"))
+        suffix = if (bucket < 0) "" else s"-b$bucket",
+        statsSpec = dataSpec))
   private val tombW =
-    new GraftDataWriter(tombSegAbs, keySchemaJson, partitionId, taskId)
+    new GraftDataWriter(tombSegAbs, keySchemaJson, partitionId, taskId,
+      statsSpec = tombSpec)
 
   /** `pmod(murmur3(key), n)` over the row's key value — must agree
     * with the layout function in SnapshotTable.commitBucketed and the
@@ -430,10 +451,11 @@ private[connector] class GraftDeltaWriter(dataSegAbs: String,
 
   override def commit(): WriterCommitMessage = {
     val ds = dataWriters.toSeq.sortBy(_._1).flatMap { case (b, w) =>
-      w.commit().asInstanceOf[GraftTaskFile].name.map(_ -> b)
+      val tf = w.commit().asInstanceOf[GraftTaskFile]
+      tf.name.map(n => (n, b, tf.stats))
     }
     val t = tombW.commit().asInstanceOf[GraftTaskFile]
-    GraftDeltaTaskFiles(ds, t.name)
+    GraftDeltaTaskFiles(ds, t.name.map(n => (n, t.stats)))
   }
 
   override def abort(): Unit = {
@@ -453,24 +475,37 @@ private[connector] class GraftReplaceBatchWrite(root: String,
 
   private val seg = SnapshotTable.newSegmentPath(root)
 
+  // a fresh partitioned table has no entries for layoutOf to read the
+  // cluster key from — the declared keys still govern; composite-
+  // layout tail keys record extraStats ranges so the rewritten files
+  // keep their tuple purity evidence. Single-pass: accumulated by the
+  // write tasks (see SnapshotTable.InlineStatsAcc).
+  private val statsKey = clusterKey.orElse(partitionKeys.headOption)
+  private val statsSpec = SnapshotTable.inlineStatsSpec(
+    SparkSession.active, schema, statsKey, bloomKey,
+    partitionKeys.drop(1))
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
   : DataWriterFactory =
     if (partitionKeys.nonEmpty)
       new GraftPartitionedWriterFactory(seg.toString, schema.json,
         partitionKeys.map(pk =>
-          schema.fieldNames.indexWhere(_.equalsIgnoreCase(pk))))
-    else new GraftWriterFactory(seg.toString, schema.json)
+          schema.fieldNames.indexWhere(_.equalsIgnoreCase(pk))),
+        statsSpec)
+    else new GraftWriterFactory(seg.toString, schema.json, statsSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     // sorted into partition order, same rule as every other commit
-    val rel = messages.toSeq.flatMap {
-      case GraftTaskFile(Some(name)) =>
-        Seq(s"_data/${seg.getName}/$name")
+    val files = messages.toSeq.flatMap {
+      case GraftTaskFile(Some(name), st) =>
+        Seq((s"_data/${seg.getName}/$name", st))
       case GraftPartitionedTaskFiles(fs) =>
-        fs.map(name => s"_data/${seg.getName}/$name")
+        fs.map { case (name, st) =>
+          (s"_data/${seg.getName}/$name", st) }
       case _ => Seq.empty
-    }.sorted
+    }.sortBy(_._1)
+    val rel = files.map(_._1)
     val removed = op.plannedFiles.map(_.path).toSet
     if (rel.isEmpty && removed.isEmpty) {
       // nothing read, nothing written (e.g. the condition pruned every
@@ -480,12 +515,11 @@ private[connector] class GraftReplaceBatchWrite(root: String,
     }
     val entries0 =
       if (rel.isEmpty) Seq.empty
+      else if (statsSpec.isDefined && files.forall(_._2.isDefined))
+        files.map { case (r, st) =>
+          SnapshotTable.inlineEntry(r, st.get, statsKey, bloomKey) }
       else SnapshotTable.statsEntries(spark, root, seg, rel,
-        // a fresh partitioned table has no entries for layoutOf to
-        // read the cluster key from — the declared keys still govern;
-        // composite-layout tail keys record extraStats ranges so the
-        // rewritten files keep their tuple purity evidence
-        clusterKey.orElse(partitionKeys.headOption), bloomKey,
+        statsKey, bloomKey,
         zorderExtra = partitionKeys.drop(1))
     val partTail = partitionKeys.drop(1)
     val entries =

@@ -144,19 +144,22 @@ private[connector] class GraftWrite(root: String, schema: StructType,
       bucketSpec, partitionSpec)
 }
 
-private[connector] case class GraftTaskFile(name: Option[String])
+private[connector] case class GraftTaskFile(name: Option[String],
+    stats: Option[SnapshotTable.InlineFileStats] = None)
   extends WriterCommitMessage
 
-/** Per-task files of a bucketed append: one (file, bucket) pair per
-  * non-empty bucket the task saw. */
+/** Per-task files of a bucketed append: one (file, bucket, stats)
+  * triple per non-empty bucket the task saw. */
 private[connector] case class GraftBucketedTaskFiles(
-    files: Seq[(String, Int)]) extends WriterCommitMessage
+    files: Seq[(String, Int, Option[SnapshotTable.InlineFileStats])])
+  extends WriterCommitMessage
 
 /** Per-task files of an identity-partitioned append: one file per
   * distinct partition value the task saw (the value itself is NOT
   * carried — the manifest's min == max stats record it). */
 private[connector] case class GraftPartitionedTaskFiles(
-    files: Seq[String]) extends WriterCommitMessage
+    files: Seq[(String, Option[SnapshotTable.InlineFileStats])])
+  extends WriterCommitMessage
 
 private[connector] class GraftBatchWrite(root: String,
     schema: StructType, replace: Boolean, clusterKey: Option[String],
@@ -166,15 +169,34 @@ private[connector] class GraftBatchWrite(root: String,
 
   private val seg: Path = SnapshotTable.newSegmentPath(root)
 
+  private val statsKey = clusterKey.orElse(bucketSpec.map(_.head._1))
+    .orElse(partitionSpec.map(_.head))
+  // the FULL grid/identity layout feeds the stats pass: secondary
+  // keys get per-file ranges (extraStats) and NDV sketches just like
+  // commitBucketedOn's stageBucketed — one key-less append would
+  // otherwise drop the secondary key's table-wide NDV (ndvEstimates'
+  // all-files rule) and stop range pruning on it for the new files
+  private val gridExtra = (bucketSpec.toSeq.flatten.map(_._1) ++
+    partitionSpec.toSeq.flatten.drop(1))
+    .filterNot(k => statsKey.exists(_.equalsIgnoreCase(k)))
+  // single-pass stats (see SnapshotTable.stageSegment): the tasks
+  // compute every per-file stat while writing; None restores the
+  // read-back pass
+  private val statsSpec = SnapshotTable.inlineStatsSpec(
+    SparkSession.active, schema, statsKey, bloomKey, gridExtra)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
   : DataWriterFactory = (bucketSpec, partitionSpec) match {
     case (Some(layout), _) => new GraftBucketedWriterFactory(
       seg.toString, schema.json, layout.map { case (k, n) =>
-        schema.fieldNames.indexWhere(_.equalsIgnoreCase(k)) -> n })
+        schema.fieldNames.indexWhere(_.equalsIgnoreCase(k)) -> n },
+      statsSpec)
     case (None, Some(pks)) => new GraftPartitionedWriterFactory(
       seg.toString, schema.json, pks.map(pk =>
-        schema.fieldNames.indexWhere(_.equalsIgnoreCase(pk))))
-    case _ => new GraftWriterFactory(seg.toString, schema.json)
+        schema.fieldNames.indexWhere(_.equalsIgnoreCase(pk))),
+      statsSpec)
+    case _ => new GraftWriterFactory(seg.toString, schema.json,
+      statsSpec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -182,28 +204,22 @@ private[connector] class GraftBatchWrite(root: String,
     // sorted: commit-message arrival order is task-completion order,
     // but manifest order should be partition order (see stageSegment)
     val files = messages.toSeq.flatMap {
-      case GraftTaskFile(Some(name)) =>
-        Seq(s"_data/${seg.getName}/$name" -> -1)
-      case GraftBucketedTaskFiles(fs) => fs.map { case (name, b) =>
-        s"_data/${seg.getName}/$name" -> b }
+      case GraftTaskFile(Some(name), st) =>
+        Seq((s"_data/${seg.getName}/$name", -1, st))
+      case GraftBucketedTaskFiles(fs) => fs.map { case (name, b, st) =>
+        (s"_data/${seg.getName}/$name", b, st) }
       case GraftPartitionedTaskFiles(fs) =>
-        fs.map(name => s"_data/${seg.getName}/$name" -> -1)
+        fs.map { case (name, st) =>
+          (s"_data/${seg.getName}/$name", -1, st) }
       case _ => Seq.empty
     }.sortBy(_._1)
     val rel = files.map(_._1)
     if (rel.isEmpty && !replace) return // empty append: nothing to commit
-    val statsKey = clusterKey.orElse(bucketSpec.map(_.head._1))
-      .orElse(partitionSpec.map(_.head))
-    // the FULL grid/identity layout feeds the stats pass: secondary
-    // keys get per-file ranges (extraStats) and NDV sketches just like
-    // commitBucketedOn's stageBucketed — one key-less append would
-    // otherwise drop the secondary key's table-wide NDV (ndvEstimates'
-    // all-files rule) and stop range pruning on it for the new files
-    val gridExtra = (bucketSpec.toSeq.flatten.map(_._1) ++
-      partitionSpec.toSeq.flatten.drop(1))
-      .filterNot(k => statsKey.exists(_.equalsIgnoreCase(k)))
     val entries1 =
       if (rel.isEmpty) Seq.empty
+      else if (statsSpec.isDefined && files.forall(_._3.isDefined))
+        files.map { case (r, _, st) =>
+          SnapshotTable.inlineEntry(r, st.get, statsKey, bloomKey) }
       else SnapshotTable.statsEntries(spark, root, seg, rel,
         statsKey, bloomKey, zorderExtra = gridExtra)
     // composite identity layout: tail-key NULL counts are zero BY
@@ -214,7 +230,7 @@ private[connector] class GraftBatchWrite(root: String,
       if (partTail.isEmpty) entries1
       else entries1.map(e =>
         e.copy(colNulls = e.colNulls ++ partTail.map(_ -> 0L)))
-    val bucketOf = files.toMap
+    val bucketOf = files.map(f => f._1 -> f._2).toMap
     val entries =
       if (bucketSpec.isEmpty) entries0
       else entries0.map(e => e.copy(extraStats = e.extraStats :+
@@ -233,12 +249,13 @@ private[connector] class GraftBatchWrite(root: String,
 }
 
 private[connector] class GraftBucketedWriterFactory(segAbs: String,
-    schemaJson: String, bucketKeyIdxs: Seq[(Int, Int)])
+    schemaJson: String, bucketKeyIdxs: Seq[(Int, Int)],
+    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DataWriter[InternalRow] =
     new GraftBucketedAppendWriter(segAbs, schemaJson, bucketKeyIdxs,
-      partitionId, taskId)
+      partitionId, taskId, statsSpec)
 }
 
 /** Bucketed append writer: rows split per grid cell — PER KEY
@@ -252,7 +269,9 @@ private[connector] class GraftBucketedWriterFactory(segAbs: String,
   * reports. */
 private[connector] class GraftBucketedAppendWriter(segAbs: String,
     schemaJson: String, bucketKeyIdxs: Seq[(Int, Int)],
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None)
+  extends DataWriter[InternalRow] {
 
   private val keyTypes = {
     val fields = DataType.fromJson(schemaJson)
@@ -269,7 +288,7 @@ private[connector] class GraftBucketedAppendWriter(segAbs: String,
   private def w(bucket: Int): GraftDataWriter =
     writers.getOrElseUpdate(bucket,
       new GraftDataWriter(segAbs, schemaJson, partitionId, taskId,
-        suffix = s"-b$bucket"))
+        suffix = s"-b$bucket", statsSpec = statsSpec))
 
   private def bucketFor(row: InternalRow): Int = {
     var cell = 0
@@ -300,7 +319,8 @@ private[connector] class GraftBucketedAppendWriter(segAbs: String,
   override def commit(): WriterCommitMessage =
     GraftBucketedTaskFiles(writers.toSeq.sortBy(_._1).flatMap {
       case (b, dw) =>
-        dw.commit().asInstanceOf[GraftTaskFile].name.map(_ -> b)
+        val tf = dw.commit().asInstanceOf[GraftTaskFile]
+        tf.name.map(n => (n, b, tf.stats))
     })
 
   override def abort(): Unit = writers.values.foreach(_.abort())
@@ -309,11 +329,13 @@ private[connector] class GraftBucketedAppendWriter(segAbs: String,
 }
 
 private[connector] class GraftPartitionedWriterFactory(segAbs: String,
-    schemaJson: String, keyIdxs: Seq[Int]) extends DataWriterFactory {
+    schemaJson: String, keyIdxs: Seq[Int],
+    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None)
+  extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DataWriter[InternalRow] =
     new GraftPartitionedAppendWriter(segAbs, schemaJson, keyIdxs,
-      partitionId, taskId)
+      partitionId, taskId, statsSpec)
 }
 
 /** Identity-partitioned append writer: one lazy file per DISTINCT
@@ -327,7 +349,9 @@ private[connector] class GraftPartitionedWriterFactory(segAbs: String,
   * stats, never the name. */
 private[connector] class GraftPartitionedAppendWriter(segAbs: String,
     schemaJson: String, keyIdxs: Seq[Int], partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long,
+    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None)
+  extends DataWriter[InternalRow] {
 
   private val keyTypes = {
     val fields = DataType.fromJson(schemaJson)
@@ -360,11 +384,14 @@ private[connector] class GraftPartitionedAppendWriter(segAbs: String,
   override def write(row: InternalRow): Unit =
     writers.getOrElseUpdate(keyOf(row),
       new GraftDataWriter(segAbs, schemaJson, partitionId, taskId,
-        suffix = s"-p${writers.size}")).write(row)
+        suffix = s"-p${writers.size}", statsSpec = statsSpec))
+      .write(row)
 
   override def commit(): WriterCommitMessage =
-    GraftPartitionedTaskFiles(writers.values.toSeq.flatMap(
-      _.commit().asInstanceOf[GraftTaskFile].name).sorted)
+    GraftPartitionedTaskFiles(writers.values.toSeq.flatMap { dw =>
+      val tf = dw.commit().asInstanceOf[GraftTaskFile]
+      tf.name.map(n => (n, tf.stats))
+    }.sortBy(_._1))
 
   override def abort(): Unit = writers.values.foreach(_.abort())
 
@@ -372,10 +399,13 @@ private[connector] class GraftPartitionedAppendWriter(segAbs: String,
 }
 
 private[connector] class GraftWriterFactory(segAbs: String,
-    schemaJson: String) extends DataWriterFactory {
+    schemaJson: String,
+    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None)
+  extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DataWriter[InternalRow] =
-    new GraftDataWriter(segAbs, schemaJson, partitionId, taskId)
+    new GraftDataWriter(segAbs, schemaJson, partitionId, taskId,
+      statsSpec = statsSpec)
 }
 
 /** One parquet file per non-empty task, written with parquet-mr's
@@ -386,7 +416,9 @@ private[connector] class GraftWriterFactory(segAbs: String,
   * commit or clean. */
 private[connector] class GraftDataWriter(segAbs: String,
     schemaJson: String, partitionId: Int, taskId: Long,
-    suffix: String = "") extends DataWriter[InternalRow] {
+    suffix: String = "",
+    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None)
+  extends DataWriter[InternalRow] {
 
   private val schema =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -394,6 +426,10 @@ private[connector] class GraftDataWriter(segAbs: String,
     f"part-$partitionId%05d-$taskId$suffix.snappy.parquet"
   private val filePath = new Path(segAbs, fileName)
   private var writer: ParquetWriter[InternalRow] = _
+  // single-pass manifest stats, accumulated while writing (see
+  // SnapshotTable.InlineStatsAcc) — shipped to the driver in the
+  // commit message so the V2 commit needs no read-back pass
+  private val acc = statsSpec.map(new SnapshotTable.InlineStatsAcc(_))
 
   /** The NATIVE write path: Spark's own [[org.apache.spark.sql
     * .execution.datasources.parquet.ParquetWriteSupport]] streams
@@ -405,12 +441,19 @@ private[connector] class GraftDataWriter(segAbs: String,
   override def write(row: InternalRow): Unit = {
     if (writer == null)
       writer = GraftDataWriter.nativeWriter(filePath, schema)
+    acc.foreach(_.add(row))
     writer.write(row)
   }
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) writer.close()
-    GraftTaskFile(if (writer != null) Some(fileName) else None)
+    if (writer == null) GraftTaskFile(None)
+    else GraftTaskFile(Some(fileName), acc.map { a =>
+      val len = filePath
+        .getFileSystem(new Configuration()).getFileStatus(filePath)
+        .getLen
+      a.finish(fileName, len)
+    })
   }
 
   override def abort(): Unit = {
@@ -434,10 +477,26 @@ private[sources] object GraftDataWriter {
     * explicitly so executor-side writes never depend on a session:
     * standard (non-legacy) layouts, micros timestamps, proleptic
     * (CORRECTED) datetimes. */
-  def nativeWriter(filePath: Path, schema: StructType)
+  /** The session's `parquet.*` hadoop keys (block/page/dictionary
+    * sizing and friends) — captured DRIVER-SIDE and replayed onto the
+    * task's bare Configuration so a native write honors the same
+    * writer tuning `df.write.parquet` would. */
+  def sessionParquetConf(spark: SparkSession): Seq[(String, String)] = {
+    val it = spark.sessionState.newHadoopConf().iterator()
+    val buf = Seq.newBuilder[(String, String)]
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith("parquet.")) buf += e.getKey -> e.getValue
+    }
+    buf.result()
+  }
+
+  def nativeWriter(filePath: Path, schema: StructType,
+      extraConf: Seq[(String, String)] = Nil)
   : ParquetWriter[InternalRow] = {
     import org.apache.spark.sql.internal.SQLConf
     val conf = new Configuration()
+    extraConf.foreach { case (k, v) => conf.set(k, v) }
     org.apache.spark.sql.execution.datasources.parquet
       .ParquetWriteSupport.setSchema(schema, conf)
     // every key the write support / schema converter reads, pinned
@@ -452,8 +511,20 @@ private[sources] object GraftDataWriter {
     conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
     conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
       "CORRECTED")
+    // ParquetWriter.Builder does NOT read the sizing keys off the
+    // Configuration the way ParquetOutputFormat does — apply them
+    // explicitly so `parquet.block.size` / `parquet.page.size` /
+    // dictionary toggles behave exactly as under `df.write.parquet`
     new NativeBuilder(filePath).withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withRowGroupSize(conf.getLong("parquet.block.size",
+        ParquetWriter.DEFAULT_BLOCK_SIZE.toLong))
+      .withPageSize(conf.getInt("parquet.page.size",
+        ParquetWriter.DEFAULT_PAGE_SIZE))
+      .withDictionaryPageSize(conf.getInt("parquet.dictionary.page.size",
+        ParquetWriter.DEFAULT_PAGE_SIZE))
+      .withDictionaryEncoding(conf.getBoolean("parquet.enable.dictionary",
+        ParquetWriter.DEFAULT_IS_DICTIONARY_ENABLED))
       .build()
   }
 

@@ -856,8 +856,22 @@ class GraftCatalogSpec extends SparkSpec {
       "CALL graft.system.expire_snapshots('db.proc', 1)").head()
     assert(e.getLong(0) >= 2, s"expected >=2 expired versions, got $e")
 
+    // expire now reclaims expired segments WHOLE (single-pass staging
+    // leaves no _SUCCESS residue to keep the emptied directory alive),
+    // so vacuum's reap contract is demonstrated on what vacuum is FOR:
+    // an orphaned staging segment no manifest ever referenced (the
+    // crashed-committer leftover)
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(root,
+      "_data/seg-orphan-crashed/part-00000-0.snappy.parquet")
+    val out = fsys.create(orphan, false)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+
     val g = spark.sql("CALL graft.system.vacuum('db.proc', 0)").head()
     assert(g.getLong(0) >= 1, s"vacuum reaped nothing: $g")
+    assert(!fsys.exists(orphan.getParent),
+      "vacuum left the orphaned segment behind")
     // the table still reads exactly after the full maintenance pass
     assert(spark.table("graft.db.proc").count() == 3990)
   }
