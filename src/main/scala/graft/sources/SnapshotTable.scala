@@ -830,7 +830,10 @@ object SnapshotTable {
     val pconf = connector.GraftDataWriter.sessionParquetConf(spark)
     val bloomBits = Bloom.bitsFor(BloomExpectedItems, BloomFppPct / 100.0)
     val bloomHashes = Bloom.hashesFor(bloomBits, BloomExpectedItems)
-    val stats = shaped.queryExecution.toRdd.mapPartitionsWithIndex {
+    val qe = shaped.queryExecution
+    val stats = org.apache.spark.sql.execution.SQLExecution
+      .withNewExecutionId(qe, Some("graft_stage_segment")) {
+      qe.toRdd.mapPartitionsWithIndex {
       (pid, it) =>
         if (!it.hasNext) Iterator.empty
         else {
@@ -901,7 +904,8 @@ object SnapshotTable {
             ndvSpec.zip(ndvRegs).map { case ((n, _, _), regs) =>
               (n, regs) }))
         }
-    }.collect().toSeq.sortBy(_.name)
+    }.collect()
+    }.toSeq.sortBy(_.name)
     if (stats.isEmpty) {
       // an all-empty batch: df.write.parquet leaves one empty file so
       // the segment stays readable — mirror that exactly
@@ -1417,7 +1421,12 @@ object SnapshotTable {
     val f = fs(spark, root)
     val bytes = manifest(spark, root, v).filter(_.kind == "d")
       .map(e => entryBytes(f, root, e)).sum
-    val target = 128L << 20
+    // production file-size goal; conf'd so deployments (and specs
+    // proving multi-file layouts at fixture scale) can set their own
+    val target = spark.conf
+      .getOption("spark.graft.commit.targetFileBytes")
+      .flatMap(v0 => scala.util.Try(v0.toLong).toOption)
+      .filter(_ > 0).getOrElse(128L << 20)
     math.max(1, math.min(cap, ((bytes + target - 1) / target).toInt))
   }
 
@@ -2164,8 +2173,11 @@ object SnapshotTable {
     val pconf = connector.GraftDataWriter.sessionParquetConf(spark)
     val NullKeyMsg = "NULL partition key in an identity-partitioned " +
       "write (the layout has no partition for NULL)"
+    val qe = shaped.queryExecution
     val stats =
-      try shaped.queryExecution.toRdd.mapPartitionsWithIndex {
+      try org.apache.spark.sql.execution.SQLExecution
+        .withNewExecutionId(qe, Some("graft_stage_partitioned")) {
+        qe.toRdd.mapPartitionsWithIndex {
         (pid, it) =>
           val taskSchema =
             DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -2238,7 +2250,8 @@ object SnapshotTable {
               ndvSpec.zip(a.ndv).map { case ((n, _, _), regs) =>
                 (n, regs) })
           }.toList.iterator
-      }.collect().toSeq.sortBy(_.name)
+      }.collect()
+      }.toSeq.sortBy(_.name)
       catch {
         case e: Throwable =>
           // surface the NULL-key refusal as the API-level
@@ -2408,7 +2421,10 @@ object SnapshotTable {
     val segStr = seg.toString
     val schemaJson = schema.json
     val pconf = connector.GraftDataWriter.sessionParquetConf(spark)
-    val stats = shaped.queryExecution.toRdd.mapPartitionsWithIndex {
+    val qe = shaped.queryExecution
+    val stats = org.apache.spark.sql.execution.SQLExecution
+      .withNewExecutionId(qe, Some("graft_stage_bucketed")) {
+      qe.toRdd.mapPartitionsWithIndex {
       (pid, it) =>
         val taskSchema =
           DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -2488,7 +2504,8 @@ object SnapshotTable {
             ndvSpec.zip(a.ndv).map { case ((n, _, _), regs) =>
               (n, regs) })
         }.toList.iterator
-    }.collect().toSeq.sortBy(_.name)
+    }.collect()
+    }.toSeq.sortBy(_.name)
     stats.map { s =>
       FileEntry(s"_data/${seg.getName}/${s.name}", Some(keys.head._1),
         s.lo, s.hi, statsNulls = Some(s.nulls),

@@ -1387,10 +1387,16 @@ class SnapshotTableSpec extends SparkSpec {
       (1 to 20000).map(i => (i % 4000, i.toDouble)).toDF("k", "x"))
     val iv = MaterializedView.IncrementalView(src, tmpRoot(),
       keys = Seq("k"), sumCols = Seq("x"))
-    MaterializedView.refreshIncremental(spark, iv) // full, clustered
-    SnapshotTable.append(spark, src,
-      (1 to 100).map(i => (i, 2.0)).toDF("k", "x"))
-    MaterializedView.refreshIncremental(spark, iv) // delta, clustered
+    // view file count is scale-adaptive (bytes / targetFileBytes);
+    // a KB-scale fixture view would be one file — shrink the target
+    // so the layout spans files and the pruning property is provable
+    spark.conf.set("spark.graft.commit.targetFileBytes", "4096")
+    try {
+      MaterializedView.refreshIncremental(spark, iv) // full, clustered
+      SnapshotTable.append(spark, src,
+        (1 to 100).map(i => (i, 2.0)).toDF("k", "x"))
+      MaterializedView.refreshIncremental(spark, iv) // delta, clustered
+    } finally spark.conf.unset("spark.graft.commit.targetFileBytes")
     val cur = SnapshotTable.currentVersion(spark, iv.viewRoot)
     val total = SnapshotTable.manifest(spark, iv.viewRoot, cur).size
     assert(total > 1, "view must span multiple files to prove pruning")
