@@ -161,6 +161,13 @@ object Bloom {
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts)
     case d: java.sql.Date =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
+    // collected decimal Rows are java BigDecimal; catalyst consumers
+    // (Literal validation in renderStat, most directly) reject the
+    // external form, and Hll.hashValue canonicalizes both identically
+    case b: java.math.BigDecimal =>
+      org.apache.spark.sql.types.Decimal(b)
+    case b: scala.math.BigDecimal =>
+      org.apache.spark.sql.types.Decimal(b)
     case other => other
   }
 

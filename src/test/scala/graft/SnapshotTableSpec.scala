@@ -1535,4 +1535,36 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got == want && got.forall(k => k > 2000L),
       "pruned MOR read must apply tombstones identically")
   }
+
+  test("DECIMAL keys: point lookups, MOR merge and diff classify " +
+      "collected BigDecimal probes driver-side without a job") {
+    val root = tmpRoot()
+    val df = spark.range(1, 1001)
+      .select((col("id") + lit(0.25)).cast("decimal(12,2)").as("k"),
+        concat(lit("v"), col("id")).as("v"))
+    SnapshotTable.merge(spark, root, df, "k", files = 4)
+    // small key set -> touchedFilesLocal classifies the collected
+    // java.math.BigDecimal probes on the driver (the regression:
+    // Literal(BigDecimal, DecimalType) fails catalyst validation
+    // unless toCatalyst converts to Decimal first)
+    val got = SnapshotTable.readKeys(spark, root, "k",
+      Seq("7.25", "500.25").toDF("k"))
+    assert(got.count() == 2)
+    assert(got.select("v").as[String].collect().sorted.toSeq ==
+      Seq("v500", "v7"))
+    // MOR update whose range overlaps -> tombstone; diff then probes
+    // the prior files with the tombstone's collected decimals
+    val upd = Seq(("7.25", "v7b")).toDF("k", "v")
+      .select(col("k").cast("decimal(12,2)").as("k"), col("v"))
+    SnapshotTable.mergeOnRead(spark, root, upd, "k", files = 1)
+    val d = SnapshotTable.diff(spark, root, 1L, 2L)
+      .select("k", "v", "change_type").as[(java.math.BigDecimal,
+        String, String)].collect().toSet
+    assert(d == Set(
+      (new java.math.BigDecimal("7.25"), "v7b", "inserted"),
+      (new java.math.BigDecimal("7.25"), "v7", "deleted")))
+    val after = SnapshotTable.readKeys(spark, root, "k",
+      Seq("7.25").toDF("k")).select("v").as[String].collect().toSeq
+    assert(after == Seq("v7b"))
+  }
 }
