@@ -585,54 +585,77 @@ object SnapshotTable {
   : (Path, Seq[FileEntry]) = {
     val seg = new Path(dataDir(root),
       s"seg-${java.util.UUID.randomUUID().toString.take(12)}")
-    val shaped = (clusterKey, zorderWith) match {
-      case (Some(a), Some(b)) =>
-        // Z-ORDER layout: range-partition + sort on the interleaved
-        // curve, so every file is a compact BOX in (a, b, ...) space
-        // and the min/max recorded for EACH column prunes on its own
-        df.withColumn("__z",
-            Sources.zOrderColumnN(df, Seq(a, b) ++ zorderExtra))
-          .repartitionByRange(math.max(1, files), col("__z"))
-          .sortWithinPartitions(col("__z"))
-          .drop("__z")
-      case (Some(k), None) =>
-        df.repartitionByRange(math.max(1, files), col(k))
-          .sortWithinPartitions(col(k))
-      case _ => df
-    }
-    // SINGLE-PASS staging (default): the write tasks compute every
-    // per-file stat (key range, null count, bloom, NDV registers, row
-    // count, byte length) WHILE streaming rows into parquet — the
-    // commit then needs no read-back stats pass and no per-file footer
-    // reads. At ingest scale that halves the IO of every clustered
-    // commit (one pass over the batch, not two); on the bench it
-    // removes one Spark job + O(files) driver footer reads per commit.
-    // The two-pass path stays behind the conf for A/B and the
-    // manifest-equivalence spec.
-    if (inlineStatsEnabled(spark))
-      return (seg, writeSegmentInline(spark, root, seg, shaped,
-        clusterKey, bloomKey, zorderWith, zorderExtra))
-    shaped.write.mode("error").parquet(seg.toString)
-    val f = fs(spark, root)
-    // SORTED by file name: partition ids are zero-padded, so name
-    // order = range-partition order = ascending key ranges. listStatus
-    // order is filesystem-dependent (File.list guarantees nothing), and
-    // manifest order is load-bearing for the limit/offset file-prefix
-    // pushdowns — an arbitrary order is CORRECT there (any N rows) but
-    // a deterministic one makes commits reproducible and keeps range
-    // reads of a clustered table in cluster order.
-    val parts = f.listStatus(seg).toSeq
-      .filter { st =>
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
+    // A multi-file range layout needs range BOUNDS, and
+    // repartitionByRange computes them by SAMPLING its child — a full
+    // second evaluation of the staged frame before the shuffle even
+    // starts (RangePartitioner.sketch computes every upstream
+    // partition and keeps a reservoir). For a commit the frame is
+    // consumed exactly twice by construction (bounds + write), so
+    // persist it: one evaluation of the (often join/aggregate-shaped)
+    // upstream, then the sample and the exchange both read cached
+    // blocks. Released in the finally before the commit returns —
+    // an intra-commit intermediate, never a cross-run cache. files<=1
+    // needs no bounds (RangePartitioner(1) never samples) and plain
+    // segments need no shuffle — neither pays the persist.
+    val needBounds = clusterKey.isDefined && files > 1
+    val cached = needBounds && materializeRangeInput(spark)
+    val src = if (cached) df.persist() else df
+    try {
+      val shaped = (clusterKey, zorderWith) match {
+        case (Some(a), Some(b)) =>
+          // Z-ORDER layout: range-partition + sort on the interleaved
+          // curve, so every file is a compact BOX in (a, b, ...) space
+          // and the min/max recorded for EACH column prunes on its own
+          src.withColumn("__z",
+              Sources.zOrderColumnN(src, Seq(a, b) ++ zorderExtra))
+            .repartitionByRange(math.max(1, files), col("__z"))
+            .sortWithinPartitions(col("__z"))
+            .drop("__z")
+        case (Some(k), None) =>
+          src.repartitionByRange(math.max(1, files), col(k))
+            .sortWithinPartitions(col(k))
+        case _ => src
       }
-      .sortBy(_.getPath.getName)
-    val rel = parts.map { st =>
-      s"_data/${seg.getName}/${st.getPath.getName}"
-    }
-    (seg, statsEntries(spark, root, seg, rel, clusterKey, bloomKey,
-      zorderWith, zorderExtra))
+      // SINGLE-PASS staging (default): the write tasks compute every
+      // per-file stat (key range, null count, bloom, NDV registers, row
+      // count, byte length) WHILE streaming rows into parquet — the
+      // commit then needs no read-back stats pass and no per-file footer
+      // reads. At ingest scale that halves the IO of every clustered
+      // commit (one pass over the batch, not two); on the bench it
+      // removes one Spark job + O(files) driver footer reads per commit.
+      // The two-pass path stays behind the conf for A/B and the
+      // manifest-equivalence spec.
+      if (inlineStatsEnabled(spark))
+        return (seg, writeSegmentInline(spark, root, seg, shaped,
+          clusterKey, bloomKey, zorderWith, zorderExtra))
+      shaped.write.mode("error").parquet(seg.toString)
+      val f = fs(spark, root)
+      // SORTED by file name: partition ids are zero-padded, so name
+      // order = range-partition order = ascending key ranges. listStatus
+      // order is filesystem-dependent (File.list guarantees nothing), and
+      // manifest order is load-bearing for the limit/offset file-prefix
+      // pushdowns — an arbitrary order is CORRECT there (any N rows) but
+      // a deterministic one makes commits reproducible and keeps range
+      // reads of a clustered table in cluster order.
+      val parts = f.listStatus(seg).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        .sortBy(_.getPath.getName)
+      val rel = parts.map { st =>
+        s"_data/${seg.getName}/${st.getPath.getName}"
+      }
+      (seg, statsEntries(spark, root, seg, rel, clusterKey, bloomKey,
+        zorderWith, zorderExtra))
+    } finally if (cached) src.unpersist(blocking = false)
   }
+
+  /** Persist-before-range-bounds is the default; `false` restores the
+    * sample-pass double evaluation (A/B measurement). */
+  private def materializeRangeInput(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.commit.materializeRangeInput")
+      .forall(_.toBoolean)
 
   /** Single-pass staging is the default; `false` restores the
     * write-then-read-back stats pass (kept for A/B measurement and the
@@ -830,8 +853,16 @@ object SnapshotTable {
     val pconf = connector.GraftDataWriter.sessionParquetConf(spark)
     val bloomBits = Bloom.bitsFor(BloomExpectedItems, BloomFppPct / 100.0)
     val bloomHashes = Bloom.hashesFor(bloomBits, BloomExpectedItems)
+    // session Hadoop conf, serialized ONCE for the job: tasks must not
+    // fabricate bare Configurations per file (drops credentials/fs
+    // impls on a real cluster; re-parses defaults locally)
+    val hc = new connector.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    // df.write.parquet honored this session cap; the inline path rolls
+    // to a sibling file at the same threshold (0 = unlimited)
+    val maxRecs = spark.sessionState.conf.maxRecordsPerFile
     val qe = shaped.queryExecution
-    val stats = org.apache.spark.sql.execution.SQLExecution
+    val stats = try org.apache.spark.sql.execution.SQLExecution
       .withNewExecutionId(qe, Some("graft_stage_segment")) {
       qe.toRdd.mapPartitionsWithIndex {
       (pid, it) =>
@@ -841,71 +872,107 @@ object SnapshotTable {
             DataType.fromJson(schemaJson).asInstanceOf[StructType]
           val tc = org.apache.spark.TaskContext.get()
           val attempt = if (tc == null) 0L else tc.taskAttemptId()
-          val name = f"part-$pid%05d-$attempt.snappy.parquet"
-          val p = new Path(segStr, name)
-          val writer =
-            connector.GraftDataWriter.nativeWriter(p, taskSchema, pconf)
-          val ck = ckSpec.map { case (_, dt) => new MinMaxAcc(dt) }
-          val zk = zkSpec.map { case (_, dt) => new MinMaxAcc(dt) }
-          val ze = zeSpec.map { case (_, _, dt) => new MinMaxAcc(dt) }
-          val ndvRegs = ndvSpec.map(_ => new Array[Byte](1 << NdvPrecision))
-          val bloomWords =
-            bkSpec.map(_ => new Array[Long](bloomBits >> 6))
-          var rows = 0L
+          val fsys = new Path(segStr).getFileSystem(hc.value)
+          // one open file at a time; maxRecordsPerFile rolls to
+          // "-fNNN"-suffixed siblings (zero-padded, so name order
+          // stays ascending-key order within the sorted partition).
+          // The unlimited default keeps the suffix-free name.
+          final class FAcc(n: Int) {
+            val name =
+              if (maxRecs <= 0) f"part-$pid%05d-$attempt.snappy.parquet"
+              else f"part-$pid%05d-$attempt-f$n%03d.snappy.parquet"
+            val path = new Path(segStr, name)
+            val writer = connector.GraftDataWriter.nativeWriter(path,
+              taskSchema, pconf, Some(hc.value))
+            val ck = ckSpec.map { case (_, dt) => new MinMaxAcc(dt) }
+            val zk = zkSpec.map { case (_, dt) => new MinMaxAcc(dt) }
+            val ze = zeSpec.map { case (_, _, dt) => new MinMaxAcc(dt) }
+            val ndvRegs =
+              ndvSpec.map(_ => new Array[Byte](1 << NdvPrecision))
+            val bloomWords =
+              bkSpec.map(_ => new Array[Long](bloomBits >> 6))
+            var rows = 0L
+            def finish(): InlineFileStats = {
+              writer.close()
+              val len = fsys.getFileStatus(path).getLen
+              InlineFileStats(name, rows, len,
+                ck.flatMap(a => renderStat(a.lo, ckSpec.get._2, tz)),
+                ck.flatMap(a => renderStat(a.hi, ckSpec.get._2, tz)),
+                ck.map(_.nulls).getOrElse(0L),
+                bloomWords.map(w => Bloom.toBytes(bloomHashes,
+                  Bloom.shrinkToTarget(w, bloomHashes,
+                    BloomFppPct / 100.0))),
+                zk.flatMap(a => renderStat(a.lo, zkSpec.get._2, tz)),
+                zk.flatMap(a => renderStat(a.hi, zkSpec.get._2, tz)),
+                zeSpec.zip(ze).map { case ((k, _, dt), a) =>
+                  (k, renderStat(a.lo, dt, tz),
+                    renderStat(a.hi, dt, tz)) },
+                ndvSpec.zip(ndvRegs).map { case ((n, _, _), regs) =>
+                  (n, regs) })
+            }
+          }
+          val done =
+            scala.collection.mutable.ArrayBuffer.empty[InlineFileStats]
+          var cur = new FAcc(0)
+          var nFiles = 1
           try {
             while (it.hasNext) {
               val r = it.next()
+              if (maxRecs > 0 && cur.rows >= maxRecs) {
+                done += cur.finish()
+                cur = new FAcc(nFiles)
+                nFiles += 1
+              }
               ckSpec.foreach { case (i, dt) =>
-                ck.get.add(if (r.isNullAt(i)) null else r.get(i, dt)) }
+                cur.ck.get.add(if (r.isNullAt(i)) null else r.get(i, dt)) }
               zkSpec.foreach { case (i, dt) =>
-                zk.get.add(if (r.isNullAt(i)) null else r.get(i, dt)) }
+                cur.zk.get.add(if (r.isNullAt(i)) null else r.get(i, dt)) }
               var j = 0
               while (j < zeSpec.length) {
                 val (_, i, dt) = zeSpec(j)
-                ze(j).add(if (r.isNullAt(i)) null else r.get(i, dt))
+                cur.ze(j).add(if (r.isNullAt(i)) null else r.get(i, dt))
                 j += 1
               }
               j = 0
               while (j < ndvSpec.length) {
                 val (_, i, dt) = ndvSpec(j)
-                if (!r.isNullAt(i)) graft.functions.Hll.add(ndvRegs(j),
+                if (!r.isNullAt(i)) graft.functions.Hll.add(
+                  cur.ndvRegs(j),
                   graft.functions.Hll.hashValue(r.get(i, dt), dt))
                 j += 1
               }
               bkSpec.foreach { case (i, dt) =>
-                if (!r.isNullAt(i)) Bloom.add(bloomWords.get, bloomHashes,
+                if (!r.isNullAt(i)) Bloom.add(cur.bloomWords.get,
+                  bloomHashes,
                   graft.functions.Hll.hashValue(r.get(i, dt), dt)) }
-              writer.write(r)
-              rows += 1
+              cur.writer.write(r)
+              cur.rows += 1
             }
-            writer.close()
+            done += cur.finish()
           } catch {
             case e: Throwable =>
-              try writer.close() catch { case _: Throwable => () }
-              try p.getFileSystem(
-                new org.apache.hadoop.conf.Configuration())
-                .delete(p, false)
-              catch { case _: Throwable => () }
+              try cur.writer.close() catch { case _: Throwable => () }
+              // a failed attempt deletes EVERYTHING it wrote — the
+              // rolled siblings too, not just the open file
+              (done.map(_.name) :+ cur.name).foreach { n =>
+                try fsys.delete(new Path(segStr, n), false)
+                catch { case _: Throwable => () }
+              }
               throw e
           }
-          val len = p.getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
-            .getFileStatus(p).getLen
-          Iterator.single(InlineFileStats(name, rows, len,
-            ck.flatMap(a => renderStat(a.lo, ckSpec.get._2, tz)),
-            ck.flatMap(a => renderStat(a.hi, ckSpec.get._2, tz)),
-            ck.map(_.nulls).getOrElse(0L),
-            bloomWords.map(w => Bloom.toBytes(bloomHashes,
-              Bloom.shrinkToTarget(w, bloomHashes, BloomFppPct / 100.0))),
-            zk.flatMap(a => renderStat(a.lo, zkSpec.get._2, tz)),
-            zk.flatMap(a => renderStat(a.hi, zkSpec.get._2, tz)),
-            zeSpec.zip(ze).map { case ((k, _, dt), a) =>
-              (k, renderStat(a.lo, dt, tz), renderStat(a.hi, dt, tz)) },
-            ndvSpec.zip(ndvRegs).map { case ((n, _, _), regs) =>
-              (n, regs) }))
+          done.iterator
         }
     }.collect()
     }.toSeq.sortBy(_.name)
+    catch {
+      case e: Throwable =>
+        // job-level cleanup: files landed by SUCCEEDED tasks of a
+        // FAILED job must not squat in the segment until vacuum —
+        // the same failure contract writePartitionedInline (and the
+        // old path's output committer) already had
+        fs(spark, root).delete(seg, true)
+        throw e
+    }
     if (stats.isEmpty) {
       // an all-empty batch: df.write.parquet leaves one empty file so
       // the segment stays readable — mirror that exactly
@@ -2171,6 +2238,8 @@ object SnapshotTable {
     val segStr = seg.toString
     val schemaJson = schema.json
     val pconf = connector.GraftDataWriter.sessionParquetConf(spark)
+    val hc = new connector.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
     val NullKeyMsg = "NULL partition key in an identity-partitioned " +
       "write (the layout has no partition for NULL)"
     val qe = shaped.queryExecution
@@ -2183,11 +2252,12 @@ object SnapshotTable {
             DataType.fromJson(schemaJson).asInstanceOf[StructType]
           val tc = org.apache.spark.TaskContext.get()
           val attempt = if (tc == null) 0L else tc.taskAttemptId()
+          val fsys = new Path(segStr).getFileSystem(hc.value)
           final class FileAcc(n: Int) {
             val name = f"part-$pid%05d-$attempt-p$n.snappy.parquet"
             val path = new Path(segStr, name)
             val writer = connector.GraftDataWriter.nativeWriter(path,
-              taskSchema, pconf)
+              taskSchema, pconf, Some(hc.value))
             val mm = keySpec.map { case (_, _, dt) => new MinMaxAcc(dt) }
             val ndv = ndvSpec.map(_ => new Array[Byte](1 << NdvPrecision))
             var rows = 0L
@@ -2229,17 +2299,13 @@ object SnapshotTable {
             case e: Throwable =>
               open.values.foreach { a =>
                 try a.writer.close() catch { case _: Throwable => () }
-                try a.path.getFileSystem(
-                  new org.apache.hadoop.conf.Configuration())
-                  .delete(a.path, false)
+                try fsys.delete(a.path, false)
                 catch { case _: Throwable => () }
               }
               throw e
           }
           open.values.iterator.map { a =>
-            val len = a.path.getFileSystem(
-              new org.apache.hadoop.conf.Configuration())
-              .getFileStatus(a.path).getLen
+            val len = fsys.getFileStatus(a.path).getLen
             val k0 = a.mm.head
             InlineFileStats(a.name, a.rows, len,
               renderStat(k0.lo, keySpec.head._3, tz),
@@ -2421,8 +2487,10 @@ object SnapshotTable {
     val segStr = seg.toString
     val schemaJson = schema.json
     val pconf = connector.GraftDataWriter.sessionParquetConf(spark)
+    val hc = new connector.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
     val qe = shaped.queryExecution
-    val stats = org.apache.spark.sql.execution.SQLExecution
+    val stats = try org.apache.spark.sql.execution.SQLExecution
       .withNewExecutionId(qe, Some("graft_stage_bucketed")) {
       qe.toRdd.mapPartitionsWithIndex {
       (pid, it) =>
@@ -2438,11 +2506,12 @@ object SnapshotTable {
               org.apache.spark.sql.catalyst.expressions
                 .BoundReference(i, fd.dataType, fd.nullable)
                 : org.apache.spark.sql.catalyst.expressions.Expression })
+        val fsys = new Path(segStr).getFileSystem(hc.value)
         final class FileAcc(val bucket: Int) {
           val name = f"part-$pid%05d-$attempt-b$bucket.snappy.parquet"
           val path = new Path(segStr, name)
           val writer = connector.GraftDataWriter.nativeWriter(path,
-            taskSchema, pconf)
+            taskSchema, pconf, Some(hc.value))
           val mm = keySpec.map { case (_, _, dt) => new MinMaxAcc(dt) }
           val ndv = ndvSpec.map(_ => new Array[Byte](1 << NdvPrecision))
           var rows = 0L
@@ -2475,17 +2544,13 @@ object SnapshotTable {
           case e: Throwable =>
             open.values.foreach { a =>
               try a.writer.close() catch { case _: Throwable => () }
-              try a.path.getFileSystem(
-                new org.apache.hadoop.conf.Configuration())
-                .delete(a.path, false)
+              try fsys.delete(a.path, false)
               catch { case _: Throwable => () }
             }
             throw e
         }
         open.values.iterator.map { a =>
-          val len = a.path.getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
-            .getFileStatus(a.path).getLen
+          val len = fsys.getFileStatus(a.path).getLen
           val k0 = a.mm.head
           val tail = keySpec.zip(a.mm).drop(1).flatMap {
             case ((k, _, dt), m) =>
@@ -2506,6 +2571,13 @@ object SnapshotTable {
         }.toList.iterator
     }.collect()
     }.toSeq.sortBy(_.name)
+    catch {
+      case e: Throwable =>
+        // same job-level cleanup as writeSegmentInline: a failed job
+        // leaves no committed-task files squatting in the segment
+        fs(spark, root).delete(seg, true)
+        throw e
+    }
     stats.map { s =>
       FileEntry(s"_data/${seg.getName}/${s.name}", Some(keys.head._1),
         s.lo, s.hi, statsNulls = Some(s.nulls),
@@ -4951,6 +5023,10 @@ object SnapshotTable {
       val ins =
         if (addedData.isEmpty) empty
         else readEntries(spark, root, addedData ++ bTombs, readSchema)
+      // when the tombstone key set is small, its collected values
+      // escape here so the mixed-commit exceptAll below can split the
+      // ins leg on key membership
+      var tombProbe: Option[(String, Array[Any])] = None
       val del =
         if (addedTombs.isEmpty) empty
         else {
@@ -4966,6 +5042,8 @@ object SnapshotTable {
           // launched a classification job)
           val probeRows = keysDf.limit(MaxBloomProbeKeys + 1).collect()
           val probesSmall = probeRows.length <= MaxBloomProbeKeys
+          if (probesSmall)
+            tombProbe = Some((key, probeRows.map(_.get(0))))
           val (touched, _) =
             if (probesSmall) touchedFilesLocal(spark, aData,
               probeRows.map(_.get(0)), keysDf.schema(key).dataType, key)
@@ -4987,6 +5065,30 @@ object SnapshotTable {
         return del.withColumn("change_type", lit("deleted"))
       if (addedTombs.isEmpty)
         return ins.withColumn("change_type", lit("inserted"))
+      // MIXED insert+delete commit. Every del-leg row's key is in the
+      // tombstone key set by construction (the semi join above), and
+      // NULL-keyed del rows do not exist (equality semi join) — so an
+      // ins row whose key is OUTSIDE the set can never cancel against
+      // del and passes exceptAll untouched. With the key set already
+      // collected, split ins on membership with a narrow filter: the
+      // exceptAll pair then shuffles only the tombstone-keyed slice
+      // of the added files, not the commit's whole content (§2.3
+      // shuffle fewer bytes; the filter itself shuffles nothing).
+      tombProbe match {
+        case Some((key, probes))
+            if ins.columns.contains(key) =>
+          val vals = probes.filter(_ != null).toSeq
+          val inT =
+            if (vals.isEmpty) lit(false)
+            else col(bq(key)).isin(vals: _*) <=> lit(true)
+          val insIn = ins.filter(inT)
+          val insOut = ins.filter(!inT)
+          return insOut.unionByName(insIn.exceptAll(del))
+            .withColumn("change_type", lit("inserted"))
+            .unionByName(del.exceptAll(insIn)
+              .withColumn("change_type", lit("deleted")))
+        case _ =>
+      }
       return ins.exceptAll(del).withColumn("change_type", lit("inserted"))
         .unionByName(
           del.exceptAll(ins).withColumn("change_type", lit("deleted")))

@@ -301,13 +301,18 @@ private[connector] class GraftDeltaBatchWrite(root: String,
   private val tombSpec = SnapshotTable.inlineStatsSpec(
     SparkSession.active, keySchema, Some(key), None)
 
+  // session Hadoop conf, serialized once per write job (see
+  // SerializableHadoopConf)
+  private val hconf = Some(new SerializableHadoopConf(
+    SparkSession.active.sessionState.newHadoopConf()))
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
   : DeltaWriterFactory = new GraftDeltaWriterFactory(dataSeg.toString,
     tombSeg.toString, rowSchema.json, keySchema.json,
     if (bucketSpec.isDefined)
       rowSchema.fieldNames.indexWhere(_.equalsIgnoreCase(key))
     else -1,
-    bucketSpec.getOrElse(0), dataSpec, tombSpec)
+    bucketSpec.getOrElse(0), dataSpec, tombSpec, hconf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -368,13 +373,14 @@ private[connector] class GraftDeltaWriterFactory(dataSegAbs: String,
     tombSegAbs: String, rowSchemaJson: String, keySchemaJson: String,
     bucketKeyIdx: Int, buckets: Int,
     dataSpec: Option[SnapshotTable.InlineStatsSpec] = None,
-    tombSpec: Option[SnapshotTable.InlineStatsSpec] = None)
+    tombSpec: Option[SnapshotTable.InlineStatsSpec] = None,
+    hconf: Option[SerializableHadoopConf] = None)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
     new GraftDeltaWriter(dataSegAbs, tombSegAbs, rowSchemaJson,
       keySchemaJson, bucketKeyIdx, buckets, partitionId, taskId,
-      dataSpec, tombSpec)
+      dataSpec, tombSpec, hconf)
 }
 
 /** Lazy parquet writers per task: data rows (inserts + update
@@ -389,7 +395,8 @@ private[connector] class GraftDeltaWriter(dataSegAbs: String,
     tombSegAbs: String, rowSchemaJson: String, keySchemaJson: String,
     bucketKeyIdx: Int, buckets: Int, partitionId: Int, taskId: Long,
     dataSpec: Option[SnapshotTable.InlineStatsSpec] = None,
-    tombSpec: Option[SnapshotTable.InlineStatsSpec] = None)
+    tombSpec: Option[SnapshotTable.InlineStatsSpec] = None,
+    hconf: Option[SerializableHadoopConf] = None)
   extends DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
 
   import org.apache.spark.sql.catalyst.InternalRow
@@ -407,10 +414,10 @@ private[connector] class GraftDeltaWriter(dataSegAbs: String,
       // aliased retry's abort() deletes the committed attempt's file.
       new GraftDataWriter(dataSegAbs, rowSchemaJson, partitionId, taskId,
         suffix = if (bucket < 0) "" else s"-b$bucket",
-        statsSpec = dataSpec))
+        statsSpec = dataSpec, hconf = hconf))
   private val tombW =
     new GraftDataWriter(tombSegAbs, keySchemaJson, partitionId, taskId,
-      statsSpec = tombSpec)
+      statsSpec = tombSpec, hconf = hconf)
 
   /** `pmod(murmur3(key), n)` over the row's key value — must agree
     * with the layout function in SnapshotTable.commitBucketed and the

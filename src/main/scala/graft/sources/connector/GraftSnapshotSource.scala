@@ -1793,7 +1793,9 @@ private[connector] class GraftMicroBatchStream(root: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required.json, Array.empty)
+    new GraftReaderFactory(required.json, Array.empty,
+      hconf = Some(new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf())))
 }
 
 /** The CHANGELOG streaming scan (`changes=true`): each micro-batch
@@ -2437,7 +2439,9 @@ private[connector] class GraftScan(root: String, version: Long,
       // Bucketed (SPJ) partitions chain COLUMNAR readers per grid
       // cell, so storage-partitioned scans stay vectorized
       columnarOk = offsetSkipFile.isEmpty &&
-        !required.fieldNames.contains(GraftFileMetadataColumn.Name))
+        !required.fieldNames.contains(GraftFileMetadataColumn.Name),
+      hconf = Some(new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf())))
 
   /** Size-accurate planning: a v2 scan without statistics defaults to
     * "unknown = huge", which forbids the planner from ever
@@ -2617,8 +2621,13 @@ private[connector] class GraftScan(root: String, version: Long,
 
 private[connector] class GraftReaderFactory(requiredJson: String,
     pushed: Array[Filter], sessionTz: String = "UTC",
-    columnarOk: Boolean = false)
+    columnarOk: Boolean = false,
+    hconf: Option[SerializableHadoopConf] = None)
   extends PartitionReaderFactory {
+
+  // deserialized once per task (the factory ships inside the task);
+  // readers take their own Configuration COPY since they mutate it
+  private def baseConf: Option[Configuration] = hconf.map(_.value)
 
   /** Columnar eligibility — decided ONCE for the whole scan (Spark
     * refuses mixed row/columnar partitions, it does not fall back):
@@ -2669,7 +2678,7 @@ private[connector] class GraftReaderFactory(requiredJson: String,
             p.aliases.toMap))
         if (p.tombs.isEmpty)
           new GraftColumnarReader(p.absolutePath, required, sessionTz,
-            p.fills, p.aliases, filePushed)
+            p.fills, p.aliases, filePushed, baseConf)
         else {
           // merge-on-read, still vectorized: decode the batch through
           // the columnar reader (key column riding as a hidden
@@ -2689,7 +2698,7 @@ private[connector] class GraftReaderFactory(requiredJson: String,
             }
           new GraftColumnarKillReader(
             new GraftColumnarReader(p.absolutePath, readSchema,
-              sessionTz, p.fills, p.aliases, filePushed),
+              sessionTz, p.fills, p.aliases, filePushed, baseConf),
             required.length, killIdx, keyType, kills)
         }
     }
@@ -2737,7 +2746,7 @@ private[connector] class GraftReaderFactory(requiredJson: String,
     if (p.tombs.isEmpty && p.preImageTombs.isEmpty)
       new GraftPartitionReader(p.absolutePath, required,
         required.length, -1, null, filePushed, p.skipRows, p.fills,
-        aliases = p.aliases)
+        aliases = p.aliases, base = baseConf)
     else {
       val keyType = DataType.fromJson(p.keyTypeJson)
       val tombKey = Option(p.tombKeyName).getOrElse(p.keyName)
@@ -2759,7 +2768,7 @@ private[connector] class GraftReaderFactory(requiredJson: String,
         }
       new GraftPartitionReader(p.absolutePath, readSchema,
         required.length, killIdx, kills, filePushed, fills = p.fills,
-        emitSet = emits, aliases = p.aliases)
+        emitSet = emits, aliases = p.aliases, base = baseConf)
     }
   }
 }
@@ -3015,7 +3024,11 @@ private[graft] class GraftColumnarReader(file: String,
     // skipping the row reader does) — Spark re-evaluates every
     // residual on the surviving rows, so this is IO reduction with
     // columnar decode, never semantics
-    pushed: Array[Filter] = Array.empty)
+    pushed: Array[Filter] = Array.empty,
+    // the driver-shipped session Hadoop conf (copied — setSchema etc.
+    // mutate); a bare Configuration only as a fallback for callers
+    // with no session to capture from
+    base: Option[Configuration] = None)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   private val requested: StructType =
@@ -3037,7 +3050,8 @@ private[graft] class GraftColumnarReader(file: String,
   // and let it clip the file schema — a required column the file
   // predates comes back as a constant-NULL vector, so schema
   // evolution never leaves the columnar path
-  private val conf = new Configuration()
+  private val conf =
+    base.fold(new Configuration())(b => new Configuration(b))
   conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
   conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
     classOf[ParquetReadSupport].getName)
@@ -3267,7 +3281,10 @@ private[graft] class GraftPartitionReader(file: String,
     emitSet: java.util.HashSet[Any] = null,
     // logical -> physical names for THIS file (renamed columns whose
     // old name this pre-rename file still stores)
-    aliases: Array[(String, String)] = Array.empty)
+    aliases: Array[(String, String)] = Array.empty,
+    // driver-shipped session Hadoop conf; bare fallback for
+    // executor-side callers with no session (GraftTombstones)
+    base: Option[Configuration] = None)
   extends PartitionReader[InternalRow] {
 
   private val physOf: Map[String, String] = aliases.toMap
@@ -3292,7 +3309,8 @@ private[graft] class GraftPartitionReader(file: String,
     n.toLowerCase(java.util.Locale.ROOT) -> v
   }.toMap
 
-  private val conf = new Configuration()
+  private val conf =
+    base.fold(new Configuration())(b => new Configuration(b))
   private val fileSchema: MessageType = {
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), conf))

@@ -185,18 +185,24 @@ private[connector] class GraftBatchWrite(root: String,
   private val statsSpec = SnapshotTable.inlineStatsSpec(
     SparkSession.active, schema, statsKey, bloomKey, gridExtra)
 
+  // session Hadoop conf, serialized ONCE per write job (see
+  // SerializableHadoopConf): writers must not fabricate bare
+  // Configurations per file
+  private val hconf = Some(new SerializableHadoopConf(
+    SparkSession.active.sessionState.newHadoopConf()))
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
   : DataWriterFactory = (bucketSpec, partitionSpec) match {
     case (Some(layout), _) => new GraftBucketedWriterFactory(
       seg.toString, schema.json, layout.map { case (k, n) =>
         schema.fieldNames.indexWhere(_.equalsIgnoreCase(k)) -> n },
-      statsSpec)
+      statsSpec, hconf)
     case (None, Some(pks)) => new GraftPartitionedWriterFactory(
       seg.toString, schema.json, pks.map(pk =>
         schema.fieldNames.indexWhere(_.equalsIgnoreCase(pk))),
-      statsSpec)
+      statsSpec, hconf)
     case _ => new GraftWriterFactory(seg.toString, schema.json,
-      statsSpec)
+      statsSpec, hconf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -250,12 +256,13 @@ private[connector] class GraftBatchWrite(root: String,
 
 private[connector] class GraftBucketedWriterFactory(segAbs: String,
     schemaJson: String, bucketKeyIdxs: Seq[(Int, Int)],
-    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None)
+    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None,
+    hconf: Option[SerializableHadoopConf] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DataWriter[InternalRow] =
     new GraftBucketedAppendWriter(segAbs, schemaJson, bucketKeyIdxs,
-      partitionId, taskId, statsSpec)
+      partitionId, taskId, statsSpec, hconf)
 }
 
 /** Bucketed append writer: rows split per grid cell — PER KEY
@@ -270,7 +277,8 @@ private[connector] class GraftBucketedWriterFactory(segAbs: String,
 private[connector] class GraftBucketedAppendWriter(segAbs: String,
     schemaJson: String, bucketKeyIdxs: Seq[(Int, Int)],
     partitionId: Int, taskId: Long,
-    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None)
+    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None,
+    hconf: Option[SerializableHadoopConf] = None)
   extends DataWriter[InternalRow] {
 
   private val keyTypes = {
@@ -288,7 +296,7 @@ private[connector] class GraftBucketedAppendWriter(segAbs: String,
   private def w(bucket: Int): GraftDataWriter =
     writers.getOrElseUpdate(bucket,
       new GraftDataWriter(segAbs, schemaJson, partitionId, taskId,
-        suffix = s"-b$bucket", statsSpec = statsSpec))
+        suffix = s"-b$bucket", statsSpec = statsSpec, hconf = hconf))
 
   private def bucketFor(row: InternalRow): Int = {
     var cell = 0
@@ -330,12 +338,13 @@ private[connector] class GraftBucketedAppendWriter(segAbs: String,
 
 private[connector] class GraftPartitionedWriterFactory(segAbs: String,
     schemaJson: String, keyIdxs: Seq[Int],
-    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None)
+    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None,
+    hconf: Option[SerializableHadoopConf] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DataWriter[InternalRow] =
     new GraftPartitionedAppendWriter(segAbs, schemaJson, keyIdxs,
-      partitionId, taskId, statsSpec)
+      partitionId, taskId, statsSpec, hconf)
 }
 
 /** Identity-partitioned append writer: one lazy file per DISTINCT
@@ -350,7 +359,8 @@ private[connector] class GraftPartitionedWriterFactory(segAbs: String,
 private[connector] class GraftPartitionedAppendWriter(segAbs: String,
     schemaJson: String, keyIdxs: Seq[Int], partitionId: Int,
     taskId: Long,
-    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None)
+    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None,
+    hconf: Option[SerializableHadoopConf] = None)
   extends DataWriter[InternalRow] {
 
   private val keyTypes = {
@@ -384,7 +394,8 @@ private[connector] class GraftPartitionedAppendWriter(segAbs: String,
   override def write(row: InternalRow): Unit =
     writers.getOrElseUpdate(keyOf(row),
       new GraftDataWriter(segAbs, schemaJson, partitionId, taskId,
-        suffix = s"-p${writers.size}", statsSpec = statsSpec))
+        suffix = s"-p${writers.size}", statsSpec = statsSpec,
+        hconf = hconf))
       .write(row)
 
   override def commit(): WriterCommitMessage =
@@ -400,12 +411,13 @@ private[connector] class GraftPartitionedAppendWriter(segAbs: String,
 
 private[connector] class GraftWriterFactory(segAbs: String,
     schemaJson: String,
-    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None)
+    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None,
+    hconf: Option[SerializableHadoopConf] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DataWriter[InternalRow] =
     new GraftDataWriter(segAbs, schemaJson, partitionId, taskId,
-      statsSpec = statsSpec)
+      statsSpec = statsSpec, hconf = hconf)
 }
 
 /** One parquet file per non-empty task, written with parquet-mr's
@@ -417,8 +429,14 @@ private[connector] class GraftWriterFactory(segAbs: String,
 private[connector] class GraftDataWriter(segAbs: String,
     schemaJson: String, partitionId: Int, taskId: Long,
     suffix: String = "",
-    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None)
+    statsSpec: Option[SnapshotTable.InlineStatsSpec] = None,
+    hconf: Option[SerializableHadoopConf] = None)
   extends DataWriter[InternalRow] {
+
+  // the driver-shipped session conf when the factory carried one; a
+  // bare Configuration only as a compatibility fallback
+  private def fsConf: Configuration =
+    hconf.map(_.value).getOrElse(new Configuration())
 
   private val schema =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -440,7 +458,8 @@ private[connector] class GraftDataWriter(segAbs: String,
     * per row — measured 2-3× slower on flat rows. */
   override def write(row: InternalRow): Unit = {
     if (writer == null)
-      writer = GraftDataWriter.nativeWriter(filePath, schema)
+      writer = GraftDataWriter.nativeWriter(filePath, schema,
+        base = hconf.map(_.value))
     acc.foreach(_.add(row))
     writer.write(row)
   }
@@ -450,7 +469,7 @@ private[connector] class GraftDataWriter(segAbs: String,
     if (writer == null) GraftTaskFile(None)
     else GraftTaskFile(Some(fileName), acc.map { a =>
       val len = filePath
-        .getFileSystem(new Configuration()).getFileStatus(filePath)
+        .getFileSystem(fsConf).getFileStatus(filePath)
         .getLen
       a.finish(fileName, len)
     })
@@ -459,7 +478,7 @@ private[connector] class GraftDataWriter(segAbs: String,
   override def abort(): Unit = {
     if (writer != null) {
       writer.close()
-      new Path(segAbs).getFileSystem(new Configuration())
+      new Path(segAbs).getFileSystem(fsConf)
         .delete(filePath, false)
     }
   }
@@ -492,10 +511,15 @@ private[sources] object GraftDataWriter {
   }
 
   def nativeWriter(filePath: Path, schema: StructType,
-      extraConf: Seq[(String, String)] = Nil)
+      extraConf: Seq[(String, String)] = Nil,
+      base: Option[Configuration] = None)
   : ParquetWriter[InternalRow] = {
     import org.apache.spark.sql.internal.SQLConf
-    val conf = new Configuration()
+    // a private COPY of the serialized session conf when the caller
+    // ships one (setSchema below mutates it); a bare Configuration
+    // only when nothing better exists — on a real cluster the session
+    // conf carries credentials/fs impls a bare one silently drops
+    val conf = base.fold(new Configuration())(b => new Configuration(b))
     extraConf.foreach { case (k, v) => conf.set(k, v) }
     org.apache.spark.sql.execution.datasources.parquet
       .ParquetWriteSupport.setSchema(schema, conf)

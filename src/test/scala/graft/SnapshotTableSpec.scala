@@ -1536,6 +1536,36 @@ class SnapshotTableSpec extends SparkSpec {
       "pruned MOR read must apply tombstones identically")
   }
 
+  test("inline staging honors spark.sql.files.maxRecordsPerFile: a " +
+      "partition past the cap rolls to ordered sibling files with " +
+      "their own stats, and reads/pruning see the identical table") {
+    val root = tmpRoot()
+    val df = (1 to 10000).map(i => (i, s"v$i")).toDF("k", "v")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1500")
+    try SnapshotTable.commit(spark, root, df,
+      clusterKey = Some("k"), files = 2)
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val entries = SnapshotTable.manifest(spark, root, 1L)
+    assert(entries.size > 2,
+      s"2 range partitions over 10000 rows at cap 1500 must roll, " +
+        s"got ${entries.size} files")
+    assert(entries.forall(_.rows.exists(_ <= 1500L)),
+      "every rolled file must respect the cap")
+    // manifest order must still be ascending-key order (the rolled
+    // "-fNNN" names sort within their partition), so range reads stay
+    // in cluster order and every file carries its own [lo, hi]
+    val los = entries.flatMap(_.statsFor("k")).map(_._1.toInt)
+    assert(los == los.sorted, s"manifest must stay key-ordered: $los")
+    val got = SnapshotTable.read(spark, root)
+      .select("k").as[Int].collect().sorted.toSeq
+    assert(got == (1 to 10000).toSeq)
+    val pruned = SnapshotTable.readWhere(spark, root, "k",
+      lo = Some("1"), hi = Some("100"))
+    assert(pruned.inputFiles.length < entries.size,
+      "per-rolled-file stats must prune range reads")
+    assert(pruned.count() == 100)
+  }
+
   test("DECIMAL keys: point lookups, MOR merge and diff classify " +
       "collected BigDecimal probes driver-side without a job") {
     val root = tmpRoot()
