@@ -267,39 +267,47 @@ object TextIndex {
     IndexMaintenance.claim(spark, root, "cdc")
     val ver = col("_commit_version")
     val an = analyzerOf(spark, root)
-    // an empty side skips its commit outright — skipping is naturally
-    // idempotent (a replay recomputes the same empty side), and an
-    // empty frame cannot stage a parquet segment anyway
-    val ins = batch.filter(col("_change_type") === "insert")
-      .select(col("doc_id"), col("text"), ver.as("__v"))
-    if (!ins.isEmpty &&
-        !SnapshotTable.lastCommittedTxn(spark, root, appId)
+    // one evaluation of the changelog batch per tick: the body reads
+    // it ~6 times (two emptiness probes, the preImage guard, and the
+    // three commits' own scans) — without the persist each read
+    // re-opened the changelog's files. Released before returning; an
+    // intra-tick intermediate.
+    val b = batch.persist()
+    try {
+      // an empty side skips its commit outright — skipping is naturally
+      // idempotent (a replay recomputes the same empty side), and an
+      // empty frame cannot stage a parquet segment anyway
+      val ins = b.filter(col("_change_type") === "insert")
+        .select(col("doc_id"), col("text"), ver.as("__v"))
+      if (!ins.isEmpty &&
+          !SnapshotTable.lastCommittedTxn(spark, root, appId)
+            .exists(_ >= batchId))
+        SnapshotTable.appendBucketed(spark, root,
+          postingsOf(ins, col("__v"), an), txn = Some((appId, batchId)))
+      val del = b.filter(col("_change_type") === "delete")
+      // the signed stats row needs the DELETED texts' token counts — a
+      // feed built without preImages=true would silently corrupt
+      // N/avgdl (sum() skips nulls), so refuse it loudly
+      require(del.filter(col("text").isNull).isEmpty,
+        "TextIndex.applyChanges needs delete rows with preImages " +
+          "(build the changelog stream with preImages=true)")
+      if (!del.isEmpty &&
+          !SnapshotTable.lastCommittedTxn(spark, delsRoot(root), appId)
+            .exists(_ >= batchId))
+        SnapshotTable.append(spark, delsRoot(root),
+          del.select(col("doc_id"), ver.as("cut")), files = 1,
+          txn = Some((appId, batchId)))
+      if (!SnapshotTable.lastCommittedTxn(spark, statsRoot(root), appId)
           .exists(_ >= batchId))
-      SnapshotTable.appendBucketed(spark, root,
-        postingsOf(ins, col("__v"), an), txn = Some((appId, batchId)))
-    val del = batch.filter(col("_change_type") === "delete")
-    // the signed stats row needs the DELETED texts' token counts — a
-    // feed built without preImages=true would silently corrupt
-    // N/avgdl (sum() skips nulls), so refuse it loudly
-    require(del.filter(col("text").isNull).isEmpty,
-      "TextIndex.applyChanges needs delete rows with preImages " +
-        "(build the changelog stream with preImages=true)")
-    if (!del.isEmpty &&
-        !SnapshotTable.lastCommittedTxn(spark, delsRoot(root), appId)
-          .exists(_ >= batchId))
-      SnapshotTable.append(spark, delsRoot(root),
-        del.select(col("doc_id"), ver.as("cut")), files = 1,
-        txn = Some((appId, batchId)))
-    if (!SnapshotTable.lastCommittedTxn(spark, statsRoot(root), appId)
-        .exists(_ >= batchId))
-      SnapshotTable.append(spark, statsRoot(root),
-        batch.select(
-            when(col("_change_type") === "insert", 1L)
-              .otherwise(-1L).as("sgn"),
-            size(toks(col("text"), an)).as("dl"))
-          .agg(sum(col("sgn")).as("n_docs"),
-            sum(col("sgn") * col("dl")).as("sum_dl")),
-        files = 1, txn = Some((appId, batchId)))
+        SnapshotTable.append(spark, statsRoot(root),
+          b.select(
+              when(col("_change_type") === "insert", 1L)
+                .otherwise(-1L).as("sgn"),
+              size(toks(col("text"), an)).as("dl"))
+            .agg(sum(col("sgn")).as("n_docs"),
+              sum(col("sgn") * col("dl")).as("sum_dl")),
+          files = 1, txn = Some((appId, batchId)))
+    } finally b.unpersist(blocking = false)
   }
 
   /** The index as a MATERIALIZED VIEW of a documents snapshot table:

@@ -66,7 +66,11 @@ object VectorIndex {
     require(codec.forall(_ == "sq8"), s"unsupported codec $codec")
     graft.functions.VectorFunctions.register(spark)
     import spark.implicits._
-    val e = Dedup.unitVectors(vecs)
+    // the normalized corpus feeds training, the quantizer stats, the
+    // raw sidecar AND the coded commit — up to four evaluations of
+    // the scan+normalize without the persist; released before return
+    val e = Dedup.unitVectors(vecs).persist()
+    try {
     val cent = Dedup.lloydModel(e, nlist, iters, trainCap)
     val model = Seq(Tuple1(cent.map(_.toSeq).toSeq)).toDF("cents")
     val asg = e.crossJoin(broadcast(model))
@@ -113,6 +117,7 @@ object VectorIndex {
     SnapshotTable.setProperties(spark, root,
       codec.fold(base)(c => base + (CodecProp -> c)))
     v
+    } finally e.unpersist(blocking = false)
   }
 
   private def codecOf(spark: SparkSession, root: String)
@@ -143,27 +148,36 @@ object VectorIndex {
     IndexMaintenance.claim(spark, root, "manual")
     graft.functions.VectorFunctions.register(spark)
     val model = loadModel(spark, root)
-    val e = Dedup.unitVectors(vecs)
-    val era = nextEra(spark, root)
-    val asg = e.crossJoin(broadcast(model))
-      .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell", "v",
-        s"CAST($era AS BIGINT) AS era")
-    codecOf(spark, root) match {
-      case Some("sq8") =>
-        // raw first (same crash-order argument as build): a vector
-        // whose dims fall outside the trained [lo, hi] SATURATES in
-        // the code (Sq8Encode clamps) — the re-rank fetch serves the
-        // exact raw vector either way
-        SnapshotTable.append(spark, rawRoot(root),
-          e.select(col("vec_id"), col("v"), lit(era).as("era")),
-          clusterKey = Some("vec_id"))
-        SnapshotTable.appendPartitioned(spark, root,
-          asg.crossJoin(broadcast(loadSq8(spark, root)))
-            .selectExpr("vec_id", "cell",
-              "graft_sq8_encode(v, qlo, qhi) AS code", "era"))
-      case _ =>
-        SnapshotTable.appendPartitioned(spark, root, asg)
+    val codec = codecOf(spark, root)
+    // sq8 consumes the normalized batch twice (raw sidecar + coded
+    // commit) — persist so scan+normalize run once per installment
+    val cachedE = codec.contains("sq8")
+    val e = {
+      val u = Dedup.unitVectors(vecs)
+      if (cachedE) u.persist() else u
     }
+    try {
+      val era = nextEra(spark, root)
+      val asg = e.crossJoin(broadcast(model))
+        .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell", "v",
+          s"CAST($era AS BIGINT) AS era")
+      codec match {
+        case Some("sq8") =>
+          // raw first (same crash-order argument as build): a vector
+          // whose dims fall outside the trained [lo, hi] SATURATES in
+          // the code (Sq8Encode clamps) — the re-rank fetch serves the
+          // exact raw vector either way
+          SnapshotTable.append(spark, rawRoot(root),
+            e.select(col("vec_id"), col("v"), lit(era).as("era")),
+            clusterKey = Some("vec_id"))
+          SnapshotTable.appendPartitioned(spark, root,
+            asg.crossJoin(broadcast(loadSq8(spark, root)))
+              .selectExpr("vec_id", "cell",
+                "graft_sq8_encode(v, qlo, qhi) AS code", "era"))
+        case _ =>
+          SnapshotTable.appendPartitioned(spark, root, asg)
+      }
+    } finally if (cachedE) e.unpersist(blocking = false)
   }
 
   /** REMOVE vectors WITHOUT touching a single index file: ids land in
@@ -196,30 +210,37 @@ object VectorIndex {
       .exists(_ >= batchId)
     graft.functions.VectorFunctions.register(spark)
     val codec = codecOf(spark, root)
-    val e = Dedup.unitVectors(vecs)
-    // the raw sidecar keeps ITS OWN idempotence marker (the TextIndex
-    // two-commit pattern): a crash between the raw and coded commits
-    // converges on replay — each table skips only what it already has
-    val era = nextEra(spark, root)
-    if (codec.contains("sq8") &&
-        !SnapshotTable.lastCommittedTxn(spark, rawRoot(root), appId)
-          .exists(_ >= batchId))
-      SnapshotTable.append(spark, rawRoot(root),
-        e.select(col("vec_id"), col("v"), lit(era).as("era")),
-        clusterKey = Some("vec_id"), txn = Some((appId, batchId)))
-    if (landed) return
-    val model = loadModel(spark, root)
-    val asg = e.crossJoin(broadcast(model))
-      .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell", "v",
-        s"CAST($era AS BIGINT) AS era")
-    SnapshotTable.appendPartitioned(spark, root,
-      if (codec.contains("sq8"))
-        asg.crossJoin(broadcast(loadSq8(spark, root)))
-          .selectExpr("vec_id", "cell",
-            "graft_sq8_encode(v, qlo, qhi) AS code", "era")
-      else asg,
-      txn = Some((appId, batchId)))
-    ()
+    // sq8: the normalized batch feeds both commits — one pass
+    val cachedE = codec.contains("sq8")
+    val e = {
+      val u = Dedup.unitVectors(vecs)
+      if (cachedE) u.persist() else u
+    }
+    try {
+      // the raw sidecar keeps ITS OWN idempotence marker (the TextIndex
+      // two-commit pattern): a crash between the raw and coded commits
+      // converges on replay — each table skips only what it already has
+      val era = nextEra(spark, root)
+      if (codec.contains("sq8") &&
+          !SnapshotTable.lastCommittedTxn(spark, rawRoot(root), appId)
+            .exists(_ >= batchId))
+        SnapshotTable.append(spark, rawRoot(root),
+          e.select(col("vec_id"), col("v"), lit(era).as("era")),
+          clusterKey = Some("vec_id"), txn = Some((appId, batchId)))
+      if (landed) return
+      val model = loadModel(spark, root)
+      val asg = e.crossJoin(broadcast(model))
+        .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell", "v",
+          s"CAST($era AS BIGINT) AS era")
+      SnapshotTable.appendPartitioned(spark, root,
+        if (codec.contains("sq8"))
+          asg.crossJoin(broadcast(loadSq8(spark, root)))
+            .selectExpr("vec_id", "cell",
+              "graft_sq8_encode(v, qlo, qhi) AS code", "era")
+        else asg,
+        txn = Some((appId, batchId)))
+      ()
+    } finally if (cachedE) e.unpersist(blocking = false)
   }
 
   /** CDC MAINTENANCE: apply one micro-batch of the source embeddings
@@ -245,58 +266,71 @@ object VectorIndex {
     IndexMaintenance.claim(spark, root, "cdc")
     val ver = col("_commit_version")
     val codec = codecOf(spark, root)
-    val ins = batch.filter(col("_change_type") === "insert")
-      .select(col("vec_id"), col("embedding"), ver.as("__v"))
-    // unit-normalize with the per-row version carried through (the
-    // unitVectors helper drops extra columns; a vec_id join back
-    // would mis-pair an id touched at several versions in one batch)
-    lazy val unit = ins
-      .selectExpr("vec_id", "__v",
-        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v0")
-      .selectExpr("vec_id", "__v", "v0",
-        "sqrt(aggregate(v0, CAST(0 AS DOUBLE), (a, x) -> a + x*x)) " +
-          "AS nrm")
-      .selectExpr("vec_id", "__v",
-        "transform(v0, x -> x / greatest(nrm, " +
-          "CAST(1e-300 AS DOUBLE))) AS v")
-    val anyIns = !ins.isEmpty
-    // raw sidecar first, own marker (same two-commit convergence as
-    // applyBatch). A CDC update's delete half needs no raw tombstone:
-    // the re-rank fetch only ever looks up ids the ERA/CUT filter
-    // already admitted, so a stale raw row for a dead id is never read
-    // — the LATEST raw row per id wins the fetch (see search)
-    if (anyIns && codec.contains("sq8") &&
-        !SnapshotTable.lastCommittedTxn(spark, rawRoot(root), appId)
-          .exists(_ >= batchId))
-      SnapshotTable.append(spark, rawRoot(root),
-        unit.select(col("vec_id"), col("v"), col("__v").as("era")),
-        clusterKey = Some("vec_id"), txn = Some((appId, batchId)))
-    if (anyIns &&
-        !SnapshotTable.lastCommittedTxn(spark, root, appId)
-          .exists(_ >= batchId)) {
-      graft.functions.VectorFunctions.register(spark)
-      val model = loadModel(spark, root)
-      val asg = unit
-        .crossJoin(broadcast(model))
-        .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell",
-          "v", "__v AS era")
-      SnapshotTable.appendPartitioned(spark, root,
-        if (codec.contains("sq8"))
-          asg.crossJoin(broadcast(loadSq8(spark, root)))
-            .selectExpr("vec_id", "cell",
-              "graft_sq8_encode(v, qlo, qhi) AS code", "era")
-        else asg,
-        txn = Some((appId, batchId)))
-    }
-    val del = batch.filter(col("_change_type") === "delete")
-    if (!del.isEmpty &&
-        !SnapshotTable.lastCommittedTxn(spark, delsRoot(root), appId)
-          .exists(_ >= batchId)) {
-      SnapshotTable.append(spark, delsRoot(root),
-        del.select(col("vec_id"), ver.as("cut")), files = 1,
-        txn = Some((appId, batchId)))
-      ()
-    }
+    // one evaluation of the changelog batch per tick (the emptiness
+    // probes and every commit's scan otherwise re-open its files),
+    // and ONE normalization pass on the sq8 path, where the unit
+    // frame feeds both the raw sidecar and the coded commit. Both
+    // caches release before returning — intra-tick intermediates.
+    val cleanup = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val b = batch.persist(); cleanup += b
+    try {
+      val ins = b.filter(col("_change_type") === "insert")
+        .select(col("vec_id"), col("embedding"), ver.as("__v"))
+      // unit-normalize with the per-row version carried through (the
+      // unitVectors helper drops extra columns; a vec_id join back
+      // would mis-pair an id touched at several versions in one batch)
+      lazy val unit = {
+        val u = ins
+          .selectExpr("vec_id", "__v",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS v0")
+          .selectExpr("vec_id", "__v", "v0",
+            "sqrt(aggregate(v0, CAST(0 AS DOUBLE), (a, x) -> a + x*x)) " +
+              "AS nrm")
+          .selectExpr("vec_id", "__v",
+            "transform(v0, x -> x / greatest(nrm, " +
+              "CAST(1e-300 AS DOUBLE))) AS v")
+        if (codec.contains("sq8")) { val p = u.persist(); cleanup += p; p }
+        else u
+      }
+      val anyIns = !ins.isEmpty
+      // raw sidecar first, own marker (same two-commit convergence as
+      // applyBatch). A CDC update's delete half needs no raw tombstone:
+      // the re-rank fetch only ever looks up ids the ERA/CUT filter
+      // already admitted, so a stale raw row for a dead id is never read
+      // — the LATEST raw row per id wins the fetch (see search)
+      if (anyIns && codec.contains("sq8") &&
+          !SnapshotTable.lastCommittedTxn(spark, rawRoot(root), appId)
+            .exists(_ >= batchId))
+        SnapshotTable.append(spark, rawRoot(root),
+          unit.select(col("vec_id"), col("v"), col("__v").as("era")),
+          clusterKey = Some("vec_id"), txn = Some((appId, batchId)))
+      if (anyIns &&
+          !SnapshotTable.lastCommittedTxn(spark, root, appId)
+            .exists(_ >= batchId)) {
+        graft.functions.VectorFunctions.register(spark)
+        val model = loadModel(spark, root)
+        val asg = unit
+          .crossJoin(broadcast(model))
+          .selectExpr("vec_id", "graft_nearest(v, cents).cid AS cell",
+            "v", "__v AS era")
+        SnapshotTable.appendPartitioned(spark, root,
+          if (codec.contains("sq8"))
+            asg.crossJoin(broadcast(loadSq8(spark, root)))
+              .selectExpr("vec_id", "cell",
+                "graft_sq8_encode(v, qlo, qhi) AS code", "era")
+          else asg,
+          txn = Some((appId, batchId)))
+      }
+      val del = b.filter(col("_change_type") === "delete")
+      if (!del.isEmpty &&
+          !SnapshotTable.lastCommittedTxn(spark, delsRoot(root), appId)
+            .exists(_ >= batchId)) {
+        SnapshotTable.append(spark, delsRoot(root),
+          del.select(col("vec_id"), ver.as("cut")), files = 1,
+          txn = Some((appId, batchId)))
+        ()
+      }
+    } finally cleanup.foreach(_.unpersist(blocking = false))
   }
 
   /** Accumulated tombstone rows, metadata-priced: the dels table only
