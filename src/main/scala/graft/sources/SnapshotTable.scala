@@ -585,77 +585,63 @@ object SnapshotTable {
   : (Path, Seq[FileEntry]) = {
     val seg = new Path(dataDir(root),
       s"seg-${java.util.UUID.randomUUID().toString.take(12)}")
-    // A multi-file range layout needs range BOUNDS, and
-    // repartitionByRange computes them by SAMPLING its child — a full
-    // second evaluation of the staged frame before the shuffle even
-    // starts (RangePartitioner.sketch computes every upstream
-    // partition and keeps a reservoir). For a commit the frame is
-    // consumed exactly twice by construction (bounds + write), so
-    // persist it: one evaluation of the (often join/aggregate-shaped)
-    // upstream, then the sample and the exchange both read cached
-    // blocks. Released in the finally before the commit returns —
-    // an intra-commit intermediate, never a cross-run cache. files<=1
-    // needs no bounds (RangePartitioner(1) never samples) and plain
-    // segments need no shuffle — neither pays the persist.
-    val needBounds = clusterKey.isDefined && files > 1
-    val cached = needBounds && materializeRangeInput(spark)
-    val src = if (cached) df.persist() else df
-    try {
-      val shaped = (clusterKey, zorderWith) match {
-        case (Some(a), Some(b)) =>
-          // Z-ORDER layout: range-partition + sort on the interleaved
-          // curve, so every file is a compact BOX in (a, b, ...) space
-          // and the min/max recorded for EACH column prunes on its own
-          src.withColumn("__z",
-              Sources.zOrderColumnN(src, Seq(a, b) ++ zorderExtra))
-            .repartitionByRange(math.max(1, files), col("__z"))
-            .sortWithinPartitions(col("__z"))
-            .drop("__z")
-        case (Some(k), None) =>
-          src.repartitionByRange(math.max(1, files), col(k))
-            .sortWithinPartitions(col(k))
-        case _ => src
+    // A multi-file range layout pays repartitionByRange's SAMPLE pass
+    // (a second evaluation of the staged frame for range bounds).
+    // Persisting the frame around bounds+write was tried and MEASURED
+    // SLOWER at bench scale (r18 A/B, min-of-rounds: snapshot_mv_join
+    // 6.65→7.76, snapshot_mv_fresh +0.5, snapshot_mv_star +0.9 with
+    // the persist on): building the SQL columnar cache costs more
+    // than re-running the upstream when the upstream is a scan-shaped
+    // frame, and it squeezes execution memory for the write itself.
+    // files<=1 (every steady-state adaptive MV refresh) never samples.
+    val shaped = (clusterKey, zorderWith) match {
+      case (Some(a), Some(b)) =>
+        // Z-ORDER layout: range-partition + sort on the interleaved
+        // curve, so every file is a compact BOX in (a, b, ...) space
+        // and the min/max recorded for EACH column prunes on its own
+        df.withColumn("__z",
+            Sources.zOrderColumnN(df, Seq(a, b) ++ zorderExtra))
+          .repartitionByRange(math.max(1, files), col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      case (Some(k), None) =>
+        df.repartitionByRange(math.max(1, files), col(k))
+          .sortWithinPartitions(col(k))
+      case _ => df
+    }
+    // SINGLE-PASS staging (default): the write tasks compute every
+    // per-file stat (key range, null count, bloom, NDV registers, row
+    // count, byte length) WHILE streaming rows into parquet — the
+    // commit then needs no read-back stats pass and no per-file footer
+    // reads. At ingest scale that halves the IO of every clustered
+    // commit (one pass over the batch, not two); on the bench it
+    // removes one Spark job + O(files) driver footer reads per commit.
+    // The two-pass path stays behind the conf for A/B and the
+    // manifest-equivalence spec.
+    if (inlineStatsEnabled(spark))
+      return (seg, writeSegmentInline(spark, root, seg, shaped,
+        clusterKey, bloomKey, zorderWith, zorderExtra))
+    shaped.write.mode("error").parquet(seg.toString)
+    val f = fs(spark, root)
+    // SORTED by file name: partition ids are zero-padded, so name
+    // order = range-partition order = ascending key ranges. listStatus
+    // order is filesystem-dependent (File.list guarantees nothing), and
+    // manifest order is load-bearing for the limit/offset file-prefix
+    // pushdowns — an arbitrary order is CORRECT there (any N rows) but
+    // a deterministic one makes commits reproducible and keeps range
+    // reads of a clustered table in cluster order.
+    val parts = f.listStatus(seg).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
       }
-      // SINGLE-PASS staging (default): the write tasks compute every
-      // per-file stat (key range, null count, bloom, NDV registers, row
-      // count, byte length) WHILE streaming rows into parquet — the
-      // commit then needs no read-back stats pass and no per-file footer
-      // reads. At ingest scale that halves the IO of every clustered
-      // commit (one pass over the batch, not two); on the bench it
-      // removes one Spark job + O(files) driver footer reads per commit.
-      // The two-pass path stays behind the conf for A/B and the
-      // manifest-equivalence spec.
-      if (inlineStatsEnabled(spark))
-        return (seg, writeSegmentInline(spark, root, seg, shaped,
-          clusterKey, bloomKey, zorderWith, zorderExtra))
-      shaped.write.mode("error").parquet(seg.toString)
-      val f = fs(spark, root)
-      // SORTED by file name: partition ids are zero-padded, so name
-      // order = range-partition order = ascending key ranges. listStatus
-      // order is filesystem-dependent (File.list guarantees nothing), and
-      // manifest order is load-bearing for the limit/offset file-prefix
-      // pushdowns — an arbitrary order is CORRECT there (any N rows) but
-      // a deterministic one makes commits reproducible and keeps range
-      // reads of a clustered table in cluster order.
-      val parts = f.listStatus(seg).toSeq
-        .filter { st =>
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }
-        .sortBy(_.getPath.getName)
-      val rel = parts.map { st =>
-        s"_data/${seg.getName}/${st.getPath.getName}"
-      }
-      (seg, statsEntries(spark, root, seg, rel, clusterKey, bloomKey,
-        zorderWith, zorderExtra))
-    } finally if (cached) src.unpersist(blocking = false)
+      .sortBy(_.getPath.getName)
+    val rel = parts.map { st =>
+      s"_data/${seg.getName}/${st.getPath.getName}"
+    }
+    (seg, statsEntries(spark, root, seg, rel, clusterKey, bloomKey,
+      zorderWith, zorderExtra))
   }
-
-  /** Persist-before-range-bounds is the default; `false` restores the
-    * sample-pass double evaluation (A/B measurement). */
-  private def materializeRangeInput(spark: SparkSession): Boolean =
-    spark.conf.getOption("spark.graft.commit.materializeRangeInput")
-      .forall(_.toBoolean)
 
   /** Single-pass staging is the default; `false` restores the
     * write-then-read-back stats pass (kept for A/B measurement and the
@@ -853,11 +839,11 @@ object SnapshotTable {
     val pconf = connector.GraftDataWriter.sessionParquetConf(spark)
     val bloomBits = Bloom.bitsFor(BloomExpectedItems, BloomFppPct / 100.0)
     val bloomHashes = Bloom.hashesFor(bloomBits, BloomExpectedItems)
-    // session Hadoop conf, serialized ONCE for the job: tasks must not
+    // session Hadoop conf, BROADCAST once for the job: tasks must not
     // fabricate bare Configurations per file (drops credentials/fs
-    // impls on a real cluster; re-parses defaults locally)
-    val hc = new connector.SerializableHadoopConf(
-      spark.sessionState.newHadoopConf())
+    // impls on a real cluster), and the closure must ship only the
+    // broadcast handle, not the ~100 KB conf per task binary
+    val hc = connector.SerializableHadoopConf.broadcast(spark)
     // df.write.parquet honored this session cap; the inline path rolls
     // to a sibling file at the same threshold (0 = unlimited)
     val maxRecs = spark.sessionState.conf.maxRecordsPerFile
@@ -872,7 +858,7 @@ object SnapshotTable {
             DataType.fromJson(schemaJson).asInstanceOf[StructType]
           val tc = org.apache.spark.TaskContext.get()
           val attempt = if (tc == null) 0L else tc.taskAttemptId()
-          val fsys = new Path(segStr).getFileSystem(hc.value)
+          val fsys = new Path(segStr).getFileSystem(hc.value.value)
           // one open file at a time; maxRecordsPerFile rolls to
           // "-fNNN"-suffixed siblings (zero-padded, so name order
           // stays ascending-key order within the sorted partition).
@@ -883,7 +869,7 @@ object SnapshotTable {
               else f"part-$pid%05d-$attempt-f$n%03d.snappy.parquet"
             val path = new Path(segStr, name)
             val writer = connector.GraftDataWriter.nativeWriter(path,
-              taskSchema, pconf, Some(hc.value))
+              taskSchema, pconf, Some(hc.value.value))
             val ck = ckSpec.map { case (_, dt) => new MinMaxAcc(dt) }
             val zk = zkSpec.map { case (_, dt) => new MinMaxAcc(dt) }
             val ze = zeSpec.map { case (_, _, dt) => new MinMaxAcc(dt) }
@@ -2238,8 +2224,7 @@ object SnapshotTable {
     val segStr = seg.toString
     val schemaJson = schema.json
     val pconf = connector.GraftDataWriter.sessionParquetConf(spark)
-    val hc = new connector.SerializableHadoopConf(
-      spark.sessionState.newHadoopConf())
+    val hc = connector.SerializableHadoopConf.broadcast(spark)
     val NullKeyMsg = "NULL partition key in an identity-partitioned " +
       "write (the layout has no partition for NULL)"
     val qe = shaped.queryExecution
@@ -2252,12 +2237,12 @@ object SnapshotTable {
             DataType.fromJson(schemaJson).asInstanceOf[StructType]
           val tc = org.apache.spark.TaskContext.get()
           val attempt = if (tc == null) 0L else tc.taskAttemptId()
-          val fsys = new Path(segStr).getFileSystem(hc.value)
+          val fsys = new Path(segStr).getFileSystem(hc.value.value)
           final class FileAcc(n: Int) {
             val name = f"part-$pid%05d-$attempt-p$n.snappy.parquet"
             val path = new Path(segStr, name)
             val writer = connector.GraftDataWriter.nativeWriter(path,
-              taskSchema, pconf, Some(hc.value))
+              taskSchema, pconf, Some(hc.value.value))
             val mm = keySpec.map { case (_, _, dt) => new MinMaxAcc(dt) }
             val ndv = ndvSpec.map(_ => new Array[Byte](1 << NdvPrecision))
             var rows = 0L
@@ -2487,8 +2472,7 @@ object SnapshotTable {
     val segStr = seg.toString
     val schemaJson = schema.json
     val pconf = connector.GraftDataWriter.sessionParquetConf(spark)
-    val hc = new connector.SerializableHadoopConf(
-      spark.sessionState.newHadoopConf())
+    val hc = connector.SerializableHadoopConf.broadcast(spark)
     val qe = shaped.queryExecution
     val stats = try org.apache.spark.sql.execution.SQLExecution
       .withNewExecutionId(qe, Some("graft_stage_bucketed")) {
@@ -2506,12 +2490,12 @@ object SnapshotTable {
               org.apache.spark.sql.catalyst.expressions
                 .BoundReference(i, fd.dataType, fd.nullable)
                 : org.apache.spark.sql.catalyst.expressions.Expression })
-        val fsys = new Path(segStr).getFileSystem(hc.value)
+        val fsys = new Path(segStr).getFileSystem(hc.value.value)
         final class FileAcc(val bucket: Int) {
           val name = f"part-$pid%05d-$attempt-b$bucket.snappy.parquet"
           val path = new Path(segStr, name)
           val writer = connector.GraftDataWriter.nativeWriter(path,
-            taskSchema, pconf, Some(hc.value))
+            taskSchema, pconf, Some(hc.value.value))
           val mm = keySpec.map { case (_, _, dt) => new MinMaxAcc(dt) }
           val ndv = ndvSpec.map(_ => new Array[Byte](1 << NdvPrecision))
           var rows = 0L
@@ -5074,9 +5058,26 @@ object SnapshotTable {
       // exceptAll pair then shuffles only the tombstone-keyed slice
       // of the added files, not the commit's whole content (§2.3
       // shuffle fewer bytes; the filter itself shuffles nothing).
+      // The split SCANS the ins leg twice (exceptAll compares full
+      // rows, so neither scan is column-pruned) — a second read of
+      // the added files buys the smaller shuffle. That trade only
+      // pays when the added data is big enough for the shuffle to
+      // dominate, so it is gated on added bytes from the MANIFEST
+      // (metadata-only): below the threshold the classic single-scan
+      // exceptAll pair is faster (r18 A/B: the ungated split cost
+      // snapshot_mv_fresh ~+0.9 s at sf0.1, where every shuffle is
+      // KB-scale).
+      val splitMinBytes = spark.conf
+        .getOption("spark.graft.diff.splitMinBytes")
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .getOrElse(256L << 20)
+      lazy val addedBytes = {
+        val f = fs(spark, root)
+        addedData.map(e => entryBytes(f, root, e)).sum
+      }
       tombProbe match {
         case Some((key, probes))
-            if ins.columns.contains(key) =>
+            if ins.columns.contains(key) && addedBytes >= splitMinBytes =>
           val vals = probes.filter(_ != null).toSeq
           val inT =
             if (vals.isEmpty) lit(false)

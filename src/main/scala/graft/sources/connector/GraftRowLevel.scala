@@ -301,10 +301,10 @@ private[connector] class GraftDeltaBatchWrite(root: String,
   private val tombSpec = SnapshotTable.inlineStatsSpec(
     SparkSession.active, keySchema, Some(key), None)
 
-  // session Hadoop conf, serialized once per write job (see
+  // session Hadoop conf, broadcast once per write job (see
   // SerializableHadoopConf)
-  private val hconf = Some(new SerializableHadoopConf(
-    SparkSession.active.sessionState.newHadoopConf()))
+  private val hconf =
+    Some(SerializableHadoopConf.broadcast(SparkSession.active))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
   : DeltaWriterFactory = new GraftDeltaWriterFactory(dataSeg.toString,
@@ -374,7 +374,7 @@ private[connector] class GraftDeltaWriterFactory(dataSegAbs: String,
     bucketKeyIdx: Int, buckets: Int,
     dataSpec: Option[SnapshotTable.InlineStatsSpec] = None,
     tombSpec: Option[SnapshotTable.InlineStatsSpec] = None,
-    hconf: Option[SerializableHadoopConf] = None)
+    hconf: Option[org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]] = None)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
@@ -396,7 +396,7 @@ private[connector] class GraftDeltaWriter(dataSegAbs: String,
     bucketKeyIdx: Int, buckets: Int, partitionId: Int, taskId: Long,
     dataSpec: Option[SnapshotTable.InlineStatsSpec] = None,
     tombSpec: Option[SnapshotTable.InlineStatsSpec] = None,
-    hconf: Option[SerializableHadoopConf] = None)
+    hconf: Option[org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]] = None)
   extends DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
 
   import org.apache.spark.sql.catalyst.InternalRow

@@ -1794,8 +1794,7 @@ private[connector] class GraftMicroBatchStream(root: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required.json, Array.empty,
-      hconf = Some(new SerializableHadoopConf(
-        SparkSession.active.sessionState.newHadoopConf())))
+      hconf = Some(SerializableHadoopConf.broadcast(SparkSession.active)))
 }
 
 /** The CHANGELOG streaming scan (`changes=true`): each micro-batch
@@ -2440,8 +2439,7 @@ private[connector] class GraftScan(root: String, version: Long,
       // cell, so storage-partitioned scans stay vectorized
       columnarOk = offsetSkipFile.isEmpty &&
         !required.fieldNames.contains(GraftFileMetadataColumn.Name),
-      hconf = Some(new SerializableHadoopConf(
-        SparkSession.active.sessionState.newHadoopConf())))
+      hconf = Some(SerializableHadoopConf.broadcast(SparkSession.active)))
 
   /** Size-accurate planning: a v2 scan without statistics defaults to
     * "unknown = huge", which forbids the planner from ever
@@ -2622,12 +2620,14 @@ private[connector] class GraftScan(root: String, version: Long,
 private[connector] class GraftReaderFactory(requiredJson: String,
     pushed: Array[Filter], sessionTz: String = "UTC",
     columnarOk: Boolean = false,
-    hconf: Option[SerializableHadoopConf] = None)
+    hconf: Option[org.apache.spark.broadcast
+      .Broadcast[SerializableHadoopConf]] = None)
   extends PartitionReaderFactory {
 
-  // deserialized once per task (the factory ships inside the task);
-  // readers take their own Configuration COPY since they mutate it
-  private def baseConf: Option[Configuration] = hconf.map(_.value)
+  // the factory ships only the broadcast HANDLE; the conf itself is
+  // deserialized once per executor (shared object in local mode).
+  // Readers take their own Configuration COPY since they mutate it
+  private def baseConf: Option[Configuration] = hconf.map(_.value.value)
 
   /** Columnar eligibility — decided ONCE for the whole scan (Spark
     * refuses mixed row/columnar partitions, it does not fall back):

@@ -185,11 +185,11 @@ private[connector] class GraftBatchWrite(root: String,
   private val statsSpec = SnapshotTable.inlineStatsSpec(
     SparkSession.active, schema, statsKey, bloomKey, gridExtra)
 
-  // session Hadoop conf, serialized ONCE per write job (see
-  // SerializableHadoopConf): writers must not fabricate bare
-  // Configurations per file
-  private val hconf = Some(new SerializableHadoopConf(
-    SparkSession.active.sessionState.newHadoopConf()))
+  // session Hadoop conf, BROADCAST once per write job: writers must
+  // not fabricate bare Configurations per file, and the factories
+  // must ship only the broadcast handle (see SerializableHadoopConf)
+  private val hconf =
+    Some(SerializableHadoopConf.broadcast(SparkSession.active))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
   : DataWriterFactory = (bucketSpec, partitionSpec) match {
@@ -257,7 +257,7 @@ private[connector] class GraftBatchWrite(root: String,
 private[connector] class GraftBucketedWriterFactory(segAbs: String,
     schemaJson: String, bucketKeyIdxs: Seq[(Int, Int)],
     statsSpec: Option[SnapshotTable.InlineStatsSpec] = None,
-    hconf: Option[SerializableHadoopConf] = None)
+    hconf: Option[org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DataWriter[InternalRow] =
@@ -278,7 +278,7 @@ private[connector] class GraftBucketedAppendWriter(segAbs: String,
     schemaJson: String, bucketKeyIdxs: Seq[(Int, Int)],
     partitionId: Int, taskId: Long,
     statsSpec: Option[SnapshotTable.InlineStatsSpec] = None,
-    hconf: Option[SerializableHadoopConf] = None)
+    hconf: Option[org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]] = None)
   extends DataWriter[InternalRow] {
 
   private val keyTypes = {
@@ -339,7 +339,7 @@ private[connector] class GraftBucketedAppendWriter(segAbs: String,
 private[connector] class GraftPartitionedWriterFactory(segAbs: String,
     schemaJson: String, keyIdxs: Seq[Int],
     statsSpec: Option[SnapshotTable.InlineStatsSpec] = None,
-    hconf: Option[SerializableHadoopConf] = None)
+    hconf: Option[org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DataWriter[InternalRow] =
@@ -360,7 +360,7 @@ private[connector] class GraftPartitionedAppendWriter(segAbs: String,
     schemaJson: String, keyIdxs: Seq[Int], partitionId: Int,
     taskId: Long,
     statsSpec: Option[SnapshotTable.InlineStatsSpec] = None,
-    hconf: Option[SerializableHadoopConf] = None)
+    hconf: Option[org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]] = None)
   extends DataWriter[InternalRow] {
 
   private val keyTypes = {
@@ -412,7 +412,7 @@ private[connector] class GraftPartitionedAppendWriter(segAbs: String,
 private[connector] class GraftWriterFactory(segAbs: String,
     schemaJson: String,
     statsSpec: Option[SnapshotTable.InlineStatsSpec] = None,
-    hconf: Option[SerializableHadoopConf] = None)
+    hconf: Option[org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DataWriter[InternalRow] =
@@ -430,13 +430,13 @@ private[connector] class GraftDataWriter(segAbs: String,
     schemaJson: String, partitionId: Int, taskId: Long,
     suffix: String = "",
     statsSpec: Option[SnapshotTable.InlineStatsSpec] = None,
-    hconf: Option[SerializableHadoopConf] = None)
+    hconf: Option[org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]] = None)
   extends DataWriter[InternalRow] {
 
   // the driver-shipped session conf when the factory carried one; a
   // bare Configuration only as a compatibility fallback
   private def fsConf: Configuration =
-    hconf.map(_.value).getOrElse(new Configuration())
+    hconf.map(_.value.value).getOrElse(new Configuration())
 
   private val schema =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -459,7 +459,7 @@ private[connector] class GraftDataWriter(segAbs: String,
   override def write(row: InternalRow): Unit = {
     if (writer == null)
       writer = GraftDataWriter.nativeWriter(filePath, schema,
-        base = hconf.map(_.value))
+        base = hconf.map(_.value.value))
     acc.foreach(_.add(row))
     writer.write(row)
   }

@@ -27,3 +27,17 @@ final class SerializableHadoopConf(@transient var value: Configuration)
     value.readFields(in)
   }
 }
+
+object SerializableHadoopConf {
+  /** The session Hadoop conf as a BROADCAST, captured at call time.
+    * Ship the handle (a few bytes) inside factories/closures instead
+    * of the conf itself: embedding the ~100 KB conf in every task
+    * binary made EVERY task re-deserialize it (measured as a
+    * per-task tax across all scan/commit-heavy queries in the r18
+    * A/B); a broadcast deserializes once per executor — and in local
+    * mode `.value` returns the shared object with no copy at all. */
+  def broadcast(spark: org.apache.spark.sql.SparkSession)
+  : org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] =
+    spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+}

@@ -1536,6 +1536,45 @@ class SnapshotTableSpec extends SparkSpec {
       "pruned MOR read must apply tombstones identically")
   }
 
+  test("mixed-commit diff with the key-membership split engaged " +
+      "(splitMinBytes=0) equals the classic exceptAll pair, NULL and " +
+      "re-inserted rows included") {
+    val root = tmpRoot()
+    // nullable key column: NULL-keyed inserts must survive the split
+    // untouched (they route to the bypass leg)
+    val base = ((1 to 5000).map(i => (java.lang.Integer.valueOf(i), i * 1.0))
+      :+ ((null: java.lang.Integer), 0.5)).toDF("k", "x")
+    SnapshotTable.commit(spark, root, base, clusterKey = Some("k"))
+    // ONE mixed commit: mergeOnRead re-inserts identical rows for some
+    // keys (they must net out through exceptAll) and changes others,
+    // while the batch also carries brand-new keys
+    val batch = (
+      (1 to 40).map(i => (java.lang.Integer.valueOf(i), i * 1.0)) ++  // identical re-insert
+      (41 to 80).map(i => (java.lang.Integer.valueOf(i), -1.0)) ++    // changed
+      (90001 to 90040).map(i => (java.lang.Integer.valueOf(i), 9.0))  // new keys
+    ).toDF("k", "x")
+    SnapshotTable.mergeOnRead(spark, root, batch, "k")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (Option(r.get(0)), r.getDouble(1), r.getString(2)))
+      .sortBy(_.toString).toSeq
+    val classic = rows(SnapshotTable.diff(spark, root, 1L, 2L))
+    spark.conf.set("spark.graft.diff.splitMinBytes", "0")
+    val split =
+      try rows(SnapshotTable.diff(spark, root, 1L, 2L))
+      finally spark.conf.unset("spark.graft.diff.splitMinBytes")
+    assert(split == classic,
+      "key-membership split changed the diff")
+    // sanity on the semantics: identical re-inserts net out, changed
+    // keys appear as delete+insert, new keys as inserts only
+    val ins = classic.filter(_._3 == "inserted")
+    val del = classic.filter(_._3 == "deleted")
+    assert(ins.count(t => t._1.exists(k => k.asInstanceOf[Int] >= 90001)) == 40)
+    assert(!ins.exists(t => t._1.exists(k => { val v = k.asInstanceOf[Int]; v <= 40 })),
+      "identical re-inserted rows must net out of the inserted leg")
+    assert(del.count(t => t._1.exists(k => { val v = k.asInstanceOf[Int]; v >= 41 && v <= 80 })) == 40)
+  }
+
   test("inline staging honors spark.sql.files.maxRecordsPerFile: a " +
       "partition past the cap rolls to ordered sibling files with " +
       "their own stats, and reads/pruning see the identical table") {
